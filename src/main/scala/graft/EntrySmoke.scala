@@ -1,0 +1,13 @@
+package graft
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").config("spark.ui.enabled","false")
+      .config("spark.sql.shuffle.partitions","8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    println("ENTRY_ROWS=" + df.count())
+    df.show(5, false)
+    spark.stop()
+  }
+}

@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import graft.operators.Rrf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries/oracles are contributed by the thematic modules under
+  * graft.queries; this object just merges them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship: the reference's retrieval pipeline shape (SURVEY.md §3.3) on
+    * the synthetic tables — per-list ranking → RRF fusion → top-k → broadcast
+    * enrichment — on sf=0.001; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.load(spark, dir, "events")
+    val cust = Tables.load(spark, dir, "customer")
+    val perList = events.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"))
+    Rrf.fuse(perList, col("event_type"), col("user_id"), col("sv"),
+        k = 60, tiebreak = col("user_id"))
+      .orderBy(col("rrf_score").desc, col("item").asc)
+      .limit(20)
+      .join(broadcast(cust), col("item") === cust("c_custkey"), "left")
+      .select(col("item").as("user_id"), col("rrf_score"), col("n_lists"),
+        col("c_name").as("user_name"))
+  }
+
+  private val modules: Seq[QueryModule] = Seq(
+    new QueryModule(graft.queries.RelationalQueries.queries,
+      graft.queries.RelationalQueries.oracles))
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_.queries).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    modules.map(_.oracles).reduce(_ ++ _)
 }
+
+final class QueryModule(
+    val queries: Map[String, (SparkSession, String) => DataFrame],
+    val oracles: Map[String, String])

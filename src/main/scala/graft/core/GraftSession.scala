@@ -1,0 +1,65 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * The reference (single-process Python asyncio, see SURVEY.md §4) has no
+  * notion of partitioning or adaptive execution; here every knob is set for
+  * a real cluster and merely *sized down* for local[32] testing:
+  *
+  *  - AQE on: runtime coalescing of small shuffle partitions, skew-join
+  *    splitting — the 100 TB posture for the skewed region/education keys
+  *    the reference filters on (retrieve.py:1095-1195 analog).
+  *  - `spark.sql.shuffle.partitions` low for local mode; on a cluster AQE's
+  *    coalescing makes the initial number mostly a ceiling.
+  *  - Broadcast threshold raised: every dimension table in SURVEY.md §1.1
+  *    (region/nation/education/label maps) is tiny and must never shuffle.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft", threads: Int = 32): SparkSession = {
+    val s = builder(appName).master(s"local[$threads]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Loaders for the driver's synthetic tables (TESTDATA.md). Plain parquet
+  * scans so Catalyst's column pruning + predicate pushdown apply; never
+  * cache here — callers decide reuse.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark only reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`).
+    * Normalize here to a proper TimestampType (microsecond precision —
+    * integer floor division, matching DuckDB's nanos→micros truncation) so
+    * every consumer sees an ordinary `ts` timestamp column.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+}

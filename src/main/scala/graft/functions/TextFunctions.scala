@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and cleaning column functions — the Spark-first restatement
+  * of the reference's document-cleaning pipeline (多数据源获取数据.py:455-542,
+  * SURVEY.md §2.2 P4/P5/P14, §2.8 F7/O7) plus the LLM-training-data text
+  * metrics (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything here is a pure `Column => Column` composition of built-in,
+  * codegen'd expressions — no UDFs — so the whole pipeline stays inside
+  * WholeStageCodegen and scales linearly with input.
+  */
+object TextFunctions {
+
+  // ---- tokenization -------------------------------------------------------
+
+  /** Whitespace tokens of a trimmed string; empty string → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish sub-word split: runs of letters, runs of digits, or single
+    * non-alnum marks (reference has no tokenizer; this is the engine's
+    * training-data extension).
+    */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Word k-shingles over whitespace tokens, order-preserving w/ dups kept.
+    * `transform(sequence(...))` keeps it native (no UDF).
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < k, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), size(t) - k),
+        i => array_join(slice(t, i + lit(1), lit(k)), " ")))
+  }
+
+  def distinctShingles(c: Column, k: Int): Column = array_distinct(shingles(c, k))
+
+  // ---- quality scoring ----------------------------------------------------
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "on")
+
+  /** Fraction of tokens that are stopwords, 0.0 for empty docs. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val t = tokens(c)
+    val stops = filter(t, w => w.isin(stopwords: _*))
+    when(size(t) === 0, lit(0.0)).otherwise(size(stops).cast("double") / size(t))
+  }
+
+  /** Punctuation chars / total chars, 0.0 for empty. */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    val p = size(regexp_extract_all(c, lit("[\\.,;:!\\?]"), lit(0)))
+    when(n === 0, lit(0.0)).otherwise(p.cast("double") / n)
+  }
+
+  /** Mean token length (chars), 0.0 for empty. */
+  def meanTokenLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  /** Coarse quality bucket for training-data filtering: short / low-diversity
+    * docs get downranked. Deterministic, rule-based (the reference's quality
+    * gates are all rule thresholds too — 多数据源获取数据.py:479-490).
+    */
+  def qualityBucket(c: Column): Column = {
+    val n = tokenCount(c)
+    val distinctFrac = when(n === 0, lit(0.0))
+      .otherwise(size(array_distinct(tokens(c))).cast("double") / n)
+    when(n < 20, lit("too_short"))
+      .when(distinctFrac < lit(0.2), lit("repetitive"))
+      .when(stopwordRatio(c) > lit(0.5), lit("boilerplate"))
+      .otherwise(lit("ok"))
+  }
+
+  // ---- language ID (n-gram/stopword heuristic) ---------------------------
+
+  /** Tiny deterministic language-ID: counts hits from per-language marker
+    * word lists; highest count wins, ties broken lexicographically; no hits
+    * → "und". Real corpora would plug a model in via the same signature.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langIdHeuristic(c: Column): Column = {
+    val t = tokens(lower(c))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(size(filter(t, w => w.isin(ws: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // ---- fingerprinting -----------------------------------------------------
+
+  /** Polynomial rolling-hash document fingerprint over whitespace tokens:
+    * fp = Σ tokHash·31^i style fold, in Long arithmetic (overflow wraps —
+    * deterministic on JVM). Token hash = first 15 hex digits of md5 so the
+    * same value is computable in ANSI SQL for the oracle.
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(0L),
+      (acc, w) => acc * lit(31L) + conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+
+  /** 64-bit token hash usable identically from DuckDB (md5-prefix → long). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---- cleaning (X7 pipeline analog) --------------------------------------
+
+  /** Page-number line patterns (多数据源获取数据.py:468-473). */
+  val PageNumRegex = "^\\s*(-\\s*\\d+\\s*-|第\\s*\\d+\\s*页|Page\\s+\\d+(\\s+of\\s+\\d+)?)\\s*$"
+
+  /** Noise-line patterns (多数据源获取数据.py:455-464 analog). */
+  val NoiseRegex =
+    "^\\s*(Copyright|版权所有|All rights reserved|ICP备|点击查看|更多精彩|扫码关注|分享到|上一篇|下一篇)"
+
+  def isPageNumberLine(c: Column): Column = c.rlike(PageNumRegex)
+  def isNoiseLine(c: Column): Column = c.rlike(NoiseRegex)
+
+  /** Link-dense predicate: >2 links and <30 chars/link (DATA:479-490). */
+  def isLinkDense(c: Column): Column = {
+    val links = size(regexp_extract_all(c, lit("https?://\\S+"), lit(0)))
+    links > 2 && (length(c) / links) < 30
+  }
+
+  /** Strip editor-credit spans `（责任编辑：…）` (DATA:467,538). */
+  def scrubEditorCredit(c: Column): Column =
+    regexp_replace(c, "（责任编辑：[^）]*）", "")
+
+  /** Collapse runs of blank lines / horizontal whitespace (DATA:492-505). */
+  def normalizeWhitespace(c: Column): Column =
+    regexp_replace(regexp_replace(c, "[ \\t]+", " "), "\\n{2,}", "\n")
+
+  /** Truncate with marker when over `max` chars (DATA:476,522-525 — O7). */
+  def truncateWithMarker(c: Column, max: Int, marker: String = "…[truncated]"): Column =
+    when(length(c) > max, concat(substring(c, 1, max), lit(marker))).otherwise(c)
+
+  /** Full clean pipeline over a multi-line document string (X7): drop noise /
+    * page-number / link-dense lines, scrub credits, collapse whitespace,
+    * truncate. Line-wise via filter() HOF — stays native.
+    */
+  def cleanDocument(c: Column, maxChars: Int = 80000): Column = {
+    val lines = split(c, "\n")
+    val kept = filter(lines, l =>
+      !isPageNumberLine(l) && !isNoiseLine(l) && !isLinkDense(l))
+    truncateWithMarker(
+      normalizeWhitespace(array_join(transform(kept, l => scrubEditorCredit(l)), "\n")),
+      maxChars)
+  }
+}

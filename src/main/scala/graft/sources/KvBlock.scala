@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KV-block text format — the reference's record interchange format
+  * (SURVEY.md §2.1 S1/S14): lines of `键：值` (full-width colon), multiple
+  * records per file joined by `^_^` (moe_majors_scraper.py:149-171,
+  * retrieve.py:909-974).
+  *
+  * Reader: wholeTextFiles-free — `spark.read.text(wholetext=false)` would
+  * split records across lines, so we read whole files, explode on the block
+  * delimiter, then parse each block's lines into a map. All expression-level
+  * (split/explode/map_from_entries), no UDF.
+  *
+  * Writer: partitioned text sink, one directory per (partition cols), blocks
+  * re-joined with the delimiter — the S14 layout
+  * (`data/moe_majors_split/moe_majors_<province>_<year>.txt` analog).
+  */
+object KvBlock {
+
+  val BlockDelimiter = "\\^_\\^"
+
+  /** Read files under `path` into one row per KV block, with a
+    * `kv: map<string,string>` column. Splits on the first full- or
+    * half-width colon per line (retrieve.py:917-922).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(path)
+    blocksFromText(raw, col("value")).select(col("block"), parseBlock(col("block")).as("kv"))
+  }
+
+  /** Explode a whole-file text column into trimmed, non-empty blocks. */
+  def blocksFromText(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(text, BlockDelimiter)).as("block"))
+      .withColumn("block", trim(col("block")))
+      .filter(length(col("block")) > 0)
+
+  /** `键：值` lines → map<string,string>; first colon wins, both `：` and `:`
+    * accepted; lines without a colon are dropped.
+    */
+  def parseBlock(block: Column): Column = {
+    val entries = transform(
+      filter(split(block, "\n"), l => l.rlike("[：:]")),
+      l => struct(
+        trim(regexp_extract(l, "^([^：:]*)[：:]", 1)).as("key"),
+        trim(regexp_replace(l, "^[^：:]*[：:]", "")).as("value")))
+    map_from_entries(entries)
+  }
+
+  /** Project typed columns out of the kv map with null-safe defaults (the
+    * reference's dict.get(k, '') lookups).
+    */
+  def field(kv: Column, key: String): Column = element_at(kv, key)
+
+  /** Render rows back to KV blocks: one line per (key, value), in the given
+    * key order — the inverse of parseBlock, used by the partitioned sink.
+    */
+  def renderBlock(kvPairs: Seq[(String, Column)]): Column =
+    concat_ws("\n", kvPairs.map { case (k, v) => concat(lit(k), lit("："), v) }: _*)
+
+  /** S14 sink: group blocks by partition columns, join with `^_^`, one text
+    * file per partition directory. `partitionBy` keeps the write parallel
+    * and prunable; no driver-side collection.
+    */
+  def writePartitioned(
+      df: DataFrame, blockCol: Column, partitionCols: Seq[String], outPath: String): Unit =
+    df.select((partitionCols.map(col) :+ blockCol.as("block")): _*)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(concat_ws("\n^_^\n", sort_array(collect_list(col("block")))).as("value"))
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .text(outPath)
+}
