@@ -32,7 +32,15 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     new QueryModule(graft.queries.RelationalQueries.queries,
-      graft.queries.RelationalQueries.oracles))
+      graft.queries.RelationalQueries.oracles),
+    new QueryModule(graft.queries.EventQueries.queries,
+      graft.queries.EventQueries.oracles),
+    new QueryModule(graft.queries.TemporalQueries.queries,
+      graft.queries.TemporalQueries.oracles),
+    new QueryModule(graft.queries.StringQueries.queries,
+      graft.queries.StringQueries.oracles),
+    new QueryModule(graft.queries.AnalyticsQueries.queries,
+      graft.queries.AnalyticsQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -15,11 +15,11 @@ object DateFunctions {
     Seq("yyyy-MM-dd", "yyyy/MM/dd", "yyyy.MM.dd", "yyyy年MM月dd日", "yyyyMMdd")
 
   /** First format that parses wins; null when none do.
-    * `to_date` in non-ANSI mode yields null on mismatch, so `coalesce` is
+    * `try_to_date` yields null on mismatch (ANSI-safe), so `coalesce` is
     * exactly the reference's try-in-order loop — and it's codegen'd.
     */
   def parseMultiFormat(c: Column): Column =
-    coalesce(Formats.map(f => to_date(c, f)): _*)
+    coalesce(Formats.map(f => try_to_date(c, f)): _*)
 
   /** Bare-year fallback: "2023" → 2023-01-01 (retrieve.py:1311-1318). */
   def parseWithYearFallback(c: Column): Column =

@@ -39,18 +39,19 @@ object Dedup {
     * a Vector column), so it runs inside codegen and the signature is an
     * `array<bigint>` ready for band slicing.
     */
-  val MersennePrime: Long = (1L << 61) - 1
+  /** 2^31-1: keeps `a*x + b` under 2^62 — no Long overflow in ANSI mode. */
+  val HashPrime: Long = 2147483647L
 
   private def seededCoeffs(numHashes: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % MersennePrime + 1,
-                         math.abs(rnd.nextLong()) % MersennePrime))
+    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (HashPrime - 1) + 1,
+                         math.abs(rnd.nextLong()) % HashPrime))
   }
 
   def minHashSignature(shingleArr: Column, numHashes: Int): Column = {
     val hashes = seededCoeffs(numHashes).map { case (a, b) =>
       array_min(transform(shingleArr, s =>
-        pmod(xxhash64(s) * lit(a) + lit(b), lit(MersennePrime))))
+        pmod(pmod(xxhash64(s), lit(HashPrime)) * lit(a) + lit(b), lit(HashPrime))))
     }
     array(hashes: _*)
   }

@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Ranking, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` and `embeddings`:
+  * text analysis (token stats, quality, language-ID, fingerprint),
+  * deduplication (exact, n-gram Jaccard, MinHash LSH, SimHash), and
+  * similarity search (brute-force cosine top-k, IVF-pruned variant, k-NN
+  * label vote). The first-class 100 TB components of BASELINE.json's
+  * north star.
+  *
+  * MinHash/SimHash/IVF queries have no oracle (their hash functions are
+  * engine-specific); their semantics are verified in ScalaTest against
+  * exact Jaccard / brute-force baselines instead.
+  */
+object AnalyticsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+
+  private val P = 1000000007L
+
+  /** Char-level polynomial hash `(acc*31 + ord(c)) % P` — computable
+    * identically in ANSI-ish SQL for the oracle (no engine hash involved).
+    */
+  private def charFold(w: Column): Column =
+    aggregate(
+      filter(split(w, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c), lit(P)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting + char stats per language.
+    "q36_token_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(length(col("text"))).as("sum_chars"),
+          round(sum(col("n_tokens")) / count(lit(1)).cast("double"), 4).as("avg_tokens"))
+    }),
+
+    // Quality-score buckets (length / lexical diversity / stopword gates).
+    "q37_quality_buckets" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("bucket", TextFunctions.qualityBucket(col("text")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Language-ID heuristic vote per doc, tallied against the labeled lang.
+    "q38_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("lang_pred", TextFunctions.langIdHeuristic(col("text")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Exact dedup via content digest (hash-groupBy; sf0.1 has planted dups).
+    "q39_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), col("doc_id"), col("text"))
+        .agg(
+          sum(col("n_copies")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("n_copies") - 1).as("n_redundant"))
+    }),
+
+    // Shingle statistics (the MinHash input layer, oracle-checked).
+    "q40_shingle_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          size(TextFunctions.distinctShingles(col("text"), 3)).as("n_shingles"))
+    }),
+
+    // Exact 3-gram Jaccard near-dup pairs (planted dups ≥ 0.3 at all SFs).
+    "q41_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
+        shingleSize = 3, threshold = 0.3)
+    }),
+
+    // Brute-force cosine top-5 for query vectors vec_id < 20.
+    "q42_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val scored = Similarity.cosineTopK(
+        e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv",
+        e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
+        k = 5)
+      scored
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)))
+        .select(col("query_id"), col("cand_id"), col("rnk"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
+    // k-NN majority label vote (top-5 cosine neighbors, vec_id < 50).
+    "q43_knn_vote" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nn = Similarity.cosineTopK(
+        e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv",
+        e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
+        k = 5)
+      val votes = nn.join(emb(s, dir).select(col("vec_id"), col("label")),
+          nn("cand_id") === col("vec_id"))
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      Ranking.keepFirst(votes, Seq(col("query_id")),
+          Seq(col("votes").desc, col("label").asc))
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    }),
+
+    // Rolling-hash document fingerprint (mod-prime char/token fold — F8).
+    "q44_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("tok_hashes", transform(TextFunctions.tokens(col("text")), w => charFold(w)))
+        .withColumn("fp", aggregate(col("tok_hashes"), lit(0L),
+          (acc, v) => pmod(acc * 31L + v, lit(P))))
+        .select(col("doc_id"), col("fp"))
+    }),
+
+    // ---- no-oracle (engine-hash-dependent) — verified in ScalaTest ----
+
+    // MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+    "q45_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLsh(docs(s, dir), col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.3)
+    }),
+
+    // SimHash signatures (near-dup docs share almost all bits).
+    "q46_simhash" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+    }),
+
+    // IVF-bucketed ANN (scale path: scans 1/C of candidates per query).
+    "q47_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv",
+        e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
+        k = 5, dim = 64, nCentroids = 8)
+    }))
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private def shinglesSql(toks: String) =
+    s"list_distinct(list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))"
+
+  val oracles: Map[String, String] = Map(
+    "q36_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+           ROUND(SUM(len($toksSql)) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_tokens
+         FROM documents GROUP BY lang""",
+    "q37_quality_buckets" ->
+      s"""WITH d AS (SELECT $toksSql AS toks, text FROM documents),
+         b AS (SELECT CASE
+             WHEN len(toks) < 20 THEN 'too_short'
+             WHEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) < 0.2 THEN 'repetitive'
+             WHEN len(list_filter(toks, w -> list_contains(
+               ['the','a','an','of','to','and','in','is','it','on'], w)))
+               / CAST(len(toks) AS DOUBLE) > 0.5 THEN 'boilerplate'
+             ELSE 'ok' END AS bucket
+           FROM d)
+         SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket""",
+    "q38_langid" ->
+      s"""WITH d AS (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         s AS (SELECT lang, list_max([
+             {'hits': len(list_filter(toks, w -> list_contains(['der','die','und','ist'], w))), 'lang': 'de'},
+             {'hits': len(list_filter(toks, w -> list_contains(['the','and','of','is'], w))), 'lang': 'en'},
+             {'hits': len(list_filter(toks, w -> list_contains(['el','los','y','es'], w))), 'lang': 'es'},
+             {'hits': len(list_filter(toks, w -> list_contains(['le','la','et','est'], w))), 'lang': 'fr'},
+             {'hits': len(list_filter(toks, w -> list_contains(['的','是','了','在'], w))), 'lang': 'zh'}
+           ]) AS best
+           FROM d)
+         SELECT lang, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+           COUNT(*) AS n
+         FROM s GROUP BY 1, 2""",
+    "q39_exact_dedup" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT text) AS n_redundant
+         FROM documents""",
+    "q40_shingle_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         SELECT doc_id, len(toks) AS n_tokens,
+           CASE WHEN len(toks) < 3 THEN 0 ELSE len(${shinglesSql("toks")}) END AS n_shingles
+         FROM t""",
+    "q41_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         d AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t WHERE len(toks) >= 3),
+         inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             COUNT(*) AS inter
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+           ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 4) AS jaccard
+         FROM p WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.3""",
+    "q42_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS cos
+           FROM q, c WHERE qid <> cid),
+         r AS (SELECT qid AS query_id, cid AS cand_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+           FROM s)
+         SELECT query_id, cand_id, rnk, ROUND(cos, 4) AS cos FROM r WHERE rnk <= 5""",
+    "q43_knn_vote" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+         s AS (SELECT qid, cid, label, list_cosine_similarity(qv, cv) AS cos
+           FROM q, c WHERE qid <> cid),
+         nn AS (SELECT qid, cid, label FROM (
+             SELECT qid, cid, label,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+             FROM s) WHERE rnk <= 5),
+         v AS (SELECT qid, label, COUNT(*) AS votes FROM nn GROUP BY 1, 2)
+         SELECT qid AS query_id, label AS pred_label, votes FROM (
+           SELECT qid, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+           FROM v) WHERE rn = 1""",
+    "q44_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         h AS (SELECT doc_id, list_transform(toks, w ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007)) AS tok_hashes
+           FROM t)
+         SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), tok_hashes),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         FROM h""")
+}

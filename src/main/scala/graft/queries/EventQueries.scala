@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.{Ranking, Sessionize}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — the batch forms of the
+  * engine's streaming capability (SURVEY.md §2.9): sessionization, tumbling
+  * windows, per-key summaries (A4/A6), lag analytics, JSON props (F11).
+  *
+  * Timestamps are surfaced as formatted strings and money/value sums as
+  * DECIMAL-exact doubles, per the oracle-parity conventions.
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gap-based sessionization (30 min), per-session rollup.
+    "q15_sessionize" -> ((s, dir) => {
+      Sessionize.sessionStats(
+          t(s, dir), col("user_id"), col("ts"), dec(col("value")), gapSeconds = 1800)
+        .select(col("key").as("user_id"), col("session_seq"),
+          col("n_events"),
+          tstr(col("session_start")).as("session_start"),
+          tstr(col("session_end")).as("session_end"),
+          col("value_sum").cast("double").as("value_sum"))
+    }),
+
+    // Tumbling 1-hour windows (batch analog of window(ts, '1 hour')).
+    "q16_tumbling_hour" -> ((s, dir) => {
+      t(s, dir)
+        .groupBy(tstr(date_trunc("hour", col("ts"))).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("value_sum"))
+    }),
+
+    // A4 status summary: error/ok counts → derived status + summary string.
+    "q17_status_summary" -> ((s, dir) => {
+      t(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "error", 1)).as("n_err"),
+          count(when(col("event_type") =!= "error", 1)).as("n_ok"))
+        .withColumn("status",
+          when(col("n_err") === 0, "success")
+            .when(col("n_ok") === 0, "failed")
+            .otherwise("partial_success"))
+        .withColumn("summary",
+          concat(col("n_ok").cast("string"), lit(" ok, "),
+            col("n_err").cast("string"), lit(" err")))
+    }),
+
+    // A6/W5 first event per user.
+    "q18_first_event" -> ((s, dir) => {
+      Ranking.keepFirst(t(s, dir), Seq(col("user_id")),
+          Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          tstr(col("ts")).as("first_ts"))
+    }),
+
+    // Lag analytics: inter-event gap stats per user.
+    "q19_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir)
+        .withColumn("gap", unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg(col("gap")), 4).as("avg_gap"),
+          max(col("gap")).as("max_gap"))
+    }),
+
+    // F11 JSON property extraction + aggregation.
+    "q20_json_props" -> ((s, dir) => {
+      t(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"), max(col("k")).as("max_k"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q15_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS nw
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts, value,
+             CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM x)
+         SELECT user_id, session_seq, COUNT(*) AS n_events,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM sess GROUP BY user_id, session_seq""",
+    "q16_tumbling_hour" ->
+      """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events GROUP BY 1, 2""",
+    "q17_status_summary" ->
+      """SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_err,
+           COUNT(*) FILTER (WHERE event_type <> 'error') AS n_ok,
+           CASE WHEN COUNT(*) FILTER (WHERE event_type = 'error') = 0 THEN 'success'
+                WHEN COUNT(*) FILTER (WHERE event_type <> 'error') = 0 THEN 'failed'
+                ELSE 'partial_success' END AS status,
+           (COUNT(*) FILTER (WHERE event_type <> 'error')) || ' ok, ' ||
+             (COUNT(*) FILTER (WHERE event_type = 'error')) || ' err' AS summary
+         FROM events GROUP BY user_id""",
+    "q18_first_event" ->
+      """SELECT user_id, event_id, event_type,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+         FROM (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+         WHERE rn = 1""",
+    "q19_lag_delta" ->
+      """WITH g AS (
+           SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) -
+               CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+           FROM events)
+         SELECT user_id, COUNT(*) AS n_gaps, ROUND(AVG(gap), 4) AS avg_gap,
+           MAX(gap) AS max_gap
+         FROM g WHERE gap IS NOT NULL GROUP BY user_id""",
+    "q20_json_props" ->
+      """SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+         FROM events GROUP BY event_type""")
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.Ranking
+import graft.sources.KvBlock
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** String/regex/templating/KV/JSON operator families (SURVEY.md §2.8
+  * F1/F2/F6/F7/F8/F11/F13, §2.2 P11/P14, §2.3 J2/J3) over the synthetic
+  * tables. Synthesized inputs follow the reference's wire formats (search
+  * query templates, KV blocks, fenced JSON, URLs) and parse back with the
+  * engine's functions; oracles recompute from the typed columns.
+  */
+object StringQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // F6 query templating with include/exclude site filters
+    // (多数据源获取链接.py:489-640 shape).
+    "q26_query_template" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("query_str",
+          concat(lit("\""), col("p_brand"), lit("\" AND \""), col("p_type"),
+            lit("\""),
+            when(col("p_size") > 30, lit(" -site:spam.example.com"))
+              .otherwise(lit(" site:edu.cn"))))
+        .select(col("p_partkey"), col("query_str"))
+    }),
+
+    // F13/P11: URL synthesis → extension extraction → document-type dispatch.
+    "q27_url_doctype" -> ((s, dir) => {
+      val url = concat(lit("https://www."), col("source"), lit(".example.com/files/doc_"),
+        col("doc_id").cast("string"),
+        element_at(typedLit(Seq(".pdf", ".docx", ".html", "")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+      t(s, dir, "documents")
+        .withColumn("url", url)
+        .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+        .withColumn("ext", regexp_extract(col("url"), "\\.([a-z0-9]+)$", 1))
+        .withColumn("doctype",
+          when(col("ext").isin("pdf", "docx", "doc", "pptx"), "document")
+            .when(col("ext") === "html", "webpage")
+            .otherwise("unknown"))
+        .select(col("doc_id"), col("host"), col("ext"), col("doctype"))
+    }),
+
+    // S1 KV-block round trip: render rows to `键：值` blocks, parse back with
+    // the engine's block parser, project typed fields.
+    "q28_kv_roundtrip" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val region = broadcast(t(s, dir, "region"))
+      val block = KvBlock.renderBlock(Seq(
+        "机构名称" -> col("n_name"),
+        "区域编号" -> col("n_nationkey").cast("string"),
+        "机构类型" -> col("r_name")))
+      nation.join(region, col("n_regionkey") === col("r_regionkey"))
+        .withColumn("kv", KvBlock.parseBlock(block))
+        .select(
+          KvBlock.field(col("kv"), "机构名称").as("name"),
+          KvBlock.field(col("kv"), "区域编号").cast("int").as("code"),
+          KvBlock.field(col("kv"), "机构类型").as("category"))
+    }),
+
+    // S2/X2 lenient JSON: payloads wrapped in markdown fences / leading
+    // noise are salvaged (fence-strip + largest-brace-candidate extract).
+    "q29_lenient_json" -> ((s, dir) => {
+      val wrapped = when(pmod(col("event_id"), lit(3)) === 0,
+          concat(lit("```json\n"), col("props"), lit("\n```")))
+        .when(pmod(col("event_id"), lit(3)) === 1,
+          concat(lit("LLM says: "), col("props"), lit(" hope that helps!")))
+        .otherwise(col("props"))
+      t(s, dir, "events")
+        .withColumn("cleaned",
+          regexp_extract(wrapped, "(?s)(\\{.*\\})", 1))
+        .withColumn("k", get_json_object(col("cleaned"), "$.k").cast("int"))
+        .groupBy(pmod(col("k"), lit(5)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+
+    // O7 truncation with marker.
+    "q30_truncate" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.truncateWithMarker(col("text"), 60).as("t"),
+          length(TextFunctions.truncateWithMarker(col("text"), 60)).as("t_len"))
+    }),
+
+    // J2 label mapping with code fallback (transform_survey_data.py shape):
+    // map codes to labels via a broadcast-literal map; unmapped pass through.
+    "q31_label_map" -> ((s, dir) => {
+      val labels = typedLit(Map(0 -> "非洲", 1 -> "美洲", 2 -> "亚洲"))
+      t(s, dir, "nation")
+        .withColumn("region_label",
+          coalesce(element_at(labels, col("n_regionkey")), concat(lit("区域"), col("n_regionkey"))))
+        .select(col("n_nationkey"), col("n_name"), col("region_label"))
+    }),
+
+    // J3 region resolution (theta join): free-text location × nation dim,
+    // substring containment, longest-name-first (retrieve.py:1095-1152).
+    "q32_region_resolve" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("loc", concat(lit("customer located in "), col("c_name"),
+          lit(" district of "),
+          when(pmod(col("c_custkey"), lit(2)) === 0, lower(col("c_mktsegment")))
+            .otherwise(lit("unknown area"))))
+      val dim = broadcast(
+        t(s, dir, "customer").select(lower(col("c_mktsegment")).as("seg")).distinct())
+      val matched = cust.join(dim, col("loc").contains(col("seg")), "left")
+      Ranking.keepFirst(matched, Seq(col("c_custkey")),
+          Seq(length(col("seg")).desc_nulls_last, col("seg").asc_nulls_last))
+        .select(col("c_custkey"), coalesce(col("seg"), lit("unresolved")).as("resolved"))
+    }),
+
+    // F1 regex predicates over document text (the P4 noise-class shape).
+    "q33_rlike_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("has_pattern", col("text").rlike("scan (join|merge)"))
+        .groupBy(col("lang"))
+        .agg(count(when(col("has_pattern"), 1)).as("n_match"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // F1/F8: regexp_extract + sanitized-id (the source_id derivation
+    // 多数据源获取数据.py:1802-1810).
+    "q34_sanitized_id" -> ((s, dir) => {
+      val url = concat(lit("https://api.example.com/v1/docs?id="),
+        col("doc_id").cast("string"), lit("&lang="), col("lang"))
+      t(s, dir, "documents")
+        .withColumn("source_id",
+          substring(regexp_replace(url, "[^a-zA-Z0-9]", "-"), 1, 40))
+        .select(col("doc_id"), col("source_id"))
+    }),
+
+    // P14/F7: editor-credit scrub + whitespace collapse round trip.
+    "q35_scrub_normalize" -> ((s, dir) => {
+      val noisy = concat(col("text"), lit("   （责任编辑：张三）  tail"))
+      t(s, dir, "documents")
+        .withColumn("cleaned",
+          TextFunctions.normalizeWhitespace(TextFunctions.scrubEditorCredit(noisy)))
+        .select(col("doc_id"), col("cleaned"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q26_query_template" ->
+      """SELECT p_partkey,
+           '"' || p_brand || '" AND "' || p_type || '"' ||
+           CASE WHEN p_size > 30 THEN ' -site:spam.example.com'
+                ELSE ' site:edu.cn' END AS query_str
+         FROM part""",
+    "q27_url_doctype" ->
+      """WITH u AS (SELECT doc_id,
+           'https://www.' || source || '.example.com/files/doc_' || doc_id ||
+             (CASE doc_id % 4 WHEN 0 THEN '.pdf' WHEN 1 THEN '.docx'
+                              WHEN 2 THEN '.html' ELSE '' END) AS url
+         FROM documents)
+         SELECT doc_id,
+           REGEXP_EXTRACT(url, '^https?://([^/]+)/', 1) AS host,
+           REGEXP_EXTRACT(url, '\.([a-z0-9]+)$', 1) AS ext,
+           CASE WHEN REGEXP_EXTRACT(url, '\.([a-z0-9]+)$', 1) IN ('pdf','docx','doc','pptx')
+                  THEN 'document'
+                WHEN REGEXP_EXTRACT(url, '\.([a-z0-9]+)$', 1) = 'html' THEN 'webpage'
+                ELSE 'unknown' END AS doctype
+         FROM u""",
+    "q28_kv_roundtrip" ->
+      """SELECT n_name AS name, n_nationkey AS code, r_name AS category
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    "q29_lenient_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1""",
+    "q30_truncate" ->
+      """SELECT doc_id,
+           CASE WHEN LENGTH(text) > 60 THEN SUBSTR(text, 1, 60) || '…[truncated]'
+                ELSE text END AS t,
+           LENGTH(CASE WHEN LENGTH(text) > 60 THEN SUBSTR(text, 1, 60) || '…[truncated]'
+                ELSE text END) AS t_len
+         FROM documents""",
+    "q31_label_map" ->
+      """SELECT n_nationkey, n_name,
+           CASE n_regionkey WHEN 0 THEN '非洲' WHEN 1 THEN '美洲' WHEN 2 THEN '亚洲'
+                ELSE '区域' || n_regionkey END AS region_label
+         FROM nation""",
+    "q32_region_resolve" ->
+      """WITH cust AS (SELECT c_custkey,
+           'customer located in ' || c_name || ' district of ' ||
+             CASE WHEN c_custkey % 2 = 0 THEN LOWER(c_mktsegment)
+                  ELSE 'unknown area' END AS loc
+         FROM customer),
+         dim AS (SELECT DISTINCT LOWER(c_mktsegment) AS seg FROM customer),
+         m AS (SELECT c_custkey, seg,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+               ORDER BY LENGTH(seg) DESC NULLS LAST, seg NULLS LAST) AS rn
+           FROM cust LEFT JOIN dim ON POSITION(seg IN loc) > 0)
+         SELECT c_custkey, COALESCE(seg, 'unresolved') AS resolved
+         FROM m WHERE rn = 1""",
+    "q33_rlike_filter" ->
+      """SELECT lang,
+           COUNT(*) FILTER (WHERE REGEXP_MATCHES(text, 'scan (join|merge)')) AS n_match,
+           COUNT(*) AS n_docs
+         FROM documents GROUP BY lang""",
+    "q34_sanitized_id" ->
+      """SELECT doc_id,
+           SUBSTR(REGEXP_REPLACE(
+             'https://api.example.com/v1/docs?id=' || doc_id || '&lang=' || lang,
+             '[^a-zA-Z0-9]', '-', 'g'), 1, 40) AS source_id
+         FROM documents""",
+    "q35_scrub_normalize" ->
+      """SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(
+             text || '   （责任编辑：张三）  tail',
+             '（责任编辑：[^）]*）', '', 'g'),
+             '[ \t]+', ' ', 'g') AS cleaned
+         FROM documents""")
+}
