@@ -107,16 +107,27 @@ object TextFunctions {
 
   // ---- fingerprinting -----------------------------------------------------
 
+  /** Modulus for the rolling hashes: keeps every intermediate < 2^35, so
+    * the fold is ANSI-overflow-safe AND reproducible in plain SQL (the
+    * DuckDB oracle computes the identical value — no engine hash involved).
+    */
+  val FingerprintPrime = 1000000007L
+
+  /** Char-level polynomial token hash: fold (acc*31 + codepoint) % P. */
+  def tokenHash(w: Column): Column =
+    aggregate(
+      filter(split(w, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch), lit(FingerprintPrime)))
+
   /** Polynomial rolling-hash document fingerprint over whitespace tokens:
-    * fp = Σ tokHash·31^i style fold, in Long arithmetic (overflow wraps —
-    * deterministic on JVM). Token hash = first 15 hex digits of md5 so the
-    * same value is computable in ANSI SQL for the oracle.
+    * fold (acc*31 + tokenHash) % P — order-sensitive, deterministic.
     */
   def fingerprint(c: Column): Column =
     aggregate(
       tokens(c),
       lit(0L),
-      (acc, w) => acc * lit(31L) + conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+      (acc, w) => pmod(acc * lit(31L) + tokenHash(w), lit(FingerprintPrime)))
 
   /** 64-bit token hash usable identically from DuckDB (md5-prefix → long). */
   def md5Long(c: Column): Column =

@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata structs, plus batched decode / feature-extract /
+  * frame-sample operators over `mapPartitions`.
+  *
+  * The actual codec step is STUBBED (deterministic fake — this container
+  * has no image/audio libraries); everything Spark-side is real: schemas,
+  * partition-level batching, the operator signatures a real decoder would
+  * plug into, and the binaryFile ingestion path. The reference's analog is
+  * the embedded-image extract→validate→upload pipeline
+  * (多数据源获取数据.py:396-445, 1116-1178) with its ≥5 KiB / ≥50 px gates.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),   // image|audio|video
+    StructField("format", StringType, nullable = true),        // png|wav|mp4|…
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", mediaMetaSchema, nullable = false)))
+
+  /** Ingest a directory of opaque files as media rows (binaryFile source —
+    * S5's Spark-native entry point; at scale this is the parallel,
+    * prunable way to lift blobs into the engine).
+    */
+  def readBinaryDir(spark: SparkSession, path: String, mediaType: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content").as("payload"),
+        struct(
+          lit(mediaType).as("media_type"),
+          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("format"),
+          length(col("content")).cast("long").as("byte_len"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+
+  /** The reference's image-block gate (P12): ≥ minBytes and ≥ minDim px. */
+  def validMediaFilter(df: DataFrame, minBytes: Long = 5120, minDim: Int = 50): DataFrame =
+    df.filter(col("meta.byte_len") >= minBytes &&
+      (col("meta.width").isNull || col("meta.width") >= minDim) &&
+      (col("meta.height").isNull || col("meta.height") >= minDim))
+
+  /** STUB decode: a real implementation would decode the payload with an
+    * image/audio codec here. The deterministic fake derives pseudo-features
+    * from the bytes so the distributed plumbing (batching, schema, shuffle
+    * behavior) is fully exercised and testable.
+    */
+  private def fakeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var acc = 1469598103934665603L // FNV offset basis — stand-in only
+    var i = 0
+    while (i < payload.length) {
+      acc = (acc ^ payload(i)) * 1099511628211L
+      out(math.abs((acc % dim).toInt)) += 1.0f
+      i += 1
+    }
+    val n = math.max(1, payload.length)
+    out.map(_ / n)
+  }
+
+  /** Feature extraction over batched partitions: one codec init per
+    * partition (the expensive part a real decoder amortizes), rows streamed
+    * through it — the mapInPandas-batch shape in Scala.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition "codec" init happens here in a real implementation
+        rows.map { r =>
+          Row(r.getLong(0), fakeFeatures(r.getAs[Array[Byte]](1), dim).toSeq)
+        }
+      }(encoder)
+  }
+
+  /** Frame sampling for video payloads: emit every `stride`-th fixed-size
+    * window of the payload as a "frame" (stub for keyframe extraction —
+    * the explode/fan-out shape and frame indexing are the real parts).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame =
+    media
+      .withColumn("n_frames",
+        greatest(lit(1), (col("meta.byte_len") / lit(frameBytes.toLong * stride)).cast("int")))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+      .select(
+        col("media_id"), col("frame_idx"),
+        col("payload").substr((col("frame_idx") * frameBytes * stride + 1).cast("int"),
+          lit(frameBytes)).as("frame_payload"))
+
+  /** Wrap a text corpus as synthetic media rows (test/bench harness: the
+    * bytes are the UTF-8 payload; deterministic, no external fixtures).
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("image").as("media_type"),
+        lit("raw").as("format"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+        (pmod(col("doc_id"), lit(100)) + 20).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(80)) + 20).cast("int").as("height"),
+        lit(null).cast(LongType).as("duration_ms")).as("meta"))
+}

@@ -22,16 +22,6 @@ object AnalyticsQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
 
-  private val P = 1000000007L
-
-  /** Char-level polynomial hash `(acc*31 + ord(c)) % P` — computable
-    * identically in ANSI-ish SQL for the oracle (no engine hash involved).
-    */
-  private def charFold(w: Column): Column =
-    aggregate(
-      filter(split(w, ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => pmod(acc * 31L + ascii(c), lit(P)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -122,10 +112,7 @@ object AnalyticsQueries {
     // Rolling-hash document fingerprint (mod-prime char/token fold — F8).
     "q44_fingerprint" -> ((s, dir) => {
       docs(s, dir)
-        .withColumn("tok_hashes", transform(TextFunctions.tokens(col("text")), w => charFold(w)))
-        .withColumn("fp", aggregate(col("tok_hashes"), lit(0L),
-          (acc, v) => pmod(acc * 31L + v, lit(P))))
-        .select(col("doc_id"), col("fp"))
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
     }),
 
     // ---- no-oracle (engine-hash-dependent) — verified in ScalaTest ----

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9): the streaming analog of
+  * the reference's incremental paginated ingest (fast_tuoyu_scraper.py) and
+  * the engine's north-star event-stream capability — tumbling/sliding
+  * windows with watermarked late-data handling, and stateful gap-based
+  * session windows via flatMapGroupsWithState.
+  *
+  * All transforms take a streaming OR batch DataFrame (same plan works for
+  * both — that's the Structured Streaming contract), so the batch oracle
+  * queries double as correctness checks for the streaming path.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling counts: one row per (window, event_type). */
+  def tumblingCounts(
+      events: DataFrame, width: String, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Sliding windows (width, slide). */
+  def slidingCounts(
+      events: DataFrame, width: String, slide: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Built-in session windows (gap-based) with watermark. */
+  def sessionWindowCounts(
+      events: DataFrame, gap: String, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_sum"))
+
+  // ---- custom state: explicit session accumulation ------------------------
+
+  case class Ev(user_id: Long, tsMicros: Long, value: Double)
+  case class SessionState(startMicros: Long, lastMicros: Long, n: Long, valueSum: Double)
+  case class SessionOut(user_id: Long, startMicros: Long, endMicros: Long, n: Long, valueSum: Double)
+
+  /** Gap-based sessionization with explicit state — the
+    * flatMapGroupsWithState form for when session output needs custom
+    * finalization the built-in session_window can't express
+    * (per-session derived fields, side lookups, early emission).
+    * Emits closed sessions; open sessions stay in state until timeout.
+    */
+  def statefulSessions(
+      events: Dataset[Ev], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // Accumulate sorted within the micro-batch; sessions that the
+          // batch closes are emitted, the trailing one is carried in state.
+          val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.value))
+          val initial = state.getOption.getOrElse(Nil)
+          var open: Option[SessionState] = initial.headOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            open match {
+              case Some(sess) if e.tsMicros - sess.lastMicros <= gapMicros =>
+                open = Some(sess.copy(lastMicros = e.tsMicros,
+                  n = sess.n + 1, valueSum = sess.valueSum + e.value))
+              case other =>
+                other.foreach(sess => closed +=
+                  SessionOut(user, sess.startMicros, sess.lastMicros, sess.n, sess.valueSum))
+                open = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+            }
+          }
+          state.update(open.toList)
+          closed.result().iterator
+      }
+  }
+
+  /** Rate-capped incremental file ingest — the scraper-pacing analog
+    * (semaphore/backoff → maxFilesPerTrigger + checkpointed progress).
+    */
+  def pacedParquetStream(
+      spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+}

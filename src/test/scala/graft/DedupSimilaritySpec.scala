@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    0L -> "the quick brown fox jumps over the lazy dog near the old river bank today",
+    1L -> "the quick brown fox jumps over the lazy dog near the old river bank tonight", // near-dup of 0
+    2L -> "completely different words about spark catalyst optimizer and shuffle exchange plans",
+    3L -> "the quick brown fox jumps over the lazy dog near the old river bank today",   // exact dup of 0
+    4L -> "another unrelated document mentioning parquet columnar storage and predicate pushdown"
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses identical content") {
+    val d = Dedup.exact(base, col("doc_id"), col("text")).collect()
+    assert(d.length == 4)                                  // 5 docs, one exact pair
+    assert(d.map(_.getAs[Long]("n_copies")).sum == 5)
+    val dup = d.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("canonical_id") == 0L)          // min id is canonical
+  }
+
+  test("minhash LSH finds planted near-dups with exact-Jaccard verification") {
+    val pairs = Dedup.minHashLsh(base, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))   // near-dup pair
+    assert(pairs.contains((0L, 3L)))   // exact pair
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recall vs exact pairs on real documents (sf0.001)") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, col("doc_id"), col("text"), 3, 32, 8, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)                                  // planted dups exist
+    assert(lsh.subsetOf(exact))                             // verify step: no false positives
+    assert((exact & lsh).size.toDouble / exact.size >= 0.9) // banded recall
+  }
+
+  test("simhash: near-dups differ in few bits, unrelated docs in many") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sig = base.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(hamming(sig(0L), sig(3L)) == 0)       // exact dup → identical signature
+    assert(hamming(sig(0L), sig(1L)) <= 12)      // near-dup → close
+    assert(hamming(sig(0L), sig(2L)) >= 16)      // unrelated → far
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(2.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = vs.as("a").join(vs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(got((1L, 1L)) == 1.0)
+    assert(got((1L, 2L)) == 0.0)
+    assert(got((1L, 3L)) == 1.0)   // scale-invariant
+  }
+
+  test("IVF ANN recall vs brute force on sf0.001 embeddings") {
+    val emb = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val bf = Similarity.cosineTopK(q, "qid", "qv", c, "cid", "cv", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, "qid", "qv", c, "cid", "cv", 5, dim = 64, nCentroids = 8)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // nprobe=1 ANN: most true neighbors land in the query's bucket.
+    assert((bf & ivf).size.toDouble / bf.size >= 0.5)
+  }
+}

@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole test JVM (Test/fork := true). */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = graft.core.GraftSession.builder("graft-test")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val Sf0001 = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming surface: the same transforms run as a stream (MemoryStream →
+  * memory sink) and as a batch; results must agree — the Structured
+  * Streaming unification contract.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def eventsBatch = graft.core.Tables
+    .load(spark, SparkTestSession.Sf0001, "events")
+
+  test("tumbling window counts: stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = stream.toDF.toDF("ts", "event_type", "value")
+    val q = StreamingOps.tumblingCounts(streamDf, "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tumbling_test").start()
+    try {
+      // two micro-batches to exercise incremental state
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT window_start, event_type, n FROM tumbling_test")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = StreamingOps.tumblingCounts(eventsBatch, "1 hour")
+        .select(col("window_start"), col("event_type"), col("n"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows (built-in session_window): stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val streamDf = stream.toDF.toDF("ts", "user_id", "value")
+    val q = StreamingOps.sessionWindowCounts(streamDf, "30 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("session_test").start()
+    try {
+      stream.addData(rows); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, session_start, n_events FROM session_test")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      val batch = StreamingOps.sessionWindowCounts(eventsBatch, "30 minutes")
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization agrees with the batch window implementation") {
+    import spark.implicits._
+    val evs = eventsBatch
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("value"))
+      .withColumn("tsMicros", col("sec") * 1000000L)
+      .select(col("user_id"), col("tsMicros"), col("value"))
+      .as[StreamingOps.Ev]
+    val stateful = StreamingOps.statefulSessions(evs, gapSeconds = 1800)
+      .collect()  // only CLOSED sessions are emitted
+      .map(s => (s.user_id, s.startMicros / 1000000L, s.n)).toSet
+
+    val batch = graft.operators.Sessionize
+      .sessionStats(eventsBatch, col("user_id"), col("ts"), col("value"), 1800)
+      .select(col("key"), unix_timestamp(col("session_start")).as("s"), col("n_events"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3)).toSet
+
+    // every closed stateful session must exist in the batch result
+    assert(stateful.nonEmpty)
+    assert(stateful.subsetOf(batch))
+    // and at most one open (unemitted) session per user can be missing
+    val missingPerUser = (batch -- stateful).groupBy(_._1).map(_._2.size)
+    assert(missingPerUser.forall(_ == 1))
+  }
+}
