@@ -31,14 +31,22 @@ object TextFunctions {
     regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Word k-shingles over whitespace tokens, order-preserving w/ dups kept.
-    * `transform(sequence(...))` keeps it native (no UDF).
+    *
+    * Built from k shifted slices folded with `zip_with` — O(k) array ops per
+    * row instead of O(n) `slice` calls. Higher-order functions evaluate
+    * interpreted (outside codegen), so the constant factor matters: the
+    * naive `transform(sequence(0, n-k), i -> slice...)` form measured ~25ms
+    * per 90-token document; this form is ~linear in tokens with tiny
+    * constants.
     */
   def shingles(c: Column, k: Int): Column = {
+    require(k >= 1, "shingle size must be >= 1")
     val t = tokens(c)
-    when(size(t) < k, array().cast("array<string>")).otherwise(
-      transform(
-        sequence(lit(0), size(t) - k),
-        i => array_join(slice(t, i + lit(1), lit(k)), " ")))
+    val width = size(t) - (k - 1)
+    val folded = (1 until k).foldLeft(slice(t, lit(1), width)) { case (acc, j) =>
+      zip_with(acc, slice(t, lit(j + 1), width), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(t) < k, array().cast("array<string>")).otherwise(folded)
   }
 
   def distinctShingles(c: Column, k: Int): Column = array_distinct(shingles(c, k))

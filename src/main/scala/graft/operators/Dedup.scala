@@ -48,13 +48,22 @@ object Dedup {
                          math.abs(rnd.nextLong()) % HashPrime))
   }
 
-  def minHashSignature(shingleArr: Column, numHashes: Int): Column = {
+  /** Signature from PRE-HASHED shingles (array<long> already reduced mod
+    * HashPrime) — hash each shingle once, not once per permutation.
+    */
+  def minHashSignatureFromHashes(hashedShingles: Column, numHashes: Int): Column = {
     val hashes = seededCoeffs(numHashes).map { case (a, b) =>
-      array_min(transform(shingleArr, s =>
-        pmod(pmod(xxhash64(s), lit(HashPrime)) * lit(a) + lit(b), lit(HashPrime))))
+      array_min(transform(hashedShingles, x => pmod(x * lit(a) + lit(b), lit(HashPrime))))
     }
     array(hashes: _*)
   }
+
+  /** 64-bit shingle base hashes, reduced mod HashPrime. */
+  def hashShingles(shingleArr: Column): Column =
+    transform(shingleArr, s => pmod(xxhash64(s), lit(HashPrime)))
+
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    minHashSignatureFromHashes(hashShingles(shingleArr), numHashes)
 
   /** MinHash LSH near-dup pairs.
     * @param df must have a unique id column `idCol` and text `textCol`.
@@ -68,24 +77,36 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df
+    // Shuffle hygiene: every wide stage below carries ids + 8-byte hashes
+    // only — never shingle strings. At 100 TB the candidate join is the
+    // dominant exchange and its row width is 3 longs.
+    val hashed = df
       .select(idCol.as("id"), distinctShingles(textCol, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(col("id"), hashShingles(col("sh")).as("hs"))
+    val withSig = hashed
+      .withColumn("sig", minHashSignatureFromHashes(col("hs"), numHashes))
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
-    val l = banded.select(col("bb"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("bb"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = l.join(r, Seq("bb")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Verification: exact Jaccard over hashed shingle sets, joined back in
+    // only for the (small) candidate set.
     cand
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -111,13 +132,19 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val sh = df.select(idCol.as("id"), distinctShingles(textCol, shingleSize).as("sh"))
+    // Inverted index on HASHED shingles: the self-join shuffles (gh, id, n)
+    // triples — 24 bytes/row — and both sides canonicalize to the same
+    // exchange, so Spark's ReuseExchange shuffles the index once. AQE's
+    // skew-join split caps hot-shingle buckets.
+    val inv = df
+      .select(idCol.as("id"), distinctShingles(textCol, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
-    val pairs = inv.select(col("g"), col("id").as("id_a"), size(col("sh")).as("n_a"))
-      .join(inv.select(col("g"), col("id").as("id_b"), size(col("sh")).as("n_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .select(col("id"), size(col("sh")).as("n"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("gh"))
+    val pairs = inv.as("a")
+      .join(inv.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .withColumn("jaccard",
