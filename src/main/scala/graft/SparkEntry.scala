@@ -40,7 +40,9 @@ object SparkEntry {
     new QueryModule(graft.queries.StringQueries.queries,
       graft.queries.StringQueries.oracles),
     new QueryModule(graft.queries.AnalyticsQueries.queries,
-      graft.queries.AnalyticsQueries.oracles))
+      graft.queries.AnalyticsQueries.oracles),
+    new QueryModule(graft.queries.RetrievalQueries.queries,
+      graft.queries.RetrievalQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -67,7 +67,8 @@ object StringQueries {
     }),
 
     // S2/X2 lenient JSON: payloads wrapped in markdown fences / leading
-    // noise are salvaged (fence-strip + largest-brace-candidate extract).
+    // noise are salvaged by the custom LenientJsonClean Catalyst expression
+    // (fence-strip + balanced-bracket scan, largest candidate).
     "q29_lenient_json" -> ((s, dir) => {
       val wrapped = when(pmod(col("event_id"), lit(3)) === 0,
           concat(lit("```json\n"), col("props"), lit("\n```")))
@@ -76,7 +77,7 @@ object StringQueries {
         .otherwise(col("props"))
       t(s, dir, "events")
         .withColumn("cleaned",
-          regexp_extract(wrapped, "(?s)(\\{.*\\})", 1))
+          graft.functions.LenientJsonClean.lenientJsonClean(s, wrapped))
         .withColumn("k", get_json_object(col("cleaned"), "$.k").cast("int"))
         .groupBy(pmod(col("k"), lit(5)).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
