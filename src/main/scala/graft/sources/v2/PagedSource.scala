@@ -1,0 +1,170 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S7/S13 — the paginated-registry source (tuoyu_scraper.py /
+  * fast_tuoyu_scraper.py shape) as a DataSourceV2 with real pushdown:
+  *
+  *  - `planInputPartitions` = one partition per page: the reference's
+  *    "page 1 → totalPage → fan out all pages concurrently" becomes
+  *    Spark's task-level parallelism; the semaphore/concurrency cap maps
+  *    to scheduler slots, retry/backoff to `spark.task.maxFailures` plus
+  *    per-request retry inside the reader.
+  *  - `SupportsPushDownFilters`: predicates on `page` prune partitions at
+  *    planning time (the API-side `key`/page-window parameters,
+  *    SURVEY.md §4 filter-pushdown row).
+  *  - `SupportsPushDownLimit`: a LIMIT caps the page fan-out
+  *    (`top_k=100`-style recall caps, SURVEY.md §2.6 O3).
+  *
+  * The transport is a deterministic in-memory record generator standing in
+  * for HTTP (zero-egress container); `PageFetcher.fetch` is the single
+  * seam where a real client would plug in, retry loop included.
+  */
+class PagedSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-paged"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedSource.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PagedTable(
+      properties.getOrDefault("pages", "10").toInt,
+      properties.getOrDefault("pagesize", "10").toInt)
+}
+
+object PagedSource {
+  /** Institution registration record (FIXTURES.md §1). */
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("credit_code", StringType, nullable = false),
+    StructField("institution_type", StringType, nullable = false),
+    StructField("region_code", StringType, nullable = false)))
+}
+
+class PagedTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft-paged($pages x $pageSize)"
+  override def schema(): StructType = PagedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(pages, pageSize)
+}
+
+class PagedScanBuilder(pages: Int, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
+
+  private var minPage = 0
+  private var maxPage = pages - 1
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("page", _: Integer) => true
+      case GreaterThan("page", _: Integer) => true
+      case GreaterThanOrEqual("page", _: Integer) => true
+      case LessThan("page", _: Integer) => true
+      case LessThanOrEqual("page", _: Integer) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("page", v: Integer) =>
+        minPage = math.max(minPage, v); maxPage = math.min(maxPage, v)
+      case GreaterThan("page", v: Integer) => minPage = math.max(minPage, v + 1)
+      case GreaterThanOrEqual("page", v: Integer) => minPage = math.max(minPage, v)
+      case LessThan("page", v: Integer) => maxPage = math.min(maxPage, v - 1)
+      case LessThanOrEqual("page", v: Integer) => maxPage = math.min(maxPage, v)
+      case _ =>
+    }
+    pushed = accepted
+    rejected   // Spark re-applies what the source can't guarantee
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    // partial pushdown: we cap pages, Spark still applies the exact limit
+    false
+  }
+
+  override def build(): Scan = {
+    val cappedMax = limit match {
+      case Some(l) =>
+        val neededPages = (l + pageSize - 1) / pageSize
+        math.min(maxPage, minPage + neededPages - 1)
+      case None => maxPage
+    }
+    new PagedScan(minPage, cappedMax, pageSize)
+  }
+}
+
+class PagedScan(minPage: Int, maxPage: Int, pageSize: Int) extends Scan with Batch {
+  override def readSchema(): StructType = PagedSource.schema
+  override def description(): String =
+    s"PagedScan(pages=[$minPage..$maxPage], pageSize=$pageSize)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    (minPage to maxPage).map(p => PagePartition(p, pageSize): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
+}
+
+case class PagePartition(page: Int, pageSize: Int) extends InputPartition
+
+class PagedReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PagedReader(p.page, p.pageSize)
+  }
+}
+
+/** Deterministic stand-in for the HTTP page fetch, retry loop included
+  * (fast_tuoyu_scraper.py:41-58: 3 attempts, linear backoff).
+  */
+object PageFetcher {
+  val MaxRetries = 3
+  def fetch(page: Int, pageSize: Int): Seq[(Int, String, String, String, String)] = {
+    var attempt = 0
+    while (true) {
+      try {
+        return (0 until pageSize).map { i =>
+          val id = page * pageSize + i
+          (i,
+            s"托育机构_${id}",
+            f"91${id}%016d",
+            if (id % 3 == 0) "营利性" else "非营利性",
+            f"${140000 + id % 1000}%06d000000")
+        }
+      } catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= MaxRetries) throw e
+          Thread.sleep(500L * attempt)   // 0.5·n backoff, reference policy
+      }
+    }
+    Seq.empty
+  }
+}
+
+class PagedReader(page: Int, pageSize: Int) extends PartitionReader[InternalRow] {
+  private val rows = PageFetcher.fetch(page, pageSize).iterator
+  private var current: (Int, String, String, String, String) = _
+  override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+  override def get(): InternalRow = {
+    val (i, name, code, typ, region) = current
+    InternalRow(page, i,
+      UTF8String.fromString(name), UTF8String.fromString(code),
+      UTF8String.fromString(typ), UTF8String.fromString(region))
+  }
+  override def close(): Unit = ()
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S7 paginated DSv2 source: page fan-out as input partitions, filter and
+  * limit pushdown pruning the page range at planning time.
+  */
+class PagedSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def read(pages: Int = 20, pageSize: Int = 10) =
+    spark.read.format("graft-paged")
+      .option("pages", pages.toString).option("pagesize", pageSize.toString)
+      .load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+
+  test("full scan: one partition per page, pages x pageSize rows") {
+    val df = read(pages = 20, pageSize = 10)
+    assert(df.count() == 200)
+    assert(scanOf(df).inputRDD.getNumPartitions == 20)
+    val r = df.filter(col("page") === 3 && col("idx") === 0).head()
+    assert(r.getAs[String]("name") == "托育机构_30")
+    assert(r.getAs[String]("credit_code") == "910000000000000030")
+  }
+
+  test("page filters prune partitions at planning time") {
+    val df = read(pages = 20, pageSize = 10).filter(col("page") >= 5 && col("page") < 8)
+    assert(scanOf(df).inputRDD.getNumPartitions == 3)
+    assert(df.count() == 30)
+    val eq = read(pages = 20, pageSize = 10).filter(col("page") === 7)
+    assert(scanOf(eq).inputRDD.getNumPartitions == 1)
+    assert(eq.count() == 10)
+  }
+
+  test("non-page filters are NOT pushed; Spark re-applies them") {
+    val df = read(pages = 6, pageSize = 10).filter(col("institution_type") === "营利性")
+    assert(scanOf(df).inputRDD.getNumPartitions == 6)     // no pruning
+    assert(df.count() == 20)                              // ids % 3 == 0
+  }
+
+  test("limit pushdown caps the page fan-out") {
+    val df = read(pages = 1000, pageSize = 10).limit(25)
+    // 25 rows need ceil(25/10)=3 pages, not 1000
+    assert(scanOf(df).inputRDD.getNumPartitions == 3)
+    assert(df.count() == 25)
+  }
+
+  test("combined: filter range + limit") {
+    val df = read(pages = 100, pageSize = 10)
+      .filter(col("page") >= 50).limit(12)
+    assert(scanOf(df).inputRDD.getNumPartitions == 2)     // pages 50,51
+    assert(df.collect().map(_.getAs[Int]("page")).toSet == Set(50, 51))
+  }
+}
