@@ -1,23 +1,73 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark: every declared query on SPARK_GRAFT_SF_DIR, plus
+  * the reference's headline workload — the full ~62.7k-record institution
+  * corpus (6,272 pages × 10) through ingest → KV render/parse → rule
+  * filter → aggregate → partitioned write, which the reference clocks at
+  * ~180 s (BASELINE.md, fast_tuoyu_scraper.py:115-116; ours is compute-only
+  * where theirs is network-bound, but it exercises the same operator
+  * chain at the same record count).
+  *
+  * Prints ONE JSON line: {"metric":"total","value":N,"unit":"sec",
+  * "queries":{...},"sf":...}.
+  */
 object Bench {
+
+  def corpusPipeline(spark: SparkSession, outDir: String): Long = {
+    import graft.sources.KvBlock
+    val raw = spark.read.format("graft-paged")
+      .option("pages", "6272").option("pagesize", "10").load()
+    // S14/S1 round trip: render each record as a 键：值 block, parse back.
+    val blocks = raw.withColumn("block", KvBlock.renderBlock(Seq(
+      "机构名称" -> col("name"),
+      "统一社会信用代码" -> col("credit_code"),
+      "机构类型" -> col("institution_type"),
+      "区域编号" -> col("region_code"))))
+    val parsed = blocks
+      .withColumn("kv", KvBlock.parseBlock(col("block")))
+      .select(
+        col("block"),
+        KvBlock.field(col("kv"), "机构名称").as("name"),
+        KvBlock.field(col("kv"), "机构类型").as("institution_type"),
+        KvBlock.field(col("kv"), "区域编号").as("region_code"))
+    // Rule filter (P6/P10 analog): province prefix + type dispatch.
+    val filtered = parsed
+      .withColumn("province_code", substring(col("region_code"), 1, 2))
+      .filter(col("institution_type") === "非营利性" || col("province_code") === "14")
+    // A5 + S14: per-province aggregate and partitioned text sink.
+    KvBlock.writePartitioned(filtered, col("block"), Seq("province_code"), outDir)
+    filtered.count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.builder("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm the JVM/codegen path once so the first timed query isn't
+    // charged for session bootstrap.
+    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val corpusOut = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val t0 = System.nanoTime()
+    corpusPipeline(spark, corpusOut)
+    val corpus = ("corpus_62k_pipeline", (System.nanoTime() - t0) / 1e9)
+
+    val all = results :+ corpus
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
