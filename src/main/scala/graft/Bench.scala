@@ -19,7 +19,8 @@ object Bench {
   def corpusPipeline(spark: SparkSession, outDir: String): Long = {
     import graft.sources.KvBlock
     val raw = spark.read.format("graft-paged")
-      .option("pages", "6272").option("pagesize", "10").load()
+      .option("pages", "6272").option("pagesize", "10")
+      .option("pagesperpartition", "64").load()
     // S14/S1 round trip: render each record as a 键：值 block, parse back.
     val blocks = raw.withColumn("block", KvBlock.renderBlock(Seq(
       "机构名称" -> col("name"),

@@ -37,7 +37,8 @@ class PagedSource extends TableProvider with org.apache.spark.sql.sources.DataSo
       properties: util.Map[String, String]): Table =
     new PagedTable(
       properties.getOrDefault("pages", "10").toInt,
-      properties.getOrDefault("pagesize", "10").toInt)
+      properties.getOrDefault("pagesize", "10").toInt,
+      properties.getOrDefault("pagesperpartition", "1").toInt)
 }
 
 object PagedSource {
@@ -51,16 +52,17 @@ object PagedSource {
     StructField("region_code", StringType, nullable = false)))
 }
 
-class PagedTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+class PagedTable(pages: Int, pageSize: Int, pagesPerPartition: Int)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-paged($pages x $pageSize)"
   override def schema(): StructType = PagedSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(pages, pageSize)
+    new PagedScanBuilder(pages, pageSize, pagesPerPartition)
 }
 
-class PagedScanBuilder(pages: Int, pageSize: Int)
+class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var minPage = 0
@@ -105,26 +107,34 @@ class PagedScanBuilder(pages: Int, pageSize: Int)
         math.min(maxPage, minPage + neededPages - 1)
       case None => maxPage
     }
-    new PagedScan(minPage, cappedMax, pageSize)
+    new PagedScan(minPage, cappedMax, pageSize, pagesPerPartition)
   }
 }
 
-class PagedScan(minPage: Int, maxPage: Int, pageSize: Int) extends Scan with Batch {
+/** Page batching: one task per page mirrors the reference's page fan-out
+  * but at millions of small pages the per-task overhead dominates —
+  * `pagesperpartition` groups contiguous pages into one task (the
+  * `maxPartitionBytes` analog for a record-count-paged API).
+  */
+class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: Int)
+    extends Scan with Batch {
   override def readSchema(): StructType = PagedSource.schema
   override def description(): String =
-    s"PagedScan(pages=[$minPage..$maxPage], pageSize=$pageSize)"
+    s"PagedScan(pages=[$minPage..$maxPage], pageSize=$pageSize, batch=$pagesPerPartition)"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    (minPage to maxPage).map(p => PagePartition(p, pageSize): InputPartition).toArray
+    (minPage to maxPage by pagesPerPartition).map { p =>
+      PagePartition(p, math.min(p + pagesPerPartition - 1, maxPage), pageSize): InputPartition
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
 }
 
-case class PagePartition(page: Int, pageSize: Int) extends InputPartition
+case class PagePartition(firstPage: Int, lastPage: Int, pageSize: Int) extends InputPartition
 
 class PagedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
-    new PagedReader(p.page, p.pageSize)
+    new PagedReader(p.firstPage, p.lastPage, p.pageSize)
   }
 }
 
@@ -156,12 +166,15 @@ object PageFetcher {
   }
 }
 
-class PagedReader(page: Int, pageSize: Int) extends PartitionReader[InternalRow] {
-  private val rows = PageFetcher.fetch(page, pageSize).iterator
-  private var current: (Int, String, String, String, String) = _
+class PagedReader(firstPage: Int, lastPage: Int, pageSize: Int)
+    extends PartitionReader[InternalRow] {
+  private val rows = (firstPage to lastPage).iterator.flatMap { p =>
+    PageFetcher.fetch(p, pageSize).iterator.map(r => (p, r))
+  }
+  private var current: (Int, (Int, String, String, String, String)) = _
   override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
   override def get(): InternalRow = {
-    val (i, name, code, typ, region) = current
+    val (page, (i, name, code, typ, region)) = current
     InternalRow(page, i,
       UTF8String.fromString(name), UTF8String.fromString(code),
       UTF8String.fromString(typ), UTF8String.fromString(region))

@@ -53,6 +53,20 @@ object SurveyTransform {
           coalesce(element_at(cols, e.getField("value")), e.getField("value")).as("value")))))
   }
 
+  /** Matrix variant taking separate row/col dims (the FormConfig.parse
+    * output shape): both axes mapped, unmapped codes pass through.
+    */
+  def mapMatrixDims(df: DataFrame, mapCol: String,
+      rowDim: Map[String, String], colDim: Map[String, String], out: String): DataFrame = {
+    val rows = typedLit(rowDim)
+    val cols = typedLit(colDim)
+    df.withColumn(out,
+      map_from_entries(transform(map_entries(col(mapCol)),
+        e => struct(
+          coalesce(element_at(rows, e.getField("key")), e.getField("key")).as("key"),
+          coalesce(element_at(cols, e.getField("value")), e.getField("value")).as("value")))))
+  }
+
   private def optionsMap(options: DataFrame, fieldKey: String): Column = {
     val pairs = options.filter(col("field_key") === fieldKey)
       .select("code", "label").collect()

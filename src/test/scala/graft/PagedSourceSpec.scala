@@ -49,6 +49,18 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(df.count() == 25)
   }
 
+  test("pagesperpartition batches contiguous pages into one task") {
+    val df = spark.read.format("graft-paged")
+      .option("pages", "100").option("pagesize", "10")
+      .option("pagesperpartition", "32").load()
+    assert(scanOf(df).inputRDD.getNumPartitions == 4)   // ceil(100/32)
+    assert(df.count() == 1000)
+    // pruning composes with batching
+    val pruned = df.filter(col("page") >= 90)
+    assert(scanOf(pruned).inputRDD.getNumPartitions == 1)
+    assert(pruned.count() == 100)
+  }
+
   test("combined: filter range + limit") {
     val df = read(pages = 100, pageSize = 10)
       .filter(col("page") >= 50).limit(12)
