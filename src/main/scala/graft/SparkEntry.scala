@@ -42,7 +42,9 @@ object SparkEntry {
     new QueryModule(graft.queries.AnalyticsQueries.queries,
       graft.queries.AnalyticsQueries.oracles),
     new QueryModule(graft.queries.RetrievalQueries.queries,
-      graft.queries.RetrievalQueries.oracles))
+      graft.queries.RetrievalQueries.oracles),
+    new QueryModule(graft.queries.RuleQueries.queries,
+      graft.queries.RuleQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining rule/join/agg shapes from SURVEY §2: education-level
+  * normalization with longest-substring fallback (P7/X6), case-insensitive
+  * multi-variant key join (J6), max-width row padding (A8), and
+  * union-then-regroup (U2).
+  */
+object RuleQueries {
+
+  /** EDUCATION_MAP analog (retrieve.py:1000-1023): exact lookup first, then
+    * longest-contained-key fallback, else passthrough.
+    */
+  val EducationMap: Seq[(String, String)] = Seq(
+    "高中" -> "高中", "专科" -> "大专", "大专" -> "大专", "本科" -> "本科",
+    "硕士" -> "硕士研究生", "博士" -> "博士研究生")
+
+  def normalizeEducation(c: Column): Column = {
+    val exact = EducationMap.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(c === k, v).otherwise(acc)
+    }
+    // longest key first so 硕士研究生-style strings hit the longest match
+    val bySize = EducationMap.sortBy(-_._1.length)
+    val contained = bySize.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      coalesce(acc, when(c.contains(k), v))
+    }
+    coalesce(exact, contained, c)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P7/X6: education normalization over synthesized degree strings.
+    "q52_education_normalize" -> ((s, dir) => {
+      val raw = element_at(
+        typedLit(Seq("本科", "本科(全日制)", "硕士研究生", "专科学历", "博士", "其他", "高中毕业")),
+        (pmod(col("c_custkey"), lit(7)) + 1).cast("int"))
+      Tables.load(s, dir, "customer")
+        .withColumn("edu_raw", raw)
+        .withColumn("edu_norm", normalizeEducation(col("edu_raw")))
+        .groupBy(col("edu_raw"), col("edu_norm"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // J6: image-relationship join — case-insensitive basename with
+    // with/without-extension variants (多数据源获取数据.py:786-821).
+    "q53_image_rel_join" -> ((s, dir) => {
+      val part = Tables.load(s, dir, "part")
+      val refs = part.select(col("p_partkey"),
+        concat(lit("rId"), col("p_partkey")).as("rid"),
+        when(pmod(col("p_partkey"), lit(3)) === 0,
+            concat(lit("IMG_"), col("p_partkey"), lit(".PNG")))
+          .when(pmod(col("p_partkey"), lit(3)) === 1,
+            concat(lit("img_"), col("p_partkey")))
+          .otherwise(concat(lit("Img_"), col("p_partkey"), lit(".jpeg"))).as("ref_name"))
+      val uploads = part.select(
+        concat(lit("img_"), col("p_partkey"), lit(".png")).as("file_name"),
+        concat(lit("https://cdn.example.com/"), col("p_partkey")).as("url"))
+      val key = (c: Column) => lower(regexp_replace(c, "\\.[A-Za-z0-9]+$", ""))
+      refs.join(uploads, key(col("ref_name")) === key(col("file_name")), "left")
+        .select(col("p_partkey"), col("rid"), col("ref_name"), col("url"))
+    }),
+
+    // A8: pad per-order item lists to the global max width (DATA:1066-1067).
+    "q54_pad_rows" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("cells"))
+      val withMax = rows.withColumn("max_w", max(size(col("cells"))).over(Window.partitionBy()))
+      withMax.select(
+        col("l_orderkey"),
+        concat_ws("|",
+          concat(transform(col("cells"), c => c.cast("string")),
+            array_repeat(lit("-"), (col("max_w") - size(col("cells"))).cast("int")))).as("padded"),
+        col("max_w"))
+    }),
+
+    // U2: union of two result sets, then regrouped per customer (the
+    // RAG-results ∪ full-doc-results merge, retrieve.py:1785-1808).
+    "q55_union_regroup" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val highValue = o.filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey"), col("o_orderkey"), lit("high_value").as("src"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"), lit("urgent").as("src"))
+      highValue.unionByName(urgent)
+        .groupBy(col("o_custkey"), col("o_orderkey"))
+        .agg(array_join(sort_array(collect_list(col("src"))), "+").as("srcs"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("o_orderkey"), col("srcs")))),
+            x => concat(x.getField("o_orderkey").cast("string"), lit("="),
+              x.getField("srcs"))), ";").as("merged"),
+          count(lit(1)).as("n_orders"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q52_education_normalize" ->
+      """WITH m AS (SELECT c_custkey,
+           (['本科','本科(全日制)','硕士研究生','专科学历','博士','其他','高中毕业'])[(c_custkey % 7) + 1] AS edu_raw
+         FROM customer),
+         n AS (SELECT edu_raw,
+           CASE edu_raw WHEN '高中' THEN '高中' WHEN '专科' THEN '大专'
+             WHEN '大专' THEN '大专' WHEN '本科' THEN '本科'
+             WHEN '硕士' THEN '硕士研究生' WHEN '博士' THEN '博士研究生'
+           ELSE
+             CASE WHEN POSITION('高中' IN edu_raw) > 0 THEN '高中'
+                  WHEN POSITION('专科' IN edu_raw) > 0 THEN '大专'
+                  WHEN POSITION('大专' IN edu_raw) > 0 THEN '大专'
+                  WHEN POSITION('本科' IN edu_raw) > 0 THEN '本科'
+                  WHEN POSITION('硕士' IN edu_raw) > 0 THEN '硕士研究生'
+                  WHEN POSITION('博士' IN edu_raw) > 0 THEN '博士研究生'
+                  ELSE edu_raw END
+           END AS edu_norm
+         FROM m)
+         SELECT edu_raw, edu_norm, COUNT(*) AS n FROM n GROUP BY 1, 2""",
+    "q53_image_rel_join" ->
+      """WITH refs AS (SELECT p_partkey, 'rId' || p_partkey AS rid,
+           CASE p_partkey % 3 WHEN 0 THEN 'IMG_' || p_partkey || '.PNG'
+                              WHEN 1 THEN 'img_' || p_partkey
+                              ELSE 'Img_' || p_partkey || '.jpeg' END AS ref_name
+         FROM part),
+         ups AS (SELECT 'img_' || p_partkey || '.png' AS file_name,
+           'https://cdn.example.com/' || p_partkey AS url FROM part)
+         SELECT p_partkey, rid, ref_name, url
+         FROM refs LEFT JOIN ups
+           ON LOWER(REGEXP_REPLACE(ref_name, '\.[A-Za-z0-9]+$', ''))
+            = LOWER(REGEXP_REPLACE(file_name, '\.[A-Za-z0-9]+$', ''))""",
+    "q54_pad_rows" ->
+      """WITH rows_t AS (
+           SELECT l_orderkey, LIST_SORT(LIST(l_linenumber)) AS cells
+           FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey),
+         m AS (SELECT *, MAX(LEN(cells)) OVER () AS max_w FROM rows_t)
+         SELECT l_orderkey,
+           ARRAY_TO_STRING(
+             LIST_CONCAT(LIST_TRANSFORM(cells, c -> CAST(c AS VARCHAR)),
+               LIST_TRANSFORM(RANGE(1, max_w - LEN(cells) + 1), x -> '-')), '|') AS padded,
+           CAST(max_w AS INTEGER) AS max_w
+         FROM m""",
+    "q55_union_regroup" ->
+      """WITH u AS (
+           SELECT o_custkey, o_orderkey, 'high_value' AS src FROM orders WHERE o_totalprice > 350000
+           UNION ALL
+           SELECT o_custkey, o_orderkey, 'urgent' FROM orders WHERE o_orderpriority = '1-URGENT'),
+         per_order AS (
+           SELECT o_custkey, o_orderkey,
+             STRING_AGG(src, '+' ORDER BY src) AS srcs
+           FROM u GROUP BY o_custkey, o_orderkey)
+         SELECT o_custkey,
+           STRING_AGG(o_orderkey || '=' || srcs, ';' ORDER BY o_orderkey, srcs) AS merged,
+           COUNT(*) AS n_orders
+         FROM per_order GROUP BY o_custkey""")
+}
