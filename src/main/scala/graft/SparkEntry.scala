@@ -44,7 +44,9 @@ object SparkEntry {
     new QueryModule(graft.queries.RetrievalQueries.queries,
       graft.queries.RetrievalQueries.oracles),
     new QueryModule(graft.queries.RuleQueries.queries,
-      graft.queries.RuleQueries.oracles))
+      graft.queries.RuleQueries.oracles),
+    new QueryModule(graft.queries.ExtendedQueries.queries,
+      graft.queries.ExtendedQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -53,6 +53,20 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id").asc), k)
   }
 
+  /** Exact pairwise cosine near-dup pairs over one vector set. Quadratic —
+    * bound the input (or block via ivfBucket/LSH first) at scale; this is
+    * the VERIFY stage of embedding dedup, mirroring Dedup.ngramJaccardPairs.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
+  }
+
   /** Deterministic probe vectors for IVF bucketing: probe c has +1 at
     * dims where bit (dim % 16) of a seeded hash pattern is set. A stand-in
     * codebook — the bucketing/probing plan shape is what matters.
