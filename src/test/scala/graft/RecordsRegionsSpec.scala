@@ -1,0 +1,85 @@
+package graft
+
+import graft.dims.Regions
+import graft.sources.Records
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RecordsRegionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val RefData = "/root/reference/data"
+
+  test("typed institution Dataset from a real fixture (X1 dispatch + FIXTURES §1)") {
+    val ds = Records.institutions(spark,
+      s"$RefData/split_txts/托育机构备案信息_120112000000.txt")
+    val recs = ds.collect()
+    assert(recs.nonEmpty)
+    assert(recs.forall(_.credit_code.nonEmpty))
+    assert(recs.forall(_.registration_time != null))
+    assert(recs.head.name == "天津市津南区乐新幼儿园托育")
+    assert(recs.forall(_.region_code == "120112000000"))
+  }
+
+  test("typed MOE Dataset from a real fixture (FIXTURES §2)") {
+    val file = new java.io.File(s"$RefData/moe_majors_split").listFiles().head
+    val ds = Records.moeMajors(spark, file.getAbsolutePath)
+    val recs = ds.collect()
+    assert(recs.nonEmpty)
+    assert(recs.forall(r => r.major_code.nonEmpty && r.major_name.nonEmpty))
+    assert(recs.forall(_.year.exists(_ > 1990)))
+  }
+
+  test("auto_parse dispatch distinguishes the three record types") {
+    val inst = map(lit("统一社会信用代码"), lit("91X"), lit("机构名称"), lit("甲"))
+    val moe = map(lit("学校标识码"), lit("10246"), lit("机构名称"), lit("乙"))
+    val survey = map(lit("岗位"), lit("保育员"))
+    val got = Seq(1).toDF("x").select(
+      Records.recordType(inst).as("a"),
+      Records.recordType(moe).as("b"),
+      Records.recordType(survey).as("c")).head()
+    assert(got.getString(0) == "institution")
+    assert(got.getString(1) == "school_major")
+    assert(got.getString(2) == "survey")
+  }
+
+  test("region resolution: longest city first, city implies province, fallbacks") {
+    val locs = Seq(
+      "江苏省泰州市兴化市某某镇",     // contains 泰州 AND 兴化 — longest tie → deterministic
+      "浙江省杭州市西湖区",
+      "吉林省吉林市昌邑区",           // the province==city special case
+      "山西某地",                     // province only
+      "火星基地一号")                 // unresolvable
+      .toDF("loc")
+    val got = Regions.resolve(locs, "loc")
+      .select("loc", "province", "city").as[(String, Option[String], Option[String])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("浙江省杭州市西湖区") == ((Some("浙江"), Some("杭州"))))
+    assert(got("吉林省吉林市昌邑区") == ((Some("吉林"), Some("吉林市"))))  // longest match 吉林市
+    assert(got("山西某地") == ((Some("山西"), None)))
+    assert(got("火星基地一号") == ((None, None)))
+    val js = got("江苏省泰州市兴化市某某镇")
+    assert(js._1.contains("江苏"))
+    assert(js._2.exists(c => c == "泰州" || c == "兴化"))
+  }
+
+  test("P6 region-rule match: city exact, province covers its cities") {
+    val rules = Seq("杭州", "江苏", "外太空").toDF("rule")
+    val docs = Seq("浙江省杭州市", "江苏省苏州市工业园", "浙江省宁波市", "外太空殖民地")
+      .toDF("docloc")
+    val r = Regions.resolve(rules, "rule")
+      .withColumnRenamed("province", "rp").withColumnRenamed("city", "rc")
+    val d = Regions.resolve(docs, "docloc")
+      .withColumnRenamed("province", "dp").withColumnRenamed("city", "dc")
+    val matches = r.crossJoin(d)
+      .filter(Regions.regionMatch(col("rp"), col("rc"), col("dp"), col("dc"),
+        col("rule"), col("docloc")))
+      .select("rule", "docloc").as[(String, String)].collect().toSet
+    assert(matches.contains(("杭州", "浙江省杭州市")))
+    assert(!matches.contains(("杭州", "浙江省宁波市")))       // city rule ≠ other city
+    assert(matches.contains(("江苏", "江苏省苏州市工业园")))   // province covers city
+    assert(matches.contains(("外太空", "外太空殖民地")))       // substring fallback
+    assert(matches.size == 3)
+  }
+}
