@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.{DateFunctions, TextFunctions}
+import graft.sources.KvBlock
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (the upgrade SURVEY.md §5 notes the reference lacks):
+  * KV round-trips, date-format coalesce totality, shingle counts,
+  * truncation bounds — each evaluated through Spark itself in one batched
+  * pass per property (not per sample) to keep the suite fast.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cnOrAscii: Gen[String] = Gen.chooseNum(1, 12).flatMap { n =>
+    Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('机', '构', '托', '育', '名', '称', '区', '域')))
+      .map(_.mkString)
+  }
+
+  test("KV block render → parse round-trips arbitrary values without separators") {
+    val kvGen = Gen.listOfN(4, Gen.zip(cnOrAscii, cnOrAscii)).map(_.toMap.toSeq)
+    val samples = Gen.listOfN(60, kvGen).sample.get.filter(_.nonEmpty)
+    val dfIn = samples.zipWithIndex.map { case (kvs, i) => (i, kvs.toMap) }
+      .toDF("id", "m")
+    val rendered = dfIn.select(col("id"), col("m"),
+      concat_ws("\n", transform(map_entries(col("m")),
+        e => concat(e.getField("key"), lit("："), e.getField("value")))).as("block"))
+    val back = rendered.select(col("id"), col("m"),
+      KvBlock.parseBlock(col("block")).as("m2"))
+    // maps aren't orderable — compare key-sorted entry arrays
+    val canon = (c: org.apache.spark.sql.Column) => array_sort(map_entries(c))
+    val mismatches = back.filter(not(canon(col("m")) <=> canon(col("m2")))).count()
+    assert(mismatches == 0)
+  }
+
+  test("date coalesce: every rendered format parses back to the same date") {
+    val days = Gen.listOfN(200, Gen.chooseNum(0, 20000)).sample.get
+    val base = days.toDF("d0")
+      .withColumn("d", date_add(lit("1970-01-01").cast("date"), col("d0")))
+    val fmts = Seq("yyyy-MM-dd", "yyyy/MM/dd", "yyyy.MM.dd", "yyyy年MM月dd日", "yyyyMMdd")
+    fmts.foreach { f =>
+      val bad = base
+        .withColumn("s", date_format(col("d"), f))
+        .withColumn("p", DateFunctions.parseMultiFormat(col("s")))
+        .filter(col("p") =!= col("d") || col("p").isNull)
+        .count()
+      assert(bad == 0, s"format $f")
+    }
+  }
+
+  test("shingles: count == max(0, tokens - k + 1) before dedup, for k=1..4") {
+    val texts = Gen.listOfN(80,
+      Gen.chooseNum(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.identifier.map(_.take(5))).map(_.mkString(" "))))
+      .sample.get
+    val df = texts.toDF("t")
+    (1 to 4).foreach { k =>
+      val bad = df.select(
+        TextFunctions.tokenCount(col("t")).as("n"),
+        size(TextFunctions.shingles(col("t"), k)).as("s"))
+        .filter(col("s") =!= greatest(lit(0), col("n") - (k - 1)))
+        .count()
+      assert(bad == 0, s"k=$k")
+    }
+  }
+
+  test("truncation: length bounded and idempotent on short strings") {
+    val strs = Gen.listOfN(100, Gen.chooseNum(0, 200)
+      .map(n => "x" * n)).sample.get
+    val df = strs.toDF("s")
+    val marker = "…[truncated]".length
+    val bad = df.select(col("s"),
+      TextFunctions.truncateWithMarker(col("s"), 50).as("t")).filter(
+      (length(col("s")) <= 50 && col("t") =!= col("s")) ||
+        (length(col("s")) > 50 && length(col("t")) =!= (50 + marker)))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint: permutation-sensitive, stable under identity") {
+    val fp = (c: org.apache.spark.sql.Column) => TextFunctions.fingerprint(c)
+    val rows = Seq(
+      ("a b c", "a c b"), ("x y", "y x"), ("q w e r", "r e w q"))
+      .toDF("s1", "s2")
+    val sensitive = rows.filter(fp(col("s1")) === fp(col("s2"))).count()
+    assert(sensitive == 0)
+    assert(rows.filter(fp(col("s1")) =!= fp(col("s1"))).count() == 0)
+  }
+}
