@@ -29,6 +29,11 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // decode() substitutes on malformed bytes and accepts the full JVM
+      // charset set (GBK et al.) — charset-fallback chains probe-and-
+      // roundtrip instead of raising (TextFunctions.decodeChain)
+      .config("spark.sql.legacy.codingErrorAction", "true")
+      .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft", threads: Int = 32): SparkSession = {

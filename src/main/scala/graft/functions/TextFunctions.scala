@@ -141,6 +141,23 @@ object TextFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  // ---- encoding fallback (F14) -------------------------------------------
+
+  /** Charset-fallback decode chain (多数据源获取数据.py:1053-1060): try each
+    * charset in order; a decoding "succeeds" when re-encoding round-trips
+    * the original bytes. Requires `spark.sql.legacy.codingErrorAction=true`
+    * (set by GraftSession) so `decode` substitutes on malformed input
+    * instead of raising — the round-trip equality is then the validity
+    * check. Falls back to a lossy decode of the last charset.
+    */
+  def decodeChain(bin: Column, charsets: Seq[String] = Seq("UTF-8", "GBK", "ISO-8859-1")): Column = {
+    val attempts = charsets.map { cs =>
+      val d = decode(bin, cs)
+      when(encode(d, cs) === bin, d)
+    }
+    coalesce(attempts :+ decode(bin, charsets.last): _*)
+  }
+
   // ---- cleaning (X7 pipeline analog) --------------------------------------
 
   /** Page-number line patterns (多数据源获取数据.py:468-473). */

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.sources.Csv
+import graft.streaming.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CsvSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("CSV dialect sniffing picks the real delimiter") {
+    assert(Csv.sniffDelimiter("a,b,c") == ',')
+    assert(Csv.sniffDelimiter("a;b;c;d") == ';')
+    assert(Csv.sniffDelimiter("a\tb\tc") == '\t')
+    assert(Csv.sniffDelimiter("a|b|c|d|e") == '|')
+  }
+
+  test("CSV scan: sniffed read, 500-row cap with truncation marker (O5)") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toFile
+    val f = new java.io.File(dir, "t.csv")
+    val rows = (1 to 600).map(i => s"$i;name_$i;${i * 2}")
+    java.nio.file.Files.write(f.toPath,
+      (Seq("id;name;v") ++ rows).mkString("\n").getBytes("UTF-8"))
+    val got = Csv.read(spark, f.toString, cap = 500)
+    assert(got.count() == 501)
+    assert(got.columns.toSeq == Seq("id", "name", "v"))
+    val marker = got.filter(col("id").startsWith("...")).collect()
+    assert(marker.length == 1)
+    assert(marker.head.getString(0).contains("truncated to 500"))
+
+    // under the cap: no marker
+    val small = new java.io.File(dir, "small.csv")
+    java.nio.file.Files.write(small.toPath, "a,b\n1,2\n3,4".getBytes("UTF-8"))
+    assert(Csv.read(spark, small.toString, cap = 500).count() == 2)
+  }
+
+  test("F14 decode chain: UTF-8 first, GBK fallback, round-trip validated") {
+    val s = "托育机构名称"
+    val utf8 = s.getBytes("UTF-8")
+    val gbk = s.getBytes("GBK")
+    val df = Seq(("utf8", utf8), ("gbk", gbk)).toDF("tag", "bin")
+    val got = df.select(col("tag"), TextFunctions.decodeChain(col("bin")).as("t"))
+      .as[(String, String)].collect().toMap
+    assert(got("utf8") == s)
+    assert(got("gbk") == s)
+  }
+
+  test("S16 KB sink: partition-batched pushes through the client seam") {
+    // closures are serialized even in local mode — record via accumulator
+    val acc = spark.sparkContext.collectionAccumulator[Int]("kb_batches")
+    class RecordingClient extends Sinks.KbClient {
+      def createByText(batch: Seq[(String, String)]): Seq[String] = {
+        acc.add(batch.size)
+        batch.map(_._1)
+      }
+    }
+    val docs = (1 to 37).map(i => (s"doc$i", s"# content $i")).toDF("name", "md")
+      .repartition(2)
+    Sinks.writeToKb(docs, "name", "md", new RecordingClient, batchSize = 10)
+    val sizes = acc.value.toArray(Array.empty[Integer]).map(_.toInt)
+    assert(sizes.sum == 37)
+    assert(sizes.forall(_ <= 10))
+  }
+}
