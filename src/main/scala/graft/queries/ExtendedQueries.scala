@@ -30,6 +30,28 @@ object ExtendedQueries {
           size(array_distinct(col("toks"))).as("n_distinct"))
     }),
 
+    // X10: distributed markdown report generation (format_survey_for_rag
+    // composition), one report per institution row.
+    "q59_markdown_report" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val nation = broadcast(Tables.load(s, dir, "nation"))
+      val base = cust.join(nation, col("c_nationkey") === col("n_nationkey"))
+        .withColumn("subject",
+          when(pmod(col("c_custkey"), lit(3)) === 0, "公办")
+            .when(pmod(col("c_custkey"), lit(3)) === 1, "民办")
+            .otherwise("公办民营/民办公助"))
+        .withColumn("puhui", pmod(col("c_custkey"), lit(2)) === 0)
+        .withColumn("modes",
+          when(pmod(col("c_custkey"), lit(2)) === 0,
+            array(lit("全日托"), lit("计时托"))).otherwise(array(lit("半日托"))))
+        .withColumn("cap", (pmod(col("c_custkey"), lit(200)) + 20).cast("int"))
+        .withColumn("cur", pmod(col("c_custkey"), lit(250)).cast("int"))
+      base.select(col("c_custkey"),
+        graft.transform.SurveyTransform.institutionReport(
+          col("c_name"), col("n_name"), col("subject"), col("puhui"),
+          col("modes"), col("cap"), col("cur")).as("report"))
+    }),
+
     // Sliding windows (3h width, 1h slide) in batch form — each event lands
     // in three hourly-aligned windows.
     "q58_sliding_windows" -> ((s, dir) => {
@@ -59,5 +81,28 @@ object ExtendedQueries {
              '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS n
          FROM events, RANGE(0, 3) t(k)
-         GROUP BY 1, 2""")
+         GROUP BY 1, 2""",
+    "q59_markdown_report" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, n_name,
+             CASE c_custkey % 3 WHEN 0 THEN '公办' WHEN 1 THEN '民办'
+               ELSE '公办民营/民办公助' END AS subject,
+             (c_custkey % 2 = 0) AS puhui,
+             CASE WHEN c_custkey % 2 = 0 THEN '全日托、计时托' ELSE '半日托' END AS modes,
+             CAST(c_custkey % 200 + 20 AS INTEGER) AS cap,
+             CAST(c_custkey % 250 AS INTEGER) AS cur
+           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         SELECT c_custkey,
+           '# 机构调研报告' || chr(10) || chr(10) ||
+           '## ' || c_name || '（' || n_name || '）' || chr(10) || chr(10) ||
+           '| 项目 | 值 |' || chr(10) || '| --- | --- |' || chr(10) ||
+           '| 办学性质 | ' || subject || ' |' || chr(10) ||
+           '| 是否普惠 | ' || (CASE WHEN puhui THEN '是' ELSE '否' END) || ' |' || chr(10) ||
+           '| 服务模式 | ' || modes || ' |' || chr(10) ||
+           '| 核定规模 | ' || cap || '人 |' || chr(10) ||
+           '| 在托人数 | ' || cur || '人 |' || chr(10) ||
+           chr(10) ||
+           (CASE WHEN cur > cap THEN '> 注意：在托人数超出核定规模' || chr(10) ELSE '' END)
+           AS report
+         FROM base""")
 }

@@ -77,4 +77,16 @@ class RrfKvSpec extends AnyFunSuite {
     assert(kv("机构类型") == "营利性")
     assert(kv.size == 3)
   }
+
+  test("RRF as a registered UDAF matches the native fuse (X3)") {
+    graft.operators.RrfAggregator.register(spark)
+    Seq(("A", "x", 1L), ("A", "y", 2L), ("B", "y", 1L), ("B", "x", 2L))
+      .toDF("q", "item", "rnk").createOrReplaceTempView("ranked")
+    val got = spark.sql(
+      "SELECT item, ROUND(rrf_score(rnk), 10) AS s FROM ranked GROUP BY item")
+      .as[(String, Double)].collect().toMap
+    val expected = BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("x") == expected && got("y") == expected)
+  }
 }
