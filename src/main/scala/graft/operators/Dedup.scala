@@ -81,11 +81,13 @@ object Dedup {
     // only — never shingle strings. At 100 TB the candidate join is the
     // dominant exchange and its row width is 3 longs.
     val hashed = df
-      .select(idCol.as("id"), distinctShingles(textCol, shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), hashShingles(col("sh")).as("hs"))
+      .select(idCol.as("id"),
+        graft.functions.ShingleHashes
+          .shingleHashes(df.sparkSession, textCol, shingleSize).as("hs"))
+      .filter(size(col("hs")) > 0)
     val withSig = hashed
-      .withColumn("sig", minHashSignatureFromHashes(col("hs"), numHashes))
+      .withColumn("sig", minHashSignatureFromHashes(
+        transform(col("hs"), x => pmod(x, lit(HashPrime))), numHashes))
     val banded = withSig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
@@ -137,10 +139,11 @@ object Dedup {
     // exchange, so Spark's ReuseExchange shuffles the index once. AQE's
     // skew-join split caps hot-shingle buckets.
     val inv = df
-      .select(idCol.as("id"), distinctShingles(textCol, shingleSize).as("sh"))
+      .select(idCol.as("id"),
+        graft.functions.ShingleHashes
+          .shingleHashes(df.sparkSession, textCol, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), size(col("sh")).as("n"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("gh"))
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("gh"))
     val pairs = inv.as("a")
       .join(inv.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
