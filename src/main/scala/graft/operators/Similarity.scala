@@ -67,39 +67,66 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
   }
 
-  /** Deterministic probe vectors for IVF bucketing: probe c has +1 at
-    * dims where bit (dim % 16) of a seeded hash pattern is set. A stand-in
-    * codebook — the bucketing/probing plan shape is what matters.
+  /** Train an IVF codebook: deterministic seeding (first `nCentroids`
+    * vectors by id) + Lloyd refinement iterations run DISTRIBUTED (assign =
+    * narrow pass, new centroids = one hash agg); only the C centroid
+    * vectors ever reach the driver. At 100 TB you train on a sample the
+    * same way — the codebook is dimension-bounded state, not data-bounded.
     */
-  private def probeSign(c: Int, d: Int): Double = {
-    // xorshift-mixed, fixed seed — stable across JVMs
-    var x = (c * 2654435761L) ^ (d * 40503L) ^ 42L
-    x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-    if ((x & 1L) == 0L) 1.0 else -1.0
-  }
-
-  /** Assign each vector to its best of `nCentroids` random-hyperplane-ish
-    * probes (argmax of signed sum) — IVF bucket id as a plain expression.
-    */
-  def ivfBucket(vec: Column, dim: Int, nCentroids: Int): Column = {
-    val scores = (0 until nCentroids).map { c =>
-      val coeffs = (0 until dim).map(d => probeSign(c, d))
-      val terms = zip_with(vec, typedLit(coeffs), (x, w) => x.cast("double") * w)
-      struct(aggregate(terms, lit(0.0), (a, v) => a + v).as("score"), lit(c).as("c"))
+  def trainIvf(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iterations: Int = 2): Seq[Seq[Double]] = {
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
     }
-    array_max(array(scores: _*)).getField("c")
+    var centroids: Seq[Seq[Double]] = candidates
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(normalize)
+    (0 until iterations).foreach { _ =>
+      val assigned = candidates.withColumn(
+        "__b", ivfBucket(col(vecCol), centroids))
+      val means = assigned.groupBy(col("__b"))
+        .agg(array((0 until centroids.head.length).map(d =>
+          avg(element_at(col(vecCol), d + 1).cast("double"))): _*).as("m"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      centroids = centroids.indices.map(c => normalize(means.getOrElse(c, centroids(c))))
+    }
+    centroids
   }
 
-  /** IVF-pruned top-k: candidates bucketed once; each query scans only its
-    * own bucket (nprobe=1 shape; union more probes for recall). Equi-join on
-    * bucket id makes the scan a co-partitioned hash join, not a cross join.
+  private def centroidScores(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (cv, c) =>
+      struct(dot(vec, typedLit(cv)).as("score"), lit(c).as("c"))
+    }: _*)
+
+  /** Nearest-centroid bucket id (centroids pre-normalized → dot = cosine). */
+  def ivfBucket(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array_max(centroidScores(vec, centroids)).getField("c")
+
+  /** The query side's `nprobe` best buckets (multi-probe recall boost). */
+  def ivfProbeBuckets(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(centroidScores(vec, centroids))), 1, nprobe),
+      x => x.getField("c"))
+
+  /** IVF-pruned top-k with a trained codebook: candidates bucketed once;
+    * each query probes its `nprobe` best buckets — scanned fraction ≈
+    * nprobe/nCentroids. Equi-join on bucket id makes the scan a
+    * co-partitioned hash join, not a cross join; a candidate lives in
+    * exactly one bucket so probes never produce duplicate pairs.
     */
   def ivfTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       candidates: DataFrame, candId: String, candVec: String,
-      k: Int, dim: Int, nCentroids: Int = 16): DataFrame = {
-    val qb = queries.withColumn("__bucket", ivfBucket(col(queryVec), dim, nCentroids))
-    val cb = candidates.withColumn("__bucket", ivfBucket(col(candVec), dim, nCentroids))
+      k: Int, dim: Int, nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val centroids = trainIvf(candidates, candId, candVec, nCentroids)
+    val qb = queries.withColumn("__bucket",
+      explode(ivfProbeBuckets(col(queryVec), centroids, nprobe)))
+    val cb = candidates.withColumn("__bucket", ivfBucket(col(candVec), centroids))
     val scored = cb.join(broadcast(qb), Seq("__bucket"))
       .filter(qb(queryId) =!= cb(candId))
       .select(
