@@ -47,7 +47,8 @@ object Similarity {
       .select(
         queries(queryId).as("query_id"),
         candidates(candId).as("cand_id"),
-        cosine(queries(queryVec), candidates(candVec)).as("cos"))
+        graft.functions.CosineSim.cosineSim(queries.sparkSession,
+          queries(queryVec), candidates(candVec)).as("cos"))
     Ranking.topKPerGroup(
       crossed, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
@@ -62,7 +63,8 @@ object Similarity {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("c"))
+        graft.functions.CosineSim.cosineSim(df.sparkSession,
+          col("a.v"), col("b.v")).as("c"))
       .filter(col("c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
   }
@@ -132,7 +134,8 @@ object Similarity {
       .select(
         qb(queryId).as("query_id"),
         cb(candId).as("cand_id"),
-        cosine(qb(queryVec), cb(candVec)).as("cos"))
+        graft.functions.CosineSim.cosineSim(queries.sparkSession,
+          qb(queryVec), cb(candVec)).as("cos"))
     Ranking.topKPerGroup(
       scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("cand_id").asc), k)
