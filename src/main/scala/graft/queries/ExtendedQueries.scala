@@ -30,6 +30,28 @@ object ExtendedQueries {
           size(array_distinct(col("toks"))).as("n_distinct"))
     }),
 
+    // §3.1 LINKS plan construction: (topic × search_type) fan-out with
+    // round-robin provider assignment (itertools.cycle analog), filtered
+    // query templating with site + time suffixes (LINKS:561-640, 1218-1223).
+    "q60_search_fanout" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val topics = Tables.load(s, dir, "part").filter(col("p_partkey") < 500)
+      val types = { import s.implicits._; Seq("web", "video").toDF("search_type") }
+      val fanned = topics.crossJoin(types)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("p_partkey"), col("search_type"))))
+        .withColumn("provider",
+          element_at(typedLit(Seq("searchapi", "jina", "tavily")),
+            (pmod(col("rn") - 1, lit(3)) + 1).cast("int")))
+      fanned.select(
+        col("p_partkey"), col("search_type"), col("rn"), col("provider"),
+        concat(
+          lit("\""), col("p_brand"), lit("\" AND \""), col("p_type"), lit("\""),
+          when(col("search_type") === "video", lit(" site:douyin.com"))
+            .otherwise(lit(" site:edu.cn")),
+          lit(" after:2024-01-01 before:2024-06-30")).as("final_query"))
+    }),
+
     // X10: distributed markdown report generation (format_survey_for_rag
     // composition), one report per institution row.
     "q59_markdown_report" -> ((s, dir) => {
@@ -82,6 +104,19 @@ object ExtendedQueries {
            event_type, COUNT(*) AS n
          FROM events, RANGE(0, 3) t(k)
          GROUP BY 1, 2""",
+    "q60_search_fanout" ->
+      """WITH fanned AS (
+           SELECT p_partkey, p_brand, p_type, search_type,
+             ROW_NUMBER() OVER (ORDER BY p_partkey, search_type) AS rn
+           FROM part, (SELECT UNNEST(['web','video']) AS search_type)
+           WHERE p_partkey < 500)
+         SELECT p_partkey, search_type, rn,
+           (['searchapi','jina','tavily'])[((rn - 1) % 3) + 1] AS provider,
+           '"' || p_brand || '" AND "' || p_type || '"' ||
+             (CASE WHEN search_type = 'video' THEN ' site:douyin.com'
+                   ELSE ' site:edu.cn' END) ||
+             ' after:2024-01-01 before:2024-06-30' AS final_query
+         FROM fanned""",
     "q59_markdown_report" ->
       """WITH base AS (
            SELECT c_custkey, c_name, n_name,
