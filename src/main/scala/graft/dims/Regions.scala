@@ -51,17 +51,20 @@ object Regions {
     import spark.implicits._
     val cities = broadcast(cityDim(spark))
     val provs = broadcast(ProvinceCities.keys.toSeq.toDF("province_only"))
-    val byCity = locs.join(cities, col(locCol).contains(col("city")), "left")
+    // row identity, not the loc string: two input rows with the SAME
+    // location text must both survive resolution
+    val withId = locs.withColumn("__rid", monotonically_increasing_id())
+    val byCity = withId.join(cities, col(locCol).contains(col("city")), "left")
     val cityPick = graft.operators.Ranking.keepFirst(
-      byCity, Seq(col(locCol)),
+      byCity, Seq(col("__rid")),
       Seq(length(col("city")).desc_nulls_last, col("city").asc_nulls_last))
     val withProv = cityPick.join(provs,
         col("city").isNull && col(locCol).contains(col("province_only")), "left")
     graft.operators.Ranking.keepFirst(
-        withProv, Seq(col(locCol)),
+        withProv, Seq(col("__rid")),
         Seq(length(col("province_only")).desc_nulls_last, col("province_only").asc_nulls_last))
       .withColumn("province", coalesce(col("province"), col("province_only")))
-      .drop("province_only")
+      .drop("province_only", "__rid")
   }
 
   /** P6/X5 — region-rule predicate over RESOLVED columns: call after

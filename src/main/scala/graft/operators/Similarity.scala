@@ -126,6 +126,8 @@ object Similarity {
       candidates: DataFrame, candId: String, candVec: String,
       k: Int, dim: Int, nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
     val centroids = trainIvf(candidates, candId, candVec, nCentroids)
+    require(centroids.head.length == dim,
+      s"embedding width ${centroids.head.length} != declared dim $dim")
     val qb = queries.withColumn("__bucket",
       explode(ivfProbeBuckets(col(queryVec), centroids, nprobe)))
     val cb = candidates.withColumn("__bucket", ivfBucket(col(candVec), centroids))

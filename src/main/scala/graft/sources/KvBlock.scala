@@ -37,7 +37,9 @@ object KvBlock {
       .filter(length(col("block")) > 0)
 
   /** `键：值` lines → map<string,string>; first colon wins, both `：` and `:`
-    * accepted; lines without a colon are dropped.
+    * accepted; lines without a colon are dropped. A repeated key keeps the
+    * LAST value (Python-dict semantics; `map_from_entries` would otherwise
+    * throw DUPLICATE_MAP_KEY and kill the job on one malformed block).
     */
   def parseBlock(block: Column): Column = {
     val entries = transform(
@@ -45,7 +47,10 @@ object KvBlock {
       l => struct(
         trim(regexp_extract(l, "^([^：:]*)[：:]", 1)).as("key"),
         trim(regexp_replace(l, "^[^：:]*[：:]", "")).as("value")))
-    map_from_entries(entries)
+    val lastWins = filter(entries, (e, i) =>
+      !exists(slice(entries, i + lit(2), size(entries)),
+        e2 => e2.getField("key") === e.getField("key")))
+    map_from_entries(lastWins)
   }
 
   /** Project typed columns out of the kv map with null-safe defaults (the

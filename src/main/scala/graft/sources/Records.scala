@@ -52,13 +52,17 @@ object Records {
   def moeMajors(spark: SparkSession, path: String): Dataset[MoeMajorRecord] = {
     import spark.implicits._
     val major = KvBlock.field(col("kv"), "开设专业")
+    // no "(code)" suffix → whole string is the name, code empty (the
+    // reference's split, not silent data loss)
+    val hasCode = major.rlike("^(.*?)\\s*\\((.*?)\\)\\s*$")
     KvBlock.read(spark, path)
       .filter(recordType(col("kv")) === "school_major")
       .select(
         KvBlock.field(col("kv"), "机构名称").as("school_name"),
         KvBlock.field(col("kv"), "省份").as("province"),
         KvBlock.field(col("kv"), "学校标识码").as("school_code"),
-        regexp_extract(major, "^(.*?)\\s*\\((.*?)\\)\\s*$", 1).as("major_name"),
+        when(hasCode, regexp_extract(major, "^(.*?)\\s*\\((.*?)\\)\\s*$", 1))
+          .otherwise(trim(major)).as("major_name"),
         regexp_extract(major, "^(.*?)\\s*\\((.*?)\\)\\s*$", 2).as("major_code"),
         KvBlock.field(col("kv"), "修业年限").cast("int").as("duration_years"),
         KvBlock.field(col("kv"), "年份").cast("int").as("year"),

@@ -92,17 +92,23 @@ object SurveyTransform {
     */
   def institutionReport(
       name: Column, city: Column, subjectType: Column, isPuhui: Column,
-      serviceModes: Column, totalCapacity: Column, currentEnrollment: Column): Column =
+      serviceModes: Column, totalCapacity: Column, currentEnrollment: Column): Column = {
+    // null-guard every field: concat/format_string propagate null, which
+    // would otherwise null the ENTIRE report for one missing answer
+    def str(c: Column) = coalesce(c.cast("string"), lit("未知"))
+    def num(c: Column) = coalesce(concat(c.cast("string"), lit("人")), lit("未知"))
     concat(
       lit("# 机构调研报告\n\n"),
-      format_string("## %s（%s）\n\n", name, city),
+      format_string("## %s（%s）\n\n", str(name), str(city)),
       lit("| 项目 | 值 |\n| --- | --- |\n"),
-      format_string("| 办学性质 | %s |\n", subjectType),
+      format_string("| 办学性质 | %s |\n", str(subjectType)),
       format_string("| 是否普惠 | %s |\n", boolLabel(isPuhui)),
-      format_string("| 服务模式 | %s |\n", array_join(serviceModes, "、")),
-      format_string("| 核定规模 | %d人 |\n", totalCapacity),
-      format_string("| 在托人数 | %d人 |\n", currentEnrollment),
+      format_string("| 服务模式 | %s |\n",
+        coalesce(array_join(serviceModes, "、"), lit("未知"))),
+      format_string("| 核定规模 | %s |\n", num(totalCapacity)),
+      format_string("| 在托人数 | %s |\n", num(currentEnrollment)),
       lit("\n"),
       when(currentEnrollment > totalCapacity, lit("> 注意：在托人数超出核定规模\n"))
         .otherwise(lit("")))
+  }
 }

@@ -82,4 +82,22 @@ class RecordsRegionsSpec extends AnyFunSuite {
     assert(matches.contains(("外太空", "外太空殖民地")))       // substring fallback
     assert(matches.size == 3)
   }
+
+  test("resolve preserves duplicate location rows (row identity, not loc text)") {
+    val locs = Seq(("d1", "浙江省杭州市"), ("d2", "浙江省杭州市"), ("d3", "山西某地"))
+      .toDF("doc_id", "loc")
+    val got = Regions.resolve(locs, "loc")
+    assert(got.count() == 3)
+    assert(got.select("doc_id").as[String].collect().toSet == Set("d1", "d2", "d3"))
+  }
+
+  test("MOE major without a parenthesized code keeps the name (no silent loss)") {
+    val tmp = java.nio.file.Files.createTempFile("moe", ".txt")
+    java.nio.file.Files.writeString(tmp,
+      "机构名称：某校\n省份：上海市\n学校标识码：10001\n开设专业：护理\n修业年限：3\n年份：2013\n备注：")
+    val recs = Records.moeMajors(spark, tmp.toString).collect()
+    assert(recs.length == 1)
+    assert(recs.head.major_name == "护理")
+    assert(recs.head.major_code == "")
+  }
 }

@@ -89,4 +89,12 @@ class RrfKvSpec extends AnyFunSuite {
       .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got("x") == expected && got("y") == expected)
   }
+
+  test("KV parser: repeated key keeps the LAST value (dict semantics, no crash)") {
+    val block = "机构名称：旧名\n备注：a\n机构名称：新名"
+    val kv = Seq(block).toDF("b").select(KvBlock.parseBlock(col("b")).as("kv"))
+      .select(element_at(col("kv"), "机构名称"), element_at(col("kv"), "备注"))
+      .as[(String, String)].head()
+    assert(kv == (("新名", "a")))
+  }
 }
