@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session-extension entry point: wire the engine's custom Catalyst surface
+  * into any session via
+  * `spark.sql.extensions=graft.core.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), making `lenient_json_clean`
+  * and the shingle hashers available to pure-SQL users without touching
+  * the function registry manually.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("lenient_json_clean"),
+      new ExpressionInfo(classOf[graft.functions.LenientJsonClean].getName,
+        "lenient_json_clean"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.LenientJsonClean(exprs.head)))
+    Seq(1, 2, 3, 5).foreach { k =>
+      e.injectFunction((
+        FunctionIdentifier(s"shingle_hashes_$k"),
+        new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
+          s"shingle_hashes_$k"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.ShingleHashes(exprs.head, k)))
+    }
+  }
+}

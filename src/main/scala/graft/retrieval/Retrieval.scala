@@ -51,6 +51,40 @@ object Retrieval {
       .filter(col("rnk") <= col("top_k"))
   }
 
+  /** Scan sharing (SURVEY.md §4 row 1, retrieve.py:276-314
+    * `build_execution_plan`): same-database segment tasks merge into ONE
+    * job carrying an OR'd document filter; any full-DB task for that
+    * database subsumes them all into a single unfiltered scan. N tasks →
+    * ≤1 scan per database instead of N scans.
+    *
+    * Output: one job row per database —
+    *   (database_id, full_scan: boolean, doc_ids: array<string> or null,
+    *    task_ids: sorted array).
+    */
+  def buildExecutionPlan(tasks: DataFrame): DataFrame =
+    tasks
+      .groupBy(col("database_id"))
+      .agg(
+        max(when(col("retrieval_mode") === "full_database_retrieval", true)
+          .otherwise(false)).as("full_scan"),
+        sort_array(collect_set(when(
+          col("retrieval_mode") =!= "full_database_retrieval",
+          col("document_id")))).as("seg_docs"),
+        sort_array(collect_set(col("task_id"))).as("task_ids"))
+      .withColumn("doc_ids",
+        when(col("full_scan"), lit(null).cast("array<string>"))
+          .otherwise(col("seg_docs")))
+      .drop("seg_docs")
+
+  /** Apply a job plan to the chunk store: one filtered scan per job —
+    * `doc_ids IS NULL` (full scan) or membership filter, which Catalyst
+    * pushes to the source as an IN list.
+    */
+  def scanWithPlan(chunks: DataFrame, jobs: DataFrame): DataFrame =
+    chunks.join(broadcast(jobs), Seq("database_id"))
+      .filter(col("doc_ids").isNull ||
+        array_contains(col("doc_ids"), col("document_id")))
+
   /** J1 metadata enrichment with A9 source precedence: `api_detail` beats
     * `retrieve_snapshot` per (database_id, document_id); broadcast left join
     * (retrieve.py:239-333).

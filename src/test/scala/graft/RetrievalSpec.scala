@@ -72,4 +72,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.values.forall(v => v >= 0.0 && v < 1.0))
   }
+
+  test("scan sharing: segment tasks merge per DB; full-DB task subsumes (SURVEY §4)") {
+    val jobs = Retrieval.buildExecutionPlan(tasks)
+    val byDb = jobs.collect().map(r => r.getAs[String]("database_id") -> r).toMap
+    // db1 has a full-DB task -> one unfiltered scan despite the segment task
+    assert(byDb("db1").getAs[Boolean]("full_scan"))
+    assert(byDb("db1").isNullAt(byDb("db1").fieldIndex("doc_ids")))
+    assert(byDb("db1").getAs[scala.collection.Seq[String]]("task_ids").toSet == Set("segA", "fullDb1"))
+    assert(jobs.count() == 2)   // one job per database, not one per task
+
+    // applying the plan reproduces the union of task scans
+    val scanned = Retrieval.scanWithPlan(chunks, jobs)
+    assert(scanned.count() == chunks.count())   // db1 full + db2 full cover all
+
+    // segment-only database: doc filter pushed as membership
+    val segOnly = Seq(("t1", "dbX", Some("dA"), "segment_retrieval", 1, 5),
+        ("t2", "dbX", Some("dB"), "segment_retrieval", 2, 5))
+      .toDF("task_id", "database_id", "document_id", "retrieval_mode", "task_order", "top_k")
+    val planX = Retrieval.buildExecutionPlan(segOnly)
+    val rowX = planX.head()
+    assert(!rowX.getAs[Boolean]("full_scan"))
+    assert(rowX.getAs[scala.collection.Seq[String]]("doc_ids").toSeq == Seq("dA", "dB"))
+    val chunksX = Seq((1L, "dbX", "dA", 1L), (2L, "dbX", "dC", 1L))
+      .toDF("chunk_id", "database_id", "document_id", "score")
+    assert(Retrieval.scanWithPlan(chunksX, planX)
+      .select("chunk_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("GraftExtensions injects the SQL function surface") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.core.GraftExtensions().apply(e)
+    // builder-level smoke: the injected builders construct valid expressions
+    val expr = graft.functions.LenientJsonClean(
+      org.apache.spark.sql.catalyst.expressions.Literal("x {\"k\": 1}"))
+    assert(expr.dataType == org.apache.spark.sql.types.StringType)
+  }
 }
