@@ -73,7 +73,10 @@ object DateFunctions {
   def inRange(d: Column, start: Column, end: Column): Column =
     d.isNotNull && d.between(start, end)
 
-  /** Seconds → "MM:SS" (dify_transformation.py:93-103 — F5). */
+  /** Seconds → "MM:SS", truncating fractional seconds (Python int()
+    * semantics, dify_transformation.py:93-103 — F5).
+    */
   def mmss(seconds: Column): Column =
-    format_string("%02d:%02d", floor(seconds / 60).cast("int"), (seconds % 60).cast("int"))
+    format_string("%02d:%02d",
+      floor(seconds / 60).cast("int"), floor(seconds % 60).cast("int"))
 }

@@ -67,14 +67,22 @@ object ShingleHashes {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime = 0x100000001b3L
 
+  /** ASCII `\s` semantics ([ \t\n\x0B\f\r]) — NOT Character.isWhitespace:
+    * must tokenize identically to TextFunctions.tokens (Java regex \s+)
+    * and the DuckDB oracle's \s+, which do not treat U+3000 ideographic
+    * space etc. as separators.
+    */
+  @inline private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   private[functions] def splitWhitespace(s: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isAsciiSpace(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isAsciiSpace(s.charAt(i))) i += 1
       if (i > start) out += s.substring(start, i)
     }
     out.toArray

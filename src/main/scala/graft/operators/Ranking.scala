@@ -16,12 +16,18 @@ object Ranking {
 
   /** Top-k rows per group with a total deterministic order
     * (retrieve.py:352-387 — the per-task top_k slice, default 20).
+    * Pass `rankCol` to keep the 1-based rank (avoids consumers recomputing
+    * an identical window just to surface the position).
     */
-  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame = {
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+      k: Int, rankCol: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
-    df.withColumn("__rn", row_number().over(w))
+    val ranked = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .drop("__rn")
+    rankCol match {
+      case Some(name) => ranked.withColumnRenamed("__rn", name)
+      case None => ranked.drop("__rn")
+    }
   }
 
   /** Keep-first dedup: one row per key, first under `orderBy` wins.
@@ -38,21 +44,24 @@ object Ranking {
   }
 
   /** Positional (rank-zip) join — J7: i-th row of `left` under `leftOrder`
-    * matched to i-th row of `right` under `rightOrder`, within a shared
-    * group key. Ordered positional join = row_number on both sides + equi
-    * join on (group, rank); with both sides pre-partitioned on the group
-    * key the join is co-located after the two window shuffles.
+    * matched to i-th row of `right` under `rightOrder`, within shared group
+    * key COLUMN NAMES (present on both sides — self-join safe: the right
+    * side's non-key columns are suffixed `_r` to disambiguate lineage).
+    * Ordered positional join = row_number on both sides + using-join on
+    * (groupCols, rank); co-located after the two window shuffles.
     */
   def positionalJoin(
-      left: DataFrame, leftGroup: Seq[Column], leftOrder: Seq[Column],
-      right: DataFrame, rightGroup: Seq[Column], rightOrder: Seq[Column],
+      left: DataFrame, right: DataFrame, groupCols: Seq[String],
+      leftOrder: Seq[Column], rightOrder: Seq[Column],
       joinType: String = "inner"): DataFrame = {
-    val lw = Window.partitionBy(leftGroup: _*).orderBy(leftOrder: _*)
-    val rw = Window.partitionBy(rightGroup: _*).orderBy(rightOrder: _*)
+    val lw = Window.partitionBy(groupCols.map(col): _*).orderBy(leftOrder: _*)
+    val rw = Window.partitionBy(groupCols.map(col): _*).orderBy(rightOrder: _*)
     val l = left.withColumn("__pos", row_number().over(lw))
     val r = right.withColumn("__pos", row_number().over(rw))
-    val cond = leftGroup.zip(rightGroup).map { case (a, b) => a === b }
-      .reduce(_ && _) && l("__pos") === r("__pos")
-    l.join(r, cond, joinType).drop("__pos")
+    val rSafe = r.select(r.columns.map { c =>
+      if (groupCols.contains(c) || c == "__pos") col(c) else col(c).as(c + "_r")
+    }: _*)
+    l.join(rSafe, groupCols :+ "__pos", joinType)
+      .withColumnRenamed("__pos", "pos")
   }
 }

@@ -41,7 +41,8 @@ object Similarity {
   def cosineTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       candidates: DataFrame, candId: String, candVec: String,
-      k: Int, excludeSelf: Boolean = true): DataFrame = {
+      k: Int, excludeSelf: Boolean = true,
+      rankCol: Option[String] = None): DataFrame = {
     val crossed = candidates
       .join(broadcast(queries), if (excludeSelf) queries(queryId) =!= candidates(candId) else lit(true))
       .select(
@@ -51,7 +52,7 @@ object Similarity {
           queries(queryVec), candidates(candVec)).as("cos"))
     Ranking.topKPerGroup(
       crossed, Seq(col("query_id")),
-      Seq(col("cos").desc, col("cand_id").asc), k)
+      Seq(col("cos").desc, col("cand_id").asc), k, rankCol)
   }
 
   /** Exact pairwise cosine near-dup pairs over one vector set. Quadratic —

@@ -79,15 +79,11 @@ object AnalyticsQueries {
     // Brute-force cosine top-5 for query vectors vec_id < 20.
     "q42_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      val scored = Similarity.cosineTopK(
-        e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        "qid", "qv",
-        e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
-        k = 5)
-      scored
-        .withColumn("rnk",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)))
+      Similarity.cosineTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv",
+          e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
+          k = 5, rankCol = Some("rnk"))
         .select(col("query_id"), col("cand_id"), col("rnk"),
           round(col("cos"), 4).as("cos"))
     }),
@@ -138,7 +134,10 @@ object AnalyticsQueries {
         k = 5, dim = 64, nCentroids = 8)
     }))
 
-  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  // list_filter drops the [''] that string_split_regex yields on empty
+  // input, matching Spark tokens() == [] for empty/whitespace-only text
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
   private def shinglesSql(toks: String) =
     s"list_distinct(list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))"
 

@@ -151,21 +151,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // J7 ordered positional join: i-th order by date ↔ i-th by price.
+    // J7 ordered positional join: i-th order by date ↔ i-th by price
+    // (through the library helper — self-join safe).
     "q13_positional_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val byDate = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      val byPrice = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       val l = o.select(col("o_custkey").as("custkey"),
-        col("o_orderkey").as("key_by_date"),
-        row_number().over(byDate).as("pos"))
+        col("o_orderkey").as("key_by_date"), col("o_orderdate"), col("o_orderkey"))
       val r = o.select(col("o_custkey").as("custkey"),
-        col("o_orderkey").as("key_by_price"),
-        row_number().over(byPrice).as("pos"))
-      l.join(r, Seq("custkey", "pos"))
-        .select(col("custkey"), col("pos"), col("key_by_date"), col("key_by_price"))
+        col("o_orderkey").as("key_by_price"), col("o_totalprice"), col("o_orderkey"))
+      Ranking.positionalJoin(l, r, Seq("custkey"),
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select(col("custkey"), col("pos"), col("key_by_date"),
+          col("key_by_price_r").as("key_by_price"))
     }),
 
     // A3 nested regrouping, rendered as a deterministic string (the

@@ -122,8 +122,8 @@ object TemporalQueries {
              CAST(FLOOR(CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 60) AS INTEGER),
-             CAST(CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             CAST(CAST(FLOOR(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) % 60 AS INTEGER)) AS offset_mmss
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS BIGINT) % 60 AS INTEGER)) AS offset_mmss
          FROM lineitem""")
 }

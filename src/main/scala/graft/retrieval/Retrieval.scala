@@ -139,7 +139,10 @@ object Retrieval {
     val fused = Rrf.fuse(recall, col("query_id"), col("chunk_id"), col("score"),
         rrfK, col("chunk_id"))
       .withColumnRenamed("item", "chunk_id")
-    val scored = recall.dropDuplicates("chunk_id")
+    // deterministic representative per chunk (NOT dropDuplicates, which
+    // keeps a partition-order-dependent row): first by query_id
+    val scored = Ranking.keepFirst(recall,
+        Seq(col("chunk_id")), Seq(col("query_id").asc))
       .drop("score", "query_id")
       .join(fused, Seq("chunk_id"))
       .withColumnRenamed("rrf_score", "score")

@@ -34,8 +34,12 @@ object Csv {
       .option("inferSchema", "true")
       .option("sep", delim.toString)
       .csv(path)
-    val capped = df.limit(cap)
-    if (df.limit(cap + 1).count() > cap) {
+    // one head(cap+1) job decides both the kept rows and the truncation
+    // flag (limit+count would re-scan)
+    val headRows = df.head(cap + 1)
+    val capped = spark.createDataFrame(
+      java.util.Arrays.asList(headRows.take(cap): _*), df.schema)
+    if (headRows.length > cap) {
       val firstCol = df.columns.head
       // one-row marker with the first column annotated (forces it string)
       val marker = spark.range(1).select(df.columns.map { c =>
