@@ -38,14 +38,14 @@ object Bench {
     val filtered = parsed
       .withColumn("province_code", substring(col("region_code"), 1, 2))
       .filter(col("institution_type") === "非营利性" || col("province_code") === "14")
-    // A5 + S14: per-province aggregate and partitioned text sink. Cache so
-    // the sink and the count run the pipeline ONCE (a second cold pass
-    // would double the timed work).
-    filtered.persist()
-    try {
-      KvBlock.writePartitioned(filtered, col("block"), Seq("province_code"), outDir)
-      filtered.count()
-    } finally filtered.unpersist()
+    // A5 + S14: per-province aggregate and partitioned text sink. The
+    // record count rides the write job via Observation — exactly ONE
+    // execution of the pipeline, no cache pressure.
+    val obs = org.apache.spark.sql.Observation("corpus_n")
+    KvBlock.writePartitioned(
+      filtered.observe(obs, count(lit(1)).as("n")),
+      col("block"), Seq("province_code"), outDir)
+    obs.get("n").asInstanceOf[Long]
   }
 
   def main(args: Array[String]): Unit = {

@@ -34,6 +34,8 @@ object GraftSession {
       // roundtrip instead of raising (TextFunctions.decodeChain)
       .config("spark.sql.legacy.codingErrorAction", "true")
       .config("spark.sql.legacy.javaCharsets", "true")
+      // KV blocks with repeated keys keep the last value (dict semantics)
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft", threads: Int = 32): SparkSession = {
