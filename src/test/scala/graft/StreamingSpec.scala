@@ -92,4 +92,34 @@ class StreamingSpec extends AnyFunSuite {
     val missingPerUser = (batch -- stateful).groupBy(_._1).map(_._2.size)
     assert(missingPerUser.forall(_ == 1))
   }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StreamingOps.tumblingCounts(
+        stream.toDF.toDF("ts", "event_type", "value"),
+        width = "5 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_test").start()
+    try {
+      // batch 1: events up to 10:30 -> watermark advances to 10:20
+      stream.addData(Seq((ts(0), "a", 1.0), (ts(1), "a", 1.0), (ts(30), "a", 1.0)))
+      q.processAllAvailable()
+      // batch 2: a very late event (10:02, far below the 10:20 watermark)
+      // plus a fresh one that pushes the watermark further and finalizes
+      stream.addData(Seq((ts(2), "a", 99.0), (ts(45), "a", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(59), "a", 1.0)))   // close remaining windows
+      q.processAllAvailable()
+      val out = spark.sql("SELECT window_start, n FROM late_test")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      // the 10:00 window was finalized with its 2 on-time events; the late
+      // 10:02 event (n would be 3) was DROPPED, not merged
+      assert(out(ts(0)) == 2L)
+      assert(out(ts(30)) == 1L)
+    } finally q.stop()
+  }
 }
