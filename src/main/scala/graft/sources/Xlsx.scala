@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** S4 — minimal XLSX scan without external dependencies: an .xlsx file is a
+  * zip of XML parts (ECMA-376); this reads `xl/sharedStrings.xml` and the
+  * first worksheet, resolving shared strings, inline strings and numeric
+  * cells, honoring cell references (sparse rows keep column alignment).
+  *
+  * Distributed shape: `binaryFile` source lifts the workbook bytes onto
+  * executors, `flatMap` parses per file — many workbooks parse in parallel,
+  * matching the reference's per-file openpyxl loop (多数据源获取数据.py:
+  * 914-956) with its 500-row cap and first-row header convention.
+  */
+object Xlsx {
+
+  val DefaultCap = 500
+
+  /** Read all .xlsx files under `path` (glob ok) into a DataFrame with
+    * string columns named by each file's header row; schemas must agree
+    * across files. Rows capped per file.
+    */
+  def read(spark: SparkSession, path: String, cap: Int = DefaultCap): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    val parsed = bin.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
+      val rows = parseWorkbook(bytes, cap + 1)
+      rows match {
+        case header +: data => data.take(cap).map(r => (p, header, r))
+        case _ => Seq.empty
+      }
+    }.collect()   // driver assembles the schema from the header; row data
+                  // stays small by construction (cap per file)
+    require(parsed.nonEmpty, s"no rows parsed from $path")
+    val header = parsed.head._2
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    val rows = parsed.map { case (_, _, cells) =>
+      Row.fromSeq(header.indices.map(i => cells.lift(i).filter(_.nonEmpty).orNull))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Parse one workbook's bytes → rows of cell strings (first sheet). */
+  def parseWorkbook(bytes: Array[Byte], maxRows: Int): Seq[Seq[String]] = {
+    var shared: Vector[String] = Vector.empty
+    var sheetXml: String = null
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zis.getNextEntry
+      while (e != null) {
+        e.getName match {
+          case "xl/sharedStrings.xml" => shared = parseSharedStrings(readAll(zis))
+          case n if sheetXml == null && n.matches("xl/worksheets/sheet1?\\.xml") =>
+            sheetXml = readAll(zis)
+          case _ =>
+        }
+        e = zis.getNextEntry
+      }
+    } finally zis.close()
+    if (sheetXml == null) Seq.empty else parseSheet(sheetXml, shared, maxRows)
+  }
+
+  private def readAll(zis: ZipInputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    var n = zis.read(tmp)
+    while (n >= 0) { buf.write(tmp, 0, n); n = zis.read(tmp) }
+    buf.toString("UTF-8")
+  }
+
+  private val SiRe = "(?s)<si>(.*?)</si>".r
+  private val TRe = "(?s)<t[^>]*>(.*?)</t>".r
+
+  private def parseSharedStrings(xml: String): Vector[String] =
+    SiRe.findAllMatchIn(xml).map { m =>
+      TRe.findAllMatchIn(m.group(1)).map(t => unescape(t.group(1))).mkString
+    }.toVector
+
+  private val RowRe = "(?s)<row[^>]*>(.*?)</row>".r
+  private val CellRe = """(?s)<c([^>]*?)(?:/>|>(.*?)</c>)""".r
+  private val RefRe = """r="([A-Z]+)\d+"""".r
+  private val TypeRe = """t="([A-Za-z]+)"""".r
+  private val VRe = "(?s)<v>(.*?)</v>".r
+  private val IsRe = "(?s)<is>(.*?)</is>".r
+
+  private def parseSheet(xml: String, shared: Vector[String], maxRows: Int): Seq[Seq[String]] =
+    RowRe.findAllMatchIn(xml).take(maxRows).map { rm =>
+      val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+      CellRe.findAllMatchIn(rm.group(1)).foreach { cm =>
+        val attrs = cm.group(1)
+        val body = Option(cm.group(2)).getOrElse("")
+        val colIdx = RefRe.findFirstMatchIn(attrs)
+          .map(m => colToIndex(m.group(1))).getOrElse(cells.length)
+        while (cells.length < colIdx) cells += ""
+        val cellType = TypeRe.findFirstMatchIn(attrs).map(_.group(1)).getOrElse("n")
+        val value = cellType match {
+          case "s" => VRe.findFirstMatchIn(body)
+            .map(v => shared.lift(v.group(1).trim.toInt).getOrElse("")).getOrElse("")
+          case "inlineStr" => IsRe.findFirstMatchIn(body)
+            .map(is => TRe.findAllMatchIn(is.group(1)).map(t => unescape(t.group(1))).mkString)
+            .getOrElse("")
+          case _ => VRe.findFirstMatchIn(body).map(v => unescape(v.group(1))).getOrElse("")
+        }
+        cells += value
+      }
+      cells.toSeq
+    }.toSeq
+
+  private def colToIndex(ref: String): Int =
+    ref.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+
+  private def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.Xlsx
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S4 — XLSX scan. The fixture workbook is built in-test from raw ECMA-376
+  * parts (zip of XML), covering shared strings, inline strings, numbers,
+  * sparse rows with explicit cell refs, and XML escapes.
+  */
+class XlsxSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def buildXlsx(sheetRows: String, sharedStrings: Seq[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst>${
+        sharedStrings.map(s => s"<si><t>$s</t></si>").mkString}</sst>""")
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$sheetRows</sheetData></worksheet>""")
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("workbook parses shared strings, inline strings, numbers, sparse refs") {
+    val rows =
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>42</v></c><c r="C2" t="inlineStr"><is><t>宝宝&amp;乐园</t></is></c></row>
+        |<row r="3"><c r="A3" t="s"><v>4</v></c><c r="C3"><v>7.5</v></c></row>""".stripMargin
+    val bytes = buildXlsx(rows, Seq("机构名称", "容量", "备注", "甲园", "乙园"))
+    val parsed = Xlsx.parseWorkbook(bytes, 100)
+    assert(parsed == Seq(
+      Seq("机构名称", "容量", "备注"),
+      Seq("甲园", "42", "宝宝&乐园"),
+      Seq("乙园", "", "7.5")))   // sparse B3 back-filled by the C3 ref
+  }
+
+  test("read: header row becomes schema, 500-row cap honored") {
+    val header = """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c><c r="B1" t="inlineStr"><is><t>name</t></is></c></row>"""
+    val body = (2 to 602).map { i =>
+      s"""<row r="$i"><c r="A$i"><v>${i - 1}</v></c><c r="B$i" t="inlineStr"><is><t>row${i - 1}</t></is></c></row>"""
+    }.mkString
+    val bytes = buildXlsx(header + body, Seq.empty)
+    val dir = java.nio.file.Files.createTempDirectory("xlsx").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "t.xlsx").toPath, bytes)
+
+    val df = Xlsx.read(spark, dir.toString + "/*.xlsx")
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 500)   // cap (O5) — 601 data rows in the file
+    assert(df.filter($"id" === "1").select("name").as[String].head() == "row1")
+  }
+}
