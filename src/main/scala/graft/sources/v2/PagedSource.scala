@@ -57,12 +57,14 @@ class PagedTable(pages: Int, pageSize: Int, pagesPerPartition: Int)
   override def name(): String = s"graft-paged($pages x $pageSize)"
   override def schema(): StructType = PagedSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(pages, pageSize, pagesPerPartition)
+    new PagedScanBuilder(pages, pageSize, pagesPerPartition,
+      Option(options.get("pagespertrigger")).map(_.toInt).getOrElse(pagesPerPartition))
 }
 
-class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int)
+class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
+    pagesPerTrigger: Int = 1)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var minPage = 0
@@ -107,7 +109,7 @@ class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int)
         math.min(maxPage, minPage + neededPages - 1)
       case None => maxPage
     }
-    new PagedScan(minPage, cappedMax, pageSize, pagesPerPartition)
+    new PagedScan(minPage, cappedMax, pageSize, pagesPerPartition, pagesPerTrigger)
   }
 }
 
@@ -116,16 +118,66 @@ class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int)
   * `pagesperpartition` groups contiguous pages into one task (the
   * `maxPartitionBytes` analog for a record-count-paged API).
   */
-class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: Int)
+class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: Int,
+    pagesPerTrigger: Int = 1)
     extends Scan with Batch {
   override def readSchema(): StructType = PagedSource.schema
   override def description(): String =
     s"PagedScan(pages=[$minPage..$maxPage], pageSize=$pageSize, batch=$pagesPerPartition)"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
+    PagedScan.partitionRange(minPage, maxPage, pageSize, pagesPerPartition)
+  override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
+
+  /** Streaming form: offsets are page numbers; each trigger ingests at most
+    * `pagespertrigger` pages — the reference's semaphore/rate cap as a
+    * maxOffsetsPerTrigger-style throttle (SURVEY.md §2.9).
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagedMicroBatchStream(minPage, maxPage, pageSize, pagesPerTrigger)
+}
+
+object PagedScan {
+  def partitionRange(minPage: Int, maxPage: Int, pageSize: Int,
+      pagesPerPartition: Int): Array[InputPartition] =
     (minPage to maxPage by pagesPerPartition).map { p =>
       PagePartition(p, math.min(p + pagesPerPartition - 1, maxPage), pageSize): InputPartition
     }.toArray
+}
+
+/** Offset = next page to fetch; [start, end) pages per micro-batch. */
+case class PageOffset(page: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"page":$page}"""
+}
+
+class PagedMicroBatchStream(minPage: Int, maxPage: Int, pageSize: Int, pagesPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // Rate cap via admission control: the engine hands us the current start
+  // offset every trigger and we admit at most pagesPerTrigger pages —
+  // stateless, restart-safe (the reference's semaphore throttle shape).
+  override def initialOffset(): Offset = PageOffset(minPage)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    PageOffset(math.min(start.asInstanceOf[PageOffset].page + pagesPerTrigger, maxPage + 1))
+  override def reportLatestOffset(): Offset = PageOffset(maxPage + 1)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def deserializeOffset(json: String): Offset =
+    PageOffset("""\d+""".r.findFirstIn(json).get.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageOffset].page
+    val e = end.asInstanceOf[PageOffset].page - 1
+    if (e < s) Array.empty else PagedScan.partitionRange(s, e, pageSize, 1)
+  }
   override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
 }
 

@@ -67,4 +67,26 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(scanOf(df).inputRDD.getNumPartitions == 2)     // pages 50,51
     assert(df.collect().map(_.getAs[Int]("page")).toSet == Set(50, 51))
   }
+
+  test("streaming micro-batches: rate-capped paginated ingest (S7 streaming analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("paged_ckpt").toString
+    val q = spark.readStream.format("graft-paged")
+      .option("pages", "10").option("pagesize", "5")
+      .option("pagespertrigger", "3")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("paged_stream")
+      .option("checkpointLocation", dir)
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM paged_stream").head().getLong(0)
+      assert(n == 50)   // all 10 pages x 5 records eventually ingested
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.nonEmpty)
+      // rate cap: no micro-batch ingested more than 3 pages x 5 rows
+      assert(batches.forall(_.numInputRows <= 15))
+      assert(batches.length >= 4)   // ceil(10/3) batches with data
+    } finally q.stop()
+  }
 }
