@@ -30,6 +30,17 @@ object ExtendedQueries {
           size(array_distinct(col("toks"))).as("n_distinct"))
     }),
 
+    // Exact percentiles (engine capability beyond the reference — the
+    // quality-threshold analytics a training pipeline runs on its metrics).
+    "q61_percentiles" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
+    }),
+
     // §3.1 LINKS plan construction: (topic × search_type) fan-out with
     // round-robin provider assignment (itertools.cycle analog), filtered
     // query templating with site + time suffixes (LINKS:561-640, 1218-1223).
@@ -104,6 +115,12 @@ object ExtendedQueries {
            event_type, COUNT(*) AS n
          FROM events, RANGE(0, 3) t(k)
          GROUP BY 1, 2""",
+    "q61_percentiles" ->
+      """SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90,
+           ROUND(QUANTILE_CONT(l_quantity, 0.99), 4) AS p99
+         FROM lineitem GROUP BY l_returnflag""",
     "q60_search_fanout" ->
       """WITH fanned AS (
            SELECT p_partkey, p_brand, p_type, search_type,
