@@ -42,9 +42,11 @@ object Bench {
     // record count rides the write job via Observation — exactly ONE
     // execution of the pipeline, no cache pressure.
     val obs = org.apache.spark.sql.Observation("corpus_n")
+    // coalescePartitions=false: this corpus is single-province (maximally
+    // skewed) — tasks must shard the hot partition value, not collapse it
     KvBlock.writePartitioned(
       filtered.observe(obs, count(lit(1)).as("n")),
-      col("block"), Seq("province_code"), outDir)
+      col("block"), Seq("province_code"), outDir, coalescePartitions = false)
     obs.get("n").asInstanceOf[Long]
   }
 

@@ -38,10 +38,13 @@ object KvBlock {
   def ensureLastWin(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
-  /** Explode a whole-file text column into trimmed, non-empty blocks. */
+  /** Explode a whole-file text column into trimmed, non-empty blocks.
+    * Spark's `trim` strips spaces ONLY — newline edges around the block
+    * delimiter need the regex form.
+    */
   def blocksFromText(df: DataFrame, text: Column): DataFrame =
     df.select(explode(split(text, BlockDelimiter)).as("block"))
-      .withColumn("block", trim(col("block")))
+      .withColumn("block", regexp_replace(col("block"), "^\\s+|\\s+$", ""))
       .filter(length(col("block")) > 0)
 
   /** `键：值` lines → map<string,string>; first colon wins, both `：` and `:`
@@ -68,17 +71,27 @@ object KvBlock {
   def renderBlock(kvPairs: Seq[(String, Column)]): Column =
     concat_ws("\n", kvPairs.map { case (k, v) => concat(lit(k), lit("："), v) }: _*)
 
-  /** S14 sink: group blocks by partition columns, join with `^_^`, one text
-    * file per partition directory. `partitionBy` keeps the write parallel
-    * and prunable; no driver-side collection.
+  /** S14 sink: blocks written under one directory per partition value,
+    * each record terminated by the `^_^` delimiter so any concatenation of
+    * part files is a valid KV-block file (the reader drops the empty
+    * trailing chunk).
+    *
+    * Deliberately NOT a collect_list-per-partition-value single file: a hot
+    * partition holding millions of records must stream through many tasks,
+    * never materialize as one row (measured: the single-row variant fell
+    * over at ~6M records in one province). `repartition` on the partition
+    * columns keeps file counts low; remove it if partition values are few
+    * and huge (then tasks shard each value instead).
     */
   def writePartitioned(
-      df: DataFrame, blockCol: Column, partitionCols: Seq[String], outPath: String): Unit =
-    df.select((partitionCols.map(col) :+ blockCol.as("block")): _*)
-      .groupBy(partitionCols.map(col): _*)
-      .agg(concat_ws("\n^_^\n", sort_array(collect_list(col("block")))).as("value"))
-      .repartition(partitionCols.map(col): _*)
-      .write.mode("overwrite")
+      df: DataFrame, blockCol: Column, partitionCols: Seq[String], outPath: String,
+      coalescePartitions: Boolean = true): Unit = {
+    val rows = df.select((partitionCols.map(col) :+
+      concat(blockCol, lit("\n^_^")).as("value")): _*)
+    val arranged =
+      if (coalescePartitions) rows.repartition(partitionCols.map(col): _*) else rows
+    arranged.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .text(outPath)
+  }
 }
