@@ -18,6 +18,7 @@ object Bench {
 
   def corpusPipeline(spark: SparkSession, outDir: String): Long = {
     import graft.sources.KvBlock
+    KvBlock.ensureLastWin(spark)
     val raw = spark.read.format("graft-paged")
       .option("pages", "6272").option("pagesize", "10")
       .option("pagesperpartition", "64").load()

@@ -49,21 +49,25 @@ object Xlsx {
   /** Parse one workbook's bytes → rows of cell strings (first sheet). */
   def parseWorkbook(bytes: Array[Byte], maxRows: Int): Seq[Seq[String]] = {
     var shared: Vector[String] = Vector.empty
-    var sheetXml: String = null
+    // first sheet = lowest-numbered worksheet part (a workbook whose
+    // original Sheet1 was deleted stores its first sheet as sheet2.xml etc.)
+    val sheets = scala.collection.mutable.TreeMap.empty[Int, String]
+    val SheetName = "xl/worksheets/sheet(\\d*)\\.xml".r
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e = zis.getNextEntry
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" => shared = parseSharedStrings(readAll(zis))
-          case n if sheetXml == null && n.matches("xl/worksheets/sheet1?\\.xml") =>
-            sheetXml = readAll(zis)
+          case SheetName(num) =>
+            sheets(if (num.isEmpty) 0 else num.toInt) = readAll(zis)
           case _ =>
         }
         e = zis.getNextEntry
       }
     } finally zis.close()
-    if (sheetXml == null) Seq.empty else parseSheet(sheetXml, shared, maxRows)
+    sheets.headOption.map { case (_, xml) => parseSheet(xml, shared, maxRows) }
+      .getOrElse(Seq.empty)
   }
 
   private def readAll(zis: ZipInputStream): String = {
@@ -115,7 +119,14 @@ object Xlsx {
   private def colToIndex(ref: String): Int =
     ref.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
 
-  private def unescape(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+  private val NumRefRe = "&#(x?)([0-9A-Fa-f]+);".r
+
+  private def unescape(s: String): String = {
+    val numeric = NumRefRe.replaceAllIn(s, m => {
+      val cp = Integer.parseInt(m.group(2), if (m.group(1).isEmpty) 10 else 16)
+      java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+    })
+    numeric.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&")
+  }
 }

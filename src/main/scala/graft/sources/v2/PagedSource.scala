@@ -158,16 +158,26 @@ class PagedMicroBatchStream(minPage: Int, maxPage: Int, pageSize: Int, pagesPerT
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   // Rate cap via admission control: the engine hands us the current start
-  // offset every trigger and we admit at most pagesPerTrigger pages —
-  // stateless, restart-safe (the reference's semaphore throttle shape).
+  // offset plus a ReadLimit every trigger. Normal triggers get our default
+  // maxRows limit (pagesPerTrigger pages); Trigger.Once/AvailableNow pass
+  // allAvailable and must ingest EVERYTHING (the maxFilesPerTrigger
+  // convention) — ignoring the limit there would silently truncate.
   override def initialOffset(): Offset = PageOffset(minPage)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    PageOffset(math.min(start.asInstanceOf[PageOffset].page + pagesPerTrigger, maxPage + 1))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[PageOffset].page
+    limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        val pages = math.max(1, (r.maxRows() / pageSize).toInt)
+        PageOffset(math.min(s + pages, maxPage + 1))
+      case _ => PageOffset(maxPage + 1)   // allAvailable et al.
+    }
+  }
   override def reportLatestOffset(): Offset = PageOffset(maxPage + 1)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(pagesPerTrigger.toLong * pageSize)
   override def deserializeOffset(json: String): Offset =
     PageOffset("""\d+""".r.findFirstIn(json).get.toInt)
   override def commit(end: Offset): Unit = ()
