@@ -113,6 +113,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** End-to-end near-duplicate REMOVAL: LSH near-dup pairs → connected
+    * components (iterative min-label propagation — near-dup clusters are
+    * shallow, so a handful of rounds converges; each round is one join +
+    * one agg) → keep only each component's minimum id. Returns the
+    * surviving rows of `df`.
+    *
+    * This is the operator a training pipeline actually runs; the pair
+    * producers (minHashLsh / ngramJaccardPairs / Similarity.cosinePairs)
+    * are its interchangeable discovery stages.
+    */
+  def removeNearDuplicates(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7, maxIterations: Int = 5): DataFrame = {
+    val pairs = minHashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = df.select(idCol.as("id")).withColumn("comp", col("id"))
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIterations && changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("comp", "n_comp"),
+          Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("n_comp")).as("min_n_comp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("min_n_comp"), col("comp"))).as("comp"),
+          (col("min_n_comp") < col("comp")).as("__changed"))
+      updated.persist()
+      changed = updated.filter(col("__changed")).count()
+      labels.unpersist()
+      labels = updated.drop("__changed")
+      labels.persist()
+      iter += 1
+    }
+    val keep = labels.filter(col("id") === col("comp")).select(col("id"))
+    df.join(keep, idCol === keep("id"), "left_semi")
+  }
+
   /** 64-bit SimHash over token hashes: bit j of the signature is the sign of
     * Σ_tokens (±1 depending on bit j of the token hash). Expression-only.
     */

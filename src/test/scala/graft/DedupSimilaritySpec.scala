@@ -87,4 +87,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((bf & ivf3).size.toDouble / bf.size >= 0.75)
     assert((bf & ivf3).size >= (bf & ivf1).size)
   }
+
+  test("removeNearDuplicates keeps one representative per near-dup cluster") {
+    // chain cluster: 10-11 and 11-12 are near-dups (10-12 only transitively)
+    val docs = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      11L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu",
+      12L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa xi nu",
+      20L -> "completely different content about catalyst plans and shuffle exchanges here",
+      30L -> "yet another unrelated document mentioning parquet and columnar formats okay")
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.removeNearDuplicates(
+      docs, col("doc_id"), col("text"), shingleSize = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(20L) && kept.contains(30L))
+    assert((kept & Set(10L, 11L, 12L)).size == 1)    // one survivor per cluster
+    assert(kept.contains(10L))                        // min id is canonical
+  }
 }
