@@ -64,11 +64,18 @@ object Bench {
     // charged for session bootstrap.
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
+    // min of N runs per query (SPARK_GRAFT_BENCH_RUNS, default 2): the
+    // first execution of a plan shape carries codegen/JIT warmup that
+    // measured 3-10x steady state; min-of-N reports reproducible cost.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       } catch {
         case e: Throwable =>
           // surface failures as -1, never as a plausible timing
