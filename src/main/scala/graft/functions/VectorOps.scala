@@ -13,6 +13,9 @@ import org.apache.spark.sql.{Column, SparkSession}
   * as doubles left-to-right and returns `xy / (sqrt(xx) * sqrt(yy))` — the
   * exact operation order of the composable form AND of DuckDB's
   * list_cosine_similarity on DOUBLE[], so hash-matching continues to hold.
+  * Mismatched array widths yield NULL, matching the zip_with/aggregate
+  * composable form (zip_with pads the short side with nulls → null sum) —
+  * corrupted embeddings surface as missing scores, never plausible ones.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -28,7 +31,8 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var xy = 0.0; var xx = 0.0; var yy = 0.0
     var i = 0
     while (i < n) {

@@ -132,6 +132,7 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     var labels = df.select(idCol.as("id")).withColumn("comp", col("id"))
+    var persisted: DataFrame = null // the one iteration cache currently held
     var iter = 0
     var changed = 1L
     while (iter < maxIterations && changed > 0) {
@@ -146,12 +147,18 @@ object Dedup {
           (col("min_n_comp") < col("comp")).as("__changed"))
       updated.persist()
       changed = updated.filter(col("__changed")).count()
-      labels.unpersist()
+      if (persisted != null) persisted.unpersist()
+      persisted = updated
       labels = updated.drop("__changed")
-      labels.persist()
       iter += 1
     }
-    val keep = labels.filter(col("id") === col("comp")).select(col("id"))
+    // Materialize the survivor id set with a lineage-truncating local
+    // checkpoint (its blocks are released by the ContextCleaner once the
+    // result is unreferenced), then drop the last iteration cache — a
+    // long-lived session can call this repeatedly without accumulating
+    // storage memory.
+    val keep = labels.filter(col("id") === col("comp")).select(col("id")).localCheckpoint()
+    if (persisted != null) persisted.unpersist()
     df.join(keep, idCol === keep("id"), "left_semi")
   }
 

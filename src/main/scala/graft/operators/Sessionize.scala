@@ -17,6 +17,13 @@ object Sessionize {
   /** Assign gap-based session ids: a new session starts when the gap from
     * the previous event of the same key exceeds `gapSeconds`.
     * Output adds `session_seq` (1-based per key).
+    *
+    * Gaps compare at MICROSECOND precision (`unix_micros`), the same
+    * resolution as `session_window` / `StreamingOps.statefulSessions`
+    * (strictly-greater in both), so this batch form is a true oracle for
+    * the streaming form even on sub-second gap boundaries — whole-second
+    * `unix_timestamp` would call a 30.1 s gap "same session" at gap=30 s
+    * while the stream opens a new one.
     */
   def assignSessions(
       df: DataFrame, key: Column, ts: Column, gapSeconds: Long): DataFrame = {
@@ -24,7 +31,7 @@ object Sessionize {
     val prev = lag(ts, 1).over(byKey)
     val isNew = when(
       prev.isNull ||
-        (unix_timestamp(ts) - unix_timestamp(prev)) > gapSeconds, 1L).otherwise(0L)
+        (unix_micros(ts) - unix_micros(prev)) > gapSeconds * 1000000L, 1L).otherwise(0L)
     df.withColumn("__new", isNew)
       .withColumn("session_seq",
         sum(col("__new")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))

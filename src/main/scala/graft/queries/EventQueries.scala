@@ -89,7 +89,7 @@ object EventQueries {
       """WITH x AS (
            SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                    OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
                   THEN 1 ELSE 0 END AS nw
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

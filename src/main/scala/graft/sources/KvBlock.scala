@@ -67,9 +67,15 @@ object KvBlock {
 
   /** Render rows back to KV blocks: one line per (key, value), in the given
     * key order — the inverse of parseBlock, used by the partitioned sink.
+    * Values are sanitized (newlines and the `^_^` record delimiter collapse
+    * to a space) so a hostile value can't split its record, inject extra
+    * KV lines, or terminate the block early — the round trip
+    * parseBlock(renderBlock(kv)) is total, not just for well-formed input.
     */
   def renderBlock(kvPairs: Seq[(String, Column)]): Column =
-    concat_ws("\n", kvPairs.map { case (k, v) => concat(lit(k), lit("："), v) }: _*)
+    concat_ws("\n", kvPairs.map { case (k, v) =>
+      concat(lit(k), lit("："), regexp_replace(v, "\\r?\\n|\\r|\\^_\\^", " "))
+    }: _*)
 
   /** S14 sink: blocks written under one directory per partition value,
     * each record terminated by the `^_^` delimiter so any concatenation of

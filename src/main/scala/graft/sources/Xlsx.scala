@@ -39,6 +39,13 @@ object Xlsx {
                   // stays small by construction (cap per file)
     require(parsed.nonEmpty, s"no rows parsed from $path")
     val header = parsed.head._2
+    // Cells are mapped to columns positionally, so every file's header must
+    // match the schema-defining first file — a reordered or renamed column
+    // would otherwise be silently misaligned into the wrong field.
+    val badFiles = parsed.iterator.collect { case (p, h, _) if h != header => p }.toSeq.distinct
+    require(badFiles.isEmpty,
+      s"XLSX header mismatch: expected ${header.mkString("[", ", ", "]")} " +
+        s"(from ${parsed.head._1}) but differs in: ${badFiles.mkString(", ")}")
     val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
     val rows = parsed.map { case (_, _, cells) =>
       Row.fromSeq(header.indices.map(i => cells.lift(i).filter(_.nonEmpty).orNull))

@@ -69,6 +69,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got((1L, 3L)) == 1.0)   // scale-invariant
   }
 
+  test("cosine: mismatched widths yield null in both compiled and composable forms") {
+    val vs = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val row = vs.as("a").join(vs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.functions.CosineSim.cosineSim(spark,
+          col("a.embedding"), col("b.embedding")).as("compiled"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("composable"))
+      .collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))   // corrupted data → missing, not plausible
+  }
+
   test("IVF ANN recall vs brute force on sf0.001 embeddings") {
     val emb = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 20)

@@ -66,6 +66,16 @@ class RrfKvSpec extends AnyFunSuite {
     assert(dirs.exists(_.contains("province=")))
   }
 
+  test("KV render sanitizes newlines and the block delimiter inside values") {
+    val hostile = "第一行\n第二行^_^机构类型：伪造"   // would split the record and inject a line
+    val parsed = Seq(hostile).toDF("v")
+      .select(KvBlock.parseBlock(KvBlock.renderBlock(Seq("备注" -> col("v")))).as("kv"))
+      .select(map_entries(col("kv")).as("e"))
+      .selectExpr("explode(e) as kv").selectExpr("kv.key", "kv.value")
+      .as[(String, String)].collect().toMap
+    assert(parsed == Map("备注" -> "第一行 第二行 机构类型：伪造"))
+  }
+
   test("KV parser: first colon wins, both colon widths, colon-less lines dropped") {
     val block = "机构名称：某某：托育中心\nkey2: value2\nno colon line\n机构类型:营利性"
     val kv = Seq(block).toDF("b").select(KvBlock.parseBlock(col("b")).as("kv"))

@@ -93,6 +93,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(missingPerUser.forall(_ == 1))
   }
 
+  test("batch sessionization splits on sub-second gap boundaries (µs precision)") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      (1L, t("2024-01-01 10:00:00.000"), 1.0),
+      (1L, t("2024-01-01 10:30:00.100"), 1.0),  // gap 1800.1 s > 1800 → new session
+      (2L, t("2024-01-01 10:00:00.200"), 1.0),
+      (2L, t("2024-01-01 10:29:59.900"), 1.0),  // gap 1799.7 s → same session
+      (3L, t("2024-01-01 10:00:00.000"), 1.0),
+      (3L, t("2024-01-01 10:30:00.000"), 1.0)   // gap exactly 1800 s → same (strict >)
+    ).toDF("user_id", "ts", "value")
+    val maxSeq = graft.operators.Sessionize
+      .sessionStats(evs, col("user_id"), col("ts"), col("value"), 1800)
+      .groupBy(col("key")).agg(max(col("session_seq")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(maxSeq == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

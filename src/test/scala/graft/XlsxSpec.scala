@@ -57,4 +57,19 @@ class XlsxSpec extends AnyFunSuite {
     assert(df.count() == 500)   // cap (O5) — 601 data rows in the file
     assert(df.filter($"id" === "1").select("name").as[String].head() == "row1")
   }
+
+  test("read fails loudly when a file's header differs from the first file's") {
+    def sheet(h1: String, h2: String, v: String) =
+      s"""<row r="1"><c r="A1" t="inlineStr"><is><t>$h1</t></is></c><c r="B1" t="inlineStr"><is><t>$h2</t></is></c></row>""" +
+        s"""<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="inlineStr"><is><t>$v</t></is></c></row>"""
+    val dir = java.nio.file.Files.createTempDirectory("xlsxmix").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.xlsx").toPath,
+      buildXlsx(sheet("id", "name", "x"), Seq.empty))
+    java.nio.file.Files.write(new java.io.File(dir, "b.xlsx").toPath,
+      buildXlsx(sheet("name", "id", "y"), Seq.empty))   // reordered columns
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.read(spark, dir.toString + "/*.xlsx")
+    }
+    assert(e.getMessage.contains("header mismatch"))
+  }
 }
