@@ -83,10 +83,16 @@ object Bench {
           name -> -1.0
       }
     }
-    val corpusOut = java.nio.file.Files.createTempDirectory("graft_corpus").toString
-    val t0 = System.nanoTime()
-    corpusPipeline(spark, corpusOut)
-    val corpus = ("corpus_62k_pipeline", (System.nanoTime() - t0) / 1e9)
+    // Same min-of-N methodology as the queries: the corpus plan runs only
+    // here, so its first execution carries the full codegen/JIT warmup for
+    // the sink path (measured ~7x steady state).
+    val corpusTimes = (1 to runs).map { _ =>
+      val corpusOut = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+      val t0 = System.nanoTime()
+      corpusPipeline(spark, corpusOut)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val corpus = ("corpus_62k_pipeline", corpusTimes.min)
 
     val all = results :+ corpus
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

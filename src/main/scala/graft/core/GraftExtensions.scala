@@ -28,5 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.ShingleHashes(exprs.head, k)))
     }
+    e.injectFunction((
+      FunctionIdentifier("graft_multi_format_date"),
+      new ExpressionInfo(classOf[graft.functions.MultiFormatDate].getName,
+        "graft_multi_format_date"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.MultiFormatDate(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_lang_id_vote"),
+      new ExpressionInfo(classOf[graft.functions.LangIdVote].getName,
+        "graft_lang_id_vote"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.LangIdVote(exprs.head)))
   }
 }

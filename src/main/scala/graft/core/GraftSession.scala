@@ -36,6 +36,10 @@ object GraftSession {
       .config("spark.sql.legacy.javaCharsets", "true")
       // KV blocks with repeated keys keep the last value (dict semantics)
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // the engine's custom expression surface (lenient_json_clean,
+      // shingle_hashes_k, graft_multi_format_date) registered on every
+      // session — columns built before any session exists still resolve
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft", threads: Int = 32): SparkSession = {

@@ -1,7 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen
+import org.apache.spark.sql.catalyst.util.DateFormatter
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Multi-format date parsing and relative-date arithmetic — the Spark
   * restatement of 多数据源获取链接.py:29-95 (5 literal formats + "N 天/周/月/年前"
@@ -16,18 +21,18 @@ object DateFunctions {
 
   /** First format that parses wins; null when none do.
     *
-    * Implemented as a shape dispatch rather than try-all-five: each format
-    * has a disjoint separator signature (`-`, `/`, `.`, `年`, bare digits),
-    * so ONE parser attempt runs per row instead of up to five — equivalent
-    * to the reference's try-in-order loop (a string containing `-` can only
-    * ever match the `-` format) but ~5× cheaper on the 100 TB hot path.
+    * ONE compiled expression (shape dispatch on the disjoint separator
+    * signatures `-`, `/`, `.`, `年`, bare digits, then a single
+    * DateFormatter attempt — Spark's own try_to_date parser, so failure/
+    * success semantics are identical). A single Expression instead of a
+    * when/try_to_date chain matters beyond constant factors: when the
+    * parsed column feeds a pushed-down filter, Catalyst inlines the
+    * defining expression into every predicate reference — the composable
+    * chain re-expanded its five-branch input CASE per `when` arm (~30
+    * date parses/row observed in the q23 plan); this node is referenced
+    * once per predicate copy and costs one dispatch + one parse.
     */
-  def parseMultiFormat(c: Column): Column =
-    when(c.contains("-"), try_to_date(c, "yyyy-MM-dd"))
-      .when(c.contains("/"), try_to_date(c, "yyyy/MM/dd"))
-      .when(c.contains("."), try_to_date(c, "yyyy.MM.dd"))
-      .when(c.contains("年"), try_to_date(c, "yyyy年MM月dd日"))
-      .when(c.rlike("^\\d{8}$"), try_to_date(c, "yyyyMMdd"))
+  def parseMultiFormat(c: Column): Column = MultiFormatDate.expr(c)
 
   /** Bare-year fallback: "2023" → 2023-01-01 (retrieve.py:1311-1318). */
   def parseWithYearFallback(c: Column): Column =
@@ -79,4 +84,75 @@ object DateFunctions {
   def mmss(seconds: Column): Column =
     format_string("%02d:%02d",
       floor(seconds / 60).cast("int"), floor(seconds % 60).cast("int"))
+}
+
+/** Compiled multi-format date parse: separator-dispatch to exactly one of
+  * the five reference formats, parsed with Spark's own `DateFormatter`
+  * (the try_to_date parser — same CORRECTED-policy semantics, same
+  * reject-to-null behavior). Real `doGenCode` (one static call), so it
+  * stays inside whole-stage codegen on scan-side hot paths.
+  * See DateFunctions.parseMultiFormat.
+  */
+case class MultiFormatDate(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DateType
+  override def nullable: Boolean = true
+  override def prettyName: String = "multi_format_date"
+
+  override protected def withNewChildInternal(newChild: Expression): MultiFormatDate =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    MultiFormatDate.parseUTF8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.Integer ${ev.value}_r = graft.functions.MultiFormatDate.parseUTF8($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.intValue(); }
+       """.stripMargin
+    })
+}
+
+object MultiFormatDate {
+
+  /** Shared parsers: Iso8601DateFormatter is immutable/thread-safe (the
+    * engine always runs the CORRECTED parser policy — GraftSession default).
+    */
+  private lazy val formatters: Array[DateFormatter] =
+    DateFunctions.Formats.map(f => DateFormatter(f)).toArray
+
+  /** Days-since-epoch or null; called from both eval and generated code. */
+  def parseUTF8(input: UTF8String): Integer = {
+    val s = input.toString
+    val idx =
+      if (s.indexOf('-') >= 0) 0
+      else if (s.indexOf('/') >= 0) 1
+      else if (s.indexOf('.') >= 0) 2
+      else if (s.indexOf('年') >= 0) 3
+      else if (s.length == 8 && s.forall(c => c >= '0' && c <= '9')) 4
+      else -1
+    if (idx < 0) null
+    else try Integer.valueOf(formatters(idx).parse(s))
+    catch { case _: Exception => null }
+  }
+
+  /** Column bridge via the registry. GraftExtensions injects the function
+    * into every GraftSession, so resolution works even for columns built
+    * before a session exists; for foreign sessions, best-effort temp
+    * registration on whatever session is current at build time.
+    */
+  def expr(c: Column): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
+      val reg = s.sessionState.functionRegistry
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(
+          "graft_multi_format_date"))) {
+        reg.createOrReplaceTempFunction(
+          "graft_multi_format_date", exprs => MultiFormatDate(exprs.head), "built-in")
+      }
+    }
+    call_function("graft_multi_format_date", c)
+  }
 }

@@ -104,7 +104,14 @@ object TextFunctions {
     "es" -> Seq("el", "los", "y", "es"),
     "zh" -> Seq("的", "是", "了", "在"))
 
-  def langIdHeuristic(c: Column): Column = {
+  def langIdHeuristic(c: Column): Column = LangIdVote.expr(c)
+
+  /** The composable (pure-built-in) form of the vote — kept as the
+    * readable specification of LangIdVote's semantics and exercised by
+    * TextFunctionsSpec's equivalence test. Five interpreted HOF passes,
+    * so the compiled form is what queries use.
+    */
+  def langIdHeuristicComposable(c: Column): Column = {
     val t = tokens(lower(c))
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       struct(size(filter(t, w => w.isin(ws: _*))).as("hits"), lit(lang).as("lang"))

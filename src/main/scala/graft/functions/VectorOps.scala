@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Compiled cosine similarity over two `array<float>` columns — one tight
@@ -52,5 +52,66 @@ object CosineSim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     org.apache.spark.sql.functions.call_function("graft_cosine_sim", a, b)
+  }
+}
+
+/** Compiled IVF probe: the `nprobe` nearest-centroid bucket ids of an
+  * `array<float>` vector, ordered best-first — ties resolved to the LARGER
+  * bucket id, bit-identical to the composable
+  * `reverse(array_sort(struct(dot, c)))` / `array_max` forms it replaces
+  * (dot products accumulate in double, left-to-right).
+  *
+  * One tight loop over C×dim instead of C interpreted zip_with/aggregate
+  * stacks per row — the centroid-assignment pass is the IVF hot path (it
+  * runs over every candidate AND inside every Lloyd training iteration).
+  * Codebooks are dimension-bounded (C ≤ a few hundred), so the centroid
+  * matrix rides along as expression state, never a join.
+  */
+case class IvfBuckets(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty && nprobe >= 1, "need centroids and nprobe >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = s"ivf_buckets_$nprobe"
+
+  override protected def withNewChildInternal(newChild: Expression): IvfBuckets =
+    copy(child = newChild)
+
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val c0 = cents
+    val nC = c0.length
+    val scores = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      val cv = c0(c)
+      if (v.numElements() != cv.length) return null
+      var s = 0.0
+      var i = 0
+      while (i < cv.length) { s += v.getFloat(i).toDouble * cv(i); i += 1 }
+      scores(c) = s
+      c += 1
+    }
+    val k = math.min(nprobe, nC)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nC)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var c2 = 0
+      while (c2 < nC) {
+        if (!used(c2) && (best < 0 || scores(c2) > scores(best) ||
+            (scores(c2) == scores(best) && c2 > best))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -101,20 +101,27 @@ object Similarity {
     centroids
   }
 
-  private def centroidScores(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (cv, c) =>
-      struct(dot(vec, typedLit(cv)).as("score"), lit(c).as("c"))
-    }: _*)
+  /** Registry bridge for the compiled probe (graft.functions.IvfBuckets);
+    * the name encodes the codebook + nprobe so distinct codebooks in one
+    * session never collide.
+    */
+  private def ivfBucketsCol(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
+    val name = s"graft_ivf_buckets_${java.lang.Integer.toHexString(centroids.hashCode)}_$nprobe"
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).foreach {
+        _.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, exprs => graft.functions.IvfBuckets(exprs.head, centroids, nprobe), "built-in")
+      }
+    call_function(name, vec)
+  }
 
   /** Nearest-centroid bucket id (centroids pre-normalized → dot = cosine). */
   def ivfBucket(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    array_max(centroidScores(vec, centroids)).getField("c")
+    element_at(ivfBucketsCol(vec, centroids, 1), 1)
 
   /** The query side's `nprobe` best buckets (multi-probe recall boost). */
   def ivfProbeBuckets(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
-    transform(
-      slice(reverse(array_sort(centroidScores(vec, centroids))), 1, nprobe),
-      x => x.getField("c"))
+    ivfBucketsCol(vec, centroids, nprobe)
 
   /** IVF-pruned top-k with a trained codebook: candidates bucketed once;
     * each query probes its `nprobe` best buckets — scanned fraction ≈

@@ -41,6 +41,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one(langIdHeuristic(lit("xyz abc qqq"))) == "und")
   }
 
+  test("compiled lang-ID vote == composable form on real documents (incl. ties)") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("text"))
+      // synthetic tie rows: equal marker hits across languages must resolve
+      // to the lexicographically greatest language in both forms
+      .unionByName(Seq("the der", "le el 的", "is est es y", "").toDF("text"))
+    val diff = docs.select(
+        langIdHeuristic(col("text")).as("compiled"),
+        langIdHeuristicComposable(col("text")).as("composable"))
+      .filter(not(col("compiled") <=> col("composable")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("cleanDocument drops noise/page-number/link-dense lines, keeps content") {
     val doc = Seq(
       "真实的正文内容保留在这里",
