@@ -40,16 +40,16 @@ object Dedup {
     * `array<bigint>` ready for band slicing.
     */
   /** 2^31-1: keeps `a*x + b` under 2^62 — no Long overflow in ANSI mode. */
-  val HashPrime: Long = 2147483647L
+  val HashPrime: Long = graft.functions.MinHashSig.HashPrime
 
-  private def seededCoeffs(numHashes: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (HashPrime - 1) + 1,
-                         math.abs(rnd.nextLong()) % HashPrime))
-  }
+  private def seededCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    graft.functions.MinHashSig.seededCoeffs(numHashes)
 
   /** Signature from PRE-HASHED shingles (array<long> already reduced mod
     * HashPrime) — hash each shingle once, not once per permutation.
+    * This is the composable SPEC form (numHashes interpreted HOF passes);
+    * queries use the compiled `MinHashSig` expression, whose bit-equality
+    * to this form DedupSimilaritySpec asserts on real documents.
     */
   def minHashSignatureFromHashes(hashedShingles: Column, numHashes: Int): Column = {
     val hashes = seededCoeffs(numHashes).map { case (a, b) =>
@@ -86,8 +86,7 @@ object Dedup {
           .shingleHashes(df.sparkSession, textCol, shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
     val withSig = hashed
-      .withColumn("sig", minHashSignatureFromHashes(
-        transform(col("hs"), x => pmod(x, lit(HashPrime))), numHashes))
+      .withColumn("sig", graft.functions.MinHashSig.expr(col("hs"), numHashes))
     val banded = withSig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
@@ -163,9 +162,16 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: bit j of the signature is the sign of
-    * Σ_tokens (±1 depending on bit j of the token hash). Expression-only.
+    * Σ_tokens (±1 depending on bit j of the token hash). One compiled pass
+    * (graft.functions.SimHash64); semantics = `simHashComposable`.
     */
-  def simHash(textCol: Column): Column = {
+  def simHash(textCol: Column): Column =
+    graft.functions.SimHash64.expr(textCol)
+
+  /** Composable SPEC form of simHash — 64 interpreted `aggregate` passes;
+    * kept as the readable definition and exercised by the equivalence spec.
+    */
+  def simHashComposable(textCol: Column): Column = {
     val tokHashes = transform(tokens(textCol), w => xxhash64(w))
     val bits = (0 until 64).map { j =>
       val bitSum = aggregate(tokHashes, lit(0L), (acc, h) =>
@@ -180,9 +186,16 @@ object Dedup {
     * behind LSH blocking at scale (see minHashLsh); exposed directly for
     * oracle-checkable exact semantics on bounded inputs.
     */
+  /** @param pruneSingletons drop shingles held by a single document before
+    * the self-join. In natural corpora singletons dominate the inverted
+    * index and this collapses the quadratic stage; on template-generated or
+    * highly repetitive corpora (like the synthetic bench tables, 0.8%
+    * singletons) it is pure overhead — hence opt-in.
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: Column, textCol: Column,
-      shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.0,
+      pruneSingletons: Boolean = false): DataFrame = {
     // Inverted index on HASHED shingles: the self-join shuffles (gh, id, n)
     // triples — 24 bytes/row — and both sides canonicalize to the same
     // exchange, so Spark's ReuseExchange shuffles the index once. AQE's
@@ -193,8 +206,16 @@ object Dedup {
           .shingleHashes(df.sparkSession, textCol, shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("gh"))
-    val pairs = inv.as("a")
-      .join(inv.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+    // Singleton pruning: a shingle held by one document can never produce a
+    // pair — one extra hash-agg on the same gh exchange buys a much smaller
+    // self-join when singletons dominate.
+    val pruned = if (pruneSingletons) {
+      val repeated = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1).select(col("gh"))
+      inv.join(repeated, Seq("gh"))
+    } else inv
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))

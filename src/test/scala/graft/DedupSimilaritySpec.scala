@@ -45,6 +45,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((exact & lsh).size.toDouble / exact.size >= 0.9) // banded recall
   }
 
+  test("singleton-pruned jaccard pairs == unpruned on real documents") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+    def run(prune: Boolean) =
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.3, prune)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(run(prune = true) == run(prune = false))
+  }
+
+  test("compiled minhash signature == composable form on real documents") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+    val hashed = docs.select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(spark, col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val diff = hashed.select(
+        graft.functions.MinHashSig.expr(col("hs"), 32).as("compiled"),
+        Dedup.minHashSignatureFromHashes(
+          transform(col("hs"), x => pmod(x, lit(Dedup.HashPrime))), 32).as("composable"))
+      .filter(not(col("compiled") <=> col("composable")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("compiled simhash == composable form on real documents (incl. empty)") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("text"))
+      .unionByName(Seq("", "   ", "one").toDF("text"))
+    val diff = docs.select(
+        Dedup.simHash(col("text")).as("compiled"),
+        Dedup.simHashComposable(col("text")).as("composable"))
+      .filter(not(col("compiled") <=> col("composable")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("simhash: near-dups differ in few bits, unrelated docs in many") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val sig = base.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
