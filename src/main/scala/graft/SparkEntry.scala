@@ -46,7 +46,9 @@ object SparkEntry {
     new QueryModule(graft.queries.RuleQueries.queries,
       graft.queries.RuleQueries.oracles),
     new QueryModule(graft.queries.ExtendedQueries.queries,
-      graft.queries.ExtendedQueries.oracles))
+      graft.queries.ExtendedQueries.oracles),
+    new QueryModule(graft.queries.ScaleQueries.queries,
+      graft.queries.ScaleQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

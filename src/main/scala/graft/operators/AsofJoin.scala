@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed as-of join — for every left row, the single right row with the
+  * greatest `rightTime <= leftTime` (backward) or smallest
+  * `rightTime >= leftTime` (forward) within the same key. The reference has
+  * no as-of shape (SURVEY §2.3); this is an engine extension for
+  * event-to-snapshot enrichment (e.g. "state of the user at order time").
+  *
+  * Implementation is the scale-correct union form, NOT a range join: tag
+  * both sides, union, and resolve with one window pass —
+  * `last(payload, ignoreNulls)` over the time-ordered prefix. One shuffle
+  * on the key, one sort, zero row multiplication; a range join would
+  * produce |left| × |matching right| intermediates before its top-1 filter.
+  * Hot keys are bounded by the window sort, the same posture as every other
+  * windowed operator here (salt the key upstream if one key dominates).
+  */
+object AsofJoin {
+
+  /** @param rightPayload (outputName, column-on-right) pairs carried to the
+    *                     matched left row (null when no match — left-outer).
+    * @param rightTiebreak orders right rows sharing an identical timestamp;
+    *                      the LAST one in this order wins (backward) / the
+    *                      FIRST one wins (forward), making ties
+    *                      deterministic.
+    */
+  def backward(
+      left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      rightPayload: Seq[(String, Column)], rightTiebreak: Column): DataFrame =
+    asof(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightPayload, rightTiebreak, forward = false)
+
+  def forward(
+      left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      rightPayload: Seq[(String, Column)], rightTiebreak: Column): DataFrame =
+    asof(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightPayload, rightTiebreak, forward = true)
+
+  private def asof(
+      left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      rightPayload: Seq[(String, Column)], rightTiebreak: Column,
+      forward: Boolean): DataFrame = {
+    val payloadCols = rightPayload.map { case (n, c) => c.as(n) }
+    val payloadType = right.select(payloadCols: _*).schema
+    val leftRowType = left.schema
+
+    val rightSide = right.select(
+      rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side"),
+      rightTiebreak.cast("long").as("__tb"),
+      struct(payloadCols: _*).as("__p"),
+      lit(null).cast(leftRowType).as("__row"))
+    val leftSide = left.select(
+      leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__side"),
+      lit(0L).as("__tb"),
+      lit(null).cast(payloadType).as("__p"),
+      struct(left.columns.map(col): _*).as("__row"))
+
+    // Backward: at equal time, right rows sort BEFORE left (`side` asc), so
+    // a right row at exactly leftTime is eligible (>= / <= inclusive
+    // semantics); among equal-time right rows the tiebreak-max wins via
+    // `last`. Forward mirrors both.
+    val resolved = if (!forward) {
+      val w = Window.partitionBy(col("__k"))
+        .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rightSide.unionByName(leftSide)
+        .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+    } else {
+      val w = Window.partitionBy(col("__k"))
+        .orderBy(col("__t").asc, col("__side").desc, col("__tb").asc)
+        .rowsBetween(0, Window.unboundedFollowing)
+      rightSide.unionByName(leftSide)
+        .withColumn("__asof", first(col("__p"), ignoreNulls = true).over(w))
+    }
+    val out = resolved.filter(col("__side") === 1)
+    out.select(
+      left.columns.map(c => col(s"__row.$c")) ++
+        rightPayload.map { case (n, _) => col(s"__asof.$n").as(n) }: _*)
+  }
+}

@@ -47,4 +47,23 @@ object Skew {
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     saltedFact.join(explodedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Exact semi-join with an explicit Bloom runtime filter: build a Bloom
+    * filter over the dim keys (distributed agg; only the bit array reaches
+    * the driver — `numBits/8` bytes, ~1.2 MB at 1M keys / 1% fpp), probe it
+    * AT THE FACT SCAN so non-joining rows are dropped before the exchange,
+    * then remove the Bloom's false positives with the exact left-semi join.
+    * Result is bit-identical to `fact JOIN dim` left_semi; the Bloom stage
+    * only changes how many rows the shuffle carries — at 100 TB that is the
+    * difference between shuffling the full fact table and shuffling the
+    * matching fraction.
+    */
+  def bloomSemiJoin(
+      fact: DataFrame, factKey: Column, dim: DataFrame, dimKey: Column,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    fact
+      .filter(graft.functions.BloomMightContain.expr(factKey, bloom))
+      .join(dim, factKey === dimKey, "left_semi")
+  }
 }
