@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyed point-in-interval join — every point row `(key, time)` matched to
+  * the interval rows `(key, start, end)` with `start <= time < end`
+  * (half-open). The reference has no range shape (SURVEY §2.3 is all
+  * equi/theta-containment); this is an engine extension for
+  * event-window enrichment ("events in the 7 days before each order").
+  *
+  * A naive theta join (`pKey === iKey && iStart <= pTime && pTime < iEnd`)
+  * lowers to BroadcastNestedLoop or a per-key cartesian — |points| ×
+  * |intervals-per-key| comparisons, which at 100 TB is the plan that never
+  * finishes. Here both sides are BINNED into fixed-width time buckets:
+  * a point lands in exactly one bucket, an interval explodes to every
+  * bucket it overlaps, and the join is a plain shuffled EQUI-join on
+  * `(key, bucket)` refined by the exact predicate. Each qualifying pair
+  * meets in exactly one bucket (the point's), so no post-dedup is needed.
+  * Cost scales with interval_length / binWidth (buckets per interval);
+  * pick `binWidth` on the order of the typical interval length so most
+  * intervals explode to ≤ 2 rows.
+  *
+  * Bucket ids are computed with integral `div` on epoch micros — double
+  * division could mis-floor on exact bucket boundaries and silently drop
+  * boundary matches.
+  */
+object RangeJoin {
+
+  /** @param joinType "inner" or "left_outer" (left = points).
+    * @param binWidthSeconds bucket width; must be ≥ 1. Correct for ANY
+    *                        width — only the explode factor changes.
+    *
+    * Point and interval frames must not share column names (assert below);
+    * alias upstream as needed. All original columns from both sides are
+    * carried through.
+    */
+  def pointInInterval(
+      points: DataFrame, pKey: Column, pTime: Column,
+      intervals: DataFrame, iKey: Column, iStart: Column, iEnd: Column,
+      binWidthSeconds: Long, joinType: String = "inner"): DataFrame = {
+    require(binWidthSeconds >= 1, "binWidthSeconds must be >= 1")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points/intervals share column names: ${overlap.mkString(", ")} — alias one side")
+    val binUs = binWidthSeconds * 1000000L
+
+    val p = points
+      .withColumn("__p_us", unix_micros(pTime))
+      .withColumn("__bin", expr(s"__p_us div ${binUs}L"))
+    val i = intervals
+      .withColumn("__s_us", unix_micros(iStart))
+      .withColumn("__e_us", unix_micros(iEnd))
+      // half-open [start, end): a point at exactly `end` never matches, so
+      // the last bucket needed is the one containing end - 1µs
+      .withColumn("__bin", explode(sequence(
+        expr(s"__s_us div ${binUs}L"),
+        expr(s"greatest(__s_us, __e_us - 1L) div ${binUs}L"))))
+
+    p.join(i,
+        p("__bin") === i("__bin") && pKey === iKey &&
+          col("__s_us") <= col("__p_us") && col("__p_us") < col("__e_us"),
+        joinType)
+      .drop("__bin", "__p_us", "__s_us", "__e_us")
+  }
+
+  /** Band join — points within ± `toleranceSeconds` of each other
+    * (|leftTime − rightTime| ≤ tol, inclusive both ends), expressed as the
+    * interval form with the right side expanded to `[t − tol, t + tol]`.
+    */
+  def band(
+      left: DataFrame, lKey: Column, lTime: Column,
+      right: DataFrame, rKey: Column, rTime: Column,
+      toleranceSeconds: Long, joinType: String = "inner"): DataFrame = {
+    val tolUs = toleranceSeconds * 1000000L
+    val widened = right
+      .withColumn("__band_s", timestamp_micros(unix_micros(rTime) - tolUs))
+      // +1µs: pointInInterval is half-open, band is inclusive of t + tol
+      .withColumn("__band_e", timestamp_micros(unix_micros(rTime) + tolUs + 1L))
+    pointInInterval(left, lKey, lTime,
+        widened, rKey, col("__band_s"), col("__band_e"),
+        binWidthSeconds = math.max(1L, toleranceSeconds), joinType)
+      .drop("__band_s", "__band_e")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{AsofJoin, Skew}
+import graft.operators.{AsofJoin, RangeJoin, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,23 +20,23 @@ object ScaleQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // As-of join: for each order, the user's latest event at or before the
-    // order timestamp (ties on ts resolved to max event_id). Left-outer:
-    // orders with no prior event keep nulls.
+    // As-of join: for each error event, the same user's latest click at or
+    // before it (ties on ts resolved to max event_id). Left-outer: errors
+    // with no prior click keep nulls. Self as-of on the event stream — the
+    // "state of the user at incident time" enrichment shape.
     "q62_asof_last_event" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
       val events = t(s, dir, "events")
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val clicks = events.filter(col("event_type") === "click")
       AsofJoin.backward(
-          orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
-          col("o_custkey"), col("o_orderdate"),
-          events, col("user_id"), col("ts"),
+          errors, col("e_user"), col("e_ts"),
+          clicks, col("user_id"), col("ts"),
           Seq(
-            "last_event_id" -> col("event_id"),
-            "last_event_type" -> col("event_type"),
-            "last_event_ts" -> date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")),
+            "last_click_id" -> col("event_id"),
+            "last_click_ts" -> date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")),
           rightTiebreak = col("event_id"))
-        .select(col("o_orderkey"), col("last_event_id"),
-          col("last_event_type"), col("last_event_ts"))
+        .select(col("event_id"), col("last_click_id"), col("last_click_ts"))
     }),
 
     // Salted join + salted two-phase aggregation; oracle is the plain
@@ -66,22 +66,47 @@ object ScaleQueries {
         .groupBy(col("l_returnflag"))
         .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // Binned range join: for each purchase event, all of the same user's
+    // events in the following hour (anchor included — ts >= anchor). The
+    // oracle states the naive inequality join; the engine form is the
+    // bucketed equi-join + exact refine.
+    "q65_range_window_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val anchors = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("anchor_id"), col("user_id").as("a_user"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      val points = ev.select(col("event_id").as("p_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      RangeJoin.pointInInterval(
+          points, col("p_user"), col("p_ts"),
+          anchors, col("a_user"), col("w_start"), col("w_end"),
+          binWidthSeconds = 3600L)
+        .groupBy(col("anchor_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("p_value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          date_format(max(col("p_ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
     }))
 
   val oracles: Map[String, String] = Map(
     "q62_asof_last_event" ->
       """WITH j AS (
-           SELECT o.o_orderkey, e.event_id, e.event_type, e.ts,
-             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
-               ORDER BY e.ts DESC, e.event_id DESC) AS rn
-           FROM orders o
-           JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
-         SELECT o.o_orderkey,
-           j.event_id AS last_event_id,
-           j.event_type AS last_event_type,
-           STRFTIME(j.ts, '%Y-%m-%d %H:%M:%S') AS last_event_ts
-         FROM orders o
-         LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (o_orderkey)""",
+           SELECT a.event_id, b.event_id AS c_id, CAST(b.ts AS TIMESTAMP) AS c_ts,
+             ROW_NUMBER() OVER (PARTITION BY a.event_id
+               ORDER BY CAST(b.ts AS TIMESTAMP) DESC, b.event_id DESC) AS rn
+           FROM events a
+           JOIN events b ON b.user_id = a.user_id AND b.event_type = 'click'
+             AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+           WHERE a.event_type = 'error')
+         SELECT a.event_id,
+           j.c_id AS last_click_id,
+           STRFTIME(j.c_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+         FROM events a
+         LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+         WHERE a.event_type = 'error'""",
     "q63_salted_segment_revenue" ->
       """SELECT c_mktsegment,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -95,5 +120,16 @@ object ScaleQueries {
          FROM lineitem
          WHERE l_orderkey IN
            (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-         GROUP BY l_returnflag""")
+         GROUP BY l_returnflag""",
+    "q65_range_window_stats" ->
+      """SELECT a.event_id AS anchor_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           STRFTIME(MAX(CAST(b.ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts
+         FROM events a
+         JOIN events b ON b.user_id = a.user_id
+           AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+           AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+         WHERE a.event_type = 'purchase'
+         GROUP BY 1""")
 }

@@ -56,28 +56,26 @@ class AsofBloomSpec extends AnyFunSuite {
   }
 
   test("as-of matches the quadratic window oracle on real tables") {
-    val orders = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    // self as-of on the event stream: last click at or before each error
     val events = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val clicks = events.filter(col("event_type") === "click")
     val fast = AsofJoin.backward(
-        orders, col("o_custkey"), col("o_orderdate"),
-        events, col("user_id"), col("ts"),
-        Seq("eid" -> col("event_id")), rightTiebreak = col("event_id"))
-      .select("o_orderkey", "eid").as[(Long, Option[Long])].collect().toMap
-    val slow = orders.join(events,
-        events("user_id") === orders("o_custkey") && events("ts") <= orders("o_orderdate"), "left")
-      .groupBy(col("o_orderkey")).agg(max(col("event_id")).as("eid"))
+        errors, col("e_user"), col("e_ts"),
+        clicks, col("user_id"), col("ts"),
+        Seq("cid" -> col("event_id")), rightTiebreak = col("event_id"))
+      .select(col("event_id"), col("cid")).as[(Long, Option[Long])].collect().toMap
+    val clicksR = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val slowExact = errors.join(clicksR,
+        col("c_user") === col("e_user") && col("c_ts") <= col("e_ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("c_ts"), col("c_id"))).as("m"))
+      .select(col("event_id"), col("m.c_id").as("cid"))
       .as[(Long, Option[Long])].collect().toMap
-    // same keys; for ties our max-tiebreak == max(event_id) only when the max
-    // ts row also has max id — compare on the max-ts subset instead:
-    val slowExact = orders.join(events,
-        events("user_id") === orders("o_custkey") && events("ts") <= orders("o_orderdate"), "left")
-      .groupBy(col("o_orderkey"))
-      .agg(max(struct(col("ts"), col("event_id"))).as("m"))
-      .select(col("o_orderkey"), col("m.event_id").as("eid"))
-      .as[(Long, Option[Long])].collect().toMap
-    assert(fast.keySet == slow.keySet)
     assert(fast == slowExact)
+    assert(fast.values.exists(_.isDefined), "degenerate: no as-of matches at all")
   }
 
   test("bloom expr: no false negatives; serializable across the plan") {

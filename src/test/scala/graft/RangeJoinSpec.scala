@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val points = Seq(
+    ("u1", ts("2024-01-01 10:00:00"), 1L),
+    ("u1", ts("2024-01-01 10:29:59"), 2L),
+    ("u1", ts("2024-01-01 10:30:00"), 3L), // == interval end: excluded (half-open)
+    ("u1", ts("2024-01-01 11:00:00"), 4L),
+    ("u2", ts("2024-01-01 10:05:00"), 5L), // other key
+    ("u1", ts("2024-01-02 10:05:00"), 6L)  // next day
+  ).toDF("p_user", "p_ts", "p_id")
+
+  private lazy val intervals = Seq(
+    ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), "w1"),
+    ("u1", ts("2024-01-01 10:45:00"), ts("2024-01-01 11:00:01"), "w2"),
+    ("u2", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), "w3")
+  ).toDF("i_user", "i_start", "i_end", "w")
+
+  private def run(binSeconds: Long) = RangeJoin.pointInInterval(
+      points, col("p_user"), col("p_ts"),
+      intervals, col("i_user"), col("i_start"), col("i_end"),
+      binWidthSeconds = binSeconds)
+    .select("p_id", "w").as[(Long, String)].collect().toSet
+
+  private val expected = Set(
+    1L -> "w1", 2L -> "w1", // 3 excluded: ts == end, half-open
+    4L -> "w2",             // end+1µs windows include the boundary point
+    5L -> "w3")
+
+  test("point-in-interval: half-open bounds, key isolation") {
+    assert(run(binSeconds = 1800L) == expected)
+  }
+
+  test("bin width does not change results, only the explode factor") {
+    // smaller than, equal to, and much larger than the interval length;
+    // bucket-boundary-aligned and not
+    for (bin <- Seq(1L, 60L, 900L, 1800L, 3600L, 86400L, 7L))
+      assert(run(bin) == expected, s"bin=$bin")
+  }
+
+  test("left_outer keeps unmatched points with null interval side") {
+    val out = RangeJoin.pointInInterval(
+        points, col("p_user"), col("p_ts"),
+        intervals, col("i_user"), col("i_start"), col("i_end"),
+        binWidthSeconds = 1800L, joinType = "left_outer")
+      .select("p_id", "w").as[(Long, Option[String])].collect().toSet
+    assert(out.contains(3L -> None) && out.contains(6L -> None))
+    assert(out.filter(_._2.isDefined).map(p => p._1 -> p._2.get) == expected)
+  }
+
+  test("band join is inclusive both ends") {
+    val left = Seq(("k", ts("2024-01-01 10:00:00"), "L")).toDF("lk", "lt", "l")
+    val right = Seq(
+      ("k", ts("2024-01-01 09:59:00"), "exact-low"),   // t - 60s: included
+      ("k", ts("2024-01-01 10:01:00"), "exact-high"),  // t + 60s: included
+      ("k", ts("2024-01-01 09:58:59"), "below"),
+      ("k", ts("2024-01-01 10:01:01"), "above")
+    ).toDF("rk", "rt", "r")
+    val out = RangeJoin.band(left, col("lk"), col("lt"),
+        right, col("rk"), col("rt"), toleranceSeconds = 60L)
+      .select("r").as[String].collect().toSet
+    assert(out == Set("exact-low", "exact-high"))
+  }
+
+  test("matches the naive theta-join oracle on real tables") {
+    val ev = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "events")
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("w_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val pts = ev.select(col("event_id").as("p_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val binned = RangeJoin.pointInInterval(pts, col("p_user"), col("p_ts"),
+        anchors, col("a_user"), col("w_start"), col("w_end"), binWidthSeconds = 3600L)
+      .select("a_id", "p_id").as[(Long, Long)].collect().toSet
+    val naive = pts.join(anchors,
+        col("p_user") === col("a_user") && col("p_ts") >= col("w_start") &&
+          col("p_ts") < col("w_end"))
+      .select("a_id", "p_id").as[(Long, Long)].collect().toSet
+    assert(binned == naive && binned.nonEmpty)
+  }
+}
