@@ -95,9 +95,31 @@ object Bench {
     val corpus = ("corpus_62k_pipeline", corpusTimes.min)
 
     val all = results :+ corpus
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision, full-name detail to a side file (the driver only
+    // captures a bounded tail of stdout — round 1's 2.1k-char line
+    // overflowed its 2000-char buffer and parsed as null).
+    val detail = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (detailJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    // The ONE stdout JSON line, kept well under the tail buffer: keys are
+    // the stable qNN prefixes (qNN -> full name is 1:1, see SparkEntry),
+    // values rounded to ms.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortKey(name: String): String =
+      if (name.startsWith("q") && name.contains("_")) name.takeWhile(_ != '_') else name
+    val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

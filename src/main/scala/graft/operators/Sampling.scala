@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling / dataset splitting for
+  * training pipelines. The split of a row depends ONLY on its id — not on
+  * partitioning, row order, executor count, or Spark's RNG — so the same
+  * row lands in the same split on a laptop and on a 1000-executor cluster,
+  * across reruns, and in any other engine that can do modular arithmetic
+  * (the DuckDB oracle computes the identical assignment, q66).
+  *
+  * Hash: Fibonacci multiplicative hashing, `((id mod P) * K) mod P mod B`
+  * with P = 2^31 − 1 (Mersenne prime) and K = 2654435761 (Knuth's
+  * golden-ratio constant). Intermediates stay below 2^63 (P·K < 5.7e18) —
+  * no overflow under ANSI mode, no wrap-around dependence. This is a
+  * narrow map-side projection: no shuffle, no state, fully codegen'd.
+  */
+object Sampling {
+
+  val Prime = 2147483647L // 2^31 - 1
+  val Knuth = 2654435761L // floor(2^32 / golden ratio)
+
+  /** Stable bucket in [0, buckets) for an integral id. `salt` decorrelates
+    * independent splits drawn over the same ids (e.g. a second holdout) by
+    * selecting a DIFFERENT multiplier — an additive salt would only shift
+    * the hash (`h_salt = h_0 + c mod P`), leaving bucket agreement between
+    * two salts highly structured; distinct multipliers equidistribute
+    * (measured ~1/buckets agreement). salt = 0 is exactly the Knuth hash
+    * the q66 oracle mirrors.
+    */
+  def hashBucket(id: Column, buckets: Int, salt: Long = 0L): Column = {
+    require(buckets > 0, "buckets must be positive")
+    val m = ((BigInt(Knuth) * (2 * BigInt(salt) + 1)) mod BigInt(Prime)).toLong
+    val multiplier = if (m == 0L) Knuth else m // 2·salt+1 ≡ 0 (mod P) degenerates
+    pmod(pmod(pmod(id, lit(Prime)) * lit(multiplier), lit(Prime)), lit(buckets))
+  }
+
+  /** Adds `bucket` and `split` columns. `weights` are integer shares of
+    * `buckets` in declaration order, e.g. Seq(train→80, val→10, test→10)
+    * with buckets=100.
+    */
+  def hashSplit(
+      df: DataFrame, id: Column, weights: Seq[(String, Int)],
+      buckets: Int = 100, salt: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._2).sum == buckets,
+      s"weights must sum to buckets=$buckets (got ${weights.map(_._2).sum})")
+    val withBucket = df.withColumn("bucket", hashBucket(id, buckets, salt))
+    val thresholds = weights.scanLeft(0)(_ + _._2).tail
+    val split = weights.zip(thresholds).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), cum)) =>
+        coalesce(acc, when(col("bucket") < cum, lit(name)))
+    }
+    withBucket.withColumn("split", split)
+  }
+
+  /** Keeps ~`fraction` of rows, deterministically by id. */
+  def systematicSample(
+      df: DataFrame, id: Column, fraction: Double,
+      buckets: Int = 10000, salt: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(hashBucket(id, buckets, salt) < (fraction * buckets).toLong)
+  }
+
+  /** Per-stratum fractions via Spark's `sampleBy` (seeded Bernoulli —
+    * deterministic for a fixed seed+partitioning but engine-specific, so
+    * spec-verified rather than oracle-checked).
+    */
+  def stratified(
+      df: DataFrame, stratum: String, fractions: Map[String, Double],
+      seed: Long): DataFrame =
+    df.stat.sampleBy(stratum, fractions, seed)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{AsofJoin, RangeJoin, Skew}
+import graft.operators.{AsofJoin, Packing, RangeJoin, Sampling, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,35 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("p_value").cast("decimal(18,6)")).cast("double").as("sum_value"),
           date_format(max(col("p_ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+    }),
+
+    // Deterministic train/val/test split — assignment is a pure function
+    // of doc_id (engine-independent modular hash), which is why a DuckDB
+    // oracle can reproduce it row for row.
+    "q66_hash_split" -> ((s, dir) => {
+      Sampling.hashSplit(
+          t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("bucket"), col("split"))
+    }),
+
+    // Sequence packing: concat-and-split documents into 4096-char context
+    // windows per language, ordered by doc_id.
+    "q67_pack_sequences" -> ((s, dir) => {
+      Packing.concatPack(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          orderBy = Seq(col("doc_id")), tokens = col("n_chars"), budget = 4096L,
+          groupCols = Seq(col("lang")))
+        .select(col("doc_id"), col("lang"), col("start_offset"), col("pack_id"))
+    }),
+
+    // Pack utilization: docs and tokens starting in each pack, fill ratio.
+    "q68_pack_stats" -> ((s, dir) => {
+      val packed = Packing.concatPack(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        orderBy = Seq(col("doc_id")), tokens = col("n_chars"), budget = 4096L,
+        groupCols = Seq(col("lang")))
+      Packing.packStats(packed, col("n_chars"), 4096L, Seq(col("lang")))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +160,31 @@ object ScaleQueries {
            AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
            AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
          WHERE a.event_type = 'purchase'
-         GROUP BY 1""")
+         GROUP BY 1""",
+    "q66_hash_split" ->
+      """SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 AS bucket
+               FROM documents) t""",
+    "q67_pack_sequences" ->
+      """SELECT doc_id, lang, start_offset, start_offset // 4096 AS pack_id
+         FROM (SELECT doc_id, lang,
+                 CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+               FROM documents) t""",
+    "q68_pack_stats" ->
+      """WITH packed AS (
+           SELECT lang, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               // 4096 AS pack_id
+           FROM documents)
+         SELECT lang, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_chars) / 4096.0, 4) AS fill
+         FROM packed GROUP BY 1, 2""")
 }

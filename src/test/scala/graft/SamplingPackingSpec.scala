@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Packing, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingPackingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hashSplit: deterministic, partition-independent, covers all rows") {
+    val ids = (1L to 10000L).toDF("id")
+    val a = Sampling.hashSplit(ids, col("id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(ids.repartition(17), col("id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    assert(a.size == 10000 && a.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("hashSplit: shares near the declared weights") {
+    val ids = (1L to 10000L).toDF("id")
+    val byShare = Sampling.hashSplit(ids, col("id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byShare("train") - 8000L) < 400, byShare)
+    assert(math.abs(byShare("val") - 1000L) < 200, byShare)
+    assert(math.abs(byShare("test") - 1000L) < 200, byShare)
+  }
+
+  test("salt decorrelates assignments over the same ids") {
+    val ids = (1L to 5000L).toDF("id")
+    val s0 = Sampling.hashBucket(col("id"), 2)
+    val s1 = Sampling.hashBucket(col("id"), 2, salt = 7L)
+    val agree = ids.filter(s0 === s1).count()
+    // independent fair coins agree ~50%; correlated ones ~100% or ~0%
+    assert(agree > 2000 && agree < 3000, s"agree=$agree")
+  }
+
+  test("systematicSample: stable subset, sane size, sub-sample nests") {
+    val ids = (1L to 10000L).toDF("id")
+    val ten = Sampling.systematicSample(ids, col("id"), 0.10).as[Long].collect().toSet
+    val five = Sampling.systematicSample(ids, col("id"), 0.05).as[Long].collect().toSet
+    assert(math.abs(ten.size - 1000) < 150, ten.size)
+    assert(five.subsetOf(ten), "smaller fraction must nest inside larger (same salt)")
+  }
+
+  test("stratified sampleBy keeps per-stratum fractions roughly") {
+    val df = (1L to 6000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
+    val out = Sampling.stratified(df, "s", Map("a" -> 0.5, "b" -> 0.1), seed = 42L)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(out("a") - 1000L) < 200, out)
+    assert(math.abs(out("b") - 400L) < 150, out)
+  }
+
+  test("concatPack: offsets are the exclusive running sum; spill keeps docs whole") {
+    val docs = Seq(
+      ("en", 1L, 1000L), ("en", 2L, 3000L), ("en", 3L, 500L), // 3 starts at 4000 → pack 0
+      ("en", 4L, 9000L),                                      // starts 4500 → pack 1, spills
+      ("en", 5L, 100L),                                       // starts 13500 → pack 3
+      ("fr", 6L, 10L)                                         // own group → pack 0
+    ).toDF("lang", "doc_id", "n")
+    val out = Packing.concatPack(docs, Seq(col("doc_id")), col("n"), 4096L,
+        groupCols = Seq(col("lang")))
+      .select("doc_id", "start_offset", "pack_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (0L, 0L))
+    assert(out(2L) == (1000L, 0L))
+    assert(out(3L) == (4000L, 0L))
+    assert(out(4L) == (4500L, 1L))
+    assert(out(5L) == (13500L, 3L))
+    assert(out(6L) == (0L, 0L))
+  }
+
+  test("packStats: fill is tokens-starting-in-pack over budget") {
+    val docs = Seq(("en", 1L, 4096L), ("en", 2L, 2048L)).toDF("lang", "doc_id", "n")
+    val packed = Packing.concatPack(docs, Seq(col("doc_id")), col("n"), 4096L,
+      groupCols = Seq(col("lang")))
+    val stats = Packing.packStats(packed, col("n"), 4096L, Seq(col("lang")))
+      .select("pack_id", "n_docs", "n_tokens", "fill")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(stats(0L) == (0L, 1L, 4096L, 1.0))
+    assert(stats(1L) == (1L, 1L, 2048L, 0.5))
+  }
+}
