@@ -48,7 +48,9 @@ object SparkEntry {
     new QueryModule(graft.queries.ExtendedQueries.queries,
       graft.queries.ExtendedQueries.oracles),
     new QueryModule(graft.queries.ScaleQueries.queries,
-      graft.queries.ScaleQueries.oracles))
+      graft.queries.ScaleQueries.oracles),
+    new QueryModule(graft.queries.TrainingQueries.queries,
+      graft.queries.TrainingQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -91,6 +91,46 @@ object TextFunctions {
       .otherwise(lit("ok"))
   }
 
+  // ---- repetition / redundancy metrics (Gopher-style filters) ------------
+
+  /** Share of word k-grams taken by the single most frequent k-gram
+    * (the Gopher "fraction in most common n-gram" rule, tie-robust: the
+    * share of the modal gram is well-defined even when several grams tie).
+    * 0.0 for docs with fewer than k tokens. Rounded to 6 decimals.
+    *
+    * Computed per row over the sorted shingle array with one run-length
+    * fold — narrow, no explode, no shuffle: at 100 TB this is a map-side
+    * projection like the other quality metrics, not an aggregation.
+    */
+  def topNgramFrac(c: Column, k: Int): Column = {
+    val g = array_sort(shingles(c, k))
+    val n = size(g)
+    val best = aggregate(
+      g,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(n === 0, lit(0.0))
+      .otherwise(round(best.cast("double") / n.cast("double"), 6))
+  }
+
+  /** Fraction of word k-grams that are repeats of an earlier k-gram
+    * (1 − distinct/total — the Gopher "duplicate n-gram fraction" rule).
+    * 0.0 for docs with fewer than k tokens. Rounded to 6 decimals.
+    */
+  def dupNgramFrac(c: Column, k: Int): Column = {
+    val g = shingles(c, k)
+    val n = size(g)
+    when(n === 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(array_distinct(g)).cast("double") / n.cast("double"), 6))
+  }
+
   // ---- language ID (n-gram/stopword heuristic) ---------------------------
 
   /** Tiny deterministic language-ID: counts hits from per-language marker

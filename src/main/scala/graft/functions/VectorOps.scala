@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Compiled cosine similarity over two `array<float>` columns — one tight
@@ -52,6 +52,96 @@ object CosineSim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     org.apache.spark.sql.functions.call_function("graft_cosine_sim", a, b)
+  }
+}
+
+/** Compiled L2 norm of an `array<float>` vector: sqrt of the left-to-right
+  * double accumulation of x_i², the same operation order as the composable
+  * `sqrt(aggregate(v, 0d, (acc, x) -> acc + x*x))` and as DuckDB on
+  * DOUBLE[] — so rounded outputs hash-match the oracle.
+  */
+case class L2Norm(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_norm"
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val xi = x.getFloat(i).toDouble; ss += xi * xi; i += 1 }
+    math.sqrt(ss)
+  }
+}
+
+object L2Norm {
+  /** Column bridge (same pattern as SimHash64/LangIdVote). */
+  def expr(c: Column): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
+      val reg = s.sessionState.functionRegistry
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2_norm"))) {
+        reg.createOrReplaceTempFunction(
+          "graft_l2_norm", exprs => L2Norm(exprs.head), "built-in")
+      }
+    }
+    org.apache.spark.sql.functions.call_function("graft_l2_norm", c)
+  }
+}
+
+/** Compiled symmetric int8 quantization summary of an `array<float>`
+  * vector. Each dimension maps to `floor(x·127/maxabs + 0.5)` (round half
+  * toward +∞ — floor(+0.5) is bit-deterministic in IEEE double, unlike
+  * banker's-vs-half-up ROUND divergence across engines); a zero vector
+  * quantizes to all zeros. Returns
+  * `struct(n_dims int, maxabs double, q_sum long, n_sat int)`:
+  * the quantized-value sum is an exact integer fingerprint of the whole
+  * codeword (any per-dimension divergence shifts it), `n_sat` counts
+  * saturated dimensions (|q| = 127). One pass, no intermediate arrays —
+  * at 100 TB this summary is what ships to monitoring, not the codewords.
+  */
+case class QuantizeStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_dims", IntegerType, nullable = false),
+    StructField("maxabs", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("n_sat", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_stats"
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeStats =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > maxabs) maxabs = v
+      i += 1
+    }
+    var qSum = 0L
+    var nSat = 0
+    if (maxabs > 0.0) {
+      i = 0
+      while (i < n) {
+        val q = math.floor(x.getFloat(i).toDouble * 127.0 / maxabs + 0.5).toLong
+        qSum += q
+        if (q == 127L || q == -127L) nSat += 1
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, maxabs, qSum, nSat)
   }
 }
 
@@ -113,5 +203,20 @@ case class IvfBuckets(child: Expression, centroids: Seq[Seq[Double]], nprobe: In
       j += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+object QuantizeStats {
+  /** Column bridge (same pattern as SimHash64/LangIdVote). */
+  def expr(c: Column): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
+      val reg = s.sessionState.functionRegistry
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("graft_quantize_stats"))) {
+        reg.createOrReplaceTempFunction(
+          "graft_quantize_stats", exprs => QuantizeStats(exprs.head), "built-in")
+      }
+    }
+    org.apache.spark.sql.functions.call_function("graft_quantize_stats", c)
   }
 }

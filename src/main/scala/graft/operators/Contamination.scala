@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination check for training corpora: for every candidate
+  * document, the fraction of its distinct word k-grams that also occur
+  * anywhere in a benchmark/eval set — the standard n-gram-overlap
+  * decontamination test run before a corpus ships to training.
+  *
+  * Topology (scales to 100 TB): the benchmark side is eval-suite-sized
+  * (≪ corpus), so its distinct k-gram set is built once and BROADCAST; the
+  * corpus side streams through a broadcast left-semi join — the only
+  * shuffle is the per-document hit count, keyed by doc id (cardinality
+  * grows with data, so parallelism grows with the cluster). For corpora
+  * where even the per-shingle explode is too wide, compose with the Bloom
+  * path (`functions.BloomMightContain`, cf. q64's semi-join prefilter):
+  * drop rows with zero probable hits map-side, then run this exact check
+  * on the survivors only.
+  */
+object Contamination {
+
+  /** Per-document overlap stats of `docs` against the k-gram set of
+    * `bench`: `doc_id`, `n_sh` (distinct k-grams in the doc), `n_hit`
+    * (of those, how many occur in the benchmark), `contam_frac`
+    * (n_hit / n_sh, rounded to 6; 0.0 for docs with no k-grams).
+    */
+  def overlapStats(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      bench: DataFrame, benchTextCol: Column, k: Int): DataFrame = {
+    val benchSet = broadcast(
+      bench.select(explode(TextFunctions.distinctShingles(benchTextCol, k)).as("__g"))
+        .distinct())
+    val base = docs.select(
+      idCol.as("doc_id"), TextFunctions.distinctShingles(textCol, k).as("__sh"))
+    val totals = base.select(col("doc_id"), size(col("__sh")).as("n_sh"))
+    val hits = base.select(col("doc_id"), explode(col("__sh")).as("__g"))
+      .join(benchSet, Seq("__g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_sh").cast("double"), 6)).as("contam_frac"))
+  }
+
+  /** Convenience gate: rows of `docs` whose contamination stays under
+    * `maxFrac` (decontaminated training split).
+    */
+  def decontaminate(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      bench: DataFrame, benchTextCol: Column, k: Int,
+      maxFrac: Double): DataFrame = {
+    val stats = overlapStats(docs, idCol, textCol, bench, benchTextCol, k)
+      .filter(col("contam_frac") < maxFrac)
+      .select(col("doc_id"))
+    docs.join(stats, idCol === stats("doc_id"), "left_semi")
+  }
+}

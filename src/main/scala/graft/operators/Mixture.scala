@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Source-mixture weighting for training corpora: each row carries a
+  * sampling weight w (typically per source/domain — "2.5 epochs of
+  * Wikipedia, 0.25 of CommonCrawl"), and the operator materializes
+  * `floor(w)` full copies plus one extra copy for a deterministic
+  * `frac(w)` share of rows.
+  *
+  * The fractional share reuses `Sampling.hashBucket`, so which rows get
+  * the extra copy is a pure function of the row id — partition-order
+  * independent, reproducible across engines (the q71 oracle recomputes it
+  * in SQL), and NESTED across weights: raising a source's weight from 0.25
+  * to 0.5 keeps every previously-selected row selected.
+  *
+  * All of this is a narrow projection plus (for materialization) a
+  * generator — no shuffle at any scale; downstream shuffles see the
+  * already-replicated stream.
+  */
+object Mixture {
+
+  /** Adds `n_copies` (≥ 0). `weight` may be fractional; weight 0 → row
+    * dropped at materialization, weight 1 → pass-through.
+    */
+  def assignCopies(
+      df: DataFrame, id: Column, weight: Column,
+      buckets: Int = 10000, salt: Long = 0L): DataFrame = {
+    val w = weight.cast("double")
+    val fracThreshold = (w - floor(w)) * buckets
+    df.withColumn("n_copies",
+      floor(w).cast("long") +
+        when(Sampling.hashBucket(id, buckets, salt).cast("double") < fracThreshold,
+          lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Explodes rows into their copies: one output row per copy, with a
+    * 1-based `copy_idx` so downstream packing/shuffling can decorrelate
+    * copies (e.g. salt a shuffle key with it). Rows with `n_copies` = 0
+    * disappear.
+    */
+  def materializeCopies(df: DataFrame, copies: Column): DataFrame =
+    df.filter(copies > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), copies)))
+}

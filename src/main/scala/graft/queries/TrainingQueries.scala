@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.{L2Norm, QuantizeStats, TextFunctions}
+import graft.operators.{Contamination, Mixture}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 training-data operators, oracle-checked: Gopher-style repetition
+  * quality metrics, benchmark n-gram decontamination, deterministic source
+  * mixture weighting, and embedding norm/quantization summaries. Every
+  * metric is defined as a pure engine-independent function of the row, so
+  * the DuckDB oracle reproduces each value exactly (not just statistically).
+  */
+object TrainingQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher repetition rules, per document: modal-2-gram share and
+    // duplicate-3-gram fraction. Narrow per-row folds — no explode/shuffle.
+    "q69_repetition" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.topNgramFrac(col("text"), 2).as("top2_frac"),
+        TextFunctions.dupNgramFrac(col("text"), 3).as("dup3_frac"))
+    }),
+
+    // Benchmark decontamination stats: distinct-3-gram overlap of every
+    // non-benchmark doc against the src0 "eval suite" (broadcast semi-join).
+    "q70_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.overlapStats(
+        d.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        d.filter(col("source") === "src0"), col("text"), k = 3)
+    }),
+
+    // Deterministic mixture weighting: per-source epoch weights (2.5 / 1 /
+    // 0.5 / 0.25 by source index mod 4), copy counts as a pure function of
+    // doc_id — the oracle recomputes the identical assignment.
+    "q71_mixture_copies" -> ((s, dir) => {
+      val weighted = docs(s, dir)
+        .withColumn("__idx", substring(col("source"), 4, 10).cast("int"))
+        .withColumn("weight",
+          when(pmod(col("__idx"), lit(4)) === 0, 2.5)
+            .when(pmod(col("__idx"), lit(4)) === 1, 1.0)
+            .when(pmod(col("__idx"), lit(4)) === 2, 0.5)
+            .otherwise(0.25))
+      Mixture.assignCopies(weighted, col("doc_id"), col("weight"))
+        .select(col("doc_id"), col("source"), col("n_copies"))
+    }),
+
+    // Int8 quantization summary per embedding: the quantized-sum is an
+    // exact integer fingerprint of the codeword (floor(x*127/maxabs + .5)
+    // is bit-deterministic in IEEE double across engines).
+    "q72_embed_quantize" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("vec_id"), QuantizeStats.expr(col("embedding")).as("q"))
+        .select(col("vec_id"),
+          col("q.n_dims").as("n_dims"),
+          round(col("q.maxabs"), 6).as("maxabs"),
+          col("q.q_sum").as("q_sum"),
+          col("q.n_sat").as("n_sat"))
+    }),
+
+    // Per-label embedding norm profile. The per-row norm is cast to
+    // DECIMAL(18,9) before summing so the aggregate is partition-order
+    // invariant (double addition is not associative); the oracle sums the
+    // same decimals.
+    "q73_embed_norms" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("label"),
+          L2Norm.expr(col("embedding")).cast("decimal(18,9)").as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("nrm")).cast("double") / count(lit(1)), 4).as("avg_norm"))
+    }))
+
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+  private def gram2Sql(toks: String) =
+    s"CASE WHEN len($toks) < 2 THEN [] ELSE " +
+      s"list_transform(range(1, len($toks)), i -> $toks[i] || ' ' || $toks[i+1]) END"
+  private def gram3Sql(toks: String) =
+    s"CASE WHEN len($toks) < 3 THEN [] ELSE " +
+      s"list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END"
+
+  val oracles: Map[String, String] = Map(
+    "q69_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         g2 AS (SELECT doc_id, ${gram2Sql("toks")} AS gs FROM t),
+         ex AS (SELECT doc_id, unnest(gs) AS g FROM g2),
+         cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+         top AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS n2 FROM cnt GROUP BY 1),
+         g3 AS (SELECT doc_id, ${gram3Sql("toks")} AS gs FROM t),
+         d3 AS (SELECT doc_id, len(gs) AS n3, len(list_distinct(gs)) AS nd3 FROM g3)
+         SELECT t.doc_id,
+           COALESCE(ROUND(top.topc / CAST(top.n2 AS DOUBLE), 6), 0.0) AS top2_frac,
+           CASE WHEN d3.n3 = 0 THEN 0.0
+                ELSE ROUND(1.0 - d3.nd3 / CAST(d3.n3 AS DOUBLE), 6) END AS dup3_frac
+         FROM t LEFT JOIN top USING (doc_id) JOIN d3 USING (doc_id)""",
+    "q70_contamination" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         sh AS (SELECT doc_id, source, list_distinct(${gram3Sql("toks")}) AS s FROM t),
+         bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+         d AS (SELECT doc_id, len(s) AS n_sh, s FROM sh WHERE source <> 'src0'),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM d),
+         hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM ex JOIN bench USING (g) GROUP BY 1)
+         SELECT d.doc_id, d.n_sh, COALESCE(hit.n_hit, 0) AS n_hit,
+           CASE WHEN d.n_sh = 0 THEN 0.0
+                ELSE ROUND(COALESCE(hit.n_hit, 0) / CAST(d.n_sh AS DOUBLE), 6) END
+             AS contam_frac
+         FROM d LEFT JOIN hit USING (doc_id)""",
+    "q71_mixture_copies" ->
+      """WITH w AS (SELECT doc_id, source,
+             CASE CAST(SUBSTR(source, 4) AS INT) % 4
+               WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+               ELSE 0.25 END AS wt,
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10000 AS bucket
+           FROM documents)
+         SELECT doc_id, source,
+           CAST(FLOOR(wt) AS BIGINT) +
+             (CASE WHEN bucket < (wt - FLOOR(wt)) * 10000 THEN 1 ELSE 0 END)
+             AS n_copies
+         FROM w""",
+    "q72_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT vec_id, v, len(v) AS n_dims,
+             COALESCE(list_max(list_transform(v, x -> abs(x))), 0.0) AS maxabs
+           FROM e),
+         q AS (SELECT vec_id, n_dims, maxabs,
+             CASE WHEN maxabs = 0 THEN []
+                  ELSE list_transform(v, x -> CAST(FLOOR(x * 127.0 / maxabs + 0.5) AS BIGINT))
+             END AS qs
+           FROM m)
+         SELECT vec_id, n_dims, ROUND(maxabs, 6) AS maxabs,
+           COALESCE(CAST(list_sum(qs) AS BIGINT), 0) AS q_sum,
+           len(list_filter(qs, x -> x = 127 OR x = -127)) AS n_sat
+         FROM q""",
+    "q73_embed_norms" ->
+      """WITH n AS (SELECT label,
+             CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+               AS DECIMAL(18,9)) AS nrm
+           FROM embeddings)
+         SELECT label, COUNT(*) AS n,
+           ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 4) AS avg_norm
+         FROM n GROUP BY label""")
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.{L2Norm, QuantizeStats, TextFunctions}
+import graft.operators.{Contamination, Mixture, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("topNgramFrac: modal 2-gram share, hand-computed") {
+    // "a b a b a" -> 2-grams: [a b, b a, a b, b a] -> modal count 2 of 4
+    val df = Seq("a b a b a", "x y z", "only", "").toDF("text")
+      .select(TextFunctions.topNgramFrac(col("text"), 2).as("f"))
+    assert(df.as[Double].collect().toSeq == Seq(0.5, 0.5, 0.0, 0.0))
+  }
+
+  test("dupNgramFrac: duplicate 3-gram fraction, hand-computed") {
+    // "a b c a b c a" -> 3-grams: [abc, bca, cab, abc, bca] -> 5 total, 3 distinct
+    val df = Seq("a b c a b c a", "a b c d", "a b").toDF("text")
+      .select(TextFunctions.dupNgramFrac(col("text"), 3).as("f"))
+    assert(df.as[Double].collect().toSeq == Seq(0.4, 0.0, 0.0))
+  }
+
+  test("contamination overlap: hand-built benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "the quick brown" + "quick brown fox"
+      (2L, "completely different words here now"),
+      (3L, "a b")                           // too short for 3-grams
+    ).toDF("id", "text")
+    val bench = Seq("the quick brown fox ran").toDF("text")
+    val out = Contamination.overlapStats(docs, col("id"), col("text"),
+        bench, col("text"), k = 3)
+      .select("doc_id", "n_sh", "n_hit", "contam_frac")
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 3, 2L, 0.666667))
+    assert(out(2L) == (2L, 3, 0L, 0.0))
+    assert(out(3L) == (3L, 0, 0L, 0.0))
+  }
+
+  test("decontaminate keeps only low-overlap docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "completely different words here now today")
+    ).toDF("id", "text")
+    val bench = Seq("the quick brown fox jumps over lazy").toDF("text")
+    val kept = Contamination.decontaminate(docs, col("id"), col("text"),
+      bench, col("text"), k = 3, maxFrac = 0.5).select("id").as[Long].collect()
+    assert(kept.toSeq == Seq(2L))
+  }
+
+  test("mixture copies: whole + fractional parts, deterministic and nested") {
+    val ids = (1L to 10000L).toDF("id")
+    val out = Mixture.assignCopies(ids, col("id"), lit(2.5))
+      .select("id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out.values.forall(c => c == 2L || c == 3L))
+    val extra = out.count(_._2 == 3L)
+    assert(math.abs(extra - 5000) < 300, s"extra=$extra")
+    // nested: the rows boosted at w=2.25 are a subset of those at w=2.5
+    val out25 = Mixture.assignCopies(ids, col("id"), lit(2.25))
+      .select("id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out25.filter(_._2 == 3L).keySet.subsetOf(out.filter(_._2 == 3L).keySet))
+    // and the fractional selector is exactly Sampling's bucket rule
+    val byHash = ids.select(col("id"),
+        Sampling.hashBucket(col("id"), 10000).as("b")).as[(Long, Long)].collect().toMap
+    out.foreach { case (id, c) => assert((c == 3L) == (byHash(id) < 5000L)) }
+  }
+
+  test("materializeCopies: row multiplicity equals n_copies, zero drops") {
+    val df = Seq((1L, 0L), (2L, 1L), (3L, 3L)).toDF("id", "n_copies")
+    val out = Mixture.materializeCopies(df, col("n_copies"))
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 1L, 3L -> 3L))
+  }
+
+  test("L2Norm matches composable aggregate form") {
+    val df = Seq(Array(3f, 4f), Array(0f, 0f), Array(1f, 1f, 1f, 1f)).toDF("v")
+    val got = df.select(L2Norm.expr(col("v")).as("n")).as[Double].collect().toSeq
+    assert(got == Seq(5.0, 0.0, 2.0))
+    val composable = df.select(
+      sqrt(aggregate(col("v"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("n"))
+      .as[Double].collect().toSeq
+    assert(got == composable)
+  }
+
+  test("QuantizeStats: hand-computed codeword summary") {
+    val df = Seq(
+      Array(1.0f, -1.0f, 0.5f),  // maxabs 1 -> q = [127, -127, 64(63.5+.5 floor)] sum 64, sat 2
+      Array(0f, 0f)              // zero vector -> all zero
+    ).toDF("v")
+    val out = df.select(QuantizeStats.expr(col("v")).as("q"))
+      .select(col("q.n_dims"), col("q.maxabs"), col("q.q_sum"), col("q.n_sat"))
+      .as[(Int, Double, Long, Int)].collect().toSeq
+    assert(out == Seq((3, 1.0, 64L, 2), (2, 0.0, 0L, 0)))
+  }
+}
