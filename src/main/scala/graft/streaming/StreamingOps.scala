@@ -47,6 +47,20 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("value_sum"))
 
+  /** Streaming exact dedup with BOUNDED state: the first event per key set
+    * wins; duplicates arriving within the watermark horizon are dropped,
+    * and key state older than the watermark is evicted — so state is
+    * O(keys per horizon), not O(every key ever seen). This is the
+    * streaming face of `operators.Dedup.exact`: batch dedup over a closed
+    * corpus, this for the ingest path, same keys either way. The event-time
+    * column named by `tsCol` must be among the watermarked columns' schema.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- custom state: explicit session accumulation ------------------------
 
   case class Ev(user_id: Long, tsMicros: Long, value: Double)

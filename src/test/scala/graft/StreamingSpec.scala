@@ -140,4 +140,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(out(ts(30)) == 1L)
     } finally q.stop()
   }
+
+  test("dedupWithinWatermark: in-horizon duplicates dropped, state evicted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingOps.dedupWithinWatermark(
+        stream.toDF.toDF("ts", "event_id", "payload"),
+        keyCols = Seq("event_id"), watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_test").start()
+    try {
+      // batch 1: id 1 twice in one batch, id 2 once
+      stream.addData(Seq((ts(0), 1L, "a"), (ts(0), 1L, "a-dup"), (ts(1), 2L, "b")))
+      q.processAllAvailable()
+      // batch 2: id 1 again within the horizon -> dropped; id 3 new.
+      // The ts(30) event advances the watermark to 10:20, evicting id 1/2.
+      stream.addData(Seq((ts(2), 1L, "a-dup2"), (ts(30), 3L, "c")))
+      q.processAllAvailable()
+      // batch 3: id 1 REAPPEARS after eviction -> passes (bounded state:
+      // horizon dedup, not global dedup — that's batch Dedup.exact's job)
+      stream.addData(Seq((ts(31), 1L, "a-again")))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT event_id, payload FROM dedup_test")
+        .as[(Long, String)].collect().toSeq
+      assert(out.count(_._1 == 1L) == 2, out)     // once per horizon
+      assert(out.toSet.contains((1L, "a")))        // first won in batch 1
+      assert(out.toSet.contains((1L, "a-again")))  // re-admitted post-eviction
+      assert(!out.map(_._2).exists(_.startsWith("a-dup")))
+      assert(out.toSet.filter(_._1 != 1L).map(_._1) == Set(2L, 3L))
+    } finally q.stop()
+  }
 }
