@@ -10,7 +10,12 @@ object PlanDump {
       "q03_top_orders_per_cust" -> "WindowGroupLimit partial/final (top-k crosses exchange as k rows/group)",
       "q42_cosine_topk" -> "broadcast query batch; shuffle-free candidate scan",
       "q45_minhash_lsh" -> "id+band+bucket candidate join; shingle strings never shuffled",
-      "q48_task_distribution" -> "broadcast fan-out join with OR condition")
+      "q48_task_distribution" -> "broadcast fan-out join with OR condition",
+      "q62_asof_last_event" -> "as-of join as union+window: one shuffle, no range explosion",
+      "q66_hash_split" -> "deterministic split: pure map-side projection, zero exchanges",
+      "q69_repetition" -> "per-row repetition folds: narrow projection, no explode/shuffle",
+      "q70_contamination" -> "benchmark set broadcast; only doc-id hit-count shuffles",
+      "q72_embed_quantize" -> "compiled one-pass quantize summary: scan -> project, no shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>
