@@ -91,6 +91,27 @@ object TextFunctions {
       .otherwise(lit("ok"))
   }
 
+  // ---- PII redaction ------------------------------------------------------
+
+  /** Email/phone patterns kept to the syntax subset Java regex and RE2
+    * share, so the DuckDB oracle applies the LITERAL same pattern strings
+    * (q74) — no per-engine dialect translation to drift.
+    */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Replace every email, then every phone number, with typed placeholder
+    * tokens — the standard pre-training PII scrub. Narrow, codegen'd,
+    * order-fixed (emails first; the phone pattern cannot match inside an
+    * email, so the passes commute — the fixed order is for determinism of
+    * reading, not correctness).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRegex, "[EMAIL]"), PhoneRegex, "[PHONE]")
+
   // ---- repetition / redundancy metrics (Gopher-style filters) ------------
 
   /** Share of word k-grams taken by the single most frequent k-gram

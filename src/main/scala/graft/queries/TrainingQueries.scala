@@ -66,6 +66,31 @@ object TrainingQueries {
           col("q.n_sat").as("n_sat"))
     }),
 
+    // PII scrub: deterministic synthetic contact blurbs (emails/phones
+    // rendered from customer fields — the tables ship no real PII), then
+    // regex redaction with typed placeholders. Both engines apply the
+    // LITERAL same pattern strings (Java-regex ∩ RE2 syntax subset).
+    "q74_pii_redact" -> ((s, dir) => {
+      val base = concat(
+        lit("reach "), col("c_name"),
+        lit(" via "), lower(regexp_replace(col("c_name"), "#", ".")),
+        lit("@mail.example"),
+        when(pmod(col("c_custkey"), lit(5)) === 0,
+          concat(lit(" cc backup."), lower(regexp_replace(col("c_name"), "#", ".")),
+            lit("@alt.example"))).otherwise(lit("")),
+        when(pmod(col("c_custkey"), lit(3)) =!= 0,
+          concat(lit(" or +86-"),
+            lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          TextFunctions.redactPii(base).as("redacted"),
+          TextFunctions.countMatches(base, TextFunctions.EmailRegex).as("n_emails"),
+          TextFunctions.countMatches(base, TextFunctions.PhoneRegex).as("n_phones"))
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -140,6 +165,27 @@ object TrainingQueries {
            COALESCE(CAST(list_sum(qs) AS BIGINT), 0) AS q_sum,
            len(list_filter(qs, x -> x = 127 OR x = -127)) AS n_sat
          FROM q""",
+    "q74_pii_redact" ->
+      """WITH t AS (SELECT c_custkey,
+             'reach ' || c_name || ' via ' || lower(replace(c_name, '#', '.'))
+               || '@mail.example'
+               || CASE WHEN c_custkey % 5 = 0
+                    THEN ' cc backup.' || lower(replace(c_name, '#', '.')) || '@alt.example'
+                    ELSE '' END
+               || CASE WHEN c_custkey % 3 <> 0
+                    THEN ' or +86-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS txt
+           FROM customer)
+         SELECT c_custkey,
+           regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+           len(regexp_extract_all(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(txt,
+             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones
+         FROM t""",
     "q73_embed_norms" ->
       """WITH n AS (SELECT label,
              CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))

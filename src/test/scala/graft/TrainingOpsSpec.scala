@@ -85,6 +85,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == composable)
   }
 
+  test("redactPii: emails and phones become typed placeholders") {
+    val df = Seq(
+      "mail a.user+tag@sub.example.org now or call +86-123-4567",
+      "no pii here",
+      "two mails: x@y.io and z.w@v.co plus +1-555-0100"
+    ).toDF("t")
+    val out = df.select(
+        TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.countMatches(col("t"), TextFunctions.EmailRegex).as("e"),
+        TextFunctions.countMatches(col("t"), TextFunctions.PhoneRegex).as("p"))
+      .as[(String, Int, Int)].collect().toSeq
+    assert(out(0) == ("mail [EMAIL] now or call [PHONE]", 1, 1))
+    assert(out(1) == ("no pii here", 0, 0))
+    assert(out(2) == ("two mails: [EMAIL] and [EMAIL] plus [PHONE]", 2, 1))
+  }
+
   test("QuantizeStats: hand-computed codeword summary") {
     val df = Seq(
       Array(1.0f, -1.0f, 0.5f),  // maxabs 1 -> q = [127, -127, 64(63.5+.5 floor)] sum 64, sat 2
