@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Mixture, Packing, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Scale receipts for the training-pipeline operators: synthetic inputs at
+  * 10M+ rows (generated distributed via spark.range — nothing ever
+  * collects), min-of-2 timings printed one per line. Not part of the
+  * driver bench contract; run ad hoc per round and record in SCALE.md:
+  *
+  *   sbt -batch "runMain graft.Stress [rows]"
+  */
+object Stress {
+
+  private def time[A](name: String, runs: Int = 2)(body: => A): Unit = {
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[stress] $name%-24s ${times.min}%8.2f s (min of $runs)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = graft.core.GraftSession.builder("graft-stress")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ids = spark.range(0, n, 1, 32).toDF("id")
+    val docs = ids.select(col("id"),
+      concat(lit("s"), pmod(col("id"), lit(32))).as("lang"),
+      (pmod(col("id"), lit(1000)) + 50).as("n_chars"))
+
+    time(s"hash_split_${n / 1000000}M") {
+      Sampling.hashSplit(ids, col("id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split").count().collect()
+    }
+    time(s"systematic_sample_${n / 1000000}M") {
+      Sampling.systematicSample(ids, col("id"), 0.05).count()
+    }
+    time(s"pack_grouped_${n / 1000000}M") {
+      Packing.concatPack(docs, Seq(col("id")), col("n_chars"), 4096L,
+          groupCols = Seq(col("lang")))
+        .groupBy("lang").agg(max("pack_id")).collect()
+    }
+    time(s"mixture_1_5x_${n / 1000000}M") {
+      Mixture.materializeCopies(
+        Mixture.assignCopies(docs, col("id"), lit(1.5)), col("n_copies")).count()
+    }
+
+    val m = math.max(n / 10, 1000000L)
+    val vecs = spark.range(0, m, 1, 32).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => pmod(col("id") * (j + 1L), lit(97)).cast("float")).as("embedding"))
+    time(s"quantize_${m / 1000000}M_x64") {
+      vecs.select(graft.functions.QuantizeStats.expr(col("embedding")).as("q"))
+        .agg(sum(col("q.q_sum"))).collect()
+    }
+    time(s"l2norm_${m / 1000000}M_x64") {
+      vecs.select(graft.functions.L2Norm.expr(col("embedding")).as("nrm"))
+        .agg(sum(col("nrm"))).collect()
+    }
+    spark.stop()
+  }
+}
