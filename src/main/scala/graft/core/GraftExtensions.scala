@@ -14,6 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Whole-operator as-of join: planner strategy + the pushdown rule
+    // Catalyst can't know about (graft.plans.AsofMergeJoin).
+    e.injectPlannerStrategy(_ => graft.plans.AsofMergeJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofMergeJoin)
     e.injectFunction((
       FunctionIdentifier("lenient_json_clean"),
       new ExpressionInfo(classOf[graft.functions.LenientJsonClean].getName,

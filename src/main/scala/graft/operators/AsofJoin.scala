@@ -83,4 +83,44 @@ object AsofJoin {
       left.columns.map(c => col(s"__row.$c")) ++
         rightPayload.map { case (n, _) => col(s"__asof.$n").as(n) }: _*)
   }
+
+  /** Backward as-of via the custom whole-operator plan
+    * (`graft.plans.AsofMergeJoin`): LogicalPlan + Strategy + BinaryExecNode
+    * with a streaming per-partition merge — the physical-operator form of
+    * `backward` (which stays the composable specification; the two are
+    * equivalence-tested and q75 oracle-checks this one).
+    *
+    * Columns are named (resolved against each side); the output carries
+    * EVERY left column plus every right column (null when unmatched) —
+    * pre-select/rename the right side to avoid name clashes.
+    */
+  def backwardMerge(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      rightTiebreak: Option[String] = None): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.AsofMergePlans.ensureRegistered(spark)
+    val lPlan = left.queryExecution.analyzed
+    // Self-joins reuse attribute ids; re-aliasing every right column mints
+    // fresh ids so the node's output stays unambiguous.
+    val rightSafe =
+      if (right.queryExecution.analyzed.outputSet
+          .intersect(lPlan.outputSet).nonEmpty)
+        right.select(right.columns.map(c => col(c).as(c)): _*)
+      else right
+    val rPlan = rightSafe.queryExecution.analyzed
+    val resolver = spark.sessionState.conf.resolver
+    def resolve(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(a => resolver(a.name, name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
+    val node = graft.plans.AsofMergeJoin(
+      lPlan, rPlan,
+      leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
+      resolve(lPlan, leftTsCol), resolve(rPlan, rightTsCol),
+      rightTiebreak.map(resolve(rPlan, _)))
+    org.apache.spark.sql.classic.GraftDatasetBridge.ofRows(spark, node)
+  }
 }

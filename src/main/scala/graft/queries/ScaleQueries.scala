@@ -111,6 +111,24 @@ object ScaleQueries {
         .select(col("doc_id"), col("lang"), col("start_offset"), col("pack_id"))
     }),
 
+    // q62's as-of semantics through the WHOLE-OPERATOR plan
+    // (graft.plans.AsofMergeJoin: custom LogicalPlan -> Strategy ->
+    // streaming-merge BinaryExecNode) — same oracle shape as q62, so the
+    // custom exec is hash-gated against plain SQL semantics.
+    "q75_asof_merge_exec" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("last_click_id"))
+      AsofJoin.backwardMerge(
+          errors, clicks, Seq("e_user"), Seq("c_user"), "e_ts", "c_ts",
+          rightTiebreak = Some("last_click_id"))
+        .select(col("event_id"), col("last_click_id"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"))
+    }),
+
     // Pack utilization: docs and tokens starting in each pack, fill ratio.
     "q68_pack_stats" -> ((s, dir) => {
       val packed = Packing.concatPack(
@@ -122,6 +140,21 @@ object ScaleQueries {
 
   val oracles: Map[String, String] = Map(
     "q62_asof_last_event" ->
+      """WITH j AS (
+           SELECT a.event_id, b.event_id AS c_id, CAST(b.ts AS TIMESTAMP) AS c_ts,
+             ROW_NUMBER() OVER (PARTITION BY a.event_id
+               ORDER BY CAST(b.ts AS TIMESTAMP) DESC, b.event_id DESC) AS rn
+           FROM events a
+           JOIN events b ON b.user_id = a.user_id AND b.event_type = 'click'
+             AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+           WHERE a.event_type = 'error')
+         SELECT a.event_id,
+           j.c_id AS last_click_id,
+           STRFTIME(j.c_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+         FROM events a
+         LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+         WHERE a.event_type = 'error'""",
+    "q75_asof_merge_exec" ->
       """WITH j AS (
            SELECT a.event_id, b.event_id AS c_id, CAST(b.ts AS TIMESTAMP) AS c_ts,
              ROW_NUMBER() OVER (PARTITION BY a.event_id
