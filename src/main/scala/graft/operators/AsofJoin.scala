@@ -98,7 +98,27 @@ object AsofJoin {
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      rightTiebreak: Option[String] = None): DataFrame = {
+      rightTiebreak: Option[String] = None): DataFrame =
+    merge(left, right, leftKeys, rightKeys, leftTsCol, rightTsCol,
+      rightTiebreak, forward = false)
+
+  /** Forward as-of (earliest right row with rightTs >= leftTs) through the
+    * same custom exec; ties on rightTs resolve to the FIRST row in
+    * `rightTiebreak` order, mirroring `forward`.
+    */
+  def forwardMerge(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      rightTiebreak: Option[String] = None): DataFrame =
+    merge(left, right, leftKeys, rightKeys, leftTsCol, rightTsCol,
+      rightTiebreak, forward = true)
+
+  private def merge(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      rightTiebreak: Option[String], forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     graft.plans.AsofMergePlans.ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -120,7 +140,7 @@ object AsofJoin {
       lPlan, rPlan,
       leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
       resolve(lPlan, leftTsCol), resolve(rPlan, rightTsCol),
-      rightTiebreak.map(resolve(rPlan, _)))
+      rightTiebreak.map(resolve(rPlan, _)), forward)
     org.apache.spark.sql.classic.GraftDatasetBridge.ofRows(spark, node)
   }
 }

@@ -32,7 +32,8 @@ case class AsofMergeJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    rightTiebreak: Option[Expression]) extends BinaryNode {
+    rightTiebreak: Option[Expression],
+    forward: Boolean = false) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs matching key lists")
@@ -53,7 +54,7 @@ object AsofMergeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsofMergeJoin =>
       AsofMergeJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs,
-        j.rightTiebreak, planLater(j.left), planLater(j.right)) :: Nil
+        j.rightTiebreak, j.forward, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -80,7 +81,7 @@ object PushFilterThroughAsofMergeJoin
 case class AsofMergeJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    rightTiebreak: Option[Expression],
+    rightTiebreak: Option[Expression], forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -152,7 +153,10 @@ case class AsofMergeJoinExec(
         val k = lKeyProj(l)
         val ts = lTsProj(l)
         val lValid = !k.anyNull && !ts.isNullAt(0)
-        if (lValid) {
+        var matched: InternalRow = null
+        if (lValid && !forward) {
+          // Backward: consume every right row with ts <= leftTs; the last
+          // one consumed for this key is the greatest (right is sorted).
           var go = true
           while (go && rCur != null) {
             val c = keyOrd.compare(rCurKey, k)
@@ -166,9 +170,25 @@ case class AsofMergeJoinExec(
               } else go = false
             } else go = false
           }
+          if (lastMatch != null && keyOrd.compare(lastKey, k) == 0) matched = lastMatch
+        } else if (lValid) {
+          // Forward: skip right rows strictly before leftTs — left ts is
+          // nondecreasing, so they are dead for every later left row too —
+          // then the lookahead row itself is the earliest eligible match.
+          // It is NOT consumed: the same row may serve later left rows.
+          var go = true
+          while (go && rCur != null) {
+            val c = keyOrd.compare(rCurKey, k)
+            if (c < 0) advanceRight()
+            else if (c == 0) {
+              val rts = rTsProj(rCur)
+              if (rts.isNullAt(0) || tsOrd.compare(rts, ts) < 0) advanceRight()
+              else go = false
+            } else go = false
+          }
+          if (rCur != null && keyOrd.compare(rCurKey, k) == 0) matched = rCur
         }
-        val hit = lValid && lastMatch != null && keyOrd.compare(lastKey, k) == 0
-        outProj(joined(l, if (hit) lastMatch else nullRight))
+        outProj(joined(l, if (matched != null) matched else nullRight))
       }
     }
   }

@@ -65,6 +65,62 @@ class AsofMergeSpec extends AnyFunSuite {
     assert(merged.nonEmpty && merged == spec)
   }
 
+  test("forward merge: earliest eligible right row; ties pick tiebreak-min") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // matches equal-ts row
+      (2L, 10L, ts("2024-01-01 11:30:00")),  // after all right rows -> none
+      (3L, 20L, ts("2024-01-01 10:00:00"))   // tie: payload 200 (min) wins
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100L),
+      (10L, ts("2024-01-01 11:00:00"), 101L),
+      (20L, ts("2024-01-01 11:00:00"), 201L),
+      (20L, ts("2024-01-01 11:00:00"), 200L)
+    ).toDF("rk", "rt", "payload")
+    val out = AsofJoin.forwardMerge(left, right,
+        Seq("k"), Seq("rk"), "t", "rt", rightTiebreak = Some("payload"))
+      .select(col("id"), col("payload"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(100L), 2L -> None, 3L -> Some(200L)))
+  }
+
+  test("forward merge: a right row serves MULTIPLE later left rows") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 08:00:00")),
+      (2L, 7L, ts("2024-01-01 08:30:00")),
+      (3L, 7L, ts("2024-01-01 09:00:00"))   // all resolve to the same 09:00 row
+    ).toDF("id", "k", "t")
+    val right = Seq((7L, ts("2024-01-01 09:00:00"), 900L)).toDF("rk", "rt", "payload")
+    val out = AsofJoin.forwardMerge(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("id"), col("payload")).as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(900L), 2L -> Some(900L), 3L -> Some(900L)))
+  }
+
+  test("forward merge equals the union+window forward form on real events") {
+    val events = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+
+    val spec = AsofJoin.forward(
+        errors, col("e_user"), col("e_ts"),
+        clicks, col("user_id"), col("ts"),
+        Seq("next_click_id" -> col("event_id")), rightTiebreak = col("event_id"))
+      .select(col("event_id"), col("next_click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    val merged = AsofJoin.forwardMerge(
+        errors,
+        clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("next_click_id")),
+        Seq("e_user"), Seq("c_user"), "e_ts", "c_ts",
+        rightTiebreak = Some("next_click_id"))
+      .select(col("event_id"), col("next_click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(merged.nonEmpty && merged == spec)
+  }
+
   test("plans as the custom exec; left-only filters are pushed below the node") {
     // parquet-backed sides: a LocalRelation left would let
     // ConvertToLocalRelation eagerly evaluate the pushed filter away
