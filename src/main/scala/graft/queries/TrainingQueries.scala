@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{L2Norm, QuantizeStats, TextFunctions}
-import graft.operators.{Contamination, Mixture}
+import graft.operators.{Chunker, Contamination, Mixture}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,16 @@ object TrainingQueries {
           round(col("q.maxabs"), 6).as("maxabs"),
           col("q.q_sum").as("q_sum"),
           col("q.n_sat").as("n_sat"))
+    }),
+
+    // RAG chunker: 200-char windows, 50-char overlap — the Dify pipeline's
+    // chunker node as a deterministic generator (tail always covered).
+    "q76_chunk_docs" -> ((s, dir) => {
+      Chunker.fixedChunks(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          col("text"), size = 200, overlap = 50)
+        .select(col("doc_id"), col("chunk_idx"),
+          col("chunk"), length(col("chunk")).as("chunk_len"))
     }),
 
     // PII scrub: deterministic synthetic contact blurbs (emails/phones
@@ -165,6 +175,15 @@ object TrainingQueries {
            COALESCE(CAST(list_sum(qs) AS BIGINT), 0) AS q_sum,
            len(list_filter(qs, x -> x = 127 OR x = -127)) AS n_sat
          FROM q""",
+    "q76_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, text,
+             GREATEST(0, (LENGTH(text) - 200 + 149) // 150) AS k
+           FROM documents),
+         u AS (SELECT doc_id, text, unnest(range(0, k + 1)) AS chunk_idx FROM t)
+         SELECT doc_id, chunk_idx,
+           substr(text, CAST(chunk_idx AS INT) * 150 + 1, 200) AS chunk,
+           LENGTH(substr(text, CAST(chunk_idx AS INT) * 150 + 1, 200)) AS chunk_len
+         FROM u""",
     "q74_pii_redact" ->
       """WITH t AS (SELECT c_custkey,
              'reach ' || c_name || ' via ' || lower(replace(c_name, '#', '.'))

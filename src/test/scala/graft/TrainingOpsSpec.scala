@@ -85,6 +85,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == composable)
   }
 
+  test("fixedChunks: offsets, overlap, tail coverage, short docs") {
+    import graft.operators.Chunker
+    val df = Seq(
+      (1L, "a" * 500),   // 200/50: offsets 0,150,300 -> 3 chunks (300+200=500 covers tail)
+      (2L, "b" * 501),   // needs a 4th chunk at 450 (451..501)
+      (3L, "c" * 100),   // shorter than size -> 1 chunk
+      (4L, "")           // empty -> 1 empty chunk
+    ).toDF("id", "text")
+    val out = Chunker.fixedChunks(df, col("text"), size = 200, overlap = 50)
+      .groupBy("id").agg(count(lit(1)).as("n"), max(length(col("chunk"))).as("mx"),
+        min(length(col("chunk"))).as("mn"))
+      .as[(Long, Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (3L, 200, 200))
+    assert(out(2L) == (4L, 200, 51))   // last chunk 451..501 = 51 chars
+    assert(out(3L) == (1L, 100, 100))
+    assert(out(4L) == (1L, 0, 0))
+    // consecutive chunks overlap by exactly 50 chars
+    val chunks = Chunker.fixedChunks(df.filter(col("id") === 1L), col("text"), 200, 50)
+      .orderBy("chunk_idx").select("chunk").as[String].collect()
+    assert(chunks.sliding(2).forall { case Array(a, b) => a.takeRight(50) == b.take(50) })
+  }
+
   test("redactPii: emails and phones become typed placeholders") {
     val df = Seq(
       "mail a.user+tag@sub.example.org now or call +86-123-4567",
