@@ -133,7 +133,10 @@ object Bench {
       if (name.startsWith("q") && name.contains("_")) name.takeWhile(_ != '_') else name
     val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // strict number: "[0-9.]+" would capture a trailing dot from paths
+    // like .../sf0.1.bak and emit invalid JSON on the one parsed line
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r
+      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }

@@ -104,10 +104,11 @@ object TextFunctions {
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
   /** Replace every email, then every phone number, with typed placeholder
-    * tokens — the standard pre-training PII scrub. Narrow, codegen'd,
-    * order-fixed (emails first; the phone pattern cannot match inside an
-    * email, so the passes commute — the fixed order is for determinism of
-    * reading, not correctness).
+    * tokens — the standard pre-training PII scrub. Narrow, codegen'd.
+    * The ORDER IS LOAD-BEARING: the phone pattern can match inside an
+    * email local part ("a+1-234-5678@x.com"), so phones-first would mangle
+    * the address into something the email pass no longer recognizes and
+    * leak a partial address. Emails-first consumes the whole address.
     */
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRegex, "[EMAIL]"), PhoneRegex, "[PHONE]")

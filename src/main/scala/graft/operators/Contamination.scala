@@ -31,20 +31,25 @@ object Contamination {
       bench: DataFrame, benchTextCol: Column, k: Int): DataFrame = {
     val benchSet = broadcast(
       bench.select(explode(TextFunctions.distinctShingles(benchTextCol, k)).as("__g"))
-        .distinct())
-    val base = docs.select(
-      idCol.as("doc_id"), TextFunctions.distinctShingles(textCol, k).as("__sh"))
-    val totals = base.select(col("doc_id"), size(col("__sh")).as("n_sh"))
-    val hits = base.select(col("doc_id"), explode(col("__sh")).as("__g"))
-      .join(benchSet, Seq("__g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        .distinct()
+        .withColumn("__hit", lit(1)))
+    // Single pass over the corpus: shingle ONCE, explode_outer (so
+    // zero-shingle and null-text docs survive as one null-gram row), mark
+    // hits via the broadcast left join, then one doc-id shuffle aggregates
+    // both totals (count of non-null grams — no separate size() pass) and
+    // hits. A totals⋈hits re-join would shingle the corpus twice and
+    // shuffle the doc side a second time.
+    val marked = docs
+      .select(idCol.as("doc_id"),
+        explode_outer(TextFunctions.distinctShingles(textCol, k)).as("__g"))
+      .join(benchSet, Seq("__g"), "left")
+    marked.groupBy(col("doc_id"))
+      .agg(count(col("__g")).as("n_sh"), count(col("__hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
         when(col("n_sh") === 0, lit(0.0))
           .otherwise(round(
-            coalesce(col("n_hit"), lit(0L)).cast("double") /
-              col("n_sh").cast("double"), 6)).as("contam_frac"))
+            col("n_hit").cast("double") / col("n_sh").cast("double"), 6))
+          .as("contam_frac"))
   }
 
   /** Convenience gate: rows of `docs` whose contamination stays under

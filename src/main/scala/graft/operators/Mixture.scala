@@ -21,14 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** Adds `n_copies` (≥ 0). `weight` may be fractional; weight 0 → row
-    * dropped at materialization, weight 1 → pass-through.
+  /** Adds `n_copies` (≥ 0 always: negative weights clamp to 0). `weight`
+    * may be fractional; weight 0 → row dropped at materialization,
+    * weight 1 → pass-through. The fractional threshold is
+    * `round(frac(w)·buckets)` — the same integer rule as
+    * `Sampling.systematicSample`, so "sample 29%" and "weight 0.29" select
+    * the identical row set.
     */
   def assignCopies(
       df: DataFrame, id: Column, weight: Column,
       buckets: Int = 10000, salt: Long = 0L): DataFrame = {
-    val w = weight.cast("double")
-    val fracThreshold = (w - floor(w)) * buckets
+    val w = greatest(lit(0.0), weight.cast("double"))
+    val fracThreshold = round((w - floor(w)) * buckets, 0)
     df.withColumn("n_copies",
       floor(w).cast("long") +
         when(Sampling.hashBucket(id, buckets, salt).cast("double") < fracThreshold,

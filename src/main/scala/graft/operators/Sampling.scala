@@ -55,12 +55,16 @@ object Sampling {
     withBucket.withColumn("split", split)
   }
 
-  /** Keeps ~`fraction` of rows, deterministically by id. */
+  /** Keeps ~`fraction` of rows, deterministically by id. The threshold is
+    * `round(fraction·buckets)` — truncation would undershoot on inexact
+    * doubles (0.29·10000 = 2899.999…), diverging from Mixture's fractional
+    * rule over the same buckets.
+    */
   def systematicSample(
       df: DataFrame, id: Column, fraction: Double,
       buckets: Int = 10000, salt: Long = 0L): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    df.filter(hashBucket(id, buckets, salt) < (fraction * buckets).toLong)
+    df.filter(hashBucket(id, buckets, salt) < math.round(fraction * buckets))
   }
 
   /** Per-stratum fractions via Spark's `sampleBy` (seeded Bernoulli —

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -37,6 +37,16 @@ case class AsofMergeJoin(
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs matching key lists")
+  // No analyzer coercion runs on this node: mismatched types would hash
+  // keys into DIFFERENT partitions (Murmur3 hashInt != hashLong for equal
+  // values) and compare right rows with wrong-typed accessors — silently
+  // unmatched rows, never an error. Fail construction instead.
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key types must match exactly: " +
+      s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join timestamp types must match exactly: " +
+      s"${leftTs.dataType} vs ${rightTs.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -132,22 +142,24 @@ case class AsofMergeJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 
-      // Single-row lookahead over the right side. Iterator rows are
-      // buffer-reused by the exchange reader, so anything held across a
-      // next() must be copied.
+      // Single-row lookahead over the right side. Iterator rows (and the
+      // key-projection buffer) are only invalidated by the NEXT call, so
+      // the lookahead itself needs no copy — rows skipped in the catch-up
+      // loops cost zero allocations. Only a RETAINED match (held across
+      // further advances) is copied, at retention time.
       var rCur: InternalRow = null
-      var rCurKey: UnsafeRow = null
+      var rCurKey: InternalRow = null
       def advanceRight(): Unit =
         if (rIter.hasNext) {
-          rCur = rIter.next().copy()
-          rCurKey = rKeyProj(rCur).copy()
+          rCur = rIter.next()
+          rCurKey = rKeyProj(rCur)
         } else { rCur = null; rCurKey = null }
       advanceRight()
 
       // Best match so far for the current key run (right side is sorted,
       // so the last row advanced past with ts <= leftTs is the greatest).
       var lastMatch: InternalRow = null
-      var lastKey: UnsafeRow = null
+      var lastKey: InternalRow = null
 
       lIter.map { l =>
         val k = lKeyProj(l)
@@ -165,7 +177,7 @@ case class AsofMergeJoinExec(
               val rts = rTsProj(rCur)
               if (rts.isNullAt(0)) advanceRight() // unusable: no timestamp
               else if (tsOrd.compare(rts, ts) <= 0) {
-                lastMatch = rCur; lastKey = rCurKey
+                lastMatch = rCur.copy(); lastKey = rCurKey.copy()
                 advanceRight()
               } else go = false
             } else go = false

@@ -158,7 +158,7 @@ object TrainingQueries {
            FROM documents)
          SELECT doc_id, source,
            CAST(FLOOR(wt) AS BIGINT) +
-             (CASE WHEN bucket < (wt - FLOOR(wt)) * 10000 THEN 1 ELSE 0 END)
+             (CASE WHEN bucket < ROUND((wt - FLOOR(wt)) * 10000) THEN 1 ELSE 0 END)
              AS n_copies
          FROM w""",
     "q72_embed_quantize" ->

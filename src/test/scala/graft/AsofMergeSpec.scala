@@ -65,6 +65,15 @@ class AsofMergeSpec extends AnyFunSuite {
     assert(merged.nonEmpty && merged == spec)
   }
 
+  test("mismatched key types fail construction instead of silently not matching") {
+    val left = Seq((1L, 10, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t") // k: int
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 5L)).toDF("rk", "rt", "p") // rk: long
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backwardMerge(left, right, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("key types must match"))
+  }
+
   test("forward merge: earliest eligible right row; ties pick tiebreak-min") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),  // matches equal-ts row

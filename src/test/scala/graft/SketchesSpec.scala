@@ -12,7 +12,7 @@ class SketchesSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def events = graft.core.Tables
-    .load(spark, "/root/testdata/sf0.01", "events")
+    .load(spark, SparkTestSession.Sf001, "events")
 
   test("approx distinct users per event type within the rsd bound") {
     val approx = Sketches.distinctProfile(

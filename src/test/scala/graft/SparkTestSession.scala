@@ -13,4 +13,5 @@ object SparkTestSession {
     s
   }
   val Sf0001 = "/root/testdata/sf0.001"
+  val Sf001 = "/root/testdata/sf0.01"
 }

@@ -33,10 +33,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     val out = Contamination.overlapStats(docs, col("id"), col("text"),
         bench, col("text"), k = 3)
       .select("doc_id", "n_sh", "n_hit", "contam_frac")
-      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
-    assert(out(1L) == (1L, 3, 2L, 0.666667))
-    assert(out(2L) == (2L, 3, 0L, 0.0))
-    assert(out(3L) == (3L, 0, 0L, 0.0))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 3L, 2L, 0.666667))
+    assert(out(2L) == (2L, 3L, 0L, 0.0))
+    assert(out(3L) == (3L, 0L, 0L, 0.0))
+  }
+
+  test("overlapStats keeps null-text docs as uncontaminated (not dropped)") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val bench = Seq("the quick brown cat").toDF("text")
+    val out = Contamination.overlapStats(docs, col("id"), col("text"),
+        bench, col("text"), k = 3)
+      .select("doc_id", "n_sh", "n_hit", "contam_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L) == (2L, 0L, 0L, 0.0))
+    val kept = Contamination.decontaminate(docs, col("id"), col("text"),
+      bench, col("text"), k = 3, maxFrac = 0.5).select("id").as[Long].collect().toSet
+    assert(kept.contains(2L), "null-text doc cannot be contaminated; must be kept")
   }
 
   test("decontaminate keeps only low-overlap docs") {
