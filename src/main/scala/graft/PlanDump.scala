@@ -15,7 +15,9 @@ object PlanDump {
       "q66_hash_split" -> "deterministic split: pure map-side projection, zero exchanges",
       "q69_repetition" -> "per-row repetition folds: narrow projection, no explode/shuffle",
       "q70_contamination" -> "benchmark set broadcast; only doc-id hit-count shuffles",
-      "q72_embed_quantize" -> "compiled one-pass quantize summary: scan -> project, no shuffle")
+      "q72_embed_quantize" -> "compiled one-pass quantize summary: scan -> project, no shuffle",
+      "q75_asof_merge_exec" -> "whole-operator as-of: co-clustered exchanges + sorts + streaming merge",
+      "q76_chunk_docs" -> "chunker: Generate over a narrow projection, zero exchanges")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

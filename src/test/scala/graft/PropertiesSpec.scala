@@ -90,4 +90,37 @@ class PropertiesSpec extends AnyFunSuite {
     assert(sensitive == 0)
     assert(rows.filter(fp(col("s1")) =!= fp(col("s1"))).count() == 0)
   }
+
+  test("chunker reconstruction: stripping the overlap re-concatenates the doc") {
+    import graft.operators.Chunker
+    val texts = Gen.listOfN(80,
+      Gen.chooseNum(0, 700).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
+      .sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val size = 120; val overlap = 30; val stride = size - overlap
+    // piece_i = chunk_i minus its leading overlap (i > 0). Piece starts are
+    // o_i + overlap = o_{i-1} + size = previous piece's end — contiguous by
+    // construction — and the last chunk is clamped at the doc end, so the
+    // concatenation equals the document EXACTLY for every length (incl. 0).
+    val rebuilt = Chunker.fixedChunks(df, col("text"), size, overlap)
+      .withColumn("piece",
+        when(col("chunk_idx") === 0, col("chunk"))
+          .otherwise(col("chunk").substr(lit(overlap + 1), lit(size))))
+      .groupBy("id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("chunk_idx"), col("piece"))))
+        .getField("piece")).as("whole"))
+    val mismatches = rebuilt.join(df, "id")
+      .filter(not(col("whole") <=> col("text"))).count()
+    assert(mismatches == 0, s"stride=$stride")
+  }
+
+  test("mixture expected corpus size: sum(n_copies) ~= weight * rows") {
+    import graft.operators.Mixture
+    val ids = (1L to 20000L).toDF("id")
+    Seq(0.25, 1.0, 1.5, 2.75).foreach { w =>
+      val total = Mixture.assignCopies(ids, col("id"), lit(w))
+        .agg(sum(col("n_copies"))).as[Long].head()
+      assert(math.abs(total - w * 20000) < 600, s"w=$w total=$total")
+    }
+  }
 }
