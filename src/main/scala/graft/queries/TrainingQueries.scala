@@ -66,6 +66,21 @@ object TrainingQueries {
           col("q.n_sat").as("n_sat"))
     }),
 
+    // Multimodal gate + frame fan-out, hash-gated: Spark actually SLICES
+    // binary payloads (substr over BinaryType after the byte/dimension
+    // gate), while the oracle reproduces every frame length by pure
+    // arithmetic from byte_len — if they hash-match, the binary plumbing
+    // implements its spec exactly.
+    "q77_media_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.fromDocuments(docs(s, dir))
+      val valid = Multimodal.validMediaFilter(media, minBytes = 200, minDim = 50)
+      Multimodal.sampleFrames(valid, frameBytes = 256, stride = 4)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_payload"))).cast("long").as("frame_bytes"))
+    }),
+
     // RAG chunker: 200-char windows, 50-char overlap — the Dify pipeline's
     // chunker node as a deterministic generator (tail always covered).
     "q76_chunk_docs" -> ((s, dir) => {
@@ -175,6 +190,19 @@ object TrainingQueries {
            COALESCE(CAST(list_sum(qs) AS BIGINT), 0) AS q_sum,
            len(list_filter(qs, x -> x = 127 OR x = -127)) AS n_sat
          FROM q""",
+    "q77_media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS byte_len,
+             doc_id % 100 + 20 AS width, doc_id % 80 + 20 AS height
+           FROM documents),
+         v AS (SELECT * FROM m
+           WHERE byte_len >= 200 AND width >= 50 AND height >= 50),
+         f AS (SELECT media_id, byte_len,
+             unnest(range(0, GREATEST(1, byte_len // 1024))) AS i
+           FROM v)
+         SELECT media_id, COUNT(*) AS n_frames,
+           CAST(SUM(LEAST(256, byte_len - 1024 * i)) AS BIGINT) AS frame_bytes
+         FROM f GROUP BY 1""",
     "q76_chunk_docs" ->
       """WITH t AS (SELECT doc_id, text,
              GREATEST(0, (LENGTH(text) - 200 + 149) // 150) AS k
