@@ -75,4 +75,22 @@ object Sampling {
       df: DataFrame, stratum: String, fractions: Map[String, Double],
       seed: Long): DataFrame =
     df.stat.sampleBy(stratum, fractions, seed)
+
+  /** Exactly `k` rows per group (fewer if the group is smaller), chosen by
+    * hash order of the id — a deterministic, engine-independent quota
+    * sample ("500 docs per language") that any SQL engine reproduces, and
+    * which compiles to WindowGroupLimit: only k rows per group survive the
+    * exchange, not whole groups.
+    */
+  def kPerGroup(
+      df: DataFrame, groupCols: Seq[Column], id: Column, k: Int,
+      buckets: Int = 1 << 20, salt: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCols: _*)
+          .orderBy(hashBucket(id, buckets, salt).asc, id.asc)))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

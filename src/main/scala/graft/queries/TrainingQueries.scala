@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{L2Norm, QuantizeStats, TextFunctions}
-import graft.operators.{Chunker, Contamination, Mixture}
+import graft.operators.{Chunker, Contamination, Mixture, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,16 @@ object TrainingQueries {
           round(col("q.maxabs"), 6).as("maxabs"),
           col("q.q_sum").as("q_sum"),
           col("q.n_sat").as("n_sat"))
+    }),
+
+    // Deterministic per-group quota sample: 10 docs per language by hash
+    // order — compiles to WindowGroupLimit (only k rows/group cross the
+    // exchange) and the oracle reproduces the exact same pick.
+    "q78_quota_per_lang" -> ((s, dir) => {
+      Sampling.kPerGroup(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          Seq(col("lang")), col("doc_id"), k = 10)
+        .select(col("doc_id"), col("lang"))
     }),
 
     // Multimodal gate + frame fan-out, hash-gated: Spark actually SLICES
@@ -190,6 +200,14 @@ object TrainingQueries {
            COALESCE(CAST(list_sum(qs) AS BIGINT), 0) AS q_sum,
            len(list_filter(qs, x -> x = 127 OR x = -127)) AS n_sat
          FROM q""",
+    "q78_quota_per_lang" ->
+      """WITH b AS (SELECT doc_id, lang,
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bk, doc_id) AS rk
+           FROM b)
+         SELECT doc_id, lang FROM r WHERE rk <= 10""",
     "q77_media_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
              octet_length(encode(text)) AS byte_len,

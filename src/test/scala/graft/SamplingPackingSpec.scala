@@ -46,6 +46,22 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(five.subsetOf(ten), "smaller fraction must nest inside larger (same salt)")
   }
 
+  test("kPerGroup: exact quota, partition-independent, WindowGroupLimit plan") {
+    val df = (1L to 5000L).map(i => (i, s"g${i % 7}")).toDF("id", "g")
+    val a = Sampling.kPerGroup(df, Seq(col("g")), col("id"), k = 25)
+    val b = Sampling.kPerGroup(df.repartition(13), Seq(col("g")), col("id"), k = 25)
+    val pickA = a.as[(Long, String)].collect().toSet
+    assert(pickA == b.as[(Long, String)].collect().toSet)
+    val sizes = a.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 25L) && sizes.size == 7)
+    // small group: quota clamps to group size
+    val tiny = Sampling.kPerGroup(df.filter(col("id") <= 3), Seq(col("g")), col("id"), 25)
+    assert(tiny.count() == 3)
+    // top-k per group must plan as WindowGroupLimit (k rows cross the
+    // exchange, not whole groups)
+    assert(a.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("stratified sampleBy keeps per-stratum fractions roughly") {
     val df = (1L to 6000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
     val out = Sampling.stratified(df, "s", Map("a" -> 0.5, "b" -> 0.1), seed = 42L)
