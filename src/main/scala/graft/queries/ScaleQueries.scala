@@ -129,6 +129,23 @@ object ScaleQueries {
           date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"))
     }),
 
+    // Forward as-of through the same custom exec (earliest click AT or
+    // AFTER each error; ties to min event_id) — hash-gates the second
+    // merge path, which only specs covered before.
+    "q79_asof_forward_exec" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("next_click_id"))
+      AsofJoin.forwardMerge(
+          errors, clicks, Seq("e_user"), Seq("c_user"), "e_ts", "c_ts",
+          rightTiebreak = Some("next_click_id"))
+        .select(col("event_id"), col("next_click_id"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("next_click_ts"))
+    }),
+
     // Pack utilization: docs and tokens starting in each pack, fill ratio.
     "q68_pack_stats" -> ((s, dir) => {
       val packed = Packing.concatPack(
@@ -151,6 +168,21 @@ object ScaleQueries {
          SELECT a.event_id,
            j.c_id AS last_click_id,
            STRFTIME(j.c_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+         FROM events a
+         LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+         WHERE a.event_type = 'error'""",
+    "q79_asof_forward_exec" ->
+      """WITH j AS (
+           SELECT a.event_id, b.event_id AS c_id, CAST(b.ts AS TIMESTAMP) AS c_ts,
+             ROW_NUMBER() OVER (PARTITION BY a.event_id
+               ORDER BY CAST(b.ts AS TIMESTAMP) ASC, b.event_id ASC) AS rn
+           FROM events a
+           JOIN events b ON b.user_id = a.user_id AND b.event_type = 'click'
+             AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+           WHERE a.event_type = 'error')
+         SELECT a.event_id,
+           j.c_id AS next_click_id,
+           STRFTIME(j.c_ts, '%Y-%m-%d %H:%M:%S') AS next_click_ts
          FROM events a
          LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
          WHERE a.event_type = 'error'""",
