@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Portable (engine-independent) polynomial text hashes — the hash layer
+  * that makes the MinHash-LSH and SimHash signature queries ORACLE-CHECKABLE:
+  * every value is a pure arithmetic function of the text's codepoints
+  * (`fold (acc·31 + cp) mod 1e9+7`, the house convention established by
+  * `TextFunctions.tokenHash`/`fingerprint`, q44), so DuckDB reproduces the
+  * exact same longs with `list_reduce` + `ord` — no engine hash involved.
+  *
+  * Contrast with [[ShingleHashes]] (FNV-1a, engine-internal): that one backs
+  * the hash-INVARIANT inverted-index operators (q41's exact-Jaccard pairs,
+  * where the oracle compares pair results, not hash values). These are the
+  * hash-VISIBLE counterparts; slightly weaker bit mixing, but cross-engine
+  * deterministic — at 100 TB both run as single compiled passes.
+  */
+object PolyHash {
+
+  /** Modulus/multiplier of the primary char fold — MUST stay equal to
+    * `TextFunctions.FingerprintPrime` (the DuckDB oracles hard-code both).
+    */
+  final val P1 = 1000000007L
+  final val M1 = 31L
+  /** Secondary fold (SimHash upper bits): different multiplier AND modulus
+    * so the two 30-bit halves are independent.
+    */
+  final val P2 = 998244353L
+  final val M2 = 37L
+
+  /** `fold (acc·m + codepoint) mod p` over the string — the scalar kernel.
+    * Codepoint iteration (not UTF-16 units) matches Spark's `ascii()` and
+    * DuckDB's `ord()` on supplementary characters.
+    */
+  @inline private[functions] def foldString(s: String, from: Int, until: Int,
+      m: Long, p: Long, init: Long): Long = {
+    var h = init
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      h = (h * m + cp) % p
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Column bridge for the compiled shingle hasher. */
+  def polyShingleHashes(spark: SparkSession, c: Column, k: Int): Column = {
+    val name = s"graft_poly_shingle_hashes_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PolyShingleHashes(exprs.head, k), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  /** Column bridge for the compiled 60-bit SimHash. */
+  def polySimHash(spark: SparkSession, c: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly_simhash", exprs => PolySimHash(exprs.head), "built-in")
+    org.apache.spark.sql.functions.call_function("graft_poly_simhash", c)
+  }
+
+  // ---- composable SPEC forms (interpreted HOFs; bit-equality asserted
+  //      against the compiled expressions in DedupSimilaritySpec) ----------
+
+  import org.apache.spark.sql.functions._
+
+  /** Distinct shingle poly-hashes via the readable HOF pipeline: shingle
+    * strings → per-string char fold → value-dedup (first-occurrence order,
+    * same as the compiled path's hash-keyed dedup).
+    */
+  def polyShingleHashesComposable(c: Column, k: Int): Column =
+    array_distinct(transform(TextFunctions.distinctShingles(c, k),
+      s => TextFunctions.tokenHash(s)))
+
+  /** Secondary char fold as a Column (mult 37 mod 998244353). */
+  def tokenHash2(w: Column): Column =
+    aggregate(
+      filter(split(w, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * M2 + ascii(ch), lit(P2)))
+
+  /** Composable 60-bit SimHash: bits 0..29 from the primary token fold,
+    * bits 30..59 from the secondary — sign of the per-bit ±1 vote.
+    */
+  def polySimHashComposable(c: Column): Column = {
+    val toks = TextFunctions.tokens(c)
+    val h1s = transform(toks, w => TextFunctions.tokenHash(w))
+    val h2s = transform(toks, w => tokenHash2(w))
+    val bits = (0 until 60).map { j =>
+      val (hs, b) = if (j < 30) (h1s, j) else (h2s, j - 30)
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Band-bucket combine over a signature slice: `fold (acc·31 + slot) mod
+    * 1e9+7` — tiny per-row fold, reproduced verbatim by the oracle.
+    */
+  def bandBucket(sigSlice: Column): Column =
+    aggregate(sigSlice, lit(0L), (acc, x) => pmod(acc * M1 + x, lit(P1)))
+}
+
+/** Compiled distinct word-k-shingle portable hashes: tokenize → k-gram →
+  * poly31 char fold (single-space separator, exactly the codepoints of
+  * `"w1 w2 … wk"`) → value-dedup keeping first occurrence. One pass, no
+  * shingle strings materialized.
+  */
+case class PolyShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = s"poly_shingle_hashes_$k"
+
+  override protected def withNewChildInternal(newChild: Expression): PolyShingleHashes =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    import PolyHash.{M1, P1}
+    val s = input.asInstanceOf[UTF8String].toString
+    val tokens = ShingleHashes.splitWhitespace(s)
+    val n = tokens.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, (n - k + 1) * 2))
+    val hashes = new Array[Long](n - k + 1)
+    var m = 0
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) h = (h * M1 + 32L) % P1 // the ' ' separator codepoint
+        val t = tokens(i + j)
+        h = PolyHash.foldString(t, 0, t.length, M1, P1, h)
+        j += 1
+      }
+      if (seen.add(h)) { hashes(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, m))
+  }
+}
+
+/** Compiled 60-bit portable SimHash over whitespace tokens: two independent
+  * 30-bit char folds per token (31 mod 1e9+7; 37 mod 998244353); signature
+  * bit j is set iff the ±1 vote over token-hash bit j is strictly positive.
+  * Empty/whitespace-only text → 0L.
+  */
+case class PolySimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    import PolyHash.{M1, M2, P1, P2}
+    val s = input.asInstanceOf[UTF8String].toString
+    val tokens = ShingleHashes.splitWhitespace(s)
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < tokens.length) {
+      val w = tokens(t)
+      val h1 = PolyHash.foldString(w, 0, w.length, M1, P1, 0L)
+      val h2 = PolyHash.foldString(w, 0, w.length, M2, P2, 0L)
+      var j = 0
+      while (j < 30) {
+        votes(j) += (if (((h1 >>> j) & 1L) == 1L) 1 else -1)
+        votes(30 + j) += (if (((h2 >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolySimHash =
+    copy(child = newChild)
+}

@@ -70,6 +70,11 @@ object Dedup {
     * Bands of `rowsPerBand` signature slots become bucket keys; docs
     * sharing any band bucket are candidates; candidates are verified with
     * exact shingle Jaccard ≥ `threshold`.
+    *
+    * Every hash in the pipeline is PORTABLE (poly31 shingle fold →
+    * seeded-affine MinHash → poly31 band combine — graft.functions.PolyHash),
+    * so the whole operator is oracle-checkable: the DuckDB oracle reproduces
+    * candidates, verification and scores value-for-value (q45).
     */
   def minHashLsh(
       df: DataFrame, idCol: Column, textCol: Column,
@@ -82,15 +87,17 @@ object Dedup {
     // dominant exchange and its row width is 3 longs.
     val hashed = df
       .select(idCol.as("id"),
-        graft.functions.ShingleHashes
-          .shingleHashes(df.sparkSession, textCol, shingleSize).as("hs"))
+        graft.functions.PolyHash
+          .polyShingleHashes(df.sparkSession, textCol, shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
     val withSig = hashed
       .withColumn("sig", graft.functions.MinHashSig.expr(col("hs"), numHashes))
     val banded = withSig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+        struct(lit(b).as("band"),
+          graft.functions.PolyHash
+            .bandBucket(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = banded.as("a")
@@ -188,14 +195,15 @@ object Dedup {
     */
   /** @param pruneSingletons drop shingles held by a single document before
     * the self-join. In natural corpora singletons dominate the inverted
-    * index and this collapses the quadratic stage; on template-generated or
-    * highly repetitive corpora (like the synthetic bench tables, 0.8%
-    * singletons) it is pure overhead — hence opt-in.
+    * index and this collapses the quadratic stage — hence the SAFE default
+    * is true. On template-generated or highly repetitive corpora (like the
+    * synthetic bench tables, 0.8% singletons) the extra hash-agg is pure
+    * overhead, so bounded-template callers pass false explicitly.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, threshold: Double = 0.0,
-      pruneSingletons: Boolean = false): DataFrame = {
+      pruneSingletons: Boolean = true): DataFrame = {
     // Inverted index on HASHED shingles: the self-join shuffles (gh, id, n)
     // triples — 24 bytes/row — and both sides canonicalize to the same
     // exchange, so Spark's ReuseExchange shuffles the index once. AQE's

@@ -123,6 +123,59 @@ object Similarity {
   def ivfProbeBuckets(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     ivfBucketsCol(vec, centroids, nprobe)
 
+  /** Seeded IVF codebook WITHOUT Lloyd refinement: the `nCentroids`
+    * candidate vectors ranked first by the portable Fibonacci hash of their
+    * id (Sampling.hashBucket — q78's pick rule), L2-normalized. A pure
+    * arithmetic function of (id, embedding), so an IVF query built on it is
+    * fully oracle-checkable (q47) — Lloyd refinement keeps its own
+    * recall-vs-brute-force spec gate (`trainIvf`): iterative float means
+    * are not portably bit-stable, codebook SELECTION is.
+    *
+    * Only the C seed vectors reach the driver (dimension-bounded state);
+    * the pick itself is a distributed top-C (TakeOrderedAndProject).
+    */
+  def seedCentroids(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): Seq[Seq[Double]] = {
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    candidates
+      .withColumn("__bk", Sampling.hashBucket(col(idCol), 1048576))
+      .orderBy(col("__bk"), col(idCol))
+      .limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)).toSeq
+  }
+
+  /** `ivfTopK` with the seeded (portable, oracle-checkable) codebook.
+    * Adds a rank column and 4-decimal rounding so the output is directly
+    * hash-comparable.
+    */
+  def ivfTopKSeeded(
+      queries: DataFrame, queryId: String, queryVec: String,
+      candidates: DataFrame, candId: String, candVec: String,
+      k: Int, dim: Int, nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    val centroids = seedCentroids(candidates, candId, candVec, nCentroids)
+    require(centroids.head.length == dim,
+      s"embedding width ${centroids.head.length} != declared dim $dim")
+    val qb = queries.withColumn("__bucket",
+      explode(ivfProbeBuckets(col(queryVec), centroids, nprobe)))
+    val cb = candidates.withColumn("__bucket", ivfBucket(col(candVec), centroids))
+    val scored = cb.join(broadcast(qb), Seq("__bucket"))
+      .filter(qb(queryId) =!= cb(candId))
+      .select(
+        qb(queryId).as("query_id"),
+        cb(candId).as("cand_id"),
+        graft.functions.CosineSim.cosineSim(queries.sparkSession,
+          qb(queryVec), cb(candVec)).as("cos"))
+    Ranking.topKPerGroup(
+        scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("cand_id").asc), k, rankCol = Some("rnk"))
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
   /** IVF-pruned top-k with a trained codebook: candidates bucketed once;
     * each query probes its `nprobe` best buckets — scanned fraction ≈
     * nprobe/nCentroids. Equi-join on bucket id makes the scan a

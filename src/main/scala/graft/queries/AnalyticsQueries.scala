@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * label vote). The first-class 100 TB components of BASELINE.json's
   * north star.
   *
-  * MinHash/SimHash/IVF queries have no oracle (their hash functions are
-  * engine-specific); their semantics are verified in ScalaTest against
-  * exact Jaccard / brute-force baselines instead.
+  * Since r3 the MinHash/SimHash/IVF queries are oracle-checked too: their
+  * hash layer is portable arithmetic (graft.functions.PolyHash + the seeded
+  * IVF codebook), so DuckDB reproduces signatures, candidates and scores
+  * value-for-value; recall-vs-exact semantics stay spec-gated on top.
   */
 object AnalyticsQueries {
 
@@ -71,9 +72,12 @@ object AnalyticsQueries {
     }),
 
     // Exact 3-gram Jaccard near-dup pairs (planted dups ≥ 0.3 at all SFs).
+    // pruneSingletons=false: the synthetic corpus is template-generated
+    // (0.8% singleton shingles), so the pruning agg buys nothing here;
+    // the operator default (true) is the natural-corpus posture.
     "q41_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
-        shingleSize = 3, threshold = 0.3)
+        shingleSize = 3, threshold = 0.3, pruneSingletons = false)
     }),
 
     // Brute-force cosine top-5 for query vectors vec_id < 20.
@@ -111,27 +115,33 @@ object AnalyticsQueries {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
     }),
 
-    // ---- no-oracle (engine-hash-dependent) — verified in ScalaTest ----
+    // ---- portable-hash signature operators (oracle-checked since r3) ----
 
-    // MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+    // MinHash + banded LSH near-dup pairs, exact-Jaccard verified. Every
+    // hash is portable arithmetic (PolyHash), so the oracle reproduces the
+    // full pipeline — shingle hash, signature, banding, candidates, scores.
     "q45_minhash_lsh" -> ((s, dir) => {
       Dedup.minHashLsh(docs(s, dir), col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.3)
     }),
 
-    // SimHash signatures (near-dup docs share almost all bits).
+    // Portable 60-bit SimHash signatures (near-dup docs share almost all
+    // bits); compiled one-pass expression, value-checked by the oracle.
     "q46_simhash" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.PolyHash.polySimHash(s, col("text")).as("simhash"))
     }),
 
-    // IVF-bucketed ANN (scale path: scans 1/C of candidates per query).
+    // IVF-bucketed ANN with the SEEDED portable codebook (scan 1/C of
+    // candidates per query; Lloyd-refined codebooks stay spec-gated).
     "q47_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfTopK(
+      Similarity.ivfTopKSeeded(
         e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("qv")),
         "qid", "qv",
         e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
-        k = 5, dim = 64, nCentroids = 8)
+        k = 5, dim = 64, nCentroids = 8, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("rnk"), col("cos"))
     }))
 
   // list_filter drops the [''] that string_split_regex yields on empty
@@ -140,6 +150,31 @@ object AnalyticsQueries {
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
   private def shinglesSql(toks: String) =
     s"list_distinct(list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))"
+
+  /** poly31 char fold mod 1e9+7 of a string expression — the SQL mirror of
+    * PolyHash.foldString / TextFunctions.tokenHash (q44's convention).
+    */
+  private def polyHashSql(s: String, mult: Long = 31L, prime: Long = 1000000007L) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(a, b) -> (a * $mult + b) % $prime)"
+
+  /** The 32 seeded MinHash (a, b) coefficients as SQL literals — SAME
+    * stream as the engine (MinHashSig.seededCoeffs, seed 42).
+    */
+  private def minhashSigSql(hs: String): String =
+    graft.functions.MinHashSig.seededCoeffs(32).map { case (a, b) =>
+      s"list_min(list_transform($hs, x -> (x * $a + $b) % 2147483647))"
+    }.mkString("[", ",\n             ", "]")
+
+  /** 60-bit portable SimHash as a sum of per-bit vote terms (PolySimHash). */
+  private def simhashSql(h1s: String, h2s: String): String =
+    (0 until 60).map { j =>
+      val (hs, b) = if (j < 30) (h1s, j) else (h2s, j - 30)
+      s"CASE WHEN COALESCE(list_sum(list_transform($hs, h -> " +
+        s"CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 " +
+        s"THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", "\n           + ", ")")
 
   val oracles: Map[String, String] = Map(
     "q36_token_stats" ->
@@ -217,6 +252,63 @@ object AnalyticsQueries {
            SELECT qid, label, votes,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
            FROM v) WHERE rn = 1""",
+    "q45_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(${shinglesSql("toks")}, s -> ${polyHashSql("s")}))
+               AS hs
+           FROM t WHERE len(toks) >= 3),
+         sig AS (SELECT doc_id, hs, ${minhashSigSql("hs")} AS sig FROM sh),
+         bb AS (SELECT doc_id, band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               sig[(CAST(band AS INT) * 4 + 1):(CAST(band AS INT) * 4 + 4)]),
+               (a, b) -> (a * 31 + b) % 1000000007) AS bucket
+           FROM sig, (SELECT unnest(range(0, 8)) AS band)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bb a JOIN bb b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         v AS (SELECT id_a, id_b,
+             len(list_intersect(x.hs, y.hs)) AS inter, len(x.hs) AS na, len(y.hs) AS nb
+           FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+         SELECT id_a, id_b,
+           ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
+         FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
+    "q46_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         h AS (SELECT doc_id,
+             list_transform(toks, w -> ${polyHashSql("w")}) AS h1s,
+             list_transform(toks, w -> ${polyHashSql("w", 37L, 998244353L)}) AS h2s
+           FROM t)
+         SELECT doc_id,
+           ${simhashSql("h1s", "h2s")} AS simhash
+         FROM h""",
+    "q47_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
+           FROM e),
+         seeds AS (SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY bk, vec_id) AS rn
+           FROM b QUALIFY rn <= 8),
+         cn AS (SELECT rn - 1 AS cix,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS cv
+           FROM seeds),
+         asg AS (SELECT vec_id AS cid, v AS cvv, cix FROM (
+             SELECT e.vec_id, e.v, c.cix,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) DESC, c.cix DESC) AS r
+             FROM e, cn c) WHERE r = 1),
+         probe AS (SELECT vec_id AS qid, v AS qv, cix FROM (
+             SELECT e.vec_id, e.v, c.cix,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) DESC, c.cix DESC) AS r
+             FROM e, cn c WHERE e.vec_id < 20) WHERE r <= 2),
+         s AS (SELECT p.qid, a.cid, list_cosine_similarity(p.qv, a.cvv) AS cos
+           FROM probe p JOIN asg a USING (cix) WHERE p.qid <> a.cid),
+         r AS (SELECT qid AS query_id, cid AS cand_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+           FROM s)
+         SELECT query_id, cand_id, rnk, ROUND(cos, 4) AS cos FROM r WHERE rnk <= 5""",
     "q44_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          h AS (SELECT doc_id, list_transform(toks, w ->
