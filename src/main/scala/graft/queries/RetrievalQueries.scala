@@ -3,7 +3,6 @@ package graft.queries
 import graft.core.Tables
 import graft.retrieval.Retrieval
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The flagship retrieval-engine pipeline (SURVEY.md §3.3) as oracle-checked
@@ -25,24 +24,29 @@ object RetrievalQueries {
       pmod(col("doc_id") * 37, lit(101)).as("score"))
 
   private def tasks(s: SparkSession, dir: String): DataFrame = {
+    // task_order only ever feeds an ORDER BY (precedence in distribute),
+    // so it is an order-isomorphic SORTABLE STRING built per-row — "0:" +
+    // lang + ":" + source for segment tasks, "1:" + lang for full tasks —
+    // which reproduces the old global row_number ordering (seg before
+    // full, then lang, then source) with ZERO exchanges instead of an
+    // unpartitioned window that serialized the dimension through one task.
     val docs = Tables.load(s, dir, "documents")
     val seg = docs.filter(col("source").isin("src0", "src1"))
       .select(col("lang"), col("source")).distinct()
-      .withColumn("task_order",
-        row_number().over(Window.orderBy(col("lang"), col("source"))))
       .select(
         concat(col("lang"), lit(":"), col("source")).as("task_id"),
         col("lang").as("database_id"), col("source").as("document_id"),
         lit("segment_retrieval").as("retrieval_mode"),
-        col("task_order"), lit(3).as("top_k"))
+        concat(lit("0:"), col("lang"), lit(":"), col("source")).as("task_order"),
+        lit(3).as("top_k"))
     val full = docs.select(col("lang")).distinct()
-      .withColumn("task_order", lit(100) + row_number().over(Window.orderBy(col("lang"))))
       .select(
         concat(lit("full:"), col("lang")).as("task_id"),
         col("lang").as("database_id"),
         lit(null).cast("string").as("document_id"),
         lit("full_database_retrieval").as("retrieval_mode"),
-        col("task_order"), lit(5).as("top_k"))
+        concat(lit("1:"), col("lang")).as("task_order"),
+        lit(5).as("top_k"))
     seg.unionByName(full)
   }
 

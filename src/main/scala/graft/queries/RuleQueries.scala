@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Remaining rule/join/agg shapes from SURVEY §2: education-level
@@ -65,12 +64,17 @@ object RuleQueries {
     }),
 
     // A8: pad per-order item lists to the global max width (DATA:1066-1067).
+    // The scalar max arrives via agg + broadcast cross-join — a two-level
+    // (partial/final) aggregation plus a 1-row broadcast, never the
+    // single-partition `max().over(Window.partitionBy())` plan that would
+    // funnel every row through one task at scale.
     "q54_pad_rows" -> ((s, dir) => {
       val rows = Tables.load(s, dir, "lineitem")
         .filter(col("l_orderkey") < 1000)
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(col("l_linenumber"))).as("cells"))
-      val withMax = rows.withColumn("max_w", max(size(col("cells"))).over(Window.partitionBy()))
+      val maxW = rows.agg(max(size(col("cells"))).as("max_w"))
+      val withMax = rows.crossJoin(broadcast(maxW))
       withMax.select(
         col("l_orderkey"),
         concat_ws("|",

@@ -24,33 +24,46 @@ object Xlsx {
   /** Read all .xlsx files under `path` (glob ok) into a DataFrame with
     * string columns named by each file's header row; schemas must agree
     * across files. Rows capped per file.
+    *
+    * Distributed shape: the ONLY driver-side state is the schema, derived
+    * from the lexicographically-first file's header (one bounded collect of
+    * header rows — a few strings per FILE, not per row). Cell data is
+    * parsed and aligned on executors and never funneled through the
+    * driver, so a directory of 100k workbooks streams through like any
+    * other source. A file whose header mismatches the schema-defining one
+    * fails the job from the executor (positional mapping would otherwise
+    * silently misalign its columns).
     */
   def read(spark: SparkSession, path: String, cap: Int = DefaultCap): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
-    val parsed = bin.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
-      val rows = parseWorkbook(bytes, cap + 1)
-      rows match {
-        case header +: data => data.take(cap).map(r => (p, header, r))
-        case _ => Seq.empty
-      }
-    }.collect()   // driver assembles the schema from the header; row data
-                  // stays small by construction (cap per file)
-    require(parsed.nonEmpty, s"no rows parsed from $path")
-    val header = parsed.head._2
-    // Cells are mapped to columns positionally, so every file's header must
-    // match the schema-defining first file — a reordered or renamed column
-    // would otherwise be silently misaligned into the wrong field.
-    val badFiles = parsed.iterator.collect { case (p, h, _) if h != header => p }.toSeq.distinct
+    // Pass 1 (bounded): one header per file → driver picks the schema from
+    // the first file by path order and validates agreement in ONE place.
+    val headers = bin.as[(String, Array[Byte])].map { case (p, bytes) =>
+      (p, parseWorkbook(bytes, 1).headOption.getOrElse(Seq.empty))
+    }.collect().sortBy(_._1)
+    require(headers.nonEmpty && headers.head._2.nonEmpty, s"no rows parsed from $path")
+    val (firstPath, header) = headers.head
+    val badFiles = headers.collect { case (p, h) if h != header => p }
     require(badFiles.isEmpty,
       s"XLSX header mismatch: expected ${header.mkString("[", ", ", "]")} " +
-        s"(from ${parsed.head._1}) but differs in: ${badFiles.mkString(", ")}")
+        s"(from $firstPath) but differs in: ${badFiles.mkString(", ")}")
+    // Pass 2 (distributed): parse + align rows entirely on executors.
+    val width = header.length
     val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
-    val rows = parsed.map { case (_, _, cells) =>
-      Row.fromSeq(header.indices.map(i => cells.lift(i).filter(_.nonEmpty).orNull))
-    }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    bin.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
+      parseWorkbook(bytes, cap + 1) match {
+        case fileHeader +: data =>
+          require(fileHeader == header,
+            s"XLSX header mismatch in $p: expected ${header.mkString("[", ", ", "]")}")
+          data.take(cap).map(cells =>
+            Row.fromSeq((0 until width).map(i => cells.lift(i).filter(_.nonEmpty).orNull)))
+        case _ => Seq.empty[Row]
+      }
+    }.toDF()
   }
 
   /** Parse one workbook's bytes → rows of cell strings (first sheet). */
