@@ -50,7 +50,9 @@ object SparkEntry {
     new QueryModule(graft.queries.ScaleQueries.queries,
       graft.queries.ScaleQueries.oracles),
     new QueryModule(graft.queries.TrainingQueries.queries,
-      graft.queries.TrainingQueries.oracles))
+      graft.queries.TrainingQueries.oracles),
+    new QueryModule(graft.queries.FixtureQueries.queries,
+      graft.queries.FixtureQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

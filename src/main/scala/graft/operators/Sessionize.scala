@@ -57,10 +57,11 @@ object Sessionize {
     * accumulation (dify_transformation.py:105-168 — W3): each row's offset is
     * the sum of all PRIOR rows' durations within the partition.
     */
-  def runningOffset(df: DataFrame, partition: Column, order: Column, duration: Column): DataFrame = {
+  def runningOffset(df: DataFrame, partition: Column, order: Column, duration: Column,
+      zero: Column = lit(0.0)): DataFrame = {
     val w = Window.partitionBy(partition).orderBy(order.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("offset", coalesce(sum(duration).over(w), lit(0.0)))
+    df.withColumn("offset", coalesce(sum(duration).over(w), zero))
   }
 
   /** Absolute-vs-relative disambiguation (DIFYX:193-208): a raw subtitle time

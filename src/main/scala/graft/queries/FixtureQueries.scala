@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.sources.{Csv, KvBlock, Xlsx}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips, oracle-checked end to end: each query first
+  * MATERIALIZES a deterministic fixture from the parquet tables (CSV with a
+  * sniffable dialect, two ECMA-376 workbooks, a partitioned KV-block sink),
+  * then reads it back through the engine's own scan path — while the DuckDB
+  * oracle recomputes the expected rows straight from the parquet tables. A
+  * hash match therefore certifies the WHOLE dialect-sniff/parse/align (S3),
+  * zip+XML decode (S4) and partitioned-sink layout (S14) pipelines, not
+  * just their unit specs.
+  *
+  * Fixtures are small by construction (bounded key filters), rewritten
+  * idempotently per call under java.io.tmpdir.
+  */
+object FixtureQueries {
+
+  private def fixtureDir(dir: String, leaf: String): String = {
+    val h = Integer.toHexString(dir.hashCode)
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_fixtures_$h", leaf)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  private def deleteRecursive(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles).getOrElse(Array.empty).foreach(deleteRecursive)
+    p.delete(): Unit
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S3: semicolon dialect + quoted delimiter-bearing field → sniff →
+    // parse → compare against the source-of-truth parquet rows.
+    "q81_csv_roundtrip" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          concat(lit("note;"), col("o_orderpriority")).as("o_note"))
+        .orderBy(col("o_orderkey"))
+        .collect()
+      val path = fixtureDir(dir, "orders.csv")
+      val sb = new StringBuilder("o_orderkey;o_orderstatus;o_totalprice;o_orderdate;o_note\n")
+      rows.foreach { r =>
+        sb.append(r.get(0)).append(';').append(r.getString(1)).append(';')
+          .append(r.getDouble(2)).append(';').append(r.getString(3)).append(';')
+          .append('"').append(r.getString(4)).append('"').append('\n')
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        sb.toString.getBytes("UTF-8"))
+      Csv.read(s, path, cap = 1000000)
+        .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+          col("o_totalprice").cast("double"),
+          col("o_orderdate").cast("string"), col("o_note"))
+    }),
+
+    // S4: two inline-string workbooks (even/odd split, identical headers)
+    // → distributed zip+XML parse → union — against the parquet rows.
+    "q82_xlsx_roundtrip" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+        .collect()
+      val header = Seq("c_custkey", "c_name", "c_mktsegment")
+      val base = fixtureDir(dir, "xlsx")
+      deleteRecursive(new java.io.File(base))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      Seq(0, 1).foreach { parity =>
+        val cells = rows.toSeq
+          .filter(r => r.getLong(0) % 2 == parity)
+          .map(r => Seq(r.getLong(0).toString, r.getString(1), r.getString(2)))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(base, s"customers_$parity.xlsx"),
+          Xlsx.writeWorkbook(header +: cells))
+      }
+      Xlsx.read(s, s"$base/*.xlsx")
+        .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // S14: partitioned KV-block sink layout parity — write documents as
+    // 键：值 blocks partitioned by lang, read the directory back, and
+    // report per-partition file count + record count + distinct ids. The
+    // oracle states the expected layout shape from the parquet table
+    // (coalesced sink → exactly one part file per partition value).
+    "q83_kv_sink_layout" -> ((s, dir) => {
+      import s.implicits._
+      KvBlock.ensureLastWin(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("block", KvBlock.renderBlock(Seq(
+          "id" -> col("doc_id").cast("string"),
+          "src" -> col("source"))))
+      val out = fixtureDir(dir, "kv_sink")
+      KvBlock.writePartitioned(docs, col("block"), Seq("lang"), out)
+      // read the sink back through the KV parse path, keyed by partition dir
+      val raw = s.read.option("wholetext", "true").text(out)
+      val blocks = raw
+        .select(col("lang"),
+          explode(split(col("value"), KvBlock.BlockDelimiter)).as("block"))
+        .withColumn("block", regexp_replace(col("block"), "^\\s+|\\s+$", ""))
+        .filter(length(col("block")) > 0)
+        .withColumn("kv", KvBlock.parseBlock(col("block")))
+      val counts = blocks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(KvBlock.field(col("kv"), "id")).as("n_ids"))
+      // layout: part files per partition directory (bounded driver listing)
+      val files = Option(new java.io.File(out).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+        .map(d => (d.getName.stripPrefix("lang="),
+          d.listFiles.count(f => f.getName.startsWith("part-"))))
+        .toSeq.toDF("lang", "n_files")
+      counts.join(files, Seq("lang"))
+        .select(col("lang"), col("n_files"), col("n_records"), col("n_ids"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q81_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           'note;' || o_orderpriority AS o_note
+         FROM orders WHERE o_orderkey < 500""",
+    "q82_xlsx_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer WHERE c_custkey < 300""",
+    "q83_kv_sink_layout" ->
+      """SELECT lang, 1 AS n_files, COUNT(*) AS n_records,
+           COUNT(DISTINCT doc_id) AS n_ids
+         FROM documents GROUP BY lang""")
+}

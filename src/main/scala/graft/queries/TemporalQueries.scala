@@ -90,6 +90,33 @@ object TemporalQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("offset").cast("double").as("offset"),
           DateFunctions.mmss(col("offset")).as("offset_mmss"))
+    }),
+
+    // W3's trickiest semantics (DIFYX:193-208): a raw subtitle time already
+    // ≥ the scene offset is ABSOLUTE; otherwise it is scene-RELATIVE and
+    // shifts by the offset. Runs in exact integer centiseconds (durations ×
+    // 100) so the oracle reproduces every value with pure BIGINT
+    // arithmetic — no float summation-order hazard in the running frame.
+    "q80_subtitle_times" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("dur_c"))
+      graft.operators.Sessionize.runningOffset(
+          li, col("l_orderkey"),
+          struct(col("l_linenumber"), col("l_partkey"), col("dur_c")), col("dur_c"),
+          zero = lit(0L))
+        .withColumn("offset_c", col("offset").cast("long"))
+        // synthesize a mixed stream: every 3rd line reports absolute time
+        // (offset + half its duration), the rest scene-relative quarters
+        .withColumn("raw_c",
+          when(pmod(col("l_linenumber"), lit(3)) === 0,
+            col("offset_c") + expr("dur_c DIV 2"))
+            .otherwise(expr("dur_c DIV 4")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("raw_c"),
+          graft.operators.Sessionize
+            .resolveAbsoluteTime(col("raw_c"), col("offset_c")).as("resolved_c"),
+          (col("raw_c") >= col("offset_c")).as("is_absolute"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -125,5 +152,22 @@ object TemporalQueries {
              CAST(CAST(FLOOR(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS BIGINT) % 60 AS INTEGER)) AS offset_mmss
-         FROM lineitem""")
+         FROM lineitem""",
+    "q80_subtitle_times" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS dur_c
+           FROM lineitem),
+         o AS (SELECT *,
+             CAST(COALESCE(SUM(dur_c) OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, dur_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_c
+           FROM t),
+         r AS (SELECT *,
+             CASE WHEN l_linenumber % 3 = 0 THEN offset_c + dur_c // 2
+                  ELSE dur_c // 4 END AS raw_c
+           FROM o)
+         SELECT l_orderkey, l_linenumber, l_partkey, raw_c,
+           CASE WHEN raw_c >= offset_c THEN raw_c ELSE offset_c + raw_c END AS resolved_c,
+           (raw_c >= offset_c) AS is_absolute
+         FROM r""")
 }

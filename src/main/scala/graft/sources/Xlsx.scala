@@ -66,6 +66,63 @@ object Xlsx {
     }.toDF()
   }
 
+  /** Render rows (first row = header) as a minimal ECMA-376 workbook:
+    * one sheet, every cell an inline string — the writer half of the S4
+    * surface, and the fixture generator for the q82 round-trip oracle.
+    * Output parses back identically through [[read]]/[[parseWorkbook]].
+    */
+  def writeWorkbook(rows: Seq[Seq[String]]): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;").replace("'", "&apos;")
+    def colRef(i: Int): String = {
+      var n = i + 1
+      val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    val sheetXml = new StringBuilder(
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    rows.zipWithIndex.foreach { case (cells, r) =>
+      sheetXml.append(s"""<row r="${r + 1}">""")
+      cells.zipWithIndex.foreach { case (v, c) =>
+        sheetXml.append(
+          s"""<c r="${colRef(c)}${r + 1}" t="inlineStr"><is><t>${esc(v)}</t></is></c>""")
+      }
+      sheetXml.append("</row>")
+    }
+    sheetXml.append("</sheetData></worksheet>")
+    val workbookXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+        """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val relsXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    val typesXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml", typesXml)
+    put("xl/workbook.xml", workbookXml)
+    put("xl/_rels/workbook.xml.rels", relsXml)
+    put("xl/worksheets/sheet1.xml", sheetXml.toString)
+    zos.close()
+    bos.toByteArray
+  }
+
   /** Parse one workbook's bytes → rows of cell strings (first sheet). */
   def parseWorkbook(bytes: Array[Byte], maxRows: Int): Seq[Seq[String]] = {
     var shared: Vector[String] = Vector.empty
