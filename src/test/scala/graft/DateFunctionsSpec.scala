@@ -64,4 +64,22 @@ class DateFunctionsSpec extends AnyFunSuite {
       .resolveAbsoluteTime(col("raw"), col("offset"))).as[Double].collect().toSeq
     assert(got == Seq(5.0, 20.0))
   }
+
+  test("W3 end-to-end: scene offsets + mixed abs/rel subtitle resolution (DIFYX:193-208)") {
+    import graft.operators.Sessionize
+    // one video, three scenes of 10s/20s/30s → offsets 0/10/30; subtitle
+    // times arrive mixed: already-absolute values pass through, scene-
+    // relative values shift by the scene's offset
+    val scenes = Seq(
+      ("v1", 1, 10.0, 4.0),   // offset 0:  4 >= 0  → absolute 4.0
+      ("v1", 2, 20.0, 5.0),   // offset 10: 5 < 10  → relative → 15.0
+      ("v1", 3, 30.0, 42.0)   // offset 30: 42 >= 30 → absolute 42.0
+    ).toDF("video", "scene", "duration", "raw")
+    val resolved = Sessionize.runningOffset(
+        scenes, col("video"), col("scene"), col("duration"))
+      .withColumn("t", Sessionize.resolveAbsoluteTime(col("raw"), col("offset")))
+      .orderBy(col("scene"))
+      .select(col("offset"), col("t")).as[(Double, Double)].collect().toSeq
+    assert(resolved == Seq((0.0, 4.0), (10.0, 15.0), (30.0, 42.0)))
+  }
 }

@@ -79,6 +79,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("compiled portable shingle hashes == composable form on real documents") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("text"))
+      .unionByName(Seq("", "   ", "one two", "a b c a b c a b c").toDF("text"))
+    val diff = docs.select(
+        graft.functions.PolyHash.polyShingleHashes(spark, col("text"), 3).as("compiled"),
+        graft.functions.PolyHash.polyShingleHashesComposable(col("text"), 3).as("composable"))
+      .filter(not(col("compiled") <=> col("composable")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("compiled portable simhash == composable form on real documents (incl. empty)") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("text"))
+      .unionByName(Seq("", "   ", "one").toDF("text"))
+    val diff = docs.select(
+        graft.functions.PolyHash.polySimHash(spark, col("text")).as("compiled"),
+        graft.functions.PolyHash.polySimHashComposable(col("text")).as("composable"))
+      .filter(not(col("compiled") <=> col("composable")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("portable simhash: near-dups differ in few bits, unrelated docs in many") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sig = base.select(col("doc_id"),
+        graft.functions.PolyHash.polySimHash(spark, col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(hamming(sig(0L), sig(3L)) == 0)       // exact dup → identical signature
+    assert(hamming(sig(0L), sig(1L)) <= 12)      // near-dup → close
+    assert(hamming(sig(0L), sig(2L)) >= 15)      // unrelated → far
+  }
+
   test("simhash: near-dups differ in few bits, unrelated docs in many") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val sig = base.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
@@ -132,6 +166,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     assert((bf & ivf3).size.toDouble / bf.size >= 0.75)
     assert((bf & ivf3).size >= (bf & ivf1).size)
+  }
+
+  test("seeded IVF probing every bucket == brute-force top-k exactly") {
+    val emb = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val bf = Similarity.cosineTopK(q, "qid", "qv", c, "cid", "cv", 5,
+        rankCol = Some("rnk"))
+      .select("query_id", "cand_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    // nprobe = nCentroids → every bucket probed → pruning must be lossless
+    val all = Similarity.ivfTopKSeeded(q, "qid", "qv", c, "cid", "cv", 5,
+        dim = 64, nCentroids = 8, nprobe = 8)
+      .select("query_id", "cand_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(all == bf)
+    // single-probe still returns a full (possibly different) top-5 per query
+    val one = Similarity.ivfTopKSeeded(q, "qid", "qv", c, "cid", "cv", 5,
+        dim = 64, nCentroids = 8, nprobe = 1)
+    assert(one.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
   }
 
   test("removeNearDuplicates keeps one representative per near-dup cluster") {

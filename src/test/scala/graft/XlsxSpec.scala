@@ -58,6 +58,26 @@ class XlsxSpec extends AnyFunSuite {
     assert(df.filter($"id" === "1").select("name").as[String].head() == "row1")
   }
 
+  test("writeWorkbook → read round-trip over many files stays distributed") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxmany").toFile
+    (0 until 20).foreach { f =>
+      val rows = Seq(Seq("id", "name")) ++
+        (0 until 30).map(i => Seq(s"${f * 100 + i}", s"name_${f}_$i"))
+      java.nio.file.Files.write(new java.io.File(dir, f"wb_$f%02d.xlsx").toPath,
+        Xlsx.writeWorkbook(rows))
+    }
+    val df = Xlsx.read(spark, dir.toString + "/*.xlsx")
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 600)
+    assert(df.filter($"id" === "1203").select("name").as[String].head() == "name_12_3")
+    // row assembly must be executor-side: the plan reads the binaryFile
+    // source directly — NOT a driver-materialized LocalTableScan (the
+    // pre-r3 shape, which funneled every parsed row through the driver)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("binaryFile"), s"expected binaryFile scan in:\n$plan")
+    assert(!plan.contains("LocalTableScan"), s"driver-materialized plan:\n$plan")
+  }
+
   test("read fails loudly when a file's header differs from the first file's") {
     def sheet(h1: String, h2: String, v: String) =
       s"""<row r="1"><c r="A1" t="inlineStr"><is><t>$h1</t></is></c><c r="B1" t="inlineStr"><is><t>$h2</t></is></c></row>""" +
