@@ -22,11 +22,16 @@ object TrainingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Gopher repetition rules, per document: modal-2-gram share and
-    // duplicate-3-gram fraction. Narrow per-row folds — no explode/shuffle.
+    // duplicate-3-gram fraction. ONE compiled tokenize pass per row
+    // (RepetitionStats; the HOF forms remain the spec oracle) — still a
+    // narrow map-side projection: no explode, no shuffle.
     "q69_repetition" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        TextFunctions.topNgramFrac(col("text"), 2).as("top2_frac"),
-        TextFunctions.dupNgramFrac(col("text"), 3).as("dup3_frac"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.RepetitionStats.expr(col("text"), 2, 3).as("r"))
+        .select(col("doc_id"),
+          col("r.top_frac").as("top2_frac"),
+          col("r.dup_frac").as("dup3_frac"))
     }),
 
     // Benchmark decontamination stats: distinct-3-gram overlap of every

@@ -23,6 +23,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(df.as[Double].collect().toSeq == Seq(0.4, 0.0, 0.0))
   }
 
+  test("compiled RepetitionStats == composable HOF forms on real documents") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("text"))
+      .unionByName(Seq("a b a b a", "a b c a b c a", "x y z", "only", "", "  ")
+        .toDF("text"))
+    val diff = docs.select(
+        graft.functions.RepetitionStats.expr(col("text"), 2, 3).as("r"),
+        TextFunctions.topNgramFrac(col("text"), 2).as("t"),
+        TextFunctions.dupNgramFrac(col("text"), 3).as("d"))
+      .filter(not(col("r.top_frac") <=> col("t")) || not(col("r.dup_frac") <=> col("d")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("contamination overlap: hand-built benchmark") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),   // shares "the quick brown" + "quick brown fox"
