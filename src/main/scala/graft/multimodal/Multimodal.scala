@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata structs, plus batched decode / feature-extract /
   * frame-sample operators over `mapPartitions`.
   *
-  * The actual codec step is STUBBED (deterministic fake — this container
-  * has no image/audio libraries); everything Spark-side is real: schemas,
-  * partition-level batching, the operator signatures a real decoder would
-  * plug into, and the binaryFile ingestion path. The reference's analog is
-  * the embedded-image extract→validate→upload pipeline
-  * (多数据源获取数据.py:396-445, 1116-1178) with its ≥5 KiB / ≥50 px gates.
+  * DOCUMENT payloads (PDF/DOCX) decode for real through
+  * [[DocumentCodec]] (`parseDocuments` below) — pure JVM, no external
+  * libraries. The image/audio FEATURE step stays a deterministic stand-in
+  * (this container has no pixel/sample codecs); its Spark side — schemas,
+  * partition-level batching, operator signatures, binaryFile ingestion —
+  * is real. The reference's analog is the embedded-image
+  * extract→validate→upload pipeline (多数据源获取数据.py:396-445,
+  * 1116-1178) with its ≥5 KiB / ≥50 px gates.
   */
 object Multimodal {
 
@@ -87,6 +89,31 @@ object Multimodal {
         // per-partition "codec" init happens here in a real implementation
         rows.map { r =>
           Row(r.getLong(0), fakeFeatures(r.getAs[Array[Byte]](1), dim).toSeq)
+        }
+      }(encoder)
+  }
+
+  /** S5 document parse: decode PDF/DOCX payloads to text on executors
+    * (DocumentCodec), batched per partition like extractFeatures. Output:
+    * (media_id, doc_format, text nullable, n_chars) — an undecodable or
+    * unsupported payload keeps its row with a null text (the caller's
+    * filter decides), never fails the job.
+    */
+  def parseDocuments(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("doc_format", StringType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("n_chars", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val fmt = DocumentCodec.detectFormat(payload)
+          val text = DocumentCodec.extractText(payload)
+          Row(r.getLong(0), fmt.name, text.orNull,
+            text.map(_.length.toLong).map(Long.box).orNull)
         }
       }(encoder)
   }
