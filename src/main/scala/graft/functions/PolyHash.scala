@@ -36,17 +36,25 @@ object PolyHash {
   /** `fold (acc·m + codepoint) mod p` over the string — the scalar kernel.
     * Codepoint iteration (not UTF-16 units) matches Spark's `ascii()` and
     * DuckDB's `ord()` on supplementary characters.
+    *
+    * The reduction is DEFERRED to every 5th step (congruence-preserving:
+    * p·m⁵ < 2^57 for both (31, 1e9+7) and (37, 998244353), so five
+    * unreduced multiply-adds can't overflow a signed 64-bit long) — ~80%
+    * fewer `%` ops on the per-byte hot path, bit-identical results.
     */
   @inline private[functions] def foldString(s: String, from: Int, until: Int,
       m: Long, p: Long, init: Long): Long = {
     var h = init
     var i = from
+    var steps = 0
     while (i < until) {
       val cp = s.codePointAt(i)
-      h = (h * m + cp) % p
+      h = h * m + cp
+      steps += 1
+      if (steps == 5) { h %= p; steps = 0 }
       i += Character.charCount(cp)
     }
-    h
+    h % p
   }
 
   /** Column bridge for the compiled shingle hasher. */
@@ -55,6 +63,14 @@ object PolyHash {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => PolyShingleHashes(exprs.head, k), "built-in")
     org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  /** Column bridge for the compiled per-band bucket fold. */
+  def polyBandBuckets(spark: SparkSession, sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val name = s"graft_poly_band_buckets_${bands}_$rowsPerBand"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PolyBandBuckets(exprs.head, bands, rowsPerBand), "built-in")
+    org.apache.spark.sql.functions.call_function(name, sig)
   }
 
   /** Column bridge for the compiled 60-bit SimHash. */
@@ -147,6 +163,44 @@ case class PolyShingleHashes(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hashes, m))
+  }
+}
+
+/** Compiled LSH band buckets over a MinHash signature: bucket b =
+  * `fold (acc·31 + slot) mod 1e9+7` over signature slots
+  * [b·rowsPerBand, (b+1)·rowsPerBand) — one pass over the signature
+  * array; semantics = `PolyHash.bandBucket` over the b-th slice (the
+  * composable spec form), reproduced verbatim by the q45 oracle.
+  */
+case class PolyBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bands >= 1 && rowsPerBand >= 1, "bands and rowsPerBand must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = s"poly_band_buckets_${bands}_$rowsPerBand"
+
+  override protected def withNewChildInternal(newChild: Expression): PolyBandBuckets =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    import PolyHash.{M1, P1}
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() < bands * rowsPerBand) return null
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        h = (h * M1 + arr.getLong(b * rowsPerBand + j)) % P1
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

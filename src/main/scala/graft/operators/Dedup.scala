@@ -94,12 +94,9 @@ object Dedup {
       .withColumn("sig", graft.functions.MinHashSig.expr(col("hs"), numHashes))
     val banded = withSig.select(
       col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          graft.functions.PolyHash
-            .bandBucket(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      posexplode(graft.functions.PolyHash
+        .polyBandBuckets(df.sparkSession, col("sig"), bands, rows)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -91,6 +91,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("compiled band buckets == composable per-slice fold on real signatures") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+    val sig = docs.select(
+        graft.functions.PolyHash.polyShingleHashes(spark, col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(graft.functions.MinHashSig.expr(col("hs"), 32).as("sig"))
+    val diff = sig.select(
+        graft.functions.PolyHash.polyBandBuckets(spark, col("sig"), 8, 4).as("compiled"),
+        array((0 until 8).map { b =>
+          graft.functions.PolyHash.bandBucket(slice(col("sig"), b * 4 + 1, 4))
+        }: _*).as("composable"))
+      .filter(not(col("compiled") <=> col("composable")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("compiled portable simhash == composable form on real documents (incl. empty)") {
     val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
       .select(col("text"))
