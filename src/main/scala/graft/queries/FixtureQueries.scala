@@ -83,6 +83,23 @@ object FixtureQueries {
         .select(col("c_custkey").cast("long"), col("c_name"), col("c_mktsegment"))
     }),
 
+    // S15: JSON-lines sink → scan round-trip. Typed columns (long, string,
+    // double, date-as-string, boolean) survive serialization; the oracle
+    // recomputes the rows from parquet.
+    "q85_json_sink_roundtrip" -> ((s, dir) => {
+      val out = fixtureDir(dir, "json_sink")
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          (col("o_totalprice") > 200000).as("high_value"))
+        .write.mode("overwrite").json(out)
+      s.read.json(out)
+        .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+          col("o_totalprice").cast("double"), col("o_orderdate").cast("string"),
+          col("high_value").cast("boolean"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -128,6 +145,11 @@ object FixtureQueries {
     "q82_xlsx_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment
          FROM customer WHERE c_custkey < 300""",
+    "q85_json_sink_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           (o_totalprice > 200000) AS high_value
+         FROM orders WHERE o_orderkey < 400""",
     "q83_kv_sink_layout" ->
       """SELECT lang, 1 AS n_files, COUNT(*) AS n_records,
            COUNT(DISTINCT doc_id) AS n_ids

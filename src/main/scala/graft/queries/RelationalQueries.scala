@@ -127,6 +127,13 @@ object RelationalQueries {
         .except(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
     }),
 
+    // U4 intersection (the last set operator without an oracle row).
+    "q84_intersect_urgent_high" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_totalprice") > 300000).select(col("o_orderkey"))
+        .intersect(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
+    }),
+
     // Rollup (engine capability beyond the reference — SURVEY.md §2.4 note).
     "q11_rollup_revenue" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -238,6 +245,10 @@ object RelationalQueries {
     "q10_except_urgent" ->
       """SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
          EXCEPT
+         SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "q84_intersect_urgent_high" ->
+      """SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+         INTERSECT
          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
     "q11_rollup_revenue" ->
       """SELECT r_name, n_name,
