@@ -10,6 +10,10 @@ object PlanDump {
       "q03_top_orders_per_cust" -> "WindowGroupLimit partial/final (top-k crosses exchange as k rows/group)",
       "q42_cosine_topk" -> "broadcast query batch; shuffle-free candidate scan",
       "q45_minhash_lsh" -> "id+band+bucket candidate join; shingle strings never shuffled",
+      "q47_ivf_topk" -> "seeded codebook rides as expression state; bucketed equi-join, broadcast query side",
+      "q54_pad_rows" -> "global max via two-level agg + 1-row broadcast (no single-partition window)",
+      "q60_search_fanout" -> "dense-key round-robin: pure projection over the fan-out, zero windows",
+      "q80_subtitle_times" -> "abs/rel resolution: one keyed window pass, integer arithmetic",
       "q48_task_distribution" -> "broadcast fan-out join with OR condition",
       "q62_asof_last_event" -> "as-of join as union+window: one shuffle, no range explosion",
       "q66_hash_split" -> "deterministic split: pure map-side projection, zero exchanges",
