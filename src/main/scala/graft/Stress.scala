@@ -52,6 +52,39 @@ object Stress {
         Mixture.assignCopies(docs, col("id"), lit(1.5)), col("n_copies")).count()
     }
 
+    // compiled text-signature passes (the per-byte hot path of a corpus
+    // run): 40-token synthetic docs. Generation itself is interpreted-HOF
+    // heavy, so the input is MATERIALIZED once (parquet, like a real
+    // corpus) and each receipt times only the operator pass over it.
+    val t = math.max(n / 10, 1000000L)
+    val textDir = java.nio.file.Files.createTempDirectory("graft_stress_texts").toString
+    spark.range(0, t, 1, 32).select(col("id"),
+        array_join(transform(sequence(lit(0), lit(39)),
+          j => concat(lit("w"), pmod(col("id") * (j + 7L), lit(997)))), " ").as("text"))
+      .write.mode("overwrite").parquet(textDir)
+    val texts = spark.read.parquet(textDir)
+    time(s"poly_shingles_${t / 1000000}M_x40tok") {
+      texts.select(graft.functions.PolyHash
+          .polyShingleHashes(spark, col("text"), 3).as("hs"))
+        .agg(sum(size(col("hs")))).collect()
+    }
+    time(s"minhash_sig32_${t / 1000000}M") {
+      texts.select(graft.functions.PolyHash
+          .polyShingleHashes(spark, col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(graft.functions.MinHashSig.expr(col("hs"), 32).as("sig"))
+        .agg(sum(element_at(col("sig"), 1))).collect()
+    }
+    time(s"poly_simhash_${t / 1000000}M") {
+      // signatures reach 2^60 — reduce before summing or the agg overflows
+      texts.select(graft.functions.PolyHash.polySimHash(spark, col("text")).as("s"))
+        .agg(sum(pmod(col("s"), lit(1000003L)))).collect()
+    }
+    time(s"repetition_${t / 1000000}M") {
+      texts.select(graft.functions.RepetitionStats.expr(col("text"), 2, 3).as("r"))
+        .agg(sum(col("r.top_frac")), sum(col("r.dup_frac"))).collect()
+    }
+
     val m = math.max(n / 10, 1000000L)
     val vecs = spark.range(0, m, 1, 32).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)),
