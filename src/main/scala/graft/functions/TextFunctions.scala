@@ -210,6 +210,31 @@ object TextFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  // ---- URL canonicalization (crawl-dedup key) -----------------------------
+
+  /** Canonical URL for crawl/dedup keys: drop the fragment, lowercase
+    * scheme and host (paths stay case-sensitive), strip tracking params
+    * (utm_* / fbclid / gclid) while preserving the order of the rest, and
+    * trim trailing slashes from the path. Pure regex/array composition in
+    * the Java∩RE2 syntax subset — the q87 oracle applies the literal same
+    * steps.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val scheme = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val host = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    val path = regexp_replace(rest, "\\?.*$", "")
+    val query = when(rest.contains("?"),
+      regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p === ""))
+    concat(lower(scheme), lit("://"), lower(host),
+      regexp_replace(path, "/+$", ""),
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
+  }
+
   // ---- encoding fallback (F14) -------------------------------------------
 
   /** Charset-fallback decode chain (多数据源获取数据.py:1053-1060): try each

@@ -132,6 +132,16 @@ object AnalyticsQueries {
         graft.functions.PolyHash.polySimHash(s, col("text")).as("simhash"))
     }),
 
+    // The operator a training pipeline actually runs: LSH pairs →
+    // connected components → keep each cluster's min id. Oracle-checked
+    // END TO END — the DuckDB side rebuilds the portable LSH pipeline and
+    // closes the pair set with a recursive CTE.
+    "q86_neardup_removal" -> ((s, dir) => {
+      Dedup.removeNearDuplicates(docs(s, dir), col("doc_id"), col("text"),
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.3)
+        .select(col("doc_id"))
+    }),
+
     // IVF-bucketed ANN with the SEEDED portable codebook (scan 1/C of
     // candidates per query; Lloyd-refined codebooks stay spec-gated).
     "q47_ivf_topk" -> ((s, dir) => {
@@ -176,7 +186,40 @@ object AnalyticsQueries {
         s"THEN ${1L << j} ELSE 0 END"
     }.mkString("(", "\n           + ", ")")
 
+  /** The q45 LSH pipeline as shared CTEs (ending in `v` = verified pairs
+    * with their Jaccard terms) — reused verbatim by the q86 removal oracle.
+    */
+  private def lshCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(${shinglesSql("toks")}, s -> ${polyHashSql("s")}))
+               AS hs
+           FROM t WHERE len(toks) >= 3),
+         sig AS (SELECT doc_id, hs, ${minhashSigSql("hs")} AS sig FROM sh),
+         bb AS (SELECT doc_id, band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               sig[(CAST(band AS INT) * 4 + 1):(CAST(band AS INT) * 4 + 4)]),
+               (a, b) -> (a * 31 + b) % 1000000007) AS bucket
+           FROM sig, (SELECT unnest(range(0, 8)) AS band)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bb a JOIN bb b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         v AS (SELECT id_a, id_b,
+             len(list_intersect(x.hs, y.hs)) AS inter, len(x.hs) AS na, len(y.hs) AS nb
+           FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)"""
+
   val oracles: Map[String, String] = Map(
+    "q86_neardup_removal" ->
+      s"""WITH RECURSIVE $lshCtes,
+         pairs AS (SELECT id_a, id_b FROM v
+           WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3),
+         edges(a, b) AS (SELECT id_a, id_b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+           UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS c FROM reach GROUP BY a)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)""",
     "q36_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
@@ -253,23 +296,7 @@ object AnalyticsQueries {
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
            FROM v) WHERE rn = 1""",
     "q45_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         sh AS (SELECT doc_id,
-             list_distinct(list_transform(${shinglesSql("toks")}, s -> ${polyHashSql("s")}))
-               AS hs
-           FROM t WHERE len(toks) >= 3),
-         sig AS (SELECT doc_id, hs, ${minhashSigSql("hs")} AS sig FROM sh),
-         bb AS (SELECT doc_id, band,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               sig[(CAST(band AS INT) * 4 + 1):(CAST(band AS INT) * 4 + 4)]),
-               (a, b) -> (a * 31 + b) % 1000000007) AS bucket
-           FROM sig, (SELECT unnest(range(0, 8)) AS band)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bb a JOIN bb b
-             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         v AS (SELECT id_a, id_b,
-             len(list_intersect(x.hs, y.hs)) AS inter, len(x.hs) AS na, len(y.hs) AS nb
-           FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+      s"""WITH $lshCtes
          SELECT id_a, id_b,
            ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
          FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",

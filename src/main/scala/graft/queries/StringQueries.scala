@@ -32,6 +32,26 @@ object StringQueries {
         .select(col("p_partkey"), col("query_str"))
     }),
 
+    // Crawl-dedup URL canonicalization: fragment/tracking-param strip,
+    // scheme+host lowercasing, trailing-slash trim (F-family extension —
+    // the dedup KEY maker a crawl pipeline runs before exact dedup).
+    "q87_url_canonical" -> ((s, dir) => {
+      val k = col("p_partkey")
+      val raw =
+        when(pmod(k, lit(4)) === 0,
+          concat(lit("HTTPS://Example.COM/Docs/"), k, lit("/?utm_source=feed&id="), k, lit("#top")))
+        .when(pmod(k, lit(4)) === 1,
+          concat(lit("http://EXAMPLE.com/docs/"), k, lit("?id="), k, lit("&utm_medium=email")))
+        .when(pmod(k, lit(4)) === 2,
+          concat(lit("https://example.com/a/b/"), k, lit("//")))
+        .otherwise(
+          concat(lit("HTTP://Sub.Example.Com/p"), k, lit("?gclid=xyz"), k))
+      t(s, dir, "part")
+        .withColumn("url_raw", raw)
+        .select(col("p_partkey"), col("url_raw"),
+          TextFunctions.canonicalizeUrl(col("url_raw")).as("url_canon"))
+    }),
+
     // F13/P11: URL synthesis → extension extraction → document-type dispatch.
     "q27_url_doctype" -> ((s, dir) => {
       val url = concat(lit("https://www."), col("source"), lit(".example.com/files/doc_"),
@@ -148,6 +168,36 @@ object StringQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q87_url_canonical" ->
+      """WITH u AS (SELECT p_partkey,
+           CASE p_partkey % 4
+             WHEN 0 THEN 'HTTPS://Example.COM/Docs/' || p_partkey || '/?utm_source=feed&id=' || p_partkey || '#top'
+             WHEN 1 THEN 'http://EXAMPLE.com/docs/' || p_partkey || '?id=' || p_partkey || '&utm_medium=email'
+             WHEN 2 THEN 'https://example.com/a/b/' || p_partkey || '//'
+             ELSE 'HTTP://Sub.Example.Com/p' || p_partkey || '?gclid=xyz' || p_partkey
+           END AS url_raw
+         FROM part),
+         n AS (SELECT p_partkey, url_raw,
+           regexp_replace(url_raw, '#.*$', '') AS nf FROM u),
+         p AS (SELECT *,
+           regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+           regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS host,
+           regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest
+         FROM n),
+         q AS (SELECT *,
+           regexp_replace(rest, '\?.*$', '') AS pth,
+           CASE WHEN position('?' IN rest) > 0
+                THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS qry
+         FROM p),
+         k AS (SELECT *, list_filter(string_split(qry, '&'), x ->
+             NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=')
+                  OR starts_with(x, 'gclid=') OR x = '')) AS kept
+         FROM q)
+         SELECT p_partkey, url_raw,
+           lower(scheme) || '://' || lower(host) || regexp_replace(pth, '/+$', '') ||
+           (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+             AS url_canon
+         FROM k""",
     "q26_query_template" ->
       """SELECT p_partkey,
            '"' || p_brand || '" AND "' || p_type || '"' ||
