@@ -97,6 +97,13 @@ object Stress {
       vecs.select(graft.functions.L2Norm.expr(col("embedding")).as("nrm"))
         .agg(sum(col("nrm"))).collect()
     }
+    // the materialized text fixture is t × ~250 B — delete it rather than
+    // leak hundreds of MB of tmpdir per run
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(textDir))
     spark.stop()
   }
 }

@@ -36,8 +36,14 @@ case class RepetitionStats(child: Expression, kTop: Int, kDup: Int)
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 
+  /** Spark's `round(col, 6)` rounds the DECIMAL-STRING rendering of the
+    * double (BigDecimal.valueOf), not its exact binary expansion — using
+    * `new BigDecimal(v)` here would round boundary fractions like 3/640
+    * (whose double sits just below the decimal tie) the other way and
+    * break bit-equality with the composable HOF forms.
+    */
   private def round6(v: Double): Double =
-    new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString

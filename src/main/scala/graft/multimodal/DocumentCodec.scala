@@ -77,7 +77,8 @@ object DocumentCodec {
             val withBreaks = p
               .replaceAll("<w:br\\s*/>", "<w:t>&#10;</w:t>")
               .replaceAll("<w:tab\\s*/>", "<w:t>&#9;</w:t>")
-            WtRe.findAllMatchIn(withBreaks).map(m => unescapeXml(m.group(1))).mkString
+            WtRe.findAllMatchIn(withBreaks)
+              .map(m => graft.sources.Xlsx.unescape(m.group(1))).mkString
           }
           return Some(paras.filter(_.nonEmpty).mkString("\n"))
         }
@@ -86,13 +87,6 @@ object DocumentCodec {
       None
     } catch { case _: Exception => None } finally zis.close()
   }
-
-  private def unescapeXml(s: String): String =
-    "&#(x?)([0-9A-Fa-f]+);".r.replaceAllIn(s, m => {
-      val cp = Integer.parseInt(m.group(2), if (m.group(1).isEmpty) 10 else 16)
-      java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
-    }).replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&apos;", "'").replace("&amp;", "&")
 
   // ---- PDF ----------------------------------------------------------------
 
@@ -141,20 +135,22 @@ object DocumentCodec {
     -1
   }
 
+  /** None on ANY stall or error — a truncated/corrupt stream must surface
+    * as undecodable, never as silently partial text.
+    */
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
     try {
-      val inf = new Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
+      while (!inf.finished()) {
         val n = inf.inflate(buf)
         if (n > 0) out.write(buf, 0, n)
-        else if (n == 0 && !inf.finished()) return Some(out.toByteArray)
+        else if (!inf.finished()) return None // stalled: needs input/dict
       }
-      inf.end()
       Some(out.toByteArray)
-    } catch { case _: Exception => None }
+    } catch { case _: Exception => None } finally inf.end()
   }
 
   /** Evaluate the text-showing subset of a content stream: `(s) Tj`,

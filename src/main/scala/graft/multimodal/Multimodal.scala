@@ -110,8 +110,14 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](1)
+          // dispatch ONCE — detect + extract, not detect twice (zip
+          // directory scans are the per-row cost here)
           val fmt = DocumentCodec.detectFormat(payload)
-          val text = DocumentCodec.extractText(payload)
+          val text = fmt match {
+            case DocumentCodec.Docx => DocumentCodec.extractDocx(payload)
+            case DocumentCodec.Pdf => DocumentCodec.extractPdf(payload)
+            case DocumentCodec.Unknown => None
+          }
           Row(r.getLong(0), fmt.name, text.orNull,
             text.map(_.length.toLong).map(Long.box).orNull)
         }

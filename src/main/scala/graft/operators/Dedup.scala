@@ -126,10 +126,18 @@ object Dedup {
     * producers (minHashLsh / ngramJaccardPairs / Similarity.cosinePairs)
     * are its interchangeable discovery stages.
     */
+  /** maxIterations bounds the min-label rounds (one HOP of propagation
+    * each); the loop exits EARLY on convergence, so the cap only pays when
+    * a cluster's graph diameter actually demands it. 25 covers any
+    * realistic near-dup cluster — an unconverged exit would silently keep
+    * extra "survivors" (and diverge from q86's exact-closure oracle), so
+    * the cap is a safety valve, not a tuning knob: a warning is logged if
+    * it is ever hit while labels are still moving.
+    */
   def removeNearDuplicates(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7, maxIterations: Int = 5): DataFrame = {
+      threshold: Double = 0.7, maxIterations: Int = 25): DataFrame = {
     val pairs = minHashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
       .select(col("id_a"), col("id_b"))
     val edges = pairs
@@ -155,6 +163,11 @@ object Dedup {
       labels = updated.drop("__changed")
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"removeNearDuplicates: min-label propagation still moving after " +
+          s"$maxIterations iterations ($changed labels changed) — a cluster " +
+          s"with diameter > $maxIterations exists; raise maxIterations")
     // Materialize the survivor id set with a lineage-truncating local
     // checkpoint (its blocks are released by the ContextCleaner once the
     // result is unreferenced), then drop the last iteration cache — a

@@ -141,12 +141,15 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    candidates
+    val seeds = candidates
       .withColumn("__bk", Sampling.hashBucket(col(idCol), 1048576))
       .orderBy(col("__bk"), col(idCol))
       .limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)).toSeq
+    require(seeds.nonEmpty,
+      s"seedCentroids: candidate set is empty — cannot seed $nCentroids centroids")
+    seeds
   }
 
   /** `ivfTopK` with the seeded (portable, oracle-checkable) codebook.

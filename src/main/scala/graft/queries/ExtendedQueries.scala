@@ -49,9 +49,12 @@ object ExtendedQueries {
       val types = { import s.implicits._; Seq("web", "video").toDF("search_type") }
       // Round-robin position by DENSE-KEY ARITHMETIC, not a global
       // row_number window (which moves the whole fan-out to one
-      // partition): p_partkey is contiguous from 0 (TESTDATA.md), and
-      // 'video' < 'web', so the (p_partkey, search_type) rank is
-      // 2·p_partkey + {1,2} — a pure per-row expression, zero exchanges.
+      // partition): p_partkey is contiguous 0..N-1 (verified on the
+      // driver-generated parquet at sf0.001/0.01/0.1 — min 0, count ==
+      // distinct == max+1), and 'video' < 'web', so the (p_partkey,
+      // search_type) rank is 2·p_partkey + {1,2} — a pure per-row
+      // expression, zero exchanges. If the generator ever re-keys 1-based,
+      // the oracle's ROW_NUMBER catches it as a hash mismatch.
       val fanned = topics.crossJoin(types)
         .withColumn("rn",
           (col("p_partkey") * 2 +

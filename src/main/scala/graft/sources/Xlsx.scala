@@ -39,11 +39,14 @@ object Xlsx {
     val bin = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
     // Pass 1 (bounded): one header per file → driver picks the schema from
-    // the first file by path order and validates agreement in ONE place.
+    // the first PARSEABLE file by path order and validates agreement in
+    // ONE place. Unparseable/empty workbooks contribute no rows in pass 2
+    // either, so they are skipped here too rather than failing the read
+    // (or worse, being reported as a "header mismatch" with no header).
     val headers = bin.as[(String, Array[Byte])].map { case (p, bytes) =>
       (p, parseWorkbook(bytes, 1).headOption.getOrElse(Seq.empty))
-    }.collect().sortBy(_._1)
-    require(headers.nonEmpty && headers.head._2.nonEmpty, s"no rows parsed from $path")
+    }.collect().sortBy(_._1).filter(_._2.nonEmpty)
+    require(headers.nonEmpty, s"no rows parsed from $path")
     val (firstPath, header) = headers.head
     val badFiles = headers.collect { case (p, h) if h != header => p }
     require(badFiles.isEmpty,
@@ -137,7 +140,10 @@ object Xlsx {
         e.getName match {
           case "xl/sharedStrings.xml" => shared = parseSharedStrings(readAll(zis))
           case SheetName(num) =>
-            sheets(if (num.isEmpty) 0 else num.toInt) = readAll(zis)
+            // bounded: stop inflating once maxRows </row> markers passed —
+            // the header pass (maxRows=1) and the 500-row cap never pay
+            // for a million-row sheet
+            sheets(if (num.isEmpty) 0 else num.toInt) = readSheetRows(zis, maxRows)
           case _ =>
         }
         e = zis.getNextEntry
@@ -152,6 +158,35 @@ object Xlsx {
     val tmp = new Array[Byte](8192)
     var n = zis.read(tmp)
     while (n >= 0) { buf.write(tmp, 0, n); n = zis.read(tmp) }
+    buf.toString("UTF-8")
+  }
+
+  /** Read a worksheet entry only until `maxRows` `</row>` markers have
+    * passed (byte-level scan with a marker-length overlap carry, so a
+    * marker split across read chunks still counts). A trailing partial
+    * row is ignored by the row regex downstream.
+    */
+  private def readSheetRows(zis: ZipInputStream, maxRows: Int): String = {
+    val marker = "</row>".getBytes("UTF-8")
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    var carry = Array.empty[Byte]
+    var rows = 0
+    var n = zis.read(tmp)
+    while (n >= 0 && rows < maxRows) {
+      buf.write(tmp, 0, n)
+      val seg = new Array[Byte](carry.length + n)
+      System.arraycopy(carry, 0, seg, 0, carry.length)
+      System.arraycopy(tmp, 0, seg, carry.length, n)
+      var i = 0
+      while (i <= seg.length - marker.length) {
+        var j = 0
+        while (j < marker.length && seg(i + j) == marker(j)) j += 1
+        if (j == marker.length) { rows += 1; i += marker.length } else i += 1
+      }
+      carry = seg.takeRight(marker.length - 1)
+      n = if (rows < maxRows) zis.read(tmp) else -1
+    }
     buf.toString("UTF-8")
   }
 
@@ -198,7 +233,8 @@ object Xlsx {
 
   private val NumRefRe = "&#(x?)([0-9A-Fa-f]+);".r
 
-  private def unescape(s: String): String = {
+  /** XML entity decode — shared with the DOCX side of DocumentCodec. */
+  private[graft] def unescape(s: String): String = {
     val numeric = NumRefRe.replaceAllIn(s, m => {
       val cp = Integer.parseInt(m.group(2), if (m.group(1).isEmpty) 10 else 16)
       java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))

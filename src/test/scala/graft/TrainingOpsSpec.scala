@@ -24,9 +24,13 @@ class TrainingOpsSpec extends AnyFunSuite {
   }
 
   test("compiled RepetitionStats == composable HOF forms on real documents") {
+    // boundary fraction: 641 tokens → 640 bigrams, modal count 3 → 3/640,
+    // whose double sits just below the decimal rounding tie at 6 places —
+    // distinguishes decimal-string HALF_UP (Spark round) from binary-exact
+    val boundary = "x y x y x y " + (1 to 635).map(i => s"t$i").mkString(" ")
     val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
       .select(col("text"))
-      .unionByName(Seq("a b a b a", "a b c a b c a", "x y z", "only", "", "  ")
+      .unionByName(Seq("a b a b a", "a b c a b c a", "x y z", "only", "", "  ", boundary)
         .toDF("text"))
     val diff = docs.select(
         graft.functions.RepetitionStats.expr(col("text"), 2, 3).as("r"),
