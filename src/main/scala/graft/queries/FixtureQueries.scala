@@ -116,13 +116,7 @@ object FixtureQueries {
       val out = fixtureDir(dir, "kv_sink")
       KvBlock.writePartitioned(docs, col("block"), Seq("lang"), out)
       // read the sink back through the KV parse path, keyed by partition dir
-      val raw = s.read.option("wholetext", "true").text(out)
-      val blocks = raw
-        .select(col("lang"),
-          explode(split(col("value"), KvBlock.BlockDelimiter)).as("block"))
-        .withColumn("block", regexp_replace(col("block"), "^\\s+|\\s+$", ""))
-        .filter(length(col("block")) > 0)
-        .withColumn("kv", KvBlock.parseBlock(col("block")))
+      val blocks = KvBlock.readPartitioned(s, out)
       val counts = blocks.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_records"),
           countDistinct(KvBlock.field(col("kv"), "id")).as("n_ids"))

@@ -31,6 +31,21 @@ object KvBlock {
     blocksFromText(raw, col("value")).select(col("block"), parseBlock(col("block")).as("kv"))
   }
 
+  /** Read a PARTITIONED KV sink (writePartitioned output) back: one row
+    * per block, with the partition-directory columns (e.g. `lang=de`)
+    * preserved alongside `block` and the parsed `kv` map — the inverse of
+    * `writePartitioned`, so sink layouts are queryable (q83).
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame = {
+    ensureLastWin(spark)
+    val raw = spark.read.option("wholetext", "true").text(path)
+    val partCols = raw.columns.filterNot(_ == "value").map(col)
+    raw.select(partCols :+ explode(split(col("value"), BlockDelimiter)).as("block"): _*)
+      .withColumn("block", regexp_replace(col("block"), "^\\s+|\\s+$", ""))
+      .filter(length(col("block")) > 0)
+      .withColumn("kv", parseBlock(col("block")))
+  }
+
   /** Repeated keys keep the LAST value (Python-dict semantics) — needs the
     * session-level dedup policy; the default EXCEPTION policy would kill a
     * job on one malformed block.

@@ -61,6 +61,70 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup admission — the LSH banding of
+    * `operators.Dedup.minHashLsh` as a streaming pipeline with bounded
+    * state: each doc's MinHash signature is split into band buckets; the
+    * first doc to claim a bucket within the watermark horizon owns it, and
+    * a doc is admitted as NOVEL only if it claims ALL its buckets (any
+    * collision ⇒ probable near-dup of an in-horizon doc ⇒ dropped). Two
+    * chained stateful operators (bucket-dedup state + per-window count),
+    * both watermark-evicted: state is O(buckets per horizon).
+    *
+    * Batch oracle: `nearDupNovelBatch` (keep-first per bucket by event
+    * time, admit docs holding all bands) — parity spec in StreamingSpec.
+    * Output: (idCol, window_start) of admitted docs, emitted on window
+    * close (the cost of the second stateful op in append mode).
+    */
+  def nearDupNovelWithinWatermark(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String = "ts",
+      watermark: String = "10 minutes", windowWidth: String = "1 minute",
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val claimed = bandRows(docs, idCol, textCol, tsCol, shingleSize, numHashes, bands)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("band", "bucket"))
+    claimed
+      .groupBy(window(col(tsCol), windowWidth), col(idCol))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") === bands)
+      .select(col(idCol), col("window.start").as("window_start"))
+  }
+
+  /** The batch form of the same admission rule (deterministic: buckets are
+    * owned in (ts, id) order, not arrival order).
+    */
+  def nearDupNovelBatch(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String = "ts",
+      windowWidth: String = "1 minute",
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val owned = graft.operators.Ranking.keepFirst(
+      bandRows(docs, idCol, textCol, tsCol, shingleSize, numHashes, bands),
+      Seq(col("band"), col("bucket")),
+      Seq(col(tsCol).asc, col(idCol).asc))
+    owned
+      .groupBy(window(col(tsCol), windowWidth), col(idCol))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") === bands)
+      .select(col(idCol), col("window.start").as("window_start"))
+  }
+
+  private def bandRows(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    docs
+      .withColumn("__hs",
+        graft.functions.PolyHash.polyShingleHashes(spark, col(textCol), shingleSize))
+      .filter(size(col("__hs")) > 0)
+      .withColumn("__sig", graft.functions.MinHashSig.expr(col("__hs"), numHashes))
+      .select(col(idCol), col(tsCol),
+        posexplode(graft.functions.PolyHash
+          .polyBandBuckets(spark, col("__sig"), bands, numHashes / bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
   // ---- custom state: explicit session accumulation ------------------------
 
   case class Ev(user_id: Long, tsMicros: Long, value: Double)

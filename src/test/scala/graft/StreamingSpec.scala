@@ -141,6 +141,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup admission == batch form; near-dups rejected, novel admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val events = Seq(
+      (ts(0), 1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (ts(1), 2L, "the quick brown fox jumps over the lazy dog near the river shore"), // near-dup of 1
+      (ts(2), 3L, "completely different words about catalyst optimizer and exchange planning"),
+      (ts(3), 4L, "the quick brown fox jumps over the lazy dog near the river bank"))  // exact dup of 1
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingOps.nearDupNovelWithinWatermark(
+        stream.toDF.toDF("ts", "doc_id", "text"), "doc_id", "text", "ts",
+        watermark = "30 minutes", windowWidth = "1 minute", shingleSize = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_test").start()
+    try {
+      // one micro-batch per event => arrival order == event-time order,
+      // the determinism contract the batch form states
+      events.foreach { e => stream.addData(e); q.processAllAvailable() }
+      // close all windows so append mode emits
+      stream.addData((ts(59), 99L, "window closer sentinel text here")); q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM neardup_test")
+        .as[Long].collect().toSet
+      val batch = StreamingOps.nearDupNovelBatch(
+          events.toDF("ts", "doc_id", "text"), "doc_id", "text", "ts",
+          windowWidth = "1 minute", shingleSize = 2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batch == Set(1L, 3L))       // 2 and 4 collide with 1's buckets
+      assert(streamed == batch)          // stream == batch admission
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: in-horizon duplicates dropped, state evicted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
