@@ -83,6 +83,20 @@ object RetrievalQueries {
         chunks(s, dir).withColumn("position", col("chunk_id")))
     }),
 
+    // X8's deterministic half made REAL: inverted-index lexical rerank
+    // (length-normalized TF×rarity), top-5 per query. Contributions are
+    // decimal-cast before summing, so the oracle reproduces every score.
+    "q88_rerank_lexical" -> ((s, dir) => {
+      import s.implicits._
+      val queriesDf = Seq(
+        (1L, "spark window filter"),
+        (2L, "vector merge customer"),
+        (3L, "hash scan stream order")).toDF("query_id", "query_text")
+      Retrieval.rerankLexical(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        queriesDf, "query_id", "query_text", k = 5)
+    }),
+
     // Full pipeline: recall lists per event_type → RRF → distribute → enrich.
     "q50_retrieval_pipeline" -> ((s, dir) => {
       val recall = Tables.load(s, dir, "events")
@@ -131,6 +145,32 @@ object RetrievalQueries {
        FROM dims"""
 
   val oracles: Map[String, String] = Map(
+    "q88_rerank_lexical" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS len FROM toks),
+         post AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM post GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'window'), (1, 'filter'),
+           (2, 'vector'), (2, 'merge'), (2, 'customer'),
+           (3, 'hash'), (3, 'scan'), (3, 'stream'), (3, 'order')),
+         c AS (SELECT q.query_id, tf.doc_id,
+             CAST(CAST(tf.tf * n.n_docs AS DOUBLE) /
+                  CAST(df.df * (dl.len + 1) AS DOUBLE) AS DECIMAL(18,9)) AS c
+           FROM q JOIN tf USING (term) JOIN df USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id, n),
+         s AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+           FROM c GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rnk
+           FROM s)
+         SELECT query_id, doc_id, rnk, ROUND(score, 6) AS score
+         FROM r WHERE rnk <= 5""",
     "q48_task_distribution" ->
       s"""WITH chunks AS ($chunksSql),
          tasks AS ($tasksSql),

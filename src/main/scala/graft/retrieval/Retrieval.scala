@@ -129,6 +129,54 @@ object Retrieval {
     fused.withColumn("rerank_score", coalesce(stubScore, fusedScore))
   }
 
+  /** REAL lexical reranker (the deterministic half of X8 — the model seam
+    * above stays for cross-encoder deployments): length-normalized
+    * TF×rarity scoring through an INVERTED INDEX join, never a
+    * query×corpus cross join —
+    *
+    *   score(q, d) = Σ_{t ∈ distinct terms of q}  tf(t,d) · N / (df(t) · (1 + len_d))
+    *
+    * Per-term contributions are cast to DECIMAL(18,9) before the sum, so
+    * the aggregate is partition-order-invariant (double addition is not
+    * associative) — the q88 oracle reproduces every score exactly. The
+    * term→posting join shuffles (term, doc, tf) triples; df and N are
+    * dimension-bounded broadcasts. Docs sharing no term score 0 and are
+    * simply absent (the candidate-generation stage upstream owns recall).
+    *
+    * @param queries (queryId, queryText) — small, broadcast
+    */
+  def rerankLexical(
+      docs: DataFrame, docId: String, textCol: String,
+      queries: DataFrame, queryId: String, queryText: String,
+      k: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = docs.select(col(docId).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val docLen = toks.select(col("doc_id"), size(col("toks")).as("len"))
+    val postings = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = queries.select(col(queryId).as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col(queryText)))).as("term"))
+    val contrib = broadcast(terms)
+      .join(postings, Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(docLen), Seq("doc_id"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("c",
+        ((col("tf") * col("n_docs")).cast("double") /
+          (col("df") * (col("len") + 1)).cast("double")).cast("decimal(18,9)"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+    Ranking.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("score").desc, col("doc_id").asc), k, rankCol = Some("rnk"))
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Full pipeline: per-list ranked recall → RRF → distribution → enrich. */
   def pipeline(
       recall: DataFrame,    // query_id, chunk_id, database_id, document_id, position, score
