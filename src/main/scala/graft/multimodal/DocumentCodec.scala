@@ -95,8 +95,13 @@ object DocumentCodec {
       val out = new StringBuilder
       var i = indexOf(bytes, "stream", 0)
       while (i >= 0) {
-        val dictStart = math.max(0, i - 512)
-        val dict = new String(bytes, dictStart, i - dictStart, "ISO-8859-1")
+        val windowStart = math.max(0, i - 512)
+        val window = new String(bytes, windowStart, i - windowStart, "ISO-8859-1")
+        // scope the dict to THIS object: the bytes since the last "obj"
+        // marker — a flat 512-byte look-back would bleed the previous
+        // object's dict (e.g. its /Subtype /Image) into this stream's
+        val objAt = window.lastIndexOf("obj")
+        val dict = if (objAt >= 0) window.substring(objAt) else window
         var dataStart = i + "stream".length
         if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
         if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
@@ -105,8 +110,14 @@ object DocumentCodec {
           i = -1
         } else {
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, end)
+          // binary payload streams (images, fonts, embedded files) are not
+          // content — inflating them and scanning for '(' would inject
+          // garbage "text" from random bytes
+          val isBinaryPayload = ImageSubtypeRe.findFirstIn(dict).isDefined ||
+            dict.contains("/FontFile") || dict.contains("/EmbeddedFile")
           val content =
-            if (dict.contains("/FlateDecode")) inflate(raw)
+            if (isBinaryPayload) None
+            else if (dict.contains("/FlateDecode")) inflate(raw)
             else Some(raw)
           content.foreach { c =>
             val text = extractContentText(new String(c, "ISO-8859-1"))
@@ -121,6 +132,8 @@ object DocumentCodec {
       if (out.isEmpty) None else Some(out.toString)
     } catch { case _: Exception => None }
   }
+
+  private val ImageSubtypeRe = "/Subtype\\s*/Image".r
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
     val nb = needle.getBytes("ISO-8859-1")
@@ -180,6 +193,25 @@ object DocumentCodec {
           val (s, next) = parsePdfString(content, i)
           pending.append(s)
           i = next
+        case '<' if i + 1 < n && content.charAt(i + 1) == '<' =>
+          i += 2 // dictionary start (e.g. BDC property lists) — not a string
+        case '<' =>
+          // hex string <48656C6C6F>: pairs of hex digits, whitespace
+          // ignored, odd final digit padded with 0 per spec
+          val hex = new StringBuilder
+          i += 1
+          while (i < n && content.charAt(i) != '>') {
+            val ch = content.charAt(i)
+            if (Character.digit(ch, 16) >= 0) hex.append(ch)
+            i += 1
+          }
+          i += 1 // closing '>'
+          if (hex.length % 2 == 1) hex.append('0')
+          var h = 0
+          while (h < hex.length) {
+            pending.append(Integer.parseInt(hex.substring(h, h + 2), 16).toChar)
+            h += 2
+          }
         case '%' => // comment to end of line
           while (i < n && content.charAt(i) != '\n') i += 1
         case 'T' if i + 1 < n =>

@@ -140,8 +140,12 @@ object Dedup {
       threshold: Double = 0.7, maxIterations: Int = 25): DataFrame = {
     val pairs = minHashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
       .select(col("id_a"), col("id_b"))
+    // persist the edge set: every propagation round joins it, and without
+    // the cache each round would re-run the ENTIRE LSH pipeline
+    // (shingle→sign→band→join→verify) from scratch
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
     var labels = df.select(idCol.as("id")).withColumn("comp", col("id"))
     var persisted: DataFrame = null // the one iteration cache currently held
     var iter = 0
@@ -175,6 +179,7 @@ object Dedup {
     // storage memory.
     val keep = labels.filter(col("id") === col("comp")).select(col("id")).localCheckpoint()
     if (persisted != null) persisted.unpersist()
+    edges.unpersist()
     df.join(keep, idCol === keep("id"), "left_semi")
   }
 
