@@ -37,6 +37,38 @@ class PropertiesSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("portable hashes: compiled == composable on random mixed-script text") {
+    val wordGen = Gen.chooseNum(0, 10).flatMap { n =>
+      Gen.listOfN(n, cnOrAscii).map(_.mkString(" "))
+    }
+    val texts = Gen.listOfN(150, wordGen).sample.get ++
+      Seq("", " ", "\t\n", "a", "a a a a a a")
+    val df = texts.toDF("text")
+    val shingleDiff = df.select(
+        graft.functions.PolyHash.polyShingleHashes(spark, col("text"), 3).as("c"),
+        graft.functions.PolyHash.polyShingleHashesComposable(col("text"), 3).as("s"))
+      .filter(not(col("c") <=> col("s"))).count()
+    assert(shingleDiff == 0)
+    val simDiff = df.select(
+        graft.functions.PolyHash.polySimHash(spark, col("text")).as("c"),
+        graft.functions.PolyHash.polySimHashComposable(col("text")).as("s"))
+      .filter(not(col("c") <=> col("s"))).count()
+    assert(simDiff == 0)
+  }
+
+  test("canonicalizeUrl: tracking params stripped, host lowered, path case kept") {
+    val cases = Seq(
+      ("HTTPS://Ex.COM/Path/A?utm_source=x&id=1#f", "https://ex.com/Path/A?id=1"),
+      ("http://a.com/p/?utm_a=1&utm_b=2", "http://a.com/p"),
+      ("http://a.com/p?gclid=z", "http://a.com/p"),
+      ("https://A.com//", "https://a.com"),
+      ("https://a.com/x?b=2&a=1", "https://a.com/x?b=2&a=1"))
+    val got = cases.toDF("raw", "want")
+      .select(TextFunctions.canonicalizeUrl(col("raw")).as("got"), col("want"))
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("date coalesce: every rendered format parses back to the same date") {
     val days = Gen.listOfN(200, Gen.chooseNum(0, 20000)).sample.get
     val base = days.toDF("d0")
