@@ -44,5 +44,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_lang_id_vote"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.LangIdVote(exprs.head)))
+    // portable (oracle-checkable) signature layer — SQL surface
+    Seq(1, 2, 3, 5).foreach { k =>
+      e.injectFunction((
+        FunctionIdentifier(s"poly_shingle_hashes_$k"),
+        new ExpressionInfo(classOf[graft.functions.PolyShingleHashes].getName,
+          s"poly_shingle_hashes_$k"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.PolyShingleHashes(exprs.head, k)))
+    }
+    e.injectFunction((
+      FunctionIdentifier("poly_simhash"),
+      new ExpressionInfo(classOf[graft.functions.PolySimHash].getName,
+        "poly_simhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.PolySimHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[graft.functions.RepetitionStats].getName,
+        "repetition_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RepetitionStats(exprs.head, 2, 3)))
   }
 }

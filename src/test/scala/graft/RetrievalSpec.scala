@@ -107,5 +107,14 @@ class RetrievalSpec extends AnyFunSuite {
     val expr = graft.functions.LenientJsonClean(
       org.apache.spark.sql.catalyst.expressions.Literal("x {\"k\": 1}"))
     assert(expr.dataType == org.apache.spark.sql.types.StringType)
+    // the portable signature layer is reachable from pure SQL (GraftSession
+    // sessions carry the extension)
+    val row = spark.sql(
+      """SELECT poly_simhash('a b c') AS s,
+         size(poly_shingle_hashes_2('a b c')) AS n,
+         repetition_stats('a b a b a').top_frac AS t""").head()
+    assert(row.getLong(0) != 0L)
+    assert(row.getInt(1) == 2)
+    assert(row.getDouble(2) == 0.5)
   }
 }
