@@ -14,6 +14,8 @@ object PlanDump {
       "q54_pad_rows" -> "global max via two-level agg + 1-row broadcast (no single-partition window)",
       "q60_search_fanout" -> "dense-key round-robin: pure projection over the fan-out, zero windows",
       "q80_subtitle_times" -> "abs/rel resolution: one keyed window pass, integer arithmetic",
+      "q86_neardup_removal" -> "LSH candidate join + cached edges + left-semi survivors (component loop reuses the cache)",
+      "q88_rerank_lexical" -> "inverted-index rerank: broadcast terms/df/len, one (term,doc,tf) shuffle, decimal-sum scores",
       "q48_task_distribution" -> "broadcast fan-out join with OR condition",
       "q62_asof_last_event" -> "as-of join as union+window: one shuffle, no range explosion",
       "q66_hash_split" -> "deterministic split: pure map-side projection, zero exchanges",
