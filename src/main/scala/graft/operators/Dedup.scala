@@ -138,48 +138,14 @@ object Dedup {
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxIterations: Int = 25): DataFrame = {
+    // Note: Graph.connectedComponents persists the (cheap, reusable) edge
+    // set internally — without that cache every propagation round would
+    // re-run the ENTIRE LSH pipeline (shingle→sign→band→join→verify).
     val pairs = minHashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
-      .select(col("id_a"), col("id_b"))
-    // persist the edge set: every propagation round joins it, and without
-    // the cache each round would re-run the ENTIRE LSH pipeline
-    // (shingle→sign→band→join→verify) from scratch
-    val edges = pairs
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist()
-    var labels = df.select(idCol.as("id")).withColumn("comp", col("id"))
-    var persisted: DataFrame = null // the one iteration cache currently held
-    var iter = 0
-    var changed = 1L
-    while (iter < maxIterations && changed > 0) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "id_b").withColumnRenamed("comp", "n_comp"),
-          Seq("id_b"))
-        .groupBy(col("id_a").as("id"))
-        .agg(min(col("n_comp")).as("min_n_comp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("min_n_comp"), col("comp"))).as("comp"),
-          (col("min_n_comp") < col("comp")).as("__changed"))
-      updated.persist()
-      changed = updated.filter(col("__changed")).count()
-      if (persisted != null) persisted.unpersist()
-      persisted = updated
-      labels = updated.drop("__changed")
-      iter += 1
-    }
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"removeNearDuplicates: min-label propagation still moving after " +
-          s"$maxIterations iterations ($changed labels changed) — a cluster " +
-          s"with diameter > $maxIterations exists; raise maxIterations")
-    // Materialize the survivor id set with a lineage-truncating local
-    // checkpoint (its blocks are released by the ContextCleaner once the
-    // result is unreferenced), then drop the last iteration cache — a
-    // long-lived session can call this repeatedly without accumulating
-    // storage memory.
-    val keep = labels.filter(col("id") === col("comp")).select(col("id")).localCheckpoint()
-    if (persisted != null) persisted.unpersist()
-    edges.unpersist()
+    val labels = Graph.connectedComponents(
+      df.select(idCol.as("id")), col("id"),
+      pairs, col("id_a"), col("id_b"), maxIterations)
+    val keep = labels.filter(col("id") === col("comp")).select(col("id"))
     df.join(keep, idCol === keep("id"), "left_semi")
   }
 

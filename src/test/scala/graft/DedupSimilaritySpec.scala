@@ -203,6 +203,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(one.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
   }
 
+  test("connectedComponents: chains collapse to min id, isolates keep their own") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("a", "b")
+    val comp = graft.operators.Graph.connectedComponents(
+        nodes, col("id"), edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L,
+      6L -> 6L, 7L -> 6L))
+  }
+
   test("removeNearDuplicates keeps one representative per near-dup cluster") {
     // chain cluster: 10-11 and 11-12 are near-dups (10-12 only transitively)
     val docs = Seq(
