@@ -32,6 +32,27 @@ object StringQueries {
         .select(col("p_partkey"), col("query_str"))
     }),
 
+    // F14 encoding-fallback chain, oracle-gated with byte fixtures whose
+    // winning charset is known by construction: valid UTF-8 stays UTF-8;
+    // GBK bytes that are invalid UTF-8 (0xB0A1… leads) fall through to
+    // GBK; 0xFFFE is invalid in both and lands on the lossless Latin-1
+    // tail. The oracle states each expected string literally (chr()
+    // arithmetic for the Latin-1 case) — it never needs to decode.
+    "q89_decode_chain" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.codingErrorAction", "true")
+      s.conf.set("spark.sql.legacy.javaCharsets", "true")
+      val k = col("c_custkey")
+      val suffix = encode(concat(lit("-"), k.cast("string")), "UTF-8")
+      val bin =
+        when(pmod(k, lit(3)) === 0,
+          concat(encode(concat(lit("客户"), col("c_name")), "UTF-8"), suffix))
+        .when(pmod(k, lit(3)) === 1,
+          concat(encode(lit("啊话"), "GBK"), suffix))
+        .otherwise(concat(unhex(lit("FFFE")), suffix))
+      t(s, dir, "customer").filter(k < 200)
+        .select(k, TextFunctions.decodeChain(bin).as("decoded"))
+    }),
+
     // Crawl-dedup URL canonicalization: fragment/tracking-param strip,
     // scheme+host lowercasing, trailing-slash trim (F-family extension —
     // the dedup KEY maker a crawl pipeline runs before exact dedup).
@@ -168,6 +189,14 @@ object StringQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q89_decode_chain" ->
+      """SELECT c_custkey,
+           CASE c_custkey % 3
+             WHEN 0 THEN '客户' || c_name || '-' || c_custkey
+             WHEN 1 THEN '啊话-' || c_custkey
+             ELSE chr(255) || chr(254) || '-' || c_custkey
+           END AS decoded
+         FROM customer WHERE c_custkey < 200""",
     "q87_url_canonical" ->
       """WITH u AS (SELECT p_partkey,
            CASE p_partkey % 4
