@@ -161,10 +161,15 @@ object Retrieval {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val terms = queries.select(col(queryId).as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col(queryText)))).as("term"))
+    // Only the QUERY side broadcasts (it is the dimension-bounded one).
+    // df is vocabulary-scaled and docLen is corpus-scaled — both join as
+    // ordinary shuffles; after the broadcast term filter the left side
+    // holds only query-term postings, so those exchanges carry the
+    // candidate rows, never the corpus.
     val contrib = broadcast(terms)
       .join(postings, Seq("term"))
-      .join(broadcast(df), Seq("term"))
-      .join(broadcast(docLen), Seq("doc_id"))
+      .join(df, Seq("term"))
+      .join(docLen, Seq("doc_id"))
       .crossJoin(broadcast(nDocs))
       .withColumn("c",
         ((col("tf") * col("n_docs")).cast("double") /
