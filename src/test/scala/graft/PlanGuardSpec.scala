@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard over EVERY declared query: the r2 verdict's
+  * scale-killer class — `WindowExec` with an empty partition spec ("Moving
+  * all data to a single partition") — must never reappear. Checked on the
+  * pre-AQE physical plan at sf0.001, so the guard costs planning time, not
+  * execution time.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def unpartitionedWindows(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+    }
+
+  test("no query plans a single-partition (unpartitioned) window") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, SparkTestSession.Sf0001).queryExecution.sparkPlan
+      unpartitionedWindows(plan).map(n => s"$name: $n")
+    }
+    assert(offenders.isEmpty,
+      s"single-partition windows found:\n${offenders.mkString("\n")}")
+  }
+}
