@@ -27,4 +27,21 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"single-partition windows found:\n${offenders.mkString("\n")}")
   }
+
+  test("q01 keeps its filter pushed into the parquet scan") {
+    val plan = SparkEntry.queries("q01_pricing_summary")(spark, SparkTestSession.Sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters: [Is") || plan.contains("PushedFilters: [Less") ||
+      plan.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      s"no pushed filters in q01 scan:\n${plan.take(1500)}")
+  }
+
+  test("q66 hash split stays a zero-exchange projection") {
+    val plan = SparkEntry.queries("q66_hash_split")(spark, SparkTestSession.Sf0001)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "q66 must not shuffle — split is a pure projection")
+  }
 }
