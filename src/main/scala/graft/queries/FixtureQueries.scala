@@ -59,6 +59,19 @@ object FixtureQueries {
           col("o_orderdate").cast("string"), col("o_note"))
     }),
 
+    // O5: the cap + truncation-marker contract on the same CSV fixture —
+    // first `cap` rows in file order survive, one marker row annotates the
+    // first column (which the cap path casts to string).
+    "q90_csv_truncation" -> ((s, dir) => {
+      // ensure the fixture exists (same bytes as q81's)
+      queries("q81_csv_roundtrip")(s, dir)
+      val path = fixtureDir(dir, "orders.csv")
+      Csv.read(s, path, cap = 100)
+        .select(col("o_orderkey").cast("string"), col("o_orderstatus"),
+          col("o_totalprice").cast("double"),
+          col("o_orderdate").cast("string"), col("o_note"))
+    }),
+
     // S4: two inline-string workbooks (even/odd split, identical headers)
     // → distributed zip+XML parse → union — against the parquet rows.
     "q82_xlsx_roundtrip" -> ((s, dir) => {
@@ -139,6 +152,16 @@ object FixtureQueries {
     "q82_xlsx_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment
          FROM customer WHERE c_custkey < 300""",
+    "q90_csv_truncation" ->
+      """WITH kept AS (SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+             o_orderstatus, o_totalprice,
+             STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+             'note;' || o_orderpriority AS o_note
+           FROM orders WHERE o_orderkey < 500
+           ORDER BY CAST(o_orderkey AS BIGINT) LIMIT 100)
+         SELECT * FROM kept
+         UNION ALL
+         SELECT '...[truncated to 100 rows]', NULL, NULL, NULL, NULL""",
     "q85_json_sink_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
            STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
