@@ -210,6 +210,35 @@ object TextFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  // ---- HTML → text (S6's computable half; the fetch stays the seam) -------
+
+  /** Readable text from an HTML document: script/style/comment blocks die,
+    * block-level closers become newlines, remaining tags strip, the five
+    * standard entities (+ nbsp) decode, and whitespace normalizes (runs of
+    * spaces collapse, blank lines collapse, edges trim). A fixed chain of
+    * codegen'd regexp_replace steps in the Java∩RE2 syntax subset — the
+    * q91 oracle applies the LITERAL same chain, so extraction is
+    * hash-checked, not just spec'd.
+    */
+  def htmlToText(c: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(c,
+      "(?is)<script[^>]*>.*?</script>", ""),
+      "(?is)<style[^>]*>.*?</style>", ""),
+      "(?s)<!--.*?-->", "")
+    val withBreaks = regexp_replace(noBlocks,
+      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol)[^>]*>", "\n")
+    val noTags = regexp_replace(withBreaks, "<[^>]+>", "")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    val collapsed = regexp_replace(regexp_replace(regexp_replace(decoded,
+      "[ \\t]+", " "),
+      " ?\\n ?", "\n"),
+      "\\n+", "\n")
+    regexp_replace(collapsed, "^\\n+|\\n+$", "")
+  }
+
   // ---- URL canonicalization (crawl-dedup key) -----------------------------
 
   /** Canonical URL for crawl/dedup keys: drop the fragment, lowercase

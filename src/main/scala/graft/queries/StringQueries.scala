@@ -32,6 +32,24 @@ object StringQueries {
         .select(col("p_partkey"), col("query_str"))
     }),
 
+    // S6's computable half: HTML → readable text over a synthesized page
+    // (script/style/comment junk, entities, block structure) — extraction
+    // itself is hash-checked; only the network fetch remains a seam.
+    "q91_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>body{x:1}</style>"),
+        lit("<script>var a=1;</script></head><body>"),
+        lit("<!-- hidden -->"),
+        lit("<h1>Doc "), col("doc_id"), lit("</h1>"),
+        lit("<p>lang &amp; source: "), col("lang"), lit(" &lt;"), col("source"),
+        lit("&gt;</p>"),
+        lit("<ul><li>len "), col("n_chars"), lit("</li><li>second&nbsp;item</li></ul>"),
+        lit("<div>tail   text</div></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.htmlToText(html).as("extracted"))
+    }),
+
     // F14 encoding-fallback chain, oracle-gated with byte fixtures whose
     // winning charset is known by construction: valid UTF-8 stays UTF-8;
     // GBK bytes that are invalid UTF-8 (0xB0A1… leads) fall through to
@@ -189,6 +207,39 @@ object StringQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q91_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><style>body{x:1}</style><script>var a=1;</script></head><body>'
+           || '<!-- hidden -->'
+           || '<h1>Doc ' || doc_id || '</h1>'
+           || '<p>lang &amp; source: ' || lang || ' &lt;' || source || '&gt;</p>'
+           || '<ul><li>len ' || n_chars || '</li><li>second&nbsp;item</li></ul>'
+           || '<div>tail   text</div></body></html>' AS html
+         FROM documents),
+         s1 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', '', 'g'),
+             '(?is)<style[^>]*>.*?</style>', '', 'g'),
+             '(?s)<!--.*?-->', '', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(t,
+           '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol)[^>]*>', chr(10), 'g') AS t
+         FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', '', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(t,
+               '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') AS t
+         FROM s3),
+         s5 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[ \t]+', ' ', 'g'),
+             ' ?\n ?', chr(10), 'g'),
+             '\n+', chr(10), 'g') AS t
+         FROM s4)
+         SELECT doc_id,
+           regexp_replace(t, '^\n+|\n+$', '', 'g') AS extracted
+         FROM s5""",
     "q89_decode_chain" ->
       """SELECT c_custkey,
            CASE c_custkey % 3
