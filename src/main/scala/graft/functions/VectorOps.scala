@@ -16,9 +16,14 @@ import org.apache.spark.sql.{Column, SparkSession}
   * Mismatched array widths yield NULL, matching the zip_with/aggregate
   * composable form (zip_with pads the short side with nulls → null sum) —
   * corrupted embeddings surface as missing scores, never plausible ones.
+  *
+  * Implements `doGenCode` (not CodegenFallback): the similarity scan is
+  * the ANN hot path, and the generated loop keeps the whole candidate-scan
+  * projection inside WholeStageCodegen — same arithmetic order as the
+  * interpreted eval, so results are bit-identical either way (spec-pinned).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -27,6 +32,34 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val xy = ctx.freshName("xy")
+      val xx = ctx.freshName("xx")
+      val yy = ctx.freshName("yy")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $x.numElements();
+         |  double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = (double) $x.getFloat($i);
+         |    final double $yi = (double) $y.getFloat($i);
+         |    $xy += $xi * $yi; $xx += $xi * $xi; $yy += $yi * $yi;
+         |  }
+         |  ${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+         |}
+       """.stripMargin
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
