@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,7 +17,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * mightContainLong) and string (mightContainString).
   */
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true

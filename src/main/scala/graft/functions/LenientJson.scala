@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,11 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * A real Expression (not a UDF) so it is null-safe inside Catalyst,
   * participates in constant folding, and can be registered for the SQL
-  * surface. CodegenFallback is deliberate: this runs at ingest boundaries,
+  * surface. The reference-call codegen bridge keeps it inside WholeStageCodegen,
   * not in tight numeric loops (SURVEY.md §7 custom-surface budget).
   */
 case class LenientJsonClean(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true

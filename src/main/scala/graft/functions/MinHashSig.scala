@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.{Column, SparkSession}
@@ -20,7 +19,7 @@ import org.apache.spark.sql.{Column, SparkSession}
   * before any LSH banding shrinks the data.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   require(numHashes >= 1, "numHashes must be >= 1")
 

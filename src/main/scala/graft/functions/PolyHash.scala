@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.{Column, SparkSession}
@@ -129,7 +128,7 @@ object PolyHash {
   * shingle strings materialized.
   */
 case class PolyShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   require(k >= 1, "shingle size must be >= 1")
 
@@ -173,7 +172,7 @@ case class PolyShingleHashes(child: Expression, k: Int)
   * composable spec form), reproduced verbatim by the q45 oracle.
   */
 case class PolyBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   require(bands >= 1 && rowsPerBand >= 1, "bands and rowsPerBand must be >= 1")
 
@@ -210,7 +209,7 @@ case class PolyBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
   * Empty/whitespace-only text → 0L.
   */
 case class PolySimHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

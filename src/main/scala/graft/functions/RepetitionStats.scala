@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * STRINGS (no hashing), so multiplicities can never collide apart.
   */
 case class RepetitionStats(child: Expression, kTop: Int, kDup: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   require(kTop >= 1 && kDup >= 1, "gram sizes must be >= 1")
 

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.{Column, SparkSession}
@@ -94,7 +93,7 @@ object CosineSim {
   * DOUBLE[] — so rounded outputs hash-match the oracle.
   */
 case class L2Norm(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -140,7 +139,7 @@ object L2Norm {
   * at 100 TB this summary is what ships to monitoring, not the codewords.
   */
 case class QuantizeStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_dims", IntegerType, nullable = false),
@@ -191,7 +190,7 @@ case class QuantizeStats(child: Expression)
   * matrix rides along as expression state, never a join.
   */
 case class IvfBuckets(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefKernelCodegen {
 
   require(centroids.nonEmpty && nprobe >= 1, "need centroids and nprobe >= 1")
 
