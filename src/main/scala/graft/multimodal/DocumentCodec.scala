@@ -97,10 +97,17 @@ object DocumentCodec {
       while (i >= 0) {
         val windowStart = math.max(0, i - 512)
         val window = new String(bytes, windowStart, i - windowStart, "ISO-8859-1")
-        // scope the dict to THIS object: the bytes since the last "obj"
-        // marker — a flat 512-byte look-back would bleed the previous
-        // object's dict (e.g. its /Subtype /Image) into this stream's
-        val objAt = window.lastIndexOf("obj")
+        // scope the dict to THIS object: the bytes since the last REAL
+        // object header ("N G obj", not any 'obj' substring — a dict value
+        // like (project objectives) must not truncate the scope) — a flat
+        // 512-byte look-back would bleed the previous object's dict (e.g.
+        // its /Subtype /Image) into this stream's
+        val objAt = {
+          var last = -1
+          val m = ObjHeaderRe.findAllMatchIn(window)
+          while (m.hasNext) last = m.next().start
+          last
+        }
         val dict = if (objAt >= 0) window.substring(objAt) else window
         var dataStart = i + "stream".length
         if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
@@ -110,20 +117,25 @@ object DocumentCodec {
           i = -1
         } else {
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, end)
-          // binary payload streams (images, fonts, embedded files) are not
-          // content — inflating them and scanning for '(' would inject
-          // garbage "text" from random bytes
-          val isBinaryPayload = ImageSubtypeRe.findFirstIn(dict).isDefined ||
-            dict.contains("/FontFile") || dict.contains("/EmbeddedFile")
+          // /Subtype /Image streams skip before inflation (cheap dict
+          // check); every other stream must additionally LOOK like a text
+          // content stream — contain a BT (begin-text) block — before the
+          // operator scan runs. Fonts and embedded files carry no marker
+          // in their own dict (those keys live in the REFERRING object),
+          // so the BT gate is what actually keeps inflated sfnt/zip binary
+          // from being scanned for '(' and injected as garbage "text".
           val content =
-            if (isBinaryPayload) None
+            if (ImageSubtypeRe.findFirstIn(dict).isDefined) None
             else if (dict.contains("/FlateDecode")) inflate(raw)
             else Some(raw)
           content.foreach { c =>
-            val text = extractContentText(new String(c, "ISO-8859-1"))
-            if (text.nonEmpty) {
-              if (out.nonEmpty) out.append('\n')
-              out.append(text)
+            val s = new String(c, "ISO-8859-1")
+            if (BtRe.findFirstIn(s).isDefined) {
+              val text = extractContentText(s)
+              if (text.nonEmpty) {
+                if (out.nonEmpty) out.append('\n')
+                out.append(text)
+              }
             }
           }
           i = indexOf(bytes, "stream", end + "endstream".length)
@@ -134,6 +146,9 @@ object DocumentCodec {
   }
 
   private val ImageSubtypeRe = "/Subtype\\s*/Image".r
+  private val ObjHeaderRe = "\\d+\\s+\\d+\\s+obj".r
+  /** BT as its own token (not a substring of e.g. a font name). */
+  private val BtRe = "(?:^|[\\s>])BT[\\s(<\\[/]".r
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
     val nb = needle.getBytes("ISO-8859-1")
@@ -194,7 +209,16 @@ object DocumentCodec {
           pending.append(s)
           i = next
         case '<' if i + 1 < n && content.charAt(i + 1) == '<' =>
-          i += 2 // dictionary start (e.g. BDC property lists) — not a string
+          // skip the WHOLE balanced << ... >> dictionary (BDC property
+          // lists, inline-image dicts): hex strings inside it are dict
+          // VALUES (/ActualText <FEFF...>), not shown text
+          var depth = 1
+          i += 2
+          while (i + 1 < n && depth > 0) {
+            if (content.charAt(i) == '<' && content.charAt(i + 1) == '<') { depth += 1; i += 2 }
+            else if (content.charAt(i) == '>' && content.charAt(i + 1) == '>') { depth -= 1; i += 2 }
+            else i += 1
+          }
         case '<' =>
           // hex string <48656C6C6F>: pairs of hex digits, whitespace
           // ignored, odd final digit padded with 0 per spec

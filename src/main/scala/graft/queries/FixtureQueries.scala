@@ -32,27 +32,36 @@ object FixtureQueries {
     p.delete(): Unit
   }
 
+  /** Write the shared q81/q90 CSV fixture (semicolon dialect, quoted
+    * delimiter-bearing field) and return its path — only the fixture is
+    * shared, not q81's read-back.
+    */
+  private def writeOrdersCsv(s: SparkSession, dir: String): String = {
+    val rows = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        concat(lit("note;"), col("o_orderpriority")).as("o_note"))
+      .orderBy(col("o_orderkey"))
+      .collect()
+    val path = fixtureDir(dir, "orders.csv")
+    val sb = new StringBuilder("o_orderkey;o_orderstatus;o_totalprice;o_orderdate;o_note\n")
+    rows.foreach { r =>
+      sb.append(r.get(0)).append(';').append(r.getString(1)).append(';')
+        .append(r.getDouble(2)).append(';').append(r.getString(3)).append(';')
+        .append('"').append(r.getString(4)).append('"').append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes("UTF-8"))
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S3: semicolon dialect + quoted delimiter-bearing field → sniff →
     // parse → compare against the source-of-truth parquet rows.
     "q81_csv_roundtrip" -> ((s, dir) => {
-      val rows = Tables.load(s, dir, "orders")
-        .filter(col("o_orderkey") < 500)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          concat(lit("note;"), col("o_orderpriority")).as("o_note"))
-        .orderBy(col("o_orderkey"))
-        .collect()
-      val path = fixtureDir(dir, "orders.csv")
-      val sb = new StringBuilder("o_orderkey;o_orderstatus;o_totalprice;o_orderdate;o_note\n")
-      rows.foreach { r =>
-        sb.append(r.get(0)).append(';').append(r.getString(1)).append(';')
-          .append(r.getDouble(2)).append(';').append(r.getString(3)).append(';')
-          .append('"').append(r.getString(4)).append('"').append('\n')
-      }
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        sb.toString.getBytes("UTF-8"))
+      val path = writeOrdersCsv(s, dir)
       Csv.read(s, path, cap = 1000000)
         .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
           col("o_totalprice").cast("double"),
@@ -63,9 +72,7 @@ object FixtureQueries {
     // first `cap` rows in file order survive, one marker row annotates the
     // first column (which the cap path casts to string).
     "q90_csv_truncation" -> ((s, dir) => {
-      // ensure the fixture exists (same bytes as q81's)
-      queries("q81_csv_roundtrip")(s, dir)
-      val path = fixtureDir(dir, "orders.csv")
+      val path = writeOrdersCsv(s, dir)
       Csv.read(s, path, cap = 100)
         .select(col("o_orderkey").cast("string"), col("o_orderstatus"),
           col("o_totalprice").cast("double"),

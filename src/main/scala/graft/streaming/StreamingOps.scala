@@ -79,7 +79,6 @@ object StreamingOps {
       docs: DataFrame, idCol: String, textCol: String, tsCol: String = "ts",
       watermark: String = "10 minutes", windowWidth: String = "1 minute",
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
     val claimed = bandRows(docs, idCol, textCol, tsCol, shingleSize, numHashes, bands)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("band", "bucket"))

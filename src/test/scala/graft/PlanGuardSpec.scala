@@ -7,8 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Plan-shape regression guard over EVERY declared query: the r2 verdict's
   * scale-killer class — `WindowExec` with an empty partition spec ("Moving
   * all data to a single partition") — must never reappear. Checked on the
-  * pre-AQE physical plan at sf0.001, so the guard costs planning time, not
-  * execution time.
+  * pre-AQE physical plan at sf0.001. Note the cost is NOT planning-only:
+  * some query BUILDERS run real work before returning their DataFrame
+  * (fixture writes, q86's component loop), so this spec re-executes that
+  * slice of the suite at the smallest SF — a few seconds, accepted for the
+  * breadth of the guarantee.
   */
 class PlanGuardSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
