@@ -26,14 +26,25 @@ object DocumentCodec {
   sealed trait Format { def name: String }
   case object Docx extends Format { val name = "docx" }
   case object Pdf extends Format { val name = "pdf" }
+  case object Pptx extends Format { val name = "pptx" }
+  /** OLE2 compound file (.doc/.ppt/.xls) — recognized but only decodable
+    * through the external-converter seam (reference routes these straight
+    * to MarkItDown, 多数据源获取数据.py:1210-1214).
+    */
+  case object LegacyOffice extends Format { val name = "legacy-office" }
   case object Unknown extends Format { val name = "unknown" }
 
-  /** Magic-number dispatch: PK zip holding word/document.xml → docx;
-    * %PDF- header → pdf.
+  /** Magic-number dispatch: PK zip holding word/document.xml → docx,
+    * ppt/presentation.xml or a ppt/slides/ entry → pptx; %PDF- header →
+    * pdf; OLE2 D0CF11E0 header → legacy office.
     */
   def detectFormat(bytes: Array[Byte]): Format = {
     if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
       bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-') return Pdf
+    if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF &&
+      (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0 &&
+      (bytes(4) & 0xFF) == 0xA1 && (bytes(5) & 0xFF) == 0xB1 &&
+      (bytes(6) & 0xFF) == 0x1A && (bytes(7) & 0xFF) == 0xE1) return LegacyOffice
     if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
       bytes(2) == 3 && bytes(3) == 4) {
       val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -41,6 +52,8 @@ object DocumentCodec {
         var e = zis.getNextEntry
         while (e != null) {
           if (e.getName == "word/document.xml") return Docx
+          if (e.getName == "ppt/presentation.xml" ||
+            e.getName.startsWith("ppt/slides/slide")) return Pptx
           e = zis.getNextEntry
         }
       } catch { case _: Exception => () } finally zis.close()
@@ -52,12 +65,69 @@ object DocumentCodec {
   def extractText(bytes: Array[Byte]): Option[String] = detectFormat(bytes) match {
     case Docx => extractDocx(bytes)
     case Pdf => extractPdf(bytes)
+    case Pptx => extractPptx(bytes)
+    case LegacyOffice => None
     case Unknown => None
+  }
+
+  // ---- parse dispatch + fallback chain ------------------------------------
+
+  /** External-converter seam (the reference's MarkItDown slot): given
+    * (bytes, normalized extension), return converted markdown or None.
+    */
+  type FallbackConverter = (Array[Byte], String) => Option[String]
+  val NoFallback: FallbackConverter = (_, _) => None
+
+  /** The reference's parse entry point (多数据源获取数据.py:1181-1225):
+    * extension-keyed dedicated parsers first; when the dedicated parse
+    * yields nothing, fall back — magic-number sniffing (rescues misnamed
+    * files, the role MarkItDown's own format detection plays), then the
+    * external-converter seam, then the reference's literal
+    * `[无法解析 <ext> 格式文件]` marker. Legacy .doc/.ppt go straight to the
+    * converter seam exactly as the reference routes them to MarkItDown.
+    */
+  def parse(bytes: Array[Byte], extension: String,
+      fallback: FallbackConverter = NoFallback): String = {
+    val ext = {
+      val e = extension.toLowerCase.trim
+      if (e.isEmpty || e.startsWith(".")) e else s".$e"
+    }
+    val dedicated: Option[String] = ext match {
+      case ".pdf" => extractPdf(bytes)
+      case ".docx" => extractDocx(bytes)
+      case ".pptx" => extractPptx(bytes)
+      case ".doc" | ".ppt" => fallback(bytes, ext)
+      case ".txt" | ".md" | ".markdown" => decodePlainText(bytes)
+      case _ => None
+    }
+    def nonBlank(o: Option[String]) = o.filter(_.trim.nonEmpty)
+    nonBlank(dedicated)
+      .orElse(nonBlank(extractText(bytes)))
+      .orElse(nonBlank(fallback(bytes, ext)))
+      .getOrElse(s"[无法解析 $ext 格式文件]")
+  }
+
+  /** String-level twin of `TextFunctions.decodeChain` (F14): first charset
+    * whose strict decode round-trips the bytes wins; lossy latin-1 last.
+    */
+  private[multimodal] def decodePlainText(bytes: Array[Byte]): Option[String] = {
+    if (bytes.isEmpty) return None
+    Seq("UTF-8", "GBK").foreach { cs =>
+      try {
+        val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        val s = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        if (java.util.Arrays.equals(s.getBytes(cs), bytes)) return Some(s)
+      } catch { case _: Exception => () }
+    }
+    Some(new String(bytes, "ISO-8859-1"))
   }
 
   // ---- DOCX ---------------------------------------------------------------
 
-  private val WtRe = "(?s)<w:t[^>]*>(.*?)</w:t>".r
+  // exact tag-name: `<w:t>`/`<w:t xml:space=…>` but never `<w:tbl>`
+  private val WtRe = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>".r
   private val ParaSplitRe = "</w:p>"
 
   def extractDocx(bytes: Array[Byte]): Option[String] = {
@@ -86,6 +156,179 @@ object DocumentCodec {
       }
       None
     } catch { case _: Exception => None } finally zis.close()
+  }
+
+  // ---- PPTX ---------------------------------------------------------------
+
+  private val SlideEntryRe = "ppt/slides/slide(\\d+)\\.xml".r
+  // `(?:\s[^>]*)?` keeps the tag-name match exact — `<a:t>` but never
+  // `<a:txBody>`/`<a:tbl>`
+  private val AtRe = "(?s)<a:t(?:\\s[^>]*)?>(.*?)</a:t>".r
+  private val AOffYRe = "<a:off\\s[^>]*y=\"(-?\\d+)\"".r
+  private val PhIdxRe = "idx=\"(\\d+)\"".r
+  private val ShapeBlockRe =
+    "(?s)<p:(sp|pic|graphicFrame)[\\s>].*?</p:\\1>".r
+  private val AParaSplit = "</a:p>"
+  private val TrRe = "(?s)<a:tr[\\s>](.*?)</a:tr>".r
+  private val TcRe = "(?s)<a:tc[\\s>](.*?)</a:tc>".r
+
+  /** PPTX slide-deck extraction (reference `_parse_pptx`,
+    * 多数据源获取数据.py:841-911): slides in numeric order; within a slide
+    * every shape is keyed by its `top` (EMU y-offset) and the shapes are
+    * emitted TOP-ORDERED, not document-ordered — text frames as
+    * paragraph-joined text, pictures as `![幻灯片N-图片M](__PPTX_IMG_M__)`
+    * placeholders (the upload half is the reference's uploader seam),
+    * tables as markdown. Slide header `## 幻灯片 N[: title]` where the
+    * title is the idx-0 placeholder's text; slides joined by `---` rules.
+    */
+  def extractPptx(bytes: Array[Byte]): Option[String] = {
+    val slides = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zis.getNextEntry
+      while (e != null) {
+        e.getName match {
+          case SlideEntryRe(num) =>
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            var n = zis.read(tmp)
+            while (n >= 0) { buf.write(tmp, 0, n); n = zis.read(tmp) }
+            slides += ((num.toInt, buf.toString("UTF-8")))
+          case _ => ()
+        }
+        e = zis.getNextEntry
+      }
+    } catch { case _: Exception => return None } finally zis.close()
+    if (slides.isEmpty) return None
+
+    var imgCount = 0
+    val parts = slides.sortBy(_._1).zipWithIndex.flatMap { case ((_, xml), si) =>
+      // (top, text) elements; stable sort preserves document order on ties
+      val elements = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var slideTitle = ""
+      ShapeBlockRe.findAllMatchIn(xml).foreach { m =>
+        val block = m.matched
+        val top = AOffYRe.findFirstMatchIn(block).map(_.group(1).toLong).getOrElse(0L)
+        m.group(1) match {
+          case "sp" =>
+            val text = block.split(AParaSplit).iterator
+              .map(p => AtRe.findAllMatchIn(p)
+                .map(t => graft.sources.Xlsx.unescape(t.group(1))).mkString.trim)
+              .filter(_.nonEmpty).mkString("\n")
+            if (text.nonEmpty) {
+              // placeholder idx defaults to 0 when absent — idx 0 is the
+              // title placeholder (python-pptx placeholder_format.idx == 0)
+              val phAt = block.indexOf("<p:ph")
+              val isTitle = phAt >= 0 && {
+                val tagEnd = block.indexOf('>', phAt)
+                val tag = if (tagEnd > 0) block.substring(phAt, tagEnd) else ""
+                PhIdxRe.findFirstMatchIn(tag).forall(_.group(1) == "0")
+              }
+              if (slideTitle.isEmpty && isTitle) slideTitle = text
+              elements += ((top, text))
+            }
+          case "pic" =>
+            imgCount += 1
+            elements += ((top, s"![幻灯片${si + 1}-图片$imgCount](__PPTX_IMG_${imgCount}__)"))
+          case "graphicFrame" =>
+            val rows = TrRe.findAllMatchIn(block).map { tr =>
+              TcRe.findAllMatchIn(tr.group(1)).map { tc =>
+                AtRe.findAllMatchIn(tc.group(1))
+                  .map(t => graft.sources.Xlsx.unescape(t.group(1))).mkString.trim
+              }.toSeq
+            }.toSeq
+            if (rows.nonEmpty) elements += ((top, rowsToMdTable(rows)))
+        }
+      }
+      val ordered = elements.sortBy(_._1) // stable (sortBy is a stable sort)
+      val body = ordered.map(_._2).mkString("\n\n")
+      if (body.trim.isEmpty) None
+      else {
+        val header = s"## 幻灯片 ${si + 1}" +
+          (if (slideTitle.nonEmpty) s": $slideTitle" else "")
+        Some(s"$header\n\n$body")
+      }
+    }
+    if (parts.isEmpty) None else Some(parts.mkString("\n\n---\n\n"))
+  }
+
+  /** One text shape of a deck slide: EMU y-offset, text (newlines become
+    * separate `<a:p>` paragraphs), and whether it is the idx-0 title
+    * placeholder.
+    */
+  case class DeckShape(topEmu: Long, text: String, isTitle: Boolean = false)
+
+  /** Render slides as a minimal ECMA-376 presentation package — the writer
+    * half of the S5 PPTX surface and the fixture generator for the PPTX
+    * round-trip oracle. Shapes are written in the given order with explicit
+    * y-offsets, so a fixture can assert the reader's top-reordering. Output
+    * parses back identically through [[extractPptx]].
+    */
+  def writeDeck(slides: Seq[Seq[DeckShape]]): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;").replace("'", "&apos;")
+    def shapeXml(sh: DeckShape, id: Int): String = {
+      val ph = if (sh.isTitle) """<p:ph type="title"/>""" else ""
+      val paras = sh.text.split("\n", -1).map(p =>
+        s"<a:p><a:r><a:t>${esc(p)}</a:t></a:r></a:p>").mkString
+      s"""<p:sp><p:nvSpPr><p:cNvPr id="$id" name="Shape$id"/><p:cNvSpPr/>""" +
+        s"""<p:nvPr>$ph</p:nvPr></p:nvSpPr>""" +
+        s"""<p:spPr><a:xfrm><a:off x="0" y="${sh.topEmu}"/>""" +
+        """<a:ext cx="914400" cy="914400"/></a:xfrm></p:spPr>""" +
+        s"""<p:txBody><a:bodyPr/>$paras</p:txBody></p:sp>"""
+    }
+    def slideXml(shapes: Seq[DeckShape]): String =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" """ +
+        """xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">""" +
+        """<p:cSld><p:spTree>""" +
+        shapes.zipWithIndex.map { case (sh, i) => shapeXml(sh, i + 2) }.mkString +
+        """</p:spTree></p:cSld></p:sld>"""
+    val typesXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>""" +
+        slides.indices.map(i =>
+          s"""<Override PartName="/ppt/slides/slide${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>""").mkString +
+        """</Types>"""
+    val presXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">""" +
+        """<p:sldIdLst>""" +
+        slides.indices.map(i => s"""<p:sldId id="${256 + i}"/>""").mkString +
+        """</p:sldIdLst></p:presentation>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml", typesXml)
+    put("ppt/presentation.xml", presXml)
+    slides.zipWithIndex.foreach { case (shapes, i) =>
+      put(s"ppt/slides/slide${i + 1}.xml", slideXml(shapes))
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Markdown table renderer (reference `_rows_to_md_table`,
+    * 多数据源获取数据.py:1063-1073): rows padded to max width, `|` escaped,
+    * newlines flattened, cells truncated to 80 chars, first row = header.
+    */
+  private[graft] def rowsToMdTable(rows: Seq[Seq[String]]): String = {
+    if (rows.isEmpty) return ""
+    val maxCols = rows.map(_.length).max
+    val padded = rows.map(r => r ++ Seq.fill(maxCols - r.length)(""))
+    def cell(c: String): String =
+      c.replace("|", "\\|").replace("\n", " ").take(80)
+    val header = padded.head.map(cell).mkString("| ", " | ", " |")
+    val sep = Seq.fill(maxCols)("---").mkString("| ", " | ", " |")
+    val body = padded.tail.map(_.map(cell).mkString("| ", " | ", " |"))
+    (Seq(header, sep) ++ body).mkString("\n")
   }
 
   // ---- PDF ----------------------------------------------------------------

@@ -116,6 +116,8 @@ object Multimodal {
           val text = fmt match {
             case DocumentCodec.Docx => DocumentCodec.extractDocx(payload)
             case DocumentCodec.Pdf => DocumentCodec.extractPdf(payload)
+            case DocumentCodec.Pptx => DocumentCodec.extractPptx(payload)
+            case DocumentCodec.LegacyOffice => None // converter seam only
             case DocumentCodec.Unknown => None
           }
           Row(r.getLong(0), fmt.name, text.orNull,

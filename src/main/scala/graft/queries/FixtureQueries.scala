@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
+import graft.multimodal.{DocumentCodec, Multimodal}
 import graft.sources.{Csv, KvBlock, Xlsx}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,16 +57,28 @@ object FixtureQueries {
     path
   }
 
+  /** The q81/q90 fixture's known schema — passed to `Csv.read` so the scan
+    * skips the inferSchema pass (dates stay strings: the fixture writes
+    * them pre-formatted).
+    */
+  private val ordersCsvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("o_orderdate", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("o_note", org.apache.spark.sql.types.StringType)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S3: semicolon dialect + quoted delimiter-bearing field → sniff →
-    // parse → compare against the source-of-truth parquet rows.
+    // parse → compare against the source-of-truth parquet rows. The known
+    // schema is passed (no inferSchema re-scan), and cap > DriverCapMax
+    // exercises the fully-distributed limit path.
     "q81_csv_roundtrip" -> ((s, dir) => {
       val path = writeOrdersCsv(s, dir)
-      Csv.read(s, path, cap = 1000000)
-        .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
-          col("o_totalprice").cast("double"),
-          col("o_orderdate").cast("string"), col("o_note"))
+      Csv.read(s, path, cap = 1000000, schema = Some(ordersCsvSchema))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_note"))
     }),
 
     // O5: the cap + truncation-marker contract on the same CSV fixture —
@@ -73,10 +86,9 @@ object FixtureQueries {
     // first column (which the cap path casts to string).
     "q90_csv_truncation" -> ((s, dir) => {
       val path = writeOrdersCsv(s, dir)
-      Csv.read(s, path, cap = 100)
+      Csv.read(s, path, cap = 100, schema = Some(ordersCsvSchema))
         .select(col("o_orderkey").cast("string"), col("o_orderstatus"),
-          col("o_totalprice").cast("double"),
-          col("o_orderdate").cast("string"), col("o_note"))
+          col("o_totalprice"), col("o_orderdate"), col("o_note"))
     }),
 
     // S4: two inline-string workbooks (even/odd split, identical headers)
@@ -118,6 +130,47 @@ object FixtureQueries {
         .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
           col("o_totalprice").cast("double"), col("o_orderdate").cast("string"),
           col("high_value").cast("boolean"))
+    }),
+
+    // S5 PPTX: four slide decks written from the documents table (one
+    // slide per doc: idx-0 title placeholder + a lower body shape) →
+    // binaryFile scan → DocumentCodec.extractPptx on executors → slides
+    // re-split per deck. The oracle reconstructs each slide's exact
+    // markdown (`## 幻灯片 N: title` header, title element, body element)
+    // from the parquet rows, so the hash certifies the whole zip+XML
+    // write→detect→top-order→render path.
+    "q92_pptx_roundtrip" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .collect()
+      val base = fixtureDir(dir, "pptx")
+      deleteRecursive(new java.io.File(base))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      (0L until 4L).foreach { deck =>
+        val slides = rows.toSeq.filter(_.getLong(0) % 4 == deck).map { r =>
+          Seq(
+            DocumentCodec.DeckShape(0, s"Doc ${r.getLong(0)}", isTitle = true),
+            // body written FIRST? No — writer keeps given order; the y
+            // offset (914400 EMU below the title) is what the reader sorts
+            DocumentCodec.DeckShape(914400L,
+              s"${r.getString(1)}: ${r.getString(2)}"))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(base, s"deck_$deck.pptx"),
+          DocumentCodec.writeDeck(slides))
+      }
+      val media = s.read.format("binaryFile").load(s"$base/*.pptx")
+        .select(
+          regexp_extract(col("path"), "deck_(\\d+)\\.pptx", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.parseDocuments(media)
+        .select(col("media_id").as("deck"),
+          posexplode(split(col("text"), "\n\n---\n\n")))
+        .select(col("deck"), (col("pos") + 1).cast("long").as("slide_no"),
+          col("col").as("slide_md"))
     }),
 
     // S14: partitioned KV-block sink layout parity — write documents as
@@ -177,5 +230,17 @@ object FixtureQueries {
     "q83_kv_sink_layout" ->
       """SELECT lang, 1 AS n_files, COUNT(*) AS n_records,
            COUNT(DISTINCT doc_id) AS n_ids
-         FROM documents GROUP BY lang""")
+         FROM documents GROUP BY lang""",
+    "q92_pptx_roundtrip" ->
+      """WITH slides AS (
+           SELECT doc_id % 4 AS deck,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+                    AS slide_no,
+                  doc_id, lang, source
+           FROM documents WHERE doc_id < 40)
+         SELECT deck, slide_no,
+           '## 幻灯片 ' || slide_no || ': Doc ' || doc_id
+             || chr(10) || chr(10) || 'Doc ' || doc_id
+             || chr(10) || chr(10) || lang || ': ' || source AS slide_md
+         FROM slides""")
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** S3 — CSV scan with dialect sniffing and the reference's 500-row cap +
   * truncation marker (多数据源获取数据.py:959-977, O5).
@@ -14,39 +15,68 @@ object Csv {
 
   val Candidates: Seq[Char] = Seq(',', ';', '\t', '|')
 
+  /** Caps at or below this bound run the reference's single-job
+    * `head(cap+1)` contract (bounded driver materialization, one scan);
+    * larger caps stay fully distributed.
+    */
+  val DriverCapMax: Int = 500
+
   /** Pick the delimiter yielding the most fields on the sample line. */
   def sniffDelimiter(sampleLine: String): Char =
     Candidates.maxBy(d => sampleLine.split(java.util.regex.Pattern.quote(d.toString), -1).length)
 
   def sniffFile(spark: SparkSession, path: String): Char = {
-    val head = spark.read.text(path).head().getString(0)
+    val head = spark.read.text(path).limit(1).head().getString(0)
     sniffDelimiter(head)
   }
 
-  /** Read with sniffed dialect, inferred schema, capped at `cap` rows; when
-    * the cap truncates, a marker row (first column annotated) is appended —
-    * the reference's "表格过大仅显示前N行" convention.
+  /** Read with sniffed dialect, capped at `cap` rows; when the cap
+    * truncates, a marker row (first column annotated) is appended — the
+    * reference's "表格过大仅显示前N行" convention.
+    *
+    * Pass `schema` when the caller knows it — `inferSchema` costs an extra
+    * full scan of the file.
+    *
+    * Scale posture: at the reference's cap (≤ [[DriverCapMax]]) one
+    * `head(cap+1)` job decides both the kept rows and the truncation flag —
+    * bounded by construction. Above that bound the plan stays distributed:
+    * `limit(cap)` keeps rows on executors, and the truncation flag comes
+    * from a separate early-stopping `limit(cap+1).count()` job, so no data
+    * row ever passes through the driver.
     */
-  def read(spark: SparkSession, path: String, cap: Int = 500): DataFrame = {
+  def read(spark: SparkSession, path: String, cap: Int = 500,
+      schema: Option[StructType] = None): DataFrame = {
     val delim = sniffFile(spark, path)
-    val df = spark.read
+    val reader = spark.read
       .option("header", "true")
-      .option("inferSchema", "true")
       .option("sep", delim.toString)
-      .csv(path)
-    // one head(cap+1) job decides both the kept rows and the truncation
-    // flag (limit+count would re-scan)
-    val headRows = df.head(cap + 1)
-    val capped = spark.createDataFrame(
-      java.util.Arrays.asList(headRows.take(cap): _*), df.schema)
-    if (headRows.length > cap) {
-      val firstCol = df.columns.head
-      // one-row marker with the first column annotated (forces it string)
-      val marker = spark.range(1).select(df.columns.map { c =>
-        if (c == firstCol) lit(s"...[truncated to $cap rows]").as(c)
-        else lit(null).cast(df.schema(c).dataType).as(c)
-      }: _*)
-      capped.withColumn(firstCol, col(firstCol).cast("string")).unionByName(marker)
-    } else capped
+    val df = schema match {
+      case Some(sch) => reader.schema(sch).csv(path)
+      case None => reader.option("inferSchema", "true").csv(path)
+    }
+    if (cap <= DriverCapMax) {
+      // one head(cap+1) job decides both the kept rows and the truncation
+      // flag (limit+count would re-scan)
+      val headRows = df.head(cap + 1)
+      val capped = spark.createDataFrame(
+        java.util.Arrays.asList(headRows.take(cap): _*), df.schema)
+      if (headRows.length > cap) withMarker(capped, df.schema, cap) else capped
+    } else {
+      val truncated = df.limit(cap + 1).count() > cap
+      val capped = df.limit(cap)
+      if (truncated) withMarker(capped, df.schema, cap) else capped
+    }
+  }
+
+  /** Append the one-row truncation marker (first column annotated — and
+    * therefore forced to string, as the reference renders it).
+    */
+  private def withMarker(capped: DataFrame, schema: StructType, cap: Int): DataFrame = {
+    val firstCol = schema.head.name
+    val marker = capped.sparkSession.range(1).select(schema.map { f =>
+      if (f.name == firstCol) lit(s"...[truncated to $cap rows]").as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    capped.withColumn(firstCol, col(firstCol).cast("string")).unionByName(marker)
   }
 }

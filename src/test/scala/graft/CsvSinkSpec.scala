@@ -36,6 +36,30 @@ class CsvSinkSpec extends AnyFunSuite {
     assert(Csv.read(spark, small.toString, cap = 500).count() == 2)
   }
 
+  test("CSV scan: distributed path above DriverCapMax matches the driver path") {
+    val dir = java.nio.file.Files.createTempDirectory("csvdist").toFile
+    val f = new java.io.File(dir, "t.csv")
+    val rows = (1 to 800).map(i => s"$i;name_$i;${i * 2}")
+    java.nio.file.Files.write(f.toPath,
+      (Seq("id;name;v") ++ rows).mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType)))
+    // truncating: cap 600 > DriverCapMax → distributed limit + marker
+    val got = Csv.read(spark, f.toString, cap = 600, schema = Some(schema))
+    assert(got.count() == 601)
+    val marker = got.filter(col("id").startsWith("...")).collect()
+    assert(marker.length == 1 && marker.head.getString(0).contains("truncated to 600"))
+    // kept rows are the FIRST 600 in file order
+    assert(got.filter(!col("id").startsWith("...")).agg(max(col("id").cast("int")))
+      .head().getInt(0) == 600)
+    // non-truncating: cap above row count → all rows, no marker, typed cols
+    val all = Csv.read(spark, f.toString, cap = 10000, schema = Some(schema))
+    assert(all.count() == 800)
+    assert(all.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
   test("F14 decode chain: UTF-8 first, GBK fallback, round-trip validated") {
     val s = "托育机构名称"
     val utf8 = s.getBytes("UTF-8")
