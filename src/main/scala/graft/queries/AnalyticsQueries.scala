@@ -71,13 +71,16 @@ object AnalyticsQueries {
           size(TextFunctions.distinctShingles(col("text"), 3)).as("n_shingles"))
     }),
 
-    // Exact 3-gram Jaccard near-dup pairs (planted dups ≥ 0.3 at all SFs).
-    // pruneSingletons=false: the synthetic corpus is template-generated
-    // (0.8% singleton shingles), so the pruning agg buys nothing here;
-    // the operator default (true) is the natural-corpus posture.
+    // Exact 3-gram Jaccard verify stage, run where it belongs at 100 TB:
+    // DOWNSTREAM of LSH blocking (r3 verdict — the un-blocked
+    // ngramJaccardPairs self-join is quadratic in bucket size and stays a
+    // bounded-input-only operator). 16 bands × 2 rows is the high-recall
+    // banding for the 0.3 threshold; the candidate self-join is bounded by
+    // band-bucket size, never corpus size, and the oracle reproduces the
+    // banding value-for-value so misses cost recall, not correctness.
     "q41_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
-        shingleSize = 3, threshold = 0.3, pruneSingletons = false)
+      Dedup.minHashLsh(docs(s, dir), col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.3)
     }),
 
     // Brute-force cosine top-5 for query vectors vec_id < 20.
@@ -186,10 +189,11 @@ object AnalyticsQueries {
         s"THEN ${1L << j} ELSE 0 END"
     }.mkString("(", "\n           + ", ")")
 
-  /** The q45 LSH pipeline as shared CTEs (ending in `v` = verified pairs
-    * with their Jaccard terms) — reused verbatim by the q86 removal oracle.
+  /** The LSH pipeline as shared CTEs (ending in `v` = verified pairs with
+    * their Jaccard terms) — reused by q45 (8 bands × 4 rows), q41's
+    * high-recall banding (16 × 2) and the q86 removal oracle.
     */
-  private def lshCtes: String =
+  private def lshCtes(bands: Int = 8, rows: Int = 4): String =
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          sh AS (SELECT doc_id,
              list_distinct(list_transform(${shinglesSql("toks")}, s -> ${polyHashSql("s")}))
@@ -198,9 +202,9 @@ object AnalyticsQueries {
          sig AS (SELECT doc_id, hs, ${minhashSigSql("hs")} AS sig FROM sh),
          bb AS (SELECT doc_id, band,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
-               sig[(CAST(band AS INT) * 4 + 1):(CAST(band AS INT) * 4 + 4)]),
+               sig[(CAST(band AS INT) * $rows + 1):(CAST(band AS INT) * $rows + $rows)]),
                (a, b) -> (a * 31 + b) % 1000000007) AS bucket
-           FROM sig, (SELECT unnest(range(0, 8)) AS band)),
+           FROM sig, (SELECT unnest(range(0, $bands)) AS band)),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bb a JOIN bb b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -210,7 +214,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q86_neardup_removal" ->
-      s"""WITH RECURSIVE $lshCtes,
+      s"""WITH RECURSIVE ${lshCtes()},
          pairs AS (SELECT id_a, id_b FROM v
            WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3),
          edges(a, b) AS (SELECT id_a, id_b FROM pairs
@@ -296,7 +300,7 @@ object AnalyticsQueries {
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
            FROM v) WHERE rn = 1""",
     "q45_minhash_lsh" ->
-      s"""WITH $lshCtes
+      s"""WITH ${lshCtes()}
          SELECT id_a, id_b,
            ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
          FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",

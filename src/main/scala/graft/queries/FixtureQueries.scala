@@ -173,6 +173,26 @@ object FixtureQueries {
           col("col").as("slide_md"))
     }),
 
+    // P12/X9 image-header decode: REAL PNG/JPEG/GIF byte streams encoded
+    // on executors (javax.imageio) from per-doc derived dims, then parsed
+    // back by the compiled ImageDims kernel — the oracle recomputes the
+    // dims arithmetic, so a hash match certifies encode→header-parse on
+    // actual image bytes, not metadata columns.
+    "q93_image_dims" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"),
+          pmod(col("doc_id"), lit(3)).cast("int").as("f"),
+          (lit(8) + pmod(col("doc_id"), lit(90))).cast("int").as("w"),
+          (lit(5) + pmod(col("doc_id"), lit(70))).cast("int").as("h"))
+      val encoded = Multimodal.encodeImages(params)
+      val packed = graft.functions.ImageDims.expr(col("payload"))
+      encoded.select(col("id").as("doc_id"),
+        graft.functions.ImageDims.formatOf(packed).as("img_format"),
+        graft.functions.ImageDims.widthOf(packed).as("img_width"),
+        graft.functions.ImageDims.heightOf(packed).as("img_height"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -242,5 +262,12 @@ object FixtureQueries {
            '## 幻灯片 ' || slide_no || ': Doc ' || doc_id
              || chr(10) || chr(10) || 'Doc ' || doc_id
              || chr(10) || chr(10) || lang || ': ' || source AS slide_md
-         FROM slides""")
+         FROM slides""",
+    "q93_image_dims" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             ELSE 'gif' END AS img_format,
+           CAST(8 + doc_id % 90 AS INT) AS img_width,
+           CAST(5 + doc_id % 70 AS INT) AS img_height
+         FROM documents WHERE doc_id < 200""")
 }

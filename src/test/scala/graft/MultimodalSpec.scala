@@ -50,6 +50,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fl.exists(_ == 64))
   }
 
+  private def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+    // REAL encoded bytes via javax.imageio — the parser under test never
+    // sees these encoders, only the standard container formats
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics(); g.fillRect(0, 0, w, h); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt encoder")
+    bos.toByteArray
+  }
+
+  test("ImageDims parses real PNG/JPEG/GIF headers byte-for-byte") {
+    import graft.functions.ImageDims
+    for ((fmt, w, h) <- Seq(("png", 123, 45), ("jpg", 300, 77), ("gif", 62, 50))) {
+      val packed = ImageDims.parse(encode(w, h, fmt))
+      assert(packed >= 0, s"$fmt did not parse")
+      assert(((packed >> 28) & ((1L << 28) - 1)) == w, s"$fmt width")
+      assert((packed & ((1L << 28) - 1)) == h, s"$fmt height")
+    }
+    // garbage, truncated, and empty payloads refuse to parse
+    assert(ImageDims.parse("not an image".getBytes) == -1L)
+    assert(ImageDims.parse(encode(40, 40, "png").take(12)) == -1L)
+    assert(ImageDims.parse(Array.emptyByteArray) == -1L)
+  }
+
+  test("P12 gate judges dims from the payload bytes, not metadata") {
+    import org.apache.spark.sql.types._
+    val lying = Seq(
+      // row 1: real 80x80 png, metadata CLAIMS 10x10 → must survive
+      (1L, encode(80, 80, "png"), 10, 10),
+      // row 2: real 10x10 png, metadata CLAIMS 80x80 → must be dropped
+      (2L, encode(10, 10, "png"), 80, 80),
+      // row 3: non-image payload, metadata 80x80 → metadata fallback keeps it
+      (3L, Array.fill[Byte](9000)(7), 80, 80))
+    val df = lying.toDF("media_id", "payload", "w", "h")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image").as("media_type"), lit("png").as("format"),
+          length(col("payload")).cast("long").as("byte_len"),
+          col("w").as("width"), col("h").as("height"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+    val kept = Multimodal.validMediaFilter(df, minBytes = 100, minDim = 50)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // strict image gate: only the real, large-enough image stream survives
+    val strict = Multimodal.validImageFilter(df, minBytes = 100, minDim = 50)
+      .select("media_id").as[Long].collect().toSet
+    assert(strict == Set(1L))
+  }
+
+  test("imageMeta exposes decoded format/width/height columns") {
+    val rows = Seq(
+      (1L, encode(33, 21, "jpg")),
+      (2L, encode(5, 9, "gif")),
+      (3L, "plain text".getBytes)).toDF("media_id", "payload")
+    val got = Multimodal.imageMeta(rows)
+      .select(col("media_id"), col("img_format"), col("img_width"), col("img_height"))
+      .as[(Long, Option[String], Option[Int], Option[Int])].collect().sortBy(_._1)
+    assert(got(0) == ((1L, Some("jpeg"), Some(33), Some(21))))
+    assert(got(1) == ((2L, Some("gif"), Some(5), Some(9))))
+    assert(got(2) == ((3L, None, None, None)))
+  }
+
   test("binaryFile ingestion path (S5 entry point)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val f = new java.io.File(dir, "sample.png")
