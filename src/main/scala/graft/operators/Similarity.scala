@@ -152,6 +152,83 @@ object Similarity {
     seeds
   }
 
+  /** Fixed-point Lloyd refinement — the PORTABLE trained codebook
+    * (r3 verdict follow-up): the float-sum nondeterminism of `trainIvf`'s
+    * `avg()` update is replaced by an exact integer aggregation, so the
+    * whole training run is a deterministic function of (id, embedding)
+    * that a SQL oracle reproduces value-for-value (q94):
+    *
+    *  - seeds = `seedCentroids` (portable Fibonacci-hash pick);
+    *  - assignment = compiled argmax-dot probe (ties → highest index, the
+    *    oracle's `ORDER BY dot DESC, cix DESC`);
+    *  - per-bucket mean: Σ floor(v[d]·scale) as BIGINT — exact and
+    *    partition-order-invariant — then one correctly-rounded double
+    *    divide by (scale·n); empty buckets keep their previous centroid;
+    *  - re-normalization in doubles (IEEE sqrt/divide are exactly-rounded,
+    *    hence portable).
+    *
+    * Distribution shape is `trainIvf`'s: assign = narrow compiled pass,
+    * update = one hash agg of C×dim longs; only the codebook (dimension-
+    * bounded state) reaches the driver.
+    */
+  def trainIvfFixedPoint(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iterations: Int = 1, scale: Double = 1e6): Seq[Seq[Double]] = {
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var centroids = seedCentroids(candidates, idCol, vecCol, nCentroids)
+    val dim = centroids.head.length
+    (0 until iterations).foreach { _ =>
+      val sums = (0 until dim).map(d =>
+        sum(floor(element_at(col(vecCol), d + 1).cast("double") * scale)
+          .cast("long")).as(s"s$d"))
+      val rows = candidates
+        .withColumn("__b", ivfBucket(col(vecCol), centroids))
+        .groupBy(col("__b"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val byBucket = rows.map(r => r.getInt(0) -> r).toMap
+      centroids = centroids.indices.map { c =>
+        byBucket.get(c) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            normalize((0 until dim).map(d => r.getLong(d + 2).toDouble / (scale * n)))
+          case None => centroids(c)
+        }
+      }
+    }
+    centroids
+  }
+
+  /** `ivfTopK` with the fixed-point TRAINED codebook — same probe/score
+    * shape as [[ivfTopKSeeded]], hash-comparable output (q94).
+    */
+  def ivfTopKTrained(
+      queries: DataFrame, queryId: String, queryVec: String,
+      candidates: DataFrame, candId: String, candVec: String,
+      k: Int, dim: Int, nCentroids: Int = 8, nprobe: Int = 2,
+      iterations: Int = 1): DataFrame = {
+    val centroids = trainIvfFixedPoint(candidates, candId, candVec, nCentroids, iterations)
+    require(centroids.head.length == dim,
+      s"embedding width ${centroids.head.length} != declared dim $dim")
+    val qb = queries.withColumn("__bucket",
+      explode(ivfProbeBuckets(col(queryVec), centroids, nprobe)))
+    val cb = candidates.withColumn("__bucket", ivfBucket(col(candVec), centroids))
+    val scored = cb.join(broadcast(qb), Seq("__bucket"))
+      .filter(qb(queryId) =!= cb(candId))
+      .select(
+        qb(queryId).as("query_id"),
+        cb(candId).as("cand_id"),
+        graft.functions.CosineSim.cosineSim(queries.sparkSession,
+          qb(queryVec), cb(candVec)).as("cos"))
+    Ranking.topKPerGroup(
+        scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("cand_id").asc), k, rankCol = Some("rnk"))
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
   /** `ivfTopK` with the seeded (portable, oracle-checkable) codebook.
     * Adds a rank column and 4-decimal rounding so the output is directly
     * hash-comparable.

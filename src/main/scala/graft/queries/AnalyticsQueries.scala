@@ -146,7 +146,7 @@ object AnalyticsQueries {
     }),
 
     // IVF-bucketed ANN with the SEEDED portable codebook (scan 1/C of
-    // candidates per query; Lloyd-refined codebooks stay spec-gated).
+    // candidates per query).
     "q47_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopKSeeded(
@@ -154,6 +154,20 @@ object AnalyticsQueries {
         "qid", "qv",
         e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
         k = 5, dim = 64, nCentroids = 8, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("rnk"), col("cos"))
+    }),
+
+    // IVF with the fixed-point TRAINED codebook: one Lloyd round whose
+    // mean update is an exact BIGINT aggregation (floor(v[d]·1e6) sums),
+    // so the oracle replays seeding, assignment, the centroid update and
+    // the probe/score pipeline value-for-value.
+    "q94_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopKTrained(
+        e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv",
+        e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
+        k = 5, dim = 64, nCentroids = 8, nprobe = 2, iterations = 1)
         .select(col("query_id"), col("cand_id"), col("rnk"), col("cos"))
     }))
 
@@ -340,6 +354,57 @@ object AnalyticsQueries {
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
            FROM s)
          SELECT query_id, cand_id, rnk, ROUND(cos, 4) AS cos FROM r WHERE rnk <= 5""",
+    "q94_ivf_trained" -> {
+      val dim = 64
+      val scale = "1000000.0"
+      // exact per-dimension BIGINT sums of floor(v[d]*scale) — the
+      // order-invariant half of the Lloyd mean update
+      val sumCols = (1 to dim)
+        .map(d => s"SUM(CAST(FLOOR(v[$d] * $scale) AS BIGINT)) AS s$d")
+        .mkString(",\n             ")
+      val meanList = (1 to dim).map(d => s"s$d / ($scale * n)")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
+           FROM e),
+         seeds AS (SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY bk, vec_id) AS rn
+           FROM b QUALIFY rn <= 8),
+         c0 AS (SELECT rn - 1 AS cix,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS cv
+           FROM seeds),
+         asg0 AS (SELECT vec_id, v, cix FROM (
+             SELECT e.vec_id, e.v, c.cix,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) DESC, c.cix DESC) AS r
+             FROM e, c0 c) WHERE r = 1),
+         sums AS (SELECT cix, COUNT(*) AS n,
+             $sumCols
+           FROM asg0 GROUP BY cix),
+         m AS (SELECT cix, $meanList AS mv FROM sums),
+         cn AS (SELECT c0.cix,
+             CASE WHEN m.cix IS NULL THEN c0.cv
+               ELSE list_transform(m.mv,
+                 x -> x / sqrt(list_sum(list_transform(m.mv, y -> y * y)))) END AS cv
+           FROM c0 LEFT JOIN m ON m.cix = c0.cix),
+         asg AS (SELECT vec_id AS cid, v AS cvv, cix FROM (
+             SELECT e.vec_id, e.v, c.cix,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) DESC, c.cix DESC) AS r
+             FROM e, cn c) WHERE r = 1),
+         probe AS (SELECT vec_id AS qid, v AS qv, cix FROM (
+             SELECT e.vec_id, e.v, c.cix,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) DESC, c.cix DESC) AS r
+             FROM e, cn c WHERE e.vec_id < 20) WHERE r <= 2),
+         s AS (SELECT p.qid, a.cid, list_cosine_similarity(p.qv, a.cvv) AS cos
+           FROM probe p JOIN asg a USING (cix) WHERE p.qid <> a.cid),
+         r AS (SELECT qid AS query_id, cid AS cand_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+           FROM s)
+         SELECT query_id, cand_id, rnk, ROUND(cos, 4) AS cos FROM r WHERE rnk <= 5"""
+    },
     "q44_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          h AS (SELECT doc_id, list_transform(toks, w ->

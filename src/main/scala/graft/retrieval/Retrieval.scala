@@ -1,7 +1,7 @@
 package graft.retrieval
 
 import graft.operators.{Ranking, Rrf}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -127,6 +127,77 @@ object Retrieval {
       fusedScore: Column): DataFrame = {
     val stubScore = pmod(xxhash64(concat(queryText, lit("\u0000"), content)), lit(1000)) / 1000.0
     fused.withColumn("rerank_score", coalesce(stubScore, fusedScore))
+  }
+
+  /** Cross-encoder model seam for [[rerankBatched]]: one call scores ONE
+    * query against ≤ batchSize documents (the reference's HTTP rerank
+    * endpoint shape, retrieve.py:196-203). Throwing signals failure; the
+    * caller applies the reference's fallback. Implementations must be
+    * serializable — they run inside mapGroups on executors.
+    */
+  trait RerankModel extends Serializable {
+    /** @return one relevance score per doc, aligned by index. */
+    def score(query: String, docs: Seq[String]): Seq[Double]
+  }
+
+  /** The reference's batched rerank execution contract
+    * (retrieve.py:183-232), as real distributed machinery around the model
+    * seam:
+    *
+    *  - per query, candidates are taken in FUSED order and capped at
+    *    `batchSize` (`chunks[:100]`) — one model call per query, never
+    *    more than `batchSize` docs per call;
+    *  - model scores replace fused scores, rounded to 4 decimals
+    *    (`round(new_score, 4)`);
+    *  - a model failure falls back to the ORIGINAL candidate list with its
+    *    fused scores and order — ALL candidates, uncapped
+    *    (retrieve.py:229-232's "keep RRF results" degrade path).
+    *
+    * Grouping runs as `groupByKey(query_id).flatMapGroups`: per-group
+    * state is one query's candidate list, bounded by the upstream fusion
+    * top-k, so executor memory is safe at any corpus scale; queries
+    * parallelize across the shuffle.
+    *
+    * @param fused columns: query_id (long), query_text, chunk_id,
+    *              content, fused_rank (int, 1-based fused order),
+    *              fused_score (double)
+    * @return (query_id, chunk_id, fused_rank, rerank_score, reranked)
+    */
+  def rerankBatched(fused: DataFrame, model: RerankModel,
+      batchSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("chunk_id", StringType, nullable = false),
+      StructField("fused_rank", IntegerType, nullable = false),
+      StructField("rerank_score", DoubleType, nullable = false),
+      StructField("reranked", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+    fused
+      .select(col("query_id").cast("long"), col("query_text"), col("chunk_id"),
+        col("content"), col("fused_rank").cast("int"),
+        col("fused_score").cast("double"))
+      .groupByKey(_.getLong(0))(keyEnc)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray.sortBy(_.getInt(4)) // fused order
+        val capped = rows.take(batchSize)
+        try {
+          val scores = model.score(
+            capped.head.getString(1), capped.map(_.getString(3)).toSeq)
+          require(scores.length == capped.length,
+            s"model returned ${scores.length} scores for ${capped.length} docs")
+          capped.iterator.zip(scores.iterator).map { case (r, s) =>
+            Row(qid, r.getString(2), r.getInt(4),
+              math.rint(s * 10000) / 10000.0, true)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            // degrade: the FULL original list, fused scores, fused order
+            rows.iterator.map(r =>
+              Row(qid, r.getString(2), r.getInt(4), r.getDouble(5), false))
+        }
+      }(enc)
   }
 
   /** REAL lexical reranker (the deterministic half of X8 — the model seam

@@ -203,6 +203,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(one.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
   }
 
+  test("fixed-point Lloyd: unit-norm codebook, moves off seeds, deterministic") {
+    val emb = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "embeddings")
+    val seeds = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val trained = Similarity.trainIvfFixedPoint(emb, "vec_id", "embedding", 8,
+      iterations = 1)
+    assert(trained.length == 8)
+    // every trained centroid is unit-norm (post-update renormalization)
+    trained.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // the Lloyd round actually moved the codebook off its seeds
+    assert(trained.zip(seeds).exists { case (t, s) =>
+      t.zip(s).exists { case (a, b) => math.abs(a - b) > 1e-6 } })
+    // bit-identical across runs (the portability contract behind q94)
+    val again = Similarity.trainIvfFixedPoint(emb, "vec_id", "embedding", 8,
+      iterations = 1)
+    assert(trained == again)
+  }
+
   test("connectedComponents: chains collapse to min id, isolates keep their own") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
     val edges = Seq((2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("a", "b")

@@ -73,6 +73,59 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.values.forall(v => v >= 0.0 && v < 1.0))
   }
 
+  test("rerankBatched: <=batchSize docs per call, one call per query, 4-dp scores") {
+    // deterministic stub model; accumulator records every call's size
+    val acc = spark.sparkContext.collectionAccumulator[Int]("batch_sizes")
+    class StubModel extends Retrieval.RerankModel {
+      def score(query: String, docs: Seq[String]): Seq[Double] = {
+        acc.add(docs.size)
+        docs.map(d => (query.length * 1000 + d.length).toDouble / 7.0)
+      }
+    }
+    // query 1: 130 candidates (> cap of 100); query 2: 3 candidates
+    val fused =
+      ((1 to 130).map(i => (1L, "what is q1", s"c1_$i", s"content ${"x" * i}", i, 130.0 - i)) ++
+        (1 to 3).map(i => (2L, "q2", s"c2_$i", s"doc $i", i, 3.0 - i)))
+        .toDF("query_id", "query_text", "chunk_id", "content", "fused_rank", "fused_score")
+    // ONE action: every action re-runs the model calls (no cache), which
+    // would double-count the accumulator
+    val rows = Retrieval.rerankBatched(fused, new StubModel, batchSize = 100).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    // cap: only the FIRST 100 of query 1 (by fused_rank) come back scored
+    assert(byQ(1L).length == 100)
+    assert(byQ(1L).map(_.getInt(2)).toSet == (1 to 100).toSet)
+    assert(byQ(2L).length == 3)
+    assert(rows.forall(_.getBoolean(4)))
+    // batching contract: one call per query, sizes (100, 3)
+    val sizes = acc.value.toArray(Array.empty[Integer]).map(_.toInt).sorted
+    assert(sizes.toSeq == Seq(3, 100))
+    // scores: deterministic stub value, rounded to 4 decimals
+    val r1 = byQ(2L).find(_.getString(1) == "c2_1").get
+    assert(r1.getDouble(3) == math.rint((2 * 1000 + 5) / 7.0 * 10000) / 10000.0)
+  }
+
+  test("rerankBatched: model failure keeps the FULL fused list and order") {
+    class FailingModel extends Retrieval.RerankModel {
+      def score(query: String, docs: Seq[String]): Seq[Double] =
+        if (query.contains("bad")) throw new RuntimeException("model down")
+        else docs.map(_ => 0.5)
+    }
+    val fused = (
+      (1 to 120).map(i => (1L, "bad query", s"c$i", s"d$i", i, 120.0 - i)) ++
+        (1 to 2).map(i => (2L, "fine", s"k$i", s"d$i", i, 2.0 - i)))
+      .toDF("query_id", "query_text", "chunk_id", "content", "fused_rank", "fused_score")
+    val got = Retrieval.rerankBatched(fused, new FailingModel, batchSize = 100)
+    val bad = got.filter(col("query_id") === 1L).orderBy(col("fused_rank")).collect()
+    // degrade path: ALL 120 candidates survive (no cap), fused scores kept
+    assert(bad.length == 120)
+    assert(bad.forall(r => !r.getBoolean(4)))
+    assert(bad.map(r => (r.getInt(2), r.getDouble(3))).toSeq ==
+      (1 to 120).map(i => (i, 120.0 - i)))
+    // the healthy query is unaffected
+    val fine = got.filter(col("query_id") === 2L).collect()
+    assert(fine.length == 2 && fine.forall(_.getBoolean(4)))
+  }
+
   test("scan sharing: segment tasks merge per DB; full-DB task subsumes (SURVEY §4)") {
     val jobs = Retrieval.buildExecutionPlan(tasks)
     val byDb = jobs.collect().map(r => r.getAs[String]("database_id") -> r).toMap
