@@ -177,6 +177,35 @@ object StringQueries {
         .select(col("c_custkey"), coalesce(col("seg"), lit("unresolved")).as("resolved"))
     }),
 
+    // J3/P6 over the FULL reference region dimension (CHINA_REGIONS,
+    // retrieve.py:1027-1062): deterministic location strings built from
+    // the dimension itself, parsed by the reference's province-first /
+    // scoped-city / global-fallback algorithm. The oracle replays the
+    // same algorithm over the same literal lists, so a hash match
+    // certifies dimension content AND matching semantics (declaration
+    // order, longest-first scoped search, the 吉林/市 special case,
+    // reverse-index overwrite for duplicate city names).
+    "q95_region_parse" -> ((s, dir) => {
+      import graft.dims.Regions
+      val provs = Regions.ProvinceCityList.map(_._1)
+      val cities = Regions.CityToProvince.map(_._1)
+      val provArr = array(provs.map(lit): _*)
+      val cityArr = array(cities.map(lit): _*)
+      def cityAt = element_at(cityArr,
+        (lit(1) + pmod(col("doc_id"), lit(cities.length))).cast("int"))
+      def provAt = element_at(provArr,
+        (lit(1) + pmod(col("doc_id"), lit(provs.length))).cast("int"))
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .withColumn("loc",
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("位于"), cityAt, lit("市的机构")))
+            .when(pmod(col("doc_id"), lit(4)) === 1, concat(provAt, lit("省某地")))
+            .when(pmod(col("doc_id"), lit(4)) === 2, provAt)
+            .otherwise(concat(lit("在"), cityAt, lit("附近"))))
+      Regions.resolve(base, "loc")
+        .select(col("doc_id"), col("loc"), col("province"), col("city"))
+    }),
+
     // F1 regex predicates over document text (the P4 noise-class shape).
     "q33_rlike_filter" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -206,7 +235,59 @@ object StringQueries {
         .select(col("doc_id"), col("cleaned"))
     }))
 
+  /** q95's DuckDB mirror — generated from the SAME dimension data the
+    * engine compiles into its plan, so content parity is by construction.
+    */
+  private def regionParseSql: String = {
+    import graft.dims.Regions
+    def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    val provs = Regions.ProvinceCityList.map(_._1)
+    val nP = provs.length
+    val cts = Regions.CityToProvince
+    val nC = cts.length
+    val cityList = sqlList(cts.map(_._1))
+    val provOfCityList = sqlList(cts.map(_._2))
+    val provList = sqlList(provs)
+    val scopedCase = Regions.ProvinceCityList.map { case (p, _) =>
+      s"WHEN '$p' THEN ${sqlList(Regions.scopedCities(p))}"
+    }.mkString("CASE mp ", "\n             ", " ELSE NULL END")
+    s"""WITH d AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN '位于' || ($cityList)[1 + doc_id % $nC] || '市的机构'
+             WHEN 1 THEN ($provList)[1 + doc_id % $nP] || '省某地'
+             WHEN 2 THEN ($provList)[1 + doc_id % $nP]
+             ELSE '在' || ($cityList)[1 + doc_id % $nC] || '附近' END AS loc
+         FROM documents WHERE doc_id < 300),
+         p1 AS (SELECT doc_id, loc,
+             replace(replace(replace(loc, ' ', ''), '-', ''), '_', '') AS t
+           FROM d),
+         p2 AS (SELECT doc_id, loc, t,
+             list_filter($provList, p -> contains(t, p))[1] AS mp
+           FROM p1),
+         p3 AS (SELECT doc_id, loc, t, mp,
+             ($scopedCase) AS sc
+           FROM p2),
+         p4 AS (SELECT doc_id, loc, t, mp,
+             list_filter(sc, c -> contains(t, c))[1] AS mcr
+           FROM p3),
+         p5 AS (SELECT doc_id, loc, t, mp,
+             CASE WHEN mp = mcr AND NOT contains(t, '市') THEN NULL
+                  ELSE mcr END AS mc
+           FROM p4),
+         g AS (SELECT doc_id, loc, mp, mc,
+             list_filter(range(1, ${nC + 1}),
+               i -> contains(t, ($cityList)[CAST(i AS INT)]))[1] AS gi
+           FROM p5)
+         SELECT doc_id, loc,
+           CASE WHEN mp IS NOT NULL THEN mp
+                ELSE ($provOfCityList)[CAST(gi AS INT)] END AS province,
+           CASE WHEN mp IS NOT NULL THEN mc
+                ELSE ($cityList)[CAST(gi AS INT)] END AS city
+         FROM g"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q95_region_parse" -> regionParseSql,
     "q91_html_extract" ->
       """WITH h AS (SELECT doc_id,
            '<html><head><style>body{x:1}</style><script>var a=1;</script></head><body>'

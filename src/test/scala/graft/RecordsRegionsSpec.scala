@@ -56,12 +56,42 @@ class RecordsRegionsSpec extends AnyFunSuite {
       .select("loc", "province", "city").as[(String, Option[String], Option[String])]
       .collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(got("浙江省杭州市西湖区") == ((Some("浙江"), Some("杭州"))))
-    assert(got("吉林省吉林市昌邑区") == ((Some("吉林"), Some("吉林市"))))  // longest match 吉林市
+    // province==city special case (retrieve.py:1127-1137): the text says
+    // 市, so 吉林 is confirmed as a CITY (dimension name is the bare 吉林)
+    assert(got("吉林省吉林市昌邑区") == ((Some("吉林"), Some("吉林"))))
     assert(got("山西某地") == ((Some("山西"), None)))
     assert(got("火星基地一号") == ((None, None)))
     val js = got("江苏省泰州市兴化市某某镇")
     assert(js._1.contains("江苏"))
-    assert(js._2.exists(c => c == "泰州" || c == "兴化"))
+    assert(js._2.contains("泰州"))
+  }
+
+  test("region resolution: reference special cases on the full dimension") {
+    val locs = Seq(
+      "吉林",             // province==city, no 市 → province query
+      "吉林市",           // province==city WITH 市 → city query
+      "天津市河北区",     // 天津 city (first in its own list) beats the 河北 district
+      "辽宁省朝阳市",     // 朝阳: declared under 北京 first, overwritten to 辽宁
+      "朝阳区某街道",     // global fallback: reverse index maps 朝阳 → 辽宁
+      "张家界forever")    // global city fallback fixes the province too
+      .toDF("loc")
+    val got = Regions.resolve(locs, "loc")
+      .select("loc", "province", "city").as[(String, Option[String], Option[String])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("吉林") == ((Some("吉林"), None)))
+    assert(got("吉林市") == ((Some("吉林"), Some("吉林"))))
+    // scoped search is stable longest-first: 天津 precedes 河北 in 天津's
+    // own city list, and the 市 in the text confirms it as a city
+    assert(got("天津市河北区") == ((Some("天津"), Some("天津"))))
+    assert(got("辽宁省朝阳市") == ((Some("辽宁"), Some("朝阳"))))
+    assert(got("朝阳区某街道") == ((Some("辽宁"), Some("朝阳"))))
+    assert(got("张家界forever") == ((Some("湖南"), Some("张家界"))))
+  }
+
+  test("normalizeRegion strips one suffix, longest first, keeps >=1 char") {
+    val got = Seq("四川省", "成都市", "内蒙古自治区", "香港特别行政区", "延边自治州", "市")
+      .toDF("r").select(Regions.normalizeRegion(col("r"))).as[String].collect().toSeq
+    assert(got == Seq("四川", "成都", "内蒙古", "香港", "延边", "市"))
   }
 
   test("P6 region-rule match: city exact, province covers its cities") {
