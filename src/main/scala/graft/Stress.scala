@@ -58,6 +58,7 @@ object Stress {
     // corpus) and each receipt times only the operator pass over it.
     val t = math.max(n / 10, 1000000L)
     val textDir = java.nio.file.Files.createTempDirectory("graft_stress_texts").toString
+    try {
     spark.range(0, t, 1, 32).select(col("id"),
         array_join(transform(sequence(lit(0), lit(39)),
           j => concat(lit("w"), pmod(col("id") * (j + 7L), lit(997)))), " ").as("text"))
@@ -97,13 +98,15 @@ object Stress {
       vecs.select(graft.functions.L2Norm.expr(col("embedding")).as("nrm"))
         .agg(sum(col("nrm"))).collect()
     }
-    // the materialized text fixture is t × ~250 B — delete it rather than
-    // leak hundreds of MB of tmpdir per run
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
+    } finally {
+      // the materialized text fixture is t × ~250 B — delete it even when
+      // a timed pass throws, rather than leak hundreds of MB of tmpdir
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(textDir))
     }
-    rm(new java.io.File(textDir))
     spark.stop()
   }
 }

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
 object FixtureQueries {
 
   private def fixtureDir(dir: String, leaf: String): String = {
-    val h = Integer.toHexString(dir.hashCode)
+    // collision-resistant key: 32-bit hashCode collides across data dirs
+    // (two sessions would then race on the same fixture path)
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_fixtures_$h", leaf)
     java.nio.file.Files.createDirectories(p.getParent)

@@ -57,8 +57,9 @@ object StringQueries {
     // tail. The oracle states each expected string literally (chr()
     // arithmetic for the Latin-1 case) — it never needs to decode.
     "q89_decode_chain" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.codingErrorAction", "true")
-      s.conf.set("spark.sql.legacy.javaCharsets", "true")
+      // explicit prerequisite (no-op under GraftSession; Verify's plain
+      // session needs it) — see ensureDecodeChainConfs scaladoc
+      TextFunctions.ensureDecodeChainConfs(s)
       val k = col("c_custkey")
       val suffix = encode(concat(lit("-"), k.cast("string")), "UTF-8")
       val bin =
