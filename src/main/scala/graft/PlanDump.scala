@@ -23,7 +23,12 @@ object PlanDump {
       "q70_contamination" -> "benchmark set broadcast; only doc-id hit-count shuffles",
       "q72_embed_quantize" -> "compiled one-pass quantize summary: scan -> project, no shuffle",
       "q75_asof_merge_exec" -> "whole-operator as-of: co-clustered exchanges + sorts + streaming merge",
-      "q76_chunk_docs" -> "chunker: Generate over a narrow projection, zero exchanges")
+      "q76_chunk_docs" -> "chunker: Generate over a narrow projection, zero exchanges",
+      "q41_jaccard_pairs" -> "exact-Jaccard verify DOWNSTREAM of 16x2 LSH banding: candidate join bounded by band-bucket size",
+      "q81_csv_roundtrip" -> "large-cap CSV: distributed limit, caller schema (no inferSchema scan), no driver LocalTableScan",
+      "q93_image_dims" -> "image-header decode: mapPartitions encode + compiled ImageDims projection, no shuffle",
+      "q94_ivf_trained" -> "fixed-point-trained codebook as expression state; bucketed equi-join, broadcast query side",
+      "q95_region_parse" -> "full region dimension as literal arrays + HOF filters: narrow projection, zero joins")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>
