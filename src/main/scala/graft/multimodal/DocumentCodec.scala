@@ -27,9 +27,11 @@ object DocumentCodec {
   case object Docx extends Format { val name = "docx" }
   case object Pdf extends Format { val name = "pdf" }
   case object Pptx extends Format { val name = "pptx" }
-  /** OLE2 compound file (.doc/.ppt/.xls) — recognized but only decodable
-    * through the external-converter seam (reference routes these straight
-    * to MarkItDown, 多数据源获取数据.py:1210-1214).
+  /** OLE2 compound file (.doc/.ppt/.xls) — decoded for REAL by [[Ole2]]
+    * (CFB reader + Word-97 piece table + PowerPoint-97 text atoms); the
+    * reference routes these to MarkItDown (多数据源获取数据.py:1210-1214),
+    * which this engine has no need of. The converter seam still applies
+    * as the fallback when extraction yields nothing.
     */
   case object LegacyOffice extends Format { val name = "legacy-office" }
   case object Unknown extends Format { val name = "unknown" }
@@ -66,7 +68,7 @@ object DocumentCodec {
     case Docx => extractDocx(bytes)
     case Pdf => extractPdf(bytes)
     case Pptx => extractPptx(bytes)
-    case LegacyOffice => None
+    case LegacyOffice => Ole2.extractText(bytes)
     case Unknown => None
   }
 
@@ -96,7 +98,9 @@ object DocumentCodec {
       case ".pdf" => extractPdf(bytes)
       case ".docx" => extractDocx(bytes)
       case ".pptx" => extractPptx(bytes)
-      case ".doc" | ".ppt" => fallback(bytes, ext)
+      // real legacy decode first (the reference has only MarkItDown here);
+      // the chain below still reaches the converter seam on empty
+      case ".doc" | ".ppt" => Ole2.extractText(bytes).orElse(fallback(bytes, ext))
       case ".txt" | ".md" | ".markdown" => decodePlainText(bytes)
       case _ => None
     }

@@ -150,7 +150,7 @@ object Multimodal {
             case DocumentCodec.Docx => DocumentCodec.extractDocx(payload)
             case DocumentCodec.Pdf => DocumentCodec.extractPdf(payload)
             case DocumentCodec.Pptx => DocumentCodec.extractPptx(payload)
-            case DocumentCodec.LegacyOffice => None // converter seam only
+            case DocumentCodec.LegacyOffice => Ole2.extractText(payload)
             case DocumentCodec.Unknown => None
           }
           Row(r.getLong(0), fmt.name, text.orNull,

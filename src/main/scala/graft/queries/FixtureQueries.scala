@@ -71,6 +71,52 @@ object FixtureQueries {
     org.apache.spark.sql.types.StructField("o_orderdate", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("o_note", org.apache.spark.sql.types.StringType)))
 
+  /** PowerPoint-97 fixture: title as a UTF-16 TextCharsAtom, body as an
+    * 8-bit TextBytesAtom, zero-type padding over the mini cutoff.
+    */
+  private def legacyPpt(title: String, body: String): Array[Byte] = {
+    def rec(verInst: Int, typ: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(verInst.toShort); b.putShort(typ.toShort)
+      b.putInt(payload.length); b.put(payload)
+      b.array()
+    }
+    val container = rec(0x000F, 0x03EE,
+      rec(0x0000, 0x0FA0, title.getBytes("UTF-16LE")) ++
+        rec(0x0000, 0x0FA8, body.getBytes("windows-1252")))
+    graft.multimodal.Ole2.writeCfb(Seq("PowerPoint Document" ->
+      (container ++ rec(0x0000, 0x0000, new Array[Byte](4200)))))
+  }
+
+  /** Word-97 fixture: title as a UTF-16 piece (terminated by the \r
+    * paragraph mark the extractor maps to \n), body as an fc-compressed
+    * 8-bit piece — a two-entry CLX piece table in the 1Table stream.
+    */
+  private def legacyDoc(title: String, body: String): Array[Byte] = {
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    val uni = (title + "\r").getBytes("UTF-16LE")
+    val ansi = body.getBytes("windows-1252")
+    val wd = java.nio.ByteBuffer.allocate(8192).order(le)
+    wd.putShort(0, 0xA5EC.toShort)
+    wd.putShort(0x000A, 0x0200.toShort) // → 1Table
+    wd.position(0x800); wd.put(uni)
+    wd.position(0x1000); wd.put(ansi)
+    val fcClx = 0x40
+    wd.putInt(0x01A2, fcClx)
+    val table = java.nio.ByteBuffer.allocate(4608).order(le)
+    table.position(fcClx)
+    table.put(0x02.toByte)
+    table.putInt(4 * 3 + 8 * 2)
+    val nUni = uni.length / 2
+    table.putInt(0); table.putInt(nUni); table.putInt(nUni + ansi.length)
+    table.putShort(0); table.putInt(0x800); table.putShort(0)
+    table.putShort(0); table.putInt(0x40000000 | (0x1000 * 2)); table.putShort(0)
+    wd.putInt(0x01A6, table.position() - fcClx)
+    graft.multimodal.Ole2.writeCfb(Seq(
+      "WordDocument" -> wd.array(), "1Table" -> table.array()))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S3: semicolon dialect + quoted delimiter-bearing field → sniff →
@@ -176,6 +222,37 @@ object FixtureQueries {
           col("col").as("slide_md"))
     }),
 
+    // S5 legacy OLE2: real Word-97 (.doc, FIB + CLX piece table with a
+    // UTF-16 and an fc-compressed piece) and PowerPoint-97 (.ppt, text
+    // atoms) fixtures written through Ole2.writeCfb, read back via
+    // binaryFile → DocumentCodec → Ole2 on executors. The oracle rebuilds
+    // each document's expected text from the parquet rows.
+    "q96_legacy_roundtrip" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")).collect()
+      val base = fixtureDir(dir, "legacy")
+      deleteRecursive(new java.io.File(base))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val body = s"${r.getString(1)}: ${r.getString(2)}"
+        val (bytes, ext) =
+          if (id % 2 == 0) (legacyPpt(s"Doc $id", body), "ppt")
+          else (legacyDoc(s"Doc $id", body), "doc")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(base, f"doc_$id%03d.$ext"), bytes)
+      }
+      val media = s.read.format("binaryFile").load(s"$base/*")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.", 1).cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.parseDocuments(media)
+        .select(col("media_id").as("doc_id"), col("doc_format"),
+          col("text"), col("n_chars"))
+    }),
+
     // P12/X9 image-header decode: REAL PNG/JPEG/GIF byte streams encoded
     // on executors (javax.imageio) from per-doc derived dims, then parsed
     // back by the compiled ImageDims kernel — the oracle recomputes the
@@ -266,6 +343,12 @@ object FixtureQueries {
              || chr(10) || chr(10) || 'Doc ' || doc_id
              || chr(10) || chr(10) || lang || ': ' || source AS slide_md
          FROM slides""",
+    "q96_legacy_roundtrip" ->
+      """SELECT doc_id, 'legacy-office' AS doc_format,
+           'Doc ' || doc_id || chr(10) || lang || ': ' || source AS text,
+           LENGTH('Doc ' || doc_id || chr(10) || lang || ': ' || source)
+             AS n_chars
+         FROM documents WHERE doc_id < 30""",
     "q93_image_dims" ->
       """SELECT doc_id,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
