@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -159,9 +159,10 @@ object Multimodal {
       }(encoder)
   }
 
-  /** Encode (id, f, w, h) rows into REAL image byte streams on executors
-    * (javax.imageio, pure JVM) — the deterministic byte-fixture generator
-    * for the image-header oracle (q93) and specs. `f`: 0=png 1=jpeg 2=gif.
+  /** Encode (id, f, w, h[, r, g, b]) rows into REAL image byte streams on
+    * executors (javax.imageio, pure JVM) — the deterministic byte-fixture
+    * generator for the image oracles (q93/q97) and specs. `f`: 0=png
+    * 1=jpeg 2=gif; fill color defaults to black when r/g/b are absent.
     * Output: (id, payload). Runs in mapPartitions like parseDocuments —
     * encoding is embarrassingly parallel, nothing touches the driver.
     */
@@ -170,8 +171,11 @@ object Multimodal {
       StructField("id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    def colOr0(n: String): Column =
+      if (df.columns.contains(n)) col(n).cast("int") else lit(0)
     df.select(col("id").cast("long"), col("f").cast("int"),
-        col("w").cast("int"), col("h").cast("int"))
+        col("w").cast("int"), col("h").cast("int"),
+        colOr0("r"), colOr0("g"), colOr0("b"))
       .mapPartitions { rows =>
         rows.map { r =>
           val fmt = r.getInt(1) match {
@@ -181,12 +185,82 @@ object Multimodal {
           }
           val img = new java.awt.image.BufferedImage(r.getInt(2), r.getInt(3),
             java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = img.createGraphics()
-          g.fillRect(0, 0, r.getInt(2), r.getInt(3))
-          g.dispose()
+          val g2 = img.createGraphics()
+          g2.setColor(new java.awt.Color(r.getInt(4), r.getInt(5), r.getInt(6)))
+          g2.fillRect(0, 0, r.getInt(2), r.getInt(3))
+          g2.dispose()
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, fmt, bos)
           Row(r.getLong(0), bos.toByteArray)
+        }
+      }(encoder)
+  }
+
+  /** REAL pixel decode (javax.imageio — PNG/JPEG/GIF/BMP readers ship in
+    * every JDK): width/height, per-channel means, and a 64-bit dHash
+    * (9×8 nearest-neighbor luminance grid, adjacent-column compare) from
+    * the ACTUAL decoded pixels. This retires the fake-featurizer seam for
+    * image payloads — the reference's PIL validate/feature step
+    * (多数据源获取数据.py:396-445) runs for real here. Undecodable
+    * payloads keep their row with null fields (the caller's filter
+    * decides), never fail the job.
+    *
+    * Output: (media_id, img_w, img_h, mean_r, mean_g, mean_b, dhash).
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("img_w", IntegerType, nullable = true),
+      StructField("img_h", IntegerType, nullable = true),
+      StructField("mean_r", IntegerType, nullable = true),
+      StructField("mean_g", IntegerType, nullable = true),
+      StructField("mean_b", IntegerType, nullable = true),
+      StructField("dhash", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            if (img == null) Row(id, null, null, null, null, null, null)
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < px.length) {
+                sr += (px(i) >> 16) & 0xFF; sg += (px(i) >> 8) & 0xFF
+                sb += px(i) & 0xFF
+                i += 1
+              }
+              val n = px.length.toLong
+              // dHash: integer nearest-neighbor 9×8 luminance grid —
+              // platform-independent (no Graphics scaling filters)
+              def lum(gx: Int, gy: Int): Int = {
+                val x = math.min(w - 1, gx * w / 9)
+                val y = math.min(h - 1, gy * h / 8)
+                val p = px(y * w + x)
+                (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+                  114 * (p & 0xFF)) / 1000
+              }
+              var sig = 0L
+              var gy = 0
+              while (gy < 8) {
+                var gx = 0
+                while (gx < 8) {
+                  if (lum(gx + 1, gy) > lum(gx, gy)) sig |= 1L << (gy * 8 + gx)
+                  gx += 1
+                }
+                gy += 1
+              }
+              Row(id, w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt, sig)
+            }
+          } catch {
+            case _: Exception => Row(id, null, null, null, null, null, null)
+          }
         }
       }(encoder)
   }

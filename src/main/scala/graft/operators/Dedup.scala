@@ -169,6 +169,38 @@ object Dedup {
     bits.reduce(_ bitwiseOR _)
   }
 
+  /** Near-dup pairs over any 64-bit signature column (SimHash, image
+    * dHash) by banded hamming blocking: the signature splits into `bands`
+    * equal slices used as bucket keys — by pigeonhole, any pair with
+    * hamming distance < bands shares at least one slice, so blocking is
+    * LOSSLESS for maxDist < bands. Candidates verify with
+    * `bit_count(xor)`. Shuffles carry (id, sig, band, key) longs only;
+    * no quadratic stage.
+    */
+  def hammingNearDupPairs(
+      df: DataFrame, idCol: Column, sigCol: Column,
+      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    require(maxDist < bands,
+      s"maxDist $maxDist needs > $maxDist bands for lossless blocking")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = df
+      .select(idCol.as("id"), sigCol.as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("dist"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact n-gram Jaccard similarity for all candidate pairs produced by an
     * inverted-index self-join on shingles. Quadratic in bucket size — gate
     * behind LSH blocking at scale (see minHashLsh); exposed directly for

@@ -273,6 +273,27 @@ object FixtureQueries {
         graft.functions.ImageDims.heightOf(packed).as("img_height"))
     }),
 
+    // REAL pixel decode: solid-color PNG/GIF images encoded on executors
+    // (lossless formats → decoded channel means equal the fill color
+    // EXACTLY), then decoded back pixel-by-pixel via javax.imageio. The
+    // oracle recomputes the color/dims arithmetic — a hash match is only
+    // possible if actual pixels were decoded, not metadata echoed.
+    "q97_image_decode" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"),
+          (pmod(col("doc_id"), lit(2)) * 2).cast("int").as("f"), // png | gif
+          (lit(8) + pmod(col("doc_id"), lit(50))).cast("int").as("w"),
+          (lit(5) + pmod(col("doc_id"), lit(40))).cast("int").as("h"),
+          pmod(col("doc_id"), lit(256)).cast("int").as("r"),
+          pmod(col("doc_id") * 7, lit(256)).cast("int").as("g"),
+          pmod(col("doc_id") * 13, lit(256)).cast("int").as("b"))
+      Multimodal.decodeImages(
+          Multimodal.encodeImages(params).select(col("id").as("media_id"), col("payload")))
+        .select(col("media_id").as("doc_id"), col("img_w"), col("img_h"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -343,6 +364,14 @@ object FixtureQueries {
              || chr(10) || chr(10) || 'Doc ' || doc_id
              || chr(10) || chr(10) || lang || ': ' || source AS slide_md
          FROM slides""",
+    "q97_image_decode" ->
+      """SELECT doc_id,
+           CAST(8 + doc_id % 50 AS INT) AS img_w,
+           CAST(5 + doc_id % 40 AS INT) AS img_h,
+           CAST(doc_id % 256 AS INT) AS mean_r,
+           CAST((doc_id * 7) % 256 AS INT) AS mean_g,
+           CAST((doc_id * 13) % 256 AS INT) AS mean_b
+         FROM documents WHERE doc_id < 200""",
     "q96_legacy_roundtrip" ->
       """SELECT doc_id, 'legacy-office' AS doc_format,
            'Doc ' || doc_id || chr(10) || lang || ': ' || source AS text,

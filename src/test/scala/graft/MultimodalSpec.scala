@@ -112,6 +112,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2) == ((3L, None, None, None)))
   }
 
+  test("decodeImages: real pixels — means, dims, JPEG tolerance, garbage nulls") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def solid(w: Int, h: Int, rgb: (Int, Int, Int), fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb._1, rgb._2, rgb._3))
+      g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, solid(20, 10, (200, 50, 25), "png")),
+      (2L, solid(16, 16, (10, 240, 30), "jpg")),
+      (3L, "not an image at all".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeImages(rows).collect().map(r => r.getLong(0) -> r).toMap
+    // lossless PNG: exact means + dims
+    assert(got(1L).getInt(1) == 20 && got(1L).getInt(2) == 10)
+    assert((got(1L).getInt(3), got(1L).getInt(4), got(1L).getInt(5)) == ((200, 50, 25)))
+    // lossy JPEG: dims exact, means within codec tolerance
+    assert(got(2L).getInt(1) == 16 && got(2L).getInt(2) == 16)
+    assert(math.abs(got(2L).getInt(3) - 10) <= 8)
+    assert(math.abs(got(2L).getInt(4) - 240) <= 8)
+    // garbage: row kept, fields null
+    assert(got(3L).isNullAt(1) && got(3L).isNullAt(6))
+  }
+
+  test("dHash: identical patterns match, near-identical close, different far") {
+    def gradient(w: Int, h: Int, shift: Int, fmt: String = "png"): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = math.min(255, (x * 255 / w + shift).abs % 256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    def inverse(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = 255 - (x * 255 / w)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, gradient(90, 60, 0)),
+      (2L, gradient(90, 60, 2)),    // tiny brightness shift: same structure
+      (3L, inverse(90, 60)))        // reversed gradient: opposite structure
+      .toDF("media_id", "payload")
+    val sigs = Multimodal.decodeImages(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) <= 3)
+    assert(ham(sigs(1L), sigs(3L)) >= 32)
+    // banded hamming pairs: lossless blocking finds exactly the near pair
+    val sigDf = sigs.toSeq.toDF("id", "sig")
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(
+        sigDf, col("id"), col("sig"), maxDist = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("binaryFile ingestion path (S5 entry point)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val f = new java.io.File(dir, "sample.png")
