@@ -265,6 +265,96 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Encode (id, n, k) rows as REAL 16-bit mono PCM WAV byte streams
+    * (hand-rolled RIFF container, deterministic integer sawtooth samples
+    * `((i·k·37) mod 65536) − 32768`) — the audio byte-fixture generator
+    * for q98 and specs. Runs on executors like encodeImages.
+    */
+  def encodeWavs(df: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col("id").cast("long"), col("n").cast("int"), col("k").cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = r.getInt(1)
+          val k = r.getInt(2)
+          val dataLen = n * 2
+          val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put("RIFF".getBytes("US-ASCII")); b.putInt(36 + dataLen)
+          b.put("WAVE".getBytes("US-ASCII"))
+          b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+          b.putShort(1)                     // PCM
+          b.putShort(1)                     // mono
+          b.putInt(sampleRate)
+          b.putInt(sampleRate * 2)          // byte rate
+          b.putShort(2)                     // block align
+          b.putShort(16)                    // bits/sample
+          b.put("data".getBytes("US-ASCII")); b.putInt(dataLen)
+          var i = 0
+          while (i < n) {
+            b.putShort((((i.toLong * k * 37) % 65536) - 32768).toShort)
+            i += 1
+          }
+          Row(r.getLong(0), b.array())
+        }
+      }(encoder)
+  }
+
+  /** REAL audio decode (javax.sound.sampled — WAV/AIFF/AU PCM readers
+    * ship in the JDK): sample rate, channel count, sample count, exact
+    * sum of squared samples (the RMS numerator, exact integer → hashable)
+    * and peak amplitude from the ACTUAL decoded frames. Compressed
+    * codecs (MP3/AAC) stay out of JDK scope; undecodable payloads keep
+    * their row with null fields.
+    *
+    * Output: (media_id, sample_rate, n_channels, n_samples, sum_sq, peak).
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16)
+              Row(id, null, null, null, null, null)
+            else {
+              val bytes = ais.readAllBytes()
+              val buf = java.nio.ByteBuffer.wrap(bytes).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              var sumSq = 0L
+              var peak = 0
+              var n = 0L
+              while (buf.remaining() >= 2) {
+                val s = buf.getShort.toInt
+                sumSq += s.toLong * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                n += 1
+              }
+              Row(id, fmt.getSampleRate.toInt, fmt.getChannels,
+                n / fmt.getChannels, sumSq, peak)
+            }
+          } catch {
+            case _: Exception => Row(id, null, null, null, null, null)
+          }
+        }
+      }(encoder)
+  }
+
   /** Frame sampling for video payloads: emit every `stride`-th fixed-size
     * window of the payload as a "frame" (stub for keyframe extraction —
     * the explode/fan-out shape and frame indexing are the real parts).

@@ -294,6 +294,24 @@ object FixtureQueries {
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
+    // REAL audio decode: deterministic 16-bit PCM WAV streams (integer
+    // sawtooth samples) encoded on executors, decoded back through
+    // javax.sound.sampled. sum_sq is the exact integer Σ s² — the oracle
+    // recomputes the sample formula, so a hash match is only possible if
+    // the actual PCM frames were decoded.
+    "q98_audio_decode" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id"),
+          (lit(1000) + pmod(col("doc_id"), lit(2000))).cast("int").as("n"),
+          (lit(3) + pmod(col("doc_id"), lit(7))).cast("int").as("k"))
+      Multimodal.decodeAudio(
+          Multimodal.encodeWavs(params)
+            .select(col("id").as("media_id"), col("payload")))
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("n_channels"), col("n_samples"), col("sum_sq"), col("peak"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -364,6 +382,19 @@ object FixtureQueries {
              || chr(10) || chr(10) || 'Doc ' || doc_id
              || chr(10) || chr(10) || lang || ': ' || source AS slide_md
          FROM slides""",
+    "q98_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 1000 + doc_id % 2000 AS n,
+             3 + doc_id % 7 AS k
+           FROM documents WHERE doc_id < 150),
+         e AS (SELECT doc_id, n, k, unnest(range(n)) AS i FROM d),
+         s AS (SELECT doc_id, n, ((i * k * 37) % 65536) - 32768 AS smp
+           FROM e)
+         SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(smp)) AS INT) AS peak
+         FROM s GROUP BY doc_id""",
     "q97_image_decode" ->
       """SELECT doc_id,
            CAST(8 + doc_id % 50 AS INT) AS img_w,

@@ -180,6 +180,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("decodeAudio: real PCM decode — JDK-encoded WAV, hand-rolled WAV, garbage") {
+    // a WAV written by the JDK's OWN encoder (cross-checks our RIFF writer)
+    val samples = Array.tabulate[Short](500)(i => ((i * 53) % 60000 - 30000).toShort)
+    val bytes = {
+      val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(data.putShort)
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data.array()), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // our own writer's output for the same formula as q98
+    val ours = Multimodal.encodeWavs(Seq((7L, 100, 3)).toDF("id", "n", "k"))
+      .select(col("id").as("media_id"), col("payload"))
+    val rows = ours.unionByName(
+      Seq((1L, bytes), (2L, "definitely not audio".getBytes))
+        .toDF("media_id", "payload"))
+    val got = Multimodal.decodeAudio(rows).collect().map(r => r.getLong(0) -> r).toMap
+    val expSumSq = samples.map(s => s.toLong * s).sum
+    assert(got(1L).getInt(1) == 16000 && got(1L).getInt(2) == 1)
+    assert(got(1L).getLong(3) == 500L && got(1L).getLong(4) == expSumSq)
+    // hand-rolled RIFF decodes identically: formula-exact sum of squares
+    val exp7 = (0 until 100).map(i => (i.toLong * 3 * 37) % 65536 - 32768)
+      .map(s => s * s).sum
+    assert(got(7L).getInt(1) == 8000 && got(7L).getLong(3) == 100L)
+    assert(got(7L).getLong(4) == exp7)
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(4))
+  }
+
   test("binaryFile ingestion path (S5 entry point)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val f = new java.io.File(dir, "sample.png")
