@@ -355,6 +355,111 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Encode (id, timescale, dur_units, w, h) rows as minimal MP4
+    * containers (ftyp + moov[mvhd + trak[tkhd]]) — the video byte-fixture
+    * generator for q99 and specs. Box layout only; no media data, which
+    * is exactly what the metadata parser consumes.
+    */
+  def encodeMp4s(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col("id").cast("long"), col("timescale").cast("int"),
+        col("dur_units").cast("long"), col("w").cast("int"), col("h").cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+            val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+            b.putInt(8 + payload.length)
+            b.put(typ.getBytes("US-ASCII")); b.put(payload)
+            b.array()
+          }
+          val mvhd = {
+            val b = java.nio.ByteBuffer.allocate(100)
+            b.putInt(0)                     // version+flags
+            b.putInt(0); b.putInt(0)        // creation/modification
+            b.putInt(r.getInt(1))           // timescale
+            b.putInt(r.getLong(2).toInt)    // duration (units)
+            b.array()
+          }
+          val tkhd = {
+            val b = java.nio.ByteBuffer.allocate(84)
+            b.putInt(0)                     // version+flags
+            b.position(76)
+            b.putInt(r.getInt(3) << 16)     // width 16.16
+            b.putInt(r.getInt(4) << 16)     // height 16.16
+            b.array()
+          }
+          val bytes = box("ftyp", "isom   isom".getBytes("US-ASCII")) ++
+            box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+          Row(r.getLong(0), bytes)
+        }
+      }(encoder)
+  }
+
+  /** REAL MP4/QuickTime METADATA decode — a pure-JVM walk of the ISO
+    * BMFF box tree (size+type headers; moov/trak containers descended):
+    * movie timescale + duration from `mvhd`, presentation dims from the
+    * first sized `tkhd` (16.16 fixed point), duration_ms by exact integer
+    * math. Frame/pixel decode stays a seam (no video codec in the JDK) —
+    * but container metadata no longer relies on trusted columns, matching
+    * the image/audio posture. Undecodable payloads → null fields.
+    *
+    * Output: (media_id, duration_ms, timescale, width, height).
+    */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("timescale", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val b = r.getAs[Array[Byte]](1)
+            def be32(i: Int): Long =
+              ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFF) << 16) |
+                ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+            def typ(i: Int): String = new String(b, i + 4, 4, "US-ASCII")
+            var timescale = 0
+            var durUnits = -1L
+            var w = 0
+            var h = 0
+            def walk(from: Int, to: Int): Unit = {
+              var pos = from
+              while (pos + 8 <= to) {
+                val size = be32(pos)
+                if (size < 8 || pos + size > to) return // malformed: stop
+                typ(pos) match {
+                  case "moov" | "trak" => walk(pos + 8, pos + size.toInt)
+                  case "mvhd" if size >= 28 =>
+                    timescale = be32(pos + 8 + 12).toInt
+                    durUnits = be32(pos + 8 + 16)
+                  case "tkhd" if size >= 92 && w == 0 =>
+                    val tw = (be32(pos + 8 + 76) >> 16).toInt
+                    val th = (be32(pos + 8 + 80) >> 16).toInt
+                    if (tw > 0 && th > 0) { w = tw; h = th }
+                  case _ => ()
+                }
+                pos += size.toInt
+              }
+            }
+            walk(0, b.length)
+            if (timescale <= 0 || durUnits < 0) Row(id, null, null, null, null)
+            else Row(id, durUnits * 1000L / timescale, timescale,
+              if (w > 0) Int.box(w) else null, if (h > 0) Int.box(h) else null)
+          } catch {
+            case _: Exception => Row(id, null, null, null, null)
+          }
+        }
+      }(encoder)
+  }
+
   /** Frame sampling for video payloads: emit every `stride`-th fixed-size
     * window of the payload as a "frame" (stub for keyframe extraction —
     * the explode/fan-out shape and frame indexing are the real parts).

@@ -312,6 +312,25 @@ object FixtureQueries {
           col("n_channels"), col("n_samples"), col("sum_sq"), col("peak"))
     }),
 
+    // REAL MP4 container-metadata decode: minimal ISO BMFF fixtures built
+    // on executors, walked back box-by-box (mvhd timescale/duration, tkhd
+    // 16.16 dims). duration_ms is exact integer math, so the oracle
+    // recomputes it; a hash match proves the box tree was really parsed.
+    "q99_video_meta" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id"),
+          (lit(600) + pmod(col("doc_id"), lit(1000))).cast("int").as("timescale"),
+          (lit(10000) + pmod(col("doc_id") * 17, lit(90000))).cast("long").as("dur_units"),
+          (lit(320) + pmod(col("doc_id"), lit(1600))).cast("int").as("w"),
+          (lit(240) + pmod(col("doc_id"), lit(840))).cast("int").as("h"))
+      Multimodal.decodeVideoMeta(
+          Multimodal.encodeMp4s(params)
+            .select(col("id").as("media_id"), col("payload")))
+        .select(col("media_id").as("doc_id"), col("duration_ms"),
+          col("timescale"), col("width"), col("height"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -395,6 +414,14 @@ object FixtureQueries {
            CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
            CAST(MAX(ABS(smp)) AS INT) AS peak
          FROM s GROUP BY doc_id""",
+    "q99_video_meta" ->
+      """SELECT doc_id,
+           (10000 + (doc_id * 17) % 90000) * 1000
+             // (600 + doc_id % 1000) AS duration_ms,
+           CAST(600 + doc_id % 1000 AS INT) AS timescale,
+           CAST(320 + doc_id % 1600 AS INT) AS width,
+           CAST(240 + doc_id % 840 AS INT) AS height
+         FROM documents WHERE doc_id < 150""",
     "q97_image_decode" ->
       """SELECT doc_id,
            CAST(8 + doc_id % 50 AS INT) AS img_w,

@@ -213,6 +213,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L).isNullAt(1) && got(2L).isNullAt(4))
   }
 
+  test("decodeVideoMeta: MP4 box walk — mvhd duration, tkhd dims, garbage nulls") {
+    val params = Seq((1L, 600, 90000L, 1920, 1080)).toDF("id", "timescale", "dur_units", "w", "h")
+    val mp4 = Multimodal.encodeMp4s(params)
+      .select(col("id").as("media_id"), col("payload"))
+    val rows = mp4.unionByName(Seq((2L, "AVI maybe?".getBytes)).toDF("media_id", "payload"))
+    val got = Multimodal.decodeVideoMeta(rows).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 90000L * 1000 / 600) // 150000 ms
+    assert(got(1L).getInt(2) == 600)
+    assert(got(1L).getInt(3) == 1920 && got(1L).getInt(4) == 1080)
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(3))
+  }
+
   test("binaryFile ingestion path (S5 entry point)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val f = new java.io.File(dir, "sample.png")
