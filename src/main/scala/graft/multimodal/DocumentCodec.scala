@@ -99,8 +99,9 @@ object DocumentCodec {
       case ".docx" => extractDocx(bytes)
       case ".pptx" => extractPptx(bytes)
       // real legacy decode first (the reference has only MarkItDown here);
-      // the chain below still reaches the converter seam on empty
-      case ".doc" | ".ppt" => Ole2.extractText(bytes).orElse(fallback(bytes, ext))
+      // on empty the CHAIN below reaches the converter seam — no inner
+      // orElse, or a side-effecting converter would fire twice
+      case ".doc" | ".ppt" => Ole2.extractText(bytes)
       case ".txt" | ".md" | ".markdown" => decodePlainText(bytes)
       case _ => None
     }

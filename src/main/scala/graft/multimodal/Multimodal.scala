@@ -60,11 +60,16 @@ object Multimodal {
     * is judged by its bytes.
     */
   def validMediaFilter(df: DataFrame, minBytes: Long = 5120, minDim: Int = 50): DataFrame = {
-    val packed = graft.functions.ImageDims.expr(col("payload"))
+    // project the packed kernel value ONCE per row — the predicate below
+    // references it four times, and interpreted evaluation (codegen off /
+    // over budget) would otherwise re-parse the header per reference
+    val packed = col("__img_dims")
     val w = coalesce(graft.functions.ImageDims.widthOf(packed), col("meta.width"))
     val h = coalesce(graft.functions.ImageDims.heightOf(packed), col("meta.height"))
-    df.filter(col("meta.byte_len") >= minBytes &&
-      (w.isNull || w >= minDim) && (h.isNull || h >= minDim))
+    df.withColumn("__img_dims", graft.functions.ImageDims.expr(col("payload")))
+      .filter(col("meta.byte_len") >= minBytes &&
+        (w.isNull || w >= minDim) && (h.isNull || h >= minDim))
+      .drop("__img_dims")
   }
 
   /** Strict image gate: the payload must actually PARSE as PNG/JPEG/GIF
@@ -72,11 +77,13 @@ object Multimodal {
     * gates. Use for rows claiming image media_type.
     */
   def validImageFilter(df: DataFrame, minBytes: Long = 5120, minDim: Int = 50): DataFrame = {
-    val packed = graft.functions.ImageDims.expr(col("payload"))
-    df.filter(col("meta.byte_len") >= minBytes &&
-      packed.isNotNull &&
-      graft.functions.ImageDims.widthOf(packed) >= minDim &&
-      graft.functions.ImageDims.heightOf(packed) >= minDim)
+    val packed = col("__img_dims")
+    df.withColumn("__img_dims", graft.functions.ImageDims.expr(col("payload")))
+      .filter(col("meta.byte_len") >= minBytes &&
+        packed.isNotNull &&
+        graft.functions.ImageDims.widthOf(packed) >= minDim &&
+        graft.functions.ImageDims.heightOf(packed) >= minDim)
+      .drop("__img_dims")
   }
 
   /** Decoded-from-bytes image columns: format/width/height from the real
@@ -425,6 +432,7 @@ object Multimodal {
             def be32(i: Int): Long =
               ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFF) << 16) |
                 ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+            def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
             def typ(i: Int): String = new String(b, i + 4, 4, "US-ASCII")
             var timescale = 0
             var durUnits = -1L
@@ -433,17 +441,36 @@ object Multimodal {
             def walk(from: Int, to: Int): Unit = {
               var pos = from
               while (pos + 8 <= to) {
-                val size = be32(pos)
-                if (size < 8 || pos + size > to) return // malformed: stop
+                // size 1 = 64-bit largesize follows the type; size 0 =
+                // box extends to the end of the enclosing scope
+                val size32 = be32(pos)
+                val (size, hdr) =
+                  if (size32 == 1 && pos + 16 <= to) (be64(pos + 8), 16L)
+                  else if (size32 == 0) ((to - pos).toLong, 8L)
+                  else (size32, 8L)
+                if (size < hdr || pos + size > to) return // malformed: stop
+                val body = pos + hdr.toInt
+                // full boxes carry version+flags first; v1 layouts widen
+                // the time fields to 64 bits (MS-ISO 14496-12 8.2.2/8.3.2)
                 typ(pos) match {
-                  case "moov" | "trak" => walk(pos + 8, pos + size.toInt)
+                  case "moov" | "trak" => walk(body, pos + size.toInt)
                   case "mvhd" if size >= 28 =>
-                    timescale = be32(pos + 8 + 12).toInt
-                    durUnits = be32(pos + 8 + 16)
-                  case "tkhd" if size >= 92 && w == 0 =>
-                    val tw = (be32(pos + 8 + 76) >> 16).toInt
-                    val th = (be32(pos + 8 + 80) >> 16).toInt
-                    if (tw > 0 && th > 0) { w = tw; h = th }
+                    val v = b(body) & 0xFF
+                    if (v == 1 && size >= hdr + 32) {
+                      timescale = be32(body + 20).toInt
+                      durUnits = be64(body + 24)
+                    } else {
+                      timescale = be32(body + 12).toInt
+                      durUnits = be32(body + 16)
+                    }
+                  case "tkhd" if w == 0 =>
+                    val v = b(body) & 0xFF
+                    val (wOff, hOff) = if (v == 1) (84, 88) else (76, 80)
+                    if (size >= hdr + hOff + 4) {
+                      val tw = (be32(body + wOff) >> 16).toInt
+                      val th = (be32(body + hOff) >> 16).toInt
+                      if (tw > 0 && th > 0) { w = tw; h = th }
+                    }
                   case _ => ()
                 }
                 pos += size.toInt

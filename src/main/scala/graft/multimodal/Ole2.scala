@@ -149,7 +149,10 @@ object Ole2 {
     * normalize to \n.
     */
   def extractPptText(bytes: Array[Byte]): Option[String] =
-    readStreams(bytes).flatMap(_.get("PowerPoint Document")).flatMap { doc =>
+    readStreams(bytes).flatMap(pptTextOf)
+
+  private def pptTextOf(streams: Map[String, Array[Byte]]): Option[String] =
+    streams.get("PowerPoint Document").flatMap { doc =>
       val out = new StringBuilder
       def walk(from: Int, to: Int): Unit = {
         var pos = from
@@ -181,7 +184,10 @@ object Ole2 {
     * lcb + PlcPcd); PCD.fc bit 0x40000000 = 8-bit compressed at fc/2.
     */
   def extractDocText(bytes: Array[Byte]): Option[String] =
-    readStreams(bytes).flatMap { streams =>
+    readStreams(bytes).flatMap(docTextOf)
+
+  private def docTextOf(streams: Map[String, Array[Byte]]): Option[String] =
+    Some(streams).flatMap { streams =>
       try {
         val wd = streams.getOrElse("WordDocument", return None)
         if (wd.length < 0x01AA || le16(wd, 0) != 0xA5EC) return None
@@ -230,12 +236,14 @@ object Ole2 {
 
   /** Legacy dispatch: PPT if the container holds a PowerPoint stream,
     * DOC for WordDocument; Excel 97 (`Workbook`) stays out of scope here
-    * (the engine's S4 path owns spreadsheets).
+    * (the engine's S4 path owns spreadsheets). The container is parsed
+    * ONCE and the streams map threaded through — CFB parsing (DIFAT walk
+    * + stream materialization) is the per-row cost here.
     */
   def extractText(bytes: Array[Byte]): Option[String] =
     readStreams(bytes).flatMap { streams =>
-      if (streams.contains("PowerPoint Document")) extractPptText(bytes)
-      else if (streams.contains("WordDocument")) extractDocText(bytes)
+      if (streams.contains("PowerPoint Document")) pptTextOf(streams)
+      else if (streams.contains("WordDocument")) docTextOf(streams)
       else None
     }
 

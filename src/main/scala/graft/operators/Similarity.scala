@@ -209,8 +209,24 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       candidates: DataFrame, candId: String, candVec: String,
       k: Int, dim: Int, nCentroids: Int = 8, nprobe: Int = 2,
-      iterations: Int = 1): DataFrame = {
-    val centroids = trainIvfFixedPoint(candidates, candId, candVec, nCentroids, iterations)
+      iterations: Int = 1): DataFrame =
+    ivfTopKWith(
+      trainIvfFixedPoint(candidates, candId, candVec, nCentroids, iterations),
+      queries, queryId, queryVec, candidates, candId, candVec,
+      k, dim, nprobe, rankCol = Some("rnk"), roundCos = true)
+
+  /** Shared IVF probe/score/top-k shape: candidates bucketed once by
+    * nearest centroid, queries probe their `nprobe` best buckets, scores
+    * via the compiled cosine kernel, per-query top-k window. All three
+    * codebook flavors (seeded / fixed-point-trained / float-trained) call
+    * this, so the probe semantics can never diverge between their oracles.
+    */
+  private def ivfTopKWith(
+      centroids: Seq[Seq[Double]],
+      queries: DataFrame, queryId: String, queryVec: String,
+      candidates: DataFrame, candId: String, candVec: String,
+      k: Int, dim: Int, nprobe: Int, rankCol: Option[String],
+      roundCos: Boolean): DataFrame = {
     require(centroids.head.length == dim,
       s"embedding width ${centroids.head.length} != declared dim $dim")
     val qb = queries.withColumn("__bucket",
@@ -223,10 +239,10 @@ object Similarity {
         cb(candId).as("cand_id"),
         graft.functions.CosineSim.cosineSim(queries.sparkSession,
           qb(queryVec), cb(candVec)).as("cos"))
-    Ranking.topKPerGroup(
-        scored, Seq(col("query_id")),
-        Seq(col("cos").desc, col("cand_id").asc), k, rankCol = Some("rnk"))
-      .withColumn("cos", round(col("cos"), 4))
+    val topk = Ranking.topKPerGroup(
+      scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id").asc), k, rankCol)
+    if (roundCos) topk.withColumn("cos", round(col("cos"), 4)) else topk
   }
 
   /** `ivfTopK` with the seeded (portable, oracle-checkable) codebook.
@@ -236,25 +252,11 @@ object Similarity {
   def ivfTopKSeeded(
       queries: DataFrame, queryId: String, queryVec: String,
       candidates: DataFrame, candId: String, candVec: String,
-      k: Int, dim: Int, nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
-    val centroids = seedCentroids(candidates, candId, candVec, nCentroids)
-    require(centroids.head.length == dim,
-      s"embedding width ${centroids.head.length} != declared dim $dim")
-    val qb = queries.withColumn("__bucket",
-      explode(ivfProbeBuckets(col(queryVec), centroids, nprobe)))
-    val cb = candidates.withColumn("__bucket", ivfBucket(col(candVec), centroids))
-    val scored = cb.join(broadcast(qb), Seq("__bucket"))
-      .filter(qb(queryId) =!= cb(candId))
-      .select(
-        qb(queryId).as("query_id"),
-        cb(candId).as("cand_id"),
-        graft.functions.CosineSim.cosineSim(queries.sparkSession,
-          qb(queryVec), cb(candVec)).as("cos"))
-    Ranking.topKPerGroup(
-        scored, Seq(col("query_id")),
-        Seq(col("cos").desc, col("cand_id").asc), k, rankCol = Some("rnk"))
-      .withColumn("cos", round(col("cos"), 4))
-  }
+      k: Int, dim: Int, nCentroids: Int = 8, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(
+      seedCentroids(candidates, candId, candVec, nCentroids),
+      queries, queryId, queryVec, candidates, candId, candVec,
+      k, dim, nprobe, rankCol = Some("rnk"), roundCos = true)
 
   /** IVF-pruned top-k with a trained codebook: candidates bucketed once;
     * each query probes its `nprobe` best buckets — scanned fraction ≈
@@ -265,22 +267,9 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, queryId: String, queryVec: String,
       candidates: DataFrame, candId: String, candVec: String,
-      k: Int, dim: Int, nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
-    val centroids = trainIvf(candidates, candId, candVec, nCentroids)
-    require(centroids.head.length == dim,
-      s"embedding width ${centroids.head.length} != declared dim $dim")
-    val qb = queries.withColumn("__bucket",
-      explode(ivfProbeBuckets(col(queryVec), centroids, nprobe)))
-    val cb = candidates.withColumn("__bucket", ivfBucket(col(candVec), centroids))
-    val scored = cb.join(broadcast(qb), Seq("__bucket"))
-      .filter(qb(queryId) =!= cb(candId))
-      .select(
-        qb(queryId).as("query_id"),
-        cb(candId).as("cand_id"),
-        graft.functions.CosineSim.cosineSim(queries.sparkSession,
-          qb(queryVec), cb(candVec)).as("cos"))
-    Ranking.topKPerGroup(
-      scored, Seq(col("query_id")),
-      Seq(col("cos").desc, col("cand_id").asc), k)
-  }
+      k: Int, dim: Int, nCentroids: Int = 16, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(
+      trainIvf(candidates, candId, candVec, nCentroids),
+      queries, queryId, queryVec, candidates, candId, candVec,
+      k, dim, nprobe, rankCol = None, roundCos = false)
 }

@@ -278,16 +278,13 @@ object AnalyticsQueries {
            CASE WHEN len(toks) < 3 THEN 0 ELSE len(${shinglesSql("toks")}) END AS n_shingles
          FROM t""",
     "q41_jaccard_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         d AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t WHERE len(toks) >= 3),
-         inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM d),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
-             COUNT(*) AS inter
-           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4)
+      // MUST mirror the engine's 16-band × 2-row banding: an un-banded
+      // exact-pairs oracle would flag every banding miss as a hash
+      // mismatch instead of the recall loss it actually is
+      s"""WITH ${lshCtes(bands = 16, rows = 2)}
          SELECT id_a, id_b,
-           ROUND(inter / CAST(n_a + n_b - inter AS DOUBLE), 4) AS jaccard
-         FROM p WHERE inter / CAST(n_a + n_b - inter AS DOUBLE) >= 0.3""",
+           ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
+         FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
     "q42_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 20),
