@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model quality scoring: train character
+  * trigram counts on a REFERENCE corpus, score every document by its mean
+  * conditional trigram probability and OOV-trigram fraction. This is the
+  * cross-corpus quality gate large pretraining pipelines run between
+  * language-ID and the per-row heuristics (TextFunctions.qualityBucket
+  * covers the latter): a fluent-but-off-domain document scores low
+  * mean_p; garbled text scores high oov_frac.
+  *
+  * Deliberately LOG-FREE: instead of perplexity's Σ log p (libm `log` is
+  * not correctly-rounded, so sums would not be bit-portable), the score
+  * is the mean of p = n_tri/n_bi with each p cast to DECIMAL(18,9) before
+  * summing — exact, partition-order-invariant, and reproducible by a SQL
+  * oracle (the q88 lexical-rerank convention). Monotonicity vs mean log p
+  * differs, but the FILTERING role (rank documents by fluency under a
+  * reference model) is served the same way.
+  *
+  * Scale posture: one explode pass per side; the doc-trigram → model join
+  * shuffles on the trigram key (vocabulary-bounded model, never
+  * broadcast-assumed); counts and sums are single hash aggregations.
+  */
+object LmScore {
+
+  /** Character n-grams of `textCol` as an array column (empty when the
+    * text is shorter than `n` — guarded: Spark's `sequence` would
+    * otherwise generate a DESCENDING range).
+    */
+  def charNgrams(textCol: Column, n: Int): Column =
+    when(length(textCol) >= n,
+      transform(sequence(lit(1), length(textCol) - (n - 1)),
+        i => textCol.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train the trigram model: (tri, n_tri, n_bi) where n_bi is the count
+    * of the trigram's 2-char PREFIX summed over the reference — the exact
+    * MLE denominator (derived from the trigram counts themselves, one
+    * explode pass total).
+    */
+  def trainTrigramModel(ref: DataFrame, textCol: Column): DataFrame = {
+    val tcnt = ref.select(explode(charNgrams(textCol, 3)).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("n_tri"))
+    val bcnt = tcnt.groupBy(substring(col("tri"), 1, 2).as("bi"))
+      .agg(sum(col("n_tri")).as("n_bi"))
+    tcnt.withColumn("bi", substring(col("tri"), 1, 2))
+      .join(bcnt, Seq("bi"))
+      .select(col("tri"), col("n_tri"), col("n_bi"))
+  }
+
+  /** Score documents against a trained model. Documents shorter than 3
+    * chars have no trigrams and drop out (filter upstream if they must
+    * survive). Output: (id, n_tri, oov_frac 4dp, mean_p 6dp).
+    */
+  def scoreDocs(docs: DataFrame, idCol: Column, textCol: Column,
+      model: DataFrame): DataFrame = {
+    val dt = docs.select(idCol.as("id"), explode(charNgrams(textCol, 3)).as("tri"))
+    val joined = dt.join(model, Seq("tri"), "left")
+      .withColumn("p",
+        (col("n_tri").cast("double") / col("n_bi").cast("double"))
+          .cast("decimal(18,9)"))
+    joined.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("p").isNull, 1).otherwise(0)).as("n_oov"),
+        sum(coalesce(col("p"), lit(0).cast("decimal(18,9)"))).as("sum_p"))
+      .select(col("id"),
+        col("n").as("n_tri"),
+        round(col("n_oov").cast("double") / col("n"), 4).as("oov_frac"),
+        round(col("sum_p").cast("double") / col("n"), 6).as("mean_p"))
+  }
+}

@@ -21,6 +21,18 @@ object TrainingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // CCNet-style LM quality scoring: char-trigram model trained on the
+    // English slice, every doc scored by mean conditional probability
+    // (decimal-summed, log-free — see LmScore scaladoc) + OOV fraction.
+    "q100_lm_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.operators.LmScore.trainTrigramModel(
+        d.filter(col("lang") === "en"), col("text"))
+      graft.operators.LmScore.scoreDocs(
+          d.filter(length(col("text")) >= 3), col("doc_id"), col("text"), model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Gopher repetition rules, per document: modal-2-gram share and
     // duplicate-3-gram fraction. ONE compiled tokenize pass per row
     // (RepetitionStats; the HOF forms remain the spec oracle) — still a
@@ -154,6 +166,31 @@ object TrainingQueries {
       s"list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END"
 
   val oracles: Map[String, String] = Map(
+    "q100_lm_quality" ->
+      """WITH tri AS (SELECT unnest(list_transform(
+             range(1, GREATEST(LENGTH(text) - 1, 1)), i -> text[i:i+2])) AS tri
+           FROM documents WHERE lang = 'en'),
+         tcnt AS (SELECT tri, COUNT(*) AS n_tri FROM tri GROUP BY 1),
+         bcnt AS (SELECT tri[1:2] AS bi, SUM(n_tri) AS n_bi
+           FROM tcnt GROUP BY 1),
+         model AS (SELECT tri, n_tri, n_bi
+           FROM tcnt JOIN bcnt ON tcnt.tri[1:2] = bcnt.bi),
+         dt AS (SELECT doc_id, unnest(list_transform(
+             range(1, LENGTH(text) - 1), i -> text[i:i+2])) AS tri
+           FROM documents WHERE LENGTH(text) >= 3),
+         j AS (SELECT dt.doc_id,
+             CASE WHEN m.tri IS NULL THEN NULL ELSE
+               CAST(CAST(m.n_tri AS DOUBLE) / CAST(m.n_bi AS DOUBLE)
+                 AS DECIMAL(18,9)) END AS p
+           FROM dt LEFT JOIN model m ON dt.tri = m.tri),
+         a AS (SELECT doc_id, COUNT(*) AS n,
+             SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS n_oov,
+             COALESCE(SUM(p), 0) AS sum_p
+           FROM j GROUP BY 1)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tri,
+           ROUND(CAST(n_oov AS DOUBLE) / n, 4) AS oov_frac,
+           ROUND(CAST(sum_p AS DOUBLE) / n, 6) AS mean_p
+         FROM a""",
     "q69_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          g2 AS (SELECT doc_id, ${gram2Sql("toks")} AS gs FROM t),
