@@ -27,7 +27,8 @@ object LmScore {
 
   /** Character n-grams of `textCol` as an array column (empty when the
     * text is shorter than `n` — guarded: Spark's `sequence` would
-    * otherwise generate a DESCENDING range).
+    * otherwise generate a DESCENDING range). String form, kept for
+    * API/spec readability — the model/score paths below work on HASHES.
     */
   def charNgrams(textCol: Column, n: Int): Column =
     when(length(textCol) >= n,
@@ -35,19 +36,28 @@ object LmScore {
         i => textCol.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
-  /** Train the trigram model: (tri, n_tri, n_bi) where n_bi is the count
-    * of the trigram's 2-char PREFIX summed over the reference — the exact
-    * MLE denominator (derived from the trigram counts themselves, one
-    * explode pass total).
+  /** Packed (h3 << 31 | h2) trigram/prefix hash pairs — ONE compiled pass
+    * per row (graft.functions.CharTrigramHashes): the 3-char strings
+    * never leave the row, so every downstream shuffle carries 8-byte
+    * longs only (the engine's signature-pipeline shuffle hygiene).
+    */
+  def trigramHashes(textCol: Column): Column =
+    graft.functions.CharTrigramHashes.expr(textCol)
+
+  /** Train the trigram model: (h3, h2, n_tri, n_bi) where n_bi is the
+    * count of the trigram's 2-char-prefix hash summed over the reference —
+    * the exact MLE denominator (derived from the trigram counts
+    * themselves, one explode pass total). `min(h2)` makes the rare
+    * h3-collision case deterministic; the oracle applies the same rule.
     */
   def trainTrigramModel(ref: DataFrame, textCol: Column): DataFrame = {
-    val tcnt = ref.select(explode(charNgrams(textCol, 3)).as("tri"))
-      .groupBy(col("tri")).agg(count(lit(1)).as("n_tri"))
-    val bcnt = tcnt.groupBy(substring(col("tri"), 1, 2).as("bi"))
-      .agg(sum(col("n_tri")).as("n_bi"))
-    tcnt.withColumn("bi", substring(col("tri"), 1, 2))
-      .join(bcnt, Seq("bi"))
-      .select(col("tri"), col("n_tri"), col("n_bi"))
+    import graft.functions.CharTrigramHashes.{unpackH2, unpackH3}
+    val tcnt = ref.select(explode(trigramHashes(textCol)).as("t"))
+      .groupBy(unpackH3(col("t")).as("h3"))
+      .agg(count(lit(1)).as("n_tri"), min(unpackH2(col("t"))).as("h2"))
+    val bcnt = tcnt.groupBy(col("h2")).agg(sum(col("n_tri")).as("n_bi"))
+    tcnt.join(bcnt, Seq("h2"))
+      .select(col("h3"), col("h2"), col("n_tri"), col("n_bi"))
   }
 
   /** Score documents against a trained model. Documents shorter than 3
@@ -56,8 +66,11 @@ object LmScore {
     */
   def scoreDocs(docs: DataFrame, idCol: Column, textCol: Column,
       model: DataFrame): DataFrame = {
-    val dt = docs.select(idCol.as("id"), explode(charNgrams(textCol, 3)).as("tri"))
-    val joined = dt.join(model, Seq("tri"), "left")
+    val dt = docs.select(idCol.as("id"),
+      explode(trigramHashes(textCol)).as("t"))
+      .select(col("id"),
+        graft.functions.CharTrigramHashes.unpackH3(col("t")).as("h3"))
+    val joined = dt.join(model, Seq("h3"), "left")
       .withColumn("p",
         (col("n_tri").cast("double") / col("n_bi").cast("double"))
           .cast("decimal(18,9)"))

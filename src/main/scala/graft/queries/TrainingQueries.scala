@@ -167,22 +167,30 @@ object TrainingQueries {
 
   val oracles: Map[String, String] = Map(
     "q100_lm_quality" ->
-      """WITH tri AS (SELECT unnest(list_transform(
-             range(1, GREATEST(LENGTH(text) - 1, 1)), i -> text[i:i+2])) AS tri
-           FROM documents WHERE lang = 'en'),
-         tcnt AS (SELECT tri, COUNT(*) AS n_tri FROM tri GROUP BY 1),
-         bcnt AS (SELECT tri[1:2] AS bi, SUM(n_tri) AS n_bi
-           FROM tcnt GROUP BY 1),
-         model AS (SELECT tri, n_tri, n_bi
-           FROM tcnt JOIN bcnt ON tcnt.tri[1:2] = bcnt.bi),
+      """WITH codes AS (SELECT doc_id, lang,
+             list_transform(string_split(text, ''),
+               c -> CAST(ord(c) AS BIGINT)) AS cs
+           FROM documents),
+         rt AS (SELECT unnest(list_transform(
+             range(1, GREATEST(len(cs) - 1, 1)),
+             i -> {'h3': (((cs[i] * 31 + cs[i+1]) % 1000000007) * 31
+                     + cs[i+2]) % 1000000007,
+                   'h2': (cs[i] * 31 + cs[i+1]) % 1000000007})) AS t
+           FROM codes WHERE lang = 'en'),
+         tcnt AS (SELECT t.h3 AS h3, COUNT(*) AS n_tri, MIN(t.h2) AS h2
+           FROM rt GROUP BY 1),
+         bcnt AS (SELECT h2, SUM(n_tri) AS n_bi FROM tcnt GROUP BY 1),
+         model AS (SELECT h3, n_tri, n_bi FROM tcnt JOIN bcnt USING (h2)),
          dt AS (SELECT doc_id, unnest(list_transform(
-             range(1, LENGTH(text) - 1), i -> text[i:i+2])) AS tri
-           FROM documents WHERE LENGTH(text) >= 3),
+             range(1, len(cs) - 1),
+             i -> (((cs[i] * 31 + cs[i+1]) % 1000000007) * 31
+                     + cs[i+2]) % 1000000007)) AS h3
+           FROM codes WHERE len(cs) >= 3),
          j AS (SELECT dt.doc_id,
-             CASE WHEN m.tri IS NULL THEN NULL ELSE
+             CASE WHEN m.h3 IS NULL THEN NULL ELSE
                CAST(CAST(m.n_tri AS DOUBLE) / CAST(m.n_bi AS DOUBLE)
                  AS DECIMAL(18,9)) END AS p
-           FROM dt LEFT JOIN model m ON dt.tri = m.tri),
+           FROM dt LEFT JOIN model m ON dt.h3 = m.h3),
          a AS (SELECT doc_id, COUNT(*) AS n,
              SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS n_oov,
              COALESCE(SUM(p), 0) AS sum_p

@@ -35,13 +35,32 @@ class LmScoreSpec extends AnyFunSuite {
     assert(got(1L).getLong(1) == "the quick brown fox naps".length - 2)
   }
 
-  test("model MLE: conditional probabilities per prefix sum to 1") {
+  test("model MLE: conditional probabilities per prefix hash sum to 1") {
     val model = LmScore.trainTrigramModel(ref, col("text"))
     val sums = model
-      .groupBy(substring(col("tri"), 1, 2))
+      .groupBy(col("h2"))
       .agg(sum(col("n_tri").cast("double") / col("n_bi")).as("s"))
       .select("s").as[Double].collect()
+    assert(sums.nonEmpty)
     sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("compiled trigram-hash kernel == composable string form") {
+    val P = 1000000007L
+    def fold(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    val texts = Seq("the quick brown fox", "中文内容测试", "ab", "")
+    val got = texts.toDF("text")
+      .select(LmScore.trigramHashes(col("text"))).as[Seq[Long]].collect()
+    texts.zip(got).foreach { case (t, packed) =>
+      val tris = if (t.length < 3) Seq.empty
+        else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+      assert(packed.length == tris.length, t)
+      tris.zip(packed).foreach { case (tri, p) =>
+        assert((p >>> 31) == fold(tri), s"h3 of '$tri'")
+        assert((p & ((1L << 31) - 1)) == fold(tri.take(2)), s"h2 of '$tri'")
+      }
+    }
   }
 
   test("scores are bit-identical across runs (decimal-summed)") {
