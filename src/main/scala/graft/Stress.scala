@@ -81,6 +81,11 @@ object Stress {
       texts.select(graft.functions.PolyHash.polySimHash(spark, col("text")).as("s"))
         .agg(sum(pmod(col("s"), lit(1000003L)))).collect()
     }
+    time(s"char_trigrams_${t / 1000000}M") {
+      // LM-scorer hot path: one compiled pass per row, ~250 chars each
+      texts.select(graft.functions.CharTrigramHashes.expr(col("text")).as("th"))
+        .agg(sum(size(col("th")))).collect()
+    }
     time(s"repetition_${t / 1000000}M") {
       texts.select(graft.functions.RepetitionStats.expr(col("text"), 2, 3).as("r"))
         .agg(sum(col("r.top_frac")), sum(col("r.dup_frac"))).collect()
