@@ -85,8 +85,10 @@ object DocumentCodec {
     * yields nothing, fall back — magic-number sniffing (rescues misnamed
     * files, the role MarkItDown's own format detection plays), then the
     * external-converter seam, then the reference's literal
-    * `[无法解析 <ext> 格式文件]` marker. Legacy .doc/.ppt go straight to the
-    * converter seam exactly as the reference routes them to MarkItDown.
+    * `[无法解析 <ext> 格式文件]` marker. Legacy .doc/.ppt decode for real
+    * first (pure-JVM [[Ole2]] CFB walk); only when that yields nothing does
+    * the chain reach the converter seam — the slot where the reference
+    * routes them to MarkItDown.
     */
   def parse(bytes: Array[Byte], extension: String,
       fallback: FallbackConverter = NoFallback): String = {

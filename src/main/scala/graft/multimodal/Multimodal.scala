@@ -59,31 +59,44 @@ object Multimodal {
     * streams. A payload whose header CLAIMS other dims than its metadata
     * is judged by its bytes.
     */
+  /** A temp-column name not colliding with anything already on `df`. */
+  private def freshName(df: DataFrame, base: String): String = {
+    var n = base
+    var i = 0
+    while (df.columns.contains(n)) { i += 1; n = base + "_" + i }
+    n
+  }
+
   def validMediaFilter(df: DataFrame, minBytes: Long = 5120, minDim: Int = 50): DataFrame = {
     // project the packed kernel value ONCE per row — the predicate below
     // references it four times, and interpreted evaluation (codegen off /
-    // over budget) would otherwise re-parse the header per reference
-    val packed = col("__img_dims")
+    // over budget) would otherwise re-parse the header per reference.
+    // Collision-safe temp name: a caller's own __img_dims column survives.
+    val tmp = freshName(df, "__img_dims")
+    val packed = col(tmp)
     val w = coalesce(graft.functions.ImageDims.widthOf(packed), col("meta.width"))
     val h = coalesce(graft.functions.ImageDims.heightOf(packed), col("meta.height"))
-    df.withColumn("__img_dims", graft.functions.ImageDims.expr(col("payload")))
+    df.withColumn(tmp, graft.functions.ImageDims.expr(col("payload")))
       .filter(col("meta.byte_len") >= minBytes &&
         (w.isNull || w >= minDim) && (h.isNull || h >= minDim))
-      .drop("__img_dims")
+      .drop(tmp)
   }
 
   /** Strict image gate: the payload must actually PARSE as PNG/JPEG/GIF
     * (the reference's "PIL must open it" contract) AND meet the size
-    * gates. Use for rows claiming image media_type.
+    * gates. Use for rows claiming image media_type. The byte gate runs on
+    * the ACTUAL payload length (the reference's `len(blob)` over real
+    * bytes, DATA:396-445) — carried metadata can lie and is not consulted.
     */
   def validImageFilter(df: DataFrame, minBytes: Long = 5120, minDim: Int = 50): DataFrame = {
-    val packed = col("__img_dims")
-    df.withColumn("__img_dims", graft.functions.ImageDims.expr(col("payload")))
-      .filter(col("meta.byte_len") >= minBytes &&
+    val tmp = freshName(df, "__img_dims")
+    val packed = col(tmp)
+    df.withColumn(tmp, graft.functions.ImageDims.expr(col("payload")))
+      .filter(length(col("payload")) >= minBytes &&
         packed.isNotNull &&
         graft.functions.ImageDims.widthOf(packed) >= minDim &&
         graft.functions.ImageDims.heightOf(packed) >= minDim)
-      .drop("__img_dims")
+      .drop(tmp)
   }
 
   /** Decoded-from-bytes image columns: format/width/height from the real
@@ -465,7 +478,10 @@ object Multimodal {
                     }
                   case "tkhd" if w == 0 =>
                     val v = b(body) & 0xFF
-                    val (wOff, hOff) = if (v == 1) (84, 88) else (76, 80)
+                    // v1 widens creation/modification/duration by 4 bytes
+                    // each (+12 over v0's 76-byte prefix) → width/height
+                    // land at body offsets 88/92, not 84/88
+                    val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
                     if (size >= hdr + hOff + 4) {
                       val tw = (be32(body + wOff) >> 16).toInt
                       val th = (be32(body + hOff) >> 16).toInt

@@ -40,9 +40,10 @@ object Csv {
     * Scale posture: at the reference's cap (≤ [[DriverCapMax]]) one
     * `head(cap+1)` job decides both the kept rows and the truncation flag —
     * bounded by construction. Above that bound the plan stays distributed:
-    * `limit(cap)` keeps rows on executors, and the truncation flag comes
-    * from a separate early-stopping `limit(cap+1).count()` job, so no data
-    * row ever passes through the driver.
+    * ONE cached `limit(cap+1)` prefix feeds both the truncation count and
+    * the emitted rows, so the flag and the rows always agree even when the
+    * source's unordered limit would pick different splits across jobs, and
+    * no data row ever passes through the driver.
     */
   def read(spark: SparkSession, path: String, cap: Int = 500,
       schema: Option[StructType] = None): DataFrame = {
@@ -62,8 +63,12 @@ object Csv {
         java.util.Arrays.asList(headRows.take(cap): _*), df.schema)
       if (headRows.length > cap) withMarker(capped, df.schema, cap) else capped
     } else {
-      val truncated = df.limit(cap + 1).count() > cap
-      val capped = df.limit(cap)
+      // one distributed pass: cache the cap+1 prefix, then derive BOTH the
+      // flag and the kept rows from it — two independent limit jobs could
+      // select different row prefixes on sources with unstable split order
+      val prefix = df.limit(cap + 1).cache()
+      val truncated = prefix.count() > cap
+      val capped = prefix.limit(cap)
       if (truncated) withMarker(capped, df.schema, cap) else capped
     }
   }

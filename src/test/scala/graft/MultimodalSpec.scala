@@ -225,6 +225,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L).isNullAt(1) && got(2L).isNullAt(3))
   }
 
+  test("decodeVideoMeta: v1 (64-bit) mvhd/tkhd layouts read the widened offsets") {
+    // hand-built version-1 full boxes: creation/modification/duration widen
+    // to 64 bits, shifting tkhd width/height to body offsets 88/92. The
+    // matrix's last entry (0x40000000, body offset 84) sits exactly where a
+    // v0-plus-8 misread would look — a wrong offset reads 16384×640 here.
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length); b.put(typ.getBytes("US-ASCII")); b.put(payload)
+      b.array()
+    }
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.put(1.toByte); b.position(4)       // version=1, flags=0
+      b.putLong(11L); b.putLong(22L)       // creation/modification (64-bit)
+      b.putInt(1000)                       // timescale
+      b.putLong(123456L)                   // duration (64-bit)
+      b.array()
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(96)
+      b.put(1.toByte); b.position(4)       // version=1, flags=0
+      b.putLong(11L); b.putLong(22L)       // creation/modification (64-bit)
+      b.putInt(1); b.putInt(0)             // track_ID, reserved
+      b.putLong(123456L)                   // duration (64-bit) → offset 36
+      b.position(52)                       // reserved[8]+layer+group+vol+res
+      b.putInt(0x00010000); b.putInt(0); b.putInt(0)
+      b.putInt(0); b.putInt(0x00010000); b.putInt(0)
+      b.putInt(0); b.putInt(0); b.putInt(0x40000000) // matrix[8] @ offset 84
+      b.putInt(640 << 16); b.putInt(360 << 16)       // width/height @ 88/92
+      b.array()
+    }
+    val payload = box("ftyp", "isom   isom".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    val rows = Seq((9L, payload)).toDF("media_id", "payload")
+    val got = Multimodal.decodeVideoMeta(rows).head()
+    assert(got.getLong(1) == 123456L)      // 123456 units / 1000 → exact ms
+    assert(got.getInt(2) == 1000)
+    assert(got.getInt(3) == 640 && got.getInt(4) == 360)
+  }
+
+  test("validImageFilter gates bytes on the actual payload, not carried meta") {
+    import org.apache.spark.sql.types._
+    // payload is a REAL large-enough image but meta.byte_len lies small —
+    // the strict gate must judge len(payload) (reference checks len(blob))
+    val df = Seq((1L, encode(80, 80, "png")))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image").as("media_type"), lit("png").as("format"),
+          lit(3L).as("byte_len"),           // lying: claims 3 bytes
+          lit(80).as("width"), lit(80).as("height"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+    val kept = Multimodal.validImageFilter(df, minBytes = 100, minDim = 50)
+    assert(kept.count() == 1)
+    // and a caller-owned __img_dims column survives both filters intact
+    // (validMediaFilter gates bytes on meta by documented design, so give
+    // it an honest byte_len for the column-survival check)
+    val df2 = df.withColumn("__img_dims", lit("mine"))
+    assert(Multimodal.validImageFilter(df2, 100, 50)
+      .select("__img_dims").head().getString(0) == "mine")
+    val honest = df2.withColumn("meta",
+      col("meta").withField("byte_len", length(col("payload")).cast("long")))
+    assert(Multimodal.validMediaFilter(honest, 100, 50)
+      .select("__img_dims").head().getString(0) == "mine")
+  }
+
   test("binaryFile ingestion path (S5 entry point)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val f = new java.io.File(dir, "sample.png")
