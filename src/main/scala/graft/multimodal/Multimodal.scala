@@ -327,8 +327,9 @@ object Multimodal {
     * ship in the JDK): sample rate, channel count, sample count, exact
     * sum of squared samples (the RMS numerator, exact integer → hashable)
     * and peak amplitude from the ACTUAL decoded frames. Compressed
-    * codecs (MP3/AAC) stay out of JDK scope; undecodable payloads keep
-    * their row with null fields.
+    * codecs stay out of JDK scope — route MP3 payloads to
+    * [[decodeMp3Meta]] for a real frame-header metadata walk; undecodable
+    * payloads keep their row with null fields.
     *
     * Output: (media_id, sample_rate, n_channels, n_samples, sum_sq, peak).
     */
@@ -371,6 +372,158 @@ object Multimodal {
           } catch {
             case _: Exception => Row(id, null, null, null, null, null)
           }
+        }
+      }(encoder)
+  }
+
+  // ---- MP3 frame-header metadata (compressed-audio seam, shrunk) ----------
+
+  /** Bitrate tables, kbps, indexed 1..14 (0 = free, 15 = bad) — ISO 11172-3
+    * / 13818-3 Layer III columns. MPEG2.5 shares the MPEG2 column.
+    */
+  private val Mp3BitratesV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitratesV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3SampleRatesV1 = Array(44100, 48000, 32000)
+  private val Mp3SampleRatesV2 = Array(22050, 24000, 16000)
+  private val Mp3SampleRatesV25 = Array(11025, 12000, 8000)
+
+  /** Encode (id, v, n_frames, br_idx, sr_idx, id3_len) rows as REAL MPEG
+    * Layer III byte streams: an ID3v2.4 tag of `id3_len` payload bytes
+    * (syncsafe size) followed by `n_frames` CBR frames — valid sync,
+    * version (`v`: 1 or 2), layer, bitrate/samplerate indices, padding 0,
+    * deterministic filler bytes. The audio-fixture generator for q101 and
+    * specs; runs on executors like encodeWavs.
+    */
+  def encodeMp3s(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col("id").cast("long"), col("v").cast("int"),
+        col("n_frames").cast("int"), col("br_idx").cast("int"),
+        col("sr_idx").cast("int"), col("id3_len").cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val v = r.getInt(1)
+          val nFrames = r.getInt(2)
+          val brIdx = r.getInt(3)
+          val srIdx = r.getInt(4)
+          val id3Len = r.getInt(5)
+          val br = (if (v == 1) Mp3BitratesV1L3 else Mp3BitratesV2L3)(brIdx) * 1000
+          val sr = (if (v == 1) Mp3SampleRatesV1 else Mp3SampleRatesV2)(srIdx)
+          // Layer III frame bytes = samplesPerFrame/8 · bitrate / sampleRate
+          val frameLen = (if (v == 1) 144 else 72) * br / sr
+          val out = new java.io.ByteArrayOutputStream()
+          if (id3Len > 0) {
+            out.write("ID3".getBytes("US-ASCII"))
+            out.write(4); out.write(0); out.write(0)        // v2.4, flags 0
+            out.write((id3Len >> 21) & 0x7F); out.write((id3Len >> 14) & 0x7F)
+            out.write((id3Len >> 7) & 0x7F); out.write(id3Len & 0x7F)
+            var i = 0
+            while (i < id3Len) { out.write((i * 31 + 7) & 0x7F); i += 1 }
+          }
+          val verBits = if (v == 1) 3 else 2                 // 11=MPEG1 10=MPEG2
+          var f = 0
+          while (f < nFrames) {
+            out.write(0xFF)
+            out.write(0xE0 | (verBits << 3) | (1 << 1) | 1)  // sync|ver|L3|noCRC
+            out.write((brIdx << 4) | (srIdx << 2))           // bitrate|sr|pad 0
+            out.write(0xC0)                                  // single channel
+            var i = 4
+            while (i < frameLen) { out.write((f * 131 + i * 17) & 0xFF); i += 1 }
+            f += 1
+          }
+          Row(r.getLong(0), out.toByteArray)
+        }
+      }(encoder)
+  }
+
+  /** REAL MP3 METADATA decode — a pure-JVM MPEG frame-header walk (the
+    * compressed-audio analog of the q99 box walk): skip an ID3v2 tag by
+    * its syncsafe size, then step frame to frame validating the 11-bit
+    * sync and reading version/layer/bitrate/samplerate from each 4-byte
+    * header; frame length is pure arithmetic, so a wrong table desyncs the
+    * walk immediately. Reports first-frame (CBR) bitrate and the exact
+    * integer duration `n_frames · samplesPerFrame · 1000 / sampleRate`.
+    * The frame BODY stays undecoded — the JDK has no MP3 codec; this
+    * shrinks the seam to the psychoacoustic decode itself, reference
+    * analog: the format-sniffing chain (多数据源获取数据.py:1384-1447).
+    * Non-MP3 / truncated payloads keep their row with null fields.
+    *
+    * Output: (media_id, mpeg_version, layer, bitrate_kbps, sample_rate,
+    * n_frames, n_samples, duration_ms).
+    */
+  def decodeMp3Meta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mpeg_version", StringType, nullable = true),
+      StructField("layer", IntegerType, nullable = true),
+      StructField("bitrate_kbps", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          var pos = 0
+          // ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4)
+          if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+            val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+              ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+            pos = 10 + sz
+          }
+          var ver = ""
+          var layer = 0
+          var kbps = 0
+          var sr = 0
+          var nFrames = 0L
+          var nSamples = 0L
+          var ok = true
+          while (ok && pos + 4 <= b.length) {
+            val h1 = b(pos) & 0xFF; val h2 = b(pos + 1) & 0xFF
+            if (h1 != 0xFF || (h2 & 0xE0) != 0xE0) ok = false
+            else {
+              val verBits = (h2 >> 3) & 3      // 0=2.5 1=res 2=MPEG2 3=MPEG1
+              val layerBits = (h2 >> 1) & 3    // 1=III 2=II 3=I
+              val brIdx = (b(pos + 2) >> 4) & 0xF
+              val srIdx = (b(pos + 2) >> 2) & 3
+              val pad = (b(pos + 2) >> 1) & 1
+              if (verBits == 1 || layerBits != 1 || brIdx == 0 || brIdx == 15 ||
+                  srIdx == 3) ok = false       // Layer III CBR only (scope)
+              else {
+                val v1 = verBits == 3
+                val fKbps = (if (v1) Mp3BitratesV1L3 else Mp3BitratesV2L3)(brIdx)
+                val fSr = (verBits match {
+                  case 3 => Mp3SampleRatesV1
+                  case 2 => Mp3SampleRatesV2
+                  case _ => Mp3SampleRatesV25
+                })(srIdx)
+                val spf = if (v1) 1152 else 576
+                val frameLen = spf / 8 * (fKbps * 1000) / fSr + pad
+                if (frameLen < 4 || pos + frameLen > b.length) ok = false
+                else {
+                  if (nFrames == 0) {
+                    ver = verBits match {
+                      case 3 => "1"
+                      case 2 => "2"
+                      case _ => "2.5"
+                    }
+                    layer = 3; kbps = fKbps; sr = fSr
+                  }
+                  nFrames += 1
+                  nSamples += spf
+                  pos += frameLen
+                }
+              }
+            }
+          }
+          if (nFrames == 0) Row(id, null, null, null, null, null, null, null)
+          else Row(id, ver, layer, kbps, sr, nFrames, nSamples,
+            nSamples * 1000L / sr)
         }
       }(encoder)
   }

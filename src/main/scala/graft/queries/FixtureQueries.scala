@@ -331,6 +331,29 @@ object FixtureQueries {
           col("timescale"), col("width"), col("height"))
     }),
 
+    // REAL MP3 frame-header metadata: deterministic MPEG-1/2 Layer III
+    // CBR streams (ID3v2 tag + valid frame headers + filler bodies) built
+    // on executors, walked back header-by-header. Frame length is pure
+    // arithmetic over the bitrate/samplerate tables, so one wrong table
+    // entry desyncs the walk and the frame count collapses — the oracle
+    // recomputes every field from the same public tables.
+    "q101_mp3_meta" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id"),
+          (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("v"),
+          (lit(5) + pmod(col("doc_id"), lit(60))).cast("int").as("n_frames"),
+          (lit(1) + pmod(col("doc_id"), lit(14))).cast("int").as("br_idx"),
+          pmod(col("doc_id"), lit(3)).cast("int").as("sr_idx"),
+          pmod(col("doc_id") * 11, lit(200)).cast("int").as("id3_len"))
+      Multimodal.decodeMp3Meta(
+          Multimodal.encodeMp3s(params)
+            .select(col("id").as("media_id"), col("payload")))
+        .select(col("media_id").as("doc_id"), col("mpeg_version"), col("layer"),
+          col("bitrate_kbps"), col("sample_rate"), col("n_frames"),
+          col("n_samples"), col("duration_ms"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -422,6 +445,29 @@ object FixtureQueries {
            CAST(320 + doc_id % 1600 AS INT) AS width,
            CAST(240 + doc_id % 840 AS INT) AS height
          FROM documents WHERE doc_id < 150""",
+    "q101_mp3_meta" ->
+      """WITH d AS (SELECT doc_id,
+             1 + doc_id % 2 AS v,
+             5 + doc_id % 60 AS nf,
+             CAST(1 + doc_id % 14 AS INT) AS br_idx,
+             CAST(doc_id % 3 AS INT) AS sr_idx
+           FROM documents WHERE doc_id < 150),
+         t AS (SELECT doc_id, v, nf,
+             CASE WHEN v = 1
+               THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[br_idx]
+               ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[br_idx]
+             END AS kbps,
+             CASE WHEN v = 1 THEN ([44100,48000,32000])[sr_idx+1]
+               ELSE ([22050,24000,16000])[sr_idx+1] END AS sr,
+             CASE WHEN v = 1 THEN 1152 ELSE 576 END AS spf
+           FROM d)
+         SELECT doc_id, CAST(v AS VARCHAR) AS mpeg_version,
+           CAST(3 AS INT) AS layer,
+           CAST(kbps AS INT) AS bitrate_kbps, CAST(sr AS INT) AS sample_rate,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * spf AS BIGINT) AS n_samples,
+           CAST(nf * spf * 1000 // sr AS BIGINT) AS duration_ms
+         FROM t""",
     "q97_image_decode" ->
       """SELECT doc_id,
            CAST(8 + doc_id % 50 AS INT) AS img_w,

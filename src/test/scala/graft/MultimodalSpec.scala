@@ -290,6 +290,46 @@ class MultimodalSpec extends AnyFunSuite {
       .select("__img_dims").head().getString(0) == "mine")
   }
 
+  test("decodeMp3Meta: frame walk — ID3 skip, CBR duration, truncation, 2.5") {
+    // id 1 MPEG1 L3 128 kbps (idx 9) 44100 Hz (idx 0), 10 frames, 57-byte
+    // ID3 tag → frame = 144·128000/44100 = 417 B; id 2 MPEG2 8 kbps (idx 1)
+    // 16 kHz (idx 2), 8 frames, no tag → frame = 72·8000/16000 = 36 B
+    val params = Seq((1L, 1, 10, 9, 0, 57), (2L, 2, 8, 1, 2, 0))
+      .toDF("id", "v", "n_frames", "br_idx", "sr_idx", "id3_len")
+    val payloads = Multimodal.encodeMp3s(params).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // MPEG2.5 header is hand-built (encoder scope is v1/v2): 8 kHz, 8 kbps
+    // → frame = 72*8000/8000 = 72 B; verBits 00 → byte1 = 0xE3
+    val v25 = {
+      val frame = Array.fill[Byte](72)(0x11)
+      frame(0) = 0xFF.toByte; frame(1) = 0xE3.toByte
+      frame(2) = ((1 << 4) | (2 << 2)).toByte; frame(3) = 0xC0.toByte
+      frame ++ frame.clone
+    }
+    val rows = (payloads.toSeq ++ Seq(
+        3L -> v25,
+        4L -> payloads(1L).dropRight(5),            // truncated final frame
+        5L -> "not audio at all, sorry".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeMp3Meta(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // id 1: MPEG1 128 kbps 44100 Hz, 10 frames × 1152 samples
+    assert(got(1L).getString(1) == "1" && got(1L).getInt(3) == 128)
+    assert(got(1L).getInt(4) == 44100 && got(1L).getLong(5) == 10L)
+    assert(got(1L).getLong(7) == 10L * 1152 * 1000 / 44100)
+    // id 2: MPEG2 8 kbps 16 kHz, 8 frames × 576 samples
+    assert(got(2L).getString(1) == "2" && got(2L).getInt(3) == 8)
+    assert(got(2L).getInt(4) == 16000 && got(2L).getLong(6) == 8L * 576)
+    // id 3: MPEG2.5 walk — two 72-byte frames at 8 kHz
+    assert(got(3L).getString(1) == "2.5" && got(3L).getInt(4) == 8000)
+    assert(got(3L).getLong(5) == 2L)
+    // id 4: truncated last frame is not counted (10-frame stream minus
+    // 5 bytes → 9 complete frames)
+    assert(got(4L).getLong(5) == 9L)
+    // id 5: garbage → row kept, fields null
+    assert(got(5L).isNullAt(1) && got(5L).isNullAt(7))
+  }
+
   test("binaryFile ingestion path (S5 entry point)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val f = new java.io.File(dir, "sample.png")
