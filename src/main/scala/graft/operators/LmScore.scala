@@ -84,4 +84,45 @@ object LmScore {
         round(col("n_oov").cast("double") / col("n"), 4).as("oov_frac"),
         round(col("sum_p").cast("double") / col("n"), 6).as("mean_p"))
   }
+
+  /** TRUE-perplexity scoring: mean log2 p over in-vocabulary trigrams,
+    * ranking-equivalent to CCNet's mean log p / perplexity (log2 = ln ·
+    * constant; the arithmetic-mean-p form above is NOT monotone in this).
+    * Bit-portable despite the log: each model row gets a FIXED-POINT
+    * `log2fp(n_tri) − log2fp(n_bi)` ([[graft.functions.Log2Fixed]] —
+    * integer exponent + shared-table mantissa), so the per-trigram score
+    * is an exact integer and the aggregation is a plain long sum.
+    *
+    * Scale posture: the log kernel runs once per MODEL row (vocabulary-
+    * bounded), not per doc-trigram; the doc-side join and sum shuffle
+    * 8-byte longs exactly like [[scoreDocs]]. Docs whose trigrams are all
+    * OOV get a null mean (no in-vocab evidence), mirroring CCNet's
+    * undefined perplexity on fully-OOV text.
+    *
+    * Output: (id, n_tri, oov_frac 4dp, mean_log2p 6dp — ≤ 0, higher =
+    * more fluent; perplexity = 2^(−mean_log2p)).
+    */
+  def scoreDocsLog2(docs: DataFrame, idCol: Column, textCol: Column,
+      model: DataFrame): DataFrame = {
+    import graft.functions.Log2Fixed
+    val lgModel = model.select(col("h3"),
+      (Log2Fixed.expr(col("n_tri")) - Log2Fixed.expr(col("n_bi"))).as("lg"))
+    val dt = docs.select(idCol.as("id"),
+      explode(trigramHashes(textCol)).as("t"))
+      .select(col("id"),
+        graft.functions.CharTrigramHashes.unpackH3(col("t")).as("h3"))
+    dt.join(lgModel, Seq("h3"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lg").isNull, 1).otherwise(0)).as("n_oov"),
+        sum(coalesce(col("lg"), lit(0L))).as("sum_lg"))
+      .select(col("id"),
+        col("n").as("n_tri"),
+        round(col("n_oov").cast("double") / col("n"), 4).as("oov_frac"),
+        when(col("n") > col("n_oov"),
+          round(col("sum_lg").cast("double") /
+            ((col("n") - col("n_oov")) * lit(Log2Fixed.One.toDouble)), 6))
+          .otherwise(lit(null).cast("double")).as("mean_log2p"))
+  }
 }

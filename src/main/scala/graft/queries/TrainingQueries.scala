@@ -33,6 +33,19 @@ object TrainingQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // TRUE-perplexity LM scoring: same trigram model as q100, but ranked
+    // by mean log2 p (CCNet's actual semantics) via the fixed-point log2
+    // kernel — integer exponent + shared mantissa table, so the oracle
+    // replays the identical integers (Log2Fixed scaladoc has the algebra).
+    "q102_lm_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.operators.LmScore.trainTrigramModel(
+        d.filter(col("lang") === "en"), col("text"))
+      graft.operators.LmScore.scoreDocsLog2(
+          d.filter(length(col("text")) >= 3), col("doc_id"), col("text"), model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Gopher repetition rules, per document: modal-2-gram share and
     // duplicate-3-gram fraction. ONE compiled tokenize pass per row
     // (RepetitionStats; the HOF forms remain the spec oracle) — still a
@@ -199,6 +212,55 @@ object TrainingQueries {
            ROUND(CAST(n_oov AS DOUBLE) / n, 4) AS oov_frac,
            ROUND(CAST(sum_p AS DOUBLE) / n, 6) AS mean_p
          FROM a""",
+    "q102_lm_perplexity" ->
+      s"""WITH codes AS (SELECT doc_id, lang,
+             list_transform(string_split(text, ''),
+               c -> CAST(ord(c) AS BIGINT)) AS cs
+           FROM documents),
+         rt AS (SELECT unnest(list_transform(
+             range(1, GREATEST(len(cs) - 1, 1)),
+             i -> {'h3': (((cs[i] * 31 + cs[i+1]) % 1000000007) * 31
+                     + cs[i+2]) % 1000000007,
+                   'h2': (cs[i] * 31 + cs[i+1]) % 1000000007})) AS t
+           FROM codes WHERE lang = 'en'),
+         tcnt AS (SELECT t.h3 AS h3, COUNT(*) AS n_tri, MIN(t.h2) AS h2
+           FROM rt GROUP BY 1),
+         bcnt AS (SELECT h2, SUM(n_tri) AS n_bi FROM tcnt GROUP BY 1),
+         model AS (SELECT h3, n_tri, n_bi FROM tcnt JOIN bcnt USING (h2)),
+         ${graft.functions.Log2Fixed.lutCteSql},
+         ml AS (SELECT h3, n_tri, n_bi,
+             length(bin(n_tri)) - 1 AS et, length(bin(n_bi)) - 1 AS eb
+           FROM model),
+         mt AS (SELECT h3, et, eb,
+             CASE WHEN et >= 20 THEN n_tri // CAST(POWER(2, et - 20) AS BIGINT)
+                  ELSE n_tri * CAST(POWER(2, 20 - et) AS BIGINT)
+             END - 1048576 AS tt,
+             CASE WHEN eb >= 20 THEN n_bi // CAST(POWER(2, eb - 20) AS BIGINT)
+                  ELSE n_bi * CAST(POWER(2, 20 - eb) AS BIGINT)
+             END - 1048576 AS tb
+           FROM ml),
+         mf AS (SELECT mt.h3,
+             (et * 1048576 + a.v + (a.vn - a.v) * (tt % 1024) // 1024)
+             - (eb * 1048576 + b.v + (b.vn - b.v) * (tb % 1024) // 1024) AS lg
+           FROM mt JOIN l2 a ON a.i = tt // 1024
+                   JOIN l2 b ON b.i = tb // 1024),
+         dt AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(cs) - 1),
+             i -> (((cs[i] * 31 + cs[i+1]) % 1000000007) * 31
+                     + cs[i+2]) % 1000000007)) AS h3
+           FROM codes WHERE len(cs) >= 3),
+         j AS (SELECT dt.doc_id, mf.lg
+           FROM dt LEFT JOIN mf ON dt.h3 = mf.h3),
+         agg AS (SELECT doc_id, COUNT(*) AS n,
+             SUM(CASE WHEN lg IS NULL THEN 1 ELSE 0 END) AS n_oov,
+             COALESCE(SUM(lg), 0) AS sum_lg
+           FROM j GROUP BY 1)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tri,
+           ROUND(CAST(n_oov AS DOUBLE) / n, 4) AS oov_frac,
+           CASE WHEN n > n_oov
+             THEN ROUND(CAST(sum_lg AS DOUBLE) / ((n - n_oov) * 1048576.0), 6)
+             ELSE NULL END AS mean_log2p
+         FROM agg""",
     "q69_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          g2 AS (SELECT doc_id, ${gram2Sql("toks")} AS gs FROM t),

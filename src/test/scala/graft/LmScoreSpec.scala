@@ -63,6 +63,63 @@ class LmScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("Log2Fixed kernel: |log2fp(m)/2^20 − log2(m)| ≲ 3e-6, scalar == Column") {
+    import graft.functions.Log2Fixed
+    val samples = Seq(1L, 2L, 3L, 5L, 7L, 1023L, 1024L, 1025L, 65537L,
+      1048575L, 1048576L, 1048577L, 999999937L, (1L << 42) + 12345L)
+    samples.foreach { m =>
+      val got = Log2Fixed(m).toDouble / Log2Fixed.One
+      val exact = StrictMath.log(m.toDouble) / StrictMath.log(2.0)
+      assert(math.abs(got - exact) < 3e-6, s"m=$m got=$got exact=$exact")
+    }
+    // the Column expression computes the identical integers
+    val viaSpark = samples.toDF("m")
+      .select(col("m"), Log2Fixed.expr(col("m")).as("lg"))
+      .as[(Long, Long)].collect().toMap
+    samples.foreach(m => assert(viaSpark(m) == Log2Fixed(m), s"m=$m"))
+  }
+
+  test("log2 scoring ranks like exact mean log p (perplexity order)") {
+    val model = LmScore.trainTrigramModel(ref, col("text"))
+    val docs = Seq(
+      (1L, "the quick brown fox naps"),       // strongly in-domain
+      (2L, "the quiet green bear jumps ok"),  // mixed
+      (3L, "a dog naps under the green log"), // in-domain, other phrasing
+      (4L, "qu bro the ver own zzz"))         // fragments + one OOV burst
+      .toDF("doc_id", "text")
+    val got = LmScore.scoreDocsLog2(docs, col("doc_id"), col("text"), model)
+      .collect().map(r => (r.getLong(0), (r.getDouble(3), r.getDouble(2)))).toMap
+    // exact mean log2 p over in-vocab trigrams, straight doubles
+    val modelRows = model.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val P = 1000000007L
+    def fold(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    def exactMean(t: String): Double = {
+      val ps = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+        .flatMap(tri => modelRows.get(fold(tri)))
+        .map { case (nt, nb) =>
+          StrictMath.log(nt.toDouble / nb) / StrictMath.log(2.0) }
+      ps.sum / ps.length
+    }
+    val texts = Map(1L -> "the quick brown fox naps",
+      2L -> "the quiet green bear jumps ok",
+      3L -> "a dog naps under the green log",
+      4L -> "qu bro the ver own zzz")
+    val byFixed = got.toSeq.sortBy(_._2._1).map(_._1)
+    val byExact = texts.keys.toSeq.sortBy(id => exactMean(texts(id)))
+    assert(byFixed == byExact, s"fixed=$byFixed exact=$byExact")
+    // fixed-point means track the exact values closely
+    texts.foreach { case (id, t) =>
+      assert(math.abs(got(id)._1 - exactMean(t)) < 1e-4, s"doc $id")
+    }
+    // all-OOV doc → null mean, oov_frac 1.0
+    val oov = LmScore.scoreDocsLog2(
+        Seq((9L, "zxqj wvkk pffr")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), model).head()
+    assert(oov.isNullAt(3) && oov.getDouble(2) == 1.0)
+  }
+
   test("scores are bit-identical across runs (decimal-summed)") {
     val model = LmScore.trainTrigramModel(ref, col("text"))
     val docs = Seq((1L, "the quick brown fox jumps high over dogs"))
