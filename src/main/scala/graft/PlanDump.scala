@@ -28,8 +28,10 @@ object PlanDump {
       "q81_csv_roundtrip" -> "large-cap CSV: distributed limit, caller schema (no inferSchema scan), no driver LocalTableScan",
       "q93_image_dims" -> "image-header decode: mapPartitions encode + compiled ImageDims projection, no shuffle",
       "q94_ivf_trained" -> "fixed-point-trained codebook as expression state; bucketed equi-join, broadcast query side",
-      "q95_region_parse" -> "full region dimension as literal arrays + HOF filters: narrow projection, zero joins",
-      "q100_lm_quality" -> "LM scoring: compiled trigram-hash kernel in both scans; model join + aggs shuffle longs only, never trigram strings")
+      "q95_region_parse" -> "full region dimension as literal arrays + HOF filters: narrow projection, zero joins; each scan stage aliased once (no re-evaluation)",
+      "q100_lm_quality" -> "LM scoring: compiled trigram-hash kernel in both scans; model join + aggs shuffle longs only, never trigram strings",
+      "q102_lm_perplexity" -> "perplexity ranking: fixed-point log2 computed once per MODEL row (vocab-bounded); doc side joins + sums longs",
+      "q101_mp3_meta" -> "MP3 metadata: mapPartitions encode + frame walk, zero shuffles")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -115,7 +115,10 @@ object Regions {
     *
     * Everything is literal arrays + HOF filters: codegen'd, no join, no
     * shuffle — and exactly reproducible as SQL over the same literals
-    * (q95).
+    * (q95). NOTE: the two returned Columns share subtrees SYNTACTICALLY —
+    * inlining both into one projection re-evaluates the scans several
+    * times per row. Prefer [[resolve]], which stages each scan once; this
+    * form remains for composing into single predicates.
     */
   def parseLocation(locCol: Column): (Column, Column) = {
     val text = regexp_replace(locCol, "[ \\-_]", "")
@@ -137,12 +140,43 @@ object Regions {
     (province, city)
   }
 
-  /** Resolve free-text locations via [[parseLocation]]: returns the input
-    * plus (province, city) columns. Expression-only — one narrow pass.
+  /** Resolve free-text locations: returns the input plus (province, city)
+    * columns — same algorithm as [[parseLocation]], but each expensive
+    * stage (text strip, province scan, scoped-city scan, global-index
+    * scan) is hoisted into its own projection so it evaluates ONCE per
+    * row. [[parseLocation]]'s two returned Columns each embed full copies
+    * of the shared subtrees (Column sharing is syntactic), and the
+    * scoped-city CASE alone would re-reference the province scan ~33
+    * times; staged ALIASES stay single-evaluation because CollapseProject
+    * refuses to inline a non-cheap alias referenced more than once. The
+    * global fallback is guarded by `__mp IS NULL`, so province-matched
+    * rows never pay the full-index scan. Temp columns are dropped.
     */
   def resolve(locs: DataFrame, locCol: String): DataFrame = {
-    val (p, c) = parseLocation(col(locCol))
-    locs.withColumn("province", p).withColumn("city", c)
+    val text = col("__loc_text")
+    val mp = col("__mp")
+    val scoped = ProvinceCityList.foldLeft(lit(null).cast("array<string>")) {
+      case (acc, (p, _)) =>
+        when(mp === p, array(scopedCities(p).map(lit): _*)).otherwise(acc)
+    }
+    val n = CityToProvince.length
+    locs
+      .withColumn("__loc_text", regexp_replace(col(locCol), "[ \\-_]", ""))
+      .withColumn("__mp",
+        try_element_at(filter(provinceArr, p => text.contains(p)), lit(1)))
+      .withColumn("__mc_raw",
+        try_element_at(filter(scoped, c => text.contains(c)), lit(1)))
+      .withColumn("__gi", when(mp.isNull,
+        try_element_at(filter(sequence(lit(1), lit(n)),
+          i => text.contains(element_at(globalCityArr, i))), lit(1))))
+      .withColumn("province",
+        when(mp.isNotNull, mp).otherwise(try_element_at(globalProvArr, col("__gi"))))
+      .withColumn("city",
+        when(mp.isNotNull,
+          when(mp === col("__mc_raw") && !text.contains("市"), lit(null))
+            .otherwise(col("__mc_raw")))
+          .otherwise(try_element_at(globalCityArr, col("__gi"))))
+      .drop("__loc_text", "__mp", "__mc_raw", "__gi")
   }
 
   /** P6/X5 — region-rule predicate over RESOLVED columns

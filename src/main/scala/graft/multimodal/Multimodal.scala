@@ -109,12 +109,12 @@ object Multimodal {
       .withColumn("img_height", graft.functions.ImageDims.heightOf(packed))
   }
 
-  /** STUB decode: a real implementation would decode the payload with an
-    * image/audio codec here. The deterministic fake derives pseudo-features
-    * from the bytes so the distributed plumbing (batching, schema, shuffle
-    * behavior) is fully exercised and testable.
+  /** STUB decode for VIDEO frames only — the one media class the JDK has
+    * no codec for. The deterministic fake derives pseudo-features from the
+    * bytes so the distributed plumbing (batching, schema, shuffle behavior)
+    * is fully exercised and testable.
     */
-  private def fakeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+  private def fakeVideoFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var acc = 1469598103934665603L // FNV offset basis — stand-in only
     var i = 0
@@ -127,21 +127,30 @@ object Multimodal {
     out.map(_ / n)
   }
 
-  /** Feature extraction over batched partitions: one codec init per
-    * partition (the expensive part a real decoder amortizes), rows streamed
-    * through it — the mapInPandas-batch shape in Scala.
+  /** VIDEO-frame feature seam over batched partitions: one codec init per
+    * partition (the expensive part a real decoder amortizes), rows
+    * streamed through it — the mapInPandas-batch shape in Scala. HARD-
+    * GATED to `meta.media_type == "video"`: image and audio payloads have
+    * REAL decoders ([[decodeImages]]/[[decodeAudio]]/[[decodeMp3Meta]])
+    * and must never silently reach the deterministic stand-in — any other
+    * media_type fails the job with a pointer to the real path.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = media.sparkSession
+  def videoFeatureSeam(media: DataFrame, dim: Int = 16): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    media.select(col("media_id"), col("payload"))
+    media.select(col("media_id"), col("payload"), col("meta.media_type"))
       .mapPartitions { rows =>
         // per-partition "codec" init happens here in a real implementation
         rows.map { r =>
-          Row(r.getLong(0), fakeFeatures(r.getAs[Array[Byte]](1), dim).toSeq)
+          val mt = r.getString(2)
+          if (mt != "video")
+            throw new IllegalArgumentException(
+              s"videoFeatureSeam covers only media_type 'video' (got '$mt'): " +
+                "decodable media must use the real decoders — decodeImages / " +
+                "decodeAudio / decodeMp3Meta")
+          Row(r.getLong(0), fakeVideoFeatures(r.getAs[Array[Byte]](1), dim).toSeq)
         }
       }(encoder)
   }

@@ -28,14 +28,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.count() > 0)
   }
 
-  test("feature extraction: deterministic fixed-dim vectors via mapPartitions") {
-    val f1 = Multimodal.extractFeatures(media, dim = 16)
+  test("video feature seam: deterministic fixed-dim vectors via mapPartitions") {
+    val video = media.withColumn("meta",
+      col("meta").withField("media_type", lit("video")))
+    val f1 = Multimodal.videoFeatureSeam(video, dim = 16)
     assert(f1.select(size(col("features"))).distinct().as[Int].collect().toSeq == Seq(16))
     // deterministic across runs
     val a = f1.filter(col("media_id") === 7).select("features").as[Seq[Float]].head()
-    val b = Multimodal.extractFeatures(media, dim = 16)
+    val b = Multimodal.videoFeatureSeam(video, dim = 16)
       .filter(col("media_id") === 7).select("features").as[Seq[Float]].head()
     assert(a == b)
+  }
+
+  test("video feature seam HARD-FAILS on decodable media (image/audio)") {
+    // `media` rows carry media_type "image" — the fake featurizer must be
+    // unreachable for them (real decoders exist), not silently wrong
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoFeatureSeam(media, dim = 8).collect()
+    }
+    assert(ex.getMessage.contains("videoFeatureSeam") ||
+      Option(ex.getCause).exists(_.getMessage.contains("videoFeatureSeam")))
   }
 
   test("frame sampling fans out indexed fixed-size frames") {
