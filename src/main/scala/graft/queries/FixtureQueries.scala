@@ -354,6 +354,67 @@ object FixtureQueries {
           col("n_samples"), col("duration_ms"))
     }),
 
+    // S9–S12 provider normalization: deterministic raw response BODIES in
+    // each provider's documented JSON shape (built with to_json, so the
+    // round-trip exercises real parse paths), normalized through the
+    // Providers library — field maps, no-url skip (searchapi carries a
+    // link-less item), jina's client-side slice (a second item that must
+    // not survive), the in-band error row (every 7th body is malformed),
+    // and douyin/bilibili video enrichment. The oracle recomputes every
+    // output field from doc_id arithmetic: a hash match certifies the
+    // whole build→parse→normalize pipeline.
+    "q103_provider_normalize" -> ((s, dir) => {
+      import graft.sources.Providers
+      val id = col("doc_id").cast("string")
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .withColumn("provider", element_at(
+          array(lit("searchapi"), lit("jina"), lit("firecrawl"), lit("tavily")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+        .withColumn("query", concat(lit("q"), id))
+        .withColumn("search_type",
+          when(pmod(col("doc_id"), lit(3)) === 0, "video").otherwise("web"))
+        .withColumn("u",
+          when(col("search_type") === "web",
+            concat(lit("https://site"), pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".example/d/"), id))
+            .when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(lit("https://www.bilibili.com/video/BV"),
+                (col("doc_id") + 10).cast("string")))
+            .otherwise(concat(lit("https://v.douyin.com/video/"),
+              (col("doc_id") + 7000).cast("string"))))
+        .withColumn("ttl", concat(lit("Doc "), id))
+        .withColumn("snip", concat(lit("snip-"), id))
+      val raw = when(pmod(col("doc_id"), lit(7)) === 3, lit("{broken"))
+        .when(col("provider") === "searchapi", to_json(struct(array(
+          struct(col("u").as("link"), col("ttl").as("title"),
+            when(pmod(col("doc_id"), lit(5)) =!= 0,
+              concat(lit("src"), pmod(col("doc_id"), lit(5)).cast("string")))
+              .as("source"),
+            col("snip").as("snippet")),
+          struct(lit(null).cast("string").as("link"), lit("no-link").as("title"),
+            lit(null).cast("string").as("source"),
+            lit(null).cast("string").as("snippet"))).as("organic_results"))))
+        .when(col("provider") === "jina", to_json(struct(array(
+          struct(col("u").as("url"), col("ttl").as("title"),
+            col("snip").as("description"),
+            concat(lit("c"), id).as("content")),
+          struct(concat(col("u"), lit("/2")).as("url"), lit("sliced").as("title"),
+            lit("d2").as("description"), lit("c2").as("content"))).as("data"))))
+        .when(col("provider") === "firecrawl", to_json(struct(struct(array(
+          struct(col("u").as("url"), col("ttl").as("title"),
+            col("snip").as("description"),
+            concat(lit("# m"), id).as("markdown"))).as("web")).as("data"))))
+        .otherwise(to_json(struct(array(
+          struct(col("u").as("url"), col("ttl").as("title"),
+            col("snip").as("content"),
+            ((pmod(col("doc_id"), lit(40)) + 50) / lit(100.0)).as("score")))
+          .as("results"))))
+      Providers.normalizeAll(
+          d.select(col("provider"), col("query"), col("search_type"), raw.as("raw")),
+          numResults = 1)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -445,6 +506,49 @@ object FixtureQueries {
            CAST(320 + doc_id % 1600 AS INT) AS width,
            CAST(240 + doc_id % 840 AS INT) AS height
          FROM documents WHERE doc_id < 150""",
+    "q103_provider_normalize" ->
+      """WITH d AS (SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'searchapi'
+               WHEN 1 THEN 'jina' WHEN 2 THEN 'firecrawl'
+               ELSE 'tavily' END AS provider,
+             'q' || doc_id AS query,
+             CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'web' END AS search_type,
+             CASE WHEN doc_id % 3 <> 0
+               THEN 'https://site' || (doc_id % 5) || '.example/d/' || doc_id
+               WHEN doc_id % 2 = 0
+               THEN 'https://www.bilibili.com/video/BV' || (doc_id + 10)
+               ELSE 'https://v.douyin.com/video/' || (doc_id + 7000) END AS u,
+             'Doc ' || doc_id AS ttl, 'snip-' || doc_id AS snip,
+             doc_id % 7 = 3 AS broken
+           FROM documents WHERE doc_id < 200),
+         lbl AS (SELECT *, CASE provider WHEN 'searchapi' THEN 'SearchAPI.io'
+             WHEN 'jina' THEN 'Jina.ai' WHEN 'firecrawl' THEN 'Firecrawl'
+             ELSE 'Tavily' END AS label FROM d)
+         SELECT provider, query, search_type,
+           CASE WHEN broken THEN NULL ELSE u END AS url,
+           CASE WHEN broken THEN NULL ELSE ttl END AS title,
+           CASE WHEN broken THEN NULL ELSE snip END AS snippet,
+           CASE WHEN broken OR provider <> 'searchapi' THEN NULL
+                WHEN doc_id % 5 = 0 THEN ''
+                ELSE 'src' || (doc_id % 5) END AS source,
+           CASE WHEN broken OR provider <> 'jina' THEN NULL
+                ELSE 'c' || doc_id END AS content,
+           CASE WHEN broken OR provider <> 'firecrawl' THEN NULL
+                ELSE '# m' || doc_id END AS markdown,
+           CASE WHEN broken OR provider <> 'tavily' THEN NULL
+                ELSE ROUND((doc_id % 40 + 50) / 100.0, 4) END AS score,
+           CASE WHEN broken OR search_type <> 'video' THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'BV' || (doc_id + 10)
+                ELSE CAST(doc_id + 7000 AS VARCHAR) END AS video_id,
+           CASE WHEN broken OR search_type <> 'video' THEN NULL
+                WHEN doc_id % 2 = 0
+                THEN '//player.bilibili.com/player.html?bvid=BV' || (doc_id + 10)
+                ELSE u END AS embed_url,
+           CASE WHEN broken OR search_type <> 'video' THEN NULL
+                ELSE 'about:invalid#video-thumbnail' END AS thumbnail_url,
+           CASE WHEN broken THEN label || ' request failed for ''' || query
+                  || ''': unparseable response' END AS error
+         FROM lbl""",
     "q101_mp3_meta" ->
       """WITH d AS (SELECT doc_id,
              1 + doc_id % 2 AS v,
