@@ -68,7 +68,14 @@ object Bench {
     // first execution of a plan shape carries codegen/JIT warmup that
     // measured 3-10x steady state; min-of-N reports reproducible cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q87,q41 → time just those prefixes (and skip
+    // the corpus pipeline) — for targeted min-of-N regression confirmation.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       try {
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
@@ -89,6 +96,14 @@ object Bench {
     // Untimed warmup at 1% of the page count: compiles/JITs the whole
     // ingest→KV→filter→sink path (measured ~6-7x one-shot inflation on a
     // cold JVM), so even a single timed run reports steady-state cost.
+    if (only.isDefined) {
+      // targeted mode: report just the selected queries, no corpus run
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"only","queries":$qs,"runs":$runs}""")
+      spark.stop()
+      return
+    }
     locally {
       val warmOut = java.nio.file.Files.createTempDirectory("graft_corpus_warm").toString
       val warm = spark.read.format("graft-paged")

@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * collects), min-of-2 timings printed one per line. Not part of the
   * driver bench contract; run ad hoc per round and record in SCALE.md:
   *
-  *   sbt -batch "runMain graft.Stress [rows]"
+  *   sbt -batch "runMain graft.Stress [rows] [all|core|neardup]"
+  *
+  * `neardup` runs only the end-to-end Dedup.removeNearDuplicates receipts
+  * (LSH band join → CC rounds → semi-join at [rows] docs, plus a skewed
+  * hot-bucket variant proving AQE's skew-join split engages).
   */
 object Stress {
 
@@ -21,13 +25,200 @@ object Stress {
     println(f"[stress] $name%-24s ${times.min}%8.2f s (min of $runs)")
   }
 
+  /** Aggregate shuffle bytes written across every task while `body` runs —
+    * the "how much actually moved" side of a receipt. Listener-based, so it
+    * observes the real exchanges, not a plan estimate.
+    */
+  private def shuffleBytes[A](
+      sc: org.apache.spark.SparkContext)(body: => A): (A, Long) = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val r = body
+      // the listener bus is async and its drain API is private[spark] —
+      // settle-wait (bounded): stop once no event lands for 200 ms
+      var last = -1L
+      var waited = 0
+      while (last != bytes.get() && waited < 25) {
+        last = bytes.get(); Thread.sleep(200); waited += 1
+      }
+      (r, bytes.get())
+    } finally sc.removeSparkListener(listener)
+  }
+
+  /** End-to-end near-dup removal receipts (r4 verdict #1).
+    *
+    * Corpus shape: `clusters = n/15` three-doc near-dup clusters (copies
+    * differ in exactly one of 40 tokens → pairwise shingle Jaccard
+    * 0.85-0.90, all above the 0.7 threshold) + `n - 3·clusters` unique
+    * docs. Tokens are hash-mixed per (id, position), so distinct docs
+    * share no shingle STRINGS and their 31-bit shingle-hash sets collide
+    * only independently per window (full-set collision ~(2⁻³¹)³⁸ ≈ never)
+    * — over-merging would be a precision bug, so `survivors ≥
+    * n - 2·clusters` is asserted. Recall is the probabilistic side of LSH: a
+    * cluster yields an extra survivor only when ≥2 of its 3 pairwise
+    * edges miss every band (measured ~4·10⁻⁴ of clusters at these J's
+    * with 32 hashes × 8 bands). The receipt asserts cluster-level recall
+    * ≥ 99.9% — a banding/signature regression surfaces as a failed
+    * receipt, not a quiet number.
+    *
+    * Skew variant: `hot` docs with IDENTICAL text all land in the same LSH
+    * bucket in every band — the worst-case hot key for the band-bucket
+    * self-join (hot²/2 candidate pairs from one bucket). The receipt runs
+    * it with the AQE skew-join thresholds scaled to local fixture sizes
+    * (at 100 TB the 256 MB default engages by itself) and asserts
+    * `skew=true` appears in the executed join, i.e. the straggler
+    * partition was actually split.
+    */
+  private def nearDupReceipts(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Dedup
+    val sc = spark.sparkContext
+    val clusters = n / 15 // 3 docs each → 20% of the corpus is near-dup
+    val dupCount = clusters * 3
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_neardup").toString
+    try {
+      // Interpreted-HOF-heavy generation → materialize once (like a real
+      // corpus on disk); receipts time the operator passes only.
+      //
+      // Tokens are xxhash-MIXED per (id, position), NOT the naive
+      // "u{id}t{j}": with a single shared id substring in every token,
+      // every one of a doc's 38 shingle windows embeds the same digit
+      // string, so whenever two ids' digit-polynomials collide mod
+      // 2³¹-1 (the portable poly31 hash space) ALL windows collide
+      // together — hashed Jaccard 1.0 between unrelated docs (measured:
+      // 21.5k full-set collisions at 10M docs). That is an artifact of
+      // id-parameterized synthetic text — real corpora don't have whole
+      // documents parameterized by one substring — so the fixture mixes
+      // it away; see the minHashLsh scaladoc for the operator-side note.
+      spark.range(0, n, 1, 32).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(39)), j => {
+          val cluster = floor(col("id") / 3)
+          val copy = pmod(col("id"), lit(3))
+          when(col("id") < dupCount,
+            when(j === copy, concat(lit("m"), copy, lit("c"), cluster))
+              .otherwise(concat(lit("c"),
+                pmod(xxhash64(cluster, j), lit(999999937L)), lit("t"), j)))
+            .otherwise(concat(lit("u"),
+              pmod(xxhash64(col("id"), j), lit(999999937L)), lit("t"), j))
+        }), " ").as("text"))
+        .write.mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+      var survivors = -1L
+      var shuffled = -1L
+      time(s"neardup_removal_${n / 1000000}M") {
+        val (s, b) = shuffleBytes(sc) {
+          Dedup.removeNearDuplicates(corpus, col("doc_id"), col("text"),
+            rounds = rounds).count()
+        }
+        survivors = s; shuffled = b
+      }
+      val ideal = n - 2 * clusters
+      val missed = survivors - ideal // clusters split by an LSH recall miss
+      println(s"[stress] neardup_removal_${n / 1000000}M: " +
+        s"survivors=$survivors (ideal $ideal, split clusters $missed of " +
+        s"$clusters), cc_rounds=${rounds.get}, " +
+        f"shuffle_written=${shuffled / 1e9}%.2f GB")
+      require(missed >= 0,
+        s"near-dup removal OVER-merged: $survivors < $ideal — precision bug")
+      require(missed * 1000 <= clusters,
+        s"cluster-level recall below 99.9%: $missed of $clusters split")
+
+      // --- skewed hot-bucket variant ---------------------------------
+      // Skew in the band-bucket join means ONE (band, bucket) key holds a
+      // disproportionate share of the banded rows — at corpus scale, a
+      // boilerplate cluster (site templates, legal footers) whose docs all
+      // share every band. AQE's skew detector compares COMPRESSED shuffle-
+      // partition bytes against factor × median (the hot partition's
+      // near-identical rows lz4-compress ~3× better than the background,
+      // so it takes ~15× the rows to read as 5× the bytes). The proof
+      // fixture makes the 8 hot band keys dominate their partitions the
+      // same way a 100s-of-GB boilerplate bucket dominates a 256 MB-median
+      // shuffle at 100 TB: 10% of docs are one identical text, detection
+      // cutoffs scaled to fixture bytes (hot ≈ 18.6 KB vs 2.2 KB median at
+      // initialPartitionNum=4096), broadcast off so the join is the
+      // shuffle join it would be at scale.
+      val nSkew = 30000L
+      val hot = 3000L
+      val skewDir = java.nio.file.Files.createTempDirectory("graft_stress_skew").toString
+      try {
+        spark.range(0, nSkew, 1, 32).select(col("id").as("doc_id"),
+          when(col("id") < hot, lit(((0 until 40).map(j => s"hotw$j")).mkString(" ")))
+            .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+              j => concat(lit("u"), col("id"), lit("t"), j)), " ")).as("text"))
+          .write.mode("overwrite").parquet(skewDir)
+        val skewed = spark.read.parquet(skewDir)
+        val conf = spark.conf
+        val saved = Seq(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+          .map(k => k -> conf.getOption(k))
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4k")
+        conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "4096")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try {
+          var nPairs = -1L
+          var skewSplit = false
+          time(s"neardup_skew_${nSkew / 1000}k_hot$hot", runs = 1) {
+            val pairs = Dedup.minHashLsh(skewed, col("doc_id"), col("text"))
+            // run THIS QueryExecution (count() would plan a fresh one and
+            // the adaptive plan we inspect would never have executed)
+            val qe = pairs.queryExecution
+            nPairs = qe.toRdd.count()
+            skewSplit = qe.executedPlan.toString.contains("SortMergeJoin(skew=true)")
+          }
+          println(s"[stress] neardup_skew: pairs=$nPairs " +
+            s"(hot clique ${hot * (hot - 1) / 2}), aqe_skew_split=$skewSplit")
+          require(nPairs == hot * (hot - 1) / 2,
+            s"hot-clique pair count drift: $nPairs")
+          require(skewSplit, "AQE skew-join split did not engage on the " +
+            "band-bucket join — check adaptive.skewJoin confs")
+        } finally {
+          saved.foreach {
+            case (k, Some(v)) => conf.set(k, v)
+            case (k, None) => conf.unset(k)
+          }
+        }
+      } finally rmrf(skewDir)
+    } finally rmrf(dir)
+  }
+
+  private def rmrf(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val section = args.drop(1).headOption.getOrElse("all")
     val spark = graft.core.GraftSession.builder("graft-stress")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (section == "neardup") {
+      nearDupReceipts(spark, n)
+      spark.stop()
+      return
+    }
 
     val ids = spark.range(0, n, 1, 32).toDF("id")
     val docs = ids.select(col("id"),
@@ -112,6 +303,7 @@ object Stress {
       }
       rm(new java.io.File(textDir))
     }
+    if (section == "all") nearDupReceipts(spark, n)
     spark.stop()
   }
 }

@@ -537,6 +537,131 @@ object Multimodal {
       }(encoder)
   }
 
+  // ---- AAC ADTS frame-header metadata (compressed-audio seam, shrunk) -----
+
+  /** ISO 14496-3 sampling_frequency_index table (0..12). */
+  private val AdtsSampleRates = Array(
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** Encode (id, mpeg_id, profile, sr_idx, channels, n_frames, base_len)
+    * rows as REAL AAC ADTS byte streams: `n_frames` frames, each a valid
+    * 7-byte header (syncword, MPEG-2/4 id, profile, sampling index,
+    * channel config, per-frame 13-bit frame_length) + deterministic filler
+    * payload. AAC is VBR by design, so frame f's length is
+    * `base_len + 9·(f mod 7)` — the walk must read EVERY header, not
+    * stride by a constant. The audio-fixture generator for q104 and specs.
+    */
+  def encodeAdts(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col("id").cast("long"), col("mpeg_id").cast("int"),
+        col("profile").cast("int"), col("sr_idx").cast("int"),
+        col("channels").cast("int"), col("n_frames").cast("int"),
+        col("base_len").cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mpegId = r.getInt(1)   // 0 = MPEG-4, 1 = MPEG-2
+          val profile = r.getInt(2)  // 0 = Main, 1 = LC, 2 = SSR (AOT - 1)
+          val srIdx = r.getInt(3)
+          val chan = r.getInt(4)
+          val nFrames = r.getInt(5)
+          val baseLen = r.getInt(6)
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) {
+            val frameLen = baseLen + 9 * (f % 7) // incl. the 7-byte header
+            out.write(0xFF)
+            out.write(0xF0 | (mpegId << 3) | 1)          // sync|id|layer 00|noCRC
+            out.write((profile << 6) | (srIdx << 2) | (chan >> 2))
+            out.write(((chan & 3) << 6) | ((frameLen >> 11) & 3))
+            out.write((frameLen >> 3) & 0xFF)
+            out.write(((frameLen & 7) << 5) | 0x1F)      // fullness hi = VBR
+            out.write(0xFC)                              // fullness lo | 1 block
+            var i = 7
+            while (i < frameLen) { out.write((f * 37 + i * 11) & 0xFF); i += 1 }
+            f += 1
+          }
+          Row(r.getLong(0), out.toByteArray)
+        }
+      }(encoder)
+  }
+
+  /** REAL AAC ADTS METADATA decode — the MPEG-4 sibling of
+    * [[decodeMp3Meta]]: step frame to frame validating the 12-bit sync and
+    * layer==0, reading MPEG id / profile (AOT) / sampling index / channel
+    * config from the first header and the 13-bit frame_length from every
+    * header (ADTS is VBR — each header declares its own frame's length, so
+    * one wrong bit offset desyncs the walk immediately). 1024 PCM samples
+    * per frame per raw block (fixtures use one block, the overwhelming
+    * real-world case); duration is exact-integer
+    * `n_frames · 1024 · 1000 / sampleRate`. The frame BODY stays undecoded
+    * (no AAC codec in the JDK) — the seam is the spectral decode itself,
+    * reference analog: the format-sniffing chain
+    * (多数据源获取数据.py:1384-1447). Non-ADTS / truncated payloads keep
+    * their row with null fields.
+    *
+    * Output: (media_id, mpeg_version, aot, sample_rate, channels,
+    * n_frames, n_samples, duration_ms).
+    */
+  def decodeAdtsMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mpeg_version", StringType, nullable = true),
+      StructField("aot", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          var pos = 0
+          var ver = ""
+          var aot = 0
+          var sr = 0
+          var chan = 0
+          var nFrames = 0L
+          var ok = true
+          while (ok && pos + 7 <= b.length) {
+            val h1 = b(pos) & 0xFF; val h2 = b(pos + 1) & 0xFF
+            if (h1 != 0xFF || (h2 & 0xF6) != 0xF0) ok = false // sync + layer 00
+            else {
+              val srIdx = (b(pos + 2) >> 2) & 0xF
+              if (srIdx >= AdtsSampleRates.length) ok = false
+              else {
+                val frameLen = ((b(pos + 3) & 3) << 11) |
+                  ((b(pos + 4) & 0xFF) << 3) | ((b(pos + 5) >> 5) & 7)
+                if (frameLen < 7 || pos + frameLen > b.length) ok = false
+                else {
+                  if (nFrames == 0) {
+                    ver = if (((h2 >> 3) & 1) == 1) "2" else "4"
+                    aot = ((b(pos + 2) >> 6) & 3) + 1
+                    sr = AdtsSampleRates(srIdx)
+                    chan = (((b(pos + 2) & 1) << 2) | ((b(pos + 3) >> 6) & 3))
+                  }
+                  nFrames += 1
+                  pos += frameLen
+                }
+              }
+            }
+          }
+          if (nFrames == 0) Row(id, null, null, null, null, null, null, null)
+          else {
+            val nSamples = nFrames * 1024L
+            Row(id, ver, aot, sr, chan, nFrames, nSamples,
+              nSamples * 1000L / sr)
+          }
+        }
+      }(encoder)
+  }
+
   /** Encode (id, timescale, dur_units, w, h) rows as minimal MP4
     * containers (ftyp + moov[mvhd + trak[tkhd]]) — the video byte-fixture
     * generator for q99 and specs. Box layout only; no media data, which

@@ -75,6 +75,18 @@ object Dedup {
     * seeded-affine MinHash → poly31 band combine — graft.functions.PolyHash),
     * so the whole operator is oracle-checkable: the DuckDB oracle reproduces
     * candidates, verification and scores value-for-value (q45).
+    *
+    * Precision note (found by the 10M stress receipt): verification runs on
+    * the 31-bit hashed shingles, and poly31 is LINEAR in the character
+    * vector — if every window of two same-shaped documents embeds the same
+    * differing substring (e.g. synthetic text parameterized by a numeric
+    * id), all windows collide mod 2³¹-1 together whenever the substrings'
+    * digit-polynomials collide, yielding hashed-Jaccard 1.0 for unrelated
+    * docs (~17k such id pairs per 10M sequential ids). Natural corpora
+    * don't have whole documents parameterized by one substring, and
+    * independent per-window collisions are ~38²/2³¹ ≈ 7·10⁻⁷ per pair —
+    * negligible. For adversarial/structured inputs, verify on a 64-bit
+    * shingle hash instead (xxhash64 of the shingle, not reduced mod p).
     */
   def minHashLsh(
       df: DataFrame, idCol: Column, textCol: Column,
@@ -137,14 +149,15 @@ object Dedup {
   def removeNearDuplicates(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7, maxIterations: Int = 25): DataFrame = {
+      threshold: Double = 0.7, maxIterations: Int = 25,
+      rounds: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
     // Note: Graph.connectedComponents persists the (cheap, reusable) edge
     // set internally — without that cache every propagation round would
     // re-run the ENTIRE LSH pipeline (shingle→sign→band→join→verify).
     val pairs = minHashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
     val labels = Graph.connectedComponents(
       df.select(idCol.as("id")), col("id"),
-      pairs, col("id_a"), col("id_b"), maxIterations)
+      pairs, col("id_a"), col("id_b"), maxIterations, rounds)
     val keep = labels.filter(col("id") === col("comp")).select(col("id"))
     df.join(keep, idCol === keep("id"), "left_semi")
   }

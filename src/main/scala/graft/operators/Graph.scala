@@ -24,12 +24,16 @@ object Graph {
   /** @param nodes one row per node id (dataframe with `idCol`)
     * @param edges undirected edge list (`srcCol`, `dstCol`) — orientation
     *   is normalized internally
+    * @param rounds when non-null, receives the number of propagation rounds
+    *   actually run (incl. the final no-change round) — scale receipts
+    *   record it alongside timings (SCALE.md)
     * @return (id, comp) — comp is the minimum node id of the component
     */
   def connectedComponents(
       nodes: DataFrame, idCol: Column,
       edges: DataFrame, srcCol: Column, dstCol: Column,
-      maxIterations: Int = 25): DataFrame = {
+      maxIterations: Int = 25,
+      rounds: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
     val directed = edges.select(srcCol.as("id_a"), dstCol.as("id_b"))
     val bidir = directed
       .unionByName(directed.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -55,6 +59,7 @@ object Graph {
       labels = updated.drop("__changed")
       iter += 1
     }
+    if (rounds != null) rounds.set(iter)
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents: min-label propagation still moving after " +

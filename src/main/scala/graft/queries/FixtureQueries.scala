@@ -354,6 +354,29 @@ object FixtureQueries {
           col("n_samples"), col("duration_ms"))
     }),
 
+    // REAL AAC ADTS frame-header metadata: deterministic MPEG-2/4 ADTS
+    // streams (valid per-frame 13-bit frame_length — VBR, so the walk must
+    // read every header) built on executors, walked back header-by-header.
+    // The oracle recomputes every field from the public ISO 14496-3
+    // tables; a desync collapses the frame count and fails the hash.
+    "q104_aac_meta" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id"),
+          pmod(col("doc_id"), lit(2)).cast("int").as("mpeg_id"),
+          pmod(col("doc_id"), lit(3)).cast("int").as("profile"),
+          pmod(col("doc_id"), lit(12)).cast("int").as("sr_idx"),
+          (lit(1) + pmod(col("doc_id"), lit(6))).cast("int").as("channels"),
+          (lit(5) + pmod(col("doc_id"), lit(60))).cast("int").as("n_frames"),
+          (lit(100) + pmod(col("doc_id") * 13, lit(900))).cast("int").as("base_len"))
+      Multimodal.decodeAdtsMeta(
+          Multimodal.encodeAdts(params)
+            .select(col("id").as("media_id"), col("payload")))
+        .select(col("media_id").as("doc_id"), col("mpeg_version"), col("aot"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          col("n_samples"), col("duration_ms"))
+    }),
+
     // S9–S12 provider normalization: deterministic raw response BODIES in
     // each provider's documented JSON shape (built with to_json, so the
     // round-trip exercises real parse paths), normalized through the
@@ -549,6 +572,21 @@ object FixtureQueries {
            CASE WHEN broken THEN label || ' request failed for ''' || query
                   || ''': unparseable response' END AS error
          FROM lbl""",
+    "q104_aac_meta" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN '2' ELSE '4' END AS ver,
+             CAST(1 + doc_id % 3 AS INT) AS aot,
+             ([96000,88200,64000,48000,44100,32000,24000,22050,16000,
+               12000,11025,8000])[CAST(doc_id % 12 AS INT) + 1] AS sr,
+             CAST(1 + doc_id % 6 AS INT) AS chan,
+             5 + doc_id % 60 AS nf
+           FROM documents WHERE doc_id < 150)
+         SELECT doc_id, ver AS mpeg_version, aot,
+           CAST(sr AS INT) AS sample_rate, chan AS channels,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * 1024 AS BIGINT) AS n_samples,
+           CAST(nf * 1024 * 1000 // sr AS BIGINT) AS duration_ms
+         FROM d""",
     "q101_mp3_meta" ->
       """WITH d AS (SELECT doc_id,
              1 + doc_id % 2 AS v,

@@ -342,6 +342,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(5L).isNullAt(1) && got(5L).isNullAt(7))
   }
 
+  test("decodeAdtsMeta: ADTS walk — VBR frame lengths, MPEG-2/4, truncation") {
+    // id 1: MPEG-4 (id 0) LC (profile 1) 48 kHz (idx 3) stereo, 10 frames,
+    // base 100 B; id 2: MPEG-2 (id 1) Main (profile 0) 8 kHz (idx 11)
+    // 6 channels, 4 frames, base 200 B
+    val params = Seq((1L, 0, 1, 3, 2, 10, 100), (2L, 1, 0, 11, 6, 4, 200))
+      .toDF("id", "mpeg_id", "profile", "sr_idx", "channels", "n_frames", "base_len")
+    val payloads = Multimodal.encodeAdts(params).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val rows = (payloads.toSeq ++ Seq(
+        3L -> payloads(1L).dropRight(3),            // truncated final frame
+        4L -> "definitely not adts".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeAdtsMeta(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // id 1: MPEG-4 AAC-LC 48 kHz stereo, 10 frames x 1024 samples; the
+    // VBR walk must consume every header (frame lens 100..154)
+    assert(got(1L).getString(1) == "4" && got(1L).getInt(2) == 2)
+    assert(got(1L).getInt(3) == 48000 && got(1L).getInt(4) == 2)
+    assert(got(1L).getLong(5) == 10L && got(1L).getLong(6) == 10240L)
+    assert(got(1L).getLong(7) == 10240L * 1000 / 48000)
+    // id 2: MPEG-2 Main 8 kHz, 6-channel config survives the 3-bit split
+    assert(got(2L).getString(1) == "2" && got(2L).getInt(2) == 1)
+    assert(got(2L).getInt(3) == 8000 && got(2L).getInt(4) == 6)
+    assert(got(2L).getLong(5) == 4L)
+    // id 3: truncated last frame is not counted (10-frame stream minus
+    // 3 bytes -> 9 complete frames)
+    assert(got(3L).getLong(5) == 9L)
+    // id 4: garbage -> row kept, fields null
+    assert(got(4L).isNullAt(1) && got(4L).isNullAt(7))
+  }
+
   test("binaryFile ingestion path (S5 entry point)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val f = new java.io.File(dir, "sample.png")
