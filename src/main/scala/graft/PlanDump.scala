@@ -31,7 +31,9 @@ object PlanDump {
       "q95_region_parse" -> "full region dimension as literal arrays + HOF filters: narrow projection, zero joins; each scan stage aliased once (no re-evaluation)",
       "q100_lm_quality" -> "LM scoring: compiled trigram-hash kernel in both scans; model join + aggs shuffle longs only, never trigram strings",
       "q102_lm_perplexity" -> "perplexity ranking: fixed-point log2 computed once per MODEL row (vocab-bounded); doc side joins + sums longs",
-      "q101_mp3_meta" -> "MP3 metadata: mapPartitions encode + frame walk, zero shuffles")
+      "q101_mp3_meta" -> "MP3 metadata: mapPartitions encode + frame walk, zero shuffles",
+      "q103_provider_normalize" -> "provider normalization: from_json + per-provider projections over the fixture scan, no shuffle until the label dim broadcast",
+      "q104_aac_meta" -> "AAC ADTS metadata: mapPartitions encode + per-frame VBR walk, zero shuffles")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

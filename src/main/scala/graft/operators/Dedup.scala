@@ -85,22 +85,34 @@ object Dedup {
     * docs (~17k such id pairs per 10M sequential ids). Natural corpora
     * don't have whole documents parameterized by one substring, and
     * independent per-window collisions are ~38²/2³¹ ≈ 7·10⁻⁷ per pair —
-    * negligible. For adversarial/structured inputs, verify on a 64-bit
-    * shingle hash instead (xxhash64 of the shingle, not reduced mod p).
+    * negligible. For adversarial/structured inputs, pass
+    * `verifyOn64Bit = true`: candidates still come from the portable
+    * poly31 MinHash bands, but the exact-Jaccard verify stage runs on
+    * full-64-bit FNV shingle hashes (graft.functions.ShingleHashes), where
+    * a systematic full-set collision cannot survive. The 64-bit verify is
+    * NOT DuckDB-oracle-portable (that is exactly the tradeoff), so the
+    * default stays poly31.
     */
   def minHashLsh(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, verifyOn64Bit: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // Shuffle hygiene: every wide stage below carries ids + 8-byte hashes
     // only — never shingle strings. At 100 TB the candidate join is the
     // dominant exchange and its row width is 3 longs.
+    // `hv` is the verify set: the poly31 hashes themselves (default,
+    // oracle-portable) or a full-64-bit FNV set (collision-hardened).
     val hashed = df
-      .select(idCol.as("id"),
+      .select(idCol.as("id"), textCol.as("__vtxt"),
         graft.functions.PolyHash
           .polyShingleHashes(df.sparkSession, textCol, shingleSize).as("hs"))
+      .withColumn("hv", if (verifyOn64Bit)
+          array_distinct(graft.functions.ShingleHashes
+            .shingleHashes(df.sparkSession, col("__vtxt"), shingleSize))
+        else col("hs"))
+      .drop("__vtxt")
       .filter(size(col("hs")) > 0)
     val withSig = hashed
       .withColumn("sig", graft.functions.MinHashSig.expr(col("hs"), numHashes))
@@ -118,8 +130,8 @@ object Dedup {
     // Verification: exact Jaccard over hashed shingle sets, joined back in
     // only for the (small) candidate set.
     cand
-      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("hv").as("hs_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hv").as("hs_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
@@ -150,11 +162,13 @@ object Dedup {
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxIterations: Int = 25,
-      rounds: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
+      rounds: java.util.concurrent.atomic.AtomicInteger = null,
+      verifyOn64Bit: Boolean = false): DataFrame = {
     // Note: Graph.connectedComponents persists the (cheap, reusable) edge
     // set internally — without that cache every propagation round would
     // re-run the ENTIRE LSH pipeline (shingle→sign→band→join→verify).
-    val pairs = minHashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+    val pairs = minHashLsh(df, idCol, textCol, shingleSize, numHashes, bands,
+      threshold, verifyOn64Bit)
     val labels = Graph.connectedComponents(
       df.select(idCol.as("id")), col("id"),
       pairs, col("id_a"), col("id_b"), maxIterations, rounds)

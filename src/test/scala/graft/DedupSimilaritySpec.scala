@@ -232,6 +232,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       6L -> 6L, 7L -> 6L))
   }
 
+  test("verifyOn64Bit kills systematic poly31 full-set collisions, keeps real dups") {
+    // The collision pair the 10M stress receipt caught in the wild: every
+    // token of "u{id}t{j}" docs embeds the same id digits, and poly31 is
+    // linear in the character vector, so ids 2029299 and 3403811 (whose
+    // digit-polynomials collide mod 2^31-1) produce hashed-Jaccard 1.0
+    // across ALL windows despite sharing zero shingle strings.
+    def idDoc(id: Long) = (0 until 40).map(j => s"u${id}t$j").mkString(" ")
+    val docs = Seq(
+      2029299L -> idDoc(2029299L),
+      3403811L -> idDoc(3403811L),
+      // a REAL near-dup pair (differ in one of 40 tokens)
+      50L -> (0 until 40).map(j => s"w$j").mkString(" "),
+      51L -> ((0 until 39).map(j => s"w$j") :+ "zz").mkString(" "))
+      .toDF("doc_id", "text")
+    val poly = Dedup.minHashLsh(docs, col("doc_id"), col("text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(poly.contains((2029299L, 3403811L))) // the 31-bit artifact
+    assert(poly.contains((50L, 51L)))
+    val hardened = Dedup.minHashLsh(docs, col("doc_id"), col("text"),
+        verifyOn64Bit = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!hardened.contains((2029299L, 3403811L))) // killed at verify
+    assert(hardened.contains((50L, 51L)))            // real dup survives
+  }
+
   test("removeNearDuplicates keeps one representative per near-dup cluster") {
     // chain cluster: 10-11 and 11-12 are near-dups (10-12 only transitively)
     val docs = Seq(
