@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *
   *   sbt -batch "runMain graft.Stress [rows] [all|core|neardup]"
   *
-  * `neardup` runs only the end-to-end Dedup.removeNearDuplicates receipts
-  * (LSH band join → CC rounds → semi-join at [rows] docs, plus a skewed
-  * hot-bucket variant proving AQE's skew-join split engages).
+  * `neardup` runs only the end-to-end Dedup.removeNearDuplicates receipts:
+  * LSH band join → CC rounds → semi-join at [rows] docs, a chain-topology
+  * variant forcing deep label propagation, and a skewed hot-bucket variant
+  * proving AQE's skew-join split engages.
   */
 object Stress {
 
@@ -132,6 +133,51 @@ object Stress {
         s"near-dup removal OVER-merged: $survivors < $ideal — precision bug")
       require(missed * 1000 <= clusters,
         s"cluster-level recall below 99.9%: $missed of $clusters split")
+
+      // --- chain-topology variant -------------------------------------
+      // Near-clique clusters converge in 2 rounds and never exercise the
+      // propagation loop's depth; this variant plants 6-doc CHAINS where
+      // only ADJACENT docs clear the Jaccard threshold, so the min label
+      // must walk diameter 5 — cc_rounds is asserted > 3 and the early
+      // exit (not the maxIterations cap) must end the loop. Geometry:
+      // 80-token docs, doc k of a chain rewrites token window
+      // [6k, 6k+10) with (chain, k)-specific tokens → adjacent pairs
+      // differ in a 16-token union (J = 60/96 ≈ 0.625 ≥ 0.6), skip pairs
+      // in a 22-token union (J ≈ 0.529 < 0.6). At J ≈ 0.625 the 8×4
+      // banding is too lossy, so the receipt runs 16 bands × 2 rows —
+      // the (bands, rowsPerBand) knob doing exactly its job.
+      val nChains = math.max(n / 100, 10000L)
+      val chainDir = java.nio.file.Files.createTempDirectory("graft_stress_chain").toString
+      try {
+        spark.range(0, nChains * 6, 1, 32).select(col("id").as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(79)), j => {
+            val chain = floor(col("id") / 6)
+            val k = pmod(col("id"), lit(6))
+            when(j >= k * 6 && j < k * 6 + 10,
+              concat(lit("y"), pmod(xxhash64(chain, k, j), lit(999999937L)),
+                lit("t"), j))
+              .otherwise(concat(lit("b"),
+                pmod(xxhash64(chain, j), lit(999999937L)), lit("t"), j))
+          }), " ").as("text"))
+          .write.mode("overwrite").parquet(chainDir)
+        val chains = spark.read.parquet(chainDir)
+        val chainRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+        var chainSurvivors = -1L
+        time(s"neardup_chain_${nChains * 6 / 1000}k", runs = 1) {
+          chainSurvivors = Dedup.removeNearDuplicates(chains, col("doc_id"),
+            col("text"), numHashes = 32, bands = 16, threshold = 0.6,
+            rounds = chainRounds).count()
+        }
+        val chainSplit = chainSurvivors - nChains
+        println(s"[stress] neardup_chain: survivors=$chainSurvivors " +
+          s"(ideal $nChains, split $chainSplit), cc_rounds=${chainRounds.get}")
+        require(chainSplit >= 0, s"chain over-merge: $chainSurvivors < $nChains")
+        require(chainSplit * 100 <= nChains,
+          s"chain recall below 99%: $chainSplit of $nChains split")
+        require(chainRounds.get > 3 && chainRounds.get < 25,
+          s"diameter-5 chains should need >3 rounds and converge early, " +
+            s"got ${chainRounds.get}")
+      } finally rmrf(chainDir)
 
       // --- skewed hot-bucket variant ---------------------------------
       // Skew in the band-bucket join means ONE (band, bucket) key holds a
