@@ -377,6 +377,35 @@ object FixtureQueries {
           col("n_samples"), col("duration_ms"))
     }),
 
+    // REAL video FRAME decode: AVI containers with uncompressed BI_RGB DIB
+    // frames built on executors (solid per-frame fills — lossless, so the
+    // decoded channel means equal the fill arithmetic EXACTLY), walked
+    // back through the RIFF tree (avih/strh/strf → movi '00db' chunks)
+    // and decoded pixel-by-pixel with frame sampling (stride 2). fps and
+    // duration come from the stream header's dwRate/dwScale, not metadata
+    // columns. The oracle recomputes every field from doc_id arithmetic —
+    // a hash match is only possible if actual frame pixels were decoded.
+    // MJPEG + multi-frame GIF ride the same decoder under spec coverage.
+    "q105_video_frames" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id").as("id"),
+          (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("w"),
+          (lit(12) + pmod(col("doc_id"), lit(24))).cast("int").as("h"),
+          (lit(4) + pmod(col("doc_id"), lit(12))).cast("int").as("n_frames"),
+          (lit(5) + pmod(col("doc_id"), lit(25))).cast("int").as("fps"),
+          pmod(col("doc_id"), lit(256)).cast("int").as("r0"),
+          pmod(col("doc_id") * 7, lit(256)).cast("int").as("g0"),
+          pmod(col("doc_id") * 13, lit(256)).cast("int").as("b0"))
+      Multimodal.decodeVideoFrames(
+          Multimodal.encodeAvis(params)
+            .select(col("id").as("media_id"), col("payload")),
+          frameStride = 2)
+        .select(col("media_id").as("doc_id"), col("n_frames"), col("fps"),
+          col("duration_ms"), col("frame_idx"), col("frame_w"), col("frame_h"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("dhash"))
+    }),
+
     // S9–S12 provider normalization: deterministic raw response BODIES in
     // each provider's documented JSON shape (built with to_json, so the
     // round-trip exercises real parse paths), normalized through the
@@ -610,6 +639,26 @@ object FixtureQueries {
            CAST(nf * spf AS BIGINT) AS n_samples,
            CAST(nf * spf * 1000 // sr AS BIGINT) AS duration_ms
          FROM t""",
+    "q105_video_frames" ->
+      """WITH d AS (SELECT doc_id,
+             16 + doc_id % 32 AS w, 12 + doc_id % 24 AS h,
+             4 + doc_id % 12 AS nf, 5 + doc_id % 25 AS fps,
+             doc_id % 256 AS r0, (doc_id * 7) % 256 AS g0,
+             (doc_id * 13) % 256 AS b0
+           FROM documents WHERE doc_id < 120),
+         f AS (SELECT doc_id, w, h, nf, fps, r0, g0, b0,
+             unnest(range(nf)) AS fi
+           FROM d)
+         SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(fps AS INT) AS fps,
+           CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(w AS INT) AS frame_w, CAST(h AS INT) AS frame_h,
+           CAST((r0 + 11 * fi) % 256 AS INT) AS mean_r,
+           CAST((g0 + 5 * fi) % 256 AS INT) AS mean_g,
+           CAST((b0 + 3 * fi) % 256 AS INT) AS mean_b,
+           CAST(0 AS BIGINT) AS dhash
+         FROM f WHERE fi % 2 = 0""",
     "q97_image_decode" ->
       """SELECT doc_id,
            CAST(8 + doc_id % 50 AS INT) AS img_w,

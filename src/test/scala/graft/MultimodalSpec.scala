@@ -373,6 +373,138 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L).isNullAt(1) && got(4L).isNullAt(7))
   }
 
+  test("decodeVideoFrames: AVI DIB walk — pixels, fps, sampling, top-down") {
+    // 2 videos: id 1 = 16x12, 6 frames @ 10 fps from (10,20,30); id 2 =
+    // 17x9 (odd width -> padded rows), 4 frames @ 25 fps from (200,100,50)
+    val params = Seq((1L, 16, 12, 6, 10, 10, 20, 30), (2L, 17, 9, 4, 25, 200, 100, 50))
+      .toDF("id", "w", "h", "n_frames", "fps", "r0", "g0", "b0")
+    val payloads = Multimodal.encodeAvis(params).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val got = Multimodal.decodeVideoFrames(
+        payloads.toSeq.toDF("media_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getInt(5)) -> r).toMap
+    assert(got.size == 10) // 6 + 4 frames at stride 1
+    val f13 = got((1L, 3))
+    assert(f13.getString(1) == "avi-dib")
+    assert(f13.getLong(2) == 6L && f13.getInt(3) == 10)
+    assert(f13.getLong(4) == 600L) // 6 frames / 10 fps
+    assert(f13.getInt(6) == 16 && f13.getInt(7) == 12)
+    assert(f13.getInt(8) == 10 + 33 && f13.getInt(9) == 20 + 15 && f13.getInt(10) == 30 + 9)
+    assert(f13.getLong(11) == 0L) // solid frame -> empty dHash
+    val f22 = got((2L, 2))
+    assert(f22.getInt(6) == 17 && f22.getInt(8) == (200 + 22) % 256)
+    // stride 2 keeps only even frame indices
+    val sampled = Multimodal.decodeVideoFrames(
+        payloads.toSeq.toDF("media_id", "payload"), frameStride = 2)
+      .select("media_id", "frame_idx").as[(Long, Int)].collect().toSet
+    assert(sampled == Set((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 2)))
+    // top-down DIB: flip biHeight's sign (strf body starts at byte 172,
+    // biHeight at 180); solid frames are row-symmetric so stats match
+    val flipped = payloads(1L).clone()
+    val hNeg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-12).array()
+    System.arraycopy(hNeg, 0, flipped, 180, 4)
+    val td = Multimodal.decodeVideoFrames(Seq((1L, flipped)).toDF("media_id", "payload"))
+      .filter(col("frame_idx") === 3).head()
+    assert(td.getInt(7) == 12 && td.getInt(8) == 43)
+  }
+
+  test("decodeVideoFrames: AVI MJPEG — every frame a real JPEG via imageio") {
+    val params = Seq((7L, 32, 24, 3, 5, 120, 60, 180, 1))
+      .toDF("id", "w", "h", "n_frames", "fps", "r0", "g0", "b0", "codec")
+    val payload = Multimodal.encodeAvis(params).head().getAs[Array[Byte]](1)
+    val got = Multimodal.decodeVideoFrames(Seq((7L, payload)).toDF("media_id", "payload"))
+      .orderBy("frame_idx").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getString(1) == "avi-mjpg"))
+    assert(got(0).getLong(2) == 3L && got(0).getInt(3) == 5)
+    assert(got(0).getInt(6) == 32 && got(0).getInt(7) == 24)
+    // JPEG is lossy: solid fills decode within a small tolerance
+    for ((r, f) <- got.zipWithIndex) {
+      assert(math.abs(r.getInt(8) - (120 + 11 * f)) <= 3)
+      assert(math.abs(r.getInt(9) - (60 + 5 * f)) <= 3)
+      assert(math.abs(r.getInt(10) - (180 + 3 * f)) <= 3)
+    }
+  }
+
+  test("decodeVideoFrames: multi-frame GIF via imageio sequence") {
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (c <- Seq(0x102030, 0x405060, 0x708090))
+      writer.writeToSequence(new javax.imageio.IIOImage(solid(20, 10, c), null, null), null)
+    writer.endWriteSequence(); ios.close()
+    val got = Multimodal.decodeVideoFrames(
+        Seq((9L, bos.toByteArray)).toDF("media_id", "payload"), frameStride = 2)
+      .orderBy("frame_idx").collect()
+    assert(got.length == 2) // frames 0 and 2 of 3
+    assert(got.forall(_.getString(1) == "gif"))
+    assert(got(0).getLong(2) == 3L)
+    assert(got(0).isNullAt(3) && got(0).isNullAt(4)) // no container-level fps
+    assert((got(0).getInt(8), got(0).getInt(9), got(0).getInt(10)) == ((0x10, 0x20, 0x30)))
+    assert((got(1).getInt(8), got(1).getInt(9), got(1).getInt(10)) == ((0x70, 0x80, 0x90)))
+  }
+
+  test("decodeVideoFrames: gif dHash agrees with decodeImages on the same bytes") {
+    // gradient image -> nonzero dHash; the video path and the image path
+    // must produce the IDENTICAL signature (shared grid arithmetic)
+    val img = new java.awt.image.BufferedImage(40, 30,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 30; x <- 0 until 40)
+      img.setRGB(x, y, ((x * 6) << 16) | ((y * 8) << 8) | ((x + y) & 0xFF))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val bytes = bos.toByteArray
+    val viaVideo = Multimodal.decodeVideoFrames(
+      Seq((1L, bytes)).toDF("media_id", "payload")).head()
+    val viaImage = Multimodal.decodeImages(
+      Seq((1L, bytes)).toDF("media_id", "payload")).head()
+    assert(!viaVideo.isNullAt(11) && viaVideo.getLong(11) != 0L)
+    assert(viaVideo.getLong(11) == viaImage.getLong(6))
+  }
+
+  test("decodeVideoFrames: truncation keeps leading frames; garbage -> null row") {
+    val params = Seq((1L, 16, 12, 6, 10, 10, 20, 30))
+      .toDF("id", "w", "h", "n_frames", "fps", "r0", "g0", "b0")
+    val full = Multimodal.encodeAvis(params).head().getAs[Array[Byte]](1)
+    val rows = Seq(
+        (1L, full.dropRight(5)),                    // truncated mid-frame
+        (2L, "not a container".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeVideoFrames(rows).collect()
+      .groupBy(_.getLong(0))
+    assert(got(1L).map(_.getInt(5)).sorted.toSeq == Seq(0, 1, 2, 3, 4))
+    assert(got(1L).forall(_.getLong(2) == 5L)) // 5 complete frames counted
+    assert(got(2L).length == 1 && got(2L).head.isNullAt(1))
+  }
+
+  test("video feature seam HARD-FAILS on frame-decodable containers (AVI/GIF)") {
+    val params = Seq((1L, 16, 12, 2, 10, 0, 0, 0))
+      .toDF("id", "w", "h", "n_frames", "fps", "r0", "g0", "b0")
+    val avi = Multimodal.encodeAvis(params).head().getAs[Array[Byte]](1)
+    val media = Seq((1L, avi)).toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("video").as("media_type"), lit("avi").as("format"),
+        length(col("payload")).cast("long").as("byte_len"),
+        lit(null).cast(org.apache.spark.sql.types.IntegerType).as("width"),
+        lit(null).cast(org.apache.spark.sql.types.IntegerType).as("height"),
+        lit(null).cast(org.apache.spark.sql.types.LongType).as("duration_ms")))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoFeatureSeam(media, dim = 8).collect()
+    }
+    assert(ex.getMessage.contains("decodeVideoFrames") ||
+      Option(ex.getCause).exists(_.getMessage.contains("decodeVideoFrames")))
+  }
+
   test("binaryFile ingestion path (S5 entry point)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val f = new java.io.File(dir, "sample.png")
