@@ -33,7 +33,9 @@ object PlanDump {
       "q102_lm_perplexity" -> "perplexity ranking: fixed-point log2 computed once per MODEL row (vocab-bounded); doc side joins + sums longs",
       "q101_mp3_meta" -> "MP3 metadata: mapPartitions encode + frame walk, zero shuffles",
       "q103_provider_normalize" -> "provider normalization: from_json + per-provider projections over the fixture scan, no shuffle until the label dim broadcast",
-      "q104_aac_meta" -> "AAC ADTS metadata: mapPartitions encode + per-frame VBR walk, zero shuffles")
+      "q104_aac_meta" -> "AAC ADTS metadata: mapPartitions encode + per-frame VBR walk, zero shuffles",
+      "q105_video_frames" -> "AVI frame decode: mapPartitions encode + container/pixel walk with frame sampling, zero shuffles",
+      "q106_substring_spans" -> "exact-substring spans: compiled gram hashes in the scan, (id,pos,h) exchanges only, gram index shuffled once (reuse), sparse per-doc window merge")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

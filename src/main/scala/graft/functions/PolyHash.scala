@@ -64,6 +64,14 @@ object PolyHash {
     org.apache.spark.sql.functions.call_function(name, c)
   }
 
+  /** Column bridge for the compiled ORDERED gram hasher (positions kept). */
+  def polyGramHashes(spark: SparkSession, c: Column, k: Int): Column = {
+    val name = s"graft_poly_gram_hashes_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PolyGramHashes(exprs.head, k), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
   /** Column bridge for the compiled per-band bucket fold. */
   def polyBandBuckets(spark: SparkSession, sig: Column, bands: Int, rowsPerBand: Int): Column = {
     val name = s"graft_poly_band_buckets_${bands}_$rowsPerBand"
@@ -91,6 +99,12 @@ object PolyHash {
   def polyShingleHashesComposable(c: Column, k: Int): Column =
     array_distinct(transform(TextFunctions.distinctShingles(c, k),
       s => TextFunctions.tokenHash(s)))
+
+  /** Ordered gram poly-hashes (dups kept, index = token position) via the
+    * readable HOF pipeline — spec twin of the compiled PolyGramHashes.
+    */
+  def polyGramHashesComposable(c: Column, k: Int): Column =
+    transform(TextFunctions.shingles(c, k), s => TextFunctions.tokenHash(s))
 
   /** Secondary char fold as a Column (mult 37 mod 998244353). */
   def tokenHash2(w: Column): Column =
@@ -162,6 +176,48 @@ case class PolyShingleHashes(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hashes, m))
+  }
+}
+
+/** Compiled ORDERED word-k-gram portable hashes: tokenize → k-gram →
+  * poly31 char fold (single-space separator) — exactly PolyShingleHashes
+  * WITHOUT the value-dedup, so array index i IS token position i (the
+  * exact-substring span dedup needs positions; a deduped set loses them).
+  * One pass, no gram strings materialized.
+  */
+case class PolyGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with RefKernelCodegen {
+
+  require(k >= 1, "gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = s"poly_gram_hashes_$k"
+
+  override protected def withNewChildInternal(newChild: Expression): PolyGramHashes =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    import PolyHash.{M1, P1}
+    val s = input.asInstanceOf[UTF8String].toString
+    val tokens = ShingleHashes.splitWhitespace(s)
+    val n = tokens.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val hashes = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) h = (h * M1 + 32L) % P1 // the ' ' separator codepoint
+        val t = tokens(i + j)
+        h = PolyHash.foldString(t, 0, t.length, M1, P1, h)
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    new GenericArrayData(hashes)
   }
 }
 

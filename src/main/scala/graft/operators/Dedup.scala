@@ -228,6 +228,94 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Exact-substring duplicate SPANS (the Lee et al. 2021 "Deduplicating
+    * Training Data" primitive, re-expressed relationally): a token position
+    * is duplicated when its n-gram occurs ≥ `minCount` times across the
+    * WHOLE corpus (including intra-document repeats); overlapping duplicated
+    * windows merge into maximal spans `[span_start, span_end)` in token
+    * coordinates. Where the paper builds a monolithic suffix array, the
+    * distributed form is a hash inverted index — n-gram hashes are the keys,
+    * so equality is approximate under hash collision; the portable poly31
+    * fold (mod 1e9+7) is kept for oracle parity, and at adversarial/100 TB
+    * scale the verify-hardening knob is the same as minHashLsh's: swap the
+    * gram hash for a 64-bit fold (one-line change, oracle-portability is
+    * the tradeoff).
+    *
+    * Scale posture: the explode carries (id, pos, h) = 20-byte rows; the
+    * duplicated-hash aggregation and the position semi-join shuffle on the
+    * SAME hash key, so ReuseExchange shuffles the gram index once. The
+    * span merge is a per-document sort (gaps-and-islands over a window) on
+    * the sparse duplicated positions only. At 100 TB, feed the dup-hash
+    * set through a Bloom prefilter before the semi-join to drop the
+    * singleton-dominated long tail early.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens), span_end
+    * exclusive.
+    */
+  def substringSpans(
+      df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 8, minCount: Long = 2): DataFrame = {
+    require(n >= 1, "gram size must be >= 1")
+    val grams = df
+      .select(idCol.as("doc_id"),
+        posexplode(graft.functions.PolyHash
+          .polyGramHashes(df.sparkSession, textCol, n)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("h"))
+    val dupPos = grams.join(dup, Seq("h"), "left_semi")
+    // gaps-and-islands: a window [pos, pos+n) starts a new span when it
+    // clears the running max end of all earlier windows in the doc
+    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + n)
+      .over(ordered.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dupPos
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Apply [[substringSpans]] as a REMOVAL: drop every token inside a
+    * duplicated span and rejoin the survivors with single spaces (the
+    * paper's cut-the-duplicate-text step in token coordinates). Documents
+    * with no spans pass through byte-identical tokenization-wise; a fully
+    * duplicated document comes back empty.
+    *
+    * Output: the rows of `df` with `cleaned_text` and `n_dropped_tokens`.
+    */
+  def removeSubstringSpans(
+      df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = substringSpans(df, idCol, textCol, n, minCount)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"),
+        sum(col("span_tokens")).as("n_dropped_tokens"))
+      .select(col("doc_id").as("__span_doc_id"), col("__spans"),
+        col("n_dropped_tokens"))
+    val joined = df.join(spans, idCol === spans("__span_doc_id"), "left")
+    val toks = tokens(textCol)
+    val kept = filter(
+      zip_with(toks, sequence(lit(0), size(toks) - 1), (t, i) => struct(t.as("t"), i.as("i"))),
+      p => !exists(col("__spans"),
+        s => p.getField("i") >= s.getField("span_start") &&
+          p.getField("i") < s.getField("span_end")))
+    joined
+      .withColumn("cleaned_text",
+        when(col("__spans").isNull, textCol)
+          .otherwise(array_join(transform(kept, p => p.getField("t")), " ")))
+      .withColumn("n_dropped_tokens",
+        coalesce(col("n_dropped_tokens"), lit(0L)))
+      .drop("__span_doc_id", "__spans")
+  }
+
   /** Exact n-gram Jaccard similarity for all candidate pairs produced by an
     * inverted-index self-join on shingles. Quadratic in bucket size — gate
     * behind LSH blocking at scale (see minHashLsh); exposed directly for

@@ -83,6 +83,15 @@ object AnalyticsQueries {
         shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.3)
     }),
 
+    // Exact-substring duplicate spans (Lee et al. 2021): token positions
+    // whose 8-gram occurs >= 2 times corpus-wide, merged into maximal
+    // [start, end) spans. Every hash is the portable poly31 gram fold, so
+    // the DuckDB oracle reproduces the inverted index, the duplicated-gram
+    // set, and the gaps-and-islands merge value-for-value.
+    "q106_substring_spans" -> ((s, dir) => {
+      Dedup.substringSpans(docs(s, dir), col("doc_id"), col("text"), n = 8)
+    }),
+
     // Brute-force cosine top-5 for query vectors vec_id < 20.
     "q42_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -238,6 +247,28 @@ object AnalyticsQueries {
          comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS c FROM reach GROUP BY a)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)""",
+    "q106_substring_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             ${polyHashSql("array_to_string(toks[i:i+7], ' ')")} AS h
+           FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+           WHERE len(toks) >= 8),
+         dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+         p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         m AS (SELECT doc_id, pos,
+             MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM p),
+         s AS (SELECT doc_id, pos,
+             CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk
+           FROM m),
+         i AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM s)
+         SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + 8 AS INT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS INT) AS span_tokens
+         FROM i GROUP BY doc_id, island""",
     "q36_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,

@@ -273,4 +273,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((kept & Set(10L, 11L, 12L)).size == 1)    // one survivor per cluster
     assert(kept.contains(10L))                        // min id is canonical
   }
+
+  test("compiled ordered gram hashes == composable form on real documents") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("text"))
+      .unionByName(Seq("", "   ", "one two", "a b c a b c a b c").toDF("text"))
+    val diff = docs.select(
+        graft.functions.PolyHash.polyGramHashes(spark, col("text"), 4).as("compiled"),
+        graft.functions.PolyHash.polyGramHashesComposable(col("text"), 4).as("composable"))
+      .filter(not(col("compiled") <=> col("composable")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("substringSpans: cross-doc and intra-doc duplicated 3-gram runs merge") {
+    // docs 1/2 share the 5-token run "the quick brown fox jumps" (positions
+    // 2..6 in doc 1, 0..4 in doc 2); doc 3 repeats its own opening 3-gram
+    // at position 5; doc 4 is clean.
+    val docs = Seq(
+      (1L, "it was the quick brown fox jumps high today"),
+      (2L, "the quick brown fox jumps over something else entirely now"),
+      (3L, "alpha beta gamma delta epsilon alpha beta gamma omega psi"),
+      (4L, "completely unique words nothing repeated anywhere at all"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // 3-grams of the shared 5-token run: 3 windows -> merged span of 5 tokens
+    assert(spans == Set(
+      (1L, 2, 7, 5),   // "the quick brown fox jumps" at tokens 2..6
+      (2L, 0, 5, 5),   // same run at tokens 0..4
+      (3L, 0, 3, 3),   // "alpha beta gamma" opening ...
+      (3L, 5, 8, 3))) //  ... and its intra-doc repeat
+  }
+
+  test("removeSubstringSpans drops exactly the duplicated tokens") {
+    val docs = Seq(
+      (1L, "it was the quick brown fox jumps high today"),
+      (2L, "the quick brown fox jumps over something else entirely now"),
+      (4L, "completely unique words nothing repeated anywhere at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeSubstringSpans(docs, col("doc_id"), col("text"), n = 3)
+      .select(col("doc_id"), col("cleaned_text"), col("n_dropped_tokens"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("it was high today", 5L)))
+    assert(got(2L) == (("over something else entirely now", 5L)))
+    assert(got(4L) == (("completely unique words nothing repeated anywhere at all", 0L)))
+  }
 }
