@@ -251,6 +251,75 @@ object Stress {
     rm(new java.io.File(dir))
   }
 
+  /** Exact-substring span receipts (q106's operator at corpus scale).
+    *
+    * Corpus shape: 40-token docs of xxhash-mixed unique tokens; every 10th
+    * doc carries the SAME 12-token run at positions 10..21, so under n=8
+    * grams each planted doc holds exactly the five shared windows
+    * 10..14 → one merged span [10, 22). Ideal output: n/10 spans, all
+    * shaped (10, 22, 12).
+    *
+    * The receipt runs `hash64 = true` — this is the knob the receipt
+    * EXISTS to justify: at 10M docs the corpus holds 3.3·10⁸ grams, which
+    * SATURATES the portable poly31 space (expected spurious birthday pairs
+    * ≈ G²/2³¹ ≈ 2.5·10⁷ — every one a false duplicate mark), while the
+    * 64-bit FNV space expects ≈ G²/2⁶⁵ ≈ 0.003. Exact span parity is
+    * asserted, so a collision regression (or a hash64 plumbing bug)
+    * fails the receipt rather than quietly inflating spans.
+    */
+  private def substringReceipts(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Dedup
+    val sc = spark.sparkContext
+    val planted = n / 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_substr").toString
+    try {
+      spark.range(0, n, 1, 32).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(39)), j => {
+          when(pmod(col("id"), lit(10)) === 0 && j >= 10 && j < 22,
+            concat(lit("dup"), j))
+            .otherwise(concat(lit("u"),
+              pmod(xxhash64(col("id"), j), lit(999999937L)), lit("t"), j))
+        }), " ").as("text"))
+        .write.mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+
+      var spans = -1L
+      var shuffled = -1L
+      time(s"substring_spans_${n / 1000000}M") {
+        val (s, b) = shuffleBytes(sc) {
+          Dedup.substringSpans(corpus, col("doc_id"), col("text"),
+            n = 8, hash64 = true).count()
+        }
+        spans = s; shuffled = b
+      }
+      // Shape audit: the planted span is [10, 22). Edges may extend by ONE
+      // token on ~0.1% of planted docs — NOT a hash collision: the fixture
+      // tokens "u{xxhash mod 2³⁰}t{j}" themselves birthday-collide across
+      // 10⁶ planted docs at a fixed boundary position (E ≈ 500 pairs per
+      // edge, measured 956+997 extended docs at 10M), making the boundary
+      // 8-gram STRING-equal between two docs — real duplication the
+      // operator is right to mark. The audit therefore pins: exact span
+      // count, edges within one token, and ≥99.5% exactly-planted shapes.
+      val shapes = Dedup.substringSpans(corpus, col("doc_id"), col("text"),
+          n = 8, hash64 = true)
+        .groupBy(col("span_start"), col("span_end")).count().collect()
+      println(s"[stress] substring_spans_${n / 1000000}M: spans=$spans " +
+        s"(ideal $planted), shapes=${shapes.mkString(",")}, " +
+        f"shuffle_written=${shuffled / 1e9}%.2f GB")
+      require(spans == planted,
+        s"substring spans $spans != planted $planted — collision or recall bug")
+      require(shapes.forall(r => (r.getInt(0) == 10 || r.getInt(0) == 9) &&
+        (r.getInt(1) == 22 || r.getInt(1) == 23)),
+        s"span shapes beyond one-token edge jitter: ${shapes.mkString(",")}")
+      val exactShape = shapes.collectFirst {
+        case r if r.getInt(0) == 10 && r.getInt(1) == 22 => r.getLong(2)
+      }.getOrElse(0L)
+      require(exactShape * 1000 >= spans * 995,
+        s"only $exactShape of $spans spans match the planted shape")
+    } finally rmrf(dir)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -262,6 +331,12 @@ object Stress {
 
     if (section == "neardup") {
       nearDupReceipts(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "substring") {
+      substringReceipts(spark, n)
       spark.stop()
       return
     }

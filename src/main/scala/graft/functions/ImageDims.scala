@@ -5,17 +5,18 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.sql.{Column, functions => F}
 
 /** Real image-header decoding from payload BYTES (no metadata trust): PNG
-  * IHDR, JPEG SOFn marker walk, GIF logical-screen descriptor — the
-  * pure-JVM subset of the reference's PIL `Image.open` validation gate
+  * IHDR, JPEG SOFn marker walk, GIF logical-screen descriptor, BMP
+  * BITMAPINFOHEADER, WebP VP8/VP8L/VP8X — the pure-JVM subset of the
+  * reference's PIL `Image.open` validation gate
   * (多数据源获取数据.py:396-445: an embedded image must DECODE and be
-  * ≥50 px to survive). Pixel DATA decoding stays out of scope (container
-  * has no codecs) — but the dimensions come from the actual encoded
-  * stream, so a lying `width`/`height` metadata column no longer passes
-  * the gate.
+  * ≥50 px to survive). PNG/JPEG/GIF/BMP pixels additionally decode for
+  * real via Multimodal.decodeImages (javax.imageio); WebP is dims-only —
+  * the VP8 bitstream has no JDK codec, so the gate still judges its
+  * header while pixel decode stays behind the seam.
   *
   * Packed result layout (LongType, codegen-friendly single value):
-  * bits 56-63 format tag (1=png 2=jpeg 3=gif), bits 28-55 width,
-  * bits 0-27 height. Null = not a decodable image header.
+  * bits 56-63 format tag (1=png 2=jpeg 3=gif 4=bmp 5=webp), bits 28-55
+  * width, bits 0-27 height. Null = not a decodable image header.
   */
 case class ImageDims(child: Expression)
   extends UnaryExpression with RefKernelCodegen {
@@ -44,9 +45,11 @@ object ImageDims {
   val FmtPng = 1L
   val FmtJpeg = 2L
   val FmtGif = 3L
+  val FmtBmp = 4L
+  val FmtWebp = 5L
 
   /** Packed (fmt<<56 | w<<28 | h), or -1 when the bytes are not a
-    * parseable PNG/JPEG/GIF header.
+    * parseable PNG/JPEG/GIF/BMP/WebP header.
     */
   def parse(b: Array[Byte]): Long = {
     if (b == null || b.length < 10) return -1L
@@ -70,6 +73,37 @@ object ImageDims {
       val w = u(6) | (u(7) << 8)
       val h = u(8) | (u(9) << 8)
       return pack(FmtGif, w, h)
+    }
+    // BMP: "BM" + BITMAPINFOHEADER (biWidth/biHeight LE32 at 18/22;
+    // height may be negative = top-down)
+    if (u(0) == 'B' && u(1) == 'M') {
+      if (b.length < 26) return -1L
+      def le32(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+      return pack(FmtBmp, le32(18).toLong, math.abs(le32(22)).toLong)
+    }
+    // WebP: RIFF container, "WEBP" form; dims per coding chunk —
+    // VP8 (lossy): 14-bit w/h after the 0x9D012A sync code;
+    // VP8L (lossless): 0x2F signature then 14+14 bits packed LE;
+    // VP8X (extended): 24-bit LE canvas w-1/h-1 at payload offsets 4/7
+    if (u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+      b.length >= 30 && u(8) == 'W' && u(9) == 'E' && u(10) == 'B' && u(11) == 'P') {
+      val cc = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      cc match {
+        case "VP8 " =>
+          // 3-byte frame tag, then sync 9D 01 2A, then LE16 w/h (14 bits)
+          if (u(23) != 0x9D || u(24) != 0x01 || u(25) != 0x2A) return -1L
+          return pack(FmtWebp, (u(26) | (u(27) << 8)) & 0x3FFF, (u(28) | (u(29) << 8)) & 0x3FFF)
+        case "VP8L" =>
+          if (u(20) != 0x2F) return -1L
+          val bits = u(21).toLong | (u(22).toLong << 8) | (u(23).toLong << 16) |
+            (u(24).toLong << 24)
+          return pack(FmtWebp, (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        case "VP8X" =>
+          val w = (u(24) | (u(25) << 8) | (u(26) << 16)) + 1
+          val h = (u(27) | (u(28) << 8) | (u(29) << 16)) + 1
+          return pack(FmtWebp, w, h)
+        case _ => return -1L
+      }
     }
     // JPEG: SOI then marker segments; dims live in the first SOFn
     if (u(0) == 0xFF && u(1) == 0xD8) {
@@ -118,6 +152,8 @@ object ImageDims {
       .when(F.shiftright(packed, 56) === FmtPng, "png")
       .when(F.shiftright(packed, 56) === FmtJpeg, "jpeg")
       .when(F.shiftright(packed, 56) === FmtGif, "gif")
+      .when(F.shiftright(packed, 56) === FmtBmp, "bmp")
+      .when(F.shiftright(packed, 56) === FmtWebp, "webp")
 
   def widthOf(packed: Column): Column =
     F.shiftright(packed, 28).bitwiseAND(F.lit((1L << 28) - 1)).cast("int")

@@ -1,0 +1,253 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** FLAC and Ogg/Vorbis container-metadata decode — the lossless and
+  * free-codec thirds of the scraped-audio landscape (MP3/AAC frame walks
+  * live in [[Multimodal]]). Same posture as q99/q101/q104: the container
+  * layer is REAL pure-JVM arithmetic over the public specs (the FLAC
+  * format spec / RFC 3533 + Vorbis I); only spectral decode stays behind
+  * the seam (no codec in the JDK). Reference analog: the format-sniffing
+  * chain (多数据源获取数据.py:1384-1447).
+  */
+object AudioContainers {
+
+  // ---- FLAC ---------------------------------------------------------------
+
+  /** Encode (id, sample_rate, channels, bits, total_samples[, pad_len])
+    * rows as REAL FLAC byte streams: "fLaC" magic, a STREAMINFO metadata
+    * block with the packed 20/3/5/36-bit field, an optional PADDING block,
+    * and deterministic filler "frames". The fixture generator for q107 and
+    * specs; runs on executors like the other encoders.
+    */
+  def encodeFlacs(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val padCol = if (df.columns.contains("pad_len")) col("pad_len").cast("int") else lit(0)
+    df.select(col("id").cast("long"), col("sample_rate").cast("int"),
+        col("channels").cast("int"), col("bits").cast("int"),
+        col("total_samples").cast("long"), padCol)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val sr = r.getInt(1); val ch = r.getInt(2)
+          val bits = r.getInt(3); val total = r.getLong(4)
+          val pad = r.getInt(5)
+          val out = new java.io.ByteArrayOutputStream()
+          out.write("fLaC".getBytes("US-ASCII"))
+          // STREAMINFO: last-block flag only when no padding follows
+          out.write(if (pad > 0) 0x00 else 0x80)
+          out.write(0); out.write(0); out.write(34)
+          val b = java.nio.ByteBuffer.allocate(34)
+          b.putShort(4096)                  // min block size
+          b.putShort(4096)                  // max block size
+          b.put(new Array[Byte](6))         // min/max frame size (unknown)
+          // packed: sr(20) | ch-1(3) | bits-1(5) | total(36)
+          val packed = (sr.toLong << 44) | ((ch - 1).toLong << 41) |
+            ((bits - 1).toLong << 36) | (total & 0xFFFFFFFFFL)
+          b.putLong(packed)
+          b.put(new Array[Byte](16))        // MD5 (unset)
+          out.write(b.array())
+          if (pad > 0) {
+            out.write(0x81)                 // last block, type 1 = PADDING
+            out.write((pad >> 16) & 0xFF); out.write((pad >> 8) & 0xFF)
+            out.write(pad & 0xFF)
+            var i = 0
+            while (i < pad) { out.write(0); i += 1 }
+          }
+          // deterministic filler "audio frames" (never parsed)
+          var i = 0
+          while (i < 64) { out.write((i * 41 + 3) & 0xFF); i += 1 }
+          Row(r.getLong(0), out.toByteArray)
+        }
+      }(encoder)
+  }
+
+  /** REAL FLAC METADATA decode: validate the "fLaC" magic, walk the
+    * metadata-block chain by its 1+3-byte headers to STREAMINFO (type 0),
+    * and unpack the 20-bit sample rate / 3-bit channels / 5-bit bit-depth
+    * / 36-bit total-sample fields. duration_ms is exact integer math.
+    * Non-FLAC / truncated payloads keep their row with null fields.
+    *
+    * Output: (media_id, sample_rate, channels, bits_per_sample,
+    * total_samples, duration_ms).
+    */
+  def decodeFlacMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bits_per_sample", IntegerType, nullable = true),
+      StructField("total_samples", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          def nulls = Row(id, null, null, null, null, null)
+          if (b.length < 8 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') nulls
+          else {
+            var pos = 4
+            var found: Row = null
+            var last = false
+            while (found == null && !last && pos + 4 <= b.length) {
+              val hdr = b(pos) & 0xFF
+              last = (hdr & 0x80) != 0
+              val typ = hdr & 0x7F
+              val len = ((b(pos + 1) & 0xFF) << 16) | ((b(pos + 2) & 0xFF) << 8) |
+                (b(pos + 3) & 0xFF)
+              val body = pos + 4
+              if (typ == 0 && len >= 34 && body + 34 <= b.length) {
+                val packed = java.nio.ByteBuffer.wrap(b, body + 10, 8).getLong
+                val sr = (packed >>> 44).toInt
+                val ch = ((packed >>> 41) & 0x7).toInt + 1
+                val bits = ((packed >>> 36) & 0x1F).toInt + 1
+                val total = packed & 0xFFFFFFFFFL
+                if (sr <= 0) found = nulls
+                else found = Row(id, sr, ch, bits, total,
+                  if (total > 0) Long.box(total * 1000L / sr) else null)
+              }
+              pos = body + len
+            }
+            if (found == null) nulls else found
+          }
+        }
+      }(encoder)
+  }
+
+  // ---- Ogg / Vorbis -------------------------------------------------------
+
+  /** Encode (id, sample_rate, channels, total_samples, n_pages) rows as
+    * REAL Ogg byte streams (RFC 3533 page framing): page 0 carries the
+    * Vorbis identification header (BOS), followed by `n_pages` audio pages
+    * with deterministic filler whose granule positions step evenly to
+    * `total_samples` on the final (EOS) page. CRCs are left zero — the
+    * decoder must tolerate unchecked CRCs exactly like real scrapers do
+    * with damaged files. Fixture generator for q108 and specs.
+    */
+  def encodeOggs(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col("id").cast("long"), col("sample_rate").cast("int"),
+        col("channels").cast("int"), col("total_samples").cast("long"),
+        col("n_pages").cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val sr = r.getInt(1); val ch = r.getInt(2)
+          val total = r.getLong(3); val nPages = math.max(1, r.getInt(4))
+          val le = java.nio.ByteOrder.LITTLE_ENDIAN
+          val out = new java.io.ByteArrayOutputStream()
+          def page(granule: Long, headerType: Int, seq: Int,
+              segments: Array[Array[Byte]]): Unit = {
+            val b = java.nio.ByteBuffer
+              .allocate(27 + segments.length + segments.map(_.length).sum).order(le)
+            b.put("OggS".getBytes("US-ASCII"))
+            b.put(0.toByte)                  // stream structure version
+            b.put(headerType.toByte)         // 2 = BOS, 4 = EOS
+            b.putLong(granule)
+            b.putInt(0x6772616F)             // serial
+            b.putInt(seq)
+            b.putInt(0)                      // CRC unset (tolerated)
+            b.put(segments.length.toByte)
+            segments.foreach(s => b.put(s.length.toByte))
+            segments.foreach(b.put)
+            out.write(b.array())
+          }
+          // Vorbis identification header: \x01 "vorbis" ver ch sr ...
+          val idh = java.nio.ByteBuffer.allocate(30).order(le)
+          idh.put(1.toByte); idh.put("vorbis".getBytes("US-ASCII"))
+          idh.putInt(0)                      // vorbis_version
+          idh.put(ch.toByte)
+          idh.putInt(sr)
+          idh.putInt(0); idh.putInt(0); idh.putInt(0) // bitrates
+          idh.put(0xB8.toByte)               // blocksizes
+          idh.put(1.toByte)                  // framing bit
+          page(0L, 2, 0, Array(idh.array()))
+          var p = 1
+          while (p <= nPages) {
+            val granule = total * p / nPages
+            val body = Array.tabulate[Byte](40 + (p % 3) * 7)(i => ((p * 31 + i * 7) & 0xFF).toByte)
+            page(granule, if (p == nPages) 4 else 0, p, Array(body))
+            p += 1
+          }
+          Row(r.getLong(0), out.toByteArray)
+        }
+      }(encoder)
+  }
+
+  /** REAL Ogg/Vorbis METADATA decode: walk the RFC 3533 page chain by
+    * each page's segment table (27-byte header + lacing values), read
+    * channels + sample rate from the Vorbis identification header on the
+    * BOS page, and total samples from the LAST page's granule position —
+    * the walk must size every page correctly or it desyncs. CRCs are not
+    * verified (scraped files are routinely damaged; framing is the
+    * authority). Non-Ogg / truncated payloads keep their row with null
+    * fields.
+    *
+    * Output: (media_id, channels, sample_rate, total_samples, n_pages,
+    * duration_ms).
+    */
+  def decodeOggMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("total_samples", LongType, nullable = true),
+      StructField("n_pages", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          def le32(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+            ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+          def le64(i: Int): Long = (le32(i) & 0xFFFFFFFFL) | (le32(i + 4).toLong << 32)
+          var pos = 0
+          var ch = 0; var sr = 0
+          var granule = -1L
+          var nPages = 0L
+          var ok = true
+          while (ok && pos + 27 <= b.length) {
+            if (b(pos) != 'O' || b(pos + 1) != 'g' || b(pos + 2) != 'g' ||
+              b(pos + 3) != 'S' || b(pos + 4) != 0) ok = false
+            else {
+              val pageGranule = le64(pos + 6)
+              val nSegs = b(pos + 26) & 0xFF
+              if (pos + 27 + nSegs > b.length) ok = false
+              else {
+                var bodyLen = 0
+                var s = 0
+                while (s < nSegs) { bodyLen += b(pos + 27 + s) & 0xFF; s += 1 }
+                val body = pos + 27 + nSegs
+                if (body + bodyLen > b.length) ok = false
+                else {
+                  // Vorbis identification header on the first page
+                  if (nPages == 0 && bodyLen >= 16 && b(body) == 1 &&
+                    b(body + 1) == 'v' && b(body + 2) == 'o' && b(body + 3) == 'r' &&
+                    b(body + 4) == 'b' && b(body + 5) == 'i' && b(body + 6) == 's') {
+                    ch = b(body + 11) & 0xFF
+                    sr = le32(body + 12)
+                  }
+                  granule = pageGranule
+                  nPages += 1
+                  pos = body + bodyLen
+                }
+              }
+            }
+          }
+          if (nPages == 0 || sr <= 0) Row(id, null, null, null, null, null)
+          else Row(id, ch, sr, granule, nPages,
+            if (granule >= 0) Long.box(granule * 1000L / sr) else null)
+        }
+      }(encoder)
+  }
+}

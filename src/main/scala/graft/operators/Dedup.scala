@@ -235,11 +235,19 @@ object Dedup {
     * windows merge into maximal spans `[span_start, span_end)` in token
     * coordinates. Where the paper builds a monolithic suffix array, the
     * distributed form is a hash inverted index — n-gram hashes are the keys,
-    * so equality is approximate under hash collision; the portable poly31
-    * fold (mod 1e9+7) is kept for oracle parity, and at adversarial/100 TB
-    * scale the verify-hardening knob is the same as minHashLsh's: swap the
-    * gram hash for a 64-bit fold (one-line change, oracle-portability is
-    * the tradeoff).
+    * so equality is approximate under hash collision.
+    *
+    * Hash sizing (the knob that matters at scale): the default portable
+    * poly31 fold (mod 1e9+7) lives in a ~2³⁰ space, so birthday collisions
+    * — each one a FALSE duplicate mark — arrive at rate ≈ G²/2³¹ for G
+    * total grams: negligible at G ≤ 10⁷ (the oracle-checked regime; the
+    * oracle reproduces the identical hashes, so parity holds regardless),
+    * but CERTAIN at corpus scale (G = 3·10⁸ → tens of millions of spurious
+    * pairs). Production corpora therefore pass `hash64 = true`: ordered
+    * 64-bit FNV-1a gram hashes (collision odds ≈ G²/2⁶⁵ ≈ 0 at any
+    * realistic G), trading DuckDB-oracle portability — the same tradeoff
+    * as minHashLsh's verifyOn64Bit, stress-verified at 10M docs in
+    * SCALE.md.
     *
     * Scale posture: the explode carries (id, pos, h) = 20-byte rows; the
     * duplicated-hash aggregation and the position semi-join shuffle on the
@@ -254,12 +262,13 @@ object Dedup {
     */
   def substringSpans(
       df: DataFrame, idCol: Column, textCol: Column,
-      n: Int = 8, minCount: Long = 2): DataFrame = {
+      n: Int = 8, minCount: Long = 2, hash64: Boolean = false): DataFrame = {
     require(n >= 1, "gram size must be >= 1")
+    val gramHashes =
+      if (hash64) graft.functions.ShingleHashes.gramHashes64(df.sparkSession, textCol, n)
+      else graft.functions.PolyHash.polyGramHashes(df.sparkSession, textCol, n)
     val grams = df
-      .select(idCol.as("doc_id"),
-        posexplode(graft.functions.PolyHash
-          .polyGramHashes(df.sparkSession, textCol, n)))
+      .select(idCol.as("doc_id"), posexplode(gramHashes))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
     val dup = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
@@ -293,8 +302,8 @@ object Dedup {
     */
   def removeSubstringSpans(
       df: DataFrame, idCol: Column, textCol: Column,
-      n: Int = 8, minCount: Long = 2): DataFrame = {
-    val spans = substringSpans(df, idCol, textCol, n, minCount)
+      n: Int = 8, minCount: Long = 2, hash64: Boolean = false): DataFrame = {
+    val spans = substringSpans(df, idCol, textCol, n, minCount, hash64)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"),
         sum(col("span_tokens")).as("n_dropped_tokens"))

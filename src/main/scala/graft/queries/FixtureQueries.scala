@@ -377,6 +377,45 @@ object FixtureQueries {
           col("n_samples"), col("duration_ms"))
     }),
 
+    // REAL FLAC METADATA decode: fLaC magic + metadata-block chain walk to
+    // STREAMINFO, unpacking the 20/3/5/36-bit packed field (some fixtures
+    // interpose a PADDING block so the chain walk is exercised). Every
+    // field is doc_id arithmetic the oracle recomputes.
+    "q107_flac_meta" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id"),
+          (lit(8000) + pmod(col("doc_id"), lit(12)) * 4000).cast("int").as("sample_rate"),
+          (lit(1) + pmod(col("doc_id"), lit(8))).cast("int").as("channels"),
+          (lit(8) + pmod(col("doc_id"), lit(25))).cast("int").as("bits"),
+          (lit(10000) + pmod(col("doc_id") * 37, lit(500000))).cast("long").as("total_samples"),
+          (pmod(col("doc_id"), lit(5)) * 17).cast("int").as("pad_len"))
+      graft.multimodal.AudioContainers.decodeFlacMeta(
+          graft.multimodal.AudioContainers.encodeFlacs(params)
+            .select(col("id").as("media_id"), col("payload")))
+        .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("total_samples"), col("duration_ms"))
+    }),
+
+    // REAL Ogg/Vorbis METADATA decode: RFC 3533 page walk (27-byte header
+    // + segment-table sizing — one wrong lacing sum desyncs the chain),
+    // Vorbis identification header on the BOS page, duration from the
+    // final page's granule position. The oracle recomputes every field.
+    "q108_ogg_meta" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id"),
+          (lit(8000) + pmod(col("doc_id"), lit(6)) * 8000).cast("int").as("sample_rate"),
+          (lit(1) + pmod(col("doc_id"), lit(8))).cast("int").as("channels"),
+          (lit(5000) + pmod(col("doc_id") * 73, lit(800000))).cast("long").as("total_samples"),
+          (lit(1) + pmod(col("doc_id"), lit(9))).cast("int").as("n_pages"))
+      graft.multimodal.AudioContainers.decodeOggMeta(
+          graft.multimodal.AudioContainers.encodeOggs(params)
+            .select(col("id").as("media_id"), col("payload")))
+        .select(col("media_id").as("doc_id"), col("channels"), col("sample_rate"),
+          col("total_samples"), col("n_pages"), col("duration_ms"))
+    }),
+
     // REAL video FRAME decode: AVI containers with uncompressed BI_RGB DIB
     // frames built on executors (solid per-frame fills — lossless, so the
     // decoded channel means equal the fill arithmetic EXACTLY), walked
@@ -639,6 +678,32 @@ object FixtureQueries {
            CAST(nf * spf AS BIGINT) AS n_samples,
            CAST(nf * spf * 1000 // sr AS BIGINT) AS duration_ms
          FROM t""",
+    "q107_flac_meta" ->
+      """WITH d AS (SELECT doc_id,
+             8000 + (doc_id % 12) * 4000 AS sr,
+             1 + doc_id % 8 AS ch,
+             8 + doc_id % 25 AS bits,
+             10000 + (doc_id * 37) % 500000 AS total
+           FROM documents WHERE doc_id < 150)
+         SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(bits AS INT) AS bits_per_sample,
+           CAST(total AS BIGINT) AS total_samples,
+           CAST(total * 1000 // sr AS BIGINT) AS duration_ms
+         FROM d""",
+    "q108_ogg_meta" ->
+      """WITH d AS (SELECT doc_id,
+             8000 + (doc_id % 6) * 8000 AS sr,
+             1 + doc_id % 8 AS ch,
+             5000 + (doc_id * 73) % 800000 AS total,
+             1 + doc_id % 9 AS np
+           FROM documents WHERE doc_id < 150)
+         SELECT doc_id, CAST(ch AS INT) AS channels,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(total AS BIGINT) AS total_samples,
+           CAST(np + 1 AS BIGINT) AS n_pages,
+           CAST(total * 1000 // sr AS BIGINT) AS duration_ms
+         FROM d""",
     "q105_video_frames" ->
       """WITH d AS (SELECT doc_id,
              16 + doc_id % 32 AS w, 12 + doc_id % 24 AS h,

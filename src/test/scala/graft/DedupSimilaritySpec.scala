@@ -306,6 +306,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 5, 8, 3))) //  ... and its intra-doc repeat
   }
 
+  test("substringSpans: hash64 strips poly31 false positives, keeps real spans") {
+    // WILD-CAUGHT collision, the reason the hash64 knob exists: in the
+    // sf0.001 corpus the distinct 8-grams "customer scan group row scan
+    // filter data data" (doc 269 pos 6) and "window part window column
+    // customer customer hash filter" (doc 300 pos 17) both poly31-fold to
+    // 482557332 — a birthday hit at just 15k grams (E ≈ 0.12 pairs). The
+    // poly31 span set must therefore be a SUPERSET of the 64-bit one, and
+    // the surplus must look exactly like lone collisions: isolated
+    // single-window (span_tokens == n) spans.
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val a = Dedup.substringSpans(docs, col("doc_id"), col("text"), n = 8)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val b = Dedup.substringSpans(docs, col("doc_id"), col("text"), n = 8, hash64 = true)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(b.nonEmpty)          // the sf corpus has planted duplicates
+    assert(b.subsetOf(a))       // 64-bit only ever REMOVES false marks here
+    val surplus = a -- b
+    assert(surplus.forall(_._4 == 8), s"non-collision-shaped surplus: $surplus")
+    assert(surplus.size <= 4, s"too many poly31 collisions for 15k grams: $surplus")
+    assert(surplus.exists(_._1 == 269L)) // the documented wild-caught pair
+  }
+
   test("removeSubstringSpans drops exactly the duplicated tokens") {
     val docs = Seq(
       (1L, "it was the quick brown fox jumps high today"),

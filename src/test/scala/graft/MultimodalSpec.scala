@@ -87,6 +87,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageDims.parse(Array.emptyByteArray) == -1L)
   }
 
+  test("ImageDims parses BMP and all three WebP chunk layouts") {
+    import graft.functions.ImageDims
+    // BMP through the JDK's own encoder (round-trip like png/jpg/gif)
+    val bmp = ImageDims.parse(encode(77, 31, "bmp"))
+    assert(bmp >= 0 && (bmp >> 56) == ImageDims.FmtBmp)
+    assert(((bmp >> 28) & 0xFFFFFFFL) == 77 && (bmp & 0xFFFFFFFL) == 31)
+    // WebP has no JDK encoder: hand-build the three container layouts
+    def riff(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val body = "WEBP".getBytes ++ cc.getBytes ++
+        Array[Byte]((payload.length & 0xFF).toByte,
+          ((payload.length >> 8) & 0xFF).toByte,
+          ((payload.length >> 16) & 0xFF).toByte,
+          ((payload.length >> 24) & 0xFF).toByte) ++ payload
+      "RIFF".getBytes ++ Array[Byte]((body.length & 0xFF).toByte,
+        ((body.length >> 8) & 0xFF).toByte, ((body.length >> 16) & 0xFF).toByte,
+        ((body.length >> 24) & 0xFF).toByte) ++ body
+    }
+    // VP8 lossy: frame tag + 9D012A sync + 14-bit LE dims (240x181)
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      240.toByte, 0, 181.toByte, 0, 0, 0))
+    val p1 = ImageDims.parse(vp8)
+    assert((p1 >> 56) == ImageDims.FmtWebp)
+    assert(((p1 >> 28) & 0xFFFFFFFL) == 240 && (p1 & 0xFFFFFFFL) == 181)
+    // VP8L lossless: 0x2F + (w-1 | (h-1)<<14) packed LE: 300x200
+    val bits = (300 - 1) | ((200 - 1) << 14)
+    val vp8l = riff("VP8L", Array[Byte](0x2F, (bits & 0xFF).toByte,
+      ((bits >> 8) & 0xFF).toByte, ((bits >> 16) & 0xFF).toByte,
+      ((bits >> 24) & 0xFF).toByte, 0, 0, 0, 0, 0))
+    val p2 = ImageDims.parse(vp8l)
+    assert(((p2 >> 28) & 0xFFFFFFFL) == 300 && (p2 & 0xFFFFFFFL) == 200)
+    // VP8X extended: flags(4) + 24-bit LE (w-1, h-1): 1920x1080
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0,
+      ((1920 - 1) & 0xFF).toByte, (((1920 - 1) >> 8) & 0xFF).toByte, 0,
+      ((1080 - 1) & 0xFF).toByte, (((1080 - 1) >> 8) & 0xFF).toByte, 0))
+    val p3 = ImageDims.parse(vp8x)
+    assert(((p3 >> 28) & 0xFFFFFFFL) == 1920 && (p3 & 0xFFFFFFFL) == 1080)
+    // formatOf surfaces the new tags
+    val fmts = Seq(encode(60, 60, "bmp"), vp8).toDF("payload")
+      .select(ImageDims.formatOf(ImageDims.expr(col("payload"))))
+      .as[String].collect().toSet
+    assert(fmts == Set("bmp", "webp"))
+    // a bad VP8 sync code refuses to parse
+    val broken = vp8.clone(); broken(23) = 0x00
+    assert(ImageDims.parse(broken) == -1L)
+  }
+
   test("P12 gate judges dims from the payload bytes, not metadata") {
     import org.apache.spark.sql.types._
     val lying = Seq(
@@ -503,6 +549,54 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("decodeVideoFrames") ||
       Option(ex.getCause).exists(_.getMessage.contains("decodeVideoFrames")))
+  }
+
+  test("decodeFlacMeta: STREAMINFO unpack, padding-block chain walk, garbage") {
+    import graft.multimodal.AudioContainers
+    // id 1: 44.1 kHz stereo 16-bit, 441000 samples (10 s), no padding;
+    // id 2: 8 kHz mono 24-bit, 12345 samples, PADDING block interposed
+    val params = Seq((1L, 44100, 2, 16, 441000L, 0), (2L, 8000, 1, 24, 12345L, 99))
+      .toDF("id", "sample_rate", "channels", "bits", "total_samples", "pad_len")
+    val payloads = AudioContainers.encodeFlacs(params).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val rows = (payloads.toSeq ++ Seq(
+        3L -> payloads(1L).take(20),               // truncated STREAMINFO
+        4L -> "not flac at all today".getBytes))
+      .toDF("media_id", "payload")
+    val got = AudioContainers.decodeFlacMeta(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(1) == 44100 && got(1L).getInt(2) == 2)
+    assert(got(1L).getInt(3) == 16 && got(1L).getLong(4) == 441000L)
+    assert(got(1L).getLong(5) == 10000L)
+    assert(got(2L).getInt(1) == 8000 && got(2L).getInt(2) == 1)
+    assert(got(2L).getInt(3) == 24 && got(2L).getLong(5) == 12345L * 1000 / 8000)
+    assert(got(3L).isNullAt(1))
+    assert(got(4L).isNullAt(1))
+  }
+
+  test("decodeOggMeta: page-chain walk, BOS id header, EOS granule, truncation") {
+    import graft.multimodal.AudioContainers
+    val params = Seq((1L, 48000, 2, 480000L, 5), (2L, 8000, 1, 8000L, 1))
+      .toDF("id", "sample_rate", "channels", "total_samples", "n_pages")
+    val payloads = AudioContainers.encodeOggs(params).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val rows = (payloads.toSeq ++ Seq(
+        3L -> payloads(1L).dropRight(10),          // truncated final page
+        4L -> "oggs? not really a page".getBytes))
+      .toDF("media_id", "payload")
+    val got = AudioContainers.decodeOggMeta(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // id 1: 6 pages (BOS + 5), last granule = total, duration 10 s
+    assert(got(1L).getInt(1) == 2 && got(1L).getInt(2) == 48000)
+    assert(got(1L).getLong(3) == 480000L && got(1L).getLong(4) == 6L)
+    assert(got(1L).getLong(5) == 10000L)
+    assert(got(2L).getLong(4) == 2L && got(2L).getLong(5) == 1000L)
+    // id 3 truncates id 1's final page: the walk keeps the complete
+    // leading pages — granule from audio page 4 of 5 (480000*4/5), page
+    // count one short (BOS + 4)
+    assert(got(3L).getLong(4) == 5L && got(3L).getLong(3) == 384000L)
+    assert(got(3L).getLong(5) == 8000L)
+    assert(got(4L).isNullAt(1))
   }
 
   test("binaryFile ingestion path (S5 entry point)") {
