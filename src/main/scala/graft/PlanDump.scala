@@ -35,7 +35,8 @@ object PlanDump {
       "q103_provider_normalize" -> "provider normalization: from_json + per-provider projections over the fixture scan, no shuffle until the label dim broadcast",
       "q104_aac_meta" -> "AAC ADTS metadata: mapPartitions encode + per-frame VBR walk, zero shuffles",
       "q105_video_frames" -> "AVI frame decode: mapPartitions encode + container/pixel walk with frame sampling, zero shuffles",
-      "q106_substring_spans" -> "exact-substring spans: compiled gram hashes in the scan, (id,pos,h) exchanges only, gram index shuffled once (reuse), sparse per-doc window merge")
+      "q106_substring_spans" -> "exact-substring spans: compiled gram hashes in the scan, (id,pos,h) exchanges only, gram index shuffled once (reuse), sparse per-doc window merge",
+      "q109_compressed_text" -> "compressed ingestion: mapPartitions compress/sniff/inflate round trip, zero shuffles")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -120,6 +120,139 @@ object AudioContainers {
       }(encoder)
   }
 
+  // ---- ID3v2 text frames --------------------------------------------------
+
+  /** Encode (id, title, artist, album, v, enc) rows as REAL ID3v2 tags
+    * (followed by deterministic filler "audio"): `v` selects ID3v2.3
+    * (plain 32-bit frame sizes) or v2.4 (syncsafe frame sizes) — the two
+    * wild formats; `enc` selects the text encoding byte 0=Latin-1,
+    * 1=UTF-16 with BOM, 3=UTF-8. Fixture generator for q110 and specs.
+    */
+  def encodeId3s(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col("id").cast("long"), col("title"), col("artist"), col("album"),
+        col("v").cast("int"), col("enc").cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val v = r.getInt(4)
+          val enc = r.getInt(5)
+          def textBytes(s: String): Array[Byte] = enc match {
+            case 0 => s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            case 1 => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+            case _ => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          def frame(fid: String, text: String): Array[Byte] = {
+            val body = (if (enc == 1) 1 else if (enc == 0) 0 else 3).toByte +:
+              textBytes(text)
+            val sz = body.length
+            val szBytes =
+              if (v == 4) Array[Byte](((sz >> 21) & 0x7F).toByte,
+                ((sz >> 14) & 0x7F).toByte, ((sz >> 7) & 0x7F).toByte,
+                (sz & 0x7F).toByte)
+              else Array[Byte](((sz >> 24) & 0xFF).toByte, ((sz >> 16) & 0xFF).toByte,
+                ((sz >> 8) & 0xFF).toByte, (sz & 0xFF).toByte)
+            fid.getBytes("US-ASCII") ++ szBytes ++ Array[Byte](0, 0) ++ body
+          }
+          val frames = frame("TIT2", r.getString(1)) ++
+            frame("TPE1", r.getString(2)) ++ frame("TALB", r.getString(3))
+          val total = frames.length
+          val out = new java.io.ByteArrayOutputStream()
+          out.write("ID3".getBytes("US-ASCII"))
+          out.write(v); out.write(0); out.write(0) // version, revision, flags
+          out.write((total >> 21) & 0x7F); out.write((total >> 14) & 0x7F)
+          out.write((total >> 7) & 0x7F); out.write(total & 0x7F)
+          out.write(frames)
+          var i = 0
+          while (i < 32) { out.write((i * 29 + 5) & 0xFF); i += 1 }
+          Row(r.getLong(0), out.toByteArray)
+        }
+      }(encoder)
+  }
+
+  /** REAL ID3v2 tag decode: validate the 10-byte header, walk the frame
+    * chain (v2.4 syncsafe vs v2.3 plain 32-bit sizes — mixing them up
+    * desyncs the walk on any frame over 127 bytes), and decode the text
+    * frames TIT2/TPE1/TALB honoring the per-frame encoding byte
+    * (Latin-1 / UTF-16-BOM / UTF-16BE / UTF-8). Untagged payloads keep
+    * their row with null fields.
+    *
+    * Output: (media_id, tag_version, title, artist, album).
+    */
+  def decodeId3Tags(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("tag_version", StringType, nullable = true),
+      StructField("title", StringType, nullable = true),
+      StructField("artist", StringType, nullable = true),
+      StructField("album", StringType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
+            Row(id, null, null, null, null)
+          else {
+            val major = b(3) & 0xFF
+            val tagEnd = math.min(b.length,
+              10 + (((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+                ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)))
+            var title: String = null; var artist: String = null
+            var album: String = null
+            var pos = 10
+            var ok = true
+            while (ok && pos + 10 <= tagEnd) {
+              val fid = new String(b, pos, 4, "US-ASCII")
+              if (fid(0) == 0) ok = false // zero padding reached
+              else {
+                val sz =
+                  if (major >= 4) ((b(pos + 4) & 0x7F) << 21) | ((b(pos + 5) & 0x7F) << 14) |
+                    ((b(pos + 6) & 0x7F) << 7) | (b(pos + 7) & 0x7F)
+                  else ((b(pos + 4) & 0xFF) << 24) | ((b(pos + 5) & 0xFF) << 16) |
+                    ((b(pos + 6) & 0xFF) << 8) | (b(pos + 7) & 0xFF)
+                if (sz < 0 || pos + 10 + sz > tagEnd) ok = false
+                else {
+                  if (fid.charAt(0) == 'T' && sz >= 1) {
+                    val encByte = b(pos + 10) & 0xFF
+                    val cs = encByte match {
+                      case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+                      case 1 => java.nio.charset.Charset.forName("UTF-16")  // BOM
+                      case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+                      case _ => java.nio.charset.StandardCharsets.UTF_8
+                    }
+                    val start = pos + 11
+                    var end = pos + 10 + sz
+                    // strip ONE optional null terminator, sized by the
+                    // encoding (a lone trailing 0x00 in UTF-16LE text is
+                    // part of the final character, not a terminator)
+                    if (encByte == 1 || encByte == 2) {
+                      if (end - start >= 2 && b(end - 1) == 0 && b(end - 2) == 0) end -= 2
+                    } else if (end - start >= 1 && b(end - 1) == 0) end -= 1
+                    val text = new String(b, start, end - start, cs)
+                    fid match {
+                      case "TIT2" => title = text
+                      case "TPE1" => artist = text
+                      case "TALB" => album = text
+                      case _ => ()
+                    }
+                  }
+                  pos += 10 + sz
+                }
+              }
+            }
+            if (title == null && artist == null && album == null)
+              Row(id, null, null, null, null)
+            else Row(id, s"2.$major", title, artist, album)
+          }
+        }
+      }(encoder)
+  }
+
   // ---- Ogg / Vorbis -------------------------------------------------------
 
   /** Encode (id, sample_rate, channels, total_samples, n_pages) rows as

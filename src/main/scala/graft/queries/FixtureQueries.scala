@@ -377,6 +377,48 @@ object FixtureQueries {
           col("n_samples"), col("duration_ms"))
     }),
 
+    // REAL compressed-payload ingestion: each document's text is
+    // round-tripped through an ACTUAL codec stream on executors (gzip /
+    // zstd / zlib / bzip2 by doc_id arithmetic), then decoded back by the
+    // magic-byte-sniffing reader. The oracle takes the text straight from
+    // the parquet table — a hash match is only possible if real
+    // compression bytes were inflated (and the codec was sniffed, not
+    // trusted from a column).
+    "q109_compressed_text" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id").as("id"), col("text"),
+          pmod(col("doc_id"), lit(4)).cast("int").as("codec"))
+      graft.sources.Compressed.decompressText(
+          graft.sources.Compressed.compressText(params)
+            .select(col("id").as("media_id"), col("payload")))
+        .select(col("media_id").as("doc_id"), col("codec"), col("text"),
+          col("n_chars"))
+    }),
+
+    // REAL ID3v2 tag decode: v2.3 (plain frame sizes) and v2.4 (syncsafe)
+    // tags with TIT2/TPE1/TALB text frames cycling through all three wild
+    // encodings (Latin-1 / UTF-16-BOM / UTF-8), built and walked on
+    // executors. The oracle recomputes every string from doc_id
+    // arithmetic + the lang column — a hash match certifies the frame
+    // walk AND the per-frame charset decode.
+    "q110_id3_tags" -> ((s, dir) => {
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"),
+          concat(lit("Doc "), col("doc_id")).as("title"),
+          concat(lit("Artist "), pmod(col("doc_id"), lit(7))).as("artist"),
+          col("lang").as("album"),
+          (lit(3) + pmod(col("doc_id"), lit(2))).cast("int").as("v"),
+          element_at(array(lit(0), lit(1), lit(3)),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).cast("int").as("enc"))
+      graft.multimodal.AudioContainers.decodeId3Tags(
+          graft.multimodal.AudioContainers.encodeId3s(params)
+            .select(col("id").as("media_id"), col("payload")))
+        .select(col("media_id").as("doc_id"), col("tag_version"),
+          col("title"), col("artist"), col("album"))
+    }),
+
     // REAL FLAC METADATA decode: fLaC magic + metadata-block chain walk to
     // STREAMINFO, unpacking the 20/3/5/36-bit packed field (some fixtures
     // interpose a PADDING block so the chain walk is exercised). Every
@@ -678,6 +720,19 @@ object FixtureQueries {
            CAST(nf * spf AS BIGINT) AS n_samples,
            CAST(nf * spf * 1000 // sr AS BIGINT) AS duration_ms
          FROM t""",
+    "q110_id3_tags" ->
+      """SELECT doc_id,
+           '2.' || CAST(3 + doc_id % 2 AS VARCHAR) AS tag_version,
+           'Doc ' || doc_id AS title,
+           'Artist ' || (doc_id % 7) AS artist,
+           lang AS album
+         FROM documents WHERE doc_id < 200""",
+    "q109_compressed_text" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
+             WHEN 2 THEN 'zlib' ELSE 'bzip2' END AS codec,
+           text, CAST(LENGTH(text) AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id < 300""",
     "q107_flac_meta" ->
       """WITH d AS (SELECT doc_id,
              8000 + (doc_id % 12) * 4000 AS sr,

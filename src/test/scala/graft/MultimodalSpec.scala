@@ -599,6 +599,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L).isNullAt(1))
   }
 
+  test("Compressed: codec sniff + round trip, corrupt payloads, bomb cap") {
+    import graft.sources.Compressed
+    val texts = Seq(
+      (0L, "plain ascii content here", 0),
+      (1L, "托育机构备案信息 — 中文 text through zstd", 1),
+      (2L, "deflate stream with no gzip wrapper", 2),
+      (3L, "bzip2 via commons-compress", 3))
+      .toDF("id", "text", "codec")
+    val payloads = Compressed.compressText(texts).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val corrupt = payloads(0L).clone()
+    corrupt(corrupt.length - 3) = (corrupt(corrupt.length - 3) ^ 0x55).toByte
+    val rows = (payloads.toSeq ++ Seq(
+        4L -> corrupt,                              // valid magic, bad body
+        5L -> "no compression at all".getBytes))
+      .toDF("media_id", "payload")
+    val got = Compressed.decompressText(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getString(1) == "gzip" &&
+      got(0L).getString(2) == "plain ascii content here")
+    assert(got(1L).getString(1) == "zstd" && got(1L).getString(2).contains("中文"))
+    assert(got(2L).getString(1) == "zlib" && got(2L).getString(2).startsWith("deflate"))
+    assert(got(3L).getString(1) == "bzip2" && got(3L).getString(2).endsWith("compress"))
+    // corrupt body: codec sniffed, text null, row kept
+    assert(got(4L).getString(1) == "gzip" && got(4L).isNullAt(2))
+    assert(got(5L).isNullAt(1) && got(5L).isNullAt(2))
+    // zip-bomb guard: 1 MB of zeros compresses to ~1 KB; a 4 KB inflate
+    // cap must reject it as over-cap rather than materialize it
+    val bomb = Compressed.compressText(
+      Seq((9L, "0" * 1048576, 0)).toDF("id", "text", "codec"))
+      .select(col("id").as("media_id"), col("payload"))
+    val capped = Compressed.decompressText(bomb, maxBytes = 4096).head()
+    assert(capped.getString(1) == "gzip" && capped.isNullAt(2))
+  }
+
+  test("decodeId3Tags: v2.3 plain vs v2.4 syncsafe sizes, encodings, terminators") {
+    import graft.multimodal.AudioContainers
+    // id 1: v2.3 with a >127-byte UTF-8 title — reading its plain 32-bit
+    // size as syncsafe would desync the walk and lose TPE1/TALB
+    val longTitle = "T" * 150
+    val params = Seq(
+      (1L, longTitle, "Art A", "Alb A", 3, 3),
+      (2L, "Unicode 标题", "艺术家", "专辑", 4, 1),   // v2.4, UTF-16 BOM
+      (3L, "Latin title", "Artist B", "Album B", 4, 0))
+      .toDF("id", "title", "artist", "album", "v", "enc")
+    val payloads = AudioContainers.encodeId3s(params).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // hand-append a double-null terminator to a UTF-16 frame: rebuild id 2
+    // with text "A" (UTF-16LE "A" = 41 00 — a naive trailing-zero strip
+    // would eat the character's high byte)
+    val rows = (payloads.toSeq ++ Seq(4L -> "no tag here".getBytes))
+      .toDF("media_id", "payload")
+    val got = AudioContainers.decodeId3Tags(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "2.3" && got(1L).getString(2) == longTitle)
+    assert(got(1L).getString(3) == "Art A" && got(1L).getString(4) == "Alb A")
+    assert(got(2L).getString(1) == "2.4" && got(2L).getString(2) == "Unicode 标题")
+    assert(got(2L).getString(3) == "艺术家" && got(2L).getString(4) == "专辑")
+    assert(got(3L).getString(2) == "Latin title")
+    assert(got(4L).isNullAt(1) && got(4L).isNullAt(2))
+    // UTF-16 text whose final char's high byte is 0x00 survives intact
+    val single = AudioContainers.encodeId3s(
+      Seq((5L, "A", "B", "C", 4, 1)).toDF("id", "title", "artist", "album", "v", "enc"))
+      .select(col("id").as("media_id"), col("payload"))
+    val r5 = AudioContainers.decodeId3Tags(single).head()
+    assert(r5.getString(2) == "A" && r5.getString(3) == "B")
+  }
+
   test("binaryFile ingestion path (S5 entry point)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val f = new java.io.File(dir, "sample.png")
