@@ -377,6 +377,20 @@ object FixtureQueries {
           col("n_samples"), col("duration_ms"))
     }),
 
+    // S16 KB-sink request construction: the reference's documented
+    // create_by_text request model (dataset-scoped URL, POST, name/text/
+    // indexing_technique/process_rule.mode body — dify_workflow_design
+    // .md:44-57) built as real tested semantics, serialized body
+    // included. The oracle rebuilds every field AND the compact JSON
+    // body; only the socket remains the S16 seam.
+    "q111_kb_requests" -> ((s, dir) => {
+      import graft.streaming.Sinks
+      Sinks.kbRequests(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
+        concat(lit("Doc "), col("doc_id")), col("text"),
+        datasetId = "ds-graft")
+    }),
+
     // REAL compressed-payload ingestion: each document's text is
     // round-tripped through an ACTUAL codec stream on executors (gzip /
     // zstd / zlib / bzip2 by doc_id arithmetic), then decoded back by the
@@ -720,6 +734,17 @@ object FixtureQueries {
            CAST(nf * spf AS BIGINT) AS n_samples,
            CAST(nf * spf * 1000 // sr AS BIGINT) AS duration_ms
          FROM t""",
+    "q111_kb_requests" ->
+      """SELECT 'https://api.dify.ai/v1/datasets/ds-graft/document/create_by_text' AS url,
+           'POST' AS method,
+           'Doc ' || doc_id AS name, text,
+           'high_quality' AS indexing_technique,
+           'automatic' AS process_mode,
+           to_json(struct_pack(
+             name := 'Doc ' || doc_id, text := text,
+             indexing_technique := 'high_quality',
+             process_rule := struct_pack(mode := 'automatic'))) AS body_json
+         FROM documents WHERE doc_id < 200""",
     "q110_id3_tags" ->
       """SELECT doc_id,
            '2.' || CAST(3 + doc_id % 2 AS VARCHAR) AS tag_version,

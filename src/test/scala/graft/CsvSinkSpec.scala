@@ -87,4 +87,22 @@ class CsvSinkSpec extends AnyFunSuite {
     assert(sizes.sum == 37)
     assert(sizes.forall(_ <= 10))
   }
+
+  test("S16 KB requests: the reference's documented create_by_text model") {
+    val docs = Seq(
+      ("未来之星托育中心", "# 机构简介\n\"quoted\" & newline"),
+      ("plain", "body")).toDF("name", "md")
+    val got = Sinks.kbRequests(docs, col("name"), col("md"), datasetId = "ds1",
+        endpoint = "http://host.docker.internal")
+      .collect().map(r => r.getString(2) -> r).toMap
+    val r = got("未来之星托育中心")
+    assert(r.getString(0) == "http://host.docker.internal/v1/datasets/ds1/document/create_by_text")
+    assert(r.getString(1) == "POST")
+    assert(r.getString(4) == "high_quality" && r.getString(5) == "automatic")
+    // the serialized body is exactly what the client must POST: compact
+    // JSON, documented field order, JSON-escaped content
+    assert(r.getString(6) ==
+      """{"name":"未来之星托育中心","text":"# 机构简介\n\"quoted\" & newline",""" +
+        """"indexing_technique":"high_quality","process_rule":{"mode":"automatic"}}""")
+  }
 }
