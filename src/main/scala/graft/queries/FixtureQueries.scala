@@ -562,6 +562,34 @@ object FixtureQueries {
         .withColumn("score", round(col("score"), 4))
     }),
 
+    // REAL WARC (ISO 28500) web-archive ingestion: multi-record shards
+    // (warcinfo + request/response pairs, half the files as per-record
+    // gzip members in the Common Crawl layout) assembled on executors,
+    // walked back record-by-record. One wrong Content-Length or header
+    // step desyncs every later record, and the response bodies are full
+    // HTTP messages whose status/payload the walk must split out — the
+    // oracle recomputes status arithmetic and takes the text straight from
+    // the parquet table, so a hash match certifies the whole byte walk.
+    "q112_warc_ingest" -> ((s, dir) => {
+      import graft.sources.Warc
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(
+          floor(col("doc_id") / 20).cast("long").as("file_id"),
+          col("doc_id"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("uri"),
+          element_at(array(lit(200), lit(301), lit(404)),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("status"),
+          col("text"),
+          pmod(floor(col("doc_id") / 20), lit(2)).cast("int").as("gzip"))
+      Warc.parseWarc(Warc.encodeWarc(params))
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("http_status"), col("n_bytes"), col("body_text").as("text"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -752,6 +780,12 @@ object FixtureQueries {
            'Artist ' || (doc_id % 7) AS artist,
            lang AS album
          FROM documents WHERE doc_id < 200""",
+    "q112_warc_ingest" ->
+      """SELECT doc_id,
+           CAST(([200,301,404])[CAST(doc_id % 3 AS INT) + 1] AS INT) AS http_status,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           text
+         FROM documents WHERE doc_id < 300""",
     "q109_compressed_text" ->
       """SELECT doc_id,
            CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd'
