@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+  * Models: ... Gopher", §A1.1) — the standard rule-based pre-filter a
+  * training pipeline runs before the statistical ones (q100/q102 LM score,
+  * q37 heuristic buckets; reference analog: the noisy-text gates of
+  * 多数据源获取数据.py:455-542).
+  *
+  * Every signal is a pure per-row fold over built-in codegen'd expressions
+  * (tokenize once, reuse) — a narrow projection with NO shuffle, so the
+  * filter runs at scan speed at any scale. Thresholds are parameters with
+  * the paper's defaults; `keep_doc` applies them all.
+  */
+object QualityRules {
+
+  /** The paper's 8 English function words ("must contain ≥2"). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Fraction of words containing at least one ASCII letter. */
+  def alphaWordFrac(text: Column): Column = {
+    val t = TextFunctions.tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / size(t))
+  }
+
+  /** '#' or ellipsis occurrences per word (the paper's symbol-to-word ratio). */
+  def symbolWordRatio(text: Column): Column = {
+    val t = TextFunctions.tokens(text)
+    val sym = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+    when(size(t) === 0, lit(0.0)).otherwise(sym.cast("double") / size(t))
+  }
+
+  /** Distinct Gopher stopwords present (case-insensitive). */
+  def stopwordHits(text: Column, stopwords: Seq[String] = GopherStopwords): Column =
+    size(array_intersect(
+      array_distinct(transform(TextFunctions.tokens(text), w => lower(w))),
+      array(stopwords.map(lit): _*)))
+
+  /** Fraction of lines whose trimmed form starts with a bullet mark. */
+  def bulletLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(size(lines) === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") /
+        size(lines))
+  }
+
+  /** Fraction of lines ending in an ellipsis. */
+  def ellipsisLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(size(lines) === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / size(lines))
+  }
+
+  /** All Gopher signals + the combined keep flag, one tokenize pass shape.
+    * Output: (id, n_words, mean_word_len, frac_alpha, symbol_ratio,
+    * bullet_frac, ellipsis_frac, n_stopwords, keep_doc) — ratios rounded to
+    * 4 dp for hash-comparability, the keep decision made on UNROUNDED
+    * values.
+    */
+  def gopherQuality(
+      df: DataFrame, idCol: Column, textCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val nWords = TextFunctions.tokenCount(textCol)
+    val meanLen = TextFunctions.meanTokenLen(textCol)
+    val fracAlpha = alphaWordFrac(textCol)
+    val symRatio = symbolWordRatio(textCol)
+    val bulletFrac = bulletLineFrac(textCol)
+    val ellipsisFrac = ellipsisLineFrac(textCol)
+    val nStop = stopwordHits(textCol, stopwords)
+    val keep = nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      symRatio <= maxSymbolRatio && fracAlpha >= minAlphaFrac &&
+      nStop >= minStopwords && bulletFrac <= maxBulletFrac &&
+      ellipsisFrac <= maxEllipsisFrac
+    df.select(
+      idCol.as("id"),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(fracAlpha, 4).as("frac_alpha"),
+      round(symRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_frac"),
+      nStop.as("n_stopwords"),
+      keep.cast("int").as("keep_doc"))
+  }
+}

@@ -156,6 +156,18 @@ object TrainingQueries {
           TextFunctions.countMatches(base, TextFunctions.PhoneRegex).as("n_phones"))
     }),
 
+    // Gopher rule-based quality filter (Rae et al. §A1.1): word-count /
+    // mean-word-length bounds, symbol-to-word ratio, alpha-word fraction,
+    // stopword presence, bullet/ellipsis line ratios, combined keep flag.
+    // One narrow projection — every signal recomputed exactly by the
+    // oracle. minStopwords=1: this corpus's vocabulary carries one Gopher
+    // stopword ("the"), so the paper's ≥2 would degenerate the flag.
+    "q113_gopher_rules" -> ((s, dir) => {
+      graft.operators.QualityRules.gopherQuality(
+          docs(s, dir), col("doc_id"), col("text"), minStopwords = 1)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -179,6 +191,42 @@ object TrainingQueries {
       s"list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END"
 
   val oracles: Map[String, String] = Map(
+    "q113_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks,
+             string_split(text, chr(10)) AS lns
+           FROM documents),
+         s AS (SELECT doc_id,
+             len(toks) AS nw,
+             CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / len(toks) END AS mwl,
+             CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+               END AS fa,
+             CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+                 / len(toks) END AS sym,
+             CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns,
+                 l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lns)
+               END AS bf,
+             CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns,
+                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+                 / len(lns) END AS ef,
+             len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+               ['the','be','to','of','and','that','have','with'])) AS nstop
+           FROM t)
+         SELECT doc_id, CAST(nw AS INT) AS n_words,
+           ROUND(mwl, 4) AS mean_word_len, ROUND(fa, 4) AS frac_alpha,
+           ROUND(sym, 4) AS symbol_ratio, ROUND(bf, 4) AS bullet_frac,
+           ROUND(ef, 4) AS ellipsis_frac, CAST(nstop AS INT) AS n_stopwords,
+           CAST(CASE WHEN nw BETWEEN 50 AND 100000
+             AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1 AND fa >= 0.8
+             AND nstop >= 1 AND bf <= 0.9 AND ef <= 0.3
+             THEN 1 ELSE 0 END AS INT) AS keep_doc
+         FROM s""",
     "q100_lm_quality" ->
       """WITH codes AS (SELECT doc_id, lang,
              list_transform(string_split(text, ''),

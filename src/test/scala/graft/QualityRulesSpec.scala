@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.QualityRules
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityRulesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val goodBody =
+    ("the quick brown fox jumps over the lazy dog and that " * 5).trim
+
+  private def run(rows: Seq[(Long, String)]) =
+    QualityRules.gopherQuality(
+      rows.toDF("id", "text"), col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("keep flag: word-count, mean-length, stopword bounds") {
+    val out = run(Seq(
+      1L -> goodBody,                                  // 55 words, stopworded
+      2L -> "too short to pass the bar",               // < 50 words
+      3L -> ("a b c d e " * 12).trim,                  // mean word len 1 < 3
+      4L -> ("internationalization disestablishment " * 30).trim)) // mean > 10, no stopwords
+    assert(out(1L).getAs[Int]("keep_doc") == 1)
+    assert(out(2L).getAs[Int]("keep_doc") == 0)
+    assert(out(3L).getAs[Int]("keep_doc") == 0)
+    assert(out(3L).getAs[Double]("mean_word_len") == 1.0)
+    assert(out(4L).getAs[Int]("keep_doc") == 0)
+    assert(out(4L).getAs[Int]("n_stopwords") == 0)
+    assert(out(1L).getAs[Int]("n_stopwords") == 3) // the, and, that
+  }
+
+  test("symbol-to-word ratio counts '#' and ellipses, kills spammy docs") {
+    val spam = (goodBody.split(" ").map(w => s"$w ###").mkString(" "))
+    val out = run(Seq(1L -> goodBody, 2L -> spam))
+    assert(out(1L).getAs[Double]("symbol_ratio") == 0.0)
+    assert(out(2L).getAs[Double]("symbol_ratio") >= 1.0)
+    assert(out(2L).getAs[Int]("keep_doc") == 0)
+  }
+
+  test("alpha-word fraction flags numeric/garbage token floods") {
+    val numeric = (goodBody + " " + ("12345 67890 11111 22222 33333 " * 8)).trim
+    val out = run(Seq(1L -> numeric))
+    assert(out(1L).getAs[Double]("frac_alpha") < 0.8)
+    assert(out(1L).getAs[Int]("keep_doc") == 0)
+  }
+
+  test("line rules: bullet-heavy and ellipsis-heavy docs dropped") {
+    val bullets = (1 to 10).map(i => s"- item $i of the list").mkString("\n") +
+      "\n" + goodBody
+    val dots = (1 to 5).map(i => s"teaser number $i goes on...").mkString("\n") +
+      "\n" + goodBody
+    val out = run(Seq(1L -> bullets, 2L -> dots))
+    assert(out(1L).getAs[Double]("bullet_frac") > 0.9)
+    assert(out(1L).getAs[Int]("keep_doc") == 0)
+    assert(out(2L).getAs[Double]("ellipsis_frac") > 0.3)
+    assert(out(2L).getAs[Int]("keep_doc") == 0)
+  }
+
+  test("empty and whitespace-only docs yield zeroed signals, dropped") {
+    val out = run(Seq(1L -> "", 2L -> "   "))
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getAs[Int]("n_words") == 0)
+      assert(out(id).getAs[Double]("mean_word_len") == 0.0)
+      assert(out(id).getAs[Int]("keep_doc") == 0)
+    }
+  }
+
+  test("plan: narrow projection, no exchange") {
+    val df = QualityRules.gopherQuality(
+      Seq((1L, goodBody)).toDF("id", "text"), col("id"), col("text"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
