@@ -245,6 +245,39 @@ object Similarity {
     if (roundCos) topk.withColumn("cos", round(col("cos"), 4)) else topk
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * k-means clustering + WITHIN-cluster cosine pruning — the scale path
+    * for embedding near-dup ([[cosinePairs]] is its all-pairs verify-stage
+    * sibling, q56). Docs land in their nearest-centroid cluster (compiled
+    * argmax probe, narrow pass); candidate pairs exist only inside a
+    * cluster, so the quadratic is (N/C)² per cluster instead of N² — at
+    * 100 TB you scale C with the corpus (C ≈ N/targetClusterSize) and the
+    * equi-join on cluster id shuffles each vector once.
+    *
+    * Keep rule: within every cosine-≥-threshold pair the LOWER id
+    * survives (deterministic stand-in for the paper's keep-closest-to-
+    * centroid, which float-ties across engines); removal is transitive in
+    * the greedy sense — any vector paired with a lower id goes.
+    *
+    * Seeded (portable) codebook → fully oracle-checkable (q114); swap in
+    * [[trainIvfFixedPoint]] for a trained one, same shape.
+    */
+  def semDeDup(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, threshold: Double): DataFrame = {
+    val centroids = seedCentroids(df, idCol, vecCol, nCentroids)
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cluster", ivfBucket(col("v"), centroids))
+    val removed = b.as("a").join(b.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(graft.functions.CosineSim.cosineSim(df.sparkSession,
+        col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+    b.join(removed, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
   /** `ivfTopK` with the seeded (portable, oracle-checkable) codebook.
     * Adds a rank column and 4-decimal rounding so the output is directly
     * hash-comparable.

@@ -166,6 +166,17 @@ object AnalyticsQueries {
         .select(col("query_id"), col("cand_id"), col("rnk"), col("cos"))
     }),
 
+    // SemDeDup: seeded-codebook clustering + within-cluster cosine prune,
+    // lower id survives each ≥-threshold pair. The cluster equi-join makes
+    // the quadratic (N/C)² per cluster — the scale path vs q56's bounded
+    // all-pairs form. Fully oracle-replayed: seeding, assignment
+    // (ties → highest centroid index), pairing and the keep rule.
+    "q114_semdedup" -> ((s, dir) => {
+      Similarity.semDeDup(emb(s, dir), "vec_id", "embedding",
+          nCentroids = 8, threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cluster").cast("int").as("cluster"))
+    }),
+
     // IVF with the fixed-point TRAINED codebook: one Lloyd round whose
     // mean update is an exact BIGINT aggregation (floor(v[d]·1e6) sums),
     // so the oracle replays seeding, assignment, the centroid update and
@@ -382,6 +393,27 @@ object AnalyticsQueries {
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
            FROM s)
          SELECT query_id, cand_id, rnk, ROUND(cos, 4) AS cos FROM r WHERE rnk <= 5""",
+    "q114_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
+           FROM e),
+         seeds AS (SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY bk, vec_id) AS rn
+           FROM b QUALIFY rn <= 8),
+         cn AS (SELECT rn - 1 AS cix,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS cv
+           FROM seeds),
+         asg AS (SELECT vec_id, v, cix FROM (
+             SELECT e.vec_id, e.v, c.cix,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) DESC, c.cix DESC) AS r
+             FROM e, cn c) WHERE r = 1),
+         rm AS (SELECT DISTINCT b.vec_id
+           FROM asg a JOIN asg b ON a.cix = b.cix AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+         SELECT a.vec_id, CAST(a.cix AS INT) AS cluster
+         FROM asg a WHERE a.vec_id NOT IN (SELECT vec_id FROM rm)""",
     "q94_ivf_trained" -> {
       val dim = 64
       val scale = "1000000.0"

@@ -342,4 +342,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(2L) == (("over something else entirely now", 5L)))
     assert(got(4L) == (("completely unique words nothing repeated anywhere at all", 0L)))
   }
+
+  test("semDeDup: within-cluster dups pruned to the lowest id, per bundle") {
+    // exact-identical bundles: whatever the seed draw, identical vectors
+    // tie to the SAME argmax cluster (ties → highest centroid index), so
+    // each bundle collapses to its min id; orthogonal bundles never pair
+    // (cos 0 < threshold) even when they share a cluster
+    def axis(a: Int): Seq[Float] = Seq.tabulate(8)(d => if (d == a) 1.0f else 0.0f)
+    val rows = Seq(
+      (10L, axis(0)), (11L, axis(0)), (12L, axis(0)),
+      (20L, axis(3)), (21L, axis(3)),
+      (30L, axis(6))).toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(rows, "vec_id", "embedding",
+        nCentroids = 3, threshold = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(10L, 20L, 30L))
+  }
+
+  test("semDeDup: removal is cluster-blocked — cross-cluster dups survive") {
+    // the C-vs-recall tradeoff made visible (same posture as LSH banding
+    // misses): cos(v1,v2) ≈ 0.928 ≥ 0.9, but each vector seeds and stays
+    // in its own cluster, so the pair is never examined; C=1 removes it
+    val v1 = Seq.tabulate(8)(d => if (d == 0) 1.0f else 0.0f)
+    val v2 = Seq.tabulate(8)(d =>
+      if (d == 0) 1.0f else if (d == 1) 0.4f else 0.0f)
+    val rows = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val two = Similarity.semDeDup(rows, "vec_id", "embedding",
+        nCentroids = 2, threshold = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(two == Set(1L, 2L))
+    val one = Similarity.semDeDup(rows, "vec_id", "embedding",
+        nCentroids = 1, threshold = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(one == Set(1L))
+  }
 }
