@@ -590,6 +590,30 @@ object FixtureQueries {
           col("http_status"), col("n_bytes"), col("body_text").as("text"))
     }),
 
+    // REAL TAR (ustar) member extraction: multi-member tarballs (512-byte
+    // headers, octal sizes, verified checksums, zero-block trailers; odd
+    // files whole-gzipped as .tar.gz) assembled on executors and walked
+    // back. One wrong octal parse or padding step desyncs every later
+    // member; the oracle takes names/sizes/text straight from the parquet
+    // table, so the hash certifies the byte walk.
+    "q115_tar_members" -> ((s, dir) => {
+      import graft.sources.Archives
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(
+          floor(col("doc_id") / 25).cast("long").as("file_id"),
+          col("doc_id"),
+          concat(lit("corpus/shard"), floor(col("doc_id") / 25).cast("string"),
+            lit("/doc_"), col("doc_id"), lit(".txt")).as("name"),
+          col("text"),
+          pmod(floor(col("doc_id") / 25), lit(2)).cast("int").as("gzip"))
+      Archives.parseTar(Archives.encodeTar(params))
+        .select(
+          regexp_extract(col("name"), "doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("name"), col("size"), col("text"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -780,6 +804,13 @@ object FixtureQueries {
            'Artist ' || (doc_id % 7) AS artist,
            lang AS album
          FROM documents WHERE doc_id < 200""",
+    "q115_tar_members" ->
+      """SELECT doc_id,
+           'corpus/shard' || CAST(doc_id // 25 AS VARCHAR) || '/doc_' ||
+             CAST(doc_id AS VARCHAR) || '.txt' AS name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           text
+         FROM documents WHERE doc_id < 300""",
     "q112_warc_ingest" ->
       """SELECT doc_id,
            CAST(([200,301,404])[CAST(doc_id % 3 AS INT) + 1] AS INT) AS http_status,
