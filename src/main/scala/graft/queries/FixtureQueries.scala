@@ -614,6 +614,29 @@ object FixtureQueries {
           col("name"), col("size"), col("text"))
     }),
 
+    // REAL ZIP central-directory walk, cross-implementation: the JDK's
+    // ZipOutputStream WRITES the archives (STORED and DEFLATED members
+    // mixed), our from-scratch EOCD/CD/local-header walker with raw
+    // Inflater + CRC32 verification READS them. The oracle recomputes
+    // name/method/size arithmetic and takes text from parquet — a hash
+    // match certifies the whole index walk and inflate.
+    "q116_zip_members" -> ((s, dir) => {
+      import graft.sources.Archives
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(
+          floor(col("doc_id") / 25).cast("long").as("file_id"),
+          col("doc_id"),
+          concat(lit("z/doc_"), col("doc_id"), lit(".txt")).as("name"),
+          col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0, 0).otherwise(8).as("method"))
+      Archives.parseZip(Archives.encodeZip(params))
+        .select(
+          regexp_extract(col("name"), "doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("name"), col("method"), col("size"), col("text"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -804,6 +827,13 @@ object FixtureQueries {
            'Artist ' || (doc_id % 7) AS artist,
            lang AS album
          FROM documents WHERE doc_id < 200""",
+    "q116_zip_members" ->
+      """SELECT doc_id,
+           'z/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 8 END AS INT) AS method,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           text
+         FROM documents WHERE doc_id < 300""",
     "q115_tar_members" ->
       """SELECT doc_id,
            'corpus/shard' || CAST(doc_id // 25 AS VARCHAR) || '/doc_' ||
