@@ -320,6 +320,83 @@ object Stress {
     } finally rmrf(dir)
   }
 
+  /** Archive-walk throughput: `nFiles × recsPerFile` records assembled
+    * once into WARC / TAR / ZIP shards (payloads materialized to parquet —
+    * the fixture build is excluded from timings, like the text receipts),
+    * then each walker timed end to end with counts asserted. One task per
+    * shard, zero shuffle — the 100 TB ingestion shape.
+    */
+  private def archiveReceipts(
+      spark: org.apache.spark.sql.SparkSession,
+      nFiles: Int, recsPerFile: Int): Unit = {
+    import graft.sources.{Archives, Warc}
+    val total = nFiles.toLong * recsPerFile
+    val params = spark.range(0, total, 1, 32).toDF("doc_id")
+      .select(
+        floor(col("doc_id") / recsPerFile).cast("long").as("file_id"),
+        col("doc_id"),
+        concat(lit("http://ex.com/doc/"), col("doc_id")).as("uri"),
+        concat(lit("a/doc_"), col("doc_id"), lit(".txt")).as("name"),
+        lit(200).as("status"),
+        concat(lit("record body "), col("doc_id"), lit(" "),
+          repeat(concat(lit("w"), pmod(col("doc_id"), lit(997)), lit(" ")), 20))
+          .as("text"),
+        pmod(floor(col("doc_id") / recsPerFile), lit(2)).cast("int").as("gzip"),
+        when(pmod(col("doc_id"), lit(5)) === 0, 0).otherwise(8).as("method"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_arch").toString
+    try {
+      Warc.encodeWarc(params).write.mode("overwrite").parquet(s"$dir/warc")
+      Archives.encodeTar(params).write.mode("overwrite").parquet(s"$dir/tar")
+      Archives.encodeZip(params).write.mode("overwrite").parquet(s"$dir/zip")
+      val label = s"${total / 1000}k"
+      time(s"warc_walk_$label") {
+        val got = Warc.parseWarc(spark.read.parquet(s"$dir/warc"))
+          .filter(col("warc_type") === "response").count()
+        require(got == total, s"warc: $got != $total")
+      }
+      time(s"tar_walk_$label") {
+        val got = Archives.parseTar(spark.read.parquet(s"$dir/tar")).count()
+        require(got == total, s"tar: $got != $total")
+      }
+      time(s"zip_walk_$label") {
+        val got = Archives.parseZip(spark.read.parquet(s"$dir/zip")).count()
+        require(got == total, s"zip: $got != $total")
+      }
+    } finally rmrf(dir)
+  }
+
+  /** SemDeDup end-to-end at scale: `n` 64-dim vectors (per-dim xxhash64 —
+    * genuinely distinct, unlike the periodic `vecs` generator above, whose
+    * 97-vector identity classes would make duplicate-heavy clusters and
+    * blow the within-cluster quadratic — the operator's documented
+    * hazard), with every 10th vector an EXACT copy of its successor.
+    * Identical vectors always share a cluster, so every planted pair is
+    * examined: removed == planted exactly unless a random pair crosses
+    * the 0.99 threshold (asserted not to happen at 64 dims). C ≈ √n keeps
+    * assignment (n·C·d) and pairing (n²·d/2C) balanced.
+    */
+  private def semDedupReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Similarity
+    val seed = col("id") - pmod(col("id"), lit(10)) +
+      when(pmod(col("id"), lit(10)) === 0, 1L).otherwise(pmod(col("id"), lit(10)))
+    // id%10==0 → seed id+1 (copy of successor); else seed = id
+    val vecs = spark.range(0, n, 1, 32).toDF("id")
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => (pmod(xxhash64(seed, j), lit(1000)) / lit(1000.0)).cast("float"))
+          .as("embedding"))
+    val c = math.max(64, math.sqrt(n.toDouble).toInt)
+    val planted = n / 10
+    time(s"semdedup_${n / 1000000}M_c$c", runs = 1) {
+      val survivors = Similarity.semDeDup(vecs, "vec_id", "embedding",
+        nCentroids = c, threshold = 0.99).count()
+      val removed = n - survivors
+      require(removed == planted,
+        s"removed $removed != planted $planted (precision or recall bug)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -337,6 +414,19 @@ object Stress {
 
     if (section == "substring") {
       substringReceipts(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "archives") {
+      // n is the TOTAL record count; 2000 records per shard
+      archiveReceipts(spark, math.max(1, (n / 2000).toInt), 2000)
+      spark.stop()
+      return
+    }
+
+    if (section == "semdedup") {
+      semDedupReceipt(spark, n)
       spark.stop()
       return
     }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Source-mixture weighting for training corpora: each row carries a
@@ -47,4 +48,37 @@ object Mixture {
   def materializeCopies(df: DataFrame, copies: Column): DataFrame =
     df.filter(copies > 0)
       .withColumn("copy_idx", explode(sequence(lit(1L), copies)))
+
+  /** Temperature-scaled group sampling weights — the multilingual-corpus
+    * balancing rule of XLM-R/mT5 (Conneau et al. 2020 §3.1, Raffel et al.):
+    * p_g ∝ n_g^alpha, so alpha=1 keeps the natural distribution, alpha→0
+    * flattens it, and low-resource groups are up-weighted in between.
+    *
+    * Output per group: (groupCols..., n_docs, weight, quota) with
+    * Σ weight = 1 and quota = round(budget · weight). One hash aggregate
+    * over the corpus; the normalization window runs on the GROUP table
+    * (|groups| rows — languages/sources, bounded), so the single-partition
+    * exchange it needs is constant-size at any corpus scale. Feed the
+    * weights to [[assignCopies]] (broadcast join back on the group key)
+    * to materialize the schedule.
+    */
+  def temperatureWeights(
+      df: DataFrame, groupCols: Seq[Column], alpha: Double,
+      budget: Long): DataFrame = {
+    val counts = df.groupBy(groupCols: _*).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy()   // |groups| rows — constant-size
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // alpha = 0.5 → sqrt: IEEE-754 correctly-rounded (identical bits in
+    // every engine), where pow carries libm ulp slop — so the portable
+    // square-root-sampling temperature is the oracle-checkable default.
+    // The normalizer sums DECIMAL so it is partition-order invariant.
+    val p = if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), lit(alpha))
+    counts
+      .withColumn("__p", p)
+      .withColumn("weight",
+        col("__p") / sum(col("__p").cast("decimal(28,12)")).over(w).cast("double"))
+      .withColumn("quota", round(col("weight") * budget, 0).cast("long"))
+      .drop("__p")
+  }
 }

@@ -168,6 +168,17 @@ object TrainingQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Temperature-scaled multilingual sampling (XLM-R/mT5 balancing):
+    // per-language weight ∝ n^0.5 normalized, quota = round(budget·w).
+    // sqrt is correctly-rounded IEEE (pow is not) and the normalizer sums
+    // decimals, so every double here is bit-identical in the oracle.
+    "q117_temperature_mix" -> ((s, dir) => {
+      graft.operators.Mixture.temperatureWeights(
+          docs(s, dir), Seq(col("lang")), alpha = 0.5, budget = 1000)
+        .select(col("lang"), col("n_docs"),
+          round(col("weight"), 6).as("weight"), col("quota"))
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -191,6 +202,15 @@ object TrainingQueries {
       s"list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END"
 
   val oracles: Map[String, String] = Map(
+    "q117_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT SUM(CAST(SQRT(CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS z
+           FROM c)
+         SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           ROUND(SQRT(CAST(n AS DOUBLE)) / CAST(z AS DOUBLE), 6) AS weight,
+           CAST(ROUND(SQRT(CAST(n AS DOUBLE)) / CAST(z AS DOUBLE) * 1000, 0)
+             AS BIGINT) AS quota
+         FROM c, t""",
     "q113_gopher_rules" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks,
              string_split(text, chr(10)) AS lns

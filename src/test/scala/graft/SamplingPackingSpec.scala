@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Packing, Sampling}
+import graft.operators.{Mixture, Packing, Sampling}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -98,5 +98,26 @@ class SamplingPackingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(stats(0L) == (0L, 1L, 4096L, 1.0))
     assert(stats(1L) == (1L, 1L, 2048L, 0.5))
+  }
+
+  test("temperatureWeights: sums to 1, flattens toward low-resource groups") {
+    // 90/9/1 split: natural shares 0.9/0.09/0.01
+    val docs = (Seq.fill(90)("hi") ++ Seq.fill(9)("mid") ++ Seq("lo"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val w = Mixture.temperatureWeights(docs, Seq(col("lang")), alpha = 0.5,
+        budget = 1000)
+      .select("lang", "n_docs", "weight", "quota")
+      .as[(String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-12)
+    // sqrt temperature: hi 9.4869/13.487 ≈ 0.7034, lo 1/13.487 ≈ 0.0741
+    assert(w("hi")._3 < 0.9 && w("hi")._3 > 0.5)   // down from natural 0.90
+    assert(w("lo")._3 > 0.01 && w("lo")._3 < 0.1)  // up from natural 0.01
+    assert(math.abs(w.values.map(_._4).sum - 1000L) <= 2) // quota ≈ budget
+    // alpha = 1 recovers the natural distribution exactly
+    val nat = Mixture.temperatureWeights(docs, Seq(col("lang")), alpha = 1.0,
+        budget = 100)
+      .select("lang", "weight").as[(String, Double)].collect().toMap
+    assert(math.abs(nat("hi") - 0.9) < 1e-12)
+    assert(math.abs(nat("lo") - 0.01) < 1e-12)
   }
 }
