@@ -36,7 +36,13 @@ object PlanDump {
       "q104_aac_meta" -> "AAC ADTS metadata: mapPartitions encode + per-frame VBR walk, zero shuffles",
       "q105_video_frames" -> "AVI frame decode: mapPartitions encode + container/pixel walk with frame sampling, zero shuffles",
       "q106_substring_spans" -> "exact-substring spans: compiled gram hashes in the scan, (id,pos,h) exchanges only, gram index shuffled once (reuse), sparse per-doc window merge",
-      "q109_compressed_text" -> "compressed ingestion: mapPartitions compress/sniff/inflate round trip, zero shuffles")
+      "q109_compressed_text" -> "compressed ingestion: mapPartitions compress/sniff/inflate round trip, zero shuffles",
+      "q112_warc_ingest" -> "WARC ingestion: mapPartitions record walk (gzip members inflated in-task), zero shuffles after the fixture build",
+      "q114_semdedup" -> "SemDeDup: compiled argmax assignment in the scan; cluster equi-join bounds the pair quadratic; left-anti survivors",
+      "q115_tar_members" -> "TAR members: mapPartitions ustar walk with checksum verify, zero shuffles after the fixture build",
+      "q116_zip_members" -> "ZIP members: EOCD/CD walk + raw inflate + CRC in one task per archive, zero shuffles after the fixture build",
+      "q113_gopher_rules" -> "Gopher rules: one narrow codegen projection, no explode, zero exchanges",
+      "q117_temperature_mix" -> "temperature mix: corpus hash-agg, then the normalization window on the |groups|-row table only")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>
