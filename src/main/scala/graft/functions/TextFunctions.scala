@@ -264,6 +264,35 @@ object TextFunctions {
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
   }
 
+  // ---- domain extraction ---------------------------------------------------
+
+  /** Two-label public suffixes recognized by [[registrableDomain]] — a
+    * bundled mini-PSL covering the common ccTLD second levels; at deploy
+    * time the full public-suffix list drops in as data, same rule.
+    */
+  val TwoLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "com.cn", "org.cn", "net.cn", "gov.cn",
+    "com.au", "net.au", "co.jp", "or.jp", "com.br", "co.in", "co.kr")
+
+  /** Lowercased host of a URL (port/userinfo excluded). */
+  def urlHost(c: Column): Column =
+    lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/?:#]*)", 1))
+
+  /** Registrable domain (eTLD+1) of a host: the label before the public
+    * suffix plus the suffix — the unit C4/RefinedWeb-style pipelines cap
+    * and dedupe on ("max N docs per domain"), where raw hosts would let
+    * one site sneak past the cap via subdomains. Pure column arithmetic.
+    */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    when(n <= 2, host)
+      .when(last2.isin(TwoLabelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
   // ---- encoding fallback (F14) -------------------------------------------
 
   /** Charset-fallback decode chain (多数据源获取数据.py:1053-1060): try each

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Source-mixture weighting for training corpora: each row carries a
@@ -66,19 +65,18 @@ object Mixture {
       df: DataFrame, groupCols: Seq[Column], alpha: Double,
       budget: Long): DataFrame = {
     val counts = df.groupBy(groupCols: _*).agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy()   // |groups| rows — constant-size
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // alpha = 0.5 → sqrt: IEEE-754 correctly-rounded (identical bits in
     // every engine), where pow carries libm ulp slop — so the portable
     // square-root-sampling temperature is the oracle-checkable default.
-    // The normalizer sums DECIMAL so it is partition-order invariant.
+    // The normalizer sums DECIMAL so it is partition-order invariant, and
+    // rides a 1-row broadcast (q54's global-agg pattern) rather than a
+    // single-partition window — PlanGuardSpec forbids those.
     val p = if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
       else pow(col("n_docs").cast("double"), lit(alpha))
-    counts
-      .withColumn("__p", p)
-      .withColumn("weight",
-        col("__p") / sum(col("__p").cast("decimal(28,12)")).over(w).cast("double"))
+    val z = counts.agg(sum(p.cast("decimal(28,12)")).as("__z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("weight", p / col("__z").cast("double"))
       .withColumn("quota", round(col("weight") * budget, 0).cast("long"))
-      .drop("__p")
+      .drop("__z")
   }
 }

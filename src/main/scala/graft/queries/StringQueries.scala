@@ -92,6 +92,30 @@ object StringQueries {
           TextFunctions.canonicalizeUrl(col("url_raw")).as("url_canon"))
     }),
 
+    // Registrable-domain (eTLD+1) extraction + per-domain quota — the
+    // C4/RefinedWeb "max N docs per domain" step. Hosts include subdomain
+    // variants that COLLAPSE to one registrable domain (www.storeM.com and
+    // cdn.static.storeM.com share a cap) and two-label ccTLD suffixes
+    // (co.uk/com.cn → last THREE labels). The pick is the q78 hash-order
+    // WindowGroupLimit; the oracle replays suffix logic and pick.
+    "q118_domain_quota" -> ((s, dir) => {
+      val k = col("p_partkey")
+      val m = pmod(k, lit(50)).cast("string")
+      val host =
+        when(pmod(k, lit(6)) === 0, concat(lit("www.store"), m, lit(".com")))
+        .when(pmod(k, lit(6)) === 1, concat(lit("blog.shop"), m, lit(".co.uk")))
+        .when(pmod(k, lit(6)) === 2, concat(lit("media"), m, lit(".com.cn")))
+        .when(pmod(k, lit(6)) === 3, concat(lit("a.b.site"), m, lit(".org")))
+        .when(pmod(k, lit(6)) === 4, concat(lit("cdn.static.store"), m, lit(".com")))
+        .otherwise(concat(lit("plain"), m, lit(".net")))
+      val withD = t(s, dir, "part")
+        .withColumn("url", concat(lit("https://"), host, lit("/p/"), k))
+        .withColumn("host", TextFunctions.urlHost(col("url")))
+        .withColumn("domain", TextFunctions.registrableDomain(col("host")))
+      graft.operators.Sampling.kPerGroup(withD, Seq(col("domain")), k, 5)
+        .select(col("p_partkey"), col("host"), col("domain"))
+    }),
+
     // F13/P11: URL synthesis → extension extraction → document-type dispatch.
     "q27_url_doctype" -> ((s, dir) => {
       val url = concat(lit("https://www."), col("source"), lit(".example.com/files/doc_"),
@@ -330,6 +354,32 @@ object StringQueries {
              ELSE chr(255) || chr(254) || '-' || c_custkey
            END AS decoded
          FROM customer WHERE c_custkey < 200""",
+    "q118_domain_quota" ->
+      """WITH u AS (SELECT p_partkey,
+           CASE p_partkey % 6
+             WHEN 0 THEN 'www.store' || (p_partkey % 50) || '.com'
+             WHEN 1 THEN 'blog.shop' || (p_partkey % 50) || '.co.uk'
+             WHEN 2 THEN 'media' || (p_partkey % 50) || '.com.cn'
+             WHEN 3 THEN 'a.b.site' || (p_partkey % 50) || '.org'
+             WHEN 4 THEN 'cdn.static.store' || (p_partkey % 50) || '.com'
+             ELSE 'plain' || (p_partkey % 50) || '.net'
+           END AS host FROM part),
+         d AS (SELECT p_partkey, host, string_split(host, '.') AS ls FROM u),
+         e AS (SELECT p_partkey, host,
+             CASE WHEN len(ls) <= 2 THEN host
+               WHEN (ls[len(ls)-1] || '.' || ls[len(ls)]) IN
+                 ('co.uk','ac.uk','gov.uk','com.cn','org.cn','net.cn','gov.cn',
+                  'com.au','net.au','co.jp','or.jp','com.br','co.in','co.kr')
+                 THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
+               ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS domain
+           FROM d),
+         b AS (SELECT p_partkey, host, domain,
+             ((p_partkey % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
+           FROM e),
+         r AS (SELECT p_partkey, host, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY bk, p_partkey) AS rk
+           FROM b)
+         SELECT p_partkey, host, domain FROM r WHERE rk <= 5""",
     "q87_url_canonical" ->
       """WITH u AS (SELECT p_partkey,
            CASE p_partkey % 4

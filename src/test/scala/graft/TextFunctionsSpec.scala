@@ -90,4 +90,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a == b)
     assert(a != c)
   }
+
+  test("urlHost: lowercases, strips scheme/port/userinfo/path") {
+    assert(one(urlHost(lit("HTTPS://WWW.Example.COM/a/b?q=1"))).toString == "www.example.com")
+    assert(one(urlHost(lit("http://example.com:8080/x"))).toString == "example.com")
+    assert(one(urlHost(lit("https://user:pw@site.org/p"))).toString == "site.org")
+  }
+
+  test("registrableDomain: eTLD+1 with two-label ccTLD suffixes") {
+    def rd(h: String) = one(registrableDomain(lit(h))).toString
+    assert(rd("www.example.com") == "example.com")
+    assert(rd("a.b.c.example.com") == "example.com")
+    assert(rd("news.bbc.co.uk") == "bbc.co.uk")       // two-label suffix → 3 labels
+    assert(rd("media3.com.cn") == "media3.com.cn")    // host IS eTLD+1 already
+    assert(rd("x.media3.com.cn") == "media3.com.cn")
+    assert(rd("plain.net") == "plain.net")            // 2 labels → itself
+    assert(rd("localhost") == "localhost")
+    // unknown TLD falls back to last two labels (mini-PSL caveat)
+    assert(rd("deep.sub.example.dev") == "example.dev")
+  }
 }
