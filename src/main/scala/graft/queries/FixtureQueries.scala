@@ -637,6 +637,38 @@ object FixtureQueries {
           col("name"), col("method"), col("size"), col("text"))
     }),
 
+    // REAL sitemap XML ingestion (crawl-frontier seeds): urlset shards
+    // with loc/lastmod/changefreq/priority built on executors (half the
+    // shards .xml.gz), parsed back through the JDK's StAX pull parser —
+    // namespace-aware, CDATA-coalescing, DTD/external-entity disabled
+    // (XXE guard, spec-pinned). The oracle recomputes every field from
+    // doc_id arithmetic; the priority double must survive the
+    // print→parse round trip bit-exactly.
+    "q119_sitemap_ingest" -> ((s, dir) => {
+      import graft.sources.Sitemaps
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(
+          floor(col("doc_id") / 30).cast("long").as("file_id"),
+          col("doc_id"),
+          concat(lit("https://ex.com/page/"), col("doc_id")).as("loc"),
+          concat(lit("2026-"),
+            lpad((pmod(col("doc_id"), lit(12)) + 1).cast("string"), 2, "0"),
+            lit("-"),
+            lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"))
+            .as("lastmod"),
+          element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("changefreq"),
+          ((pmod(col("doc_id"), lit(9)) + 1) / lit(10.0)).as("priority"),
+          lit("url").as("kind"),
+          pmod(floor(col("doc_id") / 30), lit(2)).cast("int").as("gzip"))
+      Sitemaps.parseSitemaps(Sitemaps.encodeSitemaps(params))
+        .select(
+          regexp_extract(col("loc"), "/page/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("kind"), col("loc"), col("lastmod"), col("changefreq"),
+          col("priority"))
+    }),
+
     // S14: partitioned KV-block sink layout parity — write documents as
     // 键：值 blocks partitioned by lang, read the directory back, and
     // report per-partition file count + record count + distinct ids. The
@@ -827,6 +859,15 @@ object FixtureQueries {
            'Artist ' || (doc_id % 7) AS artist,
            lang AS album
          FROM documents WHERE doc_id < 200""",
+    "q119_sitemap_ingest" ->
+      """SELECT doc_id,
+           'url' AS kind,
+           'https://ex.com/page/' || CAST(doc_id AS VARCHAR) AS loc,
+           '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+             '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+           (['daily','weekly','monthly'])[CAST(doc_id % 3 AS INT) + 1] AS changefreq,
+           CAST(doc_id % 9 + 1 AS DOUBLE) / 10.0 AS priority
+         FROM documents WHERE doc_id < 300""",
     "q116_zip_members" ->
       """SELECT doc_id,
            'z/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
