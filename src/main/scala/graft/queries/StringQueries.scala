@@ -116,6 +116,45 @@ object StringQueries {
         .select(col("p_partkey"), col("host"), col("domain"))
     }),
 
+    // robots.txt (RFC 9309) parse + URL permission evaluation: per-domain
+    // policies built as TEXT (comments, mixed-case fields, wildcard and
+    // $-anchored rules, agent-specific groups on even domains), parsed by
+    // the real line/group parser, then 2000 URLs judged for agent
+    // "graftbot" — group selection (own group else *), longest-pattern
+    // wins, allow beats disallow on ties, no match → allowed. The oracle
+    // states the expected verdicts in closed form: the engine must parse,
+    // group-resolve, wildcard-match and rank to reproduce them.
+    "q120_robots_gate" -> ((s, dir) => {
+      import graft.sources.Robots
+      val d = col("id")
+      val domains = s.range(0, 20).toDF("id")
+        .select(concat(lit("site"), d, lit(".com")).as("domain"),
+          concat(
+            lit("# robots for site"), d, lit("\n"),
+            lit("User-Agent: *\nDisallow: /private/\nAllow: /private/pub\n"),
+            when(pmod(d, lit(2)) === 0, concat(
+              lit("\nUser-Agent: GraftBot\n"),
+              lit("Disallow: /p"), pmod(d, lit(5)), lit("/*\n"),
+              lit("Allow: /p"), pmod(d, lit(5)), lit("/keep$\n"),
+              lit("Crawl-delay: "), d, lit("\n"))).otherwise(lit("")),
+            lit("\nSitemap: https://site"), d, lit(".com/sitemap.xml\n"))
+            .as("content"))
+      val rules = Robots.parseRobots(domains)
+      val k = col("p_partkey")
+      val urls = t(s, dir, "part")
+        .select(k,
+          concat(lit("site"), pmod(k, lit(20)), lit(".com")).as("domain"),
+          when(pmod(k, lit(5)) === 0, concat(lit("/private/x"), k))
+            .when(pmod(k, lit(5)) === 1, concat(lit("/private/pub/"), k))
+            .when(pmod(k, lit(5)) === 2, concat(lit("/p"), pmod(k, lit(5)), lit("/doc"), k))
+            .when(pmod(k, lit(5)) === 3, concat(lit("/p"), pmod(k, lit(5)), lit("/keep")))
+            .otherwise(concat(lit("/public/ok"), k)).as("path"))
+      Robots.allowedUrls(urls, col("p_partkey"), col("domain"), col("path"),
+          rules, agent = "graftbot")
+        .select(col("p_partkey"), col("domain"), col("path"),
+          col("agent_group"), col("allowed"))
+    }),
+
     // F13/P11: URL synthesis → extension extraction → document-type dispatch.
     "q27_url_doctype" -> ((s, dir) => {
       val url = concat(lit("https://www."), col("source"), lit(".example.com/files/doc_"),
@@ -354,6 +393,22 @@ object StringQueries {
              ELSE chr(255) || chr(254) || '-' || c_custkey
            END AS decoded
          FROM customer WHERE c_custkey < 200""",
+    "q120_robots_gate" ->
+      """SELECT p_partkey,
+           'site' || (p_partkey % 20) || '.com' AS domain,
+           CASE p_partkey % 5
+             WHEN 0 THEN '/private/x' || p_partkey
+             WHEN 1 THEN '/private/pub/' || p_partkey
+             WHEN 2 THEN '/p' || (p_partkey % 5) || '/doc' || p_partkey
+             WHEN 3 THEN '/p' || (p_partkey % 5) || '/keep'
+             ELSE '/public/ok' || p_partkey
+           END AS path,
+           CASE WHEN p_partkey % 5 IN (2, 3) AND p_partkey % 2 = 0
+             THEN 'graftbot' ELSE '*' END AS agent_group,
+           CAST(CASE WHEN (p_partkey % 5 = 0 AND p_partkey % 2 = 1)
+                  OR (p_partkey % 5 = 2 AND p_partkey % 2 = 0)
+                THEN 0 ELSE 1 END AS INT) AS allowed
+         FROM part""",
     "q118_domain_quota" ->
       """WITH u AS (SELECT p_partkey,
            CASE p_partkey % 6
