@@ -43,7 +43,8 @@ object PlanDump {
       "q116_zip_members" -> "ZIP members: EOCD/CD walk + raw inflate + CRC in one task per archive, zero shuffles after the fixture build",
       "q113_gopher_rules" -> "Gopher rules: one narrow codegen projection, no explode, zero exchanges",
       "q117_temperature_mix" -> "temperature mix: corpus hash-agg; normalizer as 1-row broadcast (q54 pattern, no single-partition window)",
-      "q118_domain_quota" -> "domain quota: registrable-domain projection + WindowGroupLimit per-domain cap (k rows/group cross the exchange)")
+      "q118_domain_quota" -> "domain quota: registrable-domain projection + WindowGroupLimit per-domain cap (k rows/group cross the exchange)",
+      "q120_robots_gate" -> "robots gate: domain-bounded rules broadcast into the URL scan; one keyed window ranks matches, no URL-side shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>
