@@ -44,7 +44,10 @@ object PlanDump {
       "q113_gopher_rules" -> "Gopher rules: one narrow codegen projection, no explode, zero exchanges",
       "q117_temperature_mix" -> "temperature mix: corpus hash-agg; normalizer as 1-row broadcast (q54 pattern, no single-partition window)",
       "q118_domain_quota" -> "domain quota: registrable-domain projection + WindowGroupLimit per-domain cap (k rows/group cross the exchange)",
-      "q120_robots_gate" -> "robots gate: domain-bounded rules broadcast into the URL scan; one keyed window ranks matches, no URL-side shuffle")
+      "q120_robots_gate" -> "robots gate: domain-bounded rules broadcast into the URL scan; one keyed window ranks matches, no URL-side shuffle",
+      "q121_boilerplate_lines" -> "boilerplate lines: 8-byte line hashes shuffle (never line text x corpus); flagged head-of-distribution set broadcast anti-join; one reassembly exchange",
+      "q122_line_dedup_doc" -> "within-doc line dedup: compiled PolyFirstOccurrence projection, zero exchanges (per-row semantics never shuffle)",
+      "q125_bm25" -> "BM25: 1-row corpus stats + query-term idf broadcasts (log2fp on the term side only); one (doc,term) tf agg; WindowGroupLimit top-k")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -52,7 +52,9 @@ object SparkEntry {
     new QueryModule(graft.queries.TrainingQueries.queries,
       graft.queries.TrainingQueries.oracles),
     new QueryModule(graft.queries.FixtureQueries.queries,
-      graft.queries.FixtureQueries.oracles))
+      graft.queries.FixtureQueries.oracles),
+    new QueryModule(graft.queries.CurationQueries.queries,
+      graft.queries.CurationQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

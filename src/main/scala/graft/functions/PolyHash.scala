@@ -80,6 +80,30 @@ object PolyHash {
     org.apache.spark.sql.functions.call_function(name, sig)
   }
 
+  /** Column bridge for the compiled whole-string poly31 fold — the scalar
+    * hash behind the line-level dedup family (q121/q122): semantics of
+    * `TextFunctions.tokenHash` in one compiled pass, so line shuffles carry
+    * 8-byte keys instead of line strings.
+    */
+  def polyStringHash(spark: SparkSession, c: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly_string_hash", exprs => PolyStringHash(exprs.head), "built-in")
+    org.apache.spark.sql.functions.call_function("graft_poly_string_hash", c)
+  }
+
+  /** Column bridge for the compiled first-occurrence line filter (the
+    * within-doc half of line dedup, q122): keeps the first element per
+    * distinct poly31 hash, preserving order — per-row semantics, so it
+    * compiles to a narrow projection with ZERO exchanges.
+    */
+  def polyFirstOccurrence(spark: SparkSession, arr: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly_first_occurrence",
+      exprs => PolyFirstOccurrence(exprs.head), "built-in")
+    org.apache.spark.sql.functions.call_function(
+      "graft_poly_first_occurrence", arr)
+  }
+
   /** Column bridge for the compiled 60-bit SimHash. */
   def polySimHash(spark: SparkSession, c: Column): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -218,6 +242,64 @@ case class PolyGramHashes(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(hashes)
+  }
+}
+
+/** Compiled whole-string portable hash: poly31 char fold mod 1e9+7 of the
+  * entire string (no tokenization) — bit-equal to
+  * `TextFunctions.tokenHash(col)` (equality asserted in spec). The oracle
+  * mirror is `polyHashSql(line)`.
+  */
+case class PolyStringHash(child: Expression)
+    extends UnaryExpression with RefKernelCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_string_hash"
+
+  override protected def withNewChildInternal(newChild: Expression): PolyStringHash =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    PolyHash.foldString(s, 0, s.length, PolyHash.M1, PolyHash.P1, 0L)
+  }
+}
+
+/** Compiled first-occurrence filter over an `array<string>`: one pass with
+  * a hash set of poly31 line hashes — element kept iff its hash is unseen.
+  * Hash-KEYED (not string-keyed) so the q122 oracle, which replays the same
+  * fold in SQL, pins identical semantics even on a hash collision. Null
+  * elements are dropped (a null line carries no content to dedup).
+  */
+case class PolyFirstOccurrence(child: Expression)
+    extends UnaryExpression with RefKernelCodegen {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_first_occurrence"
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFirstOccurrence =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, n * 2))
+    val kept = new Array[AnyRef](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val u = arr.getUTF8String(i)
+        val s = u.toString
+        val h = PolyHash.foldString(s, 0, s.length, PolyHash.M1, PolyHash.P1, 0L)
+        if (seen.add(h)) { kept(m) = u; m += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(kept, m).asInstanceOf[Array[Any]])
   }
 }
 

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.{Log2Fixed, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (Robertson/Spärck Jones) over a document corpus,
+  * in BIT-PORTABLE fixed-point arithmetic so rankings are oracle-checkable
+  * (q125) — the corpus-side complement of the per-pair lexical reranker
+  * (X8, q88): that one scores a given (query, doc) list, this one RETRIEVES
+  * from the whole corpus with corpus statistics (df, avgdl).
+  *
+  * Scoring. With k1 = 6/5 and b = 3/4 (the textbook defaults as exact
+  * rationals), S = Σ dl (total corpus tokens) and N = #docs, the per-term
+  * BM25 contribution clears to integers:
+  *
+  *   tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+  *     = 44·tf·S / (20·tf·S + 6·S + 18·dl·N)        (avgdl = S/N)
+  *
+  *   idf_fp(t) = log2fp(N) − log2fp(df_t)           (log2(N/df), ≥ 0,
+  *                                                   2^20 fixed point —
+  *                                                   the q102 kernel)
+  *
+  *   score_fp(D,Q) = Σ_t (idf_fp(t) · 44·tf·S) div (20·tf·S + 6·S + 18·dl·N)
+  *
+  * MULTIPLY-THEN-DIVIDE: the single floor division happens after the
+  * product with idf_fp, so the quotient keeps ~20 fractional bits — the
+  * floor costs < 2^-20 of a score unit, and both engines floor identically.
+  *
+  * Overflow bound: idf_fp < 64·2^20 < 2^26 and 44·tf·S must stay below
+  * 2^63−26 ⇒ tf·S < 2^31.5. Fine to ~10^9 total tokens at default use;
+  * beyond that scale, run per-shard (per-language/per-source corpora) or
+  * move the product to decimal(38,0) — the floor-division algebra is
+  * unchanged.
+  *
+  * Scale posture: corpus stats (N, S) are a 1-row broadcast; query terms
+  * and their df are term-count-bounded broadcasts; the only corpus-wide
+  * work is one (doc, term) tf aggregation (map-side combine over the
+  * per-doc token explode) and the score groupBy keyed (query, doc). Top-k
+  * per query compiles to WindowGroupLimit via [[Ranking.topKPerGroup]], so
+  * only k rows per query cross the final exchange.
+  */
+object Bm25 {
+
+  /** Top-k BM25 retrieval.
+    *
+    * @param docs    corpus, one row per document.
+    * @param idCol   unique doc id; textCol the document text.
+    * @param queries one row per query: qidCol unique id, qtextCol text.
+    * @param k       results per query.
+    * Returns (query_id, doc_id, rnk, score_fp) — score in 2^20 fixed point;
+    * only docs sharing >= 1 term with the query appear (BM25's support).
+    */
+  def topK(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      queries: DataFrame, qidCol: Column, qtextCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = docs.select(idCol.as("doc_id"),
+      TextFunctions.tokens(textCol).as("__toks"))
+    val d = toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+      explode(col("__toks")).as("term"))
+    val tf = d.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // 1-row corpus stats, cross-broadcast onto every scored row.
+    val stats = toks.agg(count(lit(1)).as("n_corpus"),
+      sum(size(col("__toks"))).cast("long").as("s_corpus"))
+    val qterms = queries
+      .select(qidCol.as("query_id"), explode(TextFunctions.tokens(qtextCol)).as("term"))
+      .distinct()
+    // df over query terms only: semi-restrict the tf frame by the (small)
+    // term set, then count distinct docs per term. The fixed-point log2s
+    // run HERE — once per term and once per corpus, never per scored row
+    // (the q102 lesson: log2fp is integer-cheap but not free; keep it on
+    // the vocabulary-bounded side).
+    val dfs = tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats.select(
+        Log2Fixed.expr(col("n_corpus")).as("__lgn"))))
+      .select(col("term"),
+        (col("__lgn") - Log2Fixed.expr(col("df"))).as("__idf"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib", expr(
+        "__idf * (44L * tf * s_corpus) div " +
+          "(20L * tf * s_corpus + 6L * s_corpus + 18L * dl * n_corpus)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__contrib")).as("score_fp"))
+    Ranking.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("score_fp").desc, col("doc_id").asc), k, rankCol = Some("rnk"))
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score_fp"))
+  }
+}

@@ -370,4 +370,93 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  // ---- line-level dedup family (CCNet-style corpus curation) -------------
+
+  /** Corpus-wide boilerplate-line removal (the CCNet §3.1 "dedup at the
+    * paragraph/line level" step: site templates, legal footers, cookie
+    * banners repeat across a domain's pages; dropping EVERY occurrence of a
+    * line seen in many distinct documents strips them).
+    *
+    * @param df       one row per document.
+    * @param idCol    unique document id.
+    * @param linesCol `array<string>` of the document's lines, in order.
+    * @param minDocs  a line appearing in >= this many DISTINCT documents is
+    *                 boilerplate and removed everywhere.
+    *
+    * Returns one row per input doc: id, n_lines, n_dropped, and
+    * `text_clean` (surviving lines re-joined with '\n' in original order —
+    * docs whose every line is boilerplate keep an empty string).
+    *
+    * Scale posture: lines are folded to portable 8-byte poly31 hashes
+    * BEFORE any exchange, so the frequency aggregation shuffles
+    * (hash, id)-pairs with map-side partial distinct, never line text.
+    * The flagged set (lines in >= minDocs docs) is, by construction, tiny
+    * relative to the corpus — boilerplate is the head of the line-frequency
+    * distribution — so the removal join broadcasts it; the corpus itself is
+    * never re-shuffled for the subtraction. The final reassembly is the
+    * only corpus-wide exchange (groupBy id), and it carries surviving lines
+    * once. The frequency is computed over HASHES: a poly31 collision could
+    * in principle merge two distinct lines' counts; at 1e9+7 buckets the
+    * head of the distribution (the only region near the threshold) is
+    * unaffected in practice, and the oracle replays the same hash fold so
+    * the semantics are pinned, not approximated.
+    */
+  def removeBoilerplateLines(
+      df: DataFrame, idCol: Column, linesCol: Column,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val spark = df.sparkSession
+    val base = df.select(idCol.as("__id"), linesCol.as("__lines"))
+    val ex = base
+      .select(col("__id"), posexplode(col("__lines")).as(Seq("__pos", "__line")))
+      .withColumn("__h",
+        graft.functions.PolyHash.polyStringHash(spark, col("__line")))
+    // distinct (id, hash) before the count → partial agg collapses a doc's
+    // repeated lines map-side; the exchange then carries each (doc, line)
+    // pair once.
+    val flagged = ex.select(col("__id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h"))
+    val kept = ex.join(broadcast(flagged), Seq("__h"), "left_anti")
+    base.select(col("__id"), size(col("__lines")).as("n_lines"))
+      .join(
+        kept.groupBy(col("__id"))
+          .agg(count(lit(1)).as("__n_kept"),
+            array_join(array_sort(collect_list(struct(col("__pos"), col("__line"))))
+              .getField("__line"), "\n").as("text_clean")),
+        Seq("__id"), "left")
+      .select(col("__id").as("id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Within-document duplicate-line collapse: keep the FIRST occurrence of
+    * each distinct line in a document, preserving original order (the
+    * intra-doc half of CCNet line dedup — repeated nav menus, pasted
+    * terminal output).
+    *
+    * Scale posture: the semantics are PER-ROW (each document's output is a
+    * pure function of its own lines array), so the whole operator is one
+    * compiled narrow projection ([[graft.functions.PolyFirstOccurrence]] —
+    * a single pass with a per-row hash set) with ZERO exchanges: no
+    * explode, no aggregation, no join. The first form of this operator
+    * exploded lines into a corpus-wide (id, hash) aggregation — two
+    * SortAggregates (min over a struct has no hash-agg form) plus a
+    * reassembly exchange and a rejoin, 8× slower at sf0.1 and a
+    * doc-count-proportional shuffle at 100 TB, all for state that never
+    * leaves one row. PlanGuardSpec pins the zero-exchange plan.
+    */
+  def dedupLinesWithinDoc(
+      df: DataFrame, idCol: Column, linesCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    df.select(idCol.as("id"), linesCol.as("__lines"))
+      .select(col("id"), size(col("__lines")).as("n_lines_in"),
+        graft.functions.PolyHash.polyFirstOccurrence(spark, col("__lines"))
+          .as("__kept"))
+      .select(col("id"), col("n_lines_in"),
+        size(col("__kept")).cast("long").as("n_lines_out"),
+        array_join(col("__kept"), "\n").as("text_dedup"))
+  }
 }

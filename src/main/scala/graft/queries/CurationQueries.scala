@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.{Log2Fixed, NfcNormalize, TextFunctions}
+import graft.operators.{Bm25, Dedup, Ranking}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-curation operators, oracle-checked: CCNet-style
+  * line-level dedup (cross-corpus boilerplate removal + within-doc
+  * collapse), Unicode NFC normalization, corpus vocabulary statistics, and
+  * fixed-point BM25 retrieval.
+  *
+  * The synthetic documents have no newlines, so the line queries derive
+  * deterministic "lines" as fixed-width token chunks — 3 tokens for the
+  * cross-corpus query (enough combinations that only genuinely repeated
+  * chunks cross the frequency threshold), 2 for the within-doc one (small
+  * enough that intra-doc repeats actually occur) — a construction the
+  * DuckDB oracle replays token-for-token. The OPERATORS take any
+  * `array<string>` lines column; real corpora pass `split(text, '\n')`.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Fixed-width token chunks as lines: chunk i = tokens [i·w, i·w+w). */
+  private def tokenChunkLines(text: Column, w: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    transform(
+      sequence(lit(0), ((size(toks) + (w - 1)) / w).cast("int") - 1),
+      i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cross-corpus boilerplate-line removal: 3-token chunk "lines", every
+    // occurrence of a line held by >= 5 distinct docs dropped, survivors
+    // re-joined in order (CCNet's corpus-level line dedup).
+    "q121_boilerplate_lines" -> ((s, dir) => {
+      Dedup.removeBoilerplateLines(
+          docs(s, dir), col("doc_id"), tokenChunkLines(col("text"), 3),
+          minDocs = 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Within-doc duplicate-line collapse: 2-token chunk "lines", first
+    // occurrence kept in original order.
+    "q122_line_dedup_doc" -> ((s, dir) => {
+      Dedup.dedupLinesWithinDoc(
+          docs(s, dir), col("doc_id"), tokenChunkLines(col("text"), 2))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Unicode NFC normalization stats: decompose every 'a' into
+    // 'a' + U+0301 (combining acute), normalize back with the compiled
+    // NFC expression, count affected docs and codepoint deltas per lang —
+    // certifying the UAX #15 composition against DuckDB's nfc_normalize.
+    "q123_nfc_normalize" -> ((s, dir) => {
+      val dec = regexp_replace(col("text"), "a", "a\u0301")
+      docs(s, dir)
+        .select(col("lang"), dec.as("__dec"))
+        .withColumn("__norm", NfcNormalize.expr(s, col("__dec")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__norm") =!= col("__dec"), 1).otherwise(0)).as("n_changed"),
+          sum(length(col("__dec"))).cast("bigint").as("chars_decomposed"),
+          sum(length(col("__norm"))).cast("bigint").as("chars_nfc"))
+    }),
+
+    // Corpus vocabulary statistics per language: type count, hapax count,
+    // token count, and the modal token (freq desc, lexical tiebreak).
+    "q124_vocab_stats" -> ((s, dir) => {
+      val freq = docs(s, dir)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("n"))
+      val stats = freq.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1).otherwise(0)).as("n_hapax"),
+          sum(col("n")).as("n_tokens"))
+      stats.join(
+        Ranking.keepFirst(freq, Seq(col("lang")),
+            Seq(col("n").desc, col("term").asc))
+          .select(col("lang"), col("term").as("top_token"), col("n").as("top_freq")),
+        Seq("lang"))
+    }),
+
+    // Fixed-point BM25 top-10 over the corpus for three literal queries —
+    // every integer (log2fp IDF, cleared-rational tf part) replayed by the
+    // oracle.
+    "q125_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "spark join merge"),
+        (2L, "window batch stream"),
+        (3L, "customer value filter")).toDF("query_id", "qtext")
+      Bm25.topK(docs(s, dir), col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 10)
+    }))
+
+  // ---- DuckDB oracles -----------------------------------------------------
+
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+  /** poly31 char fold mod 1e9+7 — SQL mirror of PolyStringHash. */
+  private def polyHashSql(s: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Fixed-width token chunk lines — SQL mirror of [[tokenChunkLines]]. */
+  private def chunkLinesSql(w: Int) =
+    s"list_transform(range(0, (len(toks)+${w - 1})//$w), " +
+      s"i -> array_to_string(toks[$w*i+1:$w*i+$w], ' '))"
+
+  /** log2fp CTE stage over a (key, m) input CTE: emits `e` then `tt` then
+    * the joined fixed-point value — textually parallel with Log2Fixed.
+    */
+  private def log2fpStages(src: String, keyCols: String, m: String,
+      out: String, pfx: String): String =
+    s"""${pfx}x AS (SELECT $keyCols, $m AS __m, length(bin($m)) - 1 AS e FROM $src),
+       ${pfx}t AS (SELECT $keyCols, e,
+           CASE WHEN e >= 20 THEN __m // CAST(POWER(2, e - 20) AS BIGINT)
+                ELSE __m * CAST(POWER(2, 20 - e) AS BIGINT)
+           END - 1048576 AS tt FROM ${pfx}x),
+       ${pfx}l AS (SELECT $keyCols,
+           e * 1048576 + v + (vn - v) * (tt % 1024) // 1024 AS $out
+         FROM ${pfx}t JOIN l2 ON i = tt // 1024)"""
+
+  val oracles: Map[String, String] = Map(
+
+    "q121_boilerplate_lines" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         d AS (SELECT doc_id, ${chunkLinesSql(3)} AS lines FROM t),
+         e AS (SELECT doc_id, u.i AS pos, lines[u.i + 1] AS line
+           FROM d, unnest(range(0, len(lines))) AS u(i)),
+         h AS (SELECT doc_id, pos, line, ${polyHashSql("line")} AS lh FROM e),
+         f AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM h)
+           GROUP BY lh HAVING COUNT(*) >= 5),
+         k AS (SELECT h.doc_id, h.pos, h.line FROM h
+           LEFT JOIN f ON h.lh = f.lh WHERE f.lh IS NULL),
+         a AS (SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean
+           FROM k GROUP BY doc_id)
+         SELECT d.doc_id, len(d.lines) AS n_lines,
+           len(d.lines) - COALESCE(a.n_kept, 0) AS n_dropped,
+           COALESCE(a.text_clean, '') AS text_clean
+         FROM d LEFT JOIN a USING (doc_id)""",
+
+    "q122_line_dedup_doc" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         d AS (SELECT doc_id, ${chunkLinesSql(2)} AS lines FROM t),
+         e AS (SELECT doc_id, u.i AS pos, lines[u.i + 1] AS line
+           FROM d, unnest(range(0, len(lines))) AS u(i)),
+         h AS (SELECT doc_id, pos, line, ${polyHashSql("line")} AS lh FROM e),
+         fo AS (SELECT doc_id, lh, MIN(pos) AS fpos FROM h GROUP BY doc_id, lh),
+         k AS (SELECT h.doc_id, h.pos, h.line FROM h JOIN fo
+           ON h.doc_id = fo.doc_id AND h.lh = fo.lh AND h.pos = fo.fpos),
+         a AS (SELECT doc_id, COUNT(*) AS n_lines_out,
+             string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+           FROM k GROUP BY doc_id)
+         SELECT a.doc_id, len(d.lines) AS n_lines_in, a.n_lines_out,
+           a.text_dedup
+         FROM a JOIN d USING (doc_id)""",
+
+    "q123_nfc_normalize" ->
+      """WITH d AS (SELECT lang,
+             replace(text, 'a', 'a' || chr(769)) AS dec FROM documents),
+         n AS (SELECT lang, dec, nfc_normalize(dec) AS norm FROM d)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN norm <> dec THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(length(dec)) AS BIGINT) AS chars_decomposed,
+           CAST(SUM(length(norm)) AS BIGINT) AS chars_nfc
+         FROM n GROUP BY lang""",
+
+    "q124_vocab_stats" ->
+      s"""WITH d AS (SELECT lang, unnest($toksSql) AS term FROM documents),
+         f AS (SELECT lang, term, COUNT(*) AS n FROM d GROUP BY 1, 2),
+         st AS (SELECT lang, COUNT(*) AS n_types,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+           FROM f GROUP BY lang),
+         tp AS (SELECT lang, term AS top_token, n AS top_freq,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn
+           FROM f)
+         SELECT st.lang, st.n_types, st.n_hapax, st.n_tokens,
+           tp.top_token, tp.top_freq
+         FROM st JOIN tp ON st.lang = tp.lang AND tp.rn = 1""",
+
+    "q125_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+           FROM dd GROUP BY 1, 2),
+         st AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS s FROM t),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'join'), (1, 'merge'),
+           (2, 'window'), (2, 'batch'), (2, 'stream'),
+           (3, 'customer'), (3, 'value'), (3, 'filter')),
+         dfs AS (SELECT term, COUNT(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         ${Log2Fixed.lutCteSql},
+         ${log2fpStages("dfs", "term", "df", "lgdf", "df")},
+         ${log2fpStages("st", "n, s", "n", "lgn", "n")},
+         sc AS (SELECT q.query_id, tf.doc_id,
+             CAST(SUM(((nl.lgn - dfl.lgdf) * (44 * tf.tf * nl.s))
+               // (20 * tf.tf * nl.s + 6 * nl.s + 18 * tf.dl * nl.n)) AS BIGINT) AS score_fp
+           FROM tf JOIN q USING (term) JOIN dfl USING (term) CROSS JOIN nl
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score_fp,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score_fp DESC, doc_id) AS rnk
+           FROM sc)
+         SELECT query_id, doc_id, rnk, score_fp FROM r WHERE rnk <= 10""")
+}

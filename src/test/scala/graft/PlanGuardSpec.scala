@@ -62,4 +62,18 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(exchanges.isEmpty, "q66 must not shuffle — split is a pure projection")
   }
+
+  test("q122 within-doc line dedup stays a zero-exchange projection") {
+    // per-row semantics: the first form of this operator exploded into a
+    // corpus-wide (id, hash) SortAggregate pair + rejoin (8x slower at
+    // sf0.1); the compiled PolyFirstOccurrence projection must never grow
+    // an exchange back
+    val plan = SparkEntry.queries("q122_line_dedup_doc")(spark, SparkTestSession.Sf0001)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      "q122 must not shuffle — within-doc dedup is a pure projection")
+  }
 }
