@@ -104,6 +104,20 @@ object PolyHash {
       "graft_poly_first_occurrence", arr)
   }
 
+  /** Column bridge for the compiled flagged-line filter: drops every
+    * element whose poly31 hash is in `flagged` (sorted ascending; binary
+    * search per line). The flagged set rides as expression state — the
+    * codebook pattern — so the filter is a narrow stream-safe projection:
+    * no join, identical plan in batch and Structured Streaming.
+    */
+  def polyDropFlagged(spark: SparkSession, arr: Column, flagged: Array[Long]): Column = {
+    val sorted = flagged.clone(); java.util.Arrays.sort(sorted)
+    val name = s"graft_poly_drop_flagged_${java.util.Arrays.hashCode(sorted)}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PolyDropFlagged(exprs.head, sorted), "built-in")
+    org.apache.spark.sql.functions.call_function(name, arr)
+  }
+
   /** Column bridge for the compiled 60-bit SimHash. */
   def polySimHash(spark: SparkSession, c: Column): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -296,6 +310,43 @@ case class PolyFirstOccurrence(child: Expression)
         val s = u.toString
         val h = PolyHash.foldString(s, 0, s.length, PolyHash.M1, PolyHash.P1, 0L)
         if (seen.add(h)) { kept(m) = u; m += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(kept, m).asInstanceOf[Array[Any]])
+  }
+}
+
+/** Compiled flagged-line drop over an `array<string>`: element kept iff
+  * its poly31 hash is NOT in the sorted `flagged` array (binary search —
+  * O(log f) per line against bounded expression state). Null elements are
+  * dropped. The streaming-side half of boilerplate-line removal: the
+  * flagged set comes from a batch [[graft.operators.Dedup.flaggedLineHashes]]
+  * pass, this expression applies it without a join.
+  */
+case class PolyDropFlagged(child: Expression, flagged: Array[Long])
+    extends UnaryExpression with RefKernelCodegen {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_drop_flagged"
+
+  override protected def withNewChildInternal(newChild: Expression): PolyDropFlagged =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val kept = new Array[AnyRef](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val u = arr.getUTF8String(i)
+        val s = u.toString
+        val h = PolyHash.foldString(s, 0, s.length, PolyHash.M1, PolyHash.P1, 0L)
+        if (java.util.Arrays.binarySearch(flagged, h) < 0) { kept(m) = u; m += 1 }
       }
       i += 1
     }

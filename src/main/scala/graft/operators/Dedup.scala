@@ -432,6 +432,52 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** The flagged-line set of [[removeBoilerplateLines]] as a collected,
+    * sorted hash array — for the STREAMING application path
+    * ([[applyFlaggedLineFilter]]): a production scrubber computes the
+    * boilerplate head batch-side over yesterday's corpus, then applies it
+    * statelessly to today's stream.
+    *
+    * Driver-state bound: the flagged set is the >= minDocs HEAD of the
+    * line-frequency distribution, ≤ (corpus line count / minDocs) by
+    * counting and orders of magnitude smaller in practice (it's the same
+    * set the batch path broadcasts). Still corpus-dependent: at 100 TB
+    * size the threshold so the head stays broadcast-sized, same contract
+    * as a broadcast join.
+    */
+  def flaggedLineHashes(
+      df: DataFrame, idCol: Column, linesCol: Column, minDocs: Int): Array[Long] = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val spark = df.sparkSession
+    df.select(idCol.as("__id"), explode(linesCol).as("__line"))
+      .select(col("__id"),
+        graft.functions.PolyHash.polyStringHash(spark, col("__line")).as("__h"))
+      .distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__h")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+  }
+
+  /** Apply a pre-computed flagged-line set as a narrow projection — the
+    * compiled filter carries the sorted hash array as expression state
+    * (binary search per line), so the SAME operator runs over a batch
+    * DataFrame or a Structured Streaming one (no stream-static join, no
+    * state store). Output schema matches [[removeBoilerplateLines]].
+    */
+  def applyFlaggedLineFilter(
+      df: DataFrame, idCol: Column, linesCol: Column,
+      flagged: Array[Long]): DataFrame = {
+    val spark = df.sparkSession
+    df.select(idCol.as("id"), linesCol.as("__lines"))
+      .select(col("id"), size(col("__lines")).as("n_lines"),
+        graft.functions.PolyHash.polyDropFlagged(spark, col("__lines"), flagged)
+          .as("__kept"))
+      .select(col("id"), col("n_lines"),
+        (col("n_lines") - size(col("__kept"))).cast("long").as("n_dropped"),
+        array_join(col("__kept"), "\n").as("text_clean"))
+  }
+
   /** Within-document duplicate-line collapse: keep the FIRST occurrence of
     * each distinct line in a document, preserving original order (the
     * intra-doc half of CCNet line dedup — repeated nav menus, pasted

@@ -264,4 +264,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.size == 200)                  // 300 records, 2/3 pass rule
     assert(batchIds.nonEmpty)                     // sink saw real micro-batches
   }
+
+  test("streaming boilerplate scrub == batch removal (flagged set as expression state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Seq("COOKIE BANNER", "real content zero", "TERMS FOOTER")),
+      (1L, Seq("COOKIE BANNER", "real content one", "TERMS FOOTER")),
+      (2L, Seq("COOKIE BANNER", "real content two")),
+      (3L, Seq("COOKIE BANNER", "TERMS FOOTER"))
+    ).toDF("doc_id", "lines")
+    // batch side: learn the flagged head, and the reference output
+    val flagged = graft.operators.Dedup.flaggedLineHashes(
+      corpus, col("doc_id"), col("lines"), minDocs = 3)
+    val batchOut = graft.operators.Dedup.removeBoilerplateLines(
+        corpus, col("doc_id"), col("lines"), minDocs = 3)
+      .select("id", "n_lines", "n_dropped", "text_clean")
+      .as[(Long, Int, Long, String)].collect().toSet
+
+    // stream side: the SAME operator shape over a MemoryStream
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = graft.operators.Dedup.applyFlaggedLineFilter(
+        stream.toDF.toDF("doc_id", "lines"), col("doc_id"), col("lines"), flagged)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("boilerplate_stream").start()
+    try {
+      stream.addData((0L, Seq("COOKIE BANNER", "real content zero", "TERMS FOOTER")),
+        (1L, Seq("COOKIE BANNER", "real content one", "TERMS FOOTER")))
+      q.processAllAvailable()
+      stream.addData((2L, Seq("COOKIE BANNER", "real content two")),
+        (3L, Seq("COOKIE BANNER", "TERMS FOOTER")))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT id, n_lines, n_dropped, text_clean FROM boilerplate_stream")
+        .as[(Long, Int, Long, String)].collect().toSet
+      assert(streamed == batchOut)
+      assert(streamed.contains((3L, 2, 2L, "")))  // fully-boilerplate doc survives as empty
+    } finally q.stop()
+  }
+
+  test("applyFlaggedLineFilter batch output == removeBoilerplateLines on real docs") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("lines"))
+    val flagged = graft.operators.Dedup.flaggedLineHashes(
+      docs, col("doc_id"), col("lines"), minDocs = 50)
+    assert(flagged.nonEmpty)
+    val a = graft.operators.Dedup.applyFlaggedLineFilter(
+        docs, col("doc_id"), col("lines"), flagged)
+      .select("id", "n_lines", "n_dropped", "text_clean")
+      .as[(Long, Int, Long, String)].collect().toSet
+    val b = graft.operators.Dedup.removeBoilerplateLines(
+        docs, col("doc_id"), col("lines"), minDocs = 50)
+      .select("id", "n_lines", "n_dropped", "text_clean")
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(a == b)
+  }
 }
