@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Mixture, Packing, Sampling}
+import graft.operators.{Dedup, Mixture, Packing, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Scale receipts for the training-pipeline operators: synthetic inputs at
@@ -397,6 +397,62 @@ object Stress {
     }
   }
 
+  /** Line-level dedup receipts (r5): boilerplate removal and within-doc
+    * collapse at `n` total lines (10 per doc), with EXACT planted
+    * expectations — the receipt fails on any over- or under-drop.
+    *
+    * Corpus shape per doc (10 lines): line 0 = a single shared banner on
+    * every 3rd doc; line 1 = one of 20 shared footers (docs/20 holders
+    * each — far over the minDocs threshold); lines 2-9 unique to the
+    * (doc, position). So removeBoilerplateLines at minDocs=1000 must drop
+    * exactly docs/3 (banner holders, rounded up) + docs (footers), and
+    * the only corpus-wide exchanges carry 8-byte hashes + the surviving
+    * reassembly — the shuffle-bytes line makes that visible.
+    */
+  private def lineReceipts(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    val docsN = math.max(1000L, n / 10)
+    val docs = spark.range(0, docsN, 1, 32).toDF("doc_id")
+      .select(col("doc_id"), transform(sequence(lit(0), lit(9)), i =>
+        when(i === 0 && pmod(col("doc_id"), lit(3)) === 0,
+            lit("SHARED COOKIE BANNER TEXT"))
+          .when(i === 1,
+            concat(lit("site footer variant "), pmod(col("doc_id"), lit(20))))
+          .otherwise(concat(lit("unique line "), col("doc_id"), lit(" "),
+            i))).as("lines"))
+    val expectedDropped = (docsN + 2) / 3 + docsN
+    val (_, shuffled) = shuffleBytes(spark.sparkContext) {
+      time(s"boilerplate_${n / 1000000}M_lines") {
+        val dropped = Dedup.removeBoilerplateLines(
+            docs, col("doc_id"), col("lines"), minDocs = 1000)
+          .agg(sum("n_dropped")).head().getLong(0)
+        assert(dropped == expectedDropped,
+          s"dropped $dropped != planted $expectedDropped")
+      }
+    }
+    println(f"[stress] boilerplate_shuffle_mb ${shuffled / 1e6}%8.1f MB")
+
+    // within-doc: 5 copies of one line + 5 unique -> exactly 6 survive/doc
+    val dupDocs = spark.range(0, docsN, 1, 32).toDF("doc_id")
+      .select(col("doc_id"), transform(sequence(lit(0), lit(9)), i =>
+        when(pmod(i, lit(2)) === 0, lit("REPEATED NAV MENU LINE"))
+          .otherwise(concat(lit("body line "), col("doc_id"), lit(" "), i)))
+        .as("lines"))
+    val (_, shuffled2) = shuffleBytes(spark.sparkContext) {
+      time(s"linededup_${n / 1000000}M_lines") {
+        val out = Dedup.dedupLinesWithinDoc(dupDocs, col("doc_id"), col("lines"))
+          .agg(sum("n_lines_out")).head().getLong(0)
+        assert(out == 6L * docsN, s"kept $out != expected ${6L * docsN}")
+      }
+    }
+    // the only exchange is the receipt's own global sum(): 32 partial-agg
+    // rows, a few KB. The operator itself moves nothing — anything beyond
+    // 1 MB means a shuffle grew back into the projection (PlanGuard's
+    // q122 pin is the plan-level twin of this runtime assertion).
+    assert(shuffled2 < 1000000L,
+      s"within-doc dedup shuffled $shuffled2 bytes — projection regressed")
+    println(f"[stress] linededup_shuffle_kb  ${shuffled2 / 1e3}%8.1f KB (receipt's own 1-row agg)")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -427,6 +483,12 @@ object Stress {
 
     if (section == "semdedup") {
       semDedupReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "lines") {
+      lineReceipts(spark, n)
       spark.stop()
       return
     }
