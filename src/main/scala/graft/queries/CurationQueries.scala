@@ -97,6 +97,55 @@ object CurationQueries {
         (3L, "customer value filter")).toDF("query_id", "qtext")
       Bm25.topK(docs(s, dir), col("doc_id"), col("text"),
         qs, col("query_id"), col("qtext"), k = 10)
+    }),
+
+    // Canonical-form dedup keying: the corpus unioned with a mutated copy
+    // (every 'a' -> decomposed 'Á'); CanonicalText (NFC → strip accents →
+    // lower → collapse ws) must collapse each mutant back onto its
+    // original, so n_unique_canon counts ORIGINALS while n_unique_raw
+    // counts both variants.
+    "q126_canonical_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val mutated = d.select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        regexp_replace(col("text"), "a", "A\u0301").as("text"))
+      d.unionByName(mutated)
+        .withColumn("__canon",
+          graft.functions.CanonicalText.expr(s, col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique_raw"),
+          countDistinct(col("__canon")).as("n_unique_canon"))
+    }),
+
+    // Exact interpolated percentiles of per-doc token counts by language
+    // (Spark `percentile` vs DuckDB `quantile_cont` — same p·(n−1)
+    // definition; outputs rounded to 4dp on both sides).
+    "q127_length_percentiles" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("nt"))
+        .groupBy(col("lang"))
+        .agg(round(expr("percentile(nt, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(nt, 0.9D)"), 4).as("p90"),
+          round(expr("percentile(nt, 0.99D)"), 4).as("p99"),
+          max(col("nt")).cast("long").as("max_tokens"))
+    }),
+
+    // Mojibake repair: every 'e' replaced by the CP1252 mis-decode of 'é'
+    // ("Ã©"); FixMojibake's general round-trip must equal the oracle's
+    // static replay of the planted sequence.
+    "q128_fix_mojibake" -> ((s, dir) => {
+      val moji = regexp_replace(col("text"), "e", "\u00c3\u00a9")
+      docs(s, dir)
+        .select(col("lang"), moji.as("__moji"))
+        .withColumn("__fixed",
+          graft.functions.FixMojibake.expr(s, col("__moji")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__fixed") =!= col("__moji"), 1).otherwise(0))
+            .as("n_repaired"),
+          sum(length(col("__moji"))).cast("bigint").as("chars_moji"),
+          sum(length(col("__fixed"))).cast("bigint").as("chars_fixed"))
     }))
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -213,5 +262,42 @@ object CurationQueries {
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY score_fp DESC, doc_id) AS rnk
            FROM sc)
-         SELECT query_id, doc_id, rnk, score_fp FROM r WHERE rnk <= 10""")
+         SELECT query_id, doc_id, rnk, score_fp FROM r WHERE rnk <= 10""",
+
+    "q126_canonical_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, lang, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lang,
+             replace(text, 'a', 'A' || chr(769)) FROM documents),
+         c AS (SELECT lang, text,
+             trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+               '\s+', ' ', 'g')) AS canon
+           FROM all_docs)
+         SELECT lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_unique_raw,
+           COUNT(DISTINCT canon) AS n_unique_canon
+         FROM c GROUP BY lang""",
+
+    "q127_length_percentiles" ->
+      s"""WITH d AS (SELECT lang, CAST(len($toksSql) AS DOUBLE) AS nt
+           FROM documents)
+         SELECT lang,
+           ROUND(quantile_cont(nt, 0.5), 4) AS p50,
+           ROUND(quantile_cont(nt, 0.9), 4) AS p90,
+           ROUND(quantile_cont(nt, 0.99), 4) AS p99,
+           CAST(MAX(nt) AS BIGINT) AS max_tokens
+         FROM d GROUP BY lang""",
+
+    "q128_fix_mojibake" ->
+      """WITH d AS (SELECT lang,
+             replace(text, 'e', chr(195) || chr(169)) AS moji FROM documents),
+         f AS (SELECT lang, moji,
+             replace(moji, chr(195) || chr(169), chr(233)) AS fixed FROM d)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN fixed <> moji THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repaired,
+           CAST(SUM(length(moji)) AS BIGINT) AS chars_moji,
+           CAST(SUM(length(fixed)) AS BIGINT) AS chars_fixed
+         FROM f GROUP BY lang""")
 }
