@@ -119,3 +119,66 @@ object FixMojibake {
     org.apache.spark.sql.functions.call_function("graft_fix_mojibake", c)
   }
 }
+
+/** Payment-card redaction with Luhn validation — the upgrade over a bare
+  * digit-run regex: a 16-digit order number is NOT a card, and mod-10
+  * checks are what separates them. Boundary-anchored runs of 13-19 digits
+  * (`(?<!\d)\d{13,19}(?!\d)`; longer runs are not cards by contract —
+  * embedded separators are out of scope) that PASS the Luhn checksum are
+  * replaced with `[CARD]`; failing runs are left untouched. One compiled
+  * pass per row; complements `TextFunctions.redactPii` (email/phone, F12).
+  */
+case class RedactCardNumbers(child: Expression)
+    extends UnaryExpression with RefKernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "redact_card_numbers"
+
+  override protected def withNewChildInternal(newChild: Expression): RedactCardNumbers =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      RedactCardNumbers.redact(input.asInstanceOf[UTF8String].toString))
+}
+
+object RedactCardNumbers {
+
+  private val run = java.util.regex.Pattern.compile("(?<!\\d)\\d{13,19}(?!\\d)")
+
+  def luhnValid(digits: CharSequence): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  def redact(s: String): String = {
+    val m = run.matcher(s)
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    while (m.find()) {
+      if (luhnValid(s.subSequence(m.start(), m.end()))) {
+        if (sb == null) sb = new java.lang.StringBuilder(s.length)
+        sb.append(s, last, m.start()).append("[CARD]")
+        last = m.end()
+      }
+    }
+    if (sb == null) s else { sb.append(s, last, s.length); sb.toString }
+  }
+
+  /** Column bridge for the compiled redaction pass. */
+  def expr(spark: SparkSession, c: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_redact_cards", exprs => RedactCardNumbers(exprs.head), "built-in")
+    org.apache.spark.sql.functions.call_function("graft_redact_cards", c)
+  }
+}

@@ -432,6 +432,65 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Incremental near-dup ADMISSION — the production ingestion shape: a
+    * huge existing corpus (`oldDf`) and a new shard (`newDf`, disjoint
+    * ids); admit the new docs that near-duplicate neither an old doc nor
+    * a smaller-id doc in their own shard. Old-vs-old pairs are NEVER
+    * computed — the asymmetric band-bucket join touches an old doc only
+    * when a new doc lands in its bucket, so per-shard cost scales with
+    * the SHARD, not the corpus (the full-corpus `minHashLsh` rerun this
+    * replaces is quadratic-in-history across a crawl's lifetime).
+    *
+    * Within-shard rule is deterministic and single-pass: a new doc is
+    * rejected if a VERIFIED pair links it to any smaller-id shard-mate —
+    * whether or not that mate was itself admitted (conservative: no
+    * decision chains, so the rule is order-free and replayable). Same
+    * portable hash stack as [[minHashLsh]], so the q129 oracle replays
+    * candidates, verification and the admission rule value-for-value.
+    */
+  def incrementalNearDupAdmission(
+      oldDf: DataFrame, newDf: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def hashed(df: DataFrame) = df
+      .select(idCol.as("id"),
+        graft.functions.PolyHash
+          .polyShingleHashes(df.sparkSession, textCol, shingleSize).as("hs"))
+      .filter(size(col("hs")) > 0)
+    def banded(h: DataFrame) = h
+      .withColumn("sig", graft.functions.MinHashSig.expr(col("hs"), numHashes))
+      .select(col("id"),
+        posexplode(graft.functions.PolyHash
+          .polyBandBuckets(h.sparkSession, col("sig"), bands, rows)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val hashedOld = hashed(oldDf)
+    val hashedNew = hashed(newDf)
+    val bandedOld = banded(hashedOld)
+    val bandedNew = banded(hashedNew)
+    // candidates: (new, old) any order + (new, new) smaller-id-owns
+    val candOld = bandedNew.as("n")
+      .join(bandedOld.as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .select(col("n.id").as("new_id"), col("o.id").as("other_id"))
+    val candNew = bandedNew.as("a")
+      .join(bandedNew.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("b.id") < col("a.id"))
+      .select(col("a.id").as("new_id"), col("b.id").as("other_id"))
+    val cand = candOld.unionByName(candNew).dropDuplicates("new_id", "other_id")
+    val allHashed = hashedOld.unionByName(hashedNew)
+    val rejected = cand
+      .join(hashedNew.select(col("id").as("new_id"), col("hs").as("hs_n")), Seq("new_id"))
+      .join(allHashed.select(col("id").as("other_id"), col("hs").as("hs_o")), Seq("other_id"))
+      .withColumn("inter", size(array_intersect(col("hs_n"), col("hs_o"))))
+      .filter(col("inter").cast("double") /
+        (size(col("hs_n")) + size(col("hs_o")) - col("inter")) >= threshold)
+      .select(col("new_id").as("id")).distinct()
+    newDf.join(rejected, idCol === rejected("id"), "left_anti")
+  }
+
   /** The flagged-line set of [[removeBoilerplateLines]] as a collected,
     * sorted hash array — for the STREAMING application path
     * ([[applyFlaggedLineFilter]]): a production scrubber computes the

@@ -154,6 +154,20 @@ object AnalyticsQueries {
         .select(col("doc_id"))
     }),
 
+    // Incremental ingestion: src1 arrives as the NEW shard against the
+    // rest of the corpus; admit new docs near-duplicating neither an old
+    // doc nor a smaller-id shard-mate. Old-vs-old pairs never computed —
+    // the asymmetric band join is the per-shard scale path (16x2 banding,
+    // q41's high-recall configuration).
+    "q129_incremental_admission" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDupAdmission(
+          d.filter(col("source") =!= "src1"), d.filter(col("source") === "src1"),
+          col("doc_id"), col("text"),
+          shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.3)
+        .select(col("doc_id"))
+    }),
+
     // IVF-bucketed ANN with the SEEDED portable codebook (scan 1/C of
     // candidates per query).
     "q47_ivf_topk" -> ((s, dir) => {
@@ -247,6 +261,25 @@ object AnalyticsQueries {
            FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)"""
 
   val oracles: Map[String, String] = Map(
+    "q129_incremental_admission" ->
+      // replays the engine's 16x2 banding over the WHOLE corpus, then
+      // applies the admission rule: a new doc is rejected when a verified
+      // pair links it to any smaller-id doc (old or new — id_b side), or
+      // to a larger-id OLD doc (id_a side)
+      s"""WITH ${lshCtes(bands = 16, rows = 2)},
+         pairs AS (SELECT id_a, id_b FROM v
+           WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3),
+         newdocs AS (SELECT doc_id FROM documents WHERE source = 'src1'),
+         olddocs AS (SELECT doc_id FROM documents WHERE source <> 'src1'),
+         rej AS (
+           SELECT p.id_b AS doc_id FROM pairs p
+             JOIN newdocs n ON p.id_b = n.doc_id
+           UNION
+           SELECT p.id_a FROM pairs p
+             JOIN newdocs n ON p.id_a = n.doc_id
+             JOIN olddocs o ON p.id_b = o.doc_id)
+         SELECT doc_id FROM newdocs
+         WHERE doc_id NOT IN (SELECT doc_id FROM rej)""",
     "q86_neardup_removal" ->
       s"""WITH RECURSIVE ${lshCtes()},
          pairs AS (SELECT id_a, id_b FROM v

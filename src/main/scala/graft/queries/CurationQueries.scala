@@ -146,6 +146,58 @@ object CurationQueries {
             .as("n_repaired"),
           sum(length(col("__moji"))).cast("bigint").as("chars_moji"),
           sum(length(col("__fixed"))).cast("bigint").as("chars_fixed"))
+    }),
+
+    // Script profile: zh docs get CJK vowel substitution, fr docs get é
+    // (still Latin range) — the compiled codepoint-range counter and a
+    // closed-form dominant-script call, per doc.
+    "q130_script_profile" -> ((s, dir) => {
+      val txt = when(col("lang") === "zh",
+          translate(col("text"), "aeiou", "的是了在和"))
+        .when(col("lang") === "fr", translate(col("text"), "e", "é"))
+        .otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.ScriptProfile.expr(s, txt).as("p"))
+        .select(col("doc_id"), col("lang"),
+          col("p.n_latin").as("n_latin"), col("p.n_cjk").as("n_cjk"),
+          col("p.n_digit").as("n_digit"), col("p.n_space").as("n_space"),
+          col("p.n_other").as("n_other"),
+          when(col("p.n_cjk") > col("p.n_latin"), "cjk")
+            .otherwise("latin").as("dominant"))
+    }),
+
+    // Luhn-validated card redaction: even doc_ids carry a VALID test PAN,
+    // odd ones a same-length Luhn-FAILING run — only the former may be
+    // redacted (the general mod-10 scan vs the oracle's parity replay).
+    "q131_card_redaction" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" pay 4532015112830366 now"))
+          .otherwise(lit(" ref 1234567890123457 code")))
+      docs(s, dir)
+        .select(col("lang"), aug.as("__aug"))
+        .withColumn("__red",
+          graft.functions.RedactCardNumbers.expr(s, col("__aug")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__red") =!= col("__aug"), 1).otherwise(0)).as("n_redacted"),
+          sum(length(col("__red"))).cast("bigint").as("chars_redacted"))
+    }),
+
+    // CDC snapshot merge: three change waves (rev2 on 7s, rev3 on 21s,
+    // tombstones on 11s) applied latest-wins over the base corpus.
+    "q132_snapshot_merge" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      def wave(modulo: Int, prefix: String, v: Int, del: Boolean) =
+        docs(s, dir).filter(pmod(col("doc_id"), lit(modulo)) === 0)
+          .select(col("doc_id"),
+            (if (del) col("text") else concat(lit(prefix), col("text"))).as("text"),
+            lit(v).as("v"), lit(del).as("del"))
+      val changes = wave(7, "rev2 ", 1, del = false)
+        .unionByName(wave(21, "rev3 ", 2, del = false))
+        .unionByName(wave(11, "", 3, del = true))
+      graft.operators.ChangeLog.applyChangeLog(
+        base, changes, Seq("doc_id"), "v", "del")
     }))
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -299,5 +351,58 @@ object CurationQueries {
              AS n_repaired,
            CAST(SUM(length(moji)) AS BIGINT) AS chars_moji,
            CAST(SUM(length(fixed)) AS BIGINT) AS chars_fixed
-         FROM f GROUP BY lang""")
+         FROM f GROUP BY lang""",
+
+    "q130_script_profile" ->
+      """WITH d AS (SELECT doc_id, lang,
+             CASE WHEN lang = 'zh' THEN
+                 replace(replace(replace(replace(replace(
+                   text, 'a', '的'), 'e', '是'), 'i', '了'), 'o', '在'), 'u', '和')
+               WHEN lang = 'fr' THEN replace(text, 'e', chr(233))
+               ELSE text END AS t
+           FROM documents),
+         c AS (SELECT doc_id, lang,
+             list_transform(string_split(t, ''), ch -> ord(ch)) AS cps FROM d),
+         p AS (SELECT doc_id, lang, len(cps) AS n_all,
+             len(list_filter(cps, cp -> (cp BETWEEN 65 AND 90)
+               OR (cp BETWEEN 97 AND 122) OR (cp BETWEEN 192 AND 591))) AS n_latin,
+             len(list_filter(cps, cp -> cp BETWEEN 19968 AND 40959)) AS n_cjk,
+             len(list_filter(cps, cp -> cp BETWEEN 48 AND 57)) AS n_digit,
+             len(list_filter(cps, cp -> cp IN (9, 10, 13, 32))) AS n_space
+           FROM c)
+         SELECT doc_id, lang, n_latin, n_cjk, n_digit, n_space,
+           n_all - n_latin - n_cjk - n_digit - n_space AS n_other,
+           CASE WHEN n_cjk > n_latin THEN 'cjk' ELSE 'latin' END AS dominant
+         FROM p""",
+
+    "q131_card_redaction" ->
+      """WITH d AS (SELECT lang, doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+               THEN ' pay 4532015112830366 now'
+               ELSE ' ref 1234567890123457 code' END AS aug
+           FROM documents),
+         f AS (SELECT lang, aug,
+             CASE WHEN doc_id % 2 = 0
+               THEN replace(aug, '4532015112830366', '[CARD]')
+               ELSE aug END AS red
+           FROM d)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN red <> aug THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_redacted,
+           CAST(SUM(length(red)) AS BIGINT) AS chars_redacted
+         FROM f GROUP BY lang""",
+
+    "q132_snapshot_merge" ->
+      """WITH all_rows AS (
+           SELECT doc_id, text, 0 AS v, FALSE AS del FROM documents
+           UNION ALL
+           SELECT doc_id, 'rev2 ' || text, 1, FALSE FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, 'rev3 ' || text, 2, FALSE FROM documents WHERE doc_id % 21 = 0
+           UNION ALL
+           SELECT doc_id, text, 3, TRUE FROM documents WHERE doc_id % 11 = 0),
+         latest AS (SELECT doc_id, text, del,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn
+           FROM all_rows)
+         SELECT doc_id, text FROM latest WHERE rn = 1 AND NOT del""")
 }
