@@ -164,9 +164,13 @@ object Stress {
         val chainRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
         var chainSurvivors = -1L
         time(s"neardup_chain_${nChains * 6 / 1000}k", runs = 1) {
+          // localEdgeThreshold = 0 pins the DISTRIBUTED propagation loop —
+          // this receipt exists to assert the loop walks diameter 5, and
+          // the ~5-edges-per-chain edge set would otherwise take the
+          // size-gated local union-find path.
           chainSurvivors = Dedup.removeNearDuplicates(chains, col("doc_id"),
             col("text"), numHashes = 32, bands = 16, threshold = 0.6,
-            rounds = chainRounds).count()
+            rounds = chainRounds, localEdgeThreshold = 0).count()
         }
         val chainSplit = chainSurvivors - nChains
         println(s"[stress] neardup_chain: survivors=$chainSurvivors " +

@@ -40,6 +40,14 @@ object GraftSession {
       // shingle_hashes_k, graft_multi_format_date) registered on every
       // session — columns built before any session exists still resolve
       .config("spark.sql.extensions", "graft.core.GraftExtensions")
+      // Broadcast blocks and shuffle files release through ContextCleaner
+      // only after a JVM GC collects their driver-side handles; a driver
+      // with heap headroom can go the whole job without one, so a
+      // long-running session (or a many-query benchmark) accumulates
+      // shuffle data in spark.local.dir indefinitely. Spark's own
+      // periodic-GC safety valve defaults to 30min — far too lazy for
+      // that; 2min keeps the cleaner draining at negligible cost.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft", threads: Int = 32): SparkSession = {

@@ -103,7 +103,7 @@ object DocumentCodec {
       // real legacy decode first (the reference has only MarkItDown here);
       // on empty the CHAIN below reaches the converter seam — no inner
       // orElse, or a side-effecting converter would fire twice
-      case ".doc" | ".ppt" => Ole2.extractText(bytes)
+      case ".doc" | ".ppt" | ".xls" => Ole2.extractText(bytes)
       case ".txt" | ".md" | ".markdown" => decodePlainText(bytes)
       case _ => None
     }

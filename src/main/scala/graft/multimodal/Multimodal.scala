@@ -55,9 +55,11 @@ object Multimodal {
     * payload is a decodable PNG/JPEG/GIF (compiled
     * [[graft.functions.ImageDims]] kernel — the pure-JVM half of the
     * reference's PIL `Image.open` validation, DATA:396-445); the metadata
-    * columns are only the fallback for payloads that are not image
-    * streams. A payload whose header CLAIMS other dims than its metadata
-    * is judged by its bytes.
+    * columns are only the DIMENSION fallback for payloads that are not
+    * image streams; the byte gate always runs on `length(payload)` (the
+    * reference's `len(blob)` over real bytes — carried `meta.byte_len`
+    * can lie, same contract as the strict variant). A payload whose
+    * header CLAIMS other dims than its metadata is judged by its bytes.
     */
   /** A temp-column name not colliding with anything already on `df`. */
   private def freshName(df: DataFrame, base: String): String = {
@@ -77,7 +79,7 @@ object Multimodal {
     val w = coalesce(graft.functions.ImageDims.widthOf(packed), col("meta.width"))
     val h = coalesce(graft.functions.ImageDims.heightOf(packed), col("meta.height"))
     df.withColumn(tmp, graft.functions.ImageDims.expr(col("payload")))
-      .filter(col("meta.byte_len") >= minBytes &&
+      .filter(length(col("payload")) >= minBytes &&
         (w.isNull || w >= minDim) && (h.isNull || h >= minDim))
       .drop(tmp)
   }

@@ -235,8 +235,9 @@ object Ole2 {
     }
 
   /** Legacy dispatch: PPT if the container holds a PowerPoint stream,
-    * DOC for WordDocument; Excel 97 (`Workbook`) stays out of scope here
-    * (the engine's S4 path owns spreadsheets). The container is parsed
+    * DOC for WordDocument, XLS for a BIFF8 `Workbook` stream (rendered as
+    * a markdown table, the shape the reference's xlrd fallback feeds its
+    * text chain — 多数据源获取数据.py:914-956). The container is parsed
     * ONCE and the streams map threaded through — CFB parsing (DIFAT walk
     * + stream materialization) is the per-row cost here.
     */
@@ -244,8 +245,18 @@ object Ole2 {
     readStreams(bytes).flatMap { streams =>
       if (streams.contains("PowerPoint Document")) pptTextOf(streams)
       else if (streams.contains("WordDocument")) docTextOf(streams)
+      else if (streams.contains("Workbook")) xlsTextOf(streams)
       else None
     }
+
+  private def xlsTextOf(streams: Map[String, Array[Byte]]): Option[String] =
+    try {
+      streams.get("Workbook")
+        .map(wb => graft.sources.Biff.parseBiffStream(wb, Int.MaxValue))
+        .filter(_.nonEmpty)
+        .map(DocumentCodec.rowsToMdTable)
+        .filter(_.trim.nonEmpty)
+    } catch { case _: Exception => None }
 
   // ---- fixture writer -----------------------------------------------------
 

@@ -163,17 +163,35 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxIterations: Int = 25,
       rounds: java.util.concurrent.atomic.AtomicInteger = null,
-      verifyOn64Bit: Boolean = false): DataFrame = {
-    // Note: Graph.connectedComponents persists the (cheap, reusable) edge
-    // set internally — without that cache every propagation round would
-    // re-run the ENTIRE LSH pipeline (shingle→sign→band→join→verify).
+      verifyOn64Bit: Boolean = false,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    // The component loop runs over edge PARTICIPANTS only, not the whole
+    // corpus: a doc in no verified pair keeps comp = id trivially, so
+    // propagating its label every round is pure waste — and participants
+    // are a small fraction of any real corpus (the duplicated head). Each
+    // CC round's join + agg then scales with the duplicate set, not the
+    // corpus, and the final subtraction is an anti-join against the
+    // (small) non-minimum members — broadcastable where a corpus-wide
+    // semi-join was not.
+    //
+    // `pairs` is persisted HERE (not just Graph's internal bidir cache)
+    // because both the participant set and the edge set derive from it —
+    // without the cache the ENTIRE LSH pipeline
+    // (shingle→sign→band→join→verify) would run twice. It unpersists as
+    // soon as connectedComponents returns: the labels are localCheckpoint-
+    // materialized, so nothing downstream re-reads the pairs.
     val pairs = minHashLsh(df, idCol, textCol, shingleSize, numHashes, bands,
-      threshold, verifyOn64Bit)
+      threshold, verifyOn64Bit).persist()
+    val participants = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
     val labels = Graph.connectedComponents(
-      df.select(idCol.as("id")), col("id"),
-      pairs, col("id_a"), col("id_b"), maxIterations, rounds)
-    val keep = labels.filter(col("id") === col("comp")).select(col("id"))
-    df.join(keep, idCol === keep("id"), "left_semi")
+      participants, col("id"),
+      pairs, col("id_a"), col("id_b"), maxIterations, rounds,
+      localEdgeThreshold = localEdgeThreshold)
+    pairs.unpersist(blocking = false)
+    val remove = labels.filter(col("comp") =!= col("id")).select(col("id"))
+    df.join(remove, idCol === remove("id"), "left_anti")
   }
 
   /** 64-bit SimHash over token hashes: bit j of the signature is the sign of
@@ -209,7 +227,7 @@ object Dedup {
       maxDist: Int = 3, bands: Int = 4): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
     require(maxDist < bands,
-      s"maxDist $maxDist needs > $maxDist bands for lossless blocking")
+      s"maxDist $maxDist requires bands > maxDist for lossless blocking, got $bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val banded = df
@@ -311,8 +329,13 @@ object Dedup {
         col("n_dropped_tokens"))
     val joined = df.join(spans, idCol === spans("__span_doc_id"), "left")
     val toks = tokens(textCol)
+    // sequence(0, -1) on an empty token array would yield the descending
+    // [0, -1] (two phantom positions); guard so the index range is empty
+    // exactly when the token array is.
+    val idx = when(size(toks) > 0, sequence(lit(0), size(toks) - 1))
+      .otherwise(array().cast("array<int>"))
     val kept = filter(
-      zip_with(toks, sequence(lit(0), size(toks) - 1), (t, i) => struct(t.as("t"), i.as("i"))),
+      zip_with(toks, idx, (t, i) => struct(t.as("t"), i.as("i"))),
       p => !exists(col("__spans"),
         s => p.getField("i") >= s.getField("span_start") &&
           p.getField("i") < s.getField("span_end")))
@@ -410,6 +433,13 @@ object Dedup {
     val base = df.select(idCol.as("__id"), linesCol.as("__lines"))
     val ex = base
       .select(col("__id"), posexplode(col("__lines")).as(Seq("__pos", "__line")))
+      // ONE null policy across the family: null lines are dropped and
+      // counted in n_dropped, matching applyFlaggedLineFilter /
+      // PolyDropFlagged — without this filter a null line rode through the
+      // left_anti join (null hash matches nothing), inflated __n_kept, yet
+      // vanished from text_clean's array_join, so batch and streaming
+      // paths disagreed on n_dropped for null-bearing arrays.
+      .filter(col("__line").isNotNull)
       .withColumn("__h",
         graft.functions.PolyHash.polyStringHash(spark, col("__line")))
     // distinct (id, hash) before the count → partial agg collapses a doc's

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed connected components by iterative min-label propagation —
   * the clustering core behind near-dup removal (Dedup.removeNearDuplicates)
@@ -9,15 +10,25 @@ import org.apache.spark.sql.functions._
   * URL-graph grouping, cross-source entity merging, and cluster-capped
   * sampling.
   *
-  * Shape per round: one equi-join (edges ⋈ labels) + one hash aggregation —
-  * no driver-side graph state ever; each round propagates the minimum label
-  * one hop, with an early exit when no label moves. Cluster diameters in
-  * dedup/entity workloads are tiny (near-cliques), so rounds ≈ 2-3; the cap
-  * is a safety valve and logs if it is ever hit while still converging.
+  * Two execution paths, size-gated like a broadcast join:
   *
-  * At 100 TB: labels and edges shuffle on the node id — the same key both
-  * sides, so the per-round exchange is stable and AQE coalesces it; the
-  * edge cache holds (id, id) longs only.
+  *  - **Local union-find** when the (long-keyed) edge set fits a documented
+  *    driver bound (`localEdgeThreshold`, default 2²⁰ pairs = 16 MB of id
+  *    pairs): collect the deduplicated pairs once, run path-compressed
+  *    union-find, broadcast the id→min-label map back. One collect job and
+  *    one broadcast join replace the whole propagation loop — near-dup edge
+  *    sets are SPARSE (edges ≈ duplicate pairs, a small fraction of docs),
+  *    so this is the common case at every test scale and for per-shard
+  *    incremental runs.
+  *  - **Iterative min-label propagation** above the threshold (or for
+  *    non-long ids): one equi-join (edges ⋈ labels) + one hash aggregation
+  *    per round — no driver-side graph state; each round propagates the
+  *    minimum label one hop, with an early exit when no label moves.
+  *    Cluster diameters in dedup/entity workloads are tiny (near-cliques),
+  *    so rounds ≈ 2-3. This is the 100 TB path: labels and edges shuffle on
+  *    the node id — the same key both sides, so the per-round exchange is
+  *    stable and AQE coalesces it; the edge cache holds (id, id) longs
+  *    only. The 10M-doc receipt in SCALE.md (≈2M edges) runs here.
   */
 object Graph {
 
@@ -25,21 +36,114 @@ object Graph {
     * @param edges undirected edge list (`srcCol`, `dstCol`) — orientation
     *   is normalized internally
     * @param rounds when non-null, receives the number of propagation rounds
-    *   actually run (incl. the final no-change round) — scale receipts
-    *   record it alongside timings (SCALE.md)
+    *   actually run (incl. the final no-change round; 0 on the local
+    *   union-find path) — scale receipts record it alongside timings
+    *   (SCALE.md)
+    * @param requireConvergence when true (default), labels still moving at
+    *   the `maxIterations` cap FAIL FAST with IllegalStateException — an
+    *   unconverged return is a silently wrong answer (two docs of one
+    *   component with different labels). Pass false only for exploratory
+    *   runs that tolerate partial propagation; those still get the warning.
+    * @param localEdgeThreshold edge-pair count at or under which the
+    *   local union-find path runs (long ids only). 0 pins the distributed
+    *   loop — stress receipts that assert round counts do this.
     * @return (id, comp) — comp is the minimum node id of the component
     */
   def connectedComponents(
       nodes: DataFrame, idCol: Column,
       edges: DataFrame, srcCol: Column, dstCol: Column,
       maxIterations: Int = 25,
-      rounds: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
+      rounds: java.util.concurrent.atomic.AtomicInteger = null,
+      requireConvergence: Boolean = true,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val directed = edges.select(srcCol.as("id_a"), dstCol.as("id_b"))
+    val longIds = directed.schema.fields.forall(_.dataType == LongType)
+    if (longIds && localEdgeThreshold > 0) {
+      // One job decides the path; cache so the distributed loop (if taken)
+      // reuses the materialized edges rather than recomputing the producer
+      // (for near-dup removal that producer is the whole LSH pipeline).
+      val dd = directed.persist()
+      val n = dd.count()
+      if (n <= localEdgeThreshold) {
+        val out = localUnionFind(nodes, idCol, dd, rounds)
+        dd.unpersist(blocking = false)
+        return out
+      }
+      val out = propagate(nodes, idCol, dd, maxIterations, rounds, requireConvergence)
+      dd.unpersist(blocking = false)
+      return out
+    }
+    propagate(nodes, idCol, directed, maxIterations, rounds, requireConvergence)
+  }
+
+  /** Driver-side union-find over a bounded, collected edge set. Memory is
+    * bounded by the caller's `localEdgeThreshold` (16 bytes of ids per
+    * pair + map overhead); the result ships back as ONE broadcast join —
+    * nodes absent from every edge keep comp = id via the coalesce.
+    */
+  private def localUnionFind(
+      nodes: DataFrame, idCol: Column, directed: DataFrame,
+      rounds: java.util.concurrent.atomic.AtomicInteger): DataFrame = {
+    val spark = nodes.sparkSession
+    val pairs = directed.distinct().collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      // path compression
+      var c = x
+      while (parent.getOrDefault(c, c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    pairs.foreach { p =>
+      val a = p.getLong(0); val b = p.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // min id per root, then id → min label rows (the max→min union rule
+    // already makes every root its component's minimum; this pass keeps
+    // that invariant explicit rather than depended-upon)
+    val minOf = new java.util.HashMap[Long, Long]()
+    val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
+    ids.foreach { boxed =>
+      val id = boxed.longValue()
+      val r = find(id)
+      if (!minOf.containsKey(r) || id < minOf.get(r)) minOf.put(r, id)
+    }
+    val labelRows = new java.util.ArrayList[Row](ids.length)
+    ids.foreach { boxed =>
+      val id = boxed.longValue()
+      labelRows.add(Row(id, minOf.get(find(id)).longValue()))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp", LongType, nullable = false)))
+    val labelDf = spark.createDataFrame(labelRows, schema)
+    if (rounds != null) rounds.set(0)
+    // localCheckpoint matches the distributed path's contract: the
+    // returned labels are MATERIALIZED and lineage-free, so callers may
+    // drop/unpersist the node and edge inputs immediately (near-dup
+    // removal unpersists its LSH pair cache on return — without the
+    // truncation the final survivor join would silently re-run the whole
+    // LSH pipeline to rebuild the node side).
+    nodes.select(idCol.as("id"))
+      .join(broadcast(labelDf.withColumnRenamed("comp", "__comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("comp"))
+      .localCheckpoint()
+  }
+
+  /** The distributed min-label propagation loop (see object scaladoc). */
+  private def propagate(
+      nodes: DataFrame, idCol: Column, directed: DataFrame,
+      maxIterations: Int,
+      rounds: java.util.concurrent.atomic.AtomicInteger,
+      requireConvergence: Boolean): DataFrame = {
     val bidir = directed
       .unionByName(directed.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist()
     var labels = nodes.select(idCol.as("id")).withColumn("comp", col("id"))
-    var persisted: DataFrame = null // the one iteration cache currently held
+    var persisted: DataFrame = null // the one round checkpoint currently held
     var iter = 0
     var changed = 1L
     while (iter < maxIterations && changed > 0) {
@@ -52,24 +156,35 @@ object Graph {
         .select(col("id"),
           least(col("comp"), coalesce(col("min_n_comp"), col("comp"))).as("comp"),
           (col("min_n_comp") < col("comp")).as("__changed"))
-      updated.persist()
-      changed = updated.filter(col("__changed")).count()
-      if (persisted != null) persisted.unpersist()
-      persisted = updated
-      labels = updated.drop("__changed")
+      // localCheckpoint (eager), not persist: `labels` appears TWICE in
+      // each round's plan, so without lineage truncation the logical plan
+      // DOUBLES per round — by round ~20 even the explain string OOMs the
+      // driver. Truncating per round keeps the plan constant-size at any
+      // diameter; blocks release via ContextCleaner once unreferenced.
+      val cp = updated.localCheckpoint()
+      changed = cp.filter(col("__changed")).count()
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = cp
+      labels = cp.drop("__changed")
       iter += 1
     }
     if (rounds != null) rounds.set(iter)
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+    if (changed > 0) {
+      val msg =
         s"connectedComponents: min-label propagation still moving after " +
           s"$maxIterations iterations ($changed labels changed) — a component " +
-          s"with diameter > $maxIterations exists; raise maxIterations")
-    // Lineage-truncating materialization so callers can drop the iteration
-    // cache; blocks release via the ContextCleaner once unreferenced.
-    val out = labels.localCheckpoint()
-    if (persisted != null) persisted.unpersist()
+          s"with diameter > $maxIterations exists; raise maxIterations"
+      if (requireConvergence) {
+        if (persisted != null) persisted.unpersist(blocking = false)
+        bidir.unpersist(blocking = false)
+        throw new IllegalStateException(msg)
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     bidir.unpersist()
-    out
+    // `labels` is the final round's checkpoint — lineage already truncated,
+    // so callers hold a constant-size plan; the last round's blocks stay
+    // until the returned frame is unreferenced (ContextCleaner).
+    labels
   }
 }

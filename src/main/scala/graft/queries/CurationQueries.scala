@@ -24,12 +24,18 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Fixed-width token chunks as lines: chunk i = tokens [i·w, i·w+w). */
+  /** Fixed-width token chunks as lines: chunk i = tokens [i·w, i·w+w).
+    * Guarded for empty/whitespace-only docs: Spark's `sequence(0, -1)`
+    * would generate a DESCENDING [0, -1] — two phantom empty lines the
+    * DuckDB oracle's range(0, 0) = [] does not have.
+    */
   private def tokenChunkLines(text: Column, w: Int): Column = {
     val toks = TextFunctions.tokens(text)
-    transform(
-      sequence(lit(0), ((size(toks) + (w - 1)) / w).cast("int") - 1),
-      i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+    val n = ((size(toks) + (w - 1)) / w).cast("int")
+    when(n > 0,
+      transform(sequence(lit(0), n - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

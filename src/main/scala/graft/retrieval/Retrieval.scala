@@ -209,9 +209,12 @@ object Retrieval {
     *
     * Per-term contributions are cast to DECIMAL(18,9) before the sum, so
     * the aggregate is partition-order-invariant (double addition is not
-    * associative) — the q88 oracle reproduces every score exactly. The
-    * term→posting join shuffles (term, doc, tf) triples; df and N are
-    * dimension-bounded broadcasts. Docs sharing no term score 0 and are
+    * associative) — the q88 oracle reproduces every score exactly. A
+    * broadcast semi-join on the query-term set gates the exploded tokens
+    * BEFORE any aggregation, so every shuffle carries query-term postings
+    * only (tf, df and len restricted to query terms equal their
+    * corpus-wide values); the query terms, df and N are dimension-bounded
+    * broadcasts. Docs sharing no term score 0 and are
     * simply absent (the candidate-generation stage upstream owns recall).
     *
     * @param queries (queryId, queryText) — small, broadcast
@@ -221,26 +224,31 @@ object Retrieval {
       queries: DataFrame, queryId: String, queryText: String,
       k: Int): DataFrame = {
     import graft.functions.TextFunctions
-    val toks = docs.select(col(docId).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
-    val docLen = toks.select(col("doc_id"), size(col("toks")).as("len"))
-    val postings = toks
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val terms = queries.select(col(queryId).as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col(queryText)))).as("term"))
-    // Only the QUERY side broadcasts (it is the dimension-bounded one).
-    // df is vocabulary-scaled and docLen is corpus-scaled — both join as
-    // ordinary shuffles; after the broadcast term filter the left side
-    // holds only query-term postings, so those exchanges carry the
-    // candidate rows, never the corpus.
+    val termSet = terms.select(col("term")).distinct()
+    // The broadcast query-term filter runs BEFORE any aggregation, so
+    // every exchange downstream carries query-term postings only — never
+    // a corpus-wide (doc, term) index or a corpus-wide docLen join. df(t)
+    // and tf(t,d) restricted to query terms are unchanged by the filter
+    // (both are per-term counts), and len_d rides the explode as a
+    // carried column (functionally dependent on doc_id, folded with
+    // max()), so the only corpus-wide work left is the narrow token scan
+    // and the 1-row n_docs count.
+    val toks = docs.select(col(docId).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val hits = toks
+      .select(col("doc_id"), size(col("toks")).as("len"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+    val postings = hits
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val contrib = broadcast(terms)
       .join(postings, Seq("term"))
-      .join(df, Seq("term"))
-      .join(docLen, Seq("doc_id"))
+      .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("c",
         ((col("tf") * col("n_docs")).cast("double") /

@@ -34,40 +34,8 @@ object Xlsx {
     * fails the job from the executor (positional mapping would otherwise
     * silently misalign its columns).
     */
-  def read(spark: SparkSession, path: String, cap: Int = DefaultCap): DataFrame = {
-    import spark.implicits._
-    val bin = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-    // Pass 1 (bounded): one header per file → driver picks the schema from
-    // the first PARSEABLE file by path order and validates agreement in
-    // ONE place. Unparseable/empty workbooks contribute no rows in pass 2
-    // either, so they are skipped here too rather than failing the read
-    // (or worse, being reported as a "header mismatch" with no header).
-    val headers = bin.as[(String, Array[Byte])].map { case (p, bytes) =>
-      (p, parseWorkbook(bytes, 1).headOption.getOrElse(Seq.empty))
-    }.collect().sortBy(_._1).filter(_._2.nonEmpty)
-    require(headers.nonEmpty, s"no rows parsed from $path")
-    val (firstPath, header) = headers.head
-    val badFiles = headers.collect { case (p, h) if h != header => p }
-    require(badFiles.isEmpty,
-      s"XLSX header mismatch: expected ${header.mkString("[", ", ", "]")} " +
-        s"(from $firstPath) but differs in: ${badFiles.mkString(", ")}")
-    // Pass 2 (distributed): parse + align rows entirely on executors.
-    val width = header.length
-    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(schema)
-    bin.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
-      parseWorkbook(bytes, cap + 1) match {
-        case fileHeader +: data =>
-          require(fileHeader == header,
-            s"XLSX header mismatch in $p: expected ${header.mkString("[", ", ", "]")}")
-          data.take(cap).map(cells =>
-            Row.fromSeq((0 until width).map(i => cells.lift(i).filter(_.nonEmpty).orNull)))
-        case _ => Seq.empty[Row]
-      }
-    }.toDF()
-  }
+  def read(spark: SparkSession, path: String, cap: Int = DefaultCap): DataFrame =
+    TabularGrid.read(spark, path, cap, parseWorkbook, "XLSX")
 
   /** Render rows (first row = header) as a minimal ECMA-376 workbook:
     * one sheet, every cell an inline string — the writer half of the S4
@@ -241,5 +209,56 @@ object Xlsx {
     })
     numeric.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&")
+  }
+}
+
+/** The shared two-pass spreadsheet-read shape behind [[Xlsx.read]] and
+  * [[Biff.read]] — the format supplies only `parse(bytes, maxRows)`.
+  *
+  * Distributed shape: the ONLY driver-side state is the schema, derived
+  * from the lexicographically-first file's header (one bounded collect of
+  * header rows — a few strings per FILE, not per row). Cell data is
+  * parsed and aligned on executors and never funneled through the
+  * driver, so a directory of 100k workbooks streams through like any
+  * other source. A file whose header mismatches the schema-defining one
+  * fails the job from the executor (positional mapping would otherwise
+  * silently misalign its columns).
+  */
+private[graft] object TabularGrid {
+
+  def read(spark: SparkSession, path: String, cap: Int,
+      parse: (Array[Byte], Int) => Seq[Seq[String]], label: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    // Pass 1 (bounded): one header per file → driver picks the schema from
+    // the first PARSEABLE file by path order and validates agreement in
+    // ONE place. Unparseable/empty workbooks contribute no rows in pass 2
+    // either, so they are skipped here too rather than failing the read
+    // (or worse, being reported as a "header mismatch" with no header).
+    val headers = bin.as[(String, Array[Byte])].map { case (p, bytes) =>
+      (p, parse(bytes, 1).headOption.getOrElse(Seq.empty))
+    }.collect().sortBy(_._1).filter(_._2.nonEmpty)
+    require(headers.nonEmpty, s"no rows parsed from $path")
+    val (firstPath, header) = headers.head
+    val badFiles = headers.collect { case (p, h) if h != header => p }
+    require(badFiles.isEmpty,
+      s"$label header mismatch: expected ${header.mkString("[", ", ", "]")} " +
+        s"(from $firstPath) but differs in: ${badFiles.mkString(", ")}")
+    // Pass 2 (distributed): parse + align rows entirely on executors.
+    val width = header.length
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    bin.as[(String, Array[Byte])].flatMap { case (p, bytes) =>
+      parse(bytes, cap + 1) match {
+        case fileHeader +: data =>
+          require(fileHeader == header,
+            s"$label header mismatch in $p: expected ${header.mkString("[", ", ", "]")}")
+          data.take(cap).map(cells =>
+            Row.fromSeq((0 until width).map(i => cells.lift(i).filter(_.nonEmpty).orNull)))
+        case _ => Seq.empty[Row]
+      }
+    }.toDF()
   }
 }

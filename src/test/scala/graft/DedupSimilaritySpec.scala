@@ -232,6 +232,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
       6L -> 6L, 7L -> 6L))
   }
 
+  test("connectedComponents: local union-find and distributed loop agree") {
+    val rng = new scala.util.Random(42)
+    val nodes = (0L until 200L).toDF("id")
+    val edges = Seq.fill(150)((rng.nextInt(200).toLong, rng.nextInt(200).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val local = graft.operators.Graph.connectedComponents(
+        nodes, col("id"), edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    val dist = graft.operators.Graph.connectedComponents(
+        nodes, col("id"), edges, col("a"), col("b"), localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+  }
+
+  test("connectedComponents fails fast when diameter exceeds maxIterations") {
+    // path graph 0-1-2-...-9: diameter 9 > cap 3; the distributed loop
+    // must THROW rather than return partially-propagated labels.
+    val nodes = (0L until 10L).toDF("id")
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Graph.connectedComponents(
+        nodes, col("id"), edges, col("a"), col("b"), maxIterations = 3,
+        localEdgeThreshold = 0).count()
+    }
+    assert(ex.getMessage.contains("still moving"))
+    // requireConvergence = false keeps the old warn-and-return behavior
+    val partial = graft.operators.Graph.connectedComponents(
+        nodes, col("id"), edges, col("a"), col("b"), maxIterations = 3,
+        requireConvergence = false, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(partial(9L) > 0L) // label did NOT reach the far end
+    // the local path has no cap: same graph converges exactly
+    val full = graft.operators.Graph.connectedComponents(
+        nodes, col("id"), edges, col("a"), col("b"), maxIterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(full == (0L until 10L).map(_ -> 0L).toMap)
+  }
+
   test("verifyOn64Bit kills systematic poly31 full-set collisions, keeps real dups") {
     // The collision pair the 10M stress receipt caught in the wild: every
     // token of "u{id}t{j}" docs embeds the same id digits, and poly31 is
