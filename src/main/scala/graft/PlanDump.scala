@@ -14,8 +14,8 @@ object PlanDump {
       "q54_pad_rows" -> "global max via two-level agg + 1-row broadcast (no single-partition window)",
       "q60_search_fanout" -> "dense-key round-robin: pure projection over the fan-out, zero windows",
       "q80_subtitle_times" -> "abs/rel resolution: one keyed window pass, integer arithmetic",
-      "q86_neardup_removal" -> "LSH candidate join + cached edges + left-semi survivors (component loop reuses the cache)",
-      "q88_rerank_lexical" -> "inverted-index rerank: broadcast terms/df/len, one (term,doc,tf) shuffle, decimal-sum scores",
+      "q86_neardup_removal" -> "LSH pairs persisted once; size-gated local union-find labels (checkpointed) -> broadcast ANTI-join of non-min members (corpus side never reshuffles)",
+      "q88_rerank_lexical" -> "inverted-index rerank: broadcast query-term semi-join BEFORE any agg (shuffles carry query-term postings only), len rides the explode, df/N broadcast",
       "q48_task_distribution" -> "broadcast fan-out join with OR condition",
       "q62_asof_last_event" -> "as-of join as union+window: one shuffle, no range explosion",
       "q66_hash_split" -> "deterministic split: pure map-side projection, zero exchanges",
@@ -47,7 +47,10 @@ object PlanDump {
       "q120_robots_gate" -> "robots gate: domain-bounded rules broadcast into the URL scan; one keyed window ranks matches, no URL-side shuffle",
       "q121_boilerplate_lines" -> "boilerplate lines: 8-byte line hashes shuffle (never line text x corpus); flagged head-of-distribution set broadcast anti-join; one reassembly exchange",
       "q122_line_dedup_doc" -> "within-doc line dedup: compiled PolyFirstOccurrence projection, zero exchanges (per-row semantics never shuffle)",
-      "q125_bm25" -> "BM25: 1-row corpus stats + query-term idf broadcasts (log2fp on the term side only); one (doc,term) tf agg; WindowGroupLimit top-k")
+      "q125_bm25" -> "BM25: 1-row corpus stats + query-term idf broadcasts (log2fp on the term side only); one (doc,term) tf agg; WindowGroupLimit top-k",
+      "q133_xls_roundtrip" -> "BIFF8 scan: binaryFile -> executor-side CFB+record walk (one bounded header collect for the schema), no shuffle",
+      "q134_curation_pipeline" -> "end-to-end curation: every stage boundary a narrow filter or broadcast join (robots rules broadcast, Gopher keepFlag inline, lang rides the line-removal carry); only stage-owned exchanges remain (fixture groupBy, quota window, line-freq agg + regroup, LSH band join, final mixture agg)",
+      "q135_substring_spans64" -> "64-bit substring spans: same single-shuffled gram-index shape as q106, hashes FNV-1a instead of poly31")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -54,7 +54,9 @@ object SparkEntry {
     new QueryModule(graft.queries.FixtureQueries.queries,
       graft.queries.FixtureQueries.oracles),
     new QueryModule(graft.queries.CurationQueries.queries,
-      graft.queries.CurationQueries.oracles))
+      graft.queries.CurationQueries.oracles),
+    new QueryModule(graft.queries.PipelineQueries.queries,
+      graft.queries.PipelineQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -425,12 +425,19 @@ object Dedup {
     * unaffected in practice, and the oracle replays the same hash fold so
     * the semantics are pinned, not approximated.
     */
+  /** @param carry extra (name, column) pairs to thread through to the
+    *   output untouched — they ride the reassembly join that already
+    *   exists (base side), so a pipeline keeping e.g. its `lang` column
+    *   pays ZERO additional exchanges for it.
+    */
   def removeBoilerplateLines(
       df: DataFrame, idCol: Column, linesCol: Column,
-      minDocs: Int): DataFrame = {
+      minDocs: Int, carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2")
     val spark = df.sparkSession
-    val base = df.select(idCol.as("__id"), linesCol.as("__lines"))
+    val base = df.select(
+      Seq(idCol.as("__id"), linesCol.as("__lines")) ++
+        carry.map { case (n, c) => c.as(n) }: _*)
     val ex = base
       .select(col("__id"), posexplode(col("__lines")).as(Seq("__pos", "__line")))
       // ONE null policy across the family: null lines are dropped and
@@ -450,16 +457,20 @@ object Dedup {
       .filter(col("__df") >= minDocs)
       .select(col("__h"))
     val kept = ex.join(broadcast(flagged), Seq("__h"), "left_anti")
-    base.select(col("__id"), size(col("__lines")).as("n_lines"))
+    base.select(
+        Seq(col("__id"), size(col("__lines")).as("n_lines")) ++
+          carry.map { case (n, _) => col(n) }: _*)
       .join(
         kept.groupBy(col("__id"))
           .agg(count(lit(1)).as("__n_kept"),
             array_join(array_sort(collect_list(struct(col("__pos"), col("__line"))))
               .getField("__line"), "\n").as("text_clean")),
         Seq("__id"), "left")
-      .select(col("__id").as("id"), col("n_lines"),
-        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .select(
+        Seq(col("__id").as("id"), col("n_lines"),
+          (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("text_clean"), lit("")).as("text_clean")) ++
+          carry.map { case (n, _) => col(n) }: _*)
   }
 
   /** Incremental near-dup ADMISSION — the production ingestion shape: a

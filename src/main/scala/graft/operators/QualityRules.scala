@@ -57,6 +57,26 @@ object QualityRules {
         .cast("double") / size(lines))
   }
 
+  /** The combined Gopher keep decision as ONE boolean Column — a pure
+    * per-row predicate, so a pipeline can apply the gate as a narrow
+    * `filter` with no join against [[gopherQuality]]'s signal output
+    * (q134 uses it exactly so).
+    */
+  def keepFlag(textCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      stopwords: Seq[String] = GopherStopwords): Column =
+    TextFunctions.tokenCount(textCol).between(minWords, maxWords) &&
+      TextFunctions.meanTokenLen(textCol).between(minMeanLen, maxMeanLen) &&
+      symbolWordRatio(textCol) <= maxSymbolRatio &&
+      alphaWordFrac(textCol) >= minAlphaFrac &&
+      stopwordHits(textCol, stopwords) >= minStopwords &&
+      bulletLineFrac(textCol) <= maxBulletFrac &&
+      ellipsisLineFrac(textCol) <= maxEllipsisFrac
+
   /** All Gopher signals + the combined keep flag, one tokenize pass shape.
     * Output: (id, n_words, mean_word_len, frac_alpha, symbol_ratio,
     * bullet_frac, ellipsis_frac, n_stopwords, keep_doc) — ratios rounded to
@@ -78,11 +98,9 @@ object QualityRules {
     val bulletFrac = bulletLineFrac(textCol)
     val ellipsisFrac = ellipsisLineFrac(textCol)
     val nStop = stopwordHits(textCol, stopwords)
-    val keep = nWords.between(minWords, maxWords) &&
-      meanLen.between(minMeanLen, maxMeanLen) &&
-      symRatio <= maxSymbolRatio && fracAlpha >= minAlphaFrac &&
-      nStop >= minStopwords && bulletFrac <= maxBulletFrac &&
-      ellipsisFrac <= maxEllipsisFrac
+    val keep = keepFlag(textCol, minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, minAlphaFrac, minStopwords, maxBulletFrac,
+      maxEllipsisFrac, stopwords)
     df.select(
       idCol.as("id"),
       nWords.as("n_words"),

@@ -92,6 +92,21 @@ object AnalyticsQueries {
       Dedup.substringSpans(docs(s, dir), col("doc_id"), col("text"), n = 8)
     }),
 
+    // The PRODUCTION hash sizing of q106: ordered 64-bit FNV-1a gram
+    // hashes (`hash64 = true`) — the mode a 100 TB run must use, since
+    // the portable poly31 space saturates at ~10⁷ grams (SCALE.md).
+    // 64-bit hashing is not DuckDB-expressible, so this entry carries no
+    // oracleSql (driver records the weaker rows-only check); value-level
+    // equivalence at collision-free scale is pinned against q106 by spec
+    // (DedupSimilaritySpec "hash64 strips poly31 false positives"): the
+    // 64-bit span set is the collision-free SUBSET of q106's — even the
+    // sf0.001 corpus sits at poly31's birthday horizon and shows a couple
+    // of false single-gram duplicates the 64-bit mode rejects.
+    "q135_substring_spans64" -> ((s, dir) => {
+      Dedup.substringSpans(docs(s, dir), col("doc_id"), col("text"), n = 8,
+        hash64 = true)
+    }),
+
     // Brute-force cosine top-5 for query vectors vec_id < 20.
     "q42_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -207,15 +222,15 @@ object AnalyticsQueries {
 
   // list_filter drops the [''] that string_split_regex yields on empty
   // input, matching Spark tokens() == [] for empty/whitespace-only text
-  private val toksSql =
+  private[queries] val toksSql =
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
-  private def shinglesSql(toks: String) =
+  private[queries] def shinglesSql(toks: String) =
     s"list_distinct(list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))"
 
   /** poly31 char fold mod 1e9+7 of a string expression — the SQL mirror of
     * PolyHash.foldString / TextFunctions.tokenHash (q44's convention).
     */
-  private def polyHashSql(s: String, mult: Long = 31L, prime: Long = 1000000007L) =
+  private[queries] def polyHashSql(s: String, mult: Long = 31L, prime: Long = 1000000007L) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, b) -> (a * $mult + b) % $prime)"
@@ -223,7 +238,7 @@ object AnalyticsQueries {
   /** The 32 seeded MinHash (a, b) coefficients as SQL literals — SAME
     * stream as the engine (MinHashSig.seededCoeffs, seed 42).
     */
-  private def minhashSigSql(hs: String): String =
+  private[queries] def minhashSigSql(hs: String): String =
     graft.functions.MinHashSig.seededCoeffs(32).map { case (a, b) =>
       s"list_min(list_transform($hs, x -> (x * $a + $b) % 2147483647))"
     }.mkString("[", ",\n             ", "]")
@@ -241,8 +256,9 @@ object AnalyticsQueries {
     * their Jaccard terms) — reused by q45 (8 bands × 4 rows), q41's
     * high-recall banding (16 × 2) and the q86 removal oracle.
     */
-  private def lshCtes(bands: Int = 8, rows: Int = 4): String =
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  private[queries] def lshCtes(bands: Int = 8, rows: Int = 4,
+      src: String = "documents"): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $src),
          sh AS (SELECT doc_id,
              list_distinct(list_transform(${shinglesSql("toks")}, s -> ${polyHashSql("s")}))
                AS hs

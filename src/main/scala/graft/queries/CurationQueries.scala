@@ -29,7 +29,7 @@ object CurationQueries {
     * would generate a DESCENDING [0, -1] — two phantom empty lines the
     * DuckDB oracle's range(0, 0) = [] does not have.
     */
-  private def tokenChunkLines(text: Column, w: Int): Column = {
+  private[queries] def tokenChunkLines(text: Column, w: Int): Column = {
     val toks = TextFunctions.tokens(text)
     val n = ((size(toks) + (w - 1)) / w).cast("int")
     when(n > 0,
@@ -212,13 +212,13 @@ object CurationQueries {
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
   /** poly31 char fold mod 1e9+7 — SQL mirror of PolyStringHash. */
-  private def polyHashSql(s: String) =
+  private[queries] def polyHashSqlLine(s: String) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
   /** Fixed-width token chunk lines — SQL mirror of [[tokenChunkLines]]. */
-  private def chunkLinesSql(w: Int) =
+  private[queries] def chunkLinesSql(w: Int) =
     s"list_transform(range(0, (len(toks)+${w - 1})//$w), " +
       s"i -> array_to_string(toks[$w*i+1:$w*i+$w], ' '))"
 
@@ -243,7 +243,7 @@ object CurationQueries {
          d AS (SELECT doc_id, ${chunkLinesSql(3)} AS lines FROM t),
          e AS (SELECT doc_id, u.i AS pos, lines[u.i + 1] AS line
            FROM d, unnest(range(0, len(lines))) AS u(i)),
-         h AS (SELECT doc_id, pos, line, ${polyHashSql("line")} AS lh FROM e),
+         h AS (SELECT doc_id, pos, line, ${polyHashSqlLine("line")} AS lh FROM e),
          f AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM h)
            GROUP BY lh HAVING COUNT(*) >= 5),
          k AS (SELECT h.doc_id, h.pos, h.line FROM h
@@ -261,7 +261,7 @@ object CurationQueries {
          d AS (SELECT doc_id, ${chunkLinesSql(2)} AS lines FROM t),
          e AS (SELECT doc_id, u.i AS pos, lines[u.i + 1] AS line
            FROM d, unnest(range(0, len(lines))) AS u(i)),
-         h AS (SELECT doc_id, pos, line, ${polyHashSql("line")} AS lh FROM e),
+         h AS (SELECT doc_id, pos, line, ${polyHashSqlLine("line")} AS lh FROM e),
          fo AS (SELECT doc_id, lh, MIN(pos) AS fpos FROM h GROUP BY doc_id, lh),
          k AS (SELECT h.doc_id, h.pos, h.line FROM h JOIN fo
            ON h.doc_id = fo.doc_id AND h.lh = fo.lh AND h.pos = fo.fpos),

@@ -324,6 +324,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("substringSpans: hash64 spans are the collision-free subset of poly31's (q135 vs q106)") {
+    // Even this 500-doc corpus (~45k grams) sits at poly31's birthday
+    // horizon (G²/2³¹ ≈ 1): the poly31 run marks a couple of FALSE
+    // single-gram duplicates that the 64-bit run correctly rejects —
+    // the live demonstration of why q135 is the production mode.
+    val d = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+    def spans(h64: Boolean) =
+      Dedup.substringSpans(d, col("doc_id"), col("text"), n = 8, hash64 = h64)
+        .as[(Long, Int, Int, Int)].collect().toSet
+    val poly = spans(h64 = false)
+    val h64s = spans(h64 = true)
+    assert(h64s.nonEmpty && h64s.subsetOf(poly))
+    val falsePositives = poly -- h64s
+    // collision artifacts are isolated single windows: span_tokens == n
+    assert(falsePositives.forall(_._4 == 8),
+      s"non-single-window poly31-only spans: $falsePositives")
+    assert(falsePositives.size <= 5, s"too many collisions: ${falsePositives.size}")
+  }
+
   test("substringSpans: cross-doc and intra-doc duplicated 3-gram runs merge") {
     // docs 1/2 share the 5-token run "the quick brown fox jumps" (positions
     // 2..6 in doc 1, 0..4 in doc 2); doc 3 repeats its own opening 3-gram

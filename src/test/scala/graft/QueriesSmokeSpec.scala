@@ -15,8 +15,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every query has matching oracle coverage or is a declared no-oracle op") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // only the engine-hash-dependent ops may omit the oracle
-    assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash") || n.contains("ivf")),
+    // only the engine-hash-dependent ops may omit the oracle (the 64-bit
+    // production hash modes are exactly the non-DuckDB-portable surface)
+    assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash") ||
+      n.contains("ivf") || n.contains("spans64")),
       s"unexpected no-oracle queries: $noOracle")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
