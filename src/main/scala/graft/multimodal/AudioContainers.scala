@@ -370,7 +370,11 @@ object AudioContainers {
                     ch = b(body + 11) & 0xFF
                     sr = le32(body + 12)
                   }
-                  granule = pageGranule
+                  // a CONTINUED page on which no packet completes carries
+                  // granule -1 (all-ones) — it must not clobber the last
+                  // real position, or a stream ending on a continued page
+                  // reads a negative duration
+                  if (pageGranule != -1L) granule = pageGranule
                   nPages += 1
                   pos = body + bodyLen
                 }

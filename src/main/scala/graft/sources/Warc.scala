@@ -143,6 +143,33 @@ object Warc {
     -1
   }
 
+  /** RFC 9112 §7.1 chunked-body decode: `size-hex[;ext] CRLF data CRLF`
+    * repeated, `0 CRLF [trailers] CRLF` terminates. Chunk extensions and
+    * trailer fields are skipped. None on any malformed frame — the caller
+    * keeps the raw payload rather than dropping the record.
+    */
+  private[graft] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (true) {
+      val e = eol(b, p)
+      if (e < 0) return None
+      val sizeTok = new String(b, p, e - p, ascii).split(";")(0).trim
+      val n =
+        try Integer.parseInt(sizeTok, 16)
+        catch { case _: NumberFormatException => return None }
+      if (n < 0) return None
+      p = e + 2
+      if (n == 0) return Some(out.toByteArray) // trailers ignored
+      if (p + n + 2 > b.length) return None
+      out.write(b, p, n)
+      if (b(p + n) != '\r' || b(p + n + 1) != '\n') return None
+      p += n + 2
+    }
+    None // unreachable
+  }
+
   /** Walk every complete record in one (inflated) WARC byte stream. Stops
     * at the first malformed or truncated record, keeping the records before
     * it — a damaged shard tail never fails the job.
@@ -206,7 +233,18 @@ object Warc {
                       .map(Integer.valueOf).orNull
                     else null
                   } else null
-                val payload = java.util.Arrays.copyOfRange(body, split + 4, body.length)
+                val raw = java.util.Arrays.copyOfRange(body, split + 4, body.length)
+                // Common Crawl preserves the wire form, so a response
+                // payload may still carry chunked transfer-encoding —
+                // decode the chunk framing (size-hex lines, trailers)
+                // when the HTTP headers declare it; a malformed chunk
+                // stream falls back to the raw payload (damaged-tail
+                // posture, never a lost record).
+                val chunked = new String(body, 0, split, utf8).toLowerCase
+                  .linesIterator.exists(l => l.startsWith("transfer-encoding") &&
+                    l.contains("chunked"))
+                val payload =
+                  if (chunked) dechunk(raw).getOrElse(raw) else raw
                 (st, payload.length.toLong: java.lang.Long, new String(payload, utf8))
               }
             } else (null, body.length.toLong: java.lang.Long, new String(body, utf8))

@@ -677,4 +677,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getLong(1) == 600L)
     assert(row.getString(2) == "image")
   }
+
+  test("decodeFlacMeta: oddly-ordered metadata chain (comment + padding BEFORE streaminfo)") {
+    import graft.multimodal.AudioContainers
+    // hand-built: fLaC magic, then VORBIS_COMMENT (type 4) and PADDING
+    // (type 1) blocks FIRST, STREAMINFO (type 0) last-flagged at the end —
+    // legal per spec ordering tools rarely emit; the walk must reach it
+    def block(typ: Int, last: Boolean, body: Array[Byte]): Array[Byte] =
+      Array((typ | (if (last) 0x80 else 0)).toByte,
+        ((body.length >> 16) & 0xFF).toByte, ((body.length >> 8) & 0xFF).toByte,
+        (body.length & 0xFF).toByte) ++ body
+    val sr = 22050; val ch = 1; val bits = 16; val total = 44100L
+    val si = new Array[Byte](34)
+    val packed = (sr.toLong << 44) | ((ch - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | total
+    java.nio.ByteBuffer.wrap(si, 10, 8).putLong(packed)
+    val payload = "fLaC".getBytes("US-ASCII") ++
+      block(4, last = false, "comment-block-bytes-here".getBytes) ++
+      block(1, last = false, new Array[Byte](64)) ++
+      block(0, last = true, si)
+    val got = AudioContainers.decodeFlacMeta(
+      Seq((7L, payload)).toDF("media_id", "payload")).collect().head
+    assert(got.getInt(1) == 22050 && got.getInt(2) == 1 && got.getInt(3) == 16)
+    assert(got.getLong(4) == 44100L && got.getLong(5) == 2000L)
+  }
+
+  test("decodeOggMeta: continued pages (granule -1) never clobber the real position") {
+    import graft.multimodal.AudioContainers
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le64b(v: Long) = le32b(v.toInt) ++ le32b((v >> 32).toInt)
+    def page(granule: Long, headerType: Int, seq: Int, body: Array[Byte]): Array[Byte] = {
+      val lacing = (Array.fill(body.length / 255)(255) :+ (body.length % 255)).map(_.toByte)
+      "OggS".getBytes("US-ASCII") ++ Array[Byte](0, headerType.toByte) ++
+        le64b(granule) ++ le32b(1) ++ le32b(seq) ++ le32b(0) ++
+        Array(lacing.length.toByte) ++ lacing ++ body
+    }
+    val idHeader = Array[Byte](1) ++ "vorbis".getBytes("US-ASCII") ++
+      new Array[Byte](4) ++ Array[Byte](2) ++ le32b(16000) ++ new Array[Byte](8)
+    // BOS id page, one audio page ending a packet (granule 32000), then a
+    // CONTINUED page on which no packet completes (granule -1, EOS set)
+    val payload = page(0L, 0x02, 0, idHeader) ++
+      page(32000L, 0x00, 1, new Array[Byte](300)) ++
+      page(-1L, 0x05, 2, new Array[Byte](40))
+    val got = AudioContainers.decodeOggMeta(
+      Seq((9L, payload)).toDF("media_id", "payload")).collect().head
+    assert(got.getInt(1) == 2 && got.getInt(2) == 16000)
+    assert(got.getLong(3) == 32000L, "granule -1 must not be taken as the stream position")
+    assert(got.getLong(4) == 3L)
+    assert(got.getLong(5) == 2000L)
+  }
 }

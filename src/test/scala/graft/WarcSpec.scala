@@ -111,4 +111,35 @@ class WarcSpec extends AnyFunSuite {
       Seq((0L, bomb)).toDF("file_id", "payload"), maxBytes = 1 << 20)
     assert(rows.count() == 0)
   }
+
+  test("chunked transfer-encoding bodies decode; malformed chunking keeps raw") {
+    val payload = "hello chunked world!" // 20 bytes
+    val chunked = "7;ext=1\r\nhello c\r\nd\r\nhunked world!\r\n0\r\nX-Trailer: v\r\n\r\n"
+    def http(body: String) =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" + body).getBytes("UTF-8")
+    def rec(body: String) = Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/c",
+      "Content-Type" -> "application/http; msgtype=response"), http(body))
+    val rows = Seq(
+      (1L, rec(chunked)),
+      // malformed size line: decoder must fall back to the raw payload
+      (2L, rec("ZZ\r\nbroken\r\n0\r\n\r\n"))).toDF("file_id", "payload")
+    val got = Warc.parseWarc(rows).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(6) == payload)
+    assert(got(1L).getLong(5) == payload.length.toLong)
+    assert(got(2L).getString(6) == "ZZ\r\nbroken\r\n0\r\n\r\n")
+    assert(got(1L).getInt(4) == 200 && got(2L).getInt(4) == 200)
+  }
+
+  test("dechunk: exact framing rules (extension, trailer, bad CRLF, short chunk)") {
+    def d(s: String) = Warc.dechunk(s.getBytes("UTF-8")).map(new String(_, "UTF-8"))
+    assert(d("3\r\nabc\r\n0\r\n\r\n").contains("abc"))
+    assert(d("3;name=v\r\nabc\r\n0\r\nTrailer: x\r\n\r\n").contains("abc"))
+    assert(d("a\r\n0123456789\r\n0\r\n\r\n").contains("0123456789"))
+    assert(d("3\r\nabcXX0\r\n\r\n").isEmpty)   // missing chunk CRLF
+    assert(d("5\r\nab\r\n").isEmpty)           // short chunk
+    assert(d("q\r\nab\r\n0\r\n\r\n").isEmpty)  // non-hex size
+  }
 }
