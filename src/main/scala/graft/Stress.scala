@@ -457,6 +457,92 @@ object Stress {
     println(f"[stress] linededup_shuffle_kb  ${shuffled2 / 1e3}%8.1f KB (receipt's own 1-row agg)")
   }
 
+  /** Streaming near-dup ADMISSION at corpus scale: `n` total docs as
+    * n/3 planted 3-member clusters (identical text within a cluster),
+    * members arriving in three successive micro-batches (file-source
+    * mtime ordering + maxFilesPerTrigger), through
+    * [[graft.streaming.StreamingOps.nearDupNovelWithinWatermark]] under
+    * Trigger.AvailableNow with the RocksDB state store (the 100 TB
+    * posture — band-bucket claim state does not fit a JVM heap at real
+    * watermark widths).
+    *
+    * Receipt pins: (a) admitted ⊆ first-batch members EXACTLY (doc_id ≡ 0
+    * mod 3 — later arrivals of a claimed cluster are never admitted);
+    * (b) admitted count within the band-collision envelope of the cluster
+    * count (two clusters sharing one of ~2³¹ buckets cost the later one
+    * its unanimity — the documented recall trade of bucket-claim
+    * admission); (c) state rows ≈ 8 × clusters (the claim set), from the
+    * query's own progress metrics.
+    */
+  private def streamingDedupReceipt(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.streaming.Trigger
+    val clusters = n / 3
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_stream").toString
+    val src = s"$dir/src"; val chk = s"$dir/chk"; val outDir = s"$dir/out"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Member event times: 0 min / 1 min / 15 min. Append-mode window
+      // results only flush once the WATERMARK (max event time − 10 min)
+      // passes a window's end, so the last batch must carry event time ≥
+      // first-window-end + delay — the first fixture draft gave all
+      // members one timestamp and NOTHING ever emitted (state full,
+      // output empty): the receipt now also pins this flush semantic.
+      // Members 1 and 2 are both processed while the member-0 claims are
+      // inside the watermark, so both are rejected by bucket ownership.
+      val memberMinutes = Seq(0L, 1L, 15L)
+      val baseMtime = System.currentTimeMillis() - 3600 * 1000L
+      (0 until 3).foreach { m =>
+        val before = Option(new java.io.File(src).listFiles)
+          .getOrElse(Array.empty).map(_.getName).toSet
+        spark.range(0, clusters, 1, 32).select(
+            (col("id") * 3 + m).as("doc_id"),
+            (lit("2026-01-01 00:00:00").cast("timestamp") +
+              expr(s"INTERVAL ${memberMinutes(m)} MINUTES")).as("ts"),
+            array_join(transform(sequence(lit(0), lit(39)), j =>
+              concat(lit("c"), pmod(xxhash64(col("id"), j), lit(999999937L)),
+                lit("t"), j)), " ").as("text"))
+          .coalesce(8)
+          .write.mode("append").parquet(src)
+        // member batch boundary = file mtime: the file source takes the
+        // oldest maxFilesPerTrigger files per trigger
+        Option(new java.io.File(src).listFiles).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") && !before(f.getName))
+          .foreach(f => { f.setLastModified(baseMtime + m * 60000L): Unit })
+      }
+      val schema = spark.read.parquet(src).schema
+      var progressRows = -1L
+      var stateBytes = -1L
+      time(s"stream_neardup_admission_${n / 1000000}M", runs = 1) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 8).parquet(src)
+        val q = StreamingOps.nearDupNovelWithinWatermark(
+            stream, "doc_id", "text", "ts")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val ops = q.recentProgress.flatMap(_.stateOperators)
+        if (ops.nonEmpty) {
+          progressRows = ops.map(_.numRowsTotal).max
+          stateBytes = ops.map(_.memoryUsedBytes).max
+        }
+      }
+      val admitted = spark.read.parquet(outDir)
+      val total = admitted.count()
+      val nonFirst = admitted.filter(pmod(col("doc_id"), lit(3)) =!= 0).count()
+      println(s"[stress] stream_neardup: admitted=$total of $clusters clusters, " +
+        s"late_members_admitted=$nonFirst, state_rows=$progressRows " +
+        f"(~8x clusters = ${8 * clusters}), state_mem=${stateBytes / 1e6}%.1f MB")
+      require(nonFirst == 0,
+        s"$nonFirst later cluster members admitted — claim state leaked")
+      require(total <= clusters, s"over-admission: $total > $clusters")
+      require(total * 100 >= clusters * 95,
+        s"admission recall below 95%: $total of $clusters")
+    } finally rmrf(dir)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -493,6 +579,12 @@ object Stress {
 
     if (section == "lines") {
       lineReceipts(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "streamdedup") {
+      streamingDedupReceipt(spark, n)
       spark.stop()
       return
     }
