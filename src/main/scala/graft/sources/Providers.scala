@@ -151,44 +151,50 @@ object Providers {
         s"unknown provider '$provider' (expected one of ${providerNames.mkString(", ")})"))
     val withItems = responses.withColumn("__items",
       spec.items(from_json(col("raw"), spec.schema)))
-
-    def emit(df: DataFrame, item: Option[Column], error: Column): DataFrame = {
-      val urlCol = item.map(spec.url).getOrElse(lit(null).cast(StringType))
-      val video = item match {
-        case Some(_) => when(col("search_type") === "video", parseVideoUrl(urlCol))
-        case None => lit(null).cast("struct<video_id:string,embed_url:string,thumbnail_url:string>")
-      }
-      df.select(
-        lit(spec.name).as("provider"),
-        col("query"),
-        col("search_type"),
-        urlCol.as("url"),
-        item.map(spec.title).getOrElse(nullStr(lit(0))).as("title"),
-        item.map(spec.snippet).getOrElse(nullStr(lit(0))).as("snippet"),
-        item.map(spec.source).getOrElse(nullStr(lit(0))).as("source"),
-        item.map(spec.content).getOrElse(nullStr(lit(0))).as("content"),
-        item.map(spec.markdown).getOrElse(nullStr(lit(0))).as("markdown"),
-        item.map(spec.score).getOrElse(nullDbl(lit(0))).as("score"),
-        video.getField("video_id").as("video_id"),
-        video.getField("embed_url").as("embed_url"),
-        video.getField("thumbnail_url").as("thumbnail_url"),
-        error.as("error"))
-    }
-
-    val good = {
-      val exploded = withItems.filter(col("__items").isNotNull)
-        .select(col("query"), col("search_type"),
-          posexplode(col("__items")).as(Seq("__pos", "__item")))
-      val sliced =
-        if (spec.clientSlice) exploded.filter(col("__pos") < numResults)
-        else exploded
-      emit(sliced.filter(spec.url(col("__item")).isNotNull),
-        Some(col("__item")), lit(null).cast(StringType))
-    }
-    val failed = emit(withItems.filter(col("__items").isNull), None,
-      concat(lit(s"${spec.label} request failed for '"), col("query"),
-        lit("': unparseable response")))
-    good.unionByName(failed)
+    // ONE pass instead of a good ∪ failed union (which evaluated the whole
+    // source subtree — fixture construction included — twice per
+    // provider): a failed parse (__items null) pads to a single-null item
+    // so the same explode emits its in-band error row, and every output
+    // column branches on __failed. Semantics are unchanged and q103-
+    // oracle-pinned: an EMPTY parsed array still emits nothing (explode of
+    // [] yields no rows), only a null one is a failure.
+    val itemType = responses.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), responses.schema)
+      .select(spec.items(from_json(col("raw"), spec.schema)).as("__x"))
+      .schema("__x").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType
+    val failed = col("__failed")
+    val item = col("__item")
+    val exploded = withItems
+      .select(col("query"), col("search_type"),
+        col("__items").isNull.as("__failed"),
+        coalesce(col("__items"),
+          array(lit(null).cast(itemType))).as("__arr"))
+      .select(col("query"), col("search_type"), failed,
+        posexplode(col("__arr")).as(Seq("__pos", "__item")))
+    val sliced =
+      if (spec.clientSlice) exploded.filter(failed || col("__pos") < numResults)
+      else exploded
+    val rows = sliced.filter(failed || spec.url(item).isNotNull)
+    val urlCol = when(!failed, spec.url(item))
+    val video = when(col("search_type") === "video" && !failed,
+      parseVideoUrl(urlCol))
+    rows.select(
+      lit(spec.name).as("provider"),
+      col("query"),
+      col("search_type"),
+      urlCol.as("url"),
+      when(!failed, spec.title(item)).as("title"),
+      when(!failed, spec.snippet(item)).as("snippet"),
+      when(!failed, spec.source(item)).as("source"),
+      when(!failed, spec.content(item)).as("content"),
+      when(!failed, spec.markdown(item)).as("markdown"),
+      when(!failed, spec.score(item)).as("score"),
+      video.getField("video_id").as("video_id"),
+      video.getField("embed_url").as("embed_url"),
+      video.getField("thumbnail_url").as("thumbnail_url"),
+      when(failed, concat(lit(s"${spec.label} request failed for '"),
+        col("query"), lit("': unparseable response"))).as("error"))
   }
 
   /** The full S9–S12 fan-out over a mixed-provider response table
