@@ -489,16 +489,28 @@ object Dedup {
     * portable hash stack as [[minHashLsh]], so the q129 oracle replays
     * candidates, verification and the admission rule value-for-value.
     */
+  /** @param verifyOn64Bit same collision-hardening knob as [[minHashLsh]]:
+    *   candidate generation stays on portable poly31 bands, but the exact-
+    *   Jaccard verify runs on full-64-bit FNV shingle hashes — the mode a
+    *   long-lived production crawl runs, since the per-shard admission
+    *   accumulates poly31's birthday exposure across the corpus lifetime.
+    *   Not DuckDB-oracle-portable (q129 keeps the default).
+    */
   def incrementalNearDupAdmission(
       oldDf: DataFrame, newDf: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, verifyOn64Bit: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     def hashed(df: DataFrame) = df
-      .select(idCol.as("id"),
+      .select(idCol.as("id"), textCol.as("__vtxt"),
         graft.functions.PolyHash
           .polyShingleHashes(df.sparkSession, textCol, shingleSize).as("hs"))
+      .withColumn("hv", if (verifyOn64Bit)
+          array_distinct(graft.functions.ShingleHashes
+            .shingleHashes(df.sparkSession, col("__vtxt"), shingleSize))
+        else col("hs"))
+      .drop("__vtxt")
       .filter(size(col("hs")) > 0)
     def banded(h: DataFrame) = h
       .withColumn("sig", graft.functions.MinHashSig.expr(col("hs"), numHashes))
@@ -523,8 +535,8 @@ object Dedup {
     val cand = candOld.unionByName(candNew).dropDuplicates("new_id", "other_id")
     val allHashed = hashedOld.unionByName(hashedNew)
     val rejected = cand
-      .join(hashedNew.select(col("id").as("new_id"), col("hs").as("hs_n")), Seq("new_id"))
-      .join(allHashed.select(col("id").as("other_id"), col("hs").as("hs_o")), Seq("other_id"))
+      .join(hashedNew.select(col("id").as("new_id"), col("hv").as("hs_n")), Seq("new_id"))
+      .join(allHashed.select(col("id").as("other_id"), col("hv").as("hs_o")), Seq("other_id"))
       .withColumn("inter", size(array_intersect(col("hs_n"), col("hs_o"))))
       .filter(col("inter").cast("double") /
         (size(col("hs_n")) + size(col("hs_o")) - col("inter")) >= threshold)

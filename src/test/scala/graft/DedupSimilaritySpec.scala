@@ -295,6 +295,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hardened.contains((50L, 51L)))            // real dup survives
   }
 
+  test("incrementalNearDupAdmission verifyOn64Bit: collision victim admitted, real dup still rejected") {
+    // same wild-caught poly31 full-set collision pair as the minHashLsh
+    // test: the OLD corpus holds 2029299's doc, the NEW shard holds
+    // 3403811's (zero shared shingle strings) plus a REAL near-dup of an
+    // old doc and a novel doc
+    def idDoc(id: Long) = (0 until 40).map(j => s"u${id}t$j").mkString(" ")
+    val oldDocs = Seq(
+      2029299L -> idDoc(2029299L),
+      50L -> (0 until 40).map(j => s"w$j").mkString(" "))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      3403811L -> idDoc(3403811L),                              // collision victim
+      51L -> ((0 until 39).map(j => s"w$j") :+ "zz").mkString(" "), // real dup of 50
+      60L -> (0 until 40).map(j => s"q$j").mkString(" "))       // novel
+      .toDF("doc_id", "text")
+    def admitted(h64: Boolean) = Dedup.incrementalNearDupAdmission(
+        oldDocs, newDocs, col("doc_id"), col("text"), verifyOn64Bit = h64)
+      .select("doc_id").as[Long].collect().toSet
+    val poly = admitted(h64 = false)
+    assert(poly == Set(60L), s"poly31 mode: collision victim + real dup rejected, got $poly")
+    val hardened = admitted(h64 = true)
+    assert(hardened == Set(3403811L, 60L),
+      s"64-bit verify must clear the collision victim, keep rejecting the real dup, got $hardened")
+  }
+
   test("removeNearDuplicates keeps one representative per near-dup cluster") {
     // chain cluster: 10-11 and 11-12 are near-dups (10-12 only transitively)
     val docs = Seq(
