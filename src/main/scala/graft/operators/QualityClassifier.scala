@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** fastText-shaped linear text quality classifier — the MODEL-based
+  * document filter of CCNet/LLaMA-style pipelines (a hashed bag-of-words
+  * linear model scoring "does this look like reference text"), sitting
+  * between the rule-based gate ([[QualityRules]]) and the LM-based one
+  * ([[LmScore]]).
+  *
+  * Shape: token → feature bucket by portable poly31 hash mod `dim`;
+  * logit = mean over tokens of the bucket's weight. Everything before the
+  * final division is INTEGER (per-mille weights summed as longs), so the
+  * score is bit-portable and the q136 oracle replays it value-for-value —
+  * the same fixed-point discipline as [[Bm25]]/[[LmScore]].
+  *
+  * Weights: a real deployment loads trained per-bucket weights
+  * (`weightsPerMille` — an Int array indexed by bucket, values in
+  * per-mille); the seeded default derives each bucket's weight
+  * arithmetically (Knuth-hash of the bucket index onto [-1000, 1000]),
+  * which keeps the oracle closed-form and stands in for a trained model
+  * the way the IVF seeded codebook does (q47 vs q94).
+  *
+  * Scale posture: ONE narrow projection — the aggregate fold runs per row
+  * inside codegen, no explode, no join, no shuffle; a trained weight
+  * array rides the plan as expression state exactly like the IVF
+  * codebook. Works identically over a batch frame or a stream.
+  */
+object QualityClassifier {
+
+  /** Per-token feature bucket: portable poly31 string hash mod dim. */
+  private def bucket(spark: SparkSession, tok: Column, dim: Int): Column =
+    pmod(graft.functions.PolyHash.polyStringHash(spark, tok), lit(dim.toLong))
+
+  /** Seeded per-mille weight of a bucket: Knuth multiplicative hash onto
+    * [-1000, 1000] — pure integer arithmetic, replayed by the oracle.
+    */
+  private def seededWeight(b: Column): Column =
+    pmod(pmod(b * lit(2654435761L), lit(2147483647L)), lit(2001L)) - lit(1000L)
+
+  /** Sum of per-token per-mille weights (exact integer). */
+  private def weightSum(spark: SparkSession, textCol: Column, dim: Int,
+      weightsPerMille: Option[Array[Int]]): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    val w: Column => Column = weightsPerMille match {
+      case Some(arr) =>
+        require(arr.length == dim, s"weights length ${arr.length} != dim $dim")
+        val lut = array(arr.map(v => lit(v.toLong)): _*)
+        b => element_at(lut, (b + 1).cast("int"))
+      case None => seededWeight
+    }
+    aggregate(toks, lit(0L), (acc, t) => acc + w(bucket(spark, t, dim)))
+  }
+
+  /** Score documents: (id, n_tokens, logit, keep) — logit is the mean
+    * per-token weight in [-1, 1] (6 dp), keep = logit > threshold.
+    * Empty/whitespace-only docs score null logit and keep = 0.
+    */
+  def score(df: DataFrame, idCol: Column, textCol: Column,
+      dim: Int = 4096, threshold: Double = 0.0,
+      weightsPerMille: Option[Array[Int]] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = TextFunctions.tokenCount(textCol)
+    val sums = weightSum(spark, textCol, dim, weightsPerMille)
+    val logit = sums.cast("double") / (n * 1000.0)
+    df.select(
+      idCol.as("id"),
+      n.as("n_tokens"),
+      when(n > 0, round(logit, 6)).as("logit"),
+      when(n > 0 && logit > threshold, 1).otherwise(0).as("keep"))
+  }
+}

@@ -179,6 +179,18 @@ object TrainingQueries {
           round(col("weight"), 6).as("weight"), col("quota"))
     }),
 
+    // Model-based quality scoring: fastText-shaped hashed-bag-of-words
+    // linear classifier (poly31 token buckets, integer per-mille weights,
+    // mean-pooled logit) — the CCNet/LLaMA-style model filter alongside
+    // the rule-based (q113) and LM-based (q100/q102) gates. Seeded
+    // weights keep the oracle closed-form (q47-vs-q94 pattern: the
+    // trained-weights path takes an array and is spec-covered).
+    "q136_quality_classifier" -> ((s, dir) => {
+      graft.operators.QualityClassifier.score(
+          docs(s, dir), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -202,6 +214,20 @@ object TrainingQueries {
       s"list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END"
 
   val oracles: Map[String, String] = Map(
+    "q136_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         s AS (SELECT doc_id, len(toks) AS n_tokens,
+             list_sum(list_transform(toks, tk ->
+               ((${CurationQueries.polyHashSqlLine("tk")} % 4096)
+                 * 2654435761) % 2147483647 % 2001 - 1000)) AS sumw
+           FROM t)
+         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN n_tokens > 0
+             THEN ROUND(CAST(sumw AS DOUBLE) / (n_tokens * 1000.0), 6)
+           END AS logit,
+           CAST(CASE WHEN n_tokens > 0 AND sumw > 0 THEN 1 ELSE 0 END
+             AS INT) AS keep
+         FROM s""",
     "q117_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
          t AS (SELECT SUM(CAST(SQRT(CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS z

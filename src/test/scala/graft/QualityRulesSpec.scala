@@ -73,4 +73,26 @@ class QualityRulesSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("QualityClassifier: trained-weights path, empty docs, seeded==arith") {
+    import graft.operators.QualityClassifier
+    // poly31("a") = 97 -> bucket 1 (dim 8); poly31("b") = 98 -> bucket 2
+    val w = Array.fill(8)(0)
+    w(1) = 500; w(2) = -200
+    val docs = Seq((1L, "a b"), (2L, "b b"), (3L, "   ")).toDF("doc_id", "text")
+    val got = QualityClassifier.score(docs, col("doc_id"), col("text"),
+        dim = 8, weightsPerMille = Some(w))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(2) == 0.15 && got(1L).getInt(3) == 1)  // (500-200)/2000
+    assert(got(2L).getDouble(2) == -0.2 && got(2L).getInt(3) == 0)
+    assert(got(3L).isNullAt(2) && got(3L).getInt(3) == 0)
+    // seeded weight of bucket b must equal the closed-form the q136
+    // oracle replays
+    val seeded = QualityClassifier.score(docs, col("doc_id"), col("text"), dim = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def sw(b: Long) = ((b * 2654435761L) % 2147483647L % 2001L) - 1000L
+    val expected1 = (sw(1) + sw(2)).toDouble / 2000.0
+    assert(math.abs(seeded(1L).getDouble(2) -
+      math.rint(expected1 * 1e6) / 1e6) < 1e-12)
+  }
 }
