@@ -611,6 +611,12 @@ object Stress {
       Mixture.materializeCopies(
         Mixture.assignCopies(docs, col("id"), lit(1.5)), col("n_copies")).count()
     }
+    time(s"shard_export_${n / 1000000}M_x1024") {
+      // training-shard fan-out: deterministic shuffle order via one
+      // hash-partitioned sort — the global-shuffle floor for export
+      graft.operators.Export.shardAssignments(ids, col("id"), 1024)
+        .groupBy("shard").agg(max("pos")).collect()
+    }
 
     // compiled text-signature passes (the per-byte hot path of a corpus
     // run): 40-token synthetic docs. Generation itself is interpreted-HOF

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data EXPORT — the last mile of a curation pipeline: fan the
+  * surviving corpus out into a fixed number of shards with a
+  * deterministic corpus-wide shuffle order inside each shard. Trainers
+  * consume shards sequentially, so the shuffle must happen at EXPORT
+  * time, and it must be reproducible: the (shard, position) of a row
+  * depends only on its id and the salt — not on partitioning, executor
+  * count, or Spark's RNG ([[Sampling.hashBucket]] discipline, q66/q137).
+  *
+  * Scale posture: shard assignment is a narrow projection; the position
+  * is one `row_number` per shard — a single hash-partitioned sort, which
+  * is the FLOOR for any global shuffle (you cannot order a corpus
+  * without one exchange). Re-salting gives an independent epoch order
+  * without touching the data. [[writeShards]] materializes the layout as
+  * one directory per shard with files in shuffle order.
+  */
+object Export {
+
+  /** (input row) + (shard, pos): shard in [0, nShards), pos = 1-based
+    * rank in the shard's deterministic shuffle order. The order key is a
+    * DIFFERENT multiplier stream than the shard key (salt + 1), so
+    * within-shard order is uncorrelated with shard assignment; ties on
+    * the 2³¹-bucket order hash break by id for full determinism.
+    */
+  def shardAssignments(
+      df: DataFrame, idCol: Column, nShards: Int,
+      salt: Long = 0L): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val shard = Sampling.hashBucket(idCol, nShards, salt)
+    val okey = Sampling.hashBucket(idCol, 1 << 30, salt + 1)
+    df.withColumn("shard", shard)
+      .withColumn("__okey", okey)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__okey").asc, idCol.asc)))
+      .drop("__okey")
+  }
+
+  /** Write the shard fan-out: `outDir/shard=N/part-*` with rows in
+    * shuffle order inside each shard's files. One exchange (the shard
+    * repartition) + an in-partition sort — no global single-partition
+    * stage.
+    */
+  def writeShards(
+      df: DataFrame, idCol: Column, nShards: Int, outDir: String,
+      salt: Long = 0L): Unit = {
+    val assigned = shardAssignments(df, idCol, nShards, salt)
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+}

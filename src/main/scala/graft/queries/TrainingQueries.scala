@@ -191,6 +191,17 @@ object TrainingQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Training-shard export assignments: deterministic corpus-wide
+    // shuffle (Knuth-hash order, salt-decorrelated from the shard key) +
+    // 16-way shard fan-out — the (shard, pos) every row would occupy in
+    // the exported layout, fully replayed by the oracle.
+    "q137_training_shards" -> ((s, dir) => {
+      graft.operators.Export.shardAssignments(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          col("doc_id"), nShards = 16)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -213,7 +224,21 @@ object TrainingQueries {
     s"CASE WHEN len($toks) < 3 THEN [] ELSE " +
       s"list_transform(range(1, len($toks)-1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END"
 
+  private val shardOrderMultiplier: Long =
+    ((BigInt(graft.operators.Sampling.Knuth) * 3) mod
+      BigInt(graft.operators.Sampling.Prime)).toLong
+
   val oracles: Map[String, String] = Map(
+    "q137_training_shards" ->
+      s"""WITH a AS (SELECT doc_id, lang,
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 % 16 AS shard,
+             ((doc_id % 2147483647) * $shardOrderMultiplier)
+               % 2147483647 % 1073741824 AS okey
+           FROM documents)
+         SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+             ORDER BY okey, doc_id) AS INT) AS pos
+         FROM a""",
     "q136_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          s AS (SELECT doc_id, len(toks) AS n_tokens,

@@ -120,4 +120,38 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(math.abs(nat("hi") - 0.9) < 1e-12)
     assert(math.abs(nat("lo") - 0.01) < 1e-12)
   }
+
+  test("Export: shard fan-out layout, contiguous shuffle positions, epoch re-salt") {
+    import graft.operators.Export
+    val docs = spark.range(0, 500).toDF("doc_id")
+    val assigned = Export.shardAssignments(docs, col("doc_id"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(assigned.length == 500)
+    // positions are contiguous 1..count inside every shard
+    assigned.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // a different salt yields a genuinely different within-shard order
+    val epoch2 = Export.shardAssignments(docs, col("doc_id"), 8, salt = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(assigned.toSet != epoch2.toSet)
+    // written layout: one directory per shard, rows complete per shard
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    try {
+      Export.writeShards(docs, col("doc_id"), 8, out)
+      val dirs = new java.io.File(out).listFiles
+        .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+      assert(dirs == (0 until 8).map(i => s"shard=$i").toSet)
+      val back = spark.read.parquet(out)
+        .select(col("doc_id"), col("shard").cast("long"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(back == assigned.toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
 }
