@@ -24,7 +24,7 @@ object Export {
     * rank in the shard's deterministic shuffle order. The order key is a
     * DIFFERENT multiplier stream than the shard key (salt + 1), so
     * within-shard order is uncorrelated with shard assignment; ties on
-    * the 2³¹-bucket order hash break by id for full determinism.
+    * the 2³⁰-bucket order hash break by id for full determinism.
     */
   def shardAssignments(
       df: DataFrame, idCol: Column, nShards: Int,
@@ -42,17 +42,25 @@ object Export {
   }
 
   /** Write the shard fan-out: `outDir/shard=N/part-*` with rows in
-    * shuffle order inside each shard's files. One exchange (the shard
-    * repartition) + an in-partition sort — no global single-partition
-    * stage.
+    * shuffle order inside each shard's files. ONE corpus exchange: the
+    * shard repartition happens FIRST, and the position window's required
+    * clustering (`hashpartitioning(shard)`) is already satisfied by it —
+    * EnsureRequirements adds only the in-partition sort, which is also
+    * the file order the writer needs. (Calling [[shardAssignments]] then
+    * repartitioning would exchange the corpus twice — the window at
+    * `spark.sql.shuffle.partitions`, the write at `nShards`.)
     */
   def writeShards(
       df: DataFrame, idCol: Column, nShards: Int, outDir: String,
       salt: Long = 0L): Unit = {
-    val assigned = shardAssignments(df, idCol, nShards, salt)
-    assigned
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("shard", Sampling.hashBucket(idCol, nShards, salt))
+      .withColumn("__okey", Sampling.hashBucket(idCol, 1 << 30, salt + 1))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__okey").asc, idCol.asc)))
+      .drop("__okey")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 }

@@ -85,7 +85,11 @@ object Graph {
       nodes: DataFrame, idCol: Column, directed: DataFrame,
       rounds: java.util.concurrent.atomic.AtomicInteger): DataFrame = {
     val spark = nodes.sparkSession
-    val pairs = directed.distinct().collect()
+    // null-id edges (e.g. from an outer-join edge builder) are dropped,
+    // matching the distributed path where the equi-join never matches them
+    val pairs = directed
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .distinct().collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x

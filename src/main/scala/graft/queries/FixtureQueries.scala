@@ -43,9 +43,14 @@ object FixtureQueries {
     * A fresh JVM always rebuilds, which keeps the cross-process
     * idempotency the per-call rewrite used to provide.
     */
-  private val builtFixtures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val builtFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def oncePerJvm(key: String)(build: => Unit): Unit =
-    if (builtFixtures.add(key)) build
+    // computeIfAbsent: the key is recorded only AFTER a successful build
+    // (a throwing build leaves it absent for a clean retry), and a
+    // concurrent second caller blocks until the first finishes rather
+    // than reading a half-written fixture
+    builtFixtures.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE }): Unit
 
   /** Write the shared q81/q90 CSV fixture (semicolon dialect, quoted
     * delimiter-bearing field) and return its path — only the fixture is

@@ -108,20 +108,23 @@ object PipelineQueries {
 
       // ---- stage 4: corpus-level boilerplate-line removal (q121's
       // 3-token chunk lines); lang rides the carry seam. The stage
-      // boundary is PERSISTED: the near-dup stage consumes it from four
-      // subtrees (shingle/sign side, two verify joins, the survivor
-      // anti-join's left side), and without materialization each one
-      // re-executes the whole WARC→robots→quota→Gopher→line-dedup chain
-      // — exactly the between-phase checkpoint a production curation run
-      // writes. Blocks release via the session's cleaner once the result
-      // is consumed.
+      // boundary is MATERIALIZED (localCheckpoint): the near-dup stage
+      // consumes it from four subtrees (shingle/sign side, two verify
+      // joins, the survivor anti-join's left side), and without
+      // materialization each one re-executes the whole
+      // WARC→robots→quota→Gopher→line-dedup chain — exactly the
+      // between-phase checkpoint a production curation run writes.
+      // localCheckpoint rather than persist: checkpoint blocks release
+      // via ContextCleaner once the frame is unreferenced, where a
+      // CacheManager entry would pin storage memory until an explicit
+      // unpersist this lazy query has no place to issue.
       val cleaned = Dedup.removeBoilerplateLines(
           quality, col("doc_id"),
           CurationQueries.tokenChunkLines(col("text"), 3),
           minDocs = 5, carry = Seq("lang" -> col("lang")))
         .select(col("id").as("doc_id"), col("lang"),
           col("text_clean").as("text"))
-        .persist()
+        .localCheckpoint()
 
       // ---- stage 5: near-dup removal over the CLEANED text (q86 knobs)
       val survivors = Dedup.removeNearDuplicates(cleaned, col("doc_id"),

@@ -320,6 +320,15 @@ object Biff {
     */
   def writeWorkbook(rows: Seq[Seq[String]], maxRecordData: Int = 8224): Array[Byte] = {
     require(maxRecordData >= 16, "maxRecordData too small for an SST header")
+    require(maxRecordData <= 8224, "BIFF8 record payload capacity is 8224 bytes")
+    // BIFF8 sheet bounds: 65,536 rows x 256 columns. Unchecked, a larger
+    // grid would silently wrap the u16 row/col fields (and a >10,921-cell
+    // MULRK run would wrap the u16 record length) into a corrupt stream;
+    // within these bounds every record payload fits u16 by construction.
+    require(rows.length <= 65536, s"BIFF8 caps sheets at 65536 rows, got ${rows.length}")
+    rows.find(_.length > 256).foreach(r =>
+      throw new IllegalArgumentException(
+        s"BIFF8 caps sheets at 256 columns, got ${r.length}"))
     // SST: unique strings in first-appearance order
     val sstIndex = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var totalRefs = 0

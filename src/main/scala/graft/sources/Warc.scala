@@ -162,7 +162,10 @@ object Warc {
       if (n < 0) return None
       p = e + 2
       if (n == 0) return Some(out.toByteArray) // trailers ignored
-      if (p + n + 2 > b.length) return None
+      // Long arithmetic: a hostile size line like 7FFFFFF0 would overflow
+      // an Int sum, slip past the guard, and crash the task instead of
+      // falling back to the raw payload
+      if (p.toLong + n + 2 > b.length) return None
       out.write(b, p, n)
       if (b(p + n) != '\r' || b(p + n + 1) != '\n') return None
       p += n + 2

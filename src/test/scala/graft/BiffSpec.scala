@@ -101,6 +101,15 @@ class BiffSpec extends AnyFunSuite {
     assert(Biff.parseWorkbook(truncated, 10).isEmpty) // CFB walk rejects
   }
 
+  test("writeWorkbook enforces BIFF8 sheet bounds instead of wrapping u16 fields") {
+    intercept[IllegalArgumentException] {
+      Biff.writeWorkbook(Seq(Seq.fill(257)("x")))
+    }
+    intercept[IllegalArgumentException] {
+      Biff.writeWorkbook(rows, maxRecordData = 9000)
+    }
+  }
+
   test("DocumentCodec.parse renders .xls as a markdown table") {
     val md = DocumentCodec.parse(Biff.writeWorkbook(rows), ".xls")
     assert(md.contains("| c_custkey | c_name | c_mktsegment |"))

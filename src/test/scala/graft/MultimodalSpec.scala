@@ -337,8 +337,9 @@ class MultimodalSpec extends AnyFunSuite {
     val kept = Multimodal.validImageFilter(df, minBytes = 100, minDim = 50)
     assert(kept.count() == 1)
     // and a caller-owned __img_dims column survives both filters intact
-    // (validMediaFilter gates bytes on meta by documented design, so give
-    // it an honest byte_len for the column-survival check)
+    // (both variants now gate bytes on length(payload); the byte_len
+    // rewrite below is irrelevant to the gate and kept only so the
+    // fixture stays honest for the column-survival check)
     val df2 = df.withColumn("__img_dims", lit("mine"))
     assert(Multimodal.validImageFilter(df2, 100, 50)
       .select("__img_dims").head().getString(0) == "mine")

@@ -141,5 +141,8 @@ class WarcSpec extends AnyFunSuite {
     assert(d("3\r\nabcXX0\r\n\r\n").isEmpty)   // missing chunk CRLF
     assert(d("5\r\nab\r\n").isEmpty)           // short chunk
     assert(d("q\r\nab\r\n0\r\n\r\n").isEmpty)  // non-hex size
+    // hostile near-Int.Max size: must be a clean None (raw fallback), not
+    // an Int-overflow crash past the bounds guard
+    assert(d("7FFFFFF0\r\nxx\r\n0\r\n\r\n").isEmpty)
   }
 }
