@@ -58,23 +58,28 @@ object Bm25 {
     require(k >= 1, "k must be >= 1")
     val toks = docs.select(idCol.as("doc_id"),
       TextFunctions.tokens(textCol).as("__toks"))
+    val qterms = queries
+      .select(qidCol.as("query_id"), explode(TextFunctions.tokens(qtextCol)).as("term"))
+      .distinct()
+    val termSet = qterms.select(col("term")).distinct()
+    // The broadcast query-term semi-restrict runs BEFORE the tf
+    // aggregation (the q88 lesson applied corpus-side): tf(t,d) and
+    // df(t) restricted to query terms equal their corpus-wide values, so
+    // the ONE corpus-wide exchange carries query-term postings only —
+    // never the full (doc, term) inverted index.
     val d = toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-      explode(col("__toks")).as("term"))
+        explode(col("__toks")).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
     val tf = d.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     // 1-row corpus stats, cross-broadcast onto every scored row.
     val stats = toks.agg(count(lit(1)).as("n_corpus"),
       sum(size(col("__toks"))).cast("long").as("s_corpus"))
-    val qterms = queries
-      .select(qidCol.as("query_id"), explode(TextFunctions.tokens(qtextCol)).as("term"))
-      .distinct()
-    // df over query terms only: semi-restrict the tf frame by the (small)
-    // term set, then count distinct docs per term. The fixed-point log2s
-    // run HERE — once per term and once per corpus, never per scored row
-    // (the q102 lesson: log2fp is integer-cheap but not free; keep it on
-    // the vocabulary-bounded side).
-    val dfs = tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df over the (already query-term-restricted) tf frame. The
+    // fixed-point log2s run HERE — once per term and once per corpus,
+    // never per scored row (the q102 lesson: log2fp is integer-cheap but
+    // not free; keep it on the vocabulary-bounded side).
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats.select(
         Log2Fixed.expr(col("n_corpus")).as("__lgn"))))
       .select(col("term"),
