@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, functions => F}
 
 /** Real image-header decoding from payload BYTES (no metadata trust): PNG
   * IHDR, JPEG SOFn marker walk, GIF logical-screen descriptor, BMP
-  * BITMAPINFOHEADER, WebP VP8/VP8L/VP8X — the pure-JVM subset of the
+  * BITMAPINFOHEADER, WebP VP8/VP8L/VP8X, TIFF IFD0 (both byte orders) — the pure-JVM subset of the
   * reference's PIL `Image.open` validation gate
   * (多数据源获取数据.py:396-445: an embedded image must DECODE and be
   * ≥50 px to survive). PNG/JPEG/GIF/BMP pixels additionally decode for
@@ -47,6 +47,7 @@ object ImageDims {
   val FmtGif = 3L
   val FmtBmp = 4L
   val FmtWebp = 5L
+  val FmtTiff = 6L
 
   /** Packed (fmt<<56 | w<<28 | h), or -1 when the bytes are not a
     * parseable PNG/JPEG/GIF/BMP/WebP header.
@@ -105,6 +106,38 @@ object ImageDims {
         case _ => return -1L
       }
     }
+    // TIFF: "II*\0" (little-endian) / "MM\0*" (big-endian), IFD0 offset
+    // at byte 4; dims from tags 256 (ImageWidth) / 257 (ImageLength),
+    // SHORT values left-justified in the 4-byte field per TIFF 6.0 -- the
+    // scanned-document format of archived corpora (JDK imageio writes and
+    // decodes it since 9, so the q93 fixture round-trips real bytes)
+    if ((u(0) == 'I' && u(1) == 'I' && u(2) == 0x2A && u(3) == 0) ||
+      (u(0) == 'M' && u(1) == 'M' && u(2) == 0 && u(3) == 0x2A)) {
+      val le = u(0) == 'I'
+      def r16(i: Int): Int = if (le) u(i) | (u(i + 1) << 8) else (u(i) << 8) | u(i + 1)
+      def r32(i: Int): Long =
+        if (le) u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+        else (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+      val ifd = r32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return -1L
+      val n = r16(ifd.toInt)
+      var w = -1L; var h = -1L
+      var e = 0
+      while (e < n && ifd + 2 + 12L * e + 12 <= b.length) {
+        val off = ifd.toInt + 2 + 12 * e
+        val tag = r16(off)
+        if (tag == 256 || tag == 257) {
+          val v: Long = r16(off + 2) match {
+            case 3 => r16(off + 8).toLong // SHORT, left-justified inline
+            case 4 => r32(off + 8)        // LONG
+            case _ => -1L
+          }
+          if (tag == 256) w = v else h = v
+        }
+        e += 1
+      }
+      return pack(FmtTiff, w, h)
+    }
     // JPEG: SOI then marker segments; dims live in the first SOFn
     if (u(0) == 0xFF && u(1) == 0xD8) {
       var i = 2
@@ -154,6 +187,7 @@ object ImageDims {
       .when(F.shiftright(packed, 56) === FmtGif, "gif")
       .when(F.shiftright(packed, 56) === FmtBmp, "bmp")
       .when(F.shiftright(packed, 56) === FmtWebp, "webp")
+      .when(F.shiftright(packed, 56) === FmtTiff, "tiff")
 
   def widthOf(packed: Column): Column =
     F.shiftright(packed, 28).bitwiseAND(F.lit((1L << 28) - 1)).cast("int")

@@ -227,6 +227,7 @@ object Multimodal {
           val fmt = r.getInt(1) match {
             case 0 => "png"
             case 1 => "jpg"
+            case 3 => "tiff" // JDK imageio ships the TIFF plugin since 9
             case _ => "gif"
           }
           val img = new java.awt.image.BufferedImage(r.getInt(2), r.getInt(3),

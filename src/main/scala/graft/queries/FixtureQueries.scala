@@ -320,7 +320,7 @@ object FixtureQueries {
       val params = Tables.load(s, dir, "documents")
         .filter(col("doc_id") < 200)
         .select(col("doc_id").as("id"),
-          pmod(col("doc_id"), lit(3)).cast("int").as("f"),
+          pmod(col("doc_id"), lit(4)).cast("int").as("f"),
           (lit(8) + pmod(col("doc_id"), lit(90))).cast("int").as("w"),
           (lit(5) + pmod(col("doc_id"), lit(70))).cast("int").as("h"))
       val encoded = Multimodal.encodeImages(params)
@@ -1017,8 +1017,8 @@ object FixtureQueries {
          FROM documents WHERE doc_id < 30""",
     "q93_image_dims" ->
       """SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-             ELSE 'gif' END AS img_format,
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             WHEN 3 THEN 'tiff' ELSE 'gif' END AS img_format,
            CAST(8 + doc_id % 90 AS INT) AS img_width,
            CAST(5 + doc_id % 70 AS INT) AS img_height
          FROM documents WHERE doc_id < 200""")

@@ -727,4 +727,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.getLong(4) == 3L)
     assert(got.getLong(5) == 2000L)
   }
+
+  test("ImageDims: TIFF IFD0 in both byte orders, SHORT and LONG dim types") {
+    import graft.functions.ImageDims
+    def leTiff(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + 2 + 24 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      b.putShort(2)
+      b.putShort(256).putShort(3).putInt(1).putShort(w.toShort).putShort(0)
+      b.putShort(257).putShort(4).putInt(1).putInt(h)
+      b.putInt(0)
+      b.array()
+    }
+    def beTiff(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + 2 + 24 + 4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+      b.putShort(2)
+      // SHORT value left-justified in the 4-byte field (TIFF 6.0)
+      b.putShort(256).putShort(3).putInt(1).putShort(w.toShort).putShort(0)
+      b.putShort(257).putShort(4).putInt(1).putInt(h)
+      b.putInt(0)
+      b.array()
+    }
+    def unpack(p: Long) = (p >> 56, (p >> 28) & ((1L << 28) - 1), p & ((1L << 28) - 1))
+    assert(unpack(ImageDims.parse(leTiff(640, 480))) == ((ImageDims.FmtTiff, 640L, 480L)))
+    assert(unpack(ImageDims.parse(beTiff(123, 77))) == ((ImageDims.FmtTiff, 123L, 77L)))
+    // truncated IFD and missing dims parse to -1, never throw
+    assert(ImageDims.parse(leTiff(640, 480).take(9)) == -1L)
+    assert(ImageDims.parse("II*\u0000garbage".getBytes("ISO-8859-1")) == -1L)
+    // real imageio TIFF round trip through the fixture encoder (f = 3)
+    val enc = Multimodal.encodeImages(
+      Seq((1L, 3, 33, 21)).toDF("id", "f", "w", "h")).collect().head
+    val packed = ImageDims.parse(enc.getAs[Array[Byte]](1))
+    assert(unpack(packed) == ((ImageDims.FmtTiff, 33L, 21L)))
+  }
 }
