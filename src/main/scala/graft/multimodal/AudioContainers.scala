@@ -204,29 +204,35 @@ object AudioContainers {
                 ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)))
             var title: String = null; var artist: String = null
             var album: String = null
+            // ID3v2.2 (the pre-1999 format still common on old rips):
+            // 3-char frame ids + 3-byte big-endian sizes, 6-byte headers;
+            // v2.3/v2.4 use 4+4-byte headers (v2.4 sizes syncsafe)
+            val hdrLen = if (major == 2) 6 else 10
             var pos = 10
             var ok = true
-            while (ok && pos + 10 <= tagEnd) {
-              val fid = new String(b, pos, 4, "US-ASCII")
+            while (ok && pos + hdrLen <= tagEnd) {
+              val fid = new String(b, pos, if (major == 2) 3 else 4, "US-ASCII")
               if (fid(0) == 0) ok = false // zero padding reached
               else {
                 val sz =
-                  if (major >= 4) ((b(pos + 4) & 0x7F) << 21) | ((b(pos + 5) & 0x7F) << 14) |
+                  if (major == 2) ((b(pos + 3) & 0xFF) << 16) |
+                    ((b(pos + 4) & 0xFF) << 8) | (b(pos + 5) & 0xFF)
+                  else if (major >= 4) ((b(pos + 4) & 0x7F) << 21) | ((b(pos + 5) & 0x7F) << 14) |
                     ((b(pos + 6) & 0x7F) << 7) | (b(pos + 7) & 0x7F)
                   else ((b(pos + 4) & 0xFF) << 24) | ((b(pos + 5) & 0xFF) << 16) |
                     ((b(pos + 6) & 0xFF) << 8) | (b(pos + 7) & 0xFF)
-                if (sz < 0 || pos + 10 + sz > tagEnd) ok = false
+                if (sz < 0 || pos + hdrLen + sz > tagEnd) ok = false
                 else {
                   if (fid.charAt(0) == 'T' && sz >= 1) {
-                    val encByte = b(pos + 10) & 0xFF
+                    val encByte = b(pos + hdrLen) & 0xFF
                     val cs = encByte match {
                       case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
                       case 1 => java.nio.charset.Charset.forName("UTF-16")  // BOM
                       case 2 => java.nio.charset.StandardCharsets.UTF_16BE
                       case _ => java.nio.charset.StandardCharsets.UTF_8
                     }
-                    val start = pos + 11
-                    var end = pos + 10 + sz
+                    val start = pos + hdrLen + 1
+                    var end = pos + hdrLen + sz
                     // strip ONE optional null terminator, sized by the
                     // encoding (a lone trailing 0x00 in UTF-16LE text is
                     // part of the final character, not a terminator)
@@ -235,13 +241,13 @@ object AudioContainers {
                     } else if (end - start >= 1 && b(end - 1) == 0) end -= 1
                     val text = new String(b, start, end - start, cs)
                     fid match {
-                      case "TIT2" => title = text
-                      case "TPE1" => artist = text
-                      case "TALB" => album = text
+                      case "TIT2" | "TT2" => title = text
+                      case "TPE1" | "TP1" => artist = text
+                      case "TALB" | "TAL" => album = text
                       case _ => ()
                     }
                   }
-                  pos += 10 + sz
+                  pos += hdrLen + sz
                 }
               }
             }

@@ -763,4 +763,30 @@ class MultimodalSpec extends AnyFunSuite {
     val packed = ImageDims.parse(enc.getAs[Array[Byte]](1))
     assert(unpack(packed) == ((ImageDims.FmtTiff, 33L, 21L)))
   }
+
+  test("decodeId3Tags: v2.2 three-char frames with 3-byte sizes (old-rip format)") {
+    import graft.multimodal.AudioContainers
+    def frame22(fid: String, text: String, enc: Int): Array[Byte] = {
+      val payload = Array(enc.toByte) ++ (if (enc == 1)
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")
+      else text.getBytes("ISO-8859-1"))
+      fid.getBytes("US-ASCII") ++
+        Array[Byte](((payload.length >> 16) & 0xFF).toByte,
+          ((payload.length >> 8) & 0xFF).toByte, (payload.length & 0xFF).toByte) ++
+        payload
+    }
+    val frames = frame22("TT2", "Old Title", 0) ++
+      frame22("TP1", "老艺术家", 1) ++ frame22("TAL", "Album 95", 0)
+    val tag = "ID3".getBytes ++ Array[Byte](2, 0, 0) ++
+      Array[Byte](((frames.length >> 21) & 0x7F).toByte,
+        ((frames.length >> 14) & 0x7F).toByte,
+        ((frames.length >> 7) & 0x7F).toByte, (frames.length & 0x7F).toByte) ++
+      frames ++ Array.fill[Byte](16)(0) // zero padding after the frames
+    val got = AudioContainers.decodeId3Tags(
+      Seq((1L, tag ++ "audio".getBytes)).toDF("media_id", "payload")).head()
+    assert(got.getString(1) == "2.2")
+    assert(got.getString(2) == "Old Title")
+    assert(got.getString(3) == "老艺术家")
+    assert(got.getString(4) == "Album 95")
+  }
 }
