@@ -15,7 +15,7 @@ import org.apache.spark.sql.{Column, functions => F}
   * header while pixel decode stays behind the seam.
   *
   * Packed result layout (LongType, codegen-friendly single value):
-  * bits 56-63 format tag (1=png 2=jpeg 3=gif 4=bmp 5=webp), bits 28-55
+  * bits 56-63 format tag (1=png 2=jpeg 3=gif 4=bmp 5=webp 6=tiff), bits 28-55
   * width, bits 0-27 height. Null = not a decodable image header.
   */
 case class ImageDims(child: Expression)
@@ -50,7 +50,7 @@ object ImageDims {
   val FmtTiff = 6L
 
   /** Packed (fmt<<56 | w<<28 | h), or -1 when the bytes are not a
-    * parseable PNG/JPEG/GIF/BMP/WebP header.
+    * parseable PNG/JPEG/GIF/BMP/WebP/TIFF header.
     */
   def parse(b: Array[Byte]): Long = {
     if (b == null || b.length < 10) return -1L
@@ -126,7 +126,9 @@ object ImageDims {
       while (e < n && ifd + 2 + 12L * e + 12 <= b.length) {
         val off = ifd.toInt + 2 + 12 * e
         val tag = r16(off)
-        if (tag == 256 || tag == 257) {
+        // count must be 1: for count > 1 the value field holds a file
+        // OFFSET (TIFF 6.0), which would otherwise be misread as a dim
+        if ((tag == 256 || tag == 257) && r32(off + 4) == 1) {
           val v: Long = r16(off + 2) match {
             case 3 => r16(off + 8).toLong // SHORT, left-justified inline
             case 4 => r32(off + 8)        // LONG

@@ -221,7 +221,10 @@ object AudioContainers {
                     ((b(pos + 6) & 0x7F) << 7) | (b(pos + 7) & 0x7F)
                   else ((b(pos + 4) & 0xFF) << 24) | ((b(pos + 5) & 0xFF) << 16) |
                     ((b(pos + 6) & 0xFF) << 8) | (b(pos + 7) & 0xFF)
-                if (sz < 0 || pos + hdrLen + sz > tagEnd) ok = false
+                // overflow-safe form: pos + hdrLen + sz can wrap an Int
+                // on a hostile 0x7FFFFFFF size and slip past a direct
+                // comparison, crashing the never-fail decode contract
+                if (sz < 0 || sz > tagEnd - pos - hdrLen) ok = false
                 else {
                   if (fid.charAt(0) == 'T' && sz >= 1) {
                     val encByte = b(pos + hdrLen) & 0xFF

@@ -757,6 +757,10 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated IFD and missing dims parse to -1, never throw
     assert(ImageDims.parse(leTiff(640, 480).take(9)) == -1L)
     assert(ImageDims.parse("II*\u0000garbage".getBytes("ISO-8859-1")) == -1L)
+    // count != 1: the value field is a file OFFSET, not the dim — reject
+    val badCount = leTiff(640, 480)
+    badCount(8 + 2 + 4) = 2 // ImageWidth entry count LE32 -> 2
+    assert(ImageDims.parse(badCount) == -1L)
     // real imageio TIFF round trip through the fixture encoder (f = 3)
     val enc = Multimodal.encodeImages(
       Seq((1L, 3, 33, 21)).toDF("id", "f", "w", "h")).collect().head
@@ -788,5 +792,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.getString(2) == "Old Title")
     assert(got.getString(3) == "老艺术家")
     assert(got.getString(4) == "Album 95")
+  }
+
+  test("decodeId3Tags: hostile 0x7FFFFFFF frame size yields nulls, not a crash") {
+    import graft.multimodal.AudioContainers
+    val tag = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 40) ++
+      "TIT2".getBytes ++ Array[Byte](0x7F, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+        0, 0) ++ Array.fill[Byte](30)(1)
+    val got = AudioContainers.decodeId3Tags(
+      Seq((1L, tag)).toDF("media_id", "payload")).head()
+    assert(got.isNullAt(2) && got.isNullAt(3) && got.isNullAt(4))
   }
 }
