@@ -33,6 +33,25 @@ object Dedup {
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
       .drop("__h")
 
+  /** Soft deduplication (down-weighting): every row KEEPS its place in the
+    * corpus but carries `weight = 1/n_dups` where `n_dups` is the size of
+    * its exact-duplicate cluster under `keyCol` — each cluster contributes
+    * one document's worth of training mass instead of n (the alternative
+    * to dropping, for pipelines that re-weight rather than discard; pair
+    * with [[Mixture.assignCopies]] to turn weights into integer copies).
+    *
+    * Scale: ONE corpus exchange — the cluster size is a window count over
+    * the 8-byte xxhash64 digest of the key (same shuffle-key discipline as
+    * [[exact]]). The groupBy+rejoin formulation would exchange the corpus
+    * twice (once into the agg, once into the join).
+    */
+  def softDedupWeights(df: DataFrame, keyCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy(xxhash64(keyCol))))
+      .withColumn("weight", lit(1.0) / col("n_dups"))
+  }
+
   /** Deterministic per-seed MinHash over a shingle array:
     * h_i(S) = min over shingles of ((a_i·x + b_i) mod p), x = 64-bit shingle
     * hash. Pure expression composition (no UDF, no ml.feature dependency on

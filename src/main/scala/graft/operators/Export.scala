@@ -63,4 +63,63 @@ object Export {
       .drop("__okey")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
+
+  /** WebDataset-style tar-shard export — the layout multimodal trainers
+    * stream: `outDir/shard-NNNNN.tar`, one member per row
+    * (`nameCol` → member name, `payloadCol` bytes → member body), members
+    * in the SAME deterministic shuffle order as [[writeShards]] (salt-
+    * decorrelated shard/order hash streams; member index inside a tar ==
+    * the row's `pos`). `gzip = true` writes `.tar.gz` whole-file gzip —
+    * the shape [[graft.sources.Archives.parseTar]] sniffs and inflates.
+    *
+    * Scale posture: one corpus exchange (`repartition(nShards, shard)`);
+    * each task then streams its shards' members straight through the
+    * Hadoop FileSystem API (file:// here, HDFS/S3 on a cluster) — member
+    * bytes never accumulate on the heap, and several shards hashing into
+    * one task roll file-to-file in sort order. Shard files are created
+    * with overwrite=true so a task retry rewrites the same deterministic
+    * content idempotently. Size shards via `nShards` so a single tar
+    * stays well under the 2 GB binaryFile read-back bound.
+    */
+  def writeTarShards(
+      df: DataFrame, idCol: Column, nameCol: Column, payloadCol: Column,
+      nShards: Int, outDir: String, salt: Long = 0L,
+      gzip: Boolean = false): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    val arranged = df
+      .select(idCol.cast("long").as("__id"), nameCol.cast("string").as("__name"),
+        payloadCol.cast("binary").as("__payload"))
+      .withColumn("__shard", Sampling.hashBucket(col("__id"), nShards, salt))
+      .withColumn("__okey", Sampling.hashBucket(col("__id"), 1 << 30, salt + 1))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__okey"), col("__id"))
+    val ext = if (gzip) ".tar.gz" else ".tar"
+    arranged.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val base = new org.apache.hadoop.fs.Path(outDir)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        var cur = -1L
+        var out: java.io.OutputStream = null
+        def closeCurrent(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two zero end-of-archive blocks
+          out.close(); out = null
+        }
+        try {
+          it.foreach { r =>
+            val shard = r.getLong(r.fieldIndex("__shard"))
+            if (shard != cur) {
+              closeCurrent()
+              cur = shard
+              val raw: java.io.OutputStream =
+                fs.create(new org.apache.hadoop.fs.Path(base, f"shard-$cur%05d$ext"), true)
+              out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+            }
+            out.write(graft.sources.Archives.tarMember(
+              r.getString(r.fieldIndex("__name")),
+              r.getAs[Array[Byte]](r.fieldIndex("__payload"))))
+          }
+        } finally closeCurrent()
+      }
+    }
+  }
 }

@@ -291,6 +291,27 @@ object Similarity {
       queries, queryId, queryVec, candidates, candId, candVec,
       k, dim, nprobe, rankCol = Some("rnk"), roundCos = true)
 
+  /** Cluster-balanced (diversity) sampling — the DCLM/SemDeDup-shaped
+    * selection step: assign every vector to its nearest seeded centroid,
+    * then keep `k` per cluster in deterministic hash order
+    * ([[Sampling.kPerGroup]]), so the sample spans embedding space instead
+    * of mirroring the corpus' density. Seeded codebook → the whole pick is
+    * a pure function of (id, embedding), fully oracle-replayable (q139);
+    * swap in [[trainIvfFixedPoint]] centroids for a trained pick.
+    *
+    * Scale: assignment is a narrow compiled projection (C centroid vectors
+    * ride the plan); the per-cluster cap compiles to WindowGroupLimit, so
+    * only ~k·C rows survive the single exchange.
+    */
+  def clusterBalancedSample(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, k: Int): DataFrame = {
+    val cents = seedCentroids(df, idCol, vecCol, nCentroids)
+    val assigned = df.withColumn("cluster",
+      ivfBucket(col(vecCol), cents).cast("int"))
+    Sampling.kPerGroup(assigned, Seq(col("cluster")), col(idCol), k)
+  }
+
   /** IVF-pruned top-k with a trained codebook: candidates bucketed once;
     * each query probes its `nprobe` best buckets — scanned fraction ≈
     * nprobe/nCentroids. Equi-join on bucket id makes the scan a

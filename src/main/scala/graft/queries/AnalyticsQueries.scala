@@ -206,6 +206,18 @@ object AnalyticsQueries {
         .select(col("id").as("vec_id"), col("cluster").cast("int").as("cluster"))
     }),
 
+    // Cluster-balanced diversity sample (DCLM-shaped selection): nearest
+    // seeded centroid per embedding (q114's codebook + tie rule), then 20
+    // per cluster in deterministic hash order (q78's pick rule) — the
+    // sample spans embedding space instead of mirroring corpus density.
+    // Assignment is a narrow compiled projection; the per-cluster cap
+    // compiles to WindowGroupLimit.
+    "q139_cluster_sample" -> ((s, dir) => {
+      Similarity.clusterBalancedSample(emb(s, dir), "vec_id", "embedding",
+          nCentroids = 8, k = 20)
+        .select(col("vec_id"), col("cluster"))
+    }),
+
     // IVF with the fixed-point TRAINED codebook: one Lloyd round whose
     // mean update is an exact BIGINT aggregation (floor(v[d]·1e6) sums),
     // so the oracle replays seeding, assignment, the centroid update and
@@ -463,6 +475,26 @@ object AnalyticsQueries {
            WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
          SELECT a.vec_id, CAST(a.cix AS INT) AS cluster
          FROM asg a WHERE a.vec_id NOT IN (SELECT vec_id FROM rm)""",
+    "q139_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
+           FROM e),
+         seeds AS (SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY bk, vec_id) AS rn
+           FROM b QUALIFY rn <= 8),
+         cn AS (SELECT rn - 1 AS cix,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS cv
+           FROM seeds),
+         asg AS (SELECT vec_id, bk, cix FROM (
+             SELECT b.vec_id, b.bk, c.cix,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY list_dot_product(b.v, c.cv) DESC, c.cix DESC) AS r
+             FROM b, cn c) WHERE r = 1),
+         r AS (SELECT vec_id, cix,
+             ROW_NUMBER() OVER (PARTITION BY cix ORDER BY bk, vec_id) AS rk
+           FROM asg)
+         SELECT vec_id, CAST(cix AS INT) AS cluster FROM r WHERE rk <= 20""",
     "q94_ivf_trained" -> {
       val dim = 64
       val scale = "1000000.0"

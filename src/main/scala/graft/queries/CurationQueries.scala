@@ -105,6 +105,25 @@ object CurationQueries {
         qs, col("query_id"), col("qtext"), k = 10)
     }),
 
+    // Soft dedup (down-weighting): the corpus plus one accent-mutated copy
+    // of every doc and one verbatim copy of every third doc — so canonical
+    // clusters have size 2 or 3 — each row kept with weight 1/cluster_size.
+    // CanonicalText keys the cluster (q126's normalization), the window
+    // count runs over its xxhash64 digest (one 8-byte-key exchange).
+    "q138_soft_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val mutated = d.select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        regexp_replace(col("text"), "a", "A\u0301").as("text"))
+      val verbatim = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
+      val all = d.unionByName(mutated).unionByName(verbatim)
+        .withColumn("__canon",
+          graft.functions.CanonicalText.expr(s, col("text")))
+      Dedup.softDedupWeights(all, col("__canon"))
+        .select(col("doc_id"), col("lang"), col("n_dups"),
+          round(col("weight"), 6).as("weight"))
+    }),
+
     // Canonical-form dedup keying: the corpus unioned with a mutated copy
     // (every 'a' -> decomposed 'Á'); CanonicalText (NFC → strip accents →
     // lower → collapse ws) must collapse each mutant back onto its
@@ -321,6 +340,26 @@ object CurationQueries {
                ORDER BY score_fp DESC, doc_id) AS rnk
            FROM sc)
          SELECT query_id, doc_id, rnk, score_fp FROM r WHERE rnk <= 10""",
+
+    "q138_soft_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, lang, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lang,
+             replace(text, 'a', 'A' || chr(769)) FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, lang, text FROM documents
+           WHERE doc_id % 3 = 0),
+         c AS (SELECT doc_id, lang,
+             trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+               '\s+', ' ', 'g')) AS canon
+           FROM all_docs),
+         w AS (SELECT doc_id, lang,
+             COUNT(*) OVER (PARTITION BY canon) AS n_dups
+           FROM c)
+         SELECT doc_id, lang, CAST(n_dups AS BIGINT) AS n_dups,
+           ROUND(CAST(1.0 AS DOUBLE) / n_dups, 6) AS weight
+         FROM w""",
 
     "q126_canonical_dedup" ->
       """WITH all_docs AS (

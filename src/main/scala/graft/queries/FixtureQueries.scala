@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object FixtureQueries {
 
+  /** hashBucket(salt = 1)'s multiplier — the q137/q140 order-hash stream. */
+  private val tarOrderMultiplier: Long =
+    ((BigInt(graft.operators.Sampling.Knuth) * 3) mod
+      BigInt(graft.operators.Sampling.Prime)).toLong
+
   private def fixtureDir(dir: String, leaf: String): String = {
     // collision-resistant key: 32-bit hashCode collides across data dirs
     // (two sessions would then race on the same fixture path)
@@ -216,6 +221,36 @@ object FixtureQueries {
       Biff.read(s, s"$base/*.xls")
         .select(col("c_custkey").cast("long"), col("c_name"),
           col("c_acctbal").cast("double"), col("c_mktsegment"))
+    }),
+
+    // Training-shard tar export round-trip (the webdataset shape): the
+    // documents corpus fanned into 8 `shard-NNNNN.tar` files in the
+    // deterministic (shard, okey, id) shuffle order (Export.writeTarShards,
+    // q137's hash streams), then read back DISTRIBUTED (binaryFile →
+    // Archives.parseTar). The member index must replay q137's `pos` and
+    // the payload must round-trip byte-exactly — the oracle recomputes
+    // (shard, pos) by pure arithmetic and takes `text` from parquet.
+    "q140_tar_shard_roundtrip" -> ((s, dir) => {
+      val base = fixtureDir(dir, "tarshards")
+      oncePerJvm(base) {
+        deleteRecursive(new java.io.File(base))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        graft.operators.Export.writeTarShards(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"), format_string("%012d.txt", col("doc_id")),
+          col("text"), nShards = 8, outDir = base)
+      }
+      val files = s.read.format("binaryFile").load(s"$base/shard-*.tar")
+        .select(
+          regexp_extract(col("path"), "shard-(\\d+)\\.tar", 1)
+            .cast("long").as("file_id"),
+          col("content").as("payload"))
+      graft.sources.Archives.parseTar(files)
+        .select(
+          regexp_extract(col("name"), "(\\d+)\\.txt", 1).cast("long").as("doc_id"),
+          col("file_id").as("shard"),
+          (col("member_idx") + 1).cast("int").as("pos"),
+          col("text"))
     }),
 
     // S15: JSON-lines sink → scan round-trip. Typed columns (long, string,
@@ -769,6 +804,17 @@ object FixtureQueries {
     "q133_xls_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey < 300""",
+    "q140_tar_shard_roundtrip" ->
+      s"""WITH a AS (SELECT doc_id, text,
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 % 8 AS shard,
+             ((doc_id % 2147483647) * $tarOrderMultiplier)
+               % 2147483647 % 1073741824 AS okey
+           FROM documents)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+             ORDER BY okey, doc_id) AS INT) AS pos,
+           text
+         FROM a""",
     "q90_csv_truncation" ->
       """WITH kept AS (SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
              o_orderstatus, o_totalprice,
