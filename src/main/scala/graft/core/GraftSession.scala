@@ -28,6 +28,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // The synthetic tables store naive (no-UTC-flag) parquet timestamps;
+      // read them as plain TimestampType — under the UTC session the stored
+      // micros ARE the UTC instant, and date_format/unix_timestamp render the
+      // same wall clock DuckDB's naive TIMESTAMP does. Leaving NTZ inference
+      // on would instead surface TIMESTAMP_NTZ, which half the temporal
+      // surface (timestamp literals, unix_timestamp arithmetic) can't mix with
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // decode() substitutes on malformed bytes and accepts the full JVM
       // charset set (GBK et al.) — charset-fallback chains probe-and-
@@ -69,19 +76,29 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`).
-    * Normalize here to a proper TimestampType (microsecond precision —
-    * integer floor division, matching DuckDB's nanos→micros truncation) so
-    * every consumer sees an ordinary `ts` timestamp column.
+  /** The events table's `ts` column has shipped in two generations of the
+    * driver testdata: TIMESTAMP(NANOS), which Spark only reads as raw longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`), and plain microsecond
+    * timestamps (round 6+). Dispatch on the read schema so every consumer
+    * sees an ordinary `ts` TimestampType column either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.functions._
-    // `div` = integral division: `ts / 1000` would go through double and
-    // lose sub-µs exactness above 2^53 (≈13% of epoch-nano rows are 1µs off
-    // under double division), diverging from DuckDB's integer truncation
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // `div` = integral division: `ts / 1000` would go through double and
+        // lose sub-µs exactness above 2^53 (≈13% of epoch-nano rows are 1µs
+        // off under double division), diverging from DuckDB's nanos→micros
+        // integer truncation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // only reachable on a session without the factory's NTZ-inference-off
+        // config; under the UTC session the cast is value-preserving
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

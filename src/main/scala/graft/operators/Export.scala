@@ -98,6 +98,10 @@ object Export {
       if (it.hasNext) {
         val base = new org.apache.hadoop.fs.Path(outDir)
         val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // ChecksumFileSystem (file://) would otherwise drop a .crc sidecar
+        // next to every shard — litter a trainer globbing outDir must not
+        // see; no-op on filesystems with internal checksums (HDFS/S3A)
+        fs.setWriteChecksum(false)
         var cur = -1L
         var out: java.io.OutputStream = null
         def closeCurrent(): Unit = if (out != null) {
