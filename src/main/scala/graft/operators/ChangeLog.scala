@@ -42,4 +42,32 @@ object ChangeLog {
       b.unionByName(c), keys.map(col), Seq(col("__v").desc))
     merged.filter(!col("__del")).drop("__v", "__del")
   }
+
+  /** Slowly-changing-dimension Type-2 history from a change stream: each
+    * row becomes a version interval `[effective_from, effective_to)` —
+    * effective_to is the NEXT version's timestamp (null and
+    * `is_current = true` for the latest) — the standard temporal-dimension
+    * build downstream of [[applyChangeLog]]'s latest-wins snapshot when
+    * the full history must stay queryable (as-of joins against it via
+    * plans.AsofMergeJoin).
+    *
+    * `orderBy.head` must be the version timestamp; pass extra tiebreak
+    * columns (a change-log sequence id) when timestamps can collide —
+    * without one, colliding versions order nondeterministically and the
+    * interval bounds are not reproducible.
+    *
+    * Scale posture: ONE keyed exchange + in-partition sort (a single
+    * window pass; lead(1) carries no frame buffer). The output is
+    * partitioned by `keys` — writing it bucketed by the same keys makes
+    * the subsequent as-of join exchange-free.
+    */
+  def scd2(changes: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame = {
+    require(orderBy.nonEmpty, "orderBy must start with the version timestamp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(orderBy: _*)
+    changes
+      .withColumn("effective_from", orderBy.head)
+      .withColumn("effective_to", lead(orderBy.head, 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
 }

@@ -76,6 +76,69 @@ object Graph {
     propagate(nodes, idCol, directed, maxIterations, rounds, requireConvergence)
   }
 
+  /** Fixed-point integer PageRank over a directed link graph — the domain/
+    * page authority score corpus-curation pipelines rank crawl frontiers
+    * and weight sources by (the Common-Crawl-style harmonic/PageRank
+    * ranking slot).
+    *
+    * All arithmetic is integer: ranks start at `scale`, and each iteration
+    * computes `r'(v) = base + damping·(Σ_{u→v} r(u) div outdeg(u)) div
+    * 1000` with `base = (1000 − dampingPerMille)·scale div 1000` — floor
+    * division throughout, so a SQL oracle replays every intermediate
+    * exactly (q145 unrolls the same stages in DuckDB; float PageRank would
+    * hash-diverge on summation order). Parallel edges each carry their own
+    * contribution; dangling-node mass (outdeg 0) is dropped — the simplest
+    * deterministic variant; feed graphs where every node links out (q145's
+    * synthetic graph does) when mass conservation matters.
+    *
+    * Scale posture: outdeg is joined to the edge list ONCE up front and
+    * the (src, dst, outdeg) triple cached; each iteration is one
+    * edges⋈ranks equi-join + one dst-keyed aggregation — both shuffles on
+    * node ids, stable across rounds so AQE coalesces them. Ranks are
+    * localCheckpoint'ed per round (constant-size plan at any iteration
+    * count — same lineage-truncation contract as the CC loop).
+    *
+    * @return (id, rank_fp) — the fixed-point rank after `iterations`
+    *   rounds; rank_fp/scale is the conventional value.
+    */
+  def pageRank(
+      nodes: DataFrame, idCol: Column,
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      iterations: Int = 5,
+      dampingPerMille: Int = 850, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
+    require(scale % 1000 == 0, "scale must be a multiple of 1000 (exact base)")
+    val base = (1000L - dampingPerMille) * scale / 1000L
+    val e = edges.select(srcCol.cast("long").as("__src"),
+      dstCol.cast("long").as("__dst"))
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val contribEdges = e.join(deg, Seq("__src")).persist()
+    var ranks = nodes.select(idCol.cast("long").as("id"))
+      .withColumn("rank_fp", lit(scale))
+    var persisted: DataFrame = null
+    var iter = 0
+    while (iter < iterations) {
+      val inbound = contribEdges
+        .join(ranks.select(col("id").as("__src"), col("rank_fp")), Seq("__src"))
+        .groupBy(col("__dst").as("id"))
+        .agg(sum(expr("rank_fp div __deg")).as("__c"))
+      val updated = ranks.select(col("id"))
+        .join(inbound, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"$dampingPerMille * coalesce(__c, 0L) div 1000"))
+            .as("rank_fp"))
+      val cp = updated.localCheckpoint()
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = cp
+      ranks = cp
+      iter += 1
+    }
+    contribEdges.unpersist(blocking = false)
+    ranks
+  }
+
   /** Driver-side union-find over a bounded, collected edge set. Memory is
     * bounded by the caller's `localEdgeThreshold` (16 bytes of ids per
     * pair + map overhead); the result ships back as ONE broadcast join —

@@ -77,6 +77,59 @@ object QualityRules {
       bulletLineFrac(textCol) <= maxBulletFrac &&
       ellipsisLineFrac(textCol) <= maxEllipsisFrac
 
+  /** Line-level policy phrases C4 drops (Raffel et al. 2020 §2.2: the
+    * "curly bracket / policy" heuristics of the C4 cleaning pass).
+    */
+  val C4PolicyPhrases: Seq[String] =
+    Seq("privacy policy", "cookie policy", "terms of use", "uses cookies")
+
+  /** Page-level kill phrases: any line containing one drops the whole doc. */
+  val C4PageDropPhrases: Seq[String] = Seq("lorem ipsum")
+
+  /** C4-style page cleaning (Raffel et al. 2020, §2.2): keep only lines
+    * that end in terminal punctuation, have >= `minLineWords` words, don't
+    * contain the word "javascript" and no policy phrase; drop the whole
+    * page when any line contains '{' or a page-kill phrase ("lorem
+    * ipsum"), or when fewer than `minKeptLines` lines survive.
+    *
+    * Like the Gopher gate this is ONE narrow compiled projection — array
+    * lambdas over the lines column, no shuffle, scan-speed at any scale.
+    * `linesCol` is any `array<string>`; real corpora pass
+    * `split(text, '\n')` (the synthetic corpus passes token-chunk lines,
+    * q142).
+    *
+    * Output: (id, n_lines_in, n_lines_kept, keep_doc, text_clean) —
+    * text_clean is the kept lines re-joined for surviving docs, '' for
+    * dropped ones.
+    */
+  def c4Clean(df: DataFrame, idCol: Column, linesCol: Column,
+      minLineWords: Int = 5, minKeptLines: Int = 3,
+      policyPhrases: Seq[String] = C4PolicyPhrases,
+      pageDropPhrases: Seq[String] = C4PageDropPhrases): DataFrame = {
+    def lineKeep(l: Column): Column = {
+      val toks = TextFunctions.tokens(l)
+      rtrim(l).rlike("[.!?\"”]$") &&
+        size(toks) >= minLineWords &&
+        !exists(toks, t => lower(t) === "javascript") &&
+        policyPhrases.map(p => !lower(l).contains(p)).reduce(_ && _)
+    }
+    def pageDrop(lines: Column): Column =
+      exists(lines, l =>
+        l.contains("{") ||
+          pageDropPhrases.map(p => lower(l).contains(p)).reduce(_ || _))
+    df.select(idCol.as("id"), linesCol.as("__lines"))
+      .select(col("id"), col("__lines"),
+        filter(col("__lines"), lineKeep _).as("__kept"),
+        pageDrop(col("__lines")).as("__drop"))
+      .select(col("id"),
+        size(col("__lines")).as("n_lines_in"),
+        size(col("__kept")).as("n_lines_kept"),
+        (!col("__drop") && size(col("__kept")) >= minKeptLines)
+          .cast("int").as("keep_doc"),
+        when(!col("__drop") && size(col("__kept")) >= minKeptLines,
+          array_join(col("__kept"), "\n")).otherwise("").as("text_clean"))
+  }
+
   /** All Gopher signals + the combined keep flag, one tokenize pass shape.
     * Output: (id, n_words, mean_word_len, frac_alpha, symbol_ratio,
     * bullet_frac, ellipsis_frac, n_stopwords, keep_doc) — ratios rounded to

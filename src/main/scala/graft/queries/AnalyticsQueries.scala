@@ -230,6 +230,40 @@ object AnalyticsQueries {
         e.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
         k = 5, dim = 64, nCentroids = 8, nprobe = 2, iterations = 1)
         .select(col("query_id"), col("cand_id"), col("rnk"), col("cos"))
+    }),
+
+    // PageRank page authority over a link graph threaded through the REAL
+    // href-extraction path: each doc renders an HTML page whose anchors
+    // encode 1–3 deterministic out-links ((id·31+j) mod N, self-loops
+    // bumped), the engine re-extracts the links from the HTML (the S8
+    // regex-source family), and 5 rounds of integer fixed-point PageRank
+    // run on the recovered edges. The oracle replays the link arithmetic
+    // and the unrolled iterations — one dropped or invented edge in
+    // extraction diverges every downstream rank.
+    "q145_page_authority" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cnt = d.agg(count(lit(1)).cast("long").as("__n"))
+      val pages = d.crossJoin(broadcast(cnt))
+        .select(col("doc_id"),
+          transform(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))),
+            j => {
+              val t0 = pmod(col("doc_id") * 31 + j, col("__n"))
+              when(t0 === col("doc_id"), pmod(t0 + 1, col("__n"))).otherwise(t0)
+            }).as("__targets"))
+        .select(col("doc_id"),
+          concat(lit("<html><body>"),
+            array_join(transform(col("__targets"),
+              t => concat(lit("<a href=\"/page/"), t.cast("string"),
+                lit("\">x</a>"))), ""),
+            lit("</body></html>")).as("__html"))
+      val edges = pages
+        .select(col("doc_id").as("src"),
+          explode(regexp_extract_all(col("__html"),
+            lit("href=\"/page/(\\d+)\""), lit(1))).as("dst_s"))
+        .select(col("src"), col("dst_s").cast("long").as("dst"))
+      graft.operators.Graph.pageRank(d.select(col("doc_id")), col("doc_id"),
+          edges, col("src"), col("dst"), iterations = 5)
+        .withColumnRenamed("id", "doc_id")
     }))
 
   // list_filter drops the [''] that string_split_regex yields on empty
@@ -288,7 +322,27 @@ object AnalyticsQueries {
              len(list_intersect(x.hs, y.hs)) AS inter, len(x.hs) AS na, len(y.hs) AS nb
            FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)"""
 
+  private def pageRankStageSql(k: Int): String =
+    s"""r$k AS (SELECT b.id, 150000 + (850 * COALESCE(s.c, 0)) // 1000 AS r
+         FROM r${k - 1} b LEFT JOIN (
+           SELECT e.dst, SUM(r.r // deg.dg) AS c
+           FROM e JOIN r${k - 1} r ON e.src = r.id
+           JOIN deg ON e.src = deg.src
+           GROUP BY e.dst) s ON b.id = s.dst)"""
+
   val oracles: Map[String, String] = Map(
+    "q145_page_authority" ->
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         e0 AS (SELECT doc_id AS src, u.j, n
+           FROM documents, nn, unnest(range(1, 2 + doc_id % 3)) AS u(j)),
+         e AS (SELECT src, CASE WHEN (src*31 + j) % n = src
+             THEN ((src*31 + j) % n + 1) % n
+             ELSE (src*31 + j) % n END AS dst FROM e0),
+         deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+         r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents),
+         ${(1 to 5).map(pageRankStageSql).mkString(",\n         ")}
+         SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r5""",
+
     "q129_incremental_admission" ->
       // replays the engine's 16x2 banding over the WHOLE corpus, then
       // applies the admission rule: a new doc is rejected when a verified

@@ -223,7 +223,59 @@ object CurationQueries {
         .unionByName(wave(11, "", 3, del = true))
       graft.operators.ChangeLog.applyChangeLog(
         base, changes, Seq("doc_id"), "v", "del")
+    }),
+
+    // Aho–Corasick blocklist gate: ONE automaton pass per doc over a
+    // 12-phrase dictionary (including a substring-of-pattern pair and a
+    // token-boundary-crossing pattern), reporting the sorted distinct hit
+    // set — the C4 badword/URL-blocklist page filter. The oracle replays
+    // each phrase as an independent contains() — certifying the automaton
+    // against the naive N-pass semantics it replaces.
+    "q141_blocklist" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.MultiPatternHits.expr(
+            col("text"), BlocklistPatterns).as("__h"))
+        .select(col("doc_id"), col("lang"),
+          size(col("__h")).as("n_hits"),
+          array_join(col("__h"), "|").as("hits"),
+          (size(col("__h")) === 0).cast("int").as("keep_doc"))
+    }),
+
+    // C4-style page cleaning over deterministically decorated chunk-lines:
+    // 5-token lines, then (doc_id, i)-keyed decorations plant every rule's
+    // trigger — terminal '.' on (id+i)%3, a "javascript" word on (id+i)%7,
+    // a policy phrase on (id+i)%13, and a page-killing '{' on line 0 of
+    // id%17 docs — so the oracle replays the decoration arithmetic and the
+    // engine's general rule evaluation must land on the same pages.
+    "q142_c4_clean" -> ((s, dir) => {
+      val id = col("doc_id")
+      val lines0 = tokenChunkLines(col("text"), 5)
+      val decorated = transform(lines0, (l, i) => {
+        val l0 = when(pmod(id, lit(17)) === 0 && i === lit(0),
+          concat(l, lit(" {"))).otherwise(l)
+        val l1 = when(pmod(id + i, lit(13)) === 0,
+          concat(l0, lit(" privacy policy"))).otherwise(l0)
+        val l2 = when(pmod(id + i, lit(7)) === 0,
+          concat(lit("javascript "), l1)).otherwise(l1)
+        when(pmod(id + i, lit(3)) === 0, concat(l2, lit("."))).otherwise(l2)
+      })
+      graft.operators.QualityRules.c4Clean(
+          docs(s, dir), col("doc_id"), decorated)
+        .withColumnRenamed("id", "doc_id")
     }))
+
+  /** q141's dictionary: multi-word phrases over the synthetic vocabulary,
+    * one single-word pattern that is also a SUBSTRING of another ("scan" ⊂
+    * "table scan" — both must be reported when the longer one occurs) and
+    * one pattern crossing a token boundary mid-word ("atch ba" inside
+    * "batch batch") — the shapes that distinguish a real Aho–Corasick
+    * automaton from a per-token lookup.
+    */
+  private[queries] val BlocklistPatterns: Seq[String] = Seq(
+    "table scan", "hash join", "slow query", "batch batch", "customer value",
+    "merge part", "window sort", "big data", "stream stream", "fast key",
+    "scan", "atch ba")
 
   // ---- DuckDB oracles -----------------------------------------------------
 
@@ -449,5 +501,58 @@ object CurationQueries {
          latest AS (SELECT doc_id, text, del,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn
            FROM all_rows)
-         SELECT doc_id, text FROM latest WHERE rn = 1 AND NOT del""")
+         SELECT doc_id, text FROM latest WHERE rn = 1 AND NOT del""",
+
+    "q141_blocklist" -> {
+      val vals = BlocklistPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats(p) AS (VALUES $vals),
+         h AS (SELECT d.doc_id, pats.p FROM documents d
+           JOIN pats ON contains(d.text, pats.p)),
+         a AS (SELECT doc_id, COUNT(*) AS n,
+             string_agg(p, '|' ORDER BY p) AS hits
+           FROM h GROUP BY doc_id)
+         SELECT d.doc_id, d.lang, CAST(COALESCE(a.n, 0) AS INT) AS n_hits,
+           COALESCE(a.hits, '') AS hits,
+           CAST(CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep_doc
+         FROM documents d LEFT JOIN a USING (doc_id)"""
+    },
+
+    "q142_c4_clean" -> {
+      // one list_transform stage per decoration, mirroring the engine's
+      // nesting order: '{' plant → policy phrase → javascript → '.'
+      val lineToks =
+        "list_filter(string_split_regex(trim(l), '\\s+'), x -> x <> '')"
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         d AS (SELECT doc_id, ${chunkLinesSql(5)} AS ls FROM t),
+         d0 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 AND len(ls) > 0
+             THEN list_concat([ls[1] || ' {'], ls[2:]) ELSE ls END AS ls FROM d),
+         d1 AS (SELECT doc_id, list_transform(range(0, len(ls)), i ->
+             CASE WHEN (doc_id + i) % 13 = 0 THEN ls[i+1] || ' privacy policy'
+               ELSE ls[i+1] END) AS ls FROM d0),
+         d2 AS (SELECT doc_id, list_transform(range(0, len(ls)), i ->
+             CASE WHEN (doc_id + i) % 7 = 0 THEN 'javascript ' || ls[i+1]
+               ELSE ls[i+1] END) AS ls FROM d1),
+         d3 AS (SELECT doc_id, list_transform(range(0, len(ls)), i ->
+             CASE WHEN (doc_id + i) % 3 = 0 THEN ls[i+1] || '.'
+               ELSE ls[i+1] END) AS ls FROM d2),
+         k AS (SELECT doc_id, ls, list_filter(ls, l ->
+             regexp_matches(rtrim(l), '[.!?"”]$$')
+             AND len($lineToks) >= 5
+             AND len(list_filter($lineToks, tk -> lower(tk) = 'javascript')) = 0
+             AND NOT contains(lower(l), 'privacy policy')
+             AND NOT contains(lower(l), 'cookie policy')
+             AND NOT contains(lower(l), 'terms of use')
+             AND NOT contains(lower(l), 'uses cookies')) AS kl FROM d3),
+         pg AS (SELECT doc_id, len(ls) AS n_in, len(kl) AS n_kept, kl,
+             CASE WHEN len(list_filter(ls, l -> contains(l, '{')
+                 OR contains(lower(l), 'lorem ipsum'))) > 0 THEN 0
+               WHEN len(kl) >= 3 THEN 1 ELSE 0 END AS keep_doc
+           FROM k)
+         SELECT doc_id, CAST(n_in AS INT) AS n_lines_in,
+           CAST(n_kept AS INT) AS n_lines_kept,
+           CAST(keep_doc AS INT) AS keep_doc,
+           CASE WHEN keep_doc = 1 THEN array_to_string(kl, chr(10))
+             ELSE '' END AS text_clean
+         FROM pg"""
+    })
 }

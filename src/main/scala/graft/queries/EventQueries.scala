@@ -82,9 +82,33 @@ object EventQueries {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"), max(col("k")).as("max_k"))
+    }),
+
+    // SCD Type-2 history: every event versions its user's event_type
+    // attribute — effective_from = event ts, effective_to = next version's
+    // ts (event_id tiebreak), open interval on the latest.
+    "q143_scd2_history" -> ((s, dir) => {
+      graft.operators.ChangeLog.scd2(
+          t(s, dir).select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type")),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          tstr(col("effective_from")).as("effective_from"),
+          coalesce(tstr(col("effective_to")), lit("")).as("effective_to"),
+          col("is_current").cast("int").as("is_current"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q143_scd2_history" ->
+      """WITH v AS (
+           SELECT user_id, event_id, event_type, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events)
+         SELECT user_id, event_id, event_type,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           COALESCE(STRFTIME(nxt, '%Y-%m-%d %H:%M:%S'), '') AS effective_to,
+           CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+         FROM v""",
     "q15_sessionize" ->
       """WITH x AS (
            SELECT user_id, ts, value,

@@ -270,6 +270,22 @@ object FixtureQueries {
           col("high_value").cast("boolean"))
     }),
 
+    // Columnar-format breadth: ORC sink → scan round-trip (Spark's
+    // built-in ORC datasource — schema-preserving, so no casts on
+    // read-back). DuckDB reads no ORC; the oracle recomputes the same
+    // rows from parquet, so the hash certifies type fidelity through the
+    // whole write+read.
+    "q146_orc_roundtrip" -> ((s, dir) => {
+      val out = fixtureDir(dir, "orc_sink")
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          (col("o_totalprice") > 200000).as("high_value"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
+
     // S5 PPTX: four slide decks written from the documents table (one
     // slide per doc: idx-0 title placeholder + a lower body shape) →
     // binaryFile scan → DocumentCodec.extractPptx on executors → slides
@@ -826,6 +842,11 @@ object FixtureQueries {
          UNION ALL
          SELECT '...[truncated to 100 rows]', NULL, NULL, NULL, NULL""",
     "q85_json_sink_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           (o_totalprice > 200000) AS high_value
+         FROM orders WHERE o_orderkey < 400""",
+    "q146_orc_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
            STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
            (o_totalprice > 200000) AS high_value

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{AsofJoin, Packing, RangeJoin, Sampling, Skew}
+import graft.operators.{AsofJoin, Layout, Packing, RangeJoin, Sampling, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -153,9 +153,41 @@ object ScaleQueries {
         orderBy = Seq(col("doc_id")), tokens = col("n_chars"), budget = 4096L,
         groupCols = Seq(col("lang")))
       Packing.packStats(packed, col("n_chars"), 4096L, Seq(col("lang")))
+    }),
+
+    // Z-order layout assignment: Morton key of (l_orderkey, l_partkey)
+    // folded to 12 bits each, plus the 64-way file bucket the clustered
+    // write would place each row in. The oracle replays the 5-step
+    // shift-or-mask spread ladder integer for integer — certifying the
+    // exact bit interleave the pruning guarantees rest on.
+    "q144_zorder_key" -> ((s, dir) => {
+      val x = pmod(col("l_orderkey"), lit(4096L))
+      val y = pmod(col("l_partkey"), lit(4096L))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          Layout.zOrderKey(x, y).as("zkey"))
+        .withColumn("file_bucket", shiftright(col("zkey"), 18).cast("int"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q144_zorder_key" -> {
+      // the bitSpread ladder as a SQL macro chain
+      def spread(v: String): String = {
+        val steps = Seq(
+          16 -> 281470681808895L, 8 -> 71777214294589695L,
+          4 -> 1085102592571150095L, 2 -> 3689348814741910323L,
+          1 -> 6148914691236517205L)
+        steps.foldLeft(v) { case (acc, (sh, m)) =>
+          s"((($acc) | (($acc) << $sh)) & $m)"
+        }
+      }
+      s"""SELECT l_orderkey, l_partkey, l_linenumber,
+           (${spread("l_orderkey % 4096")} |
+            (${spread("l_partkey % 4096")} << 1)) AS zkey,
+           CAST((${spread("l_orderkey % 4096")} |
+            (${spread("l_partkey % 4096")} << 1)) >> 18 AS INT) AS file_bucket
+         FROM lineitem"""
+    },
     "q62_asof_last_event" ->
       """WITH j AS (
            SELECT a.event_id, b.event_id AS c_id, CAST(b.ts AS TIMESTAMP) AS c_ts,

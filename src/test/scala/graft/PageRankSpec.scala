@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{ChangeLog, Graph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ranks(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iterations: Int): Map[Long, Long] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("src", "dst")
+    Graph.pageRank(n, col("id"), e, col("src"), col("dst"),
+        iterations = iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Driver-side replica of the integer recurrence. */
+  private def refRanks(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iterations: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to iterations).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(v => v -> (150000L + 850L * in.getOrElse(v, 0L) / 1000L)).toMap
+    }
+    r
+  }
+
+  test("matches the integer recurrence on a 4-node cycle with a chord") {
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+    (1 to 3).foreach { it =>
+      assert(ranks(nodes, edges, it) == refRanks(nodes, edges, it),
+        s"iteration $it")
+    }
+  }
+
+  test("star graph: hub collects followers' mass, leaves get only base") {
+    val nodes = (0L to 5L)
+    val edges = (1L to 5L).map(i => (i, 0L))
+    val out = ranks(nodes, edges, 5)
+    assert(out == refRanks(nodes, edges, 5))
+    // every leaf has no inbound: exactly the base rank
+    (1L to 5L).foreach(l => assert(out(l) == 150000L))
+    assert(out(0L) > out(1L))
+  }
+
+  test("parallel edges contribute once per edge; dangling mass leaks") {
+    val nodes = Seq(0L, 1L, 2L)
+    // two parallel 0→1 edges and a dangling node 2 (no out-edges)
+    val edges = Seq((0L, 1L), (0L, 1L), (2L, 1L))
+    val out = ranks(nodes, edges, 1)
+    assert(out == refRanks(nodes, edges, 1))
+    // node 1 receives both halves of 0's rank plus all of 2's
+    assert(out(1L) == 150000L + 850L * (500000L + 500000L + 1000000L) / 1000L)
+  }
+
+  test("invalid parameters rejected") {
+    val n = Seq(1L).toDF("id")
+    val e = Seq((1L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(n, col("id"), e, col("src"), col("dst"), iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(n, col("id"), e, col("src"), col("dst"),
+        dampingPerMille = 1500)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(n, col("id"), e, col("src"), col("dst"), scale = 999L)
+    }
+  }
+
+  test("scd2 builds adjacent intervals with one open current row per key") {
+    val rows = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 15L, "x")).toDF("k", "v", "attr")
+    val out = ChangeLog.scd2(rows, Seq(col("k")), Seq(col("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    val k1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(k1.map(_._3) sameElements Array(Some(20L), Some(30L), None))
+    assert(k1.map(_._4) sameElements Array(false, false, true))
+    val k2 = out.filter(_._1 == 2L)
+    assert(k2.length == 1 && k2(0)._3.isEmpty && k2(0)._4)
+  }
+
+  test("scd2 tiebreak column makes colliding timestamps deterministic") {
+    val rows = Seq((1L, 10L, 100L), (1L, 10L, 101L)).toDF("k", "v", "seq")
+    val out = ChangeLog.scd2(rows, Seq(col("k")), Seq(col("v"), col("seq")))
+      .orderBy(col("seq"))
+      .collect()
+    assert(!out(0).getBoolean(5) && out(1).getBoolean(5))
+  }
+}

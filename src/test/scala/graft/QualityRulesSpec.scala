@@ -95,4 +95,53 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(math.abs(seeded(1L).getDouble(2) -
       math.rint(expected1 * 1e6) / 1e6) < 1e-12)
   }
+
+  private def runC4(rows: Seq[(Long, String)]) =
+    QualityRules.c4Clean(
+        rows.toDF("id", "text"), col("id"), split(col("text"), "\n"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  private val sentence = "the quick brown fox jumps over the lazy dog."
+
+  test("c4Clean: terminal punctuation, word count and sentence floor") {
+    val out = runC4(Seq(
+      1L -> Seq(sentence, sentence, sentence).mkString("\n"),
+      2L -> Seq(sentence, "no terminal punctuation here",
+        sentence, sentence).mkString("\n"),
+      3L -> Seq(sentence, "Too short.", sentence).mkString("\n"),
+      4L -> Seq(sentence, sentence).mkString("\n"))) // only 2 kept lines
+    assert(out(1L).getAs[Int]("keep_doc") == 1)
+    assert(out(1L).getAs[String]("text_clean") ==
+      Seq(sentence, sentence, sentence).mkString("\n"))
+    assert(out(2L).getAs[Int]("n_lines_kept") == 3)
+    assert(out(2L).getAs[Int]("keep_doc") == 1)
+    assert(out(3L).getAs[Int]("n_lines_kept") == 2) // "Too short." < 5 words
+    assert(out(3L).getAs[Int]("keep_doc") == 0)
+    assert(out(4L).getAs[Int]("keep_doc") == 0)
+    assert(out(4L).getAs[String]("text_clean") == "")
+  }
+
+  test("c4Clean: javascript lines and policy phrases dropped; '?' '!' quote endings kept") {
+    val out = runC4(Seq(
+      1L -> Seq("why would the lazy dog ever jump?",
+        "“the fox made the dog jump anyway.”",
+        "what a surprise that was for everyone!",
+        "please enable JavaScript to view the comments.",
+        "see our Privacy Policy and cookie policy for details.").mkString("\n")))
+    assert(out(1L).getAs[Int]("n_lines_in") == 5)
+    assert(out(1L).getAs[Int]("n_lines_kept") == 3)
+    assert(out(1L).getAs[Int]("keep_doc") == 1)
+    assert(!out(1L).getAs[String]("text_clean").toLowerCase.contains("javascript"))
+  }
+
+  test("c4Clean: curly brace or lorem ipsum anywhere kills the page") {
+    val out = runC4(Seq(
+      1L -> Seq(sentence, sentence, sentence, "function() { return 1; }")
+        .mkString("\n"),
+      2L -> Seq(sentence, sentence, sentence,
+        "standard Lorem Ipsum passage used since the 1500s.").mkString("\n")))
+    assert(out(1L).getAs[Int]("keep_doc") == 0)
+    assert(out(1L).getAs[Int]("n_lines_kept") == 3) // lines kept, page dropped
+    assert(out(2L).getAs[Int]("keep_doc") == 0)
+  }
 }
