@@ -543,6 +543,37 @@ object Stress {
     } finally rmrf(dir)
   }
 
+  /** Aho–Corasick blocklist gate: the claim under receipt is that match
+    * cost is FLAT in dictionary size (one automaton pass per doc) while
+    * the naive per-pattern contains() chain scales linearly — so a 10k
+    * badword list costs ~the same as 100 through the automaton, and the
+    * naive plan is only run at 100 (at 10k it would re-scan the corpus
+    * 10,000×). Patterns are drawn from the docs' own token space so real
+    * hits occur.
+    */
+  private def blocklistReceipts(
+      spark: org.apache.spark.sql.SparkSession,
+      texts: org.apache.spark.sql.DataFrame, t: Long): Unit = {
+    def blockPats(k: Int): Seq[String] =
+      (0 until k).map(i =>
+        s"w${i % 997} w${(i / 997 * 31 + i * 7 + 13) % 997}").distinct
+    time(s"ac_blocklist_${t / 1000000}M_x100") {
+      texts.select(graft.functions.MultiPatternHits
+          .expr(col("text"), blockPats(100)).as("h"))
+        .agg(sum(size(col("h")))).collect()
+    }
+    time(s"ac_blocklist_${t / 1000000}M_x10k") {
+      texts.select(graft.functions.MultiPatternHits
+          .expr(col("text"), blockPats(10000)).as("h"))
+        .agg(sum(size(col("h")))).collect()
+    }
+    time(s"naive_contains_${t / 1000000}M_x100") {
+      texts.select(blockPats(100)
+          .map(p => col("text").contains(p).cast("long")).reduce(_ + _).as("c"))
+        .agg(sum(col("c"))).collect()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -585,6 +616,21 @@ object Stress {
 
     if (section == "streamdedup") {
       streamingDedupReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "blocklist") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_bl").toString
+      try {
+        val t = math.max(n / 10, 1000000L)
+        spark.range(0, t, 1, 32).select(col("id"),
+            array_join(transform(sequence(lit(0), lit(39)),
+              j => concat(lit("w"), pmod(col("id") * (j + 7L), lit(997)))), " ")
+              .as("text"))
+          .write.mode("overwrite").parquet(dir)
+        blocklistReceipts(spark, spark.read.parquet(dir), t)
+      } finally rmrf(dir)
       spark.stop()
       return
     }
@@ -656,6 +702,8 @@ object Stress {
       texts.select(graft.functions.RepetitionStats.expr(col("text"), 2, 3).as("r"))
         .agg(sum(col("r.top_frac")), sum(col("r.dup_frac"))).collect()
     }
+
+    blocklistReceipts(spark, texts, t)
 
     val m = math.max(n / 10, 1000000L)
     val vecs = spark.range(0, m, 1, 32).select(col("id").as("vec_id"),

@@ -403,6 +403,76 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Audio near-dup fingerprint from REAL decoded PCM — the audio leg of
+    * the modality near-dup matrix (text MinHash/SimHash, image/video
+    * dHash, audio THIS): per-frame energy (exact integer Σs² over
+    * `frameSamples`-sample windows, tail partial frame dropped), then a
+    * 64-bit signature with bit f set iff energy(f+1) > energy(f) — the
+    * energy-contour sign profile, robust to uniform gain the way dHash is
+    * to brightness. Feed `fp` to `Dedup.hammingNearDupPairs` for banded
+    * audio near-dup exactly like the image path.
+    *
+    * All-integer arithmetic (q148's oracle replays the energies sample
+    * for sample). Undecodable/short (< 2 frames) payloads keep their row
+    * with null fields.
+    *
+    * Output: (media_id, n_frames, fp).
+    */
+  def audioFingerprint(media: DataFrame, frameSamples: Int = 256): DataFrame = {
+    require(frameSamples >= 1, "frameSamples must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("fp", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16) Row(id, null, null)
+            else {
+              val bytes = ais.readAllBytes()
+              val buf = java.nio.ByteBuffer.wrap(bytes).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              val nSamples = buf.remaining() / 2
+              val nFrames = nSamples / frameSamples
+              if (nFrames < 2) Row(id, null, null)
+              else {
+                val energies = new Array[Long](nFrames)
+                var f = 0
+                while (f < nFrames) {
+                  var e = 0L
+                  var i = 0
+                  while (i < frameSamples) {
+                    val s = buf.getShort.toLong
+                    e += s * s
+                    i += 1
+                  }
+                  energies(f) = e
+                  f += 1
+                }
+                var fp = 0L
+                var b = 0
+                val bits = math.min(nFrames - 1, 64)
+                while (b < bits) {
+                  if (energies(b + 1) > energies(b)) fp |= 1L << b
+                  b += 1
+                }
+                Row(id, nFrames, fp)
+              }
+            }
+          } catch {
+            case _: Exception => Row(id, null, null)
+          }
+        }
+      }(encoder)
+  }
+
   // ---- MP3 frame-header metadata (compressed-audio seam, shrunk) ----------
 
   /** Bitrate tables, kbps, indexed 1..14 (0 = free, 15 = bad) — ISO 11172-3

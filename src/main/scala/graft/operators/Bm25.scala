@@ -97,4 +97,47 @@ object Bm25 {
         Seq(col("score_fp").desc, col("doc_id").asc), k, rankCol = Some("rnk"))
       .select(col("query_id"), col("doc_id"), col("rnk"), col("score_fp"))
   }
+
+  /** Exact phrase retrieval over a POSITIONAL inverted index — the "quoted
+    * query" complement to [[topK]]'s bag-of-words scoring.
+    *
+    * The classic one-join adjacency trick: a phrase t₀…t_{k−1} occurs at
+    * start p iff term tᵢ has a posting at p+i for every offset i, so every
+    * (posting ⋈ phrase-term) pair votes for start = pos − offset, and a
+    * start with exactly k distinct offset votes is a full occurrence (for
+    * a fixed start each offset can vote at most once — pos is pinned to
+    * start+offset — so the count is exact even when the phrase repeats a
+    * term, e.g. "batch batch").
+    *
+    * Scale posture: postings are semi-restricted to the phrase vocabulary
+    * by broadcast BEFORE leaving the scan, so the one corpus-wide exchange
+    * carries phrase-term postings only, keyed (phrase, doc, start); phrase
+    * terms and lengths ride as broadcasts. No index materialization step —
+    * at 100 TB, persist the restricted postings frame bucketed by term to
+    * amortize across query batches.
+    *
+    * @return (phrase_id, doc_id, n_matches, first_pos) — matched docs only.
+    */
+  def phraseSearch(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      phrases: DataFrame, pidCol: Column, ptextCol: Column): DataFrame = {
+    val pterms = phrases.select(pidCol.as("phrase_id"),
+      posexplode(TextFunctions.tokens(ptextCol)).as(Seq("off", "term")))
+    val plen = pterms.groupBy(col("phrase_id")).agg(count(lit(1)).as("__k"))
+    val termSet = pterms.select(col("term")).distinct()
+    val postings = docs
+      .select(idCol.as("doc_id"),
+        posexplode(TextFunctions.tokens(textCol)).as(Seq("pos", "term")))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+    val starts = postings.join(broadcast(pterms), Seq("term"))
+      .select(col("phrase_id"), col("doc_id"), (col("pos") - col("off")).as("start"))
+      .filter(col("start") >= 0)
+    starts
+      .groupBy(col("phrase_id"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("__hit"))
+      .join(broadcast(plen), Seq("phrase_id"))
+      .filter(col("__hit") === col("__k"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+  }
 }

@@ -126,4 +126,35 @@ object Export {
       }
     }
   }
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetBytes` each. The small-files problem is the classic
+    * failure mode of incremental ingestion at scale — a 100 TB table
+    * accreted in 10k-row micro-batches ends up as millions of KB-sized
+    * files, and every downstream scan pays a task + open + footer-read
+    * per file. Compaction here is ZERO-shuffle: the file count is
+    * computed from the directory's actual on-disk bytes and the rewrite
+    * uses `coalesce` (partition merge, no exchange), so the cost is one
+    * read+write pass.
+    *
+    * Writes to `outDir` (caller swaps directories atomically at the
+    * catalog/manifest layer — an in-place rewrite that crashes mid-way
+    * would lose data). Returns the output file count.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recursive byte count: partition-directory layouts keep their data
+    // files in subdirectories, where a flat listing would see 0 bytes and
+    // collapse everything onto one task; markers (_SUCCESS) are 0 bytes
+    // and checksum sidecars rounding-error-sized, so the estimate stands
+    val totalBytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }

@@ -263,6 +263,20 @@ object CurationQueries {
       graft.operators.QualityRules.c4Clean(
           docs(s, dir), col("doc_id"), decorated)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Positional-index phrase search: three quoted queries (including a
+    // repeated-term phrase, the adjacency-count edge case) resolved via
+    // the one-join start-voting plan; the oracle replays postings and
+    // votes position for position.
+    "q147_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      val phrases = Seq(
+        (1, "table scan merge"),
+        (2, "batch batch"),
+        (3, "customer value filter")).toDF("pid", "ptext")
+      Bm25.phraseSearch(docs(s, dir), col("doc_id"), col("text"),
+        phrases, col("pid"), col("ptext"))
     }))
 
   /** q141's dictionary: multi-word phrases over the synthetic vocabulary,
@@ -502,6 +516,25 @@ object CurationQueries {
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn
            FROM all_rows)
          SELECT doc_id, text FROM latest WHERE rn = 1 AND NOT del""",
+
+    "q147_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         p(phrase_id, term, off) AS (VALUES
+           (1, 'table', 0), (1, 'scan', 1), (1, 'merge', 2),
+           (2, 'batch', 0), (2, 'batch', 1),
+           (3, 'customer', 0), (3, 'value', 1), (3, 'filter', 2)),
+         k AS (SELECT phrase_id, COUNT(*) AS k FROM p GROUP BY 1),
+         pos AS (SELECT doc_id, u.i AS pos, toks[u.i + 1] AS term
+           FROM t, unnest(range(0, len(toks))) AS u(i)),
+         s AS (SELECT p.phrase_id, pos.doc_id, pos.pos - p.off AS start
+           FROM pos JOIN p USING (term) WHERE pos.pos - p.off >= 0),
+         m AS (SELECT phrase_id, doc_id, start, COUNT(*) AS hit
+           FROM s GROUP BY 1, 2, 3),
+         f AS (SELECT m.phrase_id, m.doc_id, m.start
+           FROM m JOIN k USING (phrase_id) WHERE m.hit = k.k)
+         SELECT phrase_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(start) AS INT) AS first_pos
+         FROM f GROUP BY 1, 2""",
 
     "q141_blocklist" -> {
       val vals = BlocklistPatterns.map(p => s"('$p')").mkString(", ")

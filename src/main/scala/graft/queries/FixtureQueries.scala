@@ -421,6 +421,25 @@ object FixtureQueries {
           col("n_channels"), col("n_samples"), col("sum_sq"), col("peak"))
     }),
 
+    // Audio near-dup fingerprint over REAL decoded PCM: per-256-sample
+    // frame energies → sign-of-delta bit signature, plus the equal-fp
+    // group size (the exact-dedup key usage). The oracle replays every
+    // energy sample for sample from the sawtooth formula — the hash only
+    // matches if the actual PCM frames were decoded and folded in order.
+    "q148_audio_fingerprint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val params = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id"),
+          (lit(1000) + pmod(col("doc_id"), lit(2000))).cast("int").as("n"),
+          (lit(3) + pmod(col("doc_id"), lit(7))).cast("int").as("k"))
+      Multimodal.audioFingerprint(
+          Multimodal.encodeWavs(params)
+            .select(col("id").as("media_id"), col("payload")), 256)
+        .select(col("media_id").as("doc_id"), col("n_frames"), col("fp"),
+          count(lit(1)).over(Window.partitionBy(col("fp"))).as("n_same_fp"))
+    }),
+
     // REAL MP4 container-metadata decode: minimal ISO BMFF fixtures built
     // on executors, walked back box-by-box (mvhd timescale/duration, tkhd
     // 16.16 dims). duration_ms is exact integer math, so the oracle
@@ -880,6 +899,26 @@ object FixtureQueries {
            CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
            CAST(MAX(ABS(smp)) AS INT) AS peak
          FROM s GROUP BY doc_id""",
+    "q148_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, 1000 + doc_id % 2000 AS n,
+             3 + doc_id % 7 AS k
+           FROM documents WHERE doc_id < 150),
+         sm AS (SELECT doc_id, n // 256 AS n_frames, u.i // 256 AS f,
+             ((u.i * k * 37) % 65536) - 32768 AS smp
+           FROM d, unnest(range(0, (n // 256) * 256)) AS u(i)),
+         en AS (SELECT doc_id, n_frames, f, SUM(smp * smp) AS e
+           FROM sm GROUP BY 1, 2, 3),
+         bits AS (SELECT a.doc_id, a.n_frames,
+             CASE WHEN nx.e > a.e
+               THEN CAST(1 AS BIGINT) << CAST(a.f AS INT)
+               ELSE 0 END AS bit
+           FROM en a JOIN en nx
+             ON a.doc_id = nx.doc_id AND nx.f = a.f + 1
+           WHERE a.f < 64)
+         SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+           CAST(SUM(bit) AS BIGINT) AS fp,
+           CAST(COUNT(*) OVER (PARTITION BY SUM(bit)) AS BIGINT) AS n_same_fp
+         FROM bits GROUP BY doc_id, n_frames""",
     "q99_video_meta" ->
       """SELECT doc_id,
            (10000 + (doc_id * 17) % 90000) * 1000

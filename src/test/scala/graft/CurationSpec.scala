@@ -131,6 +131,27 @@ class CurationSpec extends AnyFunSuite {
     assert(contrib(2, 3) > contrib(1, 2)) // higher tf ranks first here
   }
 
+  test("phraseSearch: adjacency, overlaps and repeated-term phrases") {
+    val docs = Seq(
+      (1L, "a table scan merge runs a table scan merge again"),
+      (2L, "table scan but not the phrase merge"),
+      (3L, "batch batch batch"),     // overlapping starts 0 and 1
+      (4L, "batch and then batch"),  // non-adjacent: no match
+      (5L, "")).toDF("doc_id", "text")
+    val phrases = Seq((1, "table scan merge"), (2, "batch batch"))
+      .toDF("pid", "ptext")
+    val out = Bm25.phraseSearch(docs, col("doc_id"), col("text"),
+        phrases, col("pid"), col("ptext"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(out((1, 1L)) == ((2L, 1)))   // starts at token 1 and 7
+    assert(!out.contains((1, 2L)))      // partial phrase is no match
+    assert(out((2, 3L)) == ((2L, 0)))   // overlapping occurrences both count
+    assert(!out.contains((2, 4L)))      // gap breaks adjacency
+    assert(out.keys.forall(_._2 != 5L))
+  }
+
   test("Bm25 multi-term scores sum per-term contributions and rank by them") {
     val docs = Seq(
       (1L, "red blue red"),

@@ -127,4 +127,37 @@ class ExportShardsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(got == expect)
   }
+
+  test("compactParquet: many tiny files merge to the byte-targeted count, rows intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    try {
+      // 64 tiny files of ~few KB each
+      spark.range(0, 6400).select(col("id"), (col("id") * 7).as("v"))
+        .repartition(64)
+        .write.parquet(in)
+      val fs = new org.apache.hadoop.fs.Path(in)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def parquetFiles(dir: String) =
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val inFiles = parquetFiles(in)
+      assert(inFiles.length == 64)
+      val totalBytes = inFiles.map(_.getLen).sum
+      val n = Export.compactParquet(spark, in, out, targetBytes = totalBytes / 4)
+      assert(n == 4 || n == 5) // ceil division of the measured bytes
+      assert(parquetFiles(out).length == n)
+      // content preserved exactly
+      val a = spark.read.parquet(in).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b && a.size == 6400)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }

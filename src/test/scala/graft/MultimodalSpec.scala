@@ -271,6 +271,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L).isNullAt(1) && got(2L).isNullAt(4))
   }
 
+  test("audioFingerprint: energy-contour bits, gain invariance, short/garbage nulls") {
+    // hand-built 16-bit mono WAV with CONTROLLED per-frame energies:
+    // frame f (4 samples) holds constant amplitude amp(f)
+    def wav(amps: Seq[Short]): Array[Byte] = {
+      val data = java.nio.ByteBuffer.allocate(amps.length * 4 * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      amps.foreach(a => (1 to 4).foreach(_ => data.putShort(a)))
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data.array()), fmt, amps.length * 4L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val contour = Seq[Short](100, 200, 150, 400, 400) // up, down, up, flat
+    val doubled = contour.map(a => (a * 2).toShort)   // uniform gain
+    val rows = Seq(
+      (1L, wav(contour)), (2L, wav(doubled)),
+      (3L, wav(Seq(5))),                    // 1 frame -> null
+      (4L, "not audio".getBytes)).toDF("media_id", "payload")
+    val got = Multimodal.audioFingerprint(rows, frameSamples = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // bits: f0->f1 up (1), f1->f2 down (0), f2->f3 up (1), f3->f4 flat (0)
+    assert(got(1L).getInt(1) == 5 && got(1L).getLong(2) == 5L) // 0b0101
+    // uniform gain scales every energy by 4: identical contour signature
+    assert(got(2L).getLong(2) == got(1L).getLong(2))
+    assert(got(3L).isNullAt(1) && got(4L).isNullAt(2))
+  }
+
+  test("audioFingerprint feeds hammingNearDupPairs like the image dHash path") {
+    // three sawtooth streams: 1 and 2 share k (identical PCM), 3 differs
+    val wavs = Multimodal.encodeWavs(
+        Seq((1L, 2048, 3), (2L, 2048, 3), (3L, 2048, 5)).toDF("id", "n", "k"))
+      .select(col("id").as("media_id"), col("payload"))
+    val fp = Multimodal.audioFingerprint(wavs, 256)
+      .select(col("media_id").as("id"), col("fp").as("sig"))
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(
+        fp, col("id"), col("sig"), maxDist = 3, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("decodeVideoMeta: MP4 box walk — mvhd duration, tkhd dims, garbage nulls") {
     val params = Seq((1L, 600, 90000L, 1920, 1080)).toDF("id", "timescale", "dur_units", "w", "h")
     val mp4 = Multimodal.encodeMp4s(params)
