@@ -52,7 +52,13 @@ object PlanDump {
       "q134_curation_pipeline" -> "end-to-end curation: every stage boundary a narrow filter or broadcast join (robots rules broadcast, Gopher keepFlag inline, lang rides the line-removal carry); only stage-owned exchanges remain (fixture groupBy, quota window, line-freq agg + regroup, LSH band join, final mixture agg)",
       "q135_substring_spans64" -> "64-bit substring spans: same single-shuffled gram-index shape as q106, hashes FNV-1a instead of poly31",
       "q136_quality_classifier" -> "hashed linear classifier: ONE narrow codegen projection (integer weight fold per row), no explode, no shuffle",
-      "q137_training_shards" -> "shard export assignments: narrow hash projection + one per-shard row_number sort - the global-shuffle floor")
+      "q137_training_shards" -> "shard export assignments: narrow hash projection + one per-shard row_number sort - the global-shuffle floor",
+      "q141_blocklist" -> "Aho-Corasick blocklist: ONE compiled automaton projection (RefKernelCodegen), no explode, zero exchanges at any dictionary size",
+      "q142_c4_clean" -> "C4 cleaning: array-lambda line rules + page kills as one narrow projection, zero exchanges",
+      "q144_zorder_key" -> "Z-order keys: shift/mask ladder as a pure codegen projection over the scan, zero exchanges",
+      "q145_page_authority" -> "PageRank: href re-extraction narrow; per-round edges-ranks equi-join + dst-keyed agg, ranks checkpointed (constant-size plan); outdeg joined ONCE upfront",
+      "q147_phrase_search" -> "phrase search: postings semi-restricted to phrase vocabulary by broadcast BEFORE the corpus exchange; start-voting agg keyed (phrase,doc,start); phrase lengths broadcast",
+      "q148_audio_fingerprint" -> "audio fingerprint: mapPartitions WAV encode + PCM energy-contour fold, zero shuffles until the fp group count")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>
