@@ -620,6 +620,37 @@ object Stress {
       return
     }
 
+    if (section == "frequency") {
+      // half the stream: 1000 hot items; other half: all-distinct tail.
+      // T = n/10k → exactly the hot items qualify; the tail (the part a
+      // full groupBy shuffles) never leaves its partition under the
+      // pigeonhole prefilter.
+      val half = n / 2
+      val hot = spark.range(0, half, 1, 16)
+        .select(concat(lit("hot_"), pmod(col("id"), lit(1000))).as("item"))
+      val tail = spark.range(0, half, 1, 16)
+        .select(concat(lit("tail_"), col("id")).as("item"))
+      val stream = hot.unionByName(tail)
+      val t = n / 10000
+      time(s"freq_sketch_${n / 1000000}M_T$t") {
+        val (cnt, sb) = shuffleBytes(spark.sparkContext) {
+          graft.operators.Frequency.frequentItems(stream, col("item"), t).count()
+        }
+        require(cnt == 1000, s"expected 1000 heavy hitters, got $cnt")
+        println(f"[stress]   freq_sketch shuffle bytes: ${sb / 1e6}%.1f MB")
+      }
+      time(s"freq_groupby_${n / 1000000}M_T$t") {
+        val (cnt, sb) = shuffleBytes(spark.sparkContext) {
+          stream.groupBy(col("item")).agg(count(lit(1)).as("n"))
+            .filter(col("n") >= t).count()
+        }
+        require(cnt == 1000, s"expected 1000 heavy hitters, got $cnt")
+        println(f"[stress]   freq_groupby shuffle bytes: ${sb / 1e6}%.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
     if (section == "blocklist") {
       val dir = java.nio.file.Files.createTempDirectory("graft_stress_bl").toString
       try {

@@ -45,7 +45,12 @@ case class MultiPatternHits(child: Expression, patterns: Seq[String])
   @transient private lazy val sortedPatterns: Array[String] =
     patterns.distinct.sorted.toArray
 
-  @transient private lazy val automaton = MultiPatternHits.build(sortedPatterns)
+  // JVM-wide cache, not a plain lazy val: every task deserializes its own
+  // expression instance, so an instance-local automaton would be rebuilt
+  // per task — material for the large dictionaries this operator exists
+  // for (10k patterns × 10k tasks = 10⁸ trie builds without the cache)
+  @transient private lazy val automaton =
+    MultiPatternHits.cachedBuild(sortedPatterns)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
@@ -199,11 +204,30 @@ object MultiPatternHits {
       outHead, outPattern.toArray, outNext.toArray)
   }
 
-  /** Column bridge; the registry name carries a content hash of the
-    * dictionary so two different blocklists register as two functions.
+  /** Process-wide automaton cache keyed by the exact dictionary. Bounded
+    * by the number of DISTINCT dictionaries a JVM ever sees (a handful in
+    * any real pipeline); entries are automata over those dictionaries —
+    * already resident per-task without the cache, so peak memory only
+    * improves.
+    */
+  private val automatonCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Automaton]()
+
+  private[functions] def cachedBuild(sortedPatterns: Array[String]): Automaton =
+    automatonCache.computeIfAbsent(
+      sortedPatterns.toIndexedSeq, _ => build(sortedPatterns))
+
+  /** Column bridge; the registry name carries a 64-bit content digest of
+    * the dictionary (SHA-256 prefix over NUL-joined patterns — a 32-bit
+    * Seq.hashCode collides by pigeonhole across enough dictionaries, and
+    * createOrReplaceTempFunction last-wins would silently bind an earlier
+    * Column to the WRONG automaton).
     */
   def expr(c: Column, patterns: Seq[String]): Column = {
-    val name = s"graft_multi_hits_${(patterns.hashCode.toLong & 0xFFFFFFFFL).toHexString}"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(patterns.mkString("\u0000").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val name = s"graft_multi_hits_$digest"
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach {
       _.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, exprs => MultiPatternHits(exprs.head, patterns), "built-in")

@@ -97,7 +97,12 @@ object Export {
     arranged.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val base = new org.apache.hadoop.fs.Path(outDir)
-        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // a PRIVATE FileSystem instance (newInstance, not the JVM-cached
+        // get): setWriteChecksum on the cached singleton would disable
+        // .crc sidecars for EVERY later file:// write in this executor —
+        // a global side effect smuggled out of a per-partition helper
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+          base.toUri, new org.apache.hadoop.conf.Configuration())
         // ChecksumFileSystem (file://) would otherwise drop a .crc sidecar
         // next to every shard — litter a trainer globbing outDir must not
         // see; no-op on filesystems with internal checksums (HDFS/S3A)
@@ -122,39 +127,60 @@ object Export {
               r.getString(r.fieldIndex("__name")),
               r.getAs[Array[Byte]](r.fieldIndex("__payload"))))
           }
-        } finally closeCurrent()
+        } finally {
+          try closeCurrent() finally fs.close()
+        }
       }
     }
   }
 
-  /** Small-file compaction: rewrite a parquet directory into files of
-    * roughly `targetBytes` each. The small-files problem is the classic
-    * failure mode of incremental ingestion at scale — a 100 TB table
-    * accreted in 10k-row micro-batches ends up as millions of KB-sized
-    * files, and every downstream scan pays a task + open + footer-read
-    * per file. Compaction here is ZERO-shuffle: the file count is
-    * computed from the directory's actual on-disk bytes and the rewrite
-    * uses `coalesce` (partition merge, no exchange), so the cost is one
-    * read+write pass.
+  /** Small-file compaction: rewrite a FLAT parquet directory into files
+    * of roughly `targetBytes` each. The small-files problem is the
+    * classic failure mode of incremental ingestion at scale — a 100 TB
+    * table accreted in 10k-row micro-batches ends up as millions of
+    * KB-sized files, and every downstream scan pays a task + open +
+    * footer-read per file. Compaction here is ZERO-shuffle: the scan is
+    * split at `targetBytes` (maxPartitionBytes, restored afterwards) so
+    * the partition count is never BELOW the target file count — coalesce
+    * can only merge, not split — and the rewrite uses `coalesce`
+    * (partition merge, no exchange), so the cost is one read+write pass.
+    *
+    * Hive-partitioned layouts are rejected: a flat rewrite would demote
+    * the partition columns to data columns and break directory-level
+    * pruning — compact each leaf partition directory individually.
     *
     * Writes to `outDir` (caller swaps directories atomically at the
     * catalog/manifest layer — an in-place rewrite that crashes mid-way
-    * would lose data). Returns the output file count.
+    * would lose data). Returns the ACTUAL output file count (measured,
+    * not estimated).
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
       inDir: String, outDir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recursive byte count: partition-directory layouts keep their data
-    // files in subdirectories, where a flat listing would see 0 bytes and
-    // collapse everything onto one task; markers (_SUCCESS) are 0 bytes
-    // and checksum sidecars rounding-error-sized, so the estimate stands
+    require(!fs.listStatus(path).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
+      s"$inDir is hive-partitioned; compact each leaf directory " +
+        "individually (a flat rewrite would drop the partitioning)")
     val totalBytes = fs.getContentSummary(path).getLength
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inDir)
-      .coalesce(nFiles)
-      .write.mode("overwrite").parquet(outDir)
-    nFiles
+    // capped at the input file count: compaction MERGES, never splits — a
+    // target below the current average file size would otherwise ask for
+    // more outputs than inputs, and byte-range splitting cannot divide a
+    // parquet file below its row groups (empty part-files as litter)
+    val inputFiles = fs.listStatus(path)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val nFiles = math.min(math.max(1, inputFiles),
+      math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt))
+    val conf = spark.conf
+    val savedSplit = conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      spark.read.parquet(inDir)
+        .coalesce(nFiles)
+        .write.mode("overwrite").parquet(outDir)
+    } finally conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 }

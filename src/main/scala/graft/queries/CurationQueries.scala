@@ -277,6 +277,17 @@ object CurationQueries {
         (3, "customer value filter")).toDF("pid", "ptext")
       Bm25.phraseSearch(docs(s, dir), col("doc_id"), col("text"),
         phrases, col("pid"), col("ptext"))
+    }),
+
+    // Exact heavy hitters via the pigeonhole-prefilter + recount plan:
+    // tokens with >= 200 corpus-wide occurrences, without shuffling the
+    // long tail. The oracle is the PLAIN group-by-having — the sketch
+    // must only prune, never decide.
+    "q149_heavy_hitters" -> ((s, dir) => {
+      graft.operators.Frequency.frequentItems(
+        docs(s, dir).select(
+          explode(TextFunctions.tokens(col("text"))).as("tok")),
+        col("tok"), minCount = 200L)
     }))
 
   /** q141's dictionary: multi-word phrases over the synthetic vocabulary,
@@ -516,6 +527,11 @@ object CurationQueries {
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn
            FROM all_rows)
          SELECT doc_id, text FROM latest WHERE rn = 1 AND NOT del""",
+
+    "q149_heavy_hitters" ->
+      s"""SELECT t.item, COUNT(*) AS n
+         FROM (SELECT unnest($toksSql) AS item FROM documents) t
+         GROUP BY t.item HAVING COUNT(*) >= 200""",
 
     "q147_phrase_search" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

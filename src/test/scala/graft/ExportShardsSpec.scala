@@ -152,6 +152,19 @@ class ExportShardsSpec extends AnyFunSuite {
       val a = spark.read.parquet(in).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val b = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(a == b && a.size == 6400)
+      // a target below the smallest file never SPLITS (no empty litter):
+      // output file count caps at the input file count
+      val out2 = s"$base/out2"
+      val n2 = Export.compactParquet(spark, in, out2, targetBytes = 1L)
+      assert(n2 == 64 && parquetFiles(out2).length == 64)
+      assert(parquetFiles(out2).forall(_.getLen > 0))
+      // hive-partitioned layouts are rejected, not silently flattened
+      val pin = s"$base/pin"
+      spark.range(0, 100).select(col("id"), (col("id") % 2).as("p"))
+        .write.partitionBy("p").parquet(pin)
+      intercept[IllegalArgumentException] {
+        Export.compactParquet(spark, pin, s"$base/pout", 1000000L)
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
