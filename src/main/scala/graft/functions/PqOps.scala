@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
+
+/** Product-quantization kernels (Jégou et al. 2011, "Product Quantization
+  * for Nearest Neighbor Search") in MILLI-QUANTIZED integer arithmetic so
+  * encoding and ADC scoring are bit-portable to a SQL oracle (q150):
+  * every float coordinate maps to floor(v·1000 + 0.5) once, and all
+  * distances are exact BIGINT sums of squared integer differences —
+  * argmin ties break to the LOWEST centroid index, deterministically on
+  * both engines.
+  *
+  * Codebooks ride the plan as literal constructor state (m × ks × subDim
+  * longs — a few KB), never serialized per row.
+  */
+object PqOps {
+  def quantize(v: Double): Long = math.floor(v * 1000.0 + 0.5).toLong
+
+  /** 64-bit content digest for registry names (the MultiPatternHits
+    * lesson: 32-bit hashCode last-wins collisions bind wrong state).
+    */
+  def codebookDigest(codebooks: Seq[Seq[Seq[Long]]]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(codebooks.flatten.flatten.mkString(",").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** Squared L2 distance between a quantized subvector of `x` starting at
+    * `off` and codebook entry `cb` — fixed left-to-right fold (irrelevant
+    * to the value in integer math, but mirrored by the oracle anyway).
+    */
+  def subDist(x: Array[Long], off: Int, cb: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < cb.length) {
+      val diff = x(off + i) - cb(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  def quantizeVec(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = quantize(arr.getFloat(i).toDouble); i += 1 }
+    q
+  }
+}
+
+/** PQ encoding: `array<float>` vector → `array<int>` of m centroid codes,
+  * code_j = argmin_c subDist(x_j, codebook[j][c]) with ties to lowest c.
+  * One compiled pass per row; the corpus side of a PQ index materializes
+  * THESE m bytes-ish per vector instead of the full float vector.
+  */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression with RefKernelCodegen {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be m non-empty subspace tables")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val subDim = cb(0)(0).length
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = cb.length
+    if (arr.numElements() != m * subDim) return null
+    val x = PqOps.quantizeVec(arr)
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val table = cb(j)
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < table.length) {
+        val d = PqOps.subDist(x, j * subDim, table(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes.map(Int.box))
+  }
+}
+
+object PqEncode {
+  /** Column bridge; registry name carries a digest of the codebook. */
+  def expr(c: org.apache.spark.sql.Column, codebooks: Seq[Seq[Seq[Long]]]): org.apache.spark.sql.Column = {
+    val name = s"graft_pq_encode_${PqOps.codebookDigest(codebooks)}"
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).foreach {
+        _.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, exprs => PqEncode(exprs.head, codebooks), "built-in")
+      }
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+}
+
+/** ADC (asymmetric distance computation): exact quantized distance from a
+  * raw query vector (`array<float>`, left) to a PQ-encoded candidate
+  * (`array<int>` codes, right): Σ_j subDist(q_j, codebook[j][code_j]).
+  * Returns BIGINT; null when either side is null or mis-shaped.
+  */
+case class PqAdcDist(left: Expression, right: Expression,
+    codebooks: Seq[Seq[Seq[Long]]]) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_dist"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDist =
+    copy(left = newLeft, right = newRight)
+
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val subDim = cb(0)(0).length
+
+  /** Public bridge for generated code (mirrors RefKernelCodegen). */
+  final def kernelEval(q: Any, codes: Any): Any = nullSafeEval(q, codes)
+
+  override def nullSafeEval(q: Any, codes: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val ca = codes.asInstanceOf[ArrayData]
+    val m = cb.length
+    if (qa.numElements() != m * subDim || ca.numElements() != m) return null
+    val x = PqOps.quantizeVec(qa)
+    var dist = 0L
+    var j = 0
+    while (j < m) {
+      val code = ca.getInt(j)
+      if (code < 0 || code >= cb(j).length) return null
+      dist += PqOps.subDist(x, j * subDim, cb(j)(code))
+      j += 1
+    }
+    dist
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcDist].getName)
+      val tmp = ctx.freshName("adcRes")
+      s"""
+         |Object $tmp = $ref.kernelEval($l, $r);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Long) $tmp).longValue();
+         |}
+       """.stripMargin
+    })
+}
+
+object PqAdcDist {
+  /** Column bridge; registry name carries a digest of the codebook. */
+  def expr(qv: org.apache.spark.sql.Column, codes: org.apache.spark.sql.Column,
+      codebooks: Seq[Seq[Seq[Long]]]): org.apache.spark.sql.Column = {
+    val name = s"graft_pq_adc_${PqOps.codebookDigest(codebooks)}"
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).foreach {
+        _.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, exprs => PqAdcDist(exprs(0), exprs(1), codebooks), "built-in")
+      }
+    org.apache.spark.sql.functions.call_function(name, qv, codes)
+  }
+}

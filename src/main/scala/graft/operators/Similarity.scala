@@ -312,6 +312,65 @@ object Similarity {
     Sampling.kPerGroup(assigned, Seq(col("cluster")), col(idCol), k)
   }
 
+  /** Seeded product-quantization sub-codebooks: the same portable
+    * Fibonacci-hash seed pick as [[seedCentroids]], but RAW (PQ quantizes
+    * unnormalized subvectors) and milli-quantized to integers
+    * (`PqOps.quantize`) so every downstream distance is an exact BIGINT
+    * the q150 oracle replays. Returns m tables of ks centroids of
+    * dim/m longs: codebooks(j)(c) = coordinates of centroid c in
+    * subspace j.
+    */
+  def pqCodebooks(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, dim: Int): Seq[Seq[Seq[Long]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val seeds = candidates
+      .withColumn("__bk", Sampling.hashBucket(col(idCol), 1048576))
+      .orderBy(col("__bk"), col(idCol))
+      .limit(ks)
+      .select(col(vecCol)).collect()
+      .map(r => r.getSeq[Float](0).map(v =>
+        graft.functions.PqOps.quantize(v.toDouble)).toIndexedSeq)
+    require(seeds.length == ks,
+      s"pqCodebooks: needed $ks seed vectors, candidate set has ${seeds.length}")
+    (0 until m).map(j => seeds.toSeq.map(_.slice(j * subDim, (j + 1) * subDim).toSeq))
+  }
+
+  /** PQ top-k (Jégou et al. 2011): candidates compress to m-byte-ish code
+    * arrays via a compiled [[graft.functions.PqEncode]] projection; each
+    * (query, candidate) pair scores with ADC
+    * ([[graft.functions.PqAdcDist]]) — distance to the candidate's
+    * RECONSTRUCTION, never its raw floats.
+    *
+    * Scale posture: this is the ANN memory path — the corpus side of the
+    * join carries (id, m codes) ≈ a few bytes per vector instead of
+    * dim×4 float bytes (64-dim → 8 codes is a 32× cut), which is what
+    * lets a 100 TB embedding corpus live in executor RAM for scanning;
+    * queries broadcast; top-k compiles to WindowGroupLimit. Integer
+    * distances make rankings bit-portable (ties to lower cand_id).
+    *
+    * @return (query_id, cand_id, rnk, dist_fp) — approximate-distance
+    *   ascending top-k per query, self-pairs excluded.
+    */
+  def pqTopK(
+      queries: DataFrame, queryId: String, queryVec: String,
+      candidates: DataFrame, candId: String, candVec: String,
+      k: Int, dim: Int, m: Int = 8, ks: Int = 16): DataFrame = {
+    val cb = pqCodebooks(candidates, candId, candVec, m, ks, dim)
+    val encoded = candidates.select(col(candId).as("cand_id"),
+      graft.functions.PqEncode.expr(col(candVec), cb).as("__codes"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val scored = encoded
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.PqAdcDist.expr(col("__qv"), col("__codes"), cb)
+          .as("dist_fp"))
+    Ranking.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("dist_fp").asc, col("cand_id").asc), k, rankCol = Some("rnk"))
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("dist_fp"))
+  }
+
   /** IVF-pruned top-k with a trained codebook: candidates bucketed once;
     * each query probes its `nprobe` best buckets — scanned fraction ≈
     * nprobe/nCentroids. Equi-join on bucket id makes the scan a

@@ -264,6 +264,23 @@ object AnalyticsQueries {
       graft.operators.Graph.pageRank(d.select(col("doc_id")), col("doc_id"),
           edges, col("src"), col("dst"), iterations = 5)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Product-quantization top-k (Jégou et al. 2011): seeded milli-
+    // quantized sub-codebooks, compiled PQ encoding (8 codes per 64-dim
+    // vector — the 32× memory cut that keeps a 100 TB embedding corpus
+    // scannable), exact-integer ADC scoring. The oracle replays seeding,
+    // every per-subspace argmin (ties to lowest centroid) and every ADC
+    // sum value-for-value.
+    "q150_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv",
+        e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        "cid", "cv",
+        k = 5, dim = 64, m = 8, ks = 16)
     }))
 
   // list_filter drops the [''] that string_split_regex yields on empty
@@ -331,6 +348,36 @@ object AnalyticsQueries {
            GROUP BY e.dst) s ON b.id = s.dst)"""
 
   val oracles: Map[String, String] = Map(
+    "q150_pq_topk" ->
+      """WITH eq AS (SELECT vec_id,
+             list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q,
+             ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
+           FROM embeddings),
+         cbk AS (SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY bk, vec_id) - 1 AS c
+           FROM eq QUALIFY ROW_NUMBER() OVER (ORDER BY bk, vec_id) <= 16),
+         js(j) AS (SELECT unnest(range(0, 8))),
+         dists AS (SELECT e.vec_id, js.j, cbk.c,
+             list_sum(list_transform(range(1, 9), i ->
+               (e.q[CAST(js.j*8 AS INT)+i] - cbk.cq[CAST(js.j*8 AS INT)+i]) *
+               (e.q[CAST(js.j*8 AS INT)+i] - cbk.cq[CAST(js.j*8 AS INT)+i]))) AS d
+           FROM eq e, js, cbk),
+         enc AS (SELECT vec_id, j, c AS code FROM (
+             SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+             FROM dists) WHERE rn = 1),
+         sc AS (SELECT qd.vec_id AS query_id, enc.vec_id AS cand_id,
+             CAST(SUM(qd.d) AS BIGINT) AS dist_fp
+           FROM enc JOIN dists qd ON qd.j = enc.j AND qd.c = enc.code
+           WHERE qd.vec_id < 20 AND qd.vec_id <> enc.vec_id
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, cand_id, dist_fp,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist_fp, cand_id) AS rnk
+           FROM sc)
+         SELECT query_id, cand_id, CAST(rnk AS INT) AS rnk, dist_fp
+         FROM r WHERE rnk <= 5""",
+
     "q145_page_authority" ->
       s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
          e0 AS (SELECT doc_id AS src, u.j, n

@@ -458,4 +458,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(one == Set(1L))
   }
+
+  test("PQ: encode + ADC match the driver-side integer reference") {
+    import graft.functions.{PqAdcDist, PqEncode, PqOps}
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextFloat() * 2 - 1))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, ks = 8, dim = dim)
+    val sub = dim / 4
+    def refEncode(v: Seq[Float]): Seq[Int] = {
+      val q = v.map(x => PqOps.quantize(x.toDouble)).toArray
+      (0 until 4).map { j =>
+        (0 until 8).minBy(c => PqOps.subDist(q, j * sub, cb(j)(c).toArray))
+      }
+    }
+    def refAdc(qv: Seq[Float], codes: Seq[Int]): Long = {
+      val q = qv.map(x => PqOps.quantize(x.toDouble)).toArray
+      (0 until 4).map(j => PqOps.subDist(q, j * sub, cb(j)(codes(j)).toArray)).sum
+    }
+    val got = df.select(col("vec_id"),
+        PqEncode.expr(col("embedding"), cb).as("codes"),
+        PqAdcDist.expr(col("embedding"),
+          PqEncode.expr(col("embedding"), cb), cb).as("self_dist"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getLong(2))).toMap
+    vecs.foreach { case (id, v) =>
+      val codes = refEncode(v)
+      assert(got(id)._1 == codes, s"vec $id codes")
+      assert(got(id)._2 == refAdc(v, codes), s"vec $id self ADC")
+    }
+  }
+
+  test("PQ: exact reconstruction distance is zero for codebook seeds themselves") {
+    // a seed vector quantizes to its own centroid in every subspace
+    val vecs = (0L until 8L).map(i => (i, Seq.tabulate(8)(d => (i * 8 + d) / 10.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, ks = 8, dim = 8)
+    import graft.functions.{PqAdcDist, PqEncode}
+    val selfDist = df.select(
+        PqAdcDist.expr(col("embedding"),
+          PqEncode.expr(col("embedding"), cb), cb).as("d"))
+      .collect().map(_.getLong(0))
+    assert(selfDist.forall(_ == 0L))
+  }
+
+  test("pqTopK: planted near-duplicate ranks first for its query") {
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 60L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // vec 100 = near-copy of vec 3 (tiny perturbation)
+    val near = (100L, base(3)._2.map(v => v + 0.001f))
+    val df = (base :+ near).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(
+        df.filter(col("vec_id") === 3).select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv",
+        df.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv",
+        k = 3, dim = 16, m = 4, ks = 8)
+      .orderBy("rnk").collect()
+    assert(out(0).getLong(1) == 100L, "planted near-dup must rank first")
+  }
 }
