@@ -620,6 +620,40 @@ object Stress {
       return
     }
 
+    if (section == "pq") {
+      // 1M×64 synthetic float vectors, materialized like a real corpus.
+      val m = math.max(n / 10, 1000000L)
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_pq").toString
+      try {
+        spark.range(0, m, 1, 32).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              j => (pmod(col("id") * (j + 1L), lit(197)) / lit(98.5) - 1.0)
+                .cast("float")).as("embedding"))
+          .write.mode("overwrite").parquet(dir)
+        val vecs = spark.read.parquet(dir)
+        val queries = vecs.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val cands = vecs.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val cb = graft.operators.Similarity.pqCodebooks(
+          cands, "cid", "cv", m = 8, ks = 16, dim = 64)
+        time(s"pq_encode_${m / 1000000}M_x64") {
+          vecs.select(graft.functions.PqEncode
+              .expr(col("embedding"), cb).as("codes"))
+            .agg(sum(element_at(col("codes"), 1))).collect()
+        }
+        time(s"pq_topk_${m / 1000000}M_q20") {
+          graft.operators.Similarity.pqTopK(queries, "qid", "qv",
+            cands, "cid", "cv", k = 10, dim = 64).count()
+        }
+        time(s"cosine_topk_${m / 1000000}M_q20") {
+          graft.operators.Similarity.cosineTopK(queries, "qid", "qv",
+            cands, "cid", "cv", k = 10).count()
+        }
+      } finally rmrf(dir)
+      spark.stop()
+      return
+    }
+
     if (section == "frequency") {
       // half the stream: 1000 hot items; other half: all-distinct tail.
       // T = n/10k → exactly the hot items qualify; the tail (the part a

@@ -19,6 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
 object PqOps {
   def quantize(v: Double): Long = math.floor(v * 1000.0 + 0.5).toLong
 
+  /** Milli-quantization as a composed built-in (codegen'd, no custom
+    * kernel): floor(v·1000 + 0.5) per coordinate — the single float→int
+    * mapping every PQ distance shares, SQL-mirrored by the q150 oracle.
+    */
+  def quantizeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    transform(c, v => floor(v.cast("double") * 1000 + lit(0.5)).cast("long"))
+  }
+
   /** 64-bit content digest for registry names (the MultiPatternHits
     * lesson: 32-bit hashCode last-wins collisions bind wrong state).
     */
@@ -111,9 +120,14 @@ object PqEncode {
 }
 
 /** ADC (asymmetric distance computation): exact quantized distance from a
-  * raw query vector (`array<float>`, left) to a PQ-encoded candidate
-  * (`array<int>` codes, right): Σ_j subDist(q_j, codebook[j][code_j]).
-  * Returns BIGINT; null when either side is null or mis-shaped.
+  * PRE-QUANTIZED query vector (`array<long>`, left — milli-quantized once
+  * per query row by the composed-builtin transform in [[PqAdcDist.expr]],
+  * NOT per pair: a broadcast scan evaluates this expression
+  * queries×candidates times, and re-quantizing 64 floats with a fresh
+  * array per pair dominated the scan before this split) to a PQ-encoded
+  * candidate (`array<int>` codes, right):
+  * Σ_j subDist(q_j, codebook[j][code_j]). Returns BIGINT; null when
+  * either side is null or mis-shaped.
   */
 case class PqAdcDist(left: Expression, right: Expression,
     codebooks: Seq[Seq[Seq[Long]]]) extends BinaryExpression {
@@ -138,36 +152,82 @@ case class PqAdcDist(left: Expression, right: Expression,
     val ca = codes.asInstanceOf[ArrayData]
     val m = cb.length
     if (qa.numElements() != m * subDim || ca.numElements() != m) return null
-    val x = PqOps.quantizeVec(qa)
     var dist = 0L
     var j = 0
     while (j < m) {
       val code = ca.getInt(j)
       if (code < 0 || code >= cb(j).length) return null
-      dist += PqOps.subDist(x, j * subDim, cb(j)(code))
+      val table = cb(j)(code)
+      val off = j * subDim
+      var i = 0
+      while (i < table.length) {
+        val diff = qa.getLong(off + i) - table(i)
+        dist += diff * diff
+        i += 1
+      }
       j += 1
     }
     dist
   }
 
+  /** Codebook flattened to `long[m*ks][subDim]` for the generated loop. */
+  @transient private lazy val flatCb: Array[Array[Long]] =
+    cb.flatten
+
+  /** Dedicated codegen: an inline primitive double loop per pair — no
+    * kernel call, no boxed Long per result. This expression runs
+    * queries×candidates times inside the broadcast scan (the PQ hot
+    * path); the generic kernelEval bridge cost ~2× the whole scan.
+    */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
-      val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcDist].getName)
-      val tmp = ctx.freshName("adcRes")
+      val m = cb.length
+      val ks = cb(0).length
+      val sd = subDim
+      val cbRef = ctx.addReferenceObj("pqFlatCb", flatCb, "long[][]")
+      val dist = ctx.freshName("adcDist")
+      val bad = ctx.freshName("adcBad")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val code = ctx.freshName("code")
+      val tab = ctx.freshName("tab")
+      val diff = ctx.freshName("diff")
       s"""
-         |Object $tmp = $ref.kernelEval($l, $r);
-         |if ($tmp == null) {
+         |long $dist = 0L;
+         |boolean $bad = ($l).numElements() != ${m * sd} || ($r).numElements() != $m;
+         |if (!$bad) {
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $code = ($r).getInt($j);
+         |    if ($code < 0 || $code >= $ks) { $bad = true; break; }
+         |    long[] $tab = $cbRef[$j * $ks + $code];
+         |    for (int $i = 0; $i < $sd; $i++) {
+         |      long $diff = ($l).getLong($j * $sd + $i) - $tab[$i];
+         |      $dist += $diff * $diff;
+         |    }
+         |  }
+         |}
+         |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ((java.lang.Long) $tmp).longValue();
+         |  ${ev.value} = $dist;
          |}
        """.stripMargin
     })
 }
 
 object PqAdcDist {
-  /** Column bridge; registry name carries a digest of the codebook. */
+  /** Column bridge over a RAW float query vector; the milli-quantization
+    * runs as a composed-builtin `transform` — a separate expression the
+    * optimizer can evaluate on the (tiny) query side BEFORE the
+    * broadcast join, so the per-pair kernel only reads longs.
+    */
   def expr(qv: org.apache.spark.sql.Column, codes: org.apache.spark.sql.Column,
+      codebooks: Seq[Seq[Seq[Long]]]): org.apache.spark.sql.Column =
+    exprQuantized(PqOps.quantizeCol(qv), codes, codebooks)
+
+  /** Column bridge over an ALREADY-quantized (`array<long>`) query. */
+  def exprQuantized(qvQuantized: org.apache.spark.sql.Column,
+      codes: org.apache.spark.sql.Column,
       codebooks: Seq[Seq[Seq[Long]]]): org.apache.spark.sql.Column = {
     val name = s"graft_pq_adc_${PqOps.codebookDigest(codebooks)}"
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -175,6 +235,6 @@ object PqAdcDist {
         _.sessionState.functionRegistry.createOrReplaceTempFunction(
           name, exprs => PqAdcDist(exprs(0), exprs(1), codebooks), "built-in")
       }
-    org.apache.spark.sql.functions.call_function(name, qv, codes)
+    org.apache.spark.sql.functions.call_function(name, qvQuantized, codes)
   }
 }

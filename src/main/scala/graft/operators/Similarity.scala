@@ -358,17 +358,36 @@ object Similarity {
       candidates: DataFrame, candId: String, candVec: String,
       k: Int, dim: Int, m: Int = 8, ks: Int = 16): DataFrame = {
     val cb = pqCodebooks(candidates, candId, candVec, m, ks, dim)
+    // The encoded index is PERSISTED for the scan: without the barrier,
+    // ProjectCollapse folds the PqEncode projection into the post-join
+    // pair projection and every candidate re-encodes once PER QUERY — a
+    // 20-query scan paid 20 encode passes (measured: the whole top-k ran
+    // at encode-cost × queries). Persisting codes is also the real PQ
+    // contract — the index is built once and scanned many times.
+    // localCheckpoint, not persist: the columnar cache re-decodes the
+    // array<int> codes per scan, costing a good fraction of the ADC loop
+    // itself; checkpoint blocks rescan as raw unsafe rows
     val encoded = candidates.select(col(candId).as("cand_id"),
       graft.functions.PqEncode.expr(col(candVec), cb).as("__codes"))
-    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .localCheckpoint()
+    // quantize the query ONCE per query row, before the broadcast join —
+    // leaving the transform in the post-join projection would re-run it
+    // per (query, candidate) pair
+    val q = queries.select(col(queryId).as("query_id"),
+      graft.functions.PqOps.quantizeCol(col(queryVec)).as("__qq"))
     val scored = encoded
       .join(broadcast(q), col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        graft.functions.PqAdcDist.expr(col("__qv"), col("__codes"), cb)
+        graft.functions.PqAdcDist.exprQuantized(col("__qq"), col("__codes"), cb)
           .as("dist_fp"))
-    Ranking.topKPerGroup(scored, Seq(col("query_id")),
+    val topk = Ranking.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("dist_fp").asc, col("cand_id").asc), k, rankCol = Some("rnk"))
       .select(col("query_id"), col("cand_id"), col("rnk"), col("dist_fp"))
+      // eager, lineage-free result (queries×k rows) so the encoded
+      // blocks release once unreferenced — the connectedComponents
+      // contract
+      .localCheckpoint()
+    topk
   }
 
   /** IVF-pruned top-k with a trained codebook: candidates bucketed once;
