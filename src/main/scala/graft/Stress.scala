@@ -649,6 +649,11 @@ object Stress {
           graft.operators.Similarity.cosineTopK(queries, "qid", "qv",
             cands, "cid", "cv", k = 10).count()
         }
+        time(s"ivfpq_topk_${m / 1000000}M_q20_p2of16") {
+          graft.operators.Similarity.ivfPqTopK(queries, "qid", "qv",
+            cands, "cid", "cv", k = 10, dim = 64,
+            nCentroids = 16, nprobe = 2).count()
+        }
       } finally rmrf(dir)
       spark.stop()
       return

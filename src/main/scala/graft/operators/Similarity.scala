@@ -390,6 +390,48 @@ object Similarity {
     topk
   }
 
+  /** IVF+PQ: the full FAISS-style index shape — coarse IVF buckets prune
+    * the scan to ≈ nprobe/nCentroids of the corpus, and WITHIN the probed
+    * buckets candidates are PQ codes scored by exact-integer ADC
+    * ([[pqTopK]]'s kernels). The scan side carries
+    * (id, bucket, m codes) — both the compute cut (bucket pruning) and
+    * the 32× memory cut (codes) at once, which is the production
+    * trillion-vector layout. The bucket equi-join replaces pqTopK's
+    * broadcast nested-loop pairing, so the pair stream is bounded by
+    * bucket occupancy, not |corpus|×|queries|.
+    *
+    * Same recall caveat as IVF: a true neighbor in an unprobed bucket is
+    * missed (raise nprobe), and PQ distances are reconstruction
+    * distances. Fully deterministic: seeded coarse centroids + seeded
+    * sub-codebooks + integer ADC (q151's oracle replays all three).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, queryId: String, queryVec: String,
+      candidates: DataFrame, candId: String, candVec: String,
+      k: Int, dim: Int, nCentroids: Int = 8, nprobe: Int = 2,
+      m: Int = 8, ks: Int = 16): DataFrame = {
+    val coarse = seedCentroids(candidates, candId, candVec, nCentroids)
+    val cb = pqCodebooks(candidates, candId, candVec, m, ks, dim)
+    // one pass builds the whole index row: coarse bucket + PQ codes
+    // (checkpoint barrier for the same ProjectCollapse reason as pqTopK)
+    val encoded = candidates.select(col(candId).as("cand_id"),
+        ivfBucket(col(candVec), coarse).as("__bucket"),
+        graft.functions.PqEncode.expr(col(candVec), cb).as("__codes"))
+      .localCheckpoint()
+    val qb = queries.select(col(queryId).as("query_id"),
+      graft.functions.PqOps.quantizeCol(col(queryVec)).as("__qq"),
+      explode(ivfProbeBuckets(col(queryVec), coarse, nprobe)).as("__bucket"))
+    val scored = encoded.join(broadcast(qb), Seq("__bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.PqAdcDist.exprQuantized(col("__qq"), col("__codes"), cb)
+          .as("dist_fp"))
+    Ranking.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("dist_fp").asc, col("cand_id").asc), k, rankCol = Some("rnk"))
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("dist_fp"))
+      .localCheckpoint()
+  }
+
   /** IVF-pruned top-k with a trained codebook: candidates bucketed once;
     * each query probes its `nprobe` best buckets — scanned fraction ≈
     * nprobe/nCentroids. Equi-join on bucket id makes the scan a

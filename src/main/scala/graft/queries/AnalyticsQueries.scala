@@ -281,6 +281,21 @@ object AnalyticsQueries {
         e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
         "cid", "cv",
         k = 5, dim = 64, m = 8, ks = 16)
+    }),
+
+    // IVF+PQ — the full FAISS index shape: seeded coarse buckets prune
+    // the scan (nprobe=2 of 8), PQ codes + integer ADC score within the
+    // probed buckets. The oracle replays coarse assignment, probing,
+    // per-subspace argmins and every ADC sum.
+    "q151_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv",
+        e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        "cid", "cv",
+        k = 5, dim = 64, nCentroids = 8, nprobe = 2, m = 8, ks = 16)
     }))
 
   // list_filter drops the [''] that string_split_regex yields on empty
@@ -348,6 +363,58 @@ object AnalyticsQueries {
            GROUP BY e.dst) s ON b.id = s.dst)"""
 
   val oracles: Map[String, String] = Map(
+    "q151_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
+           FROM e),
+         seeds AS (SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY bk, vec_id) AS rn
+           FROM b QUALIFY rn <= 8),
+         cn AS (SELECT rn - 1 AS cix,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS cv
+           FROM seeds),
+         asg AS (SELECT vec_id AS cid, cix FROM (
+             SELECT e.vec_id, c.cix,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) DESC, c.cix DESC) AS r
+             FROM e, cn c) WHERE r = 1),
+         probe AS (SELECT vec_id AS qid, cix FROM (
+             SELECT e.vec_id, c.cix,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) DESC, c.cix DESC) AS r
+             FROM e, cn c WHERE e.vec_id < 20) WHERE r <= 2),
+         eq AS (SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q,
+             ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS qbk
+           FROM embeddings),
+         cbk AS (SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY qbk, vec_id) - 1 AS c
+           FROM eq QUALIFY ROW_NUMBER() OVER (ORDER BY qbk, vec_id) <= 16),
+         js(j) AS (SELECT unnest(range(0, 8))),
+         dists AS (SELECT eqq.vec_id, js.j, cbk.c,
+             list_sum(list_transform(range(1, 9), i ->
+               (eqq.q[CAST(js.j*8 AS INT)+i] - cbk.cq[CAST(js.j*8 AS INT)+i]) *
+               (eqq.q[CAST(js.j*8 AS INT)+i] - cbk.cq[CAST(js.j*8 AS INT)+i]))) AS d
+           FROM eq eqq, js, cbk),
+         enc AS (SELECT vec_id, j, c AS code FROM (
+             SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+             FROM dists) WHERE rn = 1),
+         sc AS (SELECT p.qid AS query_id, a.cid AS cand_id,
+             CAST(SUM(qd.d) AS BIGINT) AS dist_fp
+           FROM probe p JOIN asg a USING (cix)
+           JOIN enc ON enc.vec_id = a.cid
+           JOIN dists qd ON qd.vec_id = p.qid AND qd.j = enc.j AND qd.c = enc.code
+           WHERE p.qid <> a.cid
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, cand_id, dist_fp,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist_fp, cand_id) AS rnk
+           FROM sc)
+         SELECT query_id, cand_id, CAST(rnk AS INT) AS rnk, dist_fp
+         FROM r WHERE rnk <= 5""",
+
     "q150_pq_topk" ->
       """WITH eq AS (SELECT vec_id,
              list_transform(embedding, v ->

@@ -504,6 +504,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(selfDist.forall(_ == 0L))
   }
 
+  test("ivfPqTopK: results are pqTopK restricted to the probed buckets") {
+    val rnd = new scala.util.Random(9)
+    val df = (0L until 80L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = df.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // nprobe == nCentroids probes EVERY bucket: IVF+PQ must equal pure PQ
+    val full = Similarity.ivfPqTopK(q, "qid", "qv", c, "cid", "cv",
+        k = 5, dim = 16, nCentroids = 4, nprobe = 4, m = 4, ks = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val pq = Similarity.pqTopK(q, "qid", "qv", c, "cid", "cv",
+        k = 5, dim = 16, m = 4, ks = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(full == pq)
+    // nprobe = 1 scans a strict subset: every result's distance must
+    // appear in (or be worse than nothing from) the full scan set per query
+    val pruned = Similarity.ivfPqTopK(q, "qid", "qv", c, "cid", "cv",
+        k = 5, dim = 16, nCentroids = 4, nprobe = 1, m = 4, ks = 8)
+      .collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 5))
+  }
+
   test("pqTopK: planted near-duplicate ranks first for its query") {
     val rnd = new scala.util.Random(5)
     val base = (0L until 60L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
