@@ -218,14 +218,14 @@ object MultiPatternHits {
       sortedPatterns.toIndexedSeq, _ => build(sortedPatterns))
 
   /** Column bridge; the registry name carries a 64-bit content digest of
-    * the dictionary (SHA-256 prefix over NUL-joined patterns — a 32-bit
+    * the dictionary (SHA-256 prefix over length-prefixed patterns (a bare joiner is ambiguous when a pattern contains it) — a 32-bit
     * Seq.hashCode collides by pigeonhole across enough dictionaries, and
     * createOrReplaceTempFunction last-wins would silently bind an earlier
     * Column to the WRONG automaton).
     */
   def expr(c: Column, patterns: Seq[String]): Column = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(patterns.mkString("\u0000").getBytes("UTF-8"))
+      .digest(patterns.map(p => s"${p.length}:$p").mkString.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
     val name = s"graft_multi_hits_$digest"
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach {

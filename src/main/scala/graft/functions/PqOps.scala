@@ -30,11 +30,34 @@ object PqOps {
 
   /** 64-bit content digest for registry names (the MultiPatternHits
     * lesson: 32-bit hashCode last-wins collisions bind wrong state).
+    * Level separators keep the (m, ks, subDim) SHAPE in the digest — a
+    * flat join would collide [[ [1,2] ]] with [[ [1],[2] ]].
     */
-  def codebookDigest(codebooks: Seq[Seq[Seq[Long]]]): String =
+  def codebookDigest(codebooks: Seq[Seq[Seq[Long]]]): String = {
+    val serialized = codebooks
+      .map(_.map(_.mkString(",")).mkString(";")).mkString("|")
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(codebooks.flatten.flatten.mkString(",").getBytes("UTF-8"))
+      .digest(serialized.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Shared shape validation: uniform ks across subspaces and uniform
+    * subDim across centroids — the codegen stride (`j·ks + code`,
+    * `j·subDim + i`) silently mis-indexes ragged tables that interpreted
+    * eval would handle, a mode-dependent wrong answer.
+    */
+  def requireUniform(codebooks: Seq[Seq[Seq[Long]]]): Unit = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be m non-empty subspace tables")
+    val ks = codebooks.head.length
+    require(codebooks.forall(_.length == ks),
+      s"all subspaces must have the same centroid count; got " +
+        codebooks.map(_.length).distinct.mkString(","))
+    val subDim = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == subDim)),
+      s"all centroids must have the same sub-dimension; got " +
+        codebooks.flatMap(_.map(_.length)).distinct.mkString(","))
+  }
 
   /** Squared L2 distance between a quantized subvector of `x` starting at
     * `off` and codebook entry `cb` — fixed left-to-right fold (irrelevant
@@ -68,8 +91,7 @@ object PqOps {
 case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
     extends UnaryExpression with RefKernelCodegen {
 
-  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
-    "codebooks must be m non-empty subspace tables")
+  PqOps.requireUniform(codebooks)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
@@ -102,7 +124,9 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
       codes(j) = best
       j += 1
     }
-    new GenericArrayData(codes.map(Int.box))
+    // primitive Array[Int] overload — no per-code boxing in the encode
+    // hot path (the IvfBuckets form)
+    new GenericArrayData(codes)
   }
 }
 
@@ -131,6 +155,8 @@ object PqEncode {
   */
 case class PqAdcDist(left: Expression, right: Expression,
     codebooks: Seq[Seq[Seq[Long]]]) extends BinaryExpression {
+
+  PqOps.requireUniform(codebooks)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

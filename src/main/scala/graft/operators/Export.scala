@@ -163,24 +163,31 @@ object Export {
         s.isDirectory && s.getPath.getName.contains("=")),
       s"$inDir is hive-partitioned; compact each leaf directory " +
         "individually (a flat rewrite would drop the partitioning)")
+    // data files = visible non-marker files: Hive/Impala write
+    // extension-less part-00000 names, so an ".parquet"-suffix count
+    // would see 0 inputs and collapse the rewrite to one file
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
     val totalBytes = fs.getContentSummary(path).getLength
     // capped at the input file count: compaction MERGES, never splits — a
     // target below the current average file size would otherwise ask for
     // more outputs than inputs, and byte-range splitting cannot divide a
     // parquet file below its row groups (empty part-files as litter)
-    val inputFiles = fs.listStatus(path)
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val inputFiles = dataFiles(path)
     val nFiles = math.min(math.max(1, inputFiles),
       math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt))
-    val conf = spark.conf
-    val savedSplit = conf.get("spark.sql.files.maxPartitionBytes")
-    try {
-      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-      spark.read.parquet(inDir)
-        .coalesce(nFiles)
-        .write.mode("overwrite").parquet(outDir)
-    } finally conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // an ISOLATED session carries the scan-split override: setting
+    // spark.sql.files.maxPartitionBytes on the shared session would
+    // resize every concurrent query's scan partitions, and overlapping
+    // compactParquet calls would race the save/restore
+    val session = spark.newSession()
+    session.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    session.read.parquet(inDir)
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    dataFiles(new org.apache.hadoop.fs.Path(outDir))
   }
 }

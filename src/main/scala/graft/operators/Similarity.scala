@@ -320,22 +320,47 @@ object Similarity {
     * dim/m longs: codebooks(j)(c) = coordinates of centroid c in
     * subspace j.
     */
-  def pqCodebooks(
+  /** The shared Fibonacci-hash seed pick: the first `n` rows in
+    * (hashBucket(id, 2²⁰), id) order, as raw double vectors. One collect
+    * serves every codebook derivation (coarse centroids AND PQ
+    * sub-codebooks slice the same prefix — ivfPqTopK collects once).
+    * Null vectors in the seed window fail with a diagnostic instead of a
+    * bare NPE.
+    */
+  private def seedRows(
       candidates: DataFrame, idCol: String, vecCol: String,
-      m: Int, ks: Int, dim: Int): Seq[Seq[Seq[Long]]] = {
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val subDim = dim / m
-    val seeds = candidates
+      n: Int, dim: Int = 0): Seq[Seq[Double]] = {
+    // un-indexable rows (null / wrong-dimension vectors) are not seed
+    // material: they cannot be encoded either, so skipping them keeps
+    // seeding total instead of NPE-ing on a stray null embedding.
+    // dim = 0 skips the width check (seedCentroids' callers don't pass
+    // one — the pre-existing contract)
+    val indexable = if (dim > 0)
+      candidates.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    else candidates.filter(col(vecCol).isNotNull)
+    indexable
       .withColumn("__bk", Sampling.hashBucket(col(idCol), 1048576))
       .orderBy(col("__bk"), col(idCol))
-      .limit(ks)
+      .limit(n)
       .select(col(vecCol)).collect()
-      .map(r => r.getSeq[Float](0).map(v =>
-        graft.functions.PqOps.quantize(v.toDouble)).toIndexedSeq)
-    require(seeds.length == ks,
-      s"pqCodebooks: needed $ks seed vectors, candidate set has ${seeds.length}")
-    (0 until m).map(j => seeds.toSeq.map(_.slice(j * subDim, (j + 1) * subDim).toSeq))
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
   }
+
+  /** Slice + milli-quantize raw seed vectors into PQ sub-codebooks. */
+  private def pqCodebooksFromSeeds(
+      seeds: Seq[Seq[Double]], m: Int, ks: Int, dim: Int): Seq[Seq[Seq[Long]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    require(seeds.length >= ks,
+      s"pqCodebooks: needed $ks seed vectors, only ${seeds.length} available")
+    val q = seeds.take(ks).map(_.map(graft.functions.PqOps.quantize))
+    (0 until m).map(j => q.map(_.slice(j * subDim, (j + 1) * subDim)))
+  }
+
+  def pqCodebooks(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, dim: Int): Seq[Seq[Seq[Long]]] =
+    pqCodebooksFromSeeds(seedRows(candidates, idCol, vecCol, ks, dim), m, ks, dim)
 
   /** PQ top-k (Jégou et al. 2011): candidates compress to m-byte-ish code
     * arrays via a compiled [[graft.functions.PqEncode]] projection; each
@@ -380,6 +405,10 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         graft.functions.PqAdcDist.exprQuantized(col("__qq"), col("__codes"), cb)
           .as("dist_fp"))
+      // dist_fp.asc is NULLS FIRST: an unencodable candidate (null or
+      // wrong-dim vector → null codes → null dist) would otherwise take
+      // rank 1 for every query; drop it like cosineTopK's desc order does
+      .filter(col("dist_fp").isNotNull)
     val topk = Ranking.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("dist_fp").asc, col("cand_id").asc), k, rankCol = Some("rnk"))
       .select(col("query_id"), col("cand_id"), col("rnk"), col("dist_fp"))
@@ -410,8 +439,18 @@ object Similarity {
       candidates: DataFrame, candId: String, candVec: String,
       k: Int, dim: Int, nCentroids: Int = 8, nprobe: Int = 2,
       m: Int = 8, ks: Int = 16): DataFrame = {
-    val coarse = seedCentroids(candidates, candId, candVec, nCentroids)
-    val cb = pqCodebooks(candidates, candId, candVec, m, ks, dim)
+    // ONE driver collect serves both codebooks: the coarse centroids and
+    // the PQ seeds are prefixes of the same (hashBucket, id) ordering —
+    // two separate seedCentroids/pqCodebooks calls would run the
+    // TakeOrderedAndProject corpus scan twice
+    val seeds = seedRows(candidates, candId, candVec, math.max(nCentroids, ks), dim)
+    require(seeds.length >= nCentroids,
+      s"ivfPqTopK: needed $nCentroids coarse seeds, only ${seeds.length} rows")
+    val coarse = seeds.take(nCentroids).map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val cb = pqCodebooksFromSeeds(seeds, m, ks, dim)
     // one pass builds the whole index row: coarse bucket + PQ codes
     // (checkpoint barrier for the same ProjectCollapse reason as pqTopK)
     val encoded = candidates.select(col(candId).as("cand_id"),
@@ -426,6 +465,7 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         graft.functions.PqAdcDist.exprQuantized(col("__qq"), col("__codes"), cb)
           .as("dist_fp"))
+      .filter(col("dist_fp").isNotNull) // null codes/query must not rank 1
     Ranking.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("dist_fp").asc, col("cand_id").asc), k, rankCol = Some("rnk"))
       .select(col("query_id"), col("cand_id"), col("rnk"), col("dist_fp"))

@@ -528,6 +528,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pruned.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 5))
   }
 
+  test("pqTopK: null and wrong-dimension candidates are excluded, not rank 1") {
+    val rnd = new scala.util.Random(21)
+    val good = (0L until 10L).map(i => (i, Seq.fill(16)(rnd.nextFloat())))
+    val bad = Seq(
+      (90L, null.asInstanceOf[Seq[Float]]), // null vector
+      (91L, Seq.fill(8)(0.0f)))             // wrong dimension
+    val df = (good ++ bad).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(
+        df.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv",
+        df.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        "cid", "cv", k = 5, dim = 16, m = 4, ks = 8)
+      .collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.getLong(1) < 90L), "malformed candidates leaked into top-k")
+    assert(out.forall(!_.isNullAt(3)))
+  }
+
   test("pqTopK: planted near-duplicate ranks first for its query") {
     val rnd = new scala.util.Random(5)
     val base = (0L until 60L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
