@@ -58,7 +58,10 @@ object PlanDump {
       "q144_zorder_key" -> "Z-order keys: shift/mask ladder as a pure codegen projection over the scan, zero exchanges",
       "q145_page_authority" -> "PageRank: href re-extraction narrow; per-round edges-ranks equi-join + dst-keyed agg, ranks checkpointed (constant-size plan); outdeg joined ONCE upfront",
       "q147_phrase_search" -> "phrase search: postings semi-restricted to phrase vocabulary by broadcast BEFORE the corpus exchange; start-voting agg keyed (phrase,doc,start); phrase lengths broadcast",
-      "q148_audio_fingerprint" -> "audio fingerprint: mapPartitions WAV encode + PCM energy-contour fold, zero shuffles until the fp group count")
+      "q148_audio_fingerprint" -> "audio fingerprint: mapPartitions WAV encode + PCM energy-contour fold, zero shuffles until the fp group count",
+      "q149_heavy_hitters" -> "heavy hitters: per-partition Misra-Gries candidates (mapPartitions) -> broadcast semi-join -> exact recount; the long tail never crosses an exchange",
+      "q150_pq_topk" -> "PQ ANN: compiled encode behind a checkpoint barrier (codes scanned, not floats); broadcast pre-quantized queries; primitive ADC loop; WindowGroupLimit top-k",
+      "q151_ivfpq_topk" -> "IVF+PQ: one index pass (bucket + codes, checkpointed); bucket equi-join bounds the pair stream; ADC within probed buckets only")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>
