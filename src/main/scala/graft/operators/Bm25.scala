@@ -54,13 +54,25 @@ object Bm25 {
   def topK(
       docs: DataFrame, idCol: Column, textCol: Column,
       queries: DataFrame, qidCol: Column, qtextCol: Column,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    topKFromTerms(docs, idCol, textCol,
+      queryTerms(queries, qidCol, qtextCol), k)
+
+  /** Tokenize queries into the (query_id, term) frame [[topKFromTerms]]
+    * scores — exposed so expansion stages (q152) can append terms.
+    */
+  def queryTerms(queries: DataFrame, qidCol: Column, qtextCol: Column): DataFrame =
+    queries
+      .select(qidCol.as("query_id"), explode(TextFunctions.tokens(qtextCol)).as("term"))
+      .distinct()
+
+  /** [[topK]] over an explicit (query_id, term) frame. */
+  def topKFromTerms(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      qterms: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val toks = docs.select(idCol.as("doc_id"),
       TextFunctions.tokens(textCol).as("__toks"))
-    val qterms = queries
-      .select(qidCol.as("query_id"), explode(TextFunctions.tokens(qtextCol)).as("term"))
-      .distinct()
     val termSet = qterms.select(col("term")).distinct()
     // The broadcast query-term semi-restrict runs BEFORE the tf
     // aggregation (the q88 lesson applied corpus-side): tf(t,d) and
@@ -96,6 +108,42 @@ object Bm25 {
     Ranking.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("score_fp").desc, col("doc_id").asc), k, rankCol = Some("rnk"))
       .select(col("query_id"), col("doc_id"), col("rnk"), col("score_fp"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 family's
+    * deterministic core): first-pass BM25 retrieves `feedbackN` docs per
+    * query; the `expandTerms` most frequent terms WITHIN that feedback
+    * set (original query terms excluded; ties to lexicographically first)
+    * join the query; the expanded term set rescores the corpus. Every
+    * stage is the same fixed-point arithmetic as [[topK]], so the whole
+    * two-pass chain is oracle-replayable (q152) — the classic RM3 would
+    * interpolate float term weights, which no cross-engine hash survives.
+    *
+    * Scale posture: both passes keep topK's shape (term-set broadcasts,
+    * one (doc, term) tf agg each); the feedback join touches
+    * |queries|·feedbackN doc ids, broadcast back onto the token explode.
+    */
+  def topKExpanded(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      queries: DataFrame, qidCol: Column, qtextCol: Column,
+      k: Int, feedbackN: Int = 3, expandTerms: Int = 3): DataFrame = {
+    require(feedbackN >= 1 && expandTerms >= 0,
+      "feedbackN must be >= 1 and expandTerms >= 0")
+    val qterms = queryTerms(queries, qidCol, qtextCol)
+    val feedback = topKFromTerms(docs, idCol, textCol, qterms, feedbackN)
+      .select(col("query_id"), col("doc_id"))
+    val toks = docs.select(idCol.as("doc_id"),
+      explode(TextFunctions.tokens(textCol)).as("term"))
+    val fbFreq = toks
+      .join(broadcast(feedback), Seq("doc_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("__ff"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+    val expansion = Ranking.topKPerGroup(fbFreq, Seq(col("query_id")),
+        Seq(col("__ff").desc, col("term").asc), expandTerms, rankCol = None)
+      .select(col("query_id"), col("term"))
+    topKFromTerms(docs, idCol, textCol,
+      qterms.unionByName(expansion), k)
   }
 
   /** Exact phrase retrieval over a POSITIONAL inverted index — the "quoted

@@ -279,6 +279,22 @@ object CurationQueries {
         phrases, col("pid"), col("ptext"))
     }),
 
+    // BM25 with pseudo-relevance-feedback expansion: first pass retrieves
+    // 3 feedback docs per query, the 3 most frequent non-query terms in
+    // the feedback set join the query, the expanded set rescores — the
+    // deterministic RM3 core, both passes in q125's fixed-point
+    // arithmetic so the oracle replays the whole chain.
+    "q152_bm25_expanded" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "spark join merge"),
+        (2L, "window batch stream"),
+        (3L, "customer value filter")).toDF("query_id", "qtext")
+      Bm25.topKExpanded(docs(s, dir), col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"),
+        k = 10, feedbackN = 3, expandTerms = 3)
+    }),
+
     // Exact heavy hitters via the pigeonhole-prefilter + recount plan:
     // tokens with >= 200 corpus-wide occurrences, without shuffling the
     // long tail. The oracle is the PLAIN group-by-having — the sketch
@@ -532,6 +548,58 @@ object CurationQueries {
       s"""SELECT t.item, COUNT(*) AS n
          FROM (SELECT unnest($toksSql) AS item FROM documents) t
          GROUP BY t.item HAVING COUNT(*) >= 200""",
+
+    "q152_bm25_expanded" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+           FROM dd GROUP BY 1, 2),
+         st AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS s FROM t),
+         q1(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'join'), (1, 'merge'),
+           (2, 'window'), (2, 'batch'), (2, 'stream'),
+           (3, 'customer'), (3, 'value'), (3, 'filter')),
+         ${Log2Fixed.lutCteSql},
+         ${log2fpStages("st", "n, s", "n", "lgn", "n")},
+         d1 AS (SELECT term, COUNT(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q1) GROUP BY 1),
+         ${log2fpStages("d1", "term", "df", "lgdf", "da")},
+         sc1 AS (SELECT q1.query_id, tf.doc_id,
+             CAST(SUM(((nl.lgn - dal.lgdf) * (44 * tf.tf * nl.s))
+               // (20 * tf.tf * nl.s + 6 * nl.s + 18 * tf.dl * nl.n)) AS BIGINT) AS score_fp
+           FROM tf JOIN q1 USING (term) JOIN dal USING (term) CROSS JOIN nl
+           GROUP BY 1, 2),
+         fb AS (SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_fp DESC, doc_id) AS rnk
+             FROM sc1) WHERE rnk <= 3),
+         ef AS (SELECT fb.query_id, dd.term, COUNT(*) AS ff
+           FROM dd JOIN fb ON dd.doc_id = fb.doc_id
+           GROUP BY 1, 2),
+         efa AS (SELECT ef.query_id, ef.term, ef.ff FROM ef
+           LEFT JOIN q1 ON q1.query_id = ef.query_id AND q1.term = ef.term
+           WHERE q1.term IS NULL),
+         ex AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ff DESC, term) AS rn
+             FROM efa) WHERE rn <= 3),
+         q2 AS (SELECT query_id, term FROM q1
+           UNION ALL SELECT query_id, term FROM ex),
+         d2 AS (SELECT term, COUNT(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q2) GROUP BY 1),
+         ${log2fpStages("d2", "term", "df", "lgdf", "eg")},
+         sc2 AS (SELECT q2.query_id, tf.doc_id,
+             CAST(SUM(((nl.lgn - egl.lgdf) * (44 * tf.tf * nl.s))
+               // (20 * tf.tf * nl.s + 6 * nl.s + 18 * tf.dl * nl.n)) AS BIGINT) AS score_fp
+           FROM tf JOIN q2 USING (term) JOIN egl USING (term) CROSS JOIN nl
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score_fp,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score_fp DESC, doc_id) AS rnk
+           FROM sc2)
+         SELECT query_id, doc_id, rnk, score_fp FROM r WHERE rnk <= 10""",
 
     "q147_phrase_search" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -131,6 +131,44 @@ class CurationSpec extends AnyFunSuite {
     assert(contrib(2, 3) > contrib(1, 2)) // higher tf ranks first here
   }
 
+  test("topKExpanded: feedback terms retrieve docs the raw query misses") {
+    // doc 1 matches the query and carries the bridge term; doc 2 shares
+    // ONLY the bridge term — unreachable without expansion. Docs 3-4 are
+    // feedback noise with distinct vocab.
+    val docs = Seq(
+      (1L, "apple banana bridge bridge"),
+      (2L, "bridge cherry cherry"),
+      (3L, "durian elder fig"),
+      (4L, "grape honey kiwi")).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple")).toDF("query_id", "qtext")
+    val raw = Bm25.topK(docs, col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(raw == Set(1L)) // support: only doc 1 contains 'apple'
+    val expanded = Bm25.topKExpanded(docs, col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"),
+        k = 10, feedbackN = 1, expandTerms = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rnk")).toMap
+    // feedback doc = 1; its top non-query term is 'bridge' (tf 2);
+    // doc 2 now scores via 'bridge' and joins the results
+    assert(expanded.keySet == Set(1L, 2L))
+    assert(expanded(1L) == 1) // original match still outranks
+  }
+
+  test("topKExpanded with expandTerms = 0 equals plain topK") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "banana cherry"), (3L, "cherry durian"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "banana cherry")).toDF("query_id", "qtext")
+    val a = Bm25.topK(docs, col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val b = Bm25.topKExpanded(docs, col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 5, expandTerms = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
   test("phraseSearch: adjacency, overlaps and repeated-term phrases") {
     val docs = Seq(
       (1L, "a table scan merge runs a table scan merge again"),
