@@ -130,9 +130,19 @@ object Bm25 {
     require(feedbackN >= 1 && expandTerms >= 0,
       "feedbackN must be >= 1 and expandTerms >= 0")
     val qterms = queryTerms(queries, qidCol, qtextCol)
+    // eager checkpoint: the feedback frame (|queries|·feedbackN rows) is
+    // consumed twice (doc semi-restrict + per-query frequency join) — an
+    // unmaterialized plan would run the whole first-pass BM25 twice
     val feedback = topKFromTerms(docs, idCol, textCol, qterms, feedbackN)
       .select(col("query_id"), col("doc_id"))
-    val toks = docs.select(idCol.as("doc_id"),
+      .localCheckpoint()
+    // semi-restrict to the |queries|·feedbackN feedback docs BEFORE
+    // tokenizing — exploding the whole corpus to count terms in a handful
+    // of docs paid a full tokenize pass (measured ~1/3 of q152)
+    val fbDocs = docs
+      .join(broadcast(feedback.select(col("doc_id").as("__fb_id")).distinct()),
+        idCol === col("__fb_id"), "left_semi")
+    val toks = fbDocs.select(idCol.as("doc_id"),
       explode(TextFunctions.tokens(textCol)).as("term"))
     val fbFreq = toks
       .join(broadcast(feedback), Seq("doc_id"))
