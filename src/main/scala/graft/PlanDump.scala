@@ -50,7 +50,7 @@ object PlanDump {
       "q125_bm25" -> "BM25: 1-row corpus stats + query-term idf broadcasts (log2fp on the term side only); one (doc,term) tf agg; WindowGroupLimit top-k",
       "q133_xls_roundtrip" -> "BIFF8 scan: binaryFile -> executor-side CFB+record walk (one bounded header collect for the schema), no shuffle",
       "q134_curation_pipeline" -> "end-to-end curation: every stage boundary a narrow filter or broadcast join (robots rules broadcast, Gopher keepFlag inline, lang rides the line-removal carry); only stage-owned exchanges remain (fixture groupBy, quota window, line-freq agg + regroup, LSH band join, final mixture agg)",
-      "q135_substring_spans64" -> "64-bit substring spans: same single-shuffled gram-index shape as q106, hashes FNV-1a instead of poly31",
+      "q135_substring_spans64" -> "61-bit substring spans: same single-shuffled gram-index shape as q106, hashes poly131 mod 2^61-1 instead of poly31",
       "q136_quality_classifier" -> "hashed linear classifier: ONE narrow codegen projection (integer weight fold per row), no explode, no shuffle",
       "q137_training_shards" -> "shard export assignments: narrow hash projection + one per-shard row_number sort - the global-shuffle floor",
       "q141_blocklist" -> "Aho-Corasick blocklist: ONE compiled automaton projection (RefKernelCodegen), no explode, zero exchanges at any dictionary size",

@@ -31,6 +31,45 @@ object PolyHash {
     */
   final val P2 = 998244353L
   final val M2 = 37L
+  /** 61-bit fold (substring-span production sizing): Mersenne prime 2⁶¹−1
+    * with multiplier 131 — the largest modulus whose `(acc·m + cp) mod p`
+    * step DuckDB can replay exactly (HUGEINT holds the ≤2⁶⁹ intermediate),
+    * so the collision-hardened mode stays hash-visible to the oracle. The
+    * JVM side reduces the 128-bit product with the Mersenne identity
+    * 2⁶¹ ≡ 1 (mod p) — see [[mulStep61]].
+    */
+  final val P61 = 2305843009213693951L // 2^61 - 1
+  final val M61Mult = 131L
+
+  /** One fold step `(h·131 + cp) mod (2⁶¹−1)` without 128-bit division:
+    * split the product into `hi·2⁶⁴ + lo` (multiplyHigh is exact here —
+    * both operands are non-negative and < 2⁶²), then reduce with
+    * 2⁶⁴ ≡ 8 and 2⁶¹ ≡ 1 (mod 2⁶¹−1). Bounds: hi < 2⁵, lo&p < 2⁶¹,
+    * cp ≤ 0x10FFFF, so the sum fits a signed long with one or two
+    * conditional subtractions to finish the reduction.
+    */
+  @inline private[functions] def mulStep61(h: Long, cp: Long): Long = {
+    val hi = Math.multiplyHigh(h, M61Mult)
+    val lo = h * M61Mult
+    var r = (hi << 3) + (lo >>> 61) + (lo & P61) + cp
+    while (r >= P61) r -= P61
+    r
+  }
+
+  /** `fold (acc·131 + codepoint) mod 2⁶¹−1` over `s[from, until)` —
+    * codepoint iteration, same traversal as [[foldString]].
+    */
+  @inline private[functions] def foldString61(s: String, from: Int, until: Int,
+      init: Long): Long = {
+    var h = init
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      h = mulStep61(h, cp)
+      i += Character.charCount(cp)
+    }
+    h
+  }
 
   /** `fold (acc·m + codepoint) mod p` over the string — the scalar kernel.
     * Codepoint iteration (not UTF-16 units) matches Spark's `ascii()` and
@@ -69,6 +108,18 @@ object PolyHash {
     val name = s"graft_poly_gram_hashes_$k"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => PolyGramHashes(exprs.head, k), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  /** Column bridge for the compiled ORDERED 61-bit gram hasher — the
+    * collision-hardened production sizing of [[polyGramHashes]] that is
+    * STILL oracle-replayable (q135): same tokenize → k-gram → char fold
+    * shape, modulus 2⁶¹−1 instead of 1e9+7.
+    */
+  def polyGramHashes61(spark: SparkSession, c: Column, k: Int): Column = {
+    val name = s"graft_poly_gram_hashes61_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PolyGramHashes61(exprs.head, k), "built-in")
     org.apache.spark.sql.functions.call_function(name, c)
   }
 
@@ -250,6 +301,49 @@ case class PolyGramHashes(child: Expression, k: Int)
         if (j > 0) h = (h * M1 + 32L) % P1 // the ' ' separator codepoint
         val t = tokens(i + j)
         h = PolyHash.foldString(t, 0, t.length, M1, P1, h)
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    new GenericArrayData(hashes)
+  }
+}
+
+/** Compiled ORDERED word-k-gram 61-bit portable hashes: [[PolyGramHashes]]
+  * with the `(acc·131 + cp) mod 2⁶¹−1` fold — the production hash sizing
+  * of the exact-substring span dedup (Dedup.substringSpans `hash64`).
+  * Birthday collisions arrive at ≈ G²/2⁶² for G corpus grams (vs G²/2³¹
+  * for poly31 — spurious-duplicate-free to G ≈ 10⁹ and beyond), yet every
+  * value is still a pure codepoint fold DuckDB replays in HUGEINT
+  * arithmetic, so the q135 oracle checks the hashes themselves.
+  */
+case class PolyGramHashes61(child: Expression, k: Int)
+    extends UnaryExpression with RefKernelCodegen {
+
+  require(k >= 1, "gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = s"poly_gram_hashes61_$k"
+
+  override protected def withNewChildInternal(newChild: Expression): PolyGramHashes61 =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val tokens = ShingleHashes.splitWhitespace(s)
+    val n = tokens.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val hashes = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) h = PolyHash.mulStep61(h, 32L) // the ' ' separator codepoint
+        val t = tokens(i + j)
+        h = PolyHash.foldString61(t, 0, t.length, h)
         j += 1
       }
       hashes(i) = h

@@ -94,56 +94,4 @@ object ShingleHashes {
       name, exprs => ShingleHashes(exprs.head, k), "built-in")
     org.apache.spark.sql.functions.call_function(name, c)
   }
-
-  /** Column API for the ORDERED 64-bit gram hasher (positions kept). */
-  def gramHashes64(spark: SparkSession, c: Column, k: Int): Column = {
-    val name = s"graft_gram_hashes64_$k"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => GramHashes64(exprs.head, k), "built-in")
-    org.apache.spark.sql.functions.call_function(name, c)
-  }
-}
-
-/** Ordered word-k-gram 64-bit FNV-1a hashes, duplicates KEPT so array
-  * index i IS token position i — the collision-hardened twin of
-  * [[graft.functions.PolyGramHashes]] for corpora whose gram count
-  * saturates the poly31 space (see Dedup.substringSpans's hash64 knob).
-  */
-case class GramHashes64(child: Expression, k: Int)
-    extends UnaryExpression with RefKernelCodegen {
-
-  require(k >= 1, "gram size must be >= 1")
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = s"gram_hashes64_$k"
-
-  override protected def withNewChildInternal(newChild: Expression): GramHashes64 =
-    copy(child = newChild)
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val tokens = ShingleHashes.splitWhitespace(s)
-    val n = tokens.length
-    if (n < k) return new GenericArrayData(Array.empty[Long])
-    val hashes = new Array[Long](n - k + 1)
-    var i = 0
-    while (i <= n - k) {
-      var h = ShingleHashes.FnvOffset
-      var j = 0
-      while (j < k) {
-        val t = tokens(i + j)
-        var c = 0
-        while (c < t.length) {
-          h = (h ^ t.charAt(c)) * ShingleHashes.FnvPrime
-          c += 1
-        }
-        h = (h ^ 0x1f) * ShingleHashes.FnvPrime   // token separator
-        j += 1
-      }
-      hashes(i) = h
-      i += 1
-    }
-    new GenericArrayData(hashes)
-  }
 }

@@ -280,11 +280,14 @@ object Dedup {
     * total grams: negligible at G ≤ 10⁷ (the oracle-checked regime; the
     * oracle reproduces the identical hashes, so parity holds regardless),
     * but CERTAIN at corpus scale (G = 3·10⁸ → tens of millions of spurious
-    * pairs). Production corpora therefore pass `hash64 = true`: ordered
-    * 64-bit FNV-1a gram hashes (collision odds ≈ G²/2⁶⁵ ≈ 0 at any
-    * realistic G), trading DuckDB-oracle portability — the same tradeoff
-    * as minHashLsh's verifyOn64Bit, stress-verified at 10M docs in
-    * SCALE.md.
+    * pairs). Production corpora therefore pass `hash64 = true`: the same
+    * ordered gram fold over the Mersenne prime 2⁶¹−1 with multiplier 131
+    * ([[graft.functions.PolyGramHashes61]] — collision odds ≈ G²/2⁶²,
+    * spurious-duplicate-free at any realistic G), which unlike an
+    * engine-internal 64-bit hash is STILL a pure codepoint fold DuckDB
+    * replays in HUGEINT arithmetic — the q135 oracle checks the
+    * collision-hardened mode hash-for-hash. Stress-verified at 10M docs
+    * in SCALE.md.
     *
     * Scale posture: the explode carries (id, pos, h) = 20-byte rows; the
     * duplicated-hash aggregation and the position semi-join shuffle on the
@@ -302,7 +305,7 @@ object Dedup {
       n: Int = 8, minCount: Long = 2, hash64: Boolean = false): DataFrame = {
     require(n >= 1, "gram size must be >= 1")
     val gramHashes =
-      if (hash64) graft.functions.ShingleHashes.gramHashes64(df.sparkSession, textCol, n)
+      if (hash64) graft.functions.PolyHash.polyGramHashes61(df.sparkSession, textCol, n)
       else graft.functions.PolyHash.polyGramHashes(df.sparkSession, textCol, n)
     val grams = df
       .select(idCol.as("doc_id"), posexplode(gramHashes))

@@ -92,16 +92,17 @@ object AnalyticsQueries {
       Dedup.substringSpans(docs(s, dir), col("doc_id"), col("text"), n = 8)
     }),
 
-    // The PRODUCTION hash sizing of q106: ordered 64-bit FNV-1a gram
-    // hashes (`hash64 = true`) — the mode a 100 TB run must use, since
-    // the portable poly31 space saturates at ~10⁷ grams (SCALE.md).
-    // 64-bit hashing is not DuckDB-expressible, so this entry carries no
-    // oracleSql (driver records the weaker rows-only check); value-level
-    // equivalence at collision-free scale is pinned against q106 by spec
-    // (DedupSimilaritySpec "hash64 strips poly31 false positives"): the
-    // 64-bit span set is the collision-free SUBSET of q106's — even the
-    // sf0.001 corpus sits at poly31's birthday horizon and shows a couple
-    // of false single-gram duplicates the 64-bit mode rejects.
+    // The PRODUCTION hash sizing of q106: ordered 61-bit gram hashes
+    // (`hash64 = true`, poly fold mod the Mersenne prime 2⁶¹−1) — the
+    // mode a 100 TB run must use, since the portable poly31 space
+    // saturates at ~10⁷ grams (SCALE.md). Unlike an engine-internal
+    // 64-bit hash, the Mersenne fold is DuckDB-replayable in HUGEINT
+    // arithmetic, so this mode is oracle-checked hash-for-hash — no
+    // unchecked hash surface remains (r6 verdict #1). The 61-bit span
+    // set is additionally pinned as the collision-free SUBSET of q106's
+    // by spec (DedupSimilaritySpec): even the sf0.001 corpus sits at
+    // poly31's birthday horizon and shows false single-gram duplicates
+    // the 61-bit mode rejects.
     "q135_substring_spans64" -> ((s, dir) => {
       Dedup.substringSpans(docs(s, dir), col("doc_id"), col("text"), n = 8,
         hash64 = true)
@@ -313,6 +314,45 @@ object AnalyticsQueries {
       s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, b) -> (a * $mult + b) % $prime)"
 
+  /** The exact-substring span oracle (q106/q135): inverted gram index →
+    * duplicated-hash set → position semi-join → gaps-and-islands merge,
+    * parameterized by the per-gram hash expression (`toks`/`i` in scope).
+    */
+  private def substringSpansSql(gramHash: String) =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       g AS (SELECT doc_id, i - 1 AS pos,
+           $gramHash AS h
+         FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+         WHERE len(toks) >= 8),
+       dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+       p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+       m AS (SELECT doc_id, pos,
+           MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         FROM p),
+       s AS (SELECT doc_id, pos,
+           CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk
+         FROM m),
+       i AS (SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM s)
+       SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+         CAST(MAX(pos) + 8 AS INT) AS span_end,
+         CAST(MAX(pos) + 8 - MIN(pos) AS INT) AS span_tokens
+       FROM i GROUP BY doc_id, island"""
+
+  /** 61-bit char fold `(acc·131 + cp) mod 2⁶¹−1` — the SQL mirror of
+    * PolyHash.foldString61 / PolyGramHashes61 (q135's production hash).
+    * The accumulator rides HUGEINT: the pre-reduction intermediate peaks
+    * below 2⁶⁹, far inside the 128-bit space, and the final value is
+    * < 2⁶¹ so the BIGINT cast back is exact.
+    */
+  private[queries] def polyHash61Sql(s: String) =
+    s"CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS HUGEINT))), " +
+      s"(a, b) -> (a * ${graft.functions.PolyHash.M61Mult} + b) % " +
+      s"${graft.functions.PolyHash.P61}) AS BIGINT)"
+
   /** The 32 seeded MinHash (a, b) coefficients as SQL literals — SAME
     * stream as the engine (MinHashSig.seededCoeffs, seed 42).
     */
@@ -488,27 +528,12 @@ object AnalyticsQueries {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)""",
     "q106_substring_spans" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         g AS (SELECT doc_id, i - 1 AS pos,
-             ${polyHashSql("array_to_string(toks[i:i+7], ' ')")} AS h
-           FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
-           WHERE len(toks) >= 8),
-         dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
-         p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
-         m AS (SELECT doc_id, pos,
-             MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-           FROM p),
-         s AS (SELECT doc_id, pos,
-             CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk
-           FROM m),
-         i AS (SELECT doc_id, pos,
-             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-           FROM s)
-         SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
-           CAST(MAX(pos) + 8 AS INT) AS span_end,
-           CAST(MAX(pos) + 8 - MIN(pos) AS INT) AS span_tokens
-         FROM i GROUP BY doc_id, island""",
+      substringSpansSql(polyHashSql("array_to_string(toks[i:i+7], ' ')")),
+    // Same CTE chain, 61-bit Mersenne fold: the production hash sizing is
+    // checked hash-for-hash (r6 verdict #1 — this was the one unchecked
+    // hash surface).
+    "q135_substring_spans64" ->
+      substringSpansSql(polyHash61Sql("array_to_string(toks[i:i+7], ' ')")),
     "q36_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,

@@ -349,6 +349,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("poly61 gram hashes match a BigInt reference fold (the q135 oracle's arithmetic)") {
+    // The JVM side reduces the 128-bit product with the Mersenne identity
+    // 2^61 ≡ 1; the oracle folds in HUGEINT. Both must equal the naive
+    // BigInt fold `(acc*131 + cp) mod (2^61-1)` over the gram's codepoints
+    // (space-joined, same as the poly31 gram convention).
+    val M = BigInt(graft.functions.PolyHash.P61)
+    def ref(gram: String): Long =
+      gram.codePoints().toArray.foldLeft(BigInt(0))((a, c) =>
+        (a * graft.functions.PolyHash.M61Mult + c) mod M).toLong
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "unicode éü中文 😀 mixed tokens here ok fine now", // incl. a surrogate pair
+      (1 to 40).map(i => s"tok$i").mkString(" "))
+    val k = 8
+    for (t <- texts) {
+      val got = Seq(t).toDF("text")
+        .select(graft.functions.PolyHash.polyGramHashes61(spark, col("text"), k).as("hs"))
+        .as[Seq[Long]].head()
+      val toks = t.trim.split("\\s+").toSeq
+      val want =
+        toks.sliding(k).filter(_.size == k).map(g => ref(g.mkString(" "))).toSeq
+      assert(got == want, s"mismatch for: $t")
+    }
+  }
+
   test("substringSpans: hash64 spans are the collision-free subset of poly31's (q135 vs q106)") {
     // Even this 500-doc corpus (~45k grams) sits at poly31's birthday
     // horizon (G²/2³¹ ≈ 1): the poly31 run marks a couple of FALSE
