@@ -204,18 +204,32 @@ object MultiPatternHits {
       outHead, outPattern.toArray, outNext.toArray)
   }
 
-  /** Process-wide automaton cache keyed by the exact dictionary. Bounded
-    * by the number of DISTINCT dictionaries a JVM ever sees (a handful in
-    * any real pipeline); entries are automata over those dictionaries —
-    * already resident per-task without the cache, so peak memory only
-    * improves.
+  /** Process-wide automaton cache keyed by the exact dictionary. Real
+    * pipelines see a handful of DISTINCT dictionaries, but that is an
+    * assumption, not an invariant — a workload generating per-job
+    * dictionaries must not accumulate MB-scale automata for the JVM's
+    * lifetime, so the cache is a small access-order LRU: the hot static
+    * blocklists stay resident, one-shot dictionaries age out.
     */
+  private final val MaxCachedAutomata = 32
   private val automatonCache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], Automaton]()
+    new java.util.LinkedHashMap[Seq[String], Automaton](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[String], Automaton]): Boolean =
+        size() > MaxCachedAutomata
+    }
 
   private[functions] def cachedBuild(sortedPatterns: Array[String]): Automaton =
-    automatonCache.computeIfAbsent(
-      sortedPatterns.toIndexedSeq, _ => build(sortedPatterns))
+    automatonCache.synchronized {
+      val key = sortedPatterns.toIndexedSeq
+      val hit = automatonCache.get(key)
+      if (hit != null) hit
+      else {
+        val a = build(sortedPatterns)
+        automatonCache.put(key, a)
+        a
+      }
+    }
 
   /** Column bridge; the registry name carries a 64-bit content digest of
     * the dictionary (SHA-256 prefix over length-prefixed patterns (a bare joiner is ambiguous when a pattern contains it) — a 32-bit

@@ -152,8 +152,12 @@ object Bm25 {
     val expansion = Ranking.topKPerGroup(fbFreq, Seq(col("query_id")),
         Seq(col("__ff").desc, col("term").asc), expandTerms, rankCol = None)
       .select(col("query_id"), col("term"))
-    topKFromTerms(docs, idCol, textCol,
-      qterms.unionByName(expansion), k)
+    // same double-execution trap as the feedback frame: topKFromTerms
+    // references its term frame twice (vocabulary semi-restrict + scoring
+    // join), and an unmaterialized expansion plan would re-run the entire
+    // first pass + feedback aggregation for each reference
+    val expandedTerms = qterms.unionByName(expansion).localCheckpoint()
+    topKFromTerms(docs, idCol, textCol, expandedTerms, k)
   }
 
   /** Exact phrase retrieval over a POSITIONAL inverted index — the "quoted

@@ -102,11 +102,21 @@ object Frequency {
     require(sketchCapacity >= 64, "sketchCapacity must be >= 64")
     val items = df.select(itemCol.cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val p = if (numPartitionsHint > 0) numPartitionsHint
-      else math.max(1, items.rdd.getNumPartitions)
+    // ONE materialized RDD serves both the partition count and the sketch
+    // pass: the pigeonhole bar needs bar-P >= actual-P, and reading the
+    // count from a separate physical plan than the one that executes
+    // would let the two drift (e.g. under adaptive re-planning) in the
+    // silent-wrong-answer direction. Structural sharing guarantees it.
+    val itemsRdd = items.rdd
+    val actualP = math.max(1, itemsRdd.getNumPartitions)
+    if (numPartitionsHint > 0) require(numPartitionsHint >= actualP,
+      s"frequentItems: numPartitionsHint=$numPartitionsHint is below the " +
+        s"actual partition count $actualP — the pigeonhole bar would be " +
+        "too generous and the candidate superset guarantee would not hold")
+    val p = if (numPartitionsHint > 0) numPartitionsHint else actualP
     val bar = math.max(1L, (minCount + p - 1) / p) // ceil(T/P)
     import items.sparkSession.implicits._
-    val candidates = items.mapPartitions { rows =>
+    val candRdd = itemsRdd.mapPartitions { rows =>
       val sketch = new MisraGries(sketchCapacity)
       var n = 0L
       rows.foreach { r => n += 1; sketch.offer(r.getString(0)) }
@@ -120,7 +130,9 @@ object Frequency {
       // counter under-estimates by ≤ D: counter + D ≥ bar is a superset
       // of true-local-count ≥ bar; the exact recount removes the extras
       sketch.entries.collect { case (item, c) if c + d >= bar => item }
-    }.toDF("item").distinct()
+    }
+    val candidates =
+      items.sparkSession.createDataset(candRdd).toDF("item").distinct()
     items.join(broadcast(candidates), Seq("item"), "left_semi")
       .groupBy(col("item"))
       .agg(count(lit(1)).as("n"))

@@ -408,9 +408,12 @@ object AnalyticsQueries {
          b AS (SELECT vec_id, v,
              ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
            FROM e),
+         -- seed window mirrors the engine's seedRows (one collect shared
+         -- with the PQ seeds, dim-checked): un-indexable rows are not
+         -- seed material
          seeds AS (SELECT vec_id, v,
              ROW_NUMBER() OVER (ORDER BY bk, vec_id) AS rn
-           FROM b QUALIFY rn <= 8),
+           FROM b WHERE v IS NOT NULL AND len(v) = 64 QUALIFY rn <= 8),
          cn AS (SELECT rn - 1 AS cix,
              list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS cv
            FROM seeds),
@@ -430,7 +433,8 @@ object AnalyticsQueries {
              ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS qbk
            FROM embeddings),
          cbk AS (SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY qbk, vec_id) - 1 AS c
-           FROM eq QUALIFY ROW_NUMBER() OVER (ORDER BY qbk, vec_id) <= 16),
+           FROM eq WHERE q IS NOT NULL AND len(q) = 64
+           QUALIFY ROW_NUMBER() OVER (ORDER BY qbk, vec_id) <= 16),
          js(j) AS (SELECT unnest(range(0, 8))),
          dists AS (SELECT eqq.vec_id, js.j, cbk.c,
              list_sum(list_transform(range(1, 9), i ->
@@ -462,7 +466,8 @@ object AnalyticsQueries {
              ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
            FROM embeddings),
          cbk AS (SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY bk, vec_id) - 1 AS c
-           FROM eq QUALIFY ROW_NUMBER() OVER (ORDER BY bk, vec_id) <= 16),
+           FROM eq WHERE q IS NOT NULL AND len(q) = 64
+           QUALIFY ROW_NUMBER() OVER (ORDER BY bk, vec_id) <= 16),
          js(j) AS (SELECT unnest(range(0, 8))),
          dists AS (SELECT e.vec_id, js.j, cbk.c,
              list_sum(list_transform(range(1, 9), i ->
