@@ -340,6 +340,46 @@ object DocumentCodec {
 
   // ---- PDF ----------------------------------------------------------------
 
+  /** One absolutely-positioned text element of a PDF page fixture. */
+  case class PdfElem(x: Double, y: Double, text: String)
+
+  /** Render pages as a minimal PDF — the writer half of the S5 PDF surface
+    * and the fixture generator for the q153 layout round-trip: every
+    * element is positioned with an explicit `Tm`, in the GIVEN order, so a
+    * fixture can write blocks out of stream order / as side-by-side cells
+    * and assert the reader's y-sorted block assembly and table extraction.
+    * Output parses back through [[extractPdf]].
+    */
+  def writePdf(pages: Seq[Seq[PdfElem]], flate: Boolean = true): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def num(d: Double): String =
+      if (d == math.rint(d)) d.toLong.toString else d.toString
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    pages.zipWithIndex.foreach { case (elems, pi) =>
+      val content = elems.map(e =>
+        s"1 0 0 1 ${num(e.x)} ${num(e.y)} Tm (${esc(e.text)}) Tj")
+        .mkString("BT /F1 12 Tf\n", "\n", "\nET")
+      val data =
+        if (flate) {
+          val d = new java.util.zip.Deflater()
+          d.setInput(content.getBytes("ISO-8859-1")); d.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          out.toByteArray
+        } else content.getBytes("ISO-8859-1")
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      w(s"${pi + 4} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+      bos.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
   def extractPdf(bytes: Array[Byte]): Option[String] = {
     try {
       val out = new StringBuilder
@@ -431,29 +471,57 @@ object DocumentCodec {
     } catch { case _: Exception => None } finally inf.end()
   }
 
-  /** Evaluate the text-showing subset of a content stream: `(s) Tj`,
-    * `(s) '` / `a b (s) "`, `[(a) -120 (b)] TJ`; `Td`/`TD`/`T*`/`ET` emit
-    * newlines. Parsed strings are BUFFERED until their show operator
-    * consumes them (so `'`'s move-then-show order is preserved). PDF string
-    * escapes (\\ \( \) \n \r \t \b \f, \ooo octal, and line-continuation
-    * backslash) are decoded.
+  /** One positioned text segment: the text shown by consecutive show ops
+    * between two line-moves, at the text-space position of its line start.
+    * `seq` is stream order — the tie-break that keeps degenerate streams
+    * (no real positioning, e.g. every line at y = 0) in written order.
     */
-  private[multimodal] def extractContentText(content: String): String = {
-    val out = new StringBuilder
+  private[multimodal] case class PdfSeg(x: Double, y: Double, seq: Int, text: String)
+
+  /** Evaluate the text-showing AND text-positioning subset of a content
+    * stream: shows `(s) Tj`, `(s) '` / `aw ac (s) "`, `[(a) -120 (b)] TJ`;
+    * positions `Tm` (e, f = line origin), `Td`/`TD` (line translate,
+    * TD also sets leading), `TL` (leading), `T*` (next line by leading),
+    * `BT` (matrix reset). Parsed strings are BUFFERED until their show
+    * operator consumes them (so `'`'s move-then-show order is preserved).
+    * PDF string escapes (\\ \( \) \n \r \t \b \f, \ooo octal, and
+    * line-continuation backslash) are decoded.
+    *
+    * Scale note: this runs once per stream inside a mapPartitions decode —
+    * driver never sees content bytes.
+    */
+  private[multimodal] def extractSegments(content: String): Seq[PdfSeg] = {
+    val segs = scala.collection.mutable.ArrayBuffer.empty[PdfSeg]
     val pending = new StringBuilder
-    var lineOpen = false
-    def newline(): Unit = if (lineOpen) { out.append('\n'); lineOpen = false }
+    val open = new StringBuilder  // text of the currently open segment
+    var lineX = 0.0
+    var lineY = 0.0
+    var leading = 0.0
+    var segX = 0.0
+    var segY = 0.0
+    var segOpen = false
+    // operand buffer: the numbers seen since the last operator/string
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def closeSeg(): Unit = if (segOpen) {
+      if (open.nonEmpty) segs += PdfSeg(segX, segY, segs.length, open.toString)
+      open.setLength(0)
+      segOpen = false
+    }
     def show(): Unit = if (pending.nonEmpty) {
-      out.append(pending)
+      if (!segOpen) { segX = lineX; segY = lineY; segOpen = true }
+      open.append(pending)
       pending.setLength(0)
-      lineOpen = true
+    }
+    def moveLine(tx: Double, ty: Double): Unit = {
+      closeSeg()
+      lineX += tx
+      lineY += ty
     }
     var i = 0
     val n = content.length
-    def opEndsAt(next: Int): Boolean =
-      next >= n || !Character.isLetterOrDigit(content.charAt(next))
     while (i < n) {
-      content.charAt(i) match {
+      val c = content.charAt(i)
+      c match {
         case '(' =>
           val (s, next) = parsePdfString(content, i)
           pending.append(s)
@@ -469,6 +537,7 @@ object DocumentCodec {
             else if (content.charAt(i) == '>' && content.charAt(i + 1) == '>') { depth -= 1; i += 2 }
             else i += 1
           }
+          ops.clear()
         case '<' =>
           // hex string <48656C6C6F>: pairs of hex digits, whitespace
           // ignored, odd final digit padded with 0 per spec
@@ -488,25 +557,156 @@ object DocumentCodec {
           }
         case '%' => // comment to end of line
           while (i < n && content.charAt(i) != '\n') i += 1
-        case 'T' if i + 1 < n =>
-          content.charAt(i + 1) match {
-            case 'j' | 'J' if opEndsAt(i + 2) => show()
-            case 'd' | 'D' | '*' if opEndsAt(i + 2) => newline()
+        case '/' => // name token: skip so its chars aren't read as operators
+          i += 1
+          while (i < n && !isPdfDelim(content.charAt(i))) i += 1
+        case d if d == '+' || d == '-' || d == '.' || (d >= '0' && d <= '9') =>
+          val start = i
+          i += 1
+          while (i < n && {
+            val ch = content.charAt(i)
+            ch == '.' || (ch >= '0' && ch <= '9')
+          }) i += 1
+          try ops += content.substring(start, i).toDouble
+          catch { case _: NumberFormatException => () }
+        case a if Character.isLetter(a) || a == '\'' || a == '"' || a == '*' =>
+          val start = i
+          i += 1
+          while (i < n && {
+            val ch = content.charAt(i)
+            Character.isLetterOrDigit(ch) || ch == '*' || ch == '\'' || ch == '"'
+          }) i += 1
+          content.substring(start, i) match {
+            case "Tj" | "TJ" => show()
+            case "Td" =>
+              if (ops.length >= 2) moveLine(ops(ops.length - 2), ops.last)
+              else closeSeg()
+            case "TD" =>
+              if (ops.length >= 2) {
+                leading = -ops.last
+                moveLine(ops(ops.length - 2), ops.last)
+              } else closeSeg()
+            case "T*" => moveLine(0, -leading)
+            case "TL" => if (ops.nonEmpty) leading = ops.last
+            case "Tm" =>
+              closeSeg()
+              if (ops.length >= 6) {
+                lineX = ops(ops.length - 2)
+                lineY = ops.last
+              }
+            case "BT" =>
+              closeSeg()
+              lineX = 0; lineY = 0
+            case "ET" => closeSeg()
+            case "'" =>
+              moveLine(0, -leading) // move to the next line, THEN show
+              show()
+            case s if s.endsWith("\"") =>
+              // aw ac (s) " — the two spacing operands are not positions
+              moveLine(0, -leading)
+              show()
             case _ => ()
           }
-          i += 2
-        case 'E' if i + 1 < n && content.charAt(i + 1) == 'T' && opEndsAt(i + 2) =>
-          newline()
-          i += 2
-        case '\'' | '"' =>
-          newline() // move to the next line, THEN show the buffered string
-          show()
-          i += 1
+          ops.clear()
         case _ => i += 1
       }
     }
-    out.toString
+    closeSeg()
+    segs.toSeq
   }
+
+  private def isPdfDelim(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == '\u0000' ||
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Assemble positioned segments into page text the way the reference
+    * orders PDFs (多数据源获取数据.py:667-762): bbox y-coordinate ordering
+    * with markdown table extraction, rather than content-stream order.
+    *
+    *  - segments sharing a quantized y with pairwise-distinct x form one
+    *    VISUAL LINE, cells ordered left-to-right (two side-by-side column
+    *    blocks interleave in reading order, exactly like the reference's
+    *    y-sort); same-(x, y) segments stay separate stream-ordered lines,
+    *    which keeps metric-less streams (everything at the origin) in
+    *    written order — the stable sort never reorders equal keys
+    *  - lines sort top-down (PDF y grows upward); a vertical gap > 1.8×
+    *    the median line pitch starts a new block (blank-line separated)
+    *  - ≥2 consecutive lines of ≥2 cells with column-aligned x (±3 units)
+    *    render as a markdown table via [[rowsToMdTable]] — the reference's
+    *    `_rows_to_md_table` semantics, first row = header
+    */
+  private[multimodal] def assemblePage(segs: Seq[PdfSeg]): String = {
+    if (segs.isEmpty) return ""
+    case class VLine(y: Double, xs: Seq[Double], cells: Seq[String])
+    val lines = scala.collection.mutable.ArrayBuffer.empty[(Int, VLine)]
+    segs.groupBy(s => math.round(s.y * 2)).foreach { case (_, group) =>
+      val distinctX = group.map(s => math.round(s.x * 2)).distinct.length == group.length
+      if (distinctX && group.length > 1) {
+        val sorted = group.sortBy(_.x)
+        lines += ((group.map(_.seq).min,
+          VLine(group.head.y, sorted.map(_.x), sorted.map(_.text))))
+      } else {
+        // no usable x separation: stream-ordered separate lines
+        group.foreach(s => lines += ((s.seq, VLine(s.y, Seq(s.x), Seq(s.text)))))
+      }
+    }
+    // stable top-down sort; stream order (seq) only breaks exact y ties
+    val ordered = lines.sortBy { case (seq, l) => (-l.y, seq) }.map(_._2).toSeq
+    // block grouping by vertical gap
+    val gaps = ordered.sliding(2).collect {
+      case Seq(a, b) if a.y - b.y > 0.25 => a.y - b.y
+    }.toSeq.sorted
+    // lower median: with few distinct pitches the smaller (intra-block
+    // line pitch) must win, or a page with as many block gaps as line
+    // gaps would never split
+    val blockGap = if (gaps.isEmpty) Double.MaxValue
+      else 1.8 * gaps((gaps.length - 1) / 2)
+    val blocks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer(ordered.head))
+    ordered.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (a.y - b.y > blockGap) blocks += scala.collection.mutable.ArrayBuffer(b)
+        else blocks.last += b
+      case _ => ()
+    }
+    // render each block: consecutive aligned multi-cell lines become tables
+    def aligned(a: VLine, b: VLine): Boolean =
+      a.xs.length == b.xs.length &&
+        a.xs.zip(b.xs).forall { case (xa, xb) => math.abs(xa - xb) <= 3.0 }
+    val rendered = blocks.map { blk =>
+      val units = scala.collection.mutable.ArrayBuffer.empty[String]
+      val plain = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < blk.length) {
+        val runEnd = {
+          var j = i
+          if (blk(i).cells.length >= 2) {
+            while (j + 1 < blk.length && blk(j + 1).cells.length >= 2 &&
+              aligned(blk(i), blk(j + 1))) j += 1
+          }
+          j
+        }
+        if (runEnd > i) { // >= 2 aligned multi-cell lines: a table
+          if (plain.nonEmpty) { units += plain.mkString("\n"); plain.clear() }
+          units += rowsToMdTable((i to runEnd).map(blk(_).cells))
+          i = runEnd + 1
+        } else {
+          plain += blk(i).cells.mkString(" ")
+          i += 1
+        }
+      }
+      if (plain.nonEmpty) units += plain.mkString("\n")
+      units.mkString("\n")
+    }
+    rendered.mkString("\n\n")
+  }
+
+  /** Text of one content stream: positioned evaluation + y-ordered
+    * assembly (see [[extractSegments]] / [[assemblePage]]).
+    */
+  private[multimodal] def extractContentText(content: String): String =
+    assemblePage(extractSegments(content))
 
   /** Parse one `(...)`-delimited PDF string starting at `start`; returns
     * (decoded, indexAfterClosingParen). Nested parens balance per spec.

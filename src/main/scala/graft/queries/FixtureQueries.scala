@@ -329,6 +329,51 @@ object FixtureQueries {
           col("col").as("slide_md"))
     }),
 
+    // S5 PDF layout round-trip (r6 verdict #2): one single-page PDF per
+    // doc, written with the paragraphs OUT of stream order (second para
+    // first) plus a 3-row two-column table — binaryFile scan →
+    // DocumentCodec.extractPdf on executors. The oracle reconstructs the
+    // exact y-ordered markdown (title block, paragraphs in READING order,
+    // blank-line-separated markdown table), so the hash certifies the
+    // whole write→inflate→positioned-operator-eval→y-sort→table-render
+    // path; stream order alone would reverse the paragraphs.
+    "q153_pdf_layout" -> ((s, dir) => {
+      val base = fixtureDir(dir, "pdf")
+      oncePerJvm(base) {
+        val rows = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+          .collect()
+        deleteRecursive(new java.io.File(base))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        rows.foreach { r =>
+          val (id, lang, src) = (r.getLong(0), r.getString(1), r.getString(2))
+          import DocumentCodec.PdfElem
+          val page = Seq(
+            // stream order: second paragraph FIRST — y must win
+            PdfElem(72, 700, s"lang: $lang"),
+            PdfElem(72, 780, s"Doc $id"),
+            PdfElem(72, 740, s"source: $src"),
+            // table cells, row-major but written right column first
+            PdfElem(300, 600, "value"), PdfElem(72, 600, "field"),
+            PdfElem(300, 580, lang), PdfElem(72, 580, "lang"),
+            PdfElem(300, 560, src), PdfElem(72, 560, "source"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(base, f"doc_$id%03d.pdf"),
+            DocumentCodec.writePdf(Seq(page))): Unit
+        }
+      }
+      val media = s.read.format("binaryFile").load(s"$base/*.pdf")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.parseDocuments(media)
+        .select(col("media_id").as("doc_id"), col("doc_format"),
+          col("text").as("pdf_md"))
+    }),
+
     // S5 legacy OLE2: real Word-97 (.doc, FIB + CLX piece table with a
     // UTF-16 and an fc-compressed piece) and PowerPoint-97 (.ppt, text
     // atoms) fixtures written through Ole2.writeCfb, read back via
@@ -886,6 +931,16 @@ object FixtureQueries {
              || chr(10) || chr(10) || 'Doc ' || doc_id
              || chr(10) || chr(10) || lang || ': ' || source AS slide_md
          FROM slides""",
+    "q153_pdf_layout" ->
+      """SELECT doc_id, 'pdf' AS doc_format,
+           'Doc ' || doc_id || chr(10) ||
+           'source: ' || source || chr(10) ||
+           'lang: ' || lang || chr(10) || chr(10) ||
+           '| field | value |' || chr(10) ||
+           '| --- | --- |' || chr(10) ||
+           '| lang | ' || lang || ' |' || chr(10) ||
+           '| source | ' || source || ' |' AS pdf_md
+         FROM documents WHERE doc_id < 40""",
     "q98_audio_decode" ->
       """WITH d AS (SELECT doc_id, 1000 + doc_id % 2000 AS n,
              3 + doc_id % 7 AS k

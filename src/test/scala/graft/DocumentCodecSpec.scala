@@ -117,6 +117,48 @@ class DocumentCodecSpec extends AnyFunSuite {
     assert(!got.exists(_.contains("AA")))        // font hex must not decode
   }
 
+  test("PDF: out-of-stream-order blocks assemble top-down by y") {
+    import DocumentCodec.PdfElem
+    // stream order deliberately bottom-up + interleaved: the reader must
+    // reorder purely by y (the reference's bbox ordering)
+    val page = Seq(
+      PdfElem(72, 700, "second paragraph"),
+      PdfElem(72, 780, "Title Line"),
+      PdfElem(72, 740, "first paragraph"))
+    val got = DocumentCodec.extractPdf(DocumentCodec.writePdf(Seq(page)))
+    assert(got.contains("Title Line\nfirst paragraph\nsecond paragraph"), got)
+  }
+
+  test("PDF: aligned multi-cell rows render as a markdown table; blocks split on big gaps") {
+    import DocumentCodec.PdfElem
+    val page = Seq(
+      PdfElem(72, 780, "Report"),
+      // two columns of a 3-row table, far below the heading
+      PdfElem(72, 600, "name"), PdfElem(300, 600, "count"),
+      PdfElem(72, 580, "alpha"), PdfElem(300, 580, "12"),
+      PdfElem(72, 560, "beta"), PdfElem(300, 560, "7"),
+      PdfElem(72, 480, "footer text"))
+    val got = DocumentCodec.extractPdf(DocumentCodec.writePdf(Seq(page))).get
+    val expectedTable =
+      "| name | count |\n| --- | --- |\n| alpha | 12 |\n| beta | 7 |"
+    assert(got.contains(expectedTable), got)
+    // heading and footer separated from the table block by blank lines
+    assert(got.contains("Report\n\n|"), got)
+    assert(got.contains("|\n\nfooter text"), got)
+  }
+
+  test("PDF: side-by-side columns interleave in reading order (y-sort)") {
+    import DocumentCodec.PdfElem
+    // a two-column layout written column-by-column; same-y lines merge
+    // left-to-right — but unequal-width columns never align as a table
+    val page = Seq(
+      PdfElem(72, 700, "L1"), PdfElem(72, 686, "L2"),
+      PdfElem(300, 700, "R1 long cell"), PdfElem(300, 686, "R2"))
+    val got = DocumentCodec.extractPdf(DocumentCodec.writePdf(Seq(page))).get
+    assert(got.contains("| L1 | R1 long cell |\n| --- | --- |\n| L2 | R2 |") ||
+      got.contains("L1 R1 long cell\nL2 R2"), got)
+  }
+
   test("detectFormat: magic numbers dispatch; junk is unknown") {
     assert(DocumentCodec.detectFormat(buildDocx(docxXml)) == DocumentCodec.Docx)
     assert(DocumentCodec.detectFormat(buildPdf(pdfContent, flate = false)) == DocumentCodec.Pdf)
