@@ -50,6 +50,29 @@ object StringQueries {
           TextFunctions.htmlToText(html).as("extracted"))
     }),
 
+    // S6's main-content half (r6 verdict #4, trafilatura semantics): the
+    // synthesized page carries a nav, a link-farm div, a "related"
+    // sidebar div and a footer around two prose paragraphs; block
+    // scoring must keep ONLY the heading + prose. The oracle states the
+    // expected extraction literally, so a scoring regression (a dropped
+    // paragraph, a surviving nav) is a hash mismatch — not just a spec
+    // assert.
+    "q154_html_main" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>"),
+        lit("<div><a href=\"/x\">Link1</a> <a href=\"/y\">Link2</a> extra</div>"),
+        lit("<h1>Doc "), col("doc_id"), lit("</h1>"),
+        lit("<p>Main body for "), col("lang"), lit(" from "), col("source"),
+        lit(" with plain words &amp; prose.</p>"),
+        lit("<p>Second paragraph mentioning n_chars "), col("n_chars"),
+        lit(".</p>"),
+        lit("<div class=\"sidebar\">More: <a>one</a> <a>two</a> <a>three</a></div>"),
+        lit("<footer>copyright example</footer></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.htmlMainContent(html).as("main_text"))
+    }),
+
     // F14 encoding-fallback chain, oracle-gated with byte fixtures whose
     // winning charset is known by construction: valid UTF-8 stays UTF-8;
     // GBK bytes that are invalid UTF-8 (0xB0A1… leads) fall through to
@@ -385,6 +408,13 @@ object StringQueries {
          SELECT doc_id,
            regexp_replace(t, '^\n+|\n+$', '', 'g') AS extracted
          FROM s5""",
+    "q154_html_main" ->
+      """SELECT doc_id,
+           'Doc ' || doc_id || chr(10) ||
+           'Main body for ' || lang || ' from ' || source ||
+           ' with plain words & prose.' || chr(10) ||
+           'Second paragraph mentioning n_chars ' || n_chars || '.' AS main_text
+         FROM documents""",
     "q89_decode_chain" ->
       """SELECT c_custkey,
            CASE c_custkey % 3

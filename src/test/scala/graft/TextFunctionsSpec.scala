@@ -97,6 +97,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one(urlHost(lit("https://user:pw@site.org/p"))).toString == "site.org")
   }
 
+  test("htmlMainContent: boilerplate containers and link-dense blocks drop, prose survives") {
+    val html =
+      """<html><body><nav><a href="/">Home</a> <a href="/b">Blog</a></nav>""" +
+        """<header><h1>Site Banner</h1></header>""" +
+        """<div><a href="/1">One</a> <a href="/2">Two</a> ad</div>""" +
+        """<p>Real prose with a single <a href="/ref">reference link</a> inside a long sentence.</p>""" +
+        """<aside>related stuff</aside>""" +
+        """<footer>(c) nobody</footer></body></html>"""
+    val got = one(htmlMainContent(lit(html))).toString
+    // prose with a MINORITY link survives; everything else dies
+    assert(got == "Real prose with a single reference link inside a long sentence.", got)
+  }
+
+  test("htmlMainContent: all-boilerplate page extracts to empty") {
+    val html = """<body><nav><a>x</a></nav><div><a href="/">only links</a></div></body>"""
+    assert(one(htmlMainContent(lit(html))).toString == "")
+  }
+
   test("registrableDomain: eTLD+1 with two-label ccTLD suffixes") {
     def rd(h: String) = one(registrableDomain(lit(h))).toString
     assert(rd("www.example.com") == "example.com")
