@@ -329,6 +329,61 @@ object FixtureQueries {
           col("col").as("slide_md"))
     }),
 
+    // S4 typed cells (r6 verdict #5): date-formatted serials round-trip
+    // as ISO dates through BOTH Excel generations — XLSX (styles.xml
+    // numFmt → cellXfs) and BIFF8 .xls (FORMAT/XF records). The fixture
+    // writes o_orderdate as a 1900-system serial with a date style plus a
+    // derived datetime serial; openpyxl-parity decode turns them back into
+    // ISO strings, and the oracle replays the date arithmetic from the
+    // orders parquet — a raw serial surviving anywhere is a hash mismatch.
+    "q155_excel_dates" -> ((s, dir) => {
+      import graft.sources.Biff
+      val baseX = fixtureDir(dir, "xlsx_dates")
+      val baseB = fixtureDir(dir, "xls_dates")
+      val header = Seq("o_orderkey", "event_date", "event_ts")
+      def fixtureRows(): Seq[Seq[String]] = {
+        val rows = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") < 200)
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey"))
+          .collect()
+        rows.toSeq.map { r =>
+          val k = r.getLong(0)
+          val d = r.get(1) match { // o_orderdate ships as DATE or TIMESTAMP
+            case dd: java.sql.Date => dd.toLocalDate
+            case ts: java.sql.Timestamp => ts.toLocalDateTime.toLocalDate
+          }
+          // [1, 86399]: a midnight timestamp would serialize as a WHOLE
+          // serial and decode back as a bare date (Excel serials cannot
+          // distinguish midnight from dateness) — keep fixtures off it
+          val t = java.time.LocalTime.ofSecondOfDay(k % 86399 + 1)
+          Seq(k.toString, d.toString,
+            s"$d ${t.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))}")
+        }
+      }
+      oncePerJvm(baseX) {
+        val cells = fixtureRows()
+        deleteRecursive(new java.io.File(baseX))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(baseX))
+        deleteRecursive(new java.io.File(baseB))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(baseB))
+        Seq(0, 1).foreach { parity =>
+          val part = cells.filter(_.head.toLong % 2 == parity)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(baseX, s"orders_$parity.xlsx"),
+            Xlsx.writeWorkbook(header +: part, dateCols = Set(1, 2))): Unit
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(baseB, s"orders_$parity.xls"),
+            Biff.writeWorkbook(header +: part, dateCols = Set(1, 2))): Unit
+        }
+      }
+      val x = Xlsx.read(s, s"$baseX/*.xlsx").withColumn("fmt", lit("xlsx"))
+      val b = Biff.read(s, s"$baseB/*.xls").withColumn("fmt", lit("xls"))
+      x.unionByName(b)
+        .select(col("fmt"), col("o_orderkey").cast("long"),
+          col("event_date"), col("event_ts"))
+    }),
+
     // S5 PDF layout round-trip (r6 verdict #2): one single-page PDF per
     // doc, written with the paragraphs OUT of stream order (second para
     // first) plus a 3-row two-column table — binaryFile scan →
@@ -931,6 +986,14 @@ object FixtureQueries {
              || chr(10) || chr(10) || 'Doc ' || doc_id
              || chr(10) || chr(10) || lang || ': ' || source AS slide_md
          FROM slides""",
+    "q155_excel_dates" ->
+      """SELECT fmt, o_orderkey,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS event_date,
+           STRFTIME(CAST(o_orderdate AS TIMESTAMP)
+             + (o_orderkey % 86399 + 1) * INTERVAL 1 SECOND,
+             '%Y-%m-%d %H:%M:%S') AS event_ts
+         FROM orders, (SELECT UNNEST(['xlsx', 'xls']) AS fmt)
+         WHERE o_orderkey < 200""",
     "q153_pdf_layout" ->
       """SELECT doc_id, 'pdf' AS doc_format,
            'Doc ' || doc_id || chr(10) ||

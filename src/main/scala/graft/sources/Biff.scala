@@ -85,6 +85,11 @@ object Biff {
     if (wb.length < 4 || u16(wb, 0) != 0x0809) return Seq.empty
     var sst: Vector[String] = Vector.empty
     val sheetOffsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // date decode state (r6 verdict #5, xlrd parity): FORMAT records map
+    // ifmt → code, XF records list ifmt per style index; a numeric cell
+    // whose ixfe points at a date ifmt decodes to ISO instead of a serial
+    val customDateIfmts = scala.collection.mutable.Set.empty[Int]
+    val xfIfmts = scala.collection.mutable.ArrayBuffer.empty[Int]
     var p = 0
     var stop = false
     while (!stop && p + 4 <= wb.length) {
@@ -107,6 +112,13 @@ object Biff {
               }
             }
             sst = parseSst(segs.toIndexedSeq)
+          case 0x041E if len >= 5 => // FORMAT: ifmt u16 + XLUnicodeString
+            val ifmt = u16(wb, body)
+            val code = new SstCursor(IndexedSeq(
+              java.util.Arrays.copyOfRange(wb, body + 2, body + len))).readString()
+            if (Xlsx.isDateFormatCode(code)) customDateIfmts += ifmt: Unit
+          case 0x00E0 if len >= 4 => // XF: ifnt u16, ifmt u16
+            xfIfmts += u16(wb, body + 2)
           case 0x0085 => // BOUNDSHEET: lbPlyPos u32 (name not needed)
             if (len >= 4) sheetOffsets += u32(wb, body).toInt
           case 0x000A => stop = true // EOF of the globals substream
@@ -115,14 +127,20 @@ object Biff {
         p = body + len
       }
     }
-    sheetOffsets.headOption.map(off => parseSheetCells(wb, off, sst, maxRows))
+    val dateXfs = xfIfmts.zipWithIndex.collect {
+      case (ifmt, i) if Xlsx.BuiltinDateFmtIds.contains(ifmt) ||
+        customDateIfmts.contains(ifmt) => i
+    }.toSet
+    sheetOffsets.headOption.map(off => parseSheetCells(wb, off, sst, dateXfs, maxRows))
       .getOrElse(Seq.empty)
   }
 
   /** Walk one sheet substream's cell records into ragged rows. */
   private def parseSheetCells(
-      wb: Array[Byte], start: Int, sst: Vector[String],
+      wb: Array[Byte], start: Int, sst: Vector[String], dateXfs: Set[Int],
       maxRows: Int): Seq[Seq[String]] = {
+    def num(ixfe: Int, d: Double): String =
+      if (dateXfs(ixfe)) Xlsx.serialToIso(d) else fmtNum(d)
     if (start < 0 || start + 4 > wb.length || u16(wb, start) != 0x0809)
       return Seq.empty
     // (row → col → value); TreeMaps keep sheet order without assuming the
@@ -150,10 +168,10 @@ object Biff {
           case 0x0203 if len >= 14 => // NUMBER
             val bits = u32(wb, body + 6) | (u32(wb, body + 10) << 32)
             put(u16(wb, body), u16(wb, body + 2),
-              fmtNum(java.lang.Double.longBitsToDouble(bits)))
+              num(u16(wb, body + 4), java.lang.Double.longBitsToDouble(bits)))
           case 0x027E if len >= 10 => // RK
             put(u16(wb, body), u16(wb, body + 2),
-              fmtNum(rkValue(u32(wb, body + 6).toInt)))
+              num(u16(wb, body + 4), rkValue(u32(wb, body + 6).toInt)))
           case 0x00BD if len >= 12 => // MULRK: rw, colFirst, n×(ixfe,rk), colLast
             val row = u16(wb, body)
             val colFirst = u16(wb, body + 2)
@@ -161,7 +179,8 @@ object Biff {
             var i = 0
             while (i < n) {
               put(row, colFirst + i,
-                fmtNum(rkValue(u32(wb, body + 4 + 6 * i + 2).toInt)))
+                num(u16(wb, body + 4 + 6 * i),
+                  rkValue(u32(wb, body + 4 + 6 * i + 2).toInt)))
               i += 1
             }
           case 0x0204 if len >= 9 => // LABEL: inline XLUnicodeString
@@ -318,7 +337,8 @@ object Biff {
     *   8224-byte BIFF limit by default; specs shrink it to force
     *   mid-string CONTINUE splits.
     */
-  def writeWorkbook(rows: Seq[Seq[String]], maxRecordData: Int = 8224): Array[Byte] = {
+  def writeWorkbook(rows: Seq[Seq[String]], maxRecordData: Int = 8224,
+      dateCols: Set[Int] = Set.empty): Array[Byte] = {
     require(maxRecordData >= 16, "maxRecordData too small for an SST header")
     require(maxRecordData <= 8224, "BIFF8 record payload capacity is 8224 bytes")
     // BIFF8 sheet bounds: 65,536 rows x 256 columns. Unchecked, a larger
@@ -329,15 +349,24 @@ object Biff {
     rows.find(_.length > 256).foreach(r =>
       throw new IllegalArgumentException(
         s"BIFF8 caps sheets at 256 columns, got ${r.length}"))
+    // date cells (ISO strings in dateCols, header row excluded) become
+    // 1900-system serials with ixfe 1 — XF 1 carries the builtin
+    // yyyy-mm-dd ifmt below, so the reader's date decode round-trips them
+    def dateSerial(r: Int, c: Int, v: String): Option[Double] =
+      if (r > 0 && dateCols.contains(c) && v.nonEmpty)
+        Some(Xlsx.isoToSerial(v)) else None
     // SST: unique strings in first-appearance order
     val sstIndex = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var totalRefs = 0
-    rows.foreach(_.foreach { v =>
-      if (v.nonEmpty && asRkInt(v).isEmpty && asNumber(v).isEmpty) {
-        totalRefs += 1
-        sstIndex.getOrElseUpdate(v, sstIndex.size): Unit
+    rows.zipWithIndex.foreach { case (cells, r) =>
+      cells.zipWithIndex.foreach { case (v, c) =>
+        if (v.nonEmpty && dateSerial(r, c, v).isEmpty &&
+          asRkInt(v).isEmpty && asNumber(v).isEmpty) {
+          totalRefs += 1
+          sstIndex.getOrElseUpdate(v, sstIndex.size): Unit
+        }
       }
-    })
+    }
 
     // ---- SST record bytes (with CONTINUE splits) ----
     val sstRecords = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -379,19 +408,40 @@ object Biff {
     // ---- sheet substream ----
     val sheet = new java.io.ByteArrayOutputStream()
     sheet.write(bof(0x0010))
-    def cellHeader(b: java.nio.ByteBuffer, row: Int, colIdx: Int): Unit = {
-      b.putShort(row.toShort); b.putShort(colIdx.toShort); b.putShort(0) // ixfe
+    def cellHeader(b: java.nio.ByteBuffer, row: Int, colIdx: Int, ixfe: Int = 0): Unit = {
+      b.putShort(row.toShort); b.putShort(colIdx.toShort); b.putShort(ixfe.toShort)
     }
     rows.zipWithIndex.foreach { case (cells, r) =>
       var c = 0
       while (c < cells.length) {
         val v = cells(c)
         if (v.isEmpty) c += 1
-        else asRkInt(v) match {
+        else dateSerial(r, c, v) match {
+          case Some(serial) =>
+            // one cell per record (never MULRK-merged: the run logic
+            // assumes a uniform ixfe); whole serials fit RK ints
+            if (serial == math.rint(serial) &&
+              serial >= RkIntMin && serial <= RkIntMax) {
+              val b = java.nio.ByteBuffer.allocate(10)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              cellHeader(b, r, c, ixfe = 1)
+              b.putInt((serial.toInt << 2) | 2)
+              sheet.write(rec(0x027E, b.array()))
+            } else {
+              val b = java.nio.ByteBuffer.allocate(14)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              cellHeader(b, r, c, ixfe = 1)
+              b.putDouble(serial)
+              sheet.write(rec(0x0203, b.array()))
+            }
+            c += 1
+          case None => asRkInt(v) match {
           case Some(iv) =>
-            // extend the run of consecutive RK-int cells
+            // extend the run of consecutive RK-int cells (same ixfe 0 —
+            // date cells never join a run)
             var end = c + 1
-            while (end < cells.length && asRkInt(cells(end)).isDefined) end += 1
+            while (end < cells.length && asRkInt(cells(end)).isDefined &&
+              dateSerial(r, end, cells(end)).isEmpty) end += 1
             val n = end - c
             if (n >= 2) {
               val b = java.nio.ByteBuffer.allocate(4 + 2 + 6 * n + 2)
@@ -427,6 +477,7 @@ object Biff {
                 sheet.write(rec(0x00FD, b.array()))
             }
             c += 1
+          }
         }
       }
     }
@@ -436,6 +487,16 @@ object Biff {
     // boundsheet with a placeholder, measure, then patch) ----
     val globals = new java.io.ByteArrayOutputStream()
     globals.write(bof(0x0005))
+    if (dateCols.nonEmpty) {
+      // XF 0 = general, XF 1 = builtin yyyy-mm-dd (ifmt 14): the two
+      // style slots the sheet's ixfe values index
+      Seq(0, 14).foreach { ifmt =>
+        val b = java.nio.ByteBuffer.allocate(20)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putShort(0); b.putShort(ifmt.toShort) // ifnt, ifmt
+        globals.write(rec(0x00E0, b.array()))
+      }
+    }
     sstRecords.foreach(globals.write)
     val name = "Sheet1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val bs = java.nio.ByteBuffer.allocate(4 + 2 + 2 + name.length)

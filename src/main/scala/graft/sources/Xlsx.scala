@@ -21,6 +21,67 @@ object Xlsx {
 
   val DefaultCap = 500
 
+  // ---- date serials (1900 system, openpyxl parity) ------------------------
+
+  /** Builtin ECMA-376 number-format ids that render as dates/times —
+    * openpyxl's BUILTIN_FORMATS date set (14–22 date/time, 27–36 era
+    * dates, 45–47 durations, 50–58 CJK dates).
+    */
+  private[sources] val BuiltinDateFmtIds: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** openpyxl `is_date_format`: a custom format code is a date format when
+    * it contains any of `dmhys` OUTSIDE quoted literals and `[...]`
+    * sections (colors, locale prefixes, elapsed-time brackets).
+    */
+  private[sources] def isDateFormatCode(code: String): Boolean = {
+    val stripped = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "") // escaped literal chars (\-, \y, …)
+    stripped.exists(c => "dmhysDMHYS".indexOf(c) >= 0)
+  }
+
+  private val SerialEpoch = java.time.LocalDate.of(1899, 12, 30)
+
+  /** 1900-system serial → ISO string: whole serials render as
+    * `yyyy-MM-dd`, fractional ones as `yyyy-MM-dd HH:mm:ss` (seconds
+    * rounded). openpyxl `from_excel` parity, including the phantom
+    * 1900-02-29 handling: serials below 60 shift forward one day, so 59
+    * and 60 both land on 1900-02-28 and 61 on 1900-03-01.
+    */
+  private[sources] def serialToIso(serial: Double): String = {
+    var day = math.floor(serial).toLong
+    val frac = serial - day
+    if (serial >= 0 && serial < 60) day += 1
+    val date = SerialEpoch.plusDays(day)
+    if (frac == 0.0) date.toString
+    else {
+      val secs = math.round(frac * 86400.0)
+      val t = java.time.LocalTime.ofSecondOfDay(math.min(secs, 86399L))
+      s"$date ${t.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))}"
+    }
+  }
+
+  /** ISO `yyyy-MM-dd` / `yyyy-MM-dd HH:mm:ss` → 1900-system serial —
+    * the writer half's inverse of [[serialToIso]] (modern dates only:
+    * the phantom-day region below serial 61 is not writable).
+    */
+  private[sources] def isoToSerial(iso: String): Double = {
+    val (datePart, timePart) = iso.indexOf(' ') match {
+      case -1 => (iso, "")
+      case i => (iso.substring(0, i), iso.substring(i + 1))
+    }
+    val date = java.time.LocalDate.parse(datePart)
+    val days = java.time.temporal.ChronoUnit.DAYS.between(SerialEpoch, date)
+    require(days >= 61, s"dates before 1900-03-01 are not serial-writable: $iso")
+    if (timePart.isEmpty) days.toDouble
+    else {
+      val t = java.time.LocalTime.parse(timePart)
+      days.toDouble + t.toSecondOfDay / 86400.0
+    }
+  }
+
   /** Read all .xlsx files under `path` (glob ok) into a DataFrame with
     * string columns named by each file's header row; schemas must agree
     * across files. Rows capped per file.
@@ -41,8 +102,13 @@ object Xlsx {
     * one sheet, every cell an inline string — the writer half of the S4
     * surface, and the fixture generator for the q82 round-trip oracle.
     * Output parses back identically through [[read]]/[[parseWorkbook]].
+    *
+    * `dateCols`: column indexes whose non-header cells hold ISO dates /
+    * datetimes — written as 1900-system serials styled with the builtin
+    * `yyyy-mm-dd` format (numFmtId 14), the typed-cell shape openpyxl
+    * emits, so the reader's date decode is what round-trips them (q155).
     */
-  def writeWorkbook(rows: Seq[Seq[String]]): Array[Byte] = {
+  def writeWorkbook(rows: Seq[Seq[String]], dateCols: Set[Int] = Set.empty): Array[Byte] = {
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         .replace("\"", "&quot;").replace("'", "&apos;")
@@ -52,18 +118,30 @@ object Xlsx {
       while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
       sb.toString
     }
+    def fmtSerial(d: Double): String =
+      if (d == math.rint(d)) d.toLong.toString else d.toString
     val sheetXml = new StringBuilder(
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
     rows.zipWithIndex.foreach { case (cells, r) =>
       sheetXml.append(s"""<row r="${r + 1}">""")
       cells.zipWithIndex.foreach { case (v, c) =>
-        sheetXml.append(
-          s"""<c r="${colRef(c)}${r + 1}" t="inlineStr"><is><t>${esc(v)}</t></is></c>""")
+        if (r > 0 && dateCols.contains(c) && v.nonEmpty) {
+          sheetXml.append(
+            s"""<c r="${colRef(c)}${r + 1}" s="1"><v>${fmtSerial(isoToSerial(v))}</v></c>""")
+        } else {
+          sheetXml.append(
+            s"""<c r="${colRef(c)}${r + 1}" t="inlineStr"><is><t>${esc(v)}</t></is></c>""")
+        }
       }
       sheetXml.append("</row>")
     }
     sheetXml.append("</sheetData></worksheet>")
+    val stylesXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<cellXfs count="2"><xf numFmtId="0" applyNumberFormat="0"/>""" +
+        """<xf numFmtId="14" applyNumberFormat="1"/></cellXfs></styleSheet>"""
     val workbookXml =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
@@ -89,14 +167,21 @@ object Xlsx {
     put("[Content_Types].xml", typesXml)
     put("xl/workbook.xml", workbookXml)
     put("xl/_rels/workbook.xml.rels", relsXml)
+    if (dateCols.nonEmpty) put("xl/styles.xml", stylesXml)
     put("xl/worksheets/sheet1.xml", sheetXml.toString)
     zos.close()
     bos.toByteArray
   }
 
-  /** Parse one workbook's bytes → rows of cell strings (first sheet). */
+  /** Parse one workbook's bytes → rows of cell strings (first sheet).
+    * Date-formatted numeric cells (style → numFmt, builtin date ids or a
+    * custom date code) decode to ISO date/datetime strings — openpyxl
+    * returns typed datetimes for these; a raw serial would round-trip as
+    * a meaningless number (r6 verdict #5).
+    */
   def parseWorkbook(bytes: Array[Byte], maxRows: Int): Seq[Seq[String]] = {
     var shared: Vector[String] = Vector.empty
+    var dateStyles: Set[Int] = Set.empty
     // first sheet = lowest-numbered worksheet part (a workbook whose
     // original Sheet1 was deleted stores its first sheet as sheet2.xml etc.)
     val sheets = scala.collection.mutable.TreeMap.empty[Int, String]
@@ -107,6 +192,7 @@ object Xlsx {
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" => shared = parseSharedStrings(readAll(zis))
+          case "xl/styles.xml" => dateStyles = parseDateStyles(readAll(zis))
           case SheetName(num) =>
             // bounded: stop inflating once maxRows </row> markers passed —
             // the header pass (maxRows=1) and the 500-row cap never pay
@@ -117,8 +203,29 @@ object Xlsx {
         e = zis.getNextEntry
       }
     } finally zis.close()
-    sheets.headOption.map { case (_, xml) => parseSheet(xml, shared, maxRows) }
+    sheets.headOption.map { case (_, xml) => parseSheet(xml, shared, dateStyles, maxRows) }
       .getOrElse(Seq.empty)
+  }
+
+  private val NumFmtRe =
+    """<numFmt[^>]*numFmtId="(\d+)"[^>]*formatCode="([^"]*)"""".r
+  private val CellXfsRe = "(?s)<cellXfs[^>]*>(.*?)</cellXfs>".r
+  private val XfRe = "<xf[^>]*>|<xf[^>]*/>".r
+  private val XfNumFmtIdRe = """numFmtId="(\d+)"""".r
+
+  /** Style indexes (cellXfs positions) whose numFmt is a date format. */
+  private[sources] def parseDateStyles(stylesXml: String): Set[Int] = {
+    val customDateIds = NumFmtRe.findAllMatchIn(stylesXml).collect {
+      case m if isDateFormatCode(unescape(m.group(2))) => m.group(1).toInt
+    }.toSet
+    CellXfsRe.findFirstMatchIn(stylesXml).map { xfs =>
+      XfRe.findAllMatchIn(xfs.group(1)).zipWithIndex.collect {
+        case (xf, i) if XfNumFmtIdRe.findFirstMatchIn(xf.matched).exists { idm =>
+          val id = idm.group(1).toInt
+          BuiltinDateFmtIds.contains(id) || customDateIds.contains(id)
+        } => i
+      }.toSet
+    }.getOrElse(Set.empty)
   }
 
   private def readAll(zis: ZipInputStream): String = {
@@ -170,10 +277,12 @@ object Xlsx {
   private val CellRe = """(?s)<c([^>]*?)(?:/>|>(.*?)</c>)""".r
   private val RefRe = """r="([A-Z]+)\d+"""".r
   private val TypeRe = """t="([A-Za-z]+)"""".r
+  private val StyleRe = """s="(\d+)"""".r
   private val VRe = "(?s)<v>(.*?)</v>".r
   private val IsRe = "(?s)<is>(.*?)</is>".r
 
-  private def parseSheet(xml: String, shared: Vector[String], maxRows: Int): Seq[Seq[String]] =
+  private def parseSheet(xml: String, shared: Vector[String],
+      dateStyles: Set[Int], maxRows: Int): Seq[Seq[String]] =
     RowRe.findAllMatchIn(xml).take(maxRows).map { rm =>
       val cells = scala.collection.mutable.ArrayBuffer.empty[String]
       CellRe.findAllMatchIn(rm.group(1)).foreach { cm =>
@@ -189,7 +298,14 @@ object Xlsx {
           case "inlineStr" => IsRe.findFirstMatchIn(body)
             .map(is => TRe.findAllMatchIn(is.group(1)).map(t => unescape(t.group(1))).mkString)
             .getOrElse("")
-          case _ => VRe.findFirstMatchIn(body).map(v => unescape(v.group(1))).getOrElse("")
+          case _ =>
+            val raw = VRe.findFirstMatchIn(body).map(v => unescape(v.group(1))).getOrElse("")
+            val isDate = cellType == "n" &&
+              StyleRe.findFirstMatchIn(attrs).exists(m => dateStyles(m.group(1).toInt))
+            if (isDate && raw.nonEmpty)
+              try serialToIso(raw.trim.toDouble)
+              catch { case _: NumberFormatException => raw }
+            else raw
         }
         cells += value
       }

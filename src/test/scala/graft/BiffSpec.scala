@@ -137,4 +137,15 @@ class BiffSpec extends AnyFunSuite {
       new java.io.File(dir).delete(): Unit
     }
   }
+
+  test("dateCols round-trip: serials + XF date formats decode to ISO") {
+    val data = Seq(
+      Seq("id", "event_date", "event_ts", "plain"),
+      // whole serial -> RK path; fractional -> NUMBER path; the plain
+      // numeric column must stay numeric (ixfe 0 never decodes as date)
+      Seq("1", "2024-01-01", "2024-01-01 06:00:00", "45292"),
+      Seq("2", "2020-02-29", "1999-12-31 23:59:59", "7"))
+    val bytes = Biff.writeWorkbook(data, dateCols = Set(1, 2))
+    assert(Biff.parseWorkbook(bytes, 10) == data)
+  }
 }

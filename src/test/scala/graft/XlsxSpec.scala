@@ -78,6 +78,48 @@ class XlsxSpec extends AnyFunSuite {
     assert(!plan.contains("LocalTableScan"), s"driver-materialized plan:\n$plan")
   }
 
+  test("date-styled cells decode to ISO; 1900 phantom-day parity pinned") {
+    // builtin date style via cellXfs index: xf0 general, xf1 numFmtId 14,
+    // xf2 a CUSTOM date code, xf3 a custom NON-date code
+    val styles =
+      """<?xml version="1.0"?><styleSheet>""" +
+        """<numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd hh:mm"/>""" +
+        """<numFmt numFmtId="165" formatCode="#,##0.00"/></numFmts>""" +
+        """<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/>""" +
+        """<xf numFmtId="164"/><xf numFmtId="165"/></cellXfs></styleSheet>"""
+    val sheet =
+      """<row r="1"><c r="A1"><v>45292</v></c>""" +          // no style: plain number
+        """<c r="B1" s="1"><v>45292</v></c>""" +             // builtin date
+        """<c r="C1" s="2"><v>45292.25</v></c>""" +          // custom date+time
+        """<c r="D1" s="3"><v>45292</v></c>""" +             // custom non-date
+        """<c r="E1" s="1"><v>59</v></c>""" +                // phantom-day region
+        """<c r="F1" s="1"><v>60</v></c>""" +
+        """<c r="G1" s="1"><v>61</v></c></row>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/styles.xml", styles)
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$sheet</sheetData></worksheet>""")
+    zos.close()
+    val rows = Xlsx.parseWorkbook(bos.toByteArray, 10)
+    assert(rows == Seq(Seq("45292", "2024-01-01", "2024-01-01 06:00:00", "45292",
+      // openpyxl from_excel: serials below 60 shift +1, so 59 and 60 both
+      // land on 1900-02-28 and 61 on 1900-03-01 (the phantom 1900-02-29)
+      "1900-02-28", "1900-02-28", "1900-03-01")), rows)
+  }
+
+  test("writeWorkbook dateCols round-trips ISO dates and datetimes") {
+    val rows = Seq(
+      Seq("id", "event_date", "event_ts"),
+      Seq("1", "2024-01-01", "2024-01-01 06:00:00"),
+      Seq("2", "2020-02-29", "1999-12-31 23:59:59"))
+    val bytes = Xlsx.writeWorkbook(rows, dateCols = Set(1, 2))
+    assert(Xlsx.parseWorkbook(bytes, 10) == rows)
+  }
+
   test("read fails loudly when a file's header differs from the first file's") {
     def sheet(h1: String, h2: String, v: String) =
       s"""<row r="1"><c r="A1" t="inlineStr"><is><t>$h1</t></is></c><c r="B1" t="inlineStr"><is><t>$h2</t></is></c></row>""" +
