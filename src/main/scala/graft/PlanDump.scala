@@ -38,7 +38,10 @@ object PlanDump {
       "q106_substring_spans" -> "exact-substring spans: compiled gram hashes in the scan, (id,pos,h) exchanges only, gram index shuffled once (reuse), sparse per-doc window merge",
       "q109_compressed_text" -> "compressed ingestion: mapPartitions compress/sniff/inflate round trip, zero shuffles",
       "q112_warc_ingest" -> "WARC ingestion: mapPartitions record walk (gzip members inflated in-task), zero shuffles after the fixture build",
-      "q114_semdedup" -> "SemDeDup: compiled argmax assignment in the scan; cluster equi-join bounds the pair quadratic; left-anti survivors",
+      "q114_semdedup" -> "SemDeDup: compiled argmax assignment in the scan (codebook as digest-referenced expression state, not inlined literals); cluster equi-join bounds the pair quadratic; left-anti survivors",
+      "q153_pdf_layout" -> "PDF layout decode: mapPartitions positioned-operator eval + y-sort assembly, zero shuffles after the fixture build",
+      "q154_html_main" -> "HTML main-content: block scoring as one narrow codegen regex/HOF projection, zero exchanges",
+      "q155_excel_dates" -> "Excel typed dates: executor-side workbook parse (binaryFile scan), union of two format scans, no driver LocalTableScan",
       "q115_tar_members" -> "TAR members: mapPartitions ustar walk with checksum verify, zero shuffles after the fixture build",
       "q116_zip_members" -> "ZIP members: EOCD/CD walk + raw inflate + CRC in one task per archive, zero shuffles after the fixture build",
       "q113_gopher_rules" -> "Gopher rules: one narrow codegen projection, no explode, zero exchanges",

@@ -97,6 +97,10 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
   override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
 
+  /** Plans render the codebook as its digest, not m×ks×subDim literals. */
+  override def toString: String =
+    s"$prettyName($child, cb=${PqOps.codebookDigest(codebooks)})"
+
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
 
@@ -161,6 +165,10 @@ case class PqAdcDist(left: Expression, right: Expression,
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "pq_adc_dist"
+
+  /** Plans render the codebook as its digest, not m×ks×subDim literals. */
+  override def toString: String =
+    s"$prettyName($left, $right, cb=${PqOps.codebookDigest(codebooks)})"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcDist =

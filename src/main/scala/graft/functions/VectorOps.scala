@@ -198,6 +198,14 @@ case class IvfBuckets(child: Expression, centroids: Seq[Seq[Double]], nprobe: In
   override def nullable: Boolean = true
   override def prettyName: String = s"ivf_buckets_$nprobe"
 
+  /** Plans render the codebook as its content digest, not C×dim array
+    * literals — a self-joined assignment otherwise inlines the WHOLE
+    * centroid matrix once per reference into every explain/receipt
+    * (r6 verdict #6); equality/binding still use the full state.
+    */
+  override def toString: String =
+    s"$prettyName($child, cb=${IvfBuckets.digest(centroids)})"
+
   override protected def withNewChildInternal(newChild: Expression): IvfBuckets =
     copy(child = newChild)
 
@@ -235,6 +243,20 @@ case class IvfBuckets(child: Expression, centroids: Seq[Seq[Double]], nprobe: In
       j += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+object IvfBuckets {
+  /** 64-bit content digest of a centroid matrix — registry names and plan
+    * rendering both ride it (the PqOps.codebookDigest discipline: exact
+    * decimal serialization with level separators, so neither a reshaped
+    * matrix nor a 32-bit hashCode collision can bind wrong state).
+    */
+  def digest(centroids: Seq[Seq[Double]]): String = {
+    val serialized = centroids.map(_.mkString(",")).mkString(";")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(serialized.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
   }
 }
 

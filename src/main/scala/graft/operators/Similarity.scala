@@ -102,11 +102,13 @@ object Similarity {
   }
 
   /** Registry bridge for the compiled probe (graft.functions.IvfBuckets);
-    * the name encodes the codebook + nprobe so distinct codebooks in one
-    * session never collide.
+    * the name carries a CONTENT digest of the codebook + nprobe (the
+    * PqOps.codebookDigest discipline) — a 32-bit hashCode collides by
+    * pigeonhole across enough codebooks, and createOrReplaceTempFunction
+    * last-wins would silently bind an earlier Column to the wrong one.
     */
   private def ivfBucketsCol(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
-    val name = s"graft_ivf_buckets_${java.lang.Integer.toHexString(centroids.hashCode)}_$nprobe"
+    val name = s"graft_ivf_buckets_${graft.functions.IvfBuckets.digest(centroids)}_$nprobe"
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).foreach {
         _.sessionState.functionRegistry.createOrReplaceTempFunction(
