@@ -329,6 +329,45 @@ object FixtureQueries {
           col("col").as("slide_md"))
     }),
 
+    // S7's batch half, oracle-checked directly (r6 verdict #9): the DSv2
+    // paged source's synthetic institution records are a pure function of
+    // (page, idx), so the oracle replays the whole fetch-normalize layer —
+    // including that the page-range filter and the detail values survive
+    // the scan unchanged. The filter compiles into the scan as pushed
+    // bounds (PagedScanBuilder.pushFilters), not a post-scan Filter.
+    "q156_paged_ingest" -> ((s, dir) => {
+      s.read.format("graft-paged")
+        .option("pages", "40").option("pagesize", "25")
+        .option("pagesperpartition", "4")
+        .load()
+        .filter(col("page") >= 5 && col("page") <= 24)
+        .select(col("page"), col("idx"), col("name"), col("credit_code"),
+          col("institution_type"), col("region_code"))
+    }),
+
+    // A5's regroup shape, oracle-checked directly (r6 verdict #9): paged
+    // records render to KV blocks (S8's inverse) and regroup by region
+    // prefix — count, char mass, and an order-insensitive poly31 content
+    // fingerprint per group, so a lost/duplicated/mutated record anywhere
+    // in the regroup is a hash mismatch. The partitioned-text SINK half
+    // of A5/S14 stays covered by RrfKvSpec + the corpus bench (file
+    // layout is not a DataFrame the driver can diff).
+    "q157_province_regroup" -> ((s, dir) => {
+      val src = s.read.format("graft-paged")
+        .option("pages", "40").option("pagesize", "25").load()
+      val block = KvBlock.renderBlock(Seq(
+        "机构名称" -> col("name"),
+        "统一社会信用代码" -> col("credit_code"),
+        "机构类型" -> col("institution_type"),
+        "区域编号" -> col("region_code")))
+      src.withColumn("block", block)
+        .withColumn("prefecture_code", substring(col("region_code"), 1, 4))
+        .groupBy(col("prefecture_code"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(length(col("block"))).as("sum_chars"),
+          sum(graft.functions.PolyHash.polyStringHash(s, col("block"))).as("fp"))
+    }),
+
     // S4 typed cells (r6 verdict #5): date-formatted serials round-trip
     // as ISO dates through BOTH Excel generations — XLSX (styles.xml
     // numFmt → cellXfs) and BIFF8 .xls (FORMAT/XF records). The fixture
@@ -986,6 +1025,35 @@ object FixtureQueries {
              || chr(10) || chr(10) || 'Doc ' || doc_id
              || chr(10) || chr(10) || lang || ': ' || source AS slide_md
          FROM slides""",
+    "q156_paged_ingest" ->
+      """WITH ids AS (SELECT UNNEST(range(125, 625)) AS id)
+         SELECT CAST(id // 25 AS INT) AS page, CAST(id % 25 AS INT) AS idx,
+           '托育机构_' || id AS name,
+           '91' || lpad(CAST(id AS VARCHAR), 16, '0') AS credit_code,
+           CASE WHEN id % 3 = 0 THEN '营利性' ELSE '非营利性' END
+             AS institution_type,
+           lpad(CAST(140000 + id % 1000 AS VARCHAR), 6, '0') || '000000'
+             AS region_code
+         FROM ids""",
+    "q157_province_regroup" ->
+      s"""WITH ids AS (SELECT UNNEST(range(0, 1000)) AS id),
+         r AS (SELECT id,
+             '托育机构_' || id AS name,
+             '91' || lpad(CAST(id AS VARCHAR), 16, '0') AS credit_code,
+             CASE WHEN id % 3 = 0 THEN '营利性' ELSE '非营利性' END AS typ,
+             lpad(CAST(140000 + id % 1000 AS VARCHAR), 6, '0') || '000000'
+               AS region_code
+           FROM ids),
+         b AS (SELECT substring(region_code, 1, 4) AS prefecture_code,
+             '机构名称：' || name || chr(10) ||
+             '统一社会信用代码：' || credit_code || chr(10) ||
+             '机构类型：' || typ || chr(10) ||
+             '区域编号：' || region_code AS block
+           FROM r)
+         SELECT prefecture_code, COUNT(*) AS n_records,
+           CAST(SUM(length(block)) AS BIGINT) AS sum_chars,
+           CAST(SUM(${CurationQueries.polyHashSqlLine("block")}) AS BIGINT) AS fp
+         FROM b GROUP BY prefecture_code""",
     "q155_excel_dates" ->
       """SELECT fmt, o_orderkey,
            STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS event_date,
