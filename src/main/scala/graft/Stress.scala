@@ -321,6 +321,31 @@ object Stress {
       }.getOrElse(0L)
       require(exactShape * 1000 >= spans * 995,
         s"only $exactShape of $spans spans match the planted shape")
+
+      // Bloom-prefilter notch (r6 verdict #7): the singleton-dominated gram
+      // tail (~97% of this fixture's 330M grams) drops at the projection
+      // instead of riding the semi-join's probe exchange. Receipt pins
+      // row-identical output (symmetric exceptAll) and reports the
+      // shuffle-byte cut next to the plain mode's number.
+      var bloomShuffled = -1L
+      time(s"substring_spans_bloom_${n / 1000000}M") {
+        val (s, b) = shuffleBytes(sc) {
+          Dedup.substringSpans(corpus, col("doc_id"), col("text"),
+            n = 8, hash64 = true, bloomPrefilter = true).count()
+        }
+        require(s == spans, s"bloom-mode span count $s != plain $spans")
+        bloomShuffled = b
+      }
+      val plainSpans = Dedup.substringSpans(corpus, col("doc_id"), col("text"),
+        n = 8, hash64 = true)
+      val bloomSpans = Dedup.substringSpans(corpus, col("doc_id"), col("text"),
+        n = 8, hash64 = true, bloomPrefilter = true)
+      val diverged = plainSpans.exceptAll(bloomSpans).count() +
+        bloomSpans.exceptAll(plainSpans).count()
+      require(diverged == 0, s"bloom mode diverged on $diverged span rows")
+      println(f"[stress] substring_bloom_${n / 1000000}M: spans identical, " +
+        f"shuffle_written=${bloomShuffled / 1e9}%.2f GB " +
+        f"(plain ${shuffled / 1e9}%.2f GB)")
     } finally rmrf(dir)
   }
 
@@ -455,6 +480,108 @@ object Stress {
     assert(shuffled2 < 1000000L,
       s"within-doc dedup shuffled $shuffled2 bytes — projection regressed")
     println(f"[stress] linededup_shuffle_kb  ${shuffled2 / 1e3}%8.1f KB (receipt's own 1-row agg)")
+  }
+
+  /** Flagged-line subtraction BEYOND the broadcast/driver-state bound
+    * (r6 verdict #8): a 10⁷-entry flagged set held as a parquet-backed
+    * DataFrame (never collected, never broadcast), applied by
+    * [[graft.operators.Dedup.applyFlaggedLineFilterJoin]] to the same
+    * corpus once as a batch frame and once as a file-source stream
+    * (update-mode regroup, RocksDB state, foreachBatch parquet capture).
+    *
+    * Corpus: `docsN = n/10` docs × 10 lines — 5 pool lines drawn from a
+    * 10⁷-line boilerplate pool so every pool line lands in EXACTLY two
+    * docs (flagged at minDocs=2 by construction), 5 lines unique to the
+    * (doc, position). Receipt pins: (a) the flagged frame holds ~10⁷
+    * hashes; (b) every planted pool line drops — n_dropped ≥ 5·docsN
+    * exactly, with the surplus bounded by poly31's predicted collision
+    * envelope (at 10⁷ flagged hashes in a 2³⁰ space, ~1% of unique lines
+    * false-drop — the documented reason hash64 modes exist elsewhere);
+    * (c) batch ≡ streaming row-identical (symmetric exceptAll == 0).
+    */
+  private def flaggedJoinReceipt(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    val docsN = math.max(4000000L, n / 10)
+    val pool = 10000000L
+    require(docsN * 5 >= 2 * pool,
+      s"need >= ${2 * pool / 5} docs for every pool line to appear twice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_flag").toString
+    val src = s"$dir/src"; val flagDir = s"$dir/flagged"
+    val outBatch = s"$dir/out_batch"; val outStream = s"$dir/out_stream"
+    val chk = s"$dir/chk"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.range(0, docsN, 1, 32).toDF("doc_id")
+        .select(col("doc_id"), transform(sequence(lit(0), lit(9)), i =>
+          when(i < 5,
+              concat(lit("boiler pool line "),
+                pmod(col("doc_id") * 5 + i, lit(pool))))
+            .otherwise(concat(lit("unique line "), col("doc_id"), lit(" "), i)))
+          .as("lines"))
+        .write.mode("overwrite").parquet(src)
+      val docs = spark.read.parquet(src)
+      // yesterday's head, written once and read back — the operator's
+      // documented contract for a refreshable static side
+      docs.select(col("doc_id"), explode(col("lines")).as("__line"))
+        .select(col("doc_id"),
+          graft.functions.PolyHash.polyStringHash(spark, col("__line")).as("h"))
+        .distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("h"))
+        .write.mode("overwrite").parquet(flagDir)
+      val flagged = spark.read.parquet(flagDir)
+      val flaggedCnt = flagged.count()
+      // 10^7 distinct pool lines minus their own birthday merges in poly31's
+      // ~2^30 space (E ≈ P²/2/1e9 ≈ 5·10⁴), PLUS unique-line pairs that
+      // birthday-merge to a brand-new flagged hash (E ≈ U²/2/1e9 ≈ 2·10⁵
+      // at U = 2·10⁷) — the measured head at 4M docs is ~10.14M
+      val uniqueLines = 5L * docsN
+      val pairSurplus = 4L * (uniqueLines * uniqueLines / 2 / 1000000007L + 1)
+      require(flaggedCnt > pool * 99 / 100 && flaggedCnt <= pool + pairSurplus,
+        s"flagged head $flaggedCnt outside [99% of $pool, $pool + $pairSurplus]")
+
+      var droppedBatch = -1L
+      time(s"flagged_join_batch_${docsN / 1000000}M_docs", runs = 1) {
+        val out = Dedup.applyFlaggedLineFilterJoin(
+          docs, col("doc_id"), col("lines"), flagged)
+        out.write.mode("overwrite").parquet(outBatch)
+        droppedBatch = spark.read.parquet(outBatch)
+          .agg(sum("n_dropped")).head().getLong(0)
+      }
+      val planted = 5L * docsN
+      // collision envelope: each of the 5·docsN unique lines false-drops
+      // with p ≈ flaggedCnt / 1e9+7; allow 4× the expectation
+      val envelope = 4L * (5L * docsN * flaggedCnt / 1000000007L + 1)
+      require(droppedBatch >= planted && droppedBatch <= planted + envelope,
+        s"dropped $droppedBatch outside [$planted, ${planted + envelope}]")
+
+      time(s"flagged_join_stream_${docsN / 1000000}M_docs", runs = 1) {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 8).parquet(src)
+        val q = Dedup.applyFlaggedLineFilterJoin(
+            stream, col("doc_id"), col("lines"), flagged)
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outStream)
+          }
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // Close RocksDB instances before the checkpoint dir is deleted and the
+      // JVM exits: a native background-compaction thread logging through the
+      // JNI callback after teardown is a SIGSEGV (observed on this box).
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      val a = spark.read.parquet(outBatch)
+      val b = spark.read.parquet(outStream)
+      val diverged = a.exceptAll(b).count() + b.exceptAll(a).count()
+      require(diverged == 0, s"batch vs streaming diverged on $diverged rows")
+      println(s"[stress] flagged_join_${docsN / 1000000}M_docs: " +
+        s"flagged=$flaggedCnt dropped=$droppedBatch (planted $planted, " +
+        s"envelope +$envelope), batch==stream")
+    } finally rmrf(dir)
   }
 
   /** Streaming near-dup ADMISSION at corpus scale: `n` total docs as
@@ -610,6 +737,12 @@ object Stress {
 
     if (section == "lines") {
       lineReceipts(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "flaggedjoin") {
+      flaggedJoinReceipt(spark, n)
       spark.stop()
       return
     }

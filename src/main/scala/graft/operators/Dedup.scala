@@ -293,16 +293,31 @@ object Dedup {
     * duplicated-hash aggregation and the position semi-join shuffle on the
     * SAME hash key, so ReuseExchange shuffles the gram index once. The
     * span merge is a per-document sort (gaps-and-islands over a window) on
-    * the sparse duplicated positions only. At 100 TB, feed the dup-hash
-    * set through a Bloom prefilter before the semi-join to drop the
-    * singleton-dominated long tail early.
+    * the sparse duplicated positions only.
+    *
+    * `bloomPrefilter` is the beyond-broadcast notch for the semi-join: in a
+    * natural corpus the gram stream is dominated by singletons that can
+    * never be in a span, yet without a runtime filter every one of them
+    * rides the probe-side exchange of the semi-join. With the flag on, the
+    * dup-hash set (materialized once via localCheckpoint) is folded into a
+    * Bloom filter — a distributed agg, only the bit array reaches the
+    * driver: ~1.2 MB per 10⁶ dup grams at 1% fpp, ~7× smaller than the
+    * exact 8-byte hash set an in-expression array would carry — and probed
+    * AT THE GRAM PROJECTION, so the long tail drops before the exchange.
+    * The exact semi-join still runs behind it, so false positives cost
+    * shuffle bytes, never correctness: output is row-identical to the
+    * unfiltered mode (spec + 10M-doc Stress receipt). The trade: the probe
+    * side no longer shares the agg side's exchange (ReuseExchange is off
+    * for it), which only pays when dup grams ≪ total grams — exactly the
+    * 100 TB regime.
     *
     * Output: (doc_id, span_start, span_end, span_tokens), span_end
     * exclusive.
     */
   def substringSpans(
       df: DataFrame, idCol: Column, textCol: Column,
-      n: Int = 8, minCount: Long = 2, hash64: Boolean = false): DataFrame = {
+      n: Int = 8, minCount: Long = 2, hash64: Boolean = false,
+      bloomPrefilter: Boolean = false, bloomFpp: Double = 0.01): DataFrame = {
     require(n >= 1, "gram size must be >= 1")
     val gramHashes =
       if (hash64) graft.functions.PolyHash.polyGramHashes61(df.sparkSession, textCol, n)
@@ -310,11 +325,19 @@ object Dedup {
     val grams = df
       .select(idCol.as("doc_id"), posexplode(gramHashes))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
-    val dup = grams.groupBy(col("h"))
+    val dupAll = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .select(col("h"))
-    val dupPos = grams.join(dup, Seq("h"), "left_semi")
+    val (dup, probe) = if (bloomPrefilter) {
+      // localCheckpoint (eager) pins ONE materialization of the dup set:
+      // the count, the Bloom fold and the semi-join build all read it —
+      // without the barrier each would recompute the full gram aggregation.
+      val dupC = dupAll.localCheckpoint()
+      val bloom = dupC.stat.bloomFilter("h", math.max(dupC.count(), 1L), bloomFpp)
+      (dupC, grams.filter(graft.functions.BloomMightContain.expr(col("h"), bloom)))
+    } else (dupAll, grams)
+    val dupPos = probe.join(dup, Seq("h"), "left_semi")
     // gaps-and-islands: a window [pos, pos+n) starts a new span when it
     // clears the running max end of all earlier windows in the doc
     val ordered = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -342,8 +365,10 @@ object Dedup {
     */
   def removeSubstringSpans(
       df: DataFrame, idCol: Column, textCol: Column,
-      n: Int = 8, minCount: Long = 2, hash64: Boolean = false): DataFrame = {
-    val spans = substringSpans(df, idCol, textCol, n, minCount, hash64)
+      n: Int = 8, minCount: Long = 2, hash64: Boolean = false,
+      bloomPrefilter: Boolean = false): DataFrame = {
+    val spans = substringSpans(df, idCol, textCol, n, minCount, hash64,
+      bloomPrefilter)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"),
         sum(col("span_tokens")).as("n_dropped_tokens"))
@@ -610,6 +635,68 @@ object Dedup {
       .select(col("id"), col("n_lines"),
         (col("n_lines") - size(col("__kept"))).cast("long").as("n_dropped"),
         array_join(col("__kept"), "\n").as("text_clean"))
+  }
+
+  /** [[applyFlaggedLineFilter]] beyond the driver-state bound: the flagged
+    * set stays a DATAFRAME (one LongType hash column — write yesterday's
+    * [[removeBoilerplateLines]] head to parquet, read it back here), and
+    * the subtraction is a join instead of in-expression binary search. Use
+    * when the flagged head outgrows what every executor can comfortably
+    * hold (>10⁷ lines, the open-web regime the collected-array contract
+    * warns about); below that, the expression form is a narrow projection
+    * and strictly cheaper.
+    *
+    * ONE implementation serves batch and Structured Streaming: posexplode →
+    * stream-static LEFT OUTER join on the line hash (static side is
+    * re-planned per micro-batch, so a refreshed parquet flagged set is
+    * picked up without restarting state) → per-doc regroup. The outer join
+    * (not anti) is what keeps fully-flagged documents alive through the
+    * regroup — they must come back as `text_clean = ""`, matching the whole
+    * family — and `posexplode_outer` does the same for empty-array docs.
+    * Null lines are dropped and counted in n_dropped (the family's one null
+    * policy). The regroup is a streaming-compatible aggregation: in a
+    * stream, run it in update mode (each doc's lines land in one
+    * micro-batch, so the first emission is final), or attach a watermark
+    * for append mode.
+    *
+    * Scale posture: the join shuffles (hash, id, pos, line) exploded rows
+    * against the flagged hashes — both data-proportional, no driver state,
+    * no broadcast; AQE's skew split caps hot boilerplate hashes. Output
+    * schema matches [[applyFlaggedLineFilter]] row for row (spec +
+    * 10⁷-flagged-line Stress receipt).
+    */
+  def applyFlaggedLineFilterJoin(
+      df: DataFrame, idCol: Column, linesCol: Column,
+      flagged: DataFrame): DataFrame = {
+    require(flagged.schema.fields.length == 1 &&
+      flagged.schema.fields.head.dataType == org.apache.spark.sql.types.LongType,
+      s"flagged must be a single LongType hash column, got ${flagged.schema}")
+    val spark = df.sparkSession
+    // distinct defensively: a duplicate hash on the build side would
+    // duplicate matched line rows through the outer join and corrupt the
+    // per-doc counts. (removeBoilerplateLines' head is distinct by
+    // construction; a hand-assembled set may not be.)
+    val flaggedH = flagged.toDF("__h").distinct()
+      .withColumn("__flagged", lit(true))
+    val ex = df
+      .select(idCol.as("id"), size(linesCol).as("n_lines"),
+        posexplode_outer(linesCol).as(Seq("__pos", "__line")))
+      .withColumn("__h",
+        when(col("__line").isNotNull,
+          graft.functions.PolyHash.polyStringHash(spark, col("__line"))))
+    val marked = ex.join(flaggedH, Seq("__h"), "left_outer")
+    marked.groupBy(col("id"), col("n_lines"))
+      .agg(
+        count(when(col("__line").isNotNull && col("__flagged").isNull, 1))
+          .as("__n_kept"),
+        array_join(
+          array_sort(collect_list(
+            when(col("__line").isNotNull && col("__flagged").isNull,
+              struct(col("__pos"), col("__line")))))
+            .getField("__line"), "\n").as("text_clean"))
+      .select(col("id"), col("n_lines"),
+        (col("n_lines") - col("__n_kept")).cast("long").as("n_dropped"),
+        col("text_clean"))
   }
 
   /** Within-document duplicate-line collapse: keep the FIRST occurrence of

@@ -436,6 +436,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(surplus.exists(_._1 == 269L)) // the documented wild-caught pair
   }
 
+  test("substringSpans: bloom prefilter is row-identical and probes before the semi-join") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    for (h64 <- Seq(false, true)) {
+      val plain = Dedup.substringSpans(docs, col("doc_id"), col("text"),
+          n = 8, hash64 = h64)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      val bloomed = Dedup.substringSpans(docs, col("doc_id"), col("text"),
+        n = 8, hash64 = h64, bloomPrefilter = true)
+      assert(bloomed.as[(Long, Int, Int, Int)].collect().toSet == plain)
+      // the probe sits in the plan (scan-side, before the semi-join exchange)
+      val phys = bloomed.queryExecution.executedPlan.toString
+      assert(phys.contains("bloom_might_contain"), phys.take(2000))
+    }
+  }
+
   test("removeSubstringSpans drops exactly the duplicated tokens") {
     val docs = Seq(
       (1L, "it was the quick brown fox jumps high today"),

@@ -303,6 +303,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("applyFlaggedLineFilterJoin == applyFlaggedLineFilter incl. edge docs (batch)") {
+    import spark.implicits._
+    // the family's edge cases: fully-flagged doc, empty lines array, null line
+    val corpus = Seq(
+      (0L, Seq("COOKIE BANNER", "real content zero", "TERMS FOOTER")),
+      (1L, Seq("COOKIE BANNER", "real content one", "TERMS FOOTER")),
+      (2L, Seq("COOKIE BANNER", "real content two")),
+      (3L, Seq("COOKIE BANNER", "TERMS FOOTER")),
+      (4L, Seq.empty[String]),
+      (5L, Seq("real content five", null))
+    ).toDF("doc_id", "lines")
+    val flagged = graft.operators.Dedup.flaggedLineHashes(
+      corpus, col("doc_id"), col("lines"), minDocs = 3)
+    val exprForm = graft.operators.Dedup.applyFlaggedLineFilter(
+        corpus, col("doc_id"), col("lines"), flagged)
+      .as[(Long, Int, Long, String)].collect().toSet
+    val joinForm = graft.operators.Dedup.applyFlaggedLineFilterJoin(
+        corpus, col("doc_id"), col("lines"), flagged.toSeq.toDF("h"))
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(joinForm == exprForm)
+    assert(joinForm.contains((3L, 2, 2L, "")))  // fully-flagged survives empty
+    assert(joinForm.contains((4L, 0, 0L, "")))  // empty array survives
+    assert(joinForm.contains((5L, 2, 1L, "real content five"))) // null dropped+counted
+    // duplicate hashes on the build side must not corrupt counts
+    val dupFlagged = (flagged ++ flagged).toSeq.toDF("h")
+    assert(graft.operators.Dedup.applyFlaggedLineFilterJoin(
+        corpus, col("doc_id"), col("lines"), dupFlagged)
+      .as[(Long, Int, Long, String)].collect().toSet == exprForm)
+  }
+
+  test("applyFlaggedLineFilterJoin batch == real-doc expression form, and streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("lines"))
+    val flagged = graft.operators.Dedup.flaggedLineHashes(
+      docs, col("doc_id"), col("lines"), minDocs = 50)
+    val flaggedDf = flagged.toSeq.toDF("h")
+    val batchOut = graft.operators.Dedup.applyFlaggedLineFilterJoin(
+        docs, col("doc_id"), col("lines"), flaggedDf)
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(batchOut == graft.operators.Dedup.applyFlaggedLineFilter(
+        docs, col("doc_id"), col("lines"), flagged)
+      .as[(Long, Int, Long, String)].collect().toSet)
+
+    // the SAME operator over a MemoryStream: stream-static left-outer join
+    // + update-mode regroup (each doc finalizes within its micro-batch)
+    val rows = docs.as[(Long, Seq[String])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = graft.operators.Dedup.applyFlaggedLineFilterJoin(
+        stream.toDF.toDF("doc_id", "lines"), col("doc_id"), col("lines"),
+        flaggedDf)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("flagged_join_stream").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT id, n_lines, n_dropped, text_clean FROM flagged_join_stream")
+        .as[(Long, Int, Long, String)].collect().toSet
+      assert(streamed == batchOut)
+    } finally q.stop()
+  }
+
   test("applyFlaggedLineFilter batch output == removeBoilerplateLines on real docs") {
     import spark.implicits._
     val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
