@@ -136,10 +136,12 @@ object PolyHash {
     * `TextFunctions.tokenHash` in one compiled pass, so line shuffles carry
     * 8-byte keys instead of line strings.
     */
-  def polyStringHash(spark: SparkSession, c: Column): Column = {
+  def polyStringHash(spark: SparkSession, c: Column,
+      hash61: Boolean = false): Column = {
+    val name = if (hash61) "graft_poly_string_hash61" else "graft_poly_string_hash"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_poly_string_hash", exprs => PolyStringHash(exprs.head), "built-in")
-    org.apache.spark.sql.functions.call_function("graft_poly_string_hash", c)
+      name, exprs => PolyStringHash(exprs.head, hash61), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
   }
 
   /** Column bridge for the compiled first-occurrence line filter (the
@@ -161,11 +163,16 @@ object PolyHash {
     * codebook pattern — so the filter is a narrow stream-safe projection:
     * no join, identical plan in batch and Structured Streaming.
     */
-  def polyDropFlagged(spark: SparkSession, arr: Column, flagged: Array[Long]): Column = {
+  def polyDropFlagged(spark: SparkSession, arr: Column, flagged: Array[Long],
+      hash61: Boolean = false): Column = {
     val sorted = flagged.clone(); java.util.Arrays.sort(sorted)
-    val name = s"graft_poly_drop_flagged_${java.util.Arrays.hashCode(sorted)}"
+    val mode = if (hash61) "61" else ""
+    // hex digest: Arrays.hashCode can be negative and '-' is unparseable
+    // in a registry function name
+    val name = s"graft_poly_drop_flagged${mode}_" +
+      java.lang.Integer.toHexString(java.util.Arrays.hashCode(sorted))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => PolyDropFlagged(exprs.head, sorted), "built-in")
+      name, exprs => PolyDropFlagged(exprs.head, sorted, hash61), "built-in")
     org.apache.spark.sql.functions.call_function(name, arr)
   }
 
@@ -358,19 +365,28 @@ case class PolyGramHashes61(child: Expression, k: Int)
   * `TextFunctions.tokenHash(col)` (equality asserted in spec). The oracle
   * mirror is `polyHashSql(line)`.
   */
-case class PolyStringHash(child: Expression)
+/** @param hash61 fold mod the Mersenne prime 2⁶¹−1 (multiplier 131)
+  * instead of poly31 — the collision-hardened sizing the substring-span
+  * family already carries (q135), still DuckDB-replayable in HUGEINT.
+  * At 10⁷ flagged line hashes the poly31 space (~2³⁰) false-drops ~1% of
+  * unique lines (measured in the r7 flaggedjoin receipt); the 61-bit fold
+  * makes that ≈ G²/2⁶² — negligible at any realistic head size.
+  */
+case class PolyStringHash(child: Expression, hash61: Boolean = false)
     extends UnaryExpression with RefKernelCodegen {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
-  override def prettyName: String = "poly_string_hash"
+  override def prettyName: String =
+    if (hash61) "poly_string_hash61" else "poly_string_hash"
 
   override protected def withNewChildInternal(newChild: Expression): PolyStringHash =
     copy(child = newChild)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    PolyHash.foldString(s, 0, s.length, PolyHash.M1, PolyHash.P1, 0L)
+    if (hash61) PolyHash.foldString61(s, 0, s.length, 0L)
+    else PolyHash.foldString(s, 0, s.length, PolyHash.M1, PolyHash.P1, 0L)
   }
 }
 
@@ -418,13 +434,15 @@ case class PolyFirstOccurrence(child: Expression)
   * flagged set comes from a batch [[graft.operators.Dedup.flaggedLineHashes]]
   * pass, this expression applies it without a join.
   */
-case class PolyDropFlagged(child: Expression, flagged: Array[Long])
+case class PolyDropFlagged(child: Expression, flagged: Array[Long],
+    hash61: Boolean = false)
     extends UnaryExpression with RefKernelCodegen {
 
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StringType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "poly_drop_flagged"
+  override def prettyName: String =
+    if (hash61) "poly_drop_flagged61" else "poly_drop_flagged"
 
   override protected def withNewChildInternal(newChild: Expression): PolyDropFlagged =
     copy(child = newChild)
@@ -439,7 +457,9 @@ case class PolyDropFlagged(child: Expression, flagged: Array[Long])
       if (!arr.isNullAt(i)) {
         val u = arr.getUTF8String(i)
         val s = u.toString
-        val h = PolyHash.foldString(s, 0, s.length, PolyHash.M1, PolyHash.P1, 0L)
+        val h =
+          if (hash61) PolyHash.foldString61(s, 0, s.length, 0L)
+          else PolyHash.foldString(s, 0, s.length, PolyHash.M1, PolyHash.P1, 0L)
         if (java.util.Arrays.binarySearch(flagged, h) < 0) { kept(m) = u; m += 1 }
       }
       i += 1

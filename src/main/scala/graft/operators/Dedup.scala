@@ -477,9 +477,17 @@ object Dedup {
     *   exists (base side), so a pipeline keeping e.g. its `lang` column
     *   pays ZERO additional exchanges for it.
     */
+  /** @param hash64 same collision-hardening knob as [[substringSpans]]:
+    *   fold lines mod 2⁶¹−1 (poly131) instead of poly31. The poly31 head
+    *   is exact in the oracle-checked regime, but at web scale a ≥10⁷-line
+    *   flagged head in a ~2³⁰ space false-drops ~1% of unique lines
+    *   (measured, SCALE.md flaggedjoin receipt); the 61-bit fold is the
+    *   production sizing and is STILL DuckDB-replayable (q160).
+    */
   def removeBoilerplateLines(
       df: DataFrame, idCol: Column, linesCol: Column,
-      minDocs: Int, carry: Seq[(String, Column)] = Nil): DataFrame = {
+      minDocs: Int, carry: Seq[(String, Column)] = Nil,
+      hash64: Boolean = false): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2")
     val spark = df.sparkSession
     val base = df.select(
@@ -495,7 +503,7 @@ object Dedup {
       // paths disagreed on n_dropped for null-bearing arrays.
       .filter(col("__line").isNotNull)
       .withColumn("__h",
-        graft.functions.PolyHash.polyStringHash(spark, col("__line")))
+        graft.functions.PolyHash.polyStringHash(spark, col("__line"), hash64))
     // distinct (id, hash) before the count → partial agg collapses a doc's
     // repeated lines map-side; the exchange then carries each (doc, line)
     // pair once.
@@ -605,12 +613,14 @@ object Dedup {
     * as a broadcast join.
     */
   def flaggedLineHashes(
-      df: DataFrame, idCol: Column, linesCol: Column, minDocs: Int): Array[Long] = {
+      df: DataFrame, idCol: Column, linesCol: Column, minDocs: Int,
+      hash64: Boolean = false): Array[Long] = {
     require(minDocs >= 2, "minDocs must be >= 2")
     val spark = df.sparkSession
     df.select(idCol.as("__id"), explode(linesCol).as("__line"))
       .select(col("__id"),
-        graft.functions.PolyHash.polyStringHash(spark, col("__line")).as("__h"))
+        graft.functions.PolyHash.polyStringHash(spark, col("__line"), hash64)
+          .as("__h"))
       .distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
@@ -626,11 +636,12 @@ object Dedup {
     */
   def applyFlaggedLineFilter(
       df: DataFrame, idCol: Column, linesCol: Column,
-      flagged: Array[Long]): DataFrame = {
+      flagged: Array[Long], hash64: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     df.select(idCol.as("id"), linesCol.as("__lines"))
       .select(col("id"), size(col("__lines")).as("n_lines"),
-        graft.functions.PolyHash.polyDropFlagged(spark, col("__lines"), flagged)
+        graft.functions.PolyHash
+          .polyDropFlagged(spark, col("__lines"), flagged, hash64)
           .as("__kept"))
       .select(col("id"), col("n_lines"),
         (col("n_lines") - size(col("__kept"))).cast("long").as("n_dropped"),
@@ -667,7 +678,7 @@ object Dedup {
     */
   def applyFlaggedLineFilterJoin(
       df: DataFrame, idCol: Column, linesCol: Column,
-      flagged: DataFrame): DataFrame = {
+      flagged: DataFrame, hash64: Boolean = false): DataFrame = {
     require(flagged.schema.fields.length == 1 &&
       flagged.schema.fields.head.dataType == org.apache.spark.sql.types.LongType,
       s"flagged must be a single LongType hash column, got ${flagged.schema}")
@@ -678,12 +689,19 @@ object Dedup {
     // construction; a hand-assembled set may not be.)
     val flaggedH = flagged.toDF("__h").distinct()
       .withColumn("__flagged", lit(true))
-    val ex = df
-      .select(idCol.as("id"), size(linesCol).as("n_lines"),
-        posexplode_outer(linesCol).as(Seq("__pos", "__line")))
+    // Materialize the lines array ONCE before exploding: a computed
+    // linesCol (e.g. a token-chunk transform) referenced directly in the
+    // post-Generate projection is re-evaluated per exploded ROW — the
+    // per-doc work goes quadratic in line count (observed 80× on q159's
+    // first bench run). The same base-projection discipline as
+    // removeBoilerplateLines.
+    val base = df.select(idCol.as("id"), linesCol.as("__lines"))
+    val ex = base
+      .select(col("id"), size(col("__lines")).as("n_lines"),
+        posexplode_outer(col("__lines")).as(Seq("__pos", "__line")))
       .withColumn("__h",
         when(col("__line").isNotNull,
-          graft.functions.PolyHash.polyStringHash(spark, col("__line"))))
+          graft.functions.PolyHash.polyStringHash(spark, col("__line"), hash64)))
     val marked = ex.join(flaggedH, Seq("__h"), "left_outer")
     marked.groupBy(col("id"), col("n_lines"))
       .agg(

@@ -108,6 +108,17 @@ object AnalyticsQueries {
         hash64 = true)
     }),
 
+    // q135 under the beyond-broadcast Bloom-prefilter notch (r6 verdict
+    // #7): the dup-gram set folds into a Bloom filter probed at the gram
+    // projection, BEFORE the semi-join's probe exchange; the exact
+    // semi-join behind it keeps output row-identical, so the oracle IS
+    // q135's SQL — this row pins that invisibility hash-for-hash (the
+    // 10M-doc shuffle-cut receipt is in SCALE.md).
+    "q158_substring_spans_bloom" -> ((s, dir) => {
+      Dedup.substringSpans(docs(s, dir), col("doc_id"), col("text"), n = 8,
+        hash64 = true, bloomPrefilter = true)
+    }),
+
     // Brute-force cosine top-5 for query vectors vec_id < 20.
     "q42_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -538,6 +549,10 @@ object AnalyticsQueries {
     // checked hash-for-hash (r6 verdict #1 — this was the one unchecked
     // hash surface).
     "q135_substring_spans64" ->
+      substringSpansSql(polyHash61Sql("array_to_string(toks[i:i+7], ' ')")),
+    // The Bloom prefilter is correctness-invisible by construction (exact
+    // semi-join behind the probe), so q158 replays q135's oracle verbatim.
+    "q158_substring_spans_bloom" ->
       substringSpansSql(polyHash61Sql("array_to_string(toks[i:i+7], ' ')")),
     "q36_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,

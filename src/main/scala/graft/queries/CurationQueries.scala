@@ -50,6 +50,41 @@ object CurationQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // q121's subtraction in the beyond-broadcast JOIN form (r6 verdict
+    // #8): the flagged head is computed DISTRIBUTIVELY as a DataFrame
+    // (never collected, never broadcast-as-expression-state) and applied
+    // by applyFlaggedLineFilterJoin — posexplode → left-outer hash join →
+    // per-doc regroup, the same code path that runs stream-static in
+    // Structured Streaming. 4-token chunks at minDocs=3 so the row is
+    // independent of q121's sizing.
+    "q159_flagged_line_join" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lines = tokenChunkLines(col("text"), 4)
+      val head = d
+        .select(col("doc_id"),
+          explode(lines).as("__line"))
+        .select(col("doc_id"),
+          graft.functions.PolyHash.polyStringHash(s, col("__line")).as("h"))
+        .distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select(col("h"))
+      Dedup.applyFlaggedLineFilterJoin(d, col("doc_id"), lines, head)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // q121's PRODUCTION hash sizing (hash64 = true): lines fold mod the
+    // Mersenne prime 2⁶¹−1 — the mode a web-scale flagged head must run
+    // (a ≥10⁷-line head in poly31's ~2³⁰ space false-drops ~1% of unique
+    // lines; measured in SCALE.md's flaggedjoin receipt). Same HUGEINT
+    // replay discipline as q135, so the hardened mode is oracle-checked
+    // hash-for-hash.
+    "q160_boilerplate_lines64" -> ((s, dir) => {
+      Dedup.removeBoilerplateLines(
+          docs(s, dir), col("doc_id"), tokenChunkLines(col("text"), 3),
+          minDocs = 5, hash64 = true)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Within-doc duplicate-line collapse: 2-token chunk "lines", first
     // occurrence kept in original order.
     "q122_line_dedup_doc" -> ((s, dir) => {
@@ -356,6 +391,48 @@ object CurationQueries {
          e AS (SELECT doc_id, u.i AS pos, lines[u.i + 1] AS line
            FROM d, unnest(range(0, len(lines))) AS u(i)),
          h AS (SELECT doc_id, pos, line, ${polyHashSqlLine("line")} AS lh FROM e),
+         f AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM h)
+           GROUP BY lh HAVING COUNT(*) >= 5),
+         k AS (SELECT h.doc_id, h.pos, h.line FROM h
+           LEFT JOIN f ON h.lh = f.lh WHERE f.lh IS NULL),
+         a AS (SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean
+           FROM k GROUP BY doc_id)
+         SELECT d.doc_id, len(d.lines) AS n_lines,
+           len(d.lines) - COALESCE(a.n_kept, 0) AS n_dropped,
+           COALESCE(a.text_clean, '') AS text_clean
+         FROM d LEFT JOIN a USING (doc_id)""",
+
+    // Same relational shape as q121 (the flagged head as a plain
+    // HAVING-count CTE and a null-preserving left join IS the join form)
+    // at the independent 4-chunk / minDocs=3 sizing.
+    "q159_flagged_line_join" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         d AS (SELECT doc_id, ${chunkLinesSql(4)} AS lines FROM t),
+         e AS (SELECT doc_id, u.i AS pos, lines[u.i + 1] AS line
+           FROM d, unnest(range(0, len(lines))) AS u(i)),
+         h AS (SELECT doc_id, pos, line, ${polyHashSqlLine("line")} AS lh FROM e),
+         f AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM h)
+           GROUP BY lh HAVING COUNT(*) >= 3),
+         k AS (SELECT h.doc_id, h.pos, h.line FROM h
+           LEFT JOIN f ON h.lh = f.lh WHERE f.lh IS NULL),
+         a AS (SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean
+           FROM k GROUP BY doc_id)
+         SELECT d.doc_id, len(d.lines) AS n_lines,
+           len(d.lines) - COALESCE(a.n_kept, 0) AS n_dropped,
+           COALESCE(a.text_clean, '') AS text_clean
+         FROM d LEFT JOIN a USING (doc_id)""",
+
+    // q121's CTE chain with the 61-bit Mersenne line fold (HUGEINT
+    // replay, same discipline as q135's gram fold).
+    "q160_boilerplate_lines64" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         d AS (SELECT doc_id, ${chunkLinesSql(3)} AS lines FROM t),
+         e AS (SELECT doc_id, u.i AS pos, lines[u.i + 1] AS line
+           FROM d, unnest(range(0, len(lines))) AS u(i)),
+         h AS (SELECT doc_id, pos, line,
+           ${AnalyticsQueries.polyHash61Sql("line")} AS lh FROM e),
          f AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM h)
            GROUP BY lh HAVING COUNT(*) >= 5),
          k AS (SELECT h.doc_id, h.pos, h.line FROM h

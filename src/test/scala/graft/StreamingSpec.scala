@@ -368,6 +368,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("line-family hash64 mode: all application forms agree; == poly31 off-collision") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("lines"))
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "n_lines", "n_dropped", "text_clean")
+      .as[(Long, Int, Long, String)].collect().toSet
+    val hardened = collect(graft.operators.Dedup.removeBoilerplateLines(
+      docs, col("doc_id"), col("lines"), minDocs = 50, hash64 = true))
+    // single-token lines over a small vocabulary: far from poly31's
+    // birthday horizon, so the 61-bit mode must agree exactly
+    assert(hardened == collect(graft.operators.Dedup.removeBoilerplateLines(
+      docs, col("doc_id"), col("lines"), minDocs = 50)))
+    val flagged64 = graft.operators.Dedup.flaggedLineHashes(
+      docs, col("doc_id"), col("lines"), minDocs = 50, hash64 = true)
+    assert(flagged64.nonEmpty)
+    // 61-bit hashes leave the poly31 range for multi-char lines
+    assert(flagged64.exists(_ > 1000000007L))
+    assert(collect(graft.operators.Dedup.applyFlaggedLineFilter(
+      docs, col("doc_id"), col("lines"), flagged64, hash64 = true)) == hardened)
+    assert(collect(graft.operators.Dedup.applyFlaggedLineFilterJoin(
+      docs, col("doc_id"), col("lines"), flagged64.toSeq.toDF("h"),
+      hash64 = true)) == hardened)
+  }
+
   test("applyFlaggedLineFilter batch output == removeBoilerplateLines on real docs") {
     import spark.implicits._
     val docs = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
