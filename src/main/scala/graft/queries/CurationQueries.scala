@@ -372,7 +372,7 @@ object CurationQueries {
   /** log2fp CTE stage over a (key, m) input CTE: emits `e` then `tt` then
     * the joined fixed-point value — textually parallel with Log2Fixed.
     */
-  private def log2fpStages(src: String, keyCols: String, m: String,
+  private[queries] def log2fpStages(src: String, keyCols: String, m: String,
       out: String, pfx: String): String =
     s"""${pfx}x AS (SELECT $keyCols, $m AS __m, length(bin($m)) - 1 AS e FROM $src),
        ${pfx}t AS (SELECT $keyCols, e,

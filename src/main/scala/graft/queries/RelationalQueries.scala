@@ -185,9 +185,84 @@ object RelationalQueries {
               x => concat(x.getField("l_linenumber").cast("string"), lit(":"),
                 x.getField("l_partkey").cast("string"))), ",").as("items"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // Pivot (engine capability beyond the reference, like q11/q12): order
+    // status columns per priority. Explicit pivot values — an inferred
+    // value list would be a driver-side distinct scan; money sums ride
+    // DECIMAL so the aggregate is partition-order invariant. Compiles to
+    // ONE hash aggregate (PivotFirst), not one pass per status.
+    "q162_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("rev"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Unpivot / melt — the inverse reshape, lossless long form of two
+    // measure columns (a narrow Expand projection: no shuffle, rows×2).
+    "q163_unpivot_part" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("retailprice"),
+          col("p_size").cast("double").as("size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retailprice"), col("size")), "attr", "val")
+    }),
+
+    // Parquet AGGREGATE pushdown: MIN/MAX/COUNT answered from row-group
+    // statistics — a metadata-only scan that never decodes data pages. At
+    // 100 TB this turns a corpus profile into a footer read. Needs the
+    // DSv2 parquet path; both flags are scoped to an isolated session
+    // (the compactParquet lesson: never mutate the shared one). Numeric
+    // columns only: ONE unsupported aggregate type (e.g. a timestamp
+    // min) disables pushdown for the whole scan, so the profile sticks
+    // to the stats-backed types — EntropyAggSpec pins a non-empty
+    // `PushedAggregation` in the scan and value-equality with the
+    // ordinary v1 aggregate.
+    "q165_agg_pushdown" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      t(s2, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q162_pivot_status" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O'
+           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O_rev,
+         CASE WHEN COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) = 0 THEN NULL
+           ELSE COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) END AS O_n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F_rev,
+         CASE WHEN COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) = 0 THEN NULL
+           ELSE COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) END AS F_n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P'
+           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P_rev,
+         CASE WHEN COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) = 0 THEN NULL
+           ELSE COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) END AS P_n
+         FROM orders GROUP BY o_orderpriority""",
+    "q163_unpivot_part" ->
+      """SELECT p_partkey, 'retailprice' AS attr,
+           CAST(p_retailprice AS DOUBLE) AS val FROM part
+         UNION ALL
+         SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part""",
+    "q165_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_rows,
+         MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+         FROM lineitem""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -202,6 +202,40 @@ object TrainingQueries {
         .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
     }),
 
+    // DSIR data selection (Xie et al. 2023): hashed uni+bigram
+    // log-likelihood ratio between the English target slice and the full
+    // pool, fixed-point log2 end to end (Log2Fixed — the q102 kernel), so
+    // the oracle replays every per-bucket delta and per-doc sum exactly.
+    // Selection = deterministic top-100 (the paper's temperature→0 limit);
+    // the engine's flag comes from a WindowGroupLimit-compiled quota +
+    // one-row broadcast cutoff, never a full-pool sort — the oracle's
+    // ROW_NUMBER form is the semantics, not the plan.
+    "q161_dsir_selection" -> ((s, dir) => {
+      import graft.operators.Dsir
+      val d = docs(s, dir)
+      val target = Dsir.bucketCounts(d.filter(col("lang") === "en"), col("text"))
+      val raw = Dsir.bucketCounts(d, col("text"))
+      val delta = Dsir.logRatioTable(target, raw)
+      val scored = Dsir.importanceWeights(d, col("doc_id"), col("text"), delta)
+      Dsir.selectQuota(scored, col("log_ratio"), col("doc_id"), quota = 100)
+        .select(col("doc_id"), col("n_grams"), col("sum_fp"),
+          col("log_ratio"), col("selected"))
+    }),
+
+    // Character-entropy quality signal: Shannon entropy of the codepoint
+    // distribution per doc (binary-spill / mojibake / keyboard-mash
+    // detector), in fixed-point log2 — one compiled map-side pass, every
+    // intermediate an exact integer the oracle replays (q102 discipline).
+    "q164_char_entropy" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.CharEntropy.expr(col("text")).as("e"))
+        .select(col("doc_id"), col("e.n_chars").as("n_chars"),
+          col("e.ent_fp").as("ent_fp"),
+          when(col("e.n_chars") > 0,
+            round(col("e.ent_fp") / (col("e.n_chars") * lit(1048576.0)), 6))
+            .as("entropy_bits"))
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -228,7 +262,77 @@ object TrainingQueries {
     ((BigInt(graft.operators.Sampling.Knuth) * 3) mod
       BigInt(graft.operators.Sampling.Prime)).toLong
 
+  /** Unigram + bigram poly31 hash list of `toks` — the SQL mirror of
+    * DsirScore's gram fold (PolyGramHashes k=1 ++ k=2).
+    */
+  private def dsirGramsSql(toks: String): String =
+    s"list_concat(" +
+      s"list_transform($toks, tk -> ${CurationQueries.polyHashSqlLine("tk")}), " +
+      s"CASE WHEN len($toks) < 2 THEN CAST([] AS BIGINT[]) ELSE " +
+      s"list_transform(range(1, len($toks)), i -> " +
+      s"${CurationQueries.polyHashSqlLine(s"($toks[i] || ' ' || $toks[i+1])")}) END)"
+
   val oracles: Map[String, String] = Map(
+    "q164_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id,
+             unnest(list_transform(string_split(text, ''), c -> ord(c))) AS cp
+           FROM documents WHERE length(text) > 0),
+         cnt AS (SELECT doc_id, cp, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nn
+           FROM cnt GROUP BY 1),
+         ${graft.functions.Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("cnt", "doc_id, cp", "n", "lgc", "pc")},
+         ${CurationQueries.log2fpStages("tot", "doc_id", "nn", "lgn", "pn")},
+         s AS (SELECT c.doc_id, SUM(c.n * (pnl.lgn - pcl.lgc)) AS ent
+           FROM cnt c
+           JOIN pcl ON c.doc_id = pcl.doc_id AND c.cp = pcl.cp
+           JOIN pnl ON c.doc_id = pnl.doc_id
+           GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(tot.nn, 0) AS INT) AS n_chars,
+           CAST(COALESCE(s.ent, 0) AS BIGINT) AS ent_fp,
+           CASE WHEN COALESCE(tot.nn, 0) > 0 THEN
+             ROUND(CAST(s.ent AS DOUBLE) / (tot.nn * 1048576.0), 6) END
+             AS entropy_bits
+         FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN s USING (doc_id)""",
+    "q161_dsir_selection" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         ex AS (SELECT doc_id, lang, unnest(${dsirGramsSql("toks")}) % 4096 AS b
+           FROM t),
+         tcn AS (SELECT b, COUNT(*) AS n FROM ex WHERE lang = 'en' GROUP BY 1),
+         rcn AS (SELECT b, COUNT(*) AS n FROM ex GROUP BY 1),
+         bk AS (SELECT unnest(range(0, 4096)) AS b),
+         cnt AS (SELECT bk.b, COALESCE(tcn.n, 0) + 1 AS tn,
+             COALESCE(rcn.n, 0) + 1 AS rn
+           FROM bk LEFT JOIN tcn ON bk.b = tcn.b LEFT JOIN rcn ON bk.b = rcn.b),
+         ${graft.functions.Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("cnt", "b", "tn", "lgt", "pt")},
+         ${CurationQueries.log2fpStages("cnt", "b", "rn", "lgr", "pr")},
+         tot AS (SELECT 1 AS k,
+             (SELECT COALESCE(SUM(n), 0) FROM tcn) + 4096 AS nt,
+             (SELECT COALESCE(SUM(n), 0) FROM rcn) + 4096 AS nr),
+         ${CurationQueries.log2fpStages("tot", "k, nr", "nt", "lgnt", "qt")},
+         ${CurationQueries.log2fpStages("qtl", "k, lgnt", "nr", "lgnr", "qr")},
+         delta AS (SELECT ptl.b,
+             (ptl.lgt - qrl.lgnt) - (prl.lgr - qrl.lgnr) AS d
+           FROM ptl JOIN prl ON ptl.b = prl.b CROSS JOIN qrl),
+         sm AS (SELECT ex.doc_id, SUM(delta.d) AS sum_fp
+           FROM ex JOIN delta ON ex.b = delta.b GROUP BY 1),
+         r AS (SELECT t.doc_id,
+             CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE 2 * len(toks) - 1 END
+               AS INT) AS n_grams,
+             CAST(COALESCE(sm.sum_fp, 0) AS BIGINT) AS sum_fp,
+             CASE WHEN len(toks) > 0 THEN
+               ROUND(CAST(COALESCE(sm.sum_fp, 0) AS DOUBLE)
+                 / ((2 * len(toks) - 1) * 1048576.0), 6) END AS log_ratio
+           FROM t LEFT JOIN sm USING (doc_id)),
+         rk AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY log_ratio DESC, doc_id) AS rn2
+           FROM r WHERE log_ratio IS NOT NULL)
+         SELECT r.doc_id, r.n_grams, r.sum_fp, r.log_ratio,
+           CAST(CASE WHEN rk.rn2 IS NOT NULL AND rk.rn2 <= 100
+             THEN 1 ELSE 0 END AS INT) AS selected
+         FROM r LEFT JOIN rk USING (doc_id)""",
     "q137_training_shards" ->
       s"""WITH a AS (SELECT doc_id, lang,
              ((doc_id % 2147483647) * 2654435761) % 2147483647 % 16 AS shard,
