@@ -792,6 +792,69 @@ object Stress {
       return
     }
 
+    if (section == "dsir") {
+      // 10M-doc DSIR receipt: 1% of docs are "target-like" (tokens drawn
+      // from a 64-word vocabulary; the rest from a 100k-word one). Train
+      // the target histogram on that slice, the raw histogram on the full
+      // pool, score everything, select a 10k quota. The receipt pins:
+      // (a) wall-clock for both histogram passes and the score+select
+      // pass, (b) shuffle bytes for score+select — which must stay in the
+      // KB range at ANY corpus size: the only exchanges are dim-bounded
+      // bucket partials and the ≤quota-per-partition top-k, (c) the
+      // selection is ≥99% target-like docs (the estimator works).
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_dsir").toString
+      try {
+        val nTok = 12
+        val tgt = (col("id") % 100) === 0
+        val tokens = (0 until nTok).map { j =>
+          val mix = pmod(col("id") * lit(2654435761L) + lit(j * 40503L),
+            lit(2147483647L))
+          when(tgt, concat(lit("t"), pmod(mix, lit(64))))
+            .otherwise(concat(lit("r"), pmod(mix, lit(100000))))
+        }
+        spark.range(0, n, 1, 32)
+          .select(col("id").as("doc_id"), tgt.as("is_tgt"),
+            concat_ws(" ", tokens: _*).as("text"))
+          .write.mode("overwrite").parquet(dir)
+        val docs = spark.read.parquet(dir)
+        var target: Array[Long] = null
+        var raw: Array[Long] = null
+        time(s"dsir_hist_target_${n / 1000000}M") {
+          target = graft.operators.Dsir.bucketCounts(
+            docs.filter(col("is_tgt")), col("text"))
+        }
+        time(s"dsir_hist_raw_${n / 1000000}M") {
+          raw = graft.operators.Dsir.bucketCounts(docs, col("text"))
+        }
+        val delta = graft.operators.Dsir.logRatioTable(target, raw)
+        val quota = 10000
+        var selectedTgt = -1L
+        val (_, sb) = shuffleBytes(spark.sparkContext) {
+          time(s"dsir_score_select_${n / 1000000}M") {
+            val scored = graft.operators.Dsir.importanceWeights(
+              docs, col("doc_id"), col("text"), delta)
+            // is_tgt is derivable from doc_id — a join back to the corpus
+            // here would charge a 10M×10M exchange to the receipt
+            val sel = graft.operators.Dsir.selectQuota(
+                scored, col("log_ratio"), col("doc_id"), quota)
+              .filter(col("selected") === 1)
+            val agg = sel.agg(count(lit(1)),
+                sum((col("doc_id") % 100 === 0).cast("long")))
+              .collect().head
+            require(agg.getLong(0) == quota,
+              s"selected ${agg.getLong(0)} != quota $quota")
+            selectedTgt = agg.getLong(1)
+          }
+        }
+        println(f"[stress] dsir_select_tgt_frac   ${selectedTgt.toDouble / quota}%8.4f")
+        println(f"[stress] dsir_score_shuffle     ${sb / 1024.0}%8.1f KB")
+        require(selectedTgt >= quota * 99L / 100,
+          s"target-like docs in selection: $selectedTgt / $quota")
+      } finally rmrf(dir)
+      spark.stop()
+      return
+    }
+
     if (section == "frequency") {
       // half the stream: 1000 hot items; other half: all-distinct tail.
       // T = n/10k → exactly the hot items qualify; the tail (the part a

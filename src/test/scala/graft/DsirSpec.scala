@@ -110,18 +110,32 @@ class DsirSpec extends AnyFunSuite {
       s"selection should skew toward the target slice: $enRateSel vs $enRateAll")
   }
 
-  test("selection quota compiles to a partial top-k, not a full sort") {
+  test("selectQuota == row_number form at a quota ABOVE both rank thresholds") {
+    // 20k rows, heavy ties, quota 5000 — past windowGroupLimitThreshold
+    // (1000) and at topKSortFallbackThreshold territory, where the
+    // declarative rank forms degrade to a full sort; the manual prune
+    // must keep the same answer.
+    val d = spark.range(0, 20000)
+      .select(col("id").as("doc_id"), (col("id") % 37).cast("double").as("r"))
+    val expect = d.withColumn("__rk",
+        row_number().over(Window.orderBy(col("r").desc, col("doc_id").asc)))
+      .filter(col("__rk") <= 5000).select(col("doc_id"))
+      .as[Long].collect().toSet
+    val got = Dsir.selectQuota(d, col("r"), col("doc_id"), quota = 5000)
+      .filter(col("selected") === 1).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(got == expect)
+  }
+
+  test("selectQuota plan: zero-shuffle prune, no full-pool keyed exchange") {
     val d = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "documents")
       .select(col("doc_id"), (col("doc_id") % 97).cast("double").as("r"))
-    val ranked = d.filter(col("r").isNotNull)
-      .withColumn("__rk", row_number().over(Window.orderBy(col("r").desc, col("doc_id").asc)))
-      .filter(col("__rk") <= 10)
-    // An empty partition spec lets the optimizer go PAST WindowGroupLimit
-    // to TakeOrderedAndProject — per-partition bounded heaps, merged on
-    // the driver side; either operator keeps the exchange at ≤ k rows per
-    // partition. A bare global Sort would be the scale-killer.
-    val plan = ranked.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
-      plan.take(2000))
+    val out = Dsir.selectQuota(d, col("r"), col("doc_id"), quota = 5000)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // prune = local sort + mapPartitions take; cutoff rides a broadcast;
+    // a hashpartitioning exchange anywhere would mean the pool reshuffled
+    assert(plan.contains("MapPartitions"), plan.take(2500))
+    assert(!plan.contains("hashpartitioning("), plan.take(2500))
   }
 }
