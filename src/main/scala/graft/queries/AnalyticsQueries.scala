@@ -171,6 +171,19 @@ object AnalyticsQueries {
         graft.functions.PolyHash.polySimHash(s, col("text")).as("simhash"))
     }),
 
+    // Hyperplane-LSH signature (signed random projections, Charikar
+    // 2002): the cosine analog of q46's text SimHash, over embeddings —
+    // near vectors flip few bits, so embedding near-dup rides the SAME
+    // banded hamming machinery as image/audio/text signatures with no
+    // clustering pass and no pair quadratic. Milli-quantized dots +
+    // closed-form integer hyperplanes keep every bit oracle-exact; the
+    // LSH property itself (within-label hamming < cross-label) is pinned
+    // by HyperplaneSpec on this very table.
+    "q166_hyperplane_sig" -> ((s, dir) => {
+      emb(s, dir).select(col("vec_id"),
+        graft.functions.HyperplaneSig.expr(col("embedding"), dim = 64).as("sig"))
+    }),
+
     // The operator a training pipeline actually runs: LSH pairs →
     // connected components → keep each cluster's min id. Oracle-checked
     // END TO END — the DuckDB side rebuilds the portable LSH pipeline and
@@ -373,6 +386,17 @@ object AnalyticsQueries {
     }.mkString("[", ",\n             ", "]")
 
   /** 60-bit portable SimHash as a sum of per-bit vote terms (PolySimHash). */
+  /** 60-bit hyperplane signature — SQL mirror of HyperplaneSig: bit k =
+    * [Σ_i q(v_i)·c(k,i) > 0] with c(k,i) the Knuth-hash coefficient and
+    * q the milli-quantization (`qv` is the quantized BIGINT[] column).
+    */
+  private def hyperplaneSigSql(qv: String, dim: Int): String =
+    (0 until 60).map { k =>
+      s"CASE WHEN COALESCE(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+        s"$qv[i] * ((($k*$dim + i - 1) * 2654435761) % 2147483647 % 2001 - 1000))), 0) > 0 " +
+        s"THEN ${1L << k} ELSE 0 END"
+    }.mkString("(", "\n           + ", ")")
+
   private def simhashSql(h1s: String, h2s: String): String =
     (0 until 60).map { j =>
       val (hs, b) = if (j < 30) (h1s, j) else (h2s, j - 30)
@@ -631,6 +655,13 @@ object AnalyticsQueries {
          SELECT id_a, id_b,
            ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
          FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
+    "q166_hyperplane_sig" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings)
+         SELECT vec_id, ${hyperplaneSigSql("qv", 64)} AS sig
+         FROM e""",
     "q46_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          h AS (SELECT doc_id,

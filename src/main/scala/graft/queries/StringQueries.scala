@@ -20,6 +20,31 @@ object StringQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Blocked fuzzy join — the entity-resolution shape behind the
+    // reference's enterprise-name matching (S12, 多数据源获取数据.py:1673-1703):
+    // dirty variants (one deleted character, derived deterministically
+    // from customer names — tables ship no dirty strings) matched back by
+    // a 16-char blocking prefix + Levenshtein ≤ 1. The blocking equi-join
+    // bounds the edit-distance quadratic to block-size² (the classic ER
+    // blocking move; bigger/dirtier blocks would graduate to
+    // sorted-neighborhood or canopies). Spark and DuckDB both implement
+    // unit-cost Levenshtein, so every distance is oracle-exact.
+    "q167_fuzzy_blocked_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      // delete char 17 (even keys) or 18 (odd): both leave chars 1-16 —
+      // the blocking prefix — intact
+      val variants = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey").as("vid"),
+          when(pmod(col("c_custkey"), lit(2)) === 0,
+            concat(substring(col("c_name"), 1, 16), substring(col("c_name"), 18, 5)))
+            .otherwise(substring(col("c_name"), 1, 17)).as("vname"))
+      variants
+        .join(c, substring(col("vname"), 1, 16) === substring(col("c_name"), 1, 16))
+        .withColumn("dist", levenshtein(col("vname"), col("c_name")))
+        .filter(col("dist") <= 1)
+        .select(col("vid"), col("c_custkey").as("cand_key"), col("dist"))
+    }),
+
     // F6 query templating with include/exclude site filters
     // (多数据源获取链接.py:489-640 shape).
     "q26_query_template" -> ((s, dir) => {
@@ -374,6 +399,17 @@ object StringQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q167_fuzzy_blocked_join" ->
+      """WITH v AS (SELECT c_custkey AS vid,
+             CASE WHEN c_custkey % 2 = 0
+               THEN substr(c_name, 1, 16) || substr(c_name, 18, 5)
+               ELSE substr(c_name, 1, 17) END AS vname
+           FROM customer WHERE c_custkey % 10 = 0)
+         SELECT v.vid, c.c_custkey AS cand_key,
+           levenshtein(v.vname, c.c_name) AS dist
+         FROM v JOIN customer c
+           ON substr(v.vname, 1, 16) = substr(c.c_name, 1, 16)
+         WHERE levenshtein(v.vname, c.c_name) <= 1""",
     "q95_region_parse" -> regionParseSql,
     "q91_html_extract" ->
       """WITH h AS (SELECT doc_id,
