@@ -236,6 +236,19 @@ object TrainingQueries {
             .as("entropy_bits"))
     }),
 
+    // BPE-with-a-trained-table token accounting: top-64 adjacent
+    // codepoint pairs by corpus frequency (rank tie → pair asc), then a
+    // single-rank greedy merge pass per word. The unit every training
+    // budget keys off (packing, truncation, quotas) — q57's regex
+    // tokenizer counts splits, this counts learned subwords. The oracle
+    // retrains the table and replays every merge with a list_reduce fold.
+    "q168_bpe_tokens" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val d = docs(s, dir)
+      val merges = Bpe.trainMerges(d, col("text"), m = 64)
+      Bpe.tokenCounts(d, col("doc_id"), col("text"), merges)
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -273,6 +286,31 @@ object TrainingQueries {
       s"${CurationQueries.polyHashSqlLine(s"($toks[i] || ' ' || $toks[i+1])")}) END)"
 
   val oracles: Map[String, String] = Map(
+    "q168_bpe_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         pw AS (SELECT unnest(flatten(list_transform(toks, w ->
+             CASE WHEN length(w) >= 2
+               THEN list_transform(range(1, length(w)), i -> substr(w, i, 2))
+               ELSE [] END))) AS pair
+           FROM t),
+         cnt AS (SELECT pair, COUNT(*) AS n FROM pw GROUP BY 1),
+         top AS (SELECT pair FROM (SELECT pair,
+             ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk FROM cnt)
+           WHERE rk <= 64),
+         ml AS (SELECT list(pair) AS ms FROM top),
+         sc AS (SELECT doc_id,
+             CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+               AS INT) AS n_chars,
+             CAST(COALESCE(list_sum(list_transform(toks, w ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, length(w) + 1)),
+                 (acc, i) -> CASE
+                   WHEN acc % 2 = 1 THEN (acc // 2) * 2
+                   WHEN i < length(w) AND list_contains(ms, substr(w, i, 2))
+                     THEN (acc // 2 + 1) * 2 + 1
+                   ELSE (acc // 2 + 1) * 2 END) // 2)), 0) AS INT) AS n_tokens
+           FROM t CROSS JOIN ml)
+         SELECT doc_id, n_chars, n_tokens, n_chars - n_tokens AS n_merges
+         FROM sc""",
     "q164_char_entropy" ->
       s"""WITH ch AS (SELECT doc_id,
              unnest(list_transform(string_split(text, ''), c -> ord(c))) AS cp
