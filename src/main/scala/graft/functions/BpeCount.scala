@@ -70,15 +70,15 @@ case class BpeCount(child: Expression, merges: Seq[String])
 
 object BpeCount {
 
-  /** 64-bit content digest for plan rendering / registry names; length
-    * prefix + unit separator keep ["ab","c"] distinct from ["a","bc"].
+  /** Content digest for plan rendering / registry names ([[Digests]]).
+    * PER-ELEMENT length prefixes make the serialization unambiguous for
+    * arbitrary entries (a join-separator alone collides when an entry
+    * contains the separator -- trained 2-codepoint tables can't, but the
+    * public constructor accepts any strings).
     */
-  def mergesDigest(merges: Seq[String]): String = {
-    val serialized = merges.length + ":" + merges.mkString("\u0001")
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(serialized.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-  }
+  def mergesDigest(merges: Seq[String]): String =
+    Digests.content(
+      merges.length + ":" + merges.map(m => m.length + "," + m).mkString("|"))
 
   /** Column bridge; registry name carries the table digest. */
   def expr(c: Column, merges: Seq[String]): Column = {

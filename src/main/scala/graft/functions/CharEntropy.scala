@@ -39,22 +39,21 @@ case class CharEntropy(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     if (s.isEmpty) return InternalRow(0, 0L)
-    val counts = new java.util.HashMap[Integer, Integer](64)
-    var n = 0
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      counts.merge(Integer.valueOf(cp), Integer.valueOf(1),
-        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
-      n += 1
-      i += Character.charCount(cp)
-    }
+    // sort-and-count-runs: zero boxing on the per-char hot path (the
+    // PolyHash deferred-mod discipline) — an int sort groups equal
+    // codepoints, one linear pass folds the entropy sum
+    val cps = s.codePoints().toArray
+    java.util.Arrays.sort(cps)
+    val n = cps.length
     val lgN = Log2Fixed(n.toLong)
     var ent = 0L
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val c = it.next().longValue()
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && cps(j) == cps(i)) j += 1
+      val c = (j - i).toLong
       ent += c * (lgN - Log2Fixed(c))
+      i = j
     }
     InternalRow(n, ent)
   }

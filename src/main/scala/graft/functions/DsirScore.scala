@@ -85,17 +85,12 @@ case class DsirScore(child: Expression, deltaFp: Seq[Long])
 
 object DsirScore {
 
-  /** 64-bit content digest for plan rendering / registry names (the
-    * MultiPatternHits lesson: 32-bit hashCode last-wins collisions bind
-    * wrong state). Length is prepended so a table prefix can't collide
-    * with its extension.
+  /** Content digest for plan rendering / registry names ([[Digests]]).
+    * Length is prepended so a table prefix can't collide with its
+    * extension; comma-joined longs are otherwise unambiguous.
     */
-  def deltaDigest(deltaFp: Seq[Long]): String = {
-    val serialized = deltaFp.length + ":" + deltaFp.mkString(",")
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(serialized.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-  }
+  def deltaDigest(deltaFp: Seq[Long]): String =
+    Digests.content(deltaFp.length + ":" + deltaFp.mkString(","))
 
   /** Column bridge; registry name carries the table digest. */
   def expr(c: Column, deltaFp: Seq[Long]): Column = {

@@ -33,13 +33,9 @@ object PqOps {
     * Level separators keep the (m, ks, subDim) SHAPE in the digest — a
     * flat join would collide [[ [1,2] ]] with [[ [1],[2] ]].
     */
-  def codebookDigest(codebooks: Seq[Seq[Seq[Long]]]): String = {
-    val serialized = codebooks
-      .map(_.map(_.mkString(",")).mkString(";")).mkString("|")
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(serialized.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-  }
+  def codebookDigest(codebooks: Seq[Seq[Seq[Long]]]): String =
+    Digests.content(codebooks
+      .map(_.map(_.mkString(",")).mkString(";")).mkString("|"))
 
   /** Shared shape validation: uniform ks across subspaces and uniform
     * subDim across centroids — the codegen stride (`j·ks + code`,

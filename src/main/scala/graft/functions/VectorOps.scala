@@ -252,12 +252,8 @@ object IvfBuckets {
     * decimal serialization with level separators, so neither a reshaped
     * matrix nor a 32-bit hashCode collision can bind wrong state).
     */
-  def digest(centroids: Seq[Seq[Double]]): String = {
-    val serialized = centroids.map(_.mkString(",")).mkString(";")
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(serialized.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-  }
+  def digest(centroids: Seq[Seq[Double]]): String =
+    Digests.content(centroids.map(_.mkString(",")).mkString(";"))
 }
 
 object QuantizeStats {

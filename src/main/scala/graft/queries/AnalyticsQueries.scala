@@ -385,10 +385,12 @@ object AnalyticsQueries {
       s"list_min(list_transform($hs, x -> (x * $a + $b) % 2147483647))"
     }.mkString("[", ",\n             ", "]")
 
-  /** 60-bit portable SimHash as a sum of per-bit vote terms (PolySimHash). */
   /** 60-bit hyperplane signature — SQL mirror of HyperplaneSig: bit k =
     * [Σ_i q(v_i)·c(k,i) > 0] with c(k,i) the Knuth-hash coefficient and
     * q the milli-quantization (`qv` is the quantized BIGINT[] column).
+    * Callers guard null/mis-dimensioned vectors to NULL themselves —
+    * the kernel's fail-visible contract; the term sum alone would
+    * silently bucket them with the zero vector.
     */
   private def hyperplaneSigSql(qv: String, dim: Int): String =
     (0 until 60).map { k =>
@@ -397,6 +399,7 @@ object AnalyticsQueries {
         s"THEN ${1L << k} ELSE 0 END"
     }.mkString("(", "\n           + ", ")")
 
+  /** 60-bit portable SimHash as a sum of per-bit vote terms (PolySimHash). */
   private def simhashSql(h1s: String, h2s: String): String =
     (0 until 60).map { j =>
       val (hs, b) = if (j < 30) (h1s, j) else (h2s, j - 30)
@@ -660,7 +663,9 @@ object AnalyticsQueries {
              list_transform(CAST(embedding AS DOUBLE[]),
                x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
            FROM embeddings)
-         SELECT vec_id, ${hyperplaneSigSql("qv", 64)} AS sig
+         SELECT vec_id,
+           CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL
+                ELSE ${hyperplaneSigSql("qv", 64)} END AS sig
          FROM e""",
     "q46_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -33,7 +33,9 @@ object StringQueries {
       val c = t(s, dir, "customer")
       // delete char 17 (even keys) or 18 (odd): both leave chars 1-16 —
       // the blocking prefix — intact
-      val variants = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      // % 5, not % 10: an even modulus would make every variant key even
+      // and the odd deletion branch dead code
+      val variants = c.filter(pmod(col("c_custkey"), lit(5)) === 0)
         .select(col("c_custkey").as("vid"),
           when(pmod(col("c_custkey"), lit(2)) === 0,
             concat(substring(col("c_name"), 1, 16), substring(col("c_name"), 18, 5)))
@@ -404,7 +406,7 @@ object StringQueries {
              CASE WHEN c_custkey % 2 = 0
                THEN substr(c_name, 1, 16) || substr(c_name, 18, 5)
                ELSE substr(c_name, 1, 17) END AS vname
-           FROM customer WHERE c_custkey % 10 = 0)
+           FROM customer WHERE c_custkey % 5 = 0)
          SELECT v.vid, c.c_custkey AS cand_key,
            levenshtein(v.vname, c.c_name) AS dist
          FROM v JOIN customer c

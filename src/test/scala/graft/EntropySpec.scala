@@ -4,7 +4,7 @@ import graft.functions.{CharEntropy, Log2Fixed}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class EntropyAggSpec extends AnyFunSuite {
+class EntropySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
@@ -57,18 +57,4 @@ class EntropyAggSpec extends AnyFunSuite {
     assert(ent(1) > ent(0))
   }
 
-  test("q165 parquet aggregate pushdown: PushedAggregation in plan, values match v1") {
-    val df = SparkEntry.queries("q165_agg_pushdown")(spark, SparkTestSession.Sf0001)
-    val pushed = df.collect().head
-    // A non-EMPTY PushedAggregation list: "PushedAggregation: []" means
-    // the v2 path ran but every agg fell back to a data scan.
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedAggregation: [COUNT(*)"), plan.take(2500))
-    val plain = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "lineitem")
-      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")),
-        min(col("l_quantity")), max(col("l_quantity")),
-        min(col("l_extendedprice")), max(col("l_extendedprice")))
-      .collect().head
-    assert(pushed.toSeq == plain.toSeq)
-  }
 }
