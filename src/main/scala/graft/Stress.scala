@@ -855,6 +855,95 @@ object Stress {
       return
     }
 
+    if (section == "hyperplane") {
+      // 1M×64 embedding near-dup via hyperplane signatures (the q166
+      // operator at the embedding-family receipt scale, like SemDeDup/PQ).
+      // 2% of vectors are planted near-dups: vec(id) for id ≡ 1 (mod 50)
+      // is vec(id−1) with ONE coordinate nudged by 0.002 — cosine ≈
+      // 0.999998. The receipt pins the signature pass wall-clock, the
+      // banded-pair wall-clock, and planted recall at maxDist=3 / 4
+      // bands. Blocking honesty: coincidental band-key candidates scale
+      // m²/2^width per band, so the single-word (63-bit, ~16-bit bands)
+      // form degrades quadratically — at 1M uniform vectors it already
+      // shuffles ~7.6× more than the wide form and at 10M its candidate
+      // stream exhausts local disk (measured). The receipt runs the WIDE
+      // form (HyperplaneSigWords 2×62 bits, four 31-bit bands via
+      // hammingNearDupPairsWords — coincidental candidates m²/2³¹ per
+      // band, planted-pairs-sized join at 10M) and, at 1M only, the
+      // single-word CONTRAST.
+      val m = math.max(n / 10, 1000000L)
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_hp").toString
+      try {
+        val planted = (col("id") % 50) === 1
+        val baseId = when(planted, col("id") - 1).otherwise(col("id"))
+        // Coordinates need REAL avalanche mixing in id, not a linear
+        // map: with coordinate_j linear in id (any per-coordinate
+        // modular slope family s·(j+c)), every id-difference Δ whose
+        // residue Δ·s mod p is small shifts ALL coordinates slightly —
+        // thousands of unintended near-dup families (measured: 4M band
+        // keys collapsing into 165k buckets). The PQ generator's
+        // mod-197 lattice is fine for ADC scans but collapses any PAIR
+        // join. Same chain as HyperplaneSig.coef.
+        def mix(n: org.apache.spark.sql.Column) = {
+          val a1 = pmod((n + 1L) * lit(2654435761L), lit(4294967296L))
+          val a2 = a1.bitwiseXOR(shiftrightunsigned(a1, 16))
+          val a3 = pmod(a2 * lit(1540483477L), lit(4294967296L))
+          a3.bitwiseXOR(shiftrightunsigned(a3, 13))
+        }
+        spark.range(0, m, 1, 32).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              j => ((pmod(mix(baseId * 64L + j), lit(1999L)) / lit(999.5) - 1.0) +
+                when(planted && j === 0, lit(0.002)).otherwise(lit(0.0)))
+                .cast("float")).as("embedding"))
+          .write.mode("overwrite").parquet(dir)
+        val vecs = spark.read.parquet(dir)
+        time(s"hyperplane_sig_${m / 1000000}M") {
+          vecs.select(graft.functions.HyperplaneSigWords
+              .expr(col("embedding"), dim = 64).as("sig"))
+            .agg(sum(bit_count(element_at(col("sig"), 1)))).collect()
+        }
+        if (m <= 1000000L) {
+          // the single-word saturation CONTRAST (only at 1M — it grows
+          // ~m² and is the thing being demonstrated as non-viable)
+          val sigs1 = vecs.select(col("vec_id"), graft.functions.HyperplaneSig
+            .expr(col("embedding"), dim = 64, nBits = 63).as("sig"))
+          val pairs1 = Dedup.hammingNearDupPairs(sigs1, col("vec_id"), col("sig"),
+            maxDist = 3, bands = 4)
+          var n1 = -1L
+          val (_, sb1) = shuffleBytes(spark.sparkContext) {
+            time(s"hp_1word_pairs_${m / 1000000}M") { n1 = pairs1.count() }
+          }
+          println(f"[stress] hp_1word_pairs_n       $n1%8d")
+          println(f"[stress] hp_1word_shuffle       ${sb1 / 1024.0 / 1024.0}%8.1f MB")
+        }
+        val sigs = vecs.select(col("vec_id"),
+          graft.functions.HyperplaneSigWords.expr(col("embedding"), dim = 64).as("sig"))
+        val pairs = Dedup.hammingNearDupPairsWords(sigs, col("vec_id"), col("sig"),
+          bitsPerWord = 62, words = 2, maxDist = 3, bandsPerWord = 2)
+        // time/measure the FULL pair computation; the recall probe runs
+        // as a separate job because its planted-id predicate pushes
+        // through the join and would prune the very work being measured
+        var nPairs = -1L
+        val (_, sb) = shuffleBytes(spark.sparkContext) {
+          time(s"hyperplane_pairs_${m / 1000000}M") {
+            nPairs = pairs.count()
+          }
+        }
+        // planted pairs are (id-1, id) with id ≡ 1 (mod 50)
+        val found = pairs
+          .filter(col("id_b") === col("id_a") + 1 && col("id_b") % 50 === 1)
+          .count()
+        val plantedTotal = (m + 48) / 50  // ids 1, 51, 101, ... < m
+        println(f"[stress] hyperplane_pairs_n      $nPairs%8d")
+        println(f"[stress] hyperplane_recall        ${found.toDouble / plantedTotal}%8.4f")
+        println(f"[stress] hyperplane_shuffle       ${sb / 1024.0 / 1024.0}%8.1f MB")
+        require(found >= plantedTotal * 97L / 100,
+          s"planted near-dup recall: $found / $plantedTotal")
+      } finally rmrf(dir)
+      spark.stop()
+      return
+    }
+
     if (section == "frequency") {
       // half the stream: 1000 hot items; other half: all-distinct tail.
       // T = n/10k → exactly the hot items qualify; the tail (the part a

@@ -265,6 +265,49 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** [[hammingNearDupPairs]] over MULTI-WORD signatures
+    * (`array<bigint>`, e.g. [[graft.functions.HyperplaneSigWords]]):
+    * band b of word w is a `bitsPerWord / bandsPerWord`-bit slice used as
+    * a bucket key; total bands = words × bandsPerWord, and blocking is
+    * lossless for maxDist < total bands by the same pigeonhole. This is
+    * the corpus-scale shape: 31-bit bands keep coincidental candidates
+    * at m²/2³¹ per band where single-word 15-bit bands saturate by 1M
+    * vectors (SCALE.md has the measured contrast). Distance is the
+    * popcount sum across words.
+    */
+  def hammingNearDupPairsWords(
+      df: DataFrame, idCol: Column, sigCol: Column,
+      bitsPerWord: Int, words: Int,
+      maxDist: Int = 3, bandsPerWord: Int = 2): DataFrame = {
+    require(bandsPerWord > 0 && bitsPerWord % bandsPerWord == 0,
+      s"bandsPerWord $bandsPerWord must divide bitsPerWord $bitsPerWord")
+    require(maxDist < words * bandsPerWord,
+      s"maxDist $maxDist requires words*bandsPerWord > maxDist " +
+        s"for lossless blocking, got ${words * bandsPerWord}")
+    val width = bitsPerWord / bandsPerWord
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandKeys = for {
+      w <- 0 until words
+      b <- 0 until bandsPerWord
+    } yield shiftrightunsigned(element_at(col("sig"), w + 1), b * width)
+      .bitwiseAND(lit(mask))
+    val banded = df
+      .select(idCol.as("id"), sigCol.as("sig"))
+      .select(col("id"), col("sig"), posexplode(array(bandKeys: _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("key"))
+    val dist = (0 until words)
+      .map(w => bit_count(element_at(col("a.sig"), w + 1)
+        .bitwiseXOR(element_at(col("b.sig"), w + 1))))
+      .reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), dist.as("dist"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact-substring duplicate SPANS (the Lee et al. 2021 "Deduplicating
     * Training Data" primitive, re-expressed relationally): a token position
     * is duplicated when its n-gram occurs ≥ `minCount` times across the

@@ -184,6 +184,21 @@ object AnalyticsQueries {
         graft.functions.HyperplaneSig.expr(col("embedding"), dim = 64).as("sig"))
     }),
 
+    // The WIDE (corpus-scale) hyperplane signature: 2×62 bits from the
+    // same closed-form hyperplane bank (word w's bit k = hyperplane
+    // 62w+k), banded as four 31-bit keys. Single-word banding degrades
+    // m²/2^width: measured 7.6× the shuffle at 1M uniform vectors and
+    // disk exhaustion at 10M, where wide banding stays
+    // planted-pairs-sized (SCALE.md). Every bit oracle-replayed, both
+    // words.
+    "q169_hyperplane_sig_wide" -> ((s, dir) => {
+      emb(s, dir).select(col("vec_id"),
+          graft.functions.HyperplaneSigWords.expr(col("embedding"), dim = 64).as("sig"))
+        .select(col("vec_id"),
+          element_at(col("sig"), 1).as("sig_w0"),
+          element_at(col("sig"), 2).as("sig_w1"))
+    }),
+
     // The operator a training pipeline actually runs: LSH pairs →
     // connected components → keep each cluster's min id. Oracle-checked
     // END TO END — the DuckDB side rebuilds the portable LSH pipeline and
@@ -392,10 +407,24 @@ object AnalyticsQueries {
     * the kernel's fail-visible contract; the term sum alone would
     * silently bucket them with the zero vector.
     */
-  private def hyperplaneSigSql(qv: String, dim: Int): String =
-    (0 until 60).map { k =>
+  /** SQL mirror of HyperplaneSig.coef: murmur-style avalanche chain in
+    * exact BIGINT (`//` on non-negatives IS the right shift; `xor` is
+    * DuckDB's bigint xor). `n` is the hyperplane-coefficient index expr.
+    */
+  private def coefSql(n: String): String = {
+    val a1 = s"((($n) + 1) * 2654435761) % 4294967296"
+    val a2 = s"xor($a1, ($a1) // 65536)"
+    val a3 = s"(($a2) * 1540483477) % 4294967296"
+    val a4 = s"xor($a3, ($a3) // 8192)"
+    s"(($a4) % 2001 - 1000)"
+  }
+
+  private def hyperplaneSigSql(qv: String, dim: Int, nBits: Int = 60,
+      offset: Int = 0): String =
+    (0 until nBits).map { k =>
+      val h = offset + k
       s"CASE WHEN COALESCE(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
-        s"$qv[i] * ((($k*$dim + i - 1) * 2654435761) % 2147483647 % 2001 - 1000))), 0) > 0 " +
+        s"$qv[i] * ${coefSql(s"$h*$dim + i - 1")})), 0) > 0 " +
         s"THEN ${1L << k} ELSE 0 END"
     }.mkString("(", "\n           + ", ")")
 
@@ -658,6 +687,19 @@ object AnalyticsQueries {
          SELECT id_a, id_b,
            ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
          FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
+    "q169_hyperplane_sig_wide" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings)
+         SELECT vec_id,
+           CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL
+                ELSE ${hyperplaneSigSql("qv", 64, nBits = 62, offset = 0)} END
+             AS sig_w0,
+           CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL
+                ELSE ${hyperplaneSigSql("qv", 64, nBits = 62, offset = 62)} END
+             AS sig_w1
+         FROM e""",
     "q166_hyperplane_sig" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),

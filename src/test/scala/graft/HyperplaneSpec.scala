@@ -9,6 +9,15 @@ class HyperplaneSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** Independent reimplementation of the coefficient avalanche chain. */
+  private def refCoef(n: Long): Long = {
+    var a = ((n + 1) * 2654435761L) & 0xFFFFFFFFL
+    a ^= a >>> 16
+    a = (a * 1540483477L) & 0xFFFFFFFFL
+    a ^= a >>> 13
+    a % 2001L - 1000L
+  }
+
   /** Plain-Scala reference of the kernel. */
   private def refSig(v: Seq[Float], dim: Int, nBits: Int = 60): Long = {
     val q = v.map(x => math.floor(x * 1000.0 + 0.5).toLong)
@@ -16,20 +25,23 @@ class HyperplaneSpec extends AnyFunSuite {
     for (k <- 0 until nBits) {
       var dot = 0L
       for (i <- 0 until dim)
-        dot += q(i) * (((k.toLong * dim + i) * 2654435761L) % 2147483647L % 2001L - 1000L)
+        dot += q(i) * refCoef(k.toLong * dim + i)
       if (dot > 0) sig |= (1L << k)
     }
     sig
   }
 
-  test("HyperplaneSig kernel == scalar reference on the real table") {
+  test("HyperplaneSig kernel == scalar reference on the real table (60 and 63 bits)") {
     val rows = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        HyperplaneSig.expr(col("embedding"), dim = 64).as("sig"))
-      .as[(Long, Seq[Float], Long)].collect()
+        HyperplaneSig.expr(col("embedding"), dim = 64).as("sig"),
+        HyperplaneSig.expr(col("embedding"), dim = 64, nBits = 63).as("sig63"))
+      .as[(Long, Seq[Float], Long, Long)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (id, v, sig) =>
+    rows.foreach { case (id, v, sig, sig63) =>
       assert(sig == refSig(v, 64), s"vec $id")
+      assert(sig63 == refSig(v, 64, 63), s"vec $id @63")
+      assert(sig63 >= 0, s"sign bit must stay clear: vec $id")
     }
   }
 
@@ -55,6 +67,50 @@ class HyperplaneSpec extends AnyFunSuite {
       .orderBy(col("same").desc).select(col("avg(d)")).as[Double].collect()
     assert(within < across,
       s"within-label hamming $within should be < cross-label $across")
+  }
+
+  test("HyperplaneSigWords: word w bit k == scalar reference at hyperplane 62w+k") {
+    import graft.functions.HyperplaneSigWords
+    def refWord(v: Seq[Float], dim: Int, bitsPerWord: Int, w: Int): Long = {
+      val q = v.map(x => math.floor(x * 1000.0 + 0.5).toLong)
+      var sig = 0L
+      for (k <- 0 until bitsPerWord) {
+        val h = w * bitsPerWord + k
+        var dot = 0L
+        for (i <- 0 until dim)
+          dot += q(i) * refCoef(h.toLong * dim + i)
+        if (dot > 0) sig |= (1L << k)
+      }
+      sig
+    }
+    val rows = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "embeddings")
+      .select(col("embedding"),
+        HyperplaneSigWords.expr(col("embedding"), dim = 64).as("sig"))
+      .as[(Seq[Float], Seq[Long])].collect()
+    rows.foreach { case (v, sig) =>
+      assert(sig.length == 2)
+      assert(sig(0) == refWord(v, 64, 62, 0))
+      assert(sig(1) == refWord(v, 64, 62, 1))
+    }
+  }
+
+  test("hammingNearDupPairsWords finds planted near-dups with exact distances") {
+    import graft.functions.HyperplaneSigWords
+    val base = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // plant: vec_id+10000 = same vector with one coordinate nudged
+    val copies = base.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + 0.002f).otherwise(x)).as("embedding"))
+    val sigs = base.unionByName(copies).select(col("vec_id"),
+      HyperplaneSigWords.expr(col("embedding"), dim = 64).as("sig"))
+    val pairs = Dedup.hammingNearDupPairsWords(sigs, col("vec_id"), col("sig"),
+      bitsPerWord = 62, words = 2, maxDist = 3, bandsPerWord = 2)
+    val planted = pairs
+      .filter(col("id_b") === col("id_a") + 10000).count()
+    val total = base.count()
+    assert(planted >= total * 97 / 100, s"planted recall: $planted / $total")
+    assert(pairs.filter(col("dist") > 3).count() == 0)
   }
 
   test("signatures feed the banded hamming machinery end to end") {
