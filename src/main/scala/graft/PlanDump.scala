@@ -65,7 +65,7 @@ object PlanDump {
       "q149_heavy_hitters" -> "heavy hitters: per-partition Misra-Gries candidates (mapPartitions) -> broadcast semi-join -> exact recount; the long tail never crosses an exchange",
       "q150_pq_topk" -> "PQ ANN: compiled encode behind a checkpoint barrier (codes scanned, not floats); broadcast pre-quantized queries; primitive ADC loop; WindowGroupLimit top-k",
       "q151_ivfpq_topk" -> "IVF+PQ: one index pass (bucket + codes, checkpointed); bucket equi-join bounds the pair stream; ADC within probed buckets only",
-      "q161_dsir_selection" -> "DSIR: ONE compiled scoring pass (digest-rendered delta table), checkpointed slim frame; quota = TakeOrderedAndProject partial top-k -> 1-row broadcast cutoff flag join (no full-pool sort)")
+      "q161_dsir_selection" -> "DSIR: ONE compiled scoring pass (digest-rendered delta table), checkpointed slim frame; quota = per-partition mapPartitions take(quota) prune -> bounded global rank -> 1-row broadcast cutoff flag join (no full-pool sort at ANY quota)")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>
