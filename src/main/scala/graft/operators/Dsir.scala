@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.functions.{DsirScore, Log2Fixed, PolyHash}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -91,19 +90,15 @@ object Dsir {
           .as("log_ratio"))
 
   /** Flag the top-`quota` rows by (ratio desc, id asc) with `selected` ∈
-    * {0, 1} WITHOUT sorting the full pool. Two-level top-k whose prune is
-    * threshold-INDEPENDENT: per partition, a local sort + `take(quota)`
-    * (zero exchanges by construction — the declarative rank forms degrade
-    * to a full global sort once quota crosses
-    * `spark.sql.optimizer.windowGroupLimitThreshold` = 1000 /
-    * `spark.sql.execution.topKSortFallbackThreshold` = 10k, which is
-    * exactly the quota range a selection run uses), then the global rank
-    * over the ≤ quota×P survivors. The boundary row becomes a one-row
-    * broadcast cutoff and the flag is a pointwise comparison. Null ratios
-    * are never selected. Equivalent to `row_number() over (order by ratio
-    * desc, id) <= quota` — the form the oracle replays. (Quotas far
-    * beyond ~10⁵ should switch to a quantile-estimated cutoff instead of
-    * an exact global rank; not needed yet.)
+    * {0, 1} WITHOUT sorting the full pool: [[Ranking.globalTopK]] (the
+    * threshold-independent two-level top-k — zero-exchange per-partition
+    * prune, bounded global rank) finds the quota subset, its boundary
+    * row becomes a one-row broadcast cutoff, and the flag is a pointwise
+    * comparison. Null ratios are never selected. Equivalent to
+    * `row_number() over (order by ratio desc, id) <= quota` — the form
+    * the oracle replays. (Quotas far beyond ~10⁵ should switch to a
+    * quantile-estimated cutoff instead of an exact global rank; not
+    * needed yet.)
     */
   def selectQuota(scored: DataFrame, ratioCol: Column, idCol: Column,
       quota: Int): DataFrame = {
@@ -114,16 +109,8 @@ object Dsir {
     // One eager materialization of the slim scored frame — id + a few
     // numbers, never the text — is strictly cheaper than a second scan.
     val scoredC = scored.localCheckpoint()
-    val localTop = {
-      val sorted = scoredC.filter(ratioCol.isNotNull)
-        .sortWithinPartitions(ratioCol.desc, idCol.asc)
-      sorted.mapPartitions(_.take(quota))(
-        org.apache.spark.sql.Encoders.row(sorted.schema))
-    }
-    val ranked = localTop
-      .withColumn("__rk",
-        row_number().over(Window.orderBy(ratioCol.desc, idCol.asc)))
-      .filter(col("__rk") <= quota)
+    val ranked = Ranking.globalTopK(scoredC.filter(ratioCol.isNotNull),
+      Seq(ratioCol.desc, idCol.asc), quota, rankCol = Some("__rk"))
     val cutoff = ranked.agg(
       max_by(struct(ratioCol.as("__cut_ratio"), idCol.as("__cut_id")),
         col("__rk")).as("c"))

@@ -30,6 +30,32 @@ object Ranking {
     }
   }
 
+  /** GLOBAL top-k with a total deterministic order (caller includes a
+    * unique tiebreak in `orderBy`), safe at ANY k: per partition, a local
+    * sort + `take(k)` in mapPartitions — zero exchanges by construction —
+    * then the global rank over the ≤ k×P survivors. The declarative
+    * rank-limit forms silently degrade to a FULL global sort of the input
+    * once k crosses `spark.sql.optimizer.windowGroupLimitThreshold`
+    * (1000) / `spark.sql.execution.topKSortFallbackThreshold` (10k) —
+    * measured at 10M rows: 270 MB shuffled vs quota×partitions
+    * (SCALE.md, DSIR receipt). The bounded final window is the
+    * PlanGuard-exempt MapPartitions pattern.
+    */
+  def globalTopK(df: DataFrame, orderBy: Seq[Column], k: Int,
+      rankCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sorted = df.sortWithinPartitions(orderBy: _*)
+    val pruned = sorted.mapPartitions(_.take(k))(
+      org.apache.spark.sql.Encoders.row(sorted.schema))
+    val ranked = pruned
+      .withColumn("__grk", row_number().over(Window.orderBy(orderBy: _*)))
+      .filter(col("__grk") <= k)
+    rankCol match {
+      case Some(name) => ranked.withColumnRenamed("__grk", name)
+      case None => ranked.drop("__grk")
+    }
+  }
+
   /** Keep-first dedup: one row per key, first under `orderBy` wins.
     * Covers the reference's `used_chunk_ids` sequential dedup (J5), the
     * meta-cache precedence rule (A9: `api_detail` beats snapshot), and

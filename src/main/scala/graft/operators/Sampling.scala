@@ -55,6 +55,34 @@ object Sampling {
     withBucket.withColumn("split", split)
   }
 
+  /** Efraimidis–Spirakis (2006) weighted sampling WITHOUT replacement,
+    * deterministic: row i draws u_i ∈ (0,1] from the seeded hash of its
+    * id (20 fixed-point bits) and the k rows with the largest
+    * u_i^(1/w_i) are the sample — ranked equivalently by
+    * key_i = log2(u_i)/w_i. log2(u) is an exact integer
+    * ([[graft.functions.Log2Fixed]]: log2fp(h+1) − 20·2^20) and the ONE
+    * division by the integer per-mille weight yields the same IEEE
+    * double on every engine, so the q170 oracle replays the exact
+    * ranking. Rows with null or non-positive weight never enter the
+    * sample. Selection rides [[Ranking.globalTopK]] — a zero-exchange
+    * per-partition prune then a bounded rank, no full sort at any k.
+    */
+  def weightedSample(df: DataFrame, idCol: Column, weightPermille: Column,
+      k: Int, salt: Long = 0L, keyCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = hashBucket(idCol, 1 << 20, salt)
+    val lg = graft.functions.Log2Fixed.expr(h + 1) -
+      lit(20L * graft.functions.Log2Fixed.One)
+    val keyed = df.withColumn("__wkey",
+      when(weightPermille > 0, lg.cast("double") / weightPermille))
+    val out = Ranking.globalTopK(keyed.filter(col("__wkey").isNotNull),
+      Seq(col("__wkey").desc, idCol.asc), k)
+    keyCol match {
+      case Some(name) => out.withColumnRenamed("__wkey", name)
+      case None => out.drop("__wkey")
+    }
+  }
+
   /** Keeps ~`fraction` of rows, deterministically by id. The threshold is
     * `round(fraction·buckets)` — truncation would undershoot on inexact
     * doubles (0.29·10000 = 2899.999…), diverging from Mixture's fractional

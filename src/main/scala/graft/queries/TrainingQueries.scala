@@ -249,6 +249,19 @@ object TrainingQueries {
       Bpe.tokenCounts(d, col("doc_id"), col("text"), merges)
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // token-count-proportional weights, 200-doc sample — the canonical
+    // weighted-sample primitive next to the quota (q78) / temperature
+    // (q117) / copy-count (q71) family. Key = log2fp(u)/w: integer log,
+    // one cross-engine-exact division, oracle replays the full ranking.
+    "q170_weighted_sample" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        (TextFunctions.tokenCount(col("text")) + 1).cast("long").as("w_permille"))
+      graft.operators.Sampling.weightedSample(
+          base, col("doc_id"), col("w_permille"), k = 200, keyCol = Some("wkey"))
+        .select(col("doc_id"), col("w_permille"), round(col("wkey"), 6).as("wkey"))
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -286,6 +299,23 @@ object TrainingQueries {
       s"${CurationQueries.polyHashSqlLine(s"($toks[i] || ' ' || $toks[i+1])")}) END)"
 
   val oracles: Map[String, String] = Map(
+    "q170_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) + 1 AS w FROM documents),
+         h AS (SELECT doc_id, w,
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 % 1048576 + 1
+               AS m
+           FROM t),
+         ${graft.functions.Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("h", "doc_id, w", "m", "lg", "p")},
+         k AS (SELECT doc_id, w,
+             CAST(lg - 20971520 AS DOUBLE) / w AS wkey
+           FROM pl),
+         r AS (SELECT doc_id, w, wkey,
+             ROW_NUMBER() OVER (ORDER BY wkey DESC, doc_id) AS rk
+           FROM k)
+         SELECT doc_id, CAST(w AS BIGINT) AS w_permille,
+           ROUND(wkey, 6) AS wkey
+         FROM r WHERE rk <= 200""",
     "q168_bpe_tokens" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          pw AS (SELECT unnest(flatten(list_transform(toks, w ->

@@ -154,4 +154,52 @@ class SamplingPackingSpec extends AnyFunSuite {
       rm(new java.io.File(out))
     }
   }
+
+  test("globalTopK == row_number form above the rank thresholds; rank kept") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.range(0, 30000)
+      .select(col("id"), (col("id") % 41).cast("double").as("r"))
+    val expect = d.withColumn("rk",
+        row_number().over(Window.orderBy(col("r").desc, col("id").asc)))
+      .filter(col("rk") <= 4000).select(col("id"), col("rk"))
+      .as[(Long, Int)].collect().toSet
+    val got = graft.operators.Ranking.globalTopK(d,
+        Seq(col("r").desc, col("id").asc), 4000, rankCol = Some("rk"))
+      .select(col("id"), col("rk")).as[(Long, Int)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("weightedSample: deterministic, salt-sensitive, weight-monotone") {
+    val base = spark.range(0, 20000).select(col("id"),
+      when(col("id") % 2 === 0, 2000L).otherwise(20L).as("w"))
+    def sample(salt: Long) = graft.operators.Sampling.weightedSample(
+        base, col("id"), col("w"), k = 1000, salt = salt)
+      .select(col("id")).as[Long].collect().toSet
+    val s0 = sample(0L)
+    assert(s0 == sample(0L), "same salt must reproduce the same sample")
+    val s1 = sample(7L)
+    assert(s0 != s1, "different salts must draw different samples")
+    // heavy rows (weight 2000 vs 20, half the pool each) must dominate
+    val heavy = s0.count(_ % 2 == 0)
+    assert(heavy > 900, s"heavy-weight rows should dominate the sample: $heavy/1000")
+  }
+
+  test("weightedSample == direct E-S ranking; null/non-positive weights excluded") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(0, 5000).select(col("id"),
+      when(col("id") % 17 === 0, lit(null).cast("long"))
+        .when(col("id") % 19 === 0, -5L)
+        .otherwise(col("id") % 997 + 1).as("w"))
+    val h = graft.operators.Sampling.hashBucket(col("id"), 1 << 20)
+    val key = (graft.functions.Log2Fixed.expr(h + 1) - lit(20L * 1048576L))
+      .cast("double") / col("w")
+    val expect = base.filter(col("w") > 0).withColumn("k", key)
+      .withColumn("rk", row_number().over(Window.orderBy(col("k").desc, col("id").asc)))
+      .filter(col("rk") <= 300).select(col("id")).as[Long].collect().toSet
+    val got = graft.operators.Sampling.weightedSample(
+        base, col("id"), col("w"), k = 300)
+      .select(col("id")).as[Long].collect().toSet
+    assert(got == expect)
+    assert(!got.exists(i => i % 17 == 0 || i % 19 == 0))
+  }
 }
