@@ -119,6 +119,40 @@ object AnalyticsQueries {
         hash64 = true, bloomPrefilter = true)
     }),
 
+    // Margin-based bitext/parallel-pair mining (the CCMatrix/LASER
+    // shape): treat label<5 as the source "language" and label>=5 as the
+    // target pool; for each source vector take its cosine top-4 in the
+    // target pool and score the best hit by the MARGIN — cos₁ over the
+    // mean of cos₂..₄ — so "best by a clear margin" wins over "best in a
+    // dense neighborhood". The 3-value mean is summed in DECIMAL
+    // (partition-order invariance); margin and acceptance replay exactly.
+    // Scale: rides cosineTopK (broadcast query batch, zero candidate
+    // shuffle) + one per-query agg.
+    "q171_bitext_margin" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val src = e.filter(col("label") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val tgt = e.filter(col("label") >= 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      Similarity.cosineTopK(src, "qid", "qv", tgt, "cid", "cv",
+          k = 4, excludeSelf = false, rankCol = Some("rnk"))
+        .groupBy(col("query_id"))
+        .agg(
+          first(when(col("rnk") === 1, col("cand_id")), ignoreNulls = true)
+            .as("best_cand"),
+          first(when(col("rnk") === 1, col("cos")), ignoreNulls = true)
+            .as("__cos1"),
+          sum(when(col("rnk") >= 2, col("cos").cast("decimal(18,9)")))
+            .as("__sum23"),
+          count(when(col("rnk") >= 2, lit(1))).as("__n23"))
+        .select(col("query_id"), col("best_cand"),
+          round(col("__cos1"), 4).as("cos1"),
+          round((col("__cos1") / (col("__sum23").cast("double") / col("__n23")))
+            .as("__m"), 4).as("margin"),
+          when(col("__cos1") / (col("__sum23").cast("double") / col("__n23")) > 1.05, 1)
+            .otherwise(0).as("accepted"))
+    }),
+
     // Brute-force cosine top-5 for query vectors vec_id < 20.
     "q42_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -657,6 +691,27 @@ object AnalyticsQueries {
          SELECT id_a, id_b,
            ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
          FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
+    "q171_bitext_margin" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE label < 5),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE label >= 5),
+         s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS cos FROM q, c),
+         r AS (SELECT qid, cid, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+           FROM s),
+         a AS (SELECT qid AS query_id,
+             MIN(CASE WHEN rnk = 1 THEN cid END) AS best_cand,
+             MIN(CASE WHEN rnk = 1 THEN cos END) AS cos1,
+             SUM(CASE WHEN rnk BETWEEN 2 AND 4
+               THEN CAST(cos AS DECIMAL(18,9)) END) AS sum23,
+             COUNT(CASE WHEN rnk BETWEEN 2 AND 4 THEN 1 END) AS n23
+           FROM r WHERE rnk <= 4 GROUP BY qid)
+         SELECT query_id, best_cand, ROUND(cos1, 4) AS cos1,
+           ROUND(cos1 / (CAST(sum23 AS DOUBLE) / n23), 4) AS margin,
+           CAST(CASE WHEN cos1 / (CAST(sum23 AS DOUBLE) / n23) > 1.05
+             THEN 1 ELSE 0 END AS INT) AS accepted
+         FROM a""",
     "q42_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 20),
