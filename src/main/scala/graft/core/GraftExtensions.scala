@@ -65,5 +65,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "repetition_stats"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.RepetitionStats(exprs.head, 2, 3)))
+    e.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[graft.functions.CharEntropy].getName,
+        "char_entropy"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CharEntropy(exprs.head)))
+    // embedding signature layer at the engine's 64-dim table shape
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_sig_64"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneSig].getName,
+        "hyperplane_sig_64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HyperplaneSig(exprs.head, 64)))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_sig_wide_64"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneSigWords].getName,
+        "hyperplane_sig_wide_64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HyperplaneSigWords(exprs.head, 64, 62, 2)))
   }
 }

@@ -165,9 +165,15 @@ class RetrievalSpec extends AnyFunSuite {
     val row = spark.sql(
       """SELECT poly_simhash('a b c') AS s,
          size(poly_shingle_hashes_2('a b c')) AS n,
-         repetition_stats('a b a b a').top_frac AS t""").head()
+         repetition_stats('a b a b a').top_frac AS t,
+         char_entropy('abab').n_chars AS ec,
+         hyperplane_sig_64(array_repeat(0.5F, 64)) AS hs,
+         size(hyperplane_sig_wide_64(array_repeat(0.5F, 64))) AS hw""").head()
     assert(row.getLong(0) != 0L)
     assert(row.getInt(1) == 2)
     assert(row.getDouble(2) == 0.5)
+    assert(row.getInt(3) == 4)
+    assert(!row.isNullAt(4))
+    assert(row.getInt(5) == 2)
   }
 }
