@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Signed-random-projection LSH signature for embeddings (Charikar 2002)
@@ -47,7 +47,7 @@ case class HyperplaneSig(child: Expression, dim: Int, nBits: Int = 60)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     if (arr.numElements() != dim) return null
-    val q = PqOps.quantizeVec(arr)
+    val q = HyperplaneSig.quantize(arr, child.dataType)
     var sig = 0L
     var k = 0
     while (k < nBits) {
@@ -88,6 +88,25 @@ object HyperplaneSig {
     a % 2001L - 1000L
   }
 
+  /** Milli-quantize by the INPUT element type — a SQL caller's natural
+    * `array(0.1, ...)` literal is array<double>, and reading doubles
+    * through `getFloat` would reinterpret half of each 8-byte slot into
+    * a wrong-but-plausible signature. Any other element type fails
+    * loudly.
+    */
+  private[functions] def quantize(arr: ArrayData, inputType: DataType): Array[Long] =
+    inputType match {
+      case ArrayType(FloatType, _) => PqOps.quantizeVec(arr)
+      case ArrayType(DoubleType, _) =>
+        val n = arr.numElements()
+        val q = new Array[Long](n)
+        var i = 0
+        while (i < n) { q(i) = PqOps.quantize(arr.getDouble(i)); i += 1 }
+        q
+      case t => throw new IllegalArgumentException(
+        s"hyperplane_sig expects array<float> or array<double>, got $t")
+    }
+
   /** Column bridge (dim and width baked into the registered name). */
   def expr(c: Column, dim: Int, nBits: Int = 60): Column = {
     val name = s"graft_hyperplane_sig_${dim}_$nBits"
@@ -102,8 +121,8 @@ object HyperplaneSig {
 /** Multi-word hyperplane signature — the WIDE variant that keeps banding
   * viable past ~10⁵ vectors. Blocking honesty (measured, SCALE.md): band
   * keys collide coincidentally at m²/2^width per band, so a single
-  * 60/63-bit signature saturates around 1M uniform vectors (300M
-  * candidate pairs / 34 GB shuffle at 1M). `words` words of `bitsPerWord`
+  * 60/63-bit signature already shuffles 7.6× more than this form at 1M
+  * uniform vectors and exhausts local disk at 10M. `words` words of `bitsPerWord`
   * hyperplanes each (word w's bit k is hyperplane w·bitsPerWord+k — the
   * SAME closed-form bank, just more of it) give
   * `words × bandsPerWord` bands of `bitsPerWord / bandsPerWord` bits:
@@ -133,7 +152,7 @@ case class HyperplaneSigWords(child: Expression, dim: Int,
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     if (arr.numElements() != dim) return null
-    val q = PqOps.quantizeVec(arr)
+    val q = HyperplaneSig.quantize(arr, child.dataType)
     val out = new Array[Long](words)
     var w = 0
     while (w < words) {

@@ -245,24 +245,9 @@ object Dedup {
       df: DataFrame, idCol: Column, sigCol: Column,
       maxDist: Int = 3, bands: Int = 4): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
-    require(maxDist < bands,
-      s"maxDist $maxDist requires bands > maxDist for lossless blocking, got $bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = df
-      .select(idCol.as("id"), sigCol.as("sig"))
-      .select(col("id"), col("sig"),
-        posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
-      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("dist"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("dist") <= maxDist)
+    // the single-word form IS the words=1 / bitsPerWord=64 case
+    hammingNearDupPairsWords(df, idCol, array(sigCol),
+      bitsPerWord = 64, words = 1, maxDist = maxDist, bandsPerWord = bands)
   }
 
   /** [[hammingNearDupPairs]] over MULTI-WORD signatures
@@ -271,14 +256,19 @@ object Dedup {
     * a bucket key; total bands = words × bandsPerWord, and blocking is
     * lossless for maxDist < total bands by the same pigeonhole. This is
     * the corpus-scale shape: 31-bit bands keep coincidental candidates
-    * at m²/2³¹ per band where single-word 15-bit bands saturate by 1M
-    * vectors (SCALE.md has the measured contrast). Distance is the
-    * popcount sum across words.
+    * at m²/2³¹ per band where single-word ~16-bit bands go
+    * quadratic-by-collision (SCALE.md has the measured contrast).
+    * Distance is the popcount sum across words. A signature whose arity
+    * differs from `words` fails the job loudly — a silent null band key
+    * would drop every candidate and report "no duplicates".
     */
   def hammingNearDupPairsWords(
       df: DataFrame, idCol: Column, sigCol: Column,
       bitsPerWord: Int, words: Int,
       maxDist: Int = 3, bandsPerWord: Int = 2): DataFrame = {
+    require(bitsPerWord >= 1 && bitsPerWord <= 64,
+      s"bitsPerWord must be in [1, 64], got $bitsPerWord")
+    require(words >= 1, s"words must be >= 1, got $words")
     require(bandsPerWord > 0 && bitsPerWord % bandsPerWord == 0,
       s"bandsPerWord $bandsPerWord must divide bitsPerWord $bitsPerWord")
     require(maxDist < words * bandsPerWord,
@@ -291,8 +281,12 @@ object Dedup {
       b <- 0 until bandsPerWord
     } yield shiftrightunsigned(element_at(col("sig"), w + 1), b * width)
       .bitwiseAND(lit(mask))
+    val checkedSig = when(size(sigCol) === words, sigCol)
+      .otherwise(raise_error(concat(
+        lit(s"hamming signature arity != words=$words: "),
+        size(sigCol).cast("string"))))
     val banded = df
-      .select(idCol.as("id"), sigCol.as("sig"))
+      .select(idCol.as("id"), checkedSig.as("sig"))
       .select(col("id"), col("sig"), posexplode(array(bandKeys: _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("key"))
     val dist = (0 until words)

@@ -441,24 +441,27 @@ object AnalyticsQueries {
     * the kernel's fail-visible contract; the term sum alone would
     * silently bucket them with the zero vector.
     */
-  /** SQL mirror of HyperplaneSig.coef: murmur-style avalanche chain in
-    * exact BIGINT (`//` on non-negatives IS the right shift; `xor` is
-    * DuckDB's bigint xor). `n` is the hyperplane-coefficient index expr.
+  /** The hyperplane coefficient bank as a DuckDB list literal — the
+    * oracle's copy of the table, generated ONCE from the same
+    * `HyperplaneSig.coef` chain (the Log2Fixed-LUT discipline: embed the
+    * closed-form table verbatim instead of re-deriving it per term —
+    * inlining the avalanche chain into every lambda quadrupled the
+    * expression and re-evaluated the multiply chain 4× per (row, bit,
+    * element)). Callers add `hp AS (SELECT [..] AS hc)` and CROSS JOIN.
     */
-  private def coefSql(n: String): String = {
-    val a1 = s"((($n) + 1) * 2654435761) % 4294967296"
-    val a2 = s"xor($a1, ($a1) // 65536)"
-    val a3 = s"(($a2) * 1540483477) % 4294967296"
-    val a4 = s"xor($a3, ($a3) // 8192)"
-    s"(($a4) % 2001 - 1000)"
-  }
+  private def hyperplaneCoefListSql(nCoefs: Int): String =
+    (0 until nCoefs).map(n => graft.functions.HyperplaneSig.coef(n.toLong))
+      .mkString("[", ",", "]")
 
+  /** Per-bit signature terms over the `hc` coefficient list (1-based:
+    * coefficient index h·dim+(i−1) is list slot h·dim+i).
+    */
   private def hyperplaneSigSql(qv: String, dim: Int, nBits: Int = 60,
       offset: Int = 0): String =
     (0 until nBits).map { k =>
       val h = offset + k
       s"CASE WHEN COALESCE(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
-        s"$qv[i] * ${coefSql(s"$h*$dim + i - 1")})), 0) > 0 " +
+        s"$qv[i] * hc[${h * dim} + i])), 0) > 0 " +
         s"THEN ${1L << k} ELSE 0 END"
     }.mkString("(", "\n           + ", ")")
 
@@ -691,6 +694,30 @@ object AnalyticsQueries {
          SELECT id_a, id_b,
            ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
          FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
+    "q166_hyperplane_sig" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         hp AS (SELECT ${hyperplaneCoefListSql(60 * 64)} AS hc)
+         SELECT vec_id,
+           CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL
+                ELSE ${hyperplaneSigSql("qv", 64)} END AS sig
+         FROM e CROSS JOIN hp""",
+    "q169_hyperplane_sig_wide" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         hp AS (SELECT ${hyperplaneCoefListSql(124 * 64)} AS hc)
+         SELECT vec_id,
+           CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL
+                ELSE ${hyperplaneSigSql("qv", 64, nBits = 62, offset = 0)} END
+             AS sig_w0,
+           CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL
+                ELSE ${hyperplaneSigSql("qv", 64, nBits = 62, offset = 62)} END
+             AS sig_w1
+         FROM e CROSS JOIN hp""",
     "q171_bitext_margin" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE label < 5),
@@ -742,28 +769,6 @@ object AnalyticsQueries {
          SELECT id_a, id_b,
            ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
          FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
-    "q169_hyperplane_sig_wide" ->
-      s"""WITH e AS (SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
-           FROM embeddings)
-         SELECT vec_id,
-           CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL
-                ELSE ${hyperplaneSigSql("qv", 64, nBits = 62, offset = 0)} END
-             AS sig_w0,
-           CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL
-                ELSE ${hyperplaneSigSql("qv", 64, nBits = 62, offset = 62)} END
-             AS sig_w1
-         FROM e""",
-    "q166_hyperplane_sig" ->
-      s"""WITH e AS (SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
-           FROM embeddings)
-         SELECT vec_id,
-           CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL
-                ELSE ${hyperplaneSigSql("qv", 64)} END AS sig
-         FROM e""",
     "q46_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          h AS (SELECT doc_id,

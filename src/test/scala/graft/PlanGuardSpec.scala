@@ -17,19 +17,36 @@ class PlanGuardSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   /** An unpartitioned window is exempt when a `MapPartitionsExec` sits
-    * below it: that is the bounded-prune pattern (`Dsir.selectQuota`'s
-    * per-partition `take(quota)`), which caps the window's input at
-    * rows-per-partition × partitions regardless of corpus size — the
-    * single partition then holds a quota-bounded set, not the data.
+    * DIRECTLY below it (through pass-through nodes only — project /
+    * filter / sort / exchange / object serialization): that is the
+    * bounded-prune pattern (`Ranking.globalTopK`'s per-partition
+    * `take(k)`), which caps the window's input at k × partitions
+    * regardless of corpus size. A deep `exists` would also excuse a
+    * window over the FULL output of any mapPartitions-based ingest
+    * (WARC, archives, multimodal decode) — exactly the regression this
+    * guard exists to catch.
     */
+  @annotation.tailrec
+  private def boundedPruneBelow(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.MapPartitionsExec => true
+    // a TakeOrderedAndProject is itself bounding: output ≤ its limit
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case pass @ (_: org.apache.spark.sql.execution.ProjectExec |
+                 _: org.apache.spark.sql.execution.FilterExec |
+                 _: org.apache.spark.sql.execution.SortExec |
+                 _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec |
+                 _: org.apache.spark.sql.execution.SerializeFromObjectExec |
+                 _: org.apache.spark.sql.execution.DeserializeToObjectExec) =>
+      boundedPruneBelow(pass.children.head)
+    case _ => false
+  }
+
   private def unpartitionedWindows(plan: SparkPlan): Seq[String] =
     plan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty &&
-        !w.child.exists(_.isInstanceOf[org.apache.spark.sql.execution.MapPartitionsExec]) =>
-        w.nodeName
+        !boundedPruneBelow(w.child) => w.nodeName
       case w: WindowGroupLimitExec if w.partitionSpec.isEmpty &&
-        !w.child.exists(_.isInstanceOf[org.apache.spark.sql.execution.MapPartitionsExec]) =>
-        w.nodeName
+        !boundedPruneBelow(w.child) => w.nodeName
     }
 
   test("no query plans a single-partition (unpartitioned) window") {
