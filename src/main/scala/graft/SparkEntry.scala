@@ -56,7 +56,9 @@ object SparkEntry {
     new QueryModule(graft.queries.CurationQueries.queries,
       graft.queries.CurationQueries.oracles),
     new QueryModule(graft.queries.PipelineQueries.queries,
-      graft.queries.PipelineQueries.oracles))
+      graft.queries.PipelineQueries.oracles),
+    new QueryModule(graft.queries.WarehouseQueries.queries,
+      graft.queries.WarehouseQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-journey analytics: funnel progression, cohort retention, and
+  * time-grid resampling with forward fill — the batch analytics a
+  * product-event warehouse runs over the same `events` shape the
+  * streaming layer ingests (SURVEY.md §2.9's table).
+  *
+  * Scale posture (100 TB events):
+  *  - [[funnel]] is ONE shuffle on the user key; per-user state is that
+  *    user's funnel-stage events only (collect_list bounded by per-user
+  *    activity, the same bound any sessionizer pays), folded with a
+  *    codegen'd `aggregate` HOF — no iterative joins, no driver state.
+  *    The k-stage chained-min semantics (earliest stage-i event strictly
+  *    after the reached stage-(i-1) time, inside the anchor window) is
+  *    what a per-user time-sorted greedy fold computes exactly.
+  *  - [[cohortRetention]] is a window-min plus a distinct — two exchanges
+  *    on the user key, output bounded by cohorts × offsets.
+  *  - [[resampleFfill]] explodes a per-key time grid bounded by
+  *    (time-range / step), never by event count; the forward fill is a
+  *    running `last(ignoreNulls)` frame, no self-join.
+  */
+object Journey {
+
+  /** Per-user funnel progression over `stages` (ordered event-type names).
+    *
+    * Semantics (the chained-min form, replayable as SQL joins): the
+    * anchor t₁ = earliest stage-1 event; tᵢ = earliest stage-i event with
+    * tᵢ > tᵢ₋₁ and tᵢ ≤ t₁ + windowSeconds. Output: one row per user
+    * that reached at least stage 1 — (user, depth, anchor_us) where
+    * depth ∈ [1, stages.length].
+    */
+  def funnel(
+      events: DataFrame,
+      user: Column,
+      ts: Column,
+      stage: Column,
+      stages: Seq[String],
+      windowSeconds: Long): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct, got $stages")
+    val k = stages.length
+    val winUs = windowSeconds * 1000000L
+    // stage → 0-based index; non-funnel events dropped before the shuffle
+    val si = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (name, i)) =>
+      when(stage === name, lit(i)).otherwise(acc)
+    }
+    val evs = events
+      .select(user.as("user_key"),
+        unix_micros(ts).as("ts_us"), si.as("si"))
+      .filter(col("si") >= 0)
+    // One shuffle: per-user sorted fold. struct sort = (ts_us, si) lexical,
+    // so the scan sees time order; strict `>` in the advance condition
+    // makes the tiebreak irrelevant for progression.
+    val folded = evs
+      .groupBy(col("user_key"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("si")))).as("evs"))
+      .select(col("user_key"),
+        aggregate(col("evs"),
+          lit(Array.empty[Long]).cast("array<bigint>"),
+          (acc, e) => {
+            val advance = size(acc) < k && e.getField("si") === size(acc) &&
+              (size(acc) === 0 ||
+                (e.getField("ts_us") > element_at(acc, -1) &&
+                  e.getField("ts_us") <= element_at(acc, 1) + winUs))
+            when(advance, concat(acc, array(e.getField("ts_us")))).otherwise(acc)
+          }).as("reached"))
+    folded
+      .filter(size(col("reached")) > 0)
+      .select(col("user_key"),
+        size(col("reached")).cast("int").as("depth"),
+        element_at(col("reached"), 1).as("anchor_us"))
+  }
+
+  /** Funnel depth rows → per-stage report: (stage_no, stage, n_users,
+    * pct_of_first). The k-row result joins its own stage-1 count via a
+    * one-row broadcast, never a single-partition window.
+    */
+  def funnelReport(depths: DataFrame, stages: Seq[String]): DataFrame = {
+    val names = lit(stages.toArray)
+    val counts = depths
+      .select(explode(sequence(lit(1), col("depth"))).as("stage_no"))
+      .groupBy(col("stage_no")).agg(count(lit(1)).as("n_users"))
+    val first = counts.filter(col("stage_no") === 1)
+      .select(col("n_users").as("__n1"))
+    counts.crossJoin(broadcast(first))
+      .select(col("stage_no"),
+        element_at(names, col("stage_no")).as("stage"),
+        col("n_users"),
+        round(col("n_users") / col("__n1").cast("double"), 4).as("pct_of_first"))
+  }
+
+  /** Weekly cohort retention: cohort = week of a user's first event,
+    * offset = whole weeks since the cohort week; output
+    * (cohort_week, week_offset, n_users) with distinct users per cell.
+    */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val w = Window.partitionBy(col("user_key"))
+    events
+      .select(user.as("user_key"), date_trunc("week", ts).as("wk"))
+      .withColumn("cohort", min(col("wk")).over(w))
+      .select(col("user_key"), col("cohort"), col("wk"))
+      .distinct()
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Resample per-key events onto a fixed time grid with forward fill:
+    * for each key, an hourly (stepped) grid spans [trunc(min ts),
+    * trunc(max ts)]; grid cells carry their own aggregate when events
+    * exist and the last observed aggregate otherwise (`gap` marks fills).
+    * `value` must be an aggregatable column (summed per cell).
+    */
+  def resampleFfill(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      stepUnit: String = "hour"): DataFrame = {
+    val cell = events
+      .groupBy(key.as("key"), date_trunc(stepUnit, ts).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(value).as("v"))
+    val grid = cell
+      .groupBy(col("key"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"),
+          expr(s"interval 1 $stepUnit"))).as("bucket"))
+    val fill = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(cell, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(fill).as("filled_value"),
+        col("n_events").isNull.cast("int").as("gap"))
+  }
+}

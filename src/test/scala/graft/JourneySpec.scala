@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Journey
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JourneySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val stages = Seq("a", "b", "c")
+
+  test("funnel: chained-min progression with strict ordering") {
+    // u1 completes in order; u2 has b BEFORE a (must not count); u3 stops at b
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b"),
+      (1L, ts("2024-01-01 12:00:00"), "c"),
+      (2L, ts("2024-01-01 09:00:00"), "b"),
+      (2L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 12:00:00"), "c"), // c without b: no advance
+      (3L, ts("2024-01-01 10:00:00"), "a"),
+      (3L, ts("2024-01-01 10:30:00"), "b"),
+      (4L, ts("2024-01-01 10:00:00"), "x") // never enters the funnel
+    ).toDF("u", "t", "e")
+    val d = Journey.funnel(evs, col("u"), col("t"), col("e"), stages, 86400L)
+      .select("user_key", "depth").as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
+
+  test("funnel: window cap measured from the stage-1 anchor") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b"),
+      (1L, ts("2024-01-03 12:00:00"), "c"), // outside 24h of anchor
+      (2L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-02 09:00:00"), "b") // inside 24h
+    ).toDF("u", "t", "e")
+    val d = Journey.funnel(evs, col("u"), col("t"), col("e"), stages, 86400L)
+      .select("user_key", "depth").as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 2, 2L -> 2))
+  }
+
+  test("funnel: same-timestamp later stage does not advance (strict >)") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:00:00"), "b")
+    ).toDF("u", "t", "e")
+    val d = Journey.funnel(evs, col("u"), col("t"), col("e"), stages, 86400L)
+      .select("user_key", "depth").as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 1))
+  }
+
+  test("funnel: partition-independent (fold equals chained joins)") {
+    val base = (1L to 400L).map { i =>
+      (i % 40, ts(f"2024-01-${1 + (i % 25).toInt}%02d ${i % 24}%02d:${i % 60}%02d:00"),
+        stages((i % 5 % 3).toInt))
+    }.toDF("u", "t", "e")
+    val a = Journey.funnel(base, col("u"), col("t"), col("e"), stages, 864000L)
+      .orderBy("user_key").collect().toSeq
+    val b = Journey.funnel(base.repartition(13), col("u"), col("t"), col("e"),
+      stages, 864000L).orderBy("user_key").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("funnelReport: counts are cumulative-reach, pct vs stage 1") {
+    val depths = Seq((1L, 3, 0L), (2L, 1, 0L), (3L, 2, 0L), (4L, 1, 0L))
+      .toDF("user_key", "depth", "anchor_us")
+    val r = Journey.funnelReport(depths, stages)
+      .select("stage_no", "stage", "n_users", "pct_of_first")
+      .as[(Int, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1, "a", 4L, 1.0), (2, "b", 2L, 0.5), (3, "c", 1L, 0.25)))
+  }
+
+  test("cohortRetention: offsets count whole weeks from first-event week") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Monday, cohort week 2024-01-01
+      (1L, ts("2024-01-10 10:00:00")), // offset 1
+      (1L, ts("2024-01-21 10:00:00")), // Sunday of week 2024-01-15 → offset 2
+      (2L, ts("2024-01-10 10:00:00")) // cohort 2024-01-08, offset 0
+    ).toDF("u", "t")
+    val r = Journey.cohortRetention(evs, col("u"), col("t"))
+      .select("cohort_week", "week_offset", "n_users")
+      .as[(String, Int, Long)].collect().toSet
+    assert(r == Set(("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L),
+      ("2024-01-01", 2, 1L), ("2024-01-08", 0, 1L)))
+  }
+
+  test("resampleFfill: gaps filled forward, grid spans min..max hour") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:10:00"), java.math.BigDecimal.valueOf(5)),
+      (1L, ts("2024-01-01 10:40:00"), java.math.BigDecimal.valueOf(3)),
+      (1L, ts("2024-01-01 13:05:00"), java.math.BigDecimal.valueOf(2))
+    ).toDF("u", "t", "v")
+    val r = Journey.resampleFfill(evs, col("u"), col("t"), col("v"))
+      .select(date_format(col("bucket"), "HH").cast("int").as("h"),
+        col("n_events"), col("filled_value").cast("double"), col("gap"))
+      .as[(Int, Long, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((10, 2L, 8.0, 0), (11, 0L, 8.0, 1), (12, 0L, 8.0, 1),
+      (13, 1L, 2.0, 0)))
+  }
+}
