@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Whole-table warehouse operations: snapshot diffing (the change feed
+  * between two loads of the same table) and one-pass column profiling
+  * (the data-quality summary every ingest gate reads).
+  *
+  * Scale posture: [[snapshotDiff]] is one key-equi full-outer join — the
+  * exchange any differ pays, AQE-skew-safe, no driver state.
+  * [[columnProfile]] is ONE aggregation pass over the table (the multi-
+  * countDistinct lowers to a single Expand + partial/final hash agg);
+  * output is bounded by the column count, never the row count.
+  */
+object TableOps {
+
+  /** Classify rows of `newDf` vs `oldDf` by `keyCols`: added / removed /
+    * changed / unchanged, with the sorted list of differing compare
+    * columns. Comparison is null-safe (`<=>`); key columns must be
+    * non-null row identifiers in both snapshots.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs key and compare columns")
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .toDF((keyCols ++ compareCols).map("o_" + _): _*)
+    val n = newDf.select((keyCols ++ compareCols).map(col): _*)
+      .toDF((keyCols ++ compareCols).map("n_" + _): _*)
+    val keyEq = keyCols.map(k => col("o_" + k) === col("n_" + k)).reduce(_ && _)
+    val joined = o.join(n, keyEq, "full_outer")
+    val inOld = col("o_" + keyCols.head).isNotNull
+    val inNew = col("n_" + keyCols.head).isNotNull
+    val diffs = compareCols.sorted.map(c =>
+      when(!(col("o_" + c) <=> col("n_" + c)), lit(c)))
+    val changedCols = array_compact(array(diffs: _*))
+    joined.select(
+      keyCols.map(k => coalesce(col("n_" + k), col("o_" + k)).as(k)) ++ Seq(
+        when(!inOld, lit("added"))
+          .when(!inNew, lit("removed"))
+          .when(size(changedCols) > 0, lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        when(inOld && inNew, array_join(changedCols, ","))
+          .otherwise(lit("")).as("changed_cols")): _*)
+  }
+
+  /** One-pass profile of the named columns: non-null/null counts,
+    * exact distinct count (nulls excluded, the SQL convention), min and
+    * max rendered as strings. Returns one row per column:
+    * (col_name, n_rows, n_nulls, n_distinct, min_value, max_value).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c"))) :+
+      count(lit(1)).as("__total")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.Journey
+import graft.operators.{Journey, TableOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,40 @@ object WarehouseQueries {
         .select(col("key").as("user_id"), tstr(col("bucket")).as("hour"),
           col("n_events"), col("filled_value").cast("double").as("filled_value"),
           col("gap"))
+    }),
+
+    // Snapshot diff: two overlapping date-sliced loads of orders with
+    // deterministic mutations in the newer one; full-outer key join →
+    // added/removed/changed/unchanged + differing-column list.
+    "q175_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("price"),
+          col("o_orderpriority").as("priority"), col("o_orderdate"))
+      val snapA = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .drop("o_orderdate")
+      val snapB = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .withColumn("price",
+          when(col("o_orderkey") % 7 === 0, col("price") + 1).otherwise(col("price")))
+        .withColumn("priority",
+          when(col("o_orderkey") % 11 === 0, lit("9-MUTATED")).otherwise(col("priority")))
+        .drop("o_orderdate")
+      TableOps.snapshotDiff(snapA, snapB, Seq("o_orderkey"),
+          Seq("o_orderstatus", "price", "priority"))
+        .groupBy(col("change_type"), col("changed_cols"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // One-pass column profile (nulls / exact distinct / min / max) over a
+    // projection that plants nulls via NULLIF; long-format output.
+    "q176_column_profile" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          expr("nullif(o_orderpriority, '1-URGENT')").as("priority_nullable"),
+          col("o_custkey"), dec(col("o_totalprice")).as("price"))
+      TableOps.columnProfile(o,
+        Seq("o_orderstatus", "priority_nullable", "o_custkey", "price"))
     }))
 
   private val funnelWinUs = funnelWindowSec * 1000000L
@@ -109,5 +143,62 @@ object WarehouseQueries {
              PARTITION BY g.user_id ORDER BY g.hr
              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS filled_value,
            CAST(CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS INT) AS gap
-         FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr""")
+         FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr""",
+
+    "q175_snapshot_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderpriority AS priority, o_orderdate
+           FROM orders),
+         a AS (SELECT o_orderkey, o_orderstatus, price, priority
+               FROM o WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         b AS (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0 THEN price + 1 ELSE price END AS price,
+                 CASE WHEN o_orderkey % 11 = 0 THEN '9-MUTATED' ELSE priority END AS priority
+               FROM o WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+         j AS (
+           SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS k,
+             a.o_orderkey IS NOT NULL AS in_old,
+             b.o_orderkey IS NOT NULL AS in_new,
+             COALESCE(ARRAY_TO_STRING(list_filter([
+               CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'o_orderstatus' END,
+               CASE WHEN a.price IS DISTINCT FROM b.price THEN 'price' END,
+               CASE WHEN a.priority IS DISTINCT FROM b.priority THEN 'priority' END],
+               x -> x IS NOT NULL), ','), '') AS diff_cols
+           FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         SELECT CASE WHEN NOT in_old THEN 'added'
+                     WHEN NOT in_new THEN 'removed'
+                     WHEN diff_cols <> '' THEN 'changed'
+                     ELSE 'unchanged' END AS change_type,
+           CASE WHEN in_old AND in_new THEN diff_cols ELSE '' END AS changed_cols,
+           COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+         FROM j GROUP BY 1, 2""",
+
+    "q176_column_profile" ->
+      """WITH o AS (
+           SELECT o_orderstatus, NULLIF(o_orderpriority, '1-URGENT') AS priority_nullable,
+             o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders)
+         SELECT 'o_orderstatus' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderstatus) AS n_nulls,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_value
+         FROM o
+         UNION ALL
+         SELECT 'priority_nullable', COUNT(*), COUNT(*) - COUNT(priority_nullable),
+           COUNT(DISTINCT priority_nullable),
+           CAST(MIN(priority_nullable) AS VARCHAR), CAST(MAX(priority_nullable) AS VARCHAR)
+         FROM o
+         UNION ALL
+         SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+         FROM o
+         UNION ALL
+         SELECT 'price', COUNT(*), COUNT(*) - COUNT(price),
+           COUNT(DISTINCT price),
+           CAST(MIN(price) AS VARCHAR), CAST(MAX(price) AS VARCHAR)
+         FROM o""")
 }
