@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.PolyHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -37,4 +38,120 @@ object Sketches {
       .agg(percentile_approx(valueCol,
           typedLit(percentiles), lit(accuracy)).as("approx_percentiles"),
         count(lit(1)).as("n_rows"))
+
+  // ---- portable sketches (oracle-checked register layouts) -----------------
+  //
+  // Unlike the HLL++/GK forms above, these two use the repo's portable
+  // poly-hash streams, so DuckDB replays every register value-for-value:
+  // the sketch CONTENT is on the correctness surface, not just its error
+  // bound. Both are one narrow pass + a register-sized aggregation —
+  // constant output regardless of input rows, mergeable by construction
+  // (registers are sums / maxes, so partial aggregation composes).
+
+  /** Depth salted row multipliers for the count-min index stream:
+    * `idx_d = ((h31·m_d + d) mod P1) mod width`, m_d = Knuth·(2d+1) mod P1.
+    */
+  private[graft] def cmMultipliers(depth: Int): Seq[Long] =
+    (0 until depth).map { d =>
+      val m = ((BigInt(Sampling.Knuth) * (2 * d + 1)) mod BigInt(PolyHash.P1)).toLong
+      if (m == 0L) Sampling.Knuth else m
+    }
+
+  private def cmIndex(h: Column, d: Int, mult: Long, width: Int): Column =
+    pmod(pmod(h * lit(mult) + lit(d.toLong), lit(PolyHash.P1)), lit(width.toLong))
+
+  /** Count-min sketch registers over a string item column: one row per
+    * (d, idx) with the summed hit count. depth×width rows total — the
+    * fixed-memory frequency summary a 100 TB token stream reduces to in
+    * one partial+final aggregation (no per-item state, long tail never
+    * shuffles as strings: rows carry only (int, long) keys).
+    */
+  def countMinRegisters(
+      df: DataFrame, item: Column, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"bad CMS shape $depth x $width")
+    val mults = cmMultipliers(depth)
+    val h = PolyHash.polyStringHash(df.sparkSession, item)
+    df.select(h.as("__h"))
+      .select(explode(array((0 until depth).map(d => struct(
+        lit(d).as("d"), cmIndex(col("__h"), d, mults(d), width).as("idx"))): _*))
+        .as("r"))
+      .groupBy(col("r.d").as("d"), col("r.idx").as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from count-min registers for a (small) probe frame:
+    * est(item) = min over d of register[idx_d(item)], absent registers
+    * counting 0. All probe columns are preserved; the register table is
+    * broadcast (≤ depth·width rows by construction).
+    */
+  def cmEstimates(
+      registers: DataFrame, probes: DataFrame, item: Column,
+      depth: Int, width: Int): DataFrame = {
+    val mults = cmMultipliers(depth)
+    val keep = probes.columns.toSeq
+    val h = PolyHash.polyStringHash(probes.sparkSession, item)
+    probes.withColumn("__h", h)
+      .select(col("*"), explode(array((0 until depth).map(d => struct(
+        lit(d).as("d"), cmIndex(col("__h"), d, mults(d), width).as("idx"))): _*))
+        .as("r"))
+      .join(broadcast(registers),
+        col("r.d") === registers("d") && col("r.idx") === registers("idx"), "left")
+      .groupBy(keep.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+
+  /** HyperLogLog registers over the portable 60-bit md5-prefix hash
+    * (`TextFunctions.md5Long`'s convention): bucket = low p bits, rho =
+    * leading-zero count of the remaining (60−p) bits plus one, computed
+    * exactly via `bin()` string length — no float log2 anywhere, so
+    * DuckDB replays every register. Output: one row per (group, bucket)
+    * with max rho; ≤ 2^p rows per group.
+    *
+    * Why md5 and not the poly fold the rest of the repo hashes with: the
+    * leading-zero statistic needs AVALANCHE in the high bits. A poly
+    * fold of short structured strings wraps its modulus only a handful
+    * of times, so the top bits stay correlated with the input and the
+    * registers systematically under-read (measured 5× cardinality
+    * underestimate on `item-$i` style keys). Low-bit statistics (count-
+    * min indexes, band buckets) stay safe on the poly stream; rank-of-
+    * MSB statistics do not.
+    */
+  def hllRegisters(
+      df: DataFrame, groupCols: Seq[Column], value: Column, p: Int): DataFrame = {
+    require(p >= 2 && p <= 16, s"bad HLL precision $p")
+    val h = conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+    val width = 60 - p
+    df.select(groupCols :+ h.as("__h"): _*)
+      .select(col("*"),
+        pmod(col("__h"), lit(1L << p)).as("bucket"),
+        shiftright(col("__h"), p).as("__rem"))
+      .withColumn("rho",
+        when(col("__rem") > 0,
+          lit(width) - (length(bin(col("__rem"))) - 1)).otherwise(lit(width + 1))
+          .cast("int"))
+      .groupBy(groupCols :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Cardinality estimate from [[hllRegisters]] output (engine-specific
+    * float math — spec-gated, not on the oracle surface): the standard
+    * HLL harmonic mean with alpha_m bias correction and the
+    * linear-counting small-range regime.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[Column], p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .groupBy(groupCols: _*)
+      .agg(sum(pow(lit(0.5), col("rho_max"))).as("__sumObs"),
+        count(lit(1)).as("__nObs"))
+      .withColumn("__zeros", lit(m) - col("__nObs"))
+      .withColumn("__raw",
+        lit(alpha * m.toDouble * m) / (col("__sumObs") + col("__zeros")))
+      .withColumn("estimate",
+        when(col("__raw") <= 2.5 * m && col("__zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros")))
+          .otherwise(col("__raw")))
+      .drop("__sumObs", "__nObs", "__zeros", "__raw")
+  }
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{Journey, TableOps}
+import graft.functions.TextFunctions
+import graft.operators.{Journey, Sketches, TableOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,6 +16,7 @@ import org.apache.spark.sql.functions._
 object WarehouseQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
@@ -80,7 +82,36 @@ object WarehouseQueries {
           col("o_custkey"), dec(col("o_totalprice")).as("price"))
       TableOps.columnProfile(o,
         Seq("o_orderstatus", "priority_nullable", "o_custkey", "price"))
+    }),
+
+    // Count-min sketch over the token stream (portable poly31 index
+    // stream, so every register is oracle-checked), probed at the 10
+    // most frequent tokens: est = min over depth rows, always ≥ exact.
+    "q177_countmin" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      val regs = Sketches.countMinRegisters(toks, col("w"), depth = 3, width = 512)
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+      val probes = exact.orderBy(col("exact_n").desc, col("w").asc).limit(10)
+      Sketches.cmEstimates(regs, probes, col("w"), depth = 3, width = 512)
+        .select(col("w").as("token"), col("exact_n"), col("cm_est"))
+    }),
+
+    // HyperLogLog registers per language over the 60-bit md5-prefix
+    // token hash (avalanche for the leading-zero statistic) — rho via
+    // exact bin()-length arithmetic, no float log2, so the whole
+    // register table is on the hash-checked surface (the estimate's
+    // float math stays spec-gated in SketchesSpec).
+    "q179_hll_registers" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      Sketches.hllRegisters(toks, Seq(col("lang")), col("w"), p = 6)
     }))
+
+  private val cmMults = Sketches.cmMultipliers(3)
+  private val cmDdSql =
+    s"(SELECT * FROM (VALUES (0, ${cmMults(0)}), (1, ${cmMults(1)}), " +
+      s"(2, ${cmMults(2)})) v(d, m))"
 
   private val funnelWinUs = funnelWindowSec * 1000000L
 
@@ -200,5 +231,32 @@ object WarehouseQueries {
          SELECT 'price', COUNT(*), COUNT(*) - COUNT(price),
            COUNT(DISTINCT price),
            CAST(MIN(price) AS VARCHAR), CAST(MAX(price) AS VARCHAR)
-         FROM o""")
+         FROM o""",
+
+    "q177_countmin" ->
+      s"""WITH t AS (SELECT UNNEST(${AnalyticsQueries.toksSql}) AS w FROM documents),
+         hx AS (SELECT w, ${AnalyticsQueries.polyHashSql("w")} AS h FROM t),
+         dd AS $cmDdSql,
+         regs AS (
+           SELECT dd.d AS d, ((hx.h * dd.m + dd.d) % 1000000007) % 512 AS idx,
+             COUNT(*) AS cnt
+           FROM hx CROSS JOIN dd GROUP BY 1, 2),
+         exact AS (SELECT w, MIN(h) AS h, COUNT(*) AS exact_n FROM hx GROUP BY w),
+         probes AS (SELECT * FROM exact ORDER BY exact_n DESC, w LIMIT 10)
+         SELECT p.w AS token, p.exact_n, MIN(COALESCE(r.cnt, 0)) AS cm_est
+         FROM probes p CROSS JOIN dd
+         LEFT JOIN regs r ON r.d = dd.d
+           AND r.idx = ((p.h * dd.m + dd.d) % 1000000007) % 512
+         GROUP BY 1, 2""",
+
+    "q179_hll_registers" ->
+      s"""WITH t AS (SELECT lang, UNNEST(${AnalyticsQueries.toksSql}) AS w FROM documents),
+         h AS (SELECT lang,
+             CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT) AS h
+           FROM t),
+         r AS (SELECT lang, h % 64 AS bucket, h // 64 AS rem FROM h)
+         SELECT lang, bucket,
+           CAST(MAX(CASE WHEN rem > 0 THEN 54 - LENGTH(bin(rem)) + 1
+                         ELSE 55 END) AS INT) AS rho_max
+         FROM r GROUP BY 1, 2""")
 }

@@ -44,4 +44,63 @@ class SketchesSpec extends AnyFunSuite {
         s"p$p: approx=$a exact=$e strayed ${between.toDouble / n} of rank space")
     }
   }
+
+  // ---- portable count-min ---------------------------------------------------
+
+  test("countMin: estimates always >= exact, equal when collision-free") {
+    val items = (1L to 2000L).map(i => s"tok${i % 97}").toDF("w")
+    val regs = Sketches.countMinRegisters(items, col("w"), depth = 3, width = 1024)
+    val exact = items.groupBy("w").agg(count(lit(1)).as("exact_n"))
+    val est = Sketches.cmEstimates(regs, exact, col("w"), depth = 3, width = 1024)
+      .select("w", "exact_n", "cm_est").as[(String, Long, Long)].collect()
+    assert(est.length == 97)
+    est.foreach { case (w, ex, cm) => assert(cm >= ex, s"$w: $cm < $ex") }
+    // 97 distinct items in 1024 slots x 3 rows: min-over-rows collision
+    // residue must be tiny; demand exactness for >= 90 of 97
+    assert(est.count { case (_, ex, cm) => cm == ex } >= 90, est.toSeq)
+  }
+
+  test("countMin registers: partition-independent and width-bounded") {
+    val items = (1L to 5000L).map(i => s"w${i % 211}").toDF("w")
+    val a = Sketches.countMinRegisters(items, col("w"), 2, 256)
+      .as[(Int, Long, Long)].collect().toSet
+    val b = Sketches.countMinRegisters(items.repartition(17), col("w"), 2, 256)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.size <= 2 * 256)
+    // sum via iterator — Set.map would dedup equal counts before summing
+    assert(a.groupBy(_._1).view.mapValues(_.iterator.map(_._3).sum).toMap ==
+      Map(0 -> 5000L, 1 -> 5000L)) // each row sees every item once
+  }
+
+  // ---- portable HLL ---------------------------------------------------------
+
+  test("hllRegisters: partition-independent, bucket-bounded, rho in range") {
+    val items = (1L to 3000L).map(i => ("g", s"v$i")).toDF("g", "w")
+    val a = Sketches.hllRegisters(items, Seq(col("g")), col("w"), p = 6)
+      .as[(String, Long, Int)].collect().toSet
+    val b = Sketches.hllRegisters(items.repartition(13), Seq(col("g")), col("w"), p = 6)
+      .as[(String, Long, Int)].collect().toSet
+    assert(a == b && a.size <= 64)
+    assert(a.forall { case (_, bkt, rho) => bkt >= 0 && bkt < 64 && rho >= 1 && rho <= 55 })
+  }
+
+  test("hllEstimate: within 3 sigma of exact cardinality at p=6") {
+    // rsd = 1.04/sqrt(64) = 13%; 3 sigma = 39%
+    for (n <- Seq(500L, 5000L)) {
+      val items = (1L to n).map(i => ("g", s"item-$i-x")).toDF("g", "w")
+      val regs = Sketches.hllRegisters(items, Seq(col("g")), col("w"), p = 6)
+      val est = Sketches.hllEstimate(regs, Seq(col("g")), p = 6)
+        .select("estimate").as[Double].head()
+      assert(math.abs(est - n) / n <= 0.39, s"n=$n est=$est")
+    }
+  }
+
+  test("hllEstimate: linear-counting regime for tiny cardinalities") {
+    val items = (1L to 12L).map(i => ("g", s"u$i")).toDF("g", "w")
+    val regs = Sketches.hllRegisters(items, Seq(col("g")), col("w"), p = 6)
+    val est = Sketches.hllEstimate(regs, Seq(col("g")), p = 6)
+      .select("estimate").as[Double].head()
+    assert(math.abs(est - 12.0) <= 3.0, s"est=$est")
+  }
 }
