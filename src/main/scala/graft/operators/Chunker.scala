@@ -32,4 +32,49 @@ object Chunker {
       .withColumn("chunk",
         textCol.substr(col("chunk_idx").cast("int") * stride + 1, lit(size)))
   }
+
+  /** Sentence-aware greedy chunking — the RAG chunker shape that respects
+    * sentence boundaries instead of slicing mid-sentence: sentences
+    * (terminator runs `[.!?]+` or end-of-text close a sentence) pack
+    * greedily into chunks, starting a new chunk when adding the next
+    * sentence would exceed `budgetTokens` (a single over-budget sentence
+    * still forms its own chunk rather than being split).
+    *
+    * The whole computation is one narrow projection per row — sentence
+    * split, per-sentence token counts, and the greedy fold all run inside
+    * `transform`/`aggregate` HOFs, then `posexplode` fans chunks out.
+    * ZERO exchanges at any scale; per-row state is bounded by the
+    * document's own sentence count.
+    *
+    * @return one row per chunk: id columns + (chunk_idx 1-based,
+    *   n_sentences, n_tokens)
+    */
+  def sentenceChunks(
+      df: DataFrame, textCol: Column, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val sents = filter(
+      transform(regexp_extract_all(textCol,
+        lit("[^.!?]+(?:[.!?]+|$)"), lit(0)), x => trim(x)),
+      x => x =!= "")
+    val cnts = transform(sents,
+      x => size(graft.functions.TextFunctions.tokens(x)).cast("long"))
+    // typed empty array<struct<ns,nt>> (cast from array<bigint> won't)
+    val emptyState = slice(
+      array(struct(lit(0L).as("ns"), lit(0L).as("nt"))), 1, 0)
+    val folded = aggregate(cnts, emptyState, (acc, c) => {
+      val last = element_at(acc, -1)
+      val fresh = array(struct(lit(1L).as("ns"), c.as("nt")))
+      when(size(acc) === 0, fresh)
+        .when(last.getField("nt") + c > budgetTokens, concat(acc, fresh))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct((last.getField("ns") + 1).as("ns"),
+            (last.getField("nt") + c).as("nt")))))
+    })
+    df.withColumn("__chunks", folded)
+      .select(col("*"), posexplode(col("__chunks")))
+      .select(df.columns.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.ns").as("n_sentences"),
+        col("col.nt").as("n_tokens")): _*)
+  }
 }

@@ -254,4 +254,59 @@ object Graph {
     // until the returned frame is unreferenced (ContextCleaner).
     labels
   }
+
+  /** Exact per-vertex triangle counts by degree-ordered edge orientation
+    * (the node-iterator++ scheme): every undirected edge points from its
+    * lower-(degree, id) endpoint to the higher one, wedges form only at
+    * the LOW-ordered corner, and a wedge (v, w) closes through the single
+    * possible oriented edge v→w.
+    *
+    * Why this survives scale where the naive 3-way self-join dies: after
+    * orientation, out-degree is O(√m) for ANY degree distribution (a
+    * vertex with out-degree d has d neighbors of degree ≥ d, so
+    * d² ≤ 2m) — the wedge join's fan-out is bounded by out-degree², i.e.
+    * O(m^1.5) total work, the sequential-optimal bound, with NO hub
+    * blow-up: a celebrity node with 10⁷ followers contributes wedges
+    * only through its (rare) higher-ordered neighbors. All three stages
+    * are key-equi joins on vertex ids — shuffle-partitioned, AQE-skew
+    * safe, no driver state.
+    *
+    * @return (vertex, n_tri) for every vertex in at least one triangle;
+    *   Σ n_tri = 3 × triangle count
+    */
+  def triangleCount(
+      edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    // canonical undirected edge set: self-loops dropped, one row per pair
+    val canon = edges
+      .select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("x"))
+      .unionAll(canon.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val withDeg = canon
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("t"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("td"))
+    // wedges at the low corner, ordered so each triangle forms once
+    val o1 = oriented.select(col("s"), col("t").as("t1"), col("td").as("d1"))
+    val o2 = oriented.select(col("s"), col("t").as("t2"), col("td").as("d2"))
+    val wedges = o1.join(o2, "s")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("t1") < col("t2")))
+    val triangles = wedges
+      .join(oriented.select(col("s").as("t1"), col("t").as("t2")),
+        Seq("t1", "t2"), "left_semi")
+      .select(col("s"), col("t1"), col("t2"))
+    triangles
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("vertex"))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Journey, Sketches, TableOps}
+import graft.operators.{Chunker, Graph, Journey, Sketches, TableOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,43 @@ object WarehouseQueries {
       val toks = docs(s, dir)
         .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
       Sketches.hllRegisters(toks, Seq(col("lang")), col("w"), p = 6)
+    }),
+
+    // Exact triangle counting by degree-ordered orientation over the
+    // q145 arithmetic link graph; output = triangle-participation
+    // histogram. Orientation bounds wedge fan-out at O(√m) out-degree —
+    // the shape that survives hub vertices at 100 TB.
+    "q178_triangle_count" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cnt = d.agg(count(lit(1)).cast("long").as("__n"))
+      val edges = d.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          explode(transform(
+            sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))),
+            j => {
+              val t0 = pmod(col("doc_id") * 31 + j, col("__n"))
+              when(t0 === col("doc_id"), pmod(t0 + 1, col("__n"))).otherwise(t0)
+            })).as("dst"))
+      Graph.triangleCount(edges, col("src"), col("dst"))
+        .groupBy(col("n_tri")).agg(count(lit(1)).as("n_vertices"))
+    }),
+
+    // Sentence-aware greedy chunking (20-token budget): the RAG chunker
+    // that respects sentence boundaries; whole pipeline is one narrow
+    // projection (split → count → greedy fold → posexplode), no shuffle.
+    // The synthetic texts carry no terminators (1.0 sentences/doc), so —
+    // q142's decoration precedent — the query plants a period after
+    // every 7th token first; every fold branch then triggers for real.
+    "q180_sentence_chunks" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val dotted = array_join(
+        transform(toks, (x, i) =>
+          when((i + 1) % 7 === 0, concat(x, lit("."))).otherwise(x)), " ")
+      Chunker.sentenceChunks(
+          docs(s, dir).select(col("doc_id"), dotted.as("text")),
+          col("text"), budgetTokens = 20)
+        .select(col("doc_id"), col("chunk_idx"),
+          col("n_sentences"), col("n_tokens"))
     }))
 
   private val cmMults = Sketches.cmMultipliers(3)
@@ -258,5 +295,65 @@ object WarehouseQueries {
          SELECT lang, bucket,
            CAST(MAX(CASE WHEN rem > 0 THEN 54 - LENGTH(bin(rem)) + 1
                          ELSE 55 END) AS INT) AS rho_max
-         FROM r GROUP BY 1, 2""")
+         FROM r GROUP BY 1, 2""",
+
+    "q178_triangle_count" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         e0 AS (SELECT doc_id AS src, u.j, n
+           FROM documents, nn, unnest(range(1, 2 + doc_id % 3)) AS u(j)),
+         e AS (SELECT src, CASE WHEN (src*31 + j) % n = src
+             THEN ((src*31 + j) % n + 1) % n
+             ELSE (src*31 + j) % n END AS dst FROM e0),
+         c AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+               FROM e WHERE src <> dst),
+         deg AS (SELECT x, COUNT(*) AS dg FROM
+             (SELECT u AS x FROM c UNION ALL SELECT v FROM c) GROUP BY x),
+         o AS (SELECT
+             CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND c.u < c.v)
+                  THEN c.u ELSE c.v END AS s,
+             CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND c.u < c.v)
+                  THEN c.v ELSE c.u END AS t,
+             CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND c.u < c.v)
+                  THEN dv.dg ELSE du.dg END AS td
+           FROM c JOIN deg du ON c.u = du.x JOIN deg dv ON c.v = dv.x),
+         w AS (SELECT o1.s, o1.t AS t1, o2.t AS t2
+           FROM o o1 JOIN o o2 ON o1.s = o2.s
+           WHERE o1.td < o2.td OR (o1.td = o2.td AND o1.t < o2.t)),
+         tri AS (SELECT s, t1, t2 FROM w
+           WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.t1 AND o.t = w.t2)),
+         pv AS (SELECT vertex, COUNT(*) AS n_tri FROM
+             (SELECT s AS vertex FROM tri
+              UNION ALL SELECT t1 FROM tri
+              UNION ALL SELECT t2 FROM tri) GROUP BY vertex)
+         SELECT n_tri, COUNT(*) AS n_vertices FROM pv GROUP BY n_tri""",
+
+    "q180_sentence_chunks" ->
+      s"""WITH d0 AS (SELECT doc_id, ${AnalyticsQueries.toksSql} AS toks
+           FROM documents),
+         d AS (SELECT doc_id, array_to_string(
+             list_transform(range(1, len(toks) + 1),
+               i -> toks[i] || CASE WHEN i % 7 = 0 THEN '.' ELSE '' END),
+             ' ') AS text
+           FROM d0),
+         t AS (SELECT doc_id,
+           list_filter(list_transform(
+             regexp_extract_all(text, '[^.!?]+(?:[.!?]+|$$)'), x -> trim(x)),
+             x -> x <> '') AS sents
+         FROM d),
+         c AS (SELECT doc_id, list_transform(sents,
+             x -> [[CAST(1 AS BIGINT),
+                    CAST(len(list_filter(string_split_regex(x, '\\s+'),
+                      y -> y <> '')) AS BIGINT)]]) AS elems
+           FROM t),
+         f AS (SELECT doc_id,
+             list_reduce(list_prepend(CAST([] AS BIGINT[][]), elems),
+               (a, x) -> CASE
+                 WHEN len(a) = 0 THEN x
+                 WHEN a[-1][2] + x[1][2] > 20 THEN list_concat(a, x)
+                 ELSE list_concat(a[1:len(a)-1],
+                   [[a[-1][1] + 1, a[-1][2] + x[1][2]]]) END) AS chunks
+           FROM c)
+         SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+           chunks[u.i][1] AS n_sentences, chunks[u.i][2] AS n_tokens
+         FROM f, unnest(range(1, len(chunks) + 1)) AS u(i)""")
 }

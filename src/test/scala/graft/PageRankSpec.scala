@@ -96,4 +96,46 @@ class PageRankSpec extends AnyFunSuite {
       .collect()
     assert(!out(0).getBoolean(5) && out(1).getBoolean(5))
   }
+
+  // ---- triangle counting ----------------------------------------------------
+
+  private def triCounts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCount(edges.toDF("src", "dst"), col("src"), col("dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("triangleCount: K4 has 4 triangles, every vertex in 3") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val r = triCounts(k4)
+    assert(r == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCount: paths and stars have none; self-loops/dups ignored") {
+    assert(triCounts(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    assert(triCounts(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))).isEmpty)
+    // duplicate edges (both directions) + a self-loop must not create
+    // or multiply triangles
+    val r = triCounts(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (1L, 2L)))
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCount: matches brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val adj = canon.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var brute = Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (u, v) <- canon
+      w <- adj.getOrElse(v, Set.empty)
+      if canon.contains((u, w))
+    } {
+      brute = brute.updated(u, brute(u) + 1).updated(v, brute(v) + 1)
+        .updated(w, brute(w) + 1)
+    }
+    val r = triCounts(edges)
+    assert(r == brute.filter(_._2 > 0).toMap)
+    assert(r.values.sum % 3 == 0)
+  }
 }
