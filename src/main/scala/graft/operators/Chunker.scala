@@ -52,6 +52,9 @@ object Chunker {
   def sentenceChunks(
       df: DataFrame, textCol: Column, budgetTokens: Int): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val reserved = Seq("chunk_idx", "n_sentences", "n_tokens", "__sc_chunks")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not already carry ${reserved.mkString("/")}")
     val sents = filter(
       transform(regexp_extract_all(textCol,
         lit("[^.!?]+(?:[.!?]+|$)"), lit(0)), x => trim(x)),
@@ -70,11 +73,14 @@ object Chunker {
           array(struct((last.getField("ns") + 1).as("ns"),
             (last.getField("nt") + c).as("nt")))))
     })
-    df.withColumn("__chunks", folded)
-      .select(col("*"), posexplode(col("__chunks")))
+    df.withColumn("__sc_chunks", folded)
+      // unique generator output names: a carried 'pos'/'col' column must
+      // not become an ambiguous reference
+      .select(col("*"),
+        posexplode(col("__sc_chunks")).as(Seq("__sc_pos", "__sc_chunk")))
       .select(df.columns.map(col) ++ Seq(
-        (col("pos") + 1).cast("long").as("chunk_idx"),
-        col("col.ns").as("n_sentences"),
-        col("col.nt").as("n_tokens")): _*)
+        (col("__sc_pos") + 1).cast("long").as("chunk_idx"),
+        col("__sc_chunk.ns").as("n_sentences"),
+        col("__sc_chunk.nt").as("n_tokens")): _*)
   }
 }

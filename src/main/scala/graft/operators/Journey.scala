@@ -48,10 +48,12 @@ object Journey {
     val si = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (name, i)) =>
       when(stage === name, lit(i)).otherwise(acc)
     }
+    // null timestamps drop like the chained-min SQL form ignores them —
+    // a null anchor would otherwise poison every later ts comparison
     val evs = events
       .select(user.as("user_key"),
         unix_micros(ts).as("ts_us"), si.as("si"))
-      .filter(col("si") >= 0)
+      .filter(col("si") >= 0 && col("ts_us").isNotNull)
     // One shuffle: per-user sorted fold. struct sort = (ts_us, si) lexical,
     // so the scan sees time order; strict `>` in the advance condition
     // makes the tiebreak irrelevant for progression.

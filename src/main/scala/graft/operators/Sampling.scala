@@ -31,9 +31,18 @@ object Sampling {
     */
   def hashBucket(id: Column, buckets: Int, salt: Long = 0L): Column = {
     require(buckets > 0, "buckets must be positive")
-    val m = ((BigInt(Knuth) * (2 * BigInt(salt) + 1)) mod BigInt(Prime)).toLong
-    val multiplier = if (m == 0L) Knuth else m // 2·salt+1 ≡ 0 (mod P) degenerates
+    val multiplier = saltedMultiplier(salt, Prime)
     pmod(pmod(pmod(id, lit(Prime)) * lit(multiplier), lit(Prime)), lit(buckets))
+  }
+
+  /** The salted-multiplier derivation shared by every decorrelated hash
+    * row in the repo: `Knuth·(2·salt+1) mod prime`, falling back to the
+    * raw Knuth constant when `2·salt+1 ≡ 0 (mod prime)` degenerates.
+    * Also the count-min depth stream (Sketches.cmMultipliers).
+    */
+  def saltedMultiplier(salt: Long, prime: Long): Long = {
+    val m = ((BigInt(Knuth) * (2 * BigInt(salt) + 1)) mod BigInt(prime)).toLong
+    if (m == 0L) Knuth else m
   }
 
   /** Adds `bucket` and `split` columns. `weights` are integer shares of

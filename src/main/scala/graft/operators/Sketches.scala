@@ -52,10 +52,7 @@ object Sketches {
     * `idx_d = ((h31·m_d + d) mod P1) mod width`, m_d = Knuth·(2d+1) mod P1.
     */
   private[graft] def cmMultipliers(depth: Int): Seq[Long] =
-    (0 until depth).map { d =>
-      val m = ((BigInt(Sampling.Knuth) * (2 * d + 1)) mod BigInt(PolyHash.P1)).toLong
-      if (m == 0L) Sampling.Knuth else m
-    }
+    (0 until depth).map(d => Sampling.saltedMultiplier(d, PolyHash.P1))
 
   private def cmIndex(h: Column, d: Int, mult: Long, width: Int): Column =
     pmod(pmod(h * lit(mult) + lit(d.toLong), lit(PolyHash.P1)), lit(width.toLong))
@@ -87,17 +84,30 @@ object Sketches {
   def cmEstimates(
       registers: DataFrame, probes: DataFrame, item: Column,
       depth: Int, width: Int): DataFrame = {
+    require(!probes.columns.exists(_.startsWith("__cm_")),
+      "probe columns must not start with __cm_")
     val mults = cmMultipliers(depth)
     val keep = probes.columns.toSeq
+    // register columns renamed to a reserved namespace: a probe frame
+    // carrying its own d/idx/cnt must not become an ambiguous reference
+    val regs = registers.select(col("d").as("__cm_d"),
+      col("idx").as("__cm_idx"), col("cnt").as("__cm_cnt"))
     val h = PolyHash.polyStringHash(probes.sparkSession, item)
-    probes.withColumn("__h", h)
+    probes
+      // per-row id so duplicate probe rows keep their multiplicity
+      // through the depth-regroup (never output, order-free)
+      .withColumn("__cm_rid", monotonically_increasing_id())
+      .withColumn("__cm_h", h)
       .select(col("*"), explode(array((0 until depth).map(d => struct(
-        lit(d).as("d"), cmIndex(col("__h"), d, mults(d), width).as("idx"))): _*))
-        .as("r"))
-      .join(broadcast(registers),
-        col("r.d") === registers("d") && col("r.idx") === registers("idx"), "left")
-      .groupBy(keep.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+        lit(d).as("d"),
+        cmIndex(col("__cm_h"), d, mults(d), width).as("idx"))): _*))
+        .as("__cm_r"))
+      .join(broadcast(regs),
+        col("__cm_r.d") === col("__cm_d") &&
+          col("__cm_r.idx") === col("__cm_idx"), "left")
+      .groupBy(col("__cm_rid") +: keep.map(col): _*)
+      .agg(min(coalesce(col("__cm_cnt"), lit(0L))).as("cm_est"))
+      .drop("__cm_rid")
   }
 
   /** HyperLogLog registers over the portable 60-bit md5-prefix hash
@@ -118,8 +128,8 @@ object Sketches {
     */
   def hllRegisters(
       df: DataFrame, groupCols: Seq[Column], value: Column, p: Int): DataFrame = {
-    require(p >= 2 && p <= 16, s"bad HLL precision $p")
-    val h = conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+    require(p >= 4 && p <= 16, s"bad HLL precision $p (alpha_m needs m >= 16)")
+    val h = graft.functions.TextFunctions.md5Long(value)
     val width = 60 - p
     df.select(groupCols :+ h.as("__h"): _*)
       .select(col("*"),
@@ -140,7 +150,13 @@ object Sketches {
     */
   def hllEstimate(registers: DataFrame, groupCols: Seq[Column], p: Int): DataFrame = {
     val m = 1 << p
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // Flajolet et al. 2007 constants: closed forms only hold from m=128
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
     registers
       .groupBy(groupCols: _*)
       .agg(sum(pow(lit(0.5), col("rho_max"))).as("__sumObs"),

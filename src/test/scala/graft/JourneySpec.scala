@@ -45,6 +45,17 @@ class JourneySpec extends AnyFunSuite {
     assert(d == Map(1L -> 2, 2L -> 2))
   }
 
+  test("funnel: null timestamps ignored, never anchor") {
+    val evs = Seq(
+      (1L, null.asInstanceOf[Timestamp], "a"), // must not anchor
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b")
+    ).toDF("u", "t", "e")
+    val d = Journey.funnel(evs, col("u"), col("t"), col("e"), stages, 86400L)
+      .select("user_key", "depth", "anchor_us").as[(Long, Int, Long)].collect().toSeq
+    assert(d == Seq((1L, 2, Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000)))
+  }
+
   test("funnel: same-timestamp later stage does not advance (strict >)") {
     val evs = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a"),

@@ -45,6 +45,20 @@ class SentenceChunksSpec extends AnyFunSuite {
     assert(chunks("...", 5).isEmpty)
   }
 
+  test("carried columns named pos/col do not become ambiguous") {
+    val df = Seq((7L, 3, "u", "x. y. z.")).toDF("id", "pos", "col", "text")
+    val out = Chunker.sentenceChunks(df, col("text"), 1)
+    assert(out.count() == 3)
+    assert(out.select("pos").as[Int].collect().toSet == Set(3))
+  }
+
+  test("reserved output names on the input fail fast") {
+    val df = Seq((1L, 2L, "a. b.")).toDF("id", "chunk_idx", "text")
+    assertThrows[IllegalArgumentException] {
+      Chunker.sentenceChunks(df, col("text"), 5)
+    }
+  }
+
   test("id columns carried through the fan-out") {
     val df = Seq((7L, "x. y. z.")).toDF("id", "text")
     val out = Chunker.sentenceChunks(df, col("text"), 1)

@@ -73,6 +73,17 @@ class SketchesSpec extends AnyFunSuite {
       Map(0 -> 5000L, 1 -> 5000L)) // each row sees every item once
   }
 
+  test("cmEstimates: duplicate probe rows keep multiplicity; cnt column safe") {
+    val items = Seq("a", "a", "b").toDF("w")
+    val regs = Sketches.countMinRegisters(items, col("w"), 2, 64)
+    // probe frame carries its own `cnt` column AND a duplicated row
+    val probes = Seq(("a", 9L), ("a", 9L), ("b", 1L)).toDF("w", "cnt")
+    val out = Sketches.cmEstimates(regs, probes, col("w"), 2, 64)
+      .select("w", "cnt", "cm_est").as[(String, Long, Long)].collect().toSeq
+    assert(out.sortBy(r => (r._1, r._2)) ==
+      Seq(("a", 9L, 2L), ("a", 9L, 2L), ("b", 1L, 1L)))
+  }
+
   // ---- portable HLL ---------------------------------------------------------
 
   test("hllRegisters: partition-independent, bucket-bounded, rho in range") {
