@@ -701,6 +701,127 @@ object Stress {
     }
   }
 
+  /** Receipts for the q172–q180 warehouse wave: funnel fold vs the
+    * chained-join reference implementation at scale, the hub-vertex
+    * triangle bound, sketch register invariants, and sentence-chunking's
+    * zero-exchange claim.
+    */
+  private def warehouseReceipts(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    import graft.operators.{Graph, Journey, Sketches}
+
+    // ---- funnel: one-shuffle fold == chained-min joins, at n events -----
+    // users = n/50 (~50 events each), 4 stages, ts deterministic
+    val users = math.max(n / 50, 1000L)
+    val events = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(users)).as("u"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(col("id") * 1103515245L + 12345L, lit(86400000000L * 30))).as("ts"),
+      element_at(lit(Array("signup", "view", "click", "purchase", "other")),
+        (pmod(col("id") * 31L + col("id") / 7, lit(5L)) + 1).cast("int")).as("e"))
+    val stages = Seq("signup", "view", "click", "purchase")
+    val winSec = 7L * 86400
+    def depthsFold() = Journey.funnel(events, col("u"), col("ts"), col("e"),
+      stages, winSec)
+    time(s"funnel_fold_${n / 1000000}M") {
+      depthsFold().groupBy(col("depth")).count().collect()
+    }
+    // independent implementation: the oracle's chained-min joins
+    def chained(): org.apache.spark.sql.DataFrame = {
+      val winUs = winSec * 1000000L
+      val f = events.select(col("u"), unix_micros(col("ts")).as("t"),
+        col("e")).filter(col("e").isin(stages: _*))
+      var acc = f.filter(col("e") === stages.head)
+        .groupBy(col("u")).agg(min(col("t")).as("t1"))
+        .select(col("u"), col("t1"), col("t1").as("rt"), lit(1).as("depth"))
+      var out = acc.select(col("u"), col("depth"))
+      stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+        val nxt = f.filter(col("e") === st).join(acc, "u")
+          .filter(col("t") > col("rt") && col("t") <= col("t1") + winUs)
+          .groupBy(col("u")).agg(min(col("t1")).as("t1"), min(col("t")).as("rt"))
+          .select(col("u"), col("t1"), col("rt"), lit(i + 1).as("depth"))
+        acc = nxt
+        out = out.unionAll(nxt.select(col("u"), col("depth")))
+      }
+      // deepest stage per user
+      out.groupBy(col("u")).agg(max(col("depth")).as("depth"))
+    }
+    val foldMap = depthsFold().groupBy(col("depth")).count()
+      .as[(Int, Long)].collect().toMap
+    val joinMap = chained().groupBy(col("depth")).count()
+      .as[(Int, Long)].collect().toMap
+    require(foldMap == joinMap,
+      s"funnel fold != chained joins: $foldMap vs $joinMap")
+    println(s"[stress] funnel_depths ${foldMap.toSeq.sortBy(_._1)}  " +
+      s"(fold == chained-join reference at ${n / 1000000}M events)")
+    val (_, fb) = shuffleBytes(spark.sparkContext) {
+      depthsFold().groupBy(col("depth")).count().collect()
+    }
+    println(f"[stress] funnel_shuffle ${fb / 1e6}%.1f MB " +
+      f"(${n / 1000000}M events; (u, ts_us, si) longs only)")
+
+    // ---- triangles: 1M-degree hub survives orientation ------------------
+    // star 0—i (i in 1..V) + path i—i+1: exactly V−1 triangles (0,i,i+1),
+    // every one through the hub. Naive hub wedges = C(V,2) ≈ 5·10¹¹ at
+    // V=1M — the oriented plan forms wedges only at the degree-≤3 leaves.
+    val v = math.max(n / 10, 1000000L)
+    val star = spark.range(1, v + 1).select(lit(0L).as("src"), col("id").as("dst"))
+    val path = spark.range(1, v).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val tri = Graph.triangleCount(star.unionAll(path), col("src"), col("dst"))
+    time(s"triangles_hub_${v / 1000000}M") {
+      val total = tri.agg(sum(col("n_tri"))).as[Long].head()
+      require(total == 3 * (v - 1), s"expected ${3 * (v - 1)} corner rows, got $total")
+    }
+    println(s"[stress] triangles_exact ${v - 1} planted through a ${v}-degree hub")
+
+    // ---- sketches: register invariants + tiny exchanges at n tokens -----
+    val toks = spark.range(n).select(
+      concat(lit("tok"), pmod(col("id") * 48271L, lit(5000000L))).as("w"))
+    val (regSum, cb) = shuffleBytes(spark.sparkContext) {
+      Sketches.countMinRegisters(toks, col("w"), depth = 4, width = 4096)
+        .groupBy(col("d")).agg(sum(col("cnt")).as("s"))
+        .as[(Int, Long)].collect().toMap
+    }
+    require(regSum.values.forall(_ == n), s"CMS mass != n: $regSum")
+    println(f"[stress] countmin_${n / 1000000}%dM_shuffle ${cb / 1e6}%.2f MB " +
+      "(register-sized, token strings never shuffle)")
+    time(s"countmin_${n / 1000000}M") {
+      Sketches.countMinRegisters(toks, col("w"), 4, 4096).count()
+    }
+    // HLL at p=12 (m=4096, rsd 1.6%): distinct = 5M by construction
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(toks.select(lit("g").as("g"), col("w")),
+        Seq(col("g")), col("w"), p = 12),
+      Seq(col("g")), p = 12).select(col("estimate")).as[Double].head()
+    val rel = math.abs(est - 5000000.0) / 5000000.0
+    require(rel <= 3 * 1.04 / math.sqrt(4096),
+      f"HLL off by ${rel * 100}%.2f%% at p=12")
+    println(f"[stress] hll_estimate_5M ${est}%.0f (rel err ${rel * 100}%.2f%%, " +
+      "3-sigma bar 4.88%)")
+
+    // ---- sentence chunking: ZERO exchanges ------------------------------
+    val docs = spark.range(math.max(n / 10, 1000000L)).select(col("id"),
+      concat_ws(" ", (0 until 60).map(i =>
+        when(lit(i) % 7 === 6, concat(lit("w"), pmod(col("id") + i, lit(997)), lit(".")))
+          .otherwise(concat(lit("w"), pmod(col("id") + i, lit(997))))): _*).as("text"))
+    // a global agg would add its own 1-row-partial exchange — consume via
+    // the noop sink so the measured bytes are the chunker's alone
+    val (_, sb) = shuffleBytes(spark.sparkContext) {
+      graft.operators.Chunker.sentenceChunks(docs, col("text"), 20)
+        .write.format("noop").mode("overwrite").save()
+    }
+    require(sb == 0L, s"sentenceChunks shuffled $sb bytes — narrow claim broken")
+    val chunkRows = graft.operators.Chunker
+      .sentenceChunks(docs, col("text"), 20).count()
+    println(s"[stress] sentence_chunks_${math.max(n / 10, 1000000L) / 1000000}M " +
+      s"rows=$chunkRows shuffle=0 B (pure narrow projection)")
+    time(s"sentence_chunks_${math.max(n / 10, 1000000L) / 1000000}M") {
+      graft.operators.Chunker.sentenceChunks(docs, col("text"), 20)
+        .agg(count(lit(1))).collect()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -712,6 +833,12 @@ object Stress {
 
     if (section == "neardup") {
       nearDupReceipts(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "warehouse") {
+      warehouseReceipts(spark, n)
       spark.stop()
       return
     }
