@@ -64,6 +64,41 @@ object RangeJoin {
       .drop("__bin", "__p_us", "__s_us", "__e_us")
   }
 
+  /** Keyed interval×interval OVERLAP join — pairs where
+    * `s1 < e2 && s2 < e1` (half-open on both ends). Same binning scheme
+    * as [[pointInInterval]], with the classic dedup rule for the
+    * many-shared-buckets case: a qualifying pair is EMITTED only in the
+    * bucket containing the overlap's start `max(s1, s2)` — every
+    * overlapping pair meets there exactly once, so no distinct pass and
+    * no pair ever double-counts. Cost scales with interval span /
+    * binWidth per side, never with per-key row count squared (the
+    * per-key cartesian a theta join would run).
+    */
+  def intervalOverlap(
+      left: DataFrame, lKey: Column, lStart: Column, lEnd: Column,
+      right: DataFrame, rKey: Column, rStart: Column, rEnd: Column,
+      binWidthSeconds: Long): DataFrame = {
+    require(binWidthSeconds >= 1, "binWidthSeconds must be >= 1")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right share column names: ${overlap.mkString(", ")} — alias one side")
+    val binUs = binWidthSeconds * 1000000L
+    def binned(df: DataFrame, s: Column, e: Column, tag: String): DataFrame =
+      df.withColumn(s"__${tag}s_us", unix_micros(s))
+        .withColumn(s"__${tag}e_us", unix_micros(e))
+        .withColumn("__bin", explode(sequence(
+          expr(s"__${tag}s_us div ${binUs}L"),
+          expr(s"greatest(__${tag}s_us, __${tag}e_us - 1L) div ${binUs}L"))))
+    val l = binned(left, lStart, lEnd, "l")
+    val r = binned(right, rStart, rEnd, "r")
+    l.join(r,
+        l("__bin") === r("__bin") && lKey === rKey &&
+          col("__ls_us") < col("__re_us") && col("__rs_us") < col("__le_us") &&
+          l("__bin") === expr(s"greatest(__ls_us, __rs_us) div ${binUs}L"),
+        "inner")
+      .drop("__bin", "__ls_us", "__le_us", "__rs_us", "__re_us")
+  }
+
   /** Band join — points within ± `toleranceSeconds` of each other
     * (|leftTime − rightTime| ≤ tol, inclusive both ends), expressed as the
     * interval form with the right side expanded to `[t − tol, t + tol]`.

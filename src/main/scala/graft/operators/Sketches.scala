@@ -143,6 +143,19 @@ object Sketches {
       .agg(max(col("rho")).as("rho_max"))
   }
 
+  /** Merge HLL register tables down to coarser groups (or one global
+    * set): bucket-wise max of rho. This is THE reason registers beat
+    * exact distinct at 100 TB — per-shard register tables (≤ 2^p rows
+    * each) merge with one tiny aggregation instead of re-shuffling the
+    * raw value stream; merged registers are bit-identical to registers
+    * computed directly over the union (max is associative/commutative),
+    * which q181 pins on the oracle surface.
+    */
+  def hllMerge(registers: DataFrame, groupCols: Seq[Column]): DataFrame =
+    registers
+      .groupBy(groupCols :+ col("bucket"): _*)
+      .agg(max(col("rho_max")).as("rho_max"))
+
   /** Cardinality estimate from [[hllRegisters]] output (engine-specific
     * float math — spec-gated, not on the oracle surface): the standard
     * HLL harmonic mean with alpha_m bias correction and the

@@ -71,4 +71,50 @@ object TableOps {
         col(s"__mx_$c").as("max_value"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Order-independent content digest of the named columns: per-row
+    * 60-bit md5 of the sentinel-joined rendered values, summed exactly
+    * (DECIMAL(38,0)) and reduced mod 2⁶¹−1. Two frames with the same
+    * multiset of rows — any partitioning, any order — digest equal; one
+    * changed cell flips it. The migration-validation primitive: compare
+    * a rewritten table to its source with one narrow pass + a 1-row agg
+    * per side, no sort, no join.
+    *
+    * Nulls render as an explicit sentinel (never silently skipped, so
+    * ("a", null) and (null, "a") digest differently); pre-render
+    * timestamps/doubles to strings upstream for cross-engine parity.
+    */
+  def contentDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contentDigest needs at least one column")
+    val rendered = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0002<null>")))
+    val rowHash = graft.functions.TextFunctions.md5Long(
+      concat_ws("\u0001", rendered: _*))
+    df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(rowHash.cast("decimal(38,0)")).as("__sum"))
+      .select(col("n_rows"),
+        pmod(col("__sum"), lit(graft.functions.PolyHash.P61))
+          .cast("long").as("digest"))
+  }
+
+  /** Equal-width histogram over an integer-valued column in ONE range
+    * derivation + one aggregation, all-integer arithmetic (no float
+    * division — bin edges replay exactly cross-engine):
+    * `bin = (x − min)·nBins div (max − min + 1)`, always in
+    * [0, nBins−1]. Output: (bin, bin_lo, n) — bin_lo the smallest value
+    * landing in the bin.
+    */
+  def histogramInt(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val bounds = df.agg(min(value).cast("long").as("__lo"),
+      max(value).cast("long").as("__hi"))
+    df.select(value.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col("__x"),
+        expr(s"((__x - __lo) * $nBins) div (__hi - __lo + 1)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(min(col("__x")).as("bin_lo"), count(lit(1)).as("n"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Chunker, Graph, Journey, Sketches, TableOps}
+import graft.operators.{Chunker, Graph, Journey, RangeJoin, Sketches, TableOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -143,7 +143,65 @@ object WarehouseQueries {
           col("text"), budgetTokens = 20)
         .select(col("doc_id"), col("chunk_idx"),
           col("n_sentences"), col("n_tokens"))
-    }))
+    }),
+
+    // HLL merge law on the oracle surface: per-language register tables
+    // merged bucket-wise (max rho) == registers computed directly over
+    // the union. The reason sketches win at 100 TB — per-shard tables
+    // merge with one tiny agg instead of re-shuffling raw values.
+    "q181_hll_merge" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      Sketches.hllMerge(
+        Sketches.hllRegisters(toks, Seq(col("lang")), col("w"), p = 6), Nil)
+    }),
+
+    // Order-independent content digest of orders (one narrow pass + a
+    // 1-row agg — the migration-validation primitive); NULLIF plants a
+    // null to exercise the sentinel rendering.
+    "q182_content_digest" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("c1"),
+        col("o_custkey").cast("string").as("c2"),
+        col("o_orderstatus").as("c3"),
+        dec(col("o_totalprice")).cast("string").as("c4"),
+        expr("nullif(o_orderpriority, '1-URGENT')").as("c5"),
+        tstr(col("o_orderdate")).as("c6"))
+      TableOps.contentDigest(o, Seq("c1", "c2", "c3", "c4", "c5", "c6"))
+    }),
+
+    // Banded interval×interval overlap join (events widened to
+    // deterministic durations, even vs odd event ids): per-user overlap
+    // pair counts + total overlap micros. The bin-of-overlap-start rule
+    // emits each pair exactly once — no distinct pass.
+    "q183_interval_overlap" -> ((s, dir) => {
+      val iv = ev(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+        timestamp_micros(unix_micros(col("ts")) +
+          (lit(60L) + col("event_id") % 240) * 1000000L).as("te"))
+      val l = iv.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+          col("ts").as("l_s"), col("te").as("l_e"))
+      val r = iv.filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+          col("ts").as("r_s"), col("te").as("r_e"))
+      RangeJoin.intervalOverlap(
+          l, col("l_user"), col("l_s"), col("l_e"),
+          r, col("r_user"), col("r_s"), col("r_e"),
+          binWidthSeconds = 300)
+        .groupBy(col("l_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_micros(least(col("l_e"), col("r_e"))) -
+            unix_micros(greatest(col("l_s"), col("r_s"))))
+            .as("overlap_us_sum"))
+    }),
+
+    // Equal-width 20-bin histogram over order totals in cents — pure
+    // integer bin arithmetic, exact cross-engine replay.
+    "q184_histogram" -> ((s, dir) =>
+      TableOps.histogramInt(
+        Tables.load(s, dir, "orders")
+          .select((dec(col("o_totalprice")) * 100).cast("long").as("cents")),
+        col("cents"), nBins = 20)))
 
   private val cmMults = Sketches.cmMultipliers(3)
   private val cmDdSql =
@@ -355,5 +413,59 @@ object WarehouseQueries {
            FROM c)
          SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
            chunks[u.i][1] AS n_sentences, chunks[u.i][2] AS n_tokens
-         FROM f, unnest(range(1, len(chunks) + 1)) AS u(i)""")
+         FROM f, unnest(range(1, len(chunks) + 1)) AS u(i)""",
+
+    // direct global registers — equal to the engine's per-lang merge iff
+    // the merge law holds
+    "q181_hll_merge" ->
+      s"""WITH t AS (SELECT UNNEST(${AnalyticsQueries.toksSql}) AS w FROM documents),
+         h AS (SELECT CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT) AS h
+           FROM t),
+         r AS (SELECT h % 64 AS bucket, h // 64 AS rem FROM h)
+         SELECT bucket,
+           CAST(MAX(CASE WHEN rem > 0 THEN 54 - LENGTH(bin(rem)) + 1
+                         ELSE 55 END) AS INT) AS rho_max
+         FROM r GROUP BY 1""",
+
+    "q182_content_digest" ->
+      """WITH o AS (SELECT
+           CAST(o_orderkey AS VARCHAR) AS c1,
+           CAST(o_custkey AS VARCHAR) AS c2,
+           o_orderstatus AS c3,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS c4,
+           NULLIF(o_orderpriority, '1-URGENT') AS c5,
+           STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS c6
+         FROM orders),
+         h AS (SELECT CAST(CONCAT('0x', SUBSTRING(md5(
+             COALESCE(c1, chr(2) || '<null>') || chr(1) ||
+             COALESCE(c2, chr(2) || '<null>') || chr(1) ||
+             COALESCE(c3, chr(2) || '<null>') || chr(1) ||
+             COALESCE(c4, chr(2) || '<null>') || chr(1) ||
+             COALESCE(c5, chr(2) || '<null>') || chr(1) ||
+             COALESCE(c6, chr(2) || '<null>')), 1, 15)) AS BIGINT) AS h
+           FROM o)
+         SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS digest
+         FROM h""",
+
+    "q183_interval_overlap" ->
+      """WITH iv AS (SELECT event_id, user_id, EPOCH_US(ts) AS s,
+             EPOCH_US(ts) + (60 + event_id % 240) * 1000000 AS e
+           FROM events),
+         l AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+         r AS (SELECT * FROM iv WHERE event_id % 2 = 1),
+         p AS (SELECT l.user_id, LEAST(l.e, r.e) - GREATEST(l.s, r.s) AS ov
+           FROM l JOIN r ON l.user_id = r.user_id
+             AND l.s < r.e AND r.s < l.e)
+         SELECT user_id, COUNT(*) AS n_pairs,
+           CAST(SUM(ov) AS BIGINT) AS overlap_us_sum
+         FROM p GROUP BY user_id""",
+
+    "q184_histogram" ->
+      """WITH x AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+           FROM orders),
+         b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM x)
+         SELECT ((x - lo) * 20) // (hi - lo + 1) AS bin,
+           MIN(x) AS bin_lo, COUNT(*) AS n
+         FROM x, b GROUP BY 1""")
 }

@@ -89,4 +89,39 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("a_id", "p_id").as[(Long, Long)].collect().toSet
     assert(binned == naive && binned.nonEmpty)
   }
+
+  // ---- interval×interval overlap -------------------------------------------
+
+  test("intervalOverlap: matches the theta join at every bin width") {
+    val rnd = new scala.util.Random(11)
+    def mk(tag: String, n: Int) = (1 to n).map { i =>
+      val s = 1700000000L + rnd.nextInt(7200)
+      (s"${tag}$i", s"u${rnd.nextInt(4)}", new Timestamp(s * 1000L),
+        new Timestamp((s + 1 + rnd.nextInt(900)) * 1000L))
+    }.toDF(s"${tag}_id", s"${tag}_u", s"${tag}_s", s"${tag}_e")
+    val l = mk("l", 80)
+    val r = mk("r", 80)
+    val naive = l.join(r,
+        col("l_u") === col("r_u") && col("l_s") < col("r_e") &&
+          col("r_s") < col("l_e"))
+      .select("l_id", "r_id").as[(String, String)].collect().toSet
+    assert(naive.nonEmpty)
+    for (bw <- Seq(1L, 60L, 300L, 3600L, 100000L)) {
+      val binned = RangeJoin.intervalOverlap(
+          l, col("l_u"), col("l_s"), col("l_e"),
+          r, col("r_u"), col("r_s"), col("r_e"), bw)
+        .select("l_id", "r_id").as[(String, String)].collect().toSeq
+      assert(binned.size == binned.toSet.size, s"bw=$bw emitted duplicates")
+      assert(binned.toSet == naive, s"bw=$bw")
+    }
+  }
+
+  test("intervalOverlap: half-open — touching intervals do not match") {
+    val l = Seq(("a", "u", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("l_id", "l_u", "l_s", "l_e")
+    val r = Seq(("b", "u", ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("r_id", "r_u", "r_s", "r_e")
+    assert(RangeJoin.intervalOverlap(l, col("l_u"), col("l_s"), col("l_e"),
+      r, col("r_u"), col("r_s"), col("r_e"), 60).count() == 0)
+  }
 }

@@ -107,6 +107,16 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hllMerge: merged shard registers == registers over the union") {
+    val items = (1L to 4000L).map(i => (s"shard${i % 7}", s"val$i")).toDF("g", "w")
+    val perShard = Sketches.hllRegisters(items, Seq(col("g")), col("w"), p = 6)
+    val merged = Sketches.hllMerge(perShard, Nil)
+      .as[(Long, Int)].collect().toSet
+    val direct = Sketches.hllRegisters(items, Nil, col("w"), p = 6)
+      .as[(Long, Int)].collect().toSet
+    assert(merged == direct && merged.nonEmpty)
+  }
+
   test("hllEstimate: linear-counting regime for tiny cardinalities") {
     val items = (1L to 12L).map(i => ("g", s"u$i")).toDF("g", "w")
     val regs = Sketches.hllRegisters(items, Seq(col("g")), col("w"), p = 6)

@@ -57,4 +57,49 @@ class TableOpsSpec extends AnyFunSuite {
     assert(out.count() == 2)
     assert(out.select("n_distinct").as[Long].collect().toSeq == Seq(100L, 100L))
   }
+
+  // ---- contentDigest --------------------------------------------------------
+
+  private def digest(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+    TableOps.contentDigest(df, cols).as[(Long, Long)].head()
+
+  test("contentDigest: order- and partition-independent, change-sensitive") {
+    val rows = (1L to 500L).map(i => (i, s"v$i"))
+    val a = digest(rows.toDF("k", "v"), Seq("k", "v"))
+    val b = digest(scala.util.Random.shuffle(rows).toDF("k", "v")
+      .repartition(13), Seq("k", "v"))
+    assert(a == b && a._1 == 500L)
+    val mutated = rows.updated(250, (251L, "vX"))
+    assert(digest(mutated.toDF("k", "v"), Seq("k", "v")) != a)
+  }
+
+  test("contentDigest: null position and cell boundaries matter") {
+    val an = digest(Seq(("a", null: String)).toDF("x", "y"), Seq("x", "y"))
+    val na = digest(Seq((null: String, "a")).toDF("x", "y"), Seq("x", "y"))
+    assert(an != na)
+    val abc = digest(Seq(("ab", "c")).toDF("x", "y"), Seq("x", "y"))
+    val abc2 = digest(Seq(("a", "bc")).toDF("x", "y"), Seq("x", "y"))
+    assert(abc != abc2)
+  }
+
+  // ---- histogramInt ---------------------------------------------------------
+
+  test("histogramInt: bins partition the range, counts sum to n") {
+    val xs = Seq(-50L, -49L, 0L, 1L, 7L, 49L, 50L) ++ (1L to 93L).map(_ % 50)
+    val out = TableOps.histogramInt(xs.toDF("x"), col("x"), 10)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._3).sum == xs.size)
+    assert(out.forall { case (bin, _, _) => bin >= 0 && bin < 10 })
+    // brute-force bin assignment with the same integer formula
+    val lo = xs.min; val hi = xs.max
+    val brute = xs.groupBy(x => (x - lo) * 10 / (hi - lo + 1))
+      .map { case (b, g) => (b, g.min, g.size.toLong) }.toSeq.sortBy(_._1)
+    assert(out.toSeq == brute)
+  }
+
+  test("histogramInt: single-value input lands in bin 0") {
+    val out = TableOps.histogramInt(Seq(42L, 42L).toDF("x"), col("x"), 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 42L, 2L)))
+  }
 }
