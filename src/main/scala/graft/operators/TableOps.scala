@@ -105,6 +105,53 @@ object TableOps {
     * [0, nBins−1]. Output: (bin, bin_lo, n) — bin_lo the smallest value
     * landing in the bin.
     */
+  /** Equal-frequency (quantile) binning over an integer-valued column
+    * WITHOUT a global-order window — the guard-banned single-partition
+    * shape — via a two-stage distributed prefix sum:
+    *
+    *  1. value histogram (`groupBy value`) — rows collapse to distinct
+    *     values;
+    *  2. within-coarse-bucket running totals (window PARTITIONED by
+    *     `value >> coarseShift`);
+    *  3. bucket-level prefix totals by a broadcast triangular self-join
+    *     over the BOUNDED bucket table (≈ value-range / 2^coarseShift
+    *     rows — pick coarseShift to keep it ≤ ~4k, the O(B²) pair count
+    *     stays ≤ 16M longs).
+    *
+    * `cum_before(v)` = bucket prefix + within-bucket prefix; bin =
+    * `cum_before·nBins div N`. Every distinct value lands wholly in one
+    * bin (value-quantile semantics — ties never straddle bins, unlike
+    * positional NTILE). Output per bin: (bin, n_rows, lo, hi).
+    */
+  def equalFrequencyBins(
+      df: DataFrame, value: Column, nBins: Int,
+      coarseShift: Int = 20): DataFrame = {
+    require(nBins > 0 && coarseShift >= 0 && coarseShift < 63,
+      s"bad shape nBins=$nBins coarseShift=$coarseShift")
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.select(value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__g", shiftright(col("__v"), coarseShift))
+    val within = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bt = vc.groupBy(col("__g")).agg(sum(col("__cnt")).as("__bt"))
+    val prefix = bt.select(col("__g"), col("__bt"))
+      .join(broadcast(bt.select(col("__g").as("__g2"), col("__bt").as("__bt2"))),
+        col("__g2") < col("__g"), "left")
+      .groupBy(col("__g"))
+      .agg(coalesce(sum(col("__bt2")), lit(0L)).as("__bp"))
+    val nTotal = df.agg(count(value).as("__n"))
+    vc.join(prefix, "__g")
+      .withColumn("__cb", col("__bp") + coalesce(sum(col("__cnt")).over(within), lit(0L)))
+      .crossJoin(broadcast(nTotal))
+      .select(col("__v"), col("__cnt"),
+        expr(s"(__cb * $nBins) div __n").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__cnt")).as("n_rows"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
   def histogramInt(df: DataFrame, value: Column, nBins: Int): DataFrame = {
     require(nBins > 0, "nBins must be positive")
     val bounds = df.agg(min(value).cast("long").as("__lo"),

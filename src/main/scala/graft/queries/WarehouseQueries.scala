@@ -201,6 +201,55 @@ object WarehouseQueries {
       TableOps.histogramInt(
         Tables.load(s, dir, "orders")
           .select((dec(col("o_totalprice")) * 100).cast("long").as("cents")),
+        col("cents"), nBins = 20)),
+
+    // Characteristic terms per language: tf·idf in the repo's fixed-point
+    // log2 (q125's idf discipline) — integer-exact, so the full ranking
+    // is on the hash-checked surface. Top-5 per lang, WindowGroupLimit-
+    // compiled.
+    "q185_top_terms" -> ((s, dir) => {
+      import graft.functions.Log2Fixed
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+      val tf = t.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfs = t.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val lgn = docs(s, dir).agg(count(lit(1)).as("n"))
+        .select(Log2Fixed.expr(col("n")).as("lgn"))
+      val scored = tf.join(dfs, "w").crossJoin(broadcast(lgn))
+        .select(col("lang"), col("w").as("term"), col("tf"), col("df"),
+          ((col("lgn") - Log2Fixed.expr(col("df"))) * col("tf")).as("score_fp"))
+      scored
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("score_fp").desc, col("term").asc)))
+        .filter(col("rnk") <= 5)
+    }),
+
+    // Exact sufficient statistics (moments) per event type: n, Σx, Σx²,
+    // Σxy over integer cents and event hour — DECIMAL(38,0) sums
+    // rendered as strings, so mean/variance/covariance derive exactly
+    // downstream with zero float drift on the checked surface.
+    "q186_moment_stats" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("string").as("sum_x"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("string").as("sum_x2"),
+          sum(col("y").cast("decimal(38,0)")).cast("string").as("sum_y"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("string").as("sum_xy"))
+    }),
+
+    // Equal-frequency (quantile) binning via the two-stage distributed
+    // prefix sum — NO global-order window (the guard-banned shape);
+    // value-quantile semantics so ties never straddle bins.
+    "q187_quantile_bins" -> ((s, dir) =>
+      TableOps.equalFrequencyBins(
+        Tables.load(s, dir, "orders")
+          .select((dec(col("o_totalprice")) * 100).cast("long").as("cents")),
         col("cents"), nBins = 20)))
 
   private val cmMults = Sketches.cmMultipliers(3)
@@ -467,5 +516,50 @@ object WarehouseQueries {
          b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM x)
          SELECT ((x - lo) * 20) // (hi - lo + 1) AS bin,
            MIN(x) AS bin_lo, COUNT(*) AS n
-         FROM x, b GROUP BY 1""")
+         FROM x, b GROUP BY 1""",
+
+    "q185_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, lang, UNNEST(${AnalyticsQueries.toksSql}) AS w
+           FROM documents),
+         tfx AS (SELECT lang, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         dfs AS (SELECT term, COUNT(*) AS df FROM
+             (SELECT DISTINCT doc_id, w AS term FROM t) GROUP BY term),
+         nn AS (SELECT COUNT(*) AS n FROM documents),
+         ${graft.functions.Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("dfs", "term", "df", "lgdf", "df")},
+         ${CurationQueries.log2fpStages("nn", "n", "n", "lgn", "n")},
+         scored AS (SELECT tfx.lang, tfx.w AS term, tfx.tf, dfs.df,
+             (nl.lgn - dfl.lgdf) * tfx.tf AS score_fp
+           FROM tfx JOIN dfs ON tfx.w = dfs.term
+             JOIN dfl ON dfl.term = tfx.w CROSS JOIN nl)
+         SELECT lang, term, tf, df, score_fp,
+           CAST(rnk AS INT) AS rnk
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY score_fp DESC, term) AS rnk FROM scored)
+         WHERE rnk <= 5""",
+
+    "q186_moment_stats" ->
+      """WITH e AS (SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+         FROM events)
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS VARCHAR) AS sum_x,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS sum_x2,
+           CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS sum_y,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS sum_xy
+         FROM e GROUP BY event_type""",
+
+    "q187_quantile_bins" ->
+      """WITH x AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders),
+         vc AS (SELECT v, COUNT(*) AS cnt FROM x GROUP BY v),
+         nn AS (SELECT COUNT(*) AS n FROM x),
+         c AS (SELECT v, cnt, COALESCE(SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM vc)
+         SELECT CAST((cb * 20) // n AS BIGINT) AS bin,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+         FROM c, nn GROUP BY 1""")
 }

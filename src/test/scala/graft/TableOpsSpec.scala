@@ -97,6 +97,37 @@ class TableOpsSpec extends AnyFunSuite {
     assert(out.toSeq == brute)
   }
 
+  test("equalFrequencyBins: two-stage prefix == naive cumsum, any shift") {
+    val rnd = new scala.util.Random(3)
+    val xs = (1 to 5000).map(_ => (rnd.nextInt(400) - 200).toLong)
+    val df = xs.toDF("x")
+    // naive reference: per-value cumulative-before, value-quantile bins
+    val n = xs.size
+    val byV = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sortedV = byV.keys.toSeq.sorted
+    val cum = sortedV.scanLeft(0L)((acc, v) => acc + byV(v))
+    val expect = sortedV.zip(cum).map { case (v, cb) => v -> cb * 10 / n }
+      .groupBy(_._2)
+      .map { case (bin, g) =>
+        (bin, g.map(x => byV(x._1)).sum, g.map(_._1).min, g.map(_._1).max)
+      }.toSeq.sortBy(_._1)
+    for (shift <- Seq(0, 3, 20, 62)) {
+      val got = TableOps.equalFrequencyBins(df, col("x"), 10, shift)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expect, s"shift=$shift")
+    }
+    assert(expect.map(_._2).sum == n)
+  }
+
+  test("equalFrequencyBins: ties never straddle bins") {
+    // one value holds 60% of rows — it must land wholly in one bin
+    val xs = Seq.fill(60)(5L) ++ (1L to 40L)
+    val out = TableOps.equalFrequencyBins(xs.toDF("x"), col("x"), 4)
+      .as[(Long, Long, Long, Long)].collect()
+    val binsWith5 = out.filter(r => r._3 <= 5 && 5 <= r._4)
+    assert(binsWith5.length == 1)
+  }
+
   test("histogramInt: single-value input lands in bin 0") {
     val out = TableOps.histogramInt(Seq(42L, 42L).toDF("x"), col("x"), 5)
       .as[(Long, Long, Long)].collect().toSeq
