@@ -65,7 +65,13 @@ object PlanDump {
       "q149_heavy_hitters" -> "heavy hitters: per-partition Misra-Gries candidates (mapPartitions) -> broadcast semi-join -> exact recount; the long tail never crosses an exchange",
       "q150_pq_topk" -> "PQ ANN: compiled encode behind a checkpoint barrier (codes scanned, not floats); broadcast pre-quantized queries; primitive ADC loop; WindowGroupLimit top-k",
       "q151_ivfpq_topk" -> "IVF+PQ: one index pass (bucket + codes, checkpointed); bucket equi-join bounds the pair stream; ADC within probed buckets only",
-      "q161_dsir_selection" -> "DSIR: ONE compiled scoring pass (digest-rendered delta table), checkpointed slim frame; quota = per-partition mapPartitions take(quota) prune -> bounded global rank -> 1-row broadcast cutoff flag join (no full-pool sort at ANY quota)")
+      "q161_dsir_selection" -> "DSIR: ONE compiled scoring pass (digest-rendered delta table), checkpointed slim frame; quota = per-partition mapPartitions take(quota) prune -> bounded global rank -> 1-row broadcast cutoff flag join (no full-pool sort at ANY quota)",
+      "q172_funnel" -> "funnel: ONE user-keyed exchange (sorted fold inside the agg); stage events pre-filtered before the shuffle; report joins its own stage-1 count via 1-row broadcast",
+      "q178_triangle_count" -> "triangles: degree-ordered orientation (O(sqrt m) out-degree) -> wedge equi-join on the low corner + single-direction closure LeftSemi; all exchanges keyed on vertex ids",
+      "q180_sentence_chunks" -> "sentence chunking: split + token counts + greedy fold all inside transform/aggregate HOFs -> Generate fan-out; ZERO exchanges",
+      "q182_content_digest" -> "content digest: md5-prefix row hash in the scan projection -> partial/final 1-row agg; nothing but 128-bit partial sums cross the exchange",
+      "q183_interval_overlap" -> "interval overlap: both sides binned (Generate), ONE (key,bin) equi-join; bin-of-overlap-start emits each pair once (no distinct pass)",
+      "q187_quantile_bins" -> "quantile bins: two-stage distributed prefix sum — within-coarse-bucket PARTITIONED window + broadcast triangular bucket-prefix join; NO single-partition window anywhere")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

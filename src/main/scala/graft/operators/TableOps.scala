@@ -142,7 +142,9 @@ object TableOps {
       .groupBy(col("__g"))
       .agg(coalesce(sum(col("__bt2")), lit(0L)).as("__bp"))
     val nTotal = df.agg(count(value).as("__n"))
-    vc.join(prefix, "__g")
+    // prefix is bucket-bounded — pin it as the broadcast side (without
+    // the hint the sized-at-test-scale value-count side can win)
+    vc.join(broadcast(prefix), "__g")
       .withColumn("__cb", col("__bp") + coalesce(sum(col("__cnt")).over(within), lit(0L)))
       .crossJoin(broadcast(nTotal))
       .select(col("__v"), col("__cnt"),
