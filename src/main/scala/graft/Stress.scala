@@ -794,11 +794,14 @@ object Stress {
       Sketches.hllRegisters(toks.select(lit("g").as("g"), col("w")),
         Seq(col("g")), col("w"), p = 12),
       Seq(col("g")), p = 12).select(col("estimate")).as[Double].head()
-    val rel = math.abs(est - 5000000.0) / 5000000.0
+    // planted distinct = min(n, 5M): id·48271 mod 5M is injective only
+    // until the modulus wraps
+    val planted = math.min(n, 5000000L).toDouble
+    val rel = math.abs(est - planted) / planted
     require(rel <= 3 * 1.04 / math.sqrt(4096),
-      f"HLL off by ${rel * 100}%.2f%% at p=12")
-    println(f"[stress] hll_estimate_5M ${est}%.0f (rel err ${rel * 100}%.2f%%, " +
-      "3-sigma bar 4.88%)")
+      f"HLL off by ${rel * 100}%.2f%% at p=12 (planted ${planted}%.0f)")
+    println(f"[stress] hll_estimate ${est}%.0f vs planted ${planted}%.0f " +
+      f"(rel err ${rel * 100}%.2f%%, 3-sigma bar 4.88%%)")
 
     // ---- sentence chunking: ZERO exchanges ------------------------------
     val docs = spark.range(math.max(n / 10, 1000000L)).select(col("id"),

@@ -82,6 +82,10 @@ object RangeJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"left/right share column names: ${overlap.mkString(", ")} — alias one side")
+    val reserved = Seq("__bin", "__ls_us", "__le_us", "__rs_us", "__re_us")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"inputs must not carry reserved columns: ${clash.mkString(", ")}")
     val binUs = binWidthSeconds * 1000000L
     def binned(df: DataFrame, s: Column, e: Column, tag: String): DataFrame =
       df.withColumn(s"__${tag}s_us", unix_micros(s))

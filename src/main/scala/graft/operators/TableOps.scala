@@ -98,13 +98,6 @@ object TableOps {
           .cast("long").as("digest"))
   }
 
-  /** Equal-width histogram over an integer-valued column in ONE range
-    * derivation + one aggregation, all-integer arithmetic (no float
-    * division — bin edges replay exactly cross-engine):
-    * `bin = (x − min)·nBins div (max − min + 1)`, always in
-    * [0, nBins−1]. Output: (bin, bin_lo, n) — bin_lo the smallest value
-    * landing in the bin.
-    */
   /** Equal-frequency (quantile) binning over an integer-valued column
     * WITHOUT a global-order window — the guard-banned single-partition
     * shape — via a two-stage distributed prefix sum:
@@ -141,7 +134,10 @@ object TableOps {
         col("__g2") < col("__g"), "left")
       .groupBy(col("__g"))
       .agg(coalesce(sum(col("__bt2")), lit(0L)).as("__bp"))
-    val nTotal = df.agg(count(value).as("__n"))
+    // N from the value histogram itself — no second input scan, and the
+    // denominator always equals the binned mass even when the long cast
+    // nulls a value out
+    val nTotal = vc.agg(sum(col("__cnt")).as("__n"))
     // prefix is bucket-bounded — pin it as the broadcast side (without
     // the hint the sized-at-test-scale value-count side can win)
     vc.join(broadcast(prefix), "__g")
@@ -154,6 +150,13 @@ object TableOps {
         max(col("__v")).as("hi"))
   }
 
+  /** Equal-width histogram over an integer-valued column in ONE range
+    * derivation + one aggregation, all-integer arithmetic (no float
+    * division — bin edges replay exactly cross-engine):
+    * `bin = (x − min)·nBins div (max − min + 1)`, always in
+    * [0, nBins−1]. Output: (bin, bin_lo, n) — bin_lo the smallest value
+    * landing in the bin.
+    */
   def histogramInt(df: DataFrame, value: Column, nBins: Int): DataFrame = {
     require(nBins > 0, "nBins must be positive")
     val bounds = df.agg(min(value).cast("long").as("__lo"),

@@ -235,12 +235,15 @@ object WarehouseQueries {
       val e = ev(s, dir).select(col("event_type"),
         (dec(col("value")) * 100).cast("long").as("x"),
         hour(col("ts")).cast("long").as("y"))
+      // widen BEFORE the multiply (the oracle's HUGEINT discipline) — a
+      // long×long product would wrap past |x| ≈ 3e9 cents
+      val xw = col("x").cast("decimal(38,0)")
       e.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("x").cast("decimal(38,0)")).cast("string").as("sum_x"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("string").as("sum_x2"),
+          sum(xw).cast("string").as("sum_x"),
+          sum(xw * col("x")).cast("string").as("sum_x2"),
           sum(col("y").cast("decimal(38,0)")).cast("string").as("sum_y"),
-          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("string").as("sum_xy"))
+          sum(xw * col("y")).cast("string").as("sum_xy"))
     }),
 
     // Equal-frequency (quantile) binning via the two-stage distributed
