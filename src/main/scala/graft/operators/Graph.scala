@@ -255,6 +255,50 @@ object Graph {
     labels
   }
 
+  /** Synchronous label propagation for community detection: labels start
+    * as the node id; each round every node adopts the MODE of its
+    * neighbors' labels (ties → smallest label; isolated nodes keep their
+    * own). A fixed round count keeps the computation deterministic and
+    * oracle-unrollable (the q145 PageRank discipline) — classic LPA's
+    * random asynchronous order is irreproducible by design.
+    *
+    * Per round: one edges⋈labels equi-join + a (node, label) count agg +
+    * a keyed keep-first window — all exchanges on node ids, labels
+    * checkpointed each round so the plan stays constant-size.
+    */
+  def labelPropagation(
+      nodes: DataFrame, idCol: Column,
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val canon = edges
+      .select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val bidir = canon.select(col("u").as("n"), col("v").as("nb"))
+      .unionAll(canon.select(col("v").as("n"), col("u").as("nb")))
+    var labels = nodes.select(idCol.as("id"), idCol.as("label"))
+    (1 to rounds).foreach { _ =>
+      val neigh = bidir
+        .join(labels.select(col("id").as("nb"), col("label")), "nb")
+        .groupBy(col("n"), col("label")).agg(count(lit(1)).as("cnt"))
+      val pick = Window.partitionBy(col("n"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      val adopted = neigh
+        .withColumn("__rk", row_number().over(pick))
+        .filter(col("__rk") === 1)
+        .select(col("n").as("id"), col("label").as("__new"))
+      labels = labels.join(adopted, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
   /** Exact per-vertex triangle counts by degree-ordered edge orientation
     * (the node-iterator++ scheme): every undirected edge points from its
     * lower-(degree, id) endpoint to the higher one, wedges form only at

@@ -112,6 +112,75 @@ object Journey {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-key ordered event-sequence string — the MATCH_RECOGNIZE-lite
+    * substrate: each event renders to one symbol (via `symbol`, e.g. the
+    * event-type initial), symbols concatenate in (ts, tiebreak) order,
+    * and sequence patterns become ordinary regexes over the per-key
+    * string. ONE shuffle on the key; per-key state = that key's own
+    * events (the sessionizer bound). Null timestamps drop.
+    *
+    * @return (key, seq, n_events)
+    */
+  def eventSequence(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      symbol: Column): DataFrame =
+    events
+      .select(key.as("key"), unix_micros(ts).as("__t"),
+        tiebreak.as("__tb"), symbol.as("__sym"))
+      .filter(col("__t").isNotNull)
+      .groupBy(col("key"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__t"), col("__tb"), col("__sym")))),
+          e => e.getField("__sym")), "").as("seq"),
+        count(lit(1)).as("n_events"))
+
+  /** Per-key exponentially weighted moving average in fixed point:
+    * `ewma' = (x·2²⁰ + (d−1)·ewma) div d` over (ts, tiebreak)-ordered
+    * values, seeded with the first value. Integer end to end — the
+    * recursion replays exactly cross-engine (a float EWMA would drift).
+    * One shuffle on the key, `aggregate`-fold like [[funnel]].
+    *
+    * @param d smoothing denominator (α = 1/d)
+    * @return (key, n, ewma_fp) — ewma_fp scaled by 2²⁰
+    */
+  def ewmaFixed(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      value: Column,
+      d: Int): DataFrame = {
+    require(d >= 2, s"smoothing denominator must be >= 2: $d")
+    val scaled = events
+      .select(key.as("key"), unix_micros(ts).as("__t"),
+        tiebreak.as("__tb"), value.cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    scaled
+      .groupBy(col("key"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("__t"), col("__tb"), col("__x")))),
+          lit(Long.MinValue),
+          (acc, e) => {
+            val xq = e.getField("__x") * (1L << 20)
+            when(acc === Long.MinValue, xq)
+              .otherwise(expr_div(xq + acc * (d - 1), d))
+          }).as("ewma_fp"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Exact floor division as a column op (Column has no integral-div
+    * method and `/` is a double, lossy past 2⁵³): subtract the pmod
+    * remainder, divide in DECIMAL (the quotient is an exact integer, so
+    * the decimal result is exact at any scale), cast back.
+    */
+  private def expr_div(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
+
   /** Resample per-key events onto a fixed time grid with forward fill:
     * for each key, an hourly (stepped) grid spans [trunc(min ts),
     * trunc(max ts)]; grid cells carry their own aggregate when events

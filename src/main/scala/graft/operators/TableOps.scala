@@ -150,6 +150,35 @@ object TableOps {
         max(col("__v")).as("hi"))
   }
 
+  /** Per-group z-score outlier counts with the test CLEARED OF DIVISION:
+    * x is an outlier iff `(x·n − Σx)² > k²·(n·Σx² − (Σx)²)` — the
+    * |x−μ| > k·σ rule multiplied through by n², evaluated entirely in
+    * DECIMAL(38,0) integers so the flag replays exactly cross-engine (a
+    * float mean/variance would put every boundary row at the mercy of
+    * rounding). Two passes: group stats (broadcast — group-bounded),
+    * then a flag-and-count aggregation.
+    *
+    * @return (g, n, n_outliers)
+    */
+  def exactOutliers(
+      df: DataFrame, group: Column, value: Column, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(group.as("g"), value.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val stats = base.groupBy(col("g")).agg(
+      count(lit(1)).as("__n"),
+      sum(dec(col("__x"))).as("__sx"),
+      sum(dec(col("__x")) * col("__x")).as("__sx2"))
+    val lhsRoot = dec(col("__x")) * col("__n") - col("__sx")
+    val rhs = (dec(col("__n")) * col("__sx2") - col("__sx") * col("__sx")) *
+      (k.toLong * k)
+    base.join(broadcast(stats), "g")
+      .select(col("g"), (lhsRoot * lhsRoot > rhs).cast("int").as("__flag"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("__flag")).as("n_outliers"))
+  }
+
   /** Equal-width histogram over an integer-valued column in ONE range
     * derivation + one aggregation, all-integer arithmetic (no float
     * division — bin edges replay exactly cross-engine):

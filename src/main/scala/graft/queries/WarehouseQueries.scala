@@ -253,7 +253,72 @@ object WarehouseQueries {
       TableOps.equalFrequencyBins(
         Tables.load(s, dir, "orders")
           .select((dec(col("o_totalprice")) * 100).cast("long").as("cents")),
-        col("cents"), nBins = 20)))
+        col("cents"), nBins = 20)),
+
+    // MATCH_RECOGNIZE-lite: per-user ordered event-initial strings, then
+    // sequence patterns as plain regexes — converted (signup…purchase),
+    // error bursts (ee), and view→purchase adjacency counts.
+    "q188_sequence_match" -> ((s, dir) => {
+      val seqs = Journey.eventSequence(ev(s, dir), col("user_id"), col("ts"),
+        col("event_id"), expr("substring(event_type, 1, 1)"))
+      seqs
+        .select(
+          col("seq").rlike("s.*p").cast("int").as("converted"),
+          col("seq").rlike("ee").cast("int").as("err_burst"),
+          ((length(col("seq")) -
+            length(regexp_replace(col("seq"), "vp", ""))) / 2)
+            .cast("long").as("n_vp"))
+        .groupBy(col("converted"), col("err_burst"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_vp")).as("sum_vp"))
+    }),
+
+    // Synchronous label propagation (3 unrolled rounds, min-label ties)
+    // over the q145 arithmetic link graph → community-size histogram.
+    "q189_label_prop" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cnt = d.agg(count(lit(1)).cast("long").as("__n"))
+      val edges = d.crossJoin(broadcast(cnt))
+        .select(col("doc_id").as("src"),
+          explode(transform(
+            sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))),
+            j => {
+              val t0 = pmod(col("doc_id") * 31 + j, col("__n"))
+              when(t0 === col("doc_id"), pmod(t0 + 1, col("__n"))).otherwise(t0)
+            })).as("dst"))
+      Graph.labelPropagation(d.select(col("doc_id")), col("doc_id"),
+          edges, col("src"), col("dst"), rounds = 3)
+        .groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+        .groupBy(col("community_size"))
+        .agg(count(lit(1)).as("n_communities"))
+    }),
+
+    // Fixed-point EWMA (alpha = 1/4) of event value cents per user —
+    // the recursion in exact integers, seeded with the first value.
+    "q190_ewma" -> ((s, dir) =>
+      Journey.ewmaFixed(ev(s, dir), col("user_id"), col("ts"),
+          col("event_id"), (dec(col("value")) * 100).cast("long"), d = 4)
+        .select(col("key").as("user_id"), col("n"), col("ewma_fp"))),
+
+    // Exact z-score outliers (k=3) per event type — the test cleared of
+    // division, evaluated in DECIMAL(38,0), boundary rows deterministic.
+    "q191_outliers" -> ((s, dir) =>
+      TableOps.exactOutliers(
+          ev(s, dir).select(col("event_type"),
+            (dec(col("value")) * 100).cast("long").as("x")),
+          col("event_type"), col("x"), k = 3)
+        .select(col("g").as("event_type"), col("n"), col("n_outliers"))))
+
+  /** The q189 oracle's unrolled LPA rounds. */
+  private def lpaRoundSql(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s"""r${i}n AS (SELECT bi.n, l.label, COUNT(*) AS cnt
+         FROM bi JOIN $prev l ON bi.nb = l.id GROUP BY 1, 2),
+       r${i}p AS (SELECT n AS id, label AS newl FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY n
+              ORDER BY cnt DESC, label) AS rk FROM r${i}n) WHERE rk = 1),
+       l$i AS (SELECT p.id, COALESCE(r${i}p.newl, p.label) AS label
+         FROM $prev p LEFT JOIN r${i}p ON p.id = r${i}p.id)"""
+  }
 
   private val cmMults = Sketches.cmMultipliers(3)
   private val cmDdSql =
@@ -564,5 +629,60 @@ object WarehouseQueries {
          SELECT CAST((cb * 20) // n AS BIGINT) AS bin,
            CAST(SUM(cnt) AS BIGINT) AS n_rows,
            MIN(v) AS lo, MAX(v) AS hi
-         FROM c, nn GROUP BY 1""")
+         FROM c, nn GROUP BY 1""",
+
+    "q188_sequence_match" ->
+      """WITH s AS (SELECT user_id,
+           STRING_AGG(SUBSTRING(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+         FROM events GROUP BY user_id),
+         f AS (SELECT
+             CAST(CASE WHEN regexp_matches(seq, 's.*p') THEN 1 ELSE 0 END AS INT) AS converted,
+             CAST(CASE WHEN regexp_matches(seq, 'ee') THEN 1 ELSE 0 END AS INT) AS err_burst,
+             CAST((LENGTH(seq) - LENGTH(REPLACE(seq, 'vp', ''))) / 2 AS BIGINT) AS n_vp
+           FROM s)
+         SELECT converted, err_burst, COUNT(*) AS n_users,
+           CAST(SUM(n_vp) AS BIGINT) AS sum_vp
+         FROM f GROUP BY 1, 2""",
+
+    "q189_label_prop" ->
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         e0 AS (SELECT doc_id AS src, u.j, n
+           FROM documents, nn, unnest(range(1, 2 + doc_id % 3)) AS u(j)),
+         e AS (SELECT src, CASE WHEN (src*31 + j) % n = src
+             THEN ((src*31 + j) % n + 1) % n
+             ELSE (src*31 + j) % n END AS dst FROM e0),
+         c AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+               FROM e WHERE src <> dst),
+         bi AS (SELECT u AS n, v AS nb FROM c UNION ALL SELECT v, u FROM c),
+         l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+         ${(1 to 3).map(lpaRoundSql).mkString(",\n         ")}
+         SELECT community_size, COUNT(*) AS n_communities FROM
+           (SELECT label, COUNT(*) AS community_size FROM l3 GROUP BY label)
+         GROUP BY 1""",
+
+    "q190_ewma" ->
+      """WITH e AS (SELECT user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           ts, event_id
+         FROM events),
+         g AS (SELECT user_id, COUNT(*) AS n,
+             list(x * 1048576 ORDER BY ts, event_id) AS xs
+           FROM e GROUP BY user_id)
+         SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(list_reduce(xs, (a, x) -> (x + 3 * a) // 4) AS BIGINT) AS ewma_fp
+         FROM g""",
+
+    "q191_outliers" ->
+      """WITH e AS (SELECT event_type,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS x
+         FROM events),
+         st AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+             SUM(x * x) AS sx2
+           FROM e GROUP BY event_type)
+         SELECT e.event_type, CAST(MIN(st.n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN (e.x * st.n - st.sx) * (e.x * st.n - st.sx) >
+             9 * (st.n * st.sx2 - st.sx * st.sx) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM e JOIN st USING (event_type)
+         GROUP BY e.event_type""")
 }

@@ -101,6 +101,43 @@ class JourneySpec extends AnyFunSuite {
       ("2024-01-01", 2, 1L), ("2024-01-08", 0, 1L)))
   }
 
+  test("eventSequence: (ts, tiebreak) order, null ts dropped") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"), // same ts: tiebreak orders
+      (1L, ts("2024-01-01 09:00:00"), 9L, "z"),
+      (1L, null.asInstanceOf[Timestamp], 0L, "X"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "q")
+    ).toDF("u", "t", "id", "sym")
+    val r = Journey.eventSequence(evs, col("u"), col("t"), col("id"), col("sym"))
+      .select("key", "seq", "n_events").as[(Long, String, Long)]
+      .collect().map { case (k, s, n) => k -> ((s, n)) }.toMap
+    assert(r == Map(1L -> (("zab", 3L)), 2L -> (("q", 1L))))
+  }
+
+  test("ewmaFixed: fold matches the scalar recursion exactly") {
+    val xs = Seq(400L, 100L, 700L, 0L, 250L)
+    val evs = xs.zipWithIndex.map { case (x, i) =>
+      (1L, ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, x)
+    }.toDF("u", "t", "id", "x")
+    val got = Journey.ewmaFixed(evs, col("u"), col("t"), col("id"), col("x"), 4)
+      .select("ewma_fp", "n").as[(Long, Long)].head()
+    val q = 1L << 20
+    val expect = xs.tail.foldLeft(xs.head * q)((a, x) => (x * q + 3 * a) / 4)
+    assert(got == ((expect, 5L)))
+  }
+
+  test("ewmaFixed: partition-independent") {
+    val evs = (1L to 2000L).map(i =>
+      (i % 20, ts(f"2024-01-${1 + (i % 25)}%02d 10:00:00"), i, i % 777))
+      .toDF("u", "t", "id", "x")
+    val a = Journey.ewmaFixed(evs, col("u"), col("t"), col("id"), col("x"), 4)
+      .collect().map(_.toSeq).toSet
+    val b = Journey.ewmaFixed(evs.repartition(17), col("u"), col("t"),
+      col("id"), col("x"), 4).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 20)
+  }
+
   test("resampleFfill: gaps filled forward, grid spans min..max hour") {
     val evs = Seq(
       (1L, ts("2024-01-01 10:10:00"), java.math.BigDecimal.valueOf(5)),

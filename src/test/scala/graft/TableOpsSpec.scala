@@ -133,4 +133,31 @@ class TableOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((0L, 42L, 2L)))
   }
+
+  test("exactOutliers: planted spike flagged, tight cluster clean") {
+    val xs = Seq.fill(99)(100L) :+ 10000L
+    val out = TableOps.exactOutliers(
+        xs.map(("g", _)).toDF("grp", "x"), col("grp"), col("x"), 3)
+      .select("n", "n_outliers").as[(Long, Long)].head()
+    assert(out == ((100L, 1L)))
+    // uniform data has no 3-sigma outliers
+    val out2 = TableOps.exactOutliers(
+        (1L to 100L).map(("g", _)).toDF("grp", "x"), col("grp"), col("x"), 3)
+      .select("n_outliers").as[Long].head()
+    assert(out2 == 0L)
+  }
+
+  test("exactOutliers: matches the float z-score rule away from boundaries") {
+    val rnd = new scala.util.Random(5)
+    val xs = (1 to 500).map(_ => (rnd.nextInt(1000) + 500).toLong) ++
+      Seq(50000L, -40000L)
+    val got = TableOps.exactOutliers(
+        xs.map(("g", _)).toDF("grp", "x"), col("grp"), col("x"), 3)
+      .select("n_outliers").as[Long].head()
+    val n = xs.size.toDouble
+    val mean = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+    val brute = xs.count(x => math.abs(x - mean) > 3 * sd)
+    assert(got == brute, s"got=$got brute=$brute (sd=$sd)")
+  }
 }
