@@ -410,4 +410,53 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Int, Long, String)].collect().toSet
     assert(a == b)
   }
+
+  // ---- streaming sketches ---------------------------------------------------
+  // Registers are sums (count-min) / maxes (HLL) — mergeable by
+  // construction — so the SAME batch operators run unchanged as
+  // streaming aggregations and micro-batch partials compose exactly.
+
+  test("countMinRegisters: stream (complete mode) == batch registers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val items = (1L to 3000L).map(i => s"tok${i % 131}")
+    val stream = MemoryStream[String]
+    val q = graft.operators.Sketches
+      .countMinRegisters(stream.toDF.toDF("w"), col("w"), depth = 3, width = 256)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream_test").start()
+    try {
+      val (a, b) = items.splitAt(items.length / 3)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.sql("SELECT d, idx, cnt FROM cms_stream_test")
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches
+        .countMinRegisters(items.toDF("w"), col("w"), depth = 3, width = 256)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("hllRegisters: stream (complete mode) == batch registers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val items = (1L to 2000L).map(i => ("g" + (i % 3), s"v$i"))
+    val stream = MemoryStream[(String, String)]
+    val q = graft.operators.Sketches
+      .hllRegisters(stream.toDF.toDF("g", "w"), Seq(col("g")), col("w"), p = 5)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream_test").start()
+    try {
+      val (a, b) = items.splitAt(700)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.sql("SELECT g, bucket, rho_max FROM hll_stream_test")
+        .as[(String, Long, Int)].collect().toSet
+      val batch = graft.operators.Sketches
+        .hllRegisters(items.toDF("g", "w"), Seq(col("g")), col("w"), p = 5)
+        .as[(String, Long, Int)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
 }
