@@ -167,6 +167,49 @@ object StreamingOps {
       }
   }
 
+  case class FunnelEv(user_id: Long, tsMicros: Long, stageIdx: Int)
+  case class FunnelOut(user_id: Long, depth: Int, anchorMicros: Long)
+
+  /** Incremental funnel progression — the streaming face of
+    * `Journey.funnel`, exact under ANY arrival order: the chained-min
+    * semantics is order-sensitive (a late stage-1 event can shift the
+    * anchor and every later stage), so per-user state keeps that user's
+    * funnel-stage events and the chain recomputes per micro-batch —
+    * the same per-user bound the batch shuffle pays, recomputation cost
+    * k·events(user). Emits the user's current (depth, anchor) whenever
+    * a batch touches the user (Update mode); the LAST emission per user
+    * equals the batch result (StreamingSpec pins it under shuffled
+    * multi-batch arrival).
+    */
+  def statefulFunnel(
+      events: Dataset[FunnelEv], nStages: Int,
+      windowMicros: Long): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Int, Long)], FunnelOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[FunnelEv],
+            state: GroupState[List[(Int, Long)]]) =>
+          val all = state.getOption.getOrElse(Nil) ++
+            evs.map(e => (e.stageIdx, e.tsMicros))
+          state.update(all)
+          // the Journey.funnel fold, verbatim semantics: time-sorted,
+          // strict `>` progression, window measured from the anchor
+          val sorted = all.sortBy(x => (x._2, x._1))
+          var reached = Vector.empty[Long]
+          sorted.foreach { case (si, t) =>
+            if (reached.size < nStages && si == reached.size &&
+                (reached.isEmpty ||
+                  (t > reached.last && t <= reached.head + windowMicros)))
+              reached = reached :+ t
+          }
+          if (reached.nonEmpty)
+            Iterator.single(FunnelOut(user, reached.size, reached.head))
+          else Iterator.empty
+      }
+  }
+
   /** Rate-capped incremental file ingest — the scraper-pacing analog
     * (semaphore/backoff → maxFilesPerTrigger + checkpointed progress).
     */

@@ -411,6 +411,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("statefulFunnel: last update per user == batch funnel, shuffled arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{FunnelEv, FunnelOut}
+    val stages = Seq("signup", "view", "click", "purchase")
+    val batchEvents = eventsBatch
+    val asFunnel = batchEvents
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsMicros"),
+        col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .flatMap { case (u, t, e) =>
+        val si = stages.indexOf(e)
+        if (si >= 0) Some(FunnelEv(u, t, si)) else None
+      }.toSeq
+    // shuffled, three batches — late stage-1 events WILL shift anchors
+    val shuffled = new scala.util.Random(13).shuffle(asFunnel)
+    val winUs = 259200L * 1000000L
+    val stream = MemoryStream[FunnelEv]
+    val q = graft.streaming.StreamingOps
+      .statefulFunnel(stream.toDS(), stages.length, winUs)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_stream_test").start()
+    try {
+      val third = shuffled.length / 3
+      stream.addData(shuffled.take(third)); q.processAllAvailable()
+      stream.addData(shuffled.slice(third, 2 * third)); q.processAllAvailable()
+      stream.addData(shuffled.drop(2 * third)); q.processAllAvailable()
+      // last emission per user (memory sink appends update rows in order)
+      val streamed = spark.sql("SELECT * FROM funnel_stream_test")
+        .as[FunnelOut].collect()
+        .zipWithIndex.groupBy(_._1.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+      val batch = graft.operators.Journey.funnel(batchEvents,
+          col("user_id"), col("ts"), col("event_type"), stages, 259200L)
+        .select("user_key", "depth", "anchor_us")
+        .as[(Long, Int, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+      streamed.foreach { case (u, out) =>
+        assert((out.depth, out.anchorMicros) == batch(u), s"user $u")
+      }
+    } finally q.stop()
+  }
+
   // ---- streaming sketches ---------------------------------------------------
   // Registers are sums (count-min) / maxes (HLL) — mergeable by
   // construction — so the SAME batch operators run unchanged as
