@@ -64,15 +64,16 @@ object Sketches {
     * shuffles as strings: rows carry only (int, long) keys).
     */
   def countMinRegisters(
-      df: DataFrame, item: Column, depth: Int, width: Int): DataFrame = {
+      df: DataFrame, item: Column, depth: Int, width: Int,
+      groupCols: Seq[Column] = Nil): DataFrame = {
     require(depth > 0 && width > 0, s"bad CMS shape $depth x $width")
     val mults = cmMultipliers(depth)
     val h = PolyHash.polyStringHash(df.sparkSession, item)
-    df.select(h.as("__h"))
-      .select(explode(array((0 until depth).map(d => struct(
+    df.select(groupCols :+ h.as("__h"): _*)
+      .select(col("*"), explode(array((0 until depth).map(d => struct(
         lit(d).as("d"), cmIndex(col("__h"), d, mults(d), width).as("idx"))): _*))
         .as("r"))
-      .groupBy(col("r.d").as("d"), col("r.idx").as("idx"))
+      .groupBy(groupCols ++ Seq(col("r.d").as("d"), col("r.idx").as("idx")): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -142,6 +143,16 @@ object Sketches {
       .groupBy(groupCols :+ col("bucket"): _*)
       .agg(max(col("rho")).as("rho_max"))
   }
+
+  /** Merge count-min register tables from shards/groups into one: sums
+    * are associative, so per-shard registers built independently equal
+    * the registers of the union — the mergeable-sketch law, q192-pinned
+    * on the oracle surface like [[hllMerge]]'s max form (q181).
+    * `registers` must carry (d, idx, cnt) plus any shard columns, which
+    * the merge sums away.
+    */
+  def cmMerge(registers: DataFrame): DataFrame =
+    registers.groupBy(col("d"), col("idx")).agg(sum(col("cnt")).as("cnt"))
 
   /** Merge HLL register tables down to coarser groups (or one global
     * set): bucket-wise max of rho. This is THE reason registers beat

@@ -306,7 +306,17 @@ object WarehouseQueries {
           ev(s, dir).select(col("event_type"),
             (dec(col("value")) * 100).cast("long").as("x")),
           col("event_type"), col("x"), k = 3)
-        .select(col("g").as("event_type"), col("n"), col("n_outliers"))))
+        .select(col("g").as("event_type"), col("n"), col("n_outliers"))),
+
+    // Count-min merge law (the sum twin of q181's max): per-source
+    // register tables merged == registers of the union, oracle-pinned.
+    "q192_cms_merge" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      Sketches.cmMerge(
+        Sketches.countMinRegisters(toks, col("w"), depth = 3, width = 512,
+          groupCols = Seq(col("source"))))
+    }))
 
   /** The q189 oracle's unrolled LPA rounds. */
   private def lpaRoundSql(i: Int): String = {
@@ -684,5 +694,15 @@ object WarehouseQueries {
              9 * (st.n * st.sx2 - st.sx * st.sx) THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers
          FROM e JOIN st USING (event_type)
-         GROUP BY e.event_type""")
+         GROUP BY e.event_type""",
+
+    // direct union registers — equal to the engine's per-source merge
+    // iff the sum-merge law holds
+    "q192_cms_merge" ->
+      s"""WITH t AS (SELECT UNNEST(${AnalyticsQueries.toksSql}) AS w FROM documents),
+         hx AS (SELECT w, ${AnalyticsQueries.polyHashSql("w")} AS h FROM t),
+         dd AS $cmDdSql
+         SELECT dd.d AS d, ((hx.h * dd.m + dd.d) % 1000000007) % 512 AS idx,
+           COUNT(*) AS cnt
+         FROM hx CROSS JOIN dd GROUP BY 1, 2""")
 }
