@@ -803,6 +803,66 @@ object Stress {
     println(f"[stress] hll_estimate ${est}%.0f vs planted ${planted}%.0f " +
       f"(rel err ${rel * 100}%.2f%%, 3-sigma bar 4.88%%)")
 
+    // ---- interval overlap: binned join at 2×2M intervals ----------------
+    // per-user intervals (~600s long, 300s bins → ≤3 bin rows each);
+    // the theta form would be a per-key cartesian
+    val nIv = math.max(n / 5, 1000000L)
+    def ivSide(tag: String, salt: Long) = spark.range(nIv).select(
+      col("id").as(s"${tag}_id"),
+      pmod(col("id") * salt, lit(50000L)).as(s"${tag}_u"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(col("id") * 2654435761L + salt, lit(86400000000L)) ).as(s"${tag}_s"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(col("id") * 2654435761L + salt, lit(86400000000L)) +
+        (lit(60L) + pmod(col("id"), lit(540L))) * 1000000L).as(s"${tag}_e"))
+    // at this size Spark broadcasts the build side (verified: BHJ in the
+    // plan) — measure the shuffle-partitioned shape the join takes once
+    // both sides outgrow the broadcast threshold
+    val bcThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (nPairs, ivB) = try shuffleBytes(spark.sparkContext) {
+      graft.operators.RangeJoin.intervalOverlap(
+        ivSide("l", 48271L), col("l_u"), col("l_s"), col("l_e"),
+        ivSide("r", 69621L), col("r_u"), col("r_s"), col("r_e"),
+        binWidthSeconds = 300).count()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
+    println(f"[stress] interval_overlap_${nIv / 1000000}Mx${nIv / 1000000}M " +
+      f"pairs=$nPairs shuffle=${ivB / 1e6}%.0f MB " +
+      "((key,bin) shuffle equi-join, broadcast disabled; small sides broadcast)")
+    time(s"interval_overlap_${nIv / 1000000}M") {
+      graft.operators.RangeJoin.intervalOverlap(
+        ivSide("l", 48271L), col("l_u"), col("l_s"), col("l_e"),
+        ivSide("r", 69621L), col("r_u"), col("r_s"), col("r_e"),
+        binWidthSeconds = 300).count()
+    }
+
+    // ---- equal-frequency bins at n rows ---------------------------------
+    // skewed long-tail values; window state bounded by DISTINCT values,
+    // bucket-prefix table bounded by range >> coarseShift
+    val efb = spark.range(n).select(
+      (pmod(col("id") * 48271L, lit(1000000L)) *
+        pmod(col("id"), lit(7L))).as("v"))
+    time(s"equal_freq_bins_${n / 1000000}M") {
+      val bins = graft.operators.TableOps
+        .equalFrequencyBins(efb, col("v"), 100, coarseShift = 16)
+      val (rows, mass) = bins.agg(count(lit(1)), sum(col("n_rows")))
+        .as[(Long, Long)].head()
+      require(rows <= 100 && mass == n, s"bins=$rows mass=$mass")
+    }
+
+    // ---- label propagation: 3 rounds at ~2M edges -----------------------
+    val lpaV = math.max(n / 10, 1000000L)
+    val lpaEdges = spark.range(lpaV).select(col("id").as("src"),
+      pmod(col("id") * 31L + 7L, lit(lpaV)).as("dst"))
+      .unionAll(spark.range(lpaV / 2).select(col("id").as("src"),
+        pmod(col("id") * 131L + 3L, lit(lpaV)).as("dst")))
+    time(s"label_prop_3r_${lpaV / 1000000}M") {
+      graft.operators.Graph.labelPropagation(
+          spark.range(lpaV).select(col("id")), col("id"),
+          lpaEdges, col("src"), col("dst"), rounds = 3)
+        .agg(count_distinct(col("label"))).collect()
+    }
+
     // ---- sentence chunking: ZERO exchanges ------------------------------
     val docs = spark.range(math.max(n / 10, 1000000L)).select(col("id"),
       concat_ws(" ", (0 until 60).map(i =>
