@@ -272,16 +272,12 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     import org.apache.spark.sql.expressions.Window
-    val canon = edges
-      .select(srcCol.as("a"), dstCol.as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint(eager = false)
+    val canon = canonicalUndirected(edges, srcCol, dstCol).persist()
     val bidir = canon.select(col("u").as("n"), col("v").as("nb"))
       .unionAll(canon.select(col("v").as("n"), col("u").as("nb")))
     var labels = nodes.select(idCol.as("id"), idCol.as("label"))
+    // pageRank's checkpoint discipline: each round frees its predecessor
+    var persisted: DataFrame = null
     (1 to rounds).foreach { _ =>
       val neigh = bidir
         .join(labels.select(col("id").as("nb"), col("label")), "nb")
@@ -292,12 +288,29 @@ object Graph {
         .withColumn("__rk", row_number().over(pick))
         .filter(col("__rk") === 1)
         .select(col("n").as("id"), col("label").as("__new"))
-      labels = labels.join(adopted, Seq("id"), "left")
+      val cp = labels.join(adopted, Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = cp
+      labels = cp
     }
+    canon.unpersist(blocking = false)
     labels
   }
+
+  /** Canonical undirected edge set: self-loops dropped, one row per
+    * unordered pair as (u, v) with u < v — the normalization both
+    * [[labelPropagation]] and [[triangleCount]] start from.
+    */
+  private def canonicalUndirected(
+      edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame =
+    edges
+      .select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
 
   /** Exact per-vertex triangle counts by degree-ordered edge orientation
     * (the node-iterator++ scheme): every undirected edge points from its
@@ -320,13 +333,7 @@ object Graph {
     */
   def triangleCount(
       edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
-    // canonical undirected edge set: self-loops dropped, one row per pair
-    val canon = edges
-      .select(srcCol.as("a"), dstCol.as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
     val deg = canon.select(col("u").as("x"))
       .unionAll(canon.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dg"))

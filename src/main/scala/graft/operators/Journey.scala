@@ -173,13 +173,15 @@ object Journey {
         count(lit(1)).as("n"))
   }
 
-  /** Exact floor division as a column op (Column has no integral-div
-    * method and `/` is a double, lossy past 2⁵³): subtract the pmod
-    * remainder, divide in DECIMAL (the quotient is an exact integer, so
-    * the decimal result is exact at any scale), cast back.
+  /** Exact TRUNCATING division as a column op (Column has no
+    * integral-div method and `/` is a double, lossy past 2⁵³): subtract
+    * the `%` remainder (truncating, sign of the dividend — NOT pmod,
+    * which floors and would disagree with DuckDB's `//` and Scala's `/`
+    * on negative accumulators), divide in DECIMAL (the quotient is an
+    * exact integer, so the decimal result is exact), cast back.
     */
   private def expr_div(a: Column, b: Long): Column =
-    ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
+    ((a - (a % lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
 
   /** Resample per-key events onto a fixed time grid with forward fill:
     * for each key, an hourly (stepped) grid spans [trunc(min ts),

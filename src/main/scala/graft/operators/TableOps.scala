@@ -173,8 +173,16 @@ object TableOps {
     val lhsRoot = dec(col("__x")) * col("__n") - col("__sx")
     val rhs = (dec(col("__n")) * col("__sx2") - col("__sx") * col("__sx")) *
       (k.toLong * k)
+    val cmp = lhsRoot * lhsRoot > rhs
+    // non-ANSI decimal overflow yields null, which sum() would silently
+    // skip (undercounting outliers); inputs are non-null here, so a null
+    // comparison IS the overflow signal — fail loudly like the oracle's
+    // HUGEINT does. Bound: |x·n − Σx| must stay under ~10¹⁹.
+    val flag = when(cmp.isNull, raise_error(lit(
+      "exactOutliers: decimal overflow — group moments exceed 38 digits")))
+      .otherwise(cmp.cast("int"))
     base.join(broadcast(stats), "g")
-      .select(col("g"), (lhsRoot * lhsRoot > rhs).cast("int").as("__flag"))
+      .select(col("g"), flag.as("__flag"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("__flag")).as("n_outliers"))
   }

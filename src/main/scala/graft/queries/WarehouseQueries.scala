@@ -25,6 +25,31 @@ object WarehouseQueries {
   private val funnelStages = Seq("signup", "view", "click", "purchase")
   private val funnelWindowSec = 259200L
 
+  /** The q145/q178/q189 deterministic link graph: 1–3 out-links per doc,
+    * target (id·31+j) mod N, self-loops bumped. ONE definition — the
+    * Spark side and the oracle CTE text below must stay in lockstep.
+    */
+  private def docLinkEdges(d: DataFrame): DataFrame = {
+    val cnt = d.agg(count(lit(1)).cast("long").as("__n"))
+    d.crossJoin(broadcast(cnt))
+      .select(col("doc_id").as("src"),
+        explode(transform(
+          sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))),
+          j => {
+            val t0 = pmod(col("doc_id") * 31 + j, col("__n"))
+            when(t0 === col("doc_id"), pmod(t0 + 1, col("__n"))).otherwise(t0)
+          })).as("dst"))
+  }
+
+  /** Oracle twin of [[docLinkEdges]]: CTEs `nn`, `e0`, `e`. */
+  private val linkEdgeCtesSql =
+    """nn AS (SELECT COUNT(*) AS n FROM documents),
+       e0 AS (SELECT doc_id AS src, u.j, n
+         FROM documents, nn, unnest(range(1, 2 + doc_id % 3)) AS u(j)),
+       e AS (SELECT src, CASE WHEN (src*31 + j) % n = src
+           THEN ((src*31 + j) % n + 1) % n
+           ELSE (src*31 + j) % n END AS dst FROM e0)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Funnel conversion: signup → view → click → purchase within 72 h of
@@ -112,20 +137,9 @@ object WarehouseQueries {
     // q145 arithmetic link graph; output = triangle-participation
     // histogram. Orientation bounds wedge fan-out at O(√m) out-degree —
     // the shape that survives hub vertices at 100 TB.
-    "q178_triangle_count" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val cnt = d.agg(count(lit(1)).cast("long").as("__n"))
-      val edges = d.crossJoin(broadcast(cnt))
-        .select(col("doc_id").as("src"),
-          explode(transform(
-            sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))),
-            j => {
-              val t0 = pmod(col("doc_id") * 31 + j, col("__n"))
-              when(t0 === col("doc_id"), pmod(t0 + 1, col("__n"))).otherwise(t0)
-            })).as("dst"))
-      Graph.triangleCount(edges, col("src"), col("dst"))
-        .groupBy(col("n_tri")).agg(count(lit(1)).as("n_vertices"))
-    }),
+    "q178_triangle_count" -> ((s, dir) =>
+      Graph.triangleCount(docLinkEdges(docs(s, dir)), col("src"), col("dst"))
+        .groupBy(col("n_tri")).agg(count(lit(1)).as("n_vertices"))),
 
     // Sentence-aware greedy chunking (20-token budget): the RAG chunker
     // that respects sentence boundaries; whole pipeline is one narrow
@@ -276,17 +290,8 @@ object WarehouseQueries {
     // over the q145 arithmetic link graph → community-size histogram.
     "q189_label_prop" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cnt = d.agg(count(lit(1)).cast("long").as("__n"))
-      val edges = d.crossJoin(broadcast(cnt))
-        .select(col("doc_id").as("src"),
-          explode(transform(
-            sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))),
-            j => {
-              val t0 = pmod(col("doc_id") * 31 + j, col("__n"))
-              when(t0 === col("doc_id"), pmod(t0 + 1, col("__n"))).otherwise(t0)
-            })).as("dst"))
       Graph.labelPropagation(d.select(col("doc_id")), col("doc_id"),
-          edges, col("src"), col("dst"), rounds = 3)
+          docLinkEdges(d), col("src"), col("dst"), rounds = 3)
         .groupBy(col("label")).agg(count(lit(1)).as("community_size"))
         .groupBy(col("community_size"))
         .agg(count(lit(1)).as("n_communities"))
@@ -483,12 +488,7 @@ object WarehouseQueries {
          FROM r GROUP BY 1, 2""",
 
     "q178_triangle_count" ->
-      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-         e0 AS (SELECT doc_id AS src, u.j, n
-           FROM documents, nn, unnest(range(1, 2 + doc_id % 3)) AS u(j)),
-         e AS (SELECT src, CASE WHEN (src*31 + j) % n = src
-             THEN ((src*31 + j) % n + 1) % n
-             ELSE (src*31 + j) % n END AS dst FROM e0),
+      s"""WITH $linkEdgeCtesSql,
          c AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
                FROM e WHERE src <> dst),
          deg AS (SELECT x, COUNT(*) AS dg FROM
@@ -655,12 +655,7 @@ object WarehouseQueries {
          FROM f GROUP BY 1, 2""",
 
     "q189_label_prop" ->
-      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-         e0 AS (SELECT doc_id AS src, u.j, n
-           FROM documents, nn, unnest(range(1, 2 + doc_id % 3)) AS u(j)),
-         e AS (SELECT src, CASE WHEN (src*31 + j) % n = src
-             THEN ((src*31 + j) % n + 1) % n
-             ELSE (src*31 + j) % n END AS dst FROM e0),
+      s"""WITH $linkEdgeCtesSql,
          c AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
                FROM e WHERE src <> dst),
          bi AS (SELECT u AS n, v AS nb FROM c UNION ALL SELECT v, u FROM c),

@@ -127,6 +127,21 @@ class JourneySpec extends AnyFunSuite {
     assert(got == ((expect, 5L)))
   }
 
+  test("ewmaFixed: negative values — truncating division both engines") {
+    // refunds drive the accumulator negative; Scala's `/` truncates,
+    // matching the operator's `%`-based div and DuckDB's `//`
+    val xs = Seq(-400L, 100L, -700L, 3L)
+    val evs = xs.zipWithIndex.map { case (x, i) =>
+      (1L, ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, x)
+    }.toDF("u", "t", "id", "x")
+    val got = Journey.ewmaFixed(evs, col("u"), col("t"), col("id"), col("x"), 4)
+      .select("ewma_fp").as[Long].head()
+    val q = 1L << 20
+    val expect = xs.tail.foldLeft(xs.head * q)((a, x) => (x * q + 3 * a) / 4)
+    assert(got == expect)
+    assert(expect < 0) // the case actually exercises the negative path
+  }
+
   test("ewmaFixed: partition-independent") {
     val evs = (1L to 2000L).map(i =>
       (i % 20, ts(f"2024-01-${1 + (i % 25)}%02d 10:00:00"), i, i % 777))
