@@ -321,6 +321,52 @@ object WarehouseQueries {
       Sketches.cmMerge(
         Sketches.countMinRegisters(toks, col("w"), depth = 3, width = 512,
           groupCols = Seq(col("source"))))
+    }),
+
+    // Item-item co-purchase top-k: within-basket pairs (quadratic ONLY
+    // in basket size, never corpus size), symmetric expand, top-3
+    // partners per item — WindowGroupLimit-compiled.
+    "q193_copurchase" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("c_ab"))
+      val sym = pairs.select(col("p1").as("item"), col("p2").as("partner"), col("c_ab"))
+        .unionAll(pairs.select(col("p2").as("item"), col("p1").as("partner"), col("c_ab")))
+      sym
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("item"))
+          .orderBy(col("c_ab").desc, col("partner").asc)))
+        .filter(col("rnk") <= 3)
+    }),
+
+    // Association lift in fixed point: lift_fp = c_ab·n·10⁶ div
+    // (c_a·c_b) — integer-exact ranking, min support 3, global top-20
+    // (TakeOrdered, no global window).
+    "q194_basket_lift" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = li.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+      val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c_item"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      pairs
+        .join(broadcast(itemCnt.select(col("pk").as("p1"), col("c_item").as("c_a"))), "p1")
+        .join(broadcast(itemCnt.select(col("pk").as("p2"), col("c_item").as("c_b"))), "p2")
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("(c_ab * n_orders * 1000000) div (c_a * c_b)").as("lift_fp"))
+        .orderBy(col("lift_fp").desc, col("p1").asc, col("p2").asc)
+        .limit(20)
     }))
 
   /** The q189 oracle's unrolled LPA rounds. */
@@ -690,6 +736,32 @@ object WarehouseQueries {
              AS n_outliers
          FROM e JOIN st USING (event_type)
          GROUP BY e.event_type""",
+
+    "q193_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pairs AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS c_ab
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2),
+         sym AS (SELECT p1 AS item, p2 AS partner, c_ab FROM pairs
+                 UNION ALL SELECT p2, p1, c_ab FROM pairs)
+         SELECT item, partner, c_ab, CAST(rnk AS INT) AS rnk FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+              ORDER BY c_ab DESC, partner) AS rnk FROM sym)
+         WHERE rnk <= 3""",
+
+    "q194_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         nn AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+         ic AS (SELECT pk, COUNT(*) AS c_item FROM li GROUP BY pk),
+         pairs AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS c_ab
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         SELECT p1, p2, c_ab, ia.c_item AS c_a, ib.c_item AS c_b,
+           CAST((c_ab * n_orders * 1000000) // (ia.c_item * ib.c_item) AS BIGINT)
+             AS lift_fp
+         FROM pairs JOIN ic ia ON pairs.p1 = ia.pk
+           JOIN ic ib ON pairs.p2 = ib.pk CROSS JOIN nn
+         ORDER BY lift_fp DESC, p1, p2 LIMIT 20""",
 
     // direct union registers — equal to the engine's per-source merge
     // iff the sum-merge law holds
