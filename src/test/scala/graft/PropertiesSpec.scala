@@ -155,4 +155,104 @@ class PropertiesSpec extends AnyFunSuite {
       assert(math.abs(total - w * 20000) < 600, s"w=$w total=$total")
     }
   }
+
+  // ---- warehouse-wave properties (q172–q194 operators) ----------------------
+
+  test("funnel fold == chained-min joins on random event sets (ties included)") {
+    import graft.operators.Journey
+    val rnd = new scala.util.Random(31)
+    val stages = Seq("a", "b", "c")
+    // dense small time range → same-second ties occur for real
+    val evs = (1 to 4000).map { _ =>
+      (rnd.nextInt(60).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(2000) * 1000L),
+        Seq("a", "b", "c", "x")(rnd.nextInt(4)))
+    }.toDF("u", "t", "e")
+    val win = 600L
+    val fold = Journey.funnel(evs, col("u"), col("t"), col("e"), stages, win)
+      .select("user_key", "depth").as[(Long, Int)].collect().toMap
+    // independent implementation: chained-min joins
+    val winUs = win * 1000000L
+    val f = evs.select(col("u"), unix_micros(col("t")).as("tm"), col("e"))
+    var acc = f.filter(col("e") === "a").groupBy(col("u"))
+      .agg(min(col("tm")).as("t1"))
+      .select(col("u"), col("t1"), col("t1").as("rt"))
+    var joins = Map.empty[Long, Int] ++ acc.select("u").as[Long].collect()
+      .map(_ -> 1)
+    Seq("b", "c").zipWithIndex.foreach { case (st, i) =>
+      acc = f.filter(col("e") === st).join(acc, "u")
+        .filter(col("tm") > col("rt") && col("tm") <= col("t1") + winUs)
+        .groupBy(col("u")).agg(min(col("t1")).as("t1"), min(col("tm")).as("rt"))
+        .select(col("u"), col("t1"), col("rt"))
+      joins = joins ++ acc.select("u").as[Long].collect().map(_ -> (i + 2))
+    }
+    assert(fold == joins && fold.nonEmpty)
+  }
+
+  test("contentDigest: permutation/partition invariant, single-cell sensitive") {
+    import graft.operators.TableOps
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 400).map(i => (i.toLong, s"v${rnd.nextInt(50)}",
+      if (rnd.nextInt(10) == 0) null else s"w${rnd.nextInt(9)}"))
+    def dig(rs: Seq[(Long, String, String)], parts: Int) =
+      TableOps.contentDigest(rs.toDF("k", "a", "b").repartition(parts),
+        Seq("k", "a", "b")).as[(Long, Long)].head()
+    val base = dig(rows, 1)
+    assert(dig(rnd.shuffle(rows), 13) == base)
+    val i = rnd.nextInt(rows.size)
+    val mutated = rows.updated(i, rows(i).copy(_2 = rows(i)._2 + "!"))
+    assert(dig(mutated, 7) != base)
+  }
+
+  test("intervalOverlap == theta join across random sets and bin widths") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      def side(tag: String) = (1 to 60).map { i =>
+        val s = 1700000000L + rnd.nextInt(4000)
+        (s"$tag$i", (rnd.nextInt(3)).toString,
+          new java.sql.Timestamp(s * 1000L),
+          new java.sql.Timestamp((s + rnd.nextInt(1200)) * 1000L))
+      }.toDF(s"${tag}_id", s"${tag}_u", s"${tag}_s", s"${tag}_e")
+      val l = side("l"); val r = side("r")
+      val naive = l.join(r, col("l_u") === col("r_u") &&
+          col("l_s") < col("r_e") && col("r_s") < col("l_e"))
+        .select("l_id", "r_id").as[(String, String)].collect().toSet
+      val bw = Seq(7L, 120L, 5000L)(trial - 1)
+      val binned = RangeJoin.intervalOverlap(
+          l, col("l_u"), col("l_s"), col("l_e"),
+          r, col("r_u"), col("r_s"), col("r_e"), bw)
+        .select("l_id", "r_id").as[(String, String)].collect().toSeq
+      assert(binned.toSet == naive && binned.size == binned.toSet.size,
+        s"trial=$trial bw=$bw")
+    }
+  }
+
+  test("sentenceChunks invariants: token conservation, budget respected") {
+    import graft.operators.Chunker
+    val rnd = new scala.util.Random(41)
+    val texts = (1 to 120).map { i =>
+      (i.toLong, (1 to rnd.nextInt(60)).map { _ =>
+        val w = "w" * (1 + rnd.nextInt(3))
+        if (rnd.nextInt(5) == 0) w + Seq(".", "!", "?", "...")(rnd.nextInt(4)) else w
+      }.mkString(" "))
+    }
+    val budget = 9
+    val out = Chunker.sentenceChunks(texts.toDF("id", "text"), col("text"), budget)
+      .select("id", "chunk_idx", "n_sentences", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    texts.foreach { case (id, text) =>
+      val sentToks = "[^.!?]+(?:[.!?]+|$)".r.findAllIn(text).map(_.trim)
+        .filter(_.nonEmpty)
+        .map(_.split("\\s+").count(_.nonEmpty).toLong).toSeq
+      val chunks = out.getOrElse(id, Array.empty).sortBy(_._2)
+      assert(chunks.map(_._4).sum == sentToks.sum, s"id=$id token mass")
+      assert(chunks.map(_._3).sum == sentToks.size, s"id=$id sentence count")
+      // every multi-sentence chunk fits the budget; oversize chunks are
+      // single oversize sentences
+      chunks.foreach { c =>
+        assert(c._4 <= budget || c._3 == 1, s"id=$id chunk=$c")
+      }
+    }
+  }
 }
