@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.operators.Layout
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Integer geohash over milli-degree coordinates — the geospatial
+  * bucketing a web-corpus enrichment pipeline needs (geo dedup, region
+  * rollups, neighbor joins), built entirely from exact integer
+  * arithmetic so every hash is DuckDB-replayable (no float lat/lng
+  * anywhere: callers carry milli-degrees as longs).
+  *
+  * Canonical geohash bit layout for EVEN character counts: 5·c bits,
+  * alternating longitude/latitude with longitude on the most
+  * significant bit — exactly `Layout.zOrderKey(latCell, lngCell)` with
+  * both cells at 5·c/2 bits (Morton puts y=lng on odd positions, so the
+  * MSB of the 5·c-bit key is a longitude bit, matching the standard).
+  * Cells are the canonical successive-halving cells:
+  * `floor((deg + 90|180) / extent · 2^bits)`, clamped at the top edge.
+  * Base32 rendering uses the standard geohash alphabet.
+  */
+object Geohash {
+
+  val Alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Exact floor division for non-negative operands (Column has no
+    * integral div; double `/` is lossy past 2⁵³).
+    */
+  private def fdiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
+
+  /** Latitude cell at `bits` resolution from milli-degrees in
+    * [-90000, 90000]; the +90° edge clamps into the last cell.
+    */
+  def latCell(latMilli: Column, bits: Int): Column =
+    least(fdiv((latMilli + 90000L) * (1L << bits), 180000L),
+      lit((1L << bits) - 1))
+
+  /** Longitude cell from milli-degrees in [-180000, 180000]. */
+  def lngCell(lngMilli: Column, bits: Int): Column =
+    least(fdiv((lngMilli + 180000L) * (1L << bits), 360000L),
+      lit((1L << bits) - 1))
+
+  /** The 5·c-bit integer geohash (even `chars` only — odd precisions
+    * flip the interleave parity; use the next even size and truncate
+    * downstream if needed).
+    */
+  def encodeBits(latMilli: Column, lngMilli: Column, chars: Int): Column = {
+    require(chars >= 2 && chars % 2 == 0 && chars <= 12,
+      s"chars must be even in [2, 12]: $chars")
+    val bits = 5 * chars / 2
+    Layout.zOrderKey(latCell(latMilli, bits), lngCell(lngMilli, bits))
+  }
+
+  /** Base32 geohash string of [[encodeBits]]. */
+  def encode(latMilli: Column, lngMilli: Column, chars: Int): Column = {
+    val gh = encodeBits(latMilli, lngMilli, chars)
+    array_join(transform(sequence(lit(0), lit(chars - 1)), i => {
+      val digit = pmod(
+        call_function("shiftright", gh, ((lit(chars - 1) - i) * 5).cast("int")),
+        lit(32L))
+      call_function("substr", lit(Alphabet), (digit + 1).cast("int"), lit(1))
+    }), "")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.functions.TextFunctions
+import graft.functions.{Geohash, TextFunctions}
 import graft.operators.{Chunker, Graph, Journey, RangeJoin, Sketches, TableOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -367,7 +367,78 @@ object WarehouseQueries {
           expr("(c_ab * n_orders * 1000000) div (c_a * c_b)").as("lift_fp"))
         .orderBy(col("lift_fp").desc, col("p1").asc, col("p2").asc)
         .limit(20)
+    }),
+
+    // Integer geohash encoding (canonical cells + base32) over
+    // deterministic milli-degree coordinates — geo rollup by 2-char
+    // prefix. Exact integer arithmetic end to end; the Morton ladder is
+    // q144's, the alphabet walk plain string ops.
+    "q195_geohash" -> ((s, dir) => {
+      val pts = geoPoints(ev(s, dir))
+      pts.select(col("event_id"),
+          Geohash.encode(col("lat_m"), col("lng_m"), chars = 6).as("gh"))
+        .groupBy(substring(col("gh"), 1, 2).as("prefix"))
+        .agg(count(lit(1)).as("n"),
+          min(col("gh")).as("gh_min"), max(col("gh")).as("gh_max"))
+    }),
+
+    // Planar radius pairs via neighbor-cell geo join: left side explodes
+    // its 3×3 neighbor cells (cell edge >= radius, so every qualifying
+    // pair meets in the right point's single cell EXACTLY once — no
+    // dedup), exact integer squared-distance filter. The geodesic form
+    // is float trig and stays off the hash surface by design.
+    "q196_geo_pairs" -> ((s, dir) => {
+      val bits = 7
+      val r = 1200L
+      val pts = geoPoints(ev(s, dir)).filter(col("event_id") < 3000)
+        .select(col("event_id").as("id"), col("lat_m"), col("lng_m"),
+          Geohash.latCell(col("lat_m"), bits).as("latc"),
+          Geohash.lngCell(col("lng_m"), bits).as("lngc"))
+      val l = pts.select(col("id").as("l_id"), col("lat_m").as("l_lat"),
+          col("lng_m").as("l_lng"),
+          explode(array((for (a <- -1 to 1; b <- -1 to 1) yield
+            struct((col("latc") + a).as("latc"), (col("lngc") + b).as("lngc"))): _*))
+            .as("c"))
+        .select(col("l_id"), col("l_lat"), col("l_lng"),
+          col("c.latc").as("latc"), col("c.lngc").as("lngc"))
+      val rgt = pts.select(col("id").as("r_id"), col("lat_m").as("r_lat"),
+        col("lng_m").as("r_lng"), col("latc"), col("lngc"))
+      l.join(rgt, Seq("latc", "lngc"))
+        .filter(col("l_id") < col("r_id"))
+        .select(col("l_id"), col("r_id"),
+          ((col("l_lat") - col("r_lat")) * (col("l_lat") - col("r_lat")) +
+            (col("l_lng") - col("r_lng")) * (col("l_lng") - col("r_lng")))
+            .as("d2"))
+        .filter(col("d2") <= r * r)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("d2")).as("sum_d2"),
+          count_distinct(col("l_id")).as("n_left"))
     }))
+
+  /** Deterministic milli-degree coordinates for the geo queries. */
+  private def geoPoints(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      (pmod(col("user_id") * 48271L + col("event_id") * 31L, lit(180001L)) -
+        90000L).as("lat_m"),
+      (pmod(col("event_id") * 69621L + col("user_id") * 7L, lit(360001L)) -
+        180000L).as("lng_m"))
+
+  /** Oracle twin of [[geoPoints]]. */
+  private val geoPointsSql =
+    """pts AS (SELECT event_id,
+        (user_id * 48271 + event_id * 31) % 180001 - 90000 AS lat_m,
+        (event_id * 69621 + user_id * 7) % 360001 - 180000 AS lng_m
+      FROM events)"""
+
+  /** q144's bit-spread ladder as SQL. */
+  private def spreadSql(v: String): String = {
+    val steps = Seq(
+      16 -> 281470681808895L, 8 -> 71777214294589695L,
+      4 -> 1085102592571150095L, 2 -> 3689348814741910323L,
+      1 -> 6148914691236517205L)
+    steps.foldLeft(v) { case (acc, (sh, m)) =>
+      s"((($acc) | (($acc) << $sh)) & $m)"
+    }
+  }
 
   /** The q189 oracle's unrolled LPA rounds. */
   private def lpaRoundSql(i: Int): String = {
@@ -736,6 +807,39 @@ object WarehouseQueries {
              AS n_outliers
          FROM e JOIN st USING (event_type)
          GROUP BY e.event_type""",
+
+    "q195_geohash" ->
+      s"""WITH $geoPointsSql,
+         c AS (SELECT event_id,
+             LEAST(((lat_m + 90000) * 32768) // 180000, 32767) AS latc,
+             LEAST(((lng_m + 180000) * 32768) // 360000, 32767) AS lngc
+           FROM pts),
+         g AS (SELECT event_id,
+             (${spreadSql("latc")} | (${spreadSql("lngc")} << 1)) AS gh
+           FROM c),
+         s AS (SELECT event_id, array_to_string(list_transform(range(0, 6),
+             i -> substr('${Geohash.Alphabet}',
+               CAST((gh >> CAST((5 - i) * 5 AS INT)) % 32 AS INT) + 1, 1)), '')
+             AS ghs
+           FROM g)
+         SELECT substr(ghs, 1, 2) AS prefix, COUNT(*) AS n,
+           MIN(ghs) AS gh_min, MAX(ghs) AS gh_max
+         FROM s GROUP BY 1""",
+
+    "q196_geo_pairs" ->
+      s"""WITH $geoPointsSql,
+         p AS (SELECT event_id AS id, lat_m, lng_m,
+             LEAST(((lat_m + 90000) * 128) // 180000, 127) AS latc,
+             LEAST(((lng_m + 180000) * 128) // 360000, 127) AS lngc
+           FROM pts WHERE event_id < 3000),
+         pr AS (SELECT a.id AS l_id,
+             (a.lat_m - b.lat_m) * (a.lat_m - b.lat_m) +
+               (a.lng_m - b.lng_m) * (a.lng_m - b.lng_m) AS d2
+           FROM p a JOIN p b ON a.id < b.id
+             AND abs(a.latc - b.latc) <= 1 AND abs(a.lngc - b.lngc) <= 1)
+         SELECT COUNT(*) AS n_pairs, CAST(SUM(d2) AS BIGINT) AS sum_d2,
+           COUNT(DISTINCT l_id) AS n_left
+         FROM pr WHERE d2 <= 1440000""",
 
     "q193_copurchase" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
