@@ -34,6 +34,15 @@ object Layout {
       (acc.bitwiseOR(shiftleft(acc, shift))).bitwiseAND(lit(mask))
     }
 
+  /** The SQL twin of [[bitSpread]] (the oracle's copy of the ladder —
+    * q144/q195 replay it in DuckDB): same steps, same masks, one
+    * definition for both so they cannot drift.
+    */
+  def bitSpreadSql(v: String): String =
+    Masks.foldLeft(v) { case (acc, (sh, m)) =>
+      s"((($acc) | (($acc) << $sh)) & $m)"
+    }
+
   /** The Morton / Z-order key of two non-negative dimension values:
     * x's bits on even positions, y's on odd. Each input must fit 31 bits
     * (callers bucket/normalize first — rank, hash or modulo); the result

@@ -171,16 +171,10 @@ object ScaleQueries {
 
   val oracles: Map[String, String] = Map(
     "q144_zorder_key" -> {
-      // the bitSpread ladder as a SQL macro chain
-      def spread(v: String): String = {
-        val steps = Seq(
-          16 -> 281470681808895L, 8 -> 71777214294589695L,
-          4 -> 1085102592571150095L, 2 -> 3689348814741910323L,
-          1 -> 6148914691236517205L)
-        steps.foldLeft(v) { case (acc, (sh, m)) =>
-          s"((($acc) | (($acc) << $sh)) & $m)"
-        }
-      }
+      // the bitSpread ladder's canonical SQL twin (one definition,
+      // shared with q195's geohash oracle)
+      def spread(v: String): String =
+        graft.operators.Layout.bitSpreadSql(v)
       s"""SELECT l_orderkey, l_partkey, l_linenumber,
            (${spread("l_orderkey % 4096")} |
             (${spread("l_partkey % 4096")} << 1)) AS zkey,

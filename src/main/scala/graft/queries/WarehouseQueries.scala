@@ -328,14 +328,7 @@ object WarehouseQueries {
     // partners per item — WindowGroupLimit-compiled.
     "q193_copurchase" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("c_ab"))
+      val pairs = basketPairs(Tables.load(s, dir, "lineitem"))
       val sym = pairs.select(col("p1").as("item"), col("p2").as("partner"), col("c_ab"))
         .unionAll(pairs.select(col("p2").as("item"), col("p1").as("partner"), col("c_ab")))
       sym
@@ -348,18 +341,11 @@ object WarehouseQueries {
     // (c_a·c_b) — integer-exact ranking, min support 3, global top-20
     // (TakeOrdered, no global window).
     "q194_basket_lift" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val n = li.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+      val li = baskets(Tables.load(s, dir, "lineitem"))
+      val n = li.agg(count_distinct(col("ok")).as("n_orders"))
       val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c_item"))
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("c_ab"))
+      basketPairs(Tables.load(s, dir, "lineitem"))
         .filter(col("c_ab") >= 3)
-      pairs
         .join(broadcast(itemCnt.select(col("pk").as("p1"), col("c_item").as("c_a"))), "p1")
         .join(broadcast(itemCnt.select(col("pk").as("p2"), col("c_item").as("c_b"))), "p2")
         .crossJoin(broadcast(n))
@@ -414,6 +400,31 @@ object WarehouseQueries {
           count_distinct(col("l_id")).as("n_left"))
     }))
 
+  /** The q193/q194 basket layer: distinct (order, part) memberships. */
+  private def baskets(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
+  /** Within-basket co-occurrence pairs — quadratic ONLY in basket size.
+    * ONE definition for both market-basket queries (and the SQL CTE
+    * constant below must stay its textual twin).
+    */
+  private def basketPairs(lineitem: DataFrame): DataFrame = {
+    val li = baskets(lineitem)
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("c_ab"))
+  }
+
+  /** Oracle twin of [[baskets]]/[[basketPairs]]: CTEs `li`, `pairs`. */
+  private val basketPairsCtesSql =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       pairs AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS c_ab
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY 1, 2)"""
+
   /** Deterministic milli-degree coordinates for the geo queries. */
   private def geoPoints(events: DataFrame): DataFrame =
     events.select(col("event_id"),
@@ -429,16 +440,9 @@ object WarehouseQueries {
         (event_id * 69621 + user_id * 7) % 360001 - 180000 AS lng_m
       FROM events)"""
 
-  /** q144's bit-spread ladder as SQL. */
-  private def spreadSql(v: String): String = {
-    val steps = Seq(
-      16 -> 281470681808895L, 8 -> 71777214294589695L,
-      4 -> 1085102592571150095L, 2 -> 3689348814741910323L,
-      1 -> 6148914691236517205L)
-    steps.foldLeft(v) { case (acc, (sh, m)) =>
-      s"((($acc) | (($acc) << $sh)) & $m)"
-    }
-  }
+  /** The bit-spread ladder's canonical SQL twin (Layout owns it). */
+  private def spreadSql(v: String): String =
+    graft.operators.Layout.bitSpreadSql(v)
 
   /** The q189 oracle's unrolled LPA rounds. */
   private def lpaRoundSql(i: Int): String = {
@@ -842,10 +846,7 @@ object WarehouseQueries {
          FROM pr WHERE d2 <= 1440000""",
 
     "q193_copurchase" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         pairs AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS c_ab
-           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-           GROUP BY 1, 2),
+      s"""WITH $basketPairsCtesSql,
          sym AS (SELECT p1 AS item, p2 AS partner, c_ab FROM pairs
                  UNION ALL SELECT p2, p1, c_ab FROM pairs)
          SELECT item, partner, c_ab, CAST(rnk AS INT) AS rnk FROM
@@ -854,17 +855,15 @@ object WarehouseQueries {
          WHERE rnk <= 3""",
 
     "q194_basket_lift" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      s"""WITH $basketPairsCtesSql,
          nn AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
          ic AS (SELECT pk, COUNT(*) AS c_item FROM li GROUP BY pk),
-         pairs AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS c_ab
-           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         sp AS (SELECT * FROM pairs WHERE c_ab >= 3)
          SELECT p1, p2, c_ab, ia.c_item AS c_a, ib.c_item AS c_b,
            CAST((c_ab * n_orders * 1000000) // (ia.c_item * ib.c_item) AS BIGINT)
              AS lift_fp
-         FROM pairs JOIN ic ia ON pairs.p1 = ia.pk
-           JOIN ic ib ON pairs.p2 = ib.pk CROSS JOIN nn
+         FROM sp JOIN ic ia ON sp.p1 = ia.pk
+           JOIN ic ib ON sp.p2 = ib.pk CROSS JOIN nn
          ORDER BY lift_fp DESC, p1, p2 LIMIT 20""",
 
     // direct union registers — equal to the engine's per-source merge
