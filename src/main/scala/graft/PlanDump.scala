@@ -71,7 +71,10 @@ object PlanDump {
       "q180_sentence_chunks" -> "sentence chunking: split + token counts + greedy fold all inside transform/aggregate HOFs -> Generate fan-out; ZERO exchanges",
       "q182_content_digest" -> "content digest: md5-prefix row hash in the scan projection -> partial/final 1-row agg; nothing but 128-bit partial sums cross the exchange",
       "q183_interval_overlap" -> "interval overlap: both sides binned (Generate), ONE (key,bin) equi-join; bin-of-overlap-start emits each pair once (no distinct pass)",
-      "q187_quantile_bins" -> "quantile bins: two-stage distributed prefix sum — within-coarse-bucket PARTITIONED window + broadcast triangular bucket-prefix join; NO single-partition window anywhere")
+      "q187_quantile_bins" -> "quantile bins: two-stage distributed prefix sum — within-coarse-bucket PARTITIONED window + broadcast triangular bucket-prefix join; NO single-partition window anywhere",
+      "q190_ewma" -> "fixed-point EWMA: one user-keyed exchange, recursion folds inside the agg (no per-step shuffles)",
+      "q193_copurchase" -> "co-purchase: within-basket pair self-join on the order key (fan-out bounded by basket size), pair agg, WindowGroupLimit top-3 per item",
+      "q196_geo_pairs" -> "geo radius pairs: 3x3 neighbor-cell Generate on the left, ONE (latc,lngc) equi-join, integer distance filter — each qualifying pair meets exactly once")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -398,16 +398,89 @@ object TextFunctions {
   def truncateWithMarker(c: Column, max: Int, marker: String = "…[truncated]"): Column =
     when(length(c) > max, concat(substring(c, 1, max), lit(marker))).otherwise(c)
 
-  /** Full clean pipeline over a multi-line document string (X7): drop noise /
-    * page-number / link-dense lines, scrub credits, collapse whitespace,
-    * truncate. Line-wise via filter() HOF — stays native.
+  // ---- the EXACT clean_document replica (DATA:455-542) --------------------
+  //
+  // The helpers above (NoiseRegex, isLinkDense, scrubEditorCredit,
+  // normalizeWhitespace) are the engine's composable string library —
+  // q33/q35 oracle-check them individually. `cleanDocument` below is the
+  // reference's pipeline VERBATIM: its 8 noise patterns (including the
+  // verbatim character-class quirk in the license pattern), markdown-link
+  // density with the `links + 1` divisor, half-width editor parens,
+  // repeated-header removal gated at >= 20 lines, and the labeled Chinese
+  // truncation marker.
+
+  /** The reference's `_NOISY_PATTERNS` (DATA:455-464); compiled
+    * IGNORECASE there, so latin-bearing patterns carry `(?i)` here.
+    *
+    * ONE deliberate divergence (SURVEY §7's "reference bugs to not
+    * replicate"): the license pattern's first alternative is written as
+    * a CHARACTER CLASS in the reference — `[京公网安备京网文京ICP备]` —
+    * which under IGNORECASE drops EVERY line starting with i/c/p
+    * ("Copyright…", "In this article…"). The intent is clearly the
+    * Beijing license prefixes; this port spells them as sequence
+    * alternations (京公网安备|京网文|京ICP备) and keeps i/c/p lines.
+    */
+  private[graft] val RefNoisePatterns: Seq[String] = Seq(
+    "^[\\-=*#_]{3,}$",
+    "(?i)\\.(html|shtml|htm|php)\\s*$",
+    ".{0,50}(搜狐|网易|腾讯|新浪|登录|注册|版权所有|版权声明).{0,50}$",
+    "\\[\\d+\\]|\\[下一页\\]|\\[上一页\\]",
+    "\\[(编辑|查看历史|讨论|阅读|来源|原标题)\\]",
+    "^\\*+\\s*\\[.*?\\]\\(.*?\\)",
+    "^\\s*(分享到|扫描二维码|返回搜狐|查看更多|责任编辑|记者|通讯员)",
+    "^\\s*(京公网安备|京网文|京ICP备|互联网新闻信息服务许可证|信息网络传播视听节目许可证)")
+
+  /** DATA:466 `_EDITOR_PATTERN` — half-width paren OR bracket forms. */
+  private[graft] val RefEditorRegex =
+    "(\\(|\\[)\\s*责任编辑：.*?\\s*(\\)|\\])"
+
+  /** DATA:468-473 `_PAGE_NUM_PATTERN` (search on the stripped line). */
+  private[graft] val RefPageNumRegex =
+    "^\\s*[-—]\\s*\\d+\\s*[-—]\\s*$|" +
+      "^\\s*第\\s*\\d+\\s*页\\s*(共\\s*\\d+\\s*页)?\\s*$|" +
+      "(?i)^\\s*Page\\s+\\d+\\s*(of\\s+\\d+)?\\s*$"
+
+  /** `_is_noisy_line` (DATA:479-490) over an already-stripped line:
+    * blank, any noise pattern, or markdown-link-dense with the
+    * reference's exact `len/(links+1) < 30` float test.
+    */
+  private[graft] def isNoisyLineRef(stripped: Column): Column = {
+    val links = size(regexp_extract_all(stripped,
+      lit("\\[.*?\\]\\(.*?\\)"), lit(0)))
+    (stripped === "") ||
+      RefNoisePatterns.map(p => stripped.rlike(p)).reduce(_ || _) ||
+      (links > 2 && length(stripped) / (links + 1) < 30)
+  }
+
+  /** `clean_document` (DATA:527-542), step for step:
+    *  1. repeated-header removal — only when the doc has >= 20 lines;
+    *     a stripped line shorter than 100 chars appearing >= 3 times is
+    *     dropped everywhere (counted per doc with an O(L²) HOF scan —
+    *     still a narrow per-row projection, L = that doc's line count);
+    *  2. per line: skip page-number and noisy lines (checked on the
+    *     STRIPPED line, before the editor scrub), then strip the
+    *     half-width editor credit from the RAW line, trim, drop empties;
+    *  3. join (the reference's normalize pass is vacuous here — step 2
+    *     leaves no blank or padded lines);
+    *  4. truncate with the reference's labeled marker.
     */
   def cleanDocument(c: Column, maxChars: Int = 80000): Column = {
-    val lines = split(c, "\n")
-    val kept = filter(lines, l =>
-      !isPageNumberLine(l) && !isNoiseLine(l) && !isLinkDense(l))
-    truncateWithMarker(
-      normalizeWhitespace(array_join(transform(kept, l => scrubEditorCredit(l)), "\n")),
-      maxChars)
+    val rawLines = split(c, "\r\n|\r|\n")
+    val afterRep = when(size(rawLines) >= 20,
+      filter(rawLines, l => {
+        val t = trim(l)
+        !(t =!= "" && length(t) < 100 &&
+          size(filter(rawLines, x => trim(x) === t)) >= 3)
+      })).otherwise(rawLines)
+    val filtered = filter(afterRep, l =>
+      !trim(l).rlike(RefPageNumRegex) && !isNoisyLineRef(trim(l)))
+    val scrubbed = filter(
+      transform(filtered, l => trim(regexp_replace(l, RefEditorRegex, ""))),
+      x => x =!= "")
+    val joined = array_join(scrubbed, "\n")
+    when(length(joined) > maxChars,
+      concat(substring(joined, 1, maxChars),
+        lit(s"\n\n...[文档内容过长，已截断至 $maxChars 字符]")))
+      .otherwise(joined)
   }
 }

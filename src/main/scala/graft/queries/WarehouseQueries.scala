@@ -398,6 +398,33 @@ object WarehouseQueries {
         .filter(col("d2") <= r * r)
         .agg(count(lit(1)).as("n_pairs"), sum(col("d2")).as("sum_d2"),
           count_distinct(col("l_id")).as("n_left"))
+    }),
+
+    // The EXACT reference clean_document pipeline (DATA:455-542) end to
+    // end, hash-checked: docs decorated with every line class the
+    // reference handles (page numbers, repeated headers across the
+    // >=20-line gate, share/license noise, markdown-link-dense lines,
+    // copyright-near-end, half-width editor credits), then
+    // TextFunctions.cleanDocument vs a fully relational DuckDB replay
+    // of all four stages. maxChars=150 exercises the labeled marker.
+    "q197_clean_document" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      val lines0 = transform(
+        sequence(lit(0), greatest(lit(0), expr("(size(toks)+1) div 2 - 1"))),
+        i => array_join(slice(col("toks"), i * 2 + 1, lit(2)), " "))
+      val decorated = transform(lines0, (l, i) =>
+        when(i % 6 === 2, concat(lit("- "), i.cast("string"), lit(" -")))
+          .when(i % 10 === 0, lit("页眉 HEADER-X"))
+          .when(i % 7 === 3, concat(lit("分享到 "), l))
+          .when(i % 9 === 4, lit("[a](u1) [b](u2) [c](u3)"))
+          .when(i % 13 === 6, concat(l, lit(" 版权所有")))
+          .when(i % 11 === 5, concat(l, lit(" (责任编辑：张三)")))
+          .otherwise(l))
+      t.select(col("doc_id"),
+          TextFunctions.cleanDocument(
+            array_join(decorated, "\n"), maxChars = 150).as("text_clean"))
+        .withColumn("n_chars", length(col("text_clean")))
     }))
 
   /** The q193/q194 basket layer: distinct (order, part) memberships. */
@@ -811,6 +838,52 @@ object WarehouseQueries {
              AS n_outliers
          FROM e JOIN st USING (event_type)
          GROUP BY e.event_type""",
+
+    "q197_clean_document" -> {
+      import graft.functions.TextFunctions.{RefEditorRegex, RefNoisePatterns, RefPageNumRegex}
+      val noisySql = (Seq("trim(line) = ''") ++
+        RefNoisePatterns.map(p => s"regexp_matches(trim(line), '$p')") :+
+        ("(len(regexp_extract_all(trim(line), '\\[.*?\\]\\(.*?\\)')) > 2 AND " +
+          "length(trim(line)) / (len(regexp_extract_all(trim(line), " +
+          "'\\[.*?\\]\\(.*?\\)')) + 1) < 30)")).mkString("(", " OR ", ")")
+      s"""WITH t AS (SELECT doc_id, ${AnalyticsQueries.toksSql} AS toks FROM documents),
+         ln AS (SELECT doc_id, u.i AS i,
+             array_to_string(toks[2*u.i+1:2*u.i+2], ' ') AS line0
+           FROM t, unnest(range(0, GREATEST(1, (len(toks)+1)//2))) AS u(i)),
+         dec AS (SELECT doc_id, i,
+             CASE WHEN i % 6 = 2 THEN '- ' || i || ' -'
+                  WHEN i % 10 = 0 THEN '页眉 HEADER-X'
+                  WHEN i % 7 = 3 THEN '分享到 ' || line0
+                  WHEN i % 9 = 4 THEN '[a](u1) [b](u2) [c](u3)'
+                  WHEN i % 13 = 6 THEN line0 || ' 版权所有'
+                  WHEN i % 11 = 5 THEN line0 || ' (责任编辑：张三)'
+                  ELSE line0 END AS line
+           FROM ln),
+         nl AS (SELECT doc_id, COUNT(*) AS n FROM dec GROUP BY doc_id),
+         cnt AS (SELECT doc_id, trim(line) AS s, COUNT(*) AS c FROM dec
+           WHERE trim(line) <> '' AND length(trim(line)) < 100 GROUP BY 1, 2),
+         rep AS (SELECT cnt.doc_id, cnt.s FROM cnt JOIN nl USING (doc_id)
+           WHERE cnt.c >= 3 AND nl.n >= 20),
+         f1 AS (SELECT dec.doc_id, dec.i, dec.line FROM dec
+           LEFT JOIN rep ON dec.doc_id = rep.doc_id AND trim(dec.line) = rep.s
+           WHERE rep.s IS NULL),
+         f2 AS (SELECT * FROM f1 WHERE
+           NOT regexp_matches(trim(line), '$RefPageNumRegex')
+           AND NOT $noisySql),
+         f3 AS (SELECT doc_id, i,
+             trim(regexp_replace(line, '$RefEditorRegex', '', 'g')) AS line
+           FROM f2),
+         f4 AS (SELECT * FROM f3 WHERE line <> ''),
+         agg AS (SELECT t.doc_id, COALESCE(x.txt, '') AS txt FROM t
+           LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
+                      FROM f4 GROUP BY doc_id) x USING (doc_id)),
+         fin AS (SELECT doc_id,
+             CASE WHEN length(txt) > 150 THEN substring(txt, 1, 150) ||
+               chr(10) || chr(10) || '...[文档内容过长，已截断至 150 字符]'
+             ELSE txt END AS text_clean
+           FROM agg)
+         SELECT doc_id, text_clean, length(text_clean) AS n_chars FROM fin"""
+    },
 
     "q195_geohash" ->
       s"""WITH $geoPointsSql,

@@ -55,27 +55,54 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
-  test("cleanDocument drops noise/page-number/link-dense lines, keeps content") {
+  test("cleanDocument replicates the reference pipeline exactly (DATA:527-542)") {
     val doc = Seq(
       "真实的正文内容保留在这里",
-      "- 3 -",
-      "第 12 页",
-      "Page 3 of 10",
-      "Copyright 2024 Example Corp",
-      "点击查看更多内容",
-      "http://a.cn/1 http://a.cn/2 http://a.cn/3",
-      "结尾内容（责任编辑：李四）也保留").mkString("\n")
+      "- 3 -", // page number → dropped
+      "第 12 页", // page number → dropped
+      "Page 3 of 10", // page number → dropped
+      "===========", // separator pattern → dropped
+      "分享到 微信朋友圈", // noise pattern 7 (line start) → dropped
+      "某某新闻 版权所有", // keyword near end → dropped
+      "[a](u1) [b](u2) [c](u3)", // 3 markdown links, dense → dropped
+      "结尾内容(责任编辑：李四)也保留", // half-width credit scrubbed, line kept
+      "京ICP备12345678号-9", // license line → dropped
+      // REFERENCE QUIRKS, replicated deliberately:
+      "Copyright 2024 Example Corp", // kept — we do NOT replicate the
+      // char-class bug that drops every i/c/p-initial line
+      "点击查看更多内容", // 查看更多 not at line start → kept
+      "http://a.cn/1 http://a.cn/2 http://a.cn/3", // raw URLs aren't markdown links → kept
+      "全角（责任编辑：王五）不被去除" // full-width credit: the reference pattern is half-width only → kept
+    ).mkString("\n")
     val cleaned = one(cleanDocument(lit(doc))).toString
     assert(cleaned.contains("真实的正文内容保留在这里"))
-    assert(cleaned.contains("结尾内容"))
-    assert(cleaned.contains("也保留"))
-    assert(!cleaned.contains("责任编辑"))
-    assert(!cleaned.contains("- 3 -"))
-    assert(!cleaned.contains("第 12 页"))
-    assert(!cleaned.contains("Page 3"))
-    assert(!cleaned.contains("Copyright"))
-    assert(!cleaned.contains("点击查看"))
-    assert(!cleaned.contains("http://a.cn/2"))
+    assert(cleaned.contains("结尾内容也保留")) // credit scrubbed, halves joined
+    assert(!cleaned.contains("- 3 -") && !cleaned.contains("第 12 页"))
+    assert(!cleaned.contains("Page 3") && !cleaned.contains("====="))
+    assert(!cleaned.contains("分享到") && !cleaned.contains("版权所有"))
+    assert(!cleaned.contains("[a](u1)") && !cleaned.contains("京ICP备"))
+    assert(cleaned.contains("Copyright 2024 Example Corp"))
+    assert(cleaned.contains("点击查看更多内容"))
+    assert(cleaned.contains("http://a.cn/2"))
+    assert(cleaned.contains("全角（责任编辑：王五）不被去除"))
+  }
+
+  test("cleanDocument: repeated-header removal gates at 20 lines") {
+    def doc(n: Int): String =
+      (0 until n).map(i => if (i % 7 == 0) "页眉 HEADER" else s"正文 $i").mkString("\n")
+    // 28 lines → header appears 4x and is removed everywhere
+    val big = one(cleanDocument(lit(doc(28)))).toString
+    assert(!big.contains("页眉") && big.contains("正文 1"))
+    // 14 lines → under the >= 20 gate, the header stays
+    val small = one(cleanDocument(lit(doc(14)))).toString
+    assert(small.contains("页眉 HEADER"))
+  }
+
+  test("cleanDocument: labeled truncation marker") {
+    val doc = ("很" * 300) + "\n正文"
+    val cleaned = one(cleanDocument(lit(doc), maxChars = 100)).toString
+    assert(cleaned.length == 100 + "\n\n...[文档内容过长，已截断至 100 字符]".length)
+    assert(cleaned.endsWith("...[文档内容过长，已截断至 100 字符]"))
   }
 
   test("truncateWithMarker caps content (O7)") {
