@@ -52,14 +52,17 @@ object Geohash {
     Layout.zOrderKey(latCell(latMilli, bits), lngCell(lngMilli, bits))
   }
 
-  /** Base32 geohash string of [[encodeBits]]. */
-  def encode(latMilli: Column, lngMilli: Column, chars: Int): Column = {
-    val gh = encodeBits(latMilli, lngMilli, chars)
-    array_join(transform(sequence(lit(0), lit(chars - 1)), i => {
-      val digit = pmod(
-        call_function("shiftright", gh, ((lit(chars - 1) - i) * 5).cast("int")),
-        lit(32L))
-      call_function("substr", lit(Alphabet), (digit + 1).cast("int"), lit(1))
-    }), "")
-  }
+  /** Digit alphabet of `conv(x, 10, 32)` / DuckDB `to_base(x, 32)`. */
+  private val Base32Std = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
+
+  /** Base32 geohash string of [[encodeBits]]: ONE `conv` to base-32 and
+    * a `translate` remap onto the geohash alphabet (plus zero-padding).
+    * Deliberately NOT a per-character extraction loop — that inlines the
+    * whole Morton ladder once per character and the blown-up expression
+    * tree falls out of whole-stage codegen (measured 26 s vs sub-second
+    * at 2M rows).
+    */
+  def encode(latMilli: Column, lngMilli: Column, chars: Int): Column =
+    lpad(translate(conv(encodeBits(latMilli, lngMilli, chars),
+      10, 32), Base32Std, Alphabet), chars, "0")
 }

@@ -894,10 +894,10 @@ object WarehouseQueries {
          g AS (SELECT event_id,
              (${spreadSql("latc")} | (${spreadSql("lngc")} << 1)) AS gh
            FROM c),
-         s AS (SELECT event_id, array_to_string(list_transform(range(0, 6),
-             i -> substr('${Geohash.Alphabet}',
-               CAST((gh >> CAST((5 - i) * 5 AS INT)) % 32 AS INT) + 1, 1)), '')
-             AS ghs
+         s AS (SELECT event_id,
+             lpad(translate(to_base(gh, 32),
+               '0123456789ABCDEFGHIJKLMNOPQRSTUV',
+               '${Geohash.Alphabet}'), 6, '0') AS ghs
            FROM g)
          SELECT substr(ghs, 1, 2) AS prefix, COUNT(*) AS n,
            MIN(ghs) AS gh_min, MAX(ghs) AS gh_max
