@@ -850,6 +850,42 @@ object Stress {
       require(rows <= 100 && mass == n, s"bins=$rows mass=$mass")
     }
 
+    // ---- geo radius pairs at n/2 points ---------------------------------
+    // pair set must be IDENTICAL across cell sizes (both >= radius) —
+    // the binning is a pruning detail, never a semantics knob
+    val nGeo = math.max(n / 2, 1000000L)
+    val geoPts = spark.range(nGeo).select(col("id"),
+      (pmod(col("id") * 2654435761L, lit(180001L)) - 90000L).as("lat_m"),
+      (pmod(col("id") * 1103515245L + 12345L, lit(360001L)) - 180000L).as("lng_m"))
+    def geoPairs(bits: Int): org.apache.spark.sql.DataFrame = {
+      val p = geoPts.select(col("id"), col("lat_m"), col("lng_m"),
+        graft.functions.Geohash.latCell(col("lat_m"), bits).as("latc"),
+        graft.functions.Geohash.lngCell(col("lng_m"), bits).as("lngc"))
+      val l = p.select(col("id").as("l_id"), col("lat_m").as("l_lat"),
+          col("lng_m").as("l_lng"),
+          explode(array((for (a <- -1 to 1; b <- -1 to 1) yield
+            struct((col("latc") + a).as("latc"), (col("lngc") + b).as("lngc"))): _*))
+            .as("c"))
+        .select(col("l_id"), col("l_lat"), col("l_lng"),
+          col("c.latc").as("latc"), col("c.lngc").as("lngc"))
+      val r = p.select(col("id").as("r_id"), col("lat_m").as("r_lat"),
+        col("lng_m").as("r_lng"), col("latc"), col("lngc"))
+      l.join(r, Seq("latc", "lngc")).filter(col("l_id") < col("r_id"))
+        .select(col("l_id"), col("r_id"),
+          ((col("l_lat") - col("r_lat")) * (col("l_lat") - col("r_lat")) +
+            (col("l_lng") - col("r_lng")) * (col("l_lng") - col("r_lng")))
+            .as("d2"))
+        .filter(col("d2") <= 100L * 100L)
+    }
+    time(s"geo_radius_${nGeo / 1000000}M_b9") { geoPairs(9).count() }
+    val g9 = geoPairs(9).agg(count(lit(1)), sum(col("d2")))
+      .as[(Long, Long)].head()
+    val g8 = geoPairs(8).agg(count(lit(1)), sum(col("d2")))
+      .as[(Long, Long)].head()
+    require(g9 == g8, s"geo pair set diverged across cell sizes: $g9 vs $g8")
+    println(s"[stress] geo_radius_pairs ${g9._1} identical at 2^9 and 2^8 cells " +
+      s"(${nGeo / 1000000}M points, 100-milli-deg radius)")
+
     // ---- label propagation: 3 rounds at ~2M edges -----------------------
     val lpaV = math.max(n / 10, 1000000L)
     val lpaEdges = spark.range(lpaV).select(col("id").as("src"),
