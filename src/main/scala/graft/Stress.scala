@@ -853,10 +853,14 @@ object Stress {
     // ---- geo radius pairs at n/2 points ---------------------------------
     // pair set must be IDENTICAL across cell sizes (both >= radius) —
     // the binning is a pruning detail, never a semantics knob
+    // avalanche coords (xxhash64), NOT linear-in-id: linear generators
+    // make pair distance a function of (i−j) alone, so whole deltas
+    // qualify or none do — at some sizes that is exactly ZERO pairs
+    // (the q169 synthetic-generator lesson, relearned here)
     val nGeo = math.max(n / 2, 1000000L)
     val geoPts = spark.range(nGeo).select(col("id"),
-      (pmod(col("id") * 2654435761L, lit(180001L)) - 90000L).as("lat_m"),
-      (pmod(col("id") * 1103515245L + 12345L, lit(360001L)) - 180000L).as("lng_m"))
+      (pmod(xxhash64(col("id")), lit(180001L)) - 90000L).as("lat_m"),
+      (pmod(xxhash64(col("id"), lit(7L)), lit(360001L)) - 180000L).as("lng_m"))
     def geoPairs(bits: Int): org.apache.spark.sql.DataFrame = {
       val p = geoPts.select(col("id"), col("lat_m"), col("lng_m"),
         graft.functions.Geohash.latCell(col("lat_m"), bits).as("latc"),
@@ -877,12 +881,16 @@ object Stress {
             .as("d2"))
         .filter(col("d2") <= 100L * 100L)
     }
-    time(s"geo_radius_${nGeo / 1000000}M_b9") { geoPairs(9).count() }
-    val g9 = geoPairs(9).agg(count(lit(1)), sum(col("d2")))
-      .as[(Long, Long)].head()
-    val g8 = geoPairs(8).agg(count(lit(1)), sum(col("d2")))
+    // time the agg that also feeds the invariant — one execution, not two
+    var g9: (Long, Long) = null
+    time(s"geo_radius_${nGeo / 1000000}M_b9", runs = 1) {
+      g9 = geoPairs(9).agg(count(lit(1)), coalesce(sum(col("d2")), lit(0L)))
+        .as[(Long, Long)].head()
+    }
+    val g8 = geoPairs(8).agg(count(lit(1)), coalesce(sum(col("d2")), lit(0L)))
       .as[(Long, Long)].head()
     require(g9 == g8, s"geo pair set diverged across cell sizes: $g9 vs $g8")
+    require(g9._1 > 0, "geo receipt found zero pairs — generator degenerate")
     println(s"[stress] geo_radius_pairs ${g9._1} identical at 2^9 and 2^8 cells " +
       s"(${nGeo / 1000000}M points, 100-milli-deg radius)")
 

@@ -52,8 +52,11 @@ object Geohash {
     Layout.zOrderKey(latCell(latMilli, bits), lngCell(lngMilli, bits))
   }
 
-  /** Digit alphabet of `conv(x, 10, 32)` / DuckDB `to_base(x, 32)`. */
-  private val Base32Std = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
+  /** Digit alphabet of `conv(x, 10, 32)` / DuckDB `to_base(x, 32)` —
+    * shared with the q195 oracle's translate so the two renderings stay
+    * provably in sync.
+    */
+  private[graft] val Base32Std = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
 
   /** Base32 geohash string of [[encodeBits]]: ONE `conv` to base-32 and
     * a `translate` remap onto the geohash alphabet (plus zero-padding).

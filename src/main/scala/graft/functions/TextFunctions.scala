@@ -428,11 +428,30 @@ object TextFunctions {
     "\\[(编辑|查看历史|讨论|阅读|来源|原标题)\\]",
     "^\\*+\\s*\\[.*?\\]\\(.*?\\)",
     "^\\s*(分享到|扫描二维码|返回搜狐|查看更多|责任编辑|记者|通讯员)",
-    "^\\s*(京公网安备|京网文|京ICP备|互联网新闻信息服务许可证|信息网络传播视听节目许可证)")
+    "(?i)^\\s*(京公网安备|京网文|京ICP备|互联网新闻信息服务许可证|信息网络传播视听节目许可证)")
 
   /** DATA:466 `_EDITOR_PATTERN` — half-width paren OR bracket forms. */
   private[graft] val RefEditorRegex =
     "(\\(|\\[)\\s*责任编辑：.*?\\s*(\\)|\\])"
+
+  /** Python `str.strip()`'s whitespace set as LITERAL characters (the
+    * escape syntaxes differ between Java regex and RE2, literal chars
+    * work in both) — `trim` strips ASCII space only and silently keeps
+    * the full-width U+3000 indents ubiquitous in Chinese text.
+    */
+  private[graft] val PyWsChars: String =
+    "\t\n\u000B\f\r \u001C\u001D\u001E\u001F\u0085\u00A0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200A\u2028\u2029\u202F\u205F\u3000"
+  private[graft] val PyStripRegex = s"^[$PyWsChars]+|[$PyWsChars]+$$"
+
+  /** `str.strip()` parity (both regex engines, literal-char class). */
+  private[graft] def pyStrip(c: Column): Column =
+    regexp_replace(c, PyStripRegex, "")
+
+  /** Python `str.splitlines()`'s separator set (\\r\\n first so it
+    * counts as ONE break; note: no U+001F, unlike the strip set).
+    */
+  private[graft] val PySplitLinesRegex =
+    "\r\n|[\n\r\u000B\f\u001C\u001D\u001E\u0085\u2028\u2029]"
 
   /** DATA:468-473 `_PAGE_NUM_PATTERN` (search on the stripped line). */
   private[graft] val RefPageNumRegex =
@@ -465,22 +484,24 @@ object TextFunctions {
     *  4. truncate with the reference's labeled marker.
     */
   def cleanDocument(c: Column, maxChars: Int = 80000): Column = {
-    val rawLines = split(c, "\r\n|\r|\n")
+    // splitlines parity: the full separator set, and NO phantom trailing
+    // line when the text ends with a terminator (Java split keeps the
+    // trailing "" that Python drops — it would flip the >=20-line gate)
+    val rawSplit = split(c, PySplitLinesRegex)
+    val rawLines = when(element_at(rawSplit, -1) === "",
+      slice(rawSplit, lit(1), size(rawSplit) - 1)).otherwise(rawSplit)
     val afterRep = when(size(rawLines) >= 20,
       filter(rawLines, l => {
-        val t = trim(l)
+        val t = pyStrip(l)
         !(t =!= "" && length(t) < 100 &&
-          size(filter(rawLines, x => trim(x) === t)) >= 3)
+          size(filter(rawLines, x => pyStrip(x) === t)) >= 3)
       })).otherwise(rawLines)
     val filtered = filter(afterRep, l =>
-      !trim(l).rlike(RefPageNumRegex) && !isNoisyLineRef(trim(l)))
+      !pyStrip(l).rlike(RefPageNumRegex) && !isNoisyLineRef(pyStrip(l)))
     val scrubbed = filter(
-      transform(filtered, l => trim(regexp_replace(l, RefEditorRegex, ""))),
+      transform(filtered, l => pyStrip(regexp_replace(l, RefEditorRegex, ""))),
       x => x =!= "")
-    val joined = array_join(scrubbed, "\n")
-    when(length(joined) > maxChars,
-      concat(substring(joined, 1, maxChars),
-        lit(s"\n\n...[文档内容过长，已截断至 $maxChars 字符]")))
-      .otherwise(joined)
+    truncateWithMarker(array_join(scrubbed, "\n"), maxChars,
+      s"\n\n...[文档内容过长，已截断至 $maxChars 字符]")
   }
 }

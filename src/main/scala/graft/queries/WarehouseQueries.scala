@@ -840,12 +840,14 @@ object WarehouseQueries {
          GROUP BY e.event_type""",
 
     "q197_clean_document" -> {
-      import graft.functions.TextFunctions.{RefEditorRegex, RefNoisePatterns, RefPageNumRegex}
-      val noisySql = (Seq("trim(line) = ''") ++
-        RefNoisePatterns.map(p => s"regexp_matches(trim(line), '$p')") :+
-        ("(len(regexp_extract_all(trim(line), '\\[.*?\\]\\(.*?\\)')) > 2 AND " +
-          "length(trim(line)) / (len(regexp_extract_all(trim(line), " +
-          "'\\[.*?\\]\\(.*?\\)')) + 1) < 30)")).mkString("(", " OR ", ")")
+      import graft.functions.TextFunctions.{PyStripRegex, RefEditorRegex, RefNoisePatterns, RefPageNumRegex}
+      def strip(e: String) = s"regexp_replace($e, '$PyStripRegex', '', 'g')"
+      val sl = strip("line")
+      val mdLinks = s"len(regexp_extract_all($sl, '\\[.*?\\]\\(.*?\\)'))"
+      val noisySql = (Seq(s"$sl = ''") ++
+        RefNoisePatterns.map(p => s"regexp_matches($sl, '$p')") :+
+        s"($mdLinks > 2 AND length($sl) / ($mdLinks + 1) < 30)")
+        .mkString("(", " OR ", ")")
       s"""WITH t AS (SELECT doc_id, ${AnalyticsQueries.toksSql} AS toks FROM documents),
          ln AS (SELECT doc_id, u.i AS i,
              array_to_string(toks[2*u.i+1:2*u.i+2], ' ') AS line0
@@ -860,18 +862,18 @@ object WarehouseQueries {
                   ELSE line0 END AS line
            FROM ln),
          nl AS (SELECT doc_id, COUNT(*) AS n FROM dec GROUP BY doc_id),
-         cnt AS (SELECT doc_id, trim(line) AS s, COUNT(*) AS c FROM dec
-           WHERE trim(line) <> '' AND length(trim(line)) < 100 GROUP BY 1, 2),
+         cnt AS (SELECT doc_id, ${strip("line")} AS s, COUNT(*) AS c FROM dec
+           WHERE ${strip("line")} <> '' AND length(${strip("line")}) < 100 GROUP BY 1, 2),
          rep AS (SELECT cnt.doc_id, cnt.s FROM cnt JOIN nl USING (doc_id)
            WHERE cnt.c >= 3 AND nl.n >= 20),
          f1 AS (SELECT dec.doc_id, dec.i, dec.line FROM dec
-           LEFT JOIN rep ON dec.doc_id = rep.doc_id AND trim(dec.line) = rep.s
+           LEFT JOIN rep ON dec.doc_id = rep.doc_id AND ${strip("dec.line")} = rep.s
            WHERE rep.s IS NULL),
          f2 AS (SELECT * FROM f1 WHERE
-           NOT regexp_matches(trim(line), '$RefPageNumRegex')
+           NOT regexp_matches(${strip("line")}, '$RefPageNumRegex')
            AND NOT $noisySql),
          f3 AS (SELECT doc_id, i,
-             trim(regexp_replace(line, '$RefEditorRegex', '', 'g')) AS line
+             ${strip(s"regexp_replace(line, '$RefEditorRegex', '', 'g')")} AS line
            FROM f2),
          f4 AS (SELECT * FROM f3 WHERE line <> ''),
          agg AS (SELECT t.doc_id, COALESCE(x.txt, '') AS txt FROM t
@@ -896,7 +898,7 @@ object WarehouseQueries {
            FROM c),
          s AS (SELECT event_id,
              lpad(translate(to_base(gh, 32),
-               '0123456789ABCDEFGHIJKLMNOPQRSTUV',
+               '${Geohash.Base32Std}',
                '${Geohash.Alphabet}'), 6, '0') AS ghs
            FROM g)
          SELECT substr(ghs, 1, 2) AS prefix, COUNT(*) AS n,

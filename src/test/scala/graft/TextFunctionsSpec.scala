@@ -87,6 +87,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(cleaned.contains("全角（责任编辑：王五）不被去除"))
   }
 
+  test("cleanDocument: Python strip/splitlines parity (unicode ws, trailing \\n)") {
+    // full-width-space indents strip like str.strip(); tab-only lines
+    // are blank (dropped); form feeds split lines
+    val doc = "　　正文一\n\t\t\n次行\f页三"
+    val cleaned = one(cleanDocument(lit(doc))).toString
+    assert(cleaned == "正文一\n次行\n页三")
+    // trailing newline must NOT create a phantom 20th line: 19 real
+    // lines + trailing \n keeps the repeated header (gate off)
+    val doc19 = (0 until 19).map(i =>
+      if (i % 7 == 0) "页眉 HEADER" else s"正文 $i").mkString("\n") + "\n"
+    assert(one(cleanDocument(lit(doc19))).toString.contains("页眉 HEADER"))
+    // ...while the same 20 real lines trip the gate
+    val doc20 = (0 until 20).map(i =>
+      if (i % 7 == 0) "页眉 HEADER" else s"正文 $i").mkString("\n")
+    assert(!one(cleanDocument(lit(doc20))).toString.contains("页眉"))
+    // tab-padded headers strip-equal and count together
+    val docTab = (0 until 21).map(i =>
+      if (i % 7 == 0) "\t页眉X" else s"正文 $i").mkString("\n")
+    assert(!one(cleanDocument(lit(docTab))).toString.contains("页眉X"))
+  }
+
+  test("cleanDocument: lowercase icp license lines drop (IGNORECASE parity)") {
+    val cleaned = one(cleanDocument(lit("正文\n京icp备12345号"))).toString
+    assert(cleaned == "正文")
+  }
+
   test("cleanDocument: repeated-header removal gates at 20 lines") {
     def doc(n: Int): String =
       (0 until n).map(i => if (i % 7 == 0) "页眉 HEADER" else s"正文 $i").mkString("\n")
