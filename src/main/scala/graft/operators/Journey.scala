@@ -173,6 +173,45 @@ object Journey {
         count(lit(1)).as("n"))
   }
 
+  /** Per-key one-sided CUSUM changepoint detection in exact integers:
+    * `s' = max(0, s + x − target)`; crossing `threshold` raises an alarm
+    * and restarts the statistic (the standard restart scheme). All state
+    * integer, so alarm counts replay exactly cross-engine — the drift
+    * monitor a training-data ingest runs per source. One shuffle on the
+    * key, (ts, tiebreak)-ordered fold like [[funnel]]/[[ewmaFixed]].
+    *
+    * @return (key, n, n_alarms, final_s)
+    */
+  def cusum(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      value: Column,
+      target: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val evs = events
+      .select(key.as("key"), unix_micros(ts).as("__t"),
+        tiebreak.as("__tb"), value.cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    evs.groupBy(col("key"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("__t"), col("__tb"), col("__x")))),
+          struct(lit(0L).as("alarms"), lit(0L).as("s")),
+          (acc, e) => {
+            val s1 = greatest(lit(0L),
+              acc.getField("s") + e.getField("__x") - target)
+            when(s1 > threshold,
+              struct((acc.getField("alarms") + 1).as("alarms"), lit(0L).as("s")))
+              .otherwise(struct(acc.getField("alarms").as("alarms"), s1.as("s")))
+          }).as("__st"),
+        count(lit(1)).as("n"))
+      .select(col("key"), col("n"),
+        col("__st.alarms").as("n_alarms"), col("__st.s").as("final_s"))
+  }
+
   /** Exact TRUNCATING division as a column op (Column has no
     * integral-div method and `/` is a double, lossy past 2⁵³): subtract
     * the `%` remainder (truncating, sign of the dividend — NOT pmod,

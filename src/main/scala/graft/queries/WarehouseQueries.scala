@@ -425,6 +425,39 @@ object WarehouseQueries {
           TextFunctions.cleanDocument(
             array_join(decorated, "\n"), maxChars = 150).as("text_clean"))
         .withColumn("n_chars", length(col("text_clean")))
+    }),
+
+    // One-sided CUSUM drift monitor per user over value cents — exact
+    // integer statistic with alarm-restart, oracle-replayed fold.
+    "q198_cusum" -> ((s, dir) =>
+      Journey.cusum(ev(s, dir), col("user_id"), col("ts"), col("event_id"),
+          (dec(col("value")) * 100).cast("long"),
+          target = 6000L, threshold = 30000L)
+        .select(col("key").as("user_id"), col("n"),
+          col("n_alarms"), col("final_s"))),
+
+    // Last-touch revenue attribution through the CUSTOM as-of exec
+    // (AsofMergeJoinExec): each purchase attributed to the user's most
+    // recent click within 7 days; revenue rolled up by attribution.
+    "q199_attribution" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), (dec(col("value")) * 100).cast("long").as("cents"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.operators.AsofJoin.backwardMerge(
+          purchases, clicks, Seq("p_user"), Seq("c_user"), "p_ts", "c_ts",
+          rightTiebreak = Some("c_id"))
+        .withColumn("attributed",
+          (col("c_id").isNotNull &&
+            unix_micros(col("p_ts")) - unix_micros(col("c_ts")) <=
+              7L * 86400L * 1000000L).cast("int"))
+        .groupBy(col("attributed"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"),
+          count_distinct(col("p_user")).as("n_users"))
     }))
 
   /** The q193/q194 basket layer: distinct (order, part) memberships. */
@@ -886,6 +919,45 @@ object WarehouseQueries {
            FROM agg)
          SELECT doc_id, text_clean, length(text_clean) AS n_chars FROM fin"""
     },
+
+    "q198_cusum" ->
+      """WITH e AS (SELECT user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           ts, event_id
+         FROM events),
+         g AS (SELECT user_id, COUNT(*) AS n,
+             list([CAST(0 AS BIGINT), x] ORDER BY ts, event_id) AS xs
+           FROM e GROUP BY user_id),
+         f AS (SELECT user_id, n,
+             list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)], xs),
+               (a, e) -> CASE
+                 WHEN GREATEST(0, a[2] + e[2] - 6000) > 30000
+                   THEN [a[1] + 1, CAST(0 AS BIGINT)]
+                 ELSE [a[1], GREATEST(0, a[2] + e[2] - 6000)] END) AS st
+           FROM g)
+         SELECT user_id, CAST(n AS BIGINT) AS n,
+           st[1] AS n_alarms, st[2] AS final_s
+         FROM f""",
+
+    "q199_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS c_ts, event_id AS c_id
+           FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.p_id, c.c_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+               ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+           FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.p_ts),
+         a AS (SELECT p.p_id, p.cents, p.user_id,
+             CAST(CASE WHEN j.c_ts IS NOT NULL AND
+               EPOCH_US(p.p_ts) - EPOCH_US(j.c_ts) <= 604800000000
+               THEN 1 ELSE 0 END AS INT) AS attributed
+           FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (p_id))
+         SELECT attributed, COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           COUNT(DISTINCT user_id) AS n_users
+         FROM a GROUP BY attributed""",
 
     "q195_geohash" ->
       s"""WITH $geoPointsSql,

@@ -153,6 +153,34 @@ class JourneySpec extends AnyFunSuite {
     assert(a == b && a.size == 20)
   }
 
+  test("cusum: accumulate-above-target, alarm-and-restart, scalar parity") {
+    // target 10, threshold 25: xs drift the statistic up, alarm resets
+    val xs = Seq(20L, 20L, 20L, 5L, 30L, 40L, 0L)
+    val evs = xs.zipWithIndex.map { case (x, i) =>
+      (1L, ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, x)
+    }.toDF("u", "t", "id", "x")
+    val got = Journey.cusum(evs, col("u"), col("t"), col("id"), col("x"),
+        target = 10L, threshold = 25L)
+      .select("n", "n_alarms", "final_s").as[(Long, Long, Long)].head()
+    // scalar reference
+    var s = 0L; var alarms = 0L
+    xs.foreach { x =>
+      val s1 = math.max(0L, s + x - 10L)
+      if (s1 > 25L) { alarms += 1; s = 0L } else s = s1
+    }
+    assert(got == ((xs.size.toLong, alarms, s)))
+    assert(alarms >= 2) // the fixture actually alarms more than once
+  }
+
+  test("cusum: below-target stream never alarms, statistic floors at 0") {
+    val evs = (0 until 50).map(i =>
+      (1L, ts(f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00"), i.toLong, 3L))
+      .toDF("u", "t", "id", "x")
+    val got = Journey.cusum(evs, col("u"), col("t"), col("id"), col("x"), 10L, 25L)
+      .select("n_alarms", "final_s").as[(Long, Long)].head()
+    assert(got == ((0L, 0L)))
+  }
+
   test("resampleFfill: gaps filled forward, grid spans min..max hour") {
     val evs = Seq(
       (1L, ts("2024-01-01 10:10:00"), java.math.BigDecimal.valueOf(5)),
