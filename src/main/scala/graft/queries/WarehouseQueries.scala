@@ -436,6 +436,38 @@ object WarehouseQueries {
         .select(col("key").as("user_id"), col("n"),
           col("n_alarms"), col("final_s"))),
 
+    // Kaplan–Meier life table (integer-exact): time-to-conversion with
+    // right-censoring — duration = days from a user's first event to
+    // their first HIGH-VALUE purchase ("event"), or to their last event
+    // when they never convert (right-censored). At each distinct duration: n_risk
+    // (users surviving >= d, via a broadcast triangular join over the
+    // BOUNDED duration table — no single-partition window), n_event,
+    // n_censored. The survival product is float by nature and stays off
+    // the hash surface; the life table — the estimator's whole input —
+    // is exact.
+    "q200_life_table" -> ((s, dir) => {
+      val spans = ev(s, dir).groupBy(col("user_id"))
+        .agg(
+          datediff(
+            coalesce(
+              min(when(col("event_type") === "purchase" &&
+                col("value") >= 150, col("ts"))),
+              max(col("ts"))),
+            min(col("ts"))).as("dur"),
+          max((col("event_type") === "purchase" &&
+            col("value") >= 150).cast("int")).as("event"))
+      val byDur = spans.groupBy(col("dur"))
+        .agg(sum(col("event")).cast("long").as("n_event"),
+          sum(lit(1) - col("event")).cast("long").as("n_censored"),
+          count(lit(1)).as("n_at"))
+      val risk = byDur.select(col("dur"), col("n_at"))
+        .join(broadcast(byDur.select(col("dur").as("d2"), col("n_at").as("c2"))),
+          col("d2") >= col("dur"))
+        .groupBy(col("dur")).agg(sum(col("c2")).as("n_risk"))
+      byDur.join(broadcast(risk), "dur")
+        .select(col("dur"), col("n_risk"), col("n_event"), col("n_censored"))
+    }),
+
     // Last-touch revenue attribution through the CUSTOM as-of exec
     // (AsofMergeJoinExec): each purchase attributed to the user's most
     // recent click within 7 days; revenue rolled up by attribution.
@@ -938,6 +970,23 @@ object WarehouseQueries {
          SELECT user_id, CAST(n AS BIGINT) AS n,
            st[1] AS n_alarms, st[2] AS final_s
          FROM f""",
+
+    "q200_life_table" ->
+      """WITH spans AS (SELECT user_id,
+           DATE_DIFF('day', CAST(MIN(ts) AS DATE),
+             CAST(COALESCE(
+               MIN(CASE WHEN event_type = 'purchase' AND value >= 150 THEN ts END),
+               MAX(ts)) AS DATE)) AS dur,
+           MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS event
+         FROM events GROUP BY user_id),
+         byd AS (SELECT dur, CAST(SUM(event) AS BIGINT) AS n_event,
+             CAST(SUM(1 - event) AS BIGINT) AS n_censored,
+             COUNT(*) AS n_at
+           FROM spans GROUP BY dur),
+         risk AS (SELECT a.dur, CAST(SUM(b.n_at) AS BIGINT) AS n_risk
+           FROM byd a JOIN byd b ON b.dur >= a.dur GROUP BY a.dur)
+         SELECT byd.dur, risk.n_risk, byd.n_event, byd.n_censored
+         FROM byd JOIN risk USING (dur)""",
 
     "q199_attribution" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
