@@ -30,16 +30,22 @@ object Geohash {
     ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
 
   /** Latitude cell at `bits` resolution from milli-degrees in
-    * [-90000, 90000]; the +90° edge clamps into the last cell.
+    * [-90000, 90000]; BOTH edges clamp into the boundary cell. Without
+    * the bottom clamp an out-of-range input yields a negative cell →
+    * negative Morton key → `conv` renders it as unsigned 64-bit and
+    * `lpad` truncates, silently emitting a plausible-looking but wrong
+    * geohash (ADVICE r7).
     */
   def latCell(latMilli: Column, bits: Int): Column =
-    least(fdiv((latMilli + 90000L) * (1L << bits), 180000L),
-      lit((1L << bits) - 1))
+    least(greatest(fdiv((latMilli + 90000L) * (1L << bits), 180000L),
+      lit(0L)), lit((1L << bits) - 1))
 
-  /** Longitude cell from milli-degrees in [-180000, 180000]. */
+  /** Longitude cell from milli-degrees in [-180000, 180000]; both
+    * edges clamp (see [[latCell]]).
+    */
   def lngCell(lngMilli: Column, bits: Int): Column =
-    least(fdiv((lngMilli + 180000L) * (1L << bits), 360000L),
-      lit((1L << bits) - 1))
+    least(greatest(fdiv((lngMilli + 180000L) * (1L << bits), 360000L),
+      lit(0L)), lit((1L << bits) - 1))
 
   /** The 5·c-bit integer geohash (even `chars` only — odd precisions
     * flip the interleave parity; use the next even size and truncate

@@ -16,10 +16,15 @@ object TextFunctions {
 
   // ---- tokenization -------------------------------------------------------
 
-  /** Whitespace tokens of a trimmed string; empty string → empty array. */
+  /** Whitespace tokens of a string; empty/blank string → empty array.
+    * Empty fragments are filtered AFTER the split (not avoided via trim):
+    * Spark's `trim` strips ASCII spaces only, so a string leading with a
+    * tab/newline still yields a leading "" from `split` — the DuckDB
+    * oracle twins filter empties after `string_split_regex`, and this
+    * must count identically on arbitrary whitespace (ADVICE r7).
+    */
   def tokens(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+    filter(split(trim(c), "\\s+"), x => x =!= "")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -70,7 +70,12 @@ object RangeJoin {
     * many-shared-buckets case: a qualifying pair is EMITTED only in the
     * bucket containing the overlap's start `max(s1, s2)` — every
     * overlapping pair meets there exactly once, so no distinct pass and
-    * no pair ever double-counts. Cost scales with interval span /
+    * no pair ever double-counts. Degenerate intervals (`end <= start`,
+    * i.e. empty half-open sets) are dropped from both sides before
+    * binning — they can never have a non-empty intersection, and
+    * without the filter a zero-length interval strictly inside another
+    * would satisfy the strict-inequality predicate and be emitted.
+    * Cost scales with interval span /
     * binWidth per side, never with per-key row count squared (the
     * per-key cartesian a theta join would run).
     */
@@ -87,8 +92,13 @@ object RangeJoin {
     require(clash.isEmpty,
       s"inputs must not carry reserved columns: ${clash.mkString(", ")}")
     val binUs = binWidthSeconds * 1000000L
+    // degenerate intervals (end <= start) are empty half-open sets: a
+    // zero-length interval strictly inside another would still satisfy
+    // s1<e2 && s2<e1, emitting a pair with an EMPTY intersection (and
+    // paying bin fan-out for it) — drop such rows before binning
     def binned(df: DataFrame, s: Column, e: Column, tag: String): DataFrame =
-      df.withColumn(s"__${tag}s_us", unix_micros(s))
+      df.where(unix_micros(e) > unix_micros(s))
+        .withColumn(s"__${tag}s_us", unix_micros(s))
         .withColumn(s"__${tag}e_us", unix_micros(e))
         .withColumn("__bin", explode(sequence(
           expr(s"__${tag}s_us div ${binUs}L"),

@@ -170,43 +170,103 @@ object StreamingOps {
   case class FunnelEv(user_id: Long, tsMicros: Long, stageIdx: Int)
   case class FunnelOut(user_id: Long, depth: Int, anchorMicros: Long)
 
+  /** Per-user funnel state: the chain fold's `reached` vector over all
+    * events proven final (ts < horizon), the max event time seen, and
+    * the deduped raw events still inside the lateness window.
+    */
+  case class FunnelSt(
+      committed: List[Long], maxSeenMicros: Long, raw: List[(Int, Long)])
+
+  /** One step of the Journey.funnel chain fold, verbatim semantics:
+    * strict `>` progression, window measured from the anchor.
+    */
+  private def chainStep(
+      reached: Vector[Long], nStages: Int, windowMicros: Long,
+      si: Int, t: Long): Vector[Long] =
+    if (reached.size < nStages && si == reached.size &&
+        (reached.isEmpty ||
+          (t > reached.last && t <= reached.head + windowMicros)))
+      reached :+ t
+    else reached
+
+  /** Pure per-batch state transition for [[statefulFunnel]] — exposed
+    * for direct spec coverage of the pruning bounds.
+    *
+    * Retention bound: duplicates (same stage, same ts) never survive a
+    * batch (a duplicate is a no-op in the chain fold — after the first
+    * copy is consumed `si == reached.size` fails, so dedup is exact
+    * under ANY arrival order). With a finite `allowedLatenessMicros`,
+    * events older than `maxSeen − lateness` are folded into `committed`
+    * (≤ nStages longs) and dropped: the fold sorts by (ts, stageIdx)
+    * and the lateness contract says no future event sorts before the
+    * horizon, so the fold state over the committed prefix is a
+    * sufficient statistic — state is O(events inside the lateness
+    * window), not O(all history). Once the COMMITTED chain is full the
+    * raw tail is dropped entirely (a full chain consumes nothing more,
+    * and under the contract no late event can revise its prefix).
+    */
+  private[graft] def advanceFunnel(
+      st: FunnelSt, incoming: Seq[(Int, Long)], nStages: Int,
+      windowMicros: Long, allowedLatenessMicros: Long)
+      : (FunnelSt, Option[(Int, Long)]) = {
+    val maxSeen = (st.maxSeenMicros +: incoming.map(_._2)).max
+    val raw = (st.raw ++ incoming).distinct
+    val horizon =
+      if (allowedLatenessMicros == Long.MaxValue) Long.MinValue
+      else {
+        val h = maxSeen - allowedLatenessMicros
+        if (h > maxSeen) Long.MinValue else h // saturate on underflow
+      }
+    val (toCommit, tail) = raw.partition(_._2 < horizon)
+    var committed = st.committed.toVector
+    toCommit.sortBy(x => (x._2, x._1)).foreach { case (si, t) =>
+      committed = chainStep(committed, nStages, windowMicros, si, t)
+    }
+    val keptRaw = if (committed.size == nStages) Nil else tail
+    var cur = committed
+    keptRaw.sortBy(x => (x._2, x._1)).foreach { case (si, t) =>
+      cur = chainStep(cur, nStages, windowMicros, si, t)
+    }
+    (FunnelSt(committed.toList, maxSeen, keptRaw),
+      if (cur.nonEmpty) Some((cur.size, cur.head)) else None)
+  }
+
   /** Incremental funnel progression — the streaming face of
-    * `Journey.funnel`, exact under ANY arrival order: the chained-min
-    * semantics is order-sensitive (a late stage-1 event can shift the
-    * anchor and every later stage), so per-user state keeps that user's
-    * funnel-stage events and the chain recomputes per micro-batch —
-    * the same per-user bound the batch shuffle pays, recomputation cost
-    * k·events(user). Emits the user's current (depth, anchor) whenever
-    * a batch touches the user (Update mode); the LAST emission per user
-    * equals the batch result (StreamingSpec pins it under shuffled
-    * multi-batch arrival).
+    * `Journey.funnel`. The chained-min semantics is order-sensitive (a
+    * late stage-1 event can shift the anchor and every later stage), so
+    * per-user state keeps that user's funnel-stage events and the chain
+    * recomputes per micro-batch. Emits the user's current
+    * (depth, anchor) whenever a batch touches the user (Update mode);
+    * the LAST emission per user equals the batch result (StreamingSpec
+    * pins it under shuffled multi-batch arrival).
+    *
+    * State retention (ADVICE r7): duplicates are always deduped, and
+    * `allowedLatenessMicros` bounds state to the events inside the
+    * lateness window — older events fold into an O(nStages) committed
+    * chain prefix (see [[advanceFunnel]] for the exactness argument).
+    * The default (`Long.MaxValue`) keeps every distinct event, which is
+    * the only exact choice under UNBOUNDED arrival disorder; pass a
+    * finite bound for long-running streams with a watermark-style
+    * lateness contract.
     */
   def statefulFunnel(
-      events: Dataset[FunnelEv], nStages: Int,
-      windowMicros: Long): Dataset[FunnelOut] = {
+      events: Dataset[FunnelEv], nStages: Int, windowMicros: Long,
+      allowedLatenessMicros: Long = Long.MaxValue): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[(Int, Long)], FunnelOut](
+      .flatMapGroupsWithState[FunnelSt, FunnelOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, evs: Iterator[FunnelEv],
-            state: GroupState[List[(Int, Long)]]) =>
-          val all = state.getOption.getOrElse(Nil) ++
-            evs.map(e => (e.stageIdx, e.tsMicros))
-          state.update(all)
-          // the Journey.funnel fold, verbatim semantics: time-sorted,
-          // strict `>` progression, window measured from the anchor
-          val sorted = all.sortBy(x => (x._2, x._1))
-          var reached = Vector.empty[Long]
-          sorted.foreach { case (si, t) =>
-            if (reached.size < nStages && si == reached.size &&
-                (reached.isEmpty ||
-                  (t > reached.last && t <= reached.head + windowMicros)))
-              reached = reached :+ t
+        (user: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelSt]) =>
+          val st0 = state.getOption.getOrElse(
+            FunnelSt(Nil, Long.MinValue, Nil))
+          val (st1, out) = advanceFunnel(
+            st0, evs.map(e => (e.stageIdx, e.tsMicros)).toSeq,
+            nStages, windowMicros, allowedLatenessMicros)
+          state.update(st1)
+          out.iterator.map { case (depth, anchor) =>
+            FunnelOut(user, depth, anchor)
           }
-          if (reached.nonEmpty)
-            Iterator.single(FunnelOut(user, reached.size, reached.head))
-          else Iterator.empty
       }
   }
 

@@ -65,4 +65,24 @@ class GeohashSpec extends AnyFunSuite {
     assert(r.forall { case (la, lo) =>
       la >= 0 && la < 32768 && lo >= 0 && lo < 32768 })
   }
+
+  test("out-of-range coordinates clamp to the boundary cell, not garbage") {
+    // below-bottom inputs used to go NEGATIVE: conv rendered the negative
+    // Morton key as unsigned 64-bit and lpad truncated it to a plausible-
+    // looking but wrong geohash (ADVICE r7) — now both edges clamp
+    val df = Seq(
+      ("under", -95000L, -190000L), ("bottom", -90000L, -180000L),
+      ("over", 95000L, 190000L), ("top", 90000L, 180000L))
+      .toDF("k", "lat", "lng")
+      .select(col("k"),
+        Geohash.latCell(col("lat"), 15).as("la"),
+        Geohash.lngCell(col("lng"), 15).as("lo"),
+        Geohash.encode(col("lat"), col("lng"), 6).as("gh"))
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(df("under") == df("bottom"))
+    assert(df("over") == df("top"))
+    assert(df.values.forall { case (la, lo, gh) =>
+      la >= 0 && la < 32768 && lo >= 0 && lo < 32768 && gh.length == 6 })
+  }
 }

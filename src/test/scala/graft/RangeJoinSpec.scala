@@ -124,4 +124,21 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(RangeJoin.intervalOverlap(l, col("l_u"), col("l_s"), col("l_e"),
       r, col("r_u"), col("r_s"), col("r_e"), 60).count() == 0)
   }
+
+  test("intervalOverlap: degenerate (end <= start) intervals are dropped") {
+    // a zero-length interval strictly inside another satisfies the strict
+    // predicate s1<e2 && s2<e1 despite an EMPTY half-open intersection —
+    // such rows are filtered before binning (ADVICE r7)
+    val l = Seq(
+      ("zero", "u", ts("2024-01-01 10:30:00"), ts("2024-01-01 10:30:00")),
+      ("neg", "u", ts("2024-01-01 10:40:00"), ts("2024-01-01 10:20:00")),
+      ("real", "u", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
+      .toDF("l_id", "l_u", "l_s", "l_e")
+    val r = Seq(("big", "u", ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("r_id", "r_u", "r_s", "r_e")
+    val out = RangeJoin.intervalOverlap(l, col("l_u"), col("l_s"), col("l_e"),
+        r, col("r_u"), col("r_s"), col("r_e"), 60)
+      .select("l_id").as[String].collect().toSet
+    assert(out == Set("real"))
+  }
 }

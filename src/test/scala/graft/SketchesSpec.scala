@@ -124,4 +124,22 @@ class SketchesSpec extends AnyFunSuite {
       .select("estimate").as[Double].head()
     assert(math.abs(est - 12.0) <= 3.0, s"est=$est")
   }
+
+  test("register builders fail fast on reserved input column names") {
+    // same guard discipline as cmEstimates/sentenceChunks (ADVICE r7):
+    // a groupCols frame already carrying an internal/output name would
+    // otherwise break silently or ambiguously
+    val cmBad = Seq(("g", 1L, "x")).toDF("g", "d", "w")
+    assertThrows[IllegalArgumentException] {
+      Sketches.countMinRegisters(cmBad, col("w"), 2, 64, Seq(col("g")))
+    }
+    val hllBad = Seq(("g", 1L, "x")).toDF("g", "bucket", "w")
+    assertThrows[IllegalArgumentException] {
+      Sketches.hllRegisters(hllBad, Seq(col("g")), col("w"), p = 6)
+    }
+    // clean frames with the same shape still pass
+    val ok = Seq(("g", "x")).toDF("g", "w")
+    assert(Sketches.countMinRegisters(ok, col("w"), 2, 64, Seq(col("g"))).count() > 0)
+    assert(Sketches.hllRegisters(ok, Seq(col("g")), col("w"), p = 6).count() > 0)
+  }
 }

@@ -455,6 +455,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("advanceFunnel: bounded lateness prunes state without changing results") {
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.FunnelSt
+    val nStages = 3
+    val winUs = 1000L
+    val lateness = 50L
+    val rnd = new scala.util.Random(7)
+    // a long event stream with disorder bounded by `lateness`, duplicates
+    // included, several complete funnels along the way
+    val ordered = (0 until 400).flatMap { i =>
+      val t = i.toLong * 10
+      val si = i % 4 match { case 0 => 0; case 1 => 1; case 2 => 2; case _ => rnd.nextInt(nStages) }
+      Seq((si, t)) ++ (if (i % 7 == 0) Seq((si, t)) else Nil) // dup
+    }
+    val jittered = ordered.map { case (si, t) => (si, t, t + rnd.nextInt(lateness.toInt)) }
+      .sortBy(_._3).map(e => (e._1, e._2))
+    // reference: the exact full-history fold
+    def fullFold(evs: Seq[(Int, Long)]): Option[(Int, Long)] = {
+      var reached = Vector.empty[Long]
+      evs.sortBy(x => (x._2, x._1)).foreach { case (si, t) =>
+        if (reached.size < nStages && si == reached.size &&
+            (reached.isEmpty || (t > reached.last && t <= reached.head + winUs)))
+          reached = reached :+ t
+      }
+      if (reached.nonEmpty) Some((reached.size, reached.head)) else None
+    }
+    var st = FunnelSt(Nil, Long.MinValue, Nil)
+    var lastOut: Option[(Int, Long)] = None
+    jittered.grouped(23).foreach { batch =>
+      val (st2, out) = StreamingOps.advanceFunnel(st, batch, nStages, winUs, lateness)
+      st = st2
+      out.foreach(o => lastOut = Some(o))
+      // retention bound: committed chain <= nStages; raw holds only
+      // distinct events inside the lateness window of maxSeen (or is
+      // empty once the committed chain is full)
+      assert(st.committed.size <= nStages)
+      assert(st.raw.distinct.size == st.raw.size)
+      if (st.committed.size < nStages)
+        assert(st.raw.forall(_._2 >= st.maxSeenMicros - lateness))
+      else assert(st.raw.isEmpty)
+    }
+    assert(lastOut == fullFold(jittered), s"got $lastOut")
+    // the full chain completed and the raw tail was dropped
+    assert(st.committed.size == nStages && st.raw.isEmpty)
+    // unbounded mode keeps every distinct event and matches too
+    var stAll = FunnelSt(Nil, Long.MinValue, Nil)
+    var lastAll: Option[(Int, Long)] = None
+    jittered.grouped(23).foreach { batch =>
+      val (s2, out) = StreamingOps.advanceFunnel(
+        stAll, batch, nStages, winUs, Long.MaxValue)
+      stAll = s2; out.foreach(o => lastAll = Some(o))
+    }
+    assert(lastAll == fullFold(jittered))
+    assert(stAll.raw.size == jittered.distinct.size)
+  }
+
   // ---- streaming sketches ---------------------------------------------------
   // Registers are sums (count-min) / maxes (HLL) — mergeable by
   // construction — so the SAME batch operators run unchanged as

@@ -180,4 +180,15 @@ class TextFunctionsSpec extends AnyFunSuite {
     // unknown TLD falls back to last two labels (mini-PSL caveat)
     assert(rd("deep.sub.example.dev") == "example.dev")
   }
+
+  test("tokens: no phantom empty token on non-space leading whitespace") {
+    // Spark trim strips ASCII spaces only — a tab/newline-leading string
+    // used to yield a leading "" from split and over-count by one vs the
+    // DuckDB twins, which filter empties (ADVICE r7)
+    val df = Seq("\thello world", "\nhello world", "  hello world",
+      "hello world", "\t", "", "a\t\nb").toDF("t")
+    val counts = df.select(size(tokens(col("t"))).as("n"))
+      .as[Int].collect().toSeq
+    assert(counts == Seq(2, 2, 2, 2, 0, 0, 2))
+  }
 }
