@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   *
   * Prints ONE JSON line: {"metric":"total","value":N,"unit":"sec",
   * "queries":{...},"sf":...}.
+  *
+  * Diagnostics (r7 verdict task 1 — the q86–q93 driver-env inflation):
+  * every query row in BENCH_DETAIL.json carries a `diag` record with the
+  * JVM/OS deltas accumulated across its timed runs — GC time/count, heap
+  * used before/after, PHYSICAL disk reads and major page faults from
+  * /proc/self (a jump here = page-cache eviction, the environmental
+  * hypothesis), plus post-query ContextCleaner queue depth and
+  * shuffle-spill disk usage (a climb here = accumulated-session-state
+  * hypothesis). `SPARK_GRAFT_BENCH_ISOLATE=k` re-runs the suite with a
+  * FRESH SparkSession (new SparkContext) per group of k queries — if
+  * inflation vanishes under isolation it is accumulated JVM state; if it
+  * persists it is the environment.
   */
 object Bench {
 
@@ -51,19 +63,147 @@ object Bench {
     obs.get("n").asInstanceOf[Long]
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  // ---- JVM/OS diagnostics ---------------------------------------------------
+
+  /** (total GC millis, total GC count) across all collector beans. */
+  private def gcStats(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    (beans.map(b => math.max(0L, b.getCollectionTime)).sum,
+      beans.map(b => math.max(0L, b.getCollectionCount)).sum)
+  }
+
+  private def heapUsedMb(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed >> 20
+
+  /** (read_bytes, write_bytes) from /proc/self/io — PHYSICAL disk I/O
+    * actually issued by this process (page-cache hits do not count), the
+    * direct signal for "the environment evicted the parquet page cache".
+    */
+  private def procIo(): (Long, Long) =
+    try {
+      val m = scala.io.Source.fromFile("/proc/self/io").getLines()
+        .map(_.split(":\\s*")).collect { case Array(k, v) => k -> v.toLong }
+        .toMap
+      (m.getOrElse("read_bytes", -1L), m.getOrElse("write_bytes", -1L))
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Major page faults (field 12 of /proc/self/stat) — disk-backed faults,
+    * the second page-cache-pressure signal.
+    */
+  private def majFaults(): Long =
+    try {
+      val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+      // comm (field 2) may contain spaces — split after the closing paren
+      s.substring(s.lastIndexOf(')') + 2).split(" ")(9).toLong
+    } catch { case _: Throwable => -1L }
+
+  /** ContextCleaner reference-buffer depth via reflection (the field is
+    * private[spark]); -1 if the shape ever changes. A queue that climbs
+    * across the suite = broadcast/shuffle artifacts awaiting a GC to be
+    * released — the accumulated-state hypothesis.
+    */
+  private def cleanerQueueDepth(spark: SparkSession): Long =
+    try {
+      val sc = spark.sparkContext
+      val cleaner = classOf[org.apache.spark.SparkContext]
+        .getMethod("cleaner").invoke(sc).asInstanceOf[Option[AnyRef]]
+      cleaner.map { c =>
+        val f = c.getClass.getDeclaredFields
+          .find(_.getName.contains("referenceBuffer")).get
+        f.setAccessible(true)
+        f.get(c) match {
+          case s: java.util.Set[_] => s.size.toLong
+          case m: java.util.Map[_, _] => m.size.toLong
+          case other =>
+            other.getClass.getMethod("size").invoke(other)
+              .asInstanceOf[Number].longValue()
+        }
+      }.getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
+  /** (file count, total MB) under every blockmgr-* dir in the local dirs —
+    * shuffle/spill debris on disk. Diagnostics only; never on a timed path.
+    */
+  private def shuffleDiskUsage(): (Long, Long) = {
+    import java.nio.file._
+    try {
+      val roots = (sys.env.get("SPARK_LOCAL_DIRS").toSeq
+        .flatMap(_.split(",")) :+ System.getProperty("java.io.tmpdir", "/tmp"))
+        .map(Paths.get(_)).filter(Files.isDirectory(_))
+      var files = 0L; var bytes = 0L
+      roots.distinct.foreach { root =>
+        val bms = Files.list(root).iterator()
+        while (bms.hasNext) {
+          val d = bms.next()
+          if (d.getFileName.toString.startsWith("blockmgr-")) {
+            Files.walk(d).iterator().forEachRemaining { p =>
+              if (Files.isRegularFile(p)) { files += 1; bytes += Files.size(p) }
+            }
+          }
+        }
+      }
+      (files, bytes >> 20)
+    } catch { case _: Throwable => (-1L, -1L) }
+  }
+
+  private case class Diag(
+      times: Seq[Double], gcMs: Long, gcN: Long,
+      heapBeforeMb: Long, heapAfterMb: Long,
+      diskReadMb: Long, majFlt: Long,
+      cleanerQueue: Long, shuffleFiles: Long, shuffleMb: Long) {
+    def json: String = {
+      val ts = times.map(t => BigDecimal(t)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP)).mkString("[", ",", "]")
+      s"""{"times":$ts,"gc_ms":$gcMs,"gc_n":$gcN,""" +
+        s""""heap_before_mb":$heapBeforeMb,"heap_after_mb":$heapAfterMb,""" +
+        s""""disk_read_mb":$diskReadMb,"majflt":$majFlt,""" +
+        s""""cleaner_queue":$cleanerQueue,"shuffle_files":$shuffleFiles,""" +
+        s""""shuffle_mb":$shuffleMb}"""
+    }
+  }
+
+  /** Run one query's timed repetitions and collect the JVM/OS deltas
+    * spanning them. The diagnostic reads themselves are microseconds of
+    * proc-file parsing — outside the timed windows, and the disk-walk
+    * runs only after the last rep.
+    */
+  private def timedWithDiag(
+      spark: SparkSession, runs: Int)(body: => Unit): Diag = {
+    val (gc0, gn0) = gcStats()
+    val heap0 = heapUsedMb()
+    val (rd0, _) = procIo()
+    val mf0 = majFaults()
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (gc1, gn1) = gcStats()
+    val (rd1, _) = procIo()
+    val (sf, smb) = shuffleDiskUsage()
+    Diag(times, gc1 - gc0, gn1 - gn0, heap0, heapUsedMb(),
+      if (rd0 < 0 || rd1 < 0) -1 else (rd1 - rd0) >> 20,
+      { val mf1 = majFaults(); if (mf0 < 0 || mf1 < 0) -1 else mf1 - mf0 },
+      cleanerQueueDepth(spark), sf, smb)
+  }
+
+  // ---- harness --------------------------------------------------------------
+
+  private def newSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.builder("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    // Warm the JVM/codegen path once so the first timed query isn't
-    // charged for session bootstrap.
-    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // min of N runs per query (SPARK_GRAFT_BENCH_RUNS, default 2): the
     // first execution of a plan shape carries codegen/JIT warmup that
     // measured 3-10x steady state; min-of-N reports reproducible cost.
@@ -72,10 +212,20 @@ object Bench {
     // the corpus pipeline) — for targeted min-of-N regression confirmation.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // SPARK_GRAFT_BENCH_ISOLATE=k → fresh SparkSession (new SparkContext)
+    // per group of k queries, each warmed untimed before its group.
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
+      .map(_.toInt).filter(_ > 0)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
-    // Cross-query hygiene (untimed, runs BETWEEN queries): a 132-query
+
+    var spark = newSession()
+    // Warm the JVM/codegen path once so the first timed query isn't
+    // charged for session bootstrap.
+    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+
+    // Cross-query hygiene (untimed, runs BETWEEN queries): a 200-query
     // suite in one JVM accumulates state no single query sees — leaked
     // cached/localCheckpoint blocks pin storage memory (evicting the next
     // query's iteration caches), and broadcast/shuffle artifacts only
@@ -96,36 +246,65 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 8) { sinceGc = 0; System.gc() }
     }
-    val results = selected.map { case (name, fn) =>
-      try {
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+
+    val diags = scala.collection.mutable.LinkedHashMap.empty[String, Diag]
+    def runGroup(group: Seq[(String, (SparkSession, String) => DataFrame)])
+        : Seq[(String, Double)] =
+      group.map { case (name, fn) =>
+        try {
+          val d = timedWithDiag(spark, runs) { fn(spark, sfDir).count(): Unit }
+          diags(name) = d
+          interQueryCleanup()
+          name -> d.times.min
+        } catch {
+          case e: Throwable =>
+            // surface failures as -1, never as a plausible timing
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            name -> -1.0
         }
-        interQueryCleanup()
-        name -> times.min
-      } catch {
-        case e: Throwable =>
-          // surface failures as -1, never as a plausible timing
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
       }
+
+    val results: Seq[(String, Double)] = isolate match {
+      case None => runGroup(selected)
+      case Some(k) =>
+        // fresh context per group: stop the current one, build anew, warm
+        // untimed — accumulated broadcast/shuffle/codegen-cache state from
+        // prior groups cannot leak into this group's numbers
+        selected.grouped(k).toSeq.zipWithIndex.flatMap { case (group, gi) =>
+          if (gi > 0 || spark.sparkContext.isStopped) {
+            spark.stop()
+            spark = newSession()
+            SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+          }
+          runGroup(group)
+        }
     }
+
+    if (only.isDefined) {
+      // targeted mode: report just the selected queries, no corpus run
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val dj = diags.map { case (k, d) => "\"" + k + "\":" + d.json }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"only","queries":$qs,"runs":$runs}""")
+      try {
+        val out = sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (s"""{"metric":"only","queries":$qs,"runs":$runs,""" +
+            s""""isolate":${isolate.getOrElse(0)},"diag":$dj}""" + "\n")
+            .getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+      spark.stop()
+      return
+    }
+
     // Same min-of-N methodology as the queries: the corpus plan runs only
     // here, so its first execution carries the full codegen/JIT warmup for
     // the sink path (measured ~7x steady state).
     // Untimed warmup at 1% of the page count: compiles/JITs the whole
     // ingest→KV→filter→sink path (measured ~6-7x one-shot inflation on a
     // cold JVM), so even a single timed run reports steady-state cost.
-    if (only.isDefined) {
-      // targeted mode: report just the selected queries, no corpus run
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      println(s"""{"metric":"only","queries":$qs,"runs":$runs}""")
-      spark.stop()
-      return
-    }
     locally {
       val warmOut = java.nio.file.Files.createTempDirectory("graft_corpus_warm").toString
       val warm = spark.read.format("graft-paged")
@@ -138,13 +317,12 @@ object Bench {
         warm, col("block"), Seq("province_code"), warmOut,
         coalescePartitions = false)
     }
-    val corpusTimes = (1 to runs).map { _ =>
+    val corpusDiag = timedWithDiag(spark, runs) {
       val corpusOut = java.nio.file.Files.createTempDirectory("graft_corpus").toString
-      val t0 = System.nanoTime()
-      corpusPipeline(spark, corpusOut)
-      (System.nanoTime() - t0) / 1e9
+      corpusPipeline(spark, corpusOut): Unit
     }
-    val corpus = ("corpus_62k_pipeline", corpusTimes.min)
+    diags("corpus_62k_pipeline") = corpusDiag
+    val corpus = ("corpus_62k_pipeline", corpusDiag.times.min)
 
     val all = results :+ corpus
     val total = all.map(_._2).filter(_ >= 0).sum
@@ -153,8 +331,12 @@ object Bench {
     // captures a bounded tail of stdout — round 1's 2.1k-char line
     // overflowed its 2000-char buffer and parsed as null).
     val detail = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val dj = diags.map { case (k, d) => "\"" + k + "\":" + d.json }
+      .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,""" +
+        s""""runs":$runs,"isolate":${isolate.getOrElse(0)},""" +
+        s""""diag":$dj,"sf":"$sfDir"}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
