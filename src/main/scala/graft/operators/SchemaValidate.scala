@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Schema-as-contract validation (SURVEY §1.3/§5: the reference pins its
+  * survey payloads to `survey_schema.json`, a JSON-Schema draft-07
+  * document — `dify_workflow_design.md` treats conformance as the gate
+  * into the knowledge base). This operator compiles a draft-07 SUBSET
+  * (`type`, `properties`, `required`, `enum`, `items`, `maxItems` —
+  * everything the reference's schema uses) into a single Spark VARIANT
+  * expression producing an in-band `violations` column: an
+  * alphabetically-sorted array of `kind:dotted.path` strings (`missing:`,
+  * `type:`, `enum:`, `maxItems:`, `items:`). Invalid rows are DATA, not
+  * exceptions — the caller filters/quarantines/aggregates on the column,
+  * so one pass validates 100 TB with zero driver involvement: the schema
+  * is compiled driver-side ONCE (it is a bounded contract file) and the
+  * resulting expression is pure per-row columnar work, no UDFs.
+  *
+  * Semantics notes (both engines verified against probes):
+  * - A key that is ABSENT and a key that is JSON `null` are different:
+  *   absent fails `required`, while `null` passes `required` but fails
+  *   any `type` check (draft-07 has no nullable here).
+  * - `enum` violations only fire on values that already pass the string
+  *   type check — a wrongly-typed value reports `type:`, not both.
+  * - `integer` means a whole-number JSON literal; engines disagree on
+  *   `2.0` (Spark variant reads DECIMAL, DuckDB DOUBLE), so the contract
+  *   is: write integers without a decimal point.
+  *
+  * The DuckDB rendering ([[violationsListSql]]) is generated from the
+  * SAME compiled model, so the oracle twin can never drift from the
+  * Spark semantics by hand-editing.
+  */
+object SchemaValidate {
+
+  /** The draft-07 subset, parsed driver-side. `properties` preserves
+    * declaration order (violation labels are path-sorted later, but
+    * deterministic compile order keeps plans stable).
+    */
+  case class Node(
+      typ: Option[String],
+      required: Seq[String],
+      enumVals: Seq[String],
+      maxItems: Option[Int],
+      properties: Seq[(String, Node)],
+      items: Option[Node])
+
+  /** Parse a draft-07 schema document (Jackson — already on Spark's
+    * classpath; the schema is a small driver-side contract file).
+    */
+  def parseSchema(json: String): Node = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    def walk(n: JsonNode): Node = Node(
+      typ = Option(n.get("type")).map(_.asText),
+      required = Option(n.get("required"))
+        .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil),
+      enumVals = Option(n.get("enum"))
+        .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil),
+      maxItems = Option(n.get("maxItems")).map(_.asInt),
+      // fields() (not properties(), which is an unordered Set): the
+      // underlying ObjectNode iterates in declaration order, which keeps
+      // compile order — and therefore plans and generated SQL — stable
+      properties = Option(n.get("properties"))
+        .map(_.fields.asScala.map(e => e.getKey -> walk(e.getValue)).toSeq)
+        .getOrElse(Nil),
+      items = Option(n.get("items")).map(walk))
+    walk(new ObjectMapper().readTree(json))
+  }
+
+  /** The committed copy of the reference's `survey_schema.json` (the
+    * data contract itself — parity content like the CHINA_REGIONS table;
+    * SchemaValidateSpec pins it byte-identical to the reference file).
+    */
+  lazy val surveySchema: Node = {
+    val in = getClass.getResourceAsStream("/graft/survey_schema.json")
+    require(in != null, "bundled survey_schema.json missing")
+    try parseSchema(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
+  // ---- Spark compilation ----------------------------------------------------
+
+  private def typeOk(nv: Column, typ: String): Column = {
+    val sch = schema_of_variant(nv)
+    typ match {
+      case "string"  => sch === "STRING"
+      case "boolean" => sch === "BOOLEAN"
+      case "integer" => sch === "BIGINT"
+      case "number"  =>
+        sch === "BIGINT" || sch.startsWith("DECIMAL") || sch === "DOUBLE"
+      case "object"  => sch.startsWith("OBJECT")
+      case "array"   => sch.startsWith("ARRAY")
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  /** Recursive per-element check for `items` subschemas: true when the
+    * element violates the item contract (wrong type, enum breach, or —
+    * for object items — a missing/mistyped property, recursively).
+    */
+  private def elemBad(e: Column, node: Node): Column = {
+    val typBad = node.typ.map(t => !typeOk(e, t))
+    val enumBad =
+      if (node.enumVals.nonEmpty)
+        Some(typeOk(e, "string") &&
+          !try_variant_get(e, "$", "string").isin(node.enumVals: _*))
+      else None
+    val propBad = node.properties.flatMap { case (name, child) =>
+      val cv = variant_get(e, s"$$.$name", "variant")
+      val miss =
+        if (node.required.contains(name)) Some(cv.isNull) else None
+      val tb = child.typ.map(t => cv.isNotNull && !typeOk(cv, t))
+      val eb =
+        if (child.enumVals.nonEmpty)
+          Some(cv.isNotNull && typeOk(cv, "string") &&
+            !try_variant_get(e, s"$$.$name", "string").isin(child.enumVals: _*))
+        else None
+      val ib = child.items.map { itemNode =>
+        val arr = try_variant_get(e, s"$$.$name", "array<variant>")
+        cv.isNotNull && typeOk(cv, "array") &&
+          exists(arr, x => elemBad(x, itemNode))
+      }
+      miss ++ tb ++ eb ++ ib
+    }
+    (typBad ++ enumBad ++ propBad)
+      .reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** All (condition, label) pairs for an object node's properties, paths
+    * rooted at `v` (absolute variant paths — no nested re-extraction).
+    */
+  private def compile(
+      v: Column, node: Node, path: String, dp: String): Seq[(Column, String)] =
+    node.properties.flatMap { case (name, child) =>
+      val cPath = s"$path.$name"
+      val cDp = if (dp.isEmpty) name else s"$dp.$name"
+      val cv = variant_get(v, cPath, "variant")
+      val parentIsObject =
+        if (path == "$") typeOk(v, "object")
+        else {
+          val pv = variant_get(v, path, "variant")
+          pv.isNotNull && typeOk(pv, "object")
+        }
+      val missing =
+        if (node.required.contains(name))
+          Seq((parentIsObject && cv.isNull, s"missing:$cDp"))
+        else Nil
+      val typeBad = child.typ.map(t =>
+        (cv.isNotNull && !typeOk(cv, t), s"type:$cDp")).toSeq
+      val enumBad =
+        if (child.enumVals.nonEmpty)
+          Seq((cv.isNotNull && typeOk(cv, "string") &&
+            !try_variant_get(v, cPath, "string").isin(child.enumVals: _*),
+            s"enum:$cDp"))
+        else Nil
+      val arr = try_variant_get(v, cPath, "array<variant>")
+      val maxBad = child.maxItems.map(k =>
+        (cv.isNotNull && typeOk(cv, "array") && size(arr) > k,
+          s"maxItems:$cDp")).toSeq
+      val itemsBad = child.items.map(itemNode =>
+        (cv.isNotNull && typeOk(cv, "array") &&
+          exists(arr, e => elemBad(e, itemNode)), s"items:$cDp")).toSeq
+      missing ++ typeBad ++ enumBad ++ maxBad ++ itemsBad ++
+        compile(v, child, cPath, cDp)
+    }
+
+  /** Sorted violation array for a VARIANT column against a schema. */
+  def violationsArray(v: Column, schema: Node): Column = {
+    val checks = compile(v, schema, "$", "")
+    if (checks.isEmpty) array().cast("array<string>")
+    else array_sort(filter(
+      array(checks.map { case (c, l) => when(c, lit(l)) }: _*),
+      x => x.isNotNull))
+  }
+
+  /** Validate a JSON-string column: original columns + the in-band
+    * violation array + `is_valid`.
+    */
+  def validate(
+      df: DataFrame, jsonCol: Column, schema: Node,
+      out: String = "violations"): DataFrame = {
+    require(!df.columns.contains(out) && !df.columns.contains("is_valid"),
+      s"input must not already carry $out/is_valid")
+    df.withColumn(out, violationsArray(parse_json(jsonCol), schema))
+      .withColumn("is_valid", size(col(out)) === 0)
+  }
+
+  // ---- DuckDB rendering (oracle twin, generated from the same model) --------
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def typeOkSql(jt: String, typ: String): String = typ match {
+    case "string"  => s"$jt = 'VARCHAR'"
+    case "boolean" => s"$jt = 'BOOLEAN'"
+    case "integer" => s"$jt IN ('BIGINT','UBIGINT')"
+    case "number"  => s"$jt IN ('BIGINT','UBIGINT','DOUBLE')"
+    case "object"  => s"$jt = 'OBJECT'"
+    case "array"   => s"$jt = 'ARRAY'"
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  /** Element-level predicate over a JSON value `x` (see [[elemBad]]). */
+  private def elemBadSql(x: String, node: Node, depth: Int): String = {
+    val typBad = node.typ.map(t => s"NOT (${typeOkSql(s"json_type($x)", t)})")
+    val enumBad =
+      if (node.enumVals.nonEmpty)
+        Some(s"(json_type($x) = 'VARCHAR' AND json_extract_string($x, '$$') " +
+          s"NOT IN (${node.enumVals.map(sq).mkString(", ")}))")
+      else None
+    val propBad = node.properties.flatMap { case (name, child) =>
+      val jt = s"json_type($x, '$$.$name')"
+      val miss =
+        if (node.required.contains(name)) Some(s"$jt IS NULL") else None
+      val tb = child.typ.map(t =>
+        s"($jt IS NOT NULL AND NOT (${typeOkSql(jt, t)}))")
+      val eb =
+        if (child.enumVals.nonEmpty)
+          Some(s"($jt = 'VARCHAR' AND json_extract_string($x, '$$.$name') " +
+            s"NOT IN (${child.enumVals.map(sq).mkString(", ")}))")
+        else None
+      val ib = child.items.map { itemNode =>
+        val y = s"y$depth"
+        s"($jt = 'ARRAY' AND len(list_filter(" +
+          s"CAST($x->'$$.$name' AS JSON[]), " +
+          s"$y -> ${elemBadSql(y, itemNode, depth + 1)})) > 0)"
+      }
+      miss ++ tb ++ eb ++ ib
+    }
+    val all = (typBad ++ enumBad ++ propBad).toSeq
+    if (all.isEmpty) "FALSE" else all.mkString("(", " OR ", ")")
+  }
+
+  private def compileSql(
+      j: String, node: Node, path: String, dp: String): Seq[(String, String)] =
+    node.properties.flatMap { case (name, child) =>
+      val cPath = s"$path.$name"
+      val cDp = if (dp.isEmpty) name else s"$dp.$name"
+      val jt = s"json_type($j, '$cPath')"
+      val parentIsObject =
+        if (path == "$") s"json_type($j) = 'OBJECT'"
+        else s"json_type($j, '$path') = 'OBJECT'"
+      val missing =
+        if (node.required.contains(name))
+          Seq((s"($parentIsObject AND $jt IS NULL)", s"missing:$cDp"))
+        else Nil
+      val typeBad = child.typ.map(t =>
+        (s"($jt IS NOT NULL AND NOT (${typeOkSql(jt, t)}))", s"type:$cDp")).toSeq
+      val enumBad =
+        if (child.enumVals.nonEmpty)
+          Seq((s"($jt = 'VARCHAR' AND json_extract_string($j, '$cPath') " +
+            s"NOT IN (${child.enumVals.map(sq).mkString(", ")}))",
+            s"enum:$cDp"))
+        else Nil
+      val maxBad = child.maxItems.map(k =>
+        (s"($jt = 'ARRAY' AND json_array_length($j, '$cPath') > $k)",
+          s"maxItems:$cDp")).toSeq
+      val itemsBad = child.items.map(itemNode =>
+        (s"($jt = 'ARRAY' AND len(list_filter(" +
+          s"CAST($j->'$cPath' AS JSON[]), " +
+          s"x0 -> ${elemBadSql("x0", itemNode, 1)})) > 0)",
+          s"items:$cDp")).toSeq
+      missing ++ typeBad ++ enumBad ++ maxBad ++ itemsBad ++
+        compileSql(j, child, cPath, cDp)
+    }
+
+  /** DuckDB expression: the same sorted violation list over a JSON
+    * expression `j` (e.g. a column already CAST to JSON).
+    */
+  def violationsListSql(j: String, schema: Node): String = {
+    val checks = compileSql(j, schema, "$", "")
+    if (checks.isEmpty) "CAST([] AS VARCHAR[])"
+    else checks
+      .map { case (c, l) => s"CASE WHEN $c THEN ${sq(l)} END" }
+      .mkString("list_sort(list_filter([", ", ", "], v -> v IS NOT NULL))")
+  }
+}

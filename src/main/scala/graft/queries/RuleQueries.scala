@@ -32,6 +32,68 @@ object RuleQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Schema-as-contract (SURVEY §1.3/§5, survey_schema.json:1-60): the
+    // reference's draft-07 survey schema compiled to ONE variant
+    // expression; deliberately-dirtied records (7 modes: valid, enum
+    // breach, missing required, int-as-string, bool-as-string + json
+    // null, items-enum breach, maxItems breach) flow through and come
+    // out with in-band violation arrays — invalid rows are data, not
+    // exceptions. The DuckDB twin is GENERATED from the same compiled
+    // model (SchemaValidate.violationsListSql), so both sides replay
+    // the identical check set.
+    "q201_schema_validate" -> ((s, dir) => {
+      import graft.operators.SchemaValidate
+      val k = col("c_custkey")
+      val mode = pmod(k, lit(7))
+      val subj = element_at(
+        typedLit(Seq("公办", "民办", "公办民营/民办公助")),
+        (pmod(k, lit(3)) + 1).cast("int"))
+      val edu = element_at(
+        typedLit(Seq("中职/高中", "高职专科", "高职本科", "普通本科", "硕士")),
+        (pmod(k, lit(5)) + 1).cast("int"))
+      val cap = (lit(20) + pmod(k, lit(30))).cast("string")
+      val json = concat(
+        lit("{\"institution_info\":{"),
+        when(mode === 2, lit(""))
+          .otherwise(concat(lit("\"name\":\""), col("c_name"), lit("\","))),
+        lit("\"city\":\"city"), pmod(k, lit(10)).cast("string"), lit("\","),
+        lit("\"subject_type\":\""),
+        when(mode === 1, lit("私立")).otherwise(subj), lit("\","),
+        lit("\"specific_form\":\"独立托育机构\","),
+        lit("\"is_puhui\":"),
+        when(mode === 4, lit("\"yes\""))
+          .otherwise(when(pmod(k, lit(2)) === 0, lit("true")).otherwise(lit("false"))),
+        lit(","),
+        lit("\"service_modes\":[\"全日托\",\""),
+        when(mode === 5, lit("夜托")).otherwise(lit("计时托")), lit("\"],"),
+        lit("\"total_capacity\":"),
+        when(mode === 3, concat(lit("\""), cap, lit("\""))).otherwise(cap), lit(","),
+        lit("\"current_enrollment\":"), pmod(k, lit(50)).cast("string"), lit(","),
+        lit("\"staff_count\":"), pmod(k, lit(20)).cast("string"),
+        lit("},\"personal_info\":{"),
+        lit("\"gender\":\""),
+        when(pmod(k, lit(2)) === 0, lit("男")).otherwise(lit("女")), lit("\","),
+        lit("\"education\":\""), edu, lit("\","),
+        lit("\"major\":"),
+        when(mode === 4, lit("null")).otherwise(lit("\"护理\"")),
+        lit("},\"employment_info\":{"),
+        lit("\"current_position\":\"保育员\","),
+        lit("\"job_change_interval\":\"1-3年\","),
+        lit("\"salary_range\":\"3k-5k\","),
+        lit("\"is_kindergarten_transition\":"),
+        when(pmod(k, lit(2)) === 1, lit("true")).otherwise(lit("false")), lit(","),
+        lit("\"job_change_reasons\":[\"薪资\",\"通勤\""),
+        when(mode === 6, lit(",\"发展\",\"家庭\"")).otherwise(lit("")), lit("]"),
+        lit("}}"))
+      val rec = Tables.load(s, dir, "customer")
+        .select(k.as("id"), mode.as("mode"), json.as("j"))
+      SchemaValidate.validate(rec, col("j"), SchemaValidate.surveySchema)
+        .select(col("id"), col("mode"),
+          size(col("violations")).as("n_viol"),
+          array_join(col("violations"), "|").as("viol"),
+          col("is_valid"))
+    }),
+
     // P7/X6: education normalization over synthesized degree strings.
     "q52_education_normalize" -> ((s, dir) => {
       val raw = element_at(
@@ -104,6 +166,55 @@ object RuleQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q201_schema_validate" -> {
+      // the violation list is GENERATED from the same compiled schema
+      // model the Spark side uses — the twin cannot drift by hand-editing
+      val viol = graft.operators.SchemaValidate.violationsListSql(
+        "j", graft.operators.SchemaValidate.surveySchema)
+      s"""WITH rec AS (SELECT c_custkey AS id, c_custkey % 7 AS mode,
+           CAST('{"institution_info":{' ||
+             CASE WHEN c_custkey % 7 = 2 THEN ''
+                  ELSE '"name":"' || c_name || '",' END ||
+             '"city":"city' || CAST(c_custkey % 10 AS VARCHAR) || '",' ||
+             '"subject_type":"' ||
+               CASE WHEN c_custkey % 7 = 1 THEN '私立'
+                    ELSE (['公办','民办','公办民营/民办公助'])[(c_custkey % 3) + 1] END
+               || '",' ||
+             '"specific_form":"独立托育机构",' ||
+             '"is_puhui":' ||
+               CASE WHEN c_custkey % 7 = 4 THEN '"yes"'
+                    WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END || ',' ||
+             '"service_modes":["全日托","' ||
+               CASE WHEN c_custkey % 7 = 5 THEN '夜托' ELSE '计时托' END || '"],' ||
+             '"total_capacity":' ||
+               CASE WHEN c_custkey % 7 = 3
+                    THEN '"' || CAST(20 + c_custkey % 30 AS VARCHAR) || '"'
+                    ELSE CAST(20 + c_custkey % 30 AS VARCHAR) END || ',' ||
+             '"current_enrollment":' || CAST(c_custkey % 50 AS VARCHAR) || ',' ||
+             '"staff_count":' || CAST(c_custkey % 20 AS VARCHAR) ||
+             '},"personal_info":{' ||
+             '"gender":"' || CASE WHEN c_custkey % 2 = 0 THEN '男' ELSE '女' END || '",' ||
+             '"education":"' ||
+               (['中职/高中','高职专科','高职本科','普通本科','硕士'])[(c_custkey % 5) + 1]
+               || '",' ||
+             '"major":' ||
+               CASE WHEN c_custkey % 7 = 4 THEN 'null' ELSE '"护理"' END ||
+             '},"employment_info":{' ||
+             '"current_position":"保育员",' ||
+             '"job_change_interval":"1-3年",' ||
+             '"salary_range":"3k-5k",' ||
+             '"is_kindergarten_transition":' ||
+               CASE WHEN c_custkey % 2 = 1 THEN 'true' ELSE 'false' END || ',' ||
+             '"job_change_reasons":["薪资","通勤"' ||
+               CASE WHEN c_custkey % 7 = 6 THEN ',"发展","家庭"' ELSE '' END || ']' ||
+             '}}' AS JSON) AS j
+         FROM customer),
+         v AS (SELECT id, mode, $viol AS viols FROM rec)
+         SELECT id, mode, CAST(len(viols) AS INTEGER) AS n_viol,
+           COALESCE(array_to_string(viols, '|'), '') AS viol,
+           len(viols) = 0 AS is_valid
+         FROM v"""
+    },
     "q52_education_normalize" ->
       """WITH m AS (SELECT c_custkey,
            (['本科','本科(全日制)','硕士研究生','专科学历','博士','其他','高中毕业'])[(c_custkey % 7) + 1] AS edu_raw
