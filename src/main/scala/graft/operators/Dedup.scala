@@ -651,7 +651,28 @@ object Dedup {
     */
   def flaggedLineHashes(
       df: DataFrame, idCol: Column, linesCol: Column, minDocs: Int,
-      hash64: Boolean = false): Array[Long] = {
+      hash64: Boolean = false, maxFlagged: Int = 10000000): Array[Long] = {
+    val rows = flaggedLineFrame(df, idCol, linesCol, minDocs, hash64)
+      .limit(maxFlagged + 1)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    // fail LOUD at the boundary instead of silently collecting an
+    // arbitrarily large head onto the driver (r7 advisory): beyond the
+    // broadcast bound the join form is the correct plan, not a bigger
+    // driver array
+    require(rows.length <= maxFlagged,
+      s"flagged head exceeds maxFlagged=$maxFlagged lines — use " +
+        "applyFlaggedLineFilterJoin / applyBoilerplateFilterAuto (the " +
+        "beyond-broadcast path) or raise minDocs")
+    rows.sorted
+  }
+
+  /** The flagged head as a one-column (`__h` LongType) DataFrame — the
+    * shared computation behind [[flaggedLineHashes]] (collected form) and
+    * [[applyFlaggedLineFilterJoin]]'s build side (distributed form).
+    */
+  def flaggedLineFrame(
+      df: DataFrame, idCol: Column, linesCol: Column, minDocs: Int,
+      hash64: Boolean = false): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2")
     val spark = df.sparkSession
     df.select(idCol.as("__id"), explode(linesCol).as("__line"))
@@ -661,8 +682,33 @@ object Dedup {
       .distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col("__h")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .collect().sorted
+      .select(col("__h"))
+  }
+
+  /** Boilerplate-line scrub with AUTOMATIC broadcast→join failover (r7
+    * advisory: the API used to make the caller choose, and a caller
+    * picking the collected form on an open-web corpus was the one
+    * remaining driver-state foot-gun). Measures the flagged head with a
+    * `limit(maxBroadcast+1)` probe — never collecting more than the
+    * bound — then:
+    *   - head ≤ maxBroadcast: the compiled-expression path
+    *     ([[applyFlaggedLineFilter]]): narrow projection, zero extra
+    *     shuffles, the strictly-cheaper plan;
+    *   - head >  maxBroadcast: the stream-static join path
+    *     ([[applyFlaggedLineFilterJoin]]): no driver state at any scale.
+    * Outputs are row-identical on both sides of the boundary (spec-pinned).
+    */
+  def applyBoilerplateFilterAuto(
+      df: DataFrame, idCol: Column, linesCol: Column, minDocs: Int,
+      maxBroadcast: Int = 10000000, hash64: Boolean = false): DataFrame = {
+    require(maxBroadcast >= 0, s"maxBroadcast must be >= 0: $maxBroadcast")
+    val head = flaggedLineFrame(df, idCol, linesCol, minDocs, hash64)
+    val probe = head.limit(maxBroadcast + 1)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    if (probe.length <= maxBroadcast)
+      applyFlaggedLineFilter(df, idCol, linesCol, probe.sorted, hash64)
+    else
+      applyFlaggedLineFilterJoin(df, idCol, linesCol, head, hash64)
   }
 
   /** Apply a pre-computed flagged-line set as a narrow projection — the

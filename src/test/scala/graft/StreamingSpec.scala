@@ -333,6 +333,40 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Int, Long, String)].collect().toSet == exprForm)
   }
 
+  test("applyBoilerplateFilterAuto: identical output on both sides of the failover boundary") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq("COOKIE BANNER", "real content zero", "TERMS FOOTER")),
+      (1L, Seq("COOKIE BANNER", "real content one", "TERMS FOOTER")),
+      (2L, Seq("COOKIE BANNER", "real content two")),
+      (3L, Seq("COOKIE BANNER", "TERMS FOOTER")),
+      (4L, Seq.empty[String]),
+      (5L, Seq("real content five", null))
+    ).toDF("doc_id", "lines")
+    // flagged head here = 2 hashes (banner + footer at minDocs=3)
+    val expected = graft.operators.Dedup.applyFlaggedLineFilter(
+        corpus, col("doc_id"), col("lines"),
+        graft.operators.Dedup.flaggedLineHashes(
+          corpus, col("doc_id"), col("lines"), minDocs = 3))
+      .as[(Long, Int, Long, String)].collect().toSet
+    // maxBroadcast=2: head fits exactly -> expression path
+    val under = graft.operators.Dedup.applyBoilerplateFilterAuto(
+        corpus, col("doc_id"), col("lines"), minDocs = 3, maxBroadcast = 2)
+      .as[(Long, Int, Long, String)].collect().toSet
+    // maxBroadcast=1: head overflows -> join path, same rows
+    val over = graft.operators.Dedup.applyBoilerplateFilterAuto(
+        corpus, col("doc_id"), col("lines"), minDocs = 3, maxBroadcast = 1)
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(under == expected && over == expected)
+    // the guarded collected form fails LOUD past its bound instead of
+    // silently pulling the head onto the driver (r7 advisory)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.flaggedLineHashes(
+        corpus, col("doc_id"), col("lines"), minDocs = 3, maxFlagged = 1)
+    }
+    assert(e.getMessage.contains("applyFlaggedLineFilterJoin"))
+  }
+
   test("applyFlaggedLineFilterJoin batch == real-doc expression form, and streams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
