@@ -64,11 +64,24 @@ object QualityClassifier {
     val spark = df.sparkSession
     val n = TextFunctions.tokenCount(textCol)
     val sums = weightSum(spark, textCol, dim, weightsPerMille)
-    val logit = sums.cast("double") / (n * 1000.0)
+    val logitRaw = sums.cast("double") / (n * 1000.0)
+    // 6-dp rounding in EXACT integer micro-units, half away from zero:
+    // round() on the double quotient hits representation boundaries
+    // where engines disagree by 1e-6 (found by the sf0.1 oracle sweep —
+    // logit = sumw/(1000n) landing on a .5 micro-boundary). With
+    // a = sumw·1000, b = n: micro = sign(a)·⌊(2|a| + b) / 2b⌋, then
+    // micro/1e6 is the same double everywhere. The keep gate compares
+    // the UNROUNDED quotient (identical IEEE division both engines).
+    def fdiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)).cast("decimal(38,0)") / y).cast("long")
+    val a = sums * 1000L
+    val b = n.cast("long")
+    val microAbs = fdiv(abs(a) * 2L + b, b * 2L)
+    val micro = when(a < 0, -microAbs).otherwise(microAbs)
     df.select(
       idCol.as("id"),
       n.as("n_tokens"),
-      when(n > 0, round(logit, 6)).as("logit"),
-      when(n > 0 && logit > threshold, 1).otherwise(0).as("keep"))
+      when(n > 0, micro.cast("double") / 1000000.0).as("logit"),
+      when(n > 0 && logitRaw > threshold, 1).otherwise(0).as("keep"))
   }
 }

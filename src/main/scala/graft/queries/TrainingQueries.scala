@@ -419,8 +419,13 @@ object TrainingQueries {
                  * 2654435761) % 2147483647 % 2001 - 1000)) AS sumw
            FROM t)
          SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-           CASE WHEN n_tokens > 0
-             THEN ROUND(CAST(sumw AS DOUBLE) / (n_tokens * 1000.0), 6)
+           -- exact integer micro-unit rounding, half away from zero: ROUND
+           -- on the double quotient diverges at representation boundaries
+           -- (sf0.1 sweep); // floors for the non-negative operands here
+           CASE WHEN n_tokens > 0 THEN
+             CAST((CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(sumw) * 1000 + n_tokens) // (2 * n_tokens))
+               AS DOUBLE) / 1000000.0
            END AS logit,
            CAST(CASE WHEN n_tokens > 0 AND sumw > 0 THEN 1 ELSE 0 END
              AS INT) AS keep
