@@ -135,12 +135,16 @@ object Bench {
         .map(Paths.get(_)).filter(Files.isDirectory(_))
       var files = 0L; var bytes = 0L
       roots.distinct.foreach { root =>
-        val bms = Files.list(root).iterator()
-        while (bms.hasNext) {
-          val d = bms.next()
-          if (d.getFileName.toString.startsWith("blockmgr-")) {
-            Files.walk(d).iterator().forEachRemaining { p =>
-              if (Files.isRegularFile(p)) { files += 1; bytes += Files.size(p) }
+        // close the directory streams — this runs after every query, and
+        // each unclosed list/walk holds an open directory fd until GC
+        scala.util.Using.resource(Files.list(root)) { ls =>
+          ls.iterator().forEachRemaining { d =>
+            if (d.getFileName.toString.startsWith("blockmgr-")) {
+              scala.util.Using.resource(Files.walk(d)) { w =>
+                w.iterator().forEachRemaining { p =>
+                  if (Files.isRegularFile(p)) { files += 1; bytes += Files.size(p) }
+                }
+              }
             }
           }
         }
@@ -288,8 +292,10 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"only","queries":$qs,"runs":$runs}""")
       try {
+        // targeted runs must NOT clobber the committed full-suite
+        // BENCH_DETAIL.json with a partial "only" payload
         val out = sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+          "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_only.json")
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           (s"""{"metric":"only","queries":$qs,"runs":$runs,""" +
             s""""isolate":${isolate.getOrElse(0)},"diag":$dj}""" + "\n")

@@ -702,11 +702,18 @@ object Dedup {
       df: DataFrame, idCol: Column, linesCol: Column, minDocs: Int,
       maxBroadcast: Int = 10000000, hash64: Boolean = false): DataFrame = {
     require(maxBroadcast >= 0, s"maxBroadcast must be >= 0: $maxBroadcast")
+    // localCheckpoint: the head aggregation (a full corpus pass) runs
+    // exactly ONCE — the probe materializes it, and whichever branch wins
+    // reads the checkpoint instead of recomputing. The probe itself is a
+    // bounded COUNT, so the overflow path never ships the oversized head
+    // to the driver just to learn it is oversized.
     val head = flaggedLineFrame(df, idCol, linesCol, minDocs, hash64)
-    val probe = head.limit(maxBroadcast + 1)
-      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
-    if (probe.length <= maxBroadcast)
-      applyFlaggedLineFilter(df, idCol, linesCol, probe.sorted, hash64)
+      .localCheckpoint()
+    val n = head.limit(maxBroadcast + 1).count()
+    if (n <= maxBroadcast)
+      applyFlaggedLineFilter(df, idCol, linesCol,
+        head.as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted, hash64)
     else
       applyFlaggedLineFilterJoin(df, idCol, linesCol, head, hash64)
   }

@@ -106,6 +106,8 @@ object SchemaValidate {
         Some(typeOk(e, "string") &&
           !try_variant_get(e, "$", "string").isin(node.enumVals: _*))
       else None
+    val selfMax = node.maxItems.map(k => typeOk(e, "array") &&
+      size(try_variant_get(e, "$", "array<variant>")) > k)
     val propBad = node.properties.flatMap { case (name, child) =>
       val cv = variant_get(e, s"$$.$name", "variant")
       val miss =
@@ -116,14 +118,16 @@ object SchemaValidate {
           Some(cv.isNotNull && typeOk(cv, "string") &&
             !try_variant_get(e, s"$$.$name", "string").isin(child.enumVals: _*))
         else None
+      val arr = try_variant_get(e, s"$$.$name", "array<variant>")
+      val mb = child.maxItems.map(k =>
+        cv.isNotNull && typeOk(cv, "array") && size(arr) > k)
       val ib = child.items.map { itemNode =>
-        val arr = try_variant_get(e, s"$$.$name", "array<variant>")
         cv.isNotNull && typeOk(cv, "array") &&
           exists(arr, x => elemBad(x, itemNode))
       }
-      miss ++ tb ++ eb ++ ib
+      miss ++ tb ++ eb ++ mb ++ ib
     }
-    (typBad ++ enumBad ++ propBad)
+    (typBad ++ enumBad ++ selfMax ++ propBad)
       .reduceOption(_ || _).getOrElse(lit(false))
   }
 
@@ -165,9 +169,16 @@ object SchemaValidate {
         compile(v, child, cPath, cDp)
     }
 
-  /** Sorted violation array for a VARIANT column against a schema. */
+  /** Sorted violation array for a VARIANT column against a schema.
+    * Includes the ROOT type check (`type:$` for e.g. a JSON array or
+    * null where the schema demands an object) — without it every
+    * property check is gated off by the parent-is-object guard and a
+    * non-object payload would validate clean.
+    */
   def violationsArray(v: Column, schema: Node): Column = {
-    val checks = compile(v, schema, "$", "")
+    val rootCheck = schema.typ.map(t =>
+      (v.isNotNull && !typeOk(v, t), "type:$")).toSeq
+    val checks = rootCheck ++ compile(v, schema, "$", "")
     if (checks.isEmpty) array().cast("array<string>")
     else array_sort(filter(
       array(checks.map { case (c, l) => when(c, lit(l)) }: _*),
@@ -175,14 +186,21 @@ object SchemaValidate {
   }
 
   /** Validate a JSON-string column: original columns + the in-band
-    * violation array + `is_valid`.
+    * violation array + `is_valid`. Malformed (or SQL-null) payloads are
+    * DATA too — they come back as `violations = [malformed:$]`, never as
+    * a job failure (try_parse_json; a strict parse would kill a 100 TB
+    * quarantine scan on its first garbled row, the exact case this
+    * operator exists for).
     */
   def validate(
       df: DataFrame, jsonCol: Column, schema: Node,
       out: String = "violations"): DataFrame = {
     require(!df.columns.contains(out) && !df.columns.contains("is_valid"),
       s"input must not already carry $out/is_valid")
-    df.withColumn(out, violationsArray(parse_json(jsonCol), schema))
+    val v = try_parse_json(jsonCol)
+    df.withColumn(out,
+        when(v.isNull, array(lit("malformed:$")))
+          .otherwise(violationsArray(v, schema)))
       .withColumn("is_valid", size(col(out)) === 0)
   }
 
@@ -208,6 +226,8 @@ object SchemaValidate {
         Some(s"(json_type($x) = 'VARCHAR' AND json_extract_string($x, '$$') " +
           s"NOT IN (${node.enumVals.map(sq).mkString(", ")}))")
       else None
+    val selfMax = node.maxItems.map(k =>
+      s"(json_type($x) = 'ARRAY' AND json_array_length($x) > $k)")
     val propBad = node.properties.flatMap { case (name, child) =>
       val jt = s"json_type($x, '$$.$name')"
       val miss =
@@ -219,15 +239,17 @@ object SchemaValidate {
           Some(s"($jt = 'VARCHAR' AND json_extract_string($x, '$$.$name') " +
             s"NOT IN (${child.enumVals.map(sq).mkString(", ")}))")
         else None
+      val mb = child.maxItems.map(k =>
+        s"($jt = 'ARRAY' AND json_array_length($x, '$$.$name') > $k)")
       val ib = child.items.map { itemNode =>
         val y = s"y$depth"
         s"($jt = 'ARRAY' AND len(list_filter(" +
           s"CAST($x->'$$.$name' AS JSON[]), " +
           s"$y -> ${elemBadSql(y, itemNode, depth + 1)})) > 0)"
       }
-      miss ++ tb ++ eb ++ ib
+      miss ++ tb ++ eb ++ mb ++ ib
     }
-    val all = (typBad ++ enumBad ++ propBad).toSeq
+    val all = (typBad ++ enumBad ++ selfMax ++ propBad).toSeq
     if (all.isEmpty) "FALSE" else all.mkString("(", " OR ", ")")
   }
 
@@ -268,7 +290,10 @@ object SchemaValidate {
     * expression `j` (e.g. a column already CAST to JSON).
     */
   def violationsListSql(j: String, schema: Node): String = {
-    val checks = compileSql(j, schema, "$", "")
+    val rootCheck = schema.typ.map(t =>
+      (s"(json_type($j) IS NOT NULL AND NOT (${typeOkSql(s"json_type($j)", t)}))",
+        "type:$")).toSeq
+    val checks = rootCheck ++ compileSql(j, schema, "$", "")
     if (checks.isEmpty) "CAST([] AS VARCHAR[])"
     else checks
       .map { case (c, l) => s"CASE WHEN $c THEN ${sq(l)} END" }

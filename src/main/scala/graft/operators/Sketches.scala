@@ -68,12 +68,14 @@ object Sketches {
       groupCols: Seq[Column] = Nil): DataFrame = {
     require(depth > 0 && width > 0, s"bad CMS shape $depth x $width")
     // same guard discipline as cmEstimates/sentenceChunks/intervalOverlap:
-    // a groupCols frame already carrying an internal or output name would
-    // break silently (ambiguous reference) rather than loudly
+    // a groupCols OUTPUT already named like an internal/output column
+    // would break silently (ambiguous reference) rather than loudly.
+    // Guard the post-select names, not df.columns — non-grouped input
+    // columns are dropped by the first select and can never clash.
     val cmReserved = Set("__h", "r", "d", "idx", "cnt")
-    val cmClash = df.columns.filter(cmReserved.contains)
+    val cmClash = df.select(groupCols: _*).columns.filter(cmReserved.contains)
     require(cmClash.isEmpty,
-      s"input must not carry reserved columns: ${cmClash.mkString(", ")}")
+      s"group columns must not be named: ${cmClash.mkString(", ")}")
     val mults = cmMultipliers(depth)
     val h = PolyHash.polyStringHash(df.sparkSession, item)
     df.select(groupCols :+ h.as("__h"): _*)
@@ -138,9 +140,9 @@ object Sketches {
       df: DataFrame, groupCols: Seq[Column], value: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"bad HLL precision $p (alpha_m needs m >= 16)")
     val hllReserved = Set("__h", "__rem", "bucket", "rho", "rho_max")
-    val hllClash = df.columns.filter(hllReserved.contains)
+    val hllClash = df.select(groupCols: _*).columns.filter(hllReserved.contains)
     require(hllClash.isEmpty,
-      s"input must not carry reserved columns: ${hllClash.mkString(", ")}")
+      s"group columns must not be named: ${hllClash.mkString(", ")}")
     val h = graft.functions.TextFunctions.md5Long(value)
     val width = 60 - p
     df.select(groupCols :+ h.as("__h"): _*)

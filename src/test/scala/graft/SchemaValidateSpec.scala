@@ -122,6 +122,40 @@ class SchemaValidateSpec extends AnyFunSuite {
       "maxItems:employment_info.job_change_reasons"))
   }
 
+  test("malformed payloads and non-object roots are data, not exceptions") {
+    // a garbled row must yield an in-band violation, never a job failure
+    assert(viols("not json at all {") == Seq("malformed:$"))
+    assert(viols("") == Seq("malformed:$"))
+    val withNull = Seq[(Long, String)]((1L, null), (2L, "{}"))
+      .toDF("id", "j")
+    val got = SchemaValidate.validate(withNull, col("j"),
+        SchemaValidate.surveySchema)
+      .select("id", "violations").as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("malformed:$") && got(2L) == Nil)
+    // parseable but non-object root: the root type check fires (without
+    // it every property check is parent-gated off and arrays pass clean)
+    assert(viols("[1,2]") == Seq("type:$"))
+    assert(viols("\"hello\"") == Seq("type:$"))
+    assert(viols("null") == Seq("type:$")) // JSON null root is VOID, not absent
+  }
+
+  test("maxItems enforced at items-subschema depth, not just property positions") {
+    // synthetic schema: items-of-objects whose nested array has maxItems
+    val s = SchemaValidate.parseSchema(
+      """{"type":"object","properties":{"rows":{"type":"array","items":{
+        "type":"object","properties":{"tags":{"type":"array","maxItems":2}}}}}}""")
+    def v(json: String): Seq[String] = {
+      val df = Seq(json).toDF("j")
+      SchemaValidate.validate(df, col("j"), s)
+        .select("violations").as[Seq[String]].head()
+    }
+    assert(v("""{"rows":[{"tags":["a","b"]}]}""") == Nil)
+    assert(v("""{"rows":[{"tags":["a","b","c"]}]}""") == Seq("items:rows"))
+    // the DuckDB rendering carries the same nested check
+    assert(SchemaValidate.violationsListSql("j", s)
+      .contains("json_array_length(x0, '$.tags') > 2"))
+  }
+
   test("reserved output columns fail fast") {
     val df = Seq(("{}", true)).toDF("j", "is_valid")
     assertThrows[IllegalArgumentException] {

@@ -125,20 +125,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - 12.0) <= 3.0, s"est=$est")
   }
 
-  test("register builders fail fast on reserved input column names") {
-    // same guard discipline as cmEstimates/sentenceChunks (ADVICE r7):
-    // a groupCols frame already carrying an internal/output name would
-    // otherwise break silently or ambiguously
-    val cmBad = Seq(("g", 1L, "x")).toDF("g", "d", "w")
+  test("register builders fail fast on reserved GROUP column names") {
+    // same guard discipline as cmEstimates/sentenceChunks (ADVICE r7): a
+    // groupCols OUTPUT named like an internal/output column would break
+    // silently or ambiguously — but unrelated input columns with common
+    // names are dropped by the first select and must NOT trip the guard
+    val bad = Seq((1L, 2L, "x")).toDF("d", "bucket", "w")
     assertThrows[IllegalArgumentException] {
-      Sketches.countMinRegisters(cmBad, col("w"), 2, 64, Seq(col("g")))
+      Sketches.countMinRegisters(bad, col("w"), 2, 64, Seq(col("d")))
     }
-    val hllBad = Seq(("g", 1L, "x")).toDF("g", "bucket", "w")
     assertThrows[IllegalArgumentException] {
-      Sketches.hllRegisters(hllBad, Seq(col("g")), col("w"), p = 6)
+      Sketches.hllRegisters(bad, Seq(col("bucket")), col("w"), p = 6)
     }
-    // clean frames with the same shape still pass
-    val ok = Seq(("g", "x")).toDF("g", "w")
+    // the same frame is fine when the clashing names are not grouped
+    val ok = Seq(("g", 9L, 8L, "x")).toDF("g", "d", "bucket", "w")
     assert(Sketches.countMinRegisters(ok, col("w"), 2, 64, Seq(col("g"))).count() > 0)
     assert(Sketches.hllRegisters(ok, Seq(col("g")), col("w"), p = 6).count() > 0)
   }
