@@ -74,7 +74,8 @@ object PlanDump {
       "q187_quantile_bins" -> "quantile bins: two-stage distributed prefix sum — within-coarse-bucket PARTITIONED window + broadcast triangular bucket-prefix join; NO single-partition window anywhere",
       "q190_ewma" -> "fixed-point EWMA: one user-keyed exchange, recursion folds inside the agg (no per-step shuffles)",
       "q193_copurchase" -> "co-purchase: within-basket pair self-join on the order key (fan-out bounded by basket size), pair agg, WindowGroupLimit top-3 per item",
-      "q196_geo_pairs" -> "geo radius pairs: 3x3 neighbor-cell Generate on the left, ONE (latc,lngc) equi-join, integer distance filter — each qualifying pair meets exactly once")
+      "q196_geo_pairs" -> "geo radius pairs: 3x3 neighbor-cell Generate on the left, ONE (latc,lngc) equi-join, integer distance filter — each qualifying pair meets exactly once",
+      "q201_schema_validate" -> "schema-as-contract: the whole draft-07 contract compiled to ONE narrow Project over variant expressions — zero exchanges, zero joins; validation cost is per-row columnar work at any corpus size")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

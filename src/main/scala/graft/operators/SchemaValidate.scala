@@ -131,43 +131,63 @@ object SchemaValidate {
       .reduceOption(_ || _).getOrElse(lit(false))
   }
 
-  /** All (condition, label) pairs for an object node's properties, paths
-    * rooted at `v` (absolute variant paths — no nested re-extraction).
+  /** Evaluate `c` ONCE and reference it through a lambda variable. The
+    * checks sit inside CASE WHEN branches, which defeats Spark's
+    * subexpression elimination (conditional branches are excluded) — a
+    * ~70-check contract would otherwise re-run its shared sub-extraction
+    * per check (measured 5.5× on the full survey schema: 67 → 12 µs/row
+    * for the parse alone, and the per-subtree bindings below take the
+    * remaining deep re-walks out too). A bound column also survives
+    * CollapseProject, which re-inlines plain withColumn aliases into
+    * every downstream reference.
     */
-  private def compile(
-      v: Column, node: Node, path: String, dp: String): Seq[(Column, String)] =
-    node.properties.flatMap { case (name, child) =>
-      val cPath = s"$path.$name"
+  private def bind1(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  private val emptyViolations = array().cast("array<string>")
+
+  /** Violations contributed by `node`'s property subtree, given `nv` =
+    * this node's variant bound via [[bind1]]. Every child variant is
+    * extracted ONE level deep, exactly once, and recursion re-binds it —
+    * no absolute-path re-walking from the root per check. Entries may be
+    * null (check passed); the caller filters.
+    */
+  private def subtree(nv: Column, node: Node, dp: String): Column = {
+    val isObj = typeOk(nv, "object")
+    val perChild = node.properties.map { case (name, child) =>
       val cDp = if (dp.isEmpty) name else s"$dp.$name"
-      val cv = variant_get(v, cPath, "variant")
-      val parentIsObject =
-        if (path == "$") typeOk(v, "object")
-        else {
-          val pv = variant_get(v, path, "variant")
-          pv.isNotNull && typeOk(pv, "object")
-        }
-      val missing =
-        if (node.required.contains(name))
-          Seq((parentIsObject && cv.isNull, s"missing:$cDp"))
-        else Nil
-      val typeBad = child.typ.map(t =>
-        (cv.isNotNull && !typeOk(cv, t), s"type:$cDp")).toSeq
-      val enumBad =
-        if (child.enumVals.nonEmpty)
-          Seq((cv.isNotNull && typeOk(cv, "string") &&
-            !try_variant_get(v, cPath, "string").isin(child.enumVals: _*),
-            s"enum:$cDp"))
-        else Nil
-      val arr = try_variant_get(v, cPath, "array<variant>")
-      val maxBad = child.maxItems.map(k =>
-        (cv.isNotNull && typeOk(cv, "array") && size(arr) > k,
-          s"maxItems:$cDp")).toSeq
-      val itemsBad = child.items.map(itemNode =>
-        (cv.isNotNull && typeOk(cv, "array") &&
-          exists(arr, e => elemBad(e, itemNode)), s"items:$cDp")).toSeq
-      missing ++ typeBad ++ enumBad ++ maxBad ++ itemsBad ++
-        compile(v, child, cPath, cDp)
+      bind1(variant_get(nv, s"$$.$name", "variant")) { cv =>
+        val missing =
+          if (node.required.contains(name))
+            Seq(when(isObj && cv.isNull, lit(s"missing:$cDp")))
+          else Nil
+        val typeBad = child.typ.map(t =>
+          when(cv.isNotNull && !typeOk(cv, t), lit(s"type:$cDp"))).toSeq
+        val enumBad =
+          if (child.enumVals.nonEmpty)
+            Seq(when(cv.isNotNull && typeOk(cv, "string") &&
+              !try_variant_get(cv, "$", "string").isin(child.enumVals: _*),
+              lit(s"enum:$cDp")))
+          else Nil
+        val arr = try_variant_get(cv, "$", "array<variant>")
+        val maxBad = child.maxItems.map(k =>
+          when(cv.isNotNull && typeOk(cv, "array") && size(arr) > k,
+            lit(s"maxItems:$cDp"))).toSeq
+        val itemsBad = child.items.map(itemNode =>
+          when(cv.isNotNull && typeOk(cv, "array") &&
+            exists(arr, e => elemBad(e, itemNode)), lit(s"items:$cDp"))).toSeq
+        val own = missing ++ typeBad ++ enumBad ++ maxBad ++ itemsBad
+        val ownArr = if (own.isEmpty) emptyViolations else array(own: _*)
+        val rec =
+          if (child.properties.nonEmpty)
+            when(cv.isNotNull, subtree(cv, child, cDp))
+              .otherwise(emptyViolations)
+          else emptyViolations
+        concat(ownArr, rec)
+      }
     }
+    perChild.reduceOption(concat(_, _)).getOrElse(emptyViolations)
+  }
 
   /** Sorted violation array for a VARIANT column against a schema.
     * Includes the ROOT type check (`type:$` for e.g. a JSON array or
@@ -176,12 +196,11 @@ object SchemaValidate {
     * non-object payload would validate clean.
     */
   def violationsArray(v: Column, schema: Node): Column = {
-    val rootCheck = schema.typ.map(t =>
-      (v.isNotNull && !typeOk(v, t), "type:$")).toSeq
-    val checks = rootCheck ++ compile(v, schema, "$", "")
-    if (checks.isEmpty) array().cast("array<string>")
-    else array_sort(filter(
-      array(checks.map { case (c, l) => when(c, lit(l)) }: _*),
+    val rootChecks = schema.typ.map(t =>
+      when(v.isNotNull && !typeOk(v, t), lit("type:$"))).toSeq
+    val rootArr =
+      if (rootChecks.isEmpty) emptyViolations else array(rootChecks: _*)
+    array_sort(filter(concat(rootArr, subtree(v, schema, "")),
       x => x.isNotNull))
   }
 
@@ -190,17 +209,19 @@ object SchemaValidate {
     * DATA too — they come back as `violations = [malformed:$]`, never as
     * a job failure (try_parse_json; a strict parse would kill a 100 TB
     * quarantine scan on its first garbled row, the exact case this
-    * operator exists for).
+    * operator exists for). The parsed variant is [[bind1]]-bound, so the
+    * parse runs exactly once per row no matter how many checks the
+    * schema compiles to.
     */
   def validate(
       df: DataFrame, jsonCol: Column, schema: Node,
       out: String = "violations"): DataFrame = {
     require(!df.columns.contains(out) && !df.columns.contains("is_valid"),
       s"input must not already carry $out/is_valid")
-    val v = try_parse_json(jsonCol)
-    df.withColumn(out,
+    df.withColumn(out, bind1(try_parse_json(jsonCol)) { v =>
         when(v.isNull, array(lit("malformed:$")))
-          .otherwise(violationsArray(v, schema)))
+          .otherwise(violationsArray(v, schema))
+      })
       .withColumn("is_valid", size(col(out)) === 0)
   }
 
