@@ -43,7 +43,20 @@ object SchemaValidate {
       enumVals: Seq[String],
       maxItems: Option[Int],
       properties: Seq[(String, Node)],
-      items: Option[Node])
+      items: Option[Node],
+      // the rest of the common draft-07 validation vocabulary; the
+      // reference schema doesn't use these, but a schema-as-contract
+      // operator that silently ignored them would be a trap. pattern is
+      // UNANCHORED (draft-07 partial match) and must stay in the
+      // RE2∩Java regex subset (the repo's standing oracle rule);
+      // min/maxLength count code points (BMP-identical both engines);
+      // minimum/maximum are inclusive.
+      pattern: Option[String] = None,
+      minItems: Option[Int] = None,
+      minimum: Option[Double] = None,
+      maximum: Option[Double] = None,
+      minLength: Option[Int] = None,
+      maxLength: Option[Int] = None)
 
   /** Parse a draft-07 schema document (Jackson — already on Spark's
     * classpath; the schema is a small driver-side contract file).
@@ -58,6 +71,12 @@ object SchemaValidate {
       enumVals = Option(n.get("enum"))
         .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil),
       maxItems = Option(n.get("maxItems")).map(_.asInt),
+      pattern = Option(n.get("pattern")).map(_.asText),
+      minItems = Option(n.get("minItems")).map(_.asInt),
+      minimum = Option(n.get("minimum")).map(_.asDouble),
+      maximum = Option(n.get("maximum")).map(_.asDouble),
+      minLength = Option(n.get("minLength")).map(_.asInt),
+      maxLength = Option(n.get("maxLength")).map(_.asInt),
       // fields() (not properties(), which is an unordered Set): the
       // underlying ObjectNode iterates in declaration order, which keeps
       // compile order — and therefore plans and generated SQL — stable
@@ -106,8 +125,8 @@ object SchemaValidate {
         Some(typeOk(e, "string") &&
           !try_variant_get(e, "$", "string").isin(node.enumVals: _*))
       else None
-    val selfMax = node.maxItems.map(k => typeOk(e, "array") &&
-      size(try_variant_get(e, "$", "array<variant>")) > k)
+    // self-level value constraints on the element itself
+    val selfVal = valueBad(e, node)
     val propBad = node.properties.flatMap { case (name, child) =>
       val cv = variant_get(e, s"$$.$name", "variant")
       val miss =
@@ -119,16 +138,35 @@ object SchemaValidate {
             !try_variant_get(e, s"$$.$name", "string").isin(child.enumVals: _*))
         else None
       val arr = try_variant_get(e, s"$$.$name", "array<variant>")
-      val mb = child.maxItems.map(k =>
-        cv.isNotNull && typeOk(cv, "array") && size(arr) > k)
       val ib = child.items.map { itemNode =>
         cv.isNotNull && typeOk(cv, "array") &&
           exists(arr, x => elemBad(x, itemNode))
       }
-      miss ++ tb ++ eb ++ mb ++ ib
+      val vb = Some(cv.isNotNull && valueBad(cv, child))
+      miss ++ tb ++ eb ++ vb ++ ib
     }
-    (typBad ++ enumBad ++ selfMax ++ propBad)
+    (typBad ++ enumBad ++ Seq(selfVal) ++ propBad)
       .reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** Non-recursive value constraints of a node against a bound variant
+    * (array sizes, pattern, length and numeric bounds) — the boolean
+    * form shared by element positions; property positions emit the same
+    * conditions with per-keyword labels.
+    */
+  private def valueBad(cv: Column, node: Node): Column = {
+    val arr = try_variant_get(cv, "$", "array<variant>")
+    val str = try_variant_get(cv, "$", "string")
+    val num = try_variant_get(cv, "$", "double")
+    val cs = Seq(
+      node.maxItems.map(k => typeOk(cv, "array") && size(arr) > k),
+      node.minItems.map(k => typeOk(cv, "array") && size(arr) < k),
+      node.pattern.map(p => typeOk(cv, "string") && !str.rlike(p)),
+      node.minLength.map(k => typeOk(cv, "string") && length(str) < k),
+      node.maxLength.map(k => typeOk(cv, "string") && length(str) > k),
+      node.minimum.map(m => typeOk(cv, "number") && num < m),
+      node.maximum.map(m => typeOk(cv, "number") && num > m)).flatten
+    cs.reduceOption(_ || _).getOrElse(lit(false))
   }
 
   /** Evaluate `c` ONCE and reference it through a lambda variable. The
@@ -173,10 +211,31 @@ object SchemaValidate {
         val maxBad = child.maxItems.map(k =>
           when(cv.isNotNull && typeOk(cv, "array") && size(arr) > k,
             lit(s"maxItems:$cDp"))).toSeq
+        val minBad = child.minItems.map(k =>
+          when(cv.isNotNull && typeOk(cv, "array") && size(arr) < k,
+            lit(s"minItems:$cDp"))).toSeq
+        val str = try_variant_get(cv, "$", "string")
+        val patBad = child.pattern.map(p =>
+          when(cv.isNotNull && typeOk(cv, "string") && !str.rlike(p),
+            lit(s"pattern:$cDp"))).toSeq
+        val lenLow = child.minLength.map(k =>
+          when(cv.isNotNull && typeOk(cv, "string") && length(str) < k,
+            lit(s"minLength:$cDp"))).toSeq
+        val lenHigh = child.maxLength.map(k =>
+          when(cv.isNotNull && typeOk(cv, "string") && length(str) > k,
+            lit(s"maxLength:$cDp"))).toSeq
+        val num = try_variant_get(cv, "$", "double")
+        val numLow = child.minimum.map(m =>
+          when(cv.isNotNull && typeOk(cv, "number") && num < m,
+            lit(s"minimum:$cDp"))).toSeq
+        val numHigh = child.maximum.map(m =>
+          when(cv.isNotNull && typeOk(cv, "number") && num > m,
+            lit(s"maximum:$cDp"))).toSeq
         val itemsBad = child.items.map(itemNode =>
           when(cv.isNotNull && typeOk(cv, "array") &&
             exists(arr, e => elemBad(e, itemNode)), lit(s"items:$cDp"))).toSeq
-        val own = missing ++ typeBad ++ enumBad ++ maxBad ++ itemsBad
+        val own = missing ++ typeBad ++ enumBad ++ maxBad ++ minBad ++
+          patBad ++ lenLow ++ lenHigh ++ numLow ++ numHigh ++ itemsBad
         val ownArr = if (own.isEmpty) emptyViolations else array(own: _*)
         val rec =
           if (child.properties.nonEmpty)
@@ -247,8 +306,7 @@ object SchemaValidate {
         Some(s"(json_type($x) = 'VARCHAR' AND json_extract_string($x, '$$') " +
           s"NOT IN (${node.enumVals.map(sq).mkString(", ")}))")
       else None
-    val selfMax = node.maxItems.map(k =>
-      s"(json_type($x) = 'ARRAY' AND json_array_length($x) > $k)")
+    val selfVal = valueBadSql(x, None, node)
     val propBad = node.properties.flatMap { case (name, child) =>
       val jt = s"json_type($x, '$$.$name')"
       val miss =
@@ -260,18 +318,41 @@ object SchemaValidate {
           Some(s"($jt = 'VARCHAR' AND json_extract_string($x, '$$.$name') " +
             s"NOT IN (${child.enumVals.map(sq).mkString(", ")}))")
         else None
-      val mb = child.maxItems.map(k =>
-        s"($jt = 'ARRAY' AND json_array_length($x, '$$.$name') > $k)")
+      val vb = valueBadSql(x, Some(s"$$.$name"), child)
       val ib = child.items.map { itemNode =>
         val y = s"y$depth"
         s"($jt = 'ARRAY' AND len(list_filter(" +
           s"CAST($x->'$$.$name' AS JSON[]), " +
           s"$y -> ${elemBadSql(y, itemNode, depth + 1)})) > 0)"
       }
-      miss ++ tb ++ eb ++ mb ++ ib
+      miss ++ tb ++ eb ++ vb ++ ib
     }
-    val all = (typBad ++ enumBad ++ selfMax ++ propBad).toSeq
+    val all = (typBad ++ enumBad ++ selfVal ++ propBad).toSeq
     if (all.isEmpty) "FALSE" else all.mkString("(", " OR ", ")")
+  }
+
+  /** SQL twin of [[valueBad]] — one condition per present keyword,
+    * empty when the node has none. `path` None = constraints on `x`
+    * itself (element positions).
+    */
+  private def valueBadSql(
+      x: String, path: Option[String], node: Node): Seq[String] = {
+    val jt = path.map(p => s"json_type($x, '$p')").getOrElse(s"json_type($x)")
+    val jes = path.map(p => s"json_extract_string($x, '$p')")
+      .getOrElse(s"json_extract_string($x, '$$')")
+    val jal = path.map(p => s"json_array_length($x, '$p')")
+      .getOrElse(s"json_array_length($x)")
+    Seq(
+      node.maxItems.map(k => s"($jt = 'ARRAY' AND $jal > $k)"),
+      node.minItems.map(k => s"($jt = 'ARRAY' AND $jal < $k)"),
+      node.pattern.map(p =>
+        s"($jt = 'VARCHAR' AND NOT regexp_matches($jes, ${sq(p)}))"),
+      node.minLength.map(k => s"($jt = 'VARCHAR' AND length($jes) < $k)"),
+      node.maxLength.map(k => s"($jt = 'VARCHAR' AND length($jes) > $k)"),
+      node.minimum.map(m =>
+        s"(${typeOkSql(jt, "number")} AND CAST($jes AS DOUBLE) < $m)"),
+      node.maximum.map(m =>
+        s"(${typeOkSql(jt, "number")} AND CAST($jes AS DOUBLE) > $m)")).flatten
   }
 
   private def compileSql(
@@ -295,15 +376,32 @@ object SchemaValidate {
             s"NOT IN (${child.enumVals.map(sq).mkString(", ")}))",
             s"enum:$cDp"))
         else Nil
-      val maxBad = child.maxItems.map(k =>
-        (s"($jt = 'ARRAY' AND json_array_length($j, '$cPath') > $k)",
-          s"maxItems:$cDp")).toSeq
+      val jes = s"json_extract_string($j, '$cPath')"
+      val jal = s"json_array_length($j, '$cPath')"
+      val valueBads: Seq[(String, String)] = Seq(
+        child.maxItems.map(k =>
+          (s"($jt = 'ARRAY' AND $jal > $k)", s"maxItems:$cDp")),
+        child.minItems.map(k =>
+          (s"($jt = 'ARRAY' AND $jal < $k)", s"minItems:$cDp")),
+        child.pattern.map(p =>
+          (s"($jt = 'VARCHAR' AND NOT regexp_matches($jes, ${sq(p)}))",
+            s"pattern:$cDp")),
+        child.minLength.map(k =>
+          (s"($jt = 'VARCHAR' AND length($jes) < $k)", s"minLength:$cDp")),
+        child.maxLength.map(k =>
+          (s"($jt = 'VARCHAR' AND length($jes) > $k)", s"maxLength:$cDp")),
+        child.minimum.map(m =>
+          (s"(${typeOkSql(jt, "number")} AND CAST($jes AS DOUBLE) < $m)",
+            s"minimum:$cDp")),
+        child.maximum.map(m =>
+          (s"(${typeOkSql(jt, "number")} AND CAST($jes AS DOUBLE) > $m)",
+            s"maximum:$cDp"))).flatten
       val itemsBad = child.items.map(itemNode =>
         (s"($jt = 'ARRAY' AND len(list_filter(" +
           s"CAST($j->'$cPath' AS JSON[]), " +
           s"x0 -> ${elemBadSql("x0", itemNode, 1)})) > 0)",
           s"items:$cDp")).toSeq
-      missing ++ typeBad ++ enumBad ++ maxBad ++ itemsBad ++
+      missing ++ typeBad ++ enumBad ++ valueBads ++ itemsBad ++
         compileSql(j, child, cPath, cDp)
     }
 

@@ -30,6 +30,18 @@ object RuleQueries {
     coalesce(exact, contained, c)
   }
 
+  /** q202's synthetic contract: the draft-07 keywords the reference
+    * schema doesn't use, each with a dirt mode. Pattern stays in the
+    * RE2∩Java subset (standing oracle rule).
+    */
+  private val KeywordSchema = graft.operators.SchemaValidate.parseSchema(
+    """{"type":"object","required":["sku","qty"],"properties":{
+      "sku":{"type":"string","pattern":"^[A-Z]{3}-[0-9]+$"},
+      "qty":{"type":"integer","minimum":1,"maximum":100},
+      "tags":{"type":"array","minItems":1,"maxItems":3,
+        "items":{"type":"string","minLength":2,"maxLength":8}},
+      "note":{"type":"string","minLength":3,"maxLength":6}}}""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Schema-as-contract (SURVEY §1.3/§5, survey_schema.json:1-60): the
@@ -88,6 +100,39 @@ object RuleQueries {
       val rec = Tables.load(s, dir, "customer")
         .select(k.as("id"), mode.as("mode"), json.as("j"))
       SchemaValidate.validate(rec, col("j"), SchemaValidate.surveySchema)
+        .select(col("id"), col("mode"),
+          size(col("violations")).as("n_viol"),
+          array_join(col("violations"), "|").as("viol"),
+          col("is_valid"))
+    }),
+
+    // The rest of the draft-07 validation vocabulary (pattern, minItems,
+    // minimum/maximum, minLength/maxLength) on the oracle surface: a
+    // synthetic contract over 8 dirt modes, with the DuckDB twin again
+    // GENERATED from the same compiled model.
+    "q202_schema_keywords" -> ((s, dir) => {
+      import graft.operators.SchemaValidate
+      val k = col("c_custkey")
+      val mode = pmod(k, lit(8))
+      val json = concat(
+        lit("{\"sku\":\""),
+        when(mode === 1, lit("abc-12"))
+          .otherwise(concat(lit("ABC-"), k.cast("string"))),
+        lit("\""),
+        when(mode === 6, lit(""))
+          .otherwise(concat(lit(",\"qty\":"),
+            when(mode === 2, lit("0")).when(mode === 3, lit("101"))
+              .otherwise((pmod(k, lit(100)) + 1).cast("string")))),
+        lit(",\"tags\":"),
+        when(mode === 4, lit("[]"))
+          .when(mode === 5, lit("[\"a\"]"))
+          .otherwise(lit("[\"aa\",\"bb\"]")),
+        lit(",\"note\":\""),
+        when(mode === 7, lit("toolong")).otherwise(lit("hey")),
+        lit("\"}"))
+      val rec = Tables.load(s, dir, "customer")
+        .select(k.as("id"), mode.as("mode"), json.as("j"))
+      SchemaValidate.validate(rec, col("j"), KeywordSchema)
         .select(col("id"), col("mode"),
           size(col("violations")).as("n_viol"),
           array_join(col("violations"), "|").as("viol"),
@@ -166,6 +211,32 @@ object RuleQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q202_schema_keywords" -> {
+      val viol = graft.operators.SchemaValidate.violationsListSql(
+        "j", KeywordSchema)
+      s"""WITH rec AS (SELECT c_custkey AS id, c_custkey % 8 AS mode,
+           CAST('{"sku":"' ||
+             CASE WHEN c_custkey % 8 = 1 THEN 'abc-12'
+                  ELSE 'ABC-' || CAST(c_custkey AS VARCHAR) END || '"' ||
+             CASE WHEN c_custkey % 8 = 6 THEN ''
+                  ELSE ',"qty":' ||
+                    CASE WHEN c_custkey % 8 = 2 THEN '0'
+                         WHEN c_custkey % 8 = 3 THEN '101'
+                         ELSE CAST(c_custkey % 100 + 1 AS VARCHAR) END END ||
+             ',"tags":' ||
+               CASE WHEN c_custkey % 8 = 4 THEN '[]'
+                    WHEN c_custkey % 8 = 5 THEN '["a"]'
+                    ELSE '["aa","bb"]' END ||
+             ',"note":"' ||
+               CASE WHEN c_custkey % 8 = 7 THEN 'toolong' ELSE 'hey' END ||
+             '"}' AS JSON) AS j
+         FROM customer),
+         v AS (SELECT id, mode, $viol AS viols FROM rec)
+         SELECT id, mode, CAST(len(viols) AS INTEGER) AS n_viol,
+           COALESCE(array_to_string(viols, '|'), '') AS viol,
+           len(viols) = 0 AS is_valid
+         FROM v"""
+    },
     "q201_schema_validate" -> {
       // the violation list is GENERATED from the same compiled schema
       // model the Spark side uses — the twin cannot drift by hand-editing

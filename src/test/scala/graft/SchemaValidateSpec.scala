@@ -156,6 +156,42 @@ class SchemaValidateSpec extends AnyFunSuite {
       .contains("json_array_length(x0, '$.tags') > 2"))
   }
 
+  test("extended keywords: pattern, min/maxItems, bounds, lengths") {
+    val s = SchemaValidate.parseSchema(
+      """{"type":"object","required":["sku","qty"],"properties":{
+        "sku":{"type":"string","pattern":"^[A-Z]{3}-[0-9]+$"},
+        "qty":{"type":"integer","minimum":1,"maximum":100},
+        "tags":{"type":"array","minItems":1,"maxItems":3,
+          "items":{"type":"string","minLength":2,"maxLength":8}},
+        "note":{"type":"string","minLength":3,"maxLength":6}}}""")
+    def v(json: String): Seq[String] = {
+      val df = Seq(json).toDF("j")
+      SchemaValidate.validate(df, col("j"), s)
+        .select("violations").as[Seq[String]].head()
+    }
+    assert(v("""{"sku":"ABC-1","qty":50,"tags":["aa"],"note":"hey"}""") == Nil)
+    assert(v("""{"sku":"zzz","qty":50}""") == Seq("pattern:sku"))
+    assert(v("""{"sku":"ABC-1","qty":0}""") == Seq("minimum:qty"))
+    assert(v("""{"sku":"ABC-1","qty":101}""") == Seq("maximum:qty"))
+    // inclusive bounds: the boundary values pass
+    assert(v("""{"sku":"ABC-1","qty":1}""") == Nil)
+    assert(v("""{"sku":"ABC-1","qty":100}""") == Nil)
+    assert(v("""{"sku":"ABC-1","qty":50,"tags":[]}""") == Seq("minItems:tags"))
+    assert(v("""{"sku":"ABC-1","qty":50,"tags":["a","b","c","d"]}""") ==
+      Seq("items:tags", "maxItems:tags")) // over-long AND under-length items
+    assert(v("""{"sku":"ABC-1","qty":50,"tags":["toolongtagvalue"]}""") ==
+      Seq("items:tags")) // element maxLength, via the items aggregate
+    assert(v("""{"sku":"ABC-1","qty":50,"note":"hi"}""") == Seq("minLength:note"))
+    assert(v("""{"sku":"ABC-1","qty":50,"note":"toolong"}""") == Seq("maxLength:note"))
+    // a wrongly-typed value reports type:, never a bounds/pattern label
+    assert(v("""{"sku":7,"qty":"9"}""") == Seq("type:qty", "type:sku"))
+    // the generated DuckDB rendering carries every keyword
+    val sql = SchemaValidate.violationsListSql("j", s)
+    Seq("pattern:sku", "minimum:qty", "maximum:qty", "minItems:tags",
+      "maxItems:tags", "minLength:note", "maxLength:note")
+      .foreach(l => assert(sql.contains(s"'$l'"), l))
+  }
+
   test("reserved output columns fail fast") {
     val df = Seq(("{}", true)).toDF("j", "is_valid")
     assertThrows[IllegalArgumentException] {
