@@ -929,6 +929,44 @@ object Stress {
     }
   }
 
+  /** Schema-as-contract validation at corpus scale (r8): n survey-shaped
+    * JSON docs (1-in-7 dirtied across the q201 modes) through the FULL
+    * compiled survey contract. The claim under receipt: the whole
+    * validation is ONE narrow projection — zero shuffle bytes — and
+    * per-row cost stays flat, so 100 TB validates at scan speed × a
+    * constant.
+    */
+  private def schemaReceipt(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.SchemaValidate
+    val k = col("id")
+    val mode = pmod(k, lit(7))
+    val docs = spark.range(0, n, 1, 32).select(k.as("doc_id"), concat(
+      lit("{\"institution_info\":{"),
+      when(mode === 2, lit(""))
+        .otherwise(concat(lit("\"name\":\"inst-"), k.cast("string"), lit("\","))),
+      lit("\"city\":\"c\",\"subject_type\":"),
+      when(mode === 1, lit("\"私立\"")).otherwise(lit("\"公办\"")),
+      lit(",\"specific_form\":\"其他\",\"is_puhui\":"),
+      when(mode === 4, lit("\"yes\"")).otherwise(lit("true")),
+      lit(",\"service_modes\":[\""),
+      when(mode === 5, lit("夜托")).otherwise(lit("全日托")),
+      lit("\"],\"total_capacity\":"),
+      when(mode === 3, lit("\"10\"")).otherwise(lit("10")),
+      lit(",\"current_enrollment\":5,\"staff_count\":3},"),
+      lit("\"personal_info\":{\"gender\":\"男\",\"education\":\"硕士\",\"major\":"),
+      when(mode === 6, lit("null")).otherwise(lit("\"护理\"")),
+      lit("}}")).as("j"))
+    val (_, bytes) = shuffleBytes(spark.sparkContext) {
+      time(s"schema_validate_${n / 1000000}M") {
+        SchemaValidate.validate(docs, col("j"), SchemaValidate.surveySchema)
+          .agg(sum(when(col("is_valid"), 0L).otherwise(1L)).as("n_invalid"),
+            sum(size(col("violations"))).as("n_viol"))
+          .collect()
+      }
+    }
+    println(f"[stress] schema_validate shuffle bytes: $bytes (expect ~0 — one narrow projection)")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -959,6 +997,12 @@ object Stress {
     if (section == "archives") {
       // n is the TOTAL record count; 2000 records per shard
       archiveReceipts(spark, math.max(1, (n / 2000).toInt), 2000)
+      spark.stop()
+      return
+    }
+
+    if (section == "schema") {
+      schemaReceipt(spark, n)
       spark.stop()
       return
     }

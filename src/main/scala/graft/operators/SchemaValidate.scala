@@ -100,72 +100,79 @@ object SchemaValidate {
 
   // ---- Spark compilation ----------------------------------------------------
 
-  private def typeOk(nv: Column, typ: String): Column = {
-    val sch = schema_of_variant(nv)
-    typ match {
-      case "string"  => sch === "STRING"
-      case "boolean" => sch === "BOOLEAN"
-      case "integer" => sch === "BIGINT"
-      case "number"  =>
-        sch === "BIGINT" || sch.startsWith("DECIMAL") || sch === "DOUBLE"
-      case "object"  => sch.startsWith("OBJECT")
-      case "array"   => sch.startsWith("ARRAY")
-      case other => throw new IllegalArgumentException(s"unsupported type $other")
-    }
+  /** Type predicate over an ALREADY-COMPUTED schema_of_variant string —
+    * every multi-check site binds the string once ([[bind1]]) and feeds
+    * it here; schema_of_variant walks the whole variant subtree, so
+    * recomputing it per check measured ~2× on the full contract.
+    */
+  private def typeOkFrom(sch: Column, typ: String): Column = typ match {
+    case "string"  => sch === "STRING"
+    case "boolean" => sch === "BOOLEAN"
+    case "integer" => sch === "BIGINT"
+    case "number"  =>
+      sch === "BIGINT" || sch.startsWith("DECIMAL") || sch === "DOUBLE"
+    case "object"  => sch.startsWith("OBJECT")
+    case "array"   => sch.startsWith("ARRAY")
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
+
+  private def typeOk(nv: Column, typ: String): Column =
+    typeOkFrom(schema_of_variant(nv), typ)
 
   /** Recursive per-element check for `items` subschemas: true when the
     * element violates the item contract (wrong type, enum breach, or —
     * for object items — a missing/mistyped property, recursively).
     */
-  private def elemBad(e: Column, node: Node): Column = {
-    val typBad = node.typ.map(t => !typeOk(e, t))
-    val enumBad =
-      if (node.enumVals.nonEmpty)
-        Some(typeOk(e, "string") &&
-          !try_variant_get(e, "$", "string").isin(node.enumVals: _*))
-      else None
-    // self-level value constraints on the element itself
-    val selfVal = valueBad(e, node)
-    val propBad = node.properties.flatMap { case (name, child) =>
-      val cv = variant_get(e, s"$$.$name", "variant")
-      val miss =
-        if (node.required.contains(name)) Some(cv.isNull) else None
-      val tb = child.typ.map(t => cv.isNotNull && !typeOk(cv, t))
-      val eb =
-        if (child.enumVals.nonEmpty)
-          Some(cv.isNotNull && typeOk(cv, "string") &&
-            !try_variant_get(e, s"$$.$name", "string").isin(child.enumVals: _*))
+  private def elemBad(e: Column, node: Node): Column =
+    bind1(schema_of_variant(e)) { esch =>
+      val typBad = node.typ.map(t => !typeOkFrom(esch, t))
+      val enumBad =
+        if (node.enumVals.nonEmpty)
+          Some(typeOkFrom(esch, "string") &&
+            !try_variant_get(e, "$", "string").isin(node.enumVals: _*))
         else None
-      val arr = try_variant_get(e, s"$$.$name", "array<variant>")
-      val ib = child.items.map { itemNode =>
-        cv.isNotNull && typeOk(cv, "array") &&
-          exists(arr, x => elemBad(x, itemNode))
+      // self-level value constraints on the element itself
+      val selfVal = valueBad(e, esch, node)
+      val propBad = node.properties.flatMap { case (name, child) =>
+        val cv = variant_get(e, s"$$.$name", "variant")
+        val sch = schema_of_variant(cv)
+        val miss =
+          if (node.required.contains(name)) Some(cv.isNull) else None
+        val tb = child.typ.map(t => cv.isNotNull && !typeOkFrom(sch, t))
+        val eb =
+          if (child.enumVals.nonEmpty)
+            Some(cv.isNotNull && typeOkFrom(sch, "string") &&
+              !try_variant_get(e, s"$$.$name", "string").isin(child.enumVals: _*))
+          else None
+        val arr = try_variant_get(e, s"$$.$name", "array<variant>")
+        val ib = child.items.map { itemNode =>
+          cv.isNotNull && typeOkFrom(sch, "array") &&
+            exists(arr, x => elemBad(x, itemNode))
+        }
+        val vb = Some(cv.isNotNull && valueBad(cv, sch, child))
+        miss ++ tb ++ eb ++ vb ++ ib
       }
-      val vb = Some(cv.isNotNull && valueBad(cv, child))
-      miss ++ tb ++ eb ++ vb ++ ib
+      (typBad ++ enumBad ++ Seq(selfVal) ++ propBad)
+        .reduceOption(_ || _).getOrElse(lit(false))
     }
-    (typBad ++ enumBad ++ Seq(selfVal) ++ propBad)
-      .reduceOption(_ || _).getOrElse(lit(false))
-  }
 
   /** Non-recursive value constraints of a node against a bound variant
-    * (array sizes, pattern, length and numeric bounds) — the boolean
-    * form shared by element positions; property positions emit the same
-    * conditions with per-keyword labels.
+    * and its bound schema string (array sizes, pattern, length and
+    * numeric bounds) — the boolean form shared by element positions;
+    * property positions emit the same conditions with per-keyword labels.
     */
-  private def valueBad(cv: Column, node: Node): Column = {
+  private def valueBad(cv: Column, sch: Column, node: Node): Column = {
     val arr = try_variant_get(cv, "$", "array<variant>")
     val str = try_variant_get(cv, "$", "string")
     val num = try_variant_get(cv, "$", "double")
     val cs = Seq(
-      node.maxItems.map(k => typeOk(cv, "array") && size(arr) > k),
-      node.minItems.map(k => typeOk(cv, "array") && size(arr) < k),
-      node.pattern.map(p => typeOk(cv, "string") && !str.rlike(p)),
-      node.minLength.map(k => typeOk(cv, "string") && length(str) < k),
-      node.maxLength.map(k => typeOk(cv, "string") && length(str) > k),
-      node.minimum.map(m => typeOk(cv, "number") && num < m),
-      node.maximum.map(m => typeOk(cv, "number") && num > m)).flatten
+      node.maxItems.map(k => typeOkFrom(sch, "array") && size(arr) > k),
+      node.minItems.map(k => typeOkFrom(sch, "array") && size(arr) < k),
+      node.pattern.map(p => typeOkFrom(sch, "string") && !str.rlike(p)),
+      node.minLength.map(k => typeOkFrom(sch, "string") && length(str) < k),
+      node.maxLength.map(k => typeOkFrom(sch, "string") && length(str) > k),
+      node.minimum.map(m => typeOkFrom(sch, "number") && num < m),
+      node.maximum.map(m => typeOkFrom(sch, "number") && num > m)).flatten
     cs.reduceOption(_ || _).getOrElse(lit(false))
   }
 
@@ -190,63 +197,69 @@ object SchemaValidate {
     * no absolute-path re-walking from the root per check. Entries may be
     * null (check passed); the caller filters.
     */
-  private def subtree(nv: Column, node: Node, dp: String): Column = {
-    val isObj = typeOk(nv, "object")
-    val perChild = node.properties.map { case (name, child) =>
-      val cDp = if (dp.isEmpty) name else s"$dp.$name"
-      bind1(variant_get(nv, s"$$.$name", "variant")) { cv =>
-        val missing =
-          if (node.required.contains(name))
-            Seq(when(isObj && cv.isNull, lit(s"missing:$cDp")))
-          else Nil
-        val typeBad = child.typ.map(t =>
-          when(cv.isNotNull && !typeOk(cv, t), lit(s"type:$cDp"))).toSeq
-        val enumBad =
-          if (child.enumVals.nonEmpty)
-            Seq(when(cv.isNotNull && typeOk(cv, "string") &&
-              !try_variant_get(cv, "$", "string").isin(child.enumVals: _*),
-              lit(s"enum:$cDp")))
-          else Nil
-        val arr = try_variant_get(cv, "$", "array<variant>")
-        val maxBad = child.maxItems.map(k =>
-          when(cv.isNotNull && typeOk(cv, "array") && size(arr) > k,
-            lit(s"maxItems:$cDp"))).toSeq
-        val minBad = child.minItems.map(k =>
-          when(cv.isNotNull && typeOk(cv, "array") && size(arr) < k,
-            lit(s"minItems:$cDp"))).toSeq
-        val str = try_variant_get(cv, "$", "string")
-        val patBad = child.pattern.map(p =>
-          when(cv.isNotNull && typeOk(cv, "string") && !str.rlike(p),
-            lit(s"pattern:$cDp"))).toSeq
-        val lenLow = child.minLength.map(k =>
-          when(cv.isNotNull && typeOk(cv, "string") && length(str) < k,
-            lit(s"minLength:$cDp"))).toSeq
-        val lenHigh = child.maxLength.map(k =>
-          when(cv.isNotNull && typeOk(cv, "string") && length(str) > k,
-            lit(s"maxLength:$cDp"))).toSeq
-        val num = try_variant_get(cv, "$", "double")
-        val numLow = child.minimum.map(m =>
-          when(cv.isNotNull && typeOk(cv, "number") && num < m,
-            lit(s"minimum:$cDp"))).toSeq
-        val numHigh = child.maximum.map(m =>
-          when(cv.isNotNull && typeOk(cv, "number") && num > m,
-            lit(s"maximum:$cDp"))).toSeq
-        val itemsBad = child.items.map(itemNode =>
-          when(cv.isNotNull && typeOk(cv, "array") &&
-            exists(arr, e => elemBad(e, itemNode)), lit(s"items:$cDp"))).toSeq
-        val own = missing ++ typeBad ++ enumBad ++ maxBad ++ minBad ++
-          patBad ++ lenLow ++ lenHigh ++ numLow ++ numHigh ++ itemsBad
-        val ownArr = if (own.isEmpty) emptyViolations else array(own: _*)
-        val rec =
-          if (child.properties.nonEmpty)
-            when(cv.isNotNull, subtree(cv, child, cDp))
-              .otherwise(emptyViolations)
-          else emptyViolations
-        concat(ownArr, rec)
+  private def subtree(nv: Column, node: Node, dp: String): Column =
+    // bind the parent's object check once per node (it gates every
+    // required check below) and each child's schema string once per
+    // child — schema_of_variant walks its whole subtree, and recomputing
+    // it per check measured ~2× on the full contract
+    bind1(typeOk(nv, "object")) { isObj =>
+      val perChild = node.properties.map { case (name, child) =>
+        val cDp = if (dp.isEmpty) name else s"$dp.$name"
+        bind1(variant_get(nv, s"$$.$name", "variant")) { cv =>
+          bind1(schema_of_variant(cv)) { sch =>
+            val missing =
+              if (node.required.contains(name))
+                Seq(when(isObj && cv.isNull, lit(s"missing:$cDp")))
+              else Nil
+            val typeBad = child.typ.map(t =>
+              when(cv.isNotNull && !typeOkFrom(sch, t), lit(s"type:$cDp"))).toSeq
+            val enumBad =
+              if (child.enumVals.nonEmpty)
+                Seq(when(cv.isNotNull && typeOkFrom(sch, "string") &&
+                  !try_variant_get(cv, "$", "string").isin(child.enumVals: _*),
+                  lit(s"enum:$cDp")))
+              else Nil
+            val arr = try_variant_get(cv, "$", "array<variant>")
+            val maxBad = child.maxItems.map(k =>
+              when(cv.isNotNull && typeOkFrom(sch, "array") && size(arr) > k,
+                lit(s"maxItems:$cDp"))).toSeq
+            val minBad = child.minItems.map(k =>
+              when(cv.isNotNull && typeOkFrom(sch, "array") && size(arr) < k,
+                lit(s"minItems:$cDp"))).toSeq
+            val str = try_variant_get(cv, "$", "string")
+            val patBad = child.pattern.map(p =>
+              when(cv.isNotNull && typeOkFrom(sch, "string") && !str.rlike(p),
+                lit(s"pattern:$cDp"))).toSeq
+            val lenLow = child.minLength.map(k =>
+              when(cv.isNotNull && typeOkFrom(sch, "string") && length(str) < k,
+                lit(s"minLength:$cDp"))).toSeq
+            val lenHigh = child.maxLength.map(k =>
+              when(cv.isNotNull && typeOkFrom(sch, "string") && length(str) > k,
+                lit(s"maxLength:$cDp"))).toSeq
+            val num = try_variant_get(cv, "$", "double")
+            val numLow = child.minimum.map(m =>
+              when(cv.isNotNull && typeOkFrom(sch, "number") && num < m,
+                lit(s"minimum:$cDp"))).toSeq
+            val numHigh = child.maximum.map(m =>
+              when(cv.isNotNull && typeOkFrom(sch, "number") && num > m,
+                lit(s"maximum:$cDp"))).toSeq
+            val itemsBad = child.items.map(itemNode =>
+              when(cv.isNotNull && typeOkFrom(sch, "array") &&
+                exists(arr, e => elemBad(e, itemNode)), lit(s"items:$cDp"))).toSeq
+            val own = missing ++ typeBad ++ enumBad ++ maxBad ++ minBad ++
+              patBad ++ lenLow ++ lenHigh ++ numLow ++ numHigh ++ itemsBad
+            val ownArr = if (own.isEmpty) emptyViolations else array(own: _*)
+            val rec =
+              if (child.properties.nonEmpty)
+                when(cv.isNotNull, subtree(cv, child, cDp))
+                  .otherwise(emptyViolations)
+              else emptyViolations
+            concat(ownArr, rec)
+          }
+        }
       }
+      perChild.reduceOption(concat(_, _)).getOrElse(emptyViolations)
     }
-    perChild.reduceOption(concat(_, _)).getOrElse(emptyViolations)
-  }
 
   /** Sorted violation array for a VARIANT column against a schema.
     * Includes the ROOT type check (`type:$` for e.g. a JSON array or
