@@ -77,6 +77,120 @@ object QualityRules {
       bulletLineFrac(textCol) <= maxBulletFrac &&
       ellipsisLineFrac(textCol) <= maxEllipsisFrac
 
+  // ---- Gopher repetition rules (Rae et al. 2021 §A1.1, table A1 right
+  // half) — the duplicate-line and repeated-n-gram signals that catch
+  // boilerplate spam the word-level rules above cannot. Conventions
+  // (documented where the paper is under-specified, and replayed
+  // verbatim by the q203 oracle):
+  //  - dup_line_frac        = (n_lines − n_distinct) / n_lines
+  //  - dup_line_char_frac   = Σ_distinct (freq−1)·len(line) / Σ len(line)
+  //  - top_gram_char_frac   = max_freq · len(top gram) / len(joined toks)
+  //    (ties broken to the lexicographically smallest gram)
+  //  - dup_gram_char_frac   = Σ_{distinct g, freq>1} freq·len(g) /
+  //    len(joined toks), clamped at 1.0 (overlapping occurrences are
+  //    summed, not position-deduped — the common open-source
+  //    approximation of the paper's char-coverage measure)
+  // Every signal is a sort + ONE run-length fold over a per-row array —
+  // a narrow projection, no shuffle, scan speed at any scale. Ratios
+  // are int/int IEEE divisions (bit-identical across engines, no
+  // rounding needed on the oracle surface).
+
+  /** Σ over distinct values of a sorted array: `(freq−1)·len` (dupOnly
+    * extra copies) or `freq·len` gated on freq>1 (all duplicated
+    * copies) — one run-length pass.
+    */
+  private def dupCharSum(sorted: Column, countAll: Boolean): Column = {
+    // "" is a safe no-previous sentinel: callers filter empty strings
+    def close(st: Column): Column =
+      when(st.getField("run") > 1,
+        (if (countAll) st.getField("run") else st.getField("run") - 1) *
+          length(st.getField("prev")).cast("long"))
+        .otherwise(lit(0L))
+    val st0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc"))
+    aggregate(sorted, st0,
+      (st, x) =>
+        when(st.getField("run") === 0 || x =!= st.getField("prev"),
+          struct(x.as("prev"), lit(1L).as("run"),
+            (st.getField("acc") + close(st)).as("acc")))
+          .otherwise(struct(st.getField("prev").as("prev"),
+            (st.getField("run") + 1).as("run"),
+            st.getField("acc").as("acc"))),
+      st => st.getField("acc") + close(st))
+  }
+
+  /** (max frequency · gram length) of the most frequent gram, ties to
+    * the lexicographically smallest (= first max run in sorted order).
+    */
+  private def topGramChars(sorted: Column): Column = {
+    def close(st: Column): Column =
+      when(st.getField("run") > st.getField("bestRun"),
+        struct(st.getField("prev").as("prev"), lit(0L).as("run"),
+          st.getField("run").as("bestRun"),
+          st.getField("prev").as("bestGram")))
+        .otherwise(struct(st.getField("prev").as("prev"), lit(0L).as("run"),
+          st.getField("bestRun").as("bestRun"),
+          st.getField("bestGram").as("bestGram")))
+    val st0 = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bestRun"), lit("").as("bestGram"))
+    aggregate(sorted, st0,
+      (st, x) =>
+        when(st.getField("run") === 0 || x =!= st.getField("prev"),
+          struct(x.as("prev"), lit(1L).as("run"),
+            close(st).getField("bestRun").as("bestRun"),
+            close(st).getField("bestGram").as("bestGram")))
+          .otherwise(struct(st.getField("prev").as("prev"),
+            (st.getField("run") + 1).as("run"),
+            st.getField("bestRun").as("bestRun"),
+            st.getField("bestGram").as("bestGram"))),
+      st => close(st).getField("bestRun") *
+        length(close(st).getField("bestGram")).cast("long"))
+  }
+
+  /** The repetition signal block: (n_lines, dup_line_frac,
+    * dup_line_char_frac, top_gram_char_frac, dup_gram_char_frac,
+    * keep_repetition) appended to the id column. `linesCol` is any
+    * `array<string>` of non-empty lines (real corpora pass
+    * `split(text, '\n')`; the synthetic corpus passes sentence splits).
+    * Thresholds default to the paper's table A1 values.
+    */
+  def repetitionSignals(
+      df: DataFrame, idCol: Column, textCol: Column, linesCol: Column,
+      topGramN: Int = 2, dupGramN: Int = 5,
+      maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,
+      maxTopGramCharFrac: Double = 0.20,
+      maxDupGramCharFrac: Double = 0.15): DataFrame = {
+    val lines = filter(transform(linesCol, l => trim(l)), l => l =!= "")
+    val nLines = size(lines)
+    val lineChars = aggregate(lines, lit(0L),
+      (a, l) => a + length(l).cast("long"))
+    val dupLineFrac = when(nLines === 0, lit(0.0))
+      .otherwise((nLines - size(array_distinct(lines))).cast("double") / nLines)
+    val dupLineCharFrac = when(lineChars === 0, lit(0.0))
+      .otherwise(dupCharSum(sort_array(lines), countAll = false)
+        .cast("double") / lineChars)
+    val toks = TextFunctions.tokens(textCol)
+    val joinedLen = length(array_join(toks, " ")).cast("long")
+    val topGrams = TextFunctions.shingles(textCol, topGramN)
+    val topFrac = when(size(topGrams) === 0 || joinedLen === 0, lit(0.0))
+      .otherwise(topGramChars(sort_array(topGrams)).cast("double") / joinedLen)
+    val dupGrams = TextFunctions.shingles(textCol, dupGramN)
+    val dupGramFrac = when(size(dupGrams) === 0 || joinedLen === 0, lit(0.0))
+      .otherwise(least(lit(1.0),
+        dupCharSum(sort_array(dupGrams), countAll = true)
+          .cast("double") / joinedLen))
+    df.select(
+      idCol.as("id"),
+      nLines.cast("int").as("n_lines"),
+      dupLineFrac.as("dup_line_frac"),
+      dupLineCharFrac.as("dup_line_char_frac"),
+      topFrac.as("top_gram_char_frac"),
+      dupGramFrac.as("dup_gram_char_frac"),
+      (dupLineFrac <= maxDupLineFrac &&
+        dupLineCharFrac <= maxDupLineCharFrac &&
+        topFrac <= maxTopGramCharFrac &&
+        dupGramFrac <= maxDupGramCharFrac).as("keep_repetition"))
+  }
+
   /** Line-level policy phrases C4 drops (Raffel et al. 2020 §2.2: the
     * "curly bracket / policy" heuristics of the C4 cleaning pass).
     */

@@ -168,6 +168,29 @@ object TrainingQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Gopher REPETITION rules (Rae et al. 2021 §A1.1 table A1, right
+    // half — the companion of q113's word-level rules): duplicate-line
+    // fractions + repeated-n-gram char fractions, per-row sort +
+    // run-length folds, no shuffle. Docs are decorated with 4 repetition
+    // modes (clean / dup sentences / bigram spam / repeated 5-gram) so
+    // every signal fires; the oracle replays decoration and signals.
+    "q203_repetition_rules" -> ((s, dir) => {
+      val mode = pmod(col("doc_id"), lit(4))
+      val decorated = concat(col("text"),
+        when(mode === 1, repeat(lit(" repeat me please now."), 3))
+          .when(mode === 2, concat(repeat(lit(" spam gram"), 8), lit(".")))
+          .when(mode === 3, repeat(lit(" one two three four five."), 2))
+          .otherwise(lit("")))
+      val d = docs(s, dir).withColumn("__t", decorated)
+      val sents = filter(
+        transform(regexp_extract_all(col("__t"),
+          lit("[^.!?]+(?:[.!?]+|$)"), lit(0)), x => trim(x)),
+        x => x =!= "")
+      graft.operators.QualityRules.repetitionSignals(
+          d, col("doc_id"), col("__t"), sents)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Temperature-scaled multilingual sampling (XLM-R/mT5 balancing):
     // per-language weight ∝ n^0.5 normalized, quota = round(budget·w).
     // sqrt is correctly-rounded IEEE (pow is not) and the normalizer sums
@@ -439,6 +462,61 @@ object TrainingQueries {
            CAST(ROUND(SQRT(CAST(n AS DOUBLE)) / CAST(z AS DOUBLE) * 1000, 0)
              AS BIGINT) AS quota
          FROM c, t""",
+    "q203_repetition_rules" ->
+      s"""WITH t AS (SELECT doc_id, text || CASE doc_id % 4
+             WHEN 1 THEN repeat(' repeat me please now.', 3)
+             WHEN 2 THEN repeat(' spam gram', 8) || '.'
+             WHEN 3 THEN repeat(' one two three four five.', 2)
+             ELSE '' END AS text
+           FROM documents),
+         x AS (SELECT doc_id, text, $toksSql AS toks,
+             list_filter(list_transform(
+               regexp_extract_all(text, '[^.!?]+(?:[.!?]+|$$)'),
+               l -> trim(l)), l -> l <> '') AS lns
+           FROM t),
+         g AS (SELECT doc_id, lns,
+             CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])
+               ELSE CAST([] AS VARCHAR[]) END AS g2,
+             CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks)-3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4])
+               ELSE CAST([] AS VARCHAR[]) END AS g5,
+             length(array_to_string(toks, ' ')) AS jl,
+             COALESCE(list_sum(list_transform(lns, l -> length(l))), 0) AS lc
+           FROM x),
+         s AS (SELECT doc_id, len(lns) AS nl, lc, jl,
+             CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(lns) - len(list_distinct(lns)) AS DOUBLE)
+                 / len(lns) END AS dlf,
+             CASE WHEN lc = 0 THEN 0.0
+               ELSE CAST(COALESCE(list_sum(list_transform(list_distinct(lns),
+                 l -> (len(list_filter(lns, y -> y = l)) - 1) * length(l))), 0)
+                 AS DOUBLE) / lc END AS dlcf,
+             CASE WHEN len(g2) = 0 OR jl = 0 THEN 0.0
+               ELSE CAST(
+                 list_max(list_transform(list_distinct(g2),
+                   v -> len(list_filter(g2, y -> y = v)))) *
+                 length(list_min(list_filter(list_distinct(g2),
+                   v -> len(list_filter(g2, y -> y = v)) =
+                     list_max(list_transform(list_distinct(g2),
+                       w -> len(list_filter(g2, y -> y = w)))))))
+                 AS DOUBLE) / jl END AS tgf,
+             CASE WHEN len(g5) = 0 OR jl = 0 THEN 0.0
+               ELSE least(1.0,
+                 CAST(COALESCE(list_sum(list_transform(list_distinct(g5),
+                   v -> CASE WHEN len(list_filter(g5, y -> y = v)) > 1
+                     THEN len(list_filter(g5, y -> y = v)) * length(v)
+                     ELSE 0 END)), 0) AS DOUBLE) / jl) END AS dgf
+           FROM g)
+         SELECT doc_id, CAST(nl AS INT) AS n_lines,
+           dlf AS dup_line_frac, dlcf AS dup_line_char_frac,
+           tgf AS top_gram_char_frac, dgf AS dup_gram_char_frac,
+           (dlf <= 0.30 AND dlcf <= 0.20 AND tgf <= 0.20 AND dgf <= 0.15)
+             AS keep_repetition
+         FROM s""",
     "q113_gopher_rules" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks,
              string_split(text, chr(10)) AS lns

@@ -144,4 +144,37 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(out(1L).getAs[Int]("n_lines_kept") == 3) // lines kept, page dropped
     assert(out(2L).getAs[Int]("keep_doc") == 0)
   }
+
+  test("repetitionSignals: hand-computed fractions and edge cases") {
+    import graft.operators.QualityRules
+    def sig(id: Long, text: String): org.apache.spark.sql.Row = {
+      val df = Seq((id, text)).toDF("doc_id", "text")
+      QualityRules.repetitionSignals(df, col("doc_id"), col("text"),
+        split(col("text"), "\n")).head()
+    }
+    // 4 lines, "dup" twice: dup_line_frac = 1/4; the extra copy of the
+    // 3-char line over 3+3+5+5=16 chars -> dup_line_char_frac = 3/16
+    val r = sig(1L, "dup\ndup\nabcde\nfghij")
+    assert(r.getAs[Double]("dup_line_frac") == 0.25)
+    assert(r.getAs[Double]("dup_line_char_frac") == 3.0 / 16)
+    // "a b a b a" -> bigrams: "a b"x2, "b a"x2 -> tie broken to the
+    // lexicographically smallest ("a b"); 2*3 chars over 9 joined chars
+    val t = sig(2L, "a b a b a")
+    assert(t.getAs[Double]("top_gram_char_frac") == 6.0 / 9)
+    // repeated 5-gram: "v w x y z v w x y z" has exactly one duplicated
+    // 5-gram ("v w x y z" x2) among 6 -> 2*9/19
+    val f = sig(3L, "v w x y z v w x y z")
+    assert(f.getAs[Double]("dup_gram_char_frac") == 18.0 / 19)
+    assert(!f.getAs[Boolean]("keep_repetition"))
+    // clean text keeps — note it must be LONG enough: on a very short
+    // doc even a freq-1 top bigram exceeds 20% of the chars, which is
+    // why the word-level gates (q113 minWords) run before this one
+    assert(sig(4L, ('a' to 'z').map(c => s"word$c").mkString(" "))
+      .getAs[Boolean]("keep_repetition"))
+    assert(!sig(6L, "tiny doc").getAs[Boolean]("keep_repetition"))
+    val e = sig(5L, "")
+    assert(e.getAs[Int]("n_lines") == 0 &&
+      e.getAs[Double]("dup_gram_char_frac") == 0.0 &&
+      e.getAs[Boolean]("keep_repetition"))
+  }
 }
