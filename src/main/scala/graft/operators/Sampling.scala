@@ -49,19 +49,40 @@ object Sampling {
     * `buckets` in declaration order, e.g. Seq(train→80, val→10, test→10)
     * with buckets=100.
     */
-  def hashSplit(
-      df: DataFrame, id: Column, weights: Seq[(String, Int)],
-      buckets: Int = 100, salt: Long = 0L): DataFrame = {
+  private def splitFromBucket(
+      weights: Seq[(String, Int)], buckets: Int): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     require(weights.map(_._2).sum == buckets,
       s"weights must sum to buckets=$buckets (got ${weights.map(_._2).sum})")
-    val withBucket = df.withColumn("bucket", hashBucket(id, buckets, salt))
     val thresholds = weights.scanLeft(0)(_ + _._2).tail
-    val split = weights.zip(thresholds).foldLeft(lit(null).cast("string")) {
+    weights.zip(thresholds).foldLeft(lit(null).cast("string")) {
       case (acc, ((name, _), cum)) =>
         coalesce(acc, when(col("bucket") < cum, lit(name)))
     }
-    withBucket.withColumn("split", split)
+  }
+
+  def hashSplit(
+      df: DataFrame, id: Column, weights: Seq[(String, Int)],
+      buckets: Int = 100, salt: Long = 0L): DataFrame =
+    df.withColumn("bucket", hashBucket(id, buckets, salt))
+      .withColumn("split", splitFromBucket(weights, buckets))
+
+  /** Anti-leakage split: the split is a FUNCTION of a string group key
+    * (domain, repository, author) — no group ever straddles
+    * train/val/test. This is the property a per-row hash split cannot
+    * give: near-duplicate documents cluster WITHIN groups (mirrors,
+    * re-crawls, forks), and a row-level split leaks them across the
+    * train/eval boundary. Same bucket arithmetic as [[hashSplit]] over
+    * the portable poly31 string hash, so the oracle replays every
+    * assignment; still a narrow map-side projection — the group key is
+    * hashed in place, never shuffled or joined.
+    */
+  def groupAwareSplit(
+      df: DataFrame, group: Column, weights: Seq[(String, Int)],
+      buckets: Int = 100, salt: Long = 0L): DataFrame = {
+    val h = graft.functions.PolyHash.polyStringHash(df.sparkSession, group)
+    df.withColumn("bucket", hashBucket(h, buckets, salt))
+      .withColumn("split", splitFromBucket(weights, buckets))
   }
 
   /** Efraimidis–Spirakis (2006) weighted sampling WITHOUT replacement,

@@ -191,6 +191,22 @@ object TrainingQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Group-aware anti-leakage split: train/val/test as a FUNCTION of a
+    // synthetic domain key (97 domains over the corpus) — the q204 row
+    // ENCODES the no-leak property on the oracle surface: n_splits = 1
+    // for every domain, with the full assignment replayed hash-for-hash.
+    "q204_group_split" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("domain",
+        concat(lit("site-"), pmod(col("doc_id"), lit(97)).cast("string"),
+          lit(".com")))
+      graft.operators.Sampling.groupAwareSplit(d, col("domain"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_splits"),
+          min(col("split")).as("split"))
+    }),
+
     // Temperature-scaled multilingual sampling (XLM-R/mT5 balancing):
     // per-language weight ∝ n^0.5 normalized, quota = round(budget·w).
     // sqrt is correctly-rounded IEEE (pow is not) and the normalizer sums
@@ -462,6 +478,24 @@ object TrainingQueries {
            CAST(ROUND(SQRT(CAST(n AS DOUBLE)) / CAST(z AS DOUBLE) * 1000, 0)
              AS BIGINT) AS quota
          FROM c, t""",
+    "q204_group_split" ->
+      s"""WITH d AS (SELECT doc_id,
+             'site-' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS domain
+           FROM documents),
+         h AS (SELECT doc_id, domain,
+             ${CurationQueries.polyHashSqlLine("domain")} AS hv
+           FROM d),
+         b AS (SELECT doc_id, domain,
+             ((hv % 2147483647) * 506952114) % 2147483647 % 100 AS bucket
+           FROM h),
+         s AS (SELECT domain,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           FROM b)
+         SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+           MIN(split) AS split
+         FROM s GROUP BY domain""",
     "q203_repetition_rules" ->
       s"""WITH t AS (SELECT doc_id, text || CASE doc_id % 4
              WHEN 1 THEN repeat(' repeat me please now.', 3)

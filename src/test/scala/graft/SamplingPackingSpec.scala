@@ -202,4 +202,31 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(got == expect)
     assert(!got.exists(i => i % 17 == 0 || i % 19 == 0))
   }
+
+  test("groupAwareSplit: no group straddles, proportions hold, salts decorrelate") {
+    import graft.operators.Sampling
+    val rows = (0L until 20000L).map(i => (i, s"domain-${i % 500}.org"))
+      .toDF("id", "domain")
+    val split = Sampling.groupAwareSplit(rows, col("domain"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    // the anti-leakage property: every domain lands in exactly ONE split
+    val perGroup = split.groupBy("domain")
+      .agg(countDistinct(col("split")).as("n"))
+      .select(max(col("n"))).as[Long].head()
+    assert(perGroup == 1L)
+    // proportions near 80/10/10 over 500 domains
+    val frac = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap.view.mapValues(_ / 20000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08 &&
+      math.abs(frac("val") - 0.1) < 0.05 && math.abs(frac("test") - 0.1) < 0.05)
+    // a different salt redraws the assignment (~weights-squared agreement,
+    // not identity): two independent holdout draws must not correlate
+    val s2 = Sampling.groupAwareSplit(rows, col("domain"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = 7L)
+    val agree = split.select(col("id"), col("split").as("a"))
+      .join(s2.select(col("id"), col("split").as("b")), "id")
+      .select(avg(when(col("a") === col("b"), 1.0).otherwise(0.0)))
+      .as[Double].head()
+    assert(agree > 0.5 && agree < 0.8, s"agreement=$agree") // ~0.66 expected
+  }
 }
