@@ -40,6 +40,30 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Content-defined chunking (Gear CDC): boundaries are a function of
+    // the rolling CONTENT hash, so injecting a banner prefix re-cuts
+    // only the chunks before the first content-defined boundary — every
+    // later chunk re-aligns and its hash matches the unshifted copy.
+    // q205 chunks each doc raw AND banner-prefixed and puts the shared
+    // chunk-hash count (the CDC property itself) on the oracle surface;
+    // the oracle replays the whole rolling fold per document.
+    "q205_cdc_chunks" -> ((s, dir) => {
+      import graft.functions.CdcChunks
+      def hashes(c: Column) = array_distinct(
+        transform(CdcChunks.expr(c, 32, 256, 6), x => x.getField("hash")))
+      val orig = CdcChunks.expr(col("text"), 32, 256, 6)
+      docs(s, dir).select(
+          col("doc_id"),
+          size(orig).cast("int").as("n_orig"),
+          size(CdcChunks.expr(
+            concat(lit("BANNER NOISE HEADER INJECTED "), col("text")),
+            32, 256, 6)).cast("int").as("n_shift"),
+          size(array_intersect(hashes(col("text")),
+            hashes(concat(lit("BANNER NOISE HEADER INJECTED "), col("text")))))
+            .cast("int").as("n_shared"))
+        .withColumn("resync_ok", col("n_shared") >= col("n_orig") - 3)
+    }),
+
     // Cross-corpus boilerplate-line removal: 3-token chunk "lines", every
     // occurrence of a line held by >= 5 distinct docs dropped, survivors
     // re-joined in order (CCNet's corpus-level line dedup).
@@ -383,7 +407,55 @@ object CurationQueries {
            e * 1048576 + v + (vn - v) * (tt % 1024) // 1024 AS $out
          FROM ${pfx}t JOIN l2 ON i = tt // 1024)"""
 
+  /** The q205 CDC rolling fold as a DuckDB list_reduce: state =
+    * `[h, ph, start, pos]` ++ flat (start, len, hash) triples, one
+    * element per codepoint (the nested-list fold-state gotcha).
+    */
+  private def cdcFoldSql(t: String): String = {
+    val mod = "2305843009213693952" // 2^61
+    val h2 = s"(a[1]*2 + (x[1]+1)*2654435761) % $mod"
+    val p2 = "(a[2]*31 + x[1]) % 1000000007"
+    s"""list_reduce(
+       list_prepend(CAST([0, 0, 1, 0] AS BIGINT[]),
+         list_transform(string_split($t, ''), ch -> [CAST(ord(ch) AS BIGINT)])),
+       (a, x) -> CASE WHEN (a[4]+1 - a[3] + 1 >= 32 AND ($h2) % 64 = 0)
+             OR a[4]+1 - a[3] + 1 = 256
+         THEN list_concat(
+           [CAST(0 AS BIGINT), 0, a[4]+2, a[4]+1],
+           list_concat(a[5:], [a[3], a[4]+1 - a[3] + 1, $p2]))
+         ELSE list_concat([$h2, $p2, a[3], a[4]+1], a[5:])
+       END)"""
+  }
+
+  private def cdcTripsSql(f: String): String =
+    s"CASE WHEN $f[4] >= $f[3] " +
+      s"THEN list_concat($f[5:], [$f[3], $f[4] - $f[3] + 1, $f[2]]) " +
+      s"ELSE $f[5:] END"
+
+  private def cdcHashesSql(tr: String): String =
+    s"list_distinct(list_transform(range(1, len($tr)//3 + 1), i -> $tr[3*i]))"
+
   val oracles: Map[String, String] = Map(
+
+    "q205_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, text AS t1,
+             'BANNER NOISE HEADER INJECTED ' || text AS t2
+           FROM documents),
+         f AS (SELECT doc_id, ${cdcFoldSql("t1")} AS f1,
+             ${cdcFoldSql("t2")} AS f2
+           FROM d),
+         c AS (SELECT doc_id, ${cdcTripsSql("f1")} AS tr1,
+             ${cdcTripsSql("f2")} AS tr2
+           FROM f),
+         h AS (SELECT doc_id,
+             len(tr1)//3 AS n_orig, len(tr2)//3 AS n_shift,
+             len(list_intersect(${cdcHashesSql("tr1")},
+               ${cdcHashesSql("tr2")})) AS n_shared
+           FROM c)
+         SELECT doc_id, CAST(n_orig AS INT) AS n_orig,
+           CAST(n_shift AS INT) AS n_shift, CAST(n_shared AS INT) AS n_shared,
+           n_shared >= n_orig - 3 AS resync_ok
+         FROM h""",
 
     "q121_boilerplate_lines" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
