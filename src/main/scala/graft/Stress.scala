@@ -930,8 +930,11 @@ object Stress {
   }
 
   /** Schema-as-contract validation at corpus scale (r8): n survey-shaped
-    * JSON docs (1-in-7 dirtied across the q201 modes) through the FULL
-    * compiled survey contract. The claim under receipt: the whole
+    * JSON docs (6-in-7 carry one violation each, across the q201 dirt
+    * modes — a violation-HEAVY corpus, so the timing is the conservative
+    * upper bound: every dirty row materializes and sorts its violation
+    * array) through the FULL compiled survey contract. The claim under
+    * receipt: the whole
     * validation is ONE narrow projection — zero shuffle bytes — and
     * per-row cost stays flat, so 100 TB validates at scan speed × a
     * constant.

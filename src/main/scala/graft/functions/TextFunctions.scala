@@ -26,6 +26,17 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), x => x =!= "")
 
+  /** Evaluate `c` ONCE per row and reference it through a lambda
+    * variable. Expensive shared subexpressions referenced from several
+    * `when()` branches re-evaluate per branch (conditional branches are
+    * excluded from codegen subexpression elimination), and a plain
+    * withColumn alias gets re-inlined by CollapseProject — the lambda
+    * binding survives both (SchemaValidate's r8 lesson: 5.3× on the
+    * JSON parse alone).
+    */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish sub-word split: runs of letters, runs of digits, or single

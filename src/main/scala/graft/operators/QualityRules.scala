@@ -122,28 +122,28 @@ object QualityRules {
     * the lexicographically smallest (= first max run in sorted order).
     */
   private def topGramChars(sorted: Column): Column = {
-    def close(st: Column): Column =
-      when(st.getField("run") > st.getField("bestRun"),
-        struct(st.getField("prev").as("prev"), lit(0L).as("run"),
-          st.getField("run").as("bestRun"),
-          st.getField("prev").as("bestGram")))
-        .otherwise(struct(st.getField("prev").as("prev"), lit(0L).as("run"),
-          st.getField("bestRun").as("bestRun"),
-          st.getField("bestGram").as("bestGram")))
+    // per-FIELD closes: each is one cheap long comparison over struct
+    // reads — a struct-valued close referenced twice would duplicate the
+    // whole conditional struct build per fold step
+    def closedBestRun(st: Column): Column =
+      when(st.getField("run") > st.getField("bestRun"), st.getField("run"))
+        .otherwise(st.getField("bestRun"))
+    def closedBestGram(st: Column): Column =
+      when(st.getField("run") > st.getField("bestRun"), st.getField("prev"))
+        .otherwise(st.getField("bestGram"))
     val st0 = struct(lit("").as("prev"), lit(0L).as("run"),
       lit(0L).as("bestRun"), lit("").as("bestGram"))
     aggregate(sorted, st0,
       (st, x) =>
         when(st.getField("run") === 0 || x =!= st.getField("prev"),
           struct(x.as("prev"), lit(1L).as("run"),
-            close(st).getField("bestRun").as("bestRun"),
-            close(st).getField("bestGram").as("bestGram")))
+            closedBestRun(st).as("bestRun"),
+            closedBestGram(st).as("bestGram")))
           .otherwise(struct(st.getField("prev").as("prev"),
             (st.getField("run") + 1).as("run"),
             st.getField("bestRun").as("bestRun"),
             st.getField("bestGram").as("bestGram"))),
-      st => close(st).getField("bestRun") *
-        length(close(st).getField("bestGram")).cast("long"))
+      st => closedBestRun(st) * length(closedBestGram(st)).cast("long"))
   }
 
   /** The repetition signal block: (n_lines, dup_line_frac,
@@ -159,36 +159,56 @@ object QualityRules {
       maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,
       maxTopGramCharFrac: Double = 0.20,
       maxDupGramCharFrac: Double = 0.15): DataFrame = {
-    val lines = filter(transform(linesCol, l => trim(l)), l => l =!= "")
-    val nLines = size(lines)
-    val lineChars = aggregate(lines, lit(0L),
-      (a, l) => a + length(l).cast("long"))
-    val dupLineFrac = when(nLines === 0, lit(0.0))
-      .otherwise((nLines - size(array_distinct(lines))).cast("double") / nLines)
-    val dupLineCharFrac = when(lineChars === 0, lit(0.0))
-      .otherwise(dupCharSum(sort_array(lines), countAll = false)
-        .cast("double") / lineChars)
-    val toks = TextFunctions.tokens(textCol)
-    val joinedLen = length(array_join(toks, " ")).cast("long")
-    val topGrams = TextFunctions.shingles(textCol, topGramN)
-    val topFrac = when(size(topGrams) === 0 || joinedLen === 0, lit(0.0))
-      .otherwise(topGramChars(sort_array(topGrams)).cast("double") / joinedLen)
-    val dupGrams = TextFunctions.shingles(textCol, dupGramN)
-    val dupGramFrac = when(size(dupGrams) === 0 || joinedLen === 0, lit(0.0))
-      .otherwise(least(lit(1.0),
-        dupCharSum(sort_array(dupGrams), countAll = true)
-          .cast("double") / joinedLen))
-    df.select(
-      idCol.as("id"),
-      nLines.cast("int").as("n_lines"),
-      dupLineFrac.as("dup_line_frac"),
-      dupLineCharFrac.as("dup_line_char_frac"),
-      topFrac.as("top_gram_char_frac"),
-      dupGramFrac.as("dup_gram_char_frac"),
-      (dupLineFrac <= maxDupLineFrac &&
-        dupLineCharFrac <= maxDupLineCharFrac &&
-        topFrac <= maxTopGramCharFrac &&
-        dupGramFrac <= maxDupGramCharFrac).as("keep_repetition"))
+    import TextFunctions.bindOnce
+    // bind every shared array once (r8 lesson): lines/toks/grams are
+    // referenced from several when() branches, which are excluded from
+    // codegen subexpression elimination — unbound, each signal would
+    // re-run the line filter / tokenization per reference
+    val sig = bindOnce(
+      filter(transform(linesCol, l => trim(l)), l => l =!= "")) { lines =>
+      bindOnce(length(array_join(TextFunctions.tokens(textCol), " "))
+        .cast("long")) { joinedLen =>
+        val nLines = size(lines)
+        val lineChars = aggregate(lines, lit(0L),
+          (a, l) => a + length(l).cast("long"))
+        val dupLineFrac = when(nLines === 0, lit(0.0))
+          .otherwise((nLines - size(array_distinct(lines))).cast("double") / nLines)
+        val dupLineCharFrac = when(lineChars === 0, lit(0.0))
+          .otherwise(dupCharSum(sort_array(lines), countAll = false)
+            .cast("double") / lineChars)
+        val topFrac = bindOnce(
+          sort_array(TextFunctions.shingles(textCol, topGramN))) { topGrams =>
+          when(size(topGrams) === 0 || joinedLen === 0, lit(0.0))
+            .otherwise(topGramChars(topGrams).cast("double") / joinedLen)
+        }
+        val dupGramFrac = bindOnce(
+          sort_array(TextFunctions.shingles(textCol, dupGramN))) { dupGrams =>
+          when(size(dupGrams) === 0 || joinedLen === 0, lit(0.0))
+            .otherwise(least(lit(1.0),
+              dupCharSum(dupGrams, countAll = true).cast("double") / joinedLen))
+        }
+        struct(
+          nLines.cast("int").as("n_lines"),
+          dupLineFrac.as("dup_line_frac"),
+          dupLineCharFrac.as("dup_line_char_frac"),
+          topFrac.as("top_gram_char_frac"),
+          dupGramFrac.as("dup_gram_char_frac"),
+          (dupLineFrac <= maxDupLineFrac &&
+            dupLineCharFrac <= maxDupLineCharFrac &&
+            topFrac <= maxTopGramCharFrac &&
+            dupGramFrac <= maxDupGramCharFrac).as("keep_repetition"))
+      }
+    }
+    // two projects on purpose: CollapseProject declines to merge them
+    // (the struct is non-cheap and referenced per field), so the signal
+    // block evaluates once and the field reads are free
+    df.select(idCol.as("id"), sig.as("__sig"))
+      .select(col("id"), col("__sig.n_lines").as("n_lines"),
+        col("__sig.dup_line_frac").as("dup_line_frac"),
+        col("__sig.dup_line_char_frac").as("dup_line_char_frac"),
+        col("__sig.top_gram_char_frac").as("top_gram_char_frac"),
+        col("__sig.dup_gram_char_frac").as("dup_gram_char_frac"),
+        col("__sig.keep_repetition").as("keep_repetition"))
   }
 
   /** Line-level policy phrases C4 drops (Raffel et al. 2020 §2.2: the

@@ -56,15 +56,44 @@ object SchemaValidate {
       minimum: Option[Double] = None,
       maximum: Option[Double] = None,
       minLength: Option[Int] = None,
-      maxLength: Option[Int] = None)
+      maxLength: Option[Int] = None) {
+    /** Properties plus required-only names (draft-07: `required` is
+      * independent of `properties` — a required name with no property
+      * schema still demands presence; without the synthesis the walkers
+      * would generate NO check for it).
+      */
+    def childSeq: Seq[(String, Node)] = {
+      val propNames = properties.map(_._1).toSet
+      properties ++ required.filterNot(propNames.contains)
+        .map(_ -> Node(None, Nil, Nil, None, Nil, None))
+    }
+  }
 
-  /** Parse a draft-07 schema document (Jackson — already on Spark's
-    * classpath; the schema is a small driver-side contract file).
+  /** Validation keywords this subset enforces + draft-07 annotation
+    * keys that carry no validation semantics. Anything else REJECTS at
+    * parse time: a schema keyword that parses but never enforces would
+    * silently admit violating rows through the quarantine gate (e.g.
+    * `exclusiveMinimum` treated as a no-op) — the same fail-fast rule
+    * typeOkFrom applies to unknown type values.
     */
+  private val SupportedKeys = Set(
+    "type", "properties", "required", "enum", "items", "maxItems",
+    "pattern", "minItems", "minimum", "maximum", "minLength", "maxLength")
+  private val AnnotationKeys = Set(
+    "$schema", "$id", "title", "description", "default", "examples")
+
   def parseSchema(json: String): Node = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     import scala.jdk.CollectionConverters._
-    def walk(n: JsonNode): Node = Node(
+    def walk(n: JsonNode): Node = {
+      val unknown = n.fieldNames.asScala.toSeq
+        .filterNot(k => SupportedKeys.contains(k) || AnnotationKeys.contains(k))
+      require(unknown.isEmpty,
+        s"unsupported schema keyword(s) ${unknown.mkString(", ")} — " +
+          "refusing to compile a validator that silently ignores them")
+      walkChecked(n)
+    }
+    def walkChecked(n: JsonNode): Node = Node(
       typ = Option(n.get("type")).map(_.asText),
       required = Option(n.get("required"))
         .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil),
@@ -133,24 +162,33 @@ object SchemaValidate {
         else None
       // self-level value constraints on the element itself
       val selfVal = valueBad(e, esch, node)
-      val propBad = node.properties.flatMap { case (name, child) =>
-        val cv = variant_get(e, s"$$.$name", "variant")
-        val sch = schema_of_variant(cv)
-        val miss =
-          if (node.required.contains(name)) Some(cv.isNull) else None
-        val tb = child.typ.map(t => cv.isNotNull && !typeOkFrom(sch, t))
-        val eb =
-          if (child.enumVals.nonEmpty)
-            Some(cv.isNotNull && typeOkFrom(sch, "string") &&
-              !try_variant_get(e, s"$$.$name", "string").isin(child.enumVals: _*))
-          else None
-        val arr = try_variant_get(e, s"$$.$name", "array<variant>")
-        val ib = child.items.map { itemNode =>
-          cv.isNotNull && typeOkFrom(sch, "array") &&
-            exists(arr, x => elemBad(x, itemNode))
+      val propBad = node.childSeq.map { case (name, child) =>
+        // bind cv + its schema string once per property, same discipline
+        // as subtree — plain Columns re-expand per check
+        bind1(variant_get(e, s"$$.$name", "variant")) { cv =>
+          bind1(schema_of_variant(cv)) { sch =>
+            // draft-07: `required` only constrains OBJECT instances —
+            // a scalar element is not obligated to carry properties
+            val miss =
+              if (node.required.contains(name))
+                Some(typeOkFrom(esch, "object") && cv.isNull)
+              else None
+            val tb = child.typ.map(t => cv.isNotNull && !typeOkFrom(sch, t))
+            val eb =
+              if (child.enumVals.nonEmpty)
+                Some(cv.isNotNull && typeOkFrom(sch, "string") &&
+                  !try_variant_get(cv, "$", "string").isin(child.enumVals: _*))
+              else None
+            val arr = try_variant_get(cv, "$", "array<variant>")
+            val ib = child.items.map { itemNode =>
+              cv.isNotNull && typeOkFrom(sch, "array") &&
+                exists(arr, x => elemBad(x, itemNode))
+            }
+            val vb = Some(cv.isNotNull && valueBad(cv, sch, child))
+            (miss ++ tb ++ eb ++ vb ++ ib)
+              .reduceOption(_ || _).getOrElse(lit(false))
+          }
         }
-        val vb = Some(cv.isNotNull && valueBad(cv, sch, child))
-        miss ++ tb ++ eb ++ vb ++ ib
       }
       (typBad ++ enumBad ++ Seq(selfVal) ++ propBad)
         .reduceOption(_ || _).getOrElse(lit(false))
@@ -187,7 +225,7 @@ object SchemaValidate {
     * every downstream reference.
     */
   private def bind1(c: Column)(f: Column => Column): Column =
-    element_at(transform(array(c), f), 1)
+    graft.functions.TextFunctions.bindOnce(c)(f)
 
   private val emptyViolations = array().cast("array<string>")
 
@@ -197,13 +235,17 @@ object SchemaValidate {
     * no absolute-path re-walking from the root per check. Entries may be
     * null (check passed); the caller filters.
     */
-  private def subtree(nv: Column, node: Node, dp: String): Column =
-    // bind the parent's object check once per node (it gates every
-    // required check below) and each child's schema string once per
-    // child — schema_of_variant walks its whole subtree, and recomputing
-    // it per check measured ~2× on the full contract
-    bind1(typeOk(nv, "object")) { isObj =>
-      val perChild = node.properties.map { case (name, child) =>
+  /** `node`'s property subtree given BOTH the bound variant and its
+    * bound schema string — schema_of_variant walks its whole subtree,
+    * and recomputing it per check measured ~2× on the full contract;
+    * the recursion hands each child's already-bound string down, so
+    * every variant and every schema string is computed exactly once
+    * per row, at every depth.
+    */
+  private def subtreeFrom(
+      nv: Column, nsch: Column, node: Node, dp: String): Column = {
+      val isObj = typeOkFrom(nsch, "object")
+      val perChild = node.childSeq.map { case (name, child) =>
         val cDp = if (dp.isEmpty) name else s"$dp.$name"
         bind1(variant_get(nv, s"$$.$name", "variant")) { cv =>
           bind1(schema_of_variant(cv)) { sch =>
@@ -251,7 +293,7 @@ object SchemaValidate {
             val ownArr = if (own.isEmpty) emptyViolations else array(own: _*)
             val rec =
               if (child.properties.nonEmpty)
-                when(cv.isNotNull, subtree(cv, child, cDp))
+                when(cv.isNotNull, subtreeFrom(cv, sch, child, cDp))
                   .otherwise(emptyViolations)
               else emptyViolations
             concat(ownArr, rec)
@@ -265,16 +307,18 @@ object SchemaValidate {
     * Includes the ROOT type check (`type:$` for e.g. a JSON array or
     * null where the schema demands an object) — without it every
     * property check is gated off by the parent-is-object guard and a
-    * non-object payload would validate clean.
+    * non-object payload would validate clean. The root's schema string
+    * is bound once and shared with the subtree walk.
     */
-  def violationsArray(v: Column, schema: Node): Column = {
-    val rootChecks = schema.typ.map(t =>
-      when(v.isNotNull && !typeOk(v, t), lit("type:$"))).toSeq
-    val rootArr =
-      if (rootChecks.isEmpty) emptyViolations else array(rootChecks: _*)
-    array_sort(filter(concat(rootArr, subtree(v, schema, "")),
-      x => x.isNotNull))
-  }
+  def violationsArray(v: Column, schema: Node): Column =
+    bind1(schema_of_variant(v)) { sch =>
+      val rootChecks = schema.typ.map(t =>
+        when(v.isNotNull && !typeOkFrom(sch, t), lit("type:$"))).toSeq
+      val rootArr =
+        if (rootChecks.isEmpty) emptyViolations else array(rootChecks: _*)
+      array_sort(filter(concat(rootArr, subtreeFrom(v, sch, schema, "")),
+        x => x.isNotNull))
+    }
 
   /** Validate a JSON-string column: original columns + the in-band
     * violation array + `is_valid`. Malformed (or SQL-null) payloads are
@@ -320,10 +364,14 @@ object SchemaValidate {
           s"NOT IN (${node.enumVals.map(sq).mkString(", ")}))")
       else None
     val selfVal = valueBadSql(x, None, node)
-    val propBad = node.properties.flatMap { case (name, child) =>
+    val propBad = node.childSeq.flatMap { case (name, child) =>
       val jt = s"json_type($x, '$$.$name')"
+      // required gated on the element being an OBJECT (draft-07; mirrors
+      // elemBad — scalar elements are not obligated to carry properties)
       val miss =
-        if (node.required.contains(name)) Some(s"$jt IS NULL") else None
+        if (node.required.contains(name))
+          Some(s"(json_type($x) = 'OBJECT' AND $jt IS NULL)")
+        else None
       val tb = child.typ.map(t =>
         s"($jt IS NOT NULL AND NOT (${typeOkSql(jt, t)}))")
       val eb =
@@ -370,7 +418,7 @@ object SchemaValidate {
 
   private def compileSql(
       j: String, node: Node, path: String, dp: String): Seq[(String, String)] =
-    node.properties.flatMap { case (name, child) =>
+    node.childSeq.flatMap { case (name, child) =>
       val cPath = s"$path.$name"
       val cDp = if (dp.isEmpty) name else s"$dp.$name"
       val jt = s"json_type($j, '$cPath')"

@@ -72,9 +72,11 @@ class CdcChunksSpec extends AnyFunSuite {
     assert(cs.forall(_._2 <= 64))
     assert(cs.map(_._2).sum == 1000)
     assert(chunks("").isEmpty)
-    // minSize suppresses boundaries in the first min-1 chars of a chunk
-    assert(chunks(base, min = 300, max = 400, bits = 1).forall {
-      case (_, l, _) => l >= math.min(300, base.length) || l == chunks(base, 300, 400, 1).last._2
-    })
+    // minSize suppresses boundaries below 300 chars: with maskBits=1
+    // (a boundary every ~2 chars otherwise) every non-tail chunk must
+    // still reach minSize exactly
+    val cs300 = chunks(base, min = 300, max = 400, bits = 1)
+    assert(cs300.init.forall(_._2 >= 300))
+    assert(cs300.map(_._2).sum == base.length)
   }
 }

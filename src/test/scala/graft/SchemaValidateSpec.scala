@@ -192,6 +192,35 @@ class SchemaValidateSpec extends AnyFunSuite {
       .foreach(l => assert(sql.contains(s"'$l'"), l))
   }
 
+  test("unsupported keywords reject at parse time; required gates on object elements") {
+    // a keyword that parses but never enforces would silently admit
+    // violating rows — fail fast instead
+    val e = intercept[IllegalArgumentException] {
+      SchemaValidate.parseSchema(
+        """{"type":"object","properties":{"q":{"type":"integer","exclusiveMinimum":0}}}""")
+    }
+    assert(e.getMessage.contains("exclusiveMinimum"))
+    // annotation keys are fine
+    SchemaValidate.parseSchema(
+      """{"$schema":"x","title":"t","description":"d","type":"object"}""")
+    // draft-07: required only constrains OBJECT instances — a scalar
+    // array element is not obligated to carry properties
+    val s = SchemaValidate.parseSchema(
+      """{"type":"object","properties":{"rows":{"type":"array",
+        "items":{"required":["id"]}}}}""")
+    def v(json: String): Seq[String] = {
+      val df = Seq(json).toDF("j")
+      SchemaValidate.validate(df, col("j"), s)
+        .select("violations").as[Seq[String]].head()
+    }
+    assert(v("""{"rows":["scalar"]}""") == Nil)
+    assert(v("""{"rows":[{"id":1}]}""") == Nil)
+    assert(v("""{"rows":[{"other":1}]}""") == Seq("items:rows"))
+    // the SQL rendering carries the same object gate
+    assert(SchemaValidate.violationsListSql("j", s)
+      .contains("json_type(x0) = 'OBJECT' AND json_type(x0, '$.id') IS NULL"))
+  }
+
   test("reserved output columns fail fast") {
     val df = Seq(("{}", true)).toDF("j", "is_valid")
     assertThrows[IllegalArgumentException] {
