@@ -75,7 +75,9 @@ object PlanDump {
       "q190_ewma" -> "fixed-point EWMA: one user-keyed exchange, recursion folds inside the agg (no per-step shuffles)",
       "q193_copurchase" -> "co-purchase: within-basket pair self-join on the order key (fan-out bounded by basket size), pair agg, WindowGroupLimit top-3 per item",
       "q196_geo_pairs" -> "geo radius pairs: 3x3 neighbor-cell Generate on the left, ONE (latc,lngc) equi-join, integer distance filter — each qualifying pair meets exactly once",
-      "q201_schema_validate" -> "schema-as-contract: the whole draft-07 contract compiled to ONE narrow Project over variant expressions — zero exchanges, zero joins; validation cost is per-row columnar work at any corpus size")
+      "q201_schema_validate" -> "schema-as-contract: the whole draft-07 contract compiled to ONE narrow Project over variant expressions — zero exchanges, zero joins; validation cost is per-row columnar work at any corpus size",
+      "q203_repetition_rules" -> "Gopher repetition rules: per-row sort + run-length folds (dup lines, top/dup n-gram char fractions) in ONE narrow Project — no shuffle, scan speed at any scale",
+      "q205_cdc_chunks" -> "content-defined chunking: two compiled O(n) Gear-CDC kernel calls + array intersect per row, ONE narrow Project — the storage-dedup primitive runs at scan speed")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>
