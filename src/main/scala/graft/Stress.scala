@@ -970,6 +970,47 @@ object Stress {
     println(f"[stress] schema_validate shuffle bytes: $bytes (expect ~0 — one narrow projection)")
   }
 
+  /** The r8 narrow text kernels at corpus scale: Gopher repetition
+    * signals and Gear-CDC chunking over n synthetic ~250-char docs
+    * (xxhash-derived token streams — the q169 generator lesson — with
+    * 1-in-5 docs carrying an injected repeated tail so the signals have
+    * a live positive class). Claim under receipt: both are single
+    * narrow projections — zero shuffle beyond the one-row agg — so
+    * cost is scan speed × a constant at any corpus size.
+    */
+  private def textSignalsReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.QualityRules
+    val words = typedLit((1 to 64).map(i => s"w$i"))
+    val docs = spark.range(0, n, 1, 32).select(col("id").as("doc_id"),
+      concat(
+        array_join(transform(sequence(lit(0), lit(39)),
+          j => element_at(words,
+            (pmod(xxhash64(col("id") * 41L + j), lit(64)) + 1).cast("int"))),
+          " "),
+        when(pmod(col("id"), lit(5)) === 0,
+          lit(". repeat me now. repeat me now. repeat me now."))
+          .otherwise(lit(""))).as("text"))
+    val (_, repBytes) = shuffleBytes(spark.sparkContext) {
+      time(s"repetition_${n / 1000000}M") {
+        QualityRules.repetitionSignals(docs, col("doc_id"), col("text"),
+            split(col("text"), "\\."))
+          .agg(sum(when(col("keep_repetition"), 0L).otherwise(1L)))
+          .collect()
+      }
+    }
+    println(s"[stress] repetition shuffle bytes: $repBytes (expect ~0)")
+    val (_, cdcBytes) = shuffleBytes(spark.sparkContext) {
+      time(s"cdc_chunks_${n / 1000000}M") {
+        docs.select(graft.functions.CdcChunks
+            .expr(col("text"), 32, 256, 6).as("c"))
+          .agg(sum(size(col("c"))), sum(element_at(col("c"), 1).getField("hash")))
+          .collect()
+      }
+    }
+    println(s"[stress] cdc shuffle bytes: $cdcBytes (expect ~0)")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -1006,6 +1047,12 @@ object Stress {
 
     if (section == "schema") {
       schemaReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "textsignals") {
+      textSignalsReceipt(spark, n)
       spark.stop()
       return
     }

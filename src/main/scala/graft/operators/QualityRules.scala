@@ -159,6 +159,54 @@ object QualityRules {
       maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,
       maxTopGramCharFrac: Double = 0.20,
       maxDupGramCharFrac: Double = 0.15): DataFrame = {
+    // the compiled one-pass kernel gathers the integer measures; the
+    // fraction ARITHMETIC stays in the Column layer so the divisions are
+    // the same IEEE expressions the q203 oracle replays (155.6 → 9.8 s
+    // over 10M docs, 15.9×; the HOF form below remains the composable
+    // reference, equivalence spec-pinned)
+    val st = graft.functions.RepetitionCharStats.expr(
+      struct(textCol, linesCol), topGramN, dupGramN)
+    val r = col("__r")
+    val nLines = r.getField("n_lines")
+    val dupLineFrac = when(nLines === 0, lit(0.0))
+      .otherwise((nLines - r.getField("n_distinct_lines")).cast("double") / nLines)
+    val dupLineCharFrac = when(r.getField("line_chars") === 0, lit(0.0))
+      .otherwise(r.getField("dup_line_extra").cast("double") /
+        r.getField("line_chars"))
+    val topFrac = when(
+        r.getField("top_gram_chars") === 0 || r.getField("joined_len") === 0,
+        lit(0.0))
+      .otherwise(r.getField("top_gram_chars").cast("double") /
+        r.getField("joined_len"))
+    val dupGramFrac = when(r.getField("joined_len") === 0, lit(0.0))
+      .otherwise(least(lit(1.0),
+        r.getField("dup_gram_chars").cast("double") / r.getField("joined_len")))
+    // two projects on purpose: CollapseProject declines to merge them
+    // (the kernel call is non-cheap and referenced per field), so the
+    // kernel runs once per row
+    df.select(idCol.as("id"), st.as("__r"))
+      .select(col("id"),
+        nLines.cast("int").as("n_lines"),
+        dupLineFrac.as("dup_line_frac"),
+        dupLineCharFrac.as("dup_line_char_frac"),
+        topFrac.as("top_gram_char_frac"),
+        dupGramFrac.as("dup_gram_char_frac"),
+        (dupLineFrac <= maxDupLineFrac &&
+          dupLineCharFrac <= maxDupLineCharFrac &&
+          topFrac <= maxTopGramCharFrac &&
+          dupGramFrac <= maxDupGramCharFrac).as("keep_repetition"))
+  }
+
+  /** The composable HOF form of [[repetitionSignals]] (sort + run-length
+    * folds) — the reference implementation the kernel is spec-pinned
+    * against, and the fallback if a caller needs pure built-ins.
+    */
+  private[graft] def repetitionSignalsHof(
+      df: DataFrame, idCol: Column, textCol: Column, linesCol: Column,
+      topGramN: Int = 2, dupGramN: Int = 5,
+      maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,
+      maxTopGramCharFrac: Double = 0.20,
+      maxDupGramCharFrac: Double = 0.15): DataFrame = {
     import TextFunctions.bindOnce
     // bind every shared array once (r8 lesson): lines/toks/grams are
     // referenced from several when() branches, which are excluded from

@@ -177,4 +177,24 @@ class QualityRulesSpec extends AnyFunSuite {
       e.getAs[Double]("dup_gram_char_frac") == 0.0 &&
       e.getAs[Boolean]("keep_repetition"))
   }
+
+  test("repetition kernel == HOF reference, bit-for-bit on decorated real docs") {
+    import graft.operators.QualityRules
+    val docs = graft.core.Tables.load(spark, SparkTestSession.Sf001, "documents")
+      .withColumn("__t", concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 1,
+          lit(" repeat me please now. repeat me please now."))
+          .otherwise(lit(""))))
+      .withColumn("__l", split(col("__t"), "\\."))
+    val cols = Seq("id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+      "top_gram_char_frac", "dup_gram_char_frac", "keep_repetition")
+    val kernel = QualityRules.repetitionSignals(
+        docs, col("doc_id"), col("__t"), col("__l"))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val hof = QualityRules.repetitionSignalsHof(
+        docs, col("doc_id"), col("__t"), col("__l"))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(kernel == hof)
+    assert(kernel.nonEmpty)
+  }
 }
