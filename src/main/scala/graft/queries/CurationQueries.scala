@@ -64,6 +64,30 @@ object CurationQueries {
         .withColumn("resync_ok", col("n_shared") >= col("n_orig") - 3)
     }),
 
+    // Block-level dedup accounting over CDC chunks: the corpus plus its
+    // banner-shifted twin (2× the bytes, near-1× the CONTENT) reduced to
+    // per-(hash, len) multiplicities — the storage story behind q205:
+    // savings_frac ≈ 1/2 despite every shifted doc differing byte-wise
+    // from its source. ONE shuffle carrying (long, int) pairs only —
+    // the text itself never moves.
+    "q206_cdc_dedup_stats" -> ((s, dir) => {
+      import graft.functions.CdcChunks
+      def chunksOf(c: Column) = CdcChunks.expr(c, 32, 256, 6)
+      val d = docs(s, dir)
+      val both = d.select(explode(chunksOf(col("text"))).as("c"))
+        .unionAll(d.select(explode(chunksOf(
+          concat(lit("BANNER NOISE HEADER INJECTED "), col("text")))).as("c")))
+      both.select(col("c.hash").as("h"), col("c.len").as("l"))
+        .groupBy(col("h"), col("l")).agg(count(lit(1)).as("n"))
+        .agg(
+          sum(col("n")).as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(col("n") * col("l")).as("total_chars"),
+          sum(col("l").cast("long")).as("stored_chars"))
+        .withColumn("savings_frac",
+          lit(1.0) - col("stored_chars").cast("double") / col("total_chars"))
+    }),
+
     // Cross-corpus boilerplate-line removal: 3-token chunk "lines", every
     // occurrence of a line held by >= 5 distinct docs dropped, survivors
     // re-joined in order (CCNet's corpus-level line dedup).
@@ -437,6 +461,31 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
 
+    "q206_cdc_dedup_stats" ->
+      s"""WITH d AS (SELECT doc_id, text AS t1,
+             'BANNER NOISE HEADER INJECTED ' || text AS t2
+           FROM documents),
+         f AS (SELECT doc_id, ${cdcFoldSql("t1")} AS f1,
+             ${cdcFoldSql("t2")} AS f2
+           FROM d),
+         c AS (SELECT doc_id, ${cdcTripsSql("f1")} AS tr1,
+             ${cdcTripsSql("f2")} AS tr2
+           FROM f),
+         e AS (
+           SELECT tr1[3*u.i - 1] AS l, tr1[3*u.i] AS h
+           FROM c, unnest(range(1, len(tr1)//3 + 1)) AS u(i)
+           UNION ALL
+           SELECT tr2[3*u.i - 1] AS l, tr2[3*u.i] AS h
+           FROM c, unnest(range(1, len(tr2)//3 + 1)) AS u(i)),
+         g AS (SELECT h, l, COUNT(*) AS n FROM e GROUP BY h, l),
+         a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+             CAST(SUM(n * l) AS BIGINT) AS total_chars,
+             CAST(SUM(l) AS BIGINT) AS stored_chars
+           FROM g)
+         SELECT n_chunks, n_distinct_chunks, total_chars, stored_chars,
+           1.0 - CAST(stored_chars AS DOUBLE) / total_chars AS savings_frac
+         FROM a""",
     "q205_cdc_chunks" ->
       s"""WITH d AS (SELECT doc_id, text AS t1,
              'BANNER NOISE HEADER INJECTED ' || text AS t2

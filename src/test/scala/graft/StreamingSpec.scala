@@ -489,6 +489,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("schema validation: stream == batch (narrow projection, no state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payloads = Seq(
+      """{"personal_info":{"gender":"男","education":"硕士","major":"m"}}""",
+      """{"personal_info":{"gender":"x","education":"硕士","major":"m"}}""",
+      """{"institution_info":[1]}""",
+      "not json at all {",
+      "{}")
+    val batch = graft.operators.SchemaValidate.validate(
+        payloads.toDF("j"), col("j"),
+        graft.operators.SchemaValidate.surveySchema)
+      .select(col("j"), array_join(col("violations"), "|").as("v"),
+        col("is_valid"))
+      .as[(String, String, Boolean)].collect().toSet
+    val stream = MemoryStream[String]
+    val q = graft.operators.SchemaValidate.validate(
+        stream.toDS().toDF("j"), col("j"),
+        graft.operators.SchemaValidate.surveySchema)
+      .select(col("j"), array_join(col("violations"), "|").as("v"),
+        col("is_valid"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("schema_stream_test").start()
+    try {
+      stream.addData(payloads.take(2)); q.processAllAvailable()
+      stream.addData(payloads.drop(2)); q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM schema_stream_test")
+        .as[(String, String, Boolean)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.exists(_._2 == "malformed:$"))
+    } finally q.stop()
+  }
+
   test("advanceFunnel: bounded lateness prunes state without changing results") {
     import graft.streaming.StreamingOps
     import graft.streaming.StreamingOps.FunnelSt
