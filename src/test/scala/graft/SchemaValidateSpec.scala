@@ -221,6 +221,27 @@ class SchemaValidateSpec extends AnyFunSuite {
       .contains("json_type(x0) = 'OBJECT' AND json_type(x0, '$.id') IS NULL"))
   }
 
+  test("golden: the reference's own survey payloads against its own schema") {
+    def fileViols(path: String): Seq[String] = {
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      viols(json)
+    }
+    // the canonical payload the reference tests with conforms in full
+    assert(fileViols("/root/reference/test_survey_data.json") == Nil)
+    // ... and its truncated 副本 drops everything in institution_info
+    // but the name — exactly the 8 remaining required fields
+    assert(fileViols("/root/reference/data/test_survey_data - 副本.json") ==
+      Seq("missing:institution_info.city",
+        "missing:institution_info.current_enrollment",
+        "missing:institution_info.is_puhui",
+        "missing:institution_info.service_modes",
+        "missing:institution_info.specific_form",
+        "missing:institution_info.staff_count",
+        "missing:institution_info.subject_type",
+        "missing:institution_info.total_capacity"))
+  }
+
   test("reserved output columns fail fast") {
     val df = Seq(("{}", true)).toDF("j", "is_valid")
     assertThrows[IllegalArgumentException] {
