@@ -834,4 +834,48 @@ object Dedup {
         size(col("__kept")).cast("long").as("n_lines_out"),
         array_join(col("__kept"), "\n").as("text_dedup"))
   }
+
+  /** Document near-dup discovery via SHARED CDC CHUNKS — the block-level
+    * complement of the MinHash/SimHash families: two docs pair when they
+    * share >= `minShared` distinct (hash, len) content-defined chunks
+    * ([[graft.functions.CdcChunks]]), which catches shifted/partial
+    * copies (banner-injected mirrors, prepended headers) that token-
+    * shingle signatures dilute and whole-doc hashing misses entirely —
+    * the chunk boundaries re-sync after an edit, so the UNEDITED
+    * remainder matches chunk-for-chunk.
+    *
+    * Scale posture — the family's frequency-capping discipline: chunks
+    * held by more than `maxDf` docs are boilerplate by definition and
+    * are DROPPED before pairing (same role as LSH band caps and the
+    * flagged-line head), so per-chunk pair fan-out is bounded by
+    * maxDf²/2 and the join stays linear in the chunk count; chunks held
+    * by a single doc can never pair and are pruned by the same
+    * frequency pass. Everything shuffled is (hash, len, id) triples —
+    * the text never moves.
+    */
+  def cdcNearDupPairs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      minShared: Int = 2, maxDf: Int = 16,
+      minSize: Int = 32, maxSize: Int = 256, maskBits: Int = 6): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
+    val chunks = df
+      .select(idCol.as("id"),
+        explode(graft.functions.CdcChunks.expr(
+          textCol, minSize, maxSize, maskBits)).as("c"))
+      .select(col("id"), col("c.hash").as("h"), col("c.len").as("l"))
+      .distinct()
+    val pairable = chunks.groupBy(col("h"), col("l"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("h"), col("l"))
+    val gated = chunks.join(pairable, Seq("h", "l"))
+    gated.as("a")
+      .join(gated.as("b"),
+        col("a.h") === col("b.h") && col("a.l") === col("b.l") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -88,6 +88,20 @@ object CurationQueries {
           lit(1.0) - col("stored_chars").cast("double") / col("total_chars"))
     }),
 
+    // CDC near-dup pairing: the corpus + its banner-shifted twins (ids
+    // offset by 100000) discovered as near-dup PAIRS through shared
+    // content-defined chunks — the block-level complement of MinHash
+    // (q45) and SimHash (q46) that survives prefix shifts. Hot chunks
+    // (df > 8) are capped as boilerplate before pairing.
+    "q207_cdc_neardup_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.select(col("doc_id").as("id"), col("text"))
+        .unionAll(d.select((col("doc_id") + 100000L).as("id"),
+          concat(lit("BANNER NOISE HEADER INJECTED "), col("text")).as("text")))
+      Dedup.cdcNearDupPairs(corpus, col("id"), col("text"),
+        minShared = 2, maxDf = 8)
+    }),
+
     // Cross-corpus boilerplate-line removal: 3-token chunk "lines", every
     // occurrence of a line held by >= 5 distinct docs dropped, survivors
     // re-joined in order (CCNet's corpus-level line dedup).
@@ -461,6 +475,25 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
 
+    "q207_cdc_neardup_pairs" ->
+      s"""WITH d AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS id,
+             'BANNER NOISE HEADER INJECTED ' || text AS text
+           FROM documents),
+         f AS (SELECT id, ${cdcFoldSql("text")} AS ff FROM d),
+         c AS (SELECT id, ${cdcTripsSql("ff")} AS tr FROM f),
+         e AS (SELECT DISTINCT id, tr[3*u.i - 1] AS l, tr[3*u.i] AS h
+           FROM c, unnest(range(1, len(tr)//3 + 1)) AS u(i)),
+         p AS (SELECT h, l FROM e GROUP BY h, l
+           HAVING COUNT(*) BETWEEN 2 AND 8),
+         ge AS (SELECT e.id, e.h, e.l FROM e JOIN p USING (h, l)),
+         pr AS (SELECT a.id AS id1, b.id AS id2,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM ge a JOIN ge b ON a.h = b.h AND a.l = b.l AND a.id < b.id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT id1, id2, n_shared FROM pr""",
     "q206_cdc_dedup_stats" ->
       s"""WITH d AS (SELECT doc_id, text AS t1,
              'BANNER NOISE HEADER INJECTED ' || text AS t2

@@ -602,4 +602,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .orderBy("rnk").collect()
     assert(out(0).getLong(1) == 100L, "planted near-dup must rank first")
   }
+
+  test("cdcNearDupPairs: shifted copies pair, boilerplate chunks capped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def body(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to 300).map(_ => ('a' + r.nextInt(26)).toChar.toString + " ").mkString
+    }
+    // 3 distinct docs, each with a banner-shifted twin at id+100
+    val base = (1L to 3L).map(i => (i, body(i.toInt)))
+    val shifted = base.map { case (i, t) =>
+      (i + 100L, s"INJECTED HEADER PREFIX $i " + t) }
+    // 20 docs that are PURE shared boilerplate — without the df cap they
+    // would generate C(20,2)=190 pairs; with maxDf=8 they generate none
+    val boiler = (1000L until 1020L).map(i => (i, body(999)))
+    val corpus = (base ++ shifted ++ boiler).toDF("id", "text")
+    val pairs = graft.operators.Dedup.cdcNearDupPairs(
+        corpus, col("id"), col("text"), minShared = 2, maxDf = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    (1L to 3L).foreach(i => assert(pairSet.contains((i, i + 100L)), s"twin $i"))
+    assert(!pairs.exists(p => p._1 >= 1000L || p._2 >= 1000L),
+      "boilerplate cluster must be frequency-capped out")
+    // distinct base docs don't pair with each other
+    assert(!pairSet.exists { case (a, b) => a <= 3 && b <= 3 })
+  }
 }
