@@ -1011,6 +1011,62 @@ object Stress {
     println(s"[stress] cdc shuffle bytes: $cdcBytes (expect ~0)")
   }
 
+  /** CDC near-dup pairing at corpus scale: n/2 distinct ~250-char docs
+    * (xxhash token streams) + their banner-shifted twins, plus a
+    * 100k-doc identical boilerplate cluster that MUST be frequency-
+    * capped out (uncapped it alone would fan out 5×10⁹ pairs). Receipt:
+    * runtime, shuffle bytes (triples only), twin recall, zero
+    * boilerplate pairs.
+    */
+  private def cdcPairsReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Dedup
+    val half = n / 2
+    val words = typedLit((1 to 64).map(i => s"w$i"))
+    def bodyOf(idc: org.apache.spark.sql.Column) =
+      // ~200 tokens ≈ 800 chars ≈ 8 chunks at 2^6 expected size — short
+      // docs yield 1-2 chunks and cannot share minShared=2 re-synced
+      // chunks (the first cdcpairs run found 0 pairs on 40-token docs)
+      // nested avalanche (the q169 lesson, tripped AGAIN here first:
+      // idc*37+j seeds make consecutive docs SHIFTED copies of one
+      // stream — chunk df blows past the cap and twin recall reads 0)
+      array_join(transform(sequence(lit(0), lit(199)),
+        j => element_at(words,
+          (pmod(xxhash64(xxhash64(idc) + j), lit(64)) + 1).cast("int"))), " ")
+    val base = spark.range(0, half, 1, 32)
+      .select(col("id"), bodyOf(col("id")).as("text"))
+    // body FIRST, re-key SECOND: aliasing id in the same select would
+    // capture the new value through Spark's lateral column alias
+    // resolution — bodyOf(col("id")) would read id + 1e9 and the twins
+    // would silently stop being twins (found the hard way: 0% recall)
+    val twins = spark.range(0, half, 1, 32)
+      .select(col("id"), bodyOf(col("id")).as("text"))
+      .select((col("id") + 1000000000L).as("id"),
+        concat(lit("BANNER NOISE HEADER INJECTED "), col("text")).as("text"))
+    val boiler = spark.range(0, 100000, 1, 32)
+      .select((col("id") + 2000000000L).as("id"),
+        bodyOf(lit(-1L)).as("text"))
+    val corpus = base.unionAll(twins).unionAll(boiler)
+    val ((nPairs, nTwins, nBoiler), bytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L, 0L)
+      time(s"cdc_pairs_${n / 1000000}M") {
+        val p = Dedup.cdcNearDupPairs(corpus, col("id"), col("text"),
+            minShared = 2, maxDf = 8)
+          .agg(count(lit(1)),
+            sum(when(col("id2") - col("id1") === 1000000000L, 1L).otherwise(0L)),
+            sum(when(col("id1") >= 2000000000L || col("id2") >= 2000000000L, 1L)
+              .otherwise(0L)))
+          .head()
+        r = (p.getLong(0), p.getLong(1), p.getLong(2))
+      }
+      r
+    }
+    println(f"[stress] cdc_pairs: $nPairs pairs, twin recall ${
+      nTwins * 100.0 / half}%.1f%%, boiler pairs $nBoiler (expect 0), " +
+      f"shuffle ${bytes / 1048576.0}%.1f MB")
+    require(nBoiler == 0, "boilerplate cluster leaked into pairs")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -1053,6 +1109,12 @@ object Stress {
 
     if (section == "textsignals") {
       textSignalsReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "cdcpairs") {
+      cdcPairsReceipt(spark, n)
       spark.stop()
       return
     }
