@@ -77,7 +77,9 @@ object PlanDump {
       "q196_geo_pairs" -> "geo radius pairs: 3x3 neighbor-cell Generate on the left, ONE (latc,lngc) equi-join, integer distance filter — each qualifying pair meets exactly once",
       "q201_schema_validate" -> "schema-as-contract: the whole draft-07 contract compiled to ONE narrow Project over variant expressions — zero exchanges, zero joins; validation cost is per-row columnar work at any corpus size",
       "q203_repetition_rules" -> "Gopher repetition rules: per-row sort + run-length folds (dup lines, top/dup n-gram char fractions) in ONE narrow Project — no shuffle, scan speed at any scale",
-      "q205_cdc_chunks" -> "content-defined chunking: two compiled O(n) Gear-CDC kernel calls + array intersect per row, ONE narrow Project — the storage-dedup primitive runs at scan speed")
+      "q205_cdc_chunks" -> "content-defined chunking: two compiled O(n) Gear-CDC kernel calls + array intersect per row, ONE narrow Project — the storage-dedup primitive runs at scan speed",
+      "q208_kn_lm" -> "Kneser-Ney scoring: ONE corpus pass builds the checkpointed packed-bigram table (model frames vocab-bounded); doc side = one explode + three 8-byte-key joins + one-row broadcast total, fixed-point log2 in the projection",
+      "q211_contamination_join" -> "join-form decontamination: bench grams distributed (no driver broadcast), Bloom probe INSIDE the per-row array before explode (non-matching grams never reach the exchange), n_sh from a same-projection size()")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -340,6 +340,42 @@ object AnalyticsQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Anchor-text aggregation: the q145 pages' anchors, keeping the link
+    // TEXTS this time — per-target description corpus (n_links, distinct
+    // texts, modal text with deterministic tie-break, sorted text concat).
+    // The engine recovers (href, anchor) pairs through the real regex
+    // extraction (padded labels + a class attribute exercise the
+    // attribute-tolerant pattern and the trim); the oracle replays the
+    // render arithmetic and the aggregation — a dropped or untrimmed
+    // anchor diverges the modal pick and every count.
+    "q209_anchor_text" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cnt = d.agg(count(lit(1)).cast("long").as("__n"))
+      val labels = array(lit("home"), lit("about"), lit("products"),
+        lit("news"), lit("contact"), lit("archive"), lit("click here"),
+        lit("read more"))
+      val pages = d.crossJoin(broadcast(cnt))
+        .select(col("doc_id"),
+          concat(lit("<html><body>"),
+            array_join(transform(
+              sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L))),
+              j => {
+                val t0 = pmod(col("doc_id") * 31 + j, col("__n"))
+                val t = when(t0 === col("doc_id"),
+                  pmod(t0 + 1, col("__n"))).otherwise(t0)
+                val lbl = element_at(labels,
+                  (pmod(col("doc_id") + j, lit(8)) + 1).cast("int"))
+                concat(lit("<a class=\"l\" href=\"/page/"), t.cast("string"),
+                  lit("\"> "), lbl, lit(" </a>"))
+              }), ""),
+            lit("</body></html>")).as("__html"))
+      val pairs = pages
+        .select(explode(graft.operators.AnchorText.anchorPairs(col("__html"))).as("p"))
+        .select(col("p.href").as("href"), col("p.anchor").as("anchor"))
+      graft.operators.AnchorText.aggregateAnchors(
+        pairs, col("href"), col("anchor"))
+    }),
+
     // Product-quantization top-k (Jégou et al. 2011): seeded milli-
     // quantized sub-codebooks, compiled PQ encoding (8 codes per 64-dim
     // vector — the 32× memory cut that keeps a 100 TB embedding corpus
@@ -605,6 +641,33 @@ object AnalyticsQueries {
          r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents),
          ${(1 to 5).map(pageRankStageSql).mkString(",\n         ")}
          SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r5""",
+
+    "q209_anchor_text" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         e0 AS (SELECT doc_id, u.j, n
+           FROM documents, nn, unnest(range(1, 2 + doc_id % 3)) AS u(j)),
+         lk AS (SELECT doc_id, j,
+             CASE WHEN (doc_id*31 + j) % n = doc_id
+               THEN ((doc_id*31 + j) % n + 1) % n
+               ELSE (doc_id*31 + j) % n END AS tgt
+           FROM e0),
+         pairs AS (SELECT '/page/' || tgt AS dst,
+             (['home','about','products','news','contact','archive',
+               'click here','read more'])[CAST((doc_id + j) % 8 AS INT) + 1]
+               AS anchor
+           FROM lk),
+         g1 AS (SELECT dst, anchor, COUNT(*) AS cnt
+           FROM pairs GROUP BY 1, 2),
+         r AS (SELECT dst, anchor, cnt,
+             ROW_NUMBER() OVER (PARTITION BY dst
+               ORDER BY cnt DESC, anchor) AS rk
+           FROM g1)
+         SELECT dst, CAST(SUM(cnt) AS BIGINT) AS n_links,
+           CAST(COUNT(*) AS BIGINT) AS n_texts,
+           MAX(CASE WHEN rk = 1 THEN anchor END) AS top_anchor,
+           CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS top_cnt,
+           array_to_string(list(anchor ORDER BY anchor), '|') AS all_texts
+         FROM r GROUP BY 1""",
 
     "q129_incremental_admission" ->
       // replays the engine's 16x2 banding over the WHOLE corpus, then

@@ -166,6 +166,40 @@ object StringQueries {
         .select(col("p_partkey"), col("host"), col("domain"))
     }),
 
+    // Domain-level curation (RefinedWeb discipline) on top of q118's
+    // registrable-domain machinery: per-doc keep flags (length band +
+    // language) rolled up per eTLD+1 — subdomain variants SHARE a verdict
+    // (www.storeM.com and cdn.static.storeM.com aggregate together) —
+    // then whole domains killed below a floor-permille keep-rate bar or
+    // a minimum-evidence doc count. All three verdicts live at both
+    // calibration scales (~20 pass / ~13 below the bar / 3 under
+    // minDocs); the oracle replays suffix logic, integer permille and
+    // both gates.
+    "q210_domain_curation" -> ((s, dir) => {
+      import graft.operators.DomainCuration
+      val did = col("doc_id")
+      val m = pmod(did * 7, lit(11)).cast("string")
+      val host = when(pmod(did, lit(97)) === 0,
+          concat(lit("rare"), pmod(did, lit(3)).cast("string"), lit(".org")))
+        .when(pmod(did, lit(4)) === 0,
+          concat(lit("www.store"), m, lit(".com")))
+        .when(pmod(did, lit(4)) === 1,
+          concat(lit("cdn.static.store"), m, lit(".com")))
+        .when(pmod(did, lit(4)) === 2,
+          concat(lit("blog.shop"), m, lit(".co.uk")))
+        .otherwise(concat(lit("media"), m, lit(".com.cn")))
+      val keep = when(col("n_chars").between(150, 420) &&
+        col("lang") =!= "de", 1).otherwise(0)
+      val withD = t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"), keep.as("keep_doc"))
+        .withColumn("domain", TextFunctions.registrableDomain(col("host")))
+      DomainCuration.curate(withD, col("domain"), col("keep_doc"),
+          minDocs = 10, minKeepPermille = 450)
+        .select(col("doc_id"), col("domain"), col("keep_doc"),
+          col("domain_docs"), col("domain_keep_permille"),
+          col("domain_ok"), col("kept"))
+    }),
+
     // robots.txt (RFC 9309) parse + URL permission evaluation: per-domain
     // policies built as TEXT (comments, mixed-case fields, wildcard and
     // $-anchored rules, agent-specific groups on even domains), parsed by
@@ -503,6 +537,37 @@ object StringQueries {
              ROW_NUMBER() OVER (PARTITION BY domain ORDER BY bk, p_partkey) AS rk
            FROM b)
          SELECT p_partkey, host, domain FROM r WHERE rk <= 5""",
+    "q210_domain_curation" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+           CASE WHEN doc_id % 97 = 0 THEN 'rare' || (doc_id % 3) || '.org'
+             ELSE CASE doc_id % 4
+               WHEN 0 THEN 'www.store' || ((doc_id*7) % 11) || '.com'
+               WHEN 1 THEN 'cdn.static.store' || ((doc_id*7) % 11) || '.com'
+               WHEN 2 THEN 'blog.shop' || ((doc_id*7) % 11) || '.co.uk'
+               ELSE 'media' || ((doc_id*7) % 11) || '.com.cn' END END AS host,
+           CASE WHEN n_chars BETWEEN 150 AND 420 AND lang <> 'de'
+             THEN 1 ELSE 0 END AS keep_doc
+           FROM documents),
+         d2 AS (SELECT *, string_split(host, '.') AS ls FROM h),
+         e AS (SELECT doc_id, keep_doc,
+             CASE WHEN len(ls) <= 2 THEN host
+               WHEN (ls[len(ls)-1] || '.' || ls[len(ls)]) IN
+                 ('co.uk','ac.uk','gov.uk','com.cn','org.cn','net.cn','gov.cn',
+                  'com.au','net.au','co.jp','or.jp','com.br','co.in','co.kr')
+                 THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
+               ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS domain
+           FROM d2),
+         g AS (SELECT domain, COUNT(*) AS n_docs, SUM(keep_doc) AS n_keep
+           FROM e GROUP BY 1),
+         s AS (SELECT domain, n_docs, (n_keep * 1000) // n_docs AS pm FROM g)
+         SELECT e.doc_id, e.domain, CAST(e.keep_doc AS INT) AS keep_doc,
+           CAST(s.n_docs AS BIGINT) AS domain_docs,
+           CAST(s.pm AS BIGINT) AS domain_keep_permille,
+           CAST(CASE WHEN s.n_docs >= 10 AND s.pm >= 450
+             THEN 1 ELSE 0 END AS INT) AS domain_ok,
+           CAST(CASE WHEN s.n_docs >= 10 AND s.pm >= 450 AND e.keep_doc = 1
+             THEN 1 ELSE 0 END AS INT) AS kept
+         FROM e JOIN s ON e.domain = s.domain""",
     "q87_url_canonical" ->
       """WITH u AS (SELECT p_partkey,
            CASE p_partkey % 4

@@ -301,6 +301,34 @@ object TrainingQueries {
         .select(col("doc_id"), col("w_permille"), round(col("wkey"), 6).as("wkey"))
     }),
 
+    // Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995): the REAL
+    // n-gram smoothing next to q100/q102's MLE model — absolute discount
+    // 3/4 + continuation-probability backoff, every probability an exact
+    // integer ratio scored through the fixed-point log2 kernel. Model on
+    // the English slice (the q100 convention); non-English docs surface
+    // as high oov_frac, fluent English ranks by mean_log2p.
+    "q208_kn_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.operators.KneserNey.trainBigramModel(
+        d.filter(col("lang") === "en"), col("text"))
+      graft.operators.KneserNey.scoreDocs(d, col("doc_id"), col("text"), model)
+    }),
+
+    // Join-form decontamination (the beyond-broadcast notch of q70): the
+    // benchmark gram set stays distributed, grams ride their 61-bit poly
+    // hash through a gram-keyed shuffle join, and the Bloom prefilter
+    // (bit array only on the driver) prunes the doc-side exchange while
+    // n_sh still counts every distinct gram (pre-explode size). Stats
+    // are value-identical to q70's broadcast form at any collision-free
+    // scale (spec-pinned); the oracle replays the hashed-gram pipeline.
+    "q211_contamination_join" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.overlapStatsJoin(
+        d.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        d.filter(col("source") === "src0"), col("text"), k = 3,
+        bloomPrefilter = true)
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -771,6 +799,80 @@ object TrainingQueries {
            len(regexp_extract_all(txt,
              '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones
          FROM t""",
+    "q208_kn_lm" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+             list_transform($toksSql,
+               tk -> ${CurationQueries.polyHashSqlLine("tk")}) AS hs
+           FROM documents),
+         pr AS (SELECT doc_id, lang,
+             CASE WHEN len(hs) < 2 THEN CAST([] AS BIGINT[])
+               ELSE list_transform(range(1, len(hs)),
+                 i -> hs[i] * 1073741824 + hs[i+1]) END AS ps
+           FROM tk),
+         rp AS (SELECT unnest(ps) AS vw FROM pr WHERE lang = 'en'),
+         big AS (SELECT vw, COUNT(*) AS c_vw, vw // 1073741824 AS v,
+             vw % 1073741824 AS w
+           FROM rp GROUP BY 1),
+         ctx AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v,
+             COUNT(*) AS n1_v FROM big GROUP BY 1),
+         cont AS (SELECT w, COUNT(*) AS n1_w FROM big GROUP BY 1),
+         npp AS (SELECT COUNT(*) AS n_pp FROM big),
+         dd AS (SELECT doc_id, vw, vw // 1073741824 AS v,
+             vw % 1073741824 AS w
+           FROM (SELECT doc_id, unnest(ps) AS vw FROM pr)),
+         jj AS (SELECT dd.doc_id,
+             CASE WHEN c.c_v IS NULL OR k.n1_w IS NULL THEN 1 ELSE 0 END AS oov,
+             COALESCE(b.c_vw * 4 - 3, 0) * n.n_pp + 3 * c.n1_v * k.n1_w AS num,
+             4 * c.c_v * n.n_pp AS den
+           FROM dd LEFT JOIN big b ON dd.vw = b.vw
+             LEFT JOIN ctx c ON dd.v = c.v
+             LEFT JOIN cont k ON dd.w = k.w
+             CROSS JOIN npp n),
+         ${graft.functions.Log2Fixed.lutCteSql},
+         x AS (SELECT doc_id, oov, num, den,
+             length(bin(num)) - 1 AS en, length(bin(den)) - 1 AS ed FROM jj),
+         t2 AS (SELECT doc_id, oov, en, ed,
+             CASE WHEN en >= 20 THEN num // CAST(POWER(2, en - 20) AS BIGINT)
+                  ELSE num * CAST(POWER(2, 20 - en) AS BIGINT)
+             END - 1048576 AS tn,
+             CASE WHEN ed >= 20 THEN den // CAST(POWER(2, ed - 20) AS BIGINT)
+                  ELSE den * CAST(POWER(2, 20 - ed) AS BIGINT)
+             END - 1048576 AS td
+           FROM x),
+         f AS (SELECT doc_id, oov,
+             (en * 1048576 + a.v + (a.vn - a.v) * (tn % 1024) // 1024)
+             - (ed * 1048576 + b.v + (b.vn - b.v) * (td % 1024) // 1024) AS lg
+           FROM t2 LEFT JOIN l2 a ON a.i = tn // 1024
+                   LEFT JOIN l2 b ON b.i = td // 1024),
+         ag AS (SELECT doc_id, COUNT(*) AS n, SUM(oov) AS n_oov,
+             SUM(CASE WHEN oov = 1 THEN 0 ELSE lg END) AS slg
+           FROM f GROUP BY 1)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_big,
+           ROUND(CAST(n_oov AS DOUBLE) / n, 4) AS oov_frac,
+           CASE WHEN n > n_oov THEN
+             ROUND(CAST(slg AS DOUBLE) / ((n - n_oov) * 1048576.0), 6)
+           END AS mean_log2p
+         FROM ag""",
+    "q211_contamination_join" ->
+      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         gr AS (SELECT doc_id, source,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[])
+               ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> ${AnalyticsQueries.polyHash61Sql(
+        "array_to_string(toks[i:i+2], ' ')")})) END AS gs
+           FROM tk),
+         bs AS (SELECT DISTINCT unnest(gs) AS g FROM gr WHERE source = 'src0'),
+         tot AS (SELECT doc_id, COALESCE(len(gs), 0) AS n_sh
+           FROM gr WHERE source <> 'src0'),
+         dgx AS (SELECT doc_id, unnest(gs) AS g FROM gr WHERE source <> 'src0'),
+         hit AS (SELECT doc_id, COUNT(*) AS n_hit
+           FROM dgx JOIN bs USING (g) GROUP BY 1)
+         SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN t.n_sh = 0 THEN 0.0
+             ELSE ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_sh, 6)
+           END AS contam_frac
+         FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""",
     "q73_embed_norms" ->
       """WITH n AS (SELECT label,
              CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
