@@ -1011,6 +1011,108 @@ object Stress {
     println(s"[stress] cdc shuffle bytes: $cdcBytes (expect ~0)")
   }
 
+  /** Kneser–Ney at corpus scale: n docs × 40 tokens over a 4096-word
+    * vocabulary (bigram model tops out at 16.7M rows — vocabulary-
+    * bounded regardless of n). Receipt: train+score runtime, shuffle
+    * bytes, and the sanity bars (every doc scored, all means ≤ 0, oov
+    * only where planted). A 64-word OOV stripe (ids ≡ 0 mod 17 swap in
+    * words the reference slice never contains) keeps both scoring
+    * branches live at scale.
+    */
+  private def knLmReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.KneserNey
+    val words = typedLit((1 to 4096).map(i => s"w$i"))
+    val oovWords = typedLit((1 to 64).map(i => s"x$i"))
+    def body(vocab: org.apache.spark.sql.Column, salt: Long) =
+      array_join(transform(sequence(lit(0), lit(39)),
+        j => element_at(vocab,
+          (pmod(xxhash64(xxhash64(col("id") + salt) + j), lit(4096))
+            .cast("int") % size(vocab)) + 1)), " ")
+    val docs = spark.range(0, n, 1, 32).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(17)) === 0, body(oovWords, 7L))
+        .otherwise(body(words, 0L)).as("text"))
+      .localCheckpoint() // price the operator, not the generator
+    val ref = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+    val (cnt, bytes) = shuffleBytes(spark.sparkContext) {
+      var out = 0L
+      var m: graft.operators.KneserNey.Model = null
+      time(s"kn_train_${n / 1000000}M", runs = 1) {
+        m = KneserNey.trainBigramModel(ref, col("text"))
+      }
+      time(s"kn_score_${n / 1000000}M", runs = 1) {
+        val scored = KneserNey.scoreDocs(docs, col("doc_id"), col("text"), m)
+        val agg = scored.agg(count(lit(1)),
+          sum(when(col("mean_log2p") > 0, 1).otherwise(0)),
+          sum(when(col("oov_frac") > 0.5, 1).otherwise(0))).collect().head
+        assert(agg.getLong(0) == n, s"scored ${agg.getLong(0)} of $n")
+        assert(agg.getLong(1) == 0, "positive mean_log2p at scale")
+        // the OOV stripe: x-words never train, so those docs are ~fully oov
+        assert(agg.getLong(2) == (n + 16) / 17,
+          s"oov stripe ${agg.getLong(2)} != ${(n + 16) / 17}")
+        out = agg.getLong(0)
+      }
+      out
+    }
+    println(s"[stress] kn shuffle bytes: $bytes for $cnt docs")
+  }
+
+  /** Join-form decontamination at corpus scale: n docs × 40 tokens over
+    * 4096 words; the bench side is n/10 docs over the FIRST 256 words
+    * only — large enough that its gram set exceeds the broadcast
+    * threshold (the regime the join form EXISTS for), while almost every
+    * corpus gram misses it. Receipt: runtime + shuffle bytes with the
+    * Bloom prefilter off vs on (off pays the full doc-gram probe
+    * exchange; on prunes misses before the explode), plus hit-count
+    * equality between the two modes (the filter must be
+    * output-invisible).
+    */
+  private def contamJoinReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Contamination
+    val words = typedLit((1 to 4096).map(i => s"w$i"))
+    def body(mod: Int, salt: Long) =
+      array_join(transform(sequence(lit(0), lit(39)),
+        j => element_at(words,
+          (pmod(xxhash64(xxhash64(col("id") + salt) + j), lit(mod)) + 1)
+            .cast("int"))), " ")
+    val docs = spark.range(0, n, 1, 32)
+      .select(col("id").as("doc_id"), body(4096, 0L).as("text"))
+      .localCheckpoint()
+    val bench = spark.range(0, math.max(100000L, n / 10), 1, 32)
+      .select(body(256, 11L).as("text"))
+      .localCheckpoint()
+    // The join form EXISTS for bench sets beyond broadcast; on this box
+    // the 64 MB threshold + AQE would quietly broadcast the ~15M-gram
+    // bench side and hide the probe exchange the Bloom is there to
+    // erase. Pin the threshold down so the receipt measures the cluster
+    // regime (a 10⁸-gram bench set does not broadcast to 1000
+    // executors; an 18 MB Bloom bit array does).
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (8L * 1024 * 1024).toString)
+    var offHits = -1L
+    var onHits = -2L
+    val (_, offBytes) = shuffleBytes(spark.sparkContext) {
+      time(s"contam_join_off_${n / 1000000}M", runs = 1) {
+        offHits = Contamination.overlapStatsJoin(docs, col("doc_id"),
+            col("text"), bench, col("text"), k = 3)
+          .agg(sum(col("n_hit"))).collect().head.getLong(0)
+      }
+    }
+    val (_, onBytes) = shuffleBytes(spark.sparkContext) {
+      time(s"contam_join_bloom_${n / 1000000}M", runs = 1) {
+        onHits = Contamination.overlapStatsJoin(docs, col("doc_id"),
+            col("text"), bench, col("text"), k = 3, bloomPrefilter = true)
+          .agg(sum(col("n_hit"))).collect().head.getLong(0)
+      }
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+    assert(offHits == onHits, s"bloom changed hits: $offHits vs $onHits")
+    println(f"[stress] contam hits: $offHits; shuffle off=$offBytes " +
+      f"on=$onBytes (${offBytes.toDouble / math.max(onBytes, 1)}%.1fx cut)")
+  }
+
   /** CDC near-dup pairing at corpus scale: n/2 distinct ~250-char docs
     * (xxhash token streams) + their banner-shifted twins, plus a
     * 100k-doc identical boilerplate cluster that MUST be frequency-
@@ -1109,6 +1211,18 @@ object Stress {
 
     if (section == "textsignals") {
       textSignalsReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "knlm") {
+      knLmReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "contamjoin") {
+      contamJoinReceipt(spark, n)
       spark.stop()
       return
     }

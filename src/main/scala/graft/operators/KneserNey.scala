@@ -107,25 +107,51 @@ object KneserNey {
     * higher = more fluent under the reference model; null when every
     * bigram is OOV). Documents with fewer than 2 tokens have no bigrams
     * and drop out (the q100 convention — filter upstream to keep them).
+    *
+    * The fixed-point logs are PRECOMPUTED at model granularity (the q102
+    * discipline): `__lg_num` once per seen bigram, `__lg_den` once per
+    * context — so the doc-side projection is a coalesce and a
+    * subtraction for seen pairs, and pays a per-row log only on
+    * unseen-pair rows. The first cut computed both logs per doc-pair row
+    * inside a `when()` — conditional branches disable codegen
+    * subexpression elimination (the q201 lesson), so the num/den
+    * subtrees (each with a string-allocating `bin()`) re-evaluated ~16×
+    * per row: measured 63 s → 9 s at 1M docs × 40 tokens. Values are
+    * bit-identical either way (same integer formulas through the same
+    * kernel); null propagation through the left joins replaces the
+    * explicit conditional, mirroring the oracle's own shape.
     */
   def scoreDocs(docs: DataFrame, idCol: Column, textCol: Column,
       model: Model): DataFrame = {
+    // per-context denominator log + n1_v: vocabulary-bounded
+    val ctxL = model.contexts.crossJoin(broadcast(model.nBigrams))
+      .select(col("v"), col("n1_v"),
+        Log2Fixed.expr(lit(DiscountDen) * col("c_v") * col("n_pp"))
+          .as("__lg_den"))
+    // per-seen-bigram numerator log: model-bounded, computed once
+    val bigL = model.bigrams
+      .join(model.contexts.select(col("v"), col("n1_v")), Seq("v"))
+      .join(model.continuations, Seq("w"))
+      .crossJoin(broadcast(model.nBigrams))
+      .select(col("vw"),
+        Log2Fixed.expr((col("c_vw") * DiscountDen - DiscountNum) *
+          col("n_pp") + lit(DiscountNum) * col("n1_v") * col("n1_w"))
+          .as("__lg_num"))
     val dp = docs
       .select(idCol.as("doc_id"), explode(bigramPairs(docs, textCol)).as("vw"))
       .select(col("doc_id"), col("vw"),
         shiftright(col("vw"), 30).as("v"),
         col("vw").bitwiseAND(lit(Pack - 1)).as("w"))
     val j = dp
-      .join(model.bigrams.select(col("vw"), col("c_vw")), Seq("vw"), "left")
-      .join(model.contexts, Seq("v"), "left")
+      .join(bigL, Seq("vw"), "left")
+      .join(ctxL, Seq("v"), "left")
       .join(model.continuations, Seq("w"), "left")
-      .crossJoin(broadcast(model.nBigrams))
-    val oov = col("c_v").isNull || col("n1_w").isNull
-    val num = coalesce(col("c_vw") * DiscountDen - DiscountNum, lit(0L)) *
-      col("n_pp") + lit(DiscountNum) * col("n1_v") * col("n1_w")
-    val den = lit(DiscountDen) * col("c_v") * col("n_pp")
-    j.select(col("doc_id"), oov.as("__oov"),
-        when(not(oov), Log2Fixed.expr(num) - Log2Fixed.expr(den)).as("__lg"))
+    val oov = col("__lg_den").isNull || col("n1_w").isNull
+    // unseen-but-scorable pairs: num = 3·n1v·n1w; nulls propagate on oov
+    val lg = coalesce(col("__lg_num"),
+      Log2Fixed.expr(lit(DiscountNum) * col("n1_v") * col("n1_w"))) -
+      col("__lg_den")
+    j.select(col("doc_id"), oov.as("__oov"), lg.as("__lg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__oov"), 1).otherwise(0)).as("n_oov"),
