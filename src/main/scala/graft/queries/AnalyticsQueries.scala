@@ -376,6 +376,18 @@ object AnalyticsQueries {
         pairs, col("href"), col("anchor"))
     }),
 
+    // Johnson–Lindenstrauss random projection: 64-dim embeddings down to
+    // 8 exact-integer coordinates over the q166 hyperplane bank (the
+    // VALUES this time, not the signs — sig bit j == [p_j > 0] is
+    // spec-pinned). The cheap distance-work prefilter: 8 longs per
+    // vector instead of 64 floats. The oracle replays every dot term.
+    "q215_random_projection" -> ((s, dir) => {
+      val p = graft.functions.RandomProjection.expr(col("embedding"), 64, 8)
+      emb(s, dir).select(col("vec_id"), p.as("__p"))
+        .select(col("vec_id") +:
+          (1 to 8).map(j => element_at(col("__p"), j).as(s"p$j")): _*)
+    }),
+
     // Product-quantization top-k (Jégou et al. 2011): seeded milli-
     // quantized sub-codebooks, compiled PQ encoding (8 codes per 64-dim
     // vector — the 32× memory cut that keeps a 100 TB embedding corpus
@@ -477,6 +489,14 @@ object AnalyticsQueries {
     * the kernel's fail-visible contract; the term sum alone would
     * silently bucket them with the zero vector.
     */
+  /** Milli-quantized embedding as BIGINT[] — the SQL twin of
+    * PqOps.quantize (floor(x·1000 + 0.5)); ONE definition serves the
+    * q166/q169/q215 oracles so the quantization contract cannot fork.
+    */
+  private def quantizedVecSql: String =
+    """list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))"""
+
   /** The hyperplane coefficient bank as a DuckDB list literal — the
     * oracle's copy of the table, generated ONCE from the same
     * `HyperplaneSig.coef` chain (the Log2Fixed-LUT discipline: embed the
@@ -757,10 +777,21 @@ object AnalyticsQueries {
          SELECT id_a, id_b,
            ROUND(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
          FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.3""",
+    "q215_random_projection" ->
+      s"""WITH e AS (SELECT vec_id,
+             ${quantizedVecSql} AS qv
+           FROM embeddings),
+         hp AS (SELECT ${hyperplaneCoefListSql(8 * 64)} AS hc)
+         SELECT vec_id,
+           ${(0 until 8).map { j =>
+        s"CASE WHEN qv IS NULL OR len(qv) <> 64 THEN NULL " +
+          s"ELSE CAST(list_sum(list_transform(range(1, 65), i -> " +
+          s"qv[i] * hc[${j * 64} + i])) AS BIGINT) END AS p${j + 1}"
+      }.mkString(",\n           ")}
+         FROM e CROSS JOIN hp""",
     "q166_hyperplane_sig" ->
       s"""WITH e AS (SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+             ${quantizedVecSql} AS qv
            FROM embeddings),
          hp AS (SELECT ${hyperplaneCoefListSql(60 * 64)} AS hc)
          SELECT vec_id,
@@ -769,8 +800,7 @@ object AnalyticsQueries {
          FROM e CROSS JOIN hp""",
     "q169_hyperplane_sig_wide" ->
       s"""WITH e AS (SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qv
+             ${quantizedVecSql} AS qv
            FROM embeddings),
          hp AS (SELECT ${hyperplaneCoefListSql(124 * 64)} AS hc)
          SELECT vec_id,

@@ -200,6 +200,33 @@ object StringQueries {
           col("domain_ok"), col("kept"))
     }),
 
+    // Crawl-frontier politeness waves: the fetch-side complement of the
+    // q118 domain quota — rank within registrable domain by (priority
+    // desc, key asc), deal into waves of <= 2 fetches per domain. The
+    // subdomain-collapsing hosts mean www.storeM and cdn.static.storeM
+    // SHARE a politeness budget; the oracle replays suffix logic, the
+    // window and the exact-integer wave arithmetic.
+    "q212_frontier_waves" -> ((s, dir) => {
+      import graft.operators.Frontier
+      val k = col("p_partkey")
+      val m = pmod(k, lit(50)).cast("string")
+      val host =
+        when(pmod(k, lit(6)) === 0, concat(lit("www.store"), m, lit(".com")))
+        .when(pmod(k, lit(6)) === 1, concat(lit("blog.shop"), m, lit(".co.uk")))
+        .when(pmod(k, lit(6)) === 2, concat(lit("media"), m, lit(".com.cn")))
+        .when(pmod(k, lit(6)) === 3, concat(lit("a.b.site"), m, lit(".org")))
+        .when(pmod(k, lit(6)) === 4, concat(lit("cdn.static.store"), m, lit(".com")))
+        .otherwise(concat(lit("plain"), m, lit(".net")))
+      val urls = t(s, dir, "part")
+        .select(col("p_partkey"),
+          TextFunctions.registrableDomain(host).as("domain"),
+          pmod(col("p_partkey") * 13, lit(1000)).as("priority"))
+      Frontier.assignWaves(urls, col("domain"), col("priority"),
+          col("p_partkey"), perWave = 2)
+        .select(col("p_partkey"), col("domain"), col("priority"),
+          col("crawl_rank"), col("wave"))
+    }),
+
     // robots.txt (RFC 9309) parse + URL permission evaluation: per-domain
     // policies built as TEXT (comments, mixed-case fields, wildcard and
     // $-anchored rules, agent-specific groups on even domains), parsed by
@@ -386,6 +413,22 @@ object StringQueries {
   /** q95's DuckDB mirror — generated from the SAME dimension data the
     * engine compiles into its plan, so content parity is by construction.
     */
+  /** eTLD+1 CASE over a host expression and its label-split list — the
+    * SQL twin of `TextFunctions.registrableDomain`, with the suffix list
+    * interpolated from the SAME `TwoLabelSuffixes` constant so the
+    * q118/q210/q212 oracles and the engine can never disagree on a
+    * suffix (one list, four readers).
+    */
+  private def registrableDomainSql(host: String, ls: String): String = {
+    val suffixes = TextFunctions.TwoLabelSuffixes
+      .map(s => s"'$s'").mkString("(", ",", ")")
+    s"""CASE WHEN len($ls) <= 2 THEN $host
+               WHEN ($ls[len($ls)-1] || '.' || $ls[len($ls)]) IN
+                 $suffixes
+                 THEN $ls[len($ls)-2] || '.' || $ls[len($ls)-1] || '.' || $ls[len($ls)]
+               ELSE $ls[len($ls)-1] || '.' || $ls[len($ls)] END"""
+  }
+
   private def regionParseSql: String = {
     import graft.dims.Regions
     def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -512,7 +555,7 @@ object StringQueries {
                 THEN 0 ELSE 1 END AS INT) AS allowed
          FROM part""",
     "q118_domain_quota" ->
-      """WITH u AS (SELECT p_partkey,
+      s"""WITH u AS (SELECT p_partkey,
            CASE p_partkey % 6
              WHEN 0 THEN 'www.store' || (p_partkey % 50) || '.com'
              WHEN 1 THEN 'blog.shop' || (p_partkey % 50) || '.co.uk'
@@ -523,12 +566,7 @@ object StringQueries {
            END AS host FROM part),
          d AS (SELECT p_partkey, host, string_split(host, '.') AS ls FROM u),
          e AS (SELECT p_partkey, host,
-             CASE WHEN len(ls) <= 2 THEN host
-               WHEN (ls[len(ls)-1] || '.' || ls[len(ls)]) IN
-                 ('co.uk','ac.uk','gov.uk','com.cn','org.cn','net.cn','gov.cn',
-                  'com.au','net.au','co.jp','or.jp','com.br','co.in','co.kr')
-                 THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
-               ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS domain
+             ${registrableDomainSql("host", "ls")} AS domain
            FROM d),
          b AS (SELECT p_partkey, host, domain,
              ((p_partkey % 2147483647) * 2654435761) % 2147483647 % 1048576 AS bk
@@ -537,8 +575,32 @@ object StringQueries {
              ROW_NUMBER() OVER (PARTITION BY domain ORDER BY bk, p_partkey) AS rk
            FROM b)
          SELECT p_partkey, host, domain FROM r WHERE rk <= 5""",
+    "q212_frontier_waves" ->
+      s"""WITH u AS (SELECT p_partkey,
+           CASE p_partkey % 6
+             WHEN 0 THEN 'www.store' || (p_partkey % 50) || '.com'
+             WHEN 1 THEN 'blog.shop' || (p_partkey % 50) || '.co.uk'
+             WHEN 2 THEN 'media' || (p_partkey % 50) || '.com.cn'
+             WHEN 3 THEN 'a.b.site' || (p_partkey % 50) || '.org'
+             WHEN 4 THEN 'cdn.static.store' || (p_partkey % 50) || '.com'
+             ELSE 'plain' || (p_partkey % 50) || '.net'
+           END AS host,
+           (p_partkey * 13) % 1000 AS priority FROM part),
+         d AS (SELECT p_partkey, priority, host,
+             string_split(host, '.') AS ls FROM u),
+         e AS (SELECT p_partkey, priority,
+             ${registrableDomainSql("host", "ls")} AS domain
+           FROM d),
+         r AS (SELECT p_partkey, domain, priority,
+             ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY priority DESC, p_partkey) AS crawl_rank
+           FROM e)
+         SELECT p_partkey, domain, CAST(priority AS BIGINT) AS priority,
+           CAST(crawl_rank AS BIGINT) AS crawl_rank,
+           CAST((crawl_rank - 1) // 2 + 1 AS BIGINT) AS wave
+         FROM r""",
     "q210_domain_curation" ->
-      """WITH h AS (SELECT doc_id, lang, n_chars,
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
            CASE WHEN doc_id % 97 = 0 THEN 'rare' || (doc_id % 3) || '.org'
              ELSE CASE doc_id % 4
                WHEN 0 THEN 'www.store' || ((doc_id*7) % 11) || '.com'
@@ -550,12 +612,7 @@ object StringQueries {
            FROM documents),
          d2 AS (SELECT *, string_split(host, '.') AS ls FROM h),
          e AS (SELECT doc_id, keep_doc,
-             CASE WHEN len(ls) <= 2 THEN host
-               WHEN (ls[len(ls)-1] || '.' || ls[len(ls)]) IN
-                 ('co.uk','ac.uk','gov.uk','com.cn','org.cn','net.cn','gov.cn',
-                  'com.au','net.au','co.jp','or.jp','com.br','co.in','co.kr')
-                 THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
-               ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS domain
+             ${registrableDomainSql("host", "ls")} AS domain
            FROM d2),
          g AS (SELECT domain, COUNT(*) AS n_docs, SUM(keep_doc) AS n_keep
            FROM e GROUP BY 1),

@@ -329,6 +329,67 @@ object TrainingQueries {
         bloomPrefilter = true)
     }),
 
+    // Matryoshka truncation profile (MRL): per-label mean energy
+    // fraction captured by the 8/16/32-dim prefixes of the 64-dim
+    // embeddings — THE statistic consulted before truncating a corpus's
+    // vectors to a cheaper dimension. Per-row energies are strict
+    // left-fold double sums (identical fold order both engines), the
+    // fractions round to 6dp, and the per-label mean rides DECIMAL
+    // (order-invariant) — the q73 discipline.
+    "q213_matryoshka_energy" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      def energy(d: Int) =
+        aggregate(slice(v, 1, d), lit(0.0), (a, x) => a + x * x)
+      // portable half-up rounding: floor(x·10^p + 0.5) over IDENTICAL
+      // doubles both engines — never the engines' own ROUND, whose
+      // half-boundary behavior diverges (the q136 lesson)
+      def r6(c: org.apache.spark.sql.Column) =
+        (floor(c * 1e6 + 0.5) / 1e6)
+      def frac(d: Int) =
+        when(col("e64") === 0.0, lit(0.0))
+          .otherwise(r6(col(s"e$d") / col("e64")))
+          .cast("decimal(18,9)")
+      emb(s, dir)
+        .select(col("label"), energy(8).as("e8"), energy(16).as("e16"),
+          energy(32).as("e32"), energy(64).as("e64"))
+        .select(col("label"), frac(8).as("f8"), frac(16).as("f16"),
+          frac(32).as("f32"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("f8")).cast("double") / count(lit(1)) * 1e4 + 0.5) / 1e4)
+            .as("avg_f8"),
+          (floor(sum(col("f16")).cast("double") / count(lit(1)) * 1e4 + 0.5) / 1e4)
+            .as("avg_f16"),
+          (floor(sum(col("f32")).cast("double") / count(lit(1)) * 1e4 + 0.5) / 1e4)
+            .as("avg_f32"))
+    }),
+
+    // Tokenizer fertility per language: BPE tokens per whitespace word
+    // under the q168 trained merge table — the statistic that shows
+    // which languages a tokenizer under-serves (fertility ≈ 1000
+    // permille = one token per word; higher = more splits). Exact floor
+    // permille; the oracle retrains the table and replays every merge.
+    "q214_tokenizer_fertility" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val d = docs(s, dir)
+      val merges = Bpe.trainMerges(d, col("text"), m = 64)
+      val ft = col("sum_tokens") * 1000
+      d.select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("nw"),
+          graft.functions.BpeCount.expr(col("text"), merges)
+            .getField("n_tokens").cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("sum_words"),
+          sum(col("nt")).as("sum_tokens"))
+        .select(col("lang"), col("n_docs"), col("sum_words"),
+          col("sum_tokens"),
+          // exact floor division: remainder-subtract, then divide in
+          // DECIMAL(38,0) — a double-backed `/` loses exactness past 2^53
+          // (a 100 TB 'en' slice easily exceeds 9e12 tokens)
+          ((ft - pmod(ft, col("sum_words"))).cast("decimal(38,0)") /
+            col("sum_words")).cast("long").as("fertility_permille"))
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -354,6 +415,36 @@ object TrainingQueries {
   private val shardOrderMultiplier: Long =
     ((BigInt(graft.operators.Sampling.Knuth) * 3) mod
       BigInt(graft.operators.Sampling.Prime)).toLong
+
+  /** BPE merge-table training CTEs (adjacent-pair stream → top-64 by
+    * (count desc, pair) → `ms` merge list) over a prior CTE `t` carrying
+    * `toks` — the SQL twin of `Bpe.trainMerges`, shared by q168 and q214
+    * so the two oracles and the kernel can never desynchronize.
+    */
+  private def bpeTrainCtesSql: String =
+    """pw AS (SELECT unnest(flatten(list_transform(toks, w ->
+             CASE WHEN length(w) >= 2
+               THEN list_transform(range(1, length(w)), i -> substr(w, i, 2))
+               ELSE [] END))) AS pair
+           FROM t),
+         cnt AS (SELECT pair, COUNT(*) AS n FROM pw GROUP BY 1),
+         top AS (SELECT pair FROM (SELECT pair,
+             ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk FROM cnt)
+           WHERE rk <= 64),
+         ml AS (SELECT list(pair) AS ms FROM top)"""
+
+  /** Greedy single-rank BPE token count of `toks` under the `ms` merge
+    * list — the list_reduce state-machine twin of `BpeCount` (COALESCE'd
+    * to 0, uncast; callers pick the output width).
+    */
+  private def bpeTokensSql: String =
+    """COALESCE(list_sum(list_transform(toks, w ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, length(w) + 1)),
+                 (acc, i) -> CASE
+                   WHEN acc % 2 = 1 THEN (acc // 2) * 2
+                   WHEN i < length(w) AND list_contains(ms, substr(w, i, 2))
+                     THEN (acc // 2 + 1) * 2 + 1
+                   ELSE (acc // 2 + 1) * 2 END) // 2)), 0)"""
 
   /** Unigram + bigram poly31 hash list of `toks` — the SQL mirror of
     * DsirScore's gram fold (PolyGramHashes k=1 ++ k=2).
@@ -385,26 +476,11 @@ object TrainingQueries {
          FROM r WHERE rk <= 200""",
     "q168_bpe_tokens" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         pw AS (SELECT unnest(flatten(list_transform(toks, w ->
-             CASE WHEN length(w) >= 2
-               THEN list_transform(range(1, length(w)), i -> substr(w, i, 2))
-               ELSE [] END))) AS pair
-           FROM t),
-         cnt AS (SELECT pair, COUNT(*) AS n FROM pw GROUP BY 1),
-         top AS (SELECT pair FROM (SELECT pair,
-             ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk FROM cnt)
-           WHERE rk <= 64),
-         ml AS (SELECT list(pair) AS ms FROM top),
+         $bpeTrainCtesSql,
          sc AS (SELECT doc_id,
              CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
                AS INT) AS n_chars,
-             CAST(COALESCE(list_sum(list_transform(toks, w ->
-               list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, length(w) + 1)),
-                 (acc, i) -> CASE
-                   WHEN acc % 2 = 1 THEN (acc // 2) * 2
-                   WHEN i < length(w) AND list_contains(ms, substr(w, i, 2))
-                     THEN (acc // 2 + 1) * 2 + 1
-                   ELSE (acc // 2 + 1) * 2 END) // 2)), 0) AS INT) AS n_tokens
+             CAST($bpeTokensSql AS INT) AS n_tokens
            FROM t CROSS JOIN ml)
          SELECT doc_id, n_chars, n_tokens, n_chars - n_tokens AS n_merges
          FROM sc""",
@@ -799,6 +875,45 @@ object TrainingQueries {
            len(regexp_extract_all(txt,
              '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones
          FROM t""",
+    "q213_matryoshka_energy" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         en AS (SELECT label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v[1:8]),
+               (a, x) -> a + x*x) AS e8,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v[1:16]),
+               (a, x) -> a + x*x) AS e16,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v[1:32]),
+               (a, x) -> a + x*x) AS e32,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v[1:64]),
+               (a, x) -> a + x*x) AS e64
+           FROM e),
+         fr AS (SELECT label,
+             CAST(CASE WHEN e64 = 0.0 THEN 0.0
+               ELSE FLOOR(e8 / e64 * 1e6 + 0.5) / 1e6 END
+               AS DECIMAL(18,9)) AS f8,
+             CAST(CASE WHEN e64 = 0.0 THEN 0.0
+               ELSE FLOOR(e16 / e64 * 1e6 + 0.5) / 1e6 END
+               AS DECIMAL(18,9)) AS f16,
+             CAST(CASE WHEN e64 = 0.0 THEN 0.0
+               ELSE FLOOR(e32 / e64 * 1e6 + 0.5) / 1e6 END
+               AS DECIMAL(18,9)) AS f32
+           FROM en)
+         SELECT label, COUNT(*) AS n,
+           FLOOR(CAST(SUM(f8) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4 AS avg_f8,
+           FLOOR(CAST(SUM(f16) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4 AS avg_f16,
+           FLOOR(CAST(SUM(f32) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4 AS avg_f32
+         FROM fr GROUP BY label""",
+    "q214_tokenizer_fertility" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         $bpeTrainCtesSql,
+         sc AS (SELECT lang, len(toks) AS nw,
+             CAST($bpeTokensSql AS BIGINT) AS nt
+           FROM t CROSS JOIN ml)
+         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS sum_words,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           CAST((SUM(nt) * 1000) // SUM(nw) AS BIGINT) AS fertility_permille
+         FROM sc GROUP BY lang""",
     "q208_kn_lm" ->
       s"""WITH tk AS (SELECT doc_id, lang,
              list_transform($toksSql,
