@@ -39,6 +39,18 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Sentence split: terminator runs `[.!?]+` (or end-of-text) close a
+    * sentence; fragments are trimmed and empties dropped. The pattern is
+    * extract-all shaped (no lookbehind) so the DuckDB RE2 twins replay it
+    * verbatim — parity-critical, so every consumer (sentence chunking,
+    * readability) must share THIS definition.
+    */
+  def sentences(c: Column): Column =
+    filter(
+      transform(regexp_extract_all(c, lit("[^.!?]+(?:[.!?]+|$)"), lit(0)),
+        x => trim(x)),
+      x => x =!= "")
+
   /** BPE-ish sub-word split: runs of letters, runs of digits, or single
     * non-alnum marks (reference has no tokenizer; this is the engine's
     * training-data extension).

@@ -55,10 +55,7 @@ object Chunker {
     val reserved = Seq("chunk_idx", "n_sentences", "n_tokens", "__sc_chunks")
     require(!df.columns.exists(reserved.contains),
       s"input must not already carry ${reserved.mkString("/")}")
-    val sents = filter(
-      transform(regexp_extract_all(textCol,
-        lit("[^.!?]+(?:[.!?]+|$)"), lit(0)), x => trim(x)),
-      x => x =!= "")
+    val sents = graft.functions.TextFunctions.sentences(textCol)
     val cnts = transform(sents,
       x => size(graft.functions.TextFunctions.tokens(x)).cast("long"))
     // typed empty array<struct<ns,nt>> (cast from array<bigint> won't)
@@ -82,5 +79,62 @@ object Chunker {
         (col("__sc_pos") + 1).cast("long").as("chunk_idx"),
         col("__sc_chunk.ns").as("n_sentences"),
         col("__sc_chunk.nt").as("n_tokens")): _*)
+  }
+
+  /** Section-aware hierarchical chunking of markdown-ish documents: every
+    * `# ` / `## ` heading starts a new section, body lines carry their
+    * heading PATH (h1, h2) — the structure-preserving splitter RAG and
+    * pretraining pipelines run instead of blind fixed-width chunking, so
+    * a chunk can always say where in the document it came from. An `## `
+    * under a NEW `# ` does not leak the previous h1's subsection: the h2
+    * binding carries the h1 ordinal it was seen under and goes null when
+    * the scope changes. Lines before any heading form section 0 with
+    * null headings.
+    *
+    * Scale posture: one posexplode + ONE doc-keyed window pass (running
+    * sums + last-ignore-nulls over the same frame — a single partitioned
+    * sort), then a doc+section hash agg whose collect is bounded by
+    * section size, not document count.
+    *
+    * Output: (doc_id, section_id, h1, h2, n_lines, body) — body is the
+    * non-heading lines rejoined with newlines in document order. A null
+    * or empty document has NO lines and yields no rows — `split("")`
+    * would otherwise fabricate one empty line and a phantom section 0
+    * (split("", "\n") == [""], unlike an empty-array oracle unnest).
+    */
+  def sectionChunks(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.where(textCol.isNotNull && length(textCol) > 0)
+      .select(idCol.as("doc_id"),
+        posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tagged = lines
+      .withColumn("__t",
+        when(col("line").startsWith("## "), 2)
+          .when(col("line").startsWith("# "), 1).otherwise(0))
+      .withColumn("section_id",
+        sum(when(col("__t") > 0, 1).otherwise(0)).over(w))
+      .withColumn("__h1cnt",
+        sum(when(col("__t") === 1, 1).otherwise(0)).over(w))
+    val tagged2 = tagged
+      .withColumn("h1",
+        last(when(col("__t") === 1,
+          col("line").substr(lit(3), length(col("line")))),
+          ignoreNulls = true).over(w))
+      .withColumn("__h2s",
+        last(when(col("__t") === 2,
+          struct(col("__h1cnt").as("c"),
+            col("line").substr(lit(4), length(col("line"))).as("t"))),
+          ignoreNulls = true).over(w))
+      .withColumn("h2",
+        when(col("__h2s.c") === col("__h1cnt"), col("__h2s.t")))
+    tagged2.groupBy(col("doc_id"), col("section_id"))
+      .agg(max(col("h1")).as("h1"), max(col("h2")).as("h2"),
+        count(when(col("__t") === 0, 1)).as("n_lines"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__t") === 0,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("body"))
   }
 }

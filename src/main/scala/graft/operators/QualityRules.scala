@@ -347,4 +347,35 @@ object QualityRules {
       nStop.as("n_stopwords"),
       keep.cast("int").as("keep_doc"))
   }
+
+  /** Flesch–Kincaid readability grade per document — the lightweight
+    * education-level proxy quality filters use when a learned scorer
+    * (q136) is too heavy: grade = 0.39·(words/sentences) +
+    * 11.8·(syllables/word) − 15.59. Sentences come from the q180
+    * RE2-safe terminator split; syllables from the standard vowel-group
+    * heuristic (runs of [aeiouy], min 1 per word) — both replayable
+    * relationally, so the whole statistic sits on the oracle surface.
+    * The grade is portable-half-up rounded to 2dp via
+    * floor(x·100 + 0.5)/100 over IDENTICAL doubles (never engine ROUND —
+    * the q136 .5-boundary lesson); null when a doc has no words or no
+    * sentences. One narrow projection: no explode, no shuffle.
+    */
+  def readability(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val out = TextFunctions.bindOnce(textCol) { t =>
+      val words = TextFunctions.tokens(t)
+      val nw = size(words).cast("long")
+      val ns = size(TextFunctions.sentences(t)).cast("long")
+      val ny = aggregate(words, lit(0L), (a, wd) =>
+        a + greatest(lit(1L),
+          size(regexp_extract_all(wd, lit("[aeiouy]+"), lit(0))).cast("long")))
+      val grade = lit(0.39) * nw / ns + lit(11.8) * ny / nw - 15.59
+      struct(nw.as("nw"), ns.as("ns"), ny.as("ny"),
+        when(nw > 0 && ns > 0,
+          floor(grade * 100 + 0.5) / 100).as("fk"))
+    }
+    df.select(idCol.as("doc_id"), out.as("__r"))
+      .select(col("doc_id"), col("__r.nw").as("n_words"),
+        col("__r.ns").as("n_sents"), col("__r.ny").as("n_syllables"),
+        col("__r.fk").as("fk_grade"))
+  }
 }

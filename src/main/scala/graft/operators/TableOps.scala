@@ -206,4 +206,30 @@ object TableOps {
       .groupBy(col("bin"))
       .agg(min(col("__x")).as("bin_lo"), count(lit(1)).as("n"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns: every row gains its
+    * equivalence-class size (`group_size` — rows sharing ALL quasi
+    * values) and a `suppressed` flag for classes under `k` — the
+    * rows a release must drop or generalize. The pre-release governance
+    * check run before a table with demographic-ish columns ships to a
+    * wider audience (Sweeney 2002).
+    *
+    * Scale posture: one quasi-key-partitioned window (count over the
+    * whole partition — no ordering, no running frame); equivalence
+    * classes shuffle on their natural key, never a global sort. NULL
+    * quasi values form their own class (SQL window partitioning groups
+    * nulls) — deliberately: an absent value is itself identifying.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[Column], k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val reserved = Seq("group_size", "suppressed")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    val w = Window.partitionBy(quasiCols: _*)
+    df.withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("suppressed", when(col("group_size") < k, 1).otherwise(0))
+  }
 }

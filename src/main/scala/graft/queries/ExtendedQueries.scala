@@ -14,6 +14,23 @@ object ExtendedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // k-anonymity uniqueness audit (Sweeney 2002): every customer row
+    // gains its equivalence-class size over the quasi-identifiers
+    // (nation, segment, account-balance band) and a suppression flag for
+    // singleton classes — the pre-release re-identification check. k=2
+    // keeps both verdicts live at every calibration scale; the oracle is
+    // one partition-count window.
+    "q217_k_anonymity" -> ((s, dir) => {
+      import graft.operators.TableOps
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      TableOps.kAnonymity(base,
+          Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")), k = 2)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("bal_band"), col("group_size"), col("suppressed"))
+    }),
+
     // Embedding-cosine near-dup detection: exact pairwise over a bounded
     // id range (the LSH/IVF-blocked form is the scale path — q47).
     "q56_embedding_neardup" -> ((s, dir) => {
@@ -105,6 +122,17 @@ object ExtendedQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q217_k_anonymity" ->
+      """WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+           FROM customer)
+         SELECT c_custkey, c_nationkey, c_mktsegment, bal_band,
+           COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band)
+             AS group_size,
+           CAST(CASE WHEN COUNT(*) OVER (PARTITION BY c_nationkey,
+               c_mktsegment, bal_band) < 2 THEN 1 ELSE 0 END AS INT)
+             AS suppressed
+         FROM b""",
     "q56_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id < 300)

@@ -390,6 +390,17 @@ object TrainingQueries {
             col("sum_words")).cast("long").as("fertility_permille"))
     }),
 
+    // Per-source KL divergence of token distributions vs the corpus —
+    // the mixture diagnostic behind data-selection decisions (domain
+    // shift / broken scrape shows as a KL spike). Fixed-point log2 end
+    // to end: the per-source sum is an exact integer; only the final
+    // display division is float (portable-half-up 6dp). The oracle
+    // replays all four log tables and every term.
+    "q219_source_kl" -> ((s, dir) => {
+      graft.operators.Divergence.klBySource(
+        docs(s, dir), col("source"), col("text"))
+    }),
+
     // Per-label embedding norm profile. The per-row norm is cast to
     // DECIMAL(18,9) before summing so the aggregate is partition-order
     // invariant (double addition is not associative); the oracle sums the
@@ -875,6 +886,37 @@ object TrainingQueries {
            len(regexp_extract_all(txt,
              '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones
          FROM t""",
+    "q219_source_kl" ->
+      s"""WITH tk AS (SELECT source,
+             list_transform($toksSql,
+               tk -> ${CurationQueries.polyHashSqlLine("tk")}) AS hs
+           FROM documents),
+         hx AS (SELECT source, unnest(hs) AS h FROM tk),
+         cs AS (SELECT source, h, COUNT(*) AS c_sw FROM hx GROUP BY 1, 2),
+         cg AS (SELECT h, CAST(SUM(c_sw) AS BIGINT) AS c_gw
+           FROM cs GROUP BY 1),
+         ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+             COUNT(*) AS n_vocab FROM cs GROUP BY 1),
+         ng AS (SELECT CAST(SUM(c_sw) AS BIGINT) AS n_g FROM cs),
+         ${graft.functions.Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("cs", "source, h, c_sw", "c_sw",
+        "lg_sw", "a")},
+         ${CurationQueries.log2fpStages("cg", "h", "c_gw", "lg_gw", "b")},
+         ${CurationQueries.log2fpStages("ns", "source, n_s, n_vocab", "n_s",
+        "lg_ns", "c")},
+         ${CurationQueries.log2fpStages("ng", "n_g", "n_g", "lg_ng", "d")},
+         j AS (SELECT al.source, al.c_sw,
+             al.lg_sw, bl.lg_gw, cl.lg_ns, cl.n_s, cl.n_vocab, dl.lg_ng
+           FROM al JOIN bl ON al.h = bl.h
+             JOIN cl ON al.source = cl.source
+             CROSS JOIN dl),
+         t2 AS (SELECT source, n_s, n_vocab,
+             SUM(c_sw * (lg_sw + lg_ng - lg_gw - lg_ns)) AS s
+           FROM j GROUP BY 1, 2, 3)
+         SELECT source, n_s AS n_tokens, CAST(n_vocab AS BIGINT) AS n_vocab,
+           FLOOR(CAST(s AS DOUBLE) / (n_s * 1048576e0) * 1e6 + 0.5) / 1e6
+             AS kl_bits
+         FROM t2""",
     "q213_matryoshka_energy" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

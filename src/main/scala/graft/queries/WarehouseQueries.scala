@@ -159,6 +159,45 @@ object WarehouseQueries {
           col("n_sentences"), col("n_tokens"))
     }),
 
+    // Section-aware hierarchical chunking: docs rendered as markdown
+    // (every 4th 5-token line becomes a # / ## heading by deterministic
+    // arithmetic — docs ship no structure), then split so every body
+    // line carries its heading PATH; an ## under a new # must NOT leak
+    // the previous #'s subsection (the h1-ordinal guard — both branches
+    // live). The oracle replays the render, the running-scope windows
+    // and the ordered reassembly.
+    "q216_section_chunks" -> ((s, dir) => {
+      val id = col("doc_id")
+      val lines0 = CurationQueries.tokenChunkLines(col("text"), 5)
+      val decorated = transform(lines0, (l, i) => {
+        val g = floor(i / lit(4)).cast("long")
+        when(pmod(i, lit(4)) === 0,
+          when(pmod(g + id, lit(3)) === 0,
+            concat(lit("# Part "), g.cast("string")))
+            .otherwise(concat(lit("## Sub "), g.cast("string"))))
+          .otherwise(l)
+      })
+      val md = array_join(decorated, "\n")
+      Chunker.sectionChunks(
+        docs(s, dir).select(id, md.as("md")), col("doc_id"), col("md"))
+    }),
+
+    // Flesch–Kincaid readability (the lightweight education-level proxy
+    // next to the learned q136 scorer): periods planted every 7th token
+    // (q180's decoration — the synthetic docs carry no terminators),
+    // vowel-group syllables, portable-half-up 2dp grade. The oracle
+    // replays words, sentences, every per-word syllable count and the
+    // grade formula in the identical double-op order.
+    "q218_readability" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val dotted = array_join(
+        transform(toks, (x, i) =>
+          when((i + 1) % 7 === 0, concat(x, lit("."))).otherwise(x)), " ")
+      graft.operators.QualityRules.readability(
+        docs(s, dir).select(col("doc_id"), dotted.as("text")),
+        col("doc_id"), col("text"))
+    }),
+
     // HLL merge law on the oracle surface: per-language register tables
     // merged bucket-wise (max rho) == registers computed directly over
     // the union. The reason sketches win at 100 TB — per-shard tables
@@ -556,6 +595,75 @@ object WarehouseQueries {
   private val funnelWinUs = funnelWindowSec * 1000000L
 
   val oracles: Map[String, String] = Map(
+
+    "q216_section_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${AnalyticsQueries.toksSql} AS toks
+           FROM documents),
+         d0 AS (SELECT doc_id, ${CurationQueries.chunkLinesSql(5)} AS lines
+           FROM t),
+         l AS (SELECT doc_id, u.i - 1 AS pos,
+             CASE WHEN (u.i - 1) % 4 = 0 THEN
+               CASE WHEN ((u.i - 1) // 4 + doc_id) % 3 = 0
+                 THEN '# Part ' || ((u.i - 1) // 4)
+                 ELSE '## Sub ' || ((u.i - 1) // 4) END
+               ELSE lines[u.i] END AS ln
+           FROM d0, unnest(range(1, len(lines) + 1)) AS u(i)),
+         g AS (SELECT doc_id, pos, ln,
+             CASE WHEN ln LIKE '## %' THEN 2
+                  WHEN ln LIKE '# %' THEN 1 ELSE 0 END AS typ
+           FROM l),
+         w1 AS (SELECT doc_id, pos, ln, typ,
+             SUM(CASE WHEN typ > 0 THEN 1 ELSE 0 END) OVER win AS section_id,
+             SUM(CASE WHEN typ = 1 THEN 1 ELSE 0 END) OVER win AS h1cnt
+           FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         w2 AS (SELECT doc_id, pos, ln, typ, section_id, h1cnt,
+             LAST_VALUE(CASE WHEN typ = 1 THEN substr(ln, 3) END IGNORE NULLS)
+               OVER win AS h1,
+             LAST_VALUE(CASE WHEN typ = 2
+                 THEN {'c': h1cnt, 't': substr(ln, 4)} END IGNORE NULLS)
+               OVER win AS h2s
+           FROM w1 WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT doc_id, CAST(section_id AS BIGINT) AS section_id,
+           MAX(h1) AS h1,
+           MAX(CASE WHEN h2s.c = h1cnt THEN h2s.t END) AS h2,
+           CAST(COUNT(CASE WHEN typ = 0 THEN 1 END) AS BIGINT) AS n_lines,
+           COALESCE(string_agg(CASE WHEN typ = 0 THEN ln END, chr(10)
+             ORDER BY pos), '') AS body
+         FROM w2 GROUP BY doc_id, section_id""",
+
+    "q218_readability" ->
+      s"""WITH t AS (SELECT doc_id, ${AnalyticsQueries.toksSql} AS toks
+           FROM documents),
+         d AS (SELECT doc_id, array_to_string(
+             list_transform(range(1, len(toks) + 1),
+               i -> CASE WHEN i % 7 = 0 THEN toks[i] || '.'
+                    ELSE toks[i] END), ' ') AS txt
+           FROM t),
+         r AS (SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(txt, '[^.!?]+(?:[.!?]+|$$)'),
+               x -> trim(x)), x -> x <> '') AS sents,
+             list_filter(string_split_regex(trim(txt), '\\s+'),
+               x -> x <> '') AS ws
+           FROM d),
+         c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+             CAST(len(sents) AS BIGINT) AS ns,
+             -- COALESCE only the empty-list case (list_sum([]) is NULL in
+             -- DuckDB, 0 in Spark's aggregate); a NULL text must stay NULL
+             -- on both sides
+             CAST(CASE WHEN ws IS NOT NULL THEN
+               COALESCE(list_sum(list_transform(ws,
+                 w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)
+               END AS BIGINT) AS ny
+           FROM r)
+         SELECT doc_id, nw AS n_words, ns AS n_sents, ny AS n_syllables,
+           CASE WHEN nw > 0 AND ns > 0 THEN
+             FLOOR((0.39e0 * nw / ns + 11.8e0 * ny / nw - 15.59e0) * 100
+               + 0.5) / 100
+           END AS fk_grade
+         FROM c""",
 
     "q172_funnel" ->
       s"""WITH f AS (
