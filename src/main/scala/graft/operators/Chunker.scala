@@ -101,12 +101,18 @@ object Chunker {
     * or empty document has NO lines and yields no rows — `split("")`
     * would otherwise fabricate one empty line and a phantom section 0
     * (split("", "\n") == [""], unlike an empty-array oracle unnest).
+    * The empty guard rides INSIDE the generator as a null-producing
+    * `when` (non-outer posexplode drops null arrays), and `textCol` is
+    * lambda-bound first: a `where` clause would get pushed below the
+    * projection and re-evaluate the caller's full text expression per
+    * conjunct (3× a HOF render in q216's shape — measured).
     */
   def sectionChunks(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lines = df.where(textCol.isNotNull && length(textCol) > 0)
-      .select(idCol.as("doc_id"),
-        posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+    val lines = df.select(idCol.as("doc_id"),
+      posexplode(graft.functions.TextFunctions.bindOnce(textCol)(t =>
+        when(t.isNotNull && length(t) > 0, split(t, "\n"))))
+        .as(Seq("pos", "line")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val tagged = lines

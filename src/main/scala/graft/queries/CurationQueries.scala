@@ -29,14 +29,17 @@ object CurationQueries {
     * would generate a DESCENDING [0, -1] — two phantom empty lines the
     * DuckDB oracle's range(0, 0) = [] does not have.
     */
-  private[queries] def tokenChunkLines(text: Column, w: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    val n = ((size(toks) + (w - 1)) / w).cast("int")
-    when(n > 0,
-      transform(sequence(lit(0), n - 1),
-        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  private[queries] def tokenChunkLines(text: Column, w: Int): Column =
+    // bind the token array once — referenced from the count AND from the
+    // per-line slice lambda, an unbound `toks` re-tokenizes the document
+    // once per output line (interpreted HOFs get no subexpr elimination)
+    TextFunctions.bindOnce(TextFunctions.tokens(text)) { toks =>
+      val n = ((size(toks) + (w - 1)) / w).cast("int")
+      when(n > 0,
+        transform(sequence(lit(0), n - 1),
+          i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
