@@ -79,7 +79,9 @@ object PlanDump {
       "q203_repetition_rules" -> "Gopher repetition rules: per-row sort + run-length folds (dup lines, top/dup n-gram char fractions) in ONE narrow Project — no shuffle, scan speed at any scale",
       "q205_cdc_chunks" -> "content-defined chunking: two compiled O(n) Gear-CDC kernel calls + array intersect per row, ONE narrow Project — the storage-dedup primitive runs at scan speed",
       "q208_kn_lm" -> "Kneser-Ney scoring: ONE corpus pass builds the checkpointed packed-bigram table (model frames vocab-bounded); doc side = one explode + three 8-byte-key joins + one-row broadcast total, fixed-point log2 in the projection",
-      "q211_contamination_join" -> "join-form decontamination: bench grams distributed (no driver broadcast), Bloom probe INSIDE the per-row array before explode (non-matching grams never reach the exchange), n_sh from a same-projection size()")
+      "q211_contamination_join" -> "join-form decontamination: bench grams distributed (no driver broadcast), Bloom probe INSIDE the per-row array before explode (non-matching grams never reach the exchange), n_sh from a same-projection size()",
+      "q216_section_chunks" -> "section chunking: lambda-bound render evaluated ONCE -> Generate -> a single doc-keyed sort shared by all four window functions -> section agg; the one exchange vanishes on doc-clustered input (SCALE.md receipt)",
+      "q219_source_kl" -> "per-source KL: corpus pass collapses to (source x vocab) counts BEFORE anything wide moves; global-log table joins back on the 8-byte hash, totals ride broadcasts; 6.6 MB total shuffle at 10M docs")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -1169,6 +1169,105 @@ object Stress {
     require(nBoiler == 0, "boilerplate cluster leaked into pairs")
   }
 
+  /** Governance wave at corpus scale: section-aware chunking (doc-keyed
+    * window fan-out), k-anonymity (partition-count window) and per-source
+    * KL divergence (one corpus pass + vocab-bounded joins). n = docs/rows.
+    *
+    * Receipt bars: sections = exactly 4 per doc with 20 body lines (the
+    * generator plants 4 headings per 24-line doc — any phantom/lost line
+    * breaks the equality); k-anonymity suppression count = the planted
+    * singleton stripe; KL spikes on the planted single-word source while
+    * the 31 hash-flat sources sit near the corpus.
+    */
+  private def governanceReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.{Chunker, Divergence, TableOps}
+    val words = typedLit((1 to 256).map(i => s"w$i"))
+    def lineOf(seed: org.apache.spark.sql.Column) =
+      array_join(transform(sequence(lit(0), lit(4)),
+        k => element_at(words,
+          (pmod(xxhash64(seed + k), lit(256)) + 1).cast("int"))), " ")
+    // 24 lines; j%6==0 is a heading (j/6-th), 2:1 ##:# mix by (id+j/6)%3.
+    // doc_id is a bijective odd-multiplier scatter of the range id: with
+    // doc_id == id the checkpoint's preserved range partitioning PROVES
+    // doc-clustering and Spark elides the window exchange entirely (real —
+    // co-partitioned input pays zero shuffle — but a parquet corpus has
+    // unknown partitioning, and the receipt must price that shape)
+    val md = spark.range(0, n, 1, 32)
+      .select(Seq(13, -7, 17).foldLeft(col("id")) { (x, s) =>
+          if (s > 0) x.bitwiseXOR(shiftleft(x, s))
+          else x.bitwiseXOR(shiftrightunsigned(x, -s))
+        }.as("doc_id"), // xorshift64 bijection — overflow-free under ANSI
+        col("id"))
+      .select(col("doc_id"),
+      array_join(transform(sequence(lit(0), lit(23)), j =>
+        when(pmod(j, lit(6)) === 0,
+          when(pmod(j / 6 + col("id"), lit(3)) === 0,
+            concat(lit("# H"), (j / 6).cast("string")))
+            .otherwise(concat(lit("## S"), (j / 6).cast("string"))))
+          .otherwise(lineOf(col("id") * 37L + j * 7L))), "\n").as("md"))
+      .localCheckpoint() // price the operator, not the generator
+    val ((nSec, nLines), secBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L)
+      time(s"section_chunks_${n / 1000000}M") {
+        val p = Chunker.sectionChunks(md, col("doc_id"), col("md"))
+          .agg(count(lit(1)), sum(col("n_lines"))).head()
+        r = (p.getLong(0), p.getLong(1))
+      }
+      r
+    }
+    println(f"[stress] section_chunks: $nSec sections (${nSec / n} per doc), " +
+      f"$nLines body lines, shuffle ${secBytes / 1048576.0}%.1f MB")
+    require(nSec == 4 * n && nLines == 20 * n,
+      s"section accounting broke: $nSec sections, $nLines lines for $n docs")
+
+    // k-anonymity: 8-row classes + a singleton stripe every 101st row
+    // (offset by n so stripe values never collide with a class value)
+    val rows = spark.range(0, n, 1, 32).select(col("id"),
+      when(pmod(col("id"), lit(101)) === 0, col("id") + n)
+        .otherwise(pmod(col("id"), lit(n / 8))).as("quasi_a"),
+      pmod(col("id"), lit(4)).as("quasi_b"))
+      .localCheckpoint()
+    val (nSupp, kBytes) = shuffleBytes(spark.sparkContext) {
+      var r = 0L
+      time(s"k_anonymity_${n / 1000000}M") {
+        r = TableOps.kAnonymity(rows,
+            Seq(col("quasi_a"), col("quasi_b")), k = 2)
+          .agg(sum(col("suppressed"))).head().getLong(0)
+      }
+      r
+    }
+    val expSupp = (n + 100) / 101
+    println(f"[stress] k_anonymity: $nSupp suppressed (expect $expSupp), " +
+      f"shuffle ${kBytes / 1048576.0}%.1f MB")
+    require(nSupp == expSupp, s"suppression count $nSupp != $expSupp")
+
+    // per-source KL: 32 sources; source 31 only ever says "alpha"
+    val docs = spark.range(0, n, 1, 32).select(
+      concat(lit("src"), pmod(col("id"), lit(32)).cast("string")).as("source"),
+      when(pmod(col("id"), lit(32)) === 31,
+        array_join(transform(sequence(lit(0), lit(39)), _ => lit("alpha")), " "))
+        .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+          j => element_at(words,
+            (pmod(xxhash64(col("id") * 41L + j), lit(256)) + 1).cast("int"))),
+          " ")).as("text"))
+      .localCheckpoint()
+    val ((klFlat, klSkew), klBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0.0, 0.0)
+      time(s"source_kl_${n / 1000000}M") {
+        val m = Divergence.klBySource(docs, col("source"), col("text"))
+          .agg(max(when(col("source") =!= "src31", col("kl_bits"))),
+            max(when(col("source") === "src31", col("kl_bits")))).head()
+        r = (m.getDouble(0), m.getDouble(1))
+      }
+      r
+    }
+    println(f"[stress] source_kl: flat max $klFlat%.4f bits, " +
+      f"skewed $klSkew%.4f bits, shuffle ${klBytes / 1048576.0}%.1f MB")
+    require(klSkew > klFlat + 1.0,
+      s"planted skew did not spike: flat $klFlat vs skew $klSkew")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -1223,6 +1322,12 @@ object Stress {
 
     if (section == "contamjoin") {
       contamJoinReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "governance") {
+      governanceReceipt(spark, n)
       spark.stop()
       return
     }

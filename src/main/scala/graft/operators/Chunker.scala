@@ -94,7 +94,12 @@ object Chunker {
     * Scale posture: one posexplode + ONE doc-keyed window pass (running
     * sums + last-ignore-nulls over the same frame — a single partitioned
     * sort), then a doc+section hash agg whose collect is bounded by
-    * section size, not document count.
+    * section size, not document count. The window's exchange is the only
+    * shuffle, and it vanishes when the input is already clustered by the
+    * id column — Spark's planner proves the distribution and elides it
+    * (receipt in SCALE.md: 0 shuffle bytes on a doc-partitioned
+    * checkpoint vs 3.6 GB on scattered ids at 10M docs). On a bucketed
+    * 100 TB corpus this operator runs shuffle-free.
     *
     * Output: (doc_id, section_id, h1, h2, n_lines, body) — body is the
     * non-heading lines rejoined with newlines in document order. A null
