@@ -58,7 +58,9 @@ object SparkEntry {
     new QueryModule(graft.queries.PipelineQueries.queries,
       graft.queries.PipelineQueries.oracles),
     new QueryModule(graft.queries.WarehouseQueries.queries,
-      graft.queries.WarehouseQueries.oracles))
+      graft.queries.WarehouseQueries.oracles),
+    new QueryModule(graft.queries.EvalQueries.queries,
+      graft.queries.EvalQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -28,6 +28,47 @@ import org.apache.spark.sql.functions._
   */
 object Divergence {
 
+  /** Zipf slope per source: OLS fit of log2(freq) on log2(rank) over the
+    * `topR` most frequent tokens (ties broken lexicographically) — the
+    * corpus-health diagnostic next to [[klBySource]]: natural text sits
+    * near slope -1; templated/boilerplate-heavy sources flatten, and a
+    * scrape of unique junk steepens. Both logs are the fixed-point
+    * [[Log2Fixed]] kernel, so the four OLS sums are exact integers and
+    * slope = (R*Sxy - Sx*Sy) / (R*Sxx - Sx*Sx) is an exact rational,
+    * micro-rounded for display. Null for sources with < 2 ranked types.
+    *
+    * Scale posture: ONE corpus exchange builds (source, token) counts;
+    * the per-source top-R is a WindowGroupLimit over the vocab-bounded
+    * count frame; everything after is (sources x topR) rows.
+    */
+  def zipfSlope(df: DataFrame, sourceCol: Column, textCol: Column,
+      topR: Int = 100): DataFrame = {
+    require(topR >= 2, s"topR must be >= 2, got $topR")
+    val counts = df
+      .select(sourceCol.as("source"),
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("freq"))
+    val ranked = Ranking.topKPerGroup(counts, Seq(col("source")),
+      Seq(col("freq").desc, col("tok").asc), topR, rankCol = Some("rnk"))
+    val x = Log2Fixed.expr(col("rnk").cast("long"))
+    val y = Log2Fixed.expr(col("freq"))
+    // per-term products stay in long (lg <= 63*2^20, product < 2^53);
+    // the SUMS widen to DECIMAL(38,0) — at topR ~1e5 a long Σxy wraps
+    // silently under non-ANSI Spark while the HUGEINT oracle stays exact
+    val sums = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("r"),
+        sum(x.cast("decimal(38,0)")).as("sx"),
+        sum(y.cast("decimal(38,0)")).as("sy"),
+        sum((x * y).cast("decimal(38,0)")).as("sxy"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"))
+    val num = col("r") * col("sxy") - col("sx") * col("sy")
+    val den = col("r") * col("sxx") - col("sx") * col("sx")
+    sums.select(col("source"), col("r").as("n_ranked"),
+      when(col("r") >= 2,
+        EvalMetrics.microRound6(num, den).cast("double") / 1e6)
+        .as("zipf_slope"))
+  }
+
   /** (source, n_tokens, n_vocab, kl_bits 6dp) per distinct value of
     * `sourceCol`. Overflow envelope: |Σ c_sw·Δlg| ≤ N_s·64·2²⁰ — exact in
     * long to N_s ≈ 1.3·10¹¹ tokens per source; shard beyond.

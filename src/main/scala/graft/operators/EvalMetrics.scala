@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.functions.Log2Fixed
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Evaluation and audit metrics over pipeline outputs — the statistics a
+  * training-data platform publishes about its OWN artifacts: retrieval
+  * quality (nDCG/recall/RR of a ranker against a gold set), inter-rater
+  * agreement between quality filters (Cohen's kappa), and classifier
+  * calibration (ECE). Every metric is computed in exact integer/fixed-point
+  * arithmetic (Log2Fixed for the DCG discounts, micro-unit half-away-from-
+  * zero rounding for every displayed ratio) so the whole surface sits on
+  * the DuckDB oracle — float-accumulated metrics never hash-match across
+  * engines.
+  */
+object EvalMetrics {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** floor(x / y), x >= 0, y > 0, exact at any magnitude. */
+  private[operators] def idivPos(x: Column, y: Column): Column =
+    ((dec(x) - pmod(dec(x), dec(y))) / dec(y)).cast("long")
+
+  /** round(num/den * 1e6), half away from zero, DECIMAL(38,0) internals —
+    * the portable-rounding convention (engine ROUND on a double quotient
+    * diverges at representation boundaries; a long-built numerator would
+    * wrap at ~1e13 on corpus-scale counts). den > 0.
+    */
+  private[operators] def microRound6(num: Column, den: Column): Column = {
+    val a = dec(abs(num)) * 2000000L + dec(den)
+    val b = dec(den) * 2L
+    val q = ((a - pmod(a, b)) / b).cast("long")
+    when(num < 0, -q).otherwise(q)
+  }
+
+  /** micro long -> displayed double (micro/1e6 is the same IEEE double in
+    * every engine). */
+  private def asRatio(micro: Column): Column = micro.cast("double") / 1e6
+
+  /** DCG discount weight at rank r in micro units:
+    * floor(1e6 * 2^20 / log2fp(r + 1)) — exact integers end to end, so
+    * w(1) = 1e6 and the oracle replays the same LUT interpolation.
+    */
+  private def rankWeight(r: Column): Column =
+    idivPos(lit(1000000L * Log2Fixed.One), Log2Fixed.expr(r.cast("long") + 1))
+
+  /** Per-query ranking quality against a binary-relevance gold set:
+    * recall@k, reciprocal rank of the first relevant hit, and nDCG@k
+    * (binary gains, log2 discount). Queries with an empty gold set report
+    * null metrics — there is nothing to normalize against.
+    *
+    * Inputs: `ranked` = (query_id, doc_id, rnk) with rnk 1-based;
+    * `gold` = (query_id, doc_id). Rows of `ranked` beyond rank k are
+    * ignored.
+    *
+    * The output has one row per query id appearing in `ranked` OR `gold`
+    * — a query the ranker returned nothing for still reports its zeros
+    * (dropping it would overstate mean quality by excluding exactly the
+    * worst queries).
+    *
+    * Scale posture: the ranked side is |queries|*k rows and rides a
+    * broadcast into the gold join — the (possibly corpus-sized) gold
+    * frame is never shuffled on the pair key; the ideal-DCG runs as a
+    * per-row fold over min(n_gold, k) terms. Per-query aggregates are
+    * |queries|-bounded. Both inputs are consumed twice (hits + counts /
+    * universe), so both are localCheckpoint-materialized — an
+    * unmaterialized gold plan would re-run its whole upstream subtree
+    * (in q220, a corpus tokenize + three joins) per consumer.
+    */
+  def rankingMetrics(ranked: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rankedK = ranked.select(col("query_id"), col("doc_id"),
+      col("rnk").cast("long").as("rnk")).filter(col("rnk") <= k)
+      .localCheckpoint()
+    val goldM = gold.localCheckpoint()
+    val hits = goldM.join(broadcast(rankedK), Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__nh"),
+        sum(rankWeight(col("rnk"))).as("__dcg"),
+        min(col("rnk")).as("__minrnk"))
+    val goldN = goldM.groupBy(col("query_id")).agg(count(lit(1)).as("n_gold"))
+    val idcg = aggregate(
+      sequence(lit(1L), least(col("n_gold"), lit(k.toLong))),
+      lit(0L), (acc, i) => acc + rankWeight(i))
+    rankedK.select(col("query_id"))
+      .union(goldM.select(col("query_id"))).distinct()
+      .join(goldN, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        col("__dcg"), col("__minrnk"))
+      .select(
+        col("query_id"), col("n_gold"), col("n_hits"),
+        when(col("n_gold") > 0,
+          asRatio(microRound6(col("n_hits"), col("n_gold"))))
+          .as("recall_at_k"),
+        when(col("n_gold") > 0,
+          coalesce(asRatio(microRound6(lit(1L), col("__minrnk"))), lit(0.0)))
+          .as("rr"),
+        when(col("n_gold") > 0,
+          asRatio(microRound6(coalesce(col("__dcg"), lit(0L)), idcg)))
+          .as("ndcg_at_k"))
+  }
+
+  /** Cohen's kappa between two binary raters (0/1 columns) — the
+    * agreement-beyond-chance statistic for a pair of quality filters or
+    * annotators: kappa = (N*agree - sum r_i*c_i) / (N^2 - sum r_i*c_i),
+    * an exact integer rational from the confusion counts. Null when the
+    * chance term equals N^2 (a constant rater — kappa undefined).
+    * One row out; one 4-counter aggregation in (map-side combined).
+    */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val a = aCol.cast("long")
+    val b = bCol.cast("long")
+    def cnt(av: Int, bv: Int) =
+      sum(when(a === av && b === bv, 1L).otherwise(0L))
+    val counts = df.agg(
+      cnt(1, 1).as("n11"), cnt(1, 0).as("n10"),
+      cnt(0, 1).as("n01"), cnt(0, 0).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val chance = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    val num = n * (col("n11") + col("n00")) - chance
+    val den = n * n - chance
+    counts.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      when(den =!= 0, asRatio(microRound6(num, den))).as("kappa"))
+  }
+
+  /** Reliability table + expected calibration error for a scored binary
+    * outcome. Confidence is the exact rational confNum/confDen in [0,1]
+    * (pass the score's native integer numerator — e.g. micro-logit
+    * shifted to [0, 2e6] with confDen = 2e6 — so binning and bin means
+    * stay on the integer surface). Rows: one per POPULATED bin
+    * (bin, n, mean confidence, accuracy, |gap|) plus the corpus-level
+    * `ece` repeated per row from a one-row broadcast:
+    * ECE = sum_b |pos_b*confDen - sum_conf_b| / (confDen * N) — the
+    * n_b/N weighting collapses into one exact integer numerator.
+    */
+  def calibrationBins(df: DataFrame, confNum: Column, confDen: Long,
+      labelCol: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    require(confDen > 0, s"confDen must be positive, got $confDen")
+    val bin = least(lit(nBins - 1L),
+      idivPos(confNum.cast("long") * nBins, lit(confDen)))
+    // the bin table is <= nBins rows but feeds both the ECE total and the
+    // per-bin output — materialize it so the (corpus-sized) input plan
+    // runs once, not once per consumer
+    val g = df.select(bin.as("bin"), confNum.cast("long").as("__cn"),
+        labelCol.cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__cn")).as("__sc"),
+        sum(col("__y")).as("__pos"))
+      .localCheckpoint()
+    val gap = abs(col("__pos") * confDen - col("__sc"))
+    val total = g.agg(sum(col("n_docs")).as("__n"), sum(gap).as("__g"))
+      .select(asRatio(microRound6(col("__g"), col("__n") * confDen)).as("ece"))
+    g.select(col("bin"), col("n_docs"),
+        asRatio(microRound6(col("__sc"), col("n_docs") * confDen))
+          .as("mean_conf"),
+        asRatio(microRound6(col("__pos"), col("n_docs"))).as("accuracy"),
+        gap.as("gap_num"))
+      .crossJoin(broadcast(total))
+  }
+}

@@ -207,6 +207,49 @@ object TableOps {
       .agg(min(col("__x")).as("bin_lo"), count(lit(1)).as("n"))
   }
 
+  /** l-diversity audit — the companion check to [[kAnonymity]]: a class
+    * can be large yet still leak when everyone in it shares the sensitive
+    * value (Machanavajjhala 2007). One row per equivalence class:
+    * class size, distinct sensitive values, fixed-point Shannon entropy
+    * of the sensitive distribution in bits (6 dp — the entropy-l-diversity
+    * statistic), and a `diverse` flag for classes with >= l distinct
+    * values. Entropy is exact-integer end to end:
+    * H = (n*log2fp(n) - sum c_i*log2fp(c_i)) / (n*2^20), micro-rounded.
+    *
+    * Scale posture: two aggregations — (quasi, sensitive) counts (the one
+    * exchange carrying row-level weight), then a quasi-keyed rollup of
+    * the already-collapsed counts. No windows, no collects; log2fp runs
+    * once per (class, value), never per row.
+    *
+    * `quasiCols` and `sensitiveCol` must be plain column references (they
+    * are re-resolved by name across the two aggregations).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[Column],
+      sensitiveCol: Column, l: Long): DataFrame = {
+    import graft.functions.Log2Fixed
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val reserved =
+      Seq("group_size", "n_sensitive", "entropy_bits", "diverse", "__c",
+        "__st")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    val counts = df.groupBy((quasiCols :+ sensitiveCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    val rolled = counts.groupBy(quasiCols: _*)
+      .agg(sum(col("__c")).as("group_size"),
+        count(lit(1)).as("n_sensitive"),
+        sum(col("__c") * Log2Fixed.expr(col("__c"))).as("__st"))
+    val entNum = col("group_size") * Log2Fixed.expr(col("group_size")) -
+      col("__st")
+    rolled.select(quasiCols ++ Seq(
+      col("group_size"), col("n_sensitive"),
+      (EvalMetrics.microRound6(entNum, col("group_size") * Log2Fixed.One)
+        .cast("double") / 1e6).as("entropy_bits"),
+      when(col("n_sensitive") >= l, 1).otherwise(0).as("diverse")): _*)
+  }
+
   /** k-anonymity audit over quasi-identifier columns: every row gains its
     * equivalence-class size (`group_size` — rows sharing ALL quasi
     * values) and a `suppressed` flag for classes under `k` — the

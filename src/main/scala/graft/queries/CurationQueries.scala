@@ -429,6 +429,33 @@ object CurationQueries {
       s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
+  /** The q125 fixed-point BM25 ranking as a reusable CTE chain (ends at
+    * `r` = (query_id, doc_id, score_fp, rnk), ranks unfiltered; also
+    * exposes `t` (doc tokens) and `q` (query terms) to downstream CTEs —
+    * q220's eval metrics chain continues from all three).
+    */
+  private[queries] def bm25RankCtes(qvals: String): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+         FROM dd GROUP BY 1, 2),
+       st AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS s FROM t),
+       q(query_id, term) AS (VALUES $qvals),
+       dfs AS (SELECT term, COUNT(*) AS df FROM tf
+         WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       ${Log2Fixed.lutCteSql},
+       ${log2fpStages("dfs", "term", "df", "lgdf", "df")},
+       ${log2fpStages("st", "n, s", "n", "lgn", "n")},
+       sc AS (SELECT q.query_id, tf.doc_id,
+           CAST(SUM(((nl.lgn - dfl.lgdf) * (44 * tf.tf * nl.s))
+             // (20 * tf.tf * nl.s + 6 * nl.s + 18 * tf.dl * nl.n)) AS BIGINT) AS score_fp
+         FROM tf JOIN q USING (term) JOIN dfl USING (term) CROSS JOIN nl
+         GROUP BY 1, 2),
+       r AS (SELECT query_id, doc_id, score_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score_fp DESC, doc_id) AS rnk
+         FROM sc)"""
+
   /** Fixed-width token chunk lines — SQL mirror of [[tokenChunkLines]]. */
   private[queries] def chunkLinesSql(w: Int) =
     s"list_transform(range(0, (len(toks)+${w - 1})//$w), " +
@@ -643,29 +670,10 @@ object CurationQueries {
          FROM st JOIN tp ON st.lang = tp.lang AND tp.rn = 1""",
 
     "q125_bm25" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
-         tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
-           FROM dd GROUP BY 1, 2),
-         st AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS s FROM t),
-         q(query_id, term) AS (VALUES
-           (1, 'spark'), (1, 'join'), (1, 'merge'),
+      s"""WITH ${bm25RankCtes(
+        """(1, 'spark'), (1, 'join'), (1, 'merge'),
            (2, 'window'), (2, 'batch'), (2, 'stream'),
-           (3, 'customer'), (3, 'value'), (3, 'filter')),
-         dfs AS (SELECT term, COUNT(*) AS df FROM tf
-           WHERE term IN (SELECT term FROM q) GROUP BY 1),
-         ${Log2Fixed.lutCteSql},
-         ${log2fpStages("dfs", "term", "df", "lgdf", "df")},
-         ${log2fpStages("st", "n, s", "n", "lgn", "n")},
-         sc AS (SELECT q.query_id, tf.doc_id,
-             CAST(SUM(((nl.lgn - dfl.lgdf) * (44 * tf.tf * nl.s))
-               // (20 * tf.tf * nl.s + 6 * nl.s + 18 * tf.dl * nl.n)) AS BIGINT) AS score_fp
-           FROM tf JOIN q USING (term) JOIN dfl USING (term) CROSS JOIN nl
-           GROUP BY 1, 2),
-         r AS (SELECT query_id, doc_id, score_fp,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY score_fp DESC, doc_id) AS rnk
-           FROM sc)
+           (3, 'customer'), (3, 'value'), (3, 'filter')""")}
          SELECT query_id, doc_id, rnk, score_fp FROM r WHERE rnk <= 10""",
 
     "q138_soft_dedup" ->

@@ -1,0 +1,303 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.{Log2Fixed, TextFunctions}
+import graft.operators.{Bm25, Divergence, EvalMetrics, QualityClassifier, QualityRules, TableOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation & audit metrics over the engine's own artifacts (q220–q224):
+  * ranking quality of the BM25 retriever, agreement between the rule and
+  * model quality filters, l-diversity of a release table, Zipf corpus
+  * health, and classifier calibration — the numbers a data platform
+  * publishes about what it ships.
+  */
+object EvalQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val toksSql = AnalyticsQueries.toksSql
+
+  /** The q113 Gopher keep flag as CTEs ending at `ga(doc_id, keep_a)` —
+    * the signal body and keep thresholds are TrainingQueries' single
+    * shared copy (minStopwords=1, the q113 corpus calibration). */
+  private def gopherKeepCtes: String =
+    s"""gt AS (SELECT doc_id, text, $toksSql AS toks,
+           string_split(text, chr(10)) AS lns
+         FROM documents),
+       ${TrainingQueries.gopherSignalsCte("gt", "gs")},
+       ga AS (SELECT doc_id,
+           ${TrainingQueries.gopherKeepCaseSql} AS keep_a
+         FROM gs)"""
+
+  /** The q136 hashed-classifier per-doc sums as CTEs ending at
+    * `cs(doc_id, n_tokens, sumw)` — the weight formula is
+    * TrainingQueries' single shared copy. */
+  private def classifierCtes: String =
+    s"""ct AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       ${TrainingQueries.classifierSumsCte("ct", "cs")}"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Retrieval evaluation: recall@10 / RR / nDCG@10 of the q125 BM25
+    // ranker against a binary gold set ("doc contains ALL query terms" —
+    // derivable in both engines). Query 4 carries a term absent from the
+    // corpus, so its gold set is empty and the null-metrics branch stays
+    // live. DCG discounts are fixed-point log2 micro-weights; every
+    // displayed ratio is exact-integer micro-rounded.
+    "q220_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "spark join merge"),
+        (2L, "window batch stream"),
+        (3L, "customer value filter"),
+        (4L, "spark zzznope")).toDF("query_id", "qtext")
+      val d = docs(s, dir)
+      val ranked = Bm25.topK(d, col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 10)
+      val qterms = Bm25.queryTerms(qs, col("query_id"), col("qtext"))
+      val qsize = qterms.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__nt"))
+      val docTerms = d.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+        .join(broadcast(qterms.select(col("term")).distinct()),
+          Seq("term"), "left_semi")
+      val gold = docTerms.join(broadcast(qterms), Seq("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("__m"))
+        .join(broadcast(qsize), Seq("query_id"))
+        .filter(col("__m") === col("__nt"))
+        .select(col("query_id"), col("doc_id"))
+      EvalMetrics.rankingMetrics(ranked, gold, k = 10)
+    }),
+
+    // Inter-rater agreement between the rule-based (q113 Gopher) and
+    // model-based (q136 classifier) keep flags — Cohen's kappa from the
+    // exact confusion counts: does the learned filter add information
+    // over the rules, or rubber-stamp them?
+    "q221_filter_kappa" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
+          minStopwords = 1)
+        .select(col("id"), col("keep_doc"))
+      val b = QualityClassifier.score(d, col("doc_id"), col("text"))
+        .select(col("id"), col("keep"))
+      EvalMetrics.cohenKappa(a.join(b, Seq("id")),
+        col("keep_doc"), col("keep"))
+    }),
+
+    // l-diversity audit (Machanavajjhala 2007) over the q217 release
+    // shape: equivalence classes on (nation, segment, balance band),
+    // sensitive attribute = the 5-valued customer tier; class size,
+    // distinct sensitive values, fixed-point Shannon entropy in bits and
+    // the l=2 diversity flag. Both flag branches live at every
+    // calibration scale.
+    "q222_l_diversity" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        pmod(col("c_custkey"), lit(5)).as("tier"))
+      TableOps.lDiversity(base,
+        Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")),
+        col("tier"), l = 2)
+    }),
+
+    // Zipf slope per source over the top-100 token frequencies — the
+    // corpus-health diagnostic next to q219's KL: fixed-point log-log OLS,
+    // exact integer sums, micro-rounded slope.
+    "q223_zipf_slope" -> ((s, dir) => {
+      Divergence.zipfSlope(docs(s, dir), col("source"), col("text"),
+        topR = 100)
+    }),
+
+    // Calibration of the q136 classifier against the q113 rule verdict:
+    // reliability table (10 confidence bins over the micro-logit shifted
+    // to [0, 2e6]) + expected calibration error, all on the exact integer
+    // surface — the check a platform runs before trusting a model score
+    // as a sampling weight.
+    "q224_classifier_ece" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
+        .filter(col("logit").isNotNull)
+      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
+          minStopwords = 1)
+        .select(col("id"), col("keep_doc"))
+      val j = scored.join(labels, Seq("id"))
+      // logit is micro/1e6 exactly; round() recovers the integer micro
+      // value (the product sits within 1e-9 of it — never near a .5)
+      EvalMetrics.calibrationBins(j,
+        round(col("logit") * 1e6).cast("long") + 1000000L,
+        confDen = 2000000L, labelCol = col("keep_doc"), nBins = 10)
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q220_retrieval_eval" ->
+      s"""WITH ${CurationQueries.bm25RankCtes(
+        """(1, 'spark'), (1, 'join'), (1, 'merge'),
+           (2, 'window'), (2, 'batch'), (2, 'stream'),
+           (3, 'customer'), (3, 'value'), (3, 'filter'),
+           (4, 'spark'), (4, 'zzznope')""")},
+         qs2 AS (SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY 1),
+         dt AS (SELECT DISTINCT doc_id, term FROM
+             (SELECT doc_id, unnest(toks) AS term FROM t) u
+           WHERE term IN (SELECT term FROM q)),
+         gold AS (SELECT q.query_id, dt.doc_id
+           FROM dt JOIN q USING (term) JOIN qs2 USING (query_id)
+           GROUP BY q.query_id, dt.doc_id, qs2.n_terms
+           HAVING COUNT(*) = qs2.n_terms),
+         gn AS (SELECT query_id, COUNT(*) AS n_gold FROM gold GROUP BY 1),
+         rw0 AS (SELECT unnest(range(1, 11)) AS ri),
+         rw1 AS (SELECT ri, ri + 1 AS ip FROM rw0),
+         ${CurationQueries.log2fpStages("rw1", "ri", "ip", "lgip", "rw")},
+         rww AS (SELECT ri, 1048576000000 // lgip AS w FROM rwl),
+         ha AS (SELECT r.query_id, COUNT(*) AS nh,
+             CAST(SUM(rww.w) AS BIGINT) AS dcg, MIN(r.rnk) AS minrnk
+           FROM r JOIN gold g2 ON r.query_id = g2.query_id
+             AND r.doc_id = g2.doc_id
+             JOIN rww ON rww.ri = r.rnk
+           WHERE r.rnk <= 10 GROUP BY 1),
+         ic AS (SELECT gn.query_id, CAST(SUM(rww.w) AS BIGINT) AS idcg
+           FROM gn JOIN rww ON rww.ri <= LEAST(gn.n_gold, 10) GROUP BY 1),
+         qq AS (SELECT DISTINCT query_id FROM q)
+         SELECT qq.query_id,
+           CAST(COALESCE(gn.n_gold, 0) AS BIGINT) AS n_gold,
+           CAST(COALESCE(ha.nh, 0) AS BIGINT) AS n_hits,
+           CASE WHEN gn.n_gold > 0 THEN
+             CAST((2 * COALESCE(ha.nh, 0) * 1000000 + gn.n_gold)
+               // (2 * gn.n_gold) AS BIGINT) / 1000000.0 END AS recall_at_k,
+           CASE WHEN gn.n_gold > 0 THEN
+             COALESCE(CAST((2 * 1000000 + ha.minrnk) // (2 * ha.minrnk)
+               AS BIGINT) / 1000000.0, 0.0) END AS rr,
+           CASE WHEN gn.n_gold > 0 THEN
+             CAST((2 * COALESCE(ha.dcg, 0) * 1000000 + ic.idcg)
+               // (2 * ic.idcg) AS BIGINT) / 1000000.0 END AS ndcg_at_k
+         FROM qq LEFT JOIN gn USING (query_id)
+           LEFT JOIN ha USING (query_id) LEFT JOIN ic USING (query_id)""",
+
+    "q221_filter_kappa" ->
+      s"""WITH $gopherKeepCtes,
+         $classifierCtes,
+         cb AS (SELECT doc_id,
+             CASE WHEN n_tokens > 0 AND sumw > 0 THEN 1 ELSE 0 END AS keep_b
+           FROM cs),
+         j AS (SELECT ga.doc_id, keep_a, keep_b
+           FROM ga JOIN cb USING (doc_id)),
+         c4 AS (SELECT
+             CAST(SUM(CASE WHEN keep_a = 1 AND keep_b = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN keep_a = 1 AND keep_b = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN keep_a = 0 AND keep_b = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN keep_a = 0 AND keep_b = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00
+           FROM j),
+         k1 AS (SELECT n11, n10, n01, n00,
+             n11 + n10 + n01 + n00 AS n,
+             (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS ch
+           FROM c4),
+         k2 AS (SELECT n11, n10, n01, n00,
+             n * (n11 + n00) - ch AS num, n * n - ch AS den
+           FROM k1)
+         SELECT n11, n10, n01, n00,
+           CASE WHEN den <> 0 THEN
+             CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(num) * 1000000 + den) // (2 * den)) AS BIGINT)
+               / 1000000.0
+           END AS kappa
+         FROM k2""",
+
+    "q222_l_diversity" ->
+      s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_custkey % 5 AS tier
+           FROM customer),
+         g AS (SELECT c_nationkey, c_mktsegment, bal_band, tier,
+             COUNT(*) AS cc
+           FROM c GROUP BY 1, 2, 3, 4),
+         ${Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("g",
+        "c_nationkey, c_mktsegment, bal_band, tier, cc", "cc", "lgc", "a")},
+         r1 AS (SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(SUM(cc) AS BIGINT) AS group_size,
+             COUNT(*) AS n_sensitive,
+             CAST(SUM(cc * lgc) AS BIGINT) AS st
+           FROM al GROUP BY 1, 2, 3),
+         ${CurationQueries.log2fpStages("r1",
+        "c_nationkey, c_mktsegment, bal_band, n_sensitive, st, group_size",
+        "group_size", "lgn", "b")},
+         f AS (SELECT c_nationkey, c_mktsegment, bal_band, group_size,
+             n_sensitive, group_size * lgn - st AS entnum
+           FROM bl)
+         SELECT c_nationkey, c_mktsegment, bal_band, group_size,
+           CAST(n_sensitive AS BIGINT) AS n_sensitive,
+           CAST((2 * CAST(entnum AS HUGEINT) * 1000000
+               + group_size * 1048576)
+             // (2 * group_size * 1048576) AS BIGINT) / 1000000.0
+             AS entropy_bits,
+           CAST(CASE WHEN n_sensitive >= 2 THEN 1 ELSE 0 END AS INT)
+             AS diverse
+         FROM f""",
+
+    "q223_zipf_slope" ->
+      s"""WITH cs AS (SELECT source, tok, COUNT(*) AS freq FROM
+             (SELECT source, unnest($toksSql) AS tok FROM documents) u
+           GROUP BY 1, 2),
+         rk AS (SELECT source, tok, freq,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY freq DESC, tok) AS rnk
+           FROM cs),
+         top AS (SELECT source, tok, freq, rnk FROM rk WHERE rnk <= 100),
+         ${Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("top",
+        "source, tok, freq", "rnk", "lgr", "a")},
+         ${CurationQueries.log2fpStages("al",
+        "source, tok, lgr", "freq", "lgf", "b")},
+         s1 AS (SELECT source, COUNT(*) AS r,
+             SUM(lgr) AS sx, SUM(lgf) AS sy,
+             SUM(lgr * lgf) AS sxy, SUM(lgr * lgr) AS sxx
+           FROM bl GROUP BY 1),
+         s2 AS (SELECT source, r,
+             -- HUGEINT: num*2e6 in the micro-rounding would wrap INT64
+             CAST(r * sxy - sx * sy AS HUGEINT) AS num,
+             CAST(r * sxx - sx * sx AS HUGEINT) AS den
+           FROM s1)
+         SELECT source, CAST(r AS BIGINT) AS n_ranked,
+           CASE WHEN r >= 2 THEN
+             CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(num) * 1000000 + den) // (2 * den)) AS BIGINT)
+               / 1000000.0
+           END AS zipf_slope
+         FROM s2""",
+
+    "q224_classifier_ece" ->
+      s"""WITH $gopherKeepCtes,
+         $classifierCtes,
+         sc AS (SELECT doc_id, n_tokens,
+             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
+               + 1000000 AS conf_num
+           FROM cs WHERE n_tokens > 0),
+         j AS (SELECT sc.doc_id, conf_num, keep_a
+           FROM sc JOIN ga USING (doc_id)),
+         b AS (SELECT LEAST(9, conf_num * 10 // 2000000) AS bin,
+             COUNT(*) AS n_docs,
+             SUM(conf_num) AS scn,
+             SUM(keep_a) AS pos
+           FROM j GROUP BY 1),
+         tt AS (SELECT SUM(n_docs) AS nn,
+             SUM(ABS(pos * 2000000 - scn)) AS gg
+           FROM b)
+         SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((2 * scn * 1000000 + n_docs * 2000000)
+             // (2 * n_docs * 2000000) AS BIGINT) / 1000000.0 AS mean_conf,
+           CAST((2 * pos * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
+             / 1000000.0 AS accuracy,
+           CAST(ABS(pos * 2000000 - scn) AS BIGINT) AS gap_num,
+           CAST((2 * gg * 1000000 + nn * 2000000) // (2 * nn * 2000000)
+             AS BIGINT) / 1000000.0 AS ece
+         FROM b, tt""")
+}

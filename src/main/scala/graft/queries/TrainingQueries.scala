@@ -467,6 +467,53 @@ object TrainingQueries {
       s"list_transform(range(1, len($toks)), i -> " +
       s"${CurationQueries.polyHashSqlLine(s"($toks[i] || ' ' || $toks[i+1])")}) END)"
 
+  /** The q113 Gopher signal CTE, parameterized by the input CTE name
+    * (which must expose doc_id, text, toks, lns) and the output CTE name
+    * — shared with q221/q224's oracles so the rule thresholds live in
+    * exactly one SQL body. */
+  private[queries] def gopherSignalsCte(t: String, out: String): String =
+    s"""$out AS (SELECT doc_id,
+             len(toks) AS nw,
+             CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / len(toks) END AS mwl,
+             CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+               END AS fa,
+             CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+                 / len(toks) END AS sym,
+             CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns,
+                 l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lns)
+               END AS bf,
+             CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns,
+                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$$$'))) AS DOUBLE)
+                 / len(lns) END AS ef,
+             len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+               ['the','be','to','of','and','that','have','with'])) AS nstop
+           FROM $t)"""
+
+  /** The q113 keep verdict over [[gopherSignalsCte]]'s signal columns
+    * (minStopwords=1 — this corpus's calibration). */
+  private[queries] val gopherKeepCaseSql: String =
+    """CASE WHEN nw BETWEEN 50 AND 100000
+             AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1 AND fa >= 0.8
+             AND nstop >= 1 AND bf <= 0.9 AND ef <= 0.3
+             THEN 1 ELSE 0 END"""
+
+  /** The q136 hashed-classifier per-doc weight sums, parameterized by the
+    * input CTE name (exposing doc_id, toks) and the output CTE name —
+    * shared with q221/q224's oracles. */
+  private[queries] def classifierSumsCte(t: String, out: String): String =
+    s"""$out AS (SELECT doc_id, len(toks) AS n_tokens,
+             list_sum(list_transform(toks, tk ->
+               ((${CurationQueries.polyHashSqlLine("tk")} % 4096)
+                 * 2654435761) % 2147483647 % 2001 - 1000)) AS sumw
+           FROM $t)"""
+
   val oracles: Map[String, String] = Map(
     "q170_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id, len($toksSql) + 1 AS w FROM documents),
@@ -567,11 +614,7 @@ object TrainingQueries {
          FROM a""",
     "q136_quality_classifier" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         s AS (SELECT doc_id, len(toks) AS n_tokens,
-             list_sum(list_transform(toks, tk ->
-               ((${CurationQueries.polyHashSqlLine("tk")} % 4096)
-                 * 2654435761) % 2147483647 % 2001 - 1000)) AS sumw
-           FROM t)
+         ${classifierSumsCte("t", "s")}
          SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
            -- exact integer micro-unit rounding, half away from zero: ROUND
            -- on the double quotient diverges at representation boundaries
@@ -670,37 +713,12 @@ object TrainingQueries {
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks,
              string_split(text, chr(10)) AS lns
            FROM documents),
-         s AS (SELECT doc_id,
-             len(toks) AS nw,
-             CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-                 / len(toks) END AS mwl,
-             CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks,
-                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
-               END AS fa,
-             CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
-                 / len(toks) END AS sym,
-             CASE WHEN len(lns) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(lns,
-                 l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lns)
-               END AS bf,
-             CASE WHEN len(lns) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(lns,
-                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
-                 / len(lns) END AS ef,
-             len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
-               ['the','be','to','of','and','that','have','with'])) AS nstop
-           FROM t)
+         ${gopherSignalsCte("t", "s")}
          SELECT doc_id, CAST(nw AS INT) AS n_words,
            ROUND(mwl, 4) AS mean_word_len, ROUND(fa, 4) AS frac_alpha,
            ROUND(sym, 4) AS symbol_ratio, ROUND(bf, 4) AS bullet_frac,
            ROUND(ef, 4) AS ellipsis_frac, CAST(nstop AS INT) AS n_stopwords,
-           CAST(CASE WHEN nw BETWEEN 50 AND 100000
-             AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1 AND fa >= 0.8
-             AND nstop >= 1 AND bf <= 0.9 AND ef <= 0.3
-             THEN 1 ELSE 0 END AS INT) AS keep_doc
+           CAST($gopherKeepCaseSql AS INT) AS keep_doc
          FROM s""",
     "q100_lm_quality" ->
       """WITH codes AS (SELECT doc_id, lang,
