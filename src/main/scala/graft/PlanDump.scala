@@ -81,7 +81,9 @@ object PlanDump {
       "q208_kn_lm" -> "Kneser-Ney scoring: ONE corpus pass builds the checkpointed packed-bigram table (model frames vocab-bounded); doc side = one explode + three 8-byte-key joins + one-row broadcast total, fixed-point log2 in the projection",
       "q211_contamination_join" -> "join-form decontamination: bench grams distributed (no driver broadcast), Bloom probe INSIDE the per-row array before explode (non-matching grams never reach the exchange), n_sh from a same-projection size()",
       "q216_section_chunks" -> "section chunking: lambda-bound render evaluated ONCE -> Generate -> a single doc-keyed sort shared by all four window functions -> section agg; the one exchange vanishes on doc-clustered input (SCALE.md receipt)",
-      "q219_source_kl" -> "per-source KL: corpus pass collapses to (source x vocab) counts BEFORE anything wide moves; global-log table joins back on the 8-byte hash, totals ride broadcasts; 6.6 MB total shuffle at 10M docs")
+      "q219_source_kl" -> "per-source KL: corpus pass collapses to (source x vocab) counts BEFORE anything wide moves; global-log table joins back on the 8-byte hash, totals ride broadcasts; 6.6 MB total shuffle at 10M docs",
+      "q220_retrieval_eval" -> "retrieval eval: |q|x10 ranked rows BROADCAST into the corpus-sized gold join (gold never shuffles on the pair key); ideal-DCG is a per-row fold; per-query aggs |q|-bounded",
+      "q222_l_diversity" -> "l-diversity: (quasi, sensitive) counts exchange once, quasi rollup over collapsed counts; no windows, no collects, log2fp per (class,value) only")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -1268,6 +1268,107 @@ object Stress {
       s"planted skew did not spike: flat $klFlat vs skew $klSkew")
   }
 
+  /** Eval-metrics wave at scale: Zipf slope (corpus token exchange),
+    * l-diversity (two-level agg) and rankingMetrics over a 10M-row gold
+    * set. Sanity bars: the planted geometric source must fit far steeper
+    * than the hash-flat sources; l-diversity's planted constant-sensitive
+    * stripe counts exactly; rankingMetrics recovers the planted
+    * recall/RR exactly at every query.
+    */
+  private def evalMetricsReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.{Divergence, EvalMetrics, TableOps}
+    val words = typedLit((1 to 256).map(i => s"w$i"))
+    val geoWords = typedLit((1 to 16).map(i => s"g$i"))
+    // flat sources draw uniformly from 256 words; source 31 draws token
+    // g_i with prob ~2^-i (trailing zeros of a masked hash are geometric)
+    def geoIdx(h: org.apache.spark.sql.Column) = {
+      val hm = h.bitwiseAND(lit((1L << 62) - 1)) // nonneg: ANSI-safe -hm
+      least(lit(16), length(bin(hm.bitwiseAND(-hm))).cast("int"))
+    }
+    val docs = spark.range(0, n, 1, 32).select(
+      concat(lit("src"), pmod(col("id"), lit(32)).cast("string")).as("source"),
+      when(pmod(col("id"), lit(32)) === 31,
+        array_join(transform(sequence(lit(0), lit(39)), j =>
+          element_at(geoWords, geoIdx(xxhash64(col("id") * 41L + j)))), " "))
+        .otherwise(array_join(transform(sequence(lit(0), lit(39)),
+          j => element_at(words,
+            (pmod(xxhash64(col("id") * 41L + j), lit(256)) + 1).cast("int"))),
+          " ")).as("text"))
+      .localCheckpoint()
+    val ((slFlat, slSkew), zBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0.0, 0.0)
+      time(s"zipf_slope_${n / 1000000}M") {
+        val m = Divergence.zipfSlope(docs, col("source"), col("text"), 100)
+          .agg(max(when(col("source") =!= "src31", col("zipf_slope"))),
+            max(when(col("source") === "src31", col("zipf_slope")))).head()
+        r = (m.getDouble(0), m.getDouble(1))
+      }
+      r
+    }
+    println(f"[stress] zipf: flat max $slFlat%.4f, geometric $slSkew%.4f, " +
+      f"shuffle ${zBytes / 1048576.0}%.1f MB")
+    require(slSkew < slFlat - 0.5,
+      s"geometric source must fit steeper: flat $slFlat vs $slSkew")
+
+    // l-diversity: (n/8)-class table, 4-valued sensitive cycling
+    // deterministically within each class (member slot mod 4 — every
+    // class diverse BY CONSTRUCTION; a hashed sensitive draw leaves
+    // ~(1/4)^7 of classes constant by chance, which broke the first
+    // exact-count bar); every 7th class planted constant (non-diverse)
+    val nClasses = n / 8
+    val rows = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(nClasses)).as("cls"),
+      when(pmod(pmod(col("id"), lit(nClasses)), lit(7)) === 0, lit(0L))
+        .otherwise(pmod((col("id") / nClasses).cast("long"), lit(4)))
+        .as("sens"))
+      .localCheckpoint()
+    val ((nCls, nFlag), lBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L)
+      time(s"l_diversity_${n / 1000000}M") {
+        val m = TableOps.lDiversity(rows, Seq(col("cls")), col("sens"), 2)
+          .agg(count(lit(1)), sum(lit(1L) - col("diverse"))).head()
+        r = (m.getLong(0), m.getLong(1))
+      }
+      r
+    }
+    val expFlag = (nClasses + 6) / 7
+    println(f"[stress] l_diversity: $nCls classes, $nFlag non-diverse " +
+      f"(expect $expFlag), shuffle ${lBytes / 1048576.0}%.1f MB")
+    require(nCls == nClasses && nFlag == expFlag,
+      s"class accounting broke: $nCls/$nFlag vs $nClasses/$expFlag")
+
+    // rankingMetrics: 1000 queries x 10 ranked docs (rank i+1 holds doc
+    // q*1e6 + 100i); gold = n rows, query q owns docs q*1e6 + [0, n/1000)
+    // -> every ranked doc is gold: n_hits = 10, RR = 1, n_gold = n/1000
+    val nq = 1000L
+    val perQ = n / nq
+    require(perQ > 1000, s"need n >= ~1e6 so ranked docs fall inside gold")
+    val ranked = spark.range(0, nq * 10, 1, 32).select(
+      (col("id") / 10).cast("long").as("query_id"),
+      ((col("id") / 10).cast("long") * 1000000L +
+        pmod(col("id"), lit(10)) * 100L).as("doc_id"),
+      (pmod(col("id"), lit(10)) + 1).cast("long").as("rnk"))
+    val gold = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(nq)).as("query_id"),
+      (pmod(col("id"), lit(nq)) * 1000000L +
+        (col("id") / nq).cast("long")).as("doc_id"))
+    val ((okQ, totQ), rBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L)
+      time(s"ranking_metrics_${n / 1000000}M") {
+        val m = EvalMetrics.rankingMetrics(ranked, gold, 10)
+          .agg(sum(when(col("n_hits") === 10 && col("rr") === 1.0 &&
+            col("n_gold") === perQ, 1L).otherwise(0L)), count(lit(1))).head()
+        r = (m.getLong(0), m.getLong(1))
+      }
+      r
+    }
+    println(f"[stress] ranking_metrics: $okQ/$totQ queries exact, " +
+      f"shuffle ${rBytes / 1048576.0}%.1f MB")
+    require(okQ == nq && totQ == nq,
+      s"planted metrics not recovered: $okQ/$totQ of $nq")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -1322,6 +1423,12 @@ object Stress {
 
     if (section == "contamjoin") {
       contamJoinReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "evalmetrics") {
+      evalMetricsReceipt(spark, n)
       spark.stop()
       return
     }
