@@ -19,7 +19,7 @@ object EvalMetrics {
   private def dec(c: Column): Column = c.cast("decimal(38,0)")
 
   /** floor(x / y), x >= 0, y > 0, exact at any magnitude. */
-  private[operators] def idivPos(x: Column, y: Column): Column =
+  private[graft] def idivPos(x: Column, y: Column): Column =
     ((dec(x) - pmod(dec(x), dec(y))) / dec(y)).cast("long")
 
   /** round(num/den * 1e6), half away from zero, DECIMAL(38,0) internals —

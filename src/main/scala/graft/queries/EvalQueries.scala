@@ -6,10 +6,11 @@ import graft.operators.{Bm25, Divergence, EvalMetrics, QualityClassifier, Qualit
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Evaluation & audit metrics over the engine's own artifacts (q220–q224):
-  * ranking quality of the BM25 retriever, agreement between the rule and
-  * model quality filters, l-diversity of a release table, Zipf corpus
-  * health, and classifier calibration — the numbers a data platform
+/** Evaluation & audit metrics over the engine's own artifacts
+  * (q220–q227): ranking quality of the BM25 retriever, agreement between
+  * the rule and model quality filters, l-diversity of a release table,
+  * Zipf corpus health, classifier calibration, score/event-mix drift
+  * (PSI) and the Benford digit audit — the numbers a data platform
   * publishes about what it ships.
   */
 object EvalQueries {
@@ -37,6 +38,54 @@ object EvalQueries {
   private def classifierCtes: String =
     s"""ct AS (SELECT doc_id, $toksSql AS toks FROM documents),
        ${TrainingQueries.classifierSumsCte("ct", "cs")}"""
+
+  /** The PSI computation as CTEs continuing from a `c` CTE of
+    * ([gcols,] bin, n_ref, n_cur) rows — the SQL twin of
+    * [[graft.operators.Drift.psiDrift]] with Laplace=1, shared by q225
+    * (ungrouped) and q227 (grouped by day pair). Emits the final SELECT.
+    */
+  private def psiTailSql(gcols: Seq[String]): String = {
+    val g = gcols.mkString(", ")
+    val gp = if (gcols.isEmpty) "" else g + ", "
+    val tFrom = if (gcols.isEmpty) "FROM c" else s"FROM c GROUP BY $g"
+    val jJoin = if (gcols.isEmpty) "FROM c, t"
+      else s"FROM c JOIN t USING ($g)"
+    val psFrom = if (gcols.isEmpty) "FROM tm2"
+      else s"FROM tm2 GROUP BY $g"
+    val outJoin = if (gcols.isEmpty) "FROM tm2, ps"
+      else s"FROM tm2 JOIN ps USING ($g)"
+    def half(x: String, d: String) =
+      s"""CAST((CASE WHEN $x < 0 THEN -1 ELSE 1 END) *
+           ((2 * ABS($x) * 1000000 + $d) // (2 * $d)) AS BIGINT) / 1000000.0"""
+    s"""t AS (SELECT ${gp}CAST(SUM(n_ref) AS BIGINT) AS nr,
+           CAST(SUM(n_cur) AS BIGINT) AS nc, COUNT(*) AS b
+         $tFrom),
+       j AS (SELECT ${gp}bin, n_ref, n_cur, n_ref + 1 AS ar,
+           n_cur + 1 AS ac, nr + b AS dr, nc + b AS dc2
+         $jJoin),
+       ${Log2Fixed.lutCteSql},
+       ${CurationQueries.log2fpStages("j",
+        s"${gp}bin, n_ref, n_cur, ac, dr, dc2, ar", "ar", "lgar", "p1")},
+       ${CurationQueries.log2fpStages("p1l",
+        s"${gp}bin, n_ref, n_cur, ac, dr, dc2, ar, lgar", "ac", "lgac", "p2")},
+       ${CurationQueries.log2fpStages("p2l",
+        s"${gp}bin, n_ref, n_cur, ac, dr, dc2, ar, lgar, lgac",
+        "dr", "lgdr", "p3")},
+       ${CurationQueries.log2fpStages("p3l",
+        s"${gp}bin, n_ref, n_cur, ac, dr, dc2, ar, lgar, lgac, lgdr",
+        "dc2", "lgdc", "p4")},
+       tm2 AS (SELECT ${gp}bin, n_ref, n_cur,
+           (CAST(ar AS HUGEINT) * dc2 - CAST(ac AS HUGEINT) * dr) *
+             (lgar + lgdc - lgac - lgdr) AS term,
+           CAST(dr AS HUGEINT) * dc2 * 1048576 AS den
+         FROM p4l),
+       ps AS (SELECT ${gp}SUM(term) AS psum, MAX(den) AS pden
+         $psFrom)
+       SELECT ${gp}bin, n_ref, n_cur,
+         ${half("term", "den")} AS term_bits,
+         ${half("psum", "pden")} AS psi_bits
+       $outJoin"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -109,6 +158,58 @@ object EvalQueries {
     "q223_zipf_slope" -> ((s, dir) => {
       Divergence.zipfSlope(docs(s, dir), col("source"), col("text"),
         topR = 100)
+    }),
+
+    // Population stability index of the q136 classifier-score
+    // distribution between the even-id (reference) and odd-id (current)
+    // document halves — THE production drift alarm for a model score.
+    // 10 deciles over the exact micro-logit; Laplace-smoothed fixed-point
+    // log2 terms, every term and the total micro-rounded.
+    "q225_score_psi" -> ((s, dir) => {
+      import graft.operators.Drift
+      val scored = QualityClassifier.score(docs(s, dir),
+          col("doc_id"), col("text"))
+        .filter(col("logit").isNotNull)
+      val conf = round(col("logit") * 1e6).cast("long") + 1000000L
+      val bin = least(lit(9L),
+        EvalMetrics.idivPos(conf * 10, lit(2000000L)))
+      Drift.psiDrift(scored, Seq.empty, bin, pmod(col("id"), lit(2)) === 1)
+    }),
+
+    // Benford first-digit audit of order totals (in cents): observed vs
+    // expected digit frequencies and the exact-integer total-variation
+    // distance — the forensic screen for fabricated or truncated money
+    // columns. All nine digits reported; the synthetic uniform-ish price
+    // distribution deviates loudly, which is the point of the audit.
+    "q226_benford_audit" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.benfordAudit(Tables.load(s, dir, "orders"),
+        round(col("o_totalprice") * 100))
+    }),
+
+    // Day-over-day event-mix PSI: for every consecutive day pair in the
+    // events table, the drift of the event-type distribution vs the
+    // previous day — the grouped form of q225 (same operator, categorical
+    // bins, one group per day pair).
+    "q227_event_mix_psi" -> ((s, dir) => {
+      import graft.operators.Drift
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val days = ev.select(col("day")).distinct()
+      val pairs = days.join(
+        broadcast(days.select(date_add(col("day"), 1).as("day"))),
+        Seq("day"), "left_semi")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("pair_day"))
+      val refSide = ev.select(
+        date_format(date_add(col("day"), 1), "yyyy-MM-dd").as("pair_day"),
+        col("event_type"), lit(0).as("cur"))
+      val curSide = ev.select(
+        date_format(col("day"), "yyyy-MM-dd").as("pair_day"),
+        col("event_type"), lit(1).as("cur"))
+      val un = refSide.unionByName(curSide)
+        .join(broadcast(pairs), Seq("pair_day"), "left_semi")
+      Drift.psiDrift(un, Seq(col("pair_day")), col("event_type"),
+        col("cur") === 1)
     }),
 
     // Calibration of the q136 classifier against the q113 rule verdict:
@@ -271,6 +372,63 @@ object EvalQueries {
                / 1000000.0
            END AS zipf_slope
          FROM s2""",
+
+    "q225_score_psi" ->
+      s"""WITH $classifierCtes,
+         sc AS (SELECT doc_id,
+             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
+               + 1000000 AS conf_num
+           FROM cs WHERE n_tokens > 0),
+         c AS (SELECT CAST(LEAST(9, conf_num * 10 // 2000000) AS BIGINT)
+               AS bin,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cur
+           FROM sc GROUP BY 1),
+         ${psiTailSql(Seq.empty)}""",
+
+    "q226_benford_audit" ->
+      s"""WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             AS cents FROM orders),
+         d0 AS (SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS INT)
+               AS digit, COUNT(*) AS n_obs
+           FROM v WHERE cents >= 1 GROUP BY 1),
+         alld AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+         bf(digit, bm) AS (VALUES ${graft.operators.Drift.BenfordMicro
+          .zipWithIndex.map { case (m, i) => s"(${i + 1}, $m)" }
+          .mkString(", ")}),
+         a2 AS (SELECT alld.digit, COALESCE(n_obs, 0) AS n_obs, bm
+           FROM alld LEFT JOIN d0 USING (digit) JOIN bf USING (digit)),
+         n1 AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nn FROM a2),
+         g AS (SELECT digit, n_obs, bm, nn,
+             ABS(n_obs * 1000000 - nn * bm) AS gap
+           FROM a2, n1)
+         SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST((2 * n_obs * 1000000 + nn) // (2 * nn) AS BIGINT)
+             / 1000000.0 AS obs_freq,
+           bm / 1000000.0 AS benford_freq,
+           CAST(gap AS BIGINT) AS gap_num,
+           CAST((2 * tv.gg * 1000000 + nn * 2000000)
+             // (2 * nn * 2000000) AS BIGINT) / 1000000.0 AS tvd
+         FROM g, (SELECT SUM(gap) AS gg FROM g) tv""",
+
+    "q227_event_mix_psi" ->
+      s"""WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type
+           FROM events),
+         dd AS (SELECT DISTINCT day FROM e),
+         pp AS (SELECT CAST(day AS VARCHAR) AS pair_day FROM dd
+           WHERE day - 1 IN (SELECT day FROM dd)),
+         u AS (SELECT CAST(day + 1 AS VARCHAR) AS pair_day,
+             event_type, 0 AS cur FROM e
+           UNION ALL SELECT CAST(day AS VARCHAR), event_type, 1 FROM e),
+         c AS (SELECT pair_day, event_type AS bin,
+             CAST(SUM(1 - cur) AS BIGINT) AS n_ref,
+             CAST(SUM(cur) AS BIGINT) AS n_cur
+           FROM u WHERE pair_day IN (SELECT pair_day FROM pp)
+           GROUP BY 1, 2),
+         ${psiTailSql(Seq("pair_day"))}""",
 
     "q224_classifier_ece" ->
       s"""WITH $gopherKeepCtes,
