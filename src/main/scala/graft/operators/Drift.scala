@@ -13,9 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  import EvalMetrics.microRound6
-
-  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+  import EvalMetrics.{dec, microRound6}
 
   /** Population stability index (in BITS — log2 in place of ln, the
     * monotone-equivalent fixed-point form) between a reference and a

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object EvalMetrics {
 
-  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+  private[operators] def dec(c: Column): Column = c.cast("decimal(38,0)")
 
   /** floor(x / y), x >= 0, y > 0, exact at any magnitude. */
   private[graft] def idivPos(x: Column, y: Column): Column =
@@ -127,6 +127,48 @@ object EvalMetrics {
     val den = n * n - chance
     counts.select(col("n11"), col("n10"), col("n01"), col("n00"),
       when(den =!= 0, asRatio(microRound6(num, den))).as("kappa"))
+  }
+
+  /** Two-proportion z-test as its square (the chi-square form — squaring
+    * clears the square root, so the statistic is an exact integer
+    * rational and sits on the oracle surface):
+    * z^2 = (cA*nB - cB*nA)^2 * N / (nA * nB * c * (N - c)), with
+    * c = cA + cB, N = nA + nB — the A/B-test gate a warehouse runs on
+    * conversion rates. `significant` compares the UNROUNDED rational to
+    * the 95% chi-square critical value 3.841459 in cross-multiplied
+    * exact integers (never the rounded display value). Null z^2 when an
+    * arm is empty or conversions are all/none (variance 0).
+    * One 4-counter aggregation; one row out. Envelope: num^2*N*1e6 must
+    * fit DECIMAL(38,0) — exact to ~1e6 users per arm at a 10pp gap
+    * (num < ~1.6e12); beyond, the ANSI session throws
+    * SparkArithmeticException (and the HUGEINT oracle errors too) —
+    * never a silently wrong verdict. Subsample arms past that.
+    */
+  def twoProportionTest(df: DataFrame, isB: Column,
+      converted: Column): DataFrame = {
+    val b = isB.cast("long")
+    val conv = converted.cast("long")
+    val counts = df.agg(
+      sum(lit(1L) - b).as("n_a"), sum((lit(1L) - b) * conv).as("conv_a"),
+      sum(b).as("n_b"), sum(b * conv).as("conv_b"))
+    val n = col("n_a") + col("n_b")
+    val c = col("conv_a") + col("conv_b")
+    // widen BEFORE multiplying: per-factor DECIMAL keeps the products
+    // exact to 1e38; under the ANSI session a breach throws loudly
+    val num = dec(col("conv_a")) * dec(col("n_b")) -
+      dec(col("conv_b")) * dec(col("n_a"))
+    val den = dec(col("n_a")) * dec(col("n_b")) * dec(c) * dec(n - c)
+    val defined = col("n_a") > 0 && col("n_b") > 0 && c > 0 && c < n
+    counts.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0,
+        asRatio(microRound6(col("conv_a"), col("n_a")))).as("rate_a"),
+      when(col("n_b") > 0,
+        asRatio(microRound6(col("conv_b"), col("n_b")))).as("rate_b"),
+      when(defined,
+        asRatio(microRound6(num * num * dec(n), den))).as("z2"),
+      when(defined,
+        when(num * num * dec(n) * 1000000L > den * 3841459L, 1).otherwise(0))
+        .as("significant"))
   }
 
   /** Reliability table + expected calibration error for a scored binary

@@ -138,6 +138,93 @@ object Journey {
           e => e.getField("__sym")), "").as("seq"),
         count(lit(1)).as("n_events"))
 
+  /** First-order Markov transition matrix of the event stream: counts and
+    * probabilities of (previous symbol -> next symbol) over per-key
+    * (ts, tiebreak)-ordered events — the "what do users do next" table
+    * behind next-action prediction and anomalous-flow detection.
+    * Probabilities are exact-integer micro-rounded per source symbol.
+    *
+    * Scale posture: one key-partitioned lag window (the only row-weight
+    * exchange), then transition counts collapse to the (alphabet x
+    * alphabet)-bounded table; per-source totals ride a broadcast join
+    * over that table (checkpointed — it feeds counts and totals).
+    *
+    * @return (prev_type, next_type, n_trans, p) — p 6dp
+    */
+  def markovTransitions(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      symbol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = events
+      .select(key.as("__k"), unix_micros(ts).as("__t"),
+        tiebreak.as("__tb"), symbol.as("__sym"))
+      .filter(col("__t").isNotNull)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tb"))
+    val tr = seq.withColumn("__prev", lag(col("__sym"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col("__sym").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .localCheckpoint()
+    val totals = tr.groupBy(col("prev_type"))
+      .agg(sum(col("n_trans")).as("__tot"))
+    tr.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        (EvalMetrics.microRound6(col("n_trans"), col("__tot"))
+          .cast("double") / 1e6).as("p"))
+  }
+
+  /** Lagged cross-correlation profile of two integer series sharing a
+    * time index: for each lag in [0, maxLag], Pearson r^2 between
+    * x(t) and y(t + lag) over the pairs where both exist — r^2 because
+    * it clears the square roots: r^2 = cov^2 / (varX * varY) with
+    * cov = n*Sxy - Sx*Sy etc., an exact integer rational (a float
+    * Pearson would never hash-match); the correlation's direction is
+    * `cov_sign`. Null r^2 when either variance is 0 or n < 2.
+    *
+    * Scale posture: the lag fan-out is a generator on one side
+    * (maxLag+1 copies), then ONE time-keyed equi-join; per-lag sums are
+    * (maxLag+1)-bounded. Products widen to DECIMAL(38,0) before
+    * squaring — cov^2 wraps a long at daily counts ~1e5. Envelope:
+    * cov^2 and varX*varY must fit 38 digits (|cov| < ~1e16, i.e.
+    * n * value^2 < ~1e16) — pre-scale coarser series units beyond.
+    *
+    * @param df one row per time point: (tCol ascending integer index,
+    *   xCol, yCol integer values)
+    * @return (lag, n_pairs, cov_sign, r2)
+    */
+  def lagCorrelation(df: DataFrame, tCol: Column, xCol: Column,
+      yCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    import EvalMetrics.dec
+    val base = df.select(tCol.cast("long").as("__t"),
+      xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .localCheckpoint() // both join sides read it
+    val xs = base.select(col("__t"), col("__x"))
+    val ys = base.select(col("__t").as("__ty"), col("__y"))
+      .withColumn("lag", explode(sequence(lit(0), lit(maxLag))))
+      .select((col("__ty") - col("lag")).as("__t"), col("lag"), col("__y"))
+    val sums = xs.join(ys, Seq("__t"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("__x"))).as("sx"), sum(dec(col("__y"))).as("sy"),
+        // per-factor widening (the HUGEINT twin's CAST-before-multiply):
+        // a long x*y wraps at |x| ~ 3e9 — ANSI would throw, DECIMAL stays exact
+        sum(dec(col("__x")) * dec(col("__y"))).as("sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).as("syy"))
+    val cov = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    sums.select(col("lag").cast("long").as("lag"), col("n_pairs"),
+      when(cov > 0, 1).when(cov < 0, -1).otherwise(0).as("cov_sign"),
+      when(col("n_pairs") >= 2 && vx > 0 && vy > 0,
+        EvalMetrics.microRound6(cov * cov, vx * vy).cast("double") / 1e6)
+        .as("r2"))
+  }
+
   /** Per-key exponentially weighted moving average in fixed point:
     * `ewma' = (x·2²⁰ + (d−1)·ewma) div d` over (ts, tiebreak)-ordered
     * values, seeded with the first value. Integer end to end — the

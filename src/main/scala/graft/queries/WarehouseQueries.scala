@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{Geohash, TextFunctions}
-import graft.operators.{Chunker, Graph, Journey, RangeJoin, Sketches, TableOps}
+import graft.operators.{Chunker, EvalMetrics, Graph, Journey, RangeJoin, Sketches, TableOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,39 @@ object WarehouseQueries {
            ELSE (src*31 + j) % n END AS dst FROM e0)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Lagged cross-correlation of the daily view-count and purchase-count
+    // series at lags 0..3 — "do purchases follow views with a delay?" —
+    // Pearson r^2 as an exact integer rational (squaring clears the
+    // sqrt), direction in cov_sign.
+    "q228_lag_correlation" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+        .select(datediff(col("day"), lit("1970-01-01").cast("date"))
+          .as("day_num"), col("n_view"), col("n_purchase"))
+      Journey.lagCorrelation(daily, col("day_num"), col("n_view"),
+        col("n_purchase"), maxLag = 3)
+    }),
+
+    // Two-proportion A/B gate: users split by id parity, conversion =
+    // ever purchased; z^2 (chi-square form) as an exact rational with the
+    // 95% significance flag decided on the UNROUNDED statistic.
+    "q229_ab_test" -> ((s, dir) => {
+      val users = ev(s, dir).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      EvalMetrics.twoProportionTest(users,
+        pmod(col("user_id"), lit(2)) === 1, col("converted") === 1)
+    }),
+
+    // First-order Markov transition matrix of user event streams:
+    // (prev -> next) counts over (ts, event_id)-ordered per-user events,
+    // probabilities micro-rounded per source symbol.
+    "q230_markov_transitions" -> ((s, dir) =>
+      Journey.markovTransitions(ev(s, dir), col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))),
 
     // Funnel conversion: signup → view → click → purchase within 72 h of
     // the signup anchor (chained-min semantics, one shuffle on user).
@@ -664,6 +697,86 @@ object WarehouseQueries {
                + 0.5) / 100
            END AS fk_grade
          FROM c""",
+
+    "q228_lag_correlation" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS nv,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
+           FROM events GROUP BY 1),
+         s AS (SELECT day - DATE '1970-01-01' AS t, nv, np FROM d),
+         lg AS (SELECT unnest(range(0, 4)) AS lag),
+         p AS (SELECT lg.lag, a.nv AS x, b.np AS y
+           FROM lg CROSS JOIN s a JOIN s b ON b.t = a.t + lg.lag),
+         m AS (SELECT lag, COUNT(*) AS n_pairs,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+           FROM p GROUP BY 1),
+         f AS (SELECT lag, n_pairs,
+             n_pairs * sxy - sx * sy AS cov,
+             n_pairs * sxx - sx * sx AS vx,
+             n_pairs * syy - sy * sy AS vy
+           FROM m)
+         SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+             AS INT) AS cov_sign,
+           CASE WHEN n_pairs >= 2 AND vx > 0 AND vy > 0 THEN
+             CAST((2 * cov * cov * 1000000 + vx * vy)
+               // (2 * vx * vy) AS BIGINT) / 1000000.0
+           END AS r2
+         FROM f""",
+
+    "q229_ab_test" ->
+      """WITH u AS (SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+         c4 AS (SELECT
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_b
+           FROM u),
+         k AS (SELECT *, n_a + n_b AS n, conv_a + conv_b AS c,
+             CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a
+               AS num
+           FROM c4),
+         k2 AS (SELECT *, CAST(n_a AS HUGEINT) * n_b * c * (n - c) AS den,
+             (n_a > 0 AND n_b > 0 AND c > 0 AND c < n) AS ok
+           FROM k)
+         SELECT n_a, conv_a, n_b, conv_b,
+           CASE WHEN n_a > 0 THEN
+             CAST((2 * conv_a * 1000000 + n_a) // (2 * n_a) AS BIGINT)
+               / 1000000.0 END AS rate_a,
+           CASE WHEN n_b > 0 THEN
+             CAST((2 * conv_b * 1000000 + n_b) // (2 * n_b) AS BIGINT)
+               / 1000000.0 END AS rate_b,
+           CASE WHEN ok THEN
+             CAST((2 * num * num * n * 1000000 + den) // (2 * den)
+               AS BIGINT) / 1000000.0 END AS z2,
+           CASE WHEN ok THEN CAST(CASE WHEN num * num * n * 1000000
+               > den * 3841459 THEN 1 ELSE 0 END AS INT)
+           END AS significant
+         FROM k2""",
+
+    "q230_markov_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+         tr AS (SELECT prev AS prev_type, event_type AS next_type,
+             COUNT(*) AS n_trans
+           FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+         tt AS (SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS tot
+           FROM tr GROUP BY 1)
+         SELECT prev_type, next_type, CAST(n_trans AS BIGINT) AS n_trans,
+           CAST((2 * n_trans * 1000000 + tot) // (2 * tot) AS BIGINT)
+             / 1000000.0 AS p
+         FROM tr JOIN tt USING (prev_type)""",
 
     "q172_funnel" ->
       s"""WITH f AS (
