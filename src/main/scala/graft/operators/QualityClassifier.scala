@@ -64,7 +64,6 @@ object QualityClassifier {
     val spark = df.sparkSession
     val n = TextFunctions.tokenCount(textCol)
     val sums = weightSum(spark, textCol, dim, weightsPerMille)
-    val logitRaw = sums.cast("double") / (n * 1000.0)
     // 6-dp rounding in EXACT integer micro-units, half away from zero:
     // round() on the double quotient hits representation boundaries
     // where engines disagree by 1e-6 (found by the sf0.1 oracle sweep —
@@ -74,14 +73,26 @@ object QualityClassifier {
     // the UNROUNDED quotient (identical IEEE division both engines).
     def fdiv(x: Column, y: Column): Column =
       ((x - pmod(x, y)).cast("decimal(38,0)") / y).cast("long")
-    val a = sums * 1000L
-    val b = n.cast("long")
-    val microAbs = fdiv(abs(a) * 2L + b, b * 2L)
-    val micro = when(a < 0, -microAbs).otherwise(microAbs)
-    df.select(
-      idCol.as("id"),
-      n.as("n_tokens"),
-      when(n > 0, micro.cast("double") / 1000000.0).as("logit"),
-      when(n > 0 && logitRaw > threshold, 1).otherwise(0).as("keep"))
+    // bind (n, sums) ONCE per row: the weight fold is the per-byte hot
+    // path, and its unbound form re-evaluated ~4x — once per output
+    // column referencing it, plus once more per pushed-down filter
+    // conjunct in callers (the q216 lesson applied to the classifier;
+    // measured 4x on the q224 calibration chain)
+    val out = TextFunctions.bindOnce(
+        struct(n.as("n"), sums.as("s"))) { st =>
+      val nb = st.getField("n")
+      val sb = st.getField("s")
+      val logitRaw = sb.cast("double") / (nb * 1000.0)
+      val a = sb * 1000L
+      val b = nb.cast("long")
+      val microAbs = fdiv(abs(a) * 2L + b, b * 2L)
+      val micro = when(a < 0, -microAbs).otherwise(microAbs)
+      struct(nb.as("n_tokens"),
+        when(nb > 0, micro.cast("double") / 1000000.0).as("logit"),
+        when(nb > 0 && logitRaw > threshold, 1).otherwise(0).as("keep"))
+    }
+    df.select(idCol.as("id"), out.as("__qc"))
+      .select(col("id"), col("__qc.n_tokens").as("n_tokens"),
+        col("__qc.logit").as("logit"), col("__qc.keep").as("keep"))
   }
 }

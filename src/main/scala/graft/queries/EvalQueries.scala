@@ -167,9 +167,10 @@ object EvalQueries {
     // log2 terms, every term and the total micro-rounded.
     "q225_score_psi" -> ((s, dir) => {
       import graft.operators.Drift
+      // checkpoint: same multi-reference shape as q224
       val scored = QualityClassifier.score(docs(s, dir),
           col("doc_id"), col("text"))
-        .filter(col("logit").isNotNull)
+        .filter(col("logit").isNotNull).localCheckpoint()
       val conf = round(col("logit") * 1e6).cast("long") + 1000000L
       val bin = least(lit(9L),
         EvalMetrics.idivPos(conf * 10, lit(2000000L)))
@@ -219,8 +220,11 @@ object EvalQueries {
     // as a sampling weight.
     "q224_classifier_ece" -> ((s, dir) => {
       val d = docs(s, dir)
+      // checkpoint: conf is referenced several times downstream (bin +
+      // bin-mean + filter) — an unmaterialized plan re-runs the
+      // classifier fold per reference
       val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
-        .filter(col("logit").isNotNull)
+        .filter(col("logit").isNotNull).localCheckpoint()
       val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
           minStopwords = 1)
         .select(col("id"), col("keep_doc"))
