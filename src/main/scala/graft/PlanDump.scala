@@ -83,7 +83,10 @@ object PlanDump {
       "q216_section_chunks" -> "section chunking: lambda-bound render evaluated ONCE -> Generate -> a single doc-keyed sort shared by all four window functions -> section agg; the one exchange vanishes on doc-clustered input (SCALE.md receipt)",
       "q219_source_kl" -> "per-source KL: corpus pass collapses to (source x vocab) counts BEFORE anything wide moves; global-log table joins back on the 8-byte hash, totals ride broadcasts; 6.6 MB total shuffle at 10M docs",
       "q220_retrieval_eval" -> "retrieval eval: |q|x10 ranked rows BROADCAST into the corpus-sized gold join (gold never shuffles on the pair key); ideal-DCG is a per-row fold; per-query aggs |q|-bounded",
-      "q222_l_diversity" -> "l-diversity: (quasi, sensitive) counts exchange once, quasi rollup over collapsed counts; no windows, no collects, log2fp per (class,value) only")
+      "q222_l_diversity" -> "l-diversity: (quasi, sensitive) counts exchange once, quasi rollup over collapsed counts; no windows, no collects, log2fp per (class,value) only",
+      "q232_vocab_overlap" -> "vocab overlap matrix: ONE row-level exchange builds the distinct (source,token) incidence (checkpointed for its 3 consumers); pairs self-join ON THE TOKEN (C(k,2) fan-out per token, k<=|sources|), sizes ride broadcasts — never an all-pairs document comparison",
+      "q233_hits" -> "HITS: participants-only score frames — each half-step is edges-join-scores + keyed sum + 1-row max broadcast; full node list joined ONCE at the end; per-round localCheckpoint keeps the plan constant-size, a checkpointed before h consumes it (no double gather)",
+      "q234_concentration" -> "Gini/top-decile: one sort-within-group window (row_number only, growing frame) + one rollup + rank-boundary join — a single exchange on the group key; per-term i*x widened to decimal(38,0) pre-sum")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

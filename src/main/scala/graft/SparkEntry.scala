@@ -60,7 +60,9 @@ object SparkEntry {
     new QueryModule(graft.queries.WarehouseQueries.queries,
       graft.queries.WarehouseQueries.oracles),
     new QueryModule(graft.queries.EvalQueries.queries,
-      graft.queries.EvalQueries.oracles))
+      graft.queries.EvalQueries.oracles),
+    new QueryModule(graft.queries.MiningQueries.queries,
+      graft.queries.MiningQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

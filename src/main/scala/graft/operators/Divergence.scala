@@ -103,4 +103,52 @@ object Divergence {
           (col("n_tokens") * lit(Log2Fixed.One.toDouble)) * 1e6 + 0.5) / 1e6)
           .as("kl_bits"))
   }
+
+  /** Exact vocabulary-overlap matrix between sources: for every unordered
+    * source pair, the distinct-token counts, the intersection size and
+    * exact Jaccard — the cross-source contamination screen ("are these
+    * two crawls the same site?") and the deduplication-priority matrix a
+    * mixture designer reads before merging corpora. The sibling of
+    * [[klBySource]] on the SET surface: KL compares distributions,
+    * overlap compares supports.
+    *
+    * Scale posture: this is NOT an all-pairs document comparison — the
+    * one row-level exchange builds the distinct (source, token) incidence
+    * list (vocabulary-bounded, checkpointed once for its three
+    * consumers); pairs form by self-joining the incidence list ON THE
+    * TOKEN, so a token present in k sources yields C(k,2) ≤ C(|sources|,2)
+    * rows — fan-out bounded by the square of the (small) source count per
+    * token, never by documents. Per-source sizes ride a broadcast; pairs
+    * with an empty intersection still appear (via the broadcast cross of
+    * the size table with itself) — absence of overlap is a finding, not
+    * a dropped row.
+    *
+    * @return (source_a, source_b, v_a, v_b, inter, n_union, jaccard) with
+    *   source_a < source_b; jaccard micro-rounded, null when both
+    *   vocabularies are empty.
+    */
+  def vocabOverlap(df: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
+    val inc = df
+      .select(sourceCol.as("source"),
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = inc.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = inc.select(col("source").as("source_a"), col("tok"))
+      .join(inc.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = sizes.select(col("source").as("source_a"), col("v").as("v_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("v").as("v_b"))),
+        col("source_a") < col("source_b"))
+    val un = col("v_a") + col("v_b") - col("inter")
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        col("inter"), un.as("n_union"),
+        when(un > 0, EvalMetrics.microRound6(col("inter"), un)
+          .cast("double") / 1e6).as("jaccard"))
+  }
 }

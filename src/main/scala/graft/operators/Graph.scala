@@ -139,6 +139,87 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed link graph —
+    * PageRank's sibling ranking slot: a page is a good AUTHORITY when good
+    * hubs point at it, a good HUB when it points at good authorities.
+    * Corpus-curation pipelines use the pair to separate link-directory
+    * pages (high hub) from content pages worth crawling deeper (high
+    * authority) — a distinction a single PageRank score cannot make.
+    *
+    * All arithmetic is integer, the q145 discipline: scores start at
+    * `scale`; each iteration computes `a'(v) = Σ_{u→v} h(u)` then
+    * max-normalizes `a(v) = a'(v)·scale div max(a')` (0 when the max is 0 —
+    * a graph with no edges), then the mirrored hub step from the fresh
+    * authorities. Max-normalization (not the conventional L2) keeps every
+    * intermediate an exact integer, so a SQL oracle unrolls the iterations
+    * verbatim (q233); the relative ordering — all HITS gives you — is
+    * unchanged. The product `a'·scale` is computed in decimal(38,0):
+    * a' ≤ n·scale, so a long product wraps at n ≈ 9·10⁶ nodes while the
+    * decimal stays exact to 10³⁸ (HUGEINT on the oracle side).
+    *
+    * Scale posture: mirrors [[pageRank]] — the edge list is cached once;
+    * each half-step is one edges⋈scores equi-join + one keyed sum, both
+    * exchanges on node ids, stable across rounds so AQE coalesces them;
+    * the normalization max is a single-row aggregate broadcast back.
+    * The iterating frames are PARTICIPANTS-ONLY (nodes that received at
+    * least one contribution) — a node absent from the scores frame is
+    * exactly 0 and contributes nothing to the next gather, so the full
+    * node list is joined ONCE at the end to fill zeros, not per
+    * half-step. Scores are localCheckpoint'ed per round (constant-size
+    * plan at any iteration count).
+    *
+    * @return (id, hub_fp, auth_fp) — fixed-point scores in [0, scale].
+    */
+  def hits(
+      nodes: DataFrame, idCol: Column,
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      iterations: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(scale >= 1L, s"scale must be >= 1: $scale")
+    val e = edges.select(srcCol.cast("long").as("__src"),
+      dstCol.cast("long").as("__dst")).persist()
+    val ids = nodes.select(idCol.cast("long").as("id"))
+    // __raw·scale div max(__raw) with the product widened to decimal(38,0)
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"),
+          when(col("__mx") > 0,
+            expr(s"CAST(__raw AS DECIMAL(38,0)) * $scale div __mx"))
+            .otherwise(lit(0L)).as(out))
+    }
+    // participants-only: nodes with no inbound contribution stay implicit
+    // (raw 0 rows change neither the max nor any downstream sum)
+    def gather(scores: DataFrame, scoreCol: String, joinKey: String,
+        groupKey: String): DataFrame =
+      e.join(scores.select(col("id").as(joinKey), col(scoreCol)), Seq(joinKey))
+        .groupBy(col(groupKey).as("id"))
+        .agg(sum(col(scoreCol)).as("__raw"))
+    var hubs = ids.withColumn("hub_fp", lit(scale))
+    var persisted: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      // a is checkpointed BEFORE h consumes it — h's plan and the round
+      // join would otherwise each re-execute the authority gather
+      val a = normalize(gather(hubs, "hub_fp", "__src", "__dst"), "auth_fp")
+        .localCheckpoint()
+      val h = normalize(gather(a, "auth_fp", "__dst", "__src"), "hub_fp")
+      // hub-only and authority-only nodes both survive the round (full
+      // join), zero-filled so the next gather sums exact integers
+      val cp = h.join(a, Seq("id"), "full")
+        .select(col("id"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+          coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+        .localCheckpoint()
+      a.unpersist(blocking = false)
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = cp
+      hubs = cp
+    }
+    e.unpersist(blocking = false)
+    ids.join(hubs, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+        coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+  }
+
   /** Driver-side union-find over a bounded, collected edge set. Memory is
     * bounded by the caller's `localEdgeThreshold` (16 bytes of ids per
     * pair + map overhead); the result ships back as ONE broadcast join —

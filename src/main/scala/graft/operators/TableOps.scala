@@ -187,6 +187,70 @@ object TableOps {
       .agg(count(lit(1)).as("n"), sum(col("__flag")).as("n_outliers"))
   }
 
+  /** Per-group concentration audit: exact Gini coefficient + top-decile
+    * share over a non-negative integer value (cents, tokens, bytes) —
+    * the "is 1% of customers 90% of revenue?" screen a warehouse runs
+    * before trusting a mean, and the skew alarm a corpus curator runs
+    * over per-domain token mass before fixing mixture weights.
+    *
+    * Exact-integer surface: with x₁ ≤ … ≤ xₙ the group's sorted values
+    * (i = 1-based rank), `gini = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` and
+    * `top_decile_share = (Σ of the ⌈n/10⌉ largest xᵢ) / Σx`, both
+    * micro-rounded half-away-from-zero. Rank ties need no tiebreak: tied
+    * rows carry EQUAL x, so Σ i·xᵢ and the top-k mass are invariant
+    * under any tie permutation — the statistic is deterministic even
+    * though row_number on ties is not. Per-term i·x widens to
+    * decimal(38,0) before summing (n ≈ 10⁹ rows of 10⁸-cent values wraps
+    * a long Σ i·x at ~10²⁵ — the oracle's HUGEINT survives, so must we).
+    *
+    * Scale posture: one sort-within-group window (rank + the two
+    * conditional masses in a single pass) + one group rollup — a single
+    * exchange on the group key. The window frame is growing-only
+    * (row_number), never whole-partition-materializing; groups are the
+    * caller's partition grain, so skewed groups behave like any skewed
+    * window (salt upstream if one group is the whole table).
+    *
+    * @return (g…, n, total, gini, top_decile_share) — ratios as
+    *   micro-rounded doubles, null when the group total is 0.
+    */
+  def concentration(
+      df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } :+
+        value.cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull && col("__x") >= 0)
+    val w = Window.partitionBy(gNames.map(col): _*).orderBy(col("__x").asc)
+    val ranked = base.withColumn("__i", row_number().over(w))
+    val agg = ranked.groupBy(gNames.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("__x"))).as("__s"),
+      sum(dec(col("__x")) * col("__i")).as("__t"))
+    // k = ceil(n/10) largest values = ranks > n−k; computed from the agg
+    // frame and re-joined so the boundary uses the FINAL n, not a
+    // running count
+    val k = expr("(n + 9) div 10")
+    val topMass = ranked
+      .join(agg.select(gNames.map(col) :+ k.as("__k") :+ col("n").as("__n"): _*),
+        gNames)
+      .filter(col("__i") > col("__n") - col("__k"))
+      .groupBy(gNames.map(col): _*)
+      .agg(sum(dec(col("__x"))).as("__top"))
+    val giniNum = dec(lit(2L)) * col("__t") - dec(col("n") + 1) * col("__s")
+    val giniDen = dec(col("n")) * col("__s")
+    agg.join(topMass, gNames)
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++ Seq(
+        col("n"),
+        col("__s").cast("long").as("total"),
+        when(col("__s") > 0, EvalMetrics.microRound6(giniNum, giniDen)
+          .cast("double") / 1e6).as("gini"),
+        when(col("__s") > 0, EvalMetrics.microRound6(col("__top"), col("__s"))
+          .cast("double") / 1e6).as("top_decile_share")): _*)
+  }
+
   /** Equal-width histogram over an integer-valued column in ONE range
     * derivation + one aggregation, all-integer arithmetic (no float
     * division — bin edges replay exactly cross-engine):

@@ -29,7 +29,7 @@ object WarehouseQueries {
     * target (id·31+j) mod N, self-loops bumped. ONE definition — the
     * Spark side and the oracle CTE text below must stay in lockstep.
     */
-  private def docLinkEdges(d: DataFrame): DataFrame = {
+  private[queries] def docLinkEdges(d: DataFrame): DataFrame = {
     val cnt = d.agg(count(lit(1)).cast("long").as("__n"))
     d.crossJoin(broadcast(cnt))
       .select(col("doc_id").as("src"),
@@ -42,7 +42,7 @@ object WarehouseQueries {
   }
 
   /** Oracle twin of [[docLinkEdges]]: CTEs `nn`, `e0`, `e`. */
-  private val linkEdgeCtesSql =
+  private[queries] val linkEdgeCtesSql =
     """nn AS (SELECT COUNT(*) AS n FROM documents),
        e0 AS (SELECT doc_id AS src, u.j, n
          FROM documents, nn, unnest(range(1, 2 + doc_id % 3)) AS u(j)),

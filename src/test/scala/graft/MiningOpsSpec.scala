@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{Divergence, Graph, TableOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave: HITS hubs/authorities, Gini concentration, vocabulary overlap
+  * (q232–q234 operators) — each against a driver-side integer replica.
+  */
+class MiningOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- HITS
+
+  private def hitsOut(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iterations: Int): Map[Long, (Long, Long)] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("src", "dst")
+    Graph.hits(n, col("id"), e, col("src"), col("dst"), iterations)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  /** Driver-side replica of the max-normalized integer recurrence. */
+  private def refHits(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iterations: Int): Map[Long, (Long, Long)] = {
+    val scale = 1000000L
+    var h = nodes.map(_ -> scale).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val m = raw.values.max
+      if (m <= 0) raw.map { case (k, _) => k -> 0L }
+      else raw.map { case (k, v) =>
+        k -> (BigInt(v) * scale / m).toLong }
+    }
+    (1 to iterations).foreach { _ =>
+      a = norm(nodes.map(v =>
+        v -> edges.collect { case (s, d) if d == v => h(s) }.sum).toMap)
+      h = norm(nodes.map(v =>
+        v -> edges.collect { case (s, d) if s == v => a(d) }.sum).toMap)
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("HITS matches the integer recurrence on a bipartite hub/authority graph") {
+    // 0,1 are hubs pointing at 2,3,4; 5 is isolated
+    val nodes = (0L to 5L)
+    val edges = Seq((0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (1L, 3L))
+    (1 to 3).foreach { it =>
+      assert(hitsOut(nodes, edges, it) == refHits(nodes, edges, it),
+        s"iteration $it")
+    }
+    val out = hitsOut(nodes, edges, 3)
+    // 0 links to more good authorities than 1 → better hub; 2,3 beat 4
+    assert(out(0L)._1 == 1000000L && out(0L)._1 > out(1L)._1)
+    assert(out(2L)._2 > out(4L)._2)
+    // isolated node: both scores zero after one round
+    assert(out(5L) == ((0L, 0L)))
+    // hubs are not authorities in a bipartite graph
+    assert(out(0L)._2 == 0L && out(2L)._1 == 0L)
+  }
+
+  test("HITS on an edgeless graph yields all-zero scores, not a crash") {
+    val out = hitsOut(Seq(1L, 2L), Seq.empty, 2)
+    assert(out == Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
+  }
+
+  test("HITS on a cycle reaches the uniform fixed point") {
+    val nodes = Seq(0L, 1L, 2L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val out = hitsOut(nodes, edges, 3)
+    // all scores equal the scale: every max-normalization is a no-op
+    nodes.foreach(v => assert(out(v) == ((1000000L, 1000000L))))
+  }
+
+  // -------------------------------------------------------- concentration
+
+  test("Gini: uniform values → 0, single-owner mass → (n-1)/n") {
+    val uniform = Seq.fill(10)(("g", 500L)).toDF("k", "v")
+    val r1 = TableOps.concentration(uniform, Seq(col("k")), col("v"))
+      .collect().head
+    assert(r1.getAs[Long]("n") == 10 && r1.getAs[Long]("total") == 5000)
+    assert(r1.getAs[Double]("gini") == 0.0)
+    // top decile of 10 uniform rows = 1 row = 10% of mass
+    assert(r1.getAs[Double]("top_decile_share") == 0.1)
+
+    val oneOwner = (Seq.fill(9)(("g", 0L)) :+ (("g", 900L))).toDF("k", "v")
+    val r2 = TableOps.concentration(oneOwner, Seq(col("k")), col("v"))
+      .collect().head
+    assert(r2.getAs[Double]("gini") == 0.9) // (n-1)/n
+    assert(r2.getAs[Double]("top_decile_share") == 1.0)
+  }
+
+  test("Gini is tie-permutation invariant and matches the sorted formula") {
+    val vals = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L)
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val out = TableOps.concentration(df, Seq(col("k")), col("v"))
+      .collect().head
+    val sorted = vals.sorted
+    val n = sorted.size
+    val s = sorted.sum
+    val t = sorted.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    def micro(num: Long, den: Long): Double =
+      ((2 * num * 1000000L + den) / (2 * den)).toDouble / 1e6
+    assert(out.getAs[Double]("gini") == micro(2 * t - (n + 1) * s, n.toLong * s))
+    val k = (n + 9) / 10
+    assert(out.getAs[Double]("top_decile_share") ==
+      micro(sorted.takeRight(k).sum, s))
+  }
+
+  test("concentration: null and negative values are excluded, groups separate") {
+    val df = Seq(("a", java.lang.Long.valueOf(10L)),
+      ("a", java.lang.Long.valueOf(-5L)), ("a", null.asInstanceOf[java.lang.Long]),
+      ("a", java.lang.Long.valueOf(30L)), ("b", java.lang.Long.valueOf(7L)))
+      .toDF("k", "v")
+    val out = TableOps.concentration(df, Seq(col("k")), col("v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  // -------------------------------------------------------- vocabOverlap
+
+  test("vocabOverlap: exact Jaccard over distinct-token supports, empty pairs kept") {
+    val df = Seq(
+      ("s1", "red green blue"),
+      ("s1", "red yellow"),
+      ("s2", "blue green black"),
+      ("s3", "nothing shared here")).toDF("src", "text")
+    val out = Divergence.vocabOverlap(df, col("src"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("v_a"), r.getAs[Long]("v_b"), r.getAs[Long]("inter"),
+          r.getAs[Long]("n_union"), r.getAs[Double]("jaccard"))).toMap
+    // s1 = {red,green,blue,yellow} (4), s2 = {blue,green,black} (3)
+    assert(out(("s1", "s2")) == ((4L, 3L, 2L, 5L, 0.4)))
+    // disjoint pair still reported
+    assert(out(("s1", "s3")) == ((4L, 3L, 0L, 7L, 0.0)))
+    assert(out(("s2", "s3")) == ((3L, 3L, 0L, 6L, 0.0)))
+    assert(out.size == 3)
+  }
+}
