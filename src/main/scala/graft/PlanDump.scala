@@ -86,7 +86,10 @@ object PlanDump {
       "q222_l_diversity" -> "l-diversity: (quasi, sensitive) counts exchange once, quasi rollup over collapsed counts; no windows, no collects, log2fp per (class,value) only",
       "q232_vocab_overlap" -> "vocab overlap matrix: ONE row-level exchange builds the distinct (source,token) incidence (checkpointed for its 3 consumers); pairs self-join ON THE TOKEN (C(k,2) fan-out per token, k<=|sources|), sizes ride broadcasts — never an all-pairs document comparison",
       "q233_hits" -> "HITS: participants-only score frames — each half-step is edges-join-scores + keyed sum + 1-row max broadcast; full node list joined ONCE at the end; per-round localCheckpoint keeps the plan constant-size, a checkpointed before h consumes it (no double gather)",
-      "q234_concentration" -> "Gini/top-decile: one sort-within-group window (row_number only, growing frame) + one rollup + rank-boundary join — a single exchange on the group key; per-term i*x widened to decimal(38,0) pre-sum")
+      "q234_concentration" -> "Gini/top-decile: one sort-within-group window (row_number only, growing frame) + one rollup + rank-boundary join — a single exchange on the group key; per-term i*x widened to decimal(38,0) pre-sum",
+      "q235_bootstrap_ci" -> "Poisson bootstrap: the B-fold explode collapses MAP-SIDE (partial agg keys on (group, resample)) — the one exchange carries |groups|*B rows regardless of input size; final per-group collect is B-bounded; no windows",
+      "q236_rfm" -> "RFM: one customer-grain aggregation (the only row-level exchange) + three distinct-value-bounded quantile mappings (two-stage prefix sums — the guard-banned global NTILE never appears) joined back on the metric value",
+      "q237_pmi" -> "mutual information: ONE row-level exchange builds the checkpointed joint-count table; marginals/total/MI rollup all |X|*|Y|-bounded, riding broadcasts; log2fp once per cell, never per row")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -127,6 +127,59 @@ object Divergence {
     *   source_a < source_b; jaccard micro-rounded, null when both
     *   vocabularies are empty.
     */
+  /** Mutual information between two categorical columns, with the
+    * per-cell pointwise MI — the dependence audit a curator runs before
+    * trusting a stratified split ("is source independent of label?") and
+    * the feature-redundancy screen before mixing metadata columns into a
+    * classifier. For each observed pair:
+    *
+    *   pmi(x,y)  = log2( n·n_xy / (n_x·n_y) )            (bits, micro)
+    *   mi        = Σ_xy (n_xy/n) · pmi(x,y)              (bits, micro)
+    *
+    * Both logs are the fixed-point [[Log2Fixed]] kernel, so every
+    * intermediate is an exact integer and the oracle replays the LUT
+    * interpolation verbatim; only the final micro-division is float.
+    * The per-cell mi term `n_xy·Δ` widens to decimal(38,0) before
+    * summing (n_xy·Δ ≤ n·63·2²⁰ wraps a long near n ≈ 1.4·10¹¹). The
+    * log argument n·n_xy stays a long — exact up to n ≈ 3·10⁹ rows;
+    * beyond that pre-aggregate (the statistic only needs counts).
+    *
+    * Scale posture: ONE row-level exchange builds the (x, y) joint count
+    * table (checkpointed — marginals, the total and the MI rollup all
+    * derive from it, never from re-scans); everything downstream is
+    * |X|·|Y|-bounded, marginals and the total ride broadcasts, and
+    * there are no windows.
+    *
+    * @return one row per observed (x, y): (x, y, n_xy, pmi_bits,
+    *   mi_bits) — mi_bits is the table-level MI repeated on every row
+    *   (in-band, the q103 convention for scalar+detail outputs).
+    */
+  def mutualInformation(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val joint = df.select(xCol.as("x"), yCol.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
+    val nx = joint.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = joint.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val nn = joint.agg(sum(col("n_xy")).as("n"))
+    val cells = joint
+      .join(broadcast(nx), Seq("x")).join(broadcast(ny), Seq("y"))
+      .crossJoin(broadcast(nn))
+      .select(col("x"), col("y"), col("n_xy"), col("n"),
+        (Log2Fixed.expr(col("n") * col("n_xy")) -
+          Log2Fixed.expr(col("n_x") * col("n_y"))).as("__d"))
+      .localCheckpoint()
+    val mi = cells.agg(
+      EvalMetrics.microRound6(sum(dec(col("n_xy")) * col("__d")),
+        dec(max(col("n"))) * Log2Fixed.One).as("__mi"))
+    cells.crossJoin(broadcast(mi))
+      .select(col("x"), col("y"), col("n_xy"),
+        (EvalMetrics.microRound6(col("__d"), lit(Log2Fixed.One))
+          .cast("double") / 1e6).as("pmi_bits"),
+        (col("__mi").cast("double") / 1e6).as("mi_bits"))
+  }
+
   def vocabOverlap(df: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
     val inc = df
       .select(sourceCol.as("source"),

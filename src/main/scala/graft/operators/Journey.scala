@@ -338,4 +338,53 @@ object Journey {
         last(col("v"), ignoreNulls = true).over(fill).as("filled_value"),
         col("n_events").isNull.cast("int").as("gap"))
   }
+
+  /** RFM segmentation (Recency / Frequency / Monetary) over an order-grain
+    * table — the classical customer-value grid a warehouse ships to
+    * marketing: each customer scored 1–5 per dimension by VALUE quantile,
+    * segment code `r·100 + f·10 + m` (555 = recent + frequent + big).
+    *
+    * Scores are value-quantile bins, NOT positional NTILE: customers with
+    * an equal metric value always share a score (`(rank−1)·5 div n + 1` on
+    * the oracle surface) — positional NTILE splits ties by an arbitrary
+    * tiebreak, which is both nondeterministic across engines and unfair
+    * to the tied customers. Higher is better on every axis: recency is
+    * days-since-epoch of the LAST order (larger = more recent).
+    *
+    * Scale posture: one customer-grain aggregation (the only row-level
+    * exchange), then three [[TableOps.valueQuantileBins]] score mappings
+    * — each a distinct-value-bounded two-stage prefix sum (the
+    * guard-banned global NTILE window never appears) — joined back on
+    * the metric value. The recency/frequency mappings are
+    * date-/count-bounded; the monetary mapping is distinct-amount-
+    * bounded (hash equi-join, AQE picks the strategy).
+    *
+    * @param amount integer money (cents) — the caller fixes the unit.
+    * @return (customer, recency_days, frequency, monetary, r_score,
+    *   f_score, m_score, segment)
+    */
+  def rfmScores(
+      df: DataFrame, custCol: Column, dateCol: Column,
+      amount: Column): DataFrame = {
+    val cust = df
+      .groupBy(custCol.as("customer"))
+      .agg(
+        datediff(max(dateCol), lit("1970-01-01").cast("date")).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(amount.cast("long")).as("monetary"))
+      .localCheckpoint() // consumed by the 3 mappings + the final join
+    def mapping(metric: String, score: String, shift: Int) =
+      TableOps.valueQuantileBins(cust, col(metric), 5, coarseShift = shift)
+        .select(col("__v").as(metric),
+          (col("bin") + 1).cast("long").as(score))
+    cust
+      .join(mapping("recency_days", "r_score", 8), Seq("recency_days"))
+      .join(mapping("frequency", "f_score", 8), Seq("frequency"))
+      .join(mapping("monetary", "m_score", 20), Seq("monetary"))
+      .select(col("customer"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+  }
 }

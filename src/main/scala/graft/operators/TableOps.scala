@@ -118,6 +118,24 @@ object TableOps {
     */
   def equalFrequencyBins(
       df: DataFrame, value: Column, nBins: Int,
+      coarseShift: Int = 20): DataFrame =
+    valueQuantileBins(df, value, nBins, coarseShift)
+      .groupBy(col("bin"))
+      .agg(sum(col("__cnt")).as("n_rows"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+
+  /** The per-distinct-value half of [[equalFrequencyBins]]: the
+    * (value → quantile bin) mapping itself, for callers that score rows
+    * rather than summarize bins (e.g. [[Journey.rfmScores]]). Same
+    * two-stage distributed prefix sum, same semantics: `bin =
+    * cum_before·nBins div N` with `cum_before` the count of rows with a
+    * STRICTLY smaller value, so ties share a bin (= `(rank−1)·nBins div
+    * N` on the oracle surface).
+    *
+    * @return (__v, __cnt, bin) — one row per distinct value.
+    */
+  def valueQuantileBins(
+      df: DataFrame, value: Column, nBins: Int,
       coarseShift: Int = 20): DataFrame = {
     require(nBins > 0 && coarseShift >= 0 && coarseShift < 63,
       s"bad shape nBins=$nBins coarseShift=$coarseShift")
@@ -145,9 +163,89 @@ object TableOps {
       .crossJoin(broadcast(nTotal))
       .select(col("__v"), col("__cnt"),
         expr(s"(__cb * $nBins) div __n").as("bin"))
-      .groupBy(col("bin"))
-      .agg(sum(col("__cnt")).as("n_rows"), min(col("__v")).as("lo"),
-        max(col("__v")).as("hi"))
+  }
+
+  /** Poisson(1) cumulative distribution in micro units —
+    * round(1e6·e⁻¹·Σ_{i≤k} 1/i!) for k = 0..7; draws past the table cap
+    * at 8 (P ≈ 10⁻⁵). Shared verbatim with the SQL oracle. */
+  private[graft] val PoissonCumMicro: Seq[Long] =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L,
+      999990L)
+
+  /** Per-group bootstrap confidence interval for the mean, by POISSON
+    * bootstrap — the resampling scheme that actually distributes: instead
+    * of drawing n rows with replacement per resample (which needs global
+    * coordination), every row independently receives a Poisson(1) weight
+    * per resample; for large n the resample-mean distribution converges
+    * to the classical bootstrap (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"). Everything is deterministic
+    * integer arithmetic: the per-(row, resample) uniform draw is
+    * `((key mod 1000003)·2654435761 + r·40503) mod 1e6` (caller supplies
+    * the stable row key), inverted through [[PoissonCumMicro]]; resample
+    * means are micro-rounded rationals; the interval is the
+    * ceil(α·B)-th / ceil((1−α)·B)-th smallest resample mean.
+    *
+    * Scale posture: the B-fold explode collapses MAP-SIDE — partial
+    * aggregation keys on (group, resample), so the one exchange carries
+    * |groups|·B rows regardless of input size; the final per-group
+    * collect is B-bounded (sort_array of ≤ B micro-longs). No windows.
+    * Resamples whose total weight is 0 (only possible for tiny groups)
+    * are dropped and ranks recompute over the surviving B′.
+    *
+    * @param keyCol deterministic per-row long key (an id column) — the
+    *   randomness seed, NOT required unique; duplicate keys correlate
+    *   those rows' draws.
+    * @return (g…, n, mean, ci_lo, ci_hi, b_eff) — mean/CI as 6-dp
+    *   doubles in the units of `value`.
+    */
+  def bootstrapMeanCi(
+      df: DataFrame, groupCols: Seq[Column], keyCol: Column, value: Column,
+      b: Int = 40, alphaPermille: Int = 25): DataFrame = {
+    require(b >= 2 && b <= 1000, s"b out of range: $b")
+    require(alphaPermille >= 1 && alphaPermille < 500,
+      s"alphaPermille out of range: $alphaPermille")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
+        Seq(keyCol.cast("long").as("__k"), value.cast("long").as("__x")): _*)
+      .filter(col("__x").isNotNull && col("__k").isNotNull)
+    val point = base.groupBy(gNames.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      EvalMetrics.microRound6(sum(dec(col("__x"))), count(lit(1)))
+        .as("__mean"))
+    // (key mod 1000003)·2654435761 ≤ 2.7e15 — the product stays exact in
+    // a long under ANSI for any input key
+    val u = pmod(
+      pmod(col("__k"), lit(1000003L)) * lit(2654435761L) +
+        col("__r") * lit(40503L), lit(1000000L))
+    val w = PoissonCumMicro.zipWithIndex.foldRight(lit(8L)) {
+      case ((t, k), acc) => when(col("__u") < t, lit(k.toLong)).otherwise(acc)
+    }
+    val resampled = base
+      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", u)
+      .groupBy((gNames.map(col) :+ col("__r")): _*)
+      .agg(sum(dec(col("__x")) * w).as("__wx"), sum(w).as("__sw"))
+      .select(gNames.map(col) :+
+        when(col("__sw") > 0,
+          EvalMetrics.microRound6(col("__wx"), col("__sw"))).as("__m"): _*)
+    val lo = expr(s"CAST((b_eff * $alphaPermille + 999) div 1000 AS INT)")
+    val hi = expr(
+      s"CAST((b_eff * ${1000 - alphaPermille} + 999) div 1000 AS INT)")
+    val ci = resampled.groupBy(gNames.map(col): _*).agg(
+        count(col("__m")).as("b_eff"),
+        sort_array(collect_list(col("__m"))).as("__s"))
+      .select(gNames.map(col) ++ Seq(col("b_eff"),
+        when(col("b_eff") > 0, element_at(col("__s"), lo)).as("__lo"),
+        when(col("b_eff") > 0, element_at(col("__s"), hi)).as("__hi")): _*)
+    point.join(ci, gNames)
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++ Seq(
+        col("n"), (col("__mean").cast("double") / 1e6).as("mean"),
+        (col("__lo").cast("double") / 1e6).as("ci_lo"),
+        (col("__hi").cast("double") / 1e6).as("ci_hi"),
+        col("b_eff")): _*)
   }
 
   /** Per-group z-score outlier counts with the test CLEARED OF DIVISION:

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{Divergence, Graph, TableOps}
+import graft.operators.{Divergence, Graph, Journey, TableOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   * where is the mass concentrated?").
   */
 object MiningQueries {
+
+  import graft.functions.Log2Fixed
+  import CurationQueries.log2fpStages
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -75,7 +78,33 @@ object MiningQueries {
           Seq(col("o_orderpriority")),
           round(col("o_totalprice") * 100).cast("long"))
         .select(col("g0").as("o_orderpriority"), col("n"), col("total"),
-          col("gini"), col("top_decile_share"))))
+          col("gini"), col("top_decile_share"))),
+
+    // Poisson-bootstrap CI for the mean order value (cents) per priority —
+    // the deterministic-integer resampling scheme that distributes: the
+    // B-fold explode collapses map-side to |groups|·B rows; the oracle
+    // replays every draw, weight and rank.
+    "q235_bootstrap_ci" -> ((s, dir) =>
+      TableOps.bootstrapMeanCi(Tables.load(s, dir, "orders"),
+          Seq(col("o_orderpriority")), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long"), b = 40)
+        .select(col("g0").as("o_orderpriority"), col("n"), col("mean"),
+          col("ci_lo"), col("ci_hi"), col("b_eff"))),
+
+    // RFM customer segmentation: value-quantile scores (ties share a
+    // score — no positional NTILE window), segment = r·100 + f·10 + m.
+    "q236_rfm" -> ((s, dir) =>
+      Journey.rfmScores(Tables.load(s, dir, "orders"), col("o_custkey"),
+          col("o_orderdate"), round(col("o_totalprice") * 100).cast("long"))
+        .withColumnRenamed("customer", "o_custkey")),
+
+    // Mutual information between market segment and nation — the
+    // column-dependence audit; per-cell PMI plus the table MI in-band.
+    "q237_pmi" -> ((s, dir) =>
+      Divergence.mutualInformation(Tables.load(s, dir, "customer"),
+          col("c_mktsegment"), col("c_nationkey").cast("long"))
+        .select(col("x").as("c_mktsegment"), col("y").as("c_nationkey"),
+          col("n_xy"), col("pmi_bits"), col("mi_bits"))))
 
   val oracles: Map[String, String] = Map(
 
@@ -134,5 +163,98 @@ object MiningQueries {
              CAST((2 * tm.topm * 1000000 + a.s) // (2 * a.s) AS BIGINT)
                / 1000000.0
            END AS top_decile_share
-         FROM a JOIN tm ON a.g = tm.g""")
+         FROM a JOIN tm ON a.g = tm.g""",
+
+    // Replays every deterministic draw: the LCG uniform, the Poisson
+    // inverse-CDF ladder (TableOps.PoissonCumMicro verbatim), the
+    // micro-rounded resample means and the ceil-rank interval.
+    "q235_bootstrap_ci" ->
+      """WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+         p AS (SELECT g, COUNT(*) AS n,
+             CAST((2 * SUM(CAST(x AS HUGEINT)) * 1000000 + COUNT(*))
+               // (2 * COUNT(*)) AS BIGINT) AS mean_fp
+           FROM v GROUP BY 1),
+         r AS (SELECT g, u.r AS r, x,
+             ((k % 1000003) * 2654435761 + u.r * 40503) % 1000000 AS uu
+           FROM v, unnest(range(0, 40)) AS u(r)),
+         w AS (SELECT g, r, x,
+             CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
+                  WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
+                  WHEN uu < 996340 THEN 4 WHEN uu < 999406 THEN 5
+                  WHEN uu < 999917 THEN 6 WHEN uu < 999990 THEN 7
+                  ELSE 8 END AS w
+           FROM r),
+         m AS (SELECT g, r, SUM(CAST(x AS HUGEINT) * w) AS wx,
+             SUM(w) AS sw
+           FROM w GROUP BY 1, 2),
+         mm AS (SELECT g,
+             CAST((2 * wx * 1000000 + sw) // (2 * sw) AS BIGINT) AS mfp
+           FROM m WHERE sw > 0),
+         c AS (SELECT g, COUNT(*) AS b_eff, list_sort(list(mfp)) AS s
+           FROM mm GROUP BY 1)
+         SELECT p.g AS o_orderpriority, p.n,
+           CAST(p.mean_fp AS DOUBLE) / 1000000.0 AS mean,
+           CAST(c.s[CAST((c.b_eff * 25 + 999) // 1000 AS INT)] AS DOUBLE)
+             / 1000000.0 AS ci_lo,
+           CAST(c.s[CAST((c.b_eff * 975 + 999) // 1000 AS INT)] AS DOUBLE)
+             / 1000000.0 AS ci_hi,
+           c.b_eff
+         FROM p JOIN c ON p.g = c.g""",
+
+    // Value-quantile scores: (rank-1)*5 // n + 1 — ties share a score,
+    // exactly the valueQuantileBins strictly-smaller-count semantics.
+    "q236_rfm" ->
+      """WITH c AS (SELECT o_custkey,
+             CAST(DATEDIFF('day', DATE '1970-01-01',
+               CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary
+           FROM orders GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM c),
+         s AS (SELECT o_custkey, recency_days, frequency, monetary,
+             CAST((RANK() OVER (ORDER BY recency_days) - 1) * 5 // n + 1
+               AS BIGINT) AS r_score,
+             CAST((RANK() OVER (ORDER BY frequency) - 1) * 5 // n + 1
+               AS BIGINT) AS f_score,
+             CAST((RANK() OVER (ORDER BY monetary) - 1) * 5 // n + 1
+               AS BIGINT) AS m_score
+           FROM c, n)
+         SELECT o_custkey, recency_days, frequency, monetary, r_score,
+           f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+         FROM s""",
+
+    "q237_pmi" ->
+      s"""WITH ${Log2Fixed.lutCteSql},
+         b AS (SELECT c_mktsegment AS x, CAST(c_nationkey AS BIGINT) AS y
+           FROM customer
+           WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+         j AS (SELECT x, y, COUNT(*) AS n_xy FROM b GROUP BY 1, 2),
+         nx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM j GROUP BY 1),
+         ny AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM j GROUP BY 1),
+         nn AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM j),
+         e AS (SELECT j.x, j.y, j.n_xy, nx.n_x, ny.n_y, nn.n
+           FROM j JOIN nx USING (x) JOIN ny USING (y), nn),
+         ${log2fpStages("e", "x, y, n_xy, n", "n * n_xy", "lnum", "pa")},
+         ${log2fpStages("e", "x, y", "n_x * n_y", "lden", "pb")},
+         d AS (SELECT pal.x, pal.y, pal.n_xy, pal.n,
+             pal.lnum - pbl.lden AS dd
+           FROM pal JOIN pbl ON pal.x = pbl.x AND pal.y = pbl.y),
+         mi AS (SELECT CAST((CASE WHEN SUM(CAST(n_xy AS HUGEINT) * dd) < 0
+               THEN -1 ELSE 1 END) *
+             ((2 * ABS(SUM(CAST(n_xy AS HUGEINT) * dd)) * 1000000
+                 + CAST(MAX(n) AS HUGEINT) * 1048576)
+               // (2 * CAST(MAX(n) AS HUGEINT) * 1048576)) AS BIGINT)
+             AS mi_fp FROM d)
+         SELECT d.x AS c_mktsegment, d.y AS c_nationkey,
+           CAST(d.n_xy AS BIGINT) AS n_xy,
+           CAST((CASE WHEN dd < 0 THEN -1 ELSE 1 END) *
+             ((2 * ABS(CAST(dd AS HUGEINT)) * 1000000 + 1048576)
+               // 2097152) AS BIGINT) / 1000000.0 AS pmi_bits,
+           CAST(mi.mi_fp AS DOUBLE) / 1000000.0 AS mi_bits
+         FROM d, mi""")
 }

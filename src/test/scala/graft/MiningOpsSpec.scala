@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Divergence, Graph, TableOps}
+import graft.operators.{Divergence, Graph, Journey, TableOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -137,5 +137,121 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out(("s1", "s3")) == ((4L, 3L, 0L, 7L, 0.0)))
     assert(out(("s2", "s3")) == ((3L, 3L, 0L, 6L, 0.0)))
     assert(out.size == 3)
+  }
+
+  // --------------------------------------------------- mutualInformation
+
+  test("MI: exactly independent columns give 0 everywhere, identical give H(X)") {
+    // 64-row uniform grid: x = i mod 4 and y = (i div 4) mod 4 are
+    // exactly independent (n·n_xy = 64·4 = n_x·n_y = 16·16)
+    val indep = (0 until 64).map(i => (i % 4, (i / 4) % 4)).toDF("a", "b")
+    val out1 = Divergence.mutualInformation(indep, col("a"), col("b"))
+      .collect()
+    assert(out1.length == 16)
+    assert(out1.forall(_.getAs[Double]("pmi_bits") == 0.0))
+    assert(out1.forall(_.getAs[Double]("mi_bits") == 0.0))
+
+    // identical columns: MI = H(X) = log2(4) = 2 bits, every cell PMI = 2
+    // (all arguments are powers of two — the LUT path is exact)
+    val same = (0 until 64).map(i => (i % 4, i % 4)).toDF("a", "b")
+    val out2 = Divergence.mutualInformation(same, col("a"), col("b"))
+      .collect()
+    assert(out2.length == 4)
+    assert(out2.forall(_.getAs[Double]("pmi_bits") == 2.0))
+    assert(out2.forall(_.getAs[Double]("mi_bits") == 2.0))
+  }
+
+  test("MI: over-represented cells carry positive PMI, starved cells negative") {
+    // 3 copies of (1,1) vs 1 copy of each off-diagonal of a 2x2 grid
+    val df = (Seq.fill(3)((1, 1)) ++ Seq((1, 2), (2, 1), (2, 2))).toDF("a", "b")
+    val pmi = Divergence.mutualInformation(df, col("a"), col("b"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Double]("pmi_bits"))
+      .toMap
+    assert(pmi((1, 1)) > 0.0 && pmi((2, 2)) > 0.0) // diagonal enriched
+    assert(pmi((1, 2)) < 0.0 && pmi((2, 1)) < 0.0)
+  }
+
+  // ---------------------------------------------------- bootstrapMeanCi
+
+  /** Driver-side replica of the full deterministic bootstrap. */
+  private def refBootstrap(rows: Seq[(Long, Long)], b: Int,
+      alphaPermille: Int): (Long, Double, Double, Double, Long) = {
+    def micro(num: BigInt, den: BigInt): Long = {
+      val q = ((num.abs * 2000000 + den) / (den * 2)).toLong
+      if (num < 0) -q else q
+    }
+    val cum = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
+      999917L, 999990L)
+    val means = (0 until b).flatMap { r =>
+      val ws = rows.map { case (k, x) =>
+        val u = ((k % 1000003L) * 2654435761L + r * 40503L) % 1000000L
+        (cum.indexWhere(u < _) match { case -1 => 8L; case i => i.toLong }, x)
+      }
+      val sw = ws.map(_._1).sum
+      if (sw == 0) None
+      else Some(micro(ws.map { case (w, x) => BigInt(w) * x }.sum, BigInt(sw)))
+    }.sorted
+    val bEff = means.size
+    val lo = means((bEff * alphaPermille + 999) / 1000 - 1)
+    val hi = means((bEff * (1000 - alphaPermille) + 999) / 1000 - 1)
+    val mean = micro(rows.map(r => BigInt(r._2)).sum, BigInt(rows.size))
+    (rows.size.toLong, mean / 1e6, lo / 1e6, hi / 1e6, bEff.toLong)
+  }
+
+  test("bootstrap CI matches the driver-side deterministic replica") {
+    val rows = (1L to 97L).map(k => (k, (k * k * 131) % 5000))
+    val df = rows.map { case (k, x) => ("g", k, x) }.toDF("grp", "k", "x")
+    val out = TableOps.bootstrapMeanCi(df, Seq(col("grp")), col("k"),
+      col("x"), b = 40).collect().head
+    val exp = refBootstrap(rows, 40, 25)
+    assert((out.getAs[Long]("n"), out.getAs[Double]("mean"),
+      out.getAs[Double]("ci_lo"), out.getAs[Double]("ci_hi"),
+      out.getAs[Long]("b_eff")) == exp)
+    assert(out.getAs[Double]("ci_lo") <= out.getAs[Double]("mean"))
+    assert(out.getAs[Double]("mean") <= out.getAs[Double]("ci_hi"))
+  }
+
+  test("bootstrap CI on constant values collapses to the constant") {
+    val df = (1L to 60L).map(k => ("g", k, 777L)).toDF("grp", "k", "x")
+    val out = TableOps.bootstrapMeanCi(df, Seq(col("grp")), col("k"),
+      col("x"), b = 40).collect().head
+    assert(out.getAs[Long]("b_eff") == 40L)
+    assert(out.getAs[Double]("mean") == 777.0)
+    assert(out.getAs[Double]("ci_lo") == 777.0)
+    assert(out.getAs[Double]("ci_hi") == 777.0)
+  }
+
+  // -------------------------------------------------------------- RFM
+
+  test("RFM: value-quantile scores match (rank-1)*5 div n + 1, ties share") {
+    def d(days: Int) =
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+    // 10 customers; customer c places c orders of 100*c cents on day 100+c;
+    // customers 4 and 5 forced to TIE on frequency (both 4 orders)
+    val orders = (1 to 10).flatMap { c =>
+      val nOrders = if (c == 5) 4 else c
+      (1 to nOrders).map(_ => (c.toLong, d(100 + c), c * 100L))
+    }.toDF("cust", "dt", "cents")
+    val out = Journey.rfmScores(orders, col("cust"), col("dt"), col("cents"))
+      .collect()
+      .map(r => r.getAs[Long]("customer") ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Long]("monetary"), r.getAs[Long]("r_score"),
+          r.getAs[Long]("f_score"), r.getAs[Long]("m_score"),
+          r.getAs[Long]("segment"))).toMap
+    assert(out.size == 10)
+    def score(rankMinus1: Int) = rankMinus1 * 5 / 10 + 1
+    (1 to 10).foreach { c =>
+      val (rd, fq, mon, rs, fs, ms, seg) = out(c.toLong)
+      val nOrders = if (c == 5) 4 else c
+      assert(rd == 100L + c && fq == nOrders && mon == nOrders * c * 100L)
+      assert(rs == score(c - 1), s"r_score cust $c") // distinct recencies
+      assert(seg == rs * 100 + fs * 10 + ms)
+    }
+    // frequency ties: customers 4 and 5 share f_score (2 smaller: 1,2,3)
+    assert(out(4L)._5 == out(5L)._5 && out(4L)._5 == score(3))
+    // customer 10: top of every axis
+    assert(out(10L)._4 == 5 && out(10L)._6 == 5)
   }
 }
