@@ -1250,6 +1250,88 @@ object Stress {
       f"shuffle ${gBytes / 1048576.0}%.1f MB")
     require(math.abs(gOut - 1.0 / 3) < 0.01,
       s"uniform values must audit at Gini ~1/3: $gOut")
+
+    // Poisson bootstrap: n rows / 8 groups / B=40 — the B-fold explode
+    // must collapse map-side (shuffle stays |groups|·B-bounded, i.e. MBs
+    // not GBs at 40× the input), and the interval must bracket the exact
+    // uniform mean 499.5 with b_eff = 40 everywhere
+    // x decoupled from the group key (id mod 1000 would correlate with
+    // id mod 8): per group, (id div 8) sweeps [0, n/8) so x is exactly
+    // uniform over 0..999 and every group mean is exactly 499.5
+    val brows = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(8)).as("g"), col("id").as("k"),
+      pmod((col("id") / 8).cast("long"), lit(1000)).as("x"))
+    val (bOut, bBytes) = shuffleBytes(spark.sparkContext) {
+      var r: Array[org.apache.spark.sql.Row] = null
+      time(s"bootstrap_${n / 1000000}M_b40") {
+        r = graft.operators.TableOps.bootstrapMeanCi(brows, Seq(col("g")),
+          col("k"), col("x"), b = 40).collect()
+      }
+      r
+    }
+    println(f"[stress] bootstrap: ${bOut.length} groups, widest CI " +
+      f"${bOut.map(r => r.getAs[Double]("ci_hi") - r.getAs[Double]("ci_lo")).max}%.4f, " +
+      f"shuffle ${bBytes / 1048576.0}%.1f MB")
+    require(bOut.length == 8 && bOut.forall(_.getAs[Long]("b_eff") == 40L),
+      "all 8 groups with the full 40 resamples")
+    require(bOut.forall(r => r.getAs[Double]("ci_lo") <= 499.5 &&
+      499.5 <= r.getAs[Double]("ci_hi")),
+      "the interval must bracket the exact uniform mean")
+    require(bBytes < 64L * 1048576,
+      s"bootstrap shuffle must stay groups*B-bounded: $bBytes")
+
+    // mutual information: planted exact independence (x ⊥ y when n is a
+    // multiple of 512) must read 0.000000; a deterministic y = x mod 4
+    // must read exactly H(Y) = 2 bits (power-of-two LUT path is exact)
+    val n512 = n - n % 512
+    val mrows = spark.range(0, n512, 1, 32).select(
+      pmod(col("id"), lit(32)).as("x"),
+      pmod(col("id") / 32, lit(16)).cast("long").as("y_ind"),
+      pmod(pmod(col("id"), lit(32)), lit(4)).as("y_dep"))
+    val (miPair, mBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0.0, 0.0)
+      time(s"mutual_info_${n / 1000000}M") {
+        val i = graft.operators.Divergence
+          .mutualInformation(mrows, col("x"), col("y_ind"))
+          .agg(max(col("mi_bits"))).head().getDouble(0)
+        val d = graft.operators.Divergence
+          .mutualInformation(mrows, col("x"), col("y_dep"))
+          .agg(max(col("mi_bits"))).head().getDouble(0)
+        r = (i, d)
+      }
+      r
+    }
+    println(f"[stress] mi: independent ${miPair._1}%.6f, deterministic " +
+      f"${miPair._2}%.6f bits, shuffle ${mBytes / 1048576.0}%.1f MB")
+    require(miPair._1 == 0.0, s"independent columns must read 0: $miPair")
+    require(miPair._2 == 2.0, s"y = x mod 4 must read exactly 2 bits: $miPair")
+
+    // RFM: n orders over n/10 customers — every axis scored 1..5 with
+    // near-equal quintile mass (value-quantile ties only distort where
+    // distinct values are few; recency/monetary here are fine-grained)
+    val nCust = math.max(n / 10, 100L)
+    val orders = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(nCust)).as("cust"),
+      date_add(lit("1995-01-01").cast("date"),
+        pmod(xxhash64(col("id")), lit(2000)).cast("int")).as("dt"),
+      pmod(xxhash64(col("id") * 7L), lit(100000L)).as("cents"))
+    val (rfmCounts, rBytes) = shuffleBytes(spark.sparkContext) {
+      var r: Map[Long, Long] = null
+      time(s"rfm_${n / 1000000}M") {
+        r = graft.operators.Journey.rfmScores(orders, col("cust"),
+            col("dt"), col("cents"))
+          .groupBy(col("m_score")).agg(count(lit(1)).as("c"))
+          .collect().map(x => x.getLong(0) -> x.getAs[Long]("c")).toMap
+      }
+      r
+    }
+    println(f"[stress] rfm: m_score counts $rfmCounts, " +
+      f"shuffle ${rBytes / 1048576.0}%.1f MB")
+    require(rfmCounts.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      s"all five monetary quintiles present: $rfmCounts")
+    val per = nCust / 5.0
+    require(rfmCounts.values.forall(c => c > per * 0.8 && c < per * 1.2),
+      s"quintile mass within 20%% of n/5: $rfmCounts")
   }
 
   /** Governance wave at corpus scale: section-aware chunking (doc-keyed
