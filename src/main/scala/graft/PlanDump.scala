@@ -89,7 +89,10 @@ object PlanDump {
       "q234_concentration" -> "Gini/top-decile: one sort-within-group window (row_number only, growing frame) + one rollup + rank-boundary join — a single exchange on the group key; per-term i*x widened to decimal(38,0) pre-sum",
       "q235_bootstrap_ci" -> "Poisson bootstrap: the B-fold explode collapses MAP-SIDE (partial agg keys on (group, resample)) — the one exchange carries |groups|*B rows regardless of input size; final per-group collect is B-bounded; no windows",
       "q236_rfm" -> "RFM: one customer-grain aggregation (the only row-level exchange) + three distinct-value-bounded quantile mappings (two-stage prefix sums — the guard-banned global NTILE never appears) joined back on the metric value",
-      "q237_pmi" -> "mutual information: ONE row-level exchange builds the checkpointed joint-count table; marginals/total/MI rollup all |X|*|Y|-bounded, riding broadcasts; log2fp once per cell, never per row")
+      "q237_pmi" -> "mutual information: ONE row-level exchange builds the checkpointed joint-count table; marginals/total/MI rollup all |X|*|Y|-bounded, riding broadcasts; log2fp once per cell, never per row",
+      "q238_corr_matrix" -> "one-pass Pearson matrix: two narrow aggregations (means, then m(m+3)/2 centered sums) + two one-row broadcasts; the m^2 pair expansion happens on the SINGLE aggregate row — 0.0 MB shuffle at 10M rows",
+      "q239_kmv_registers" -> "KMV bottom-k sketch: (group,hash)-distinct exchange collapses map-side, then WindowGroupLimit — only k rows per group cross the final exchange; no collects",
+      "q240_kmv_estimate" -> "KMV merge law: per-language sketches union + re-min-k (k-bounded everywhere) + integer estimator — the per-shard-sketch shape that replaces raw-value re-shuffles at 100 TB")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -1332,6 +1332,61 @@ object Stress {
     val per = nCust / 5.0
     require(rfmCounts.values.forall(c => c > per * 0.8 && c < per * 1.2),
       s"quintile mass within 20%% of n/5: $rfmCounts")
+
+    // corrMatrix: n rows, planted exact dependence (b = 3a+7 → r² = 1)
+    // next to hash-independent noise (r² ~ 0); two narrow aggregations,
+    // so the shuffle is a few KB of partials
+    val crows = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(1000)).as("a"),
+      (pmod(col("id"), lit(1000)) * 3 + 7).as("b"),
+      pmod(xxhash64(col("id")), lit(1000)).as("c"))
+    val (cOut, cBytes) = shuffleBytes(spark.sparkContext) {
+      var r: Map[(String, String), (Double, Int)] = null
+      time(s"corr_matrix_${n / 1000000}M") {
+        r = graft.operators.TableOps.corrMatrix(crows,
+            Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+          .collect()
+          .map(x => (x.getString(0), x.getString(1)) ->
+            (x.getAs[Double]("r2"), x.getAs[Int]("sgn"))).toMap
+      }
+      r
+    }
+    println(f"[stress] corr: ab=${cOut(("a", "b"))}, ac=${cOut(("a", "c"))}, " +
+      f"shuffle ${cBytes / 1048576.0}%.1f MB")
+    require(cOut(("a", "b")) == ((1.0, 1)), s"planted line must read r2=1")
+    require(cOut(("a", "c"))._1 < 0.001, s"hash noise must read r2~0: $cOut")
+
+    // KMV: n rows / nCust planted distinct per 8 shards, k=1024 — the
+    // estimate must land within ~4/sqrt(k) of truth, and merged
+    // per-shard registers must equal the direct global sketch exactly
+    val kRows = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(8)).as("sh"),
+      concat(lit("item"), pmod(xxhash64(col("id")), lit(1000000L))
+        .cast("string")).as("w"))
+    val (kEst, kBytes) = shuffleBytes(spark.sparkContext) {
+      var r = 0L
+      time(s"kmv_${n / 1000000}M_k1024") {
+        val per = graft.operators.Sketches.kmvRegisters(kRows,
+          Seq(col("sh")), col("w"), k = 1024).localCheckpoint()
+        val merged = graft.operators.Sketches.kmvMerge(
+          per.withColumn("g", lit(1)), Seq(col("g")), k = 1024)
+        val direct = graft.operators.Sketches.kmvRegisters(
+          kRows.withColumn("g", lit(1)), Seq(col("g")), col("w"), k = 1024)
+        require(merged.select(col("rnk"), col("h"))
+          .exceptAll(direct.select(col("rnk"), col("h"))).isEmpty,
+          "merge law must hold exactly at scale")
+        r = graft.operators.Sketches.kmvEstimate(merged, Seq(col("g")),
+          k = 1024).collect().head.getAs[Long]("distinct_est")
+      }
+      r
+    }
+    // truth: distinct item ids actually hit by 10M draws of hash mod 1M
+    val truth = kRows.select(col("w")).distinct().count()
+    println(f"[stress] kmv: est $kEst vs true $truth " +
+      f"(${(kEst - truth) * 100.0 / truth}%.2f%%), " +
+      f"shuffle ${kBytes / 1048576.0}%.1f MB")
+    require(math.abs(kEst - truth) < truth / 8,
+      s"KMV estimate within 12.5%%: $kEst vs $truth")
   }
 
   /** Governance wave at corpus scale: section-aware chunking (doc-keyed

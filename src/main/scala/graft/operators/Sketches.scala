@@ -207,4 +207,78 @@ object Sketches {
           .otherwise(col("__raw")))
       .drop("__sumObs", "__nObs", "__zeros", "__raw")
   }
+
+  /** 2^60 — the hash-space size of the portable md5-prefix stream. */
+  private[graft] val KmvSpace: Long = 1L << 60
+
+  /** KMV ("k minimum values" / bottom-k) distinct sketch registers over
+    * the portable 60-bit md5-prefix hash: one row per (group, rank) with
+    * the rank-th smallest DISTINCT hash — the third mergeable sketch next
+    * to count-min (sums) and HLL (maxes), whose merge law is a bottom-k
+    * (Bar-Yossef et al. 2002). Unlike HLL it also supports set
+    * operations on the sketch itself (sketch-Jaccard over shared minima),
+    * and its register content is fully deterministic, so the oracle
+    * replays every row.
+    *
+    * Scale posture: one (group, hash)-distinct exchange (map-side partial
+    * collapse), then [[Ranking.topKPerGroup]] — a WindowGroupLimit, so
+    * only k rows per group cross the final exchange; no collects, output
+    * ≤ k rows per group.
+    *
+    * @return (g…, rnk (1-based ascending), h)
+    */
+  def kmvRegisters(
+      df: DataFrame, groupCols: Seq[Column], value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"bad KMV k: $k")
+    val kmvReserved = Set("__h", "rnk", "h")
+    val clash = df.select(groupCols: _*).columns.filter(kmvReserved.contains)
+    require(clash.isEmpty,
+      s"group columns must not be named: ${clash.mkString(", ")}")
+    val names = df.select(groupCols: _*).columns.toSeq
+    val dedup = df
+      .select(groupCols :+ graft.functions.TextFunctions.md5Long(value)
+        .as("__h"): _*)
+      .distinct()
+    Ranking.topKPerGroup(dedup, names.map(col), Seq(col("__h").asc), k,
+        rankCol = Some("rnk"))
+      .select(names.map(col) ++ Seq(col("rnk").cast("long").as("rnk"),
+        col("__h").as("h")): _*)
+  }
+
+  /** Merge KMV register tables down to coarser groups (or one global
+    * set): the bottom-k of the unioned registers — registers merged from
+    * per-shard sketches are row-identical to registers computed directly
+    * over the unioned stream (min-k is associative/commutative on
+    * DISTINCT hashes; 60-bit md5 collisions across ≤ 2^20 keys are
+    * ~2^-21), which is why a 100 TB distinct profile is per-shard
+    * sketches + one k-bounded merge, never a re-shuffle of raw values.
+    * `k` must not exceed the k the inputs were built with.
+    */
+  def kmvMerge(
+      registers: DataFrame, groupCols: Seq[Column], k: Int): DataFrame = {
+    val names = registers.select(groupCols: _*).columns.toSeq
+    Ranking.topKPerGroup(
+        registers.select(groupCols :+ col("h"): _*).distinct(),
+        names.map(col), Seq(col("h").asc), k, rankCol = Some("rnk"))
+      .select(names.map(col) ++ Seq(col("rnk").cast("long").as("rnk"),
+        col("h")): _*)
+  }
+
+  /** Distinct-cardinality estimate from [[kmvRegisters]] output — exact
+    * integer arithmetic on the oracle surface: with the full k registers,
+    * est = (k−1)·2^60 div h_(k) (the standard unbiased KMV estimator);
+    * under k observed hashes the count IS the exact distinct count.
+    * @return (g…, n_seen, kth_h, distinct_est)
+    */
+  def kmvEstimate(
+      registers: DataFrame, groupCols: Seq[Column], k: Int): DataFrame =
+    registers.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth_h"))
+      .select(registers.select(groupCols: _*).columns.map(col).toSeq ++ Seq(
+        col("n_seen"), col("kth_h"),
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(
+            s"CAST(${k - 1} AS DECIMAL(38,0)) * $KmvSpace div kth_h"))
+          .as("distinct_est")): _*)
 }

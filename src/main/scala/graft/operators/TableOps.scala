@@ -349,6 +349,90 @@ object TableOps {
           .cast("double") / 1e6).as("top_decile_share")): _*)
   }
 
+  /** Pairwise Pearson correlation matrix over integer-valued columns in
+    * ONE data pass — the EDA screen a warehouse runs before trusting any
+    * model on the columns. Exact integers end to end: the output is
+    * r² micro-rounded plus the sign of the covariance (r = sgn·√r²; the
+    * square root is the only step that cannot replay exactly
+    * cross-engine, so it is left to the reader):
+    *
+    *   num  = n·Σxy − Σx·Σy      (per pair, decimal(38,0))
+    *   r2   = round6(num² / ((n·Σxx − Σx²)·(n·Σyy − Σy²)))
+    *
+    * Values are first shifted by the per-column integer mean (Σ div n —
+    * an EXACT constant shift, which leaves every correlation identical
+    * while shrinking the sums from magnitude n·E[x]² to n·σ²; without it
+    * num² overflows decimal(38,0) three decades earlier). Above
+    * n = 2²⁰ rows, num/d1/d2 are additionally reduced by `div n` before
+    * squaring (num ~ n²·σxσy, so num² alone passes 10³⁸ near
+    * n²σxσy ≈ 3·10¹⁵); the truncation drops < 1 part in n·σ² — orders
+    * below the 6-dp rounding — while below the gate the statistic stays
+    * EXACT. Rows with a null in ANY column are dropped (listwise
+    * deletion — the matrix must be over one common sample). Caller
+    * scales units so n·σxσy ≲ 3·10¹⁵.
+    *
+    * Scale posture: two aggregations over a narrow projection (means,
+    * then the m+m(m+1)/2 centered sums) — no joins except two one-row
+    * broadcasts, no windows; the m² pair expansion happens on the single
+    * aggregate row.
+    *
+    * @return one row per unordered pair: (col_a, col_b, n, r2, sgn) —
+    *   r2 as a 6-dp double, null (with sgn null) for a zero-variance
+    *   column; sgn ∈ {-1, 0, 1}.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 12, s"2..12 columns: ${cols.size}")
+    require(cols.map(_._1).distinct.size == cols.size, "duplicate names")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val names = cols.map(_._1)
+    val base = df
+      .select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
+      .filter(names.map(col(_).isNotNull).reduce(_ && _))
+    val means = base.agg(
+      count(lit(1)).as("__n"),
+      names.map(n => expr(s"CAST(SUM(CAST($n AS DECIMAL(38,0))) div " +
+        s"COUNT(1) AS BIGINT)").as(s"__mu_$n")): _*)
+    val centered = base.crossJoin(broadcast(means))
+      .select(col("__n") +:
+        names.map(n => (col(n) - col(s"__mu_$n")).as(n)): _*)
+    val pairs = for {
+      i <- names.indices; j <- i until names.size
+    } yield (names(i), names(j))
+    // the floor-mean shift leaves residual sums T_x = Σx − n·⌊Σx/n⌋ ∈
+    // [0, n) — tiny but NOT zero, so the classical correction term stays
+    val stats = centered.groupBy(col("__n")).agg(
+      sum(dec(col(names.head))).as(s"__t_${names.head}"),
+      names.tail.map(n => sum(dec(col(n))).as(s"__t_$n")) ++
+        pairs.map { case (a, b) =>
+          sum(dec(col(a)) * dec(col(b))).as(s"__s_${a}__$b") }: _*)
+    def s(a: String, b: String) = col(s"__s_${a}__$b")
+    def t(a: String) = col(s"__t_$a")
+    val cells = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        (dec(col("__n")) * s(a, b) - t(a) * t(b)).as("__num"),
+        (dec(col("__n")) * s(a, a) - t(a) * t(a)).as("__d1"),
+        (dec(col("__n")) * s(b, b) - t(b) * t(b)).as("__d2"))
+    }
+    // exact floor-div for non-negative decimals (quotient is integral)
+    def fdivPos(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    val gate = col("n") > lit(1048576L)
+    def reduced(c: Column): Column =
+      when(gate, fdivPos(c, dec(col("n")))).otherwise(c)
+    stats.select(col("__n").as("n"), explode(array(cells: _*)).as("__c"))
+      .select(col("n"), col("__c.col_a").as("col_a"),
+        col("__c.col_b").as("col_b"),
+        signum(col("__c.__num")).cast("int").as("__sg"),
+        reduced(abs(col("__c.__num"))).as("__num"),
+        reduced(col("__c.__d1")).as("__d1"),
+        reduced(col("__c.__d2")).as("__d2"))
+      .select(col("col_a"), col("col_b"), col("n"),
+        when(col("__d1") > 0 && col("__d2") > 0,
+          EvalMetrics.microRound6(col("__num") * col("__num"),
+            col("__d1") * col("__d2")).cast("double") / 1e6).as("r2"),
+        when(col("__d1") > 0 && col("__d2") > 0, col("__sg")).as("sgn"))
+  }
+
   /** Equal-width histogram over an integer-valued column in ONE range
     * derivation + one aggregation, all-integer arithmetic (no float
     * division — bin edges replay exactly cross-engine):

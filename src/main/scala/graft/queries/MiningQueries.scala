@@ -21,6 +21,63 @@ object MiningQueries {
 
   private val toksSql = AnalyticsQueries.toksSql
 
+  /** q238's column set and its oracle-side SQL — generated from one list
+    * so the Spark call and the DuckDB replay cannot drift. */
+  private val corrCols = Seq(
+    "qty" -> "ROUND(l_quantity)",
+    "price" -> "ROUND(l_extendedprice / 100)", // hundreds of dollars:
+    // keeps 2·num²·10⁶ inside HUGEINT/decimal(38,0) at bench scale
+    "disc" -> "ROUND(l_discount * 100)",
+    "tax" -> "ROUND(l_tax * 100)")
+
+  private def corrMatrixSql: String = {
+    val ns = corrCols.map(_._1)
+    val allPairs =
+      for { i <- ns.indices; j <- i until ns.size } yield (ns(i), ns(j))
+    val pairs = allPairs.filter { case (a, b) => a != b }
+    val baseCols = corrCols.map { case (n, e) =>
+      s"CAST($e AS BIGINT) AS $n" }.mkString(",\n             ")
+    val notNull = corrCols.map { case (_, e) =>
+      s"$e IS NOT NULL" }.mkString(" AND ")
+    val meanCols = ns.map(n =>
+      s"SUM(CAST($n AS HUGEINT)) // COUNT(*) AS m_$n")
+      .mkString(",\n             ")
+    val centered = ns.map(n => s"$n - m_$n AS $n").mkString(", ")
+    val tSums = ns.map(n => s"SUM(CAST($n AS HUGEINT)) AS t_$n")
+    val sSums = allPairs.map { case (a, b) =>
+      s"SUM(CAST($a AS HUGEINT) * $b) AS s_${a}_$b" }
+    val pRows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, m.n,
+             CAST(m.n AS HUGEINT) * s_${a}_$b - t_$a * t_$b AS num,
+             CAST(m.n AS HUGEINT) * s_${a}_$a - t_$a * t_$a AS d1,
+             CAST(m.n AS HUGEINT) * s_${b}_$b - t_$b * t_$b AS d2
+           FROM st, m""" }.mkString("\n           UNION ALL ")
+    s"""WITH b AS (SELECT $baseCols
+           FROM lineitem WHERE $notNull),
+         m AS (SELECT COUNT(*) AS n,
+             $meanCols
+           FROM b),
+         c AS (SELECT $centered FROM b, m),
+         st AS (SELECT ${(tSums ++ sSums).mkString(",\n             ")}
+           FROM c),
+         p AS ($pRows),
+         q AS (SELECT col_a, col_b, n,
+             CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+               AS INT) AS sg,
+             CASE WHEN n > 1048576 THEN ABS(num) // n ELSE ABS(num) END
+               AS numr,
+             CASE WHEN n > 1048576 THEN d1 // n ELSE d1 END AS d1r,
+             CASE WHEN n > 1048576 THEN d2 // n ELSE d2 END AS d2r
+           FROM p)
+         SELECT col_a, col_b, n,
+           CASE WHEN d1r > 0 AND d2r > 0 THEN
+             CAST((2 * numr * numr * 1000000 + d1r * d2r)
+               // (2 * d1r * d2r) AS BIGINT) / 1000000.0
+           END AS r2,
+           CASE WHEN d1r > 0 AND d2r > 0 THEN sg END AS sgn
+         FROM q"""
+  }
+
   /** One HITS iteration as oracle CTEs: authority gather+normalize from
     * h{k-1}, then hub gather+normalize from a{k} — the SQL unroll of
     * [[graft.operators.Graph.hits]] (max-normalized, HUGEINT product).
@@ -104,7 +161,43 @@ object MiningQueries {
       Divergence.mutualInformation(Tables.load(s, dir, "customer"),
           col("c_mktsegment"), col("c_nationkey").cast("long"))
         .select(col("x").as("c_mktsegment"), col("y").as("c_nationkey"),
-          col("n_xy"), col("pmi_bits"), col("mi_bits"))))
+          col("n_xy"), col("pmi_bits"), col("mi_bits"))),
+
+    // One-pass Pearson matrix over the lineitem numerics (exact r² +
+    // covariance sign; the sqrt is the reader's) — price in HUNDREDS of
+    // dollars and rates ×100 keep n·σ² inside the decimal(38,0) pipeline.
+    "q238_corr_matrix" -> ((s, dir) =>
+      TableOps.corrMatrix(Tables.load(s, dir, "lineitem"), Seq(
+        "qty" -> round(col("l_quantity")),
+        "price" -> round(col("l_extendedprice") / 100),
+        "disc" -> round(col("l_discount") * 100),
+        "tax" -> round(col("l_tax") * 100)))),
+
+    // KMV bottom-64 distinct-sketch registers per language — the third
+    // mergeable sketch (min-k) next to count-min (sums) and HLL (maxes);
+    // fully deterministic registers, every row on the oracle surface.
+    "q239_kmv_registers" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      graft.operators.Sketches.kmvRegisters(d, Seq(col("lang")), col("w"),
+        k = 64)
+    }),
+
+    // The KMV merge law ON the oracle surface: per-language sketches
+    // merged to one global bottom-64, then the integer estimator —
+    // the shape a 100 TB distinct profile actually runs (per-shard
+    // sketches + k-bounded merge, never a raw-value re-shuffle).
+    "q240_kmv_estimate" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val d = docs(s, dir).select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      val perLang = Sketches.kmvRegisters(d, Seq(col("lang")), col("w"),
+        k = 64)
+      val merged = Sketches.kmvMerge(perLang.withColumn("g", lit(1)),
+        Seq(col("g")), k = 64)
+      Sketches.kmvEstimate(merged, Seq(col("g")), k = 64)
+        .select(col("n_seen"), col("kth_h"), col("distinct_est"))
+    }))
 
   val oracles: Map[String, String] = Map(
 
@@ -256,5 +349,39 @@ object MiningQueries {
              ((2 * ABS(CAST(dd AS HUGEINT)) * 1000000 + 1048576)
                // 2097152) AS BIGINT) / 1000000.0 AS pmi_bits,
            CAST(mi.mi_fp AS DOUBLE) / 1000000.0 AS mi_bits
-         FROM d, mi""")
+         FROM d, mi""",
+
+    "q238_corr_matrix" -> corrMatrixSql,
+
+    "q239_kmv_registers" ->
+      s"""WITH t AS (SELECT lang, UNNEST($toksSql) AS w FROM documents),
+         d AS (SELECT DISTINCT lang,
+             CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT) AS h
+           FROM t),
+         r AS (SELECT lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rnk
+           FROM d)
+         SELECT lang, CAST(rnk AS BIGINT) AS rnk, h FROM r
+         WHERE rnk <= 64""",
+
+    // The merge is replayed literally: per-language bottom-64s unioned,
+    // re-min-k'd, then the (k-1)*2^60 div h_(k) estimator in HUGEINT.
+    "q240_kmv_estimate" ->
+      s"""WITH t AS (SELECT lang, UNNEST($toksSql) AS w FROM documents),
+         d AS (SELECT DISTINCT lang,
+             CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT) AS h
+           FROM t),
+         r AS (SELECT lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rnk
+           FROM d),
+         u AS (SELECT DISTINCT h FROM r WHERE rnk <= 64),
+         mk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk FROM u),
+         ks AS (SELECT h FROM mk WHERE rnk <= 64),
+         e AS (SELECT COUNT(*) AS n_seen, MAX(h) AS kth_h FROM ks)
+         SELECT n_seen, kth_h,
+           CASE WHEN n_seen < 64 THEN n_seen
+                ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976
+                  // kth_h AS BIGINT)
+           END AS distinct_est
+         FROM e""")
 }

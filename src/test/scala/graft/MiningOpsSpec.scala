@@ -254,4 +254,106 @@ class MiningOpsSpec extends AnyFunSuite {
     // customer 10: top of every axis
     assert(out(10L)._4 == 5 && out(10L)._6 == 5)
   }
+
+  // -------------------------------------------------------- corrMatrix
+
+  private def corrOut(rows: Seq[(Long, Long, Long)]) =
+    TableOps.corrMatrix(rows.toDF("a", "b", "c"),
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Any]("r2"), r.getAs[Any]("sgn"))).toMap
+
+  test("corrMatrix: exact linear relations give r2 = 1 with the right sign") {
+    // b = 3a + 7 (perfect positive), c = -2a (perfect negative)
+    val rows = (1L to 50L).map(a => (a, 3 * a + 7, -2 * a))
+    val out = corrOut(rows)
+    assert(out(("a", "b")) == ((1.0, 1)))
+    assert(out(("a", "c")) == ((1.0, -1)))
+    assert(out(("b", "c")) == ((1.0, -1)))
+  }
+
+  test("corrMatrix: zero-variance columns yield null, independence yields 0") {
+    // c constant -> null pairs; a/b on a full 2x2 grid -> exactly r = 0
+    val rows = Seq((0L, 0L, 5L), (0L, 1L, 5L), (1L, 0L, 5L), (1L, 1L, 5L))
+    val out = corrOut(rows)
+    assert(out(("a", "b")) == ((0.0, 0)))
+    assert(out(("a", "c")) == ((null, null)))
+    assert(out(("b", "c")) == ((null, null)))
+  }
+
+  test("corrMatrix matches the exact rational on an irregular sample") {
+    val as = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val bs = Seq(2L, 7L, 1L, 8L, 2L, 8L, 1L, 8L)
+    val out = corrOut(as.zip(bs).map { case (a, b) => (a, b, 0L) })
+    val n = as.size.toLong
+    def corr2(x: Seq[Long], y: Seq[Long]): (Double, Int) = {
+      val num = BigInt(n) * x.zip(y).map { case (a, b) => BigInt(a) * b }.sum -
+        BigInt(x.sum) * BigInt(y.sum)
+      val d1 = BigInt(n) * x.map(v => BigInt(v) * v).sum - BigInt(x.sum).pow(2)
+      val d2 = BigInt(n) * y.map(v => BigInt(v) * v).sum - BigInt(y.sum).pow(2)
+      val r2 = ((num.pow(2) * 2000000 + d1 * d2) / (d1 * d2 * 2)).toDouble / 1e6
+      (r2, num.signum)
+    }
+    assert(out(("a", "b")) == corr2(as, bs))
+  }
+
+  // ---------------------------------------------------------- KMV sketch
+
+  import graft.operators.Sketches
+
+  /** Driver-side md5-prefix hash replica (TextFunctions.md5Long twin). */
+  private def md5H(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  test("KMV registers are the bottom-k distinct md5 hashes, ranked") {
+    val words = (1 to 300).map(i => s"word$i")
+    // duplicates must not double-register
+    val df = (words ++ words.take(50)).map(("g", _)).toDF("grp", "w")
+    val out = Sketches.kmvRegisters(df, Seq(col("grp")), col("w"), k = 16)
+      .collect().map(r => r.getAs[Long]("rnk") -> r.getAs[Long]("h")).toMap
+    val expected = words.map(md5H).distinct.sorted.take(16)
+    assert(out.size == 16)
+    expected.zipWithIndex.foreach { case (h, i) =>
+      assert(out(i + 1L) == h, s"rank ${i + 1}") }
+  }
+
+  test("KMV merge law: merged per-shard sketches == direct sketch of the union") {
+    val df = (1 to 500).map(i => (s"shard${i % 4}", s"item$i")).toDF("sh", "w")
+    val perShard = Sketches.kmvRegisters(df, Seq(col("sh")), col("w"), k = 32)
+    val merged = Sketches.kmvMerge(perShard.withColumn("g", lit(1)),
+        Seq(col("g")), k = 32)
+      .select(col("rnk"), col("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Sketches.kmvRegisters(df.withColumn("g", lit(1)),
+        Seq(col("g")), col("w"), k = 32)
+      .select(col("rnk"), col("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == direct)
+  }
+
+  test("KMV estimate: exact under k, unbiased-estimator formula at k, sane error") {
+    val small = (1 to 10).map(i => ("g", s"item$i")).toDF("grp", "w")
+    val r1 = Sketches.kmvEstimate(
+      Sketches.kmvRegisters(small, Seq(col("grp")), col("w"), k = 64),
+      Seq(col("grp")), k = 64).collect().head
+    assert(r1.getAs[Long]("n_seen") == 10L)
+    assert(r1.getAs[Long]("distinct_est") == 10L) // exact below k
+
+    val big = (1 to 20000).map(i => ("g", s"item$i")).toDF("grp", "w")
+    val regs = Sketches.kmvRegisters(big, Seq(col("grp")), col("w"), k = 256)
+    val r2 = Sketches.kmvEstimate(regs, Seq(col("grp")), k = 256)
+      .collect().head
+    val kth = r2.getAs[Long]("kth_h")
+    assert(r2.getAs[Long]("n_seen") == 256L)
+    val expected = (BigInt(255) * (BigInt(1) << 60) / kth).toLong
+    assert(r2.getAs[Long]("distinct_est") == expected)
+    // ~1/sqrt(k) relative error: 256 -> ~6%; allow 20%
+    assert(math.abs(r2.getAs[Long]("distinct_est") - 20000L) < 4000L,
+      s"estimate too far: ${r2.getAs[Long]("distinct_est")}")
+  }
 }
