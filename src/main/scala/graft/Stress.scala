@@ -1372,9 +1372,10 @@ object Stress {
           per.withColumn("g", lit(1)), Seq(col("g")), k = 1024)
         val direct = graft.operators.Sketches.kmvRegisters(
           kRows.withColumn("g", lit(1)), Seq(col("g")), col("w"), k = 1024)
-        require(merged.select(col("rnk"), col("h"))
-          .exceptAll(direct.select(col("rnk"), col("h"))).isEmpty,
-          "merge law must hold exactly at scale")
+        val mSel = merged.select(col("rnk"), col("h"))
+        val dSel = direct.select(col("rnk"), col("h"))
+        require(mSel.exceptAll(dSel).isEmpty && dSel.exceptAll(mSel).isEmpty,
+          "merge law must hold exactly at scale (both directions)")
         r = graft.operators.Sketches.kmvEstimate(merged, Seq(col("g")),
           k = 1024).collect().head.getAs[Long]("distinct_est")
       }

@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object Divergence {
 
+  import EvalMetrics.dec
+
   /** Zipf slope per source: OLS fit of log2(freq) on log2(rank) over the
     * `topR` most frequent tokens (ties broken lexicographically) — the
     * corpus-health diagnostic next to [[klBySource]]: natural text sits
@@ -104,29 +106,6 @@ object Divergence {
           .as("kl_bits"))
   }
 
-  /** Exact vocabulary-overlap matrix between sources: for every unordered
-    * source pair, the distinct-token counts, the intersection size and
-    * exact Jaccard — the cross-source contamination screen ("are these
-    * two crawls the same site?") and the deduplication-priority matrix a
-    * mixture designer reads before merging corpora. The sibling of
-    * [[klBySource]] on the SET surface: KL compares distributions,
-    * overlap compares supports.
-    *
-    * Scale posture: this is NOT an all-pairs document comparison — the
-    * one row-level exchange builds the distinct (source, token) incidence
-    * list (vocabulary-bounded, checkpointed once for its three
-    * consumers); pairs form by self-joining the incidence list ON THE
-    * TOKEN, so a token present in k sources yields C(k,2) ≤ C(|sources|,2)
-    * rows — fan-out bounded by the square of the (small) source count per
-    * token, never by documents. Per-source sizes ride a broadcast; pairs
-    * with an empty intersection still appear (via the broadcast cross of
-    * the size table with itself) — absence of overlap is a finding, not
-    * a dropped row.
-    *
-    * @return (source_a, source_b, v_a, v_b, inter, n_union, jaccard) with
-    *   source_a < source_b; jaccard micro-rounded, null when both
-    *   vocabularies are empty.
-    */
   /** Mutual information between two categorical columns, with the
     * per-cell pointwise MI — the dependence audit a curator runs before
     * trusting a stratified split ("is source independent of label?") and
@@ -155,7 +134,6 @@ object Divergence {
     *   (in-band, the q103 convention for scalar+detail outputs).
     */
   def mutualInformation(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val joint = df.select(xCol.as("x"), yCol.as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
@@ -180,13 +158,41 @@ object Divergence {
         (col("__mi").cast("double") / 1e6).as("mi_bits"))
   }
 
+  /** Exact vocabulary-overlap matrix between sources: for every unordered
+    * source pair, the distinct-token counts, the intersection size and
+    * exact Jaccard — the cross-source contamination screen ("are these
+    * two crawls the same site?") and the deduplication-priority matrix a
+    * mixture designer reads before merging corpora. The sibling of
+    * [[klBySource]] on the SET surface: KL compares distributions,
+    * overlap compares supports.
+    *
+    * Scale posture: this is NOT an all-pairs document comparison — the
+    * one row-level exchange builds the distinct (source, token) incidence
+    * list (vocabulary-bounded, checkpointed once for its three
+    * consumers); pairs form by self-joining the incidence list ON THE
+    * TOKEN, so a token present in k sources yields C(k,2) ≤ C(|sources|,2)
+    * rows — fan-out bounded by the square of the (small) source count per
+    * token, never by documents. Per-source sizes ride a broadcast; every
+    * source seen in `df` appears in the matrix — including sources whose
+    * vocabulary is EMPTY (all-whitespace text) and pairs with an empty
+    * intersection — absence of overlap is a finding, not a dropped row.
+    *
+    * @return (source_a, source_b, v_a, v_b, inter, n_union, jaccard) with
+    *   source_a < source_b; jaccard micro-rounded, null when both
+    *   vocabularies are empty.
+    */
   def vocabOverlap(df: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
     val inc = df
       .select(sourceCol.as("source"),
         explode(graft.functions.TextFunctions.tokens(textCol)).as("tok"))
       .distinct()
       .localCheckpoint()
-    val sizes = inc.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    // sizes from the SOURCE list, not the incidence list — a source whose
+    // every document tokenizes to nothing still belongs in the matrix
+    val sizes = df.select(sourceCol.as("source")).distinct()
+      .join(inc.groupBy(col("source")).agg(count(lit(1)).as("v")),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("v"), lit(0L)).as("v"))
     val inter = inc.select(col("source").as("source_a"), col("tok"))
       .join(inc.select(col("source").as("source_b"), col("tok")), Seq("tok"))
       .filter(col("source_a") < col("source_b"))

@@ -105,6 +105,24 @@ object Graph {
       nodes: DataFrame, idCol: Column,
       edges: DataFrame, srcCol: Column, dstCol: Column,
       iterations: Int = 5,
+      dampingPerMille: Int = 850, scale: Long = 1000000L): DataFrame =
+    pageRankWeighted(nodes, idCol,
+      edges.select(srcCol.as("__s0"), dstCol.as("__d0")),
+      col("__s0"), col("__d0"), lit(1L), iterations, dampingPerMille, scale)
+
+  /** Integer-weighted [[pageRank]]: each edge row carries a multiplicity
+    * `w`, outdegree is Σw and the gather term is `w·(rank div Σw)` —
+    * BIT-IDENTICAL to running the unweighted recurrence over a multigraph
+    * with the edge repeated w times (each duplicate contributes the same
+    * `rank div deg`), which is why [[textRank]] can collapse its
+    * token-count-sized co-occurrence multiset to a vocabulary²-bounded
+    * weighted edge list without touching the oracle. Same scale posture
+    * as [[pageRank]] (the unweighted form IS this one with w = 1).
+    */
+  def pageRankWeighted(
+      nodes: DataFrame, idCol: Column,
+      edges: DataFrame, srcCol: Column, dstCol: Column, weightCol: Column,
+      iterations: Int = 5,
       dampingPerMille: Int = 850, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
@@ -112,8 +130,8 @@ object Graph {
     require(scale % 1000 == 0, "scale must be a multiple of 1000 (exact base)")
     val base = (1000L - dampingPerMille) * scale / 1000L
     val e = edges.select(srcCol.cast("long").as("__src"),
-      dstCol.cast("long").as("__dst"))
-    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      dstCol.cast("long").as("__dst"), weightCol.cast("long").as("__w"))
+    val deg = e.groupBy(col("__src")).agg(sum(col("__w")).as("__deg"))
     val contribEdges = e.join(deg, Seq("__src")).persist()
     var ranks = nodes.select(idCol.cast("long").as("id"))
       .withColumn("rank_fp", lit(scale))
@@ -123,7 +141,7 @@ object Graph {
       val inbound = contribEdges
         .join(ranks.select(col("id").as("__src"), col("rank_fp")), Seq("__src"))
         .groupBy(col("__dst").as("id"))
-        .agg(sum(expr("rank_fp div __deg")).as("__c"))
+        .agg(sum(expr("__w * (rank_fp div __deg)")).as("__c"))
       val updated = ranks.select(col("id"))
         .join(inbound, Seq("id"), "left")
         .select(col("id"),
@@ -137,6 +155,63 @@ object Graph {
     }
     contribEdges.unpersist(blocking = false)
     ranks
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — [[pageRank]]
+    * composed over the token co-occurrence graph: tokens are nodes,
+    * co-occurrence within `window` positions is an (undirected) edge, and
+    * the corpus keywords are the top-PageRank tokens. Pure composition:
+    * the co-occurrence build is `lead()` windows (no self-join), edge
+    * WEIGHTS are edge multiplicity (pageRank's outdegree and gather sum
+    * count duplicate edges, which IS integer-weighted PageRank), and the
+    * ranking is the q145 integer recurrence — so a SQL oracle unrolls it
+    * verbatim. Node ids are the portable 60-bit md5 token hash (the
+    * dictionary maps back to strings; a 60-bit collision merges two
+    * tokens identically in both engines).
+    *
+    * Scale posture: one doc-keyed sort feeds both lead() columns; edges
+    * collapse map-side only in pageRank's degree agg; the vocabulary-
+    * bounded rank frame joins the dictionary once and the final top-k is
+    * a TakeOrdered (never a global window).
+    *
+    * @return (token, rank_fp) — the `topK` highest-ranked tokens,
+    *   ties broken by token ascending.
+    */
+  def textRank(
+      df: DataFrame, docIdCol: Column, textCol: Column, window: Int = 2,
+      iterations: Int = 3, topK: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 8, s"bad window: $window")
+    require(topK >= 1, s"bad topK: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(docIdCol.as("__doc"),
+        posexplode(graft.functions.TextFunctions.tokens(textCol))
+          .as(Seq("__pos", "__w")))
+    val byDoc = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+    val withNext = toks.select(col("__w") +:
+      (1 to window).map(d => lead(col("__w"), d).over(byDoc)
+        .as(s"__n$d")): _*)
+    val half = (1 to window).map(d =>
+      withNext.filter(col(s"__n$d").isNotNull && col(s"__n$d") =!= col("__w"))
+        .select(col("__w").as("__a"), col(s"__n$d").as("__b")))
+      .reduce(_ unionAll _)
+    val h = graft.functions.TextFunctions.md5Long _
+    // the multigraph collapses to (src, dst, weight) BEFORE iteration:
+    // the per-round frame is vocabulary²-bounded, not token-count-sized
+    val edges = half.select(h(col("__a")).as("src"), h(col("__b")).as("dst"))
+      .unionAll(half.select(h(col("__b")).as("src"), h(col("__a")).as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val dict = toks.select(col("__w").as("token")).distinct()
+      .select(col("token"), h(col("token")).as("id"))
+      .localCheckpoint() // nodes, edge build upstream, and the final join
+    // node list distinct on the HASH: a (vanishingly rare) 60-bit token
+    // collision must not seed two score rows for one node id
+    val ranks = pageRankWeighted(dict.select(col("id")).distinct(), col("id"),
+      edges, col("src"), col("dst"), col("w"), iterations)
+    dict.join(ranks, Seq("id"))
+      .select(col("token"), col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("token").asc)
+      .limit(topK)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a directed link graph —
@@ -176,17 +251,23 @@ object Graph {
       iterations: Int = 3, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(scale >= 1L, s"scale must be >= 1: $scale")
-    // two pre-partitioned cached copies: the authority gather joins on
-    // __src, the hub gather on __dst — partitioning each copy ON ITS JOIN
-    // KEY before caching means the (big) edge side exchanges ONCE per key,
-    // not once per half-step (2 exchanges total instead of 2·iterations;
-    // the 10M-edge receipt measured 3.4 GB → 1.3 GB). Cost: edges cached
-    // twice (MEMORY_AND_DISK, spills rather than evicts at scale).
+    val ids = nodes.select(idCol.cast("long").as("id"))
+    // edges restricted to KNOWN endpoints up front (two build-time
+    // semi-joins): an edge touching an id outside the node list must not
+    // feed the sums or the normalization max — the oracle's per-half-step
+    // join against the node table, paid once here instead.
+    // Then two pre-partitioned cached copies: the authority gather joins
+    // on __src, the hub gather on __dst — partitioning each copy ON ITS
+    // JOIN KEY before caching means the (big) edge side exchanges ONCE
+    // per key, not once per half-step (2 exchanges total instead of
+    // 2·iterations; the 10M-edge receipt measured 3.4 GB → 857 MB).
+    // Cost: edges cached twice (MEMORY_AND_DISK, spills, never evicts).
     val e0 = edges.select(srcCol.cast("long").as("__src"),
-      dstCol.cast("long").as("__dst"))
+        dstCol.cast("long").as("__dst"))
+      .join(ids.select(col("id").as("__src")), Seq("__src"), "left_semi")
+      .join(ids.select(col("id").as("__dst")), Seq("__dst"), "left_semi")
     val eBySrc = e0.repartition(col("__src")).persist()
     val eByDst = e0.repartition(col("__dst")).persist()
-    val ids = nodes.select(idCol.cast("long").as("id"))
     // __raw·scale div max(__raw) with the product widened to decimal(38,0)
     def normalize(raw: DataFrame, out: String): DataFrame = {
       val mx = raw.agg(max(col("__raw")).as("__mx"))

@@ -359,6 +359,11 @@ object Journey {
     * date-/count-bounded; the monetary mapping is distinct-amount-
     * bounded (hash equi-join, AQE picks the strategy).
     *
+    * Orders with a null date or amount are dropped BEFORE aggregation
+    * (frequency counts clean orders only); a customer appears iff they
+    * have at least one clean order — the oracle applies the same WHERE,
+    * so null handling is on the correctness surface, not convention.
+    *
     * @param amount integer money (cents) — the caller fixes the unit.
     * @return (customer, recency_days, frequency, monetary, r_score,
     *   f_score, m_score, segment)
@@ -367,6 +372,7 @@ object Journey {
       df: DataFrame, custCol: Column, dateCol: Column,
       amount: Column): DataFrame = {
     val cust = df
+      .filter(custCol.isNotNull && dateCol.isNotNull && amount.isNotNull)
       .groupBy(custCol.as("customer"))
       .agg(
         datediff(max(dateCol), lit("1970-01-01").cast("date")).cast("long")

@@ -269,6 +269,11 @@ object Sketches {
     * integer arithmetic on the oracle surface: with the full k registers,
     * est = (k−1)·2^60 div h_(k) (the standard unbiased KMV estimator);
     * under k observed hashes the count IS the exact distinct count.
+    * `k` must equal the k the registers were built with (same contract
+    * as [[kmvMerge]]): a group carrying MORE than k registers means the
+    * caller passed a smaller k — its kth_h would be the wrong order
+    * statistic and the estimate ~n_seen/k·true, so it reports null
+    * instead of a plausible-looking wrong number.
     * @return (g…, n_seen, kth_h, distinct_est)
     */
   def kmvEstimate(
@@ -278,7 +283,7 @@ object Sketches {
       .select(registers.select(groupCols: _*).columns.map(col).toSeq ++ Seq(
         col("n_seen"), col("kth_h"),
         when(col("n_seen") < k, col("n_seen"))
-          .otherwise(expr(
+          .when(col("n_seen") === k, expr(
             s"CAST(${k - 1} AS DECIMAL(38,0)) * $KmvSpace div kth_h"))
           .as("distinct_est")): _*)
 }

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object TableOps {
 
+  import EvalMetrics.dec
+
   /** Classify rows of `newDf` vs `oldDf` by `keyCols`: added / removed /
     * changed / unchanged, with the sorted list of differing compare
     * columns. Comparison is null-safe (`<=>`); key columns must be
@@ -204,7 +206,6 @@ object TableOps {
     require(b >= 2 && b <= 1000, s"b out of range: $b")
     require(alphaPermille >= 1 && alphaPermille < 500,
       s"alphaPermille out of range: $alphaPermille")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val gNames = groupCols.indices.map(i => s"__g$i")
     val base = df.select(
       groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
@@ -261,7 +262,6 @@ object TableOps {
   def exactOutliers(
       df: DataFrame, group: Column, value: Column, k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val base = df.select(group.as("g"), value.cast("long").as("__x"))
       .filter(col("__x").isNotNull)
     val stats = base.groupBy(col("g")).agg(
@@ -314,7 +314,6 @@ object TableOps {
   def concentration(
       df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val gNames = groupCols.indices.map(i => s"__g$i")
     val base = df.select(
       groupCols.zip(gNames).map { case (c, n) => c.as(n) } :+
@@ -362,14 +361,16 @@ object TableOps {
     * Values are first shifted by the per-column integer mean (Σ div n —
     * an EXACT constant shift, which leaves every correlation identical
     * while shrinking the sums from magnitude n·E[x]² to n·σ²; without it
-    * num² overflows decimal(38,0) three decades earlier). Above
-    * n = 2²⁰ rows, num/d1/d2 are additionally reduced by `div n` before
-    * squaring (num ~ n²·σxσy, so num² alone passes 10³⁸ near
-    * n²σxσy ≈ 3·10¹⁵); the truncation drops < 1 part in n·σ² — orders
-    * below the 6-dp rounding — while below the gate the statistic stays
-    * EXACT. Rows with a null in ANY column are dropped (listwise
-    * deletion — the matrix must be over one common sample). Caller
-    * scales units so n·σxσy ≲ 3·10¹⁵.
+    * num² overflows decimal(38,0) three decades earlier). When a pair's
+    * variance terms actually get big — `greatest(d1, d2) > 5·10¹⁵`, the
+    * point past which 2·10⁶·num² can leave decimal(38,0) — num/d1/d2 are
+    * additionally reduced by `div n` before squaring; the gate is
+    * PER-PAIR on magnitude, not on row count, so a low-variance column
+    * keeps the exact path at any n and the truncation (relative
+    * ~n/d ≤ n/5·10¹⁵) only ever applies to terms large enough to absorb
+    * it. Rows with a null in ANY column are dropped (listwise deletion —
+    * the matrix must be over one common sample). Caller scales units so
+    * the reduced num stays ≲ 3·10¹⁵ (n²·σxσy ≲ 3·10¹⁵·n).
     *
     * Scale posture: two aggregations over a narrow projection (means,
     * then the m+m(m+1)/2 centered sums) — no joins except two one-row
@@ -383,7 +384,6 @@ object TableOps {
   def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.size >= 2 && cols.size <= 12, s"2..12 columns: ${cols.size}")
     require(cols.map(_._1).distinct.size == cols.size, "duplicate names")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val names = cols.map(_._1)
     val base = df
       .select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
@@ -413,19 +413,19 @@ object TableOps {
         (dec(col("__n")) * s(a, a) - t(a) * t(a)).as("__d1"),
         (dec(col("__n")) * s(b, b) - t(b) * t(b)).as("__d2"))
     }
-    // exact floor-div for non-negative decimals (quotient is integral)
-    def fdivPos(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
-    val gate = col("n") > lit(1048576L)
+    val gate = greatest(col("__d1"), col("__d2")) > lit(5000000000000000L)
     def reduced(c: Column): Column =
-      when(gate, fdivPos(c, dec(col("n")))).otherwise(c)
+      when(gate, dec(EvalMetrics.idivPos(c, col("n")))).otherwise(c)
     stats.select(col("__n").as("n"), explode(array(cells: _*)).as("__c"))
       .select(col("n"), col("__c.col_a").as("col_a"),
         col("__c.col_b").as("col_b"),
         signum(col("__c.__num")).cast("int").as("__sg"),
-        reduced(abs(col("__c.__num"))).as("__num"),
-        reduced(col("__c.__d1")).as("__d1"),
-        reduced(col("__c.__d2")).as("__d2"))
+        abs(col("__c.__num")).as("__anum"),
+        col("__c.__d1").as("__d1"), col("__c.__d2").as("__d2"))
+      .select(col("n"), col("col_a"), col("col_b"), col("__sg"),
+        reduced(col("__anum")).as("__num"),
+        reduced(col("__d1")).as("__d1"),
+        reduced(col("__d2")).as("__d2"))
       .select(col("col_a"), col("col_b"), col("n"),
         when(col("__d1") > 0 && col("__d2") > 0,
           EvalMetrics.microRound6(col("__num") * col("__num"),

@@ -554,7 +554,7 @@ object AnalyticsQueries {
              len(list_intersect(x.hs, y.hs)) AS inter, len(x.hs) AS na, len(y.hs) AS nb
            FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)"""
 
-  private def pageRankStageSql(k: Int): String =
+  private[queries] def pageRankStageSql(k: Int): String =
     s"""r$k AS (SELECT b.id, 150000 + (850 * COALESCE(s.c, 0)) // 1000 AS r
          FROM r${k - 1} b LEFT JOIN (
            SELECT e.dst, SUM(r.r // deg.dg) AS c

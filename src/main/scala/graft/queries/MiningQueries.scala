@@ -166,12 +166,11 @@ object MiningQueries {
     // One-pass Pearson matrix over the lineitem numerics (exact r² +
     // covariance sign; the sqrt is the reader's) — price in HUNDREDS of
     // dollars and rates ×100 keep n·σ² inside the decimal(38,0) pipeline.
+    // The column expressions come from corrCols via expr(): ONE list
+    // feeds both engines, so the Spark call and the oracle cannot drift.
     "q238_corr_matrix" -> ((s, dir) =>
-      TableOps.corrMatrix(Tables.load(s, dir, "lineitem"), Seq(
-        "qty" -> round(col("l_quantity")),
-        "price" -> round(col("l_extendedprice") / 100),
-        "disc" -> round(col("l_discount") * 100),
-        "tax" -> round(col("l_tax") * 100)))),
+      TableOps.corrMatrix(Tables.load(s, dir, "lineitem"),
+        corrCols.map { case (n, e) => n -> expr(e) })),
 
     // KMV bottom-64 distinct-sketch registers per language — the third
     // mergeable sketch (min-k) next to count-min (sums) and HLL (maxes);
@@ -182,6 +181,12 @@ object MiningQueries {
       graft.operators.Sketches.kmvRegisters(d, Seq(col("lang")), col("w"),
         k = 64)
     }),
+
+    // TextRank keywords: pageRank composed over the token co-occurrence
+    // graph (lead-window pairs, multiplicity = weight), top-20 by rank.
+    "q241_textrank" -> ((s, dir) =>
+      Graph.textRank(docs(s, dir), col("doc_id"), col("text"),
+        window = 2, iterations = 3, topK = 20)),
 
     // The KMV merge law ON the oracle surface: per-language sketches
     // merged to one global bottom-64, then the integer estimator —
@@ -204,7 +209,10 @@ object MiningQueries {
     "q232_vocab_overlap" ->
       s"""WITH inc AS (SELECT DISTINCT lang AS source, unnest($toksSql) AS tok
            FROM documents),
-         sz AS (SELECT source, COUNT(*) AS v FROM inc GROUP BY 1),
+         szl AS (SELECT lang AS source FROM documents GROUP BY 1),
+         szc AS (SELECT source, COUNT(*) AS v FROM inc GROUP BY 1),
+         sz AS (SELECT szl.source, COALESCE(szc.v, 0) AS v
+           FROM szl LEFT JOIN szc USING (source)),
          it AS (SELECT a.source AS source_a, b.source AS source_b,
              COUNT(*) AS inter
            FROM inc a JOIN inc b ON a.tok = b.tok AND a.source < b.source
@@ -306,7 +314,10 @@ object MiningQueries {
              COUNT(*) AS frequency,
              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS monetary
-           FROM orders GROUP BY 1),
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_totalprice IS NOT NULL
+           GROUP BY 1),
          n AS (SELECT COUNT(*) AS n FROM c),
          s AS (SELECT o_custkey, recency_days, frequency, monetary,
              CAST((RANK() OVER (ORDER BY recency_days) - 1) * 5 // n + 1
@@ -352,6 +363,37 @@ object MiningQueries {
          FROM d, mi""",
 
     "q238_corr_matrix" -> corrMatrixSql,
+
+    // Every half of the composition replayed: position pairs (the lead
+    // window's join twin), the doubled-direction multigraph, md5 node
+    // ids, and the q145 PageRank recurrence unrolled 3 times.
+    "q241_textrank" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         p AS (SELECT doc_id, u.i AS i, toks[CAST(u.i AS INT)] AS w
+           FROM t0, unnest(range(1, len(toks) + 1)) AS u(i)),
+         h1 AS (SELECT a.w AS wa, b.w AS wb
+           FROM p a JOIN p b
+             ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+           WHERE a.w <> b.w),
+         eh AS (SELECT
+             CAST(CONCAT('0x', SUBSTRING(md5(wa), 1, 15)) AS BIGINT) AS ha,
+             CAST(CONCAT('0x', SUBSTRING(md5(wb), 1, 15)) AS BIGINT) AS hb
+           FROM h1),
+         e AS (SELECT ha AS src, hb AS dst FROM eh
+           UNION ALL SELECT hb, ha FROM eh),
+         deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+         dict AS (SELECT DISTINCT w AS token FROM p),
+         nodes AS (SELECT token,
+             CAST(CONCAT('0x', SUBSTRING(md5(token), 1, 15)) AS BIGINT)
+               AS id
+           FROM dict),
+         r0 AS (SELECT DISTINCT id, CAST(1000000 AS BIGINT) AS r
+           FROM nodes),
+         ${(1 to 3).map(AnalyticsQueries.pageRankStageSql)
+             .mkString(",\n         ")}
+         SELECT token, CAST(r AS BIGINT) AS rank_fp
+         FROM nodes JOIN r3 ON nodes.id = r3.id
+         ORDER BY rank_fp DESC, token LIMIT 20""",
 
     "q239_kmv_registers" ->
       s"""WITH t AS (SELECT lang, UNNEST($toksSql) AS w FROM documents),

@@ -65,12 +65,69 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
   }
 
+  test("HITS ignores edges touching ids outside the node list") {
+    // node 3 is NOT in the node list: (2,3) and (3,1) must not feed any
+    // sum or the normalization max — same output as the filtered graph
+    val nodes = Seq(0L, 1L, 2L)
+    val dirty = Seq((0L, 1L), (0L, 2L), (2L, 3L), (3L, 1L))
+    val clean = Seq((0L, 1L), (0L, 2L))
+    assert(hitsOut(nodes, dirty, 2) == hitsOut(nodes, clean, 2))
+    assert(hitsOut(nodes, dirty, 2) == refHits(nodes, clean, 2))
+  }
+
   test("HITS on a cycle reaches the uniform fixed point") {
     val nodes = Seq(0L, 1L, 2L)
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))
     val out = hitsOut(nodes, edges, 3)
     // all scores equal the scale: every max-normalization is a no-op
     nodes.foreach(v => assert(out(v) == ((1000000L, 1000000L))))
+  }
+
+  test("weighted pageRank == unweighted over the expanded multigraph") {
+    val nodes = (0L to 5L).toDF("id")
+    val weighted = Seq((0L, 1L, 3L), (1L, 2L, 1L), (2L, 0L, 2L),
+      (3L, 0L, 5L), (0L, 4L, 1L))
+    val expanded = weighted.flatMap { case (s, d, w) =>
+      Seq.fill(w.toInt)((s, d)) }
+    val a = Graph.pageRankWeighted(nodes, col("id"),
+        weighted.toDF("s", "d", "w"), col("s"), col("d"), col("w"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(nodes, col("id"),
+        expanded.toDF("s", "d"), col("s"), col("d"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------------ TextRank
+
+  test("textRank: a hub token beats satellites, ties break alphabetically") {
+    // "center" co-occurs with every satellite; satellites only see the
+    // hub (and the window-2 neighbor satellite) — the hub must rank first
+    val docs = Seq(
+      (1L, "center alpha center beta center gamma center delta"),
+      (2L, "center alpha center beta center gamma center delta"))
+      .toDF("doc_id", "text")
+    val out = Graph.textRank(docs, col("doc_id"), col("text"),
+      window = 2, iterations = 3, topK = 5).collect()
+    assert(out.head.getString(0) == "center")
+    assert(out.head.getLong(1) > out(1).getLong(1))
+    // output honors the (rank desc, token asc) contract
+    val pairs = out.map(r => (r.getLong(1), r.getString(0))).toSeq
+    assert(pairs == pairs.sortBy { case (r, t) => (-r, t) })
+    assert(out.length == 5)
+  }
+
+  test("textRank: self-pairs are excluded, a one-token doc yields no edges") {
+    // "solo" repeats but never pairs with a DIFFERENT token: excluded
+    // from the graph; tokens of doc 2 rank via their mutual edge
+    val docs = Seq((1L, "solo solo solo"), (2L, "left right"))
+      .toDF("doc_id", "text")
+    val out = Graph.textRank(docs, col("doc_id"), col("text"),
+      window = 2, iterations = 2, topK = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // solo has no edges: dangling node at the damping floor
+    assert(out("solo") == 150000L)
+    assert(out("left") == out("right") && out("left") > out("solo"))
   }
 
   // -------------------------------------------------------- concentration
@@ -137,6 +194,20 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out(("s1", "s3")) == ((4L, 3L, 0L, 7L, 0.0)))
     assert(out(("s2", "s3")) == ((3L, 3L, 0L, 6L, 0.0)))
     assert(out.size == 3)
+  }
+
+  test("vocabOverlap keeps sources whose vocabulary is empty") {
+    val df = Seq(("s1", "alpha beta"), ("s2", "   "), ("s3", ""))
+      .toDF("src", "text")
+    val out = Divergence.vocabOverlap(df, col("src"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("v_a"), r.getAs[Long]("v_b"),
+          r.getAs[Any]("jaccard"))).toMap
+    assert(out.size == 3)
+    assert(out(("s1", "s2")) == ((2L, 0L, 0.0)))
+    // both vocabularies empty: union 0 -> jaccard null, row kept
+    assert(out(("s2", "s3")) == ((0L, 0L, null)))
   }
 
   // --------------------------------------------------- mutualInformation
@@ -355,5 +426,38 @@ class MiningOpsSpec extends AnyFunSuite {
     // ~1/sqrt(k) relative error: 256 -> ~6%; allow 20%
     assert(math.abs(r2.getAs[Long]("distinct_est") - 20000L) < 4000L,
       s"estimate too far: ${r2.getAs[Long]("distinct_est")}")
+
+    // k smaller than the registers were built with: null, not a
+    // plausible-looking half-scale estimate
+    val bad = Sketches.kmvEstimate(regs, Seq(col("grp")), k = 64)
+      .collect().head
+    assert(bad.getAs[Any]("distinct_est") == null)
+  }
+
+  test("corrMatrix reduced path (huge variance terms) still reads exact lines") {
+    // values ~1e7 over 100 rows -> d1 ~ 8e16 > the 5e15 gate (reduced
+    // terms stay inside the documented ≲3e15 contract); the div-n
+    // reduction must leave the planted b = 2a line at r2 = 1
+    val rows = (1L to 100L).map(i => (i * 100000L, 2 * i * 100000L, 0L))
+    val out = corrOut(rows)
+    assert(out(("a", "b")) == ((1.0, 1)))
+  }
+
+  test("rfmScores drops orders with null date or amount before aggregating") {
+    def d(days: Int) =
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+    val rows = Seq(
+      (1L, d(10), java.lang.Long.valueOf(100L)),
+      (1L, null.asInstanceOf[java.sql.Date], java.lang.Long.valueOf(900L)),
+      (2L, d(20), null.asInstanceOf[java.lang.Long]),
+      (3L, d(30), java.lang.Long.valueOf(300L)))
+      .toDF("cust", "dt", "cents")
+    val out = Journey.rfmScores(rows, col("cust"), col("dt"), col("cents"))
+      .collect()
+      .map(r => r.getAs[Long]("customer") ->
+        (r.getAs[Long]("frequency"), r.getAs[Long]("monetary"))).toMap
+    // customer 2's only order has a null amount -> dropped entirely;
+    // customer 1's null-dated order doesn't count or sum
+    assert(out == Map(1L -> ((1L, 100L)), 3L -> ((1L, 300L))))
   }
 }
