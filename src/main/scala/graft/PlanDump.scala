@@ -93,7 +93,8 @@ object PlanDump {
       "q238_corr_matrix" -> "one-pass Pearson matrix: two narrow aggregations (means, then m(m+3)/2 centered sums) + two one-row broadcasts; the m^2 pair expansion happens on the SINGLE aggregate row — 0.0 MB shuffle at 10M rows",
       "q239_kmv_registers" -> "KMV bottom-k sketch: (group,hash)-distinct exchange collapses map-side, then WindowGroupLimit — only k rows per group cross the final exchange; no collects",
       "q240_kmv_estimate" -> "KMV merge law: per-language sketches union + re-min-k (k-bounded everywhere) + integer estimator — the per-shard-sketch shape that replaces raw-value re-shuffles at 100 TB",
-      "q241_textrank" -> "TextRank = pageRank over the co-occurrence multigraph: ONE doc-keyed sort feeds both lead() columns (no position self-join); edge multiplicity IS the weight; vocab-bounded rank frame; final top-k is TakeOrdered, never a global window")
+      "q241_textrank" -> "TextRank = weighted pageRank over collapsed co-occurrence edges: ONE doc-keyed sort feeds both lead() columns; the multiset collapses to vocab^2-bounded (src,dst,w) BEFORE iteration (bit-identical to the multigraph, spec-pinned); final top-k is TakeOrdered",
+      "q242_kmv_agg" -> "KMV via BottomKAgg UDAF: the exchange carries one <=k buffer per (partition, group) — input-size-independent (10M receipt: 394.5 -> 4.0 MB, 97.5x); same registers as the window build, and it streams")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

@@ -1388,6 +1388,33 @@ object Stress {
       f"shuffle ${kBytes / 1048576.0}%.1f MB")
     require(math.abs(kEst - truth) < truth / 8,
       s"KMV estimate within 12.5%%: $kEst vs $truth")
+
+    // the two KMV builds head-to-head: the window form's exchange is
+    // the distinct (group, hash) set (~1M rows here); BottomKAgg's is
+    // one <=k buffer per (partition, group) — input-size-independent
+    val (winRows, winBytes) = shuffleBytes(spark.sparkContext) {
+      var r = 0L
+      time(s"kmv_window_${n / 1000000}M") {
+        r = graft.operators.Sketches.kmvRegisters(kRows,
+          Seq(col("sh")), col("w"), k = 1024).count()
+      }
+      r
+    }
+    val (aggRows, aggBytes) = shuffleBytes(spark.sparkContext) {
+      var r = 0L
+      time(s"kmv_agg_${n / 1000000}M") {
+        r = graft.operators.Sketches.kmvRegistersAgg(kRows,
+          Seq(col("sh")), col("w"), k = 1024).count()
+      }
+      r
+    }
+    println(f"[stress] kmv builds: window $winRows rows " +
+      f"${winBytes / 1048576.0}%.1f MB vs agg $aggRows rows " +
+      f"${aggBytes / 1048576.0}%.1f MB " +
+      f"(${winBytes.toDouble / math.max(aggBytes, 1)}%.1fx less shuffle)")
+    require(winRows == aggRows, s"identical registers: $winRows vs $aggRows")
+    require(aggBytes < winBytes / 4,
+      s"buffer exchange must beat the distinct exchange: $aggBytes vs $winBytes")
   }
 
   /** Governance wave at corpus scale: section-aware chunking (doc-keyed

@@ -246,6 +246,32 @@ object Sketches {
         col("__h").as("h")): _*)
   }
 
+  /** Single-pass aggregator form of [[kmvRegisters]] — IDENTICAL output
+    * (spec-pinned), different physics: the one exchange carries a ≤ k
+    * buffer per (partition, group) via [[BottomKAgg]]'s map-side combine
+    * instead of the vocabulary-sized distinct (group, hash) set, and
+    * being a single aggregation it also runs under Structured Streaming
+    * (complete/update mode — stream ≡ batch, the sketch law that matters
+    * at 100 TB). Prefer this form when the per-group distinct-value
+    * count dwarfs k; the window form wins only when codegen over a
+    * mostly-distinct stream beats object aggregation.
+    */
+  def kmvRegistersAgg(
+      df: DataFrame, groupCols: Seq[Column], value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"bad KMV k: $k")
+    val names = df.select(groupCols: _*).columns.toSeq
+    val bk = udaf(new BottomKAgg(k))
+    df.select(groupCols :+ graft.functions.TextFunctions.md5Long(value)
+        .as("__h"): _*)
+      .groupBy(names.map(col): _*)
+      .agg(bk(col("__h")).as("__sketch"))
+      .select(names.map(col) :+
+        posexplode(col("__sketch")).as(Seq("__p", "h")): _*)
+      .select(names.map(col) ++ Seq((col("__p") + 1).cast("long").as("rnk"),
+        col("h")): _*)
+  }
+
   /** Merge KMV register tables down to coarser groups (or one global
     * set): the bottom-k of the unioned registers — registers merged from
     * per-shard sketches are row-identical to registers computed directly

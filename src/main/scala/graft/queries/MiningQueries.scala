@@ -21,6 +21,19 @@ object MiningQueries {
 
   private val toksSql = AnalyticsQueries.toksSql
 
+  /** Shared by q239 (window build) and q242 (BottomKAgg build): the two
+    * engines' register tables are identical by contract. */
+  private def kmvRegistersSql: String =
+    s"""WITH t AS (SELECT lang, UNNEST($toksSql) AS w FROM documents),
+       d AS (SELECT DISTINCT lang,
+           CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT) AS h
+         FROM t),
+       r AS (SELECT lang, h,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rnk
+         FROM d)
+       SELECT lang, CAST(rnk AS BIGINT) AS rnk, h FROM r
+       WHERE rnk <= 64"""
+
   /** q238's column set and its oracle-side SQL — generated from one list
     * so the Spark call and the DuckDB replay cannot drift. */
   private val corrCols = Seq(
@@ -180,6 +193,16 @@ object MiningQueries {
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
       graft.operators.Sketches.kmvRegisters(d, Seq(col("lang")), col("w"),
         k = 64)
+    }),
+
+    // The SAME KMV registers through the single-pass BottomKAgg UDAF —
+    // the exchange carries k-bounded buffers instead of the distinct
+    // (lang, hash) set, and the build streams; one oracle serves both.
+    "q242_kmv_agg" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      graft.operators.Sketches.kmvRegistersAgg(d, Seq(col("lang")),
+        col("w"), k = 64)
     }),
 
     // TextRank keywords: pageRank composed over the token co-occurrence
@@ -395,16 +418,11 @@ object MiningQueries {
          FROM nodes JOIN r3 ON nodes.id = r3.id
          ORDER BY rank_fp DESC, token LIMIT 20""",
 
-    "q239_kmv_registers" ->
-      s"""WITH t AS (SELECT lang, UNNEST($toksSql) AS w FROM documents),
-         d AS (SELECT DISTINCT lang,
-             CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT) AS h
-           FROM t),
-         r AS (SELECT lang, h,
-             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rnk
-           FROM d)
-         SELECT lang, CAST(rnk AS BIGINT) AS rnk, h FROM r
-         WHERE rnk <= 64""",
+    "q239_kmv_registers" -> kmvRegistersSql,
+
+    // identical registers by contract: the window build and the
+    // BottomKAgg build share one oracle
+    "q242_kmv_agg" -> kmvRegistersSql,
 
     // The merge is replayed literally: per-language bottom-64s unioned,
     // re-min-k'd, then the (k-1)*2^60 div h_(k) estimator in HUGEINT.

@@ -434,6 +434,30 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(bad.getAs[Any]("distinct_est") == null)
   }
 
+  test("BottomKAgg: reduce/merge keep a sorted distinct bottom-k") {
+    val agg = new graft.operators.BottomKAgg(4)
+    var buf = agg.zero
+    Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 9L).foreach(v => buf = agg.reduce(buf, v))
+    assert(buf.toSeq == Seq(1L, 2L, 3L, 7L)) // distinct bottom-4
+    // merge with overlap and below-k sides
+    val other = Seq(0L, 2L, 5L).toArray
+    assert(agg.merge(buf, other).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(agg.merge(Array.emptyLongArray, other).toSeq == other.toSeq)
+    assert(agg.merge(other, Array.emptyLongArray).toSeq == other.toSeq)
+    // saturated buffer rejects above-kth values without allocation
+    assert(agg.reduce(buf, 100L) eq buf)
+  }
+
+  test("kmvRegistersAgg == kmvRegisters row-for-row") {
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"tok${i % 700}"))
+      .toDF("grp", "w")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val win = rows(Sketches.kmvRegisters(df, Seq(col("grp")), col("w"), 32))
+    val agg = rows(Sketches.kmvRegistersAgg(df, Seq(col("grp")), col("w"), 32))
+    assert(win == agg && win.size == 96) // 3 groups x full 32
+  }
+
   test("corrMatrix reduced path (huge variance terms) still reads exact lines") {
     // values ~1e7 over 100 rows -> d1 ~ 8e16 > the 5e15 gate (reduced
     // terms stay inside the documented ≲3e15 contract); the div-n

@@ -605,6 +605,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kmvRegistersAgg: stream (complete mode) == batch registers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val items = (1L to 3000L).map(i => ("g" + (i % 3), s"v${i % 500}"))
+    val stream = MemoryStream[(String, String)]
+    // the register table derives from the streaming agg (posexplode over
+    // the sketch column), so complete-mode output stays one row per rank
+    val q = graft.operators.Sketches
+      .kmvRegistersAgg(stream.toDF.toDF("g", "w"), Seq(col("g")), col("w"),
+        k = 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_stream_test").start()
+    try {
+      val (a, b) = items.splitAt(1000)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.sql("SELECT g, rnk, h FROM kmv_stream_test")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches
+        .kmvRegistersAgg(items.toDF("g", "w"), Seq(col("g")), col("w"),
+          k = 16)
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.size == 48)
+    } finally q.stop()
+  }
+
   test("hllRegisters: stream (complete mode) == batch registers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
