@@ -94,7 +94,10 @@ object PlanDump {
       "q239_kmv_registers" -> "KMV bottom-k sketch: (group,hash)-distinct exchange collapses map-side, then WindowGroupLimit — only k rows per group cross the final exchange; no collects",
       "q240_kmv_estimate" -> "KMV merge law: per-language sketches union + re-min-k (k-bounded everywhere) + integer estimator — the per-shard-sketch shape that replaces raw-value re-shuffles at 100 TB",
       "q241_textrank" -> "TextRank = weighted pageRank over collapsed co-occurrence edges: ONE doc-keyed sort feeds both lead() columns; the multiset collapses to vocab^2-bounded (src,dst,w) BEFORE iteration (bit-identical to the multigraph, spec-pinned); final top-k is TakeOrdered",
-      "q242_kmv_agg" -> "KMV via BottomKAgg UDAF: the exchange carries one <=k buffer per (partition, group) — input-size-independent (10M receipt: 394.5 -> 4.0 MB, 97.5x); same registers as the window build, and it streams")
+      "q242_kmv_agg" -> "KMV via BottomKAgg UDAF: the exchange carries one <=k buffer per (partition, group) — input-size-independent (10M receipt: 394.5 -> 4.0 MB, 97.5x); same registers as the window build, and it streams",
+      "q243_theil_sen" -> "Theil-Sen: pair fan-out is per-SERIES O(m^2) and group-local (0.5 MB shuffle at 10M pairs); median picked by a group-keyed window, never a global sort of slopes",
+      "q244_top_other" -> "top-N+other: ONE key aggregation, top-n off the bounded frame as TakeOrdered, ranks by broadcast n x n self-join, tail pooled by broadcast anti-join — the guard-banned global rank window never appears",
+      "q245_dispersion" -> "dispersion index: (group, bucket) counts collapse map-side, group rollup computes the Fano factor with empty buckets counted arithmetically (span/step) — never materialized")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.01, captured by tools; regenerate via graft.PlanDump)\n")
     interesting.foreach { case (q, why) =>

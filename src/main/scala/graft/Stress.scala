@@ -1415,6 +1415,77 @@ object Stress {
     require(winRows == aggRows, s"identical registers: $winRows vs $aggRows")
     require(aggBytes < winBytes / 4,
       s"buffer exchange must beat the distinct exchange: $aggBytes vs $winBytes")
+
+    // Theil–Sen at the intended grain: n/1000 entities × 1000-point
+    // series (planted slope 7 + bounded hash noise — the median must
+    // read within noise/dx of 7); pair fan-out is per-SERIES O(m²),
+    // so the wall is entities × 500k pairs, all group-local
+    val nSeries = math.max(n / 1000, 10L)
+    val tsRows = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(nSeries)).as("g"),
+      (col("id") / nSeries).cast("long").as("t"),
+      ((col("id") / nSeries).cast("long") * 7L +
+        pmod(xxhash64(col("id")), lit(100))).as("y"))
+    val (tsOut, tsBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0.0, 0.0)
+      time(s"theil_sen_${n / 1000000}M") {
+        val m = graft.operators.Journey.theilSen(
+            tsRows.filter(col("g") < 20), Seq(col("g")), col("t"), col("y"))
+          .agg(count(lit(1)), min(col("slope")), max(col("slope"))).head()
+        r = (m.getLong(0), m.getDouble(1), m.getDouble(2))
+      }
+      r
+    }
+    println(f"[stress] theil_sen: ${tsOut._1} series, slope range " +
+      f"[${tsOut._2}%.4f, ${tsOut._3}%.4f], shuffle ${tsBytes / 1048576.0}%.1f MB")
+    require(tsOut._1 == 20L && tsOut._2 > 6.9 && tsOut._3 < 7.1,
+      s"planted slope 7 within noise: $tsOut")
+
+    // top-N + other over n rows / 1M keys: ranks off a TakeOrdered,
+    // the tail pooled; mass conservation is the exactness bar
+    val tnRows = spark.range(0, n, 1, 32).select(
+      pmod(xxhash64(col("id")), lit(1000000L)).as("k"),
+      when(pmod(col("id"), lit(1000)) === 0, lit(1000L)).otherwise(lit(1L))
+        .as("w"))
+    val (tnOut, tnBytes) = shuffleBytes(spark.sparkContext) {
+      var r: Array[org.apache.spark.sql.Row] = null
+      time(s"top_other_${n / 1000000}M") {
+        r = graft.operators.TableOps.topNOther(tnRows, col("k"), col("w"),
+          n = 20).collect()
+      }
+      r
+    }
+    val mass = tnOut.map(_.getLong(1)).sum
+    val expectMass = n + (n / 1000) * 999
+    println(f"[stress] top_other: ${tnOut.length} rows, mass $mass " +
+      f"(expect $expectMass), shuffle ${tnBytes / 1048576.0}%.1f MB")
+    require(tnOut.length == 21 && mass == expectMass,
+      s"mass conservation: $mass vs $expectMass")
+
+    // dispersion at n events / 32 types: uniform hash spread must read
+    // near-Poisson (~1), the planted single-bucket type reads ~huge
+    // type 31: everything in hour 0 plus ONE marker in hour 23 (a
+    // single-bucket span would make the statistic null, not huge)
+    val dRows = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(32)).as("g"),
+      when(pmod(col("id"), lit(32)) === 31,
+        when(col("id") === 31, lit(86399000L)).otherwise(lit(0L)))
+        .otherwise(pmod(xxhash64(col("id")), lit(86400L)) * 1000).as("t"))
+    val (dOut, dBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0.0, 0.0)
+      time(s"dispersion_${n / 1000000}M") {
+        val m = graft.operators.Journey.dispersionIndex(dRows,
+            Seq(col("g")), col("t"), step = 3600000L)
+          .agg(max(when(col("g0") =!= 31, col("dispersion"))),
+            max(when(col("g0") === 31, col("dispersion")))).head()
+        r = (m.getDouble(0), m.getDouble(1))
+      }
+      r
+    }
+    println(f"[stress] dispersion: uniform max ${dOut._1}%.3f, planted " +
+      f"burst ${dOut._2}%.1f, shuffle ${dBytes / 1048576.0}%.1f MB")
+    require(dOut._1 < 3.0 && dOut._2 > 1000,
+      s"burst must dwarf uniform: $dOut")
   }
 
   /** Governance wave at corpus scale: section-aware chunking (doc-keyed

@@ -339,6 +339,100 @@ object Journey {
         col("n_events").isNull.cast("int").as("gap"))
   }
 
+  /** Theil–Sen robust trend slope per group: the MEDIAN of all pairwise
+    * slopes (y2−y1)/(t2−t1) over a (t, y) series — the trend estimator
+    * that shrugs off the outliers that wreck an OLS fit (up to 29%
+    * contamination), the right default for noisy operational series.
+    * Slopes are micro-quantized BEFORE the median — `sign(dy)·(|dy|·10⁶
+    * div dx)` (sign-split so truncation-vs-floor never diverges
+    * cross-engine) — making the statistic "median of exact micro-slopes":
+    * deterministic integers end to end. Even pair counts take the LOWER
+    * median (rank ceil(p/2)) — deterministic, no averaging float.
+    *
+    * Scale posture: the pair fan-out is per-GROUP O(m²) on the series
+    * length m (a bounded per-entity series is the intended grain — 3650
+    * daily points → 6.7M pairs; do NOT feed one giant unkeyed series);
+    * one group-keyed window picks the median rank. Duplicate t within a
+    * group must be pre-aggregated by the caller (dx = 0 pairs are
+    * excluded, so they'd silently shrink the pair set).
+    *
+    * @return (g…, n_points, n_pairs, slope) — slope in y-units per
+    *   t-unit, 6 dp; null for groups with < 2 distinct t.
+    */
+  def theilSen(
+      df: DataFrame, groupCols: Seq[Column], tCol: Column,
+      yCol: Column): DataFrame = {
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
+        Seq(tCol.cast("long").as("__t"), yCol.cast("long").as("__y")): _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    val a = base.toDF(gNames ++ Seq("__t1", "__y1"): _*)
+    val b = base.toDF(gNames ++ Seq("__t2", "__y2"): _*)
+    val dy = col("__y2") - col("__y1")
+    val dx = col("__t2") - col("__t1")
+    val slope = signum(dy).cast("long") *
+      EvalMetrics.idivPos(abs(dy) * 1000000L, dx)
+    val pairs = a.join(b, gNames).filter(col("__t1") < col("__t2"))
+      .select(gNames.map(col) :+ slope.as("__s"): _*)
+    val w = Window.partitionBy(gNames.map(col): _*)
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(w.orderBy(col("__s"))))
+      .withColumn("__cnt", count(lit(1)).over(w))
+    val med = ranked.filter(col("__rn") === expr("(__cnt + 1) div 2"))
+      .select(gNames.map(col) ++ Seq(col("__cnt").as("n_pairs"),
+        (col("__s").cast("double") / 1e6).as("slope")): _*)
+    base.groupBy(gNames.map(col): _*).agg(count(lit(1)).as("n_points"))
+      .join(med, gNames, "left")
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++ Seq(col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope")): _*)
+  }
+
+  /** Index of dispersion (variance-to-mean ratio, the Fano factor) of
+    * per-bucket event counts, per group — the burstiness audit: a
+    * Poisson-uniform stream reads ≈ 1, batchy/bursty traffic ≫ 1,
+    * metronome-regular < 1. EMPTY buckets inside the observed span count
+    * as zeros WITHOUT being materialized: with m = span/step + 1 total
+    * buckets and counts c_i over the non-empty ones,
+    * `D = (m·Σc² − (Σc)²) / (m·Σc)` — exact integers, micro-rounded.
+    *
+    * Scale posture: one (group, bucket) aggregation (map-side combined),
+    * then a group rollup — two exchanges, both collapsing; no windows,
+    * no bucket materialization.
+    *
+    * @param step bucket width in the unit of `tCol` after integer
+    *   division (e.g. tCol = epoch seconds, step = 3600 → hourly).
+    * @return (g…, n_events, n_buckets, dispersion) — null when the span
+    *   is a single bucket.
+    */
+  def dispersionIndex(
+      df: DataFrame, groupCols: Seq[Column], tCol: Column,
+      step: Long): DataFrame = {
+    require(step >= 1, s"bad step: $step")
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val bucket = EvalMetrics.idivPos(tCol.cast("long"), lit(step))
+    val counts = df
+      .select(groupCols.zip(gNames).map { case (c, n) => c.as(n) } :+
+        bucket.as("__b"): _*)
+      .filter(col("__b").isNotNull)
+      .groupBy(gNames.map(col) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    counts.groupBy(gNames.map(col): _*)
+      .agg(sum(col("__c")).as("__sc"),
+        sum(dec(col("__c")) * col("__c")).as("__sc2"),
+        (max(col("__b")) - min(col("__b")) + 1).as("__m"))
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++ Seq(
+        col("__sc").as("n_events"), col("__m").as("n_buckets"),
+        when(col("__m") > 1,
+          EvalMetrics.microRound6(
+            dec(col("__m")) * col("__sc2") - dec(col("__sc")) * col("__sc"),
+            dec(col("__m")) * col("__sc")).cast("double") / 1e6)
+          .as("dispersion")): _*)
+  }
+
   /** RFM segmentation (Recency / Frequency / Monetary) over an order-grain
     * table — the classical customer-value grid a warehouse ships to
     * marketing: each customer scored 1–5 per dimension by VALUE quantile,

@@ -385,6 +385,10 @@ object TableOps {
     require(cols.size >= 2 && cols.size <= 12, s"2..12 columns: ${cols.size}")
     require(cols.map(_._1).distinct.size == cols.size, "duplicate names")
     val names = cols.map(_._1)
+    // the narrow long projection is read twice (means, then centered
+    // sums) — deliberately NOT cached: both passes are column-pruned
+    // scans, and at corpus scale re-reading pruned parquet beats
+    // materializing an 8·m-bytes/row copy
     val base = df
       .select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
       .filter(names.map(col(_).isNotNull).reduce(_ && _))
@@ -431,6 +435,50 @@ object TableOps {
           EvalMetrics.microRound6(col("__num") * col("__num"),
             col("__d1") * col("__d2")).cast("double") / 1e6).as("r2"),
         when(col("__d1") > 0 && col("__d2") > 0, col("__sg")).as("sgn"))
+  }
+
+  /** Top-N + "other" rollup: the n heaviest keys by summed weight (ties
+    * by key ascending), every remaining key lumped into one `__other__`
+    * row — the cardinality-capped report shape every dashboard wants
+    * ("top 20 domains, rest pooled") that naive GROUP BY can't give and
+    * a global rank window shouldn't (the guard-banned single-partition
+    * shape).
+    *
+    * Scale posture: one key aggregation (the only row-level exchange);
+    * the top-n comes off the key-bounded frame as a TakeOrdered
+    * (n rows to the driver-side limit, never a global window); ranks
+    * are assigned by a BROADCAST n×n self-join (n ≤ 1000 → ≤ 10⁶
+    * comparisons); the complement is a broadcast anti-join collapsed to
+    * a single row.
+    *
+    * @return (key, total, n_keys, rank) — rank 1..n for the top rows,
+    *   n+1 for `__other__` (absent when nothing is left over); n_keys =
+    *   source keys folded into the row (1 for top rows).
+    */
+  def topNOther(
+      df: DataFrame, keyCol: Column, weight: Column, n: Int): DataFrame = {
+    require(n >= 1 && n <= 1000, s"bad n: $n")
+    val agg = df
+      .select(keyCol.cast("string").as("key"), weight.cast("long").as("__w"))
+      .filter(col("key").isNotNull && col("__w").isNotNull)
+      .groupBy(col("key")).agg(sum(col("__w")).as("total"))
+    val top = agg.orderBy(col("total").desc, col("key").asc).limit(n)
+      .localCheckpoint() // ≤ n rows; 3 consumers (rank join ×2, anti-join)
+    val beats = col("t2") > col("total") ||
+      (col("t2") === col("total") && col("k2") < col("key"))
+    val rankedTop = top
+      .join(broadcast(top.select(col("key").as("k2"), col("total").as("t2"))),
+        beats, "left")
+      .groupBy(col("key"), col("total"))
+      .agg((count(col("k2")) + 1).as("rank"))
+      .select(col("key"), col("total"), lit(1L).as("n_keys"), col("rank"))
+    val other = agg
+      .join(broadcast(top.select(col("key"))), Seq("key"), "left_anti")
+      .agg(sum(col("total")).as("total"), count(lit(1)).as("n_keys"))
+      .filter(col("n_keys") > 0)
+      .select(lit("__other__").as("key"), col("total"), col("n_keys"),
+        lit(n + 1L).as("rank"))
+    rankedTop.unionByName(other)
   }
 
   /** Equal-width histogram over an integer-valued column in ONE range

@@ -211,6 +211,36 @@ object MiningQueries {
       Graph.textRank(docs(s, dir), col("doc_id"), col("text"),
         window = 2, iterations = 3, topK = 20)),
 
+    // Theil–Sen robust revenue-trend slope per priority over the daily
+    // series — median of exact micro-quantized pairwise slopes.
+    "q243_theil_sen" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      Journey.theilSen(daily, Seq(col("o_orderpriority")), col("d"),
+          col("rev"))
+        .select(col("g0").as("o_orderpriority"), col("n_points"),
+          col("n_pairs"), col("slope"))
+    }),
+
+    // Top-10 parts by shipped quantity with the long tail pooled into
+    // one __other__ row — rank via bounded broadcast self-join, never a
+    // global window.
+    "q244_top_other" -> ((s, dir) =>
+      TableOps.topNOther(Tables.load(s, dir, "lineitem"),
+        col("l_partkey"), col("l_quantity").cast("long"), n = 10)),
+
+    // Burstiness audit: variance-to-mean ratio of hourly event counts
+    // per type, empty buckets counted without materialization.
+    "q245_dispersion" -> ((s, dir) =>
+      Journey.dispersionIndex(Tables.load(s, dir, "events"),
+          Seq(col("event_type")), unix_millis(col("ts")), step = 3600000L)
+        .select(col("g0").as("event_type"), col("n_events"),
+          col("n_buckets"), col("dispersion"))),
+
     // The KMV merge law ON the oracle surface: per-language sketches
     // merged to one global bottom-64, then the integer estimator —
     // the shape a 100 TB distinct profile actually runs (per-shard
@@ -423,6 +453,72 @@ object MiningQueries {
     // identical registers by contract: the window build and the
     // BottomKAgg build share one oracle
     "q242_kmv_agg" -> kmvRegistersSql,
+
+    // Sign-split micro-slopes, lower median at rank (p+1)//2, the same
+    // left join keeping single-point groups with a null slope.
+    "q243_theil_sen" ->
+      """WITH d0 AS (SELECT o_orderpriority AS g,
+             CAST(DATEDIFF('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         se AS (SELECT g, t, SUM(v) AS y FROM d0 GROUP BY 1, 2),
+         pr AS (SELECT a.g,
+             (CASE WHEN b.y < a.y THEN -1 WHEN b.y > a.y THEN 1 ELSE 0 END)
+               * ((ABS(b.y - a.y) * 1000000) // (b.t - a.t)) AS s
+           FROM se a JOIN se b ON a.g = b.g AND a.t < b.t),
+         r AS (SELECT g, s,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS cnt
+           FROM pr),
+         m AS (SELECT g, cnt AS n_pairs,
+             CAST(s AS DOUBLE) / 1000000.0 AS slope
+           FROM r WHERE rn = (cnt + 1) // 2),
+         np AS (SELECT g, COUNT(*) AS n_points FROM se GROUP BY 1)
+         SELECT np.g AS o_orderpriority, np.n_points,
+           COALESCE(m.n_pairs, 0) AS n_pairs, m.slope
+         FROM np LEFT JOIN m ON np.g = m.g""",
+
+    "q244_top_other" ->
+      """WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS key,
+             SUM(CAST(l_quantity AS BIGINT)) AS total
+           FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+           GROUP BY 1),
+         r AS (SELECT key, total,
+             ROW_NUMBER() OVER (ORDER BY total DESC, key) AS rank
+           FROM a),
+         t AS (SELECT key, total, CAST(1 AS BIGINT) AS n_keys,
+             CAST(rank AS BIGINT) AS rank
+           FROM r WHERE rank <= 10),
+         o AS (SELECT '__other__' AS key, SUM(total) AS total,
+             COUNT(*) AS n_keys, CAST(11 AS BIGINT) AS rank
+           FROM r WHERE rank > 10 HAVING COUNT(*) > 0)
+         SELECT key, CAST(total AS BIGINT) AS total, n_keys, rank FROM t
+         UNION ALL
+         SELECT key, CAST(total AS BIGINT) AS total, n_keys, rank FROM o""",
+
+    "q245_dispersion" ->
+      """WITH b AS (SELECT event_type AS g,
+             epoch_ms(ts) // 3600000 AS bk
+           FROM events WHERE ts IS NOT NULL),
+         c AS (SELECT g, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         a AS (SELECT g, CAST(SUM(c) AS BIGINT) AS sc,
+             SUM(CAST(c AS HUGEINT) * c) AS sc2,
+             MAX(bk) - MIN(bk) + 1 AS m
+           FROM c GROUP BY 1)
+         SELECT g AS event_type, sc AS n_events,
+           CAST(m AS BIGINT) AS n_buckets,
+           CASE WHEN m > 1 THEN
+             CAST((CASE WHEN CAST(m AS HUGEINT) * sc2
+                 - CAST(sc AS HUGEINT) * sc < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(CAST(m AS HUGEINT) * sc2
+                   - CAST(sc AS HUGEINT) * sc) * 1000000
+                 + CAST(m AS HUGEINT) * sc)
+                // (2 * CAST(m AS HUGEINT) * sc)) AS BIGINT) / 1000000.0
+           END AS dispersion
+         FROM a""",
 
     // The merge is replayed literally: per-language bottom-64s unioned,
     // re-min-k'd, then the (k-1)*2^60 div h_(k) estimator in HUGEINT.

@@ -326,6 +326,78 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out(10L)._4 == 5 && out(10L)._6 == 5)
   }
 
+  // ---------------------------------------- theilSen / dispersion / topN
+
+  test("theilSen: exact line recovers the slope, one outlier cannot move it") {
+    val clean = (1L to 21L).map(t => ("g", t, 5 * t + 3))
+    val withOutlier = clean.updated(10, ("g", 11L, 999999L))
+    def slopeOf(rows: Seq[(String, Long, Long)]) =
+      Journey.theilSen(rows.toDF("k", "t", "y"), Seq(col("k")), col("t"),
+        col("y")).collect().head.getAs[Double]("slope")
+    assert(slopeOf(clean) == 5.0)
+    assert(slopeOf(withOutlier) == 5.0) // median shrugs off the spike
+  }
+
+  test("theilSen: lower median on even pair counts, null under 2 points") {
+    // 3 points -> 3 pairs (odd); 4 points -> 6 pairs: rank (6+1) div 2 = 3
+    val rows = Seq(("g", 0L, 0L), ("g", 1L, 1L), ("g", 2L, 4L), ("g", 3L, 9L))
+    val out = Journey.theilSen(rows.toDF("k", "t", "y"), Seq(col("k")),
+      col("t"), col("y")).collect().head
+    val slopes = (for {
+      i <- rows.indices; j <- i + 1 until rows.size
+    } yield (rows(j)._3 - rows(i)._3) * 1000000L /
+        (rows(j)._2 - rows(i)._2)).sorted
+    assert(out.getAs[Long]("n_pairs") == 6L)
+    assert(out.getAs[Double]("slope") == slopes((6 + 1) / 2 - 1) / 1e6)
+
+    val single = Journey.theilSen(Seq(("g", 1L, 1L)).toDF("k", "t", "y"),
+      Seq(col("k")), col("t"), col("y")).collect().head
+    assert(single.getAs[Long]("n_points") == 1L)
+    assert(single.getAs[Long]("n_pairs") == 0L)
+    assert(single.getAs[Any]("slope") == null)
+  }
+
+  test("topNOther: ranks by (total desc, key asc), pools the tail") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 10L), ("c", 10L), ("d", 3L),
+      ("e", 2L), ("e", 1L)).toDF("k", "w")
+    val out = TableOps.topNOther(df, col("k"), col("w"), n = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // totals: a=10, b=10, c=10, d=3, e=3 -> top3 = a,b,c (tie by key)
+    assert(out("a") == ((10L, 1L, 1L)))
+    assert(out("b") == ((10L, 1L, 2L)))
+    assert(out("c") == ((10L, 1L, 3L)))
+    assert(out("__other__") == ((6L, 2L, 4L)))
+    assert(out.size == 4)
+
+    // n covers everything: no __other__ row
+    val all = TableOps.topNOther(df, col("k"), col("w"), n = 10).collect()
+    assert(all.length == 5 && !all.exists(_.getString(0) == "__other__"))
+  }
+
+  test("dispersionIndex: constant counts read 0, one hot bucket reads n(m-1)/m") {
+    // 6 buckets x 1 event (t = 0,10,20,..,50, step 10)
+    val flat = (0L to 50L by 10).map(t => ("g", t)).toDF("k", "t")
+    val r1 = Journey.dispersionIndex(flat, Seq(col("k")), col("t"), 10L)
+      .collect().head
+    assert(r1.getAs[Long]("n_buckets") == 6L)
+    assert(r1.getAs[Double]("dispersion") == 0.0)
+
+    // 8 events all in bucket 0 of a 4-bucket span (one marker at t=39)
+    val hot = ((1 to 8).map(_ => ("g", 0L)) :+ (("g", 39L))).toDF("k", "t")
+    val r2 = Journey.dispersionIndex(hot, Seq(col("k")), col("t"), 10L)
+      .collect().head
+    // counts over m=4: [9? no: 8 in bucket 0, 1 in bucket 3]
+    // sc=9, sc2=65, m=4: D = (4*65 - 81)/(4*9) = 179/36 = 4.972222
+    assert(r2.getAs[Long]("n_events") == 9L)
+    assert(r2.getAs[Double]("dispersion") == 4.972222)
+
+    // single-bucket span: undefined -> null
+    val one = Seq(("g", 1L), ("g", 2L)).toDF("k", "t")
+    assert(Journey.dispersionIndex(one, Seq(col("k")), col("t"), 10L)
+      .collect().head.getAs[Any]("dispersion") == null)
+  }
+
   // -------------------------------------------------------- corrMatrix
 
   private def corrOut(rows: Seq[(Long, Long, Long)]) =
