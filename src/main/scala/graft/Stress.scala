@@ -1486,6 +1486,48 @@ object Stress {
       f"burst ${dOut._2}%.1f, shuffle ${dBytes / 1048576.0}%.1f MB")
     require(dOut._1 < 3.0 && dOut._2 > 1000,
       s"burst must dwarf uniform: $dOut")
+
+    // robust outliers at n rows / 32 groups: hash-uniform base with one
+    // planted 100x spike per 10k rows — MAD flags exactly the spikes
+    // (mean/sigma would drag the threshold toward them)
+    val roRows = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(32)).as("g"),
+      when(pmod(col("id"), lit(10000)) === 7, lit(100000000L))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000000L))).as("x"))
+    val (roOut, roBytes) = shuffleBytes(spark.sparkContext) {
+      var r = 0L
+      time(s"robust_outliers_${n / 1000000}M") {
+        r = graft.operators.TableOps.robustOutliers(roRows,
+            Seq(col("g")), col("x"))
+          .agg(sum(col("n_outliers"))).head().getLong(0)
+      }
+      r
+    }
+    println(f"[stress] robust_outliers: $roOut flagged " +
+      f"(planted ${n / 10000}), shuffle ${roBytes / 1048576.0}%.1f MB")
+    require(roOut == n / 10000,
+      s"exactly the planted spikes: $roOut vs ${n / 10000}")
+
+    // skew profile over n rows: a planted hot key owning ~5% of rows
+    // must dominate max_share while the uniform key column reads ~1/keys
+    val skRows = spark.range(0, n, 1, 32).select(
+      when(pmod(col("id"), lit(20)) === 0, lit(42L))
+        .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("hot"),
+      pmod(xxhash64(col("id") * 3L), lit(100000L)).as("flat"))
+    val (skOut, skBytes) = shuffleBytes(spark.sparkContext) {
+      var r: Map[String, Double] = null
+      time(s"skew_profile_${n / 1000000}M") {
+        r = graft.operators.TableOps.skewProfile(skRows,
+            Seq("hot" -> col("hot"), "flat" -> col("flat")))
+          .collect().map(x => x.getString(0) ->
+            x.getAs[Double]("max_share")).toMap
+      }
+      r
+    }
+    println(f"[stress] skew: hot max_share ${skOut("hot")}%.4f, flat " +
+      f"${skOut("flat")}%.6f, shuffle ${skBytes / 1048576.0}%.1f MB")
+    require(skOut("hot") > 0.045 && skOut("flat") < 0.001,
+      s"planted 5%% hot key must dominate: $skOut")
   }
 
   /** Governance wave at corpus scale: section-aware chunking (doc-keyed

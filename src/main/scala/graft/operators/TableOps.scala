@@ -437,6 +437,91 @@ object TableOps {
         when(col("__d1") > 0 && col("__d2") > 0, col("__sg")).as("sgn"))
   }
 
+  /** Robust per-group outlier audit on the median/MAD scale — the
+    * companion to the mean/σ z-score screen ([[exactOutliers]]) that a
+    * heavy-tailed column needs: one gross outlier inflates σ enough to
+    * hide its siblings, while the median absolute deviation barely
+    * moves. A value is flagged when `|x − med|·1000 > kPermille·MAD`
+    * (kPermille = 4448 ≈ 3·1.4826·1000, the normal-consistent 3σ
+    * equivalent) — an exact integer comparison, no float boundary.
+    * Medians are the LOWER median (rank ceil(n/2)) — deterministic.
+    * When MAD = 0 (more than half the group identical) every differing
+    * value is flagged — the standard MAD degeneracy, documented not
+    * hidden.
+    *
+    * Scale posture: two group-keyed rank windows (x, then |x − med|)
+    * plus two group-keyed joins — all exchanges on the group key;
+    * nothing global, no collects.
+    *
+    * @return (g…, n, median, mad, n_outliers)
+    */
+  def robustOutliers(
+      df: DataFrame, groupCols: Seq[Column], value: Column,
+      kPermille: Long = 4448L): DataFrame = {
+    require(kPermille >= 1, s"bad kPermille: $kPermille")
+    import org.apache.spark.sql.expressions.Window
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } :+
+        value.cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(gNames.map(col): _*)
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame =
+      in.withColumn("__rn", row_number().over(w.orderBy(col(c))))
+        .withColumn("__cnt", count(lit(1)).over(w))
+        .filter(col("__rn") === expr("(__cnt + 1) div 2"))
+        .select(gNames.map(col) :+ col(c).as(out): _*)
+    val med = lowerMedian(base, "__x", "median")
+    val withDev = base.join(med, gNames)
+      .withColumn("__dev", abs(col("__x") - col("median")))
+    val mad = lowerMedian(withDev.select(gNames.map(col) :+
+      col("__dev"): _*), "__dev", "mad")
+    withDev.join(mad, gNames)
+      .groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n"), max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__dev") * 1000L > lit(kPermille) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++
+        Seq(col("n"), col("median"), col("mad"), col("n_outliers")): _*)
+  }
+
+  /** Join-key skew profile: for each candidate key column, the
+    * pre-flight numbers that predict shuffle skew BEFORE a 100 TB join
+    * is launched — distinct keys, rows, the heaviest key's share, and
+    * the Gini/top-decile concentration of the key-frequency distribution
+    * (via [[concentration]]). A key with max_share ≫ 1/keys or
+    * Gini → 1 needs salting or an AQE skew plan; this is the evidence.
+    *
+    * Scale posture: per key column, one key aggregation (the only
+    * row-level exchange) feeding both the concentration pass (key-
+    * bounded) and a 1-row max — key column count is the outer loop
+    * (bounded, caller-chosen).
+    *
+    * @return one row per key column: (key_col, n_keys, n_rows, max_cnt,
+    *   max_share, gini, top_decile_share)
+    */
+  def skewProfile(
+      df: DataFrame, keys: Seq[(String, Column)]): DataFrame = {
+    require(keys.nonEmpty && keys.size <= 16, s"1..16 keys: ${keys.size}")
+    keys.map { case (name, c) =>
+      val cnts = df.select(c.as("__k")).filter(col("__k").isNotNull)
+        .groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__col", lit(name))
+        .localCheckpoint() // key-bounded; feeds concentration + the max
+      val conc = concentration(cnts, Seq(col("__col")), col("__cnt"))
+      val mx = cnts.agg(count(lit(1)).as("n_keys"),
+        max(col("__cnt")).as("max_cnt"))
+      conc.crossJoin(broadcast(mx))
+        .select(col("g0").as("key_col"), col("n_keys"),
+          col("total").as("n_rows"), col("max_cnt"),
+          (EvalMetrics.microRound6(col("max_cnt"), col("total"))
+            .cast("double") / 1e6).as("max_share"),
+          col("gini"), col("top_decile_share"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Top-N + "other" rollup: the n heaviest keys by summed weight (ties
     * by key ascending), every remaining key lumped into one `__other__`
     * row — the cardinality-capped report shape every dashboard wants

@@ -43,6 +43,42 @@ object MiningQueries {
     "disc" -> "ROUND(l_discount * 100)",
     "tax" -> "ROUND(l_tax * 100)")
 
+  /** q247's key columns — one list for both engines. */
+  private val skewKeys = Seq("l_suppkey", "l_partkey", "l_orderkey")
+
+  /** Oracle twin of [[graft.operators.TableOps.skewProfile]] over the
+    * lineitem keys: per key, the q234 concentration math on the
+    * key-frequency distribution plus the heaviest key's share. */
+  private def skewProfileSql: String = {
+    val ctes = skewKeys.map { k =>
+      s"""cnt_$k AS (SELECT $k AS key, COUNT(*) AS x FROM lineitem
+           WHERE $k IS NOT NULL GROUP BY 1),
+         r_$k AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i
+           FROM cnt_$k),
+         a_$k AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS HUGEINT) AS s,
+             SUM(CAST(i AS HUGEINT) * x) AS t, MAX(x) AS mx
+           FROM r_$k),
+         tm_$k AS (SELECT CAST(SUM(r.x) AS HUGEINT) AS topm
+           FROM r_$k r, a_$k a WHERE r.i > a.n - (a.n + 9) // 10)"""
+    }.mkString(",\n         ")
+    val rows = skewKeys.map { k =>
+      s"""SELECT '$k' AS key_col, CAST(a.n AS BIGINT) AS n_keys,
+           CAST(a.s AS BIGINT) AS n_rows, CAST(a.mx AS BIGINT) AS max_cnt,
+           CAST((2 * a.mx * 1000000 + a.s) // (2 * a.s) AS BIGINT)
+             / 1000000.0 AS max_share,
+           CASE WHEN a.s > 0 THEN
+             CAST((2 * (2 * a.t - (a.n + 1) * a.s) * 1000000 + a.n * a.s)
+               // (2 * a.n * a.s) AS BIGINT) / 1000000.0
+           END AS gini,
+           CASE WHEN a.s > 0 THEN
+             CAST((2 * tm.topm * 1000000 + a.s) // (2 * a.s) AS BIGINT)
+               / 1000000.0
+           END AS top_decile_share
+         FROM a_$k a, tm_$k tm"""
+    }.mkString("\n         UNION ALL ")
+    s"WITH $ctes\n         $rows"
+  }
+
   private def corrMatrixSql: String = {
     val ns = corrCols.map(_._1)
     val allPairs =
@@ -232,6 +268,21 @@ object MiningQueries {
     "q244_top_other" -> ((s, dir) =>
       TableOps.topNOther(Tables.load(s, dir, "lineitem"),
         col("l_partkey"), col("l_quantity").cast("long"), n = 10)),
+
+    // Robust outlier audit on the median/MAD scale — the heavy-tail
+    // companion to the exact z-score screen.
+    "q246_robust_outliers" -> ((s, dir) =>
+      TableOps.robustOutliers(Tables.load(s, dir, "orders"),
+          Seq(col("o_orderpriority")),
+          round(col("o_totalprice") * 100).cast("long"))
+        .select(col("g0").as("o_orderpriority"), col("n"), col("median"),
+          col("mad"), col("n_outliers"))),
+
+    // Join-key skew pre-flight over the lineitem keys: distinct keys,
+    // heaviest-key share, Gini/top-decile of the frequency distribution.
+    "q247_skew_profile" -> ((s, dir) =>
+      TableOps.skewProfile(Tables.load(s, dir, "lineitem"),
+        skewKeys.map(k => k -> col(k)))),
 
     // Burstiness audit: variance-to-mean ratio of hourly event counts
     // per type, empty buckets counted without materialization.
@@ -453,6 +504,30 @@ object MiningQueries {
     // identical registers by contract: the window build and the
     // BottomKAgg build share one oracle
     "q242_kmv_agg" -> kmvRegistersSql,
+
+    "q246_robust_outliers" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         r1 AS (SELECT g, x,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS cnt
+           FROM v),
+         med AS (SELECT g, x AS median FROM r1 WHERE rn = (cnt + 1) // 2),
+         d AS (SELECT v.g, ABS(v.x - med.median) AS dev, med.median
+           FROM v JOIN med ON v.g = med.g),
+         r2 AS (SELECT g, dev,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS cnt
+           FROM d),
+         mad AS (SELECT g, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+         SELECT d.g AS o_orderpriority, COUNT(*) AS n,
+           MAX(d.median) AS median, MAX(mad.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev * 1000 > 4448 * mad.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d JOIN mad ON d.g = mad.g GROUP BY 1""",
+
+    "q247_skew_profile" -> skewProfileSql,
 
     // Sign-split micro-slopes, lower median at rank (p+1)//2, the same
     // left join keeping single-point groups with a null slope.

@@ -398,6 +398,44 @@ class MiningOpsSpec extends AnyFunSuite {
       .collect().head.getAs[Any]("dispersion") == null)
   }
 
+  // ----------------------------------------- robustOutliers / skewProfile
+
+  test("robustOutliers: hand-computed median/MAD, spike flagged") {
+    // 1..11 plus a 1000 spike: median 6, MAD 3, only the spike clears
+    // dev*1000 > 4448*3
+    val df = ((1L to 11L) :+ 1000L).map(("g", _)).toDF("k", "v")
+    val out = TableOps.robustOutliers(df, Seq(col("k")), col("v"))
+      .collect().head
+    assert(out.getAs[Long]("n") == 12L)
+    assert(out.getAs[Long]("median") == 6L)
+    assert(out.getAs[Long]("mad") == 3L)
+    assert(out.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("robustOutliers: MAD = 0 degeneracy flags every differing value") {
+    val df = (Seq.fill(10)(100L) ++ Seq(101L, 5000L)).map(("g", _))
+      .toDF("k", "v")
+    val out = TableOps.robustOutliers(df, Seq(col("k")), col("v"))
+      .collect().head
+    assert(out.getAs[Long]("mad") == 0L)
+    assert(out.getAs[Long]("n_outliers") == 2L)
+  }
+
+  test("skewProfile: counts, max share and concentration per key column") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L))
+      .toDF("k1", "k2")
+    val out = TableOps.skewProfile(df,
+        Seq("k1" -> col("k1"), "k2" -> col("k2")))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("max_cnt"), r.getAs[Double]("max_share"),
+          r.getAs[Double]("gini"))).toMap
+    // k1 counts [3,1]: gini = (2*(1*1+2*3) - 3*4) / (2*4) = 0.25
+    assert(out("k1") == ((2L, 4L, 3L, 0.75, 0.25)))
+    // k2 unique: zero concentration
+    assert(out("k2") == ((4L, 4L, 1L, 0.25, 0.0)))
+  }
+
   // -------------------------------------------------------- corrMatrix
 
   private def corrOut(rows: Seq[(Long, Long, Long)]) =
