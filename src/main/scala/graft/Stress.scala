@@ -1528,6 +1528,32 @@ object Stress {
       f"${skOut("flat")}%.6f, shuffle ${skBytes / 1048576.0}%.1f MB")
     require(skOut("hot") > 0.045 && skOut("flat") < 0.001,
       s"planted 5%% hot key must dominate: $skOut")
+
+    // changepoint: n/10000 series × 10k points with a planted step at
+    // position 6000 (+1000 level shift over U(0,100) noise) — every
+    // series must split exactly there, one ordered window pass each
+    val nCp = math.max(n / 10000, 4L)
+    val cpRows = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(nCp)).as("g"),
+      (col("id") / nCp).cast("long").as("t"),
+      (when((col("id") / nCp).cast("long") < 6000, lit(0L))
+        .otherwise(lit(1000L)) +
+        pmod(xxhash64(col("id")), lit(100))).as("y"))
+    val (cpOut, cpBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L, 0L)
+      time(s"changepoint_${n / 1000000}M") {
+        val m = graft.operators.Journey.changepoint(
+            cpRows.filter(col("g") < 20), Seq(col("g")), col("t"), col("y"))
+          .agg(count(lit(1)), min(col("split_t")), max(col("split_t")))
+          .head()
+        r = (m.getLong(0), m.getLong(1), m.getLong(2))
+      }
+      r
+    }
+    println(f"[stress] changepoint: ${cpOut._1} series, split range " +
+      f"[${cpOut._2}, ${cpOut._3}], shuffle ${cpBytes / 1048576.0}%.1f MB")
+    require(cpOut._1 == 20L && cpOut._2 == 5999L && cpOut._3 == 5999L,
+      s"every planted step found at t=5999: $cpOut")
   }
 
   /** Governance wave at corpus scale: section-aware chunking (doc-keyed

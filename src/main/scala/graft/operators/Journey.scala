@@ -389,6 +389,68 @@ object Journey {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope")): _*)
   }
 
+  /** Single changepoint detection per series (binary segmentation, one
+    * split): the boundary k that maximizes the between-segment SSE
+    * reduction — the "when did the metric change regime?" primitive
+    * behind alerting and A/B cutover audits, complementing [[cusum]]
+    * (which needs a reference mean; this derives its own). All exact
+    * integers via prefix sums: with S_k the prefix sum at position k and
+    * A_k = n·S_k − k·S_n, the split gain is A_k²/(k(n−k)) (monotone in
+    * the true SSE reduction) and the segment-mean gap is EXACTLY
+    * A_k/(k(n−k)), micro-rounded for display. Ties take the earliest
+    * boundary. A_k² is decimal(38,0)-exact to |A| ≈ 10¹⁹ —
+    * n·Σ|y| ≲ 10¹⁹ (price a 3650-point daily series in cents: 10¹⁶).
+    *
+    * Scale posture: one group-keyed ordered window builds k and S_k in
+    * a single pass (running frame + whole-partition totals — never
+    * unpartitioned); the argmax is a struct-max aggregation, no second
+    * sort. Series are the per-GROUP grain: bounded length by contract.
+    *
+    * @return (g…, n_points, split_t — the LAST t of the left segment,
+    *   left_n, mean_diff = right mean − left mean in y-units, 6 dp);
+    *   groups with < 2 points have no candidate split and are absent.
+    */
+  def changepoint(
+      df: DataFrame, groupCols: Seq[Column], tCol: Column,
+      yCol: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
+        Seq(tCol.cast("long").as("__t"), yCol.cast("long").as("__y")): _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    val w = Window.partitionBy(gNames.map(col): _*)
+    val ordered = w.orderBy(col("__t"))
+    val ranked = base
+      .withColumn("__k", row_number().over(ordered))
+      .withColumn("__sk", sum(col("__y")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sn", sum(col("__y")).over(w))
+    val a = dec(col("__n")) * col("__sk") - dec(col("__k")) * col("__sn")
+    val den = dec(col("__k")) * (col("__n") - col("__k"))
+    val cand = ranked.filter(col("__k") < col("__n"))
+      .select(gNames.map(col) ++ Seq(col("__n"), col("__t"), col("__k"),
+        (a * a * 1000000L).as("__a2m"), den.as("__den"),
+        // mean gap = A/(k(n−k)) with A's sign inverted: A_k = n·S_k −
+        // k·S_n = k(n−k)·(left − right) ⇒ negate for right − left
+        (-EvalMetrics.microRound6(a, den)).as("__gap")): _*)
+      .select(gNames.map(col) ++ Seq(col("__n"),
+        struct(
+          // micro-quantized gain by exact floor division — replayable
+          // as `//`; quantization ties fall to the earliest k
+          ((col("__a2m") - pmod(col("__a2m"), col("__den"))) / col("__den"))
+            .cast("decimal(38,0)").as("gain"),
+          (-col("__k")).as("negk"), col("__t").as("t"),
+          col("__k").as("k"), col("__gap").as("gap")).as("__c")): _*)
+    cand.groupBy(gNames.map(col): _*)
+      .agg(max(col("__n")).as("n_points"), max(col("__c")).as("__best"))
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++ Seq(col("n_points"),
+        col("__best.t").as("split_t"), col("__best.k").as("left_n"),
+        (col("__best.gap").cast("double") / 1e6).as("mean_diff")): _*)
+  }
+
   /** Index of dispersion (variance-to-mean ratio, the Fano factor) of
     * per-bucket event counts, per group — the burstiness audit: a
     * Poisson-uniform stream reads ≈ 1, batchy/bursty traffic ≫ 1,

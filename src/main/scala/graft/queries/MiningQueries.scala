@@ -269,6 +269,21 @@ object MiningQueries {
       TableOps.topNOther(Tables.load(s, dir, "lineitem"),
         col("l_partkey"), col("l_quantity").cast("long"), n = 10)),
 
+    // Single changepoint per event type over the hourly count series:
+    // the split maximizing the exact integer SSE-reduction gain.
+    "q248_changepoint" -> ((s, dir) => {
+      val hourly = Tables.load(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          graft.operators.EvalMetrics.idivPos(unix_millis(col("ts")),
+            lit(3600000L)).as("hb"))
+        .agg(count(lit(1)).as("cnt"))
+      Journey.changepoint(hourly, Seq(col("event_type")), col("hb"),
+          col("cnt"))
+        .select(col("g0").as("event_type"), col("n_points"),
+          col("split_t"), col("left_n"), col("mean_diff"))
+    }),
+
     // Robust outlier audit on the median/MAD scale — the heavy-tail
     // companion to the exact z-score screen.
     "q246_robust_outliers" -> ((s, dir) =>
@@ -504,6 +519,36 @@ object MiningQueries {
     // identical registers by contract: the window build and the
     // BottomKAgg build share one oracle
     "q242_kmv_agg" -> kmvRegistersSql,
+
+    // Prefix sums, the exact floor-divided micro-gain, earliest-k tie
+    // break, and the sign-inverted mean gap — all replayed.
+    "q248_changepoint" ->
+      """WITH hb AS (SELECT event_type AS g, epoch_ms(ts) // 3600000 AS t,
+             COUNT(*) AS y
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT g, t, y,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS k,
+             SUM(y) OVER (PARTITION BY g ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS sk,
+             COUNT(*) OVER (PARTITION BY g) AS n,
+             SUM(y) OVER (PARTITION BY g) AS sn
+           FROM hb),
+         c AS (SELECT g, n, t, k,
+             CAST(n AS HUGEINT) * sk - CAST(k AS HUGEINT) * sn AS a,
+             CAST(k AS HUGEINT) * (n - k) AS den
+           FROM r WHERE k < n),
+         s AS (SELECT g, n, t, k,
+             (a * a * 1000000) // den AS gain,
+             -((CASE WHEN a < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(a) * 1000000 + den) // (2 * den))) AS gapfp
+           FROM c),
+         b AS (SELECT g, n AS n_points, t, k, gapfp,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY gain DESC, k) AS rn
+           FROM s)
+         SELECT g AS event_type, CAST(n_points AS BIGINT) AS n_points,
+           CAST(t AS BIGINT) AS split_t, CAST(k AS BIGINT) AS left_n,
+           CAST(gapfp AS DOUBLE) / 1000000.0 AS mean_diff
+         FROM b WHERE rn = 1""",
 
     "q246_robust_outliers" ->
       """WITH v AS (SELECT o_orderpriority AS g,

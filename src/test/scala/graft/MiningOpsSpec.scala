@@ -398,6 +398,43 @@ class MiningOpsSpec extends AnyFunSuite {
       .collect().head.getAs[Any]("dispersion") == null)
   }
 
+  // ----------------------------------------------------------- changepoint
+
+  test("changepoint: a planted step is found at the exact boundary") {
+    val rows = ((1L to 30L).map(t => ("g", t, 10L)) ++
+      (31L to 60L).map(t => ("g", t, 50L)))
+    val out = Journey.changepoint(rows.toDF("k", "t", "y"), Seq(col("k")),
+      col("t"), col("y")).collect().head
+    assert(out.getAs[Long]("n_points") == 60L)
+    assert(out.getAs[Long]("split_t") == 30L) // last t of the left segment
+    assert(out.getAs[Int]("left_n") == 30)
+    assert(out.getAs[Double]("mean_diff") == 40.0)
+  }
+
+  test("changepoint: constant series ties at zero gain, earliest k wins") {
+    val rows = (1L to 10L).map(t => ("g", t, 7L))
+    val out = Journey.changepoint(rows.toDF("k", "t", "y"), Seq(col("k")),
+      col("t"), col("y")).collect().head
+    assert(out.getAs[Long]("split_t") == 1L && out.getAs[Int]("left_n") == 1)
+    assert(out.getAs[Double]("mean_diff") == 0.0)
+  }
+
+  test("changepoint matches a driver-side exhaustive search") {
+    val ys = Seq(5L, 8L, 6L, 7L, 30L, 31L, 29L, 2L, 3L, 1L)
+    val rows = ys.zipWithIndex.map { case (y, i) => ("g", i.toLong, y) }
+    val out = Journey.changepoint(rows.toDF("k", "t", "y"), Seq(col("k")),
+      col("t"), col("y")).collect().head
+    val n = ys.size
+    val sn = ys.sum
+    val best = (1 until n).map { k =>
+      val sk = ys.take(k).sum
+      val a = BigInt(n) * sk - BigInt(k) * sn
+      val den = BigInt(k) * (n - k)
+      (a * a * 1000000 / den, -k, k)
+    }.max
+    assert(out.getAs[Int]("left_n") == best._3)
+  }
+
   // ----------------------------------------- robustOutliers / skewProfile
 
   test("robustOutliers: hand-computed median/MAD, spike flagged") {
