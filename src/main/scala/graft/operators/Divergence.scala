@@ -158,6 +158,53 @@ object Divergence {
         (col("__mi").cast("double") / 1e6).as("mi_bits"))
   }
 
+  /** Collocation extraction: the top-k adjacent-token bigrams by
+    * pointwise mutual information with a minimum-support gate — the
+    * classic corpus primitive ("New York", "machine learning") behind
+    * phrase vocabularies and tokenizer merge candidates. PMI over the
+    * BIGRAM EVENT SPACE: with B total bigrams, c_xy the bigram count and
+    * c_x·/c_·y the left/right marginal occurrence counts,
+    * `pmi = log2(B·c_xy / (c_x·c_·y))` on the [[Log2Fixed]] kernel —
+    * exact integers, oracle-replayable. Support < `minCount` is cut
+    * BEFORE any log (rare-pair PMI is noise — the standard gate).
+    *
+    * Scale posture: ONE doc-keyed sort feeds the lead() pairing; bigram
+    * and marginal counts are vocabulary-bounded aggregations; marginals
+    * join back on the token, the total rides a broadcast; the final
+    * top-k is a TakeOrdered over the gated pair frame.
+    *
+    * @return top-k rows (w1, w2, n_pair, pmi_bits) ordered by
+    *   (pmi desc, w1, w2).
+    */
+  def collocations(
+      df: DataFrame, docIdCol: Column, textCol: Column,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad gate: $minCount/$topK")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(docIdCol.as("__doc"),
+      posexplode(graft.functions.TextFunctions.tokens(textCol))
+        .as(Seq("__pos", "__w")))
+    val nxt = lead(col("__w"), 1)
+      .over(Window.partitionBy(col("__doc")).orderBy(col("__pos")))
+    val bi = toks.select(col("__w").as("w1"), nxt.as("w2"))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint() // marginals, the total and the gate all derive
+    val left = bi.groupBy(col("w1")).agg(sum(col("n_pair")).as("__cx"))
+    val right = bi.groupBy(col("w2")).agg(sum(col("n_pair")).as("__cy"))
+    val total = bi.agg(sum(col("n_pair")).as("__b"))
+    bi.filter(col("n_pair") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (EvalMetrics.microRound6(
+          Log2Fixed.expr(col("__b") * col("n_pair")) -
+            Log2Fixed.expr(col("__cx") * col("__cy")),
+          lit(Log2Fixed.One)).cast("double") / 1e6).as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Exact vocabulary-overlap matrix between sources: for every unordered
     * source pair, the distinct-token counts, the intersection size and
     * exact Jaccard — the cross-source contamination screen ("are these

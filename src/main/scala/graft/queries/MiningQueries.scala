@@ -247,16 +247,21 @@ object MiningQueries {
       Graph.textRank(docs(s, dir), col("doc_id"), col("text"),
         window = 2, iterations = 3, topK = 20)),
 
-    // Theil–Sen robust revenue-trend slope per priority over the daily
-    // series — median of exact micro-quantized pairwise slopes.
+    // Theil–Sen robust revenue-trend slope per priority over the WEEKLY
+    // series — median of exact micro-quantized pairwise slopes. Weekly,
+    // not daily: with only 5 groups the per-group O(m²) pair build is
+    // one task per group (2400 daily points → 5.8M single-task pairs);
+    // ~345 weekly points keep the suite entry honest while the 10M-pair
+    // Stress receipt prices the heavy per-entity shape.
     "q243_theil_sen" -> ((s, dir) => {
-      val daily = Tables.load(s, dir, "orders")
+      val weekly = Tables.load(s, dir, "orders")
         .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
         .groupBy(col("o_orderpriority"),
-          datediff(col("o_orderdate").cast("date"),
-            lit("1970-01-01").cast("date")).cast("long").as("d"))
+          graft.operators.EvalMetrics.idivPos(
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")), lit(7L)).as("wk"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
-      Journey.theilSen(daily, Seq(col("o_orderpriority")), col("d"),
+      Journey.theilSen(weekly, Seq(col("o_orderpriority")), col("wk"),
           col("rev"))
         .select(col("g0").as("o_orderpriority"), col("n_points"),
           col("n_pairs"), col("slope"))
@@ -268,6 +273,12 @@ object MiningQueries {
     "q244_top_other" -> ((s, dir) =>
       TableOps.topNOther(Tables.load(s, dir, "lineitem"),
         col("l_partkey"), col("l_quantity").cast("long"), n = 10)),
+
+    // Collocation extraction: top-20 adjacent bigrams by fixed-point
+    // PMI with a min-support gate — phrase/merge-candidate mining.
+    "q249_collocations" -> ((s, dir) =>
+      Divergence.collocations(docs(s, dir), col("doc_id"), col("text"),
+        minCount = 5L, topK = 20)),
 
     // Single changepoint per event type over the hourly count series:
     // the split maximizing the exact integer SSE-reduction gain.
@@ -520,6 +531,33 @@ object MiningQueries {
     // BottomKAgg build share one oracle
     "q242_kmv_agg" -> kmvRegistersSql,
 
+    "q249_collocations" ->
+      s"""WITH ${Log2Fixed.lutCteSql},
+         t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         p AS (SELECT doc_id, u.i AS i, toks[CAST(u.i AS INT)] AS w
+           FROM t0, unnest(range(1, len(toks) + 1)) AS u(i)),
+         bi AS (SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_pair
+           FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           GROUP BY 1, 2),
+         lft AS (SELECT w1, SUM(n_pair) AS cx FROM bi GROUP BY 1),
+         rgt AS (SELECT w2, SUM(n_pair) AS cy FROM bi GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b FROM bi),
+         e AS (SELECT bi.w1, bi.w2, bi.n_pair,
+             CAST(lft.cx AS BIGINT) AS cx, CAST(rgt.cy AS BIGINT) AS cy,
+             tot.b
+           FROM bi JOIN lft USING (w1) JOIN rgt USING (w2), tot
+           WHERE bi.n_pair >= 5),
+         ${log2fpStages("e", "w1, w2, n_pair", "b * n_pair", "lnum", "ca")},
+         ${log2fpStages("e", "w1, w2", "cx * cy", "lden", "cb")},
+         d AS (SELECT cal.w1, cal.w2, cal.n_pair,
+             cal.lnum - cbl.lden AS dd
+           FROM cal JOIN cbl ON cal.w1 = cbl.w1 AND cal.w2 = cbl.w2)
+         SELECT w1, w2, n_pair,
+           CAST((CASE WHEN dd < 0 THEN -1 ELSE 1 END) *
+             ((2 * ABS(CAST(dd AS HUGEINT)) * 1000000 + 1048576)
+               // 2097152) AS BIGINT) / 1000000.0 AS pmi_bits
+         FROM d ORDER BY pmi_bits DESC, w1, w2 LIMIT 20""",
+
     // Prefix sums, the exact floor-divided micro-gain, earliest-k tie
     // break, and the sign-inverted mean gap — all replayed.
     "q248_changepoint" ->
@@ -579,7 +617,7 @@ object MiningQueries {
     "q243_theil_sen" ->
       """WITH d0 AS (SELECT o_orderpriority AS g,
              CAST(DATEDIFF('day', DATE '1970-01-01',
-               CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS t,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
            FROM orders
            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),

@@ -398,6 +398,36 @@ class MiningOpsSpec extends AnyFunSuite {
       .collect().head.getAs[Any]("dispersion") == null)
   }
 
+  // ---------------------------------------------------------- collocations
+
+  test("collocations: the glued pair survives the gate, filler pairs fall under it") {
+    // "new york" in all 28 docs; filler bigrams spread over 7 residues
+    // (exactly 4 each — below minCount 5), so only the collocation
+    // clears. B = 112, c = cx = cy = 28: pmi = log2(112*28/784) = 2.
+    val docs = (0L until 28L).map(i =>
+      (i, s"f${i % 7} f${(i * 3) % 7} new york f${(i * 5) % 7}"))
+      .toDF("doc_id", "text")
+    val out = Divergence.collocations(docs, col("doc_id"), col("text"),
+      minCount = 5L, topK = 10).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "new" && out.head.getString(1) == "york")
+    assert(out.head.getAs[Long]("n_pair") == 28L)
+    assert(out.head.getAs[Double]("pmi_bits") == 2.0)
+  }
+
+  test("collocations: PMI value matches the exact event-space formula") {
+    // 4 docs of "a b", 4 of "c d": B=8 bigrams, c_ab=4, cx_a=4, cy_b=4
+    // pmi = log2(8*4/(4*4)) = 1 bit exactly (power-of-two LUT path)
+    val docs = ((1L to 4L).map((_, "a b")) ++ (5L to 8L).map((_, "c d")))
+      .toDF("doc_id", "text")
+    val out = Divergence.collocations(docs, col("doc_id"), col("text"),
+      minCount = 2L, topK = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("pmi_bits")).toMap
+    assert(out(("a", "b")) == 1.0 && out(("c", "d")) == 1.0)
+    assert(out.size == 2)
+  }
+
   // ----------------------------------------------------------- changepoint
 
   test("changepoint: a planted step is found at the exact boundary") {
