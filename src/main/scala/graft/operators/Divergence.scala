@@ -167,6 +167,9 @@ object Divergence {
     * `pmi = log2(B·c_xy / (c_x·c_·y))` on the [[Log2Fixed]] kernel —
     * exact integers, oracle-replayable. Support < `minCount` is cut
     * BEFORE any log (rare-pair PMI is noise — the standard gate).
+    * The log arguments B·c_xy and c_x·c_·y are long products — exact to
+    * B ≈ 3·10⁹ bigrams (the [[mutualInformation]] cap); shard or
+    * pre-aggregate beyond.
     *
     * Scale posture: ONE doc-keyed sort feeds the lead() pairing; bigram
     * and marginal counts are vocabulary-bounded aggregations; marginals

@@ -183,23 +183,31 @@ object Graph {
     require(window >= 1 && window <= 8, s"bad window: $window")
     require(topK >= 1, s"bad topK: $topK")
     import org.apache.spark.sql.expressions.Window
+    // checkpointed: tokenization feeds BOTH the edge build and the
+    // dictionary — without the barrier the corpus re-tokenizes per path
     val toks = df
       .select(docIdCol.as("__doc"),
         posexplode(graft.functions.TextFunctions.tokens(textCol))
           .as(Seq("__pos", "__w")))
+      .localCheckpoint()
     val byDoc = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
     val withNext = toks.select(col("__w") +:
       (1 to window).map(d => lead(col("__w"), d).over(byDoc)
         .as(s"__n$d")): _*)
-    val half = (1 to window).map(d =>
-      withNext.filter(col(s"__n$d").isNotNull && col(s"__n$d") =!= col("__w"))
-        .select(col("__w").as("__a"), col(s"__n$d").as("__b")))
-      .reduce(_ unionAll _)
     val h = graft.functions.TextFunctions.md5Long _
-    // the multigraph collapses to (src, dst, weight) BEFORE iteration:
-    // the per-round frame is vocabulary²-bounded, not token-count-sized
-    val edges = half.select(h(col("__a")).as("src"), h(col("__b")).as("dst"))
-      .unionAll(half.select(h(col("__b")).as("src"), h(col("__a")).as("dst")))
+    // ONE pass over the windowed frame: every (distance, direction)
+    // pair explodes from the same row — no unions re-executing the
+    // doc-keyed sort; then the multigraph collapses to (src, dst,
+    // weight) BEFORE iteration (vocabulary²-bounded, never token-sized)
+    val pairCells = (1 to window).flatMap { d =>
+      Seq(struct(col("__w").as("a"), col(s"__n$d").as("b")),
+        struct(col(s"__n$d").as("a"), col("__w").as("b")))
+    }
+    val edges = withNext
+      .select(explode(array(pairCells: _*)).as("__p"))
+      .filter(col("__p.a").isNotNull && col("__p.b").isNotNull &&
+        col("__p.a") =!= col("__p.b"))
+      .select(h(col("__p.a")).as("src"), h(col("__p.b")).as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     val dict = toks.select(col("__w").as("token")).distinct()
       .select(col("token"), h(col("token")).as("id"))

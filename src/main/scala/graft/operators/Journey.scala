@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Journey {
 
+  import EvalMetrics.dec
+
   /** Per-user funnel progression over `stages` (ordered event-type names).
     *
     * Semantics (the chained-min form, replayable as SQL joins): the
@@ -371,8 +373,11 @@ object Journey {
     val b = base.toDF(gNames ++ Seq("__t2", "__y2"): _*)
     val dy = col("__y2") - col("__y1")
     val dx = col("__t2") - col("__t1")
+    // |dy| widens BEFORE the micro multiply: a long |dy|·10⁶ wraps at
+    // |dy| ≈ 9.2·10¹² while the decimal stays exact (the oracle's
+    // HUGEINT twin); the micro-slope itself must fit a long — contract
     val slope = signum(dy).cast("long") *
-      EvalMetrics.idivPos(abs(dy) * 1000000L, dx)
+      EvalMetrics.idivPos(dec(abs(dy)) * 1000000L, dx)
     val pairs = a.join(b, gNames).filter(col("__t1") < col("__t2"))
       .select(gNames.map(col) :+ slope.as("__s"): _*)
     val w = Window.partitionBy(gNames.map(col): _*)
@@ -395,11 +400,13 @@ object Journey {
     * behind alerting and A/B cutover audits, complementing [[cusum]]
     * (which needs a reference mean; this derives its own). All exact
     * integers via prefix sums: with S_k the prefix sum at position k and
-    * A_k = n·S_k − k·S_n, the split gain is A_k²/(k(n−k)) (monotone in
-    * the true SSE reduction) and the segment-mean gap is EXACTLY
-    * A_k/(k(n−k)), micro-rounded for display. Ties take the earliest
-    * boundary. A_k² is decimal(38,0)-exact to |A| ≈ 10¹⁹ —
-    * n·Σ|y| ≲ 10¹⁹ (price a 3650-point daily series in cents: 10¹⁶).
+    * A_k = n·S_k − k·S_n, the split gain is ⌊A_k²/(k(n−k))⌋ (monotone in
+    * the true SSE reduction; integer-quantized, so gains within one
+    * y²-unit tie and fall to the earliest boundary) and the segment-mean
+    * gap is EXACTLY A_k/(k(n−k)), micro-rounded for display. A_k² is
+    * decimal(38,0)-exact to |A| ≈ 10¹⁹ — n·Σ|y| ≲ 10¹⁹ (a 3650-point
+    * daily series in cents sits at 10¹⁶); past that both engines fail
+    * loud (ANSI decimal / HUGEINT overflow), never silently.
     *
     * Scale posture: one group-keyed ordered window builds k and S_k in
     * a single pass (running frame + whole-partition totals — never
@@ -413,7 +420,6 @@ object Journey {
   def changepoint(
       df: DataFrame, groupCols: Seq[Column], tCol: Column,
       yCol: Column): DataFrame = {
-    def dec(c: Column) = c.cast("decimal(38,0)")
     val gNames = groupCols.indices.map(i => s"__g$i")
     val base = df.select(
       groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
@@ -431,15 +437,15 @@ object Journey {
     val den = dec(col("__k")) * (col("__n") - col("__k"))
     val cand = ranked.filter(col("__k") < col("__n"))
       .select(gNames.map(col) ++ Seq(col("__n"), col("__t"), col("__k"),
-        (a * a * 1000000L).as("__a2m"), den.as("__den"),
+        (a * a).as("__a2"), den.as("__den"),
         // mean gap = A/(k(n−k)) with A's sign inverted: A_k = n·S_k −
         // k·S_n = k(n−k)·(left − right) ⇒ negate for right − left
         (-EvalMetrics.microRound6(a, den)).as("__gap")): _*)
       .select(gNames.map(col) ++ Seq(col("__n"),
         struct(
-          // micro-quantized gain by exact floor division — replayable
+          // integer-quantized gain by exact floor division — replayable
           // as `//`; quantization ties fall to the earliest k
-          ((col("__a2m") - pmod(col("__a2m"), col("__den"))) / col("__den"))
+          ((col("__a2") - pmod(col("__a2"), col("__den"))) / col("__den"))
             .cast("decimal(38,0)").as("gain"),
           (-col("__k")).as("negk"), col("__t").as("t"),
           col("__k").as("k"), col("__gap").as("gap")).as("__c")): _*)
@@ -480,7 +486,6 @@ object Journey {
       .filter(col("__b").isNotNull)
       .groupBy(gNames.map(col) :+ col("__b"): _*)
       .agg(count(lit(1)).as("__c"))
-    def dec(c: Column) = c.cast("decimal(38,0)")
     counts.groupBy(gNames.map(col): _*)
       .agg(sum(col("__c")).as("__sc"),
         sum(dec(col("__c")) * col("__c")).as("__sc2"),

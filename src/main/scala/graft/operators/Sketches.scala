@@ -239,6 +239,7 @@ object Sketches {
     val dedup = df
       .select(groupCols :+ graft.functions.TextFunctions.md5Long(value)
         .as("__h"): _*)
+      .filter(col("__h").isNotNull) // null values carry no hash
       .distinct()
     Ranking.topKPerGroup(dedup, names.map(col), Seq(col("__h").asc), k,
         rankCol = Some("rnk"))
@@ -260,10 +261,16 @@ object Sketches {
       df: DataFrame, groupCols: Seq[Column], value: Column,
       k: Int): DataFrame = {
     require(k >= 2 && k <= 65536, s"bad KMV k: $k")
+    val aggReserved = Set("__h", "__sketch", "__p", "rnk", "h")
+    val aggClash = df.select(groupCols: _*).columns.filter(aggReserved.contains)
+    require(aggClash.isEmpty,
+      s"group columns must not be named: ${aggClash.mkString(", ")}")
     val names = df.select(groupCols: _*).columns.toSeq
     val bk = udaf(new BottomKAgg(k))
     df.select(groupCols :+ graft.functions.TextFunctions.md5Long(value)
         .as("__h"): _*)
+      .filter(col("__h").isNotNull) // parity with kmvRegisters: a null
+      // value carries no hash (the primitive-Long UDAF would read 0)
       .groupBy(names.map(col): _*)
       .agg(bk(col("__h")).as("__sketch"))
       .select(names.map(col) :+

@@ -366,9 +366,11 @@ object TableOps {
     * point past which 2·10⁶·num² can leave decimal(38,0) — num/d1/d2 are
     * additionally reduced by `div n` before squaring; the gate is
     * PER-PAIR on magnitude, not on row count, so a low-variance column
-    * keeps the exact path at any n and the truncation (relative
-    * ~n/d ≤ n/5·10¹⁵) only ever applies to terms large enough to absorb
-    * it. Rows with a null in ANY column are dropped (listwise deletion —
+    * keeps the exact path at any n, and reduction additionally requires
+    * the SMALLER term to exceed n·1000 (≥ 3 digits survive div n) — a
+    * pair asymmetric enough to fail both conditions runs the exact path
+    * and, if that overflows, fails loud rather than wrong. Rows with a
+    * null in ANY column are dropped (listwise deletion —
     * the matrix must be over one common sample). Caller scales units so
     * the reduced num stays ≲ 3·10¹⁵ (n²·σxσy ≲ 3·10¹⁵·n).
     *
@@ -417,7 +419,12 @@ object TableOps {
         (dec(col("__n")) * s(a, a) - t(a) * t(a)).as("__d1"),
         (dec(col("__n")) * s(b, b) - t(b) * t(b)).as("__d2"))
     }
-    val gate = greatest(col("__d1"), col("__d2")) > lit(5000000000000000L)
+    // reduce only when the big term needs it AND the small term can
+    // absorb div n with ≥ 3 decimal digits of precision left — an
+    // extremely asymmetric pair at huge magnitude instead fails LOUD on
+    // the exact path (ANSI decimal / HUGEINT overflow), never wrong
+    val gate = greatest(col("__d1"), col("__d2")) > lit(5000000000000000L) &&
+      least(col("__d1"), col("__d2")) > dec(col("n")) * 1000L
     def reduced(c: Column): Column =
       when(gate, dec(EvalMetrics.idivPos(c, col("n")))).otherwise(c)
     stats.select(col("__n").as("n"), explode(array(cells: _*)).as("__c"))
@@ -498,6 +505,11 @@ object TableOps {
     * row-level exchange) feeding both the concentration pass (key-
     * bounded) and a 1-row max — key column count is the outer loop
     * (bounded, caller-chosen).
+    *
+    * A key column whose values are ALL null has no frequency
+    * distribution and is absent from the output (the oracle applies the
+    * same rule) — check columnProfile's null counts first if that
+    * distinction matters.
     *
     * @return one row per key column: (key_col, n_keys, n_rows, max_cnt,
     *   max_share, gini, top_decile_share)

@@ -27,7 +27,7 @@ object MiningQueries {
     s"""WITH t AS (SELECT lang, UNNEST($toksSql) AS w FROM documents),
        d AS (SELECT DISTINCT lang,
            CAST(CONCAT('0x', SUBSTRING(md5(w), 1, 15)) AS BIGINT) AS h
-         FROM t),
+         FROM t WHERE w IS NOT NULL),
        r AS (SELECT lang, h,
            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rnk
          FROM d)
@@ -57,7 +57,7 @@ object MiningQueries {
            FROM cnt_$k),
          a_$k AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS HUGEINT) AS s,
              SUM(CAST(i AS HUGEINT) * x) AS t, MAX(x) AS mx
-           FROM r_$k),
+           FROM r_$k HAVING COUNT(*) > 0),
          tm_$k AS (SELECT CAST(SUM(r.x) AS HUGEINT) AS topm
            FROM r_$k r, a_$k a WHERE r.i > a.n - (a.n + 9) // 10)"""
     }.mkString(",\n         ")
@@ -113,11 +113,12 @@ object MiningQueries {
          q AS (SELECT col_a, col_b, n,
              CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
                AS INT) AS sg,
-             CASE WHEN n > 1048576 THEN ABS(num) // n ELSE ABS(num) END
-               AS numr,
-             CASE WHEN n > 1048576 THEN d1 // n ELSE d1 END AS d1r,
-             CASE WHEN n > 1048576 THEN d2 // n ELSE d2 END AS d2r
-           FROM p)
+             CASE WHEN gt THEN ABS(num) // n ELSE ABS(num) END AS numr,
+             CASE WHEN gt THEN d1 // n ELSE d1 END AS d1r,
+             CASE WHEN gt THEN d2 // n ELSE d2 END AS d2r
+           FROM (SELECT *, GREATEST(d1, d2) > 5000000000000000
+               AND LEAST(d1, d2) > CAST(n AS HUGEINT) * 1000 AS gt
+             FROM p))
          SELECT col_a, col_b, n,
            CASE WHEN d1r > 0 AND d2r > 0 THEN
              CAST((2 * numr * numr * 1000000 + d1r * d2r)
@@ -576,7 +577,7 @@ object MiningQueries {
              CAST(k AS HUGEINT) * (n - k) AS den
            FROM r WHERE k < n),
          s AS (SELECT g, n, t, k,
-             (a * a * 1000000) // den AS gain,
+             (a * a) // den AS gain,
              -((CASE WHEN a < 0 THEN -1 ELSE 1 END) *
                ((2 * ABS(a) * 1000000 + den) // (2 * den))) AS gapfp
            FROM c),
@@ -624,7 +625,8 @@ object MiningQueries {
          se AS (SELECT g, t, SUM(v) AS y FROM d0 GROUP BY 1, 2),
          pr AS (SELECT a.g,
              (CASE WHEN b.y < a.y THEN -1 WHEN b.y > a.y THEN 1 ELSE 0 END)
-               * ((ABS(b.y - a.y) * 1000000) // (b.t - a.t)) AS s
+               * CAST((ABS(CAST(b.y AS HUGEINT) - a.y) * 1000000)
+                 // (b.t - a.t) AS BIGINT) AS s
            FROM se a JOIN se b ON a.g = b.g AND a.t < b.t),
          r AS (SELECT g, s,
              ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) AS rn,

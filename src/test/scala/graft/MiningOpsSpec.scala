@@ -460,7 +460,7 @@ class MiningOpsSpec extends AnyFunSuite {
       val sk = ys.take(k).sum
       val a = BigInt(n) * sk - BigInt(k) * sn
       val den = BigInt(k) * (n - k)
-      (a * a * 1000000 / den, -k, k)
+      (a * a / den, -k, k)
     }.max
     assert(out.getAs[Int]("left_n") == best._3)
   }
