@@ -43,6 +43,17 @@ object MiningQueries {
     "disc" -> "ROUND(l_discount * 100)",
     "tax" -> "ROUND(l_tax * 100)")
 
+  /** One weighted-PageRank iteration as an oracle CTE — q145's
+    * [[AnalyticsQueries.pageRankStageSql]] with edge weights threaded:
+    * deg is Σw and the gather term is w·(r div deg). */
+  private def wprStageSql(k: Int): String =
+    s"""r$k AS (SELECT b.id, 150000 + (850 * COALESCE(s.c, 0)) // 1000 AS r
+         FROM r${k - 1} b LEFT JOIN (
+           SELECT e.dst, SUM(e.w * (r.r // deg.dg)) AS c
+           FROM ew e JOIN r${k - 1} r ON e.src = r.id
+           JOIN deg ON e.src = deg.src
+           GROUP BY e.dst) s ON b.id = s.dst)"""
+
   /** q247's key columns — one list for both engines. */
   private val skewKeys = Seq("l_suppkey", "l_partkey", "l_orderkey")
 
@@ -274,6 +285,19 @@ object MiningQueries {
     "q244_top_other" -> ((s, dir) =>
       TableOps.topNOther(Tables.load(s, dir, "lineitem"),
         col("l_partkey"), col("l_quantity").cast("long"), n = 10)),
+
+    // Integer-weighted PageRank over the arithmetic link graph with
+    // deterministic edge weights 1..3 — the weighted recurrence itself
+    // on the oracle surface (q241 exercises it only via the multigraph
+    // equivalence).
+    "q250_weighted_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = WarehouseQueries.docLinkEdges(d)
+        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(3)))
+      Graph.pageRankWeighted(d.select(col("doc_id")), col("doc_id"), e,
+          col("src"), col("dst"), col("w"), iterations = 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
 
     // Collocation extraction: top-20 adjacent bigrams by fixed-point
     // PMI with a min-support gate — phrase/merge-candidate mining.
@@ -531,6 +555,17 @@ object MiningQueries {
     // identical registers by contract: the window build and the
     // BottomKAgg build share one oracle
     "q242_kmv_agg" -> kmvRegistersSql,
+
+    // The weighted recurrence unrolled: deg = Σw per source, the gather
+    // term w·(r div deg) — q145's stages with weights threaded through.
+    "q250_weighted_pagerank" ->
+      s"""WITH ${WarehouseQueries.linkEdgeCtesSql},
+         ew AS (SELECT src, dst, 1 + (src + dst) % 3 AS w FROM e),
+         deg AS (SELECT src, SUM(w) AS dg FROM ew GROUP BY src),
+         r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r
+           FROM documents),
+         ${(1 to 5).map(wprStageSql).mkString(",\n         ")}
+         SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r5""",
 
     "q249_collocations" ->
       s"""WITH ${Log2Fixed.lutCteSql},
