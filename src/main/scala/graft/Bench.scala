@@ -100,29 +100,12 @@ object Bench {
       s.substring(s.lastIndexOf(')') + 2).split(" ")(9).toLong
     } catch { case _: Throwable => -1L }
 
-  /** ContextCleaner reference-buffer depth via reflection (the field is
-    * private[spark]); -1 if the shape ever changes. A queue that climbs
-    * across the suite = broadcast/shuffle artifacts awaiting a GC to be
-    * released — the accumulated-state hypothesis.
+  /** ContextCleaner reference-buffer depth (see SessionHygiene — the
+    * canonical home; a queue that climbs across the suite = broadcast/
+    * shuffle artifacts awaiting a GC to be released).
     */
   private def cleanerQueueDepth(spark: SparkSession): Long =
-    try {
-      val sc = spark.sparkContext
-      val cleaner = classOf[org.apache.spark.SparkContext]
-        .getMethod("cleaner").invoke(sc).asInstanceOf[Option[AnyRef]]
-      cleaner.map { c =>
-        val f = c.getClass.getDeclaredFields
-          .find(_.getName.contains("referenceBuffer")).get
-        f.setAccessible(true)
-        f.get(c) match {
-          case s: java.util.Set[_] => s.size.toLong
-          case m: java.util.Map[_, _] => m.size.toLong
-          case other =>
-            other.getClass.getMethod("size").invoke(other)
-              .asInstanceOf[Number].longValue()
-        }
-      }.getOrElse(-1L)
-    } catch { case _: Throwable => -1L }
+    graft.core.SessionHygiene.cleanerQueueDepth(spark)
 
   /** (file count, total MB) under every blockmgr-* dir in the local dirs —
     * shuffle/spill debris on disk. Diagnostics only; never on a timed path.
@@ -157,7 +140,8 @@ object Bench {
       times: Seq[Double], gcMs: Long, gcN: Long,
       heapBeforeMb: Long, heapAfterMb: Long,
       diskReadMb: Long, majFlt: Long,
-      cleanerQueue: Long, shuffleFiles: Long, shuffleMb: Long) {
+      cleanerQueue: Long, shuffleFiles: Long, shuffleMb: Long,
+      drain: Option[graft.core.SessionHygiene.DrainStats] = None) {
     def json: String = {
       val ts = times.map(t => BigDecimal(t)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP)).mkString("[", ",", "]")
@@ -165,7 +149,8 @@ object Bench {
         s""""heap_before_mb":$heapBeforeMb,"heap_after_mb":$heapAfterMb,""" +
         s""""disk_read_mb":$diskReadMb,"majflt":$majFlt,""" +
         s""""cleaner_queue":$cleanerQueue,"shuffle_files":$shuffleFiles,""" +
-        s""""shuffle_mb":$shuffleMb}"""
+        s""""shuffle_mb":$shuffleMb""" +
+        drain.map(d => s""","drain":${d.json}""").getOrElse("") + "}"
     }
   }
 
@@ -229,27 +214,26 @@ object Bench {
     // charged for session bootstrap.
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
-    // Cross-query hygiene (untimed, runs BETWEEN queries): a 200-query
+    // Cross-query hygiene (untimed, runs BETWEEN queries): a 250-query
     // suite in one JVM accumulates state no single query sees — leaked
     // cached/localCheckpoint blocks pin storage memory (evicting the next
     // query's iteration caches), and broadcast/shuffle artifacts only
     // release via ContextCleaner *after a GC*, which an idle-heap JVM may
-    // not run for the whole suite, so shuffle files pile up in
-    // spark.local.dir. Each query then measures ITS OWN cost, not its
-    // predecessors' debris — the same isolation the per-query oracle run
-    // has. System.gc() every 8 queries keeps the cleaner draining without
-    // per-query full-GC overhead.
+    // not run for the whole suite. Round 8's mitigation (System.gc() every
+    // 8 queries) proved insufficient on the driver box: the GC enqueues
+    // thousands of dead refs but the cleaner drains them ASYNCHRONOUSLY,
+    // one blocking block-manager RPC at a time, while the next timed
+    // queries run (cleaner_queue 6,918 at q88, which measured 10.9 s
+    // in-suite vs 0.98 s isolated, gc=0 during the slow window).
+    // SessionHygiene.drain GCs only when the queue passes a threshold and
+    // then WAITS for it to settle, so the removal storm completes between
+    // queries — each query measures ITS OWN cost, not its predecessors'
+    // debris. The per-query DrainStats receipt rides the diag record.
     // SPARK_GRAFT_BENCH_NO_CLEANUP=1 disables (A/B knob for attributing
     // environment-level drift vs cleanup cost).
     val noCleanup = sys.env.get("SPARK_GRAFT_BENCH_NO_CLEANUP").contains("1")
-    var sinceGc = 0
-    def interQueryCleanup(): Unit = if (!noCleanup) {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      sinceGc += 1
-      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
-    }
+    def interQueryCleanup(): Option[graft.core.SessionHygiene.DrainStats] =
+      if (noCleanup) None else Some(graft.core.SessionHygiene.drain(spark))
 
     val diags = scala.collection.mutable.LinkedHashMap.empty[String, Diag]
     def runGroup(group: Seq[(String, (SparkSession, String) => DataFrame)])
@@ -257,8 +241,7 @@ object Bench {
       group.map { case (name, fn) =>
         try {
           val d = timedWithDiag(spark, runs) { fn(spark, sfDir).count(): Unit }
-          diags(name) = d
-          interQueryCleanup()
+          diags(name) = d.copy(drain = interQueryCleanup())
           name -> d.times.min
         } catch {
           case e: Throwable =>

@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // 250+ queries in one JVM: release each query's cached blocks and
+      // keep the ContextCleaner queue drained (see SessionHygiene) so the
+      // tail of the run isn't taxed by the head's debris
+      graft.core.SessionHygiene.drain(spark): Unit
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -18,14 +18,23 @@ object EvalMetrics {
 
   private[operators] def dec(c: Column): Column = c.cast("decimal(38,0)")
 
-  /** floor(x / y), x >= 0, y > 0, exact at any magnitude. */
+  /** floor(x / y), x >= 0, y > 0. Envelope: the numerator is exact to
+    * decimal(38,0) ≈ 1e38, but the quotient passes through Spark decimal
+    * '/' whose result type is decimal(38,6) — an integer quotient above
+    * ~1e32 overflows THERE, before the final long cast (~9.2e18) even
+    * applies. Both ceilings fail loud under ANSI; the binding one for
+    * this helper is the long cast.
+    */
   private[graft] def idivPos(x: Column, y: Column): Column =
     ((dec(x) - pmod(dec(x), dec(y))) / dec(y)).cast("long")
 
   /** round(num/den * 1e6), half away from zero, DECIMAL(38,0) internals —
     * the portable-rounding convention (engine ROUND on a double quotient
     * diverges at representation boundaries; a long-built numerator would
-    * wrap at ~1e13 on corpus-scale counts). den > 0.
+    * wrap at ~1e13 on corpus-scale counts). den > 0. Envelope: the
+    * 2·|num|·1e6 + den numerator must fit 1e38 AND the micro quotient a
+    * long (see [[idivPos]] — the decimal-'/' intermediate holds to ~1e32,
+    * wider than the long cast; all overflows are loud under ANSI).
     */
   private[operators] def microRound6(num: Column, den: Column): Column = {
     val a = dec(abs(num)) * 2000000L + dec(den)

@@ -99,7 +99,13 @@ object Graph {
     * count — same lineage-truncation contract as the CC loop).
     *
     * @return (id, rank_fp) — the fixed-point rank after `iterations`
-    *   rounds; rank_fp/scale is the conventional value.
+    *   rounds; rank_fp/scale is the conventional value. The frame is
+    *   backed by the final round's localCheckpoint, so its blocks stay
+    *   cached until the frame is unreferenced AND a GC lets the
+    *   ContextCleaner reap it — materialize promptly and, in a
+    *   long-lived session, release between jobs via
+    *   [[graft.core.SessionHygiene.drain]] (shared contract with
+    *   [[hits]], [[labelPropagation]] and the CC loop).
     */
   def pageRank(
       nodes: DataFrame, idCol: Column,
@@ -252,6 +258,11 @@ object Graph {
     * plan at any iteration count).
     *
     * @return (id, hub_fp, auth_fp) — fixed-point scores in [0, scale].
+    *   As with [[pageRank]], the frame is backed by the final round's
+    *   localCheckpoint (and the two edge copies unpersist non-blocking),
+    *   so cached blocks linger until GC + ContextCleaner — materialize
+    *   promptly; long-lived sessions release debris via
+    *   [[graft.core.SessionHygiene.drain]].
     */
   def hits(
       nodes: DataFrame, idCol: Column,

@@ -444,7 +444,12 @@ object Journey {
       .select(gNames.map(col) ++ Seq(col("__n"),
         struct(
           // integer-quantized gain by exact floor division — replayable
-          // as `//`; quantization ties fall to the earliest k
+          // as `//`; quantization ties fall to the earliest k. Envelope:
+          // the quotient rides Spark decimal '/', whose result type is
+          // decimal(38,6) — a gain above ~1e32 overflows THERE, a
+          // tighter ceiling than the decimal(38,0) numerator's 1e38
+          // (gain = A²/den with |A| ≤ n·|S|; loud under ANSI, and ~1e32
+          // needs n·Σ|y| beyond 1e19 — far past the long-cast inputs)
           ((col("__a2") - pmod(col("__a2"), col("__den"))) / col("__den"))
             .cast("decimal(38,0)").as("gain"),
           (-col("__k")).as("negk"), col("__t").as("t"),

@@ -286,10 +286,16 @@ object Sketches {
     * DISTINCT hashes; 60-bit md5 collisions across ≤ 2^20 keys are
     * ~2^-21), which is why a 100 TB distinct profile is per-shard
     * sketches + one k-bounded merge, never a re-shuffle of raw values.
-    * `k` must not exceed the k the inputs were built with.
+    * `k` must not exceed the k the inputs were built with — a violation
+    * is NOT detectable from the registers alone (a shard built at a
+    * smaller k is indistinguishable from one that simply saw fewer
+    * distinct values), so the contract is the caller's; downstream,
+    * [[kmvEstimate]]'s register-count guard still nulls the mirror
+    * mistake (estimating at a k smaller than the registers carry).
     */
   def kmvMerge(
       registers: DataFrame, groupCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"bad KMV k: $k") // kmvRegisters parity
     val names = registers.select(groupCols: _*).columns.toSeq
     Ranking.topKPerGroup(
         registers.select(groupCols :+ col("h"): _*).distinct(),
