@@ -62,7 +62,9 @@ object SparkEntry {
     new QueryModule(graft.queries.EvalQueries.queries,
       graft.queries.EvalQueries.oracles),
     new QueryModule(graft.queries.MiningQueries.queries,
-      graft.queries.MiningQueries.oracles))
+      graft.queries.MiningQueries.oracles),
+    new QueryModule(graft.queries.SketchQueries.queries,
+      graft.queries.SketchQueries.oracles))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

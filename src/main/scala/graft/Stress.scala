@@ -1756,6 +1756,104 @@ object Stress {
       s"planted metrics not recovered: $okQ/$totQ of $nq")
   }
 
+  /** q-digest mergeable quantile sketch at scale: n rows / 32 groups over
+    * the 16-bit universe, built direct and via an 8-shard merge. The
+    * receipt: the only data-sized exchange is the leaf count (shuffle MB
+    * printed), register tables stay O(k) per group, and the median lands
+    * inside the t·bits rank envelope on uniform data (k = 1024 →
+    * ε = bits/k ≈ 1.6%).
+    */
+  private def qdigestReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.QuantileDigest
+    val bits = 16; val k = 1024
+    val rows = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(32)).as("g"),
+      // shard must vary WITHIN a group: id div 32 cycles independently
+      // of g = id mod 32
+      pmod((col("id") / 32).cast("long"), lit(8)).as("shard"),
+      pmod(xxhash64(col("id")), lit(1L << bits)).as("v"))
+      .localCheckpoint()
+    val nGroup = n / 32
+    val t = math.max(1L, nGroup / k)
+    val slack = 2 * t * bits.toLong // rank envelope, doubled for hash skew
+    def checkMedian(regs: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val med = QuantileDigest.quantiles(regs, Seq(col("g")), Seq(0.5))
+      val bad = med.filter(
+        abs(col("est") - (1L << (bits - 1))) * nGroup / (1L << bits) > slack)
+        .count()
+      require(bad == 0, s"$tag medians outside the t*bits envelope: $bad")
+    }
+    val (sz, bBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L)
+      time(s"qdigest_build_${n / 1000000}M") {
+        val regs = QuantileDigest.registers(
+          rows, Seq(col("g")), col("v"), bits, k)
+        val m = regs.groupBy(col("g")).agg(count(lit(1)).as("sz"),
+            sum(col("cnt")).as("mass"))
+          .agg(max(col("sz")), sum(col("mass"))).head()
+        r = (m.getLong(0), m.getLong(1))
+      }
+      r
+    }
+    println(f"[stress] qdigest build: max group size ${sz._1} registers " +
+      f"(3k+1 = ${3 * k + 1}), mass ${sz._2}, " +
+      f"shuffle ${bBytes / 1048576.0}%.1f MB")
+    require(sz._1 <= 3 * k + 1 && sz._2 == n,
+      s"size/mass invariant broke at scale: $sz")
+    checkMedian(QuantileDigest.registers(
+      rows, Seq(col("g")), col("v"), bits, k), "direct")
+
+    // shard -> merge: the merge exchange carries ONLY register rows
+    val shardRegs = QuantileDigest.registers(
+      rows, Seq(col("g"), col("shard")), col("v"), bits, k)
+      .localCheckpoint() // isolate the merge's own shuffle in the receipt
+    val (mOut, mBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L)
+      time(s"qdigest_merge_${n / 1000000}M") {
+        val merged = QuantileDigest.merge(shardRegs, Seq(col("g")), bits, k)
+        val m = merged.agg(sum(col("cnt")), count(lit(1))).head()
+        r = (m.getLong(0), m.getLong(1))
+      }
+      r
+    }
+    println(f"[stress] qdigest merge: mass ${mOut._1}, ${mOut._2} registers " +
+      f"total, shuffle ${mBytes / 1048576.0}%.1f MB (registers only)")
+    require(mOut._1 == n, s"merge lost mass: ${mOut._1} != $n")
+    checkMedian(QuantileDigest.merge(shardRegs, Seq(col("g")), bits, k),
+      "merged")
+  }
+
+  /** Weighted PageRank at scale (the q250 recurrence): n weighted edges
+    * on n/5 nodes, 5 rounds — the edge list with its Σw outdegrees is
+    * the only cached state, every exchange keyed on node ids.
+    */
+  private def wPageRankReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Graph
+    val nNodes = math.max(n / 5, 10L)
+    val nodes = spark.range(0, nNodes, 1, 32).select(col("id"))
+    val edges = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(nNodes)).as("src"),
+      pmod(col("id") * 31L + 7L, lit(nNodes)).as("dst"),
+      (pmod(col("id"), lit(3)) + 1).as("w"))
+    val (out, bytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L, 0L)
+      time(s"weighted_pagerank_${n / 1000000}M_edges", runs = 1) {
+        val m = Graph.pageRankWeighted(nodes, col("id"),
+            edges, col("src"), col("dst"), col("w"), iterations = 5)
+          .agg(count(lit(1)), min(col("rank_fp")), max(col("rank_fp"))).head()
+        r = (m.getLong(0), m.getLong(1), m.getLong(2))
+      }
+      r
+    }
+    println(f"[stress] weighted_pagerank: ${out._1} nodes, rank_fp " +
+      f"[${out._2}, ${out._3}], shuffle ${bytes / 1048576.0}%.1f MB")
+    require(out._1 == nNodes, s"every node must score: ${out._1} != $nNodes")
+    require(out._2 >= 150000L && out._3 >= out._2,
+      s"rank floor is the damping base: $out")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -1822,6 +1920,18 @@ object Stress {
 
     if (section == "mining") {
       miningReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "qdigest") {
+      qdigestReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "wpagerank") {
+      wPageRankReceipt(spark, n)
       spark.stop()
       return
     }
