@@ -1824,6 +1824,48 @@ object Stress {
       "merged")
   }
 
+  /** The few-group/long-series Theil–Sen shape, flat vs blocked: g
+    * groups × m points such that g·m²/2 ≈ n pairs. The flat form runs
+    * each group's whole quadratic pair set as ONE task (the q243 wall:
+    * 5 × 2,400 daily points = 24.8 s in-suite); the blocked form spreads
+    * it over (group, block-pair) tasks and must agree bit-for-bit.
+    */
+  private def theilSenBlockedReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Journey
+    // 2 groups: the flat form gets exactly TWO tasks for the whole pair
+    // set, the shape the blocked form exists for
+    val groups = 2L
+    val m = math.max(64L, math.sqrt(2.0 * n / groups).toLong)
+    // planted slope 7 per group with hash noise; t = 1..m unique
+    val series = spark.range(0, groups * m, 1, 32).select(
+      concat(lit("g"), pmod(col("id"), lit(groups)).cast("string")).as("g"),
+      (col("id") / groups).cast("long").as("t"),
+      ((col("id") / groups).cast("long") * 7L +
+        pmod(xxhash64(col("id")), lit(100L))).as("y"))
+      .localCheckpoint()
+    def run(tag: String)(df: => org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      var out: Map[String, Double] = null
+      val (_, bytes) = shuffleBytes(spark.sparkContext) {
+        // min-of-2: the codegen-cold first run inflates 3-7x and this
+        // receipt compares task SHAPES, not JIT warmup
+        time(s"theilsen_${tag}_${n / 1000000}M_pairs") {
+          out = df.collect()
+            .map(r => r.getString(0) -> r.getAs[Double]("slope")).toMap
+        }
+      }
+      println(f"[stress] theilsen_$tag: shuffle ${bytes / 1048576.0}%.1f MB")
+      out
+    }
+    val blocked = run("blocked")(Journey.theilSenBlocked(
+      series, Seq(col("g")), col("t"), col("y"), blockSize = 256))
+    val flat = run("flat_1task")(Journey.theilSen(
+      series, Seq(col("g")), col("t"), col("y")))
+    require(blocked == flat, s"estimators diverged: $blocked vs $flat")
+    require(blocked.values.forall(s => math.abs(s - 7.0) < 0.2),
+      s"planted slope 7 not recovered: $blocked")
+  }
+
   /** Weighted PageRank at scale (the q250 recurrence): n weighted edges
     * on n/5 nodes, 5 rounds — the edge list with its Σw outdegrees is
     * the only cached state, every exchange keyed on node ids.
@@ -1926,6 +1968,12 @@ object Stress {
 
     if (section == "qdigest") {
       qdigestReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "theilsen") {
+      theilSenBlockedReceipt(spark, n)
       spark.stop()
       return
     }

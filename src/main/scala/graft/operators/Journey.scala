@@ -394,6 +394,185 @@ object Journey {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope")): _*)
   }
 
+  /** [[theilSen]] for the FEW-GROUP / LONG-SERIES shape — identical
+    * estimator (same micro-quantized slopes, same lower median), but the
+    * per-group O(m²) pair build is BLOCK-DECOMPOSED so one entity's
+    * quadratic work spreads across the cluster instead of landing on a
+    * single task: points get a rank-block id (`blockSize` per block),
+    * the pair set becomes a join keyed on (group, block-pair) — a 2,400-
+    * point series at blockSize 128 turns one 2.9M-pair task into ~190
+    * block-pair units. The median is likewise distributed: adaptive
+    * bucket selection (coarse slope-bucket counts → optional one-level
+    * refinement → in-bucket k-th pick), so no task ever sorts the raw
+    * pair set; `refineThreshold` is the hot-bucket size that triggers
+    * the refinement pass.
+    *
+    * Use [[theilSen]] when groups are many and series short (its flat
+    * per-group join is cheaper); use this form when group-count ×
+    * series-length says a group's pair set dwarfs a task — the shape
+    * the q243 weekly re-base dodged (5 groups × 2,400 daily points =
+    * 24.8 s single-task) and q253 runs head-on.
+    *
+    * @return (g…, n_points, n_pairs, slope) — bit-identical to
+    *   [[theilSen]] on the same input.
+    */
+  def theilSenBlocked(
+      df: DataFrame, groupCols: Seq[Column], tCol: Column,
+      yCol: Column, blockSize: Int = 128,
+      refineThreshold: Long = 1L << 18): DataFrame = {
+    require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
+    require(refineThreshold >= 1, s"refineThreshold must be >= 1")
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
+        Seq(tCol.cast("long").as("__t"), yCol.cast("long").as("__y")): _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    // rank-block id: the one per-group sort left in the plan is over the
+    // m POINTS (not the m² pairs). localCheckpoint is load-bearing: the
+    // point frame feeds SIX downstream reads (a/b sides and block list,
+    // × two pair passes) — without truncation each re-runs the source
+    // scan + aggregation + rank window (measured ~40% of q253's wall).
+    val wg = Window.partitionBy(gNames.map(col): _*)
+    val blocked = base.withColumn("__blk",
+      ((row_number().over(wg.orderBy(col("__t"))) - 1) / blockSize)
+        .cast("long"))
+      .localCheckpoint()
+    // work units: every (blockA <= blockB) pair, per group — a frame of
+    // groups × (m/B)²/2 rows, tiny next to the pair set it keys
+    val units = blocked
+      .groupBy(gNames.map(col): _*).agg(max(col("__blk")).as("__mb"))
+      .withColumn("__ba", explode(sequence(lit(0L), col("__mb"))))
+      .withColumn("__bb", explode(sequence(col("__ba"), col("__mb"))))
+      .select(gNames.map(col) ++ Seq(col("__ba"), col("__bb")): _*)
+    val aPts = blocked.toDF(gNames ++ Seq("__t1", "__y1", "__ba"): _*)
+    val bPts = blocked.toDF(gNames ++ Seq("__t2", "__y2", "__bb"): _*)
+    val dy = col("__y2") - col("__y1")
+    val dx = col("__t2") - col("__t1")
+    // Slope with a LONG fast path and the decimal wide path only past
+    // |dy| > 9.2e12 (where |dy|·10⁶ would wrap): values are identical —
+    // both compute |dy|·10⁶ div dx exactly, truncation == floor on the
+    // non-negative operands — but the long path matters here because the
+    // slope feeds a GROUPING KEY, and aggregate-key codegen re-evaluates
+    // the expression without subexpression elimination (measured ~3× the
+    // projected-column cost with the decimal kernel: +1.1 s at 14.5M
+    // pairs). The dx > 0 guard is load-bearing, not defensive: the
+    // optimizer infers isnotnull(__b) from the bucket join key and
+    // pushes it into the pair join's condition AHEAD of the t1 < t2
+    // conjunct, so an unguarded division would evaluate on dx = 0
+    // self-pairs and throw under ANSI.
+    val slope = when(dx > 0, signum(dy).cast("long") * expr(
+      """CASE WHEN ABS(__y2 - __y1) <= 9223372036854
+           THEN (ABS(__y2 - __y1) * 1000000) div (__t2 - __t1)
+           ELSE CAST((CAST(ABS(__y2 - __y1) AS DECIMAL(38,0)) * 1000000)
+             div (__t2 - __t1) AS BIGINT) END"""))
+    // Both pair-join inputs are explicitly repartitioned on (group,
+    // block) with a FIXED partition count, and the join is forced to
+    // sort-merge. This is load-bearing, not style: the inputs are tiny
+    // (points × avg-block fan ≈ m·(m/B)/2 rows) so left alone AQE
+    // broadcasts the small side and coalesces the exchange to ~1
+    // partition — the m² fan-out happens INSIDE the join, invisible to
+    // AQE's input-size stats, and the whole quadratic build lands back
+    // on one task per group (measured 66.7 s vs 24.8 s flat at 5×2,400
+    // points — worse than the problem). Pinning the exchange on
+    // (g, __bb) spreads the fan-out AND the downstream slope kernel +
+    // histogram partial-agg across the cluster. t1 < t2 is structural
+    // for ba < bb (rank blocks order t) and prunes the intra-block
+    // mirror + duplicate-t pairs exactly as theilSen's filter does.
+    val nP = df.sparkSession.sessionState.conf.numShufflePartitions
+    val fan = aPts
+      .join(units, (gNames :+ "__ba").toSeq)
+      .repartition(nP, gNames.map(col) :+ col("__bb"): _*)
+    val pairs = fan
+      .join(bPts.repartition(nP, gNames.map(col) :+ col("__bb"): _*)
+        .hint("merge"), (gNames :+ "__bb").toSeq)
+      .filter(col("__t1") < col("__t2"))
+    // Median by bucket selection, never a pair-set sort: slopes are
+    // near-unique, so a (g, slope) histogram would shuffle all m²/2 rows
+    // and its median window would sort a whole group in one task
+    // (measured 14 s at 14.5M pairs where the pair build itself costs
+    // 0.7 s). Pass 1 counts pairs per (group, slope div 2^30) — map-side
+    // combined, the exchange carries only non-empty buckets — and finds
+    // the bucket holding the lower-median rank (cnt+1) div 2 plus the
+    // offset within it. If that bucket is cold (≤ 2^18 pairs) the final
+    // pass takes the k-th smallest inside it directly; REAL slope
+    // distributions concentrate (a planted 5×2,450-point line put all
+    // 15M pairs in one 2^30 bucket), so a hot bucket triggers ONE
+    // refinement level at shift 14 before the final selection — the
+    // branch reads a single aggregate of the checkpointed selection
+    // frame (one row per group: driver state bounded by the few-groups
+    // contract). Arithmetic shiftright floors negatives, so buckets
+    // order correctly across zero; mass-tied slopes (every pair
+    // identical) still degrade to one sorted task — exact, documented.
+    val ps = pairs.select(gNames.map(col) :+ slope.as("__s"): _*)
+      .withColumn("__b", expr("shiftright(__s, 30)"))
+    val w = Window.partitionBy(gNames.map(col): _*)
+    // generic one-level picker: per group, the bucket of `bCol` holding
+    // rank `kCol` on the bucket-ascending walk, and the offset inside it
+    def pickBucket(cnts: DataFrame, bCol: String, kExpr: Column => Column)
+        : DataFrame = {
+      val cum = cnts
+        .withColumn("__cum", sum(col("__c")).over(
+          w.orderBy(col(bCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__tot", sum(col("__c")).over(w))
+      val k = kExpr(col("__tot"))
+      cum.filter(col("__cum") >= k && col("__cum") - col("__c") < k)
+        .select(gNames.map(col) ++ Seq(col(bCol),
+          (k - (col("__cum") - col("__c"))).as("__k"),
+          col("__tot"), col("__c").as("__hot")): _*)
+    }
+    // null-safe <=> on the bucket keys is load-bearing: a plain equi-join
+    // makes the optimizer infer isnotnull(__b) and push it into the PAIR
+    // join's condition — re-evaluating the whole slope kernel per
+    // candidate pair inside the join (measured ~2x q253's pair cost)
+    def bucketJoin(left: DataFrame, selFrame: DataFrame, bCol: String,
+        keep: Seq[Column]): DataFrame = {
+      val r = selFrame.select(gNames.map(n => col(n).as(s"__r_$n")) ++
+        (col(bCol).as("__rb") +: keep): _*)
+      left.join(broadcast(r),
+        (gNames.map(n => col(n) === col(s"__r_$n")) :+
+          (col(bCol) <=> col("__rb"))).reduce(_ && _))
+        .drop(gNames.map(n => s"__r_$n") :+ "__rb": _*)
+    }
+    // pass 1 — checkpointed (one row per group) so the hot-bucket branch
+    // and the downstream passes never re-run it
+    val sel = pickBucket(
+      ps.groupBy(gNames.map(col) :+ col("__b"): _*)
+        .agg(count(lit(1)).as("__c")),
+      "__b", _ => expr("(__tot + 1) div 2")).localCheckpoint()
+    val hot = sel.agg(coalesce(max(col("__hot")), lit(0L))).head().getLong(0)
+    val med = (if (hot <= refineThreshold) {
+      // cold bucket: select the __k-th smallest slope inside it
+      bucketJoin(ps, sel, "__b", Seq(col("__k"), col("__tot")))
+        .withColumn("__rn", row_number().over(w.orderBy(col("__s"))))
+        .filter(col("__rn") === col("__k"))
+    } else {
+      // hot bucket: refine within it at shift 14, then select
+      val cand = bucketJoin(ps, sel, "__b", Seq(col("__k"), col("__tot")))
+        .withColumn("__b2", expr("shiftright(__s, 14)"))
+      val sel2 = pickBucket(
+        cand.groupBy(gNames.map(col) :+ col("__b2"): _*)
+          .agg(count(lit(1)).as("__c"), first(col("__k")).as("__k1"),
+            first(col("__tot")).as("__t1_")),
+        "__b2", _ => col("__k1"))
+        .withColumnRenamed("__tot", "__drop").drop("__drop")
+        .join(sel.select(gNames.map(col) :+ col("__tot"): _*), gNames)
+        .localCheckpoint()
+      bucketJoin(cand.drop("__k", "__tot"), sel2, "__b2",
+          Seq(col("__k"), col("__tot")))
+        .withColumn("__rn", row_number().over(w.orderBy(col("__s"))))
+        .filter(col("__rn") === col("__k"))
+    }).select(gNames.map(col) ++ Seq(col("__tot").as("n_pairs"),
+      (col("__s").cast("double") / 1e6).as("slope")): _*)
+    // n_points reads the checkpoint, not `base` — re-deriving base would
+    // re-run the caller's source aggregation a seventh time
+    blocked.groupBy(gNames.map(col): _*).agg(count(lit(1)).as("n_points"))
+      .join(med, gNames, "left")
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++ Seq(col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope")): _*)
+  }
+
   /** Single changepoint detection per series (binary segmentation, one
     * split): the boundary k that maximizes the between-segment SSE
     * reduction — the "when did the metric change regime?" primitive

@@ -279,6 +279,24 @@ object MiningQueries {
           col("n_pairs"), col("slope"))
     }),
 
+    // The DAILY series q243 re-based away from, run head-on: ~2,400
+    // points per priority → ~14.8M pairs, block-decomposed so the
+    // quadratic pair build spreads over (group, block-pair) tasks
+    // instead of one task per group (24.8 s → multi-task; same
+    // estimator bit-for-bit, same oracle shape minus the //7).
+    "q253_theil_sen_daily" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      Journey.theilSenBlocked(daily, Seq(col("o_orderpriority")),
+          col("day"), col("rev"), blockSize = 256)
+        .select(col("g0").as("o_orderpriority"), col("n_points"),
+          col("n_pairs"), col("slope"))
+    }),
+
     // Top-10 parts by shipped quantity with the long tail pooled into
     // one __other__ row — rank via bounded broadcast self-join, never a
     // global window.
@@ -654,6 +672,34 @@ object MiningQueries {
       """WITH d0 AS (SELECT o_orderpriority AS g,
              CAST(DATEDIFF('day', DATE '1970-01-01',
                CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS t,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         se AS (SELECT g, t, SUM(v) AS y FROM d0 GROUP BY 1, 2),
+         pr AS (SELECT a.g,
+             (CASE WHEN b.y < a.y THEN -1 WHEN b.y > a.y THEN 1 ELSE 0 END)
+               * CAST((ABS(CAST(b.y AS HUGEINT) - a.y) * 1000000)
+                 // (b.t - a.t) AS BIGINT) AS s
+           FROM se a JOIN se b ON a.g = b.g AND a.t < b.t),
+         r AS (SELECT g, s,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS cnt
+           FROM pr),
+         m AS (SELECT g, cnt AS n_pairs,
+             CAST(s AS DOUBLE) / 1000000.0 AS slope
+           FROM r WHERE rn = (cnt + 1) // 2),
+         np AS (SELECT g, COUNT(*) AS n_points FROM se GROUP BY 1)
+         SELECT np.g AS o_orderpriority, np.n_points,
+           COALESCE(m.n_pairs, 0) AS n_pairs, m.slope
+         FROM np LEFT JOIN m ON np.g = m.g""",
+
+    // q243's oracle on the daily grain (no //7): the oracle replays the
+    // flat per-group pair join — block decomposition is a Spark
+    // execution concern, the estimator is identical
+    "q253_theil_sen_daily" ->
+      """WITH d0 AS (SELECT o_orderpriority AS g,
+             CAST(DATEDIFF('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
            FROM orders
            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),

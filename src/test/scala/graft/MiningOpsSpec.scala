@@ -357,6 +357,54 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(single.getAs[Any]("slope") == null)
   }
 
+  test("theilSenBlocked: bit-identical to theilSen across block shapes") {
+    val rnd = new scala.util.Random(17)
+    // 3 groups x 500 noisy points: planted slopes 3, -7, 0 with outliers
+    val rows = for {
+      (g, m) <- Seq(("a", 3L), ("b", -7L), ("c", 0L))
+      t <- 1L to 500L
+    } yield (g, t, m * t + rnd.nextInt(40) -
+      (if (rnd.nextInt(50) == 0) 100000L else 0L))
+    val df = rows.toDF("k", "t", "y")
+    val flat = Journey.theilSen(df, Seq(col("k")), col("t"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // blockSize spanning one-block (degenerate), uneven tail, and tiny
+    for (bs <- Seq(2, 33, 128, 1000)) {
+      val blocked = Journey.theilSenBlocked(df, Seq(col("k")), col("t"),
+          col("y"), blockSize = bs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(blocked === flat, s"estimator diverged at blockSize=$bs")
+    }
+    // and with a tiny refineThreshold every group takes the hot-bucket
+    // refinement pass (real slope distributions concentrate: a planted
+    // line puts nearly all pairs in one 2^30 bucket) — still identical
+    val refined = Journey.theilSenBlocked(df, Seq(col("k")), col("t"),
+        col("y"), blockSize = 64, refineThreshold = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(refined === flat, "estimator diverged on the refinement path")
+    // and the pair build really decomposes: the physical plan must key
+    // an exchange on the block id (__ba/__bb), i.e. the heavy join
+    // partitions by (group, block), never by group alone
+    val plan = Journey.theilSenBlocked(df, Seq(col("k")), col("t"),
+        col("y"), blockSize = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bb") && plan.contains("__ba"),
+      "pair build no longer keys its exchanges on block ids")
+  }
+
+  test("theilSenBlocked: single-point group -> null slope, like theilSen") {
+    val rows = Seq(("g", 1L, 1L), ("h", 1L, 1L), ("h", 2L, 5L))
+    val out = Journey.theilSenBlocked(rows.toDF("k", "t", "y"),
+      Seq(col("k")), col("t"), col("y"), blockSize = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Long]("n_pairs") == 0L)
+    assert(out("g").getAs[Any]("slope") == null)
+    assert(out("h").getAs[Double]("slope") == 4.0)
+  }
+
   test("topNOther: ranks by (total desc, key asc), pools the tail") {
     val df = Seq(("a", 5L), ("a", 5L), ("b", 10L), ("c", 10L), ("d", 3L),
       ("e", 2L), ("e", 1L)).toDF("k", "w")
