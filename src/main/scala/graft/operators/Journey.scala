@@ -262,6 +262,65 @@ object Journey {
         count(lit(1)).as("n"))
   }
 
+  /** Per-key Holt double-exponential smoothing in fixed point — the
+    * trend companion to [[ewmaFixed]] (level-only) the forecasting
+    * family lacked: EWMA tracks a level, Holt tracks level AND slope, so
+    * a steadily-growing series forecasts ahead instead of lagging.
+    *
+    *   level' = (x·2²⁰ + (da−1)·(level + trend)) fdiv da   (α = 1/da)
+    *   trend' = ((level' − level) + (db−1)·trend) fdiv db  (β = 1/db)
+    *
+    * seeded (level = x₁·2²⁰, trend = 0). The trend (and hence the level
+    * numerator) goes NEGATIVE on declining series even when every x is
+    * positive, so the division sign convention is part of the contract:
+    * both steps use TRUNCATING division (the [[ewmaFixed]] `%` idiom),
+    * which is what DuckDB's integer `//` does (verified: −7 // 2 = −3)
+    * and what a Scala reference fold's `/` does. Integer end to end:
+    * the recursion replays exactly cross-engine (q254 unrolls it in a
+    * list_reduce). One shuffle on the key, (ts, tiebreak)-ordered fold
+    * like [[funnel]]/[[ewmaFixed]]; per-key series bounded by contract
+    * (the q190 grain).
+    *
+    * @param da level denominator (α = 1/da); db trend denominator
+    * @return (key, n, level_fp, trend_fp, forecast_fp = level + trend),
+    *   all scaled by 2²⁰
+    */
+  def holtFixed(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      value: Column,
+      da: Int,
+      db: Int): DataFrame = {
+    require(da >= 2 && db >= 2, s"denominators must be >= 2: $da, $db")
+    def fdiv(a: Column, d: Int): Column = expr_div(a, d.toLong)
+    val scaled = events
+      .select(key.as("key"), unix_micros(ts).as("__t"),
+        tiebreak.as("__tb"), value.cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    val seedMark = Long.MinValue
+    scaled
+      .groupBy(col("key"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("__t"), col("__tb"), col("__x")))),
+          struct(lit(seedMark).as("l"), lit(0L).as("b")),
+          (acc, e) => {
+            val xq = e.getField("__x") * (1L << 20)
+            val l0 = acc.getField("l")
+            val b0 = acc.getField("b")
+            val l1 = fdiv(xq + (l0 + b0) * (da - 1), da)
+            val b1 = fdiv((l1 - l0) + b0 * (db - 1), db)
+            when(l0 === seedMark, struct(xq.as("l"), lit(0L).as("b")))
+              .otherwise(struct(l1.as("l"), b1.as("b")))
+          }).as("__st"),
+        count(lit(1)).as("n"))
+      .select(col("key"), col("n"),
+        col("__st.l").as("level_fp"), col("__st.b").as("trend_fp"),
+        (col("__st.l") + col("__st.b")).as("forecast_fp"))
+  }
+
   /** Per-key one-sided CUSUM changepoint detection in exact integers:
     * `s' = max(0, s + x − target)`; crossing `threshold` raises an alarm
     * and restarts the statistic (the standard restart scheme). All state

@@ -376,6 +376,17 @@ object WarehouseQueries {
           col("event_id"), (dec(col("value")) * 100).cast("long"), d = 4)
         .select(col("key").as("user_id"), col("n"), col("ewma_fp"))),
 
+    // Holt double-exponential smoothing (alpha = 1/4, beta = 1/5) of
+    // event value cents per user — q190's trend companion: level AND
+    // slope in exact fixed point, floor-div both engines (the trend
+    // goes negative on declining series).
+    "q254_holt" -> ((s, dir) =>
+      Journey.holtFixed(ev(s, dir), col("user_id"), col("ts"),
+          col("event_id"), (dec(col("value")) * 100).cast("long"),
+          da = 4, db = 5)
+        .select(col("key").as("user_id"), col("n"), col("level_fp"),
+          col("trend_fp"), col("forecast_fp"))),
+
     // Exact z-score outliers (k=3) per event type — the test cleared of
     // division, evaluated in DECIMAL(38,0), boundary rows deterministic.
     "q191_outliers" -> ((s, dir) =>
@@ -1110,6 +1121,37 @@ object WarehouseQueries {
          SELECT user_id, CAST(n AS BIGINT) AS n,
            CAST(list_reduce(xs, (a, x) -> (x + 3 * a) // 4) AS BIGINT) AS ewma_fp
          FROM g""",
+
+    // The Holt recursion replayed as a recursive CTE over per-user event
+    // ranks — one iteration per series position, state = (level, trend).
+    // NOT a list_reduce: DuckDB 1.0 evaluates a multi-field struct
+    // accumulator's fields sequentially WITH IN-PLACE ALIASING (the
+    // second field's a.l reads the first field's fresh output — verified
+    // with debug fields), so any struct-state lambda fold where a later
+    // field reads an earlier-overwritten one silently diverges. `//`
+    // truncates toward zero, matching holtFixed's `%` idiom and a Scala
+    // reference fold.
+    "q254_holt" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS i,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+         FROM events),
+         st AS (
+           SELECT user_id, n, CAST(1 AS BIGINT) AS i, x * 1048576 AS l,
+             CAST(0 AS BIGINT) AS b
+           FROM e WHERE i = 1
+           UNION ALL
+           SELECT st.user_id, st.n, st.i + 1,
+             (e.x * 1048576 + 3 * (st.l + st.b)) // 4,
+             (((e.x * 1048576 + 3 * (st.l + st.b)) // 4 - st.l)
+               + 4 * st.b) // 5
+           FROM st JOIN e ON e.user_id = st.user_id AND e.i = st.i + 1
+         )
+         SELECT user_id, CAST(n AS BIGINT) AS n, l AS level_fp,
+           b AS trend_fp, l + b AS forecast_fp
+         FROM st WHERE i = n""",
 
     "q191_outliers" ->
       """WITH e AS (SELECT event_type,

@@ -153,6 +153,66 @@ class JourneySpec extends AnyFunSuite {
     assert(a == b && a.size == 20)
   }
 
+  /** Scalar reference for [[Journey.holtFixed]]: level/trend recursion
+    * with truncating division (Scala `/` == DuckDB `//`).
+    */
+  private def holtRef(xs: Seq[Long], da: Long, db: Long): (Long, Long) = {
+    val q = 1L << 20
+    xs.tail.foldLeft((xs.head * q, 0L)) { case ((l, b), x) =>
+      val l1 = (x * q + (da - 1) * (l + b)) / da
+      val b1 = ((l1 - l) + (db - 1) * b) / db
+      (l1, b1)
+    }
+  }
+
+  test("holtFixed: fold matches the scalar level+trend recursion exactly") {
+    val xs = Seq(400L, 500L, 610L, 690L, 820L, 900L) // steady growth
+    val evs = xs.zipWithIndex.map { case (x, i) =>
+      (1L, ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, x)
+    }.toDF("u", "t", "id", "x")
+    val got = Journey.holtFixed(evs, col("u"), col("t"), col("id"),
+        col("x"), da = 4, db = 5)
+      .select("level_fp", "trend_fp", "forecast_fp", "n")
+      .as[(Long, Long, Long, Long)].head()
+    val (l, b) = holtRef(xs, 4, 5)
+    assert(got == ((l, b, l + b, 6L)))
+    assert(b > 0) // a growing series must carry positive trend
+  }
+
+  test("holtFixed: declining series — negative trend, truncating division") {
+    val xs = Seq(900L, 700L, 450L, 300L, 90L)
+    val evs = xs.zipWithIndex.map { case (x, i) =>
+      (1L, ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, x)
+    }.toDF("u", "t", "id", "x")
+    val got = Journey.holtFixed(evs, col("u"), col("t"), col("id"),
+        col("x"), da = 4, db = 5)
+      .select("level_fp", "trend_fp").as[(Long, Long)].head()
+    val (l, b) = holtRef(xs, 4, 5)
+    assert(got == ((l, b)))
+    assert(b < 0) // the negative-numerator division path is exercised
+  }
+
+  test("holtFixed: single event seeds (level = x*2^20, trend = 0)") {
+    val evs = Seq((1L, ts("2024-01-01 10:00:00"), 1L, 42L))
+      .toDF("u", "t", "id", "x")
+    val got = Journey.holtFixed(evs, col("u"), col("t"), col("id"),
+        col("x"), da = 4, db = 5)
+      .select("level_fp", "trend_fp", "n").as[(Long, Long, Long)].head()
+    assert(got == ((42L << 20, 0L, 1L)))
+  }
+
+  test("holtFixed: partition-independent") {
+    val evs = (1L to 2000L).map(i =>
+      (i % 20, ts(f"2024-01-${1 + (i % 25)}%02d 10:00:00"), i,
+        (i % 777) - 300))
+      .toDF("u", "t", "id", "x")
+    val a = Journey.holtFixed(evs, col("u"), col("t"), col("id"),
+      col("x"), 4, 5).collect().map(_.toSeq).toSet
+    val b = Journey.holtFixed(evs.repartition(17), col("u"), col("t"),
+      col("id"), col("x"), 4, 5).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 20)
+  }
+
   test("cusum: accumulate-above-target, alarm-and-restart, scalar parity") {
     // target 10, threshold 25: xs drift the statistic up, alarm resets
     val xs = Seq(20L, 20L, 20L, 5L, 30L, 40L, 0L)
