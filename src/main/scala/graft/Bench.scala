@@ -245,8 +245,12 @@ object Bench {
           name -> d.times.min
         } catch {
           case e: Throwable =>
-            // surface failures as -1, never as a plausible timing
+            // surface failures as -1, never as a plausible timing — and
+            // STILL drain: a failed query's pinned blocks and dead refs
+            // would otherwise contaminate the next timed query, exactly
+            // the cross-query pollution the drain exists to prevent
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            interQueryCleanup(): Unit
             name -> -1.0
         }
       }

@@ -1784,16 +1784,20 @@ object Stress {
         .count()
       require(bad == 0, s"$tag medians outside the t*bits envelope: $bad")
     }
+    // warm untimed, then ONE measured run — wrapping a min-of-2 inside
+    // shuffleBytes would sum BOTH executions' exchanges and report 2x
+    def buildStats(): (Long, Long) = {
+      val regs = QuantileDigest.registers(
+        rows, Seq(col("g")), col("v"), bits, k)
+      val m = regs.groupBy(col("g")).agg(count(lit(1)).as("sz"),
+          sum(col("cnt")).as("mass"))
+        .agg(max(col("sz")), sum(col("mass"))).head()
+      (m.getLong(0), m.getLong(1))
+    }
+    buildStats(): Unit
     val (sz, bBytes) = shuffleBytes(spark.sparkContext) {
       var r = (0L, 0L)
-      time(s"qdigest_build_${n / 1000000}M") {
-        val regs = QuantileDigest.registers(
-          rows, Seq(col("g")), col("v"), bits, k)
-        val m = regs.groupBy(col("g")).agg(count(lit(1)).as("sz"),
-            sum(col("cnt")).as("mass"))
-          .agg(max(col("sz")), sum(col("mass"))).head()
-        r = (m.getLong(0), m.getLong(1))
-      }
+      time(s"qdigest_build_${n / 1000000}M", runs = 1) { r = buildStats() }
       r
     }
     println(f"[stress] qdigest build: max group size ${sz._1} registers " +
@@ -1808,13 +1812,15 @@ object Stress {
     val shardRegs = QuantileDigest.registers(
       rows, Seq(col("g"), col("shard")), col("v"), bits, k)
       .localCheckpoint() // isolate the merge's own shuffle in the receipt
+    def mergeStats(): (Long, Long) = {
+      val merged = QuantileDigest.merge(shardRegs, Seq(col("g")), bits, k)
+      val m = merged.agg(sum(col("cnt")), count(lit(1))).head()
+      (m.getLong(0), m.getLong(1))
+    }
+    mergeStats(): Unit // warm; one measured run below (no 2x bytes)
     val (mOut, mBytes) = shuffleBytes(spark.sparkContext) {
       var r = (0L, 0L)
-      time(s"qdigest_merge_${n / 1000000}M") {
-        val merged = QuantileDigest.merge(shardRegs, Seq(col("g")), bits, k)
-        val m = merged.agg(sum(col("cnt")), count(lit(1))).head()
-        r = (m.getLong(0), m.getLong(1))
-      }
+      time(s"qdigest_merge_${n / 1000000}M", runs = 1) { r = mergeStats() }
       r
     }
     println(f"[stress] qdigest merge: mass ${mOut._1}, ${mOut._2} registers " +
@@ -1846,10 +1852,12 @@ object Stress {
       .localCheckpoint()
     def run(tag: String)(df: => org.apache.spark.sql.DataFrame): Map[String, Double] = {
       var out: Map[String, Double] = null
+      // warm untimed (codegen-cold first run inflates 3-7x and this
+      // receipt compares task SHAPES, not JIT warmup), then ONE measured
+      // run — min-of-2 inside shuffleBytes would report 2x the bytes
+      df.collect(): Unit
       val (_, bytes) = shuffleBytes(spark.sparkContext) {
-        // min-of-2: the codegen-cold first run inflates 3-7x and this
-        // receipt compares task SHAPES, not JIT warmup
-        time(s"theilsen_${tag}_${n / 1000000}M_pairs") {
+        time(s"theilsen_${tag}_${n / 1000000}M_pairs", runs = 1) {
           out = df.collect()
             .map(r => r.getString(0) -> r.getAs[Double]("slope")).toMap
         }

@@ -58,6 +58,10 @@ object SessionHygiene {
       }.getOrElse(-1L)
     } catch { case _: Throwable => -1L }
 
+  /** Calls made while the queue probe is unreadable (-1) — drives the
+    * degraded every-8th-call GC cadence. */
+  private val blindCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Receipt for one [[drain]] call: queue depth before, depth when the
     * wait settled, whether a GC was forced, wall millis spent waiting.
     */
@@ -93,13 +97,21 @@ object SessionHygiene {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     val before = cleanerQueueDepth(spark)
-    if (before >= 0 && before <= gcThreshold)
+    if (before < 0) {
+      // internals unreadable (Spark moved referenceBuffer): degrade to
+      // the round-8 every-8-calls cadence rather than a full GC per
+      // call — the probe going dark must not silently impose 100-500 ms
+      // of stop-the-world per query (SessionHygieneSpec pins the probe
+      // working on the bundled Spark, so this path is a safety net)
+      val n = blindCalls.incrementAndGet()
+      val doGc = n % 8 == 0
+      if (doGc) System.gc()
+      return DrainStats(before, before, gcRan = doGc, waitedMs = 0)
+    }
+    if (before <= gcThreshold)
       return DrainStats(before, before, gcRan = false, waitedMs = 0)
     val t0 = System.nanoTime()
     System.gc()
-    if (before < 0) // internals unreadable: GC on demand, can't wait on it
-      return DrainStats(before, before, gcRan = true,
-        waitedMs = (System.nanoTime() - t0) / 1000000L)
     var depth = cleanerQueueDepth(spark)
     var stale = 0
     var gcs = 1

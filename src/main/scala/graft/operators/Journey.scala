@@ -276,8 +276,12 @@ object Journey {
     * both steps use TRUNCATING division (the [[ewmaFixed]] `%` idiom),
     * which is what DuckDB's integer `//` does (verified: −7 // 2 = −3)
     * and what a Scala reference fold's `/` does. Integer end to end:
-    * the recursion replays exactly cross-engine (q254 unrolls it in a
-    * list_reduce). One shuffle on the key, (ts, tiebreak)-ordered fold
+    * the recursion replays exactly cross-engine — q254's oracle replays
+    * it as a RECURSIVE CTE over per-key event ranks, deliberately NOT a
+    * list_reduce (DuckDB 1.0 aliases a multi-field struct accumulator
+    * in place: a later struct_pack field reads an earlier field's fresh
+    * output, silently corrupting any struct-state lambda fold). One
+    * shuffle on the key, (ts, tiebreak)-ordered fold
     * like [[funnel]]/[[ewmaFixed]]; per-key series bounded by contract
     * (the q190 grain).
     *

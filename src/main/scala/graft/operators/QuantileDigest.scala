@@ -65,8 +65,14 @@ object QuantileDigest {
   /** Merge register tables down to coarser groups (or one global digest):
     * per-(lvl, cell) count sums, then one recompression at the combined
     * threshold. Input registers must have been built with the same
-    * `bits`; `k` may differ (a smaller merge-k coarsens honestly — the
-    * bound is t·bits at the MERGE's t).
+    * `bits`. `k` may be SMALLER than the build k (coarsens honestly —
+    * the bound is t·bits at the merge's t) but must NOT be larger: a
+    * larger merge-k shrinks t below what the shard compressions
+    * enforced, so summed internal nodes can carry ≥ t mass and the
+    * < t·bits rank bound silently no longer holds. As with
+    * [[Sketches.kmvMerge]], the violation is NOT detectable from the
+    * registers alone (an internal node's mass does not say which k
+    * shaped it) — the contract is the caller's.
     */
   def merge(
       registers: DataFrame, groupCols: Seq[Column],
@@ -94,6 +100,13 @@ object QuantileDigest {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1]: $qs")
     val names = registers.select(groupCols: _*).columns.toSeq
+    // fail-loud like registers/merge: withColumn("q", explode(...)) on a
+    // group column named q would silently REPLACE it (group identity
+    // destroyed, quantile fractions where keys should be)
+    val qReserved = Set("q", "est", "n_rows", "__upper", "__cum", "__n")
+    val qClash = names.filter(qReserved.contains)
+    require(qClash.isEmpty,
+      s"quantiles group columns must not be named: ${qClash.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(names.map(col): _*)
     // DataFrame shiftleft() takes a literal shift; the SQL form takes a

@@ -405,13 +405,14 @@ object TableOps {
       i <- names.indices; j <- i until names.size
     } yield (names(i), names(j))
     // the integer-mean shift leaves residual sums T_x = Σx − n·(Σx div n)
-    // in (−n, n) — Spark's `div` truncates toward zero, so a NEGATIVE
-    // column sum leaves T_x in (−n, 0] where DuckDB's flooring `//` would
-    // leave [0, n), and the two engines' integer means can differ by 1.
-    // Correctness does NOT rest on matching means: num/d1/d2 below are
-    // exactly shift-invariant (n·Σab − ΣaΣb is unchanged by any constant
-    // shift of a or b), so the classical correction terms absorb whichever
-    // mean each engine used; T_x is tiny but NOT zero, so they stay.
+    // in (−n, n): both engines' integer division TRUNCATES toward zero
+    // (Spark div; DuckDB // — verified −7//2 = −3 incl. HUGEINT), so a
+    // NEGATIVE column sum leaves T_x in (−n, 0] and a positive one in
+    // [0, n), identically on both sides. Correctness does not even rest
+    // on that agreement: num/d1/d2 below are exactly shift-invariant
+    // (n·Σab − ΣaΣb is unchanged by any constant shift of a or b), so
+    // the classical correction terms absorb any integer mean; T_x is
+    // tiny but NOT zero, so they stay.
     val stats = centered.groupBy(col("__n")).agg(
       sum(dec(col(names.head))).as(s"__t_${names.head}"),
       names.tail.map(n => sum(dec(col(n))).as(s"__t_$n")) ++

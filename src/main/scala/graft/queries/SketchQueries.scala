@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * compression, unrolled one CTE block per level (the q145/q241
   * unrolled-recurrence discipline).
   *
-  * Value domain: order totals in 8-dollar units — `floor(o_totalprice/8)`
-  * is exact on both engines (dividing a double by 8 is exponent
-  * arithmetic, no mantissa rounding) and fits the 16-bit universe
-  * (max total ≈ 500k → cell ≈ 62.5k < 65536).
+  * Value domain: order totals in 16-dollar units —
+  * `floor(o_totalprice/16)` is exact on both engines (dividing a double
+  * by 16 is exponent arithmetic, no mantissa rounding) and fits the
+  * 16-bit universe with real headroom: the TPC-H price distribution is
+  * scale-factor independent with a documented max ≈ 555k (theoretical
+  * ~793k) — /16 caps the cell at ~49.6k < 65,536 at ANY sf, where the
+  * earlier /8 left only 4.6% headroom above the sf0.01 observation and
+  * would fail loud on larger data.
   */
 object SketchQueries {
 
@@ -73,7 +77,7 @@ object SketchQueries {
           AS t FROM ${p}s0 GROUP BY g)""" +:
       (0 until Bits).map(qdStepSql(p, _))).mkString(",\n       ")
 
-  private val v8Sql = "CAST(FLOOR(o_totalprice / 8) AS BIGINT)"
+  private val v16Sql = "CAST(FLOOR(o_totalprice / 16) AS BIGINT)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q-digest registers per order priority — the build path: one
@@ -84,8 +88,8 @@ object SketchQueries {
       val o = Tables.load(s, dir, "orders")
         .filter(col("o_totalprice").isNotNull)
         .select(col("o_orderpriority").as("prio"),
-          floor(col("o_totalprice") / 8).cast("long").as("v8"))
-      QuantileDigest.registers(o, Seq(col("prio")), col("v8"), Bits, K)
+          floor(col("o_totalprice") / 16).cast("long").as("v16"))
+      QuantileDigest.registers(o, Seq(col("prio")), col("v16"), Bits, K)
     }),
 
     // The merge law: shard digests (orderkey mod 4) merged down to the
@@ -97,16 +101,16 @@ object SketchQueries {
         .filter(col("o_totalprice").isNotNull)
         .select(col("o_orderpriority").as("prio"),
           pmod(col("o_orderkey"), lit(4)).as("shard"),
-          floor(col("o_totalprice") / 8).cast("long").as("v8"))
+          floor(col("o_totalprice") / 16).cast("long").as("v16"))
       val shardDigests = QuantileDigest.registers(
-        o, Seq(col("prio"), col("shard")), col("v8"), Bits, K)
+        o, Seq(col("prio"), col("shard")), col("v16"), Bits, K)
       QuantileDigest.merge(shardDigests, Seq(col("prio")), Bits, K)
     }))
 
   def oracles: Map[String, String] = Map(
     "q251_qdigest_registers" ->
       s"""WITH as0 AS MATERIALIZED (SELECT o_orderpriority AS g,
-             CAST(0 AS INT) AS lvl, $v8Sql AS cell,
+             CAST(0 AS INT) AS lvl, $v16Sql AS cell,
              CAST(COUNT(*) AS BIGINT) AS cnt, FALSE AS fin
            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 3),
          ${qdCompressSql("a")}
@@ -118,7 +122,7 @@ object SketchQueries {
     "q252_qdigest_merge" ->
       s"""WITH as0 AS MATERIALIZED (SELECT
              o_orderpriority || '|' || CAST(o_orderkey % 4 AS VARCHAR) AS g,
-             CAST(0 AS INT) AS lvl, $v8Sql AS cell,
+             CAST(0 AS INT) AS lvl, $v16Sql AS cell,
              CAST(COUNT(*) AS BIGINT) AS cnt, FALSE AS fin
            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 3),
          ${qdCompressSql("a")},
