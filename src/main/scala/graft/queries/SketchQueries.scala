@@ -105,6 +105,21 @@ object SketchQueries {
       val shardDigests = QuantileDigest.registers(
         o, Seq(col("prio"), col("shard")), col("v16"), Bits, K)
       QuantileDigest.merge(shardDigests, Seq(col("prio")), Bits, K)
+    }),
+
+    // The user-facing answers: quantile estimates off the digest —
+    // the (upper, lvl)-ordered mass walk is as deterministic as the
+    // registers it reads, so the third leg of the sketch contract
+    // (build, merge, QUERY) sits on the oracle surface too.
+    "q255_qdigest_quantiles" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") / 16).cast("long").as("v16"))
+      val regs = QuantileDigest.registers(o, Seq(col("prio")), col("v16"),
+        Bits, K)
+      QuantileDigest.quantiles(regs, Seq(col("prio")),
+        Seq(0.25, 0.5, 0.9, 0.99))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -130,5 +145,30 @@ object SketchQueries {
              CAST(SUM(cnt) AS BIGINT) AS cnt, FALSE AS fin
            FROM as$Bits GROUP BY 1, 2, 3),
          ${qdCompressSql("b")}
-         SELECT g AS prio, lvl, cell, cnt FROM bs$Bits""")
+         SELECT g AS prio, lvl, cell, cnt FROM bs$Bits""",
+
+    // the quantile walk over the same digest: nodes ordered by (range
+    // upper end, level), cumulative mass, smallest upper reaching
+    // ceil(q*n) — CAST the q literals to DOUBLE (a bare 0.25 is
+    // DECIMAL(3,2) in DuckDB and the q column must hash as double)
+    "q255_qdigest_quantiles" ->
+      s"""WITH as0 AS MATERIALIZED (SELECT o_orderpriority AS g,
+             CAST(0 AS INT) AS lvl, $v16Sql AS cell,
+             CAST(COUNT(*) AS BIGINT) AS cnt, FALSE AS fin
+           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 3),
+         ${qdCompressSql("a")},
+         dg AS (SELECT g, lvl, cnt,
+             (cell + 1) * CAST(1 << lvl AS BIGINT) - 1 AS upper
+           FROM as$Bits),
+         w AS (SELECT g, upper,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY upper, lvl
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+           FROM dg),
+         qq AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.25), (0.5), (0.9), (0.99)) AS t(q))
+         SELECT w.g AS prio, qq.q, CAST(MIN(w.upper) AS BIGINT) AS est,
+           CAST(MIN(w.n) AS BIGINT) AS n_rows
+         FROM w JOIN qq ON w.cum >= CEIL(qq.q * w.n)
+         GROUP BY 1, 2""")
 }
