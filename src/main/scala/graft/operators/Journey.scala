@@ -248,17 +248,25 @@ object Journey {
       .select(key.as("key"), unix_micros(ts).as("__t"),
         tiebreak.as("__tb"), value.cast("long").as("__x"))
       .filter(col("__t").isNotNull && col("__x").isNotNull)
+    // explicit seeded flag, NOT a sentinel value: a first value of
+    // exactly -2^43 would quantize to Long.MinValue and a sentinel
+    // check would silently re-seed mid-series (diverging from the
+    // sentinel-free oracle); the flag costs one boolean in the fold
     scaled
       .groupBy(col("key"))
       .agg(
         aggregate(
           sort_array(collect_list(struct(col("__t"), col("__tb"), col("__x")))),
-          lit(Long.MinValue),
+          struct(lit(0L).as("v"), lit(false).as("seeded")),
           (acc, e) => {
             val xq = e.getField("__x") * (1L << 20)
-            when(acc === Long.MinValue, xq)
-              .otherwise(expr_div(xq + acc * (d - 1), d))
-          }).as("ewma_fp"),
+            when(!acc.getField("seeded"),
+              struct(xq.as("v"), lit(true).as("seeded")))
+              .otherwise(struct(
+                expr_div(xq + acc.getField("v") * (d - 1), d).as("v"),
+                lit(true).as("seeded")))
+          },
+          acc => acc.getField("v")).as("ewma_fp"),
         count(lit(1)).as("n"))
   }
 
@@ -285,6 +293,12 @@ object Journey {
     * like [[funnel]]/[[ewmaFixed]]; per-key series bounded by contract
     * (the q190 grain).
     *
+    * Envelope: every intermediate is a long — with |x| < 2^40 the worst
+    * numerator |x·2²⁰·(1 + (da−1))| stays under 2^63 for da, db ≤ 16;
+    * past that the session's ANSI arithmetic (Spark 4 default, never
+    * disabled by GraftSession) fails loud, matching the oracle's BIGINT
+    * overflow — neither engine wraps silently.
+    *
     * @param da level denominator (α = 1/da); db trend denominator
     * @return (key, n, level_fp, trend_fp, forecast_fp = level + trend),
     *   all scaled by 2²⁰
@@ -303,21 +317,24 @@ object Journey {
       .select(key.as("key"), unix_micros(ts).as("__t"),
         tiebreak.as("__tb"), value.cast("long").as("__x"))
       .filter(col("__t").isNotNull && col("__x").isNotNull)
-    val seedMark = Long.MinValue
+    // explicit seeded flag, NOT a sentinel (the ewmaFixed rationale: a
+    // legitimate level of exactly Long.MinValue must not re-seed)
     scaled
       .groupBy(col("key"))
       .agg(
         aggregate(
           sort_array(collect_list(struct(col("__t"), col("__tb"), col("__x")))),
-          struct(lit(seedMark).as("l"), lit(0L).as("b")),
+          struct(lit(0L).as("l"), lit(0L).as("b"), lit(false).as("seeded")),
           (acc, e) => {
             val xq = e.getField("__x") * (1L << 20)
             val l0 = acc.getField("l")
             val b0 = acc.getField("b")
             val l1 = fdiv(xq + (l0 + b0) * (da - 1), da)
             val b1 = fdiv((l1 - l0) + b0 * (db - 1), db)
-            when(l0 === seedMark, struct(xq.as("l"), lit(0L).as("b")))
-              .otherwise(struct(l1.as("l"), b1.as("b")))
+            when(!acc.getField("seeded"),
+              struct(xq.as("l"), lit(0L).as("b"), lit(true).as("seeded")))
+              .otherwise(
+                struct(l1.as("l"), b1.as("b"), lit(true).as("seeded")))
           }).as("__st"),
         count(lit(1)).as("n"))
       .select(col("key"), col("n"),
@@ -613,12 +630,14 @@ object Journey {
       // hot bucket: refine within it at shift 14, then select
       val cand = bucketJoin(ps, sel, "__b", Seq(col("__k"), col("__tot")))
         .withColumn("__b2", expr("shiftright(__s, 14)"))
+      // pickBucket's own __tot here is the CANDIDATE count (bucket-1
+      // mass), not the pair total — drop it and re-join the true total
+      // from the level-1 selection
       val sel2 = pickBucket(
         cand.groupBy(gNames.map(col) :+ col("__b2"): _*)
-          .agg(count(lit(1)).as("__c"), first(col("__k")).as("__k1"),
-            first(col("__tot")).as("__t1_")),
+          .agg(count(lit(1)).as("__c"), first(col("__k")).as("__k1")),
         "__b2", _ => col("__k1"))
-        .withColumnRenamed("__tot", "__drop").drop("__drop")
+        .drop("__tot")
         .join(sel.select(gNames.map(col) :+ col("__tot"): _*), gNames)
         .localCheckpoint()
       bucketJoin(cand.drop("__k", "__tot"), sel2, "__b2",
