@@ -342,6 +342,88 @@ object Journey {
         (col("__st.l") + col("__st.b")).as("forecast_fp"))
   }
 
+  /** Per-key Holt–Winters ADDITIVE triple-exponential smoothing in fixed
+    * point — the seasonality member completing the forecasting family
+    * (EWMA = level, [[holtFixed]] = level+trend, this = level+trend+
+    * period-p seasonal components):
+    *
+    *   j      = (t−1) mod p                    (0-based seasonal slot)
+    *   level' = ((x·2²⁰ − s[j]) + (da−1)·(level+trend)) tdiv da
+    *   trend' = ((level' − level) + (db−1)·trend)       tdiv db
+    *   s[j]'  = ((x·2²⁰ − level') + (dc−1)·s[j])        tdiv dc
+    *
+    * seeded (level = x₁·2²⁰, trend = 0, s = 0ᵖ) — the zero seasonal
+    * seed keeps the recursion a pure deterministic function of the
+    * series (no within-period averaging variant to disagree about);
+    * early steps behave like Holt and the seasonal vector absorbs the
+    * residual pattern as slots revisit. All divisions TRUNCATING
+    * ([[holtFixed]]'s contract — components go negative freely). The
+    * oracle replays it as a recursive CTE carrying the seasonal LIST
+    * per state row (q256; the q254 recursive-CTE discipline — never a
+    * struct-state list_reduce). Envelope: |x| < 2^40 as in
+    * [[holtFixed]]; ANSI fails loud on both engines past it.
+    *
+    * @return (key, n, level_fp, trend_fp, season_fp, forecast_fp) —
+    *   season_fp is the slot the NEXT step would use (j = n mod p) and
+    *   forecast_fp = level + trend + season, all scaled by 2²⁰
+    */
+  def holtWintersFixed(
+      events: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      value: Column,
+      period: Int,
+      da: Int,
+      db: Int,
+      dc: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    require(da >= 2 && db >= 2 && dc >= 2,
+      s"denominators must be >= 2: $da, $db, $dc")
+    def fdiv(a: Column, d: Int): Column = expr_div(a, d.toLong)
+    val scaled = events
+      .select(key.as("key"), unix_micros(ts).as("__t"),
+        tiebreak.as("__tb"), value.cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    scaled
+      .groupBy(col("key"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("__t"), col("__tb"), col("__x")))),
+          struct(lit(0L).as("l"), lit(0L).as("b"),
+            array_repeat(lit(0L), period).as("s"),
+            lit(0L).as("i"), lit(false).as("seeded")),
+          (acc, e) => {
+            val xq = e.getField("__x") * (1L << 20)
+            val l0 = acc.getField("l")
+            val b0 = acc.getField("b")
+            val s0 = acc.getField("s")
+            val i0 = acc.getField("i")
+            // slot for position t = i0+1 is (t−1) mod p = i0 mod p
+            val j = pmod(i0, lit(period.toLong))
+            val sj = element_at(s0, (j + 1).cast("int"))
+            val l1 = fdiv((xq - sj) + (l0 + b0) * (da - 1), da)
+            val b1 = fdiv((l1 - l0) + b0 * (db - 1), db)
+            val sn = fdiv((xq - l1) + sj * (dc - 1), dc)
+            val s1 = transform(s0, (v, idx) =>
+              when(idx.cast("long") === j, sn).otherwise(v))
+            when(!acc.getField("seeded"),
+              struct(xq.as("l"), lit(0L).as("b"),
+                array_repeat(lit(0L), period).as("s"),
+                lit(1L).as("i"), lit(true).as("seeded")))
+              .otherwise(struct(l1.as("l"), b1.as("b"), s1.as("s"),
+                (i0 + 1).as("i"), lit(true).as("seeded")))
+          }).as("__st"),
+        count(lit(1)).as("n"))
+      .select(col("key"), col("n"),
+        col("__st.l").as("level_fp"), col("__st.b").as("trend_fp"),
+        element_at(col("__st.s"),
+          (pmod(col("__st.i"), lit(period.toLong)) + 1).cast("int"))
+          .as("season_fp"))
+      .withColumn("forecast_fp",
+        col("level_fp") + col("trend_fp") + col("season_fp"))
+  }
+
   /** Per-key one-sided CUSUM changepoint detection in exact integers:
     * `s' = max(0, s + x − target)`; crossing `threshold` raises an alarm
     * and restarts the statistic (the standard restart scheme). All state

@@ -387,6 +387,16 @@ object WarehouseQueries {
         .select(col("key").as("user_id"), col("n"), col("level_fp"),
           col("trend_fp"), col("forecast_fp"))),
 
+    // Holt–Winters additive (alpha = 1/4, beta = 1/5, gamma = 1/3,
+    // period 4) — q254's seasonal companion: level + trend + a
+    // period-4 seasonal vector, exact fixed point end to end.
+    "q256_holt_winters" -> ((s, dir) =>
+      Journey.holtWintersFixed(ev(s, dir), col("user_id"), col("ts"),
+          col("event_id"), (dec(col("value")) * 100).cast("long"),
+          period = 4, da = 4, db = 5, dc = 3)
+        .select(col("key").as("user_id"), col("n"), col("level_fp"),
+          col("trend_fp"), col("season_fp"), col("forecast_fp"))),
+
     // Exact z-score outliers (k=3) per event type — the test cleared of
     // division, evaluated in DECIMAL(38,0), boundary rows deterministic.
     "q191_outliers" -> ((s, dir) =>
@@ -1151,6 +1161,42 @@ object WarehouseQueries {
          )
          SELECT user_id, CAST(n AS BIGINT) AS n, l AS level_fp,
            b AS trend_fp, l + b AS forecast_fp
+         FROM st WHERE i = n""",
+
+    // q254's recursive-CTE discipline with the seasonal LIST carried in
+    // the state row (list slicing rebuilds the updated slot — plain
+    // column arithmetic, no lambda-fold aliasing); l' is textually
+    // recomputed in the trend and seasonal steps (SQL has no let)
+    "q256_holt_winters" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS i,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+         FROM events),
+         st AS (
+           SELECT user_id, n, CAST(1 AS BIGINT) AS i, x * 1048576 AS l,
+             CAST(0 AS BIGINT) AS b,
+             [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+              CAST(0 AS BIGINT)] AS s
+           FROM e WHERE i = 1
+           UNION ALL
+           SELECT st.user_id, st.n, st.i + 1,
+             ((e.x * 1048576 - st.s[CAST(st.i % 4 + 1 AS INT)])
+               + 3 * (st.l + st.b)) // 4,
+             ((((e.x * 1048576 - st.s[CAST(st.i % 4 + 1 AS INT)])
+               + 3 * (st.l + st.b)) // 4 - st.l) + 4 * st.b) // 5,
+             st.s[1:CAST(st.i % 4 AS INT)]
+               || [((e.x * 1048576
+                     - (((e.x * 1048576 - st.s[CAST(st.i % 4 + 1 AS INT)])
+                       + 3 * (st.l + st.b)) // 4))
+                   + 2 * st.s[CAST(st.i % 4 + 1 AS INT)]) // 3]
+               || st.s[CAST(st.i % 4 + 2 AS INT):4]
+           FROM st JOIN e ON e.user_id = st.user_id AND e.i = st.i + 1
+         )
+         SELECT user_id, CAST(n AS BIGINT) AS n, l AS level_fp,
+           b AS trend_fp, s[CAST(n % 4 + 1 AS INT)] AS season_fp,
+           l + b + s[CAST(n % 4 + 1 AS INT)] AS forecast_fp
          FROM st WHERE i = n""",
 
     "q191_outliers" ->

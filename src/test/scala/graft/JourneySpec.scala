@@ -213,6 +213,80 @@ class JourneySpec extends AnyFunSuite {
     assert(a == b && a.size == 20)
   }
 
+  /** Scalar reference for [[Journey.holtWintersFixed]]. */
+  private def hwRef(xs: Seq[Long], p: Int, da: Long, db: Long, dc: Long)
+      : (Long, Long, Long) = {
+    val q = 1L << 20
+    var l = xs.head * q; var b = 0L
+    val s = Array.fill(p)(0L)
+    xs.tail.zipWithIndex.foreach { case (x, k) =>
+      val j = (k + 1) % p // position t = k+2: slot (t-1) mod p
+      val xq = x * q
+      val l1 = ((xq - s(j)) + (da - 1) * (l + b)) / da
+      val b1 = ((l1 - l) + (db - 1) * b) / db
+      s(j) = ((xq - l1) + (dc - 1) * s(j)) / dc
+      l = l1; b = b1
+    }
+    (l, b, s(xs.size % p))
+  }
+
+  test("holtWintersFixed: fold matches the scalar triple recursion exactly") {
+    val rnd = new scala.util.Random(23)
+    // trend + a planted period-4 additive pattern + noise
+    val season = Seq(900L, -350L, 120L, -640L)
+    val xs = (0 until 37).map(t =>
+      2000L + 45L * t + season(t % 4) + rnd.nextInt(21) - 10)
+    val evs = xs.zipWithIndex.map { case (x, i) =>
+      (1L, ts(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"), i.toLong, x)
+    }.toDF("u", "t", "id", "x")
+    val got = Journey.holtWintersFixed(evs, col("u"), col("t"), col("id"),
+        col("x"), period = 4, da = 4, db = 5, dc = 3)
+      .select("level_fp", "trend_fp", "season_fp", "forecast_fp", "n")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (l, b, sj) = hwRef(xs, 4, 4, 5, 3)
+    assert(got == ((l, b, sj, l + b + sj, 37L)))
+    assert(b > 0) // the planted trend shows in the trend component
+  }
+
+  test("holtWintersFixed: seasonal slots capture the planted pattern sign") {
+    // long pure-seasonal series: slot estimates must take the sign of
+    // the planted offsets (the zero-seed recursion converges toward them)
+    val season = Seq(800L, -800L, 400L, -400L)
+    val xs = (0 until 160).map(t => 5000L + season(t % 4))
+    val evs = xs.zipWithIndex.map { case (x, i) =>
+      (1L, ts(f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00"), i.toLong, x)
+    }.toDF("u", "t", "id", "x")
+    // n = 160 -> next slot j = 0: planted +800 there
+    val sj = Journey.holtWintersFixed(evs, col("u"), col("t"), col("id"),
+        col("x"), period = 4, da = 4, db = 5, dc = 3)
+      .select("season_fp").as[Long].head()
+    assert(sj > (300L << 20),
+      s"slot-0 seasonal should approach +800*2^20, got $sj")
+  }
+
+  test("holtWintersFixed: single event seeds (level, 0 trend, 0 season)") {
+    val evs = Seq((1L, ts("2024-01-01 10:00:00"), 1L, 42L))
+      .toDF("u", "t", "id", "x")
+    val got = Journey.holtWintersFixed(evs, col("u"), col("t"), col("id"),
+        col("x"), period = 4, da = 4, db = 5, dc = 3)
+      .select("level_fp", "trend_fp", "season_fp").as[(Long, Long, Long)]
+      .head()
+    assert(got == ((42L << 20, 0L, 0L)))
+  }
+
+  test("holtWintersFixed: partition-independent") {
+    val evs = (1L to 1500L).map(i =>
+      (i % 10, ts(f"2024-01-${1 + (i % 25)}%02d 10:00:00"), i,
+        (i % 555) - 200))
+      .toDF("u", "t", "id", "x")
+    val a = Journey.holtWintersFixed(evs, col("u"), col("t"), col("id"),
+      col("x"), 4, 4, 5, 3).collect().map(_.toSeq).toSet
+    val b = Journey.holtWintersFixed(evs.repartition(13), col("u"),
+      col("t"), col("id"), col("x"), 4, 4, 5, 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 10)
+  }
+
   test("cusum: accumulate-above-target, alarm-and-restart, scalar parity") {
     // target 10, threshold 25: xs drift the statistic up, alarm resets
     val xs = Seq(20L, 20L, 20L, 5L, 30L, 40L, 0L)
