@@ -53,6 +53,22 @@ case class QDigestCompress(child: Expression, bits: Int, k: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "qdigest_compress"
 
+  // Positional check matching nullSafeEval's ordinal reads (getInt(0),
+  // getLong(1), getLong(2)): 3 fields typed (int, bigint, bigint) in that
+  // order — field names are free, order is not. Without this a mis-shaped
+  // child fails as an executor ClassCastException instead of at analysis.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fs), _)
+          if fs.length == 3 && fs(0).dataType == IntegerType &&
+            fs(1).dataType == LongType && fs(2).dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "qdigest_compress requires array<struct<lvl int, cell bigint, " +
+            s"cnt bigint>> input, got ${other.catalogString}")
+    }
+
   override protected def withNewChildInternal(newChild: Expression): QDigestCompress =
     copy(child = newChild)
 

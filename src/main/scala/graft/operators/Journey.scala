@@ -558,16 +558,24 @@ object Journey {
 
   /** [[theilSen]] for the FEW-GROUP / LONG-SERIES shape — identical
     * estimator (same micro-quantized slopes, same lower median), but the
-    * per-group O(m²) pair build is BLOCK-DECOMPOSED so one entity's
+    * per-group O(m²) pair work is BLOCK-DECOMPOSED so one entity's
     * quadratic work spreads across the cluster instead of landing on a
     * single task: points get a rank-block id (`blockSize` per block),
-    * the pair set becomes a join keyed on (group, block-pair) — a 2,400-
-    * point series at blockSize 128 turns one 2.9M-pair task into ~190
-    * block-pair units. The median is likewise distributed: adaptive
-    * bucket selection (coarse slope-bucket counts → optional one-level
-    * refinement → in-bucket k-th pick), so no task ever sorts the raw
-    * pair set; `refineThreshold` is the hot-bucket size that triggers
-    * the refinement pass.
+    * every (blockA ≤ blockB) pair becomes one work unit carrying the two
+    * blocks' point ARRAYS, and [[graft.functions.TheilPairScan]] consumes
+    * each unit's pair set inside one compiled primitive-long loop — the
+    * m² pairs are never materialized as rows (the row-level formulation,
+    * join fan-out → slope projection → aggregate, pays ~3 UnsafeRow
+    * materializations per pair; at q253's 14.5M pairs that was ~95% of
+    * both selection passes' wall, measured — the slope arithmetic itself
+    * is ~2%). The median is adaptive bucket selection (coarse slope-
+    * bucket histogram at shift 30 → optional one-level refinement at
+    * shift 14 → in-bucket k-th pick): no task ever sorts or holds the
+    * raw pair set, and every exchange carries only non-empty bucket
+    * counts or the one selected bucket's slopes (≤ `refineThreshold`
+    * rows on the cold path, one 2^14-wide bucket's mass on the refined
+    * path; mass-tied slopes still degrade to one sorted task — exact,
+    * documented).
     *
     * Use [[theilSen]] when groups are many and series short (its flat
     * per-group join is cheaper); use this form when group-count ×
@@ -575,99 +583,144 @@ object Journey {
     * the q243 weekly re-base dodged (5 groups × 2,400 daily points =
     * 24.8 s single-task) and q253 runs head-on.
     *
+    * EAGER, unlike every other operator in this module: calling it runs
+    * Spark jobs immediately (the block-array localCheckpoint, the group
+    * map, and the hot-bucket probe that picks the refinement branch) —
+    * load-bearing for the adaptive selection, which must read data
+    * statistics before it can shape the remaining plan. Don't compose it
+    * inside a plan you expect to stay lazy; treat the call itself as an
+    * action.
+    *
+    * The per-group (count, max block) frame is collected to the driver
+    * ONCE — bounded by the few-groups contract, fail-loud past 2^16
+    * groups — and a dense LONG group id replaces the caller's group
+    * columns through the whole pipeline: every join probe, aggregate row
+    * and window key hashes one long instead of the raw (possibly string)
+    * keys. When the point frame is small (≤ `broadcastPointLimit`
+    * points, known exactly driver-side) the block arrays broadcast and
+    * the unit build is shuffle-free; past the limit it falls back to
+    * pinned-exchange sort-merge joins on (group, block). The unit-array
+    * frame is checkpointed for reuse across the passes only when its
+    * exact driver-computed size is small (≤ 256 MB); past that each pass
+    * rebuilds it from the cheap block-array joins instead of
+    * materializing O((m/B)²) array copies.
+    *
     * @return (g…, n_points, n_pairs, slope) — bit-identical to
     *   [[theilSen]] on the same input.
     */
   def theilSenBlocked(
       df: DataFrame, groupCols: Seq[Column], tCol: Column,
       yCol: Column, blockSize: Int = 128,
-      refineThreshold: Long = 1L << 18): DataFrame = {
+      refineThreshold: Long = 1L << 18,
+      broadcastPointLimit: Long = 1L << 21): DataFrame = {
     require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
     require(refineThreshold >= 1, s"refineThreshold must be >= 1")
+    val spark = df.sparkSession
     val gNames = groupCols.indices.map(i => s"__g$i")
     val base = df.select(
       groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
         Seq(tCol.cast("long").as("__t"), yCol.cast("long").as("__y")): _*)
       .filter(col("__t").isNotNull && col("__y").isNotNull)
-    // rank-block id: the one per-group sort left in the plan is over the
-    // m POINTS (not the m² pairs). localCheckpoint is load-bearing: the
-    // point frame feeds SIX downstream reads (a/b sides and block list,
-    // × two pair passes) — without truncation each re-runs the source
-    // scan + aggregation + rank window (measured ~40% of q253's wall).
+    // rank-block id + per-block point arrays, checkpointed ONCE: the one
+    // per-group sort in the plan is over the m POINTS (never pairs), and
+    // the checkpointed frame is bounded by points too (m × 16 B payload
+    // in ≤ blockSize arrays). sort_array makes the arrays a canonical
+    // function of the block's point multiset; the pair SET is invariant
+    // to how row_number breaks t-ties across block boundaries (any
+    // block partition enumerates each unordered pair exactly once).
     val wg = Window.partitionBy(gNames.map(col): _*)
-    val blocked = base.withColumn("__blk",
-      ((row_number().over(wg.orderBy(col("__t"))) - 1) / blockSize)
-        .cast("long"))
+    val blockPts = base
+      .withColumn("__blk",
+        ((row_number().over(wg.orderBy(col("__t"))) - 1) / blockSize)
+          .cast("long"))
+      .groupBy(gNames.map(col) :+ col("__blk"): _*)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__y"))))
+        .as("__pts"))
       .localCheckpoint()
-    // work units: every (blockA <= blockB) pair, per group — a frame of
-    // groups × (m/B)²/2 rows, tiny next to the pair set it keys
-    val units = blocked
-      .groupBy(gNames.map(col): _*).agg(max(col("__blk")).as("__mb"))
-      .withColumn("__ba", explode(sequence(lit(0L), col("__mb"))))
-      .withColumn("__bb", explode(sequence(col("__ba"), col("__mb"))))
-      .select(gNames.map(col) ++ Seq(col("__ba"), col("__bb")): _*)
-    val aPts = blocked.toDF(gNames ++ Seq("__t1", "__y1", "__ba"): _*)
-    val bPts = blocked.toDF(gNames ++ Seq("__t2", "__y2", "__bb"): _*)
-    val dy = col("__y2") - col("__y1")
-    val dx = col("__t2") - col("__t1")
-    // Slope with a LONG fast path and the decimal wide path only past
-    // |dy| > 9.2e12 (where |dy|·10⁶ would wrap): values are identical —
-    // both compute |dy|·10⁶ div dx exactly, truncation == floor on the
-    // non-negative operands — but the long path matters here because the
-    // slope feeds a GROUPING KEY, and aggregate-key codegen re-evaluates
-    // the expression without subexpression elimination (measured ~3× the
-    // projected-column cost with the decimal kernel: +1.1 s at 14.5M
-    // pairs). The dx > 0 guard is load-bearing, not defensive: the
-    // optimizer infers isnotnull(__b) from the bucket join key and
-    // pushes it into the pair join's condition AHEAD of the t1 < t2
-    // conjunct, so an unguarded division would evaluate on dx = 0
-    // self-pairs and throw under ANSI.
-    val slope = when(dx > 0, signum(dy).cast("long") * expr(
-      """CASE WHEN ABS(__y2 - __y1) <= 9223372036854
-           THEN (ABS(__y2 - __y1) * 1000000) div (__t2 - __t1)
-           ELSE CAST((CAST(ABS(__y2 - __y1) AS DECIMAL(38,0)) * 1000000)
-             div (__t2 - __t1) AS BIGINT) END"""))
-    // Both pair-join inputs are explicitly repartitioned on (group,
-    // block) with a FIXED partition count, and the join is forced to
-    // sort-merge. This is load-bearing, not style: the inputs are tiny
-    // (points × avg-block fan ≈ m·(m/B)/2 rows) so left alone AQE
-    // broadcasts the small side and coalesces the exchange to ~1
-    // partition — the m² fan-out happens INSIDE the join, invisible to
-    // AQE's input-size stats, and the whole quadratic build lands back
-    // on one task per group (measured 66.7 s vs 24.8 s flat at 5×2,400
-    // points — worse than the problem). Pinning the exchange on
-    // (g, __bb) spreads the fan-out AND the downstream slope kernel +
-    // histogram partial-agg across the cluster. t1 < t2 is structural
-    // for ba < bb (rank blocks order t) and prunes the intra-block
-    // mirror + duplicate-t pairs exactly as theilSen's filter does.
-    val nP = df.sparkSession.sessionState.conf.numShufflePartitions
-    val fan = aPts
-      .join(units, (gNames :+ "__ba").toSeq)
-      .repartition(nP, gNames.map(col) :+ col("__bb"): _*)
-    val pairs = fan
-      .join(bPts.repartition(nP, gNames.map(col) :+ col("__bb"): _*)
-        .hint("merge"), (gNames :+ "__bb").toSeq)
-      .filter(col("__t1") < col("__t2"))
-    // Median by bucket selection, never a pair-set sort: slopes are
-    // near-unique, so a (g, slope) histogram would shuffle all m²/2 rows
-    // and its median window would sort a whole group in one task
-    // (measured 14 s at 14.5M pairs where the pair build itself costs
-    // 0.7 s). Pass 1 counts pairs per (group, slope div 2^30) — map-side
-    // combined, the exchange carries only non-empty buckets — and finds
-    // the bucket holding the lower-median rank (cnt+1) div 2 plus the
-    // offset within it. If that bucket is cold (≤ 2^18 pairs) the final
-    // pass takes the k-th smallest inside it directly; REAL slope
-    // distributions concentrate (a planted 5×2,450-point line put all
-    // 15M pairs in one 2^30 bucket), so a hot bucket triggers ONE
-    // refinement level at shift 14 before the final selection — the
-    // branch reads a single aggregate of the checkpointed selection
-    // frame (one row per group: driver state bounded by the few-groups
-    // contract). Arithmetic shiftright floors negatives, so buckets
-    // order correctly across zero; mass-tied slopes (every pair
-    // identical) still degrade to one sorted task — exact, documented.
-    val ps = pairs.select(gNames.map(col) :+ slope.as("__s"): _*)
-      .withColumn("__b", expr("shiftright(__s, 30)"))
-    val w = Window.partitionBy(gNames.map(col): _*)
+    // Group map, collected ONCE (the few-groups contract this operator
+    // already documents for the hot-bucket probe; fail-loud cap so a
+    // mis-aimed many-group call can't melt the driver).
+    val maxGroups = 1 << 16
+    val gRows = blockPts
+      .groupBy(gNames.map(col): _*)
+      .agg(sum(size(col("__pts"))).as("__n"), max(col("__blk")).as("__mb"))
+      .take(maxGroups + 1)
+    require(gRows.length <= maxGroups,
+      s"theilSenBlocked is the few-group/long-series form (> $maxGroups " +
+        "groups found) — use theilSen for many-group inputs")
+    val gFieldCount = gNames.length
+    val sortedG = gRows.sortBy(_.toString) // deterministic gid assignment
+    val mapSchema = org.apache.spark.sql.types.StructType(
+      blockPts.schema.fields.take(gFieldCount) ++ Seq(
+        org.apache.spark.sql.types.StructField("__gid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__n_points",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__mb",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val mapRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(sortedG.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.take(gFieldCount) ++
+          Seq(i.toLong, r.getLong(gFieldCount), r.getLong(gFieldCount + 1)))
+      }: _*)
+    val gidMap = spark.createDataFrame(mapRows, mapSchema)
+    val totalPoints = gRows.iterator.map(_.getLong(gFieldCount)).sum
+    // null-safe: null group values form groups, exactly like theilSen
+    val blockArr = blockPts.join(broadcast(gidMap),
+        gNames.map(n => blockPts(n) <=> gidMap(n)).reduce(_ && _))
+      .select(col("__gid"), col("__blk"), col("__pts"))
+    // work units: every (blockA <= blockB) pair, per group — derived
+    // driver-free from the tiny map frame, then joined to the two
+    // blocks' point arrays. The explicit repartition on (gid, __ba,
+    // __bb) is load-bearing, not style: unit rows carry near-uniform
+    // pair counts (≈ blockSize² each), so hashing the unit key spreads
+    // the quadratic kernel work evenly — while left alone the tiny unit
+    // frame would coalesce to ~1 partition (AQE is blind to the in-
+    // kernel m² fan-out, the same trap the row-level form measured at
+    // 66.7 s vs 24.8 s flat).
+    val units = gidMap
+      .select(col("__gid"), col("__mb"),
+        explode(sequence(lit(0L), col("__mb"))).as("__ba"))
+      .select(col("__gid"), col("__ba"),
+        explode(sequence(col("__ba"), col("__mb"))).as("__bb"))
+    val aBlk = blockArr.toDF("__gid", "__ba", "__apts")
+    val bBlk = blockArr.toDF("__gid", "__bb", "__bpts")
+    val nP = spark.sessionState.conf.numShufflePartitions
+    val joined =
+      if (totalPoints <= broadcastPointLimit)
+        units.join(broadcast(aBlk), Seq("__gid", "__ba"))
+          .join(broadcast(bBlk), Seq("__gid", "__bb"))
+      else
+        units.repartition(nP, col("__gid"), col("__ba"))
+          .join(aBlk.repartition(nP, col("__gid"), col("__ba"))
+            .hint("merge"), Seq("__gid", "__ba"))
+          .repartition(nP, col("__gid"), col("__bb"))
+          .join(bBlk.repartition(nP, col("__gid"), col("__bb"))
+            .hint("merge"), Seq("__gid", "__bb"))
+    val unitArrays0 = joined
+      .withColumn("__same", col("__ba") === col("__bb"))
+      .repartition(nP, col("__gid"), col("__ba"), col("__bb"))
+    // reuse across the two passes only when the exact driver-computed
+    // size is small; past the cap each pass rebuilds from the cheap
+    // block-array joins instead of materializing O((m/B)²) array copies
+    val estUnitBytes = gRows.iterator.map { r =>
+      val mb = r.getLong(gFieldCount + 1)
+      (mb + 1) * (mb + 2) / 2 * 2 * blockSize.toLong * 16
+    }.sum
+    val unitArrays =
+      if (estUnitBytes <= (256L << 20)) unitArrays0.localCheckpoint()
+      else unitArrays0
+    import graft.functions.TheilPairScan
+    // pass 1: slope-bucket histogram at shift 30 — the kernel histograms
+    // each unit locally, the exchange carries only non-empty (gid,
+    // bucket) counts, map-side combined. Arithmetic shiftright floors
+    // negatives, so buckets order correctly across zero.
+    val hist = unitArrays
+      .select(col("__gid"), explode(TheilPairScan.expr(col("__apts"),
+        col("__bpts"), col("__same"), lit(0L), -1, 30)).as("__h"))
+      .select(col("__gid"), col("__h.b").as("__b"), col("__h.c").as("__hc"))
+      .groupBy(col("__gid"), col("__b")).agg(sum(col("__hc")).as("__c"))
+    val w = Window.partitionBy(col("__gid"))
     // generic one-level picker: per group, the bucket of `bCol` holding
     // rank `kCol` on the bucket-ascending walk, and the offset inside it
     def pickBucket(cnts: DataFrame, bCol: String, kExpr: Column => Column)
@@ -679,63 +732,55 @@ object Journey {
         .withColumn("__tot", sum(col("__c")).over(w))
       val k = kExpr(col("__tot"))
       cum.filter(col("__cum") >= k && col("__cum") - col("__c") < k)
-        .select(gNames.map(col) ++ Seq(col(bCol),
+        .select(col("__gid"), col(bCol),
           (k - (col("__cum") - col("__c"))).as("__k"),
-          col("__tot"), col("__c").as("__hot")): _*)
+          col("__tot"), col("__c").as("__hot"))
     }
-    // null-safe <=> on the bucket keys is load-bearing: a plain equi-join
-    // makes the optimizer infer isnotnull(__b) and push it into the PAIR
-    // join's condition — re-evaluating the whole slope kernel per
-    // candidate pair inside the join (measured ~2x q253's pair cost)
-    def bucketJoin(left: DataFrame, selFrame: DataFrame, bCol: String,
-        keep: Seq[Column]): DataFrame = {
-      val r = selFrame.select(gNames.map(n => col(n).as(s"__r_$n")) ++
-        (col(bCol).as("__rb") +: keep): _*)
-      left.join(broadcast(r),
-        (gNames.map(n => col(n) === col(s"__r_$n")) :+
-          (col(bCol) <=> col("__rb"))).reduce(_ && _))
-        .drop(gNames.map(n => s"__r_$n") :+ "__rb": _*)
-    }
-    // pass 1 — checkpointed (one row per group) so the hot-bucket branch
-    // and the downstream passes never re-run it
-    val sel = pickBucket(
-      ps.groupBy(gNames.map(col) :+ col("__b"): _*)
-        .agg(count(lit(1)).as("__c")),
-      "__b", _ => expr("(__tot + 1) div 2")).localCheckpoint()
+    // pass-1 selection — checkpointed (one row per group) so the hot-
+    // bucket branch and the downstream passes never re-run it
+    val sel = pickBucket(hist, "__b", _ => expr("(__tot + 1) div 2"))
+      .localCheckpoint()
     val hot = sel.agg(coalesce(max(col("__hot")), lit(0L))).head().getLong(0)
+    def withSel(s: DataFrame, bCol: String): DataFrame =
+      unitArrays.join(broadcast(s.select(col("__gid"),
+        col(bCol).as("__sb"), col("__k"), col("__tot"))), Seq("__gid"))
+    def kth(selected: DataFrame, filterShift: Int): DataFrame = selected
+      .select(col("__gid"), col("__k"), col("__tot"),
+        explode(TheilPairScan.expr(col("__apts"), col("__bpts"),
+          col("__same"), col("__sb"), filterShift, -1)).as("__s"))
+      .withColumn("__rn", row_number().over(w.orderBy(col("__s"))))
+      .filter(col("__rn") === col("__k"))
     val med = (if (hot <= refineThreshold) {
       // cold bucket: select the __k-th smallest slope inside it
-      bucketJoin(ps, sel, "__b", Seq(col("__k"), col("__tot")))
-        .withColumn("__rn", row_number().over(w.orderBy(col("__s"))))
-        .filter(col("__rn") === col("__k"))
+      kth(withSel(sel, "__b"), 30)
     } else {
       // hot bucket: refine within it at shift 14, then select
-      val cand = bucketJoin(ps, sel, "__b", Seq(col("__k"), col("__tot")))
-        .withColumn("__b2", expr("shiftright(__s, 14)"))
+      val hist14 = withSel(sel, "__b")
+        .select(col("__gid"), col("__k"),
+          explode(TheilPairScan.expr(col("__apts"), col("__bpts"),
+            col("__same"), col("__sb"), 30, 14)).as("__h"))
+        .select(col("__gid"), col("__k"), col("__h.b").as("__b2"),
+          col("__h.c").as("__hc"))
+        .groupBy(col("__gid"), col("__b2"))
+        .agg(sum(col("__hc")).as("__c"), first(col("__k")).as("__k1"))
       // pickBucket's own __tot here is the CANDIDATE count (bucket-1
       // mass), not the pair total — drop it and re-join the true total
       // from the level-1 selection
-      val sel2 = pickBucket(
-        cand.groupBy(gNames.map(col) :+ col("__b2"): _*)
-          .agg(count(lit(1)).as("__c"), first(col("__k")).as("__k1")),
-        "__b2", _ => col("__k1"))
+      val sel2 = pickBucket(hist14, "__b2", _ => col("__k1"))
         .drop("__tot")
-        .join(sel.select(gNames.map(col) :+ col("__tot"): _*), gNames)
+        .join(sel.select(col("__gid"), col("__tot")), Seq("__gid"))
         .localCheckpoint()
-      bucketJoin(cand.drop("__k", "__tot"), sel2, "__b2",
-          Seq(col("__k"), col("__tot")))
-        .withColumn("__rn", row_number().over(w.orderBy(col("__s"))))
-        .filter(col("__rn") === col("__k"))
-    }).select(gNames.map(col) ++ Seq(col("__tot").as("n_pairs"),
-      (col("__s").cast("double") / 1e6).as("slope")): _*)
-    // n_points reads the checkpoint, not `base` — re-deriving base would
-    // re-run the caller's source aggregation a seventh time
-    blocked.groupBy(gNames.map(col): _*).agg(count(lit(1)).as("n_points"))
-      .join(med, gNames, "left")
+      kth(withSel(sel2, "__b2"), 14)
+    }).select(col("__gid"), col("__tot").as("n_pairs"),
+      (col("__s").cast("double") / 1e6).as("slope"))
+    // n_points comes straight off the driver-side group map — no extra
+    // aggregation job over the point frame
+    gidMap.join(med, Seq("__gid"), "left")
       .select(gNames.zip(groupCols.indices).map { case (n, i) =>
-          col(n).as(s"g$i") } ++ Seq(col("n_points"),
+          col(n).as(s"g$i") } ++ Seq(col("__n_points").as("n_points"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope")): _*)
   }
+
 
   /** Single changepoint detection per series (binary segmentation, one
     * split): the boundary k that maximizes the between-segment SSE

@@ -103,7 +103,11 @@ object QuantileDigest {
     // fail-loud like registers/merge: withColumn("q", explode(...)) on a
     // group column named q would silently REPLACE it (group identity
     // destroyed, quantile fractions where keys should be)
-    val qReserved = Set("q", "est", "n_rows", "__upper", "__cum", "__n")
+    // lvl/cell/cnt are the register columns themselves — a group column
+    // with one of those names is ambiguous here, same guard as
+    // registers/merge (requireNoClash)
+    val qReserved = Set("q", "est", "n_rows", "__upper", "__cum", "__n",
+      "lvl", "cell", "cnt")
     val qClash = names.filter(qReserved.contains)
     require(qClash.isEmpty,
       s"quantiles group columns must not be named: ${qClash.mkString(", ")}")

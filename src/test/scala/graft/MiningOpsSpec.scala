@@ -395,6 +395,76 @@ class MiningOpsSpec extends AnyFunSuite {
       "pair build no longer keys its exchanges on block ids")
   }
 
+  // --------------------------------------------- TheilPairScan kernel
+
+  /** Brute-force reference: exact micro-slopes of every valid pair. */
+  private def refSlopes(a: Seq[(Long, Long)], b: Seq[(Long, Long)],
+      same: Boolean): Seq[Long] =
+    for {
+      (t1, y1) <- a; (t2, y2) <- b
+      if (if (same) t1 < t2 else t1 != t2)
+    } yield {
+      val dy = BigInt(y2) - BigInt(y1); val dx = BigInt(t2) - BigInt(t1)
+      val q = (dy.abs * 1000000 / dx.abs).toLong
+      if (dy == 0) 0L else if ((dy < 0) != (dx < 0)) -q else q
+    }
+
+  private def scanDf(a: Seq[(Long, Long)], b: Seq[(Long, Long)],
+      same: Boolean, bucket: Long, fs: Int, es: Int) = {
+    import graft.functions.TheilPairScan
+    Seq((a, b)).toDF("a", "b")
+      .select(explode(TheilPairScan.expr(col("a"), col("b"),
+        lit(same), lit(bucket), fs, es)).as("o"))
+  }
+
+  test("TheilPairScan: histogram and raw-slope modes match brute force") {
+    val rnd = new scala.util.Random(41)
+    val blkA = (1L to 60L).map(t => (t, rnd.nextLong(2000000) - 1000000))
+    val blkB = (61L to 130L).map(t => (t, rnd.nextLong(2000000) - 1000000))
+    for ((a, b, same) <- Seq((blkA, blkA, true), (blkA, blkB, false))) {
+      val ref = refSlopes(a, b, same)
+      val refHist = ref.groupBy(_ >> 30).view.mapValues(_.size.toLong)
+        .toMap
+      val hist = scanDf(a, b, same, 0L, -1, 30)
+        .select(col("o.b"), col("o.c")).as[(Long, Long)].collect().toMap
+      assert(hist === refHist)
+      // raw slopes inside the modal bucket, exactly the reference's
+      val hotB = refHist.maxBy(_._2)._1
+      val raw = scanDf(a, b, same, hotB, 30, -1)
+        .as[Long].collect().sorted.toSeq
+      assert(raw === ref.filter(s => (s >> 30) == hotB).sorted)
+    }
+  }
+
+  test("TheilPairScan: wide |dy| takes the exact BigInt path") {
+    // |dy| just past the 9223372036854 long fast-path bound
+    val a = Seq((0L, 0L)); val b = Seq((3L, 9223372036855L))
+    val s = scanDf(a, b, same = false, 0L, -1, -1).as[Long].collect()
+    assert(s.toSeq === Seq(9223372036855L * BigInt(1000000) / 3 match {
+      case v => v.toLong
+    }))
+  }
+
+  test("TheilPairScan: overflow fails loud, never wraps") {
+    // dy overflows long: subtractExact must throw, like the SQL twin
+    // under ANSI
+    val a = Seq((0L, Long.MinValue + 1)); val b = Seq((1L, Long.MaxValue))
+    val e = intercept[org.apache.spark.SparkException] {
+      scanDf(a, b, same = false, 0L, -1, -1).collect()
+    }
+    assert(e.getMessage.contains("overflow") ||
+      e.getCause != null)
+  }
+
+  test("TheilPairScan: mis-typed children fail at analysis") {
+    val df = Seq((Seq(1L), Seq(2L))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.TheilPairScan.expr(col("a"), col("b"),
+        lit(true), lit(0L), -1, 30)).collect()
+    }
+    assert(e.getMessage.contains("theil_pair_scan requires"))
+  }
+
   test("theilSenBlocked: single-point group -> null slope, like theilSen") {
     val rows = Seq(("g", 1L, 1L), ("h", 1L, 1L), ("h", 2L, 5L))
     val out = Journey.theilSenBlocked(rows.toDF("k", "t", "y"),

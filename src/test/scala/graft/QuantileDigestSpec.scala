@@ -177,4 +177,28 @@ class QuantileDigestSpec extends AnyFunSuite {
       QuantileDigest.quantiles(regs, Seq(col("g")), Seq(0.0))
     }
   }
+
+  test("quantiles: register-column names (lvl/cell/cnt) as group columns " +
+      "fail loud, like registers/merge") {
+    val df = Seq(1L, 2L).toDF("v").withColumn("g", lit("a"))
+    val regs = QuantileDigest.registers(df, Seq(col("g")), col("v"), 8, 4)
+    for (bad <- Seq("lvl", "cell", "cnt")) {
+      val e = intercept[IllegalArgumentException] {
+        QuantileDigest.quantiles(regs, Seq(col(bad)), Seq(0.5))
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
+
+  test("compress expression: mis-shaped child fails at analysis, not " +
+      "execution") {
+    // array<struct> with the wrong field types — analysis-time error with
+    // the expression's own message, never an executor ClassCastException
+    val df = Seq(Seq((1, 2, 3))).toDF("nodes") // struct<int,int,int>
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.QDigestCompress.expr(col("nodes"), 8, 4))
+        .collect()
+    }
+    assert(e.getMessage.contains("qdigest_compress requires"))
+  }
 }
