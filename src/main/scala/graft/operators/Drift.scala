@@ -79,6 +79,65 @@ object Drift {
       col("psi_bits"))): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the
+    * distribution-level drift companion to [[psiDrift]] (PSI needs a
+    * binning; KS reads the raw ECDFs and is invariant to any monotone
+    * rescaling of the value): D = max over observed values v of
+    * |ECDF_ref(v) − ECDF_cur(v)|, computed as ONE exact integer
+    * numerator max |cumR·N_cur − cumC·N_ref| over the common
+    * denominator N_ref·N_cur — no floats until the final micro-rounded
+    * display. `ks_at` is the value where the gap peaks (smallest such
+    * value on ties — deterministic). Groups with an empty side report
+    * null ks/ks_at, never a plausible number.
+    *
+    * `groupCols` must be non-empty plain column references (the
+    * per-segment drift grain; an ungrouped KS would plan the
+    * unpartitioned-window scale-killer — pre-segment or add a literal
+    * group upstream if one global test is really wanted... it isn't:
+    * at 100 TB a single global ECDF walk serializes on one task).
+    *
+    * Scale posture: one (group, value) count aggregation over the input
+    * (map-side combined — the only row-weight exchange); the ECDF walk
+    * is a group-keyed running-sum window over DISTINCT values per group,
+    * and the argmax is a struct-min aggregation, no second sort.
+    * Envelope: cum·N products are DECIMAL(38,0)-exact; both engines
+    * fail loud past 1e38 (≈ 1e19 rows/side — unreachable).
+    */
+  def ksTest(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+      isCurrent: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "ksTest needs >= 1 group column (see scaladoc — an ungrouped KS " +
+        "would plan an unpartitioned window)")
+    val reserved = Seq("n_ref", "n_cur", "ks_stat", "ks_at")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    import org.apache.spark.sql.expressions.Window
+    val c = df.filter(valueCol.isNotNull)
+      .groupBy((groupCols :+ valueCol.cast("long").as("__v")): _*)
+      .agg(sum(when(isCurrent, 0L).otherwise(1L)).as("__r"),
+        sum(when(isCurrent, 1L).otherwise(0L)).as("__c"))
+    val w = Window.partitionBy(groupCols: _*)
+    val run = w.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c
+      .withColumn("__cr", sum(col("__r")).over(run))
+      .withColumn("__cc", sum(col("__c")).over(run))
+      .withColumn("__nr", sum(col("__r")).over(w))
+      .withColumn("__nc", sum(col("__c")).over(w))
+    val dnum = abs(dec(col("__cr")) * dec(col("__nc")) -
+      dec(col("__cc")) * dec(col("__nr")))
+    val agg = cum.groupBy(groupCols: _*)
+      .agg(min(struct((dnum * -1).as("nd"), col("__v").as("v"))).as("__m"),
+        max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
+    val defined = col("n_ref") > 0 && col("n_cur") > 0
+    agg.select((groupCols ++ Seq(col("n_ref"), col("n_cur"),
+      when(defined, microRound6(col("__m.nd") * -1,
+        dec(col("n_ref")) * dec(col("n_cur"))).cast("double") / 1e6)
+        .as("ks_stat"),
+      when(defined, col("__m.v")).as("ks_at"))): _*)
+  }
+
   /** round(log10(1 + 1/d) * 1e6) for d = 1..9 — the Benford first-digit
     * law in the micro-unit convention; the same literal nine integers are
     * embedded in the oracle SQL. */

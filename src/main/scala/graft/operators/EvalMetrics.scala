@@ -180,6 +180,179 @@ object EvalMetrics {
         .as("significant"))
   }
 
+  /** Mann–Whitney U rank-sum test per group — the nonparametric A/B
+    * companion to [[twoProportionTest]] (that one gates conversion RATES;
+    * this one gates a continuous metric without assuming normality).
+    * Tie-corrected, exact to the end: with c(v) the combined count at
+    * value v and cum0(v) the count strictly below, 2·avgRank(v) =
+    * 2·cum0 + c + 1 is an integer, so 2·R_A and 2·U_A are exact; the
+    * z² statistic (squared normal approximation — squaring clears the
+    * square root, the [[twoProportionTest]] trick) is the exact rational
+    * 3·(2U − n_A·n_B)² over idiv(n_A·n_B·(n(n−1)(n+1) − Σ(t³−t)),
+    * n(n−1)) — the single truncating division is replicated verbatim in
+    * the oracle, so parity is bit-exact. Null z² when an arm is empty or
+    * every value ties (variance 0). `significant` compares the unrounded
+    * rational to the 95% normal² = chi-square(1) critical value 3.841459
+    * in cross-multiplied integers.
+    *
+    * `groupCols` must be non-empty plain column references (same
+    * unpartitioned-window argument as `Drift.ksTest`).
+    *
+    * Scale posture: one (group, value) count aggregation (map-side
+    * combined) then a group-keyed running-sum window over DISTINCT
+    * values. Envelope: 3·(2U−n_An_B)² ≤ 3n⁴ and the variance product
+    * ≤ n⁵ hold DECIMAL(38,0)-exact to ~4·10⁷ rows per group; past that
+    * both engines fail loud (ANSI / HUGEINT) — subsample arms past that.
+    */
+  def mannWhitneyU(df: DataFrame, groupCols: Seq[Column], isB: Column,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "mannWhitneyU needs >= 1 group column (see scaladoc)")
+    val reserved = Seq("n_a", "n_b", "u_a", "tie_cubes", "z2", "significant")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    import org.apache.spark.sql.expressions.Window
+    val b = isB.cast("long")
+    val c = df.filter(valueCol.isNotNull)
+      .groupBy((groupCols :+ valueCol.cast("long").as("__v")): _*)
+      .agg(sum(lit(1L) - b).as("__a"), sum(b).as("__b"))
+    val w = Window.partitionBy(groupCols: _*)
+    val tie = col("__a") + col("__b")
+    val cum0 = coalesce(sum(tie).over(w.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val g = c.withColumn("__r2", cum0 * 2 + tie + 1)
+      .groupBy(groupCols: _*)
+      .agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"),
+        sum(dec(col("__a")) * dec(col("__r2"))).as("__r2a"),
+        sum(dec(tie) * dec(tie) * dec(tie) - dec(tie)).as("__t3"))
+    val nA = col("n_a"); val nB = col("n_b"); val n = nA + nB
+    val u2a = col("__r2a") - dec(nA) * dec(nA + 1) // exact 2·U_A
+    val diff = u2a - dec(nA) * dec(nB)             // exact 2·(U_A − μ)
+    val varFull = dec(nA) * dec(nB) *
+      (dec(n) * dec(n - 1) * dec(n + 1) - col("__t3"))
+    // the one inexact step, truncation error < 1 on a ≥ n_An_B-sized
+    // denominator — replicated with the same idiv in the oracle
+    val varRed = idivPos(varFull, dec(n) * dec(n - 1))
+    val z2num = lit(3L) * diff * diff
+    val defined = nA > 0 && nB > 0 && varFull > 0
+    g.select((groupCols ++ Seq(nA, nB,
+      (u2a.cast("double") / 2).as("u_a"),
+      col("__t3").cast("long").as("tie_cubes"),
+      when(defined, asRatio(microRound6(z2num, dec(varRed)))).as("z2"),
+      when(defined,
+        when(z2num * 1000000L > dec(varRed) * 3841459L, 1).otherwise(0))
+        .as("significant"))): _*)
+  }
+
+  /** Chi-square test of independence between two categorical columns —
+    * the categorical-drift / feature-association audit next to the
+    * numeric tests: χ² = Σ over the R×C contingency cells of
+    * (N·o − r·c)² / (N·r·c), each term an exact integer rational
+    * micro-rounded to 6 dp before the sum (the sum of ROUNDED terms is
+    * the published statistic — deterministic on both engines; the exact
+    * χ² sits within cells·5e-7 of it). Zero cells (category pairs never
+    * observed together) contribute their full expected mass — the cross
+    * of the margins is generated, never just the observed cells.
+    *
+    * Output: one row per contingency cell (x, y, n_obs, expected, term)
+    * with the table-level chi2 and dof = (R−1)(C−1) repeated from a
+    * one-row broadcast.
+    *
+    * Scale posture: one (x, y) count aggregation over the input is the
+    * only row-weight exchange; margins, the margins cross-join (bounded
+    * by the categorical contract — fail-loud past `maxCells` generated
+    * cells) and every aggregate after are cell-bounded broadcasts.
+    */
+  def chiSquareIndependence(df: DataFrame, xCol: Column, yCol: Column,
+      maxCells: Long = 1L << 20): DataFrame = {
+    val cells = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint() // feeds both margins and the cell join
+    val rows = cells.groupBy(col("x")).agg(sum(col("n_obs")).as("__rx"))
+    val colsM = cells.groupBy(col("y")).agg(sum(col("n_obs")).as("__cy"))
+    val sizes = rows.agg(count(lit(1)).as("__R"))
+      .crossJoin(colsM.agg(count(lit(1)).as("__C")))
+      .select(col("__R"), col("__C"),
+        when(col("__R") * col("__C") <= maxCells, col("__R") * col("__C"))
+          .otherwise(raise_error(concat(lit("chiSquareIndependence: "),
+            (col("__R") * col("__C")).cast("string"),
+            lit(s" generated cells exceed maxCells=$maxCells — " +
+              "categorical columns only")))).as("__rc"))
+    val totals = cells.agg(sum(col("n_obs")).as("__N"))
+    val full = rows.crossJoin(broadcast(colsM)) // margins cross: R×C cells
+      .join(cells, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), col("__rx"), col("__cy"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(sizes))
+    val num = dec(col("__N")) * dec(col("n_obs")) -
+      dec(col("__rx")) * dec(col("__cy"))
+    val termMicro = microRound6(num * num,
+      dec(col("__N")) * dec(col("__rx")) * dec(col("__cy")))
+    val terms = full.select(col("x"), col("y"), col("n_obs"),
+        microRound6(dec(col("__rx")) * dec(col("__cy")), dec(col("__N")))
+          .as("__em"),
+        termMicro.as("__tm"), col("__R"), col("__C"), col("__rc"))
+      .localCheckpoint() // cell-bounded; feeds per-cell rows + the total
+    val chi2 = terms.agg(sum(col("__tm")).as("__s"),
+        max((col("__R") - 1) * (col("__C") - 1)).as("dof"))
+      .select((col("__s").cast("double") / 1e6).as("chi2"), col("dof"))
+    terms.select(col("x"), col("y"), col("n_obs"),
+        (col("__em").cast("double") / 1e6).as("expected"),
+        (col("__tm").cast("double") / 1e6).as("term"))
+      .crossJoin(broadcast(chi2))
+  }
+
+  /** Isotonic (monotone non-decreasing) calibration curve over score
+    * bins — the remedy for what [[calibrationBins]] diagnoses: the ECE
+    * table says WHERE the classifier is miscalibrated, the isotonic fit
+    * is the monotone recalibration map you would apply. Computed by the
+    * minimax characterization of L2 isotonic regression,
+    * fit(k) = max_{i≤k} min_{j≥k} mean(pos_{i..j} / n_{i..j}), on
+    * 6-dp-micro-quantized segment means: quantize-then-minimax is
+    * deterministic on both engines (fraction comparison needs no
+    * cross-multiplication once quantized) and sits within 1e-6 of the
+    * exact PAV fit; monotonicity is structural (growing max-set,
+    * shrinking min-set in k), so the published curve is always a valid
+    * calibration map.
+    *
+    * Scale posture: binning is one count aggregation over the input
+    * (the same shape as [[calibrationBins]]); everything after runs on
+    * ≤ nBins rows — the O(B³) minimax expansion is ≤ 64³/6 ≈ 44k tiny
+    * rows, window-free, driver-free.
+    */
+  def isotonicCalibration(df: DataFrame, confNum: Column, confDen: Long,
+      labelCol: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"need 2..64 bins, got $nBins")
+    require(confDen > 0, s"confDen must be positive, got $confDen")
+    val bin = least(lit(nBins - 1L),
+      idivPos(confNum.cast("long") * nBins, lit(confDen)))
+    val g = df.select(bin.as("bin"), labelCol.cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__y")).as("__pos"))
+      .localCheckpoint() // ≤ nBins rows; feeds segments and the output
+    // segment means over every contiguous bin range [i..j]
+    val seg = g.select(col("bin").as("__i"))
+      .join(broadcast(g.select(col("bin").as("__j"))),
+        col("__i") <= col("__j"))
+      .join(broadcast(g), col("bin").between(col("__i"), col("__j")))
+      .groupBy(col("__i"), col("__j"))
+      .agg(microRound6(sum(col("__pos")), sum(col("n_docs"))).as("__rate"))
+    // minimax: each segment [i..j] offers its mean to every k it covers;
+    // min over j per (i, k), then max over i per k
+    val fit = seg
+      .select(col("__i"), col("__rate"),
+        explode(sequence(col("__i"), col("__j"))).as("__k"))
+      .groupBy(col("__i"), col("__k")).agg(min(col("__rate")).as("__m"))
+      .groupBy(col("__k")).agg(max(col("__m")).as("__fit"))
+    g.join(fit, col("bin") === col("__k"))
+      .select(col("bin"), col("n_docs"), col("__pos").as("n_pos"),
+        asRatio(microRound6(col("__pos"), col("n_docs"))).as("raw_rate"),
+        (col("__fit").cast("double") / 1e6).as("iso_rate"))
+  }
+
   /** Reliability table + expected calibration error for a scored binary
     * outcome. Confidence is the exact rational confNum/confDen in [0,1]
     * (pass the score's native integer numerator — e.g. micro-logit

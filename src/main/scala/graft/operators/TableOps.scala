@@ -501,6 +501,65 @@ object TableOps {
         Seq(col("n"), col("median"), col("mad"), col("n_outliers")): _*)
   }
 
+  /** Trimmed and winsorized means per group — the robust location
+    * estimates next to [[robustOutliers]]' median/MAD scale estimates:
+    * the α-trimmed mean drops the k = floor(n·trimNum/trimDen) smallest
+    * and largest observations; the winsorized mean clamps them to the
+    * surviving extremes (the (k+1)-th and (n−k)-th order statistics)
+    * instead — the "one whale order must not move the daily average"
+    * statistic. Exact integers end to end: rank selection picks the
+    * clamp values, the two means are micro-rounded rationals. Ties at
+    * the trim boundary are value-deterministic (whichever tied row the
+    * rank keeps has the same value).
+    *
+    * `groupCols` must be non-empty plain column references (same
+    * unpartitioned-window argument as Drift.ksTest).
+    *
+    * Scale posture: one group-keyed rank window over the rows (the same
+    * shape every quantile in the engine pays) and one aggregation —
+    * no self-joins, no per-group collects.
+    *
+    * @return (g…, n, n_trimmed, winsor_lo, winsor_hi, trimmed_mean,
+    *   winsorized_mean)
+    */
+  def trimmedStats(
+      df: DataFrame, groupCols: Seq[Column], value: Column,
+      trimNum: Int = 1, trimDen: Int = 10): DataFrame = {
+    require(trimNum >= 0 && trimDen >= 1 && 2 * trimNum < trimDen,
+      s"trim fraction must sit in [0, 1/2): $trimNum/$trimDen")
+    require(groupCols.nonEmpty,
+      "trimmedStats needs >= 1 group column (see scaladoc)")
+    import org.apache.spark.sql.expressions.Window
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } :+
+        value.cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(gNames.map(col): _*)
+    val ranked = base
+      .withColumn("__rn", row_number().over(w.orderBy(col("__x"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__k", expr(s"(__n * $trimNum) div $trimDen"))
+    val kept = col("__rn") > col("__k") && col("__rn") <= col("__n") - col("__k")
+    ranked.groupBy(gNames.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("__kk"),
+        sum(when(kept, EvalMetrics.dec(col("__x")))).as("__tsum"),
+        min(when(col("__rn") === col("__k") + 1, col("__x"))).as("winsor_lo"),
+        max(when(col("__rn") === col("__n") - col("__k"), col("__x")))
+          .as("winsor_hi"))
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++ Seq(
+        col("n"), (col("n") - col("__kk") * 2).as("n_trimmed"),
+        col("winsor_lo"), col("winsor_hi"),
+        (EvalMetrics.microRound6(col("__tsum"), col("n") - col("__kk") * 2)
+          .cast("double") / 1e6).as("trimmed_mean"),
+        (EvalMetrics.microRound6(
+          col("__tsum") + EvalMetrics.dec(col("__kk")) *
+            (EvalMetrics.dec(col("winsor_lo")) +
+              EvalMetrics.dec(col("winsor_hi"))), col("n"))
+          .cast("double") / 1e6).as("winsorized_mean")): _*)
+  }
+
   /** Join-key skew profile: for each candidate key column, the
     * pre-flight numbers that predict shuffle skew BEFORE a 100 TB join
     * is launched — distinct keys, rows, the heaviest key's share, and

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{Log2Fixed, TextFunctions}
-import graft.operators.{Bm25, Divergence, EvalMetrics, QualityClassifier, QualityRules, TableOps}
+import graft.operators.{Bm25, Divergence, Drift, EvalMetrics, QualityClassifier, QualityRules, TableOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -234,7 +234,70 @@ object EvalQueries {
       EvalMetrics.calibrationBins(j,
         round(col("logit") * 1e6).cast("long") + 1000000L,
         confDen = 2000000L, labelCol = col("keep_doc"), nBins = 10)
-    }))
+    }),
+
+    // Two-sample KS drift of the order-value distribution, per priority:
+    // did the money move between the pre- and post-1996 populations?
+    // Binning-free (the PSI complement) — one exact integer max over the
+    // ECDF gap numerators.
+    "q257_ks_drift" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      Drift.ksTest(o, Seq(col("o_orderpriority")),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderdate") >= lit("1996-01-01").cast("date"))
+    }),
+
+    // Mann–Whitney U of event value (cents) between the even/odd user-id
+    // arms, per event type — the nonparametric companion to the q229
+    // conversion z-test: gates a continuous metric without normality.
+    "q258_mann_whitney" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+      EvalMetrics.mannWhitneyU(e, Seq(col("event_type")),
+        pmod(col("user_id"), lit(2)) === 1,
+        round(col("value") * 100).cast("long"))
+    }),
+
+    // Chi-square independence of (priority × order year) — the
+    // categorical-drift audit: is the priority mix stable across years?
+    // Zero cells contribute their expected mass (margins cross, never
+    // just observed cells).
+    "q259_chi2_independence" -> ((s, dir) =>
+      EvalMetrics.chiSquareIndependence(
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority").isNotNull &&
+            col("o_orderdate").isNotNull),
+        col("o_orderpriority"), year(col("o_orderdate")).cast("long"))),
+
+    // Isotonic calibration curve for the q224 classifier/label pairing —
+    // the monotone recalibration map the ECE table motivates, via the
+    // minimax characterization on micro-quantized bin means.
+    "q260_isotonic_calibration" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
+        .filter(col("logit").isNotNull).localCheckpoint()
+      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
+          minStopwords = 1)
+        .select(col("id"), col("keep_doc"))
+      EvalMetrics.isotonicCalibration(scored.join(labels, Seq("id")),
+        round(col("logit") * 1e6).cast("long") + 1000000L,
+        confDen = 2000000L, labelCol = col("keep_doc"), nBins = 10)
+    }),
+
+    // 10%-trimmed and winsorized mean of extended price (cents) per
+    // return flag — the robust location estimates next to the q246
+    // median/MAD scale estimates.
+    "q261_trimmed_stats" -> ((s, dir) =>
+      TableOps.trimmedStats(
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull),
+        Seq(col("l_returnflag")),
+        round(col("l_extendedprice") * 100).cast("long"),
+        trimNum = 1, trimDen = 10)
+        .select(col("g0").as("l_returnflag"), col("n"), col("n_trimmed"),
+          col("winsor_lo"), col("winsor_hi"), col("trimmed_mean"),
+          col("winsorized_mean"))))
 
   val oracles: Map[String, String] = Map(
 
@@ -461,5 +524,165 @@ object EvalQueries {
            CAST(ABS(pos * 2000000 - scn) AS BIGINT) AS gap_num,
            CAST((2 * gg * 1000000 + nn * 2000000) // (2 * nn * 2000000)
              AS BIGINT) / 1000000.0 AS ece
-         FROM b, tt""")
+         FROM b, tt""",
+
+    "q257_ks_drift" ->
+      """WITH c AS (SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             SUM(CASE WHEN o_orderdate >= DATE '1996-01-01'
+               THEN 0 ELSE 1 END) AS r,
+             SUM(CASE WHEN o_orderdate >= DATE '1996-01-01'
+               THEN 1 ELSE 0 END) AS cc
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+           GROUP BY 1, 2),
+         w AS (SELECT o_orderpriority, v,
+             SUM(r) OVER (PARTITION BY o_orderpriority ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+             SUM(cc) OVER (PARTITION BY o_orderpriority ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum,
+             SUM(r) OVER (PARTITION BY o_orderpriority) AS nr,
+             SUM(cc) OVER (PARTITION BY o_orderpriority) AS nc
+           FROM c),
+         d AS (SELECT o_orderpriority, v, nr, nc,
+             ABS(CAST(cr AS HUGEINT) * nc - CAST(ccum AS HUGEINT) * nr)
+               AS dn,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY
+               ABS(CAST(cr AS HUGEINT) * nc - CAST(ccum AS HUGEINT) * nr)
+                 DESC, v ASC) AS rn
+           FROM w)
+         SELECT o_orderpriority, CAST(nr AS BIGINT) AS n_ref,
+           CAST(nc AS BIGINT) AS n_cur,
+           CASE WHEN nr > 0 AND nc > 0 THEN
+             CAST((2 * dn * 1000000 + CAST(nr AS HUGEINT) * nc)
+               // (2 * CAST(nr AS HUGEINT) * nc) AS BIGINT) / 1000000.0
+           END AS ks_stat,
+           CASE WHEN nr > 0 AND nc > 0 THEN v END AS ks_at
+         FROM d WHERE rn = 1""",
+
+    "q258_mann_whitney" ->
+      """WITH c AS (SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS a,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2),
+         w AS (SELECT event_type, v, a, b, a + b AS t,
+             COALESCE(SUM(a + b) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum0
+           FROM c),
+         g AS (SELECT event_type,
+             CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+             SUM(CAST(a AS HUGEINT) * (2 * cum0 + t + 1)) AS r2a,
+             SUM(CAST(t AS HUGEINT) * t * t - t) AS t3
+           FROM w GROUP BY 1),
+         f AS (SELECT event_type, n_a, n_b, t3, n_a + n_b AS n,
+             r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2a
+           FROM g),
+         h AS (SELECT event_type, n_a, n_b, t3, n, u2a,
+             u2a - CAST(n_a AS HUGEINT) * n_b AS diff,
+             CAST(n_a AS HUGEINT) * n_b *
+               (CAST(n AS HUGEINT) * (n - 1) * (n + 1) - t3) AS varfull
+           FROM f),
+         i AS (SELECT *,
+             CASE WHEN n > 1
+               THEN varfull // (CAST(n AS HUGEINT) * (n - 1)) ELSE 0 END
+               AS varred,
+             3 * diff * diff AS z2n
+           FROM h)
+         SELECT event_type, n_a, n_b,
+           CAST(u2a AS DOUBLE) / 2 AS u_a,
+           CAST(t3 AS BIGINT) AS tie_cubes,
+           CASE WHEN n_a > 0 AND n_b > 0 AND varfull > 0 THEN
+             CAST((2 * z2n * 1000000 + varred) // (2 * varred) AS BIGINT)
+               / 1000000.0 END AS z2,
+           CASE WHEN n_a > 0 AND n_b > 0 AND varfull > 0 THEN
+             CASE WHEN z2n * 1000000 > varred * 3841459 THEN 1 ELSE 0 END
+           END AS significant
+         FROM i""",
+
+    "q259_chi2_independence" ->
+      """WITH cells AS (SELECT o_orderpriority AS x,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+             COUNT(*) AS n_obs
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (SELECT x, SUM(n_obs) AS rx FROM cells GROUP BY 1),
+         cc AS (SELECT y, SUM(n_obs) AS cy FROM cells GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_obs) AS HUGEINT) AS nn FROM cells),
+         sz AS (SELECT (SELECT COUNT(*) FROM r) AS nr,
+             (SELECT COUNT(*) FROM cc) AS ncc),
+         f AS (SELECT r.x, cc.y, rx, cy, COALESCE(n_obs, 0) AS n_obs
+           FROM r CROSS JOIN cc
+           LEFT JOIN cells ON cells.x = r.x AND cells.y = cc.y),
+         terms AS (SELECT x, y, n_obs,
+             CAST((2 * (CAST(rx AS HUGEINT) * cy) * 1000000 + nn)
+               // (2 * nn) AS BIGINT) AS em,
+             CAST((2 * ((nn * n_obs - CAST(rx AS HUGEINT) * cy) *
+                 (nn * n_obs - CAST(rx AS HUGEINT) * cy)) * 1000000 +
+                 nn * rx * cy) // (2 * nn * rx * cy) AS BIGINT) AS tm
+           FROM f, t)
+         SELECT x, y, CAST(n_obs AS BIGINT) AS n_obs,
+           em / 1000000.0 AS expected, tm / 1000000.0 AS term,
+           (SELECT CAST(SUM(tm) AS BIGINT) FROM terms) / 1000000.0 AS chi2,
+           (SELECT CAST((nr - 1) * (ncc - 1) AS BIGINT) FROM sz) AS dof
+         FROM terms""",
+
+    "q260_isotonic_calibration" ->
+      s"""WITH $gopherKeepCtes,
+         $classifierCtes,
+         sc AS (SELECT doc_id, n_tokens,
+             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
+               + 1000000 AS conf_num
+           FROM cs WHERE n_tokens > 0),
+         j AS (SELECT sc.doc_id, conf_num, keep_a
+           FROM sc JOIN ga USING (doc_id)),
+         b AS (SELECT CAST(LEAST(9, conf_num * 10 // 2000000) AS BIGINT)
+               AS bin,
+             COUNT(*) AS n_docs, SUM(keep_a) AS pos
+           FROM j GROUP BY 1),
+         seg AS (SELECT a.bin AS i, c2.bin AS j2,
+             CAST((2 * SUM(m.pos) * 1000000 + SUM(m.n_docs))
+               // (2 * SUM(m.n_docs)) AS BIGINT) AS rate
+           FROM b a JOIN b c2 ON a.bin <= c2.bin
+           JOIN b m ON m.bin BETWEEN a.bin AND c2.bin
+           GROUP BY 1, 2),
+         m1 AS (SELECT i, u.k, MIN(rate) AS mr
+           FROM seg, UNNEST(range(seg.i, seg.j2 + 1)) AS u(k)
+           GROUP BY 1, 2),
+         fit AS (SELECT k, MAX(mr) AS f FROM m1 GROUP BY 1)
+         SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(pos AS BIGINT) AS n_pos,
+           CAST((2 * pos * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
+             / 1000000.0 AS raw_rate,
+           f / 1000000.0 AS iso_rate
+         FROM b JOIN fit ON fit.k = b.bin""",
+
+    "q261_trimmed_stats" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT g, x,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+           FROM b),
+         k AS (SELECT g, x, rn, n, (n * 1) // 10 AS kk FROM r),
+         a AS (SELECT g, MAX(n) AS n, MAX(kk) AS kk,
+             SUM(CASE WHEN rn > kk AND rn <= n - kk
+               THEN CAST(x AS HUGEINT) ELSE 0 END) AS tsum,
+             MIN(CASE WHEN rn = kk + 1 THEN x END) AS lo,
+             MAX(CASE WHEN rn = n - kk THEN x END) AS hi
+           FROM k GROUP BY 1)
+         SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(n - 2 * kk AS BIGINT) AS n_trimmed,
+           lo AS winsor_lo, hi AS winsor_hi,
+           CAST((2 * tsum * 1000000 + (n - 2 * kk)) // (2 * (n - 2 * kk))
+             AS BIGINT) / 1000000.0 AS trimmed_mean,
+           CAST((2 * (tsum + CAST(kk AS HUGEINT) * (lo + hi)) * 1000000
+             + n) // (2 * n) AS BIGINT) / 1000000.0 AS winsorized_mean
+         FROM a""")
 }

@@ -94,4 +94,55 @@ class DriftSpec extends AnyFunSuite {
     assert(tvdUni > 0.5 && tvdPow < tvdUni / 4,
       s"audit must separate: pow $tvdPow vs uniform $tvdUni")
   }
+
+  /** Driver-side exact KS: max |cumR·nC − cumC·nR| / (nR·nC). */
+  private def refKs(ref: Seq[Long], cur: Seq[Long]): (Double, Long) = {
+    val vs = (ref ++ cur).distinct.sorted
+    val nR = ref.size.toLong; val nC = cur.size.toLong
+    var best = BigInt(0); var at = vs.head
+    for (v <- vs) {
+      val d = (BigInt(ref.count(_ <= v)) * nC - BigInt(cur.count(_ <= v)) * nR).abs
+      if (d > best) { best = d; at = v }
+    }
+    val den = BigInt(nR) * nC
+    (((best * 2000000 + den) / (den * 2)).toDouble / 1e6, at)
+  }
+
+  test("ksTest: matches the exact driver-side ECDF gap, with ties") {
+    val rnd = new scala.util.Random(7)
+    val ref = Seq.fill(300)(rnd.nextLong(50))  // heavy ties
+    val cur = Seq.fill(200)(rnd.nextLong(50) + 10)
+    val df = (ref.map(("g", _, false)) ++ cur.map(("g", _, true)))
+      .toDF("g", "v", "cur")
+    val out = Drift.ksTest(df, Seq(col("g")), col("v"), col("cur"))
+      .collect().head
+    val (ks, at) = refKs(ref, cur)
+    assert(out.getAs[Long]("n_ref") == 300L)
+    assert(out.getAs[Long]("n_cur") == 200L)
+    assert(out.getAs[Double]("ks_stat") == ks)
+    assert(out.getAs[Long]("ks_at") == at)
+  }
+
+  test("ksTest: identical samples -> 0; disjoint ranges -> 1") {
+    val same = (1L to 100L).flatMap(v => Seq(("g", v, false), ("g", v, true)))
+      .toDF("g", "v", "cur")
+    assert(Drift.ksTest(same, Seq(col("g")), col("v"), col("cur"))
+      .collect().head.getAs[Double]("ks_stat") == 0.0)
+    val disjoint = ((1L to 50L).map(("g", _, false)) ++
+      (100L to 149L).map(("g", _, true))).toDF("g", "v", "cur")
+    assert(Drift.ksTest(disjoint, Seq(col("g")), col("v"), col("cur"))
+      .collect().head.getAs[Double]("ks_stat") == 1.0)
+  }
+
+  test("ksTest: a one-sided group reports null, never a number") {
+    val df = (1L to 10L).map(("g", _, false)).toDF("g", "v", "cur")
+    val r = Drift.ksTest(df, Seq(col("g")), col("v"), col("cur"))
+      .collect().head
+    assert(r.getAs[Long]("n_cur") == 0L)
+    assert(r.getAs[Any]("ks_stat") == null)
+    assert(r.getAs[Any]("ks_at") == null)
+    intercept[IllegalArgumentException] {
+      Drift.ksTest(df, Seq.empty, col("v"), col("cur"))
+    }
+  }
 }

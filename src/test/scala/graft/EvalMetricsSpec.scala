@@ -141,4 +141,136 @@ class EvalMetricsSpec extends AnyFunSuite {
     val r = Divergence.zipfSlope(df, col("source"), col("text")).collect().head
     assert(r.getLong(1) == 1L && r.isNullAt(2))
   }
+
+  // ------------------------------------------------- Mann–Whitney U
+
+  /** Driver-side exact 2·U_A via tie-averaged ranks (×2 to stay
+    * integral). */
+  private def refU2(a: Seq[Long], b: Seq[Long]): Long = {
+    val all = (a ++ b).sorted
+    // 2·avgRank of value v = 2·(count below) + count(v) + 1
+    def r2(v: Long) = 2L * all.count(_ < v) + all.count(_ == v) + 1
+    val r2a = a.map(r2).sum
+    r2a - a.size.toLong * (a.size + 1)
+  }
+
+  test("mannWhitneyU: exact 2·U with ties; U_A + U_B = 2·nA·nB") {
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(80)(rnd.nextLong(20))
+    val b = Seq.fill(60)(rnd.nextLong(20) + 5)
+    val df = (a.map(("g", _, false)) ++ b.map(("g", _, true)))
+      .toDF("g", "v", "isb")
+    val outA = EvalMetrics.mannWhitneyU(df, Seq(col("g")), col("isb"),
+      col("v")).collect().head
+    assert(outA.getAs[Double]("u_a") * 2 == refU2(a, b).toDouble)
+    // swap arms: the two U's must complement to nA·nB
+    val outB = EvalMetrics.mannWhitneyU(df, Seq(col("g")), !col("isb"),
+      col("v")).collect().head
+    assert(outA.getAs[Double]("u_a") + outB.getAs[Double]("u_a") ==
+      (80.0 * 60))
+    assert(outA.getAs[Long]("tie_cubes") ==
+      (a ++ b).groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * t * t - t }).sum)
+  }
+
+  test("mannWhitneyU: identical arms -> insignificant; shifted -> " +
+      "significant; all-tied -> null z2") {
+    val base = (1L to 100L)
+    val same = (base.map(("g", _, false)) ++ base.map(("g", _, true)))
+      .toDF("g", "v", "isb")
+    val s0 = EvalMetrics.mannWhitneyU(same, Seq(col("g")), col("isb"),
+      col("v")).collect().head
+    assert(s0.getAs[Int]("significant") == 0)
+    assert(s0.getAs[Double]("z2") == 0.0)
+    val moved = (base.map(("g", _, false)) ++
+      base.map(v => ("g", v + 60L, true))).toDF("g", "v", "isb")
+    val s1 = EvalMetrics.mannWhitneyU(moved, Seq(col("g")), col("isb"),
+      col("v")).collect().head
+    assert(s1.getAs[Int]("significant") == 1)
+    val tied = (Seq.fill(50)(("g", 7L, false)) ++
+      Seq.fill(50)(("g", 7L, true))).toDF("g", "v", "isb")
+    val s2 = EvalMetrics.mannWhitneyU(tied, Seq(col("g")), col("isb"),
+      col("v")).collect().head
+    assert(s2.getAs[Any]("z2") == null)
+  }
+
+  // ------------------------------------------- chi-square independence
+
+  test("chiSquareIndependence: matches the driver-side exact terms, " +
+      "zero cells included") {
+    // 2×2 with one structurally empty cell: x=a only pairs with y=1
+    val df = (Seq.fill(30)(("a", 1L)) ++ Seq.fill(20)(("b", 1L)) ++
+      Seq.fill(50)(("b", 2L))).toDF("x", "y")
+    val out = EvalMetrics.chiSquareIndependence(df, col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out.size == 4, "margins cross must generate the zero cell")
+    val zero = out(("a", 2L))
+    assert(zero.getAs[Long]("n_obs") == 0L)
+    // expected for (a,2) = r_a*c_2/N = 30*50/100 = 15
+    assert(zero.getAs[Double]("expected") == 15.0)
+    // exact chi2: sum over cells of (N·o − r·c)²/(N·r·c), micro-rounded
+    // terms; driver replica
+    def term(o: Long, r: Long, c: Long, n: Long): Long = {
+      val num = BigInt(n) * o - BigInt(r) * c
+      val den = BigInt(n) * r * c
+      ((num * num * 2000000 + den) / (den * 2)).toLong
+    }
+    val exp = (term(30, 30, 50, 100) + term(0, 30, 50, 100) +
+      term(20, 70, 50, 100) + term(50, 70, 50, 100)).toDouble / 1e6
+    assert(out.values.head.getAs[Double]("chi2") == exp)
+    assert(out.values.head.getAs[Long]("dof") == 1L)
+  }
+
+  test("chiSquareIndependence: fails loud past maxCells, never samples") {
+    val df = (1L to 200L).map(i => (i, i)).toDF("x", "y")
+    val e = intercept[Exception] {
+      EvalMetrics.chiSquareIndependence(df, col("x"), col("y"),
+        maxCells = 100L).collect()
+    }
+    assert(e.getMessage.contains("maxCells") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxCells")))
+  }
+
+  // ------------------------------------------- isotonic calibration
+
+  /** Driver-side PAV (pool adjacent violators) on micro-quantized bin
+    * means — the reference the minimax form must reproduce. */
+  private def refPav(bins: Seq[(Long, Long)]): Seq[Long] = {
+    def micro(p: Long, n: Long): Long = (2 * p * 1000000 + n) / (2 * n)
+    // minimax on quantized means, brute force
+    val b = bins.size
+    (0 until b).map { k =>
+      (0 to k).map { i =>
+        (k until b).map { j =>
+          val p = (i to j).map(bins(_)._2).sum
+          val n = (i to j).map(bins(_)._1).sum
+          micro(p, n)
+        }.min
+      }.max
+    }
+  }
+
+  test("isotonicCalibration: equals brute-force minimax/PAV and is " +
+      "monotone") {
+    // bins engineered non-monotone: rates 0.2, 0.6, 0.4, 0.9
+    val rows =
+      (0 until 10).map(i => (0.05 + 0.0, if (i < 2) 1L else 0L)) ++    // bin 0
+      (0 until 10).map(i => (0.15, if (i < 6) 1L else 0L)) ++          // bin 1
+      (0 until 10).map(i => (0.25, if (i < 4) 1L else 0L)) ++          // bin 2
+      (0 until 10).map(i => (0.35, if (i < 9) 1L else 0L))             // bin 3
+    val df = rows.toDF("conf", "y")
+    val out = EvalMetrics.isotonicCalibration(df,
+        round(col("conf") * 1000000).cast("long"), 1000000L, col("y"),
+        nBins = 10)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    val iso = out.map(_.getAs[Double]("iso_rate"))
+    assert(iso.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"not monotone: ${iso.toSeq}")
+    val ref = refPav(Seq((10L, 2L), (10L, 6L), (10L, 4L), (10L, 9L)))
+      .map(_.toDouble / 1e6)
+    assert(iso.toSeq == ref,
+      s"minimax mismatch: got ${iso.toSeq}, want $ref")
+    // pooled bins 1+2: (6+4)/20 = 0.5
+    assert(iso(1) == 0.5 && iso(2) == 0.5)
+  }
 }

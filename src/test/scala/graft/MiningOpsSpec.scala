@@ -597,6 +597,56 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("trimmedStats: hand-checked 10% trim; trim 0 = plain mean") {
+    // 1..10 in group g: k = 1, trimmed = mean(2..9) = 5.5,
+    // winsorized = (2 + 2..9 + 9)/10 = 5.5
+    val df = (1L to 10L).map(("g", _)).toDF("k", "v")
+    val out = TableOps.trimmedStats(df, Seq(col("k")), col("v"))
+      .collect().head
+    assert(out.getAs[Long]("n") == 10L)
+    assert(out.getAs[Long]("n_trimmed") == 8L)
+    assert(out.getAs[Long]("winsor_lo") == 2L)
+    assert(out.getAs[Long]("winsor_hi") == 9L)
+    assert(out.getAs[Double]("trimmed_mean") == 5.5)
+    assert(out.getAs[Double]("winsorized_mean") == 5.5)
+    val plain = TableOps.trimmedStats(df, Seq(col("k")), col("v"),
+      trimNum = 0, trimDen = 1).collect().head
+    assert(plain.getAs[Double]("trimmed_mean") == 5.5)
+    assert(plain.getAs[Long]("n_trimmed") == 10L)
+  }
+
+  test("trimmedStats: one whale cannot move the trimmed mean; driver " +
+      "reference on random ties") {
+    val clean = (1L to 100L).map(("g", _))
+    val spiked = clean :+ (("g", 1000000L))
+    def tm(rows: Seq[(String, Long)]) =
+      TableOps.trimmedStats(rows.toDF("k", "v"), Seq(col("k")), col("v"))
+        .collect().head.getAs[Double]("trimmed_mean")
+    assert(math.abs(tm(spiked) - tm(clean)) < 1.2,
+      "trimmed mean moved by a single whale")
+    // random data with ties vs an exact driver replica
+    val rnd = new scala.util.Random(23)
+    val vs = Seq.fill(137)(rnd.nextLong(30))
+    val out = TableOps.trimmedStats(vs.map(("g", _)).toDF("k", "v"),
+      Seq(col("k")), col("v")).collect().head
+    val sorted = vs.sorted
+    val k = vs.size / 10
+    val kept = sorted.slice(k, vs.size - k)
+    def micro(p: BigInt, n: Long): Double =
+      ((p * 2000000 + n) / (2 * n)).toDouble / 1e6
+    assert(out.getAs[Double]("trimmed_mean") ==
+      micro(kept.map(BigInt(_)).sum, kept.size))
+    assert(out.getAs[Long]("winsor_lo") == sorted(k))
+    assert(out.getAs[Long]("winsor_hi") == sorted(vs.size - k - 1))
+    assert(out.getAs[Double]("winsorized_mean") ==
+      micro(kept.map(BigInt(_)).sum + BigInt(k) * (sorted(k) +
+        sorted(vs.size - k - 1)), vs.size))
+    intercept[IllegalArgumentException] {
+      TableOps.trimmedStats(vs.map(("g", _)).toDF("k", "v"),
+        Seq(col("k")), col("v"), trimNum = 1, trimDen = 2)
+    }
+  }
+
   test("robustOutliers: MAD = 0 degeneracy flags every differing value") {
     val df = (Seq.fill(10)(100L) ++ Seq(101L, 5000L)).map(("g", _))
       .toDF("k", "v")
