@@ -1872,6 +1872,21 @@ object Stress {
     require(blocked == flat, s"estimators diverged: $blocked vs $flat")
     require(blocked.values.forall(s => math.abs(s - 7.0) < 0.2),
       s"planted slope 7 not recovered: $blocked")
+    // the paired Mann–Kendall gate over the same unit frame: one kernel
+    // pass, planted trend must come back significant with tau ≈ 1
+    var mk: Array[org.apache.spark.sql.Row] = null
+    Journey.mannKendallBlocked(series, Seq(col("g")), col("t"), col("y"),
+      blockSize = 256).collect(): Unit // warm untimed, like run()
+    val (_, mkBytes) = shuffleBytes(spark.sparkContext) {
+      time(s"mannkendall_${n / 1000000}M_pairs", runs = 1) {
+        mk = Journey.mannKendallBlocked(series, Seq(col("g")), col("t"),
+          col("y"), blockSize = 256).collect()
+      }
+    }
+    println(f"[stress] mannkendall: shuffle ${mkBytes / 1048576.0}%.1f MB")
+    require(mk.forall(_.getAs[Int]("significant") == 1) &&
+      mk.forall(_.getAs[Double]("tau") > 0.95),
+      s"planted trend not detected: ${mk.mkString(", ")}")
   }
 
   /** Weighted PageRank at scale (the q250 recurrence): n weighted edges

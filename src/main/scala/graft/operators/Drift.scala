@@ -87,8 +87,13 @@ object Drift {
     * numerator max |cumR·N_cur − cumC·N_ref| over the common
     * denominator N_ref·N_cur — no floats until the final micro-rounded
     * display. `ks_at` is the value where the gap peaks (smallest such
-    * value on ties — deterministic). Groups with an empty side report
-    * null ks/ks_at, never a plausible number.
+    * value on ties — deterministic). `significant` gates D against the
+    * asymptotic two-sided 95% bound c(0.05)·√((n_ref+n_cur)/(n_ref·n_cur))
+    * with c² = −ln(0.025)/2 pinned at 1.8444397 — compared in
+    * cross-multiplied exact integers (D_num²·10⁷ vs 18444397·(n_ref+
+    * n_cur)·n_ref·n_cur), never on the rounded display value. Groups
+    * with an empty side report null ks/ks_at/significant, never a
+    * plausible number.
     *
     * `groupCols` must be non-empty plain column references (the
     * per-segment drift grain; an ungrouped KS would plan the
@@ -108,7 +113,7 @@ object Drift {
     require(groupCols.nonEmpty,
       "ksTest needs >= 1 group column (see scaladoc — an ungrouped KS " +
         "would plan an unpartitioned window)")
-    val reserved = Seq("n_ref", "n_cur", "ks_stat", "ks_at")
+    val reserved = Seq("n_ref", "n_cur", "ks_stat", "ks_at", "significant")
     require(!df.columns.exists(reserved.contains),
       s"input carries a reserved output column: " +
         df.columns.filter(reserved.contains).mkString(", "))
@@ -131,11 +136,16 @@ object Drift {
       .agg(min(struct((dnum * -1).as("nd"), col("__v").as("v"))).as("__m"),
         max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
     val defined = col("n_ref") > 0 && col("n_cur") > 0
+    val dMax = col("__m.nd") * -1
     agg.select((groupCols ++ Seq(col("n_ref"), col("n_cur"),
-      when(defined, microRound6(col("__m.nd") * -1,
+      when(defined, microRound6(dMax,
         dec(col("n_ref")) * dec(col("n_cur"))).cast("double") / 1e6)
         .as("ks_stat"),
-      when(defined, col("__m.v")).as("ks_at"))): _*)
+      when(defined, col("__m.v")).as("ks_at"),
+      when(defined, when(dMax * dMax * 10000000L >
+          lit(18444397L) * (dec(col("n_ref")) + dec(col("n_cur"))) *
+            dec(col("n_ref")) * dec(col("n_cur")), 1).otherwise(0))
+        .as("significant"))): _*)
   }
 
   /** round(log10(1 + 1/d) * 1e6) for d = 1..9 — the Benford first-digit

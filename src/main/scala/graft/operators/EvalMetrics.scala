@@ -245,6 +245,58 @@ object EvalMetrics {
         .as("significant"))): _*)
   }
 
+  /** ROC AUC per group via the rank-sum identity: AUC =
+    * (#(score_pos > score_neg) + ½·ties) / (n_pos·n_neg) — exactly the
+    * tie-averaged Mann–Whitney U, so this delegates to [[mannWhitneyU]]
+    * (label = 1 is arm B) and inherits its exactness end to end: auc is
+    * the micro-rounded exact rational (2·n_pos·n_neg − 2·U_neg) /
+    * (2·n_pos·n_neg), recovered from the integral 2U. The z²/significant
+    * columns gate "discriminates better than chance" — the same test,
+    * read as a ROC statement. Null auc when either class is absent.
+    * Exact while 2U ≤ 2⁵³ (u_a round-trips through a double) —
+    * ~6.7·10¹⁵ pair comparisons per group, unreachable.
+    *
+    * @return (g…, n_neg, n_pos, auc, z2, significant)
+    */
+  def aucFromScores(df: DataFrame, groupCols: Seq[Column],
+      labelCol: Column, scoreCol: Column): DataFrame = {
+    val mw = mannWhitneyU(df, groupCols, labelCol.cast("long") === 1,
+      scoreCol)
+    val prod2 = dec(col("n_a")) * dec(col("n_b")) * 2
+    val u2b = prod2 - dec((col("u_a") * 2).cast("long"))
+    mw.select((groupCols ++ Seq(col("n_a").as("n_neg"),
+      col("n_b").as("n_pos"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        asRatio(microRound6(u2b, prod2))).as("auc"),
+      col("z2"), col("significant"))): _*)
+  }
+
+  /** Brier score per group — the squared-error leg of the classifier-
+    * eval suite (ECE says whether the confidences are honest, AUC
+    * whether they discriminate, Brier both at once as one proper
+    * scoring rule): mean over rows of (conf − y)² with conf the exact
+    * rational confNum/confDen, collapsed to ONE integer numerator
+    * Σ(confNum − y·confDen)² over N·confDen² and micro-rounded.
+    *
+    * Scale posture: one count/sum aggregation over the input, map-side
+    * combined; groups-bounded output. Envelope: Σ(confNum−y·confDen)²
+    * ≤ N·confDen² must fit DECIMAL(38,0) — ~10²⁵ rows at confDen 2·10⁶,
+    * unreachable; overflows are loud.
+    *
+    * @return (g…, n, brier)
+    */
+  def brierScore(df: DataFrame, groupCols: Seq[Column], confNum: Column,
+      confDen: Long, labelCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "brierScore needs >= 1 group column")
+    require(confDen > 0, s"confDen must be positive, got $confDen")
+    val err = dec(confNum.cast("long") - labelCol.cast("long") * confDen)
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"), sum(err * err).as("__se"))
+      .select((groupCols :+ col("n")) :+
+        asRatio(microRound6(col("__se"),
+          dec(col("n")) * (confDen * confDen))).as("brier"): _*)
+  }
+
   /** Chi-square test of independence between two categorical columns —
     * the categorical-drift / feature-association audit next to the
     * numeric tests: χ² = Σ over the R×C contingency cells of

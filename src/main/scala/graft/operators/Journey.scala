@@ -556,6 +556,128 @@ object Journey {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope")): _*)
   }
 
+  /** Shared machinery for the blocked pair kernels ([[theilSenBlocked]],
+    * [[mannKendallBlocked]]): rank-blocked per-block point arrays, the
+    * driver-side group map, and the (gid, blockA, blockB) unit-array
+    * frame the kernels consume. EAGER — runs the block checkpoint and
+    * the group-map collect (few-groups contract, fail-loud past 2^16
+    * groups).
+    *
+    * `gidMap` columns: (g…, __gid, __n_points, __mb); `unitArrays`
+    * columns: (__gid, __ba, __bb, __apts, __bpts, __same).
+    */
+  private final case class BlockedUnits(
+      gidMap: DataFrame, unitArrays: DataFrame, gNames: Seq[String])
+
+  private def blockedUnits(
+      df: DataFrame, groupCols: Seq[Column], tCol: Column, yCol: Column,
+      blockSize: Int, broadcastPointLimit: Long,
+      who: String): BlockedUnits = {
+    require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
+    val spark = df.sparkSession
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
+        Seq(tCol.cast("long").as("__t"), yCol.cast("long").as("__y")): _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    // rank-block id + per-block point arrays, checkpointed ONCE: the one
+    // per-group sort in the plan is over the m POINTS (never pairs), and
+    // the checkpointed frame is bounded by points too (m × 16 B payload
+    // in ≤ blockSize arrays). sort_array makes the arrays a canonical
+    // function of the block's point multiset; the pair SET is invariant
+    // to how row_number breaks t-ties across block boundaries (any
+    // block partition enumerates each unordered pair exactly once).
+    val wg = Window.partitionBy(gNames.map(col): _*)
+    val blockPts = base
+      .withColumn("__blk",
+        ((row_number().over(wg.orderBy(col("__t"))) - 1) / blockSize)
+          .cast("long"))
+      .groupBy(gNames.map(col) :+ col("__blk"): _*)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__y"))))
+        .as("__pts"))
+      .localCheckpoint()
+    // Group map, collected ONCE (the few-groups contract; fail-loud cap
+    // so a mis-aimed many-group call can't melt the driver). A dense
+    // LONG group id replaces the caller's group columns through the
+    // whole pipeline: every join probe, aggregate row and window key
+    // hashes one long instead of the raw (possibly string) keys.
+    val maxGroups = 1 << 16
+    val gRows = blockPts
+      .groupBy(gNames.map(col): _*)
+      .agg(sum(size(col("__pts"))).as("__n"), max(col("__blk")).as("__mb"))
+      .take(maxGroups + 1)
+    require(gRows.length <= maxGroups,
+      s"$who is the few-group/long-series form (> $maxGroups " +
+        "groups found) — use the flat form for many-group inputs")
+    val gFieldCount = gNames.length
+    val sortedG = gRows.sortBy(_.toString) // deterministic gid assignment
+    val mapSchema = org.apache.spark.sql.types.StructType(
+      blockPts.schema.fields.take(gFieldCount) ++ Seq(
+        org.apache.spark.sql.types.StructField("__gid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__n_points",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__mb",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val mapRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(sortedG.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.take(gFieldCount) ++
+          Seq(i.toLong, r.getLong(gFieldCount), r.getLong(gFieldCount + 1)))
+      }: _*)
+    val gidMap = spark.createDataFrame(mapRows, mapSchema)
+    val totalPoints = gRows.iterator.map(_.getLong(gFieldCount)).sum
+    // null-safe: null group values form groups, exactly like the flat
+    // forms
+    val blockArr = blockPts.join(broadcast(gidMap),
+        gNames.map(n => blockPts(n) <=> gidMap(n)).reduce(_ && _))
+      .select(col("__gid"), col("__blk"), col("__pts"))
+    // work units: every (blockA <= blockB) pair, per group — derived
+    // driver-free from the tiny map frame, then joined to the two
+    // blocks' point arrays. The explicit repartition on (gid, __ba,
+    // __bb) is load-bearing, not style: unit rows carry near-uniform
+    // pair counts (≈ blockSize² each), so hashing the unit key spreads
+    // the quadratic kernel work evenly — while left alone the tiny unit
+    // frame would coalesce to ~1 partition (AQE is blind to the in-
+    // kernel m² fan-out, the same trap the row-level form measured at
+    // 66.7 s vs 24.8 s flat). When the point frame is small (known
+    // exactly driver-side) the block arrays broadcast and the unit
+    // build is shuffle-free; past `broadcastPointLimit` it falls back
+    // to pinned-exchange sort-merge joins on (gid, block).
+    val units = gidMap
+      .select(col("__gid"), col("__mb"),
+        explode(sequence(lit(0L), col("__mb"))).as("__ba"))
+      .select(col("__gid"), col("__ba"),
+        explode(sequence(col("__ba"), col("__mb"))).as("__bb"))
+    val aBlk = blockArr.toDF("__gid", "__ba", "__apts")
+    val bBlk = blockArr.toDF("__gid", "__bb", "__bpts")
+    val nP = spark.sessionState.conf.numShufflePartitions
+    val joined =
+      if (totalPoints <= broadcastPointLimit)
+        units.join(broadcast(aBlk), Seq("__gid", "__ba"))
+          .join(broadcast(bBlk), Seq("__gid", "__bb"))
+      else
+        units.repartition(nP, col("__gid"), col("__ba"))
+          .join(aBlk.repartition(nP, col("__gid"), col("__ba"))
+            .hint("merge"), Seq("__gid", "__ba"))
+          .repartition(nP, col("__gid"), col("__bb"))
+          .join(bBlk.repartition(nP, col("__gid"), col("__bb"))
+            .hint("merge"), Seq("__gid", "__bb"))
+    val unitArrays0 = joined
+      .withColumn("__same", col("__ba") === col("__bb"))
+      .repartition(nP, col("__gid"), col("__ba"), col("__bb"))
+    // reuse across passes only when the exact driver-computed size is
+    // small; past the cap each consumer rebuilds from the cheap
+    // block-array joins instead of materializing O((m/B)²) array copies
+    val estUnitBytes = gRows.iterator.map { r =>
+      val mb = r.getLong(gFieldCount + 1)
+      (mb + 1) * (mb + 2) / 2 * 2 * blockSize.toLong * 16
+    }.sum
+    val unitArrays =
+      if (estUnitBytes <= (256L << 20)) unitArrays0.localCheckpoint()
+      else unitArrays0
+    BlockedUnits(gidMap, unitArrays, gNames)
+  }
+
   /** [[theilSen]] for the FEW-GROUP / LONG-SERIES shape — identical
     * estimator (same micro-quantized slopes, same lower median), but the
     * per-group O(m²) pair work is BLOCK-DECOMPOSED so one entity's
@@ -591,20 +713,6 @@ object Journey {
     * inside a plan you expect to stay lazy; treat the call itself as an
     * action.
     *
-    * The per-group (count, max block) frame is collected to the driver
-    * ONCE — bounded by the few-groups contract, fail-loud past 2^16
-    * groups — and a dense LONG group id replaces the caller's group
-    * columns through the whole pipeline: every join probe, aggregate row
-    * and window key hashes one long instead of the raw (possibly string)
-    * keys. When the point frame is small (≤ `broadcastPointLimit`
-    * points, known exactly driver-side) the block arrays broadcast and
-    * the unit build is shuffle-free; past the limit it falls back to
-    * pinned-exchange sort-merge joins on (group, block). The unit-array
-    * frame is checkpointed for reuse across the passes only when its
-    * exact driver-computed size is small (≤ 256 MB); past that each pass
-    * rebuilds it from the cheap block-array joins instead of
-    * materializing O((m/B)²) array copies.
-    *
     * @return (g…, n_points, n_pairs, slope) — bit-identical to
     *   [[theilSen]] on the same input.
     */
@@ -613,103 +721,11 @@ object Journey {
       yCol: Column, blockSize: Int = 128,
       refineThreshold: Long = 1L << 18,
       broadcastPointLimit: Long = 1L << 21): DataFrame = {
-    require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
     require(refineThreshold >= 1, s"refineThreshold must be >= 1")
-    val spark = df.sparkSession
-    val gNames = groupCols.indices.map(i => s"__g$i")
-    val base = df.select(
-      groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
-        Seq(tCol.cast("long").as("__t"), yCol.cast("long").as("__y")): _*)
-      .filter(col("__t").isNotNull && col("__y").isNotNull)
-    // rank-block id + per-block point arrays, checkpointed ONCE: the one
-    // per-group sort in the plan is over the m POINTS (never pairs), and
-    // the checkpointed frame is bounded by points too (m × 16 B payload
-    // in ≤ blockSize arrays). sort_array makes the arrays a canonical
-    // function of the block's point multiset; the pair SET is invariant
-    // to how row_number breaks t-ties across block boundaries (any
-    // block partition enumerates each unordered pair exactly once).
-    val wg = Window.partitionBy(gNames.map(col): _*)
-    val blockPts = base
-      .withColumn("__blk",
-        ((row_number().over(wg.orderBy(col("__t"))) - 1) / blockSize)
-          .cast("long"))
-      .groupBy(gNames.map(col) :+ col("__blk"): _*)
-      .agg(sort_array(collect_list(struct(col("__t"), col("__y"))))
-        .as("__pts"))
-      .localCheckpoint()
-    // Group map, collected ONCE (the few-groups contract this operator
-    // already documents for the hot-bucket probe; fail-loud cap so a
-    // mis-aimed many-group call can't melt the driver).
-    val maxGroups = 1 << 16
-    val gRows = blockPts
-      .groupBy(gNames.map(col): _*)
-      .agg(sum(size(col("__pts"))).as("__n"), max(col("__blk")).as("__mb"))
-      .take(maxGroups + 1)
-    require(gRows.length <= maxGroups,
-      s"theilSenBlocked is the few-group/long-series form (> $maxGroups " +
-        "groups found) — use theilSen for many-group inputs")
-    val gFieldCount = gNames.length
-    val sortedG = gRows.sortBy(_.toString) // deterministic gid assignment
-    val mapSchema = org.apache.spark.sql.types.StructType(
-      blockPts.schema.fields.take(gFieldCount) ++ Seq(
-        org.apache.spark.sql.types.StructField("__gid",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("__n_points",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("__mb",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-    val mapRows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(sortedG.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq.take(gFieldCount) ++
-          Seq(i.toLong, r.getLong(gFieldCount), r.getLong(gFieldCount + 1)))
-      }: _*)
-    val gidMap = spark.createDataFrame(mapRows, mapSchema)
-    val totalPoints = gRows.iterator.map(_.getLong(gFieldCount)).sum
-    // null-safe: null group values form groups, exactly like theilSen
-    val blockArr = blockPts.join(broadcast(gidMap),
-        gNames.map(n => blockPts(n) <=> gidMap(n)).reduce(_ && _))
-      .select(col("__gid"), col("__blk"), col("__pts"))
-    // work units: every (blockA <= blockB) pair, per group — derived
-    // driver-free from the tiny map frame, then joined to the two
-    // blocks' point arrays. The explicit repartition on (gid, __ba,
-    // __bb) is load-bearing, not style: unit rows carry near-uniform
-    // pair counts (≈ blockSize² each), so hashing the unit key spreads
-    // the quadratic kernel work evenly — while left alone the tiny unit
-    // frame would coalesce to ~1 partition (AQE is blind to the in-
-    // kernel m² fan-out, the same trap the row-level form measured at
-    // 66.7 s vs 24.8 s flat).
-    val units = gidMap
-      .select(col("__gid"), col("__mb"),
-        explode(sequence(lit(0L), col("__mb"))).as("__ba"))
-      .select(col("__gid"), col("__ba"),
-        explode(sequence(col("__ba"), col("__mb"))).as("__bb"))
-    val aBlk = blockArr.toDF("__gid", "__ba", "__apts")
-    val bBlk = blockArr.toDF("__gid", "__bb", "__bpts")
-    val nP = spark.sessionState.conf.numShufflePartitions
-    val joined =
-      if (totalPoints <= broadcastPointLimit)
-        units.join(broadcast(aBlk), Seq("__gid", "__ba"))
-          .join(broadcast(bBlk), Seq("__gid", "__bb"))
-      else
-        units.repartition(nP, col("__gid"), col("__ba"))
-          .join(aBlk.repartition(nP, col("__gid"), col("__ba"))
-            .hint("merge"), Seq("__gid", "__ba"))
-          .repartition(nP, col("__gid"), col("__bb"))
-          .join(bBlk.repartition(nP, col("__gid"), col("__bb"))
-            .hint("merge"), Seq("__gid", "__bb"))
-    val unitArrays0 = joined
-      .withColumn("__same", col("__ba") === col("__bb"))
-      .repartition(nP, col("__gid"), col("__ba"), col("__bb"))
-    // reuse across the two passes only when the exact driver-computed
-    // size is small; past the cap each pass rebuilds from the cheap
-    // block-array joins instead of materializing O((m/B)²) array copies
-    val estUnitBytes = gRows.iterator.map { r =>
-      val mb = r.getLong(gFieldCount + 1)
-      (mb + 1) * (mb + 2) / 2 * 2 * blockSize.toLong * 16
-    }.sum
-    val unitArrays =
-      if (estUnitBytes <= (256L << 20)) unitArrays0.localCheckpoint()
-      else unitArrays0
+    val bu = blockedUnits(df, groupCols, tCol, yCol, blockSize,
+      broadcastPointLimit, "theilSenBlocked")
+    val gidMap = bu.gidMap; val unitArrays = bu.unitArrays
+    val gNames = bu.gNames
     import graft.functions.TheilPairScan
     // pass 1: slope-bucket histogram at shift 30 — the kernel histograms
     // each unit locally, the exchange carries only non-empty (gid,
@@ -780,6 +796,84 @@ object Journey {
           col(n).as(s"g$i") } ++ Seq(col("__n_points").as("n_points"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope")): _*)
   }
+
+  /** Mann–Kendall trend test per group — [[theilSenBlocked]]'s paired
+    * significance gate (MK answers "IS there a monotone trend?", the
+    * Theil–Sen slope answers "how steep?" — the two ship together in
+    * every operational trend kit): S = Σ sign((y₂−y₁)(t₂−t₁)) over all
+    * t-distinct pairs, folded per (group, block-pair) unit by the
+    * compiled [[graft.functions.MannKendallScan]] kernel — the same
+    * blocked decomposition, group map and unit frame as the slope, ONE
+    * pass (no selection), pairs never materialized.
+    *
+    * Everything downstream of S is exact integers: the tie-corrected
+    * variance 18·Var(S) = n(n−1)(2n+5) − Σ_y t(t−1)(2t+5) (y-value tie
+    * groups from one (gid, y) count aggregation over the within-block
+    * arrays), the continuity-corrected z² = 18·(|S|−1)² / (18·Var) as a
+    * micro-rounded rational, and `significant` vs the chi-square(1) 95%
+    * value 3.841459 in cross-multiplied integers. tau is the untied
+    * Kendall coefficient 2S/(n(n−1)), micro-rounded. Null
+    * z²/significant when n < 2 or the variance is 0 (all values tied).
+    * Duplicate t within a group must be pre-aggregated by the caller
+    * (the theilSen contract): dx = 0 pairs are excluded from S, but
+    * Var(S) assumes distinct times.
+    *
+    * EAGER like [[theilSenBlocked]] (block checkpoint + group map).
+    * Envelope: n(n−1)(2n+5) is DECIMAL(38,0)-exact to ~10¹² points per
+    * group; (|S|−1)² to ~10¹⁸ pairs — both fail loud, never wrap.
+    *
+    * @return (g…, n_points, n_pairs, s, var18, tau, z2, significant)
+    */
+  def mannKendallBlocked(
+      df: DataFrame, groupCols: Seq[Column], tCol: Column,
+      yCol: Column, blockSize: Int = 128,
+      broadcastPointLimit: Long = 1L << 21): DataFrame = {
+    val bu = blockedUnits(df, groupCols, tCol, yCol, blockSize,
+      broadcastPointLimit, "mannKendallBlocked")
+    val gNames = bu.gNames
+    // one kernel pass: per-unit (S, pair count) folded to per-group sums
+    val mk = bu.unitArrays
+      .select(col("__gid"), graft.functions.MannKendallScan.expr(
+        col("__apts"), col("__bpts"), col("__same")).as("__m"))
+      .groupBy(col("__gid"))
+      .agg(sum(col("__m.s")).as("s"), sum(col("__m.np")).as("n_pairs"))
+    // y-value tie groups: one (gid, y) count agg over the point multiset
+    // (each point appears in exactly ONE same-block unit's a-array —
+    // map-side combined, the exchange is distinct values per group)
+    val ties = bu.unitArrays
+      .filter(col("__same"))
+      .select(col("__gid"), explode(col("__apts")).as("__p"))
+      .groupBy(col("__gid"), col("__p.__y").as("__yv"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__gid"))
+      .agg(sum(dec(col("__t")) * (col("__t") - 1) * (col("__t") * 2 + 5))
+        .as("__tcorr"))
+    val joined = bu.gidMap
+      .join(mk, Seq("__gid"), "left")
+      .join(ties, Seq("__gid"), "left")
+    val n = col("__n_points")
+    val var18 = dec(n) * (n - 1) * (n * 2 + 5) -
+      coalesce(col("__tcorr"), lit(0L).cast("decimal(38,0)"))
+    val absS = abs(coalesce(col("s"), lit(0L)))
+    // continuity correction: z = (|S|−1)/sqrt(Var) for S ≠ 0, 0 for S = 0
+    val z2num = when(absS > 0, (dec(absS) - 1) * (dec(absS) - 1) * 18L)
+      .otherwise(lit(0L).cast("decimal(38,0)"))
+    val defined = n >= 2 && var18 > 0
+    joined.select(gNames.zip(groupCols.indices).map { case (nm, i) =>
+        col(nm).as(s"g$i") } ++ Seq(
+      n.as("n_points"),
+      coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+      coalesce(col("s"), lit(0L)).as("s"),
+      when(n >= 2, var18.cast("long")).as("var18"),
+      when(n >= 2, EvalMetrics.microRound6(coalesce(col("s"), lit(0L)) * 2,
+        dec(n) * (n - 1)).cast("double") / 1e6).as("tau"),
+      when(defined, EvalMetrics.microRound6(z2num, var18)
+        .cast("double") / 1e6).as("z2"),
+      when(defined,
+        when(z2num * 1000000L > var18 * 3841459L, 1).otherwise(0))
+        .as("significant")): _*)
+  }
+
 
 
   /** Single changepoint detection per series (binary segmentation, one

@@ -501,6 +501,58 @@ object TableOps {
         Seq(col("n"), col("median"), col("mad"), col("n_outliers")): _*)
   }
 
+  /** Per-group ordinary-least-squares line fit over integer (x, y) —
+    * the parametric companion to the robust Theil–Sen slope (run both:
+    * when they disagree, the residuals aren't well-behaved and the
+    * robust one is telling the truth): slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²), intercept = (ΣyΣx² − ΣxΣxy) / same, and r² =
+    * (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — all exact
+    * integer rationals from ONE aggregation pass, micro-rounded for
+    * display (the q238 corrMatrix discipline, grouped). Null fit when
+    * x is constant (zero variance); r² additionally null when y is
+    * constant.
+    *
+    * Scale posture: one (group) aggregation over the rows — five
+    * decimal sums, map-side combined; everything after is per-group
+    * scalar arithmetic. Envelope: n·Σxy and the r² cross-products must
+    * fit DECIMAL(38,0) — with |x|,|y| ≤ 10⁹ that holds to ~10¹⁰ rows
+    * per group; both engines fail loud past it (ANSI / HUGEINT).
+    *
+    * @return (g…, n, slope, intercept, r2)
+    */
+  def linearFit(
+      df: DataFrame, groupCols: Seq[Column], xCol: Column,
+      yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "linearFit needs >= 1 group column")
+    val base = df.select(
+      groupCols.zipWithIndex.map { case (c, i) => c.as(s"__g$i") } ++
+        Seq(xCol.cast("long").as("__x"), yCol.cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val agg = base.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).as("__syy"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"))
+    val n = dec(col("n"))
+    val cov = n * col("__sxy") - col("__sx") * col("__sy")
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    val iNum = col("__sy") * col("__sxx") - col("__sx") * col("__sxy")
+    import EvalMetrics.microRound6
+    agg.select(gNames.zip(groupCols.indices).map { case (nm, i) =>
+        col(nm).as(s"g$i") } ++ Seq(
+      col("n"),
+      when(varX > 0, microRound6(cov, varX).cast("double") / 1e6)
+        .as("slope"),
+      when(varX > 0, microRound6(iNum, varX).cast("double") / 1e6)
+        .as("intercept"),
+      when(varX > 0 && varY > 0,
+        microRound6(cov * cov, varX * varY).cast("double") / 1e6)
+        .as("r2")): _*)
+  }
+
   /** Trimmed and winsorized means per group — the robust location
     * estimates next to [[robustOutliers]]' median/MAD scale estimates:
     * the α-trimmed mean drops the k = floor(n·trimNum/trimDen) smallest

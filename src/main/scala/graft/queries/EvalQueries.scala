@@ -285,6 +285,40 @@ object EvalQueries {
         confDen = 2000000L, labelCol = col("keep_doc"), nBins = 10)
     }),
 
+    // ROC AUC of the q224 classifier/label pairing per language — the
+    // discrimination leg of the classifier-eval suite (ECE = honesty,
+    // isotonic = the fix, AUC = separability), via the exact rank-sum
+    // identity; z²/significant = "better than chance" per language.
+    "q263_classifier_auc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
+        .filter(col("logit").isNotNull).localCheckpoint()
+      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
+          minStopwords = 1)
+        .select(col("id"), col("keep_doc"))
+      val j = scored.join(labels, Seq("id"))
+        .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      EvalMetrics.aucFromScores(j, Seq(col("lang")), col("keep_doc"),
+        round(col("logit") * 1e6).cast("long") + 1000000L)
+    }),
+
+    // Brier score of the same pairing per language — the proper scoring
+    // rule that punishes dishonest confidence AND poor discrimination
+    // in one number.
+    "q264_classifier_brier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
+        .filter(col("logit").isNotNull).localCheckpoint()
+      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
+          minStopwords = 1)
+        .select(col("id"), col("keep_doc"))
+      val j = scored.join(labels, Seq("id"))
+        .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      EvalMetrics.brierScore(j, Seq(col("lang")),
+        round(col("logit") * 1e6).cast("long") + 1000000L, 2000000L,
+        col("keep_doc"))
+    }),
+
     // 10%-trimmed and winsorized mean of extended price (cents) per
     // return flag — the robust location estimates next to the q246
     // median/MAD scale estimates.
@@ -557,7 +591,12 @@ object EvalQueries {
              CAST((2 * dn * 1000000 + CAST(nr AS HUGEINT) * nc)
                // (2 * CAST(nr AS HUGEINT) * nc) AS BIGINT) / 1000000.0
            END AS ks_stat,
-           CASE WHEN nr > 0 AND nc > 0 THEN v END AS ks_at
+           CASE WHEN nr > 0 AND nc > 0 THEN v END AS ks_at,
+           CASE WHEN nr > 0 AND nc > 0 THEN
+             CASE WHEN dn * dn * 10000000 >
+               18444397 * (CAST(nr AS HUGEINT) + nc) * nr * nc
+             THEN 1 ELSE 0 END
+           END AS significant
          FROM d WHERE rn = 1""",
 
     "q258_mann_whitney" ->
@@ -661,6 +700,79 @@ object EvalQueries {
              / 1000000.0 AS raw_rate,
            f / 1000000.0 AS iso_rate
          FROM b JOIN fit ON fit.k = b.bin""",
+
+    "q263_classifier_auc" ->
+      s"""WITH $gopherKeepCtes,
+         $classifierCtes,
+         sc AS (SELECT doc_id, n_tokens,
+             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
+               + 1000000 AS conf_num
+           FROM cs WHERE n_tokens > 0),
+         jl AS (SELECT d.lang, sc.conf_num AS v, ga.keep_a
+           FROM sc JOIN ga USING (doc_id)
+           JOIN documents d USING (doc_id)),
+         c AS (SELECT lang, v,
+             SUM(CASE WHEN keep_a = 1 THEN 0 ELSE 1 END) AS a,
+             SUM(CASE WHEN keep_a = 1 THEN 1 ELSE 0 END) AS b
+           FROM jl GROUP BY 1, 2),
+         w AS (SELECT lang, v, a, b, a + b AS t,
+             COALESCE(SUM(a + b) OVER (PARTITION BY lang ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum0
+           FROM c),
+         g AS (SELECT lang,
+             CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+             SUM(CAST(a AS HUGEINT) * (2 * cum0 + t + 1)) AS r2a,
+             SUM(CAST(t AS HUGEINT) * t * t - t) AS t3
+           FROM w GROUP BY 1),
+         f AS (SELECT lang, n_a, n_b, t3, n_a + n_b AS n,
+             r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2a
+           FROM g),
+         h AS (SELECT lang, n_a, n_b, t3, n, u2a,
+             u2a - CAST(n_a AS HUGEINT) * n_b AS diff,
+             CAST(n_a AS HUGEINT) * n_b *
+               (CAST(n AS HUGEINT) * (n - 1) * (n + 1) - t3) AS varfull,
+             2 * CAST(n_a AS HUGEINT) * n_b AS prod2
+           FROM f),
+         i AS (SELECT *,
+             CASE WHEN n > 1
+               THEN varfull // (CAST(n AS HUGEINT) * (n - 1)) ELSE 0 END
+               AS varred,
+             3 * diff * diff AS z2n
+           FROM h)
+         SELECT lang, n_a AS n_neg, n_b AS n_pos,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST((2 * (prod2 - u2a) * 1000000 + prod2)
+               // (2 * prod2) AS BIGINT) / 1000000.0 END AS auc,
+           CASE WHEN n_a > 0 AND n_b > 0 AND varfull > 0 THEN
+             CAST((2 * z2n * 1000000 + varred) // (2 * varred) AS BIGINT)
+               / 1000000.0 END AS z2,
+           CASE WHEN n_a > 0 AND n_b > 0 AND varfull > 0 THEN
+             CASE WHEN z2n * 1000000 > varred * 3841459 THEN 1 ELSE 0 END
+           END AS significant
+         FROM i""",
+
+    "q264_classifier_brier" ->
+      s"""WITH $gopherKeepCtes,
+         $classifierCtes,
+         sc AS (SELECT doc_id, n_tokens,
+             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
+               + 1000000 AS conf_num
+           FROM cs WHERE n_tokens > 0),
+         jl AS (SELECT d.lang, sc.conf_num, ga.keep_a
+           FROM sc JOIN ga USING (doc_id)
+           JOIN documents d USING (doc_id)),
+         a AS (SELECT lang, COUNT(*) AS n,
+             SUM((CAST(conf_num AS HUGEINT) - keep_a * 2000000) *
+                 (CAST(conf_num AS HUGEINT) - keep_a * 2000000)) AS se
+           FROM jl GROUP BY 1)
+         SELECT lang, CAST(n AS BIGINT) AS n,
+           CAST((2 * se * 1000000 + CAST(n AS HUGEINT) * 4000000000000)
+             // (2 * CAST(n AS HUGEINT) * 4000000000000) AS BIGINT)
+             / 1000000.0 AS brier
+         FROM a""",
 
     "q261_trimmed_stats" ->
       """WITH b AS (SELECT l_returnflag AS g,

@@ -297,6 +297,43 @@ object MiningQueries {
           col("n_pairs"), col("slope"))
     }),
 
+    // Mann–Kendall trend test on the same daily series — q253's paired
+    // significance gate (MK: IS there a monotone trend; Theil–Sen: how
+    // steep). Same blocked unit frame, ONE kernel pass, tie-corrected
+    // variance and continuity-corrected z² in exact integers.
+    "q262_mann_kendall" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      Journey.mannKendallBlocked(daily, Seq(col("o_orderpriority")),
+          col("day"), col("rev"), blockSize = 256)
+        .select(col("g0").as("o_orderpriority"), col("n_points"),
+          col("n_pairs"), col("s"), col("var18"), col("tau"), col("z2"),
+          col("significant"))
+    }),
+
+    // OLS line fit on the daily revenue series (DOLLARS, not cents —
+    // the r² cross-product n²·var_x·var_y must clear decimal(38,0);
+    // cents would sit within ~2 decades of the ceiling) — the
+    // parametric fit next to the robust q253 slope: when the two
+    // disagree, the residuals aren't well-behaved and Theil–Sen is
+    // telling the truth.
+    "q265_linear_fit" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice")).cast("long")).as("rev"))
+      TableOps.linearFit(daily, Seq(col("o_orderpriority")),
+          col("day"), col("rev"))
+        .select(col("g0").as("o_orderpriority"), col("n"), col("slope"),
+          col("intercept"), col("r2"))
+    }),
+
     // Top-10 parts by shipped quantity with the long tail pooled into
     // one __other__ row — rank via bounded broadcast self-join, never a
     // global window.
@@ -720,6 +757,83 @@ object MiningQueries {
          SELECT np.g AS o_orderpriority, np.n_points,
            COALESCE(m.n_pairs, 0) AS n_pairs, m.slope
          FROM np LEFT JOIN m ON np.g = m.g""",
+
+    "q262_mann_kendall" ->
+      """WITH d0 AS (SELECT o_orderpriority AS g,
+             CAST(DATEDIFF('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         se AS (SELECT g, t, SUM(v) AS y FROM d0 GROUP BY 1, 2),
+         p AS (SELECT a.g,
+             SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+               ELSE 0 END) AS s,
+             COUNT(*) AS n_pairs
+           FROM se a JOIN se b ON a.g = b.g AND a.t < b.t GROUP BY 1),
+         np AS (SELECT g, COUNT(*) AS n_points FROM se GROUP BY 1),
+         tie AS (SELECT g,
+             SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS tcorr
+           FROM (SELECT g, y, COUNT(*) AS c FROM se GROUP BY 1, 2)
+           GROUP BY 1),
+         j AS (SELECT np.g, np.n_points AS n,
+             COALESCE(p.s, 0) AS s, COALESCE(p.n_pairs, 0) AS n_pairs,
+             COALESCE(tie.tcorr, 0) AS tcorr
+           FROM np LEFT JOIN p USING (g) LEFT JOIN tie USING (g)),
+         f AS (SELECT g, n, n_pairs, s,
+             CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tcorr AS var18,
+             CASE WHEN ABS(s) > 0
+               THEN 18 * (CAST(ABS(s) AS HUGEINT) - 1) * (ABS(s) - 1)
+               ELSE 0 END AS z2n
+           FROM j)
+         SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n_points,
+           CAST(n_pairs AS BIGINT) AS n_pairs, CAST(s AS BIGINT) AS s,
+           CASE WHEN n >= 2 THEN CAST(var18 AS BIGINT) END AS var18,
+           CASE WHEN n >= 2 THEN
+             CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(CAST(s AS HUGEINT) * 2) * 1000000 +
+                 CAST(n AS HUGEINT) * (n - 1))
+                 // (2 * CAST(n AS HUGEINT) * (n - 1))) AS BIGINT)
+               / 1000000.0 END AS tau,
+           CASE WHEN n >= 2 AND var18 > 0 THEN
+             CAST((2 * z2n * 1000000 + var18) // (2 * var18) AS BIGINT)
+               / 1000000.0 END AS z2,
+           CASE WHEN n >= 2 AND var18 > 0 THEN
+             CASE WHEN z2n * 1000000 > var18 * 3841459 THEN 1 ELSE 0 END
+           END AS significant
+         FROM f""",
+
+    "q265_linear_fit" ->
+      """WITH d0 AS (SELECT o_orderpriority AS g,
+             CAST(DATEDIFF('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS v
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         se AS (SELECT g, x, SUM(v) AS y FROM d0 GROUP BY 1, 2),
+         a AS (SELECT g, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+           FROM se GROUP BY 1),
+         f AS (SELECT g, n, n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS varx, n * syy - sy * sy AS vary_,
+             sy * sxx - sx * sxy AS inum
+           FROM a)
+         SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+           CASE WHEN varx > 0 THEN
+             CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(cov) * 1000000 + varx) // (2 * varx)) AS BIGINT)
+               / 1000000.0 END AS slope,
+           CASE WHEN varx > 0 THEN
+             CAST((CASE WHEN inum < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(inum) * 1000000 + varx) // (2 * varx)) AS BIGINT)
+               / 1000000.0 END AS intercept,
+           CASE WHEN varx > 0 AND vary_ > 0 THEN
+             CAST((2 * cov * cov * 1000000 + varx * vary_)
+               // (2 * varx * vary_) AS BIGINT) / 1000000.0 END AS r2
+         FROM f""",
 
     "q244_top_other" ->
       """WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS key,

@@ -123,15 +123,28 @@ class DriftSpec extends AnyFunSuite {
     assert(out.getAs[Long]("ks_at") == at)
   }
 
-  test("ksTest: identical samples -> 0; disjoint ranges -> 1") {
+  test("ksTest: identical samples -> 0/insignificant; disjoint -> " +
+      "1/significant") {
     val same = (1L to 100L).flatMap(v => Seq(("g", v, false), ("g", v, true)))
       .toDF("g", "v", "cur")
-    assert(Drift.ksTest(same, Seq(col("g")), col("v"), col("cur"))
-      .collect().head.getAs[Double]("ks_stat") == 0.0)
+    val s0 = Drift.ksTest(same, Seq(col("g")), col("v"), col("cur"))
+      .collect().head
+    assert(s0.getAs[Double]("ks_stat") == 0.0)
+    assert(s0.getAs[Int]("significant") == 0)
     val disjoint = ((1L to 50L).map(("g", _, false)) ++
       (100L to 149L).map(("g", _, true))).toDF("g", "v", "cur")
-    assert(Drift.ksTest(disjoint, Seq(col("g")), col("v"), col("cur"))
-      .collect().head.getAs[Double]("ks_stat") == 1.0)
+    val s1 = Drift.ksTest(disjoint, Seq(col("g")), col("v"), col("cur"))
+      .collect().head
+    assert(s1.getAs[Double]("ks_stat") == 1.0)
+    assert(s1.getAs[Int]("significant") == 1)
+    // boundary sanity: D just below c(0.05)*sqrt((n+m)/nm) stays 0 —
+    // two 100-sample arms need D > ~0.192
+    val near = ((1L to 100L).map(("g", _, false)) ++
+      (16L to 115L).map(("g", _, true))).toDF("g", "v", "cur")
+    val sn = Drift.ksTest(near, Seq(col("g")), col("v"), col("cur"))
+      .collect().head
+    assert(sn.getAs[Double]("ks_stat") == 0.15)
+    assert(sn.getAs[Int]("significant") == 0)
   }
 
   test("ksTest: a one-sided group reports null, never a number") {

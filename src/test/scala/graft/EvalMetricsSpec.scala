@@ -194,6 +194,48 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(s2.getAs[Any]("z2") == null)
   }
 
+  // --------------------------------------------------- AUC / Brier
+
+  test("aucFromScores: hand-checked with ties, 1/0 extremes, one-class " +
+      "null") {
+    // pos scores {3, 2}, neg {1, 2}: pairs 3>1, 3>2, 2>1, 2=2 (half)
+    // -> AUC = 3.5/4 = 0.875
+    val df = Seq(("g", 3L, 1), ("g", 2L, 1), ("g", 1L, 0), ("g", 2L, 0))
+      .toDF("k", "score", "y")
+    val out = EvalMetrics.aucFromScores(df, Seq(col("k")), col("y"),
+      col("score")).collect().head
+    assert(out.getAs[Long]("n_pos") == 2L && out.getAs[Long]("n_neg") == 2L)
+    assert(out.getAs[Double]("auc") == 0.875)
+    // perfect separation -> 1; inverted -> 0
+    val sep = ((1L to 50L).map(("g", _, 0)) ++
+      (51L to 100L).map(("g", _, 1))).toDF("k", "score", "y")
+    val s1 = EvalMetrics.aucFromScores(sep, Seq(col("k")), col("y"),
+      col("score")).collect().head
+    assert(s1.getAs[Double]("auc") == 1.0)
+    assert(s1.getAs[Int]("significant") == 1)
+    val inv = EvalMetrics.aucFromScores(sep, Seq(col("k")),
+      lit(1) - col("y"), col("score")).collect().head
+    assert(inv.getAs[Double]("auc") == 0.0)
+    val oneClass = (1L to 10L).map(("g", _, 1)).toDF("k", "score", "y")
+    assert(EvalMetrics.aucFromScores(oneClass, Seq(col("k")), col("y"),
+      col("score")).collect().head.getAs[Any]("auc") == null)
+  }
+
+  test("brierScore: perfect confidence -> 0; coin-flip 0.5 -> 0.25; " +
+      "confident-wrong -> 1") {
+    val den = 1000L
+    def brier(rows: Seq[(Long, Int)]): Double =
+      EvalMetrics.brierScore(rows.map { case (c, y) => ("g", c, y) }
+          .toDF("k", "c", "y"),
+        Seq(col("k")), col("c"), den, col("y"))
+        .collect().head.getAs[Double]("brier")
+    assert(brier(Seq((1000L, 1), (0L, 0))) == 0.0)
+    assert(brier(Seq((500L, 1), (500L, 0))) == 0.25)
+    assert(brier(Seq((0L, 1), (1000L, 0))) == 1.0)
+    // exact rational: conf 3/4 on y=1 -> (1/4)^2 = 0.0625
+    assert(brier(Seq((750L, 1))) == 0.0625)
+  }
+
   // ------------------------------------------- chi-square independence
 
   test("chiSquareIndependence: matches the driver-side exact terms, " +

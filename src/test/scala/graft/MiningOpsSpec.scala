@@ -465,6 +465,61 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("theil_pair_scan requires"))
   }
 
+  // --------------------------------------------- Mann–Kendall trend test
+
+  /** Driver-side exact MK: S, tie-corrected 18·Var, continuity z². */
+  private def refMk(pts: Seq[(Long, Long)]): (Long, BigInt) = {
+    var s = 0L
+    for (i <- pts.indices; j <- i + 1 until pts.size
+         if pts(i)._1 != pts(j)._1) {
+      val (a, b) = if (pts(i)._1 < pts(j)._1) (pts(i), pts(j))
+        else (pts(j), pts(i))
+      s += java.lang.Long.signum(java.lang.Long.compare(b._2, a._2)).toLong
+    }
+    val n = BigInt(pts.size)
+    val tcorr = pts.groupBy(_._2).values
+      .map(g => { val t = BigInt(g.size); t * (t - 1) * (2 * t + 5) }).sum
+    (s, n * (n - 1) * (2 * n + 5) - tcorr)
+  }
+
+  test("mannKendallBlocked: exact S/var18 vs brute force, across block " +
+      "shapes") {
+    val rnd = new scala.util.Random(31)
+    val pts = (1L to 300L).map(t => (t, rnd.nextLong(40))) // heavy y-ties
+    val df = pts.map { case (t, y) => ("g", t, y) }.toDF("k", "t", "y")
+    val (refS, refVar) = refMk(pts)
+    for (bs <- Seq(2, 33, 128, 1000)) {
+      val out = Journey.mannKendallBlocked(df, Seq(col("k")), col("t"),
+        col("y"), blockSize = bs).collect().head
+      assert(out.getAs[Long]("s") == refS, s"S diverged at blockSize=$bs")
+      assert(out.getAs[Long]("var18") == refVar.toLong)
+      assert(out.getAs[Long]("n_pairs") == 300L * 299 / 2)
+      assert(out.getAs[Long]("n_points") == 300L)
+    }
+  }
+
+  test("mannKendallBlocked: planted trend significant with the right " +
+      "sign; constant series null z2; shuffled noise insignificant") {
+    val up = (1L to 100L).map(t => ("g", t, 3 * t + (t % 7)))
+      .toDF("k", "t", "y")
+    val r1 = Journey.mannKendallBlocked(up, Seq(col("k")), col("t"),
+      col("y"), blockSize = 16).collect().head
+    assert(r1.getAs[Int]("significant") == 1)
+    assert(r1.getAs[Double]("tau") > 0.9)
+    val const = (1L to 50L).map(t => ("g", t, 7L)).toDF("k", "t", "y")
+    val r2 = Journey.mannKendallBlocked(const, Seq(col("k")), col("t"),
+      col("y"), blockSize = 16).collect().head
+    assert(r2.getAs[Long]("s") == 0L)
+    assert(r2.getAs[Any]("z2") == null) // variance 0 — undefined, not 0
+    val rnd = new scala.util.Random(5)
+    val noise = (1L to 200L).map(t => ("g", t, rnd.nextLong(1000000)))
+      .toDF("k", "t", "y")
+    val r3 = Journey.mannKendallBlocked(noise, Seq(col("k")), col("t"),
+      col("y"), blockSize = 64).collect().head
+    assert(r3.getAs[Int]("significant") == 0,
+      s"random series flagged significant: $r3")
+  }
+
   test("theilSenBlocked: single-point group -> null slope, like theilSen") {
     val rows = Seq(("g", 1L, 1L), ("h", 1L, 1L), ("h", 2L, 5L))
     val out = Journey.theilSenBlocked(rows.toDF("k", "t", "y"),
@@ -595,6 +650,50 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("median") == 6L)
     assert(out.getAs[Long]("mad") == 3L)
     assert(out.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("linearFit: exact line recovered; degenerate variance -> null; " +
+      "driver replica on noise") {
+    // y = 3x + 5 exactly: slope 3, intercept 5, r2 = 1
+    val line = (1L to 40L).map(x => ("g", x, 3 * x + 5)).toDF("k", "x", "y")
+    val r = TableOps.linearFit(line, Seq(col("k")), col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Double]("intercept") == 5.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    // constant x: no fit at all; constant y: slope 0, r2 null
+    val cx = Seq(("g", 7L, 1L), ("g", 7L, 5L)).toDF("k", "x", "y")
+    val rcx = TableOps.linearFit(cx, Seq(col("k")), col("x"), col("y"))
+      .collect().head
+    assert(rcx.getAs[Any]("slope") == null && rcx.getAs[Any]("r2") == null)
+    val cy = (1L to 10L).map(x => ("g", x, 9L)).toDF("k", "x", "y")
+    val rcy = TableOps.linearFit(cy, Seq(col("k")), col("x"), col("y"))
+      .collect().head
+    assert(rcy.getAs[Double]("slope") == 0.0 &&
+      rcy.getAs[Any]("r2") == null)
+    // noisy data vs exact driver-side rational replica
+    val rnd = new scala.util.Random(13)
+    val pts = (1L to 200L).map(x => (x, 40 * x + rnd.nextLong(500) - 250))
+    val out = TableOps.linearFit(pts.map { case (x, y) => ("g", x, y) }
+        .toDF("k", "x", "y"),
+      Seq(col("k")), col("x"), col("y")).collect().head
+    val n = BigInt(pts.size)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val syy = pts.map(p => BigInt(p._2) * p._2).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val cov = n * sxy - sx * sy
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    def micro(a: BigInt, d: BigInt): Double = {
+      val q = ((a.abs * 2000000 + d) / (d * 2)).toLong
+      (if (a < 0) -q else q).toDouble / 1e6
+    }
+    assert(out.getAs[Double]("slope") == micro(cov, varX))
+    assert(out.getAs[Double]("intercept") ==
+      micro(sy * sxx - sx * sxy, varX))
+    assert(out.getAs[Double]("r2") == micro(cov * cov, varX * varY))
   }
 
   test("trimmedStats: hand-checked 10% trim; trim 0 = plain mean") {
