@@ -97,29 +97,19 @@ object MannKendallScan {
   /** The pair fold (see class scaladoc). Shared by eval and codegen. */
   private[graft] def scan(
       aArr: ArrayData, bArr: ArrayData, same: Boolean): InternalRow = {
-    val na = aArr.numElements()
-    val nb = bArr.numElements()
-    val at = new Array[Long](na); val ay = new Array[Long](na)
-    var i = 0
-    while (i < na) {
-      val r = aArr.getStruct(i, 2); at(i) = r.getLong(0); ay(i) = r.getLong(1)
-      i += 1
-    }
-    val bt = new Array[Long](nb); val by = new Array[Long](nb)
-    i = 0
-    while (i < nb) {
-      val r = bArr.getStruct(i, 2); bt(i) = r.getLong(0); by(i) = r.getLong(1)
-      i += 1
-    }
+    val (at, ay) = PairScanKernel.unpack(aArr)
+    val (bt, by) = PairScanKernel.unpack(bArr)
+    val na = at.length
+    val nb = bt.length
     var s = 0L
     var np = 0L
-    i = 0
+    var i = 0
     while (i < na) {
       val t1 = at(i); val y1 = ay(i)
       var j = 0
       while (j < nb) {
         val t2 = bt(j)
-        if (if (same) t1 < t2 else t1 != t2) {
+        if (PairScanKernel.validPair(same, t1, t2)) {
           np += 1
           val y2 = by(j)
           // sign((y2−y1)(t2−t1)) without the multiply (overflow-free)

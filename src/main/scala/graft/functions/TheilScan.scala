@@ -114,37 +114,54 @@ case class TheilPairScan(
   }
 }
 
+/** Shared prologue for the block-pair kernels ([[TheilPairScan]],
+  * [[MannKendallScan]]): array<struct<t,y>> decode into primitive long
+  * arrays, and THE pair-validity rule both kernels must agree on (the
+  * blockedUnits contract) — within a block each unordered pair is
+  * visited once via `t_i < t_j`; across blocks every combination is
+  * already unique and any `t_a ≠ t_b` pair counts (both statistics are
+  * symmetric under pair reversal). One copy, so a future change to the
+  * rule cannot drift between the kernels.
+  */
+private[functions] object PairScanKernel {
+
+  /** Decode (t, y) struct array into two primitive long arrays. */
+  def unpack(arr: ArrayData): (Array[Long], Array[Long]) = {
+    val n = arr.numElements()
+    val ts = new Array[Long](n); val ys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 2); ts(i) = r.getLong(0); ys(i) = r.getLong(1)
+      i += 1
+    }
+    (ts, ys)
+  }
+
+  @inline def validPair(same: Boolean, t1: Long, t2: Long): Boolean =
+    if (same) t1 < t2 else t1 != t2
+}
+
 object TheilPairScan {
 
   /** The pair loop (see class scaladoc). Shared by eval and codegen. */
   private[graft] def scan(
       aArr: ArrayData, bArr: ArrayData, same: Boolean, bucket: Long,
       filterShift: Int, emitShift: Int): ArrayData = {
-    val na = aArr.numElements()
-    val nb = bArr.numElements()
-    val at = new Array[Long](na); val ay = new Array[Long](na)
-    var i = 0
-    while (i < na) {
-      val r = aArr.getStruct(i, 2); at(i) = r.getLong(0); ay(i) = r.getLong(1)
-      i += 1
-    }
-    val bt = new Array[Long](nb); val by = new Array[Long](nb)
-    i = 0
-    while (i < nb) {
-      val r = bArr.getStruct(i, 2); bt(i) = r.getLong(0); by(i) = r.getLong(1)
-      i += 1
-    }
+    val (at, ay) = PairScanKernel.unpack(aArr)
+    val (bt, by) = PairScanKernel.unpack(bArr)
+    val na = at.length
+    val nb = bt.length
     val hist = if (emitShift >= 0)
       new scala.collection.mutable.LongMap[Long]() else null
     val raw = if (emitShift < 0)
       new scala.collection.mutable.ArrayBuilder.ofLong() else null
-    i = 0
+    var i = 0
     while (i < na) {
       val t1 = at(i); val y1 = ay(i)
       var j = 0
       while (j < nb) {
         val t2 = bt(j)
-        if (if (same) t1 < t2 else t1 != t2) {
+        if (PairScanKernel.validPair(same, t1, t2)) {
           val dy = Math.subtractExact(by(j), y1)
           val dx = Math.subtractExact(t2, t1)
           val ady = Math.abs(dy); val adx = Math.abs(dx)

@@ -105,8 +105,12 @@ object Drift {
     * (map-side combined — the only row-weight exchange); the ECDF walk
     * is a group-keyed running-sum window over DISTINCT values per group,
     * and the argmax is a struct-min aggregation, no second sort.
-    * Envelope: cum·N products are DECIMAL(38,0)-exact; both engines
-    * fail loud past 1e38 (≈ 1e19 rows/side — unreachable).
+    * Envelope: the BINDING term is the significance gate's squared
+    * numerator D_num²·10⁷ (D_num can reach n_ref·n_cur), which clears
+    * DECIMAL(38,0) while n_ref·n_cur ≤ ~3·10¹⁵ — ≈ 5.6·10⁷ rows per
+    * side balanced; the ks_stat itself holds to ~10¹⁹ rows/side. Both
+    * engines fail loud past either bound (ANSI / HUGEINT) — pre-
+    * aggregate or sample beyond it.
     */
   def ksTest(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
       isCurrent: Column): DataFrame = {

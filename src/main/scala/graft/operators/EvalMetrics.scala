@@ -201,8 +201,10 @@ object EvalMetrics {
     * Scale posture: one (group, value) count aggregation (map-side
     * combined) then a group-keyed running-sum window over DISTINCT
     * values. Envelope: 3·(2U−n_An_B)² ≤ 3n⁴ and the variance product
-    * ≤ n⁵ hold DECIMAL(38,0)-exact to ~4·10⁷ rows per group; past that
-    * both engines fail loud (ANSI / HUGEINT) — subsample arms past that.
+    * ≤ n⁵ hold DECIMAL(38,0)-exact to ~4·10⁷ rows per group; the
+    * displayed `tie_cubes` long additionally binds when ONE value ties
+    * ~2.1·10⁶ times (t³ > 2⁶³). Past either bound both engines fail
+    * loud (ANSI / HUGEINT) — subsample arms past that.
     */
   def mannWhitneyU(df: DataFrame, groupCols: Seq[Column], isB: Column,
       valueCol: Column): DataFrame = {
@@ -278,6 +280,11 @@ object EvalMetrics {
     * rational confNum/confDen, collapsed to ONE integer numerator
     * Σ(confNum − y·confDen)² over N·confDen² and micro-rounded.
     *
+    * Rows with a null confidence or label are EXCLUDED from both the
+    * numerator and n (the sibling-operator convention — counting them
+    * in n while the null error term skips the sum would silently
+    * deflate the score).
+    *
     * Scale posture: one count/sum aggregation over the input, map-side
     * combined; groups-bounded output. Envelope: Σ(confNum−y·confDen)²
     * ≤ N·confDen² must fit DECIMAL(38,0) — ~10²⁵ rows at confDen 2·10⁶,
@@ -290,7 +297,8 @@ object EvalMetrics {
     require(groupCols.nonEmpty, "brierScore needs >= 1 group column")
     require(confDen > 0, s"confDen must be positive, got $confDen")
     val err = dec(confNum.cast("long") - labelCol.cast("long") * confDen)
-    df.groupBy(groupCols: _*)
+    df.filter(confNum.isNotNull && labelCol.isNotNull)
+      .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n"), sum(err * err).as("__se"))
       .select((groupCols :+ col("n")) :+
         asRatio(microRound6(col("__se"),
@@ -381,7 +389,10 @@ object EvalMetrics {
     require(confDen > 0, s"confDen must be positive, got $confDen")
     val bin = least(lit(nBins - 1L),
       idivPos(confNum.cast("long") * nBins, lit(confDen)))
-    val g = df.select(bin.as("bin"), labelCol.cast("long").as("__y"))
+    // null confidence/label rows are EXCLUDED (not silently miscounted
+    // into a denominator or a ghost null bin — the sibling convention)
+    val g = df.filter(confNum.isNotNull && labelCol.isNotNull)
+      .select(bin.as("bin"), labelCol.cast("long").as("__y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__y")).as("__pos"))
       .localCheckpoint() // ≤ nBins rows; feeds segments and the output

@@ -572,7 +572,7 @@ object Journey {
   private def blockedUnits(
       df: DataFrame, groupCols: Seq[Column], tCol: Column, yCol: Column,
       blockSize: Int, broadcastPointLimit: Long,
-      who: String): BlockedUnits = {
+      who: String, checkpointUnits: Boolean = true): BlockedUnits = {
     require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
     val spark = df.sparkSession
     val gNames = groupCols.indices.map(i => s"__g$i")
@@ -673,10 +673,23 @@ object Journey {
       (mb + 1) * (mb + 2) / 2 * 2 * blockSize.toLong * 16
     }.sum
     val unitArrays =
-      if (estUnitBytes <= (256L << 20)) unitArrays0.localCheckpoint()
+      if (checkpointUnits && estUnitBytes <= (256L << 20))
+        unitArrays0.localCheckpoint()
       else unitArrays0
     BlockedUnits(gidMap, unitArrays, gNames)
   }
+
+  /** Test seam: the unit frame WITHOUT its checkpoint — the checkpoint
+    * truncates executedPlan to a scan, hiding the load-bearing pinned
+    * repartition on (gid, __ba, __bb) from plan assertions
+    * (MiningOpsSpec pins that the kernel work actually spreads).
+    */
+  private[graft] def unitFrameForPlanCheck(
+      df: DataFrame, groupCols: Seq[Column], tCol: Column, yCol: Column,
+      blockSize: Int): DataFrame =
+    blockedUnits(df, groupCols, tCol, yCol, blockSize,
+      broadcastPointLimit = 1L << 21, who = "unitFrameForPlanCheck",
+      checkpointUnits = false).unitArrays
 
   /** [[theilSen]] for the FEW-GROUP / LONG-SERIES shape — identical
     * estimator (same micro-quantized slopes, same lower median), but the
@@ -819,8 +832,12 @@ object Journey {
     * Var(S) assumes distinct times.
     *
     * EAGER like [[theilSenBlocked]] (block checkpoint + group map).
-    * Envelope: n(n−1)(2n+5) is DECIMAL(38,0)-exact to ~10¹² points per
-    * group; (|S|−1)² to ~10¹⁸ pairs — both fail loud, never wrap.
+    * Envelope: the BINDING term is the displayed `var18` long —
+    * ~2n³ > 2⁶³ at n ≈ 1.66·10⁶ points per group (the decimal
+    * internals hold much further: n(n−1)(2n+5) to ~10¹², (|S|−1)² to
+    * ~10¹⁸ pairs). All overflows are loud (ANSI cast / HUGEINT), never
+    * silent — but size per-group series under ~1.6M points or drop the
+    * var18 display column before going bigger.
     *
     * @return (g…, n_points, n_pairs, s, var18, tau, z2, significant)
     */

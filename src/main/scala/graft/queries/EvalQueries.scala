@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.functions.{Log2Fixed, TextFunctions}
 import graft.operators.{Bm25, Divergence, Drift, EvalMetrics, QualityClassifier, QualityRules, TableOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Evaluation & audit metrics over the engine's own artifacts
@@ -86,6 +86,28 @@ object EvalQueries {
          ${half("psum", "pden")} AS psi_bits
        $outJoin"""
   }
+
+  /** The q224/q260/q263/q264 shared pairing: the q136 classifier score
+    * (logit non-null, checkpointed — referenced several times
+    * downstream, and an unmaterialized plan re-runs the classifier fold
+    * per reference) joined to the q113 Gopher keep label and the doc's
+    * lang. confMicro is the score shifted to [0, 2e6] with confDen 2e6:
+    * logit is micro/1e6 exactly, round() recovers the integer micro
+    * value (the product sits within 1e-9 of it — never near a .5).
+    */
+  private def scoredLabeled(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
+      .filter(col("logit").isNotNull).localCheckpoint()
+    val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
+        minStopwords = 1)
+      .select(col("id"), col("keep_doc"))
+    scored.join(labels, Seq("id"))
+      .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+  }
+
+  private def confMicro: Column =
+    round(col("logit") * 1e6).cast("long") + 1000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -218,23 +240,9 @@ object EvalQueries {
     // to [0, 2e6]) + expected calibration error, all on the exact integer
     // surface — the check a platform runs before trusting a model score
     // as a sampling weight.
-    "q224_classifier_ece" -> ((s, dir) => {
-      val d = docs(s, dir)
-      // checkpoint: conf is referenced several times downstream (bin +
-      // bin-mean + filter) — an unmaterialized plan re-runs the
-      // classifier fold per reference
-      val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
-        .filter(col("logit").isNotNull).localCheckpoint()
-      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
-          minStopwords = 1)
-        .select(col("id"), col("keep_doc"))
-      val j = scored.join(labels, Seq("id"))
-      // logit is micro/1e6 exactly; round() recovers the integer micro
-      // value (the product sits within 1e-9 of it — never near a .5)
-      EvalMetrics.calibrationBins(j,
-        round(col("logit") * 1e6).cast("long") + 1000000L,
-        confDen = 2000000L, labelCol = col("keep_doc"), nBins = 10)
-    }),
+    "q224_classifier_ece" -> ((s, dir) =>
+      EvalMetrics.calibrationBins(scoredLabeled(s, dir), confMicro,
+        confDen = 2000000L, labelCol = col("keep_doc"), nBins = 10)),
 
     // Two-sample KS drift of the order-value distribution, per priority:
     // did the money move between the pre- and post-1996 populations?
@@ -273,51 +281,24 @@ object EvalQueries {
     // Isotonic calibration curve for the q224 classifier/label pairing —
     // the monotone recalibration map the ECE table motivates, via the
     // minimax characterization on micro-quantized bin means.
-    "q260_isotonic_calibration" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
-        .filter(col("logit").isNotNull).localCheckpoint()
-      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
-          minStopwords = 1)
-        .select(col("id"), col("keep_doc"))
-      EvalMetrics.isotonicCalibration(scored.join(labels, Seq("id")),
-        round(col("logit") * 1e6).cast("long") + 1000000L,
-        confDen = 2000000L, labelCol = col("keep_doc"), nBins = 10)
-    }),
+    "q260_isotonic_calibration" -> ((s, dir) =>
+      EvalMetrics.isotonicCalibration(scoredLabeled(s, dir), confMicro,
+        confDen = 2000000L, labelCol = col("keep_doc"), nBins = 10)),
 
     // ROC AUC of the q224 classifier/label pairing per language — the
     // discrimination leg of the classifier-eval suite (ECE = honesty,
     // isotonic = the fix, AUC = separability), via the exact rank-sum
     // identity; z²/significant = "better than chance" per language.
-    "q263_classifier_auc" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
-        .filter(col("logit").isNotNull).localCheckpoint()
-      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
-          minStopwords = 1)
-        .select(col("id"), col("keep_doc"))
-      val j = scored.join(labels, Seq("id"))
-        .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
-      EvalMetrics.aucFromScores(j, Seq(col("lang")), col("keep_doc"),
-        round(col("logit") * 1e6).cast("long") + 1000000L)
-    }),
+    "q263_classifier_auc" -> ((s, dir) =>
+      EvalMetrics.aucFromScores(scoredLabeled(s, dir), Seq(col("lang")),
+        col("keep_doc"), confMicro)),
 
     // Brier score of the same pairing per language — the proper scoring
     // rule that punishes dishonest confidence AND poor discrimination
     // in one number.
-    "q264_classifier_brier" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
-        .filter(col("logit").isNotNull).localCheckpoint()
-      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
-          minStopwords = 1)
-        .select(col("id"), col("keep_doc"))
-      val j = scored.join(labels, Seq("id"))
-        .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
-      EvalMetrics.brierScore(j, Seq(col("lang")),
-        round(col("logit") * 1e6).cast("long") + 1000000L, 2000000L,
-        col("keep_doc"))
-    }),
+    "q264_classifier_brier" -> ((s, dir) =>
+      EvalMetrics.brierScore(scoredLabeled(s, dir), Seq(col("lang")),
+        confMicro, 2000000L, col("keep_doc"))),
 
     // 10%-trimmed and winsorized mean of extended price (cents) per
     // return flag — the robust location estimates next to the q246
@@ -332,6 +313,16 @@ object EvalQueries {
         .select(col("g0").as("l_returnflag"), col("n"), col("n_trimmed"),
           col("winsor_lo"), col("winsor_hi"), col("trimmed_mean"),
           col("winsorized_mean"))))
+
+  /** The classifier-confidence CTE `sc(doc_id, n_tokens, conf_num)`
+    * shared by the q224/q260/q263/q264 oracles — micro confidence
+    * shifted to [0, 2e6]. */
+  private val scCte: String =
+    """sc AS (SELECT doc_id, n_tokens,
+             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
+               + 1000000 AS conf_num
+           FROM cs WHERE n_tokens > 0)"""
 
   val oracles: Map[String, String] = Map(
 
@@ -534,11 +525,7 @@ object EvalQueries {
     "q224_classifier_ece" ->
       s"""WITH $gopherKeepCtes,
          $classifierCtes,
-         sc AS (SELECT doc_id, n_tokens,
-             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
-               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
-               + 1000000 AS conf_num
-           FROM cs WHERE n_tokens > 0),
+         $scCte,
          j AS (SELECT sc.doc_id, conf_num, keep_a
            FROM sc JOIN ga USING (doc_id)),
          b AS (SELECT LEAST(9, conf_num * 10 // 2000000) AS bin,
@@ -672,11 +659,7 @@ object EvalQueries {
     "q260_isotonic_calibration" ->
       s"""WITH $gopherKeepCtes,
          $classifierCtes,
-         sc AS (SELECT doc_id, n_tokens,
-             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
-               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
-               + 1000000 AS conf_num
-           FROM cs WHERE n_tokens > 0),
+         $scCte,
          j AS (SELECT sc.doc_id, conf_num, keep_a
            FROM sc JOIN ga USING (doc_id)),
          b AS (SELECT CAST(LEAST(9, conf_num * 10 // 2000000) AS BIGINT)
@@ -704,11 +687,7 @@ object EvalQueries {
     "q263_classifier_auc" ->
       s"""WITH $gopherKeepCtes,
          $classifierCtes,
-         sc AS (SELECT doc_id, n_tokens,
-             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
-               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
-               + 1000000 AS conf_num
-           FROM cs WHERE n_tokens > 0),
+         $scCte,
          jl AS (SELECT d.lang, sc.conf_num AS v, ga.keep_a
            FROM sc JOIN ga USING (doc_id)
            JOIN documents d USING (doc_id)),
@@ -756,11 +735,7 @@ object EvalQueries {
     "q264_classifier_brier" ->
       s"""WITH $gopherKeepCtes,
          $classifierCtes,
-         sc AS (SELECT doc_id, n_tokens,
-             (CASE WHEN sumw < 0 THEN -1 ELSE 1 END) *
-               ((2 * ABS(sumw * 1000) + n_tokens) // (2 * n_tokens))
-               + 1000000 AS conf_num
-           FROM cs WHERE n_tokens > 0),
+         $scCte,
          jl AS (SELECT d.lang, sc.conf_num, ga.keep_a
            FROM sc JOIN ga USING (doc_id)
            JOIN documents d USING (doc_id)),

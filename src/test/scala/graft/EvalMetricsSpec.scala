@@ -221,6 +221,24 @@ class EvalMetricsSpec extends AnyFunSuite {
       col("score")).collect().head.getAs[Any]("auc") == null)
   }
 
+  test("brierScore/isotonicCalibration: null confidence or label rows " +
+      "are excluded, never silently deflate the denominator") {
+    // 2 good rows (errors 0) + 2 rows with a null each: brier must be
+    // 0 over n=2, not 0 over n=4
+    val rows = Seq(
+      ("g", Some(1000L), Some(1)), ("g", Some(0L), Some(0)),
+      ("g", None, Some(1)), ("g", Some(500L), None))
+    val df = rows.toDF("k", "c", "y")
+    val b = EvalMetrics.brierScore(df, Seq(col("k")), col("c"), 1000L,
+      col("y")).collect().head
+    assert(b.getAs[Long]("n") == 2L)
+    assert(b.getAs[Double]("brier") == 0.0)
+    val iso = EvalMetrics.isotonicCalibration(df, col("c"), 1000L,
+      col("y"), nBins = 2).collect()
+    assert(iso.map(_.getAs[Long]("n_docs")).sum == 2L,
+      s"null rows leaked into the bins: ${iso.toSeq}")
+  }
+
   test("brierScore: perfect confidence -> 0; coin-flip 0.5 -> 0.25; " +
       "confident-wrong -> 1") {
     val den = 1000L

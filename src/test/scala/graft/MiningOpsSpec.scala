@@ -385,14 +385,22 @@ class MiningOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet
     assert(refined === flat, "estimator diverged on the refinement path")
-    // and the pair build really decomposes: the physical plan must key
-    // an exchange on the block id (__ba/__bb), i.e. the heavy join
-    // partitions by (group, block), never by group alone
+    // and the kernel work really decomposes: the un-checkpointed unit
+    // frame (the checkpoint truncates executedPlan to a scan) must pin
+    // its exchange on (gid, block-pair) — hashpartitioning over __ba /
+    // __bb — never group alone, and the final plan must run the
+    // selection through the compiled kernel
+    val unitPlan = Journey.unitFrameForPlanCheck(df, Seq(col("k")),
+        col("t"), col("y"), blockSize = 50)
+      .queryExecution.executedPlan.toString
+    assert(unitPlan.contains("hashpartitioning") &&
+      unitPlan.contains("__ba") && unitPlan.contains("__bb"),
+      "unit frame no longer pins its exchange on (gid, block-pair)")
     val plan = Journey.theilSenBlocked(df, Seq(col("k")), col("t"),
         col("y"), blockSize = 50)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("__bb") && plan.contains("__ba"),
-      "pair build no longer keys its exchanges on block ids")
+    assert(plan.contains("theil_pair_scan"),
+      "selection no longer runs through the compiled pair kernel")
   }
 
   // --------------------------------------------- TheilPairScan kernel
