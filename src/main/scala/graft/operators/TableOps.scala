@@ -139,8 +139,31 @@ object TableOps {
   def valueQuantileBins(
       df: DataFrame, value: Column, nBins: Int,
       coarseShift: Int = 20): DataFrame = {
-    require(nBins > 0 && coarseShift >= 0 && coarseShift < 63,
-      s"bad shape nBins=$nBins coarseShift=$coarseShift")
+    require(nBins > 0, s"bad nBins=$nBins")
+    val cum = valueCumCounts(df, value, coarseShift)
+    // N from the value histogram itself — no second input scan, and the
+    // denominator always equals the binned mass even when the long cast
+    // nulls a value out
+    val nTotal = cum.groupBy().agg(sum(col("__cnt")).as("__n"))
+    cum.crossJoin(broadcast(nTotal))
+      .select(col("__v"), col("__cnt"),
+        expr(s"(__cb * $nBins) div __n").as("bin"))
+  }
+
+  /** The distributed prefix-sum core of [[valueQuantileBins]] (and
+    * [[quantileNormalize]]'s pooled inverse CDF): one row per distinct
+    * value with its count and the EXACT count of strictly-smaller rows —
+    * computed without the guard-banned global-order window (within-
+    * coarse-bucket running totals + a broadcast triangular self-join
+    * over the bounded bucket table; see valueQuantileBins' scaladoc for
+    * the shape numbers).
+    *
+    * @return (__v, __cnt, __cb) — __cb = rows with value < __v.
+    */
+  def valueCumCounts(
+      df: DataFrame, value: Column, coarseShift: Int = 20): DataFrame = {
+    require(coarseShift >= 0 && coarseShift < 63,
+      s"bad coarseShift=$coarseShift")
     import org.apache.spark.sql.expressions.Window
     val vc = df.select(value.cast("long").as("__v"))
       .filter(col("__v").isNotNull)
@@ -154,17 +177,73 @@ object TableOps {
         col("__g2") < col("__g"), "left")
       .groupBy(col("__g"))
       .agg(coalesce(sum(col("__bt2")), lit(0L)).as("__bp"))
-    // N from the value histogram itself — no second input scan, and the
-    // denominator always equals the binned mass even when the long cast
-    // nulls a value out
-    val nTotal = vc.agg(sum(col("__cnt")).as("__n"))
     // prefix is bucket-bounded — pin it as the broadcast side (without
     // the hint the sized-at-test-scale value-count side can win)
     vc.join(broadcast(prefix), "__g")
-      .withColumn("__cb", col("__bp") + coalesce(sum(col("__cnt")).over(within), lit(0L)))
-      .crossJoin(broadcast(nTotal))
       .select(col("__v"), col("__cnt"),
-        expr(s"(__cb * $nBins) div __n").as("bin"))
+        (col("__bp") + coalesce(sum(col("__cnt")).over(within), lit(0L)))
+          .as("__cb"))
+  }
+
+  /** Quantile normalization across sources — map every source's value
+    * distribution onto the POOLED distribution (the cross-source score
+    * harmonization a heterogeneous training pipeline needs before
+    * thresholding: source A's 90th percentile and source B's 90th
+    * percentile land on the same pooled value). Exact deterministic
+    * convention: a distinct value v in source s, holding inclusive
+    * within-source rank r (rows ≤ v) out of n_s, maps to the pooled
+    * value at position p = ceil(r·N/n_s) — the smallest pooled value w
+    * whose inclusive pooled count reaches p. A single-source input maps
+    * every value to itself (p = r — the identity sanity law).
+    *
+    * Output is the (source, value) → pooled-value MAPPING table, one
+    * row per distinct (source, value): join it back to rows downstream.
+    *
+    * Scale posture: one (source, value) count aggregation over the
+    * input (the only row-weight exchange); per-source ranks are source-
+    * partitioned running windows over distinct values; the pooled
+    * inverse CDF is [[valueCumCounts]] (two-stage prefix, no global
+    * window); and the position lookup is a BINNED interval join — the
+    * pooled intervals [cb+1, cb+cnt] partition 1..N, each explodes to
+    * ~cnt/W + 1 width-W buckets with W = max(1, N div D) (D = distinct
+    * pooled values), so the join is a plain equi-join on the bucket id
+    * carrying ≈ 2D interval rows, refined by the exact between — never
+    * a BroadcastNestedLoop theta join.
+    *
+    * @return (source, v, n, pooled_v)
+    */
+  def quantileNormalize(
+      df: DataFrame, sourceCol: Column, valueCol: Column,
+      coarseShift: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sv = df.select(sourceCol.as("source"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("n"))
+    val ws = Window.partitionBy(col("source"))
+    val ranked = sv
+      .withColumn("__r", sum(col("n")).over(ws.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__ns", sum(col("n")).over(ws))
+    val pooled = valueCumCounts(df.select(valueCol.as("__pv")),
+      col("__pv"), coarseShift)
+    // N and the bucket width W from the pooled histogram — one tiny agg
+    val nd = pooled.groupBy().agg(sum(col("__cnt")).as("__n"),
+        count(lit(1)).as("__d"))
+      .select(col("__n"),
+        greatest(lit(1L), expr("__n div __d")).as("__w"))
+    val pts = ranked.crossJoin(broadcast(nd))
+      .withColumn("__p", expr("(__r * __n + __ns - 1) div __ns"))
+      .select(col("source"), col("v"), col("n"), col("__p"),
+        expr("__p div __w").as("__pb"))
+    val iv = pooled.crossJoin(broadcast(nd))
+      .withColumn("__lo", col("__cb") + 1)
+      .withColumn("__hi", col("__cb") + col("__cnt"))
+      .select(col("__v").as("pooled_v"), col("__lo"), col("__hi"),
+        explode(sequence(expr("__lo div __w"), expr("__hi div __w")))
+          .as("__pb"))
+    pts.join(iv, Seq("__pb"))
+      .filter(col("__p").between(col("__lo"), col("__hi")))
+      .select(col("source"), col("v"), col("n"), col("pooled_v"))
   }
 
   /** Poisson(1) cumulative distribution in micro units —

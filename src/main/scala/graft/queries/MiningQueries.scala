@@ -334,6 +334,17 @@ object MiningQueries {
           col("intercept"), col("r2"))
     }),
 
+    // Quantile normalization of document length across sources — the
+    // cross-source score harmonization step (source A's p90 and source
+    // B's p90 land on the same pooled value) as an exact deterministic
+    // mapping table; position lookup via a binned interval join, the
+    // pooled inverse CDF via the two-stage prefix sum.
+    "q266_quantile_normalize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TableOps.quantileNormalize(d, col("source"),
+        col("n_chars").cast("long"))
+    }),
+
     // Top-10 parts by shipped quantity with the long tail pooled into
     // one __other__ row — rank via bounded broadcast self-join, never a
     // global window.
@@ -834,6 +845,27 @@ object MiningQueries {
              CAST((2 * cov * cov * 1000000 + varx * vary_)
                // (2 * varx * vary_) AS BIGINT) / 1000000.0 END AS r2
          FROM f""",
+
+    "q266_quantile_normalize" ->
+      """WITH sv AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+             COUNT(*) AS n
+           FROM documents WHERE n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (SELECT source, v, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rr,
+             SUM(n) OVER (PARTITION BY source) AS ns
+           FROM sv),
+         p AS (SELECT v, SUM(n) AS cnt FROM sv GROUP BY 1),
+         pc AS (SELECT v AS pooled_v, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM p),
+         t AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS nn FROM p)
+         SELECT r.source, r.v, CAST(r.n AS BIGINT) AS n, pc.pooled_v
+         FROM r CROSS JOIN t
+         JOIN pc ON ((r.rr * t.nn + r.ns - 1) // r.ns)
+           BETWEEN pc.cb + 1 AND pc.cb + pc.cnt""",
 
     "q244_top_other" ->
       """WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS key,

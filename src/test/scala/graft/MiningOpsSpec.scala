@@ -660,6 +660,46 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("quantileNormalize: single source is the identity; mapping " +
+      "matches the driver-side exact convention with ties") {
+    // identity law: one source -> every value maps to itself
+    val one = (1L to 50L).map(v => ("a", v)).toDF("s", "x")
+    val idMap = TableOps.quantileNormalize(one, col("s"), col("x"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3))
+    assert(idMap.forall { case (v, pv) => v == pv },
+      s"identity broken: ${idMap.filter(p => p._1 != p._2).toSeq}")
+    // two sources with ties, vs the exact driver replica
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(120)(("a", rnd.nextLong(15))) ++
+      Seq.fill(300)(("b", rnd.nextLong(40)))
+    val out = TableOps.quantileNormalize(rows.toDF("s", "x"),
+        col("s"), col("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val all = rows.map(_._2).sorted
+    val nn = all.size.toLong
+    def refMap(src: String): Map[Long, Long] = {
+      val vs = rows.filter(_._1 == src).map(_._2)
+      val ns = vs.size.toLong
+      vs.distinct.map { v =>
+        val r = vs.count(_ <= v).toLong
+        val p = (r * nn + ns - 1) / ns
+        v -> all((p - 1).toInt) // p-th smallest pooled row value
+      }.toMap
+    }
+    for (src <- Seq("a", "b"); (v, pv) <- refMap(src)) {
+      val (n, got) = out((src, v))
+      assert(got == pv, s"($src, $v): got $got want $pv")
+      assert(n == rows.count(r => r._1 == src && r._2 == v).toLong)
+    }
+    // mapping is monotone within each source (rank order preserved)
+    for (src <- Seq("a", "b")) {
+      val m = out.toSeq.filter(_._1._1 == src).sortBy(_._1._2)
+        .map(_._2._2)
+      assert(m.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
   test("linearFit: exact line recovered; degenerate variance -> null; " +
       "driver replica on noise") {
     // y = 3x + 5 exactly: slope 3, intercept 5, r2 = 1
