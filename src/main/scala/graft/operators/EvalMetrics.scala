@@ -247,6 +247,91 @@ object EvalMetrics {
         .as("significant"))): _*)
   }
 
+  /** Kruskal–Wallis rank test per group — the k-arm generalization of
+    * [[mannWhitneyU]] (the one-way "did ANY arm's distribution shift?"
+    * gate an experiment platform runs before pairwise drill-downs; with
+    * exactly 2 arms H equals the MW z², spec-pinned): combined tie-
+    * averaged ranks over all arms (2·avgRank = 2·cum0 + c + 1, integral
+    * as in MW), per-arm rank sums 2R_j, then
+    * H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1), tie-corrected by
+    * (N³−N)/((N³−N) − Σ(t³−t)). Each per-arm fraction (2R_j)²/(4n_j) is
+    * micro-rounded before the sum (the chi-square summed-rounded-terms
+    * convention), and the tie factor is micro-quantized before it
+    * scales the denominator (multiplying the exact N³ factors through
+    * would overflow DECIMAL(38,0) at ~10⁴ rows/group; the quantized
+    * form is deterministic on both engines and sits within ~1e-6
+    * relative of exact) — every division is replicated verbatim in the
+    * oracle.
+    * `dof` = arms − 1 rides along for the reader's chi-square lookup
+    * (variable dof — no baked critical value, the
+    * [[chiSquareIndependence]] precedent). Null h when n < 2, fewer
+    * than 2 arms, or every value tied (zero variance).
+    *
+    * Scale posture: one (group, arm, value) count aggregation (map-side
+    * combined), a (group, value) marginal for the shared ranks (one
+    * group-keyed running window over DISTINCT values), one join back on
+    * (group, value), and group/arm-bounded aggregates after. Envelope:
+    * the binding term is the per-arm (2R_j)² ≤ 4N⁴ inside microRound6 —
+    * DECIMAL(38,0)-exact to ~1.9·10⁷ rows per group; overflows are loud
+    * (ANSI / HUGEINT) — subsample past it.
+    *
+    * @return (g…, n, k_arms, h, dof)
+    */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[Column], armCol: Column,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "kruskalWallis needs >= 1 group column (see mannWhitneyU)")
+    val reserved = Seq("n", "k_arms", "h", "dof")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    import org.apache.spark.sql.expressions.Window
+    val c1 = df.filter(valueCol.isNotNull && armCol.isNotNull)
+      .groupBy((groupCols ++ Seq(armCol.as("__arm"),
+        valueCol.cast("long").as("__v"))): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols: _*)
+    // (group, value) marginal: the shared rank base and the tie counts
+    val cv = c1.groupBy((groupCols :+ col("__v")): _*)
+      .agg(sum(col("__c")).as("__t"))
+      .withColumn("__cum0", coalesce(sum(col("__t")).over(
+        w.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val gNamesJoin = cv.select(groupCols: _*).columns.toSeq :+ "__v"
+    val ranked = c1.join(cv, gNamesJoin)
+      .withColumn("__r2", col("__cum0") * 2 + col("__t") + 1)
+    // per-arm: n_j and the integral 2R_j; per-arm micro term
+    // (2R_j)²/(4n_j) rounded before the sum
+    val arms = ranked
+      .groupBy((groupCols :+ col("__arm")): _*)
+      .agg(sum(col("__c")).as("__nj"),
+        sum(dec(col("__c")) * dec(col("__r2"))).as("__r2j"))
+      .withColumn("__mj",
+        microRound6(col("__r2j") * col("__r2j"), dec(col("__nj")) * 4))
+    val ties = cv.groupBy(groupCols: _*)
+      .agg(sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+        dec(col("__t"))).as("__tc"))
+    val g = arms.groupBy(groupCols: _*)
+      .agg(sum(col("__nj")).as("n"), count(lit(1)).as("k_arms"),
+        sum(col("__mj")).as("__sm"))
+      .join(ties, cv.select(groupCols: _*).columns.toSeq)
+    val n = col("n")
+    val cube = dec(n) * n * n - dec(n) // N³ − N
+    val hNum = lit(12L) * dec(col("__sm")) -
+      dec(n) * (n + 1) * (n + 1) * 3000000L
+    val hDen = dec(n) * (n + 1) * 1000000L
+    // tie factor (cube − T)/cube micro-quantized, then folded into the
+    // denominator — the two idivs keep every product inside
+    // DECIMAL(38,0) to ~10⁷ rows/group (see scaladoc)
+    val factorMicro = idivPos((cube - col("__tc")) * 1000000L, cube)
+    val den2 = idivPos(hDen * factorMicro, lit(1000000L))
+    g.select((groupCols ++ Seq(n, col("k_arms"),
+      when(n >= 2 && col("k_arms") >= 2 && cube > col("__tc"),
+        when(dec(den2) > 0,
+          asRatio(microRound6(hNum, dec(den2))))).as("h"),
+      (col("k_arms") - 1).as("dof"))): _*)
+  }
+
   /** ROC AUC per group via the rank-sum identity: AUC =
     * (#(score_pos > score_neg) + ½·ties) / (n_pos·n_neg) — exactly the
     * tie-averaged Mann–Whitney U, so this delegates to [[mannWhitneyU]]

@@ -267,6 +267,17 @@ object EvalQueries {
         round(col("value") * 100).cast("long"))
     }),
 
+    // Kruskal–Wallis across THREE user-id arms per event type — the
+    // k-arm generalization of q258's two-arm test: "did ANY arm's value
+    // distribution shift?" before pairwise drill-downs.
+    "q267_kruskal_wallis" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+      EvalMetrics.kruskalWallis(e, Seq(col("event_type")),
+        pmod(col("user_id"), lit(3)),
+        round(col("value") * 100).cast("long"))
+    }),
+
     // Chi-square independence of (priority × order year) — the
     // categorical-drift audit: is the priority mix stable across years?
     // Zero cells contribute their expected mass (margins cross, never
@@ -627,6 +638,55 @@ object EvalQueries {
              CASE WHEN z2n * 1000000 > varred * 3841459 THEN 1 ELSE 0 END
            END AS significant
          FROM i""",
+
+    "q267_kruskal_wallis" ->
+      """WITH c1 AS (SELECT event_type, user_id % 3 AS arm,
+             CAST(ROUND(value * 100) AS BIGINT) AS v, COUNT(*) AS c
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2, 3),
+         cv AS (SELECT event_type, v, SUM(c) AS t,
+             COALESCE(SUM(SUM(c)) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum0
+           FROM c1 GROUP BY 1, 2),
+         r AS (SELECT c1.event_type, c1.arm, c1.c,
+             cv.cum0 * 2 + cv.t + 1 AS r2
+           FROM c1 JOIN cv ON c1.event_type = cv.event_type
+             AND c1.v = cv.v),
+         a AS (SELECT event_type, arm, CAST(SUM(c) AS HUGEINT) AS nj,
+             SUM(CAST(c AS HUGEINT) * r2) AS r2j
+           FROM r GROUP BY 1, 2),
+         m AS (SELECT event_type, arm, nj,
+             CAST((2 * (r2j * r2j) * 1000000 + 4 * nj)
+               // (2 * 4 * nj) AS BIGINT) AS mj
+           FROM a),
+         t2 AS (SELECT event_type,
+             SUM(CAST(t AS HUGEINT) * t * t - t) AS tc
+           FROM cv GROUP BY 1),
+         g AS (SELECT event_type, CAST(SUM(nj) AS BIGINT) AS n,
+             COUNT(*) AS k_arms, CAST(SUM(mj) AS HUGEINT) AS sm
+           FROM m GROUP BY 1),
+         f AS (SELECT g.event_type, n, k_arms, sm, tc,
+             CAST(n AS HUGEINT) * n * n - n AS cube,
+             12 * sm - CAST(n AS HUGEINT) * (n + 1) * (n + 1) * 3000000
+               AS hnum,
+             CAST(n AS HUGEINT) * (n + 1) * 1000000 AS hden
+           FROM g JOIN t2 USING (event_type)),
+         f2 AS (SELECT *,
+             CASE WHEN cube > 0
+               THEN ((cube - tc) * 1000000) // cube ELSE 0 END AS fm
+           FROM f),
+         f3 AS (SELECT *, (hden * fm) // 1000000 AS den2 FROM f2)
+         SELECT event_type, n, CAST(k_arms AS BIGINT) AS k_arms,
+           CASE WHEN n >= 2 AND k_arms >= 2 AND cube > tc THEN
+             CASE WHEN den2 > 0 THEN
+               CAST((CASE WHEN hnum < 0 THEN -1 ELSE 1 END) *
+                 ((2 * ABS(hnum) * 1000000 + den2) // (2 * den2))
+                 AS BIGINT) / 1000000.0
+             END
+           END AS h,
+           CAST(k_arms - 1 AS BIGINT) AS dof
+         FROM f3""",
 
     "q259_chi2_independence" ->
       """WITH cells AS (SELECT o_orderpriority AS x,

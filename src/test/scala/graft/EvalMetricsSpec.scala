@@ -194,6 +194,68 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(s2.getAs[Any]("z2") == null)
   }
 
+  // ------------------------------------------------- Kruskal–Wallis
+
+  /** Driver replica of the operator's exact quantized arithmetic. */
+  private def refKw(arms: Seq[Seq[Long]]): Double = {
+    val all = arms.flatten
+    val nn = all.size.toLong
+    def r2(v: Long) = 2L * all.count(_ < v) + all.count(_ == v) + 1
+    def micro(a: BigInt, d: BigInt): BigInt = (a.abs * 2000000 + d) / (d * 2)
+    val sm = arms.map { vs =>
+      val r2j = vs.map(v => BigInt(r2(v))).sum
+      micro(r2j * r2j, BigInt(vs.size) * 4)
+    }.sum
+    val cube = BigInt(nn) * nn * nn - nn
+    val tc = all.groupBy(identity).values
+      .map(g => { val t = BigInt(g.size); t * t * t - t }).sum
+    val hNum = 12 * sm - BigInt(nn) * (nn + 1) * (nn + 1) * 3000000
+    val fm = (cube - tc) * 1000000 / cube
+    val den2 = BigInt(nn) * (nn + 1) * 1000000 * fm / 1000000
+    val q = micro(hNum, den2)
+    (if (hNum < 0) -q else q).toDouble / 1e6
+  }
+
+  test("kruskalWallis: matches the driver replica with ties; 2 arms " +
+      "equal the Mann-Whitney z2; shifted arm detected") {
+    val rnd = new scala.util.Random(43)
+    val arms = Seq(
+      Seq.fill(60)(rnd.nextLong(25)),
+      Seq.fill(80)(rnd.nextLong(25) + 3),
+      Seq.fill(40)(rnd.nextLong(25) + 10))
+    val rows = arms.zipWithIndex.flatMap { case (vs, j) =>
+      vs.map(v => ("g", j.toLong, v)) }
+    val out = EvalMetrics.kruskalWallis(rows.toDF("k", "arm", "v"),
+      Seq(col("k")), col("arm"), col("v")).collect().head
+    assert(out.getAs[Long]("n") == 180L)
+    assert(out.getAs[Long]("k_arms") == 3L)
+    assert(out.getAs[Long]("dof") == 2L)
+    assert(out.getAs[Double]("h") == refKw(arms))
+    assert(out.getAs[Double]("h") > 5.991, // chi2(2) 95% — a real shift
+      s"shifted arm not detected: $out")
+    // two arms: H must agree with the MW z² (same statistic, different
+    // exact-rounding paths — within the quantization)
+    val two = rows.filter(_._2 < 2)
+    val kw2 = EvalMetrics.kruskalWallis(two.toDF("k", "arm", "v"),
+      Seq(col("k")), col("arm"), col("v")).collect().head.getAs[Double]("h")
+    val mw2 = EvalMetrics.mannWhitneyU(two.map(r => (r._1, r._2 == 1L, r._3))
+        .toDF("k", "isb", "v"),
+      Seq(col("k")), col("isb"), col("v")).collect().head.getAs[Double]("z2")
+    assert(math.abs(kw2 - mw2) < 1e-3, s"KW(2 arms)=$kw2 vs MW z2=$mw2")
+  }
+
+  test("kruskalWallis: all-tied -> null h; single arm -> null h") {
+    val tied = (0 until 60).map(i => ("g", (i % 3).toLong, 7L))
+      .toDF("k", "arm", "v")
+    val r1 = EvalMetrics.kruskalWallis(tied, Seq(col("k")), col("arm"),
+      col("v")).collect().head
+    assert(r1.getAs[Any]("h") == null)
+    val one = (1L to 30L).map(v => ("g", 0L, v)).toDF("k", "arm", "v")
+    val r2 = EvalMetrics.kruskalWallis(one, Seq(col("k")), col("arm"),
+      col("v")).collect().head
+    assert(r2.getAs[Long]("k_arms") == 1L && r2.getAs[Any]("h") == null)
+  }
+
   // --------------------------------------------------- AUC / Brier
 
   test("aucFromScores: hand-checked with ties, 1/0 extremes, one-class " +
