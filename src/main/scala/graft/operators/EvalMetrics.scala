@@ -332,6 +332,130 @@ object EvalMetrics {
       (col("k_arms") - 1).as("dof"))): _*)
   }
 
+  /** Spearman rank correlation per group — the third leg of the
+    * correlation family (Pearson = linear association, Kendall/MK =
+    * pairwise concordance, Spearman = monotone association): Pearson
+    * computed on tie-averaged MIDRANKS, kept exact end to end because
+    * 2·midrank is integral (the [[mannWhitneyU]] cum trick, applied to
+    * both axes) and Σ(2·midranks) = n(n+1) EXACTLY even under ties —
+    * so centering by the exact mean (n+1) makes the covariance and
+    * variances plain integer sums. Follows the corrMatrix output
+    * convention: the exact ρ² (micro-rounded) plus the covariance sign
+    * — the sqrt is the reader's; ρ² and sign carry every decision a
+    * threshold makes. Null when either axis is constant (zero rank
+    * variance).
+    *
+    * Scale posture: one (group, x) and one (group, y) count
+    * aggregation, each with a group-keyed running window over DISTINCT
+    * values, joined back on the narrow (group, value) keys; one
+    * five-sum aggregation after. Envelope: centered 2-rank products
+    * sum to ≤ n³, so ρ²'s cross-product n⁶·2·10⁶ binds DECIMAL(38,0)
+    * at ~1.9·10⁵ rows per group — loud past it (ANSI / HUGEINT);
+    * pre-aggregate the series grain (the q268 daily shape) or
+    * subsample beyond.
+    *
+    * @return (g…, n, rho_sign, rho2)
+    */
+  def spearman(df: DataFrame, groupCols: Seq[Column], xCol: Column,
+      yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "spearman needs >= 1 group column (see mannWhitneyU)")
+    val reserved = Seq("n", "rho_sign", "rho2")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select((groupCols ++ Seq(xCol.cast("long").as("__x"),
+        yCol.cast("long").as("__y"))): _*)
+    val w = Window.partitionBy(groupCols: _*)
+    val gJoin = base.select(groupCols: _*).columns.toSeq
+    // 2·midrank per distinct value of one axis (2·cum0 + c + 1)
+    def ranks(axis: String): DataFrame =
+      base.groupBy((groupCols :+ col(axis)): _*)
+        .agg(count(lit(1)).as("__c"))
+        .withColumn(s"__r$axis",
+          coalesce(sum(col("__c")).over(w.orderBy(col(axis))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) * 2 +
+            col("__c") + 1)
+        .drop("__c")
+    val ranked = base
+      .join(ranks("__x"), gJoin :+ "__x")
+      .join(ranks("__y"), gJoin :+ "__y")
+    val agg = ranked.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__r__x")) * dec(col("__r__y"))).as("__sxy"),
+        sum(dec(col("__r__x")) * dec(col("__r__x"))).as("__sxx"),
+        sum(dec(col("__r__y")) * dec(col("__r__y"))).as("__syy"))
+    // exact-mean centering: Σ2r = n(n+1) on both axes, so
+    // cov = Σ rx·ry − n(n+1)², var = Σ r² − n(n+1)²
+    val m2 = dec(col("n")) * (col("n") + 1) * (col("n") + 1)
+    val cov = col("__sxy") - m2
+    val vx = col("__sxx") - m2
+    val vy = col("__syy") - m2
+    agg.select((groupCols ++ Seq(col("n"),
+      when(vx > 0 && vy > 0, signum(cov).cast("int")).as("rho_sign"),
+      when(vx > 0 && vy > 0,
+        asRatio(microRound6(cov * cov, vx * vy))).as("rho2"))): _*)
+  }
+
+  /** Gini-impurity information gain of a categorical feature about a
+    * binary label — the CART split criterion as a feature audit ("does
+    * `lang` carry signal about the keep decision?"): gain =
+    * Σ_v (c0_v² + c1_v²)/(N·n_v) − (C0² + C1²)/N², each per-value term
+    * an exact integer rational micro-rounded before the sum (the chi-
+    * square convention), the parent term exact. Pure rational — no
+    * logs, so the whole surface replays in SQL without the fixed-point
+    * LUT machinery entropy needs. Output: one row per feature value
+    * (v, n, n_pos, gini — the value's own impurity, 6 dp) with the
+    * table-level `gain` and the parent impurity `gini_parent` repeated
+    * from a one-row broadcast. Null-feature or null-label rows are
+    * excluded.
+    *
+    * Scale posture: one (feature value) count aggregation over the
+    * input (map-side combined, the only row-weight exchange);
+    * everything after is value-bounded. Envelope: N·n_v products and
+    * C² terms hold DECIMAL(38,0)-exact to ~10¹⁵ rows — unreachable.
+    *
+    * @return (v, n, n_pos, gini, gini_parent, gain)
+    */
+  def giniGain(df: DataFrame, featureCol: Column,
+      labelCol: Column): DataFrame = {
+    val cells = df.filter(featureCol.isNotNull && labelCol.isNotNull)
+      .groupBy(featureCol.as("v"))
+      .agg(count(lit(1)).as("n"), sum(labelCol.cast("long")).as("n_pos"))
+      .localCheckpoint() // value-bounded; feeds per-value rows + totals
+    val c0 = col("n") - col("n_pos")
+    // per-value impurity 1 − (c0² + c1²)/n² and the micro child term
+    // (c0² + c1²)/(N·n_v)
+    val sq = dec(c0) * dec(c0) + dec(col("n_pos")) * dec(col("n_pos"))
+    val totals = cells.agg(sum(col("n")).as("__N"),
+      sum(col("n_pos")).as("__P"))
+    val withN = cells.crossJoin(broadcast(totals))
+      .withColumn("__tm", microRound6(sq, dec(col("__N")) * dec(col("n"))))
+      .localCheckpoint() // feeds per-value rows + the gain total
+    val p0 = col("__N") - col("__P")
+    val parentSq = dec(p0) * dec(p0) + dec(col("__P")) * dec(col("__P"))
+    val gain = withN
+      .agg(sum(col("__tm")).as("__s"), max(col("__N")).as("__N2"),
+        max(col("__P")).as("__P2"))
+      .select(
+        ((col("__s") - microRound6(
+          dec(col("__N2") - col("__P2")) * dec(col("__N2") - col("__P2")) +
+            dec(col("__P2")) * dec(col("__P2")),
+          dec(col("__N2")) * dec(col("__N2"))))
+          .cast("double") / 1e6).as("gain"),
+        asRatio(microRound6(
+          dec(col("__N2")) * dec(col("__N2")) -
+            (dec(col("__N2") - col("__P2")) * dec(col("__N2") - col("__P2")) +
+              dec(col("__P2")) * dec(col("__P2"))),
+          dec(col("__N2")) * dec(col("__N2")))).as("gini_parent"))
+    withN.select(col("v"), col("n"), col("n_pos"),
+        asRatio(microRound6(dec(col("n")) * dec(col("n")) - sq,
+          dec(col("n")) * dec(col("n")))).as("gini"))
+      .crossJoin(broadcast(gain))
+  }
+
   /** ROC AUC per group via the rank-sum identity: AUC =
     * (#(score_pos > score_neg) + ½·ties) / (n_pos·n_neg) — exactly the
     * tie-averaged Mann–Whitney U, so this delegates to [[mannWhitneyU]]

@@ -278,6 +278,20 @@ object EvalQueries {
         round(col("value") * 100).cast("long"))
     }),
 
+    // Gini information gain of the language feature about the Gopher
+    // keep label — the CART split criterion as a feature audit: does
+    // lang carry signal about the keep decision? Pure rational, no
+    // entropy logs.
+    "q269_gini_gain" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
+          minStopwords = 1)
+        .select(col("id"), col("keep_doc"))
+      EvalMetrics.giniGain(
+        d.select(col("doc_id").as("id"), col("lang")).join(labels, Seq("id")),
+        col("lang"), col("keep_doc"))
+    }),
+
     // Chi-square independence of (priority × order year) — the
     // categorical-drift audit: is the priority mix stable across years?
     // Zero cells contribute their expected mass (margins cross, never
@@ -638,6 +652,40 @@ object EvalQueries {
              CASE WHEN z2n * 1000000 > varred * 3841459 THEN 1 ELSE 0 END
            END AS significant
          FROM i""",
+
+    "q269_gini_gain" ->
+      s"""WITH $gopherKeepCtes,
+         jl AS (SELECT d.lang AS v, ga.keep_a
+           FROM ga JOIN documents d USING (doc_id)
+           WHERE d.lang IS NOT NULL AND ga.keep_a IS NOT NULL),
+         cells AS (SELECT v, COUNT(*) AS n, SUM(keep_a) AS np
+           FROM jl GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(SUM(np) AS HUGEINT) AS pp FROM cells),
+         w AS (SELECT v, n, np,
+             CAST(n - np AS HUGEINT) * (n - np) +
+               CAST(np AS HUGEINT) * np AS sq
+           FROM cells),
+         w2 AS (SELECT v, n, np, sq, nn, pp,
+             CAST((2 * sq * 1000000 + nn * n) // (2 * nn * n) AS BIGINT)
+               AS tm
+           FROM w, t),
+         g AS (SELECT SUM(tm) AS s, MAX(nn) AS nn, MAX(pp) AS pp
+           FROM w2),
+         g2 AS (SELECT s, nn, pp,
+             (nn - pp) * (nn - pp) + pp * pp AS psq FROM g),
+         g3 AS (SELECT
+             (s - CAST((2 * psq * 1000000 + nn * nn) // (2 * nn * nn)
+               AS BIGINT)) / 1000000.0 AS gain,
+             CAST((2 * (nn * nn - psq) * 1000000 + nn * nn)
+               // (2 * nn * nn) AS BIGINT) / 1000000.0 AS gini_parent
+           FROM g2)
+         SELECT v, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+           CAST((2 * (CAST(n AS HUGEINT) * n - sq) * 1000000 +
+             CAST(n AS HUGEINT) * n) // (2 * CAST(n AS HUGEINT) * n)
+             AS BIGINT) / 1000000.0 AS gini,
+           g3.gain, g3.gini_parent
+         FROM w2 CROSS JOIN g3""",
 
     "q267_kruskal_wallis" ->
       """WITH c1 AS (SELECT event_type, user_id % 3 AS arm,

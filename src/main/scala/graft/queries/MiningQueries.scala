@@ -334,6 +334,21 @@ object MiningQueries {
           col("intercept"), col("r2"))
     }),
 
+    // Spearman rank correlation on the same daily series — the third
+    // correlation on one grain (q265 Pearson r² = linear, q262
+    // Mann–Kendall = concordance, this = monotone association): exact
+    // ρ² + sign from integral 2·midranks.
+    "q268_spearman" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      graft.operators.EvalMetrics.spearman(daily,
+        Seq(col("o_orderpriority")), col("day"), col("rev"))
+    }),
+
     // Quantile normalization of document length across sources — the
     // cross-source score harmonization step (source A's p90 and source
     // B's p90 land on the same pooled value) as an exact deterministic
@@ -844,6 +859,48 @@ object MiningQueries {
            CASE WHEN varx > 0 AND vary_ > 0 THEN
              CAST((2 * cov * cov * 1000000 + varx * vary_)
                // (2 * varx * vary_) AS BIGINT) / 1000000.0 END AS r2
+         FROM f""",
+
+    "q268_spearman" ->
+      """WITH d0 AS (SELECT o_orderpriority AS g,
+             CAST(DATEDIFF('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         se AS (SELECT g, x, SUM(v) AS y FROM d0 GROUP BY 1, 2),
+         cx AS (SELECT g, x, COUNT(*) AS c FROM se GROUP BY 1, 2),
+         wx AS (SELECT g, x,
+             2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2x
+           FROM cx),
+         cy AS (SELECT g, y, COUNT(*) AS c FROM se GROUP BY 1, 2),
+         wy AS (SELECT g, y,
+             2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2y
+           FROM cy),
+         r AS (SELECT se.g, wx.r2x, wy.r2y
+           FROM se JOIN wx ON se.g = wx.g AND se.x = wx.x
+           JOIN wy ON se.g = wy.g AND se.y = wy.y),
+         a AS (SELECT g, COUNT(*) AS n,
+             SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+             SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+             SUM(CAST(r2y AS HUGEINT) * r2y) AS syy
+           FROM r GROUP BY 1),
+         f AS (SELECT g, n,
+             sxy - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS cov,
+             sxx - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS vx,
+             syy - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS vy
+           FROM a)
+         SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+           CASE WHEN vx > 0 AND vy > 0 THEN
+             CASE WHEN cov < 0 THEN -1 WHEN cov > 0 THEN 1 ELSE 0 END
+           END AS rho_sign,
+           CASE WHEN vx > 0 AND vy > 0 THEN
+             CAST((2 * (cov * cov) * 1000000 + vx * vy)
+               // (2 * vx * vy) AS BIGINT) / 1000000.0 END AS rho2
          FROM f""",
 
     "q266_quantile_normalize" ->

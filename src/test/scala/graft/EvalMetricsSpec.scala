@@ -194,6 +194,64 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(s2.getAs[Any]("z2") == null)
   }
 
+  // ------------------------------------------------- Spearman / Gini
+
+  test("spearman: perfect monotone -> rho2 = 1 with the right sign; " +
+      "driver replica with ties; constant axis -> null") {
+    val up = (1L to 60L).map(t => ("g", t, t * t)) // monotone, nonlinear
+    val r1 = EvalMetrics.spearman(up.toDF("k", "x", "y"), Seq(col("k")),
+      col("x"), col("y")).collect().head
+    assert(r1.getAs[Int]("rho_sign") == 1 && r1.getAs[Double]("rho2") == 1.0)
+    val down = (1L to 60L).map(t => ("g", t, -3 * t))
+    val r2 = EvalMetrics.spearman(down.toDF("k", "x", "y"), Seq(col("k")),
+      col("x"), col("y")).collect().head
+    assert(r2.getAs[Int]("rho_sign") == -1 && r2.getAs[Double]("rho2") == 1.0)
+    // ties on both axes vs an exact driver replica (Pearson on 2·midranks)
+    val rnd = new scala.util.Random(47)
+    val pts = Seq.fill(150)((rnd.nextLong(12), rnd.nextLong(15)))
+    val out = EvalMetrics.spearman(pts.map(p => ("g", p._1, p._2))
+        .toDF("k", "x", "y"),
+      Seq(col("k")), col("x"), col("y")).collect().head
+    def r2s(vs: Seq[Long]): Map[Long, Long] =
+      vs.distinct.map(v => v ->
+        (2L * vs.count(_ < v) + vs.count(_ == v) + 1)).toMap
+    val rx = r2s(pts.map(_._1)); val ry = r2s(pts.map(_._2))
+    val n = BigInt(pts.size)
+    val m2 = n * (n + 1) * (n + 1)
+    val cov = pts.map(p => BigInt(rx(p._1)) * ry(p._2)).sum - m2
+    val vx = pts.map(p => BigInt(rx(p._1)) * rx(p._1)).sum - m2
+    val vy = pts.map(p => BigInt(ry(p._2)) * ry(p._2)).sum - m2
+    val q = ((cov * cov * 2000000 + vx * vy) / (vx * vy * 2)).toDouble / 1e6
+    assert(out.getAs[Double]("rho2") == q)
+    assert(out.getAs[Int]("rho_sign") == cov.signum)
+    val const = (1L to 20L).map(t => ("g", t, 5L)).toDF("k", "x", "y")
+    val r3 = EvalMetrics.spearman(const, Seq(col("k")), col("x"),
+      col("y")).collect().head
+    assert(r3.getAs[Any]("rho2") == null)
+  }
+
+  test("giniGain: perfectly-splitting feature gains the parent impurity; " +
+      "uninformative feature gains ~0; hand-checked values") {
+    // feature a -> all label 1, feature b -> all label 0 (50/50 parent)
+    val perfect = (Seq.fill(40)(("a", 1)) ++ Seq.fill(40)(("b", 0)))
+      .toDF("f", "y")
+    val p = EvalMetrics.giniGain(perfect, col("f"), col("y")).collect()
+    assert(p.forall(_.getAs[Double]("gini") == 0.0))
+    assert(p.head.getAs[Double]("gini_parent") == 0.5)
+    assert(p.head.getAs[Double]("gain") == 0.5)
+    // feature independent of label: gain ~ 0 (exactly 0 on a balanced
+    // construction)
+    val flat = (for (f <- Seq("a", "b"); y <- Seq(0, 1); _ <- 1 to 25)
+      yield (f, y)).toDF("f", "y")
+    val fl = EvalMetrics.giniGain(flat, col("f"), col("y")).collect()
+    assert(fl.head.getAs[Double]("gain") == 0.0)
+    assert(fl.forall(_.getAs[Double]("gini") == 0.5))
+    // hand value: v with 3 pos / 1 neg -> gini = 1 - (9+1)/16 = 0.375
+    val hand = (Seq.fill(3)(("a", 1)) :+ (("a", 0))).toDF("f", "y")
+    assert(EvalMetrics.giniGain(hand, col("f"), col("y"))
+      .collect().head.getAs[Double]("gini") == 0.375)
+  }
+
   // ------------------------------------------------- Kruskal–Wallis
 
   /** Driver replica of the operator's exact quantized arithmetic. */
