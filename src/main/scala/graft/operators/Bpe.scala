@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.functions.BpeCount
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -37,14 +36,18 @@ object Bpe {
         i => w.substr(i, lit(2)))))
   }
 
-  /** Top-`m` pairs by (count desc, pair asc) — M-bounded driver state. */
+  /** Top-`m` pairs by (count desc, pair asc) — M-bounded driver state.
+    * The rank runs through [[Ranking.globalTopK]] (per-partition prune,
+    * then a window over ≤ m×P survivors): the distinct pair vocabulary
+    * is tiny for ASCII-ish corpora but reaches millions for CJK, where
+    * an unpartitioned `Window.orderBy` would single-partition-sort it.
+    */
   def trainMerges(df: DataFrame, textCol: Column, m: Int = 64): Seq[String] = {
     require(m >= 1, s"m must be >= 1, got $m")
-    df.select(explode(pairStream(textCol)).as("pair"))
+    val counts = df.select(explode(pairStream(textCol)).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("n").desc, col("pair").asc)))
-      .filter(col("__rk") <= m)
+    Ranking.globalTopK(counts, Seq(col("n").desc, col("pair").asc), m,
+        rankCol = Some("__rk"))
       .orderBy(col("__rk"))
       .select(col("pair")).collect().map(_.getString(0)).toSeq
   }

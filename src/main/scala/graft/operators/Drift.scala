@@ -122,7 +122,10 @@ object Drift {
       s"input carries a reserved output column: " +
         df.columns.filter(reserved.contains).mkString(", "))
     import org.apache.spark.sql.expressions.Window
-    val c = df.filter(valueCol.isNotNull)
+    // null-flag rows are EXCLUDED from both arms (the kruskalWallis/
+    // brierScore convention) — counting them into the reference arm
+    // would inflate n_ref without any signal
+    val c = df.filter(valueCol.isNotNull && isCurrent.isNotNull)
       .groupBy((groupCols :+ valueCol.cast("long").as("__v")): _*)
       .agg(sum(when(isCurrent, 0L).otherwise(1L)).as("__r"),
         sum(when(isCurrent, 1L).otherwise(0L)).as("__c"))

@@ -207,6 +207,15 @@ object EvalMetrics {
     * loud (ANSI / HUGEINT) — subsample arms past that.
     */
   def mannWhitneyU(df: DataFrame, groupCols: Seq[Column], isB: Column,
+      valueCol: Column): DataFrame =
+    mwCore(df, groupCols, isB, valueCol).drop("__u2a")
+
+  /** [[mannWhitneyU]] plus the EXACT integral 2·U_A as decimal `__u2a` —
+    * the column [[aucFromScores]] consumes so AUC never round-trips U
+    * through the displayed double (which would cap exactness at
+    * 2U ≤ 2⁵³ for no reason).
+    */
+  private def mwCore(df: DataFrame, groupCols: Seq[Column], isB: Column,
       valueCol: Column): DataFrame = {
     require(groupCols.nonEmpty,
       "mannWhitneyU needs >= 1 group column (see scaladoc)")
@@ -244,7 +253,8 @@ object EvalMetrics {
       when(defined, asRatio(microRound6(z2num, dec(varRed)))).as("z2"),
       when(defined,
         when(z2num * 1000000L > dec(varRed) * 3841459L, 1).otherwise(0))
-        .as("significant"))): _*)
+        .as("significant"),
+      u2a.as("__u2a"))): _*)
   }
 
   /** Kruskal–Wallis rank test per group — the k-arm generalization of
@@ -464,17 +474,18 @@ object EvalMetrics {
     * (2·n_pos·n_neg), recovered from the integral 2U. The z²/significant
     * columns gate "discriminates better than chance" — the same test,
     * read as a ROC statement. Null auc when either class is absent.
-    * Exact while 2U ≤ 2⁵³ (u_a round-trips through a double) —
-    * ~6.7·10¹⁵ pair comparisons per group, unreachable.
+    * Exact end to end: 2U arrives as the integral decimal the rank
+    * pipeline computed (never round-tripped through the displayed
+    * double u_a), so the envelope is mannWhitneyU's own, not 2⁵³.
     *
     * @return (g…, n_neg, n_pos, auc, z2, significant)
     */
   def aucFromScores(df: DataFrame, groupCols: Seq[Column],
       labelCol: Column, scoreCol: Column): DataFrame = {
-    val mw = mannWhitneyU(df, groupCols, labelCol.cast("long") === 1,
+    val mw = mwCore(df, groupCols, labelCol.cast("long") === 1,
       scoreCol)
     val prod2 = dec(col("n_a")) * dec(col("n_b")) * 2
-    val u2b = prod2 - dec((col("u_a") * 2).cast("long"))
+    val u2b = prod2 - col("__u2a")
     mw.select((groupCols ++ Seq(col("n_a").as("n_neg"),
       col("n_b").as("n_pos"),
       when(col("n_a") > 0 && col("n_b") > 0,
@@ -541,21 +552,22 @@ object EvalMetrics {
       .localCheckpoint() // feeds both margins and the cell join
     val rows = cells.groupBy(col("x")).agg(sum(col("n_obs")).as("__rx"))
     val colsM = cells.groupBy(col("y")).agg(sum(col("n_obs")).as("__cy"))
-    val sizes = rows.agg(count(lit(1)).as("__R"))
-      .crossJoin(colsM.agg(count(lit(1)).as("__C")))
-      .select(col("__R"), col("__C"),
-        when(col("__R") * col("__C") <= maxCells, col("__R") * col("__C"))
-          .otherwise(raise_error(concat(lit("chiSquareIndependence: "),
-            (col("__R") * col("__C")).cast("string"),
-            lit(s" generated cells exceed maxCells=$maxCells — " +
-              "categorical columns only")))).as("__rc"))
+    // fail-loud BEFORE the margins cross-join fans out, checked driver-
+    // side (cells is checkpointed, so the two counts are cell-bounded
+    // metadata jobs) — a raise_error guard COLUMN here would only fire
+    // if the optimizer happened not to prune it, and only after the
+    // R×C expansion already ran
+    val nR = rows.count()
+    val nC = colsM.count()
+    require(nR * nC <= maxCells,
+      s"chiSquareIndependence: ${nR * nC} generated cells exceed " +
+        s"maxCells=$maxCells — categorical columns only")
     val totals = cells.agg(sum(col("n_obs")).as("__N"))
     val full = rows.crossJoin(broadcast(colsM)) // margins cross: R×C cells
       .join(cells, Seq("x", "y"), "left")
       .select(col("x"), col("y"), col("__rx"), col("__cy"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"))
       .crossJoin(broadcast(totals))
-      .crossJoin(broadcast(sizes))
     val num = dec(col("__N")) * dec(col("n_obs")) -
       dec(col("__rx")) * dec(col("__cy"))
     val termMicro = microRound6(num * num,
@@ -563,11 +575,11 @@ object EvalMetrics {
     val terms = full.select(col("x"), col("y"), col("n_obs"),
         microRound6(dec(col("__rx")) * dec(col("__cy")), dec(col("__N")))
           .as("__em"),
-        termMicro.as("__tm"), col("__R"), col("__C"), col("__rc"))
+        termMicro.as("__tm"))
       .localCheckpoint() // cell-bounded; feeds per-cell rows + the total
-    val chi2 = terms.agg(sum(col("__tm")).as("__s"),
-        max((col("__R") - 1) * (col("__C") - 1)).as("dof"))
-      .select((col("__s").cast("double") / 1e6).as("chi2"), col("dof"))
+    val chi2 = terms.agg(sum(col("__tm")).as("__s"))
+      .select((col("__s").cast("double") / 1e6).as("chi2"),
+        lit((nR - 1) * (nC - 1)).as("dof"))
     terms.select(col("x"), col("y"), col("n_obs"),
         (col("__em").cast("double") / 1e6).as("expected"),
         (col("__tm").cast("double") / 1e6).as("term"))

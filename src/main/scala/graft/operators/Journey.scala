@@ -610,7 +610,24 @@ object Journey {
       s"$who is the few-group/long-series form (> $maxGroups " +
         "groups found) — use the flat form for many-group inputs")
     val gFieldCount = gNames.length
-    val sortedG = gRows.sortBy(_.toString) // deterministic gid assignment
+    // deterministic gid assignment: field-wise typed comparison of the
+    // actual key values (Row.toString is NOT injective — multi-column
+    // string groups containing ',' collide, and then tie order would
+    // fall back to the nondeterministic take() order). Group keys are
+    // distinct by construction, so strict-less is a total order.
+    val sortedG = gRows.sortWith { (ra, rb) =>
+      var i = 0; var cmp = 0
+      while (cmp == 0 && i < gFieldCount) {
+        val a = ra.get(i); val b = rb.get(i)
+        cmp =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else a.asInstanceOf[Comparable[Any]].compareTo(b)
+        i += 1
+      }
+      cmp < 0
+    }
     val mapSchema = org.apache.spark.sql.types.StructType(
       blockPts.schema.fields.take(gFieldCount) ++ Seq(
         org.apache.spark.sql.types.StructField("__gid",

@@ -71,10 +71,19 @@ object Similarity {
   }
 
   /** Train an IVF codebook: deterministic seeding (first `nCentroids`
-    * vectors by id) + Lloyd refinement iterations run DISTRIBUTED (assign =
-    * narrow pass, new centroids = one hash agg); only the C centroid
-    * vectors ever reach the driver. At 100 TB you train on a sample the
-    * same way — the codebook is dimension-bounded state, not data-bounded.
+    * vectors by id — NOT a global sort: a terminal sort+limit plans as
+    * `TakeOrderedAndProject`, a per-partition bounded top-C merged on
+    * the driver; spec-pinned in DedupSimilaritySpec so a regression to a
+    * full Sort+Exchange fails loud) + Lloyd refinement iterations run
+    * DISTRIBUTED (assign = narrow pass, new centroids = one hash agg);
+    * only the C centroid vectors ever reach the driver. At 100 TB you
+    * train on a sample the same way — the codebook is dimension-bounded
+    * state, not data-bounded. (Seeding deliberately differs from
+    * [[seedCentroids]]'s hash-pick: measured on the sf0.001 embeddings,
+    * hash-picked seeds converge to a ~0.33-recall local optimum at
+    * nprobe=1 regardless of iteration count, id-order seeds to ~0.6 —
+    * Lloyd keeps whatever basin the seeds start in, so the seeding rule
+    * is part of the trained contract, not an implementation detail.)
     */
   def trainIvf(
       candidates: DataFrame, idCol: String, vecCol: String,

@@ -167,6 +167,32 @@ object MiningQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Zipf-slope corpus audit: OLS fit of log2(freq) on log2(rank) over
+    // each source's top-100 terms — natural prose sits near slope −1
+    // (Zipf's law); templated/spammy corpora flatten or steepen, so the
+    // slope is the one-number "does this source look like language?"
+    // screen next to q164's entropy and q113's Gopher rules. Both axes
+    // are the fixed-point log2 kernel (2^20 units cancel in the slope),
+    // the fit is q265's exact-integer OLS; rank is bounded (top-100 per
+    // source via a source-partitioned window), so every frame after the
+    // term count is sources×100 rows.
+    "q231_zipf_slope" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      val top = graft.operators.Ranking.topKPerGroup(terms,
+        Seq(col("source")), Seq(col("n").desc, col("term").asc), 100,
+        rankCol = Some("rnk"))
+      val pts = top.select(col("source"),
+        Log2Fixed.expr(col("rnk").cast("long")).as("x"),
+        Log2Fixed.expr(col("n")).as("y"))
+      TableOps.linearFit(pts, Seq(col("source")), col("x"), col("y"))
+        .select(col("g0").as("source"), col("n"), col("slope"),
+          col("intercept"), col("r2"))
+    }),
+
     // Exact vocabulary-overlap matrix between the 5 language slices:
     // distinct-token supports, pairwise intersection and exact Jaccard —
     // the cross-source contamination screen. The pair fan-out is keyed on
@@ -441,6 +467,45 @@ object MiningQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "q231_zipf_slope" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         tw AS (SELECT source, unnest(toks) AS term FROM t),
+         cnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tw GROUP BY 1, 2),
+         top AS (SELECT source, term, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n DESC, term ASC) AS BIGINT) AS rnk
+           FROM cnt QUALIFY rnk <= 100),
+         ${Log2Fixed.lutCteSql},
+         ${log2fpStages("top", "source, term", "rnk", "x", "px")},
+         ${log2fpStages("top", "source, term", "n", "y", "py")},
+         pts AS (SELECT pxl.source, pxl.x, pyl.y
+           FROM pxl JOIN pyl ON pxl.source = pyl.source
+             AND pxl.term = pyl.term),
+         a AS (SELECT source, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+           FROM pts GROUP BY 1),
+         f AS (SELECT source, n, n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS varx, n * syy - sy * sy AS vary_,
+             sy * sxx - sx * sxy AS inum
+           FROM a)
+         SELECT source, CAST(n AS BIGINT) AS n,
+           CASE WHEN varx > 0 THEN
+             CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(cov) * 1000000 + varx) // (2 * varx)) AS BIGINT)
+               / 1000000.0 END AS slope,
+           CASE WHEN varx > 0 THEN
+             CAST((CASE WHEN inum < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(inum) * 1000000 + varx) // (2 * varx)) AS BIGINT)
+               / 1000000.0 END AS intercept,
+           CASE WHEN varx > 0 AND vary_ > 0 THEN
+             CAST((2 * cov * cov * 1000000 + varx * vary_)
+               // (2 * varx * vary_) AS BIGINT) / 1000000.0 END AS r2
+         FROM f""",
 
     "q232_vocab_overlap" ->
       s"""WITH inc AS (SELECT DISTINCT lang AS source, unnest($toksSql) AS tok

@@ -184,6 +184,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((bf & ivf3).size >= (bf & ivf1).size)
   }
 
+  test("IVF seeding plans as a bounded TakeOrderedAndProject, never a " +
+      "global range-sort of the candidate frame") {
+    val emb = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "embeddings")
+    // the two seeding pick shapes (trainIvf: first-C by id; seedCentroids:
+    // first-C by Fibonacci hash) — both must stay per-partition top-C
+    val plans = Seq(
+      emb.orderBy(col("vec_id")).limit(8).select(col("embedding")),
+      emb.withColumn("__bk", graft.operators.Sampling.hashBucket(col("vec_id"), 1048576))
+        .orderBy(col("__bk"), col("vec_id")).limit(8).select(col("embedding")))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(3).mkString("\n"))
+      assert(!p.contains("rangepartitioning"), p.linesIterator.take(3).mkString("\n"))
+    }
+  }
+
   test("seeded IVF probing every bucket == brute-force top-k exactly") {
     val emb = graft.core.Tables.load(spark, SparkTestSession.Sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 20)

@@ -147,6 +147,20 @@ class DriftSpec extends AnyFunSuite {
     assert(sn.getAs[Int]("significant") == 0)
   }
 
+  test("ksTest: null-flag rows are excluded from BOTH arms (the " +
+      "kruskalWallis/brier convention), never counted as reference") {
+    val flagged = (1L to 100L).flatMap(v =>
+      Seq(("g", v, Some(false)), ("g", v, Some(true))))
+    val nulls = (200L to 260L).map(v => ("g", v, None: Option[Boolean]))
+    val df = (flagged ++ nulls).toDF("g", "v", "cur")
+    val r = Drift.ksTest(df, Seq(col("g")), col("v"), col("cur"))
+      .collect().head
+    // with the nulls dropped the two arms are identical: n 100/100, D=0
+    assert(r.getAs[Long]("n_ref") == 100L)
+    assert(r.getAs[Long]("n_cur") == 100L)
+    assert(r.getAs[Double]("ks_stat") == 0.0)
+  }
+
   test("ksTest: a one-sided group reports null, never a number") {
     val df = (1L to 10L).map(("g", _, false)).toDF("g", "v", "cur")
     val r = Drift.ksTest(df, Seq(col("g")), col("v"), col("cur"))

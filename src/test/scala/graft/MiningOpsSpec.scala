@@ -75,6 +75,30 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(hitsOut(nodes, dirty, 2) == refHits(nodes, clean, 2))
   }
 
+  test("HITS compact kernel is bit-identical to the distributed loop " +
+      "(compactEdgeLimit = 0 forces the loop), duplicate edges included") {
+    // duplicate edge (0,2)×2 must be summed twice in both paths; 7 is
+    // isolated, 5/6 touch unknown id 99 (dropped by both paths)
+    val nodes = (0L to 7L)
+    val edges = Seq((0L, 2L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 4L),
+      (4L, 0L), (5L, 99L), (99L, 6L))
+    (1 to 3).foreach { it =>
+      val n = nodes.toDF("id")
+      val e = edges.toDF("src", "dst")
+      def run(limit: Long): Map[Long, (Long, Long)] =
+        Graph.hits(n, col("id"), e, col("src"), col("dst"), it,
+            compactEdgeLimit = limit)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val compact = run(4000000L)
+      val loop = run(0L)
+      assert(compact == loop, s"iteration $it")
+      assert(compact == refHits(nodes,
+        edges.filter(p => nodes.contains(p._1) && nodes.contains(p._2)), it),
+        s"iteration $it vs reference")
+    }
+  }
+
   test("HITS on a cycle reaches the uniform fixed point") {
     val nodes = Seq(0L, 1L, 2L)
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))

@@ -60,6 +60,25 @@ class PageRankSpec extends AnyFunSuite {
     assert(out(1L) == 150000L + 850L * (500000L + 500000L + 1000000L) / 1000L)
   }
 
+  test("compact kernel is bit-identical to the distributed loop " +
+      "(compactEdgeLimit = 0 forces the loop): weights, unknown " +
+      "endpoints, dangling and isolated nodes") {
+    // 9 isolated, (0,99)/(99,1) touch unknown id 99 — but (0,99) still
+    // counts toward 0's outdegree in BOTH paths (degree is computed on
+    // the unfiltered edge list; the contribution itself is dropped)
+    val nodes = ((0L to 4L) :+ 9L).toDF("id")
+    val edges = Seq((0L, 1L, 2L), (0L, 2L, 1L), (1L, 2L, 3L), (2L, 3L, 1L),
+      (3L, 0L, 1L), (0L, 99L, 5L), (99L, 1L, 7L), (4L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    (1 to 4).foreach { it =>
+      def run(limit: Long): Map[Long, Long] =
+        Graph.pageRankWeighted(nodes, col("id"), edges, col("src"),
+            col("dst"), col("w"), iterations = it, compactEdgeLimit = limit)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(run(4000000L) == run(0L), s"iteration $it")
+    }
+  }
+
   test("invalid parameters rejected") {
     val n = Seq(1L).toDF("id")
     val e = Seq((1L, 1L)).toDF("src", "dst")
