@@ -54,6 +54,181 @@ object Stress {
     } finally sc.removeSparkListener(listener)
   }
 
+  /** Composed curation-pipeline receipt (r10 verdict #6) — the q134 stage
+    * chain (WARC → status gate → robots → per-domain quota → Gopher →
+    * boilerplate-line removal → MinHash-LSH near-dup removal →
+    * temperature mixture) run end-to-end at corpus scale with PER-STAGE
+    * wall/rows/shuffle, the 数据获取架构.md:355 pipeline shape priced as
+    * one program instead of per-operator receipts.
+    *
+    * Corpus: n docs over n/20 registrable domains (~20 docs each, so the
+    * quota stage has real work), 5 languages, ~9% shipped as 404s, ~20%
+    * of paths robots-banned for the '*' group (with the /private/pub
+    * carve-out and the even-domain GraftBot /tmp ban exercising RFC 9309
+    * group selection), ~6% Gopher-junk (under min token count), per-5000
+    * -doc-group shared 3-token boilerplate head lines (removed at
+    * minDocs = 5), and the nearDupReceipts cluster shape (first 20% of
+    * ids in 3-doc near-dup clusters, hash-mixed tokens) feeding the LSH
+    * stage. Each stage boundary is localCheckpoint-materialized inside
+    * its own timing block — the between-phase barrier a production run
+    * writes — so a stage's wall includes exactly its own work.
+    */
+  private def pipelineReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.functions.TextFunctions
+    import graft.operators.{Dedup, Mixture, QualityRules, Sampling}
+    import graft.queries.CurationQueries
+    import graft.sources.{Robots, Warc}
+    import org.apache.spark.sql.{Column, DataFrame}
+    val sc = spark.sparkContext
+    val mLabel = if (n >= 1000000) s"${n / 1000000}M" else s"${n / 1000}k"
+    val nDomains = math.max(20L, n / 20L)
+    val bpGroups = math.max(1L, n / 5000L) // ~5000 docs share a head line
+    val clusters = n / 15                  // 20% of ids in 3-doc clusters
+    val dupCount = clusters * 3
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_pipe").toString
+    try {
+      // ---- corpus (untimed, materialized to parquet like a real crawl)
+      val langs = array(Seq("en", "zh", "es", "fr", "de").map(lit): _*)
+      val junk = pmod(col("id"), lit(17)) === 3 // < 50 tokens -> Gopher drop
+      val nToks = when(junk, lit(20)).otherwise(lit(55))
+      val token = (j: Column) => {
+        val cluster = floor(col("id") / 3)
+        val mixed = when(col("id") < dupCount,
+          when(j === pmod(col("id"), lit(3)),
+            concat(lit("m"), pmod(col("id"), lit(3)), lit("c"), cluster))
+            .otherwise(concat(lit("c"),
+              pmod(xxhash64(cluster, j), lit(9999L)), lit("t"), j)))
+          .otherwise(concat(lit("u"),
+            pmod(xxhash64(col("id"), j), lit(9999L)), lit("t"), j))
+        // shared 3-token boilerplate head per group; stopwords keep the
+        // Gopher gate honest (minStopwords = 1)
+        when(j < 3, concat(lit("bp"), pmod(col("id"), lit(bpGroups)),
+            lit("w"), j))
+          .when(j === 4, lit("the")).when(j === 30, lit("and"))
+          .otherwise(mixed)
+      }
+      spark.range(0, n, 1, 32).select(
+          col("id").as("doc_id"),
+          element_at(langs, (pmod(col("id"), lit(5)) + 1).cast("int"))
+            .as("lang"),
+          array_join(transform(sequence(lit(0), nToks - 1), token), " ")
+            .as("text"))
+        .write.mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+
+      val stages = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Double, Long)]
+      def stage(name: String)(body: => DataFrame): DataFrame = {
+        var out: DataFrame = null
+        var rows = -1L
+        val t0 = System.nanoTime()
+        val (_, bytes) = shuffleBytes(sc) {
+          out = body.localCheckpoint()
+          rows = out.count()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        stages += ((name, rows, wall, bytes))
+        println(f"[stress] pipeline_${mLabel}_$name%-12s rows=$rows%10d " +
+          f"wall=$wall%8.2f s shuffle=${bytes / 1e9}%7.3f GB")
+        out
+      }
+
+      // ---- stage 0: WARC encode+parse + status gate (q134 stage 0 shape)
+      val s0 = stage("s0_warc") {
+        val sub = pmod(col("doc_id"), lit(5))
+        val m = pmod(col("doc_id"), lit(nDomains))
+        val path = concat(lit("/"), col("lang"),
+          when(sub === 0, concat(lit("/private/x"), col("doc_id")))
+            .when(sub === 1, concat(lit("/private/pub/"), col("doc_id")))
+            .when(sub === 2, concat(lit("/tmp/doc"), col("doc_id")))
+            .when(sub === 3, concat(lit("/keep/doc"), col("doc_id")))
+            .otherwise(concat(lit("/ok"), col("doc_id"))))
+        val params = corpus.select(
+          floor(col("doc_id") / 25).cast("long").as("file_id"),
+          col("doc_id"),
+          concat(lit("http://site"), m, lit(".com"), path).as("uri"),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit(404))
+            .otherwise(lit(200)).as("status"),
+          col("text"),
+          pmod(floor(col("doc_id") / 25), lit(2)).cast("int").as("gzip"))
+        Warc.parseWarc(Warc.encodeWarc(params))
+          .filter(col("warc_type") === "response" && col("http_status") === 200)
+          .select(
+            regexp_extract(col("target_uri"), "(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            regexp_extract(col("target_uri"), "^http://([^/]+)", 1).as("host"),
+            regexp_extract(col("target_uri"), "^http://[^/]+(/.*)$", 1).as("path"),
+            regexp_extract(col("target_uri"), "^http://[^/]+/([^/]+)/", 1).as("lang"),
+            col("body_text").as("text"))
+      }
+
+      // ---- stage 1: robots gate (RFC 9309 group selection, q134 policy)
+      val s1 = stage("s1_robots") {
+        val dcol = col("id")
+        val robotsTxt = spark.range(0, nDomains).toDF("id")
+          .select(concat(lit("site"), dcol, lit(".com")).as("domain"),
+            concat(
+              lit("User-Agent: *\nDisallow: /*/private/\nAllow: /*/private/pub\n"),
+              when(pmod(dcol, lit(2)) === 0,
+                lit("\nUser-Agent: GraftBot\nDisallow: /*/tmp/*\n"))
+                .otherwise(lit("")))
+              .as("content"))
+        Robots.allowedUrls(s0, col("doc_id"), col("host"),
+            col("path"), Robots.parseRobots(robotsTxt), agent = "graftbot")
+          .filter(col("allowed") === 1)
+          .drop("agent_group", "allowed")
+      }
+
+      // ---- stage 2: per-registrable-domain quota
+      val s2 = stage("s2_quota") {
+        Sampling.kPerGroup(
+          s1.withColumn("domain",
+            TextFunctions.registrableDomain(col("host"))),
+          Seq(col("domain")), col("doc_id"), 10)
+      }
+
+      // ---- stage 3: Gopher gate (narrow per-row predicate)
+      val s3 = stage("s3_gopher") {
+        s2.filter(QualityRules.keepFlag(col("text"), minStopwords = 1))
+      }
+
+      // ---- stage 4: corpus-level boilerplate-line removal
+      val s4 = stage("s4_linededup") {
+        Dedup.removeBoilerplateLines(
+            s3, col("doc_id"),
+            CurationQueries.tokenChunkLines(col("text"), 3),
+            minDocs = 5, carry = Seq("lang" -> col("lang")))
+          .select(col("id").as("doc_id"), col("lang"),
+            col("text_clean").as("text"))
+      }
+
+      // ---- stage 5: MinHash-LSH near-dup removal (q86 knobs)
+      val s5 = stage("s5_neardup") {
+        Dedup.removeNearDuplicates(s4, col("doc_id"),
+          col("text"), shingleSize = 3, numHashes = 32, bands = 8,
+          threshold = 0.3)
+      }
+
+      // ---- stage 6: temperature mixture (5 output rows)
+      val s6 = stage("s6_mixture") {
+        Mixture.temperatureWeights(s5, Seq(col("lang")),
+          alpha = 0.5, budget = 1000)
+      }
+
+      val total = stages.map(_._3).sum
+      println(f"[stress] pipeline_${mLabel}_total wall=$total%.2f s " +
+        s"(stages: ${stages.map(s => f"${s._1}=${s._3}%.1f").mkString(", ")})")
+      // sanity: every gate did real work and the pipe ends at 5 langs
+      require(s6.count() == 5, "mixture must end at 5 language rows")
+      val rows = stages.map(_._2)
+      require(rows.sliding(2).forall(w => w(1) <= w(0)),
+        s"stages must be monotonically narrowing: $rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   /** End-to-end near-dup removal receipts (r4 verdict #1).
     *
     * Corpus shape: `clusters = n/15` three-doc near-dup clusters (copies
@@ -1927,6 +2102,12 @@ object Stress {
       .config("spark.sql.shuffle.partitions", 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (section == "pipeline") {
+      pipelineReceipt(spark, n)
+      spark.stop()
+      return
+    }
 
     if (section == "neardup") {
       nearDupReceipts(spark, n)

@@ -371,3 +371,175 @@ object PageRankKernel {
       "graft_page_rank_kernel", edges, iterations, dampingPerMille, scale)
   }
 }
+
+/** Fused synchronous-LPA kernel for
+  * [[graft.operators.Graph.labelPropagation]] (q189): `rounds` rounds of
+  * mode-of-neighbor-labels (ties → smallest label) over one bounded
+  * CANONICAL undirected edge array — the caller has already dropped
+  * self-loops and deduplicated unordered pairs, exactly the frame the
+  * distributed loop's bidirectional expansion reads. Per round, per
+  * node: gather neighbor labels (both directions), adopt the most
+  * frequent with ties to the smallest — bit-identical to the loop's
+  * (count desc, label asc) keep-first window — synchronously against
+  * the round-start labels. Nodes outside every edge keep their own
+  * label forever; the caller fills them in the final join.
+  *
+  * Returns array<struct<id bigint, label bigint>> for the edge
+  * endpoints, sorted by id.
+  */
+case class LabelPropKernel(edges: Expression, rounds: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(edges, rounds)
+  override def nullable: Boolean = true
+  override def prettyName: String = "label_prop_kernel"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("label", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val edgesOk = edges.dataType match {
+      case ArrayType(StructType(fs), _) =>
+        fs.length == 2 && fs.forall(_.dataType == LongType)
+      case _ => false
+    }
+    if (edgesOk && rounds.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "label_prop_kernel requires (array<struct<u bigint, v bigint>>, " +
+        s"int); got (${children.map(_.dataType.catalogString).mkString(", ")})")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LabelPropKernel =
+    copy(edges = newChildren(0), rounds = newChildren(1))
+
+  override def eval(input: InternalRow): Any = {
+    val e = edges.eval(input)
+    val r = rounds.eval(input)
+    if (e == null || r == null) null
+    else kernelBridge(e.asInstanceOf[ArrayData], r.asInstanceOf[Int])
+  }
+
+  /** Public so generated code can call it. */
+  def kernelBridge(e: ArrayData, r: Int): ArrayData =
+    LabelPropKernel.run(e, r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lpaKernel", this,
+      classOf[LabelPropKernel].getName)
+    val e = edges.genCode(ctx)
+    val r = rounds.genCode(ctx)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${e.code}
+      ${r.code}
+      boolean ${ev.isNull} = ${e.isNull} || ${r.isNull};
+      $ad ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $ref.kernelBridge(${e.value}, ${r.value});
+      }""")
+  }
+}
+
+object LabelPropKernel {
+
+  /** The fused rounds (see class scaladoc). Shared by eval/codegen. */
+  private[graft] def run(edgesArr: ArrayData, rounds: Int): ArrayData = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val nE = edgesArr.numElements()
+    val eu = new Array[Long](nE)
+    val ev = new Array[Long](nE)
+    var i = 0
+    while (i < nE) {
+      val r = edgesArr.getStruct(i, 2)
+      eu(i) = r.getLong(0); ev(i) = r.getLong(1)
+      i += 1
+    }
+    val ids = new Array[Long](2 * nE)
+    System.arraycopy(eu, 0, ids, 0, nE)
+    System.arraycopy(ev, 0, ids, nE, nE)
+    java.util.Arrays.sort(ids)
+    var nN = 0
+    i = 0
+    while (i < ids.length) {
+      if (nN == 0 || ids(i) != ids(nN - 1)) { ids(nN) = ids(i); nN += 1 }
+      i += 1
+    }
+    val dense = java.util.Arrays.copyOf(ids, nN)
+    // CSR adjacency over both directions
+    val deg = new Array[Int](nN)
+    val ui = new Array[Int](nE)
+    val vi = new Array[Int](nE)
+    i = 0
+    while (i < nE) {
+      ui(i) = java.util.Arrays.binarySearch(dense, eu(i))
+      vi(i) = java.util.Arrays.binarySearch(dense, ev(i))
+      deg(ui(i)) += 1; deg(vi(i)) += 1
+      i += 1
+    }
+    val off = new Array[Int](nN + 1)
+    i = 0
+    while (i < nN) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](2 * nE)
+    val fill = java.util.Arrays.copyOf(off, nN)
+    i = 0
+    while (i < nE) {
+      adj(fill(ui(i))) = vi(i); fill(ui(i)) += 1
+      adj(fill(vi(i))) = ui(i); fill(vi(i)) += 1
+      i += 1
+    }
+    var labels = dense.clone()
+    var next = new Array[Long](nN)
+    val scratch = new Array[Long](nN) // max degree <= nN - 1
+    var round = 0
+    while (round < rounds) {
+      var n = 0
+      while (n < nN) {
+        val s = off(n); val e2 = off(n + 1)
+        if (s == e2) next(n) = labels(n)
+        else {
+          var k = s
+          while (k < e2) { scratch(k - s) = labels(adj(k)); k += 1 }
+          val m = e2 - s
+          java.util.Arrays.sort(scratch, 0, m)
+          // longest run wins; ties -> smallest label (first run found,
+          // strict > keeps the earlier == smaller label on equal counts)
+          var best = scratch(0); var bestCnt = 0
+          var runStart = 0
+          var j = 1
+          while (j <= m) {
+            if (j == m || scratch(j) != scratch(runStart)) {
+              if (j - runStart > bestCnt) {
+                bestCnt = j - runStart; best = scratch(runStart)
+              }
+              runStart = j
+            }
+            j += 1
+          }
+          next(n) = best
+        }
+        n += 1
+      }
+      val tmp = labels; labels = next; next = tmp
+      round += 1
+    }
+    val out = new Array[Any](nN)
+    i = 0
+    while (i < nN) { out(i) = InternalRow(dense(i), labels(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column bridge (no params — one registry name). */
+  def expr(edges: Column, rounds: Column): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach {
+      _.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_label_prop_kernel",
+        exprs => LabelPropKernel(exprs(0), exprs(1)), "built-in")
+    }
+    org.apache.spark.sql.functions.call_function(
+      "graft_label_prop_kernel", edges, rounds)
+  }
+}

@@ -110,6 +110,83 @@ object Bm25 {
       .select(col("query_id"), col("doc_id"), col("rnk"), col("score_fp"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001)
+    * — the language-modeling ranker next to [[topK]]'s BM25: documents
+    * rank by log p(q|d) under p(t|d) = (tf + μ·cf_t/S) / (dl + μ). In
+    * the standard rank-equivalent decomposition, with every log the
+    * integer [[Log2Fixed]] kernel (so the whole ranking is
+    * oracle-replayable, q270):
+    *
+    *   score_fp(D,Q) = Σ_{t ∈ q∩d} [log2fp(μ·cf_t + tf·S) − log2fp(μ·cf_t)]
+    *                 + n_q · [log2fp(μ) − log2fp(dl + μ)]
+    *
+    * where S = total corpus tokens, cf_t = collection frequency, and
+    * n_q = the query's DISTINCT terms present in the corpus vocabulary
+    * (true QLM gives out-of-vocabulary terms probability 0 — every
+    * score −∞; dropping them is the standard convention). The dropped
+    * Σ_t log(μ·cf_t / S) is constant per query, so rankings are the
+    * textbook ones. Scores are negative-capable fixed-point logs —
+    * comparable within a query, not across queries.
+    *
+    * Unlike BM25's algebra the matched-term log argument depends on
+    * (tf, cf), so ONE log2fp runs per posting row — an O(1) compiled
+    * integer kernel, not a join. Envelope: μ·cf + tf·S must fit a long
+    * — at μ = 2000 that binds around S ≈ 10⁹ total tokens with tf ≤
+    * 10⁴ (the BM25 bound class); per-shard corpora beyond.
+    *
+    * Scale posture: [[topK]]'s exactly — term-set broadcast BEFORE the
+    * tf aggregation, 1-row stats broadcast, vocab-bounded cf/log
+    * frames broadcast, score groupBy keyed (query, doc), WindowGroupLimit
+    * top-k.
+    *
+    * @return (query_id, doc_id, rnk, score_fp); only docs sharing ≥ 1
+    *   term with the query appear (the BM25 support convention).
+    */
+  def dirichletTopK(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      queries: DataFrame, qidCol: Column, qtextCol: Column,
+      k: Int, mu: Long = 2000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(mu >= 1L, s"mu must be >= 1, got $mu")
+    val qterms = queryTerms(queries, qidCol, qtextCol)
+    val toks = docs.select(idCol.as("doc_id"),
+      TextFunctions.tokens(textCol).as("__toks"))
+    val termSet = qterms.select(col("term")).distinct()
+    // S is a CORPUS stat — computed before the query-term restriction
+    val stats = toks.agg(sum(size(col("__toks"))).cast("long").as("s_corpus"))
+    val d = toks.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+    val tf = d.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // cf over the restricted postings == corpus cf for those terms (the
+    // BM25 df argument); log2fp(μ·cf) once per term, vocab-bounded
+    val cfs = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      .select(col("term"), col("cf"),
+        Log2Fixed.expr(lit(mu) * col("cf")).as("__lgmc"))
+    // n_q = distinct query terms present in the corpus vocabulary
+    val nq = qterms.join(cfs.select(col("term")), Seq("term"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__nq"))
+    val matched = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(cfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c",
+        Log2Fixed.expr(lit(mu) * col("cf") + col("tf") * col("s_corpus")) -
+          col("__lgmc"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("__m"), first(col("dl")).as("dl"))
+    val scored = matched.join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("__m") + col("__nq") *
+          (Log2Fixed.expr(lit(mu)) - Log2Fixed.expr(col("dl") + mu)))
+          .as("score_fp"))
+    Ranking.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("score_fp").desc, col("doc_id").asc), k, rankCol = Some("rnk"))
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score_fp"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM3 family's
     * deterministic core): first-pass BM25 retrieves `feedbackN` docs per
     * query; the `expandTerms` most frequent terms WITHIN that feedback

@@ -71,6 +71,40 @@ object Divergence {
         .as("zipf_slope"))
   }
 
+  /** Distinct-n diversity per source — the repetition audit generated-
+    * data pipelines run before training on model output (Li et al. 2016's
+    * distinct-1/distinct-2): distinct n-grams over total n-grams, exact
+    * and micro-rounded. Low distinct-2 with healthy vocabulary flags a
+    * source that loops the same phrases — a failure [[zipfSlope]] and
+    * [[klBySource]] both miss (token MARGINALS can look natural while
+    * transitions collapse).
+    *
+    * Scale posture: one (source, gram) exchange for the distinct count —
+    * map-side combined on the count side; nothing else touches row-weight
+    * data. Sources with every doc shorter than n report 0 grams and a
+    * null ratio.
+    *
+    * @return (source, n, n_grams, n_distinct, distinct_ratio)
+    */
+  def ngramDiversity(df: DataFrame, sourceCol: Column, textCol: Column,
+      n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in 1..8, got $n")
+    val toks = graft.functions.TextFunctions.tokens(textCol)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(sourceCol.as("source"), explode_outer(grams).as("g"))
+      .groupBy(col("source"))
+      .agg(count(col("g")).as("n_grams"),
+        count_distinct(col("g")).as("n_distinct"))
+      .select(col("source"), lit(n).as("n"), col("n_grams"),
+        col("n_distinct"),
+        when(col("n_grams") > 0,
+          EvalMetrics.microRound6(col("n_distinct"), col("n_grams"))
+            .cast("double") / 1e6).as("distinct_ratio"))
+  }
+
   /** (source, n_tokens, n_vocab, kl_bits 6dp) per distinct value of
     * `sourceCol`. Overflow envelope: |Σ c_sw·Δlg| ≤ N_s·64·2²⁰ — exact in
     * long to N_s ≈ 1.3·10¹¹ tokens per source; shard beyond.

@@ -586,6 +586,38 @@ object EvalMetrics {
       .crossJoin(broadcast(chi2))
   }
 
+  /** Cramér's V — the EFFECT-SIZE companion to [[chiSquareIndependence]]
+    * (χ² says "is the association real?", V says "is it big enough to
+    * care?" on a scale-free [0, 1] axis — the number a feature audit
+    * actually thresholds on): V = sqrt(χ² / (N·min(R−1, C−1))). Computed
+    * from the chi-square per-cell frame, so the statistic inherits its
+    * summed-rounded-terms determinism; the final sqrt/divide are IEEE
+    * exactly-rounded doubles (bit-identical across engines — the
+    * trainIvfFixedPoint normalization argument). One summary row:
+    * (n, r_cats, c_cats, chi2, dof, v2, v). Null V for a 1×C or R×1
+    * table (min(R−1, C−1) = 0 — no association axis to measure).
+    *
+    * Scale posture: one pass over the cell-bounded chi-square frame on
+    * top of chiSquareIndependence's own; nothing new touches row-weight
+    * data.
+    */
+  def cramersV(df: DataFrame, xCol: Column, yCol: Column,
+      maxCells: Long = 1L << 20): DataFrame = {
+    val cells = chiSquareIndependence(df, xCol, yCol, maxCells)
+    cells.agg(
+        sum(col("n_obs")).as("n"),
+        countDistinct(col("x")).as("r_cats"),
+        countDistinct(col("y")).as("c_cats"),
+        max(col("chi2")).as("chi2"), max(col("dof")).as("dof"))
+      .select(col("n"), col("r_cats"), col("c_cats"), col("chi2"),
+        col("dof"),
+        when(least(col("r_cats"), col("c_cats")) > 1,
+          col("chi2") / (col("n") *
+            (least(col("r_cats"), col("c_cats")) - 1)).cast("double"))
+          .as("v2"))
+      .withColumn("v", sqrt(col("v2")))
+  }
+
   /** Isotonic (monotone non-decreasing) calibration curve over score
     * bins — the remedy for what [[calibrationBins]] diagnoses: the ECE
     * table says WHERE the classifier is miscalibrated, the isotonic fit

@@ -147,6 +147,11 @@ object Graph {
     // FULL outdegree exactly like the loop's degree frame; nodes outside
     // every kept edge receive nothing, so they are constant `base` after
     // round 1 and the final left join fills them.
+    // NOTE the probe re-executes the edge subtree once — callers whose
+    // edge build is expensive relative to its output (textRank's corpus
+    // tokenize collapsing to a vocabulary-bounded pair frame) should
+    // hand in a materialized edge frame; callers that KNOW the graph is
+    // large should pass compactEdgeLimit = 0.
     if (compactEdgeLimit > 0) {
       val ids = nodes.select(idCol.cast("long").as("id"))
       val eContrib = e
@@ -237,12 +242,18 @@ object Graph {
       Seq(struct(col("__w").as("a"), col(s"__n$d").as("b")),
         struct(col(s"__n$d").as("a"), col("__w").as("b")))
     }
+    // checkpointed: the edge frame is vocabulary²-bounded (collapsed
+    // BEFORE iteration) but its upstream is the corpus-sized tokenize +
+    // doc-keyed windows — pageRankWeighted consumes edges twice (the
+    // compact-gate probe + the degree/collect pass), and without the
+    // barrier each consumer re-runs the whole co-occurrence build
     val edges = withNext
       .select(explode(array(pairCells: _*)).as("__p"))
       .filter(col("__p.a").isNotNull && col("__p.b").isNotNull &&
         col("__p.a") =!= col("__p.b"))
       .select(h(col("__p.a")).as("src"), h(col("__p.b")).as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val dict = toks.select(col("__w").as("token")).distinct()
       .select(col("token"), h(col("token")).as("id"))
       .localCheckpoint() // nodes, edge build upstream, and the final join
@@ -527,9 +538,33 @@ object Graph {
   def labelPropagation(
       nodes: DataFrame, idCol: Column,
       edges: DataFrame, srcCol: Column, dstCol: Column,
-      rounds: Int): DataFrame = {
+      rounds: Int, compactEdgeLimit: Long = 4000000L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     import org.apache.spark.sql.expressions.Window
+    // Plan gate (the hits()/pageRankWeighted() discipline): small graphs
+    // run every round in the compiled LabelPropKernel. An edge with
+    // EITHER endpoint outside the node list contributes nothing to any
+    // known node in the loop (its label row never joins / its adopted
+    // row is dropped), so the kernel reads the endpoint-semi-joined
+    // canonical edge set; nodes outside every kept edge keep their own
+    // label via the final coalesce.
+    if (compactEdgeLimit > 0) {
+      val ids = nodes.select(idCol.cast("long").as("id"))
+      val eKnown = canonicalUndirected(edges, srcCol, dstCol)
+        .join(ids.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(ids.select(col("id").as("v")), Seq("v"), "left_semi")
+      val probeN = math.min(compactEdgeLimit + 1, Int.MaxValue.toLong).toInt
+      if (eKnown.limit(probeN).count() <= compactEdgeLimit) {
+        val unit = eKnown.agg(
+          collect_list(struct(col("u"), col("v"))).as("__e"))
+        val lab = unit.select(explode(
+            graft.functions.LabelPropKernel.expr(col("__e"), lit(rounds)))
+            .as("__s"))
+          .select(col("__s.id").as("id"), col("__s.label").as("__lab"))
+        return ids.join(lab, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__lab"), col("id")).as("label"))
+      }
+    }
     val canon = canonicalUndirected(edges, srcCol, dstCol).persist()
     val bidir = canon.select(col("u").as("n"), col("v").as("nb"))
       .unionAll(canon.select(col("v").as("n"), col("u").as("nb")))

@@ -29,7 +29,7 @@ object CurationQueries {
     * would generate a DESCENDING [0, -1] — two phantom empty lines the
     * DuckDB oracle's range(0, 0) = [] does not have.
     */
-  private[queries] def tokenChunkLines(text: Column, w: Int): Column =
+  private[graft] def tokenChunkLines(text: Column, w: Int): Column =
     // bind the token array once — referenced from the count AND from the
     // per-line slice lambda, an unbound `toks` re-tokenizes the document
     // once per output line (interpreted HOFs get no subexpr elimination)
@@ -203,6 +203,21 @@ object CurationQueries {
         (3L, "customer value filter")).toDF("query_id", "qtext")
       Bm25.topK(docs(s, dir), col("doc_id"), col("text"),
         qs, col("query_id"), col("qtext"), k = 10)
+    }),
+
+    // Dirichlet-smoothed query-likelihood retrieval over the same three
+    // queries as q125 — the LANGUAGE-MODELING ranker next to BM25 (the
+    // two disagree exactly where smoothing matters: long docs, rare
+    // terms); every log is the fixed-point kernel so the full ranking
+    // replays in SQL.
+    "q270_dirichlet_qlm" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "spark join merge"),
+        (2L, "window batch stream"),
+        (3L, "customer value filter")).toDF("query_id", "qtext")
+      Bm25.dirichletTopK(docs(s, dir), col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 10, mu = 2000L)
     }),
 
     // Soft dedup (down-weighting): the corpus plus one accent-mutated copy
@@ -675,6 +690,47 @@ object CurationQueries {
            (2, 'window'), (2, 'batch'), (2, 'stream'),
            (3, 'customer'), (3, 'value'), (3, 'filter')""")}
          SELECT query_id, doc_id, rnk, score_fp FROM r WHERE rnk <= 10""",
+
+    "q270_dirichlet_qlm" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         dd AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'join'), (1, 'merge'),
+           (2, 'window'), (2, 'batch'), (2, 'stream'),
+           (3, 'customer'), (3, 'value'), (3, 'filter')),
+         tfq AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+           FROM dd WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+         st AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS s FROM t),
+         cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+           FROM tfq GROUP BY 1),
+         ${Log2Fixed.lutCteSql},
+         ${log2fpStages("cfs", "term", "2000 * cf", "lgmc", "mc")},
+         mt AS (SELECT tfq.doc_id, tfq.term,
+             2000 * cfs.cf + tfq.tf * st.s AS arg
+           FROM tfq JOIN cfs USING (term) CROSS JOIN st),
+         ${log2fpStages("mt", "doc_id, term", "arg", "lgnum", "nm")},
+         dls AS (SELECT doc_id, MIN(dl) AS dl FROM tfq GROUP BY 1),
+         ${log2fpStages("dls", "doc_id", "dl + 2000", "lgdl", "dp")},
+         muc AS (SELECT 1 AS one),
+         ${log2fpStages("muc", "one", "2000", "lgmu", "mm")},
+         nqs AS (SELECT query_id, COUNT(*) AS nq FROM q
+           WHERE term IN (SELECT term FROM cfs) GROUP BY 1),
+         m AS (SELECT q.query_id, nml.doc_id,
+             SUM(nml.lgnum - mcl.lgmc) AS msum
+           FROM nml JOIN q ON nml.term = q.term
+           JOIN mcl ON mcl.term = nml.term
+           GROUP BY 1, 2),
+         sc AS (SELECT m.query_id, m.doc_id,
+             m.msum + nqs.nq * ((SELECT lgmu FROM mml) - dpl.lgdl)
+               AS score_fp
+           FROM m JOIN nqs USING (query_id)
+           JOIN dpl ON dpl.doc_id = m.doc_id),
+         r AS (SELECT query_id, doc_id, score_fp,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score_fp DESC, doc_id) AS rnk
+           FROM sc)
+         SELECT query_id, doc_id, rnk, CAST(score_fp AS BIGINT) AS score_fp
+         FROM r WHERE rnk <= 10""",
 
     "q138_soft_dedup" ->
       """WITH all_docs AS (

@@ -167,30 +167,26 @@ object MiningQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Zipf-slope corpus audit: OLS fit of log2(freq) on log2(rank) over
-    // each source's top-100 terms — natural prose sits near slope −1
-    // (Zipf's law); templated/spammy corpora flatten or steepen, so the
-    // slope is the one-number "does this source look like language?"
-    // screen next to q164's entropy and q113's Gopher rules. Both axes
-    // are the fixed-point log2 kernel (2^20 units cancel in the slope),
-    // the fit is q265's exact-integer OLS; rank is bounded (top-100 per
-    // source via a source-partitioned window), so every frame after the
-    // term count is sources×100 rows.
-    "q231_zipf_slope" -> ((s, dir) => {
-      val terms = docs(s, dir)
-        .select(col("source"),
-          explode(graft.functions.TextFunctions.tokens(col("text")))
-            .as("term"))
-        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
-      val top = graft.operators.Ranking.topKPerGroup(terms,
-        Seq(col("source")), Seq(col("n").desc, col("term").asc), 100,
-        rankCol = Some("rnk"))
-      val pts = top.select(col("source"),
-        Log2Fixed.expr(col("rnk").cast("long")).as("x"),
-        Log2Fixed.expr(col("n")).as("y"))
-      TableOps.linearFit(pts, Seq(col("source")), col("x"), col("y"))
-        .select(col("g0").as("source"), col("n"), col("slope"),
-          col("intercept"), col("r2"))
+    // Cramér's V between a document's language and its source — the
+    // effect-size leg the chi-square family was missing (q259 gates "is
+    // the association real?"; this publishes "how big is it?" on the
+    // scale-free [0, 1] axis a feature audit thresholds): V =
+    // sqrt(chi2 / (N·min(R−1, C−1))) from the same summed-rounded-terms
+    // chi-square, final sqrt/divide in IEEE exactly-rounded doubles.
+    "q231_cramers_v" -> ((s, dir) =>
+      graft.operators.EvalMetrics.cramersV(docs(s, dir),
+        col("lang"), col("source"))),
+
+    // Distinct-1/distinct-2 diversity per source — the generated-data
+    // repetition audit (Li et al. 2016): distinct n-grams over total
+    // n-grams, exact micro-rounded ratios. Catches phrase-looping
+    // sources whose token marginals still look natural (q223's Zipf and
+    // q219's KL both read marginals only).
+    "q271_ngram_diversity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Divergence.ngramDiversity(d, col("source"), col("text"), 1)
+        .unionByName(
+          Divergence.ngramDiversity(d, col("source"), col("text"), 2))
     }),
 
     // Exact vocabulary-overlap matrix between the 5 language slices:
@@ -468,44 +464,71 @@ object MiningQueries {
 
   val oracles: Map[String, String] = Map(
 
-    "q231_zipf_slope" ->
+    "q231_cramers_v" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, COUNT(*) AS n_obs
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (SELECT x, SUM(n_obs) AS rx FROM cells GROUP BY 1),
+         cc AS (SELECT y, SUM(n_obs) AS cy FROM cells GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_obs) AS HUGEINT) AS nn FROM cells),
+         sz AS (SELECT (SELECT COUNT(*) FROM r) AS nr,
+             (SELECT COUNT(*) FROM cc) AS ncc),
+         f AS (SELECT r.x, cc.y, rx, cy, COALESCE(n_obs, 0) AS n_obs
+           FROM r CROSS JOIN cc
+           LEFT JOIN cells ON cells.x = r.x AND cells.y = cc.y),
+         terms AS (SELECT x, y,
+             CAST((2 * ((nn * n_obs - CAST(rx AS HUGEINT) * cy) *
+                 (nn * n_obs - CAST(rx AS HUGEINT) * cy)) * 1000000 +
+                 nn * rx * cy) // (2 * nn * rx * cy) AS BIGINT) AS tm
+           FROM f, t),
+         agg AS (SELECT
+             (SELECT CAST(nn AS BIGINT) FROM t) AS n,
+             (SELECT CAST(nr AS BIGINT) FROM sz) AS r_cats,
+             (SELECT CAST(ncc AS BIGINT) FROM sz) AS c_cats,
+             (SELECT CAST(SUM(tm) AS BIGINT) FROM terms) / 1000000.0 AS chi2,
+             (SELECT CAST((nr - 1) * (ncc - 1) AS BIGINT) FROM sz) AS dof)
+         SELECT n, r_cats, c_cats, chi2, dof,
+           CASE WHEN LEAST(r_cats, c_cats) > 1 THEN
+             chi2 / CAST(n * (LEAST(r_cats, c_cats) - 1) AS DOUBLE) END AS v2,
+           CASE WHEN LEAST(r_cats, c_cats) > 1 THEN
+             SQRT(chi2 / CAST(n * (LEAST(r_cats, c_cats) - 1) AS DOUBLE)) END
+             AS v
+         FROM agg""",
+
+    "q271_ngram_diversity" ->
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
-         tw AS (SELECT source, unnest(toks) AS term FROM t),
-         cnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
-           FROM tw GROUP BY 1, 2),
-         top AS (SELECT source, term, n,
-             CAST(ROW_NUMBER() OVER (PARTITION BY source
-               ORDER BY n DESC, term ASC) AS BIGINT) AS rnk
-           FROM cnt QUALIFY rnk <= 100),
-         ${Log2Fixed.lutCteSql},
-         ${log2fpStages("top", "source, term", "rnk", "x", "px")},
-         ${log2fpStages("top", "source, term", "n", "y", "py")},
-         pts AS (SELECT pxl.source, pxl.x, pyl.y
-           FROM pxl JOIN pyl ON pxl.source = pyl.source
-             AND pxl.term = pyl.term),
-         a AS (SELECT source, COUNT(*) AS n,
-             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
-             SUM(CAST(x AS HUGEINT) * x) AS sxx,
-             SUM(CAST(y AS HUGEINT) * y) AS syy,
-             SUM(CAST(x AS HUGEINT) * y) AS sxy
-           FROM pts GROUP BY 1),
-         f AS (SELECT source, n, n * sxy - sx * sy AS cov,
-             n * sxx - sx * sx AS varx, n * syy - sy * sy AS vary_,
-             sy * sxx - sx * sxy AS inum
-           FROM a)
-         SELECT source, CAST(n AS BIGINT) AS n,
-           CASE WHEN varx > 0 THEN
-             CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END) *
-               ((2 * ABS(cov) * 1000000 + varx) // (2 * varx)) AS BIGINT)
-               / 1000000.0 END AS slope,
-           CASE WHEN varx > 0 THEN
-             CAST((CASE WHEN inum < 0 THEN -1 ELSE 1 END) *
-               ((2 * ABS(inum) * 1000000 + varx) // (2 * varx)) AS BIGINT)
-               / 1000000.0 END AS intercept,
-           CASE WHEN varx > 0 AND vary_ > 0 THEN
-             CAST((2 * cov * cov * 1000000 + varx * vary_)
-               // (2 * varx * vary_) AS BIGINT) / 1000000.0 END AS r2
-         FROM f""",
+         g1 AS (SELECT source, unnest(list_transform(range(1, len(toks) + 1),
+             i -> toks[i])) AS g
+           FROM t WHERE len(toks) >= 1),
+         a1 AS (SELECT t.source,
+             COALESCE(c.n_grams, 0) AS n_grams,
+             COALESCE(c.n_distinct, 0) AS n_distinct
+           FROM (SELECT DISTINCT source FROM t) t
+           LEFT JOIN (SELECT source, COUNT(*) AS n_grams,
+               COUNT(DISTINCT g) AS n_distinct FROM g1 GROUP BY 1) c
+             USING (source)),
+         g2 AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS g
+           FROM t WHERE len(toks) >= 2),
+         a2 AS (SELECT t.source,
+             COALESCE(c.n_grams, 0) AS n_grams,
+             COALESCE(c.n_distinct, 0) AS n_distinct
+           FROM (SELECT DISTINCT source FROM t) t
+           LEFT JOIN (SELECT source, COUNT(*) AS n_grams,
+               COUNT(DISTINCT g) AS n_distinct FROM g2 GROUP BY 1) c
+             USING (source)),
+         u AS (SELECT source, CAST(1 AS INT) AS n, n_grams, n_distinct
+             FROM a1
+           UNION ALL
+           SELECT source, CAST(2 AS INT) AS n, n_grams, n_distinct FROM a2)
+         SELECT source, n, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CASE WHEN n_grams > 0 THEN
+             CAST((2 * CAST(n_distinct AS HUGEINT) * 1000000 + n_grams)
+               // (2 * CAST(n_grams AS HUGEINT)) AS BIGINT) / 1000000.0
+           END AS distinct_ratio
+         FROM u""",
 
     "q232_vocab_overlap" ->
       s"""WITH inc AS (SELECT DISTINCT lang AS source, unnest($toksSql) AS tok

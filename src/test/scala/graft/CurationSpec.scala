@@ -131,6 +131,34 @@ class CurationSpec extends AnyFunSuite {
     assert(contrib(2, 3) > contrib(1, 2)) // higher tf ranks first here
   }
 
+  test("Bm25.dirichletTopK matches a hand-computed fixed-point QLM " +
+      "score; OOV query terms drop from n_q") {
+    val docs = Seq(
+      (10L, "apple banana apple"),        // tf(apple)=2, dl=3
+      (11L, "apple cherry"),              // tf(apple)=1, dl=2
+      (12L, "durian elderberry fig")      // no query terms
+    ).toDF("doc_id", "text")
+    // query 2 carries an out-of-vocabulary term: it must not change n_q
+    val qs = Seq((1L, "apple"), (2L, "apple zzzz")).toDF("query_id", "qtext")
+    val rows = Bm25.dirichletTopK(docs, col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 10, mu = 20L)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Int]("rnk"), r.getAs[Long]("score_fp"))).toMap
+    // support: only docs containing 'apple'; S=8, cf(apple)=3
+    assert(rows.keySet == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+    def l(x: Long) = Log2Fixed(x)
+    def score(tf: Long, dl: Long): Long =
+      (l(20L * 3 + tf * 8) - l(60L)) + 1L * (l(20L) - l(dl + 20L))
+    assert(rows((1L, 10L))._2 == score(2, 3))
+    assert(rows((1L, 11L))._2 == score(1, 2))
+    // the OOV term contributes nothing: query 2 scores == query 1 scores
+    assert(rows((2L, 10L)) == rows((1L, 10L)))
+    assert(rows((2L, 11L)) == rows((1L, 11L)))
+    // higher tf outranks despite the longer doc at this mu
+    assert(rows((1L, 10L))._1 == 1 && rows((1L, 11L))._1 == 2)
+  }
+
   test("topKExpanded: feedback terms retrieve docs the raw query misses") {
     // doc 1 matches the query and carries the bridge term; doc 2 shares
     // ONLY the bridge term — unreachable without expansion. Docs 3-4 are

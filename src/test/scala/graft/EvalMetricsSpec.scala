@@ -411,6 +411,25 @@ class EvalMetricsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("maxCells")))
   }
 
+  test("cramersV: perfect association -> 1, independence -> 0, " +
+      "degenerate 1-column table -> null") {
+    // perfect 2x2: x fully determines y -> chi2 = N, V = 1
+    val perfect = (Seq.fill(40)(("a", 1L)) ++ Seq.fill(60)(("b", 2L)))
+      .toDF("x", "y")
+    val p = EvalMetrics.cramersV(perfect, col("x"), col("y")).collect().head
+    assert(p.getAs[Long]("n") == 100L && p.getAs[Long]("dof") == 1L)
+    assert(p.getAs[Double]("v") == 1.0)
+    // exactly proportional rows -> every term 0 -> V = 0
+    val indep = (Seq.fill(20)(("a", 1L)) ++ Seq.fill(20)(("a", 2L)) ++
+      Seq.fill(30)(("b", 1L)) ++ Seq.fill(30)(("b", 2L))).toDF("x", "y")
+    val i = EvalMetrics.cramersV(indep, col("x"), col("y")).collect().head
+    assert(i.getAs[Double]("v") == 0.0)
+    // single y category: min(R-1, C-1) = 0 -> null V, never a divide
+    val one = Seq(("a", 1L), ("b", 1L)).toDF("x", "y")
+    val o = EvalMetrics.cramersV(one, col("x"), col("y")).collect().head
+    assert(o.isNullAt(o.fieldIndex("v2")) && o.isNullAt(o.fieldIndex("v")))
+  }
+
   // ------------------------------------------- isotonic calibration
 
   /** Driver-side PAV (pool adjacent violators) on micro-quantized bin

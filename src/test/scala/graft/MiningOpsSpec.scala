@@ -201,6 +201,36 @@ class MiningOpsSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- vocabOverlap
 
+  test("ngramDiversity: looping source scores low distinct-2 while its " +
+      "distinct-1 stays healthy; short docs yield 0 grams, null ratio") {
+    val df = Seq(
+      // 'loop' repeats one bigram transition over a healthy vocabulary
+      ("loop", "a b a b a b a b"),
+      ("loop", "b a b a b a"),
+      // 'fresh' has all-distinct bigrams
+      ("fresh", "a b c d e f g h"),
+      // 'tiny' docs are all shorter than 2 tokens
+      ("tiny", "x"), ("tiny", "")).toDF("source", "text")
+    val d1 = Divergence.ngramDiversity(df, col("source"), col("text"), 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"))).toMap
+    assert(d1("loop") == ((14L, 2L)) && d1("fresh") == ((8L, 8L)))
+    assert(d1("tiny") == ((1L, 1L)))
+    val d2 = Divergence.ngramDiversity(df, col("source"), col("text"), 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"),
+          Option(r.getAs[Any]("distinct_ratio")))).toMap
+    // loop: 7 + 5 = 12 bigrams, only {a b, b a} distinct
+    assert(d2("loop")._1 == 12L && d2("loop")._2 == 2L)
+    assert(d2("fresh")._1 == 7L && d2("fresh")._2 == 7L)
+    // every tiny doc is shorter than the gram: zero grams, NULL ratio
+    assert(d2("tiny") == ((0L, 0L, None)))
+    // the audit's point: loop's bigram ratio collapses (2/12) while
+    // fresh stays 1.0 on both axes
+    assert(d2("fresh")._3.contains(1.0))
+    assert(d2("loop")._3.get.asInstanceOf[Double] < 0.2)
+  }
+
   test("vocabOverlap: exact Jaccard over distinct-token supports, empty pairs kept") {
     val df = Seq(
       ("s1", "red green blue"),

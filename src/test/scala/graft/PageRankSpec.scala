@@ -143,6 +143,22 @@ class PageRankSpec extends AnyFunSuite {
     assert(r(1L) == 2L && r(3L) == 2L)
   }
 
+  test("labelPropagation compact kernel is bit-identical to the " +
+      "distributed loop, unknown endpoints and isolates included") {
+    val rnd = new scala.util.Random(11)
+    val nodes = (0L to 40L) :+ 77L // 77 isolated
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(45).toLong, rnd.nextInt(45).toLong)) // ids 41-44 unknown
+    (1 to 3).foreach { it =>
+      def run(limit: Long): Map[Long, Long] =
+        Graph.labelPropagation(nodes.toDF("id"), col("id"),
+            edges.toDF("src", "dst"), col("src"), col("dst"), it,
+            compactEdgeLimit = limit)
+          .as[(Long, Long)].collect().toMap
+      assert(run(4000000L) == run(0L), s"rounds $it")
+    }
+  }
+
   // ---- triangle counting ----------------------------------------------------
 
   private def triCounts(edges: Seq[(Long, Long)]): Map[Long, Long] =

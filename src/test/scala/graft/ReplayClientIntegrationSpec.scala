@@ -25,6 +25,14 @@ object ReplayClientIntegrationSpec {
   val httpLog = new ConcurrentLinkedQueue[(String, String, String)]
   val modelLog = new ConcurrentLinkedQueue[(String, Int)]
   val kbLog = new ConcurrentLinkedQueue[Seq[(String, String)]]
+  val kbStreamLog = new ConcurrentLinkedQueue[Seq[(String, String)]]
+
+  class StreamRecordingKb extends Sinks.KbClient {
+    def createByText(batch: Seq[(String, String)]): Seq[String] = {
+      kbStreamLog.add(batch)
+      batch.map(b => s"id-${b._1}")
+    }
+  }
 
   /** Canned per-(provider, query) bodies; (jina, q_fail) throws. */
   class ReplayHttp extends Fetch.HttpClient {
@@ -217,5 +225,52 @@ class ReplayClientIntegrationSpec extends AnyFunSuite {
     assert(batches2.length ==
       perPart.map(n => (n + 9) / 10).sum.toInt)
     assert(batches2.flatten.sorted == docs.toSeq.sorted)
+  }
+
+  test("S7 stream -> normalize -> admission -> KB: the composed §3.2 " +
+      "orchestration under a 3-batch replay, request sequence and batch " +
+      "boundaries pinned") {
+    kbStreamLog.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("s7_kb_ckpt").toString
+    // TWO identical paged sources unioned: every record is delivered
+    // twice per trigger, so the admission stage has real work — only the
+    // first copy may reach the KB. 9 pages at pagespertrigger=3 ==
+    // exactly 3 data micro-batches of 3 pages x 4 records.
+    def paged() = spark.readStream.format("graft-paged")
+      .option("pages", "9").option("pagesize", "4")
+      .option("pagespertrigger", "3").load()
+    val normalized = paged().unionByName(paged())
+      .select(col("credit_code").as("name"),
+        concat_ws(" | ", col("name"), col("institution_type"),
+          col("region_code")).as("text"))
+      .dropDuplicates("name") // stateful admission across ALL batches
+    val kb = new StreamRecordingKb
+    val q = normalized.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // coalesce(1): one task -> deterministic 5/5/2 batch boundaries
+        Sinks.writeToKb(df.coalesce(1), "name", "text", kb, batchSize = 5)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length == 3, "expected exactly 3 data micro-batches")
+    // double delivery reached the stream (24 rows/trigger), admission
+    // halved it (12 new records per trigger)
+    assert(dataBatches.forall(_.numInputRows == 24))
+
+    val batches = kbStreamLog.toArray(Array.empty[Seq[(String, String)]]).toSeq
+    // request sequence: per micro-batch 12 admitted rows split 5/5/2, in
+    // trigger order (foreachBatch runs sequentially)
+    assert(batches.map(_.length) == Seq(5, 5, 2, 5, 5, 2, 5, 5, 2))
+    // every record admitted EXACTLY once across the whole run, and the
+    // KB saw all 36 distinct institutions
+    val names = batches.flatten.map(_._1)
+    assert(names.distinct.length == names.length)
+    assert(names.toSet == (0 until 36).map(id => f"91${id}%016d").toSet)
+    // the normalized text rode through: name | type | region
+    val sample = batches.flatten.find(_._1 == f"91${0}%016d").get
+    assert(sample._2 == "托育机构_0 | 营利性 | 140000000000")
   }
 }
