@@ -704,4 +704,190 @@ object EvalMetrics {
         gap.as("gap_num"))
       .crossJoin(broadcast(total))
   }
+
+  /** One-way ANOVA F per group — the PARAMETRIC k-arm companion of
+    * [[kruskalWallis]] (that one asks "did any arm's distribution
+    * shift?" on ranks; this one asks it on means, and its effect size
+    * η² = SSB/SST says how much of the variance the arm explains).
+    * Sufficient statistics only: per-arm (n_j, S_j = Σx) plus the group
+    * Σx², all exact integers, widened to DECIMAL(38,0) BEFORE any
+    * multiply (the q186 discipline). Each between-arm term S_j²/n_j is
+    * micro-rounded before the sum (the chi-square convention), so
+    * SSB = Σ_j μ(S_j²/n_j) − μ(T²/N) and SSW = 1e6·Q − Σ_j μ(S_j²/n_j)
+    * are micro-integer exact; the micro factors cancel inside
+    * F = (SSB/(k−1))/(SSW/(N−k)), leaving one displayed micro-rounding.
+    * dof1/dof2 ride along for the reader's F lookup (variable dof — no
+    * baked critical value, the [[chiSquareIndependence]] precedent).
+    * Null f when k < 2, N ≤ k, or SSW ≤ 0 (all arms constant); null
+    * eta2 when SST ≤ 0. Null-value/arm rows are excluded from the test.
+    *
+    * Scale posture: ONE (group, arm) sum/count aggregation over the
+    * input (map-side combined — the only row-weight exchange), then
+    * arm-bounded aggregates. Envelope: S_j² ≤ (N·maxAbs)² must clear
+    * DECIMAL(38,0) through microRound6's ×2e6 — cent-scale values hold
+    * to ~10⁹ rows per group with |x| ≤ 10⁷; overflows are loud
+    * (ANSI / HUGEINT).
+    *
+    * @return (g…, n, k_arms, ss_between_micro, ss_within_micro, f,
+    *         eta2, dof1, dof2) — the SS columns are exact micro-unit
+    *         integers rendered as strings (they exceed 2^53 on corpus-
+    *         scale cents, where a double display would stop being
+    *         value-exact)
+    */
+  def anovaF(df: DataFrame, groupCols: Seq[Column], armCol: Column,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "anovaF needs >= 1 group column (see mannWhitneyU)")
+    val reserved = Seq("n", "k_arms", "ss_between_micro",
+      "ss_within_micro", "f", "eta2", "dof1", "dof2")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    val v = valueCol.cast("long")
+    val arms = df.filter(valueCol.isNotNull && armCol.isNotNull)
+      .groupBy((groupCols :+ armCol.as("__arm")): _*)
+      .agg(count(lit(1)).as("__nj"), sum(dec(v)).as("__sj"),
+        sum(dec(v) * dec(v)).as("__qj"))
+      .withColumn("__mj",
+        microRound6(col("__sj") * col("__sj"), dec(col("__nj"))))
+    val g = arms.groupBy(groupCols: _*)
+      .agg(sum(col("__nj")).as("n"), count(lit(1)).as("k_arms"),
+        sum(dec(col("__sj"))).as("__t"), sum(col("__qj")).as("__q"),
+        sum(dec(col("__mj"))).as("__sm"))
+    val n = col("n"); val k = col("k_arms")
+    val parent = microRound6(col("__t") * col("__t"), dec(n))
+    val ssb = col("__sm") - dec(parent)                 // micro units
+    val ssw = col("__q") * 1000000L - col("__sm")       // micro units
+    val sst = col("__q") * 1000000L - dec(parent)       // micro units
+    val fDefined = k >= 2 && n > k && ssw > 0
+    // the raw sums of squares can exceed 2^53 micro-units on corpus-
+    // scale inputs, where a double cast stops being value-exact — the
+    // micro integers render as strings (the q186 moment-stats
+    // convention); the reader divides by 1e6
+    g.select((groupCols ++ Seq(n, k,
+      ssb.cast("string").as("ss_between_micro"),
+      ssw.cast("string").as("ss_within_micro"),
+      when(fDefined,
+        asRatio(microRound6(ssb * dec(n - k), ssw * dec(k - 1)))).as("f"),
+      when(sst > 0, asRatio(microRound6(ssb, sst))).as("eta2"),
+      (k - 1).cast("long").as("dof1"),
+      (n - k).cast("long").as("dof2"))): _*)
+  }
+
+  /** McNemar's test per group — the PAIRED companion of [[cohenKappa]]:
+    * kappa says whether two binary raters agree; McNemar says whether
+    * they DISAGREE asymMETRICALLY (rater B keeps documents rater A
+    * drops more often than the reverse — a systematic bias, not noise).
+    * Only the discordant counts carry signal: with b = #(a=0, b=1) and
+    * c = #(a=1, b=0), the continuity-corrected statistic is
+    * (|b−c|−1)²/(b+c), exact integer end to end (the correction is
+    * clamped at 0 so b = c reads as exactly no evidence, not the
+    * spurious 1/(b+c) the raw Edwards form emits). `significant`
+    * compares the unrounded rational to chi-square(1) 3.841459 in
+    * cross-multiplied integers, the [[mannWhitneyU]] convention. Null
+    * chi2 when b + c = 0 (no disagreements — nothing to test).
+    * Null-rater rows are excluded.
+    *
+    * Scale posture: ONE aggregation pass over the input per group —
+    * four conditional sums, map-side combined; nothing after exceeds
+    * the group count. Envelope: (|b−c|−1)²·2e6 ≤ 2e6·N² holds
+    * DECIMAL(38,0)-exact to ~10¹⁵ rows — unreachable.
+    *
+    * @return (g…, n, n00, n11, b01, c10, chi2, significant)
+    */
+  def mcnemar(df: DataFrame, groupCols: Seq[Column], aCol: Column,
+      bCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "mcnemar needs >= 1 group column (see mannWhitneyU)")
+    val reserved = Seq("n", "n00", "n11", "b01", "c10", "chi2", "significant")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    val a = aCol.cast("long"); val b = bCol.cast("long")
+    val g = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum((lit(1L) - a) * (lit(1L) - b)).as("n00"),
+        sum(a * b).as("n11"),
+        sum((lit(1L) - a) * b).as("b01"),
+        sum(a * (lit(1L) - b)).as("c10"))
+    val d = abs(col("b01") - col("c10"))
+    val num = dec(greatest(d - 1, lit(0L)))
+    val den = dec(col("b01") + col("c10"))
+    g.select((groupCols ++ Seq(col("n"), col("n00"), col("n11"),
+      col("b01"), col("c10"),
+      when(den > 0, asRatio(microRound6(num * num, den))).as("chi2"),
+      when(den > 0,
+        when(num * num * 1000000L > den * 3841459L, 1).otherwise(0))
+        .as("significant"))): _*)
+  }
+
+  /** Wilcoxon signed-rank test per group — the PAIRED nonparametric
+    * companion of [[mannWhitneyU]] (MW compares two independent arms;
+    * this one gates a within-subject before/after difference without
+    * assuming normality). Zero differences are discarded (the standard
+    * convention), |d| is ranked tie-averaged with the integral 2·rank
+    * trick (2·avgRank = 2·cum0 + t + 1), and W⁺ = Σ ranks of positive
+    * differences stays exact as the integral 2W⁺. The squared normal
+    * approximation clears the square root exactly:
+    * z² = 3·(4W⁺ − n(n+1))² / (2n(n+1)(2n+1) − Σ(t³−t)) — every
+    * factor an integer, NO truncating division anywhere (cleaner than
+    * MW's variance reduction). `significant` compares the unrounded
+    * rational to chi-square(1) 3.841459 in cross-multiplied integers.
+    * Null z² when no nonzero pairs or all |d| tie into zero variance.
+    *
+    * Scale posture: one (group, |d|) count aggregation (map-side
+    * combined) then a group-keyed running-sum window over DISTINCT
+    * |d| values — the [[mannWhitneyU]] shape on the difference column.
+    * Envelope: 12·(2W⁺ − μ)² ≤ 12·n⁴ holds DECIMAL(38,0)-exact to
+    * ~10⁸ nonzero pairs per group; the displayed `tie_cubes` long
+    * binds when one |d| ties ~2.1·10⁶ times. Loud past either
+    * (ANSI / HUGEINT) — subsample beyond.
+    *
+    * @return (g…, n_pairs, n_pos, n_neg, w_pos, tie_cubes, z2,
+    *         significant)
+    */
+  def wilcoxonSignedRank(df: DataFrame, groupCols: Seq[Column],
+      xCol: Column, yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "wilcoxonSignedRank needs >= 1 group column (see mannWhitneyU)")
+    val reserved = Seq("n_pairs", "n_pos", "n_neg", "w_pos", "tie_cubes",
+      "z2", "significant")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    import org.apache.spark.sql.expressions.Window
+    val d = xCol.cast("long") - yCol.cast("long")
+    val c = df.filter(xCol.isNotNull && yCol.isNotNull && d =!= 0)
+      .select((groupCols ++ Seq(abs(d).as("__ad"),
+        when(d > 0, 1L).otherwise(0L).as("__p"))): _*)
+      .groupBy((groupCols :+ col("__ad")): _*)
+      .agg(count(lit(1)).as("__t"), sum(col("__p")).as("__np"))
+    val w = Window.partitionBy(groupCols: _*)
+    val cum0 = coalesce(sum(col("__t")).over(w.orderBy(col("__ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val g = c.withColumn("__r2", cum0 * 2 + col("__t") + 1)
+      .groupBy(groupCols: _*)
+      .agg(sum(col("__t")).as("n_pairs"), sum(col("__np")).as("n_pos"),
+        sum(dec(col("__np")) * dec(col("__r2"))).as("__w2p"),
+        sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+          dec(col("__t"))).as("__t3"))
+    val n = col("n_pairs")
+    // diff = 4W⁺ − n(n+1) = 4·(W⁺ − E[W⁺]): doubling TWICE (2-rank units,
+    // then clearing n(n+1)/2) keeps every term integral. With
+    // Var(W⁺) = (2n(n+1)(2n+1) − Σ(t³−t))/48 = varDen/48 and diff²
+    // carrying 16·(W⁺−E)², z² = 48/16 · diff²/varDen = 3·diff²/varDen.
+    val diff = col("__w2p") * 2 - dec(n) * dec(n + 1)
+    val varDen = dec(n) * dec(n + 1) * dec(n * 2 + 1) * 2 - col("__t3")
+    val z2num = lit(3L) * diff * diff
+    val defined = n > 0 && varDen > 0
+    g.select((groupCols ++ Seq(n, col("n_pos"),
+      (n - col("n_pos")).as("n_neg"),
+      (col("__w2p").cast("double") / 2).as("w_pos"),
+      col("__t3").cast("long").as("tie_cubes"),
+      when(defined, asRatio(microRound6(z2num, varDen))).as("z2"),
+      when(defined,
+        when(z2num * 1000000L > varDen * 3841459L, 1).otherwise(0))
+        .as("significant"))): _*)
+  }
 }

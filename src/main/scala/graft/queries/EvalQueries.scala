@@ -337,7 +337,54 @@ object EvalQueries {
         trimNum = 1, trimDen = 10)
         .select(col("g0").as("l_returnflag"), col("n"), col("n_trimmed"),
           col("winsor_lo"), col("winsor_hi"), col("trimmed_mean"),
-          col("winsorized_mean"))))
+          col("winsorized_mean"))),
+
+    // One-way ANOVA F across the SAME three user-id arms as q267 — the
+    // parametric companion: Kruskal–Wallis gates rank shifts, ANOVA
+    // gates MEAN shifts and its eta² says how much variance the arm
+    // explains. Same inputs, so the pair reads as one experiment audit.
+    "q272_anova_f" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+      EvalMetrics.anovaF(e, Seq(col("event_type")),
+        pmod(col("user_id"), lit(3)),
+        round(col("value") * 100).cast("long"))
+    }),
+
+    // McNemar's test between the q113 Gopher rules and the q136
+    // classifier per language — the PAIRED disagreement audit next to
+    // q221's kappa: kappa says whether the filters agree, McNemar says
+    // whether their disagreements are BIASED (the classifier keeps docs
+    // the rules drop more often than the reverse). Rater B = classifier
+    // keep, decided on the micro surface (confMicro > 1e6) so both
+    // engines read the same boundary.
+    "q273_mcnemar" -> ((s, dir) =>
+      EvalMetrics.mcnemar(scoredLabeled(s, dir), Seq(col("lang")),
+        col("keep_doc"), (confMicro > 1000000L).cast("long"))),
+
+    // Wilcoxon signed-rank on per-customer order spend, first half-year
+    // (Jan–Jun) vs second (Jul–Dec), per nation — the paired
+    // nonparametric companion of q258's Mann–Whitney: the same customer
+    // sits in both arms, so between-customer variance cancels and the
+    // test sees only the within-customer seasonal shift. Customers with
+    // orders in only one half are unpaired and drop.
+    "q274_wilcoxon_signed" -> ((s, dir) => {
+      val h1 = month(col("o_orderdate")) <= 6
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val paired = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(h1, cents).otherwise(0L)).as("spend_h1"),
+          sum(when(h1, lit(0L)).otherwise(cents)).as("spend_h2"),
+          sum(when(h1, 1L).otherwise(0L)).as("__n1"),
+          sum(when(h1, 0L).otherwise(1L)).as("__n2"))
+        .filter(col("__n1") > 0 && col("__n2") > 0)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      EvalMetrics.wilcoxonSignedRank(paired.join(cust, Seq("o_custkey")),
+        Seq(col("c_nationkey")), col("spend_h1"), col("spend_h2"))
+    }))
 
   /** The classifier-confidence CTE `sc(doc_id, n_tokens, conf_num)`
     * shared by the q224/q260/q263/q264 oracles — micro confidence
@@ -879,5 +926,127 @@ object EvalQueries {
              AS BIGINT) / 1000000.0 AS trimmed_mean,
            CAST((2 * (tsum + CAST(kk AS HUGEINT) * (lo + hi)) * 1000000
              + n) // (2 * n) AS BIGINT) / 1000000.0 AS winsorized_mean
-         FROM a""")
+         FROM a""",
+
+    "q272_anova_f" ->
+      """WITH a AS (SELECT event_type, user_id % 3 AS arm,
+             COUNT(*) AS nj,
+             SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT))
+               AS sj,
+             SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) *
+               CAST(ROUND(value * 100) AS BIGINT)) AS qj
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (SELECT event_type, nj, sj, qj,
+             (2 * (sj * sj) * 1000000 + nj) // (2 * nj) AS mj
+           FROM a),
+         g AS (SELECT event_type, CAST(SUM(nj) AS BIGINT) AS n,
+             COUNT(*) AS k, SUM(sj) AS t, SUM(qj) AS q, SUM(mj) AS sm
+           FROM m GROUP BY 1),
+         p AS (SELECT *,
+             (2 * (t * t) * 1000000 + n) // (2 * CAST(n AS HUGEINT))
+               AS parent
+           FROM g),
+         s AS (SELECT *, sm - parent AS ssb, q * 1000000 - sm AS ssw,
+             q * 1000000 - parent AS sst
+           FROM p)
+         SELECT event_type, n, CAST(k AS BIGINT) AS k_arms,
+           CAST(ssb AS VARCHAR) AS ss_between_micro,
+           CAST(ssw AS VARCHAR) AS ss_within_micro,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+             CAST((CASE WHEN ssb < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(ssb * (n - k)) * 1000000 + ssw * (k - 1))
+                 // (2 * ssw * (k - 1))) AS BIGINT) / 1000000.0
+           END AS f,
+           CASE WHEN sst > 0 THEN
+             CAST((CASE WHEN ssb < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(ssb) * 1000000 + sst) // (2 * sst)) AS BIGINT)
+               / 1000000.0
+           END AS eta2,
+           CAST(k - 1 AS BIGINT) AS dof1, CAST(n - k AS BIGINT) AS dof2
+         FROM s""",
+
+    "q273_mcnemar" ->
+      s"""WITH $gopherKeepCtes,
+         $classifierCtes,
+         $scCte,
+         jl AS (SELECT d.lang,
+             CAST(ga.keep_a AS BIGINT) AS a,
+             CASE WHEN sc.conf_num > 1000000 THEN 1 ELSE 0 END AS b
+           FROM sc JOIN ga USING (doc_id)
+           JOIN documents d USING (doc_id)
+           WHERE ga.keep_a IS NOT NULL),
+         g AS (SELECT lang, COUNT(*) AS n,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS b01,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS c10
+           FROM jl GROUP BY 1),
+         f AS (SELECT *,
+             CAST(GREATEST(ABS(b01 - c10) - 1, 0) AS HUGEINT) AS num,
+             CAST(b01 + c10 AS HUGEINT) AS den
+           FROM g)
+         SELECT lang, CAST(n AS BIGINT) AS n, n00, n11, b01, c10,
+           CASE WHEN den > 0 THEN
+             CAST((2 * num * num * 1000000 + den) // (2 * den) AS BIGINT)
+               / 1000000.0 END AS chi2,
+           CASE WHEN den > 0 THEN
+             CASE WHEN num * num * 1000000 > den * 3841459
+             THEN 1 ELSE 0 END
+           END AS significant
+         FROM f""",
+
+    "q274_wilcoxon_signed" ->
+      """WITH p AS (SELECT o_custkey,
+             SUM(CASE WHEN EXTRACT(month FROM o_orderdate) <= 6
+               THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               ELSE 0 END) AS s94,
+             SUM(CASE WHEN EXTRACT(month FROM o_orderdate) > 6
+               THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               ELSE 0 END) AS s95,
+             SUM(CASE WHEN EXTRACT(month FROM o_orderdate) <= 6
+               THEN 1 ELSE 0 END) AS n94,
+             SUM(CASE WHEN EXTRACT(month FROM o_orderdate) > 6
+               THEN 1 ELSE 0 END) AS n95
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY 1
+           HAVING SUM(CASE WHEN EXTRACT(month FROM o_orderdate) <= 6
+               THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN EXTRACT(month FROM o_orderdate) > 6
+               THEN 1 ELSE 0 END) > 0),
+         j AS (SELECT c.c_nationkey, s94 - s95 AS d
+           FROM p JOIN customer c ON c.c_custkey = p.o_custkey
+           WHERE s94 <> s95),
+         c2 AS (SELECT c_nationkey, ABS(d) AS ad, COUNT(*) AS t,
+             SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS np
+           FROM j GROUP BY 1, 2),
+         w AS (SELECT c_nationkey, ad, t, np,
+             COALESCE(SUM(t) OVER (PARTITION BY c_nationkey ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum0
+           FROM c2),
+         g AS (SELECT c_nationkey,
+             CAST(SUM(t) AS BIGINT) AS n_pairs,
+             CAST(SUM(np) AS BIGINT) AS n_pos,
+             SUM(CAST(np AS HUGEINT) * (2 * cum0 + t + 1)) AS w2p,
+             SUM(CAST(t AS HUGEINT) * t * t - t) AS t3
+           FROM w GROUP BY 1),
+         f AS (SELECT *,
+             2 * w2p - CAST(n_pairs AS HUGEINT) * (n_pairs + 1) AS diff,
+             CAST(n_pairs AS HUGEINT) * (n_pairs + 1) *
+               (2 * n_pairs + 1) * 2 - t3 AS vd
+           FROM g)
+         SELECT c_nationkey, n_pairs, n_pos,
+           n_pairs - n_pos AS n_neg,
+           CAST(w2p AS DOUBLE) / 2 AS w_pos,
+           CAST(t3 AS BIGINT) AS tie_cubes,
+           CASE WHEN n_pairs > 0 AND vd > 0 THEN
+             CAST((2 * (3 * diff * diff) * 1000000 + vd) // (2 * vd)
+               AS BIGINT) / 1000000.0 END AS z2,
+           CASE WHEN n_pairs > 0 AND vd > 0 THEN
+             CASE WHEN 3 * diff * diff * 1000000 > vd * 3841459
+             THEN 1 ELSE 0 END
+           END AS significant
+         FROM f""")
 }

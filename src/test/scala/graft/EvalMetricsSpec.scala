@@ -472,4 +472,164 @@ class EvalMetricsSpec extends AnyFunSuite {
     // pooled bins 1+2: (6+4)/20 = 0.5
     assert(iso(1) == 0.5 && iso(2) == 0.5)
   }
+
+  // --------------------------------------- ANOVA / McNemar / Wilcoxon
+
+  /** Driver replica of anovaF's exact micro arithmetic. */
+  private def refAnova(arms: Seq[Seq[Long]]): (Option[Double], Option[Double]) = {
+    def micro(num: BigInt, den: BigInt): BigInt = {
+      val q = (num.abs * 2000000 + den) / (den * 2)
+      if (num < 0) -q else q
+    }
+    val n = BigInt(arms.map(_.size).sum)
+    val k = BigInt(arms.size)
+    val t = arms.flatten.map(BigInt(_)).sum
+    val q = arms.flatten.map(x => BigInt(x) * x).sum
+    val sm = arms.map(a => micro(a.map(BigInt(_)).sum.pow(2), a.size)).sum
+    val parent = micro(t * t, n)
+    val ssb = sm - parent
+    val ssw = q * 1000000 - sm
+    val sst = q * 1000000 - parent
+    val f = if (k >= 2 && n > k && ssw > 0)
+      Some(micro(ssb * (n - k), ssw * (k - 1)).toDouble / 1e6) else None
+    val eta2 = if (sst > 0) Some(micro(ssb, sst).toDouble / 1e6) else None
+    (f, eta2)
+  }
+
+  test("anovaF: driver replica on noisy arms; separated arms explain " +
+      "the variance; constant arms -> null f; one arm -> null f") {
+    val rnd = new scala.util.Random(23)
+    val arms = Seq(Seq.fill(60)(rnd.nextLong(50)),
+      Seq.fill(50)(rnd.nextLong(50) + 10), Seq.fill(40)(rnd.nextLong(50) + 25))
+    val df = arms.zipWithIndex
+      .flatMap { case (vs, i) => vs.map(v => ("g", i.toLong, v)) }
+      .toDF("g", "arm", "v")
+    val out = EvalMetrics.anovaF(df, Seq(col("g")), col("arm"), col("v"))
+      .collect().head
+    val (refF, refEta) = refAnova(arms)
+    assert(out.getAs[Long]("n") == 150 && out.getAs[Long]("k_arms") == 3)
+    assert(out.getAs[Double]("f") == refF.get)
+    assert(out.getAs[Double]("eta2") == refEta.get)
+    assert(out.getAs[Long]("dof1") == 2 && out.getAs[Long]("dof2") == 147)
+    // widely separated, tight arms: eta2 -> ~1
+    val sep = (Seq.fill(30)(("g", 0L, 0L)) ++ Seq.fill(30)(("g", 1L, 1000L)) ++
+      Seq.fill(30)(("g", 2L, 2000L)) ++ Seq(("g", 0L, 1L)))
+      .toDF("g", "arm", "v")
+    val s = EvalMetrics.anovaF(sep, Seq(col("g")), col("arm"), col("v"))
+      .collect().head
+    assert(s.getAs[Double]("eta2") > 0.99)
+    // every arm constant: ssw = 0 -> f null, but eta2 = 1 (all between)
+    val const = (Seq.fill(10)(("g", 0L, 5L)) ++ Seq.fill(10)(("g", 1L, 9L)))
+      .toDF("g", "arm", "v")
+    val c = EvalMetrics.anovaF(const, Seq(col("g")), col("arm"), col("v"))
+      .collect().head
+    assert(c.getAs[Any]("f") == null)
+    assert(c.getAs[Double]("eta2") == 1.0)
+    // single arm: k < 2 -> f null, sst > 0 but ssb ~ 0
+    val one = (1L to 20L).map(v => ("g", 0L, v)).toDF("g", "arm", "v")
+    val o = EvalMetrics.anovaF(one, Seq(col("g")), col("arm"), col("v"))
+      .collect().head
+    assert(o.getAs[Any]("f") == null)
+  }
+
+  test("anovaF: two tight shifted arms read significant-sized F; " +
+      "ss strings are exact micro integers") {
+    val df = ((1L to 40L).map(v => ("g", 0L, v)) ++
+      (1L to 40L).map(v => ("g", 1L, v + 35L))).toDF("g", "arm", "v")
+    val r = EvalMetrics.anovaF(df, Seq(col("g")), col("arm"), col("v"))
+      .collect().head
+    assert(r.getAs[Double]("f") > 50.0)
+    // replica of the SS strings
+    val arms = Seq((1L to 40L).toSeq, (1L to 40L).map(_ + 35L))
+    val q = arms.flatten.map(x => BigInt(x) * x).sum
+    val t = arms.flatten.map(BigInt(_)).sum
+    def micro(num: BigInt, den: BigInt) = (num * 2000000 + den) / (den * 2)
+    val sm = arms.map(a => micro(a.map(BigInt(_)).sum.pow(2), a.size)).sum
+    assert(r.getAs[String]("ss_between_micro") ==
+      (sm - micro(t * t, 80)).toString)
+    assert(r.getAs[String]("ss_within_micro") ==
+      (q * 1000000 - sm).toString)
+  }
+
+  test("mcnemar: hand-checked table; symmetric disagreement reads 0; " +
+      "no disagreement -> null; null raters excluded") {
+    // b01 = 15, c10 = 5: chi2 = (10-1)^2/20 = 4.05 -> significant
+    val df = (Seq.fill(30)(("g", 1, 1)) ++ Seq.fill(20)(("g", 0, 0)) ++
+      Seq.fill(15)(("g", 0, 1)) ++ Seq.fill(5)(("g", 1, 0)))
+      .toDF("g", "a", "b")
+    val r = EvalMetrics.mcnemar(df, Seq(col("g")), col("a"), col("b"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 70 && r.getAs[Long]("n00") == 20 &&
+      r.getAs[Long]("n11") == 30 && r.getAs[Long]("b01") == 15 &&
+      r.getAs[Long]("c10") == 5)
+    assert(r.getAs[Double]("chi2") == 4.05)
+    assert(r.getAs[Int]("significant") == 1)
+    // b01 = c10: the clamped correction reads exactly 0, not 1/(b+c)
+    val sym = (Seq.fill(8)(("g", 0, 1)) ++ Seq.fill(8)(("g", 1, 0)))
+      .toDF("g", "a", "b")
+    val s = EvalMetrics.mcnemar(sym, Seq(col("g")), col("a"), col("b"))
+      .collect().head
+    assert(s.getAs[Double]("chi2") == 0.0 && s.getAs[Int]("significant") == 0)
+    // all concordant: nothing to test
+    val conc = Seq.fill(10)(("g", 1, 1)).toDF("g", "a", "b")
+    val c = EvalMetrics.mcnemar(conc, Seq(col("g")), col("a"), col("b"))
+      .collect().head
+    assert(c.getAs[Any]("chi2") == null)
+    // null rater rows drop from every count
+    val withNulls = (Seq(("g", Some(1), Some(1)), ("g", None, Some(1)),
+      ("g", Some(0), None)) ++ Seq.fill(4)(("g", Some(0), Some(1))))
+      .toDF("g", "a", "b")
+    val n = EvalMetrics.mcnemar(withNulls, Seq(col("g")), col("a"), col("b"))
+      .collect().head
+    assert(n.getAs[Long]("n") == 5 && n.getAs[Long]("b01") == 4)
+  }
+
+  /** Driver replica of the Wilcoxon z² rational. */
+  private def refWilcoxon(ds: Seq[Long]): (Long, Long, Option[Double]) = {
+    val nz = ds.filter(_ != 0)
+    val n = nz.size.toLong
+    def r2(ad: Long): Long =
+      2L * nz.count(x => math.abs(x) < ad) + nz.count(x => math.abs(x) == ad) + 1
+    val w2p = nz.filter(_ > 0).map(d => BigInt(r2(math.abs(d)))).sum
+    val t3 = nz.map(math.abs).groupBy(identity).values
+      .map(g => { val t = BigInt(g.size); t * t * t - t }).sum
+    val diff = w2p * 2 - BigInt(n) * (n + 1)
+    val vd = BigInt(n) * (n + 1) * (2 * n + 1) * 2 - t3
+    val z2 = if (n > 0 && vd > 0) {
+      val num = diff * diff * 3
+      Some(((num * 2000000 + vd) / (vd * 2)).toDouble / 1e6)
+    } else None
+    (n, nz.count(_ > 0).toLong, z2)
+  }
+
+  test("wilcoxonSignedRank: driver replica with ties; zeros discarded; " +
+      "shifted pairs significant; symmetric in sign") {
+    val rnd = new scala.util.Random(31)
+    val ds = Seq.fill(120)(rnd.nextLong(21) - 10) // ties + zeros
+    val df = ds.zipWithIndex
+      .map { case (d, i) => ("g", 100L + d, 100L, i) }
+      .toDF("g", "x", "y", "i")
+    val out = EvalMetrics.wilcoxonSignedRank(df, Seq(col("g")), col("x"),
+      col("y")).collect().head
+    val (n, np, z2) = refWilcoxon(ds)
+    assert(out.getAs[Long]("n_pairs") == n)
+    assert(out.getAs[Long]("n_pos") == np)
+    assert(out.getAs[Long]("n_neg") == n - np)
+    assert(out.getAs[Double]("z2") == z2.get)
+    // planted one-sided shift: significant
+    val shift = (1L to 50L).map(i => ("g", i + 7L, i)).toDF("g", "x", "y")
+    val s = EvalMetrics.wilcoxonSignedRank(shift, Seq(col("g")), col("x"),
+      col("y")).collect().head
+    assert(s.getAs[Int]("significant") == 1)
+    assert(s.getAs[Double]("w_pos") == (1 to 50).map(_.toDouble).sum)
+    // swapping x and y flips n_pos/n_neg but preserves z2
+    val sw = EvalMetrics.wilcoxonSignedRank(shift, Seq(col("g")), col("y"),
+      col("x")).collect().head
+    assert(sw.getAs[Double]("z2") == s.getAs[Double]("z2"))
+    assert(sw.getAs[Long]("n_pos") == 0 && sw.getAs[Long]("n_neg") == 50)
+    // all-zero differences: the group vanishes (nothing to rank)
+    val zero = (1L to 10L).map(i => ("g", i, i)).toDF("g", "x", "y")
+    assert(EvalMetrics.wilcoxonSignedRank(zero, Seq(col("g")), col("x"),
+      col("y")).count() == 0)
+  }
 }
