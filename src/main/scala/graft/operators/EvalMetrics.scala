@@ -36,7 +36,7 @@ object EvalMetrics {
     * long (see [[idivPos]] — the decimal-'/' intermediate holds to ~1e32,
     * wider than the long cast; all overflows are loud under ANSI).
     */
-  private[operators] def microRound6(num: Column, den: Column): Column = {
+  private[graft] def microRound6(num: Column, den: Column): Column = {
     val a = dec(abs(num)) * 2000000L + dec(den)
     val b = dec(den) * 2L
     val q = ((a - pmod(a, b)) / b).cast("long")

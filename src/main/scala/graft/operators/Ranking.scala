@@ -90,4 +90,95 @@ object Ranking {
     l.join(rSafe, groupCols :+ "__pos", joinType)
       .withColumnRenamed("__pos", "pos")
   }
+
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    * 1998) — the diversity re-rank a retrieval stack runs AFTER scoring:
+    * greedily pick the candidate maximizing
+    * λ·relnorm − (1−λ)·max_{j∈selected} sim(i, j), so near-duplicates of
+    * an already-picked result are penalized out of the top-k.
+    *
+    * Exact-integer contract: `relCol` is a nonnegative integer score
+    * (e.g. BM25 score_fp); it is normalized per query to micro units
+    * against the query's max (microRound6 — the one rounding), `simCol`
+    * is a micro-unit similarity in [0, 1e6], λ arrives in TENTHS so the
+    * selection objective L·relnorm − (10−L)·maxsim is a plain integer in
+    * deci-micro units (displayed /1e7). Ties break on doc_id ascending.
+    * The first pick has no selected set — max_sim reads null, objective
+    * = L·relnorm.
+    *
+    * `cands`: (query_id, doc_id, rel); `sims`: (query_id, doc_a, doc_b,
+    * sim) covering BOTH directions of every candidate pair (missing
+    * pairs read sim 0). doc_id must be a nonnegative integral key (the
+    * argmax tiebreak negates it through a struct max).
+    *
+    * Scale posture: the greedy loop is inherently sequential in k, but
+    * every step runs distributed over the QUERY axis — thousands of
+    * queries advance one pick per round together, each step one
+    * broadcast-sized join + one struct-max aggregation over candidate
+    * frames bounded by queries×candidates. Candidates and sims are
+    * localCheckpoint-materialized once; each round's survivors checkpoint
+    * so plans stay flat across the k unrolled steps. k and the
+    * per-query candidate count are small by contract (re-rank the
+    * retrieved page, not the corpus).
+    *
+    * @return (query_id, sel_rank, doc_id, rel_norm, max_sim, mmr)
+    */
+  def mmrSelect(cands: DataFrame, sims: DataFrame, k: Int,
+      lambdaTenths: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in 1..64, got $k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in 0..10, got $lambdaTenths")
+    val l = lambdaTenths.toLong
+    val maxRel = cands.groupBy(col("query_id"))
+      .agg(max(col("rel").cast("long")).as("__mx"))
+    val base = cands.join(maxRel, Seq("query_id"))
+      .select(col("query_id"), col("doc_id").cast("long").as("doc_id"),
+        when(col("__mx") > 0,
+          EvalMetrics.microRound6(col("rel").cast("long"), col("__mx")))
+          .otherwise(0L).as("__rn"))
+      .localCheckpoint()
+    val simsM = sims.select(col("query_id"), col("doc_a"), col("doc_b"),
+      col("sim").cast("long").as("__sim")).localCheckpoint()
+    var remaining = base
+    var selected: DataFrame = null // query_id, sel_rank, doc_id, __rn, __ms, __sc
+    for (step <- 1 to k) {
+      val scored =
+        if (step == 1)
+          remaining.select(col("query_id"), col("doc_id"), col("__rn"),
+            lit(null).cast("long").as("__ms"),
+            (col("__rn") * l).as("__sc"))
+        else {
+          val selDocs = selected.select(col("query_id"),
+            col("doc_id").as("__sel"))
+          val simsJ = simsM.select(col("query_id").as("__qs"),
+            col("doc_a"), col("doc_b"), col("__sim"))
+          remaining.join(selDocs, Seq("query_id"))
+            .join(simsJ,
+              col("query_id") === col("__qs") &&
+                col("doc_id") === col("doc_a") && col("__sel") === col("doc_b"),
+              "left")
+            .groupBy(col("query_id"), col("doc_id"), col("__rn"))
+            .agg(max(coalesce(col("__sim"), lit(0L))).as("__ms"))
+            .select(col("query_id"), col("doc_id"), col("__rn"), col("__ms"),
+              (col("__rn") * l - col("__ms") * (10L - l)).as("__sc"))
+        }
+      val pick = scored.groupBy(col("query_id"))
+        .agg(max(struct(col("__sc"), (-col("doc_id")).as("__nd")))
+          .as("__best"))
+        .select(col("query_id"), (-col("__best.__nd")).as("doc_id"))
+        .join(scored, Seq("query_id", "doc_id"))
+        .select(col("query_id"), lit(step).as("sel_rank"), col("doc_id"),
+          col("__rn"), col("__ms"), col("__sc"))
+        .localCheckpoint()
+      selected = if (selected == null) pick else selected.union(pick)
+      remaining = remaining.join(
+          pick.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    selected.select(col("query_id"), col("sel_rank"), col("doc_id"),
+      (col("__rn").cast("double") / 1e6).as("rel_norm"),
+      (col("__ms").cast("double") / 1e6).as("max_sim"),
+      (col("__sc").cast("double") / 1e7).as("mmr"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{Log2Fixed, TextFunctions}
-import graft.operators.{Bm25, Divergence, Drift, EvalMetrics, QualityClassifier, QualityRules, TableOps}
+import graft.operators.{Bm25, Divergence, Drift, EvalMetrics, QualityClassifier, QualityRules, Ranking, TableOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -339,6 +339,56 @@ object EvalQueries {
           col("winsor_lo"), col("winsor_hi"), col("trimmed_mean"),
           col("winsorized_mean"))),
 
+    // MMR diverse top-5 over the q220 BM25 top-10 candidates (λ = 0.7):
+    // the diversity re-rank a retrieval stack runs after scoring —
+    // near-duplicates of an already-picked hit are penalized by their
+    // token-Jaccard similarity, so the page shows five DIFFERENT
+    // relevant docs, not one doc five ways. Exact integers end to end:
+    // relevance normalized to micro units per query, pairwise Jaccard
+    // micro-rounded, the greedy objective a plain deci-micro integer.
+    "q275_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "spark join merge"),
+        (2L, "window batch stream"),
+        (3L, "customer value filter"),
+        (4L, "spark zzznope")).toDF("query_id", "qtext")
+      val d = docs(s, dir)
+      val ranked = Bm25.topK(d, col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 10).localCheckpoint()
+      val cdocs = ranked.select(col("doc_id")).distinct()
+      // candidate-doc distinct token sets: the pairwise-Jaccard base —
+      // bounded by queries × k docs, never the corpus
+      val dt = d.join(broadcast(cdocs), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("term"))
+        .localCheckpoint()
+      val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("__nt"))
+      val pairs = ranked.select(col("query_id"), col("doc_id").as("doc_a"))
+        .join(ranked.select(col("query_id"), col("doc_id").as("doc_b")),
+          Seq("query_id"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      val inter = dt.select(col("doc_id").as("doc_a"), col("term"))
+        .join(dt.select(col("doc_id").as("doc_b"), col("term")), Seq("term"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__ic"))
+      val ic = coalesce(col("__ic"), lit(0L))
+      val sims = pairs
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sz.select(col("doc_id").as("doc_a"), col("__nt").as("__na")),
+          Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("__nt").as("__nb")),
+          Seq("doc_b"))
+        .select(col("query_id"), col("doc_a"), col("doc_b"),
+          EvalMetrics.microRound6(ic,
+            col("__na") + col("__nb") - ic).as("sim"))
+      Ranking.mmrSelect(
+        ranked.select(col("query_id"), col("doc_id"),
+          col("score_fp").as("rel")),
+        sims, k = 5, lambdaTenths = 7)
+    }),
+
     // One-way ANOVA F across the SAME three user-id arms as q267 — the
     // parametric companion: Kruskal–Wallis gates rank shifts, ANOVA
     // gates MEAN shifts and its eta² says how much variance the arm
@@ -396,7 +446,81 @@ object EvalQueries {
                + 1000000 AS conf_num
            FROM cs WHERE n_tokens > 0)"""
 
+  /** The q275 greedy MMR loop, unrolled as k CTE steps continuing from
+    * `mbase(query_id, doc_id, rn)` and `msim(doc_a, doc_b, sim)` — the
+    * SQL twin of [[graft.operators.Ranking.mmrSelect]] (the q-digest
+    * 16-step unroll precedent). Step 1 has no selected set (null ms);
+    * step i ≥ 2 scores every surviving candidate against the i−1 picks.
+    */
+  private def mmrStepsSql(k: Int, l: Int): String =
+    (1 to k).map { i =>
+      val rem = if (i == 1) "mbase" else s"rem${i - 1}"
+      val sc =
+        if (i == 1)
+          s"""sc$i AS (SELECT query_id, doc_id, rn,
+               CAST(NULL AS BIGINT) AS ms, rn * $l AS sc FROM $rem)"""
+        else
+          s"""ms$i AS (SELECT m.query_id, m.doc_id, m.rn,
+               MAX(COALESCE(sm.sim, 0)) AS ms
+             FROM $rem m JOIN sel${i - 1} s ON s.query_id = m.query_id
+             LEFT JOIN msim sm ON sm.doc_a = m.doc_id
+               AND sm.doc_b = s.doc_id
+             GROUP BY 1, 2, 3),
+           sc$i AS (SELECT query_id, doc_id, rn, ms,
+               rn * $l - ms * ${10 - l} AS sc FROM ms$i)"""
+      val sel = (1 to i)
+        .map(j => s"SELECT query_id, doc_id FROM p$j")
+        .mkString(" UNION ALL ")
+      s"""$sc,
+         p$i AS (SELECT query_id, $i AS sel_rank, doc_id, rn, ms, sc
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY sc DESC, doc_id) AS pr FROM sc$i) z
+           WHERE pr = 1),
+         sel$i AS ($sel),
+         rem$i AS (SELECT m.* FROM $rem m WHERE NOT EXISTS (
+           SELECT 1 FROM sel$i s WHERE s.query_id = m.query_id
+             AND s.doc_id = m.doc_id))"""
+    }.mkString(",\n       ")
+
   val oracles: Map[String, String] = Map(
+
+    "q275_mmr_rerank" ->
+      s"""WITH ${CurationQueries.bm25RankCtes(
+        """(1, 'spark'), (1, 'join'), (1, 'merge'),
+           (2, 'window'), (2, 'batch'), (2, 'stream'),
+           (3, 'customer'), (3, 'value'), (3, 'filter'),
+           (4, 'spark'), (4, 'zzznope')""")},
+         cands AS (SELECT query_id, doc_id, score_fp FROM r
+           WHERE rnk <= 10),
+         mmx AS (SELECT query_id, MAX(score_fp) AS mx FROM cands
+           GROUP BY 1),
+         mbase AS (SELECT c.query_id, c.doc_id,
+             CASE WHEN mx > 0
+               THEN (2 * score_fp * 1000000 + mx) // (2 * mx)
+               ELSE 0 END AS rn
+           FROM cands c JOIN mmx USING (query_id)),
+         cd AS (SELECT DISTINCT doc_id FROM cands),
+         mdt AS (SELECT DISTINCT doc_id, term FROM
+           (SELECT doc_id, unnest(toks) AS term
+            FROM t JOIN cd USING (doc_id)) u),
+         msz AS (SELECT doc_id, COUNT(*) AS nt FROM mdt GROUP BY 1),
+         mint AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS ic
+           FROM mdt a JOIN mdt b USING (term)
+           WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+         msim AS (SELECT doc_a, doc_b,
+             (2 * ic * 1000000 + (za.nt + zb.nt - ic))
+               // (2 * (za.nt + zb.nt - ic)) AS sim
+           FROM mint JOIN msz za ON za.doc_id = doc_a
+           JOIN msz zb ON zb.doc_id = doc_b),
+         ${mmrStepsSql(5, 7)}
+         SELECT query_id, sel_rank, doc_id,
+           CAST(rn AS DOUBLE) / 1000000.0 AS rel_norm,
+           CAST(ms AS DOUBLE) / 1000000.0 AS max_sim,
+           CAST(sc AS DOUBLE) / 10000000.0 AS mmr
+         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+           UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+           UNION ALL SELECT * FROM p5) u""",
 
     "q220_retrieval_eval" ->
       s"""WITH ${CurationQueries.bm25RankCtes(

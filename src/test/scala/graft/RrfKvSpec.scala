@@ -107,4 +107,66 @@ class RrfKvSpec extends AnyFunSuite {
       .as[(String, String)].head()
     assert(kv == (("新名", "a")))
   }
+
+  test("mmrSelect: diversity outranks a higher-relevance near-duplicate; " +
+      "hand-checked objective values") {
+    val cands = Seq((1L, 10L, 100L), (1L, 11L, 96L), (1L, 12L, 60L),
+      (1L, 13L, 95L)).toDF("query_id", "doc_id", "rel")
+    def both(a: Long, b: Long, s: Long) = Seq((1L, a, b, s), (1L, b, a, s))
+    val sims = (both(10, 11, 900000) ++ both(10, 12, 100000) ++
+      both(10, 13, 880000) ++ both(11, 12, 100000) ++
+      both(11, 13, 950000) ++ both(12, 13, 100000))
+      .toDF("query_id", "doc_a", "doc_b", "sim")
+    val out = Ranking.mmrSelect(cands, sims, k = 5, lambdaTenths = 7)
+      .collect().sortBy(_.getAs[Int]("sel_rank"))
+    // greedy: 10 (rel 1.0), 11 (0.7*.96-0.3*.9=.402), then doc 12 BEATS
+    // the higher-rel near-dup 13 (.39 > .38), 13 last; only 4 picks land
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L, 12L, 13L))
+    assert(out.map(_.getAs[Int]("sel_rank")).toSeq == Seq(1, 2, 3, 4))
+    assert(out(0).getAs[Any]("max_sim") == null)
+    assert(out(0).getAs[Double]("mmr") == 0.7)
+    assert(out(1).getAs[Double]("mmr") == 0.402)
+    assert(out(2).getAs[Double]("mmr") == 0.39)
+    assert(out(2).getAs[Double]("max_sim") == 0.1)
+    assert(out(3).getAs[Double]("mmr") == 0.38)
+    assert(out(3).getAs[Double]("max_sim") == 0.95)
+  }
+
+  test("mmrSelect: lambda=10 is pure relevance order; missing sim pairs " +
+      "read zero; ties break on doc_id ascending") {
+    val cands = Seq((1L, 20L, 50L), (1L, 21L, 80L), (1L, 22L, 80L))
+      .toDF("query_id", "doc_id", "rel")
+    val sims = Seq((1L, 21L, 22L, 990000L), (1L, 22L, 21L, 990000L))
+      .toDF("query_id", "doc_a", "doc_b", "sim")
+    val rel = Ranking.mmrSelect(cands, sims, k = 3, lambdaTenths = 10)
+      .collect().sortBy(_.getAs[Int]("sel_rank"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    // pure relevance: the 80s first (tie -> lower id), near-dup penalty off
+    assert(rel == Seq(21L, 22L, 20L))
+    // at lambda=7 the near-dup of the first pick falls behind doc 20,
+    // whose sim rows are absent entirely (reads 0)
+    val div = Ranking.mmrSelect(cands, sims, k = 3, lambdaTenths = 7)
+      .collect().sortBy(_.getAs[Int]("sel_rank"))
+    assert(div.map(_.getAs[Long]("doc_id")).toSeq == Seq(21L, 20L, 22L))
+    // doc 20: 0.7*0.625 - 0.3*0 = 0.4375; doc 22: 0.7*1 - 0.3*0.99
+    assert(div(1).getAs[Double]("mmr") == 0.4375)
+    assert(div(2).getAs[Double]("mmr") == 0.403)
+  }
+
+  test("mmrSelect: multiple queries advance together; zero max rel " +
+      "normalizes to zero") {
+    val cands = Seq((1L, 1L, 10L), (1L, 2L, 4L),
+      (2L, 7L, 0L), (2L, 8L, 0L)).toDF("query_id", "doc_id", "rel")
+    val sims = spark.emptyDataFrame
+      .select(lit(0L).as("query_id"), lit(0L).as("doc_a"),
+        lit(0L).as("doc_b"), lit(0L).as("sim")).limit(0)
+    val out = Ranking.mmrSelect(cands, sims, k = 2, lambdaTenths = 7)
+      .collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ(1L).map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+    // all-zero rel: relnorm 0 for every candidate, ties on doc_id
+    assert(byQ(2L).sortBy(_.getAs[Int]("sel_rank"))
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(7L, 8L))
+    assert(byQ(2L).forall(_.getAs[Double]("rel_norm") == 0.0))
+  }
 }
