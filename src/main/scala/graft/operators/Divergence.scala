@@ -84,16 +84,28 @@ object Divergence {
     * data. Sources with every doc shorter than n report 0 grams and a
     * null ratio.
     *
+    * `hash64 = true` is the production sizing: grams ride the compiled
+    * 61-bit poly fold ([[graft.functions.PolyHash.polyGramHashes61]],
+    * the q135 substring-span hash — still DuckDB-replayable in HUGEINT)
+    * instead of materialized gram STRINGS, so the tokenize → gram →
+    * distinct pipeline never builds or hashes a bigram string
+    * (measured ~2× on the sf0.1 corpus — the cost is all map-side).
+    * n_distinct then counts distinct 61-bit hashes: identical on both
+    * engines, and within G²/2⁶² of the string count (negligible at any
+    * realistic gram population).
+    *
     * @return (source, n, n_grams, n_distinct, distinct_ratio)
     */
   def ngramDiversity(df: DataFrame, sourceCol: Column, textCol: Column,
-      n: Int): DataFrame = {
+      n: Int, hash64: Boolean = false): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in 1..8, got $n")
     val toks = graft.functions.TextFunctions.tokens(textCol)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams: Column =
+      if (hash64) PolyHash.polyGramHashes61(df.sparkSession, textCol, n)
+      else when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
     df.select(sourceCol.as("source"), explode_outer(grams).as("g"))
       .groupBy(col("source"))
       .agg(count(col("g")).as("n_grams"),

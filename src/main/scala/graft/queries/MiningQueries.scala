@@ -184,9 +184,14 @@ object MiningQueries {
     // q219's KL both read marginals only).
     "q271_ngram_diversity" -> ((s, dir) => {
       val d = docs(s, dir)
-      Divergence.ngramDiversity(d, col("source"), col("text"), 1)
+      // hash64: grams ride the compiled 61-bit fold — no bigram string
+      // is ever built or hashed (measured ~2× on this query's wall; the
+      // oracle replays the same fold in HUGEINT)
+      Divergence.ngramDiversity(d, col("source"), col("text"), 1,
+          hash64 = true)
         .unionByName(
-          Divergence.ngramDiversity(d, col("source"), col("text"), 2))
+          Divergence.ngramDiversity(d, col("source"), col("text"), 2,
+            hash64 = true))
     }),
 
     // Exact vocabulary-overlap matrix between the 5 language slices:
@@ -498,9 +503,10 @@ object MiningQueries {
 
     "q271_ngram_diversity" ->
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
-         g1 AS (SELECT source, unnest(list_transform(range(1, len(toks) + 1),
-             i -> toks[i])) AS g
-           FROM t WHERE len(toks) >= 1),
+         g1 AS (SELECT source,
+             ${AnalyticsQueries.polyHash61Sql("toks[i]")} AS g
+           FROM t, unnest(range(1, len(toks) + 1)) AS u1(i)
+           WHERE len(toks) >= 1),
          a1 AS (SELECT t.source,
              COALESCE(c.n_grams, 0) AS n_grams,
              COALESCE(c.n_distinct, 0) AS n_distinct
@@ -508,9 +514,11 @@ object MiningQueries {
            LEFT JOIN (SELECT source, COUNT(*) AS n_grams,
                COUNT(DISTINCT g) AS n_distinct FROM g1 GROUP BY 1) c
              USING (source)),
-         g2 AS (SELECT source, unnest(list_transform(range(1, len(toks)),
-             i -> toks[i] || ' ' || toks[i + 1])) AS g
-           FROM t WHERE len(toks) >= 2),
+         g2 AS (SELECT source,
+             ${AnalyticsQueries.polyHash61Sql("toks[i] || ' ' || toks[i + 1]")}
+               AS g
+           FROM t, unnest(range(1, len(toks))) AS u2(i)
+           WHERE len(toks) >= 2),
          a2 AS (SELECT t.source,
              COALESCE(c.n_grams, 0) AS n_grams,
              COALESCE(c.n_distinct, 0) AS n_distinct

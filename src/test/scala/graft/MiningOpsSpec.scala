@@ -229,6 +229,15 @@ class MiningOpsSpec extends AnyFunSuite {
     // fresh stays 1.0 on both axes
     assert(d2("fresh")._3.contains(1.0))
     assert(d2("loop")._3.get.asInstanceOf[Double] < 0.2)
+    // hash64 production mode: identical rows on a collision-free input
+    // (the q271 sizing — grams ride the 61-bit fold, no gram strings)
+    for (n <- 1 to 2) {
+      val str = Divergence.ngramDiversity(df, col("source"), col("text"), n)
+        .collect().map(_.toSeq).toSet
+      val h = Divergence.ngramDiversity(df, col("source"), col("text"), n,
+        hash64 = true).collect().map(_.toSeq).toSet
+      assert(h == str, s"hash64 mode diverged at n=$n")
+    }
   }
 
   test("vocabOverlap: exact Jaccard over distinct-token supports, empty pairs kept") {
