@@ -79,4 +79,84 @@ object Mixture {
       .withColumn("quota", round(col("weight") * budget, 0).cast("long"))
       .drop("__z")
   }
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** EXACT α = 0.5 temperature allocation with largest-remainder
+    * (Hamilton) apportionment — the production twin of
+    * [[temperatureWeights]]: that one publishes float weights and
+    * per-group ROUNDED quotas (which need not sum to the budget); this
+    * one keeps the whole schedule on the integer surface and guarantees
+    * Σ quota = budget STRUCTURALLY, so the downstream sampler never has
+    * to reconcile an off-by-k schedule.
+    *
+    * Weights: w_g = isqrt(n_g · 10¹²) — the exact integer square root
+    * (≡ floor(10⁶·√n_g)), computed as a float seed + a ±2 exact-decimal
+    * correction so both engines land the same integer no matter how
+    * their sqrt rounds. Quotas: base_g = floor(B·w_g / W), then the
+    * B − Σ base leftovers (always < #groups) go to the largest
+    * remainders B·w_g mod W, ties on the group key ascending.
+    *
+    * Scale posture: ONE count aggregation over the corpus; every later
+    * frame is group-bounded (the remainder rank is a broadcast
+    * triangular self-join on the group table — no unpartitioned
+    * window). Envelope: B·w ≤ 1e38 needs B·√n ≤ 1e32 — unreachable.
+    *
+    * @return (g…, n_docs, w_sqrt, base_quota, quota, share) with
+    *         share = quota/B micro-rounded and Σ quota = B exactly
+    */
+  def temperatureAllocationExact(df: DataFrame, groupCols: Seq[Column],
+      budget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "needs >= 1 group column")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import graft.operators.EvalMetrics.{idivPos, microRound6}
+    val counts = df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_docs")).localCheckpoint()
+    val gNames = counts.columns.dropRight(1).toSeq
+    val v = dec(col("n_docs")) * 1000000000000L
+    val s0 = floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
+    def sq(c: Column) = dec(c) * dec(c)
+    val w = when(sq(s0 + 2) <= v, s0 + 2)
+      .when(sq(s0 + 1) <= v, s0 + 1)
+      .when(sq(s0) <= v, s0)
+      .when(sq(s0 - 1) <= v, s0 - 1)
+      .otherwise(s0 - 2)
+    val weighted = counts.withColumn("w_sqrt", w)
+    val z = weighted.agg(sum(dec(col("w_sqrt"))).as("__W"),
+      sum(col("n_docs")).as("__N"))
+    val alloc = weighted.crossJoin(broadcast(z))
+      .withColumn("base_quota",
+        when(col("__W") > 0,
+          idivPos(dec(col("w_sqrt")) * budget, col("__W")))
+          .otherwise(0L))
+      .withColumn("__rem",
+        when(col("__W") > 0,
+          pmod(dec(col("w_sqrt")) * budget, col("__W")))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
+      .localCheckpoint()
+    // remainder rank via a broadcast triangular self-join on the
+    // group-bounded table (the q187/q200 pattern — no global window);
+    // the group key string is the deterministic tiebreak
+    val keyStr = concat_ws("", gNames.map(col): _*)
+    val peers = alloc.select(keyStr.as("__k2"), col("__rem").as("__r2"))
+    val ranked = alloc.withColumn("__k", keyStr)
+      .join(broadcast(peers),
+        col("__r2") > col("__rem") ||
+          (col("__r2") === col("__rem") && col("__k2") < col("__k")),
+        "left")
+      .groupBy((gNames.map(col) ++ Seq(col("n_docs"), col("w_sqrt"),
+        col("base_quota"), col("__rem"))): _*)
+      .agg(count(col("__k2")).as("__ahead"))
+    val leftover = alloc
+      .agg((lit(budget) - sum(col("base_quota"))).as("__L"))
+    ranked.crossJoin(broadcast(leftover))
+      .select((gNames.map(col) ++ Seq(col("n_docs"), col("w_sqrt"),
+        col("base_quota"),
+        (col("base_quota") +
+          when(col("__ahead") < col("__L"), 1L).otherwise(0L)).as("quota"),
+        (microRound6(
+          col("base_quota") +
+            when(col("__ahead") < col("__L"), 1L).otherwise(0L),
+          lit(math.max(budget, 1L))).cast("double") / 1e6).as("share"))): _*)
+  }
 }

@@ -19,6 +19,35 @@ object TrainingQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** The synthetic PII-bearing text over customer rows — ONE copy shared
+    * by q74 (redaction output) and q277 (redaction edit-distance audit);
+    * `piiBaseSql` is its DuckDB twin (`txt` over `customer`).
+    */
+  private def piiBase: org.apache.spark.sql.Column = concat(
+    lit("reach "), col("c_name"),
+    lit(" via "), lower(regexp_replace(col("c_name"), "#", ".")),
+    lit("@mail.example"),
+    when(pmod(col("c_custkey"), lit(5)) === 0,
+      concat(lit(" cc backup."), lower(regexp_replace(col("c_name"), "#", ".")),
+        lit("@alt.example"))).otherwise(lit("")),
+    when(pmod(col("c_custkey"), lit(3)) =!= 0,
+      concat(lit(" or +86-"),
+        lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(lit("")))
+
+  private val piiBaseSql: String =
+    """'reach ' || c_name || ' via ' || lower(replace(c_name, '#', '.'))
+       || '@mail.example'
+       || CASE WHEN c_custkey % 5 = 0
+            THEN ' cc backup.' || lower(replace(c_name, '#', '.')) || '@alt.example'
+            ELSE '' END
+       || CASE WHEN c_custkey % 3 <> 0
+            THEN ' or +86-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CCNet-style LM quality scoring: char-trigram model trained on the
@@ -136,25 +165,46 @@ object TrainingQueries {
     // regex redaction with typed placeholders. Both engines apply the
     // LITERAL same pattern strings (Java-regex ∩ RE2 syntax subset).
     "q74_pii_redact" -> ((s, dir) => {
-      val base = concat(
-        lit("reach "), col("c_name"),
-        lit(" via "), lower(regexp_replace(col("c_name"), "#", ".")),
-        lit("@mail.example"),
-        when(pmod(col("c_custkey"), lit(5)) === 0,
-          concat(lit(" cc backup."), lower(regexp_replace(col("c_name"), "#", ".")),
-            lit("@alt.example"))).otherwise(lit("")),
-        when(pmod(col("c_custkey"), lit(3)) =!= 0,
-          concat(lit(" or +86-"),
-            lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
-            lit("-"),
-            lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")))
-          .otherwise(lit("")))
+      val base = piiBase
       Tables.load(s, dir, "customer")
         .select(col("c_custkey"),
           TextFunctions.redactPii(base).as("redacted"),
           TextFunctions.countMatches(base, TextFunctions.EmailRegex).as("n_emails"),
           TextFunctions.countMatches(base, TextFunctions.PhoneRegex).as("n_phones"))
     }),
+
+    // Redaction edit-distance audit: character-level Levenshtein between
+    // the raw PII-bearing text and its redacted form, per custkey bucket
+    // — "how much surface does redaction touch" (a redactor that edits
+    // 40% of characters is destroying context, one that edits 0% is
+    // broken). Exact integers: both engines' levenshtein agree on this
+    // ASCII surface; the CER ratio is micro-rounded.
+    "q277_redaction_cer" -> ((s, dir) => {
+      val base = piiBase
+      Tables.load(s, dir, "customer")
+        .select(pmod(col("c_custkey"), lit(4)).as("bucket"),
+          base.as("__raw"),
+          graft.functions.TextFunctions.redactPii(base).as("__red"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("__raw")).cast("long")).as("chars_total"),
+          sum(levenshtein(col("__raw"), col("__red")).cast("long"))
+            .as("edits_total"))
+        .select(col("bucket"), col("n"), col("chars_total"),
+          col("edits_total"),
+          (graft.operators.EvalMetrics.microRound6(col("edits_total"),
+            col("chars_total")).cast("double") / 1e6).as("cer"))
+    }),
+
+    // Exact temperature-mixture allocation (α = 0.5, Hamilton
+    // apportionment) over the document sources: integer-sqrt weights,
+    // floor quotas, leftovers to the largest remainders — Σ quota =
+    // budget structurally, so the sampling schedule needs no float
+    // reconciliation (the multilingual up-weighting rule of XLM-R/mT5
+    // on the oracle surface).
+    "q276_temperature_alloc" -> ((s, dir) =>
+      Mixture.temperatureAllocationExact(docs(s, dir),
+        Seq(col("source")), budget = 10000L)),
 
     // Gopher rule-based quality filter (Rae et al. §A1.1): word-count /
     // mean-word-length bounds, symbol-to-word ratio, alpha-word fraction,
@@ -884,26 +934,74 @@ object TrainingQueries {
            LENGTH(substr(text, CAST(chunk_idx AS INT) * 150 + 1, 200)) AS chunk_len
          FROM u""",
     "q74_pii_redact" ->
-      """WITH t AS (SELECT c_custkey,
-             'reach ' || c_name || ' via ' || lower(replace(c_name, '#', '.'))
-               || '@mail.example'
-               || CASE WHEN c_custkey % 5 = 0
-                    THEN ' cc backup.' || lower(replace(c_name, '#', '.')) || '@alt.example'
-                    ELSE '' END
-               || CASE WHEN c_custkey % 3 <> 0
-                    THEN ' or +86-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
-                      || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
-                    ELSE '' END AS txt
+      s"""WITH t AS (SELECT c_custkey, $piiBaseSql AS txt
            FROM customer)
          SELECT c_custkey,
            regexp_replace(regexp_replace(txt,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
            len(regexp_extract_all(txt,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
            len(regexp_extract_all(txt,
-             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones
+             '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones
          FROM t""",
+
+    "q277_redaction_cer" ->
+      s"""WITH t AS (SELECT c_custkey % 4 AS bucket, $piiBaseSql AS txt
+           FROM customer),
+         r AS (SELECT bucket, txt,
+             regexp_replace(regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
+               '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS red
+           FROM t),
+         a AS (SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(length(txt)) AS BIGINT) AS chars_total,
+             CAST(SUM(levenshtein(txt, red)) AS BIGINT) AS edits_total
+           FROM r GROUP BY 1)
+         SELECT bucket, n, chars_total, edits_total,
+           CAST((2 * CAST(edits_total AS HUGEINT) * 1000000 + chars_total)
+             // (2 * CAST(chars_total AS HUGEINT)) AS BIGINT) / 1000000.0
+             AS cer
+         FROM a""",
+
+    "q276_temperature_alloc" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+           GROUP BY 1),
+         w0 AS (SELECT source, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS s0,
+             CAST(n_docs AS HUGEINT) * 1000000000000 AS v
+           FROM c),
+         w1 AS (SELECT source, n_docs,
+             CASE WHEN CAST(s0 + 2 AS HUGEINT) * (s0 + 2) <= v THEN s0 + 2
+                  WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= v THEN s0 + 1
+                  WHEN CAST(s0 AS HUGEINT) * s0 <= v THEN s0
+                  WHEN CAST(s0 - 1 AS HUGEINT) * (s0 - 1) <= v THEN s0 - 1
+                  ELSE s0 - 2 END AS w_sqrt
+           FROM w0),
+         z AS (SELECT CAST(SUM(w_sqrt) AS HUGEINT) AS ww FROM w1),
+         a AS (SELECT source, n_docs, w_sqrt,
+             CASE WHEN ww > 0
+               THEN (CAST(w_sqrt AS HUGEINT) * 10000) // ww
+               ELSE 0 END AS base_quota,
+             CASE WHEN ww > 0
+               THEN (CAST(w_sqrt AS HUGEINT) * 10000) % ww
+               ELSE 0 END AS rem
+           FROM w1, z),
+         r AS (SELECT a.source, a.n_docs, a.w_sqrt, a.base_quota, a.rem,
+             (SELECT COUNT(*) FROM a b WHERE b.rem > a.rem
+               OR (b.rem = a.rem AND b.source < a.source)) AS ahead
+           FROM a),
+         l AS (SELECT 10000 - CAST(SUM(base_quota) AS BIGINT) AS lo FROM a)
+         SELECT source, n_docs, CAST(w_sqrt AS BIGINT) AS w_sqrt,
+           CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(base_quota + CASE WHEN ahead < lo THEN 1 ELSE 0 END
+             AS BIGINT) AS quota,
+           CAST((2 * (base_quota + CASE WHEN ahead < lo THEN 1 ELSE 0 END)
+             * 1000000 + 10000) // (2 * 10000) AS BIGINT) / 1000000.0
+             AS share
+         FROM r, l""",
     "q219_source_kl" ->
       s"""WITH tk AS (SELECT source,
              list_transform($toksSql,

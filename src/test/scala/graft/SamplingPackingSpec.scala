@@ -229,4 +229,52 @@ class SamplingPackingSpec extends AnyFunSuite {
       .as[Double].head()
     assert(agree > 0.5 && agree < 0.8, s"agreement=$agree") // ~0.66 expected
   }
+
+  test("temperatureAllocationExact: quotas sum to the budget exactly on " +
+      "skewed counts; isqrt weights exact; driver replica") {
+    // skew: 10000 / 100 / 1 docs -> sqrt temper 100:10:1
+    val docs = (Seq.fill(10000)("big") ++ Seq.fill(100)("mid") ++
+      Seq.fill(1)("tiny")).toDF("src")
+    val out = Mixture.temperatureAllocationExact(docs, Seq(col("src")),
+      budget = 997L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.values.map(_.getAs[Long]("quota")).sum == 997L)
+    // exact isqrt(n * 1e12) = floor(1e6 * sqrt(n))
+    def isqrt(n: Long): Long = {
+      val v = BigInt(n) * BigInt(10).pow(12)
+      var s = BigInt(math.sqrt(n.toDouble).toLong) * 1000000
+      while (s * s > v) s -= 1
+      while ((s + 1) * (s + 1) <= v) s += 1
+      s.toLong
+    }
+    for ((src, n) <- Seq(("big", 10000L), ("mid", 100L), ("tiny", 1L)))
+      assert(out(src).getAs[Long]("w_sqrt") == isqrt(n), src)
+    // driver replica of the full Hamilton apportionment
+    val ws = Seq("big", "mid", "tiny").map(s => s -> out(s).getAs[Long]("w_sqrt"))
+    val wTot = ws.map(_._2).sum
+    val base = ws.map { case (s, w) => s -> (BigInt(w) * 997 / wTot).toLong }.toMap
+    val rem = ws.map { case (s, w) => s -> (BigInt(w) * 997 % wTot) }.toMap
+    val leftover = 997L - base.values.sum
+    val order = ws.map(_._1).sortBy(s => (-rem(s), s))
+    val want = ws.map { case (s, _) =>
+      s -> (base(s) + (if (order.indexOf(s) < leftover) 1L else 0L)) }.toMap
+    for (s <- want.keys)
+      assert(out(s).getAs[Long]("quota") == want(s), s"$s quota")
+    // sqrt tempering up-weights the tail vs natural share
+    val shareTiny = out("tiny").getAs[Double]("share")
+    assert(shareTiny > 1.0 / 10101.0)
+  }
+
+  test("temperatureAllocationExact: budget below the group count still " +
+      "sums exactly; remainder ties break on the key ascending") {
+    val docs = (1 to 5).flatMap(i => Seq.fill(9)(s"s$i")).toDF("src")
+    val out = Mixture.temperatureAllocationExact(docs, Seq(col("src")),
+      budget = 3L).collect()
+    assert(out.map(_.getAs[Long]("quota")).sum == 3L)
+    // equal weights -> equal remainders -> the 3 extras land on the
+    // lexicographically smallest keys
+    val got = out.map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(got == Map("s1" -> 1L, "s2" -> 1L, "s3" -> 1L,
+      "s4" -> 0L, "s5" -> 0L))
+  }
 }
