@@ -822,6 +822,92 @@ object EvalMetrics {
         .as("significant"))): _*)
   }
 
+  /** Corpus-level BLEU-2 per group (Papineni et al. 2002) — the n-gram
+    * overlap scorer for paired (candidate, reference) text: modified
+    * 1-/2-gram precision with per-document CLIPPING (a candidate gram
+    * counts at most as often as the reference shows it) and the brevity
+    * penalty, all in the fixed-point log2 discipline so the score stays
+    * on the oracle surface — no float pow/exp ever runs:
+    *
+    *   lg p_n   = log2fp(match_n) − log2fp(tot_n)        (≤ 0)
+    *   bp_fp    = c ≥ r ? 0 : −floor((r−c)·⌊2²⁰·log2 e⌋ / c)
+    *   bleu_fp  = bp_fp − floor(((lg t1 − lg m1) + (lg t2 − lg m2)) / 2)
+    *
+    * (the geometric-mean halving floors a NONNEGATIVE total — engine
+    * `div` and `//` disagree on negatives, so the subtraction happens
+    * first). `bleu_bits` = bleu_fp/2²⁰ is log2(BLEU): 0 = perfect,
+    * −1 ≈ BLEU 0.5. Null when either precision has zero matches or a
+    * zero denominator. Grams ride the compiled 61-bit poly fold (the
+    * q271 sizing) — no gram strings.
+    *
+    * Scale posture: four (id, gram-hash) count aggregations + one
+    * id-keyed join per order (map-side combined, 8-byte keys), then
+    * group-bounded sums; the input is consumed by five subtrees, so it
+    * is localCheckpoint-materialized once. Envelope: corpus token
+    * counts ≤ 2⁶³ long sums — unreachable.
+    *
+    * @return (g…, n_docs, c_len, r_len, match1, tot1, match2, tot2,
+    *         bp_fp, bleu_fp, bleu_bits)
+    */
+  def corpusBleu2(df: DataFrame, groupCols: Seq[Column], idCol: Column,
+      candCol: Column, refCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "corpusBleu2 needs >= 1 group column (see mannWhitneyU)")
+    import graft.functions.PolyHash
+    val spark = df.sparkSession
+    val base = df.filter(candCol.isNotNull && refCol.isNotNull)
+      .select((groupCols ++ Seq(idCol.as("__id"), candCol.as("__cand"),
+        refCol.as("__ref"))): _*)
+      .localCheckpoint()
+    val gNames = base.columns.dropRight(3).toSeq
+    def gramCounts(textCol: String, n: Int, out: String): DataFrame =
+      base.select(col("__id"),
+          explode(PolyHash.polyGramHashes61(spark, col(textCol), n))
+            .as("__h"))
+        .groupBy(col("__id"), col("__h"))
+        .agg(count(lit(1)).as(out))
+    def orderStats(n: Int): DataFrame = {
+      val c = gramCounts("__cand", n, "__cc")
+      val r = gramCounts("__ref", n, "__cr")
+      c.join(r, Seq("__id", "__h"), "left")
+        .groupBy(col("__id"))
+        .agg(sum(least(col("__cc"), coalesce(col("__cr"), lit(0L))))
+          .as(s"__m$n"),
+          sum(col("__cc")).as(s"__t$n"))
+    }
+    val toks = graft.functions.TextFunctions.tokens _
+    val lens = base.select((gNames.map(col) ++ Seq(col("__id"),
+      size(toks(col("__cand"))).cast("long").as("__cl"),
+      size(toks(col("__ref"))).cast("long").as("__rl"))): _*)
+    val perDoc = lens
+      .join(orderStats(1), Seq("__id"), "left")
+      .join(orderStats(2), Seq("__id"), "left")
+    val g = perDoc.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__cl")).as("c_len"), sum(col("__rl")).as("r_len"),
+        sum(coalesce(col("__m1"), lit(0L))).as("match1"),
+        sum(coalesce(col("__t1"), lit(0L))).as("tot1"),
+        sum(coalesce(col("__m2"), lit(0L))).as("match2"),
+        sum(coalesce(col("__t2"), lit(0L))).as("tot2"))
+    // floor(2^20 * log2 e) — the one transcendental, baked as the same
+    // integer constant both engines multiply by
+    val log2eFp = 1512775L
+    val bp = when(col("c_len") >= col("r_len"), 0L)
+      .otherwise(-idivPos((col("r_len") - col("c_len")) * log2eFp,
+        col("c_len")))
+    val defined = col("match1") > 0 && col("match2") > 0 &&
+      col("tot1") > 0 && col("tot2") > 0 && col("c_len") > 0
+    val gap = (Log2Fixed.expr(col("tot1")) - Log2Fixed.expr(col("match1"))) +
+      (Log2Fixed.expr(col("tot2")) - Log2Fixed.expr(col("match2")))
+    val bleu = bp - idivPos(gap, lit(2L))
+    g.select((gNames.map(col) ++ Seq(col("n_docs"), col("c_len"),
+      col("r_len"), col("match1"), col("tot1"), col("match2"), col("tot2"),
+      when(col("c_len") > 0, bp).as("bp_fp"),
+      when(defined, bleu).as("bleu_fp"),
+      when(defined, bleu.cast("double") / Log2Fixed.One)
+        .as("bleu_bits"))): _*)
+  }
+
   /** Wilcoxon signed-rank test per group — the PAIRED nonparametric
     * companion of [[mannWhitneyU]] (MW compares two independent arms;
     * this one gates a within-subject before/after difference without

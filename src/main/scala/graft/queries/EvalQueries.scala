@@ -389,6 +389,28 @@ object EvalQueries {
         sims, k = 5, lambdaTenths = 7)
     }),
 
+    // Corpus BLEU-2 per source on a known-answer harness: candidate =
+    // the doc's first token doubled (insertions the reference can't
+    // cover — the CLIP in modified precision actually clips) followed
+    // by the doc with every 7th token dropped (deletions — brevity
+    // penalty live), reference = the raw doc. The scorer (clipped
+    // 1-/2-gram precision + brevity penalty) runs entirely in
+    // fixed-point log2, so the whole score replays in the oracle.
+    "q278_corpus_bleu" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tk = TextFunctions.tokens(col("text"))
+      val cand = when(size(tk) > 0,
+        array_join(concat(
+          array(element_at(tk, 1), element_at(tk, 1)),
+          transform(
+            filter(sequence(lit(1), size(tk)), i => pmod(i, lit(7)) =!= 0),
+            i => element_at(tk, i))), " ")).otherwise(lit(""))
+      EvalMetrics.corpusBleu2(
+        d.select(col("source"), col("doc_id"), cand.as("cand"),
+          col("text").as("ref")),
+        Seq(col("source")), col("doc_id"), col("cand"), col("ref"))
+    }),
+
     // One-way ANOVA F across the SAME three user-id arms as q267 — the
     // parametric companion: Kruskal–Wallis gates rank shifts, ANOVA
     // gates MEAN shifts and its eta² says how much variance the arm
@@ -483,6 +505,88 @@ object EvalQueries {
     }.mkString(",\n       ")
 
   val oracles: Map[String, String] = Map(
+
+    "q278_corpus_bleu" -> {
+      def h(s: String) = AnalyticsQueries.polyHash61Sql(s)
+      s"""WITH t0 AS (SELECT source, doc_id, $toksSql AS toks
+           FROM documents),
+         c0 AS (SELECT source, doc_id, toks,
+             CASE WHEN len(toks) > 0 THEN
+               list_concat([toks[1], toks[1]],
+                 list_transform(list_filter(range(1, len(toks) + 1),
+                   i -> i % 7 <> 0), i -> toks[i]))
+             ELSE CAST([] AS VARCHAR[]) END AS ctoks
+           FROM t0),
+         ln AS (SELECT source, doc_id, len(ctoks) AS cl, len(toks) AS rl
+           FROM c0),
+         cg1 AS (SELECT doc_id, ${h("ctoks[i]")} AS hh, COUNT(*) AS cc
+           FROM c0, unnest(range(1, len(ctoks) + 1)) AS u(i)
+           GROUP BY 1, 2),
+         rg1 AS (SELECT doc_id, ${h("toks[i]")} AS hh, COUNT(*) AS cr
+           FROM c0, unnest(range(1, len(toks) + 1)) AS u(i)
+           GROUP BY 1, 2),
+         m1 AS (SELECT cg1.doc_id,
+             CAST(SUM(LEAST(cc, COALESCE(cr, 0))) AS BIGINT) AS m,
+             CAST(SUM(cc) AS BIGINT) AS t
+           FROM cg1 LEFT JOIN rg1 ON rg1.doc_id = cg1.doc_id
+             AND rg1.hh = cg1.hh
+           GROUP BY 1),
+         cg2 AS (SELECT doc_id,
+             ${h("ctoks[i] || ' ' || ctoks[i + 1]")} AS hh, COUNT(*) AS cc
+           FROM c0, unnest(range(1, len(ctoks))) AS u(i)
+           GROUP BY 1, 2),
+         rg2 AS (SELECT doc_id,
+             ${h("toks[i] || ' ' || toks[i + 1]")} AS hh, COUNT(*) AS cr
+           FROM c0, unnest(range(1, len(toks))) AS u(i)
+           GROUP BY 1, 2),
+         m2 AS (SELECT cg2.doc_id,
+             CAST(SUM(LEAST(cc, COALESCE(cr, 0))) AS BIGINT) AS m,
+             CAST(SUM(cc) AS BIGINT) AS t
+           FROM cg2 LEFT JOIN rg2 ON rg2.doc_id = cg2.doc_id
+             AND rg2.hh = cg2.hh
+           GROUP BY 1),
+         g AS (SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(cl) AS BIGINT) AS c_len,
+             CAST(SUM(rl) AS BIGINT) AS r_len,
+             CAST(SUM(COALESCE(m1.m, 0)) AS BIGINT) AS match1,
+             CAST(SUM(COALESCE(m1.t, 0)) AS BIGINT) AS tot1,
+             CAST(SUM(COALESCE(m2.m, 0)) AS BIGINT) AS match2,
+             CAST(SUM(COALESCE(m2.t, 0)) AS BIGINT) AS tot2
+           FROM ln LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
+           GROUP BY 1),
+         ${Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("g",
+        "source, n_docs, c_len, r_len, match1, tot1, match2, tot2",
+        "GREATEST(match1, 1)", "lgm1", "ba")},
+         ${CurationQueries.log2fpStages("bal",
+        "source, n_docs, c_len, r_len, match1, tot1, match2, tot2, lgm1",
+        "GREATEST(tot1, 1)", "lgt1", "bb")},
+         ${CurationQueries.log2fpStages("bbl",
+        "source, n_docs, c_len, r_len, match1, tot1, match2, tot2, " +
+          "lgm1, lgt1",
+        "GREATEST(match2, 1)", "lgm2", "bc")},
+         ${CurationQueries.log2fpStages("bcl",
+        "source, n_docs, c_len, r_len, match1, tot1, match2, tot2, " +
+          "lgm1, lgt1, lgm2",
+        "GREATEST(tot2, 1)", "lgt2", "bd")},
+         f AS (SELECT *,
+             CASE WHEN c_len > 0 THEN
+               CASE WHEN c_len >= r_len THEN 0
+               ELSE -(((r_len - c_len) * 1512775) // c_len) END
+             END AS bp_fp,
+             (match1 > 0 AND match2 > 0 AND tot1 > 0 AND tot2 > 0
+               AND c_len > 0) AS ok
+           FROM bdl)
+         SELECT source, n_docs, c_len, r_len, match1, tot1, match2, tot2,
+           CAST(bp_fp AS BIGINT) AS bp_fp,
+           CASE WHEN ok THEN CAST(bp_fp -
+             (((lgt1 - lgm1) + (lgt2 - lgm2)) // 2) AS BIGINT)
+           END AS bleu_fp,
+           CASE WHEN ok THEN CAST(bp_fp -
+             (((lgt1 - lgm1) + (lgt2 - lgm2)) // 2) AS DOUBLE) / 1048576
+           END AS bleu_bits
+         FROM f"""
+    },
 
     "q275_mmr_rerank" ->
       s"""WITH ${CurationQueries.bm25RankCtes(

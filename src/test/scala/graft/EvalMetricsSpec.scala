@@ -584,6 +584,39 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(n.getAs[Long]("n") == 5 && n.getAs[Long]("b01") == 4)
   }
 
+  test("corpusBleu2: hand-checked clipping, exact geometric mean on " +
+      "power-of-two ratios, brevity penalty, degenerate nulls") {
+    // g1: ref "a b c d", cand "a a b c" — clip: p1 = 3/4, p2 = 2/3,
+    // same length so BP = 0; lg-gap telescopes to L(4) − L(2) = 2^20
+    // exactly, so bleu_bits = −0.5 = log2 sqrt(p1·p2) EXACTLY
+    val df = Seq(
+      ("g1", 1L, "a a b c", "a b c d"),
+      ("g2", 2L, "a b c", "a b c d e f g"), // pure deletion: BP branch
+      ("g3", 3L, "", "x y z"),              // empty candidate
+      ("g4", 4L, "p q", "z z z")            // zero matches -> null bleu
+    ).toDF("g", "id", "cand", "ref")
+    val out = EvalMetrics.corpusBleu2(df, Seq(col("g")), col("id"),
+      col("cand"), col("ref")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("match1") == 3 && g1.getAs[Long]("tot1") == 4)
+    assert(g1.getAs[Long]("match2") == 2 && g1.getAs[Long]("tot2") == 3)
+    assert(g1.getAs[Long]("bp_fp") == 0)
+    assert(g1.getAs[Double]("bleu_bits") == -0.5)
+    // g2: all grams match (p1 = p2 = 1), BP = −floor(4·1512775/3)/2^20
+    val g2 = out("g2")
+    assert(g2.getAs[Long]("match2") == 2 && g2.getAs[Long]("tot2") == 2)
+    assert(g2.getAs[Long]("bp_fp") == -(4L * 1512775L / 3L))
+    assert(g2.getAs[Long]("bleu_fp") == g2.getAs[Long]("bp_fp"))
+    // g3: empty candidate -> zero everything, null bleu, bp null (c=0)
+    val g3 = out("g3")
+    assert(g3.getAs[Long]("tot1") == 0 && g3.getAs[Any]("bleu_fp") == null)
+    assert(g3.getAs[Any]("bp_fp") == null)
+    // g4: candidate shares nothing with the reference
+    assert(out("g4").getAs[Long]("match1") == 0 &&
+      out("g4").getAs[Any]("bleu_bits") == null)
+  }
+
   /** Driver replica of the Wilcoxon z² rational. */
   private def refWilcoxon(ds: Seq[Long]): (Long, Long, Option[Double]) = {
     val nz = ds.filter(_ != 0)
