@@ -822,6 +822,93 @@ object EvalMetrics {
         .as("significant"))): _*)
   }
 
+  /** Rank-biased overlap at depth k (Webber et al. 2010) between two
+    * rankings of the same queries — the top-weighted "how similar are
+    * two rankers' pages" statistic (Kendall/Spearman weight every
+    * position equally; RBO geometrically discounts depth, which is what
+    * a results PAGE experiences). With p = pTenths/10 and
+    * X_d = |A[1..d] ∩ B[1..d]|:
+    *
+    *   rbo_min  = (1−p) · Σ_{d=1..k} p^(d−1) · X_d / d
+    *   rbo_norm = rbo_min / (1 − p^k)        (identical lists read 1)
+    *
+    * EXACT rationals end to end: every term is scaled by the common
+    * denominator 10^(k−1)·lcm(1..k), so the sum S is a plain integer
+    * and both ratios micro-round once. Queries present in either
+    * ranking report a row; disjoint pages read 0 (not null).
+    *
+    * Inputs: (query_id, doc_id, rnk) on both sides, 1-based; rows
+    * beyond rank k are ignored. k ≤ 12 keeps every scaled term inside
+    * a long.
+    *
+    * Scale posture: the pair join is per-query k×k-bounded, the depth
+    * fan-out ≤ k rows per pair against a k-row broadcast; aggregates
+    * are query-bounded. Both inputs are typically small head frames —
+    * this measures pages, not corpora.
+    *
+    * @return (query_id, n_a, n_b, overlap_at_k, rbo_min, rbo_norm)
+    */
+  /** The exact-rational RBO depth coefficients — ONE definition shared
+    * by [[rankBiasedOverlap]] and the q279 oracle's generated VALUES
+    * list (the minhashSigSql precedent): c_d = p^(d−1)/d scaled by
+    * denom = 10^(k−1)·lcm(1..k), all plain longs by construction.
+    */
+  private[graft] def rboCoeffs(k: Int,
+      pTenths: Int): (Seq[(Long, Long)], Long) = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1 to k).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val tenPow = (1 until k).foldLeft(1L)((acc, _) => acc * 10)
+    val denom = tenPow * lcmK
+    val coeffs = (1 to k).map { d =>
+      val pPow = (1 until d).foldLeft(1L)((acc, _) => acc * pTenths)
+      val tPow = (d until k).foldLeft(1L)((acc, _) => acc * 10)
+      (d.toLong, pPow * tPow * (lcmK / d))
+    }
+    (coeffs, denom)
+  }
+
+  def rankBiasedOverlap(rankA: DataFrame, rankB: DataFrame, k: Int,
+      pTenths: Int = 9): DataFrame = {
+    require(k >= 1 && k <= 12, s"k must be in 1..12, got $k")
+    require(pTenths >= 1 && pTenths <= 9,
+      s"pTenths must be in 1..9, got $pTenths")
+    val spark = rankA.sparkSession
+    val (coeffs, denom) = rboCoeffs(k, pTenths)
+    val depthDf = spark.createDataFrame(coeffs).toDF("__d", "__c")
+    def side(df: DataFrame, r: String): DataFrame =
+      df.select(col("query_id"), col("doc_id"),
+        col("rnk").cast("long").as(r)).filter(col(r) <= k)
+    val a = side(rankA, "__ra").localCheckpoint()
+    val b = side(rankB, "__rb").localCheckpoint()
+    val pairs = a.join(b, Seq("query_id", "doc_id"))
+      .select(col("query_id"), greatest(col("__ra"), col("__rb")).as("__m"))
+      .localCheckpoint()
+    val s = pairs.join(broadcast(depthDf), col("__d") >= col("__m"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("__c")).as("__s"))
+    val overlapK = pairs.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("overlap_at_k"))
+    val na = a.groupBy(col("query_id")).agg(count(lit(1)).as("n_a"))
+    val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_b"))
+    val pPowK = (1 to k).foldLeft(1L)((acc, _) => acc * pTenths)
+    val tenPowK = (1 to k).foldLeft(1L)((acc, _) => acc * 10)
+    val sCol = coalesce(col("__s"), lit(0L))
+    a.select(col("query_id")).union(b.select(col("query_id"))).distinct()
+      .join(na, Seq("query_id"), "left")
+      .join(nb, Seq("query_id"), "left")
+      .join(overlapK, Seq("query_id"), "left")
+      .join(s, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+        asRatio(microRound6(sCol * (10L - pTenths), lit(denom * 10L)))
+          .as("rbo_min"),
+        asRatio(microRound6(
+          dec(sCol) * (10L - pTenths) * tenPowK,
+          dec(lit(denom * 10L)) * (tenPowK - pPowK))).as("rbo_norm"))
+  }
+
   /** Corpus-level BLEU-2 per group (Papineni et al. 2002) — the n-gram
     * overlap scorer for paired (candidate, reference) text: modified
     * 1-/2-gram precision with per-document CLIPPING (a candidate gram

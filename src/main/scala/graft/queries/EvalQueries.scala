@@ -389,6 +389,31 @@ object EvalQueries {
         sims, k = 5, lambdaTenths = 7)
     }),
 
+    // Rank-biased overlap between each query's BM25 page and its
+    // two-term ABLATION (third term dropped) — "how much does the tail
+    // term matter to the page" per query, with RBO's geometric depth
+    // discount (what the user actually sees). Query 4's ablation is the
+    // identical text, so both pages coincide and rbo_norm reads the
+    // maximum for that page length (exactly 1 when the page fills all
+    // k slots) — the known-answer branch. ONE corpus pass ranks both
+    // variants (ablated queries ride ids +100, split after).
+    "q279_rbo_ablation" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "spark join merge"), (2L, "window batch stream"),
+        (3L, "customer value filter"), (4L, "spark zzznope"),
+        (101L, "spark join"), (102L, "window batch"),
+        (103L, "customer value"), (104L, "spark zzznope"))
+        .toDF("query_id", "qtext")
+      val r = Bm25.topK(docs(s, dir), col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 10).localCheckpoint()
+      EvalMetrics.rankBiasedOverlap(
+        r.filter(col("query_id") < 100),
+        r.filter(col("query_id") >= 100)
+          .withColumn("query_id", col("query_id") - 100),
+        k = 10, pTenths = 9)
+    }),
+
     // Corpus BLEU-2 per source on a known-answer harness: candidate =
     // the doc's first token doubled (insertions the reference can't
     // cover — the CLIP in modified precision actually clips) followed
@@ -505,6 +530,53 @@ object EvalQueries {
     }.mkString(",\n       ")
 
   val oracles: Map[String, String] = Map(
+
+    "q279_rbo_ablation" -> {
+      val (coeffs, denom) = EvalMetrics.rboCoeffs(10, 9)
+      val dv = coeffs.map { case (d, c) => s"($d, $c)" }.mkString(", ")
+      val bigD = denom * 10L           // rbo_min denominator
+      val tenK = 10000000000L          // 10^10
+      val pK = 3486784401L             // 9^10
+      s"""WITH ${CurationQueries.bm25RankCtes(
+        """(1, 'spark'), (1, 'join'), (1, 'merge'),
+           (2, 'window'), (2, 'batch'), (2, 'stream'),
+           (3, 'customer'), (3, 'value'), (3, 'filter'),
+           (4, 'spark'), (4, 'zzznope'),
+           (101, 'spark'), (101, 'join'),
+           (102, 'window'), (102, 'batch'),
+           (103, 'customer'), (103, 'value'),
+           (104, 'spark'), (104, 'zzznope')""")},
+         ra AS (SELECT query_id, doc_id, rnk FROM r
+           WHERE query_id < 100 AND rnk <= 10),
+         rb AS (SELECT query_id - 100 AS query_id, doc_id, rnk FROM r
+           WHERE query_id >= 100 AND rnk <= 10),
+         pr AS (SELECT ra.query_id, GREATEST(ra.rnk, rb.rnk) AS m
+           FROM ra JOIN rb ON rb.query_id = ra.query_id
+             AND rb.doc_id = ra.doc_id),
+         dv(d, c) AS (VALUES $dv),
+         sv AS (SELECT query_id, CAST(SUM(c) AS BIGINT) AS s
+           FROM pr JOIN dv ON d >= m GROUP BY 1),
+         okv AS (SELECT query_id, COUNT(*) AS overlap_at_k FROM pr
+           GROUP BY 1),
+         nav AS (SELECT query_id, COUNT(*) AS n_a FROM ra GROUP BY 1),
+         nbv AS (SELECT query_id, COUNT(*) AS n_b FROM rb GROUP BY 1),
+         uq AS (SELECT DISTINCT query_id FROM
+           (SELECT query_id FROM ra UNION ALL SELECT query_id FROM rb) z)
+         SELECT uq.query_id,
+           COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+           COALESCE(overlap_at_k, 0) AS overlap_at_k,
+           CAST((2 * CAST(COALESCE(s, 0) AS HUGEINT) * 1000000 + $bigD)
+             // (2 * CAST($bigD AS HUGEINT)) AS BIGINT) / 1000000.0
+             AS rbo_min,
+           CAST((2 * CAST(COALESCE(s, 0) AS HUGEINT) * $tenK * 1000000
+             + CAST($bigD AS HUGEINT) * ($tenK - $pK))
+             // (2 * CAST($bigD AS HUGEINT) * ($tenK - $pK)) AS BIGINT)
+             / 1000000.0 AS rbo_norm
+         FROM uq LEFT JOIN nav USING (query_id)
+         LEFT JOIN nbv USING (query_id)
+         LEFT JOIN okv USING (query_id)
+         LEFT JOIN sv USING (query_id)"""
+    },
 
     "q278_corpus_bleu" -> {
       def h(s: String) = AnalyticsQueries.polyHash61Sql(s)

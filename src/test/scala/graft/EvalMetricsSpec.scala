@@ -584,6 +584,43 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(n.getAs[Long]("n") == 5 && n.getAs[Long]("b01") == 4)
   }
 
+  test("rankBiasedOverlap: identical pages read rbo_norm 1; disjoint " +
+      "read 0; driver replica on a partial overlap; union universe") {
+    def page(q: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
+    // q1: identical FULL-k pages; q2: disjoint; q3: docs 1..5 vs the
+    // same five reversed; q4: only in ranker A. (Identical pages
+    // SHORTER than k read rbo_norm < 1 — agreement X_d/d decays past
+    // exhaustion; that is truncated RBO's contract, not a bug.)
+    val a = (page(1, Seq(1, 2, 3, 4, 9)) ++ page(2, Seq(10, 11)) ++
+      page(3, Seq(1, 2, 3, 4, 5)) ++ page(4, Seq(7)))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = (page(1, Seq(1, 2, 3, 4, 9)) ++ page(2, Seq(20, 21)) ++
+      page(3, Seq(5, 4, 3, 2, 1))).toDF("query_id", "doc_id", "rnk")
+    val k = 5; val p = 0.9
+    val out = EvalMetrics.rankBiasedOverlap(a, b, k = k, pTenths = 9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def micro(x: Double) = math.round(x * 1e6) / 1e6
+    val pk = math.pow(p, k)
+    assert(out(1L).getAs[Double]("rbo_norm") == 1.0)
+    assert(out(1L).getAs[Double]("rbo_min") == micro(1 - pk))
+    assert(out(2L).getAs[Double]("rbo_min") == 0.0 &&
+      out(2L).getAs[Long]("overlap_at_k") == 0)
+    // q3 replica: X_d by brute force over the reversed page
+    val ra = Seq(1L, 2L, 3L, 4L, 5L).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val rb = Seq(5L, 4L, 3L, 2L, 1L).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val rboMin = (1 to k).map { d =>
+      val x = ra.keys.count(doc => ra(doc) <= d && rb(doc) <= d)
+      math.pow(p, d - 1) * x / d
+    }.sum * (1 - p)
+    // the exact engine value equals the float replica to micro precision
+    assert(math.abs(out(3L).getAs[Double]("rbo_min") - rboMin) < 2e-6)
+    assert(out(3L).getAs[Long]("overlap_at_k") == 5)
+    // q4 exists only in A: row present, zeros
+    assert(out(4L).getAs[Long]("n_b") == 0 &&
+      out(4L).getAs[Double]("rbo_norm") == 0.0)
+  }
+
   test("corpusBleu2: hand-checked clipping, exact geometric mean on " +
       "power-of-two ratios, brevity penalty, degenerate nulls") {
     // g1: ref "a b c d", cand "a a b c" — clip: p1 = 3/4, p2 = 2/3,
