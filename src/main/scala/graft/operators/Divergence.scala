@@ -117,6 +117,106 @@ object Divergence {
             .cast("double") / 1e6).as("distinct_ratio"))
   }
 
+  /** Jensen–Shannon divergence (bits) between two halves of each
+    * source's token stream — the SYMMETRIC, bounded companion of
+    * [[klBySource]]: KL explodes when one side lacks a token (and is
+    * asymmetric), JS stays in [0, 1] bit and treats both sides equally,
+    * which is what an intra-source drift screen wants ("did this feed's
+    * language change?" has no privileged direction). Exact fixed-point
+    * end to end:
+    *
+    *   lg(p/m) = lg2fp(2·c_p·N_q) − lg2fp(c_p·N_q + c_q·N_p)
+    *   js      = (S_p·N_q + S_q·N_p) / (2·N_p·N_q·2²⁰),
+    *   S_p     = Σ_h c_p·lg(p/m)   (integer; S_q symmetric)
+    *
+    * — the one-sided-token case lands lg 2 = 2²⁰ EXACTLY (the LUT's
+    * exponent shift), so disjoint vocabularies read exactly 1 bit. The
+    * final ratio micro-rounds once. Null when either half is empty.
+    * Tokens ride the 61-bit poly fold (the q271 sizing).
+    *
+    * Scale posture: ONE (source, token-hash) count aggregation carries
+    * the corpus weight (map-side combined, 8-byte keys); the log
+    * arithmetic runs on the vocabulary-bounded frame. Envelope: the
+    * 2·c·N log argument must fit a long — c·N ≤ 4.6·10¹⁸, i.e. ~10⁹
+    * tokens per side at ~10⁹ occurrences of one token; shard beyond.
+    *
+    * @return (source, n_p, n_q, v_union, js_bits)
+    */
+  def jsDivergence(df: DataFrame, sourceCol: Column, isBCol: Column,
+      textCol: Column): DataFrame = {
+    val b = isBCol.cast("long")
+    val cnt = df
+      .select(sourceCol.as("source"), b.as("__b"),
+        explode(PolyHash.polyGramHashes61(df.sparkSession, textCol, 1))
+          .as("__h"))
+      .groupBy(col("source"), col("__h"))
+      .agg(sum(lit(1L) - col("__b")).as("__cp"), sum(col("__b")).as("__cq"))
+      .localCheckpoint()
+    val ns = cnt.groupBy(col("source"))
+      .agg(sum(col("__cp")).as("__np"), sum(col("__cq")).as("__nq"),
+        count(lit(1)).as("v_union"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val j = cnt.join(broadcast(ns), Seq("source"))
+    val mix = col("__cp") * col("__nq") + col("__cq") * col("__np")
+    def term(c: Column, nOther: Column): Column =
+      when(c > 0,
+        c * (Log2Fixed.expr(c * nOther * 2) - Log2Fixed.expr(mix)))
+        .otherwise(0L)
+    val sums = j.groupBy(col("source"))
+      .agg(max(col("__np")).as("n_p"), max(col("__nq")).as("n_q"),
+        max(col("v_union")).as("v_union"),
+        sum(dec(term(col("__cp"), col("__nq")))).as("__sp"),
+        sum(dec(term(col("__cq"), col("__np")))).as("__sq"))
+    sums.select(col("source"), col("n_p"), col("n_q"), col("v_union"),
+      when(col("n_p") > 0 && col("n_q") > 0,
+        graft.operators.EvalMetrics.microRound6(
+          col("__sp") * dec(col("n_q")) + col("__sq") * dec(col("n_p")),
+          dec(col("n_p")) * dec(col("n_q")) * (2L * Log2Fixed.One))
+          .cast("double") / 1e6).as("js_bits"))
+  }
+
+  /** Vocabulary richness per source — Chao1 (bias-corrected) and the
+    * Good–Turing unseen mass, the "how much vocabulary have we NOT
+    * crawled yet" estimators a corpus planner reads before deciding a
+    * source is exhausted:
+    *
+    *   chao1     = V + F1·(F1−1) / (2·(F2+1))     (Chao 1984, corrected)
+    *   gt_unseen = F1 / N                          (Good 1953)
+    *
+    * with V observed distinct tokens, F1/F2 the singleton/doubleton
+    * type counts, N total tokens. Both exact rationals, micro-rounded;
+    * a high chao1/V ratio or unseen mass says the long tail is still
+    * growing. Tokens ride the 61-bit poly fold (the q271 sizing).
+    *
+    * Scale posture: one (source, token-hash) count aggregation, then a
+    * frequency-of-frequencies rollup — vocabulary-bounded; nothing else
+    * touches row weight.
+    *
+    * @return (source, n_tokens, v_obs, f1, f2, chao1, gt_unseen)
+    */
+  def vocabRichness(df: DataFrame, sourceCol: Column,
+      textCol: Column): DataFrame = {
+    import graft.operators.EvalMetrics.microRound6
+    val cnt = df
+      .select(sourceCol.as("source"),
+        explode(PolyHash.polyGramHashes61(df.sparkSession, textCol, 1))
+          .as("__h"))
+      .groupBy(col("source"), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val g = cnt.groupBy(col("source"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("v_obs"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+    g.select(col("source"), col("n_tokens"), col("v_obs"), col("f1"),
+      col("f2"),
+      (microRound6(
+        col("v_obs") * (col("f2") + 1) * 2 + col("f1") * (col("f1") - 1),
+        (col("f2") + 1) * 2).cast("double") / 1e6).as("chao1"),
+      when(col("n_tokens") > 0,
+        microRound6(col("f1"), col("n_tokens")).cast("double") / 1e6)
+        .as("gt_unseen"))
+  }
+
   /** (source, n_tokens, n_vocab, kl_bits 6dp) per distinct value of
     * `sourceCol`. Overflow envelope: |Σ c_sw·Δlg| ≤ N_s·64·2²⁰ — exact in
     * long to N_s ≈ 1.3·10¹¹ tokens per source; shard beyond.

@@ -848,6 +848,71 @@ object EvalMetrics {
     *
     * @return (query_id, n_a, n_b, overlap_at_k, rbo_min, rbo_norm)
     */
+  /** chi-square 95% critical values ×1e6 for dof 1..8 — the baked
+    * constants [[cochranQ]] compares against in cross-multiplied
+    * integers (the mannWhitneyU convention, extended to variable dof).
+    */
+  private[graft] val Chi2Crit95Micro: Map[Int, Long] = Map(
+    1 -> 3841459L, 2 -> 5991465L, 3 -> 7814728L, 4 -> 9487729L,
+    5 -> 11070498L, 6 -> 12591587L, 7 -> 14067140L, 8 -> 15507313L)
+
+  /** Cochran's Q test per group — the k-rater generalization of
+    * [[mcnemar]] (k = 2 reduces to McNemar without continuity
+    * correction): do k correlated binary raters (quality filters,
+    * annotators) differ systematically in how often they keep a
+    * document? With C_j the per-rater keep totals, R_i the per-subject
+    * keep counts, T = ΣR_i:
+    *
+    *   Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)
+    *
+    * an exact integer rational, micro-rounded once; `significant`
+    * compares the unrounded rational against the baked chi-square
+    * critical value for dof = k−1 (k ≤ 9) in cross-multiplied
+    * integers. Null q when every subject is unanimous (zero
+    * denominator). Rows with ANY null rater are excluded.
+    *
+    * Scale posture: ONE aggregation pass — k column sums, the row-sum
+    * square sum, and a count, all map-side combined; everything after
+    * is group-bounded. Envelope: k·ΣC² ≤ k·N² holds DECIMAL(38,0) to
+    * ~10¹⁸ rows — unreachable.
+    *
+    * @return (g…, n_subjects, k_raters, t_total, q, dof, significant)
+    */
+  def cochranQ(df: DataFrame, groupCols: Seq[Column],
+      raterCols: Seq[Column]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "cochranQ needs >= 1 group column (see mannWhitneyU)")
+    val k = raterCols.size
+    require(k >= 2 && k <= 9, s"need 2..9 raters, got $k")
+    val reserved = Seq("n_subjects", "k_raters", "t_total", "q", "dof",
+      "significant")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    val rs = raterCols.map(_.cast("long"))
+    val anyNull = rs.map(_.isNull).reduce(_ || _)
+    val rowSum = rs.reduce(_ + _)
+    val base = df.filter(!anyNull)
+    val aggs =
+      rs.zipWithIndex.map { case (r, i) => sum(r).as(s"__c$i") } ++ Seq(
+        count(lit(1)).as("n_subjects"),
+        sum(rowSum).as("__t"),
+        sum(dec(rowSum) * dec(rowSum)).as("__r2"))
+    val g = base.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+    val sumC2 = (0 until k).map(i => dec(col(s"__c$i")) * dec(col(s"__c$i")))
+      .reduce(_ + _)
+    val qNum = lit(k - 1L) * (lit(k.toLong) * sumC2 - dec(col("__t")) * dec(col("__t")))
+    val qDen = lit(k.toLong) * dec(col("__t")) - col("__r2")
+    val crit = Chi2Crit95Micro(k - 1)
+    g.select((groupCols ++ Seq(col("n_subjects"),
+      lit(k.toLong).as("k_raters"), col("__t").as("t_total"),
+      when(qDen > 0, asRatio(microRound6(qNum, qDen))).as("q"),
+      lit(k - 1L).as("dof"),
+      when(qDen > 0,
+        when(qNum * 1000000L > qDen * crit, 1).otherwise(0))
+        .as("significant"))): _*)
+  }
+
   /** The exact-rational RBO depth coefficients — ONE definition shared
     * by [[rankBiasedOverlap]] and the q279 oracle's generated VALUES
     * list (the minhashSigSql precedent): c_d = p^(d−1)/d scaled by

@@ -389,6 +389,19 @@ object EvalQueries {
         sims, k = 5, lambdaTenths = 7)
     }),
 
+    // Cochran's Q across THREE quality raters per language — the
+    // k-rater generalization of q273's McNemar: do the Gopher rules,
+    // the learned classifier, and the n_chars >= 500 length baseline
+    // keep documents at systematically different rates? dof = 2 rides
+    // the baked chi-square critical value.
+    "q281_cochran_q" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sl = scoredLabeled(s, dir)
+        .join(d.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      EvalMetrics.cochranQ(sl, Seq(col("lang")),
+        Seq(col("keep_doc"), confMicro > 1000000L, col("n_chars") >= 500))
+    }),
+
     // Rank-biased overlap between each query's BM25 page and its
     // two-term ABLATION (third term dropped) — "how much does the tail
     // term matter to the page" per query, with RBO's geometric depth
@@ -530,6 +543,44 @@ object EvalQueries {
     }.mkString(",\n       ")
 
   val oracles: Map[String, String] = Map(
+
+    "q281_cochran_q" ->
+      s"""WITH $gopherKeepCtes,
+         $classifierCtes,
+         $scCte,
+         jl AS (SELECT d.lang,
+             CAST(ga.keep_a AS BIGINT) AS r0,
+             CASE WHEN sc.conf_num > 1000000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN d.n_chars >= 500 THEN 1 ELSE 0 END AS r2
+           FROM sc JOIN ga USING (doc_id)
+           JOIN documents d USING (doc_id)
+           WHERE ga.keep_a IS NOT NULL AND d.n_chars IS NOT NULL),
+         g AS (SELECT lang, COUNT(*) AS n_subjects,
+             CAST(SUM(r0) AS HUGEINT) AS c0,
+             CAST(SUM(r1) AS HUGEINT) AS c1,
+             CAST(SUM(r2) AS HUGEINT) AS c2,
+             CAST(SUM(r0 + r1 + r2) AS BIGINT) AS t,
+             CAST(SUM(CAST(r0 + r1 + r2 AS HUGEINT) * (r0 + r1 + r2))
+               AS HUGEINT) AS r2s
+           FROM jl GROUP BY 1),
+         f AS (SELECT *,
+             2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2) -
+               CAST(t AS HUGEINT) * t) AS qnum,
+             3 * CAST(t AS HUGEINT) - r2s AS qden
+           FROM g)
+         SELECT lang, CAST(n_subjects AS BIGINT) AS n_subjects,
+           CAST(3 AS BIGINT) AS k_raters, t AS t_total,
+           CASE WHEN qden > 0 THEN
+             CAST((CASE WHEN qnum < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(qnum) * 1000000 + qden) // (2 * qden))
+               AS BIGINT) / 1000000.0
+           END AS q,
+           CAST(2 AS BIGINT) AS dof,
+           CASE WHEN qden > 0 THEN
+             CASE WHEN qnum * 1000000 > qden * 5991465
+             THEN 1 ELSE 0 END
+           END AS significant
+         FROM f""",
 
     "q279_rbo_ablation" -> {
       val (coeffs, denom) = EvalMetrics.rboCoeffs(10, 9)

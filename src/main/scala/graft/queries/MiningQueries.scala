@@ -194,6 +194,24 @@ object MiningQueries {
             hash64 = true))
     }),
 
+    // Jensen–Shannon divergence between two interleaved halves of each
+    // source — the SYMMETRIC bounded drift screen next to q219's KL:
+    // same feed, no privileged direction, reads in [0,1] bits. Exact
+    // fixed-point logs; one-sided tokens land lg 2 exactly. The split
+    // is (doc_id div 20) % 2: doc ids are round-robin over the 20
+    // sources, so raw parity would put every source entirely in one arm
+    // — the stride-20 quotient alternates WITHIN each source.
+    "q280_js_divergence" -> ((s, dir) =>
+      Divergence.jsDivergence(docs(s, dir), col("source"),
+        pmod(expr("doc_id div 20"), lit(2)) === 1, col("text"))),
+
+    // Chao1 + Good–Turing vocabulary richness per source — "is the
+    // long tail still growing?": singleton/doubleton type counts, the
+    // bias-corrected Chao1 total-vocabulary estimate and the unseen
+    // probability mass, all exact rationals.
+    "q282_vocab_richness" -> ((s, dir) =>
+      Divergence.vocabRichness(docs(s, dir), col("source"), col("text"))),
+
     // Exact vocabulary-overlap matrix between the 5 language slices:
     // distinct-token supports, pairwise intersection and exact Jaccard —
     // the cross-source contamination screen. The pair fan-out is keyed on
@@ -468,6 +486,79 @@ object MiningQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "q280_js_divergence" -> {
+      def h(s: String) = AnalyticsQueries.polyHash61Sql(s)
+      s"""WITH t AS (SELECT source, (doc_id // 20) % 2 AS bb,
+             $toksSql AS toks
+           FROM documents),
+         hx AS (SELECT source, bb, ${h("toks[i]")} AS hh
+           FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         c AS (SELECT source, hh,
+             CAST(SUM(CASE WHEN bb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN bb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cq
+           FROM hx GROUP BY 1, 2),
+         ns AS (SELECT source, CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(cq) AS BIGINT) AS nq, COUNT(*) AS vu
+           FROM c GROUP BY 1),
+         j AS (SELECT c.source, cp, cq, np, nq, vu,
+             cp * nq + cq * np AS mix
+           FROM c JOIN ns USING (source)),
+         ${Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("j",
+        "source, cp, cq, np, nq, vu, mix",
+        "GREATEST(2 * cp * nq, 1)", "lgp", "jsa")},
+         ${CurationQueries.log2fpStages("jsal",
+        "source, cp, cq, np, nq, vu, mix, lgp",
+        "GREATEST(2 * cq * np, 1)", "lgq", "jsb")},
+         ${CurationQueries.log2fpStages("jsbl",
+        "source, cp, cq, np, nq, vu, mix, lgp, lgq",
+        "GREATEST(mix, 1)", "lgm", "jsc")},
+         s2 AS (SELECT source, MAX(np) AS np, MAX(nq) AS nq,
+             MAX(vu) AS vu,
+             SUM(CASE WHEN cp > 0
+               THEN CAST(cp AS HUGEINT) * (lgp - lgm) ELSE 0 END) AS sp,
+             SUM(CASE WHEN cq > 0
+               THEN CAST(cq AS HUGEINT) * (lgq - lgm) ELSE 0 END) AS sq
+           FROM jscl GROUP BY 1),
+         f AS (SELECT source, np, nq, vu,
+             sp * nq + sq * np AS num,
+             2 * CAST(np AS HUGEINT) * nq * 1048576 AS den
+           FROM s2)
+         SELECT source, np AS n_p, nq AS n_q, vu AS v_union,
+           CASE WHEN np > 0 AND nq > 0 THEN
+             CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(num) * 1000000 + den) // (2 * den)) AS BIGINT)
+               / 1000000.0
+           END AS js_bits
+         FROM f"""
+    },
+
+    "q282_vocab_richness" -> {
+      def h(s: String) = AnalyticsQueries.polyHash61Sql(s)
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         hx AS (SELECT source, ${h("toks[i]")} AS hh
+           FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         c AS (SELECT source, hh, COUNT(*) AS cc FROM hx GROUP BY 1, 2),
+         g AS (SELECT source, CAST(SUM(cc) AS BIGINT) AS n_tokens,
+             COUNT(*) AS v_obs,
+             CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+           FROM c GROUP BY 1)
+         SELECT source, n_tokens, v_obs, f1, f2,
+           CAST((2 * (CAST(v_obs AS HUGEINT) * (f2 + 1) * 2 +
+               CAST(f1 AS HUGEINT) * (f1 - 1)) * 1000000 +
+               (f2 + 1) * 2)
+             // (2 * CAST((f2 + 1) * 2 AS HUGEINT)) AS BIGINT)
+             / 1000000.0 AS chao1,
+           CASE WHEN n_tokens > 0 THEN
+             CAST((2 * CAST(f1 AS HUGEINT) * 1000000 + n_tokens)
+               // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) / 1000000.0
+           END AS gt_unseen
+         FROM g"""
+    },
 
     "q231_cramers_v" ->
       """WITH cells AS (SELECT lang AS x, source AS y, COUNT(*) AS n_obs

@@ -584,6 +584,42 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(n.getAs[Long]("n") == 5 && n.getAs[Long]("b01") == 4)
   }
 
+  test("cochranQ: driver replica on three raters; k=2 reduces to the " +
+      "uncorrected McNemar; unanimous -> null; null raters excluded") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(90)(("g", rnd.nextInt(2), rnd.nextInt(2),
+      if (rnd.nextInt(4) == 0) 1 else 0))
+    val out = EvalMetrics.cochranQ(rows.toDF("g", "a", "b", "c"),
+      Seq(col("g")), Seq(col("a"), col("b"), col("c"))).collect().head
+    val cs = Seq(rows.map(_._2.toLong).sum, rows.map(_._3.toLong).sum,
+      rows.map(_._4.toLong).sum)
+    val rsums = rows.map(r => (r._2 + r._3 + r._4).toLong)
+    val t = rsums.sum
+    val qNum = BigInt(2) * (3 * cs.map(c => BigInt(c) * c).sum - BigInt(t) * t)
+    val qDen = BigInt(3) * t - rsums.map(r => BigInt(r) * r).sum
+    val want = ((qNum * 2000000 + qDen) / (qDen * 2)).toDouble / 1e6
+    assert(out.getAs[Double]("q") == want)
+    assert(out.getAs[Long]("t_total") == t && out.getAs[Long]("dof") == 2)
+    // k = 2: Q = (b01-c10)^2/(b01+c10) — McNemar without the correction
+    val two = (Seq.fill(12)(("g", 1, 0)) ++ Seq.fill(4)(("g", 0, 1)) ++
+      Seq.fill(10)(("g", 1, 1))).toDF("g", "a", "b")
+    val q2 = EvalMetrics.cochranQ(two, Seq(col("g")),
+      Seq(col("a"), col("b"))).collect().head
+    assert(q2.getAs[Double]("q") == 4.0) // (12-4)^2/16
+    assert(q2.getAs[Int]("significant") == 1)
+    // unanimous rows only: zero denominator
+    val u = Seq.fill(8)(("g", 1, 1, 1)).toDF("g", "a", "b", "c")
+    assert(EvalMetrics.cochranQ(u, Seq(col("g")),
+      Seq(col("a"), col("b"), col("c"))).collect().head
+      .getAs[Any]("q") == null)
+    // null rater rows drop entirely
+    val n = (Seq(("g", Some(1), Some(0))) ++ Seq(("g", None, Some(1))))
+      .toDF("g", "a", "b")
+    assert(EvalMetrics.cochranQ(n, Seq(col("g")),
+      Seq(col("a"), col("b"))).collect().head
+      .getAs[Long]("n_subjects") == 1)
+  }
+
   test("rankBiasedOverlap: identical pages read rbo_norm 1; disjoint " +
       "read 0; driver replica on a partial overlap; union universe") {
     def page(q: Long, ids: Seq[Long]) =

@@ -240,6 +240,60 @@ class MiningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jsDivergence: identical halves read 0; disjoint vocabularies " +
+      "read exactly 1 bit; symmetric; one-empty-side -> null") {
+    // identical halves
+    val same = Seq(("s", false, "a b c a"), ("s", true, "a b c a"))
+      .toDF("src", "h", "text")
+    val r0 = Divergence.jsDivergence(same, col("src"), col("h"), col("text"))
+      .collect().head
+    assert(r0.getAs[Double]("js_bits") == 0.0)
+    // disjoint vocabularies: every token one-sided, lg 2 exact -> 1 bit
+    val disj = Seq(("s", false, "a b c"), ("s", true, "x y z"))
+      .toDF("src", "h", "text")
+    val r1 = Divergence.jsDivergence(disj, col("src"), col("h"), col("text"))
+      .collect().head
+    assert(r1.getAs[Double]("js_bits") == 1.0)
+    assert(r1.getAs[Long]("v_union") == 6)
+    // symmetry: swapping the arms preserves the value
+    val mixed = Seq(("s", false, "a a b c"), ("s", true, "a b b d e"))
+      .toDF("src", "h", "text")
+    val f = Divergence.jsDivergence(mixed, col("src"), col("h"),
+      col("text")).collect().head
+    val g = Divergence.jsDivergence(mixed, col("src"), !col("h"),
+      col("text")).collect().head
+    assert(f.getAs[Double]("js_bits") == g.getAs[Double]("js_bits"))
+    val js = f.getAs[Double]("js_bits")
+    assert(js > 0.0 && js < 1.0)
+    // one empty side -> null
+    val oneSided = Seq(("s", false, "a b")).toDF("src", "h", "text")
+    assert(Divergence.jsDivergence(oneSided, col("src"), col("h"),
+      col("text")).collect().head.getAs[Any]("js_bits") == null)
+  }
+
+  test("vocabRichness: hand-checked Chao1 and Good-Turing; all-distinct " +
+      "and all-repeated corners") {
+    val df = Seq(("s", "a a b c")).toDF("src", "text")
+    val r = Divergence.vocabRichness(df, col("src"), col("text"))
+      .collect().head
+    // N=4 V=3 F1=2 F2=1: chao1 = 3 + 2*1/(2*2) = 3.5, gt = 2/4
+    assert(r.getAs[Long]("n_tokens") == 4 && r.getAs[Long]("v_obs") == 3)
+    assert(r.getAs[Long]("f1") == 2 && r.getAs[Long]("f2") == 1)
+    assert(r.getAs[Double]("chao1") == 3.5)
+    assert(r.getAs[Double]("gt_unseen") == 0.5)
+    // all distinct: F2=0 -> bias-corrected V + V(V-1)/2
+    val d2 = Seq(("s", "p q r")).toDF("src", "text")
+    val r2 = Divergence.vocabRichness(d2, col("src"), col("text"))
+      .collect().head
+    assert(r2.getAs[Double]("chao1") == 3.0 + 3.0)
+    // one token repeated: F1=0 -> chao1 = V, unseen mass 0
+    val d3 = Seq(("s", "z z z z")).toDF("src", "text")
+    val r3 = Divergence.vocabRichness(d3, col("src"), col("text"))
+      .collect().head
+    assert(r3.getAs[Double]("chao1") == 1.0)
+    assert(r3.getAs[Double]("gt_unseen") == 0.0)
+  }
+
   test("vocabOverlap: exact Jaccard over distinct-token supports, empty pairs kept") {
     val df = Seq(
       ("s1", "red green blue"),
