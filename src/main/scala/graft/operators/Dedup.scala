@@ -878,4 +878,75 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Winnowed fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS scheme): per document, the RIGHTMOST-minimum k-gram hash of
+    * every length-w window of consecutive gram hashes, deduplicated to
+    * (position, hash) pairs. The guarantee: any shared substring of at
+    * least w + k − 1 tokens produces at least one shared fingerprint,
+    * while expected density is only 2/(w+1) of the grams — the
+    * sub-document dedup key family between exact substring spans (every
+    * gram) and MinHash (whole-doc). Grams ride the compiled 61-bit poly
+    * fold; the window min runs as a per-row declarative fold — zero
+    * exchanges. Documents with fewer than w grams collapse to one
+    * window (their full gram list); gram-less docs emit nothing.
+    *
+    * Scale posture: one narrow projection + explode bounded by gram
+    * count; the O(n·w) window mins are per-row compute, w small by
+    * contract. The fingerprint frame is ~2n/(w+1) rows of 8-byte
+    * hashes.
+    *
+    * @return (id, pos, h) — pos is the 1-based gram position of the
+    *         selected hash
+    */
+  def winnowedFingerprints(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5, w: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in 1..16, got $k")
+    require(w >= 2 && w <= 64, s"w must be in 2..64, got $w")
+    val grams = graft.functions.PolyHash.polyGramHashes61(
+      df.sparkSession, textCol, k)
+    df.select(idCol.as("id"), grams.as("__g"))
+      .withColumn("__nw",
+        when(size(col("__g")) >= w, size(col("__g")) - (w - 1))
+          .when(size(col("__g")) >= 1, lit(1)).otherwise(lit(0)))
+      .filter(col("__nw") > 0)
+      .select(col("id"), col("__g"),
+        explode(sequence(lit(1), col("__nw"))).as("__i"))
+      .withColumn("__win", expr(s"slice(__g, __i, $w)"))
+      .withColumn("__m", expr("array_min(__win)"))
+      // rightmost minimal hash (the paper's robust-winnowing tiebreak):
+      // leftmost position in the reversed window
+      .withColumn("__pos", expr(
+        "__i + size(__win) - array_position(reverse(__win), __m)"))
+      .select(col("id"), col("__pos").cast("long").as("pos"),
+        col("__m").as("h"))
+      .distinct()
+  }
+
+  /** Near-duplicate candidate pairs from shared winnowed fingerprints —
+    * the [[cdcNearDupPairs]] shape at k-gram granularity: fingerprints
+    * held by more than `maxDf` docs are boilerplate and are dropped
+    * BEFORE the pair join (fan-out per hash ≤ maxDf²/2), pairs keep
+    * `n_shared` distinct shared hashes ≥ minShared. Only (id, hash)
+    * pairs ever shuffle.
+    */
+  def winnowNearDupPairs(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5, w: Int = 8, minShared: Int = 2,
+      maxDf: Int = 16): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
+    val fps = winnowedFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("h")).distinct()
+    val pairable = fps.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("h"))
+    val gated = fps.join(pairable, Seq("h"))
+    gated.as("a")
+      .join(gated.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -108,6 +108,47 @@ object AnalyticsQueries {
         hash64 = true)
     }),
 
+    // Winnowed fingerprint audit (Schleimer et al. 2003, the MOSS
+    // scheme): per source, fingerprint count, distinct hashes, and the
+    // realized density — the paper's 2/(w+1) expected density is the
+    // sanity bar (w = 8 → ~0.22). The fingerprint family sits between
+    // q106's every-gram index (heavy, exact) and MinHash (whole-doc):
+    // a guaranteed hit for any shared run of w + k − 1 tokens at ~1/4
+    // the gram volume.
+    "q283_winnow_fingerprints" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fps = Dedup.winnowedFingerprints(d, col("doc_id"), col("text"),
+        k = 5, w = 8)
+      val grams = d.select(col("source"),
+          greatest(size(TextFunctions.tokens(col("text"))) - 4, lit(0))
+            .cast("long").as("__ng"))
+        .groupBy(col("source")).agg(sum(col("__ng")).as("n_grams"))
+      fps.join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_fp"),
+          count_distinct(col("h")).as("n_distinct"))
+        .join(grams, Seq("source"))
+        .select(col("source"), col("n_grams"), col("n_fp"),
+          col("n_distinct"),
+          when(col("n_grams") > 0,
+            graft.operators.EvalMetrics.microRound6(col("n_fp"),
+              col("n_grams")).cast("double") / 1e6).as("density"))
+    }),
+
+    // Winnow-based near-dup recovery on the banner-twin corpus (the
+    // q207 harness): every doc plus a noise-prefixed copy — the twins
+    // share every fingerprint of the common tail (content hashes, not
+    // positions), so the pair join recovers them while the df cap drops
+    // boilerplate hashes before any fan-out.
+    "q284_winnow_neardup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val twins = d.select((col("id") + 100000L).as("id"),
+        concat(lit("BANNER NOISE HEADER INJECTED "), col("text"))
+          .as("text"))
+      Dedup.winnowNearDupPairs(d.unionByName(twins), col("id"),
+        col("text"), k = 5, w = 8, minShared = 3, maxDf = 8)
+    }),
+
     // q135 under the beyond-broadcast Bloom-prefilter notch (r6 verdict
     // #7): the dup-gram set folds into a Bloom filter probed at the gram
     // projection, BEFORE the semi-join's probe exchange; the exact
@@ -562,7 +603,69 @@ object AnalyticsQueries {
            JOIN deg ON e.src = deg.src
            GROUP BY e.dst) s ON b.id = s.dst)"""
 
+  /** The winnowed-fingerprint CTE chain (q283/q284's SQL twin of
+    * [[graft.operators.Dedup.winnowedFingerprints]], k = 5, w = 8):
+    * continues from a `$src(doc_id, toks)` CTE and ends at
+    * `fp(doc_id, pos, m)` — gram rows via the flat unnest-range
+    * pattern, window minima via a bounded BETWEEN join, the rightmost
+    * minimal position via a max over the min-valued grams.
+    */
+  private def winnowFpCtes(src: String): String =
+    s"""wg AS (SELECT doc_id, i AS j,
+           ${polyHash61Sql("array_to_string(toks[i:i+4], ' ')")} AS h
+         FROM $src, unnest(range(1, len(toks) - 3)) AS u(i)),
+       wn AS (SELECT doc_id, GREATEST(len(toks) - 4, 0) AS ng FROM $src),
+       ww AS (SELECT doc_id,
+           unnest(range(1, CASE WHEN ng >= 8 THEN ng - 6
+             WHEN ng >= 1 THEN 2 ELSE 1 END)) AS wi
+         FROM wn),
+       wm AS (SELECT ww.doc_id, ww.wi, MIN(wg.h) AS m
+         FROM ww JOIN wg ON wg.doc_id = ww.doc_id
+           AND wg.j BETWEEN ww.wi AND ww.wi + 7
+         GROUP BY 1, 2),
+       wp AS (SELECT wm.doc_id, wm.wi, wm.m, MAX(wg.j) AS pos
+         FROM wm JOIN wg ON wg.doc_id = wm.doc_id AND wg.h = wm.m
+           AND wg.j BETWEEN wm.wi AND wm.wi + 7
+         GROUP BY 1, 2, 3),
+       fp AS (SELECT DISTINCT doc_id, pos, m FROM wp)"""
+
   val oracles: Map[String, String] = Map(
+
+    "q283_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks
+           FROM documents),
+         ${winnowFpCtes("t")},
+         gsum AS (SELECT source,
+             CAST(SUM(GREATEST(len(toks) - 4, 0)) AS BIGINT) AS n_grams
+           FROM t GROUP BY 1),
+         fsum AS (SELECT t.source, COUNT(*) AS n_fp,
+             COUNT(DISTINCT fp.m) AS n_distinct
+           FROM fp JOIN t USING (doc_id) GROUP BY 1)
+         SELECT source, n_grams, CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CASE WHEN n_grams > 0 THEN
+             CAST((2 * CAST(n_fp AS HUGEINT) * 1000000 + n_grams)
+               // (2 * CAST(n_grams AS HUGEINT)) AS BIGINT) / 1000000.0
+           END AS density
+         FROM fsum JOIN gsum USING (source)""",
+
+    "q284_winnow_neardup" ->
+      s"""WITH d0 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+             'BANNER NOISE HEADER INJECTED ' || text FROM documents),
+         t AS (SELECT doc_id, $toksSql AS toks FROM d0),
+         ${winnowFpCtes("t")},
+         fh AS (SELECT DISTINCT doc_id AS id, m AS h FROM fp),
+         pairable AS (SELECT h FROM fh GROUP BY h
+           HAVING COUNT(*) >= 2 AND COUNT(*) <= 8),
+         gated AS (SELECT id, h FROM fh JOIN pairable USING (h))
+         SELECT a.id AS id1, b.id AS id2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM gated a JOIN gated b ON a.h = b.h AND a.id < b.id
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= 3""",
     "q151_ivfpq_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          b AS (SELECT vec_id, v,

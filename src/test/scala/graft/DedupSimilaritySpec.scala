@@ -644,4 +644,73 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // distinct base docs don't pair with each other
     assert(!pairSet.exists { case (a, b) => a <= 3 && b <= 3 })
   }
+
+  test("winnowedFingerprints: the winnowing guarantee (every window " +
+      "selects), rightmost tie-break, density near 2/(w+1), prefix " +
+      "shift preserves tail hashes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val words = (1 to 400).map(_ => "w" + rnd.nextInt(5000)).mkString(" ")
+    val df = Seq((1L, words)).toDF("id", "text")
+    val k = 5; val w = 8
+    val fps = Dedup.winnowedFingerprints(df, col("id"), col("text"), k, w)
+      .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("h")))
+    val nGrams = 400 - k + 1
+    // guarantee: every length-w window of gram positions contains a
+    // selected position
+    val posSet = fps.map(_._1).toSet
+    (1 to nGrams - w + 1).foreach { i =>
+      assert((i until i + w).exists(j => posSet.contains(j.toLong)),
+        s"window at $i has no fingerprint")
+    }
+    // density within a loose band of the paper's 2/(w+1)
+    val density = fps.length.toDouble / nGrams
+    assert(density > 0.12 && density < 0.35, s"density=$density")
+    // prefix shift: the twin's fingerprint HASHES cover the original's
+    // (positions move, content survives; boundary windows may add a few)
+    val twin = Seq((2L, "BANNER NOISE HEADER INJECTED " + words))
+      .toDF("id", "text")
+    val tw = Dedup.winnowedFingerprints(twin, col("id"), col("text"), k, w)
+      .collect().map(_.getAs[Long]("h")).toSet
+    val orig = fps.map(_._2).toSet
+    val shared = orig.intersect(tw).size.toDouble / orig.size
+    assert(shared > 0.9, s"shared=$shared")
+    // rightmost tie-break: constant text ties every window at one hash
+    // whose selected position is the window's RIGHT edge
+    val const = Seq((3L, Seq.fill(20)("same").mkString(" ")))
+      .toDF("id", "text")
+    val cf = Dedup.winnowedFingerprints(const, col("id"), col("text"), k, w)
+      .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("h")))
+    // 16 grams, 9 windows at i=1..9 -> rightmost of window i is i+7
+    assert(cf.map(_._1).sorted.toSeq == (8L to 16L),
+      s"got ${cf.map(_._1).sorted.toSeq}")
+    // short doc (fewer grams than w): ONE window over the full list
+    val short = Seq((4L, "a b c d e f")).toDF("id", "text") // 2 grams
+    val sf = Dedup.winnowedFingerprints(short, col("id"), col("text"), k, w)
+      .collect()
+    assert(sf.length == 1)
+    // gram-less doc emits nothing
+    val tiny = Seq((5L, "a b")).toDF("id", "text")
+    assert(Dedup.winnowedFingerprints(tiny, col("id"), col("text"), k, w)
+      .count() == 0)
+  }
+
+  test("winnowNearDupPairs: banner twins recovered, df cap drops " +
+      "boilerplate before the join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    def doc() = (1 to 120).map(_ => "t" + rnd.nextInt(3000)).mkString(" ")
+    val base = (1L to 4L).map(i => (i, doc()))
+    val twins = base.map { case (i, t) => (i + 100L, "NOISE PREFIX " + t) }
+    // 30 copies of one boilerplate doc: its fingerprints exceed maxDf
+    val boiler = (1000L to 1029L).map(i => (i, "x " * 100))
+    val all = (base ++ twins ++ boiler).toDF("id", "text")
+    val pairs = Dedup.winnowNearDupPairs(all, col("id"), col("text"),
+      k = 5, w = 8, minShared = 3, maxDf = 8)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+      .toSet
+    (1L to 4L).foreach(i => assert(pairs.contains((i, i + 100L)), s"twin $i"))
+    assert(!pairs.exists(p => p._1 >= 1000L || p._2 >= 1000L),
+      "boilerplate cluster must be frequency-capped out")
+  }
 }
