@@ -2094,6 +2094,79 @@ object Stress {
       s"rank floor is the damping base: $out")
   }
 
+  /** Corpus-diversity receipts at scale (r11): the q271/q280/q283
+    * family over n synthetic ~16-token docs from a power-ish vocabulary
+    * — measures (a) the hash64 vs gram-STRING cost gap that motivated
+    * the q271 re-base, (b) the JS-divergence single-exchange shape,
+    * (c) winnowing's fingerprint density and volume at 10M docs.
+    */
+  private def diversityReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Divergence
+    // ~16 tokens/doc; token ids through an avalanche hash (a bare
+    // multiplicative fold leaves lattice structure that collapses gram
+    // diversity — the r7 hyperplane-receipt lesson); 50k vocab. Odd
+    // docs draw their back half from a SHIFTED vocabulary window so
+    // the JS receipt has planted drift to detect.
+    val docs = spark.range(0, n, 1, 32).select(
+      col("id"),
+      concat(lit("src"), pmod(col("id"), lit(20)).cast("string"))
+        .as("source"),
+      array_join(transform(sequence(lit(0L), lit(15L)), j =>
+        concat(lit("w"),
+          (pmod(xxhash64(col("id") * 16 + j), lit(50000)) +
+            when(j >= 8 && pmod(expr("id div 20"), lit(2)) === 1, 50000L)
+              .otherwise(0L)).cast("string"))), " ").as("text"))
+      .localCheckpoint() // materialize once: three consumers below
+    for (hashMode <- Seq(false, true)) {
+      val tag = if (hashMode) "hash64" else "strings"
+      val (rows, bytes) = shuffleBytes(spark.sparkContext) {
+        var r = 0L
+        time(f"ngram_div2_${n / 1000000}%dM_$tag", runs = 1) {
+          r = Divergence.ngramDiversity(docs, col("source"), col("text"),
+            2, hash64 = hashMode).count()
+        }
+        r
+      }
+      println(f"[stress] ngram_div2_$tag: $rows sources, " +
+        f"shuffle ${bytes / 1048576.0}%.1f MB")
+      require(rows == 20, s"expected 20 sources, got $rows")
+    }
+    val (jsOut, jsBytes) = shuffleBytes(spark.sparkContext) {
+      var r: Array[org.apache.spark.sql.Row] = Array.empty
+      time(f"js_divergence_${n / 1000000}%dM", runs = 1) {
+        // the split mirrors the planted drift: (id div 20) parity —
+        // id % 2 would be one-armed per source (id % 20 fixes parity)
+        r = Divergence.jsDivergence(docs, col("source"),
+          pmod(expr("id div 20"), lit(2)) === 1, col("text")).collect()
+      }
+      r
+    }
+    val jsVals = jsOut.map(_.getAs[Double]("js_bits"))
+    println(f"[stress] js_divergence: ${jsOut.length} sources, " +
+      f"shuffle ${jsBytes / 1048576.0}%.1f MB, js range " +
+      f"[${jsVals.min}%.4f, ${jsVals.max}%.4f]")
+    require(jsOut.length == 20 &&
+      jsVals.forall(v => v > 0.1 && v <= 1.0),
+      "planted back-half vocabulary shift not detected")
+    val (fpStats, fpBytes) = shuffleBytes(spark.sparkContext) {
+      var r = (0L, 0L)
+      time(f"winnow_fp_${n / 1000000}%dM", runs = 1) {
+        val m = Dedup.winnowedFingerprints(docs, col("id"), col("text"),
+            k = 5, w = 8)
+          .agg(count(lit(1)), count_distinct(col("h"))).head()
+        r = (m.getLong(0), m.getLong(1))
+      }
+      r
+    }
+    val grams = n * 12 // 16 tokens -> 12 5-grams per doc
+    println(f"[stress] winnow_fp: ${fpStats._1} fingerprints " +
+      f"(density ${fpStats._1.toDouble / grams}%.3f vs 2/(w+1)=0.222), " +
+      f"${fpStats._2} distinct, shuffle ${fpBytes / 1048576.0}%.1f MB")
+    require(fpStats._1.toDouble / grams > 0.15 &&
+      fpStats._1.toDouble / grams < 0.30, "density off the winnowing bar")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -2102,6 +2175,12 @@ object Stress {
       .config("spark.sql.shuffle.partitions", 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (section == "diversity") {
+      diversityReceipt(spark, n)
+      spark.stop()
+      return
+    }
 
     if (section == "pipeline") {
       pipelineReceipt(spark, n)
