@@ -863,4 +863,94 @@ object TableOps {
     df.withColumn("group_size", count(lit(1)).over(w))
       .withColumn("suppressed", when(col("group_size") < k, 1).otherwise(0))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * leg of the release-governance trio: [[kAnonymity]] bounds
+    * re-identification, [[lDiversity]] bounds attribute disclosure by
+    * VARIETY, t-closeness bounds it by DISTRIBUTION — an equivalence
+    * class whose sensitive values are diverse but skewed (9 of 10 rows
+    * "tier 4") still leaks. For an ORDERED sensitive attribute the
+    * earth-mover distance has the closed prefix form
+    *
+    *   t = Σ_{i<m} |cumP_i·N − cumQ_i·n_c| / (n_c·N·(m−1))
+    *
+    * over the m global distinct values — exact integers end to end
+    * (common denominator n_c·N), micro-rounded once. Classes missing a
+    * value still accumulate its global mass (the cross join against the
+    * value table, not just observed cells). m = 1 → t = 0 by
+    * definition. Null sensitive rows are excluded; null quasi values
+    * form their own class (the [[kAnonymity]] convention).
+    *
+    * Scale posture: one (class, value) count aggregation over the input;
+    * cumulatives ride broadcast triangular joins on the value-bounded
+    * frames (never an unpartitioned window), so the only row-weight
+    * exchange is the cell aggregation. The class×m² fan-out requires a
+    * small ordinal value domain — the t-closeness setting (band/tier
+    * attributes), enforced fail-loud via `maxValues`.
+    *
+    * @return (quasi…, n, m_values, t, within_t)
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[Column],
+      sensitiveCol: Column, tMicro: Long,
+      maxValues: Int = 64): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tMicro >= 0 && tMicro <= 1000000L,
+      s"tMicro must be in [0, 1e6], got $tMicro")
+    val reserved = Seq("n", "m_values", "t", "within_t")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(sensitiveCol.isNotNull)
+    val cells = base
+      .groupBy((quasiCols :+ sensitiveCol.cast("long").as("__v")): _*)
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    val gNames = cells.columns.dropRight(2).toSeq
+    // global value table with cumulative counts via a broadcast
+    // triangular self-join (value-domain bounded, fail-loud)
+    val vals = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__gq"))
+      .localCheckpoint()
+    val m = vals.count()
+    require(m <= maxValues,
+      s"tCloseness: $m distinct sensitive values exceed maxValues=" +
+        s"$maxValues — ordinal attributes only (band/bucket first)")
+    val totals = vals.agg(sum(col("__gq")).as("__N"),
+      count(lit(1)).as("__m"))
+    val cumQ = vals.select(col("__v").as("__vi"))
+      .join(broadcast(vals), col("__v") <= col("__vi"))
+      .groupBy(col("__vi")).agg(sum(col("__gq")).as("__cumq"))
+    // per-class cumulative at EVERY global value (missing cells read 0);
+    // the class key joins null-safely (null quasi values form a class)
+    val classes = cells.groupBy(gNames.map(col): _*)
+      .agg(sum(col("__c")).as("n"))
+    val cellsJ = cells.select(
+      (gNames.map(n => col(n).as(s"__j_$n")) ++
+        Seq(col("__v").as("__vj"), col("__c"))): _*)
+    val classKey = gNames.map(n => col(n) <=> col(s"__j_$n")).reduce(_ && _)
+    val perClassCum = classes
+      .join(broadcast(vals.select(col("__v").as("__vi"))), lit(true))
+      .join(cellsJ, classKey && col("__vj") <= col("__vi"), "left")
+      .groupBy((gNames.map(col) ++ Seq(col("n"), col("__vi"))): _*)
+      .agg(sum(coalesce(col("__c"), lit(0L))).as("__cump"))
+    val terms = perClassCum
+      .join(broadcast(cumQ), Seq("__vi"))
+      .crossJoin(broadcast(totals))
+      .select((gNames.map(col) ++ Seq(col("n"), col("__m"), col("__N"),
+        abs(dec(coalesce(col("__cump"), lit(0L))) * dec(col("__N")) -
+          dec(col("__cumq")) * dec(col("n"))).as("__gap"))): _*)
+    terms.groupBy((gNames.map(col) ++ Seq(col("n"), col("__m"),
+        col("__N"))): _*)
+      .agg(sum(col("__gap")).as("__t"))
+      .select((gNames.map(col) ++ Seq(col("n"),
+        col("__m").as("m_values"),
+        when(col("__m") > 1,
+          EvalMetrics.microRound6(col("__t"),
+            dec(col("n")) * dec(col("__N")) * dec(col("__m") - 1)))
+          .otherwise(0L).cast("double").divide(lit(1e6)).as("t"),
+        when(col("__m") > 1,
+          when(EvalMetrics.microRound6(col("__t"),
+            dec(col("n")) * dec(col("__N")) * dec(col("__m") - 1))
+            <= tMicro, 1).otherwise(0))
+          .otherwise(1).as("within_t"))): _*)
+  }
 }

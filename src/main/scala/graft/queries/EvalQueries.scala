@@ -389,6 +389,21 @@ object EvalQueries {
         sims, k = 5, lambdaTenths = 7)
     }),
 
+    // t-closeness over the SAME release table as q217/q222 — the third
+    // privacy leg: k-anonymity bounds re-identification, l-diversity
+    // bounds variety, t-closeness bounds the DISTRIBUTION gap (a
+    // diverse-but-skewed class still leaks). Ordered EMD in exact
+    // integers over the tier attribute; t ≤ 0.15 is the release bar.
+    "q285_t_closeness" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        pmod(col("c_custkey"), lit(5)).as("tier"))
+      TableOps.tCloseness(base,
+        Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")),
+        col("tier"), tMicro = 150000L)
+    }),
+
     // Cochran's Q across THREE quality raters per language — the
     // k-rater generalization of q273's McNemar: do the Gopher rules,
     // the learned classifier, and the n_chars >= 500 length baseline
@@ -856,6 +871,56 @@ object EvalQueries {
            CAST(CASE WHEN n_sensitive >= 2 THEN 1 ELSE 0 END AS INT)
              AS diverse
          FROM f""",
+
+    "q285_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_custkey % 5 AS v
+           FROM customer),
+         cells AS (SELECT c_nationkey, c_mktsegment, bal_band, v,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2, 3, 4),
+         vals AS (SELECT v, CAST(SUM(c) AS BIGINT) AS gq FROM cells
+           GROUP BY 1),
+         tot AS (SELECT CAST(SUM(gq) AS BIGINT) AS nn, COUNT(*) AS m
+           FROM vals),
+         cq AS (SELECT a.v AS vi, CAST(SUM(b2.gq) AS BIGINT) AS cumq
+           FROM vals a JOIN vals b2 ON b2.v <= a.v GROUP BY 1),
+         cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(SUM(c) AS BIGINT) AS n
+           FROM cells GROUP BY 1, 2, 3),
+         pc AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_band,
+             cls.n, vals.v AS vi,
+             CAST(COALESCE(SUM(ce.c), 0) AS BIGINT) AS cump
+           FROM cls CROSS JOIN vals
+           LEFT JOIN cells ce
+             ON ce.c_nationkey IS NOT DISTINCT FROM cls.c_nationkey
+             AND ce.c_mktsegment IS NOT DISTINCT FROM cls.c_mktsegment
+             AND ce.bal_band IS NOT DISTINCT FROM cls.bal_band
+             AND ce.v <= vals.v
+           GROUP BY 1, 2, 3, 4, 5),
+         tm AS (SELECT pc.c_nationkey, pc.c_mktsegment, pc.bal_band,
+             pc.n, tot.m, tot.nn,
+             ABS(CAST(cump AS HUGEINT) * tot.nn -
+               CAST(cq.cumq AS HUGEINT) * pc.n) AS gap
+           FROM pc JOIN cq ON cq.vi = pc.vi CROSS JOIN tot),
+         ag AS (SELECT c_nationkey, c_mktsegment, bal_band, n, m, nn,
+             SUM(gap) AS ts
+           FROM tm GROUP BY 1, 2, 3, 4, 5, 6),
+         fm AS (SELECT *,
+             CASE WHEN m > 1 THEN
+               CAST((2 * ts * 1000000 +
+                   CAST(n AS HUGEINT) * nn * (m - 1))
+                 // (2 * CAST(n AS HUGEINT) * nn * (m - 1)) AS BIGINT)
+             ELSE 0 END AS tmic
+           FROM ag)
+         SELECT c_nationkey, c_mktsegment, bal_band, n,
+           CAST(m AS BIGINT) AS m_values,
+           tmic / 1000000.0 AS t,
+           CAST(CASE WHEN m > 1 THEN
+             CASE WHEN tmic <= 150000 THEN 1 ELSE 0 END
+           ELSE 1 END AS INT) AS within_t
+         FROM fm""",
 
     "q223_zipf_slope" ->
       s"""WITH cs AS (SELECT source, tok, COUNT(*) AS freq FROM

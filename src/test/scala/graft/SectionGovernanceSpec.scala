@@ -112,4 +112,43 @@ class SectionGovernanceSpec extends AnyFunSuite {
       s"skewed source must diverge more: $got")
     assert(math.abs(got("src_flat")._3) < 0.2, s"flat source near corpus: $got")
   }
+
+  test("tCloseness: hand-checked ordered EMD; mirror class reads 0; " +
+      "missing values accumulate global mass; m=1 reads 0") {
+    // global: v=0 ×4, v=1 ×4 (N=8, m=2). class A = (0,0,1,1) mirrors the
+    // global -> t = 0. class B = (0,0,0,0): cum gaps |4*8-4*4|=16 at v=0,
+    // 0 at v=1 -> t = 16/(4*8*1) = 0.5.
+    val df = (Seq.fill(2)(("A", 0L)) ++ Seq.fill(2)(("A", 1L)) ++
+      Seq.fill(4)(("B", 0L)) ++ Seq.fill(2)(("C", 1L)))
+      .toDF("g", "v")
+    // recompute: global v0=6, v1=4, N=10, m=2
+    // A: cumP(v0)=2/4 vs 6/10 -> |2*10-6*4|=4; t=4/(4*10*1)=0.1
+    // B: |4*10-6*4|=16; t=16/(4*10)=0.4
+    // C (v=1 only, v0 MISSING): |0*10-6*2|=12; t=12/(2*10)=0.6
+    val got = TableOps.tCloseness(df, Seq(col("g")), col("v"),
+      tMicro = 150000L).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("t"), r.getAs[Int]("within_t"),
+          r.getAs[Long]("m_values"))).toMap
+    assert(got("A") == ((0.1, 1, 2L)), s"A: ${got("A")}")
+    assert(got("B") == ((0.4, 0, 2L)), s"B: ${got("B")}")
+    assert(got("C") == ((0.6, 0, 2L)), s"C: ${got("C")}")
+    // perfectly mirroring class: t = 0
+    val mirror = (Seq.fill(3)(("M", 0L)) ++ Seq.fill(2)(("M", 1L)) ++
+      Seq.fill(3)(("O", 0L)) ++ Seq.fill(2)(("O", 1L))).toDF("g", "v")
+    val m = TableOps.tCloseness(mirror, Seq(col("g")), col("v"), 150000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("t")).toMap
+    assert(m("M") == 0.0 && m("O") == 0.0)
+    // single global value: m = 1 -> t = 0, within by definition
+    val one = Seq(("X", 7L), ("Y", 7L)).toDF("g", "v")
+    val o = TableOps.tCloseness(one, Seq(col("g")), col("v"), 0L)
+      .collect().head
+    assert(o.getAs[Double]("t") == 0.0 && o.getAs[Int]("within_t") == 1)
+    // fail-loud value-domain guard
+    val wide = (1L to 100L).map(i => ("W", i)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      TableOps.tCloseness(wide, Seq(col("g")), col("v"), 0L, maxValues = 8)
+    }
+    assert(e.getMessage.contains("maxValues"))
+  }
 }
