@@ -289,6 +289,71 @@ object Similarity {
       .select(col("id"), col("cluster"))
   }
 
+  /** Cluster assignment-margin audit over the seeded codebook — the
+    * "how confident is the IVF routing" statistic: per vector, the gap
+    * between its best and second-best centroid dot; small margins mark
+    * boundary vectors (exactly the ones a low `nprobe` mis-routes, so
+    * the margin distribution is the data-driven way to size nprobe).
+    * Entirely on the integer surface: vectors AND the seeded centroids
+    * are milli-quantized (PqOps.quantize — the q166/q215 contract)
+    * BEFORE the dots, assignment = argmax quantized dot with ties to
+    * the HIGHEST centroid index (the q114 oracle convention), margins
+    * are plain longs (milli² dot units), and the per-cluster mean
+    * micro-rounds once. Mis-dimensioned/null vectors are excluded
+    * (fail-visible: they would otherwise bucket with the zero vector).
+    *
+    * Scale posture: one narrow compiled projection per vector (C
+    * quantized centroids ride the plan as literals) + one
+    * cluster-keyed aggregation; nothing else touches row weight.
+    *
+    * @return (cluster, n, mean_margin, min_margin, max_margin) —
+    *         margin units are milli²-dot (divide by 1e6 for the
+    *         unit-sphere scale)
+    */
+  def assignmentMargin(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, dim: Int): DataFrame = {
+    require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
+    val qcs: Seq[Seq[Long]] =
+      seedCentroids(df, idCol, vecCol, nCentroids)
+        .map(_.map(graft.functions.PqOps.quantize))
+    val base = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"),
+        graft.functions.PqOps.quantizeCol(col(vecCol)).as("__qv"))
+    val dots: Seq[Column] = qcs.map { qc =>
+      aggregate(
+        zip_with(col("__qv"), typedLit(qc), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val dotArr = array(dots: _*)
+    // argmax with ties to the highest index: fold keeps >= winners
+    val bestIdx = aggregate(
+      sequence(lit(0), lit(nCentroids - 1)),
+      struct(lit(-1).as("i"), lit(Long.MinValue).as("v")),
+      (acc, i) => when(element_at(dotArr, i + 1) >= acc("v"),
+        struct(i.as("i"), element_at(dotArr, i + 1).as("v")))
+        .otherwise(acc))
+    val scored = base.withColumn("__best", bestIdx)
+      .select(col("id"), col("__best.i").as("cluster"),
+        col("__best.v").as("__own"),
+        aggregate(
+          sequence(lit(0), lit(nCentroids - 1)),
+          lit(Long.MinValue),
+          (acc, i) => when(i === col("__best.i"), acc)
+            .otherwise(greatest(acc,
+              element_at(dotArr, i + 1).cast("long"))))
+          .as("__second"))
+    scored
+      .select(col("cluster"), (col("__own") - col("__second")).as("__m"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("__m")).as("__sm"),
+        min(col("__m")).as("min_margin"), max(col("__m")).as("max_margin"))
+      .select(col("cluster"), col("n"),
+        (EvalMetrics.microRound6(col("__sm"), col("n")).cast("double")
+          / 1e6).as("mean_margin"),
+        col("min_margin"), col("max_margin"))
+  }
+
   /** `ivfTopK` with the seeded (portable, oracle-checkable) codebook.
     * Adds a rank column and 4-decimal rounding so the output is directly
     * hash-comparable.

@@ -135,6 +135,47 @@ object AnalyticsQueries {
               col("n_grams")).cast("double") / 1e6).as("density"))
     }),
 
+    // Fingerprint-containment decontamination: what fraction of each
+    // EVAL doc's winnowed fingerprints already sit in the TRAIN split —
+    // the sub-document leak screen (q70's gram decontamination asks
+    // "does this exact benchmark phrase appear"; this asks "how much of
+    // this eval doc is effectively memorizable"). A verbatim copy of
+    // every 30th eval doc is planted in train, so the contaminated
+    // branch (containment ≥ 0.8) stays live against the near-zero
+    // baseline.
+    "q287_winnow_containment" -> ((s, dir) => {
+      import graft.operators.EvalMetrics.microRound6
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val isEval = pmod(expr("doc_id div 20"), lit(10)) === 0
+      val train = d.filter(!isEval)
+        .unionByName(d.filter(pmod(expr("doc_id div 20"), lit(30)) === 0)
+          .withColumn("doc_id", col("doc_id") + 200000L))
+      val evalD = d.filter(isEval)
+      val evalFp = Dedup.winnowedFingerprints(evalD, col("doc_id"),
+          col("text"), k = 5, w = 8)
+        .select(col("id"), col("h")).distinct()
+      val trainFp = Dedup.winnowedFingerprints(train, col("doc_id"),
+          col("text"), k = 5, w = 8)
+        .select(col("h")).distinct()
+      val found = evalFp.join(trainFp, Seq("h"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("__nf"))
+      val per = evalFp.groupBy(col("id")).agg(count(lit(1)).as("__nt"))
+        .join(found, Seq("id"), "left")
+        .select(col("id"), microRound6(coalesce(col("__nf"), lit(0L)),
+          col("__nt")).as("__cont"))
+      per.join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_eval"), sum(col("__cont")).as("__sc"),
+          sum(when(col("__cont") >= 800000L, 1L).otherwise(0L))
+            .as("n_contaminated"))
+        .select(col("source"), col("n_eval"),
+          // __sc sums MICRO values: the mean ratio's denominator carries
+          // the 1e6 back out
+          (microRound6(col("__sc"), col("n_eval") * 1000000L)
+            .cast("double") / 1e6).as("mean_containment"),
+          col("n_contaminated"))
+    }),
+
     // Winnow-based near-dup recovery on the banner-twin corpus (the
     // q207 harness): every doc plus a noise-prefixed copy — the twins
     // share every fingerprint of the common tail (content hashes, not
@@ -309,6 +350,15 @@ object AnalyticsQueries {
         k = 5, dim = 64, nCentroids = 8, nprobe = 2)
         .select(col("query_id"), col("cand_id"), col("rnk"), col("cos"))
     }),
+
+    // IVF routing-confidence audit: per cluster, the distribution of
+    // assignment MARGINS (best minus second-best centroid dot, on the
+    // milli-quantized integer surface) — thin margins mark the boundary
+    // vectors a low nprobe mis-routes, so this is the data-driven way
+    // to size nprobe before committing an index.
+    "q286_assignment_margin" -> ((s, dir) =>
+      Similarity.assignmentMargin(emb(s, dir), "vec_id", "embedding",
+        nCentroids = 8, dim = 64)),
 
     // SemDeDup: seeded-codebook clustering + within-cluster cosine prune,
     // lower id survives each ≥-threshold pair. The cluster equi-join makes
@@ -631,6 +681,46 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
 
+    "q286_assignment_margin" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             ((vec_id % 2147483647) * 2654435761) % 2147483647 % 1048576
+               AS bk
+           FROM embeddings),
+         seeds AS (SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY bk, vec_id) AS rn
+           FROM b QUALIFY rn <= 8),
+         cn AS (SELECT rn - 1 AS cix,
+             list_transform(
+               list_transform(v, x -> x /
+                 sqrt(list_sum(list_transform(v, y -> y * y)))),
+               x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qc
+           FROM seeds),
+         q AS (SELECT vec_id, $quantizedVecSql AS qv
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         d AS (SELECT q.vec_id, cn.cix,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> qv[i] * qc[i])) AS BIGINT) AS dot
+           FROM q CROSS JOIN cn),
+         a AS (SELECT vec_id, cix, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dot DESC, cix DESC) AS r
+           FROM d),
+         m AS (SELECT o.vec_id, o.cix AS cluster, o.dot - s.dot AS mg
+           FROM a o JOIN a s ON s.vec_id = o.vec_id AND s.r = 2
+           WHERE o.r = 1),
+         g AS (SELECT cluster, COUNT(*) AS n,
+             CAST(SUM(mg) AS HUGEINT) AS sm,
+             CAST(MIN(mg) AS BIGINT) AS min_margin,
+             CAST(MAX(mg) AS BIGINT) AS max_margin
+           FROM m GROUP BY 1)
+         SELECT CAST(cluster AS INT) AS cluster, n,
+           CAST((CASE WHEN sm < 0 THEN -1 ELSE 1 END) *
+             ((2 * ABS(sm) * 1000000 + n) // (2 * CAST(n AS HUGEINT)))
+             AS BIGINT) / 1000000.0 AS mean_margin,
+           min_margin, max_margin
+         FROM g""",
+
     "q283_winnow_fingerprints" ->
       s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks
            FROM documents),
@@ -648,6 +738,35 @@ object AnalyticsQueries {
                // (2 * CAST(n_grams AS HUGEINT)) AS BIGINT) / 1000000.0
            END AS density
          FROM fsum JOIN gsum USING (source)""",
+
+    "q287_winnow_containment" ->
+      s"""WITH d0 AS (
+           SELECT doc_id, $toksSql AS toks FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, $toksSql FROM documents
+           WHERE (doc_id // 20) % 30 = 0),
+         ${winnowFpCtes("d0")},
+         ef AS (SELECT DISTINCT doc_id AS id, m AS h FROM fp
+           WHERE (doc_id // 20) % 10 = 0 AND doc_id < 200000),
+         tf AS (SELECT DISTINCT m AS h FROM fp
+           WHERE (doc_id // 20) % 10 <> 0 OR doc_id >= 200000),
+         fnd AS (SELECT id, COUNT(*) AS nf FROM ef
+           WHERE h IN (SELECT h FROM tf) GROUP BY 1),
+         tot AS (SELECT id, COUNT(*) AS nt FROM ef GROUP BY 1),
+         per AS (SELECT tot.id,
+             (2 * COALESCE(nf, 0) * 1000000 + nt) // (2 * nt) AS cont
+           FROM tot LEFT JOIN fnd USING (id)),
+         g AS (SELECT d.source, COUNT(*) AS n_eval,
+             CAST(SUM(cont) AS HUGEINT) AS sc,
+             CAST(SUM(CASE WHEN cont >= 800000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contaminated
+           FROM per JOIN documents d ON d.doc_id = per.id GROUP BY 1)
+         SELECT source, n_eval,
+           CAST((2 * sc * 1000000 + CAST(n_eval AS HUGEINT) * 1000000)
+             // (2 * CAST(n_eval AS HUGEINT) * 1000000) AS BIGINT)
+             / 1000000.0 AS mean_containment,
+           n_contaminated
+         FROM g""",
 
     "q284_winnow_neardup" ->
       s"""WITH d0 AS (

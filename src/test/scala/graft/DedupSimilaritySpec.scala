@@ -695,6 +695,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("assignmentMargin: margins nonnegative, boundary vector reads " +
+      "the cluster's min margin, counts conserve, mis-dim excluded") {
+    import spark.implicits._
+    // two tight orthogonal-ish groups + one midpoint vector
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    def jitter(base: Seq[Float], eps: Float) =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 3) eps else 0f) }
+    val mid = Seq(0.707f, 0.707f, 0.0f, 0.0f)
+    val rows = (1L to 5L).map(i => (i, jitter(a, 0.01f * i))) ++
+      (11L to 15L).map(i => (i, jitter(b, 0.01f * (i - 10)))) ++
+      Seq((99L, mid), (100L, Seq(1.0f, 2.0f))) // 100 is mis-dimensioned
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.assignmentMargin(df, "vec_id", "embedding",
+      nCentroids = 2, dim = 4).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 11) // mis-dim excluded
+    assert(out.forall(_.getAs[Long]("min_margin") >= 0))
+    assert(out.forall(r => Set(0, 1).contains(r.getAs[Int]("cluster"))))
+    // the midpoint vector is SOME cluster's min margin, and that min is
+    // far below the same cluster's max (the pure vectors)
+    val withMid = out.filter(r =>
+      r.getAs[Long]("min_margin") * 5 < r.getAs[Long]("max_margin"))
+    assert(withMid.nonEmpty, s"no boundary signature: ${out.mkString(",")}")
+  }
+
   test("winnowNearDupPairs: banner twins recovered, df cap drops " +
       "boilerplate before the join") {
     import spark.implicits._
