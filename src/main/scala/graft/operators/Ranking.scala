@@ -116,8 +116,10 @@ object Ranking {
     * queries advance one pick per round together, each step one
     * broadcast-sized join + one struct-max aggregation over candidate
     * frames bounded by queries×candidates. Candidates and sims are
-    * localCheckpoint-materialized once; each round's survivors checkpoint
-    * so plans stay flat across the k unrolled steps. k and the
+    * localCheckpoint-materialized once and each step's pick checkpoints
+    * (later steps re-consume every earlier pick); survivors re-derive
+    * from the checkpointed base with ONE anti-join per step, so plans
+    * stay two joins deep across the k unrolled steps. k and the
     * per-query candidate count are small by contract (re-rank the
     * retrieved page, not the corpus).
     *
@@ -139,9 +141,16 @@ object Ranking {
       .localCheckpoint()
     val simsM = sims.select(col("query_id"), col("doc_a"), col("doc_b"),
       col("sim").cast("long").as("__sim")).localCheckpoint()
-    var remaining = base
     var selected: DataFrame = null // query_id, sel_rank, doc_id, __rn, __ms, __sc
     for (step <- 1 to k) {
+      // survivors re-derive from the checkpointed base each step (ONE
+      // anti-join against the ≤ step-1 checkpointed picks) instead of an
+      // iteratively-checkpointed frame — k fewer materialization jobs,
+      // and the plan stays two joins deep at every step
+      val remaining =
+        if (selected == null) base
+        else base.join(selected.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
       val scored =
         if (step == 1)
           remaining.select(col("query_id"), col("doc_id"), col("__rn"),
@@ -171,10 +180,6 @@ object Ranking {
           col("__rn"), col("__ms"), col("__sc"))
         .localCheckpoint()
       selected = if (selected == null) pick else selected.union(pick)
-      remaining = remaining.join(
-          pick.select(col("query_id"), col("doc_id")),
-          Seq("query_id", "doc_id"), "left_anti")
-        .localCheckpoint()
     }
     selected.select(col("query_id"), col("sel_rank"), col("doc_id"),
       (col("__rn").cast("double") / 1e6).as("rel_norm"),

@@ -450,8 +450,13 @@ object EvalQueries {
     // 1-/2-gram precision + brevity penalty) runs entirely in
     // fixed-point log2, so the whole score replays in the oracle.
     "q278_corpus_bleu" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val tk = TextFunctions.tokens(col("text"))
+      // tokens materialize in their OWN projection: element_at(tk, i)
+      // inside the transform lambda cannot CSE with the outer tokenize,
+      // so an inline tokens(text) re-runs per ELEMENT — measured 6.1 s
+      // of the query's 6.8 s before this split (O(tokens²) tokenize)
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        col("text"), TextFunctions.tokens(col("text")).as("__tk"))
+      val tk = col("__tk")
       val cand = when(size(tk) > 0,
         array_join(concat(
           array(element_at(tk, 1), element_at(tk, 1)),
