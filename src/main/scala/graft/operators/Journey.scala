@@ -433,6 +433,83 @@ object Journey {
     *
     * @return (key, n, n_alarms, final_s)
     */
+  /** Wald SPRT constants in 2²⁰ fixed-point bits — the baked-integer
+    * contract (the chi²-critical convention): l1 = lg(p1/p0) > 0 per
+    * success, l0 = lg((1−p1)/(1−p0)) < 0 per failure, bound =
+    * lg((1−β)/α) with the symmetric lower bound −bound. ONE definition
+    * feeds the operator call and the oracle's embedded literals.
+    */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+      beta: Double): (Long, Long, Long) = {
+    require(p0 > 0 && p0 < p1 && p1 < 1, s"need 0 < p0 < p1 < 1: $p0, $p1")
+    require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
+      s"need alpha, beta in (0, 0.5): $alpha, $beta")
+    def fp(x: Double) = math.round(x / math.log(2) * (1L << 20))
+    (fp(math.log(p1 / p0)), fp(math.log((1 - p1) / (1 - p0))),
+      fp(math.log((1 - beta) / alpha)))
+  }
+
+  /** Sequential probability ratio test (Wald 1945), replayed over a
+    * time-ordered Bernoulli stream per group — the "stop the experiment
+    * as soon as the evidence clears the bar" audit: at every event the
+    * cumulative log-likelihood ratio moves +l1 on success / l0 on
+    * failure, and the FIRST crossing of ±bound decides (≥ +bound →
+    * accept p1, ≤ −bound → accept p0); a stream that never crosses
+    * reads `continue`. Everything integer: the three constants arrive
+    * as baked 2²⁰-bit longs ([[sprtConstants]] — generated once for
+    * operator and oracle), the running LLR is a plain windowed sum,
+    * and the displayed bits divide by 2²⁰ (exact doubles ≤ 2⁵³).
+    *
+    * Scale posture: ONE group-keyed ordered window (running sum + row
+    * number) and a group-bounded aggregate + one join back for the
+    * crossing row; null-timestamp rows are dropped like [[cusum]].
+    *
+    * @return (g…, n_events, n_success, decision, n_at_decision,
+    *         llr_at_decision_bits, llr_final_bits)
+    */
+  def sprt(events: DataFrame, groupCols: Seq[Column], ts: Column,
+      tiebreak: Column, successCol: Column, l1Fp: Long, l0Fp: Long,
+      boundFp: Long): DataFrame = {
+    require(groupCols.nonEmpty, "sprt needs >= 1 group column")
+    require(l1Fp > 0 && l0Fp < 0 && boundFp > 0,
+      s"need l1 > 0, l0 < 0, bound > 0: $l1Fp, $l0Fp, $boundFp")
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .filter(ts.isNotNull && successCol.isNotNull)
+      .select((groupCols ++ Seq(unix_micros(ts).as("__t"),
+        tiebreak.as("__tb"), successCol.cast("long").as("__s"))): _*)
+    val gNames = base.columns.dropRight(3).toSeq
+    val w = Window.partitionBy(gNames.map(col): _*)
+      .orderBy(col("__t"), col("__tb"))
+    val stepped = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__llr", sum(
+        when(col("__s") === 1, l1Fp).otherwise(l0Fp))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // consumed by the rollup AND the crossing join
+    val rolled = stepped.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col("__s")).as("n_success"),
+        max(struct(col("__rn"), col("__llr"))).as("__last"),
+        min(when(abs(col("__llr")) >= boundFp, col("__rn")))
+          .as("n_at_decision"))
+    val atDecision = stepped.select(
+      (gNames.map(n => col(n).as(s"__d_$n")) ++
+        Seq(col("__rn").as("__drn"), col("__llr").as("__dllr"))): _*)
+    val dKey = gNames.map(n => col(n) <=> col(s"__d_$n")).reduce(_ && _)
+    rolled
+      .join(atDecision, dKey && col("n_at_decision") === col("__drn"),
+        "left")
+      .select((gNames.map(col) ++ Seq(col("n_events"), col("n_success"),
+        when(col("__dllr") >= boundFp, lit("accept_h1"))
+          .when(col("__dllr") <= -boundFp, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"),
+        col("n_at_decision"),
+        (col("__dllr").cast("double") / (1L << 20))
+          .as("llr_at_decision_bits"),
+        (col("__last.__llr").cast("double") / (1L << 20))
+          .as("llr_final_bits"))): _*)
+  }
+
   def cusum(
       events: DataFrame,
       key: Column,

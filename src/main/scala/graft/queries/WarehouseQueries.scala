@@ -529,6 +529,22 @@ object WarehouseQueries {
         .select(col("key").as("user_id"), col("n"),
           col("n_alarms"), col("final_s"))),
 
+    // Wald SPRT replay per event type: "stop the experiment at the first
+    // crossing" over the time-ordered high-value stream, H0 p=0.20 vs
+    // H1 p=0.30 at α=β=0.05. The success bar is per-type (purchase and
+    // signup clear at 50.00, the rest at 90.00 — true rates ~0.37 vs
+    // ~0.16), so BOTH verdicts land: hot feeds accept H1, cold feeds
+    // accept H0, each at its measured stopping time.
+    "q288_sprt" -> ((s, dir) => {
+      val (l1, l0, bound) = Journey.sprtConstants(0.20, 0.30, 0.05, 0.05)
+      val cents = (dec(col("value")) * 100).cast("long")
+      val cut = when(col("event_type").isin("purchase", "signup"), 5000L)
+        .otherwise(9000L)
+      Journey.sprt(ev(s, dir).filter(col("value").isNotNull),
+        Seq(col("event_type")), col("ts"), col("event_id"),
+        (cents >= cut).cast("long"), l1, l0, bound)
+    }),
+
     // Kaplan–Meier life table (integer-exact): time-to-conversion with
     // right-censoring — duration = days from a user's first event to
     // their first HIGH-VALUE purchase ("event"), or to their last event
@@ -1279,6 +1295,40 @@ object WarehouseQueries {
          SELECT user_id, CAST(n AS BIGINT) AS n,
            st[1] AS n_alarms, st[2] AS final_s
          FROM f""",
+
+    "q288_sprt" -> {
+      val (l1, l0, bound) = Journey.sprtConstants(0.20, 0.30, 0.05, 0.05)
+      s"""WITH e AS (SELECT event_type, ts, event_id,
+           CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >=
+             CASE WHEN event_type IN ('purchase', 'signup')
+               THEN 5000 ELSE 9000 END
+           THEN 1 ELSE 0 END AS s
+         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         w AS (SELECT event_type, s,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS rn,
+             SUM(CASE WHEN s = 1 THEN $l1 ELSE $l0 END)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+           FROM e),
+         r AS (SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(s) AS BIGINT) AS n_success,
+             MIN(CASE WHEN ABS(llr) >= $bound THEN rn END)
+               AS n_at_decision,
+             arg_max(llr, rn) AS llr_last
+           FROM w GROUP BY 1),
+         d AS (SELECT r.*, w.llr AS dllr
+           FROM r LEFT JOIN w ON w.event_type = r.event_type
+             AND w.rn = r.n_at_decision)
+         SELECT event_type, n_events, n_success,
+           CASE WHEN dllr >= $bound THEN 'accept_h1'
+                WHEN dllr <= -$bound THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           n_at_decision,
+           CAST(dllr AS DOUBLE) / 1048576 AS llr_at_decision_bits,
+           CAST(llr_last AS DOUBLE) / 1048576 AS llr_final_bits
+         FROM d"""
+    },
 
     "q200_life_table" ->
       """WITH spans AS (SELECT user_id,

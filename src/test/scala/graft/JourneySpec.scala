@@ -328,4 +328,33 @@ class JourneySpec extends AnyFunSuite {
     assert(r == Seq((10, 2L, 8.0, 0), (11, 0L, 8.0, 1), (12, 0L, 8.0, 1),
       (13, 1L, 2.0, 0)))
   }
+
+  test("sprt: first crossing decides with hand constants; never-crossing " +
+      "stream reads continue; constants helper signs and known log2") {
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d")
+    // l1 = +2, l0 = -1, bound = 5 (raw fixed-point units)
+    // g1: S S F S S -> llr 2,4,3,5 crosses UP at rn 4, then keeps going
+    // g2: F F F F F F -> llr -1..-5 crosses DOWN at rn 5
+    // g3: S F S F -> llr 2,1,3,2 never crosses
+    val rows =
+      Seq(("g1", 1, 1), ("g1", 2, 1), ("g1", 3, 0), ("g1", 4, 1),
+        ("g1", 5, 1)) ++
+      (1 to 6).map(i => ("g2", i, 0)) ++
+      Seq(("g3", 1, 1), ("g3", 2, 0), ("g3", 3, 1), ("g3", 4, 0))
+    val df = rows.map { case (g, i, s) => (g, t(i), i.toLong, s) }
+      .toDF("g", "ts", "eid", "s")
+    val out = Journey.sprt(df, Seq(col("g")), col("ts"), col("eid"),
+      col("s"), l1Fp = 2L, l0Fp = -1L, boundFp = 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[String]("decision"), Option(r.getAs[Any]("n_at_decision")),
+          r.getAs[Long]("n_events"))).toMap
+    assert(out("g1") == (("accept_h1", Some(4), 5L)), s"g1: ${out("g1")}")
+    assert(out("g2") == (("accept_h0", Some(5), 6L)), s"g2: ${out("g2")}")
+    assert(out("g3")._1 == "continue" && out("g3")._2.isEmpty)
+    // constants: signs and the exact 2^20-bit log2 of a power of two
+    val (l1, l0, bound) = Journey.sprtConstants(0.25, 0.5, 0.05, 0.05)
+    assert(l1 == (1L << 20)) // log2(0.5/0.25) = 1 exactly
+    assert(l0 < 0 && bound > 0)
+  }
 }
