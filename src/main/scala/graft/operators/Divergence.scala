@@ -145,7 +145,10 @@ object Divergence {
   def jsDivergence(df: DataFrame, sourceCol: Column, isBCol: Column,
       textCol: Column): DataFrame = {
     val b = isBCol.cast("long")
-    val cnt = df
+    // null-arm rows are EXCLUDED (the mcnemar/cochranQ sibling
+    // convention) — summed conditionals would silently drop them from
+    // n_p/n_q while their tokens still inflated v_union
+    val cnt = df.filter(isBCol.isNotNull)
       .select(sourceCol.as("source"), b.as("__b"),
         explode(PolyHash.polyGramHashes61(df.sparkSession, textCol, 1))
           .as("__h"))
@@ -207,11 +210,16 @@ object Divergence {
       .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("v_obs"),
         sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
         sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
     g.select(col("source"), col("n_tokens"), col("v_obs"), col("f1"),
       col("f2"),
+      // widen BEFORE multiplying (the q186 discipline): f1·(f1−1) in
+      // plain longs would overflow at ~3e9 singleton types while the
+      // HUGEINT oracle sailed on — an engine asymmetry
       (microRound6(
-        col("v_obs") * (col("f2") + 1) * 2 + col("f1") * (col("f1") - 1),
-        (col("f2") + 1) * 2).cast("double") / 1e6).as("chao1"),
+        dec(col("v_obs")) * (dec(col("f2")) + 1) * 2 +
+          dec(col("f1")) * (dec(col("f1")) - 1),
+        (dec(col("f2")) + 1) * 2).cast("double") / 1e6).as("chao1"),
       when(col("n_tokens") > 0,
         microRound6(col("f1"), col("n_tokens")).cast("double") / 1e6)
         .as("gt_unseen"))

@@ -122,8 +122,7 @@ object Mixture {
       .when(sq(s0 - 1) <= v, s0 - 1)
       .otherwise(s0 - 2)
     val weighted = counts.withColumn("w_sqrt", w)
-    val z = weighted.agg(sum(dec(col("w_sqrt"))).as("__W"),
-      sum(col("n_docs")).as("__N"))
+    val z = weighted.agg(sum(dec(col("w_sqrt"))).as("__W"))
     val alloc = weighted.crossJoin(broadcast(z))
       .withColumn("base_quota",
         when(col("__W") > 0,

@@ -140,9 +140,10 @@ object AnalyticsQueries {
     // the sub-document leak screen (q70's gram decontamination asks
     // "does this exact benchmark phrase appear"; this asks "how much of
     // this eval doc is effectively memorizable"). A verbatim copy of
-    // every 30th eval doc is planted in train, so the contaminated
-    // branch (containment ≥ 0.8) stays live against the near-zero
-    // baseline.
+    // every 30th doc-BLOCK — i.e. every 3rd eval doc, eval being every
+    // 10th block — is planted in train, so the contaminated branch
+    // (containment ≥ 0.8) stays live at a ~1/3 rate against the
+    // near-zero baseline.
     "q287_winnow_containment" -> ((s, dir) => {
       import graft.operators.EvalMetrics.microRound6
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))

@@ -269,6 +269,14 @@ class MiningOpsSpec extends AnyFunSuite {
     val oneSided = Seq(("s", false, "a b")).toDF("src", "h", "text")
     assert(Divergence.jsDivergence(oneSided, col("src"), col("h"),
       col("text")).collect().head.getAs[Any]("js_bits") == null)
+    // null-arm rows are excluded entirely: their tokens must not
+    // inflate v_union or either side's totals
+    val withNull = Seq(("s", Some(false), "a b"), ("s", Some(true), "a c"),
+      ("s", None, "zzz qqq rrr")).toDF("src", "h", "text")
+    val nr = Divergence.jsDivergence(withNull, col("src"), col("h"),
+      col("text")).collect().head
+    assert(nr.getAs[Long]("v_union") == 3) // a, b, c — never zzz/qqq/rrr
+    assert(nr.getAs[Long]("n_p") == 2 && nr.getAs[Long]("n_q") == 2)
   }
 
   test("vocabRichness: hand-checked Chao1 and Good-Turing; all-distinct " +
