@@ -864,6 +864,77 @@ object TableOps {
       .withColumn("suppressed", when(col("group_size") < k, 1).otherwise(0))
   }
 
+  /** Empirical-Bayes (beta-binomial) rate shrinkage — the "don't trust
+    * a 2-for-3 conversion rate" stabilizer a curation/analytics stack
+    * runs before ranking or cutting low-evidence groups (the q210
+    * domain-verdict problem at the statistics layer): each group's raw
+    * rate s/n is pulled toward the population mean with strength K
+    * pseudo-observations, where (μ, K) come from the method of moments
+    * on the group-rate distribution:
+    *
+    *   K = ⌊μ(1e6−μ)/v⌋ − 1,  shrunk = (s·1e6 + K·μ) / (1e6·(n + K))
+    *
+    * Exact deterministic quantization chain (every floor replicated in
+    * the oracle): micro rates → micro mean μ → floored micro² sample
+    * variance v → K in natural pseudo-events → one final micro-rounded
+    * shrunk rate. Degenerate branches are explicit: fewer than 2 groups
+    * → null shrunk (no prior); v = 0 (all rates equal) → shrunk = μ
+    * with null strength (the infinite-strength limit); K ≤ 0
+    * (between-group variance at/above the binomial ceiling —
+    * overdispersed) → shrunk = raw rate with null strength.
+    *
+    * Scale posture: ONE (group) aggregation over the input carries row
+    * weight; the prior is a one-row broadcast over the group-bounded
+    * rate frame. Envelope: K ≤ μ(1e6−μ) ≤ 2.5·10¹¹ and every product
+    * rides DECIMAL(38,0) — unreachable bounds.
+    *
+    * @return (g…, n, s, rate, shrunk_rate, prior_mean, prior_strength)
+    */
+  def ebShrinkRates(df: DataFrame, groupCols: Seq[Column],
+      successCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val reserved = Seq("n", "s", "rate", "shrunk_rate", "prior_mean",
+      "prior_strength")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    import graft.operators.EvalMetrics.{idivPos, microRound6}
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = df.filter(successCol.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"), sum(successCol.cast("long")).as("s"))
+      .withColumn("__r", microRound6(col("s"), col("n")))
+      .localCheckpoint() // feeds the prior AND the per-group output
+    val prior = g.agg(count(lit(1)).as("__G"),
+        sum(col("__r")).as("__sr"),
+        sum(dec(col("__r")) * dec(col("__r"))).as("__sr2"))
+      .select(col("__G"),
+        microRound6(col("__sr"), col("__G") * 1000000L).as("__mu"),
+        when(col("__G") > 1,
+          idivPos(dec(col("__G")) * col("__sr2") -
+            dec(col("__sr")) * dec(col("__sr")),
+            dec(col("__G")) * dec(col("__G") - 1))).as("__v"))
+      .withColumn("__k",
+        when(col("__v") > 0,
+          idivPos(dec(col("__mu")) * dec(lit(1000000L) - col("__mu")),
+            col("__v")) - 1L))
+    g.crossJoin(broadcast(prior))
+      .select((groupCols.indices.map(i => col(g.columns(i))) ++ Seq(
+        col("n"), col("s"),
+        (col("__r").cast("double") / 1e6).as("rate"),
+        when(col("__G") < 2, lit(null).cast("double"))
+          .when(col("__v") <= 0, col("__mu").cast("double") / 1e6)
+          .when(col("__k") <= 0, col("__r").cast("double") / 1e6)
+          .otherwise(microRound6(
+            dec(col("s")) * 1000000L + dec(col("__k")) * dec(col("__mu")),
+            lit(1000000L) * (dec(col("n")) + dec(col("__k"))))
+            .cast("double") / 1e6).as("shrunk_rate"),
+        when(col("__G") >= 2, col("__mu").cast("double") / 1e6)
+          .as("prior_mean"),
+        when(col("__G") >= 2 && col("__v") > 0 && col("__k") > 0,
+          col("__k")).as("prior_strength"))): _*)
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
     * leg of the release-governance trio: [[kAnonymity]] bounds
     * re-identification, [[lDiversity]] bounds attribute disclosure by

@@ -545,6 +545,18 @@ object WarehouseQueries {
         (cents >= cut).cast("long"), l1, l0, bound)
     }),
 
+    // Empirical-Bayes shrinkage of per-user purchase rates — the
+    // "don't rank a 2-for-3 user above a 200-for-400 user" stabilizer:
+    // beta-binomial method of moments gives the population prior
+    // (mean + pseudo-observation strength), every user's raw rate is
+    // pulled toward it in proportion to their evidence. Exact
+    // quantization chain, every floor replicated in the oracle.
+    "q289_eb_shrinkage" -> ((s, dir) =>
+      TableOps.ebShrinkRates(
+        ev(s, dir).filter(col("user_id").isNotNull),
+        Seq(col("user_id")),
+        (col("event_type") === "purchase").cast("long"))),
+
     // Kaplan–Meier life table (integer-exact): time-to-conversion with
     // right-censoring — duration = days from a user's first event to
     // their first HIGH-VALUE purchase ("event"), or to their last event
@@ -1295,6 +1307,45 @@ object WarehouseQueries {
          SELECT user_id, CAST(n AS BIGINT) AS n,
            st[1] AS n_alarms, st[2] AS final_s
          FROM f""",
+
+    "q289_eb_shrinkage" ->
+      """WITH g AS (SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS s
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         r AS (SELECT user_id, n, s,
+             (2 * CAST(s AS HUGEINT) * 1000000 + n)
+               // (2 * CAST(n AS HUGEINT)) AS rm
+           FROM g),
+         p AS (SELECT COUNT(*) AS gg, CAST(SUM(rm) AS HUGEINT) AS sr,
+             CAST(SUM(CAST(rm AS HUGEINT) * rm) AS HUGEINT) AS sr2
+           FROM r),
+         p2 AS (SELECT gg, sr, sr2,
+             (2 * sr * 1000000 + CAST(gg AS HUGEINT) * 1000000)
+               // (2 * CAST(gg AS HUGEINT) * 1000000) AS mu,
+             CASE WHEN gg > 1 THEN
+               (gg * sr2 - sr * sr)
+                 // (CAST(gg AS HUGEINT) * (gg - 1)) END AS v
+           FROM p),
+         p3 AS (SELECT *,
+             CASE WHEN v > 0
+               THEN (mu * (1000000 - mu)) // v - 1 END AS k
+           FROM p2)
+         SELECT user_id, n, s,
+           CAST(rm AS BIGINT) / 1000000.0 AS rate,
+           CASE WHEN gg < 2 THEN NULL
+                WHEN v <= 0 THEN CAST(mu AS BIGINT) / 1000000.0
+                WHEN k <= 0 THEN CAST(rm AS BIGINT) / 1000000.0
+                ELSE CAST((2 * (CAST(s AS HUGEINT) * 1000000 + k * mu)
+                    * 1000000 + 1000000 * (CAST(n AS HUGEINT) + k))
+                  // (2 * 1000000 * (CAST(n AS HUGEINT) + k)) AS BIGINT)
+                  / 1000000.0
+           END AS shrunk_rate,
+           CASE WHEN gg >= 2
+             THEN CAST(mu AS BIGINT) / 1000000.0 END AS prior_mean,
+           CASE WHEN gg >= 2 AND v > 0 AND k > 0
+             THEN CAST(k AS BIGINT) END AS prior_strength
+         FROM r CROSS JOIN p3""",
 
     "q288_sprt" -> {
       val (l1, l0, bound) = Journey.sprtConstants(0.20, 0.30, 0.05, 0.05)

@@ -160,4 +160,48 @@ class TableOpsSpec extends AnyFunSuite {
     val brute = xs.count(x => math.abs(x - mean) > 3 * sd)
     assert(got == brute, s"got=$got brute=$brute (sd=$sd)")
   }
+
+  test("ebShrinkRates: driver replica of the quantization chain; " +
+      "equal rates collapse to the mean; overdispersed and single-group " +
+      "fall back") {
+    import graft.operators.TableOps
+    // A 1/2, B 1/4, C 3/4, D 2/4 -> mu 0.5, k = 5 (hand-checked)
+    def rows(g: String, s: Int, n: Int) =
+      (1 to n).map(i => (g, if (i <= s) 1 else 0))
+    val df = (rows("A", 1, 2) ++ rows("B", 1, 4) ++ rows("C", 3, 4) ++
+      rows("D", 2, 4)).toDF("g", "y")
+    val out = TableOps.ebShrinkRates(df, Seq(col("g")), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("prior_strength") == 5)
+    assert(out("A").getAs[Double]("prior_mean") == 0.5)
+    // replica: shrunk = round(1e6*(s*1e6 + k*mu)/(1e6*(n+k)))/1e6
+    def shrunk(s: Long, n: Long): Double = {
+      val num = BigInt(s) * 1000000 + BigInt(5) * 500000
+      val den = BigInt(1000000) * (n + 5)
+      ((num * 2000000 + den) / (den * 2)).toDouble / 1e6
+    }
+    assert(out("A").getAs[Double]("shrunk_rate") == shrunk(1, 2))
+    assert(out("B").getAs[Double]("shrunk_rate") == shrunk(1, 4))
+    assert(out("C").getAs[Double]("shrunk_rate") == shrunk(3, 4))
+    // shrinkage is toward the mean and stronger for less evidence
+    assert(out("B").getAs[Double]("shrunk_rate") > 0.25)
+    assert(out("C").getAs[Double]("shrunk_rate") < 0.75)
+    // all rates equal: v = 0 -> shrunk = mean, null strength
+    val eq = (rows("A", 1, 2) ++ rows("B", 2, 4)).toDF("g", "y")
+    val e = TableOps.ebShrinkRates(eq, Seq(col("g")), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(e("A").getAs[Double]("shrunk_rate") == 0.5)
+    assert(e("A").getAs[Any]("prior_strength") == null)
+    // overdispersed (rates 0 and 1): k <= 0 -> raw rates, null strength
+    val od = (rows("A", 0, 3) ++ rows("B", 3, 3)).toDF("g", "y")
+    val o = TableOps.ebShrinkRates(od, Seq(col("g")), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(o("A").getAs[Double]("shrunk_rate") == 0.0)
+    assert(o("B").getAs[Double]("shrunk_rate") == 1.0)
+    assert(o("A").getAs[Any]("prior_strength") == null)
+    // single group: no prior -> null shrunk
+    val one = rows("A", 1, 3).toDF("g", "y")
+    assert(TableOps.ebShrinkRates(one, Seq(col("g")), col("y"))
+      .collect().head.getAs[Any]("shrunk_rate") == null)
+  }
 }
