@@ -822,32 +822,6 @@ object EvalMetrics {
         .as("significant"))): _*)
   }
 
-  /** Rank-biased overlap at depth k (Webber et al. 2010) between two
-    * rankings of the same queries — the top-weighted "how similar are
-    * two rankers' pages" statistic (Kendall/Spearman weight every
-    * position equally; RBO geometrically discounts depth, which is what
-    * a results PAGE experiences). With p = pTenths/10 and
-    * X_d = |A[1..d] ∩ B[1..d]|:
-    *
-    *   rbo_min  = (1−p) · Σ_{d=1..k} p^(d−1) · X_d / d
-    *   rbo_norm = rbo_min / (1 − p^k)        (identical lists read 1)
-    *
-    * EXACT rationals end to end: every term is scaled by the common
-    * denominator 10^(k−1)·lcm(1..k), so the sum S is a plain integer
-    * and both ratios micro-round once. Queries present in either
-    * ranking report a row; disjoint pages read 0 (not null).
-    *
-    * Inputs: (query_id, doc_id, rnk) on both sides, 1-based; rows
-    * beyond rank k are ignored. k ≤ 12 keeps every scaled term inside
-    * a long.
-    *
-    * Scale posture: the pair join is per-query k×k-bounded, the depth
-    * fan-out ≤ k rows per pair against a k-row broadcast; aggregates
-    * are query-bounded. Both inputs are typically small head frames —
-    * this measures pages, not corpora.
-    *
-    * @return (query_id, n_a, n_b, overlap_at_k, rbo_min, rbo_norm)
-    */
   /** chi-square 95% critical values ×1e6 for dof 1..8 — the baked
     * constants [[cochranQ]] compares against in cross-multiplied
     * integers (the mannWhitneyU convention, extended to variable dof).
@@ -932,6 +906,32 @@ object EvalMetrics {
     (coeffs, denom)
   }
 
+  /** Rank-biased overlap at depth k (Webber et al. 2010) between two
+    * rankings of the same queries — the top-weighted "how similar are
+    * two rankers' pages" statistic (Kendall/Spearman weight every
+    * position equally; RBO geometrically discounts depth, which is what
+    * a results PAGE experiences). With p = pTenths/10 and
+    * X_d = |A[1..d] ∩ B[1..d]|:
+    *
+    *   rbo_min  = (1−p) · Σ_{d=1..k} p^(d−1) · X_d / d
+    *   rbo_norm = rbo_min / (1 − p^k)        (identical lists read 1)
+    *
+    * EXACT rationals end to end: every term is scaled by the common
+    * denominator 10^(k−1)·lcm(1..k), so the sum S is a plain integer
+    * and both ratios micro-round once. Queries present in either
+    * ranking report a row; disjoint pages read 0 (not null).
+    *
+    * Inputs: (query_id, doc_id, rnk) on both sides, 1-based; rows
+    * beyond rank k are ignored. k ≤ 12 keeps every scaled term inside
+    * a long.
+    *
+    * Scale posture: the pair join is per-query k×k-bounded, the depth
+    * fan-out ≤ k rows per pair against a k-row broadcast; aggregates
+    * are query-bounded. Both inputs are typically small head frames —
+    * this measures pages, not corpora.
+    *
+    * @return (query_id, n_a, n_b, overlap_at_k, rbo_min, rbo_norm)
+    */
   def rankBiasedOverlap(rankA: DataFrame, rankB: DataFrame, k: Int,
       pTenths: Int = 9): DataFrame = {
     require(k >= 1 && k <= 12, s"k must be in 1..12, got $k")
@@ -1080,7 +1080,12 @@ object EvalMetrics {
     * Envelope: 12·(2W⁺ − μ)² ≤ 12·n⁴ holds DECIMAL(38,0)-exact to
     * ~10⁸ nonzero pairs per group; the displayed `tie_cubes` long
     * binds when one |d| ties ~2.1·10⁶ times. Loud past either
-    * (ANSI / HUGEINT) — subsample beyond.
+    * (ANSI / HUGEINT) — subsample beyond. Display bound: `w_pos`
+    * renders 2W⁺/2 as a double, value-exact only while 2W⁺ ≤ 2⁵³
+    * (~9.5·10⁷ nonzero pairs — the same knee as the z² envelope, so
+    * the subsample-beyond rule above already covers it); z² and
+    * `significant` never ride the double, they stay on the exact
+    * DECIMAL rational.
     *
     * @return (g…, n_pairs, n_pos, n_neg, w_pos, tie_cubes, z2,
     *         significant)

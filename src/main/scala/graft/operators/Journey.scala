@@ -424,15 +424,6 @@ object Journey {
         col("level_fp") + col("trend_fp") + col("season_fp"))
   }
 
-  /** Per-key one-sided CUSUM changepoint detection in exact integers:
-    * `s' = max(0, s + x − target)`; crossing `threshold` raises an alarm
-    * and restarts the statistic (the standard restart scheme). All state
-    * integer, so alarm counts replay exactly cross-engine — the drift
-    * monitor a training-data ingest runs per source. One shuffle on the
-    * key, (ts, tiebreak)-ordered fold like [[funnel]]/[[ewmaFixed]].
-    *
-    * @return (key, n, n_alarms, final_s)
-    */
   /** Wald SPRT constants in 2²⁰ fixed-point bits — the baked-integer
     * contract (the chi²-critical convention): l1 = lg(p1/p0) > 0 per
     * success, l0 = lg((1−p1)/(1−p0)) < 0 per failure, bound =
@@ -510,6 +501,15 @@ object Journey {
           .as("llr_final_bits"))): _*)
   }
 
+  /** Per-key one-sided CUSUM changepoint detection in exact integers:
+    * `s' = max(0, s + x − target)`; crossing `threshold` raises an alarm
+    * and restarts the statistic (the standard restart scheme). All state
+    * integer, so alarm counts replay exactly cross-engine — the drift
+    * monitor a training-data ingest runs per source. One shuffle on the
+    * key, (ts, tiebreak)-ordered fold like [[funnel]]/[[ewmaFixed]].
+    *
+    * @return (key, n, n_alarms, final_s)
+    */
   def cusum(
       events: DataFrame,
       key: Column,
