@@ -646,12 +646,35 @@ object Journey {
   private final case class BlockedUnits(
       gidMap: DataFrame, unitArrays: DataFrame, gNames: Seq[String])
 
+  /** Run `body` with AQE disabled on this session, restoring the prior
+    * value after. The blocked-kernel internals execute a chain of TINY
+    * eager stages (unit counts bounded by (m/B)² per group, selection
+    * frames one row per group) where AQE's per-stage job split +
+    * re-optimization costs more driver wall than any runtime re-plan
+    * could save — q253 measured 13 jobs → 10 and −0.25 s steady on a
+    * 32-thread box; the saving grows with driver load since it is pure
+    * scheduling/planning wall. Plans RETURNED to the caller execute at
+    * the caller's action time under the caller's own conf — only the
+    * internal eager actions (block checkpoint, group-map take, unit
+    * checkpoint, selection collects) run non-adaptive. The toggle is
+    * session-scoped for its duration (the sequential-driver contract
+    * these eager operators already carry).
+    */
+  private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def blockedUnits(
       df: DataFrame, groupCols: Seq[Column], tCol: Column, yCol: Column,
       blockSize: Int, broadcastPointLimit: Long,
       who: String, checkpointUnits: Boolean = true): BlockedUnits = {
     require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
     val spark = df.sparkSession
+    withAqeOff(spark) {
     val gNames = groupCols.indices.map(i => s"__g$i")
     val base = df.select(
       groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
@@ -742,20 +765,34 @@ object Journey {
         explode(sequence(lit(0L), col("__mb"))).as("__ba"))
       .select(col("__gid"), col("__ba"),
         explode(sequence(col("__ba"), col("__mb"))).as("__bb"))
-    val aBlk = blockArr.toDF("__gid", "__ba", "__apts")
-    val bBlk = blockArr.toDF("__gid", "__bb", "__bpts")
     val nP = spark.sessionState.conf.numShufflePartitions
     val joined =
-      if (totalPoints <= broadcastPointLimit)
-        units.join(broadcast(aBlk), Seq("__gid", "__ba"))
-          .join(broadcast(bBlk), Seq("__gid", "__bb"))
-      else
+      if (totalPoints <= broadcastPointLimit) {
+        // Collect the block arrays ONCE (bounded by broadcastPointLimit
+        // — the same bytes the broadcast would pin on the driver anyway)
+        // and re-ship them as LOCAL relations: broadcasting a
+        // LocalTableScan schedules no job, so the blockArr execution
+        // plus the two block-side broadcast builds collapse from three
+        // scheduled jobs into one collect. The wall of this operator is
+        // job-count/planning-bound, not compute-bound (q253 profile:
+        // ~0.55 s kernel across 19 jobs ~1.9 s), so every job removed
+        // is wall removed on a loaded driver.
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(blockArr.collect(): _*), blockArr.schema)
+        units.join(broadcast(local.toDF("__gid", "__ba", "__apts")),
+            Seq("__gid", "__ba"))
+          .join(broadcast(local.toDF("__gid", "__bb", "__bpts")),
+            Seq("__gid", "__bb"))
+      } else {
+        val aBlk = blockArr.toDF("__gid", "__ba", "__apts")
+        val bBlk = blockArr.toDF("__gid", "__bb", "__bpts")
         units.repartition(nP, col("__gid"), col("__ba"))
           .join(aBlk.repartition(nP, col("__gid"), col("__ba"))
             .hint("merge"), Seq("__gid", "__ba"))
           .repartition(nP, col("__gid"), col("__bb"))
           .join(bBlk.repartition(nP, col("__gid"), col("__bb"))
             .hint("merge"), Seq("__gid", "__bb"))
+      }
     val unitArrays0 = joined
       .withColumn("__same", col("__ba") === col("__bb"))
       .repartition(nP, col("__gid"), col("__ba"), col("__bb"))
@@ -771,6 +808,7 @@ object Journey {
         unitArrays0.localCheckpoint()
       else unitArrays0
     BlockedUnits(gidMap, unitArrays, gNames)
+    }
   }
 
   /** Test seam: the unit frame WITHOUT its checkpoint — the checkpoint
@@ -859,11 +897,18 @@ object Journey {
           (k - (col("__cum") - col("__c"))).as("__k"),
           col("__tot"), col("__c").as("__hot"))
     }
-    // pass-1 selection — checkpointed (one row per group) so the hot-
-    // bucket branch and the downstream passes never re-run it
-    val sel = pickBucket(hist, "__b", _ => expr("(__tot + 1) div 2"))
-      .localCheckpoint()
-    val hot = sel.agg(coalesce(max(col("__hot")), lit(0L))).head().getLong(0)
+    // pass-1 selection — ONE row per group (the few-groups contract),
+    // so collect it outright and re-ship as a local relation: the
+    // downstream broadcasts schedule no job, and the hot-bucket probe
+    // reads the rows already in hand instead of running its own job
+    // (was a localCheckpoint + head(), two scheduled jobs + planning).
+    val med = withAqeOff(df.sparkSession) {
+    val sel0 = pickBucket(hist, "__b", _ => expr("(__tot + 1) div 2"))
+    val selRows = sel0.collect()
+    val sel = sel0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(selRows: _*), sel0.schema)
+    val hot = selRows.iterator.map(_.getAs[Long]("__hot"))
+      .foldLeft(0L)(math.max)
     def withSel(s: DataFrame, bCol: String): DataFrame =
       unitArrays.join(broadcast(s.select(col("__gid"),
         col(bCol).as("__sb"), col("__k"), col("__tot"))), Seq("__gid"))
@@ -873,7 +918,7 @@ object Journey {
           col("__same"), col("__sb"), filterShift, -1)).as("__s"))
       .withColumn("__rn", row_number().over(w.orderBy(col("__s"))))
       .filter(col("__rn") === col("__k"))
-    val med = (if (hot <= refineThreshold) {
+    (if (hot <= refineThreshold) {
       // cold bucket: select the __k-th smallest slope inside it
       kth(withSel(sel, "__b"), 30)
     } else {
@@ -889,13 +934,16 @@ object Journey {
       // pickBucket's own __tot here is the CANDIDATE count (bucket-1
       // mass), not the pair total — drop it and re-join the true total
       // from the level-1 selection
-      val sel2 = pickBucket(hist14, "__b2", _ => col("__k1"))
+      val sel2a = pickBucket(hist14, "__b2", _ => col("__k1"))
         .drop("__tot")
         .join(sel.select(col("__gid"), col("__tot")), Seq("__gid"))
-        .localCheckpoint()
+      // same local-relation treatment as sel: one row per group
+      val sel2 = sel2a.sparkSession.createDataFrame(
+        java.util.Arrays.asList(sel2a.collect(): _*), sel2a.schema)
       kth(withSel(sel2, "__b2"), 14)
     }).select(col("__gid"), col("__tot").as("n_pairs"),
       (col("__s").cast("double") / 1e6).as("slope"))
+    }
     // n_points comes straight off the driver-side group map — no extra
     // aggregation job over the point frame
     gidMap.join(med, Seq("__gid"), "left")
