@@ -270,6 +270,129 @@ object StreamingOps {
       }
   }
 
+  // ---- sequential testing: SPRT as an anytime-valid stream monitor ------
+
+  case class SprtEv(key: String, tsMicros: Long, tiebreak: Long,
+      success: Long)
+
+  /** Committed SPRT fold prefix + raw tail — the [[FunnelSt]] retention
+    * scheme applied to the LLR walk. `decidedN == 0` means no crossing
+    * committed yet (row numbers are 1-based, so 0 is free as a sentinel).
+    */
+  case class SprtSt(
+      nC: Long, sC: Long, llrC: Long, decidedN: Long, decidedLlr: Long,
+      maxSeenMicros: Long, raw: List[(Long, Long, Long)])
+
+  case class SprtOut(
+      key: String, n_events: Long, n_success: Long, decision: String,
+      n_at_decision: Option[Long], llr_at_decision_bits: Option[Double],
+      llr_final_bits: Double)
+
+  /** The SPRT fold, verbatim [[graft.operators.Journey.sprt]] semantics:
+    * (ts, tiebreak)-ordered walk, llr += l1 on success / l0 otherwise,
+    * FIRST |llr| ≥ bound records (n, llr) as the decision point, the
+    * walk continues to the final llr. Events must arrive sorted.
+    */
+  private def foldSprt(
+      n0: Long, s0: Long, llr0: Long, decN0: Long, decLlr0: Long,
+      evs: Iterator[(Long, Long, Long)], l1Fp: Long, l0Fp: Long,
+      boundFp: Long): (Long, Long, Long, Long, Long) = {
+    var n = n0; var s = s0; var llr = llr0
+    var dN = decN0; var dLlr = decLlr0
+    evs.foreach { case (_, _, succ) =>
+      n += 1
+      s += succ // n_success is sum(__s), exactly like the batch rollup
+      llr += (if (succ == 1L) l1Fp else l0Fp)
+      if (dN == 0L && math.abs(llr) >= boundFp) { dN = n; dLlr = llr }
+    }
+    (n, s, llr, dN, dLlr)
+  }
+
+  /** Pure per-batch state transition for [[sprtMonitor]] — exposed for
+    * direct spec coverage of the commit/retention bounds.
+    *
+    * Retention: with a finite `allowedLatenessMicros`, events older than
+    * `maxSeen − lateness` fold into the committed prefix (five longs)
+    * and drop from state — the fold sorts by (ts, tiebreak) and the
+    * lateness contract says no future event sorts before the horizon,
+    * so the committed fold state is a sufficient statistic. UNLIKE
+    * [[advanceFunnel]] there is deliberately NO dedup: the batch form
+    * counts every row, so a genuine duplicate (ts, tiebreak) event
+    * counts here too — exactly-once delivery is the harness's contract.
+    */
+  private[graft] def advanceSprt(
+      st: SprtSt, incoming: Seq[(Long, Long, Long)], l1Fp: Long,
+      l0Fp: Long, boundFp: Long, allowedLatenessMicros: Long)
+      : (SprtSt, (Long, Long, Long, Long, Long)) = {
+    val maxSeen = (st.maxSeenMicros +: incoming.map(_._1)).max
+    val raw = st.raw ++ incoming
+    val horizon =
+      if (allowedLatenessMicros == Long.MaxValue) Long.MinValue
+      else {
+        val h = maxSeen - allowedLatenessMicros
+        if (h > maxSeen) Long.MinValue else h // saturate on underflow
+      }
+    val (toCommit, tail) = raw.partition(_._1 < horizon)
+    val (nC, sC, llrC, dN, dLlr) = foldSprt(
+      st.nC, st.sC, st.llrC, st.decidedN, st.decidedLlr,
+      toCommit.sortBy(e => (e._1, e._2)).iterator, l1Fp, l0Fp, boundFp)
+    val st1 = SprtSt(nC, sC, llrC, dN, dLlr, maxSeen, tail)
+    val cur = foldSprt(nC, sC, llrC, dN, dLlr,
+      tail.sortBy(e => (e._1, e._2)).iterator, l1Fp, l0Fp, boundFp)
+    (st1, cur)
+  }
+
+  /** [[graft.operators.Journey.sprt]] as a live stream monitor — the
+    * operator's natural habitat: Wald's sequential test IS the
+    * anytime-valid "stop the experiment at the first crossing" monitor,
+    * so the streaming face emits each key's CURRENT verdict
+    * (n_events, n_success, decision, stopping point, final LLR) every
+    * micro-batch that touches the key (Update mode). The LAST emission
+    * per key equals the batch operator's row on the same events —
+    * StreamingSpec pins it against q288's exact frame under shuffled
+    * 3-batch arrival.
+    *
+    * Order sensitivity: the LLR walk is (ts, tiebreak)-ordered and a
+    * late event shifts every later step, so per-key state keeps the raw
+    * events still inside the lateness window and recomputes the tail per
+    * batch; events older than the horizon fold into an O(1) committed
+    * prefix (see [[advanceSprt]]). The default lateness
+    * (`Long.MaxValue`) keeps every event — the only exact choice under
+    * unbounded disorder; pass a finite bound for long-running streams
+    * with a watermark-style contract.
+    *
+    * Constants come from [[graft.operators.Journey.sprtConstants]] —
+    * one definition feeds the batch operator, the oracle, and this
+    * monitor.
+    */
+  def sprtMonitor(
+      events: Dataset[SprtEv], l1Fp: Long, l0Fp: Long, boundFp: Long,
+      allowedLatenessMicros: Long = Long.MaxValue): Dataset[SprtOut] = {
+    require(l1Fp > 0 && l0Fp < 0 && boundFp > 0,
+      s"need l1 > 0, l0 < 0, bound > 0: $l1Fp, $l0Fp, $boundFp")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SprtSt, SprtOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, evs: Iterator[SprtEv], state: GroupState[SprtSt]) =>
+          val st0 = state.getOption.getOrElse(
+            SprtSt(0L, 0L, 0L, 0L, 0L, Long.MinValue, Nil))
+          val (st1, (n, s, llr, dN, dLlr)) = advanceSprt(
+            st0, evs.map(e => (e.tsMicros, e.tiebreak, e.success)).toSeq,
+            l1Fp, l0Fp, boundFp, allowedLatenessMicros)
+          state.update(st1)
+          val decision =
+            if (dN > 0L && dLlr >= boundFp) "accept_h1"
+            else if (dN > 0L && dLlr <= -boundFp) "accept_h0"
+            else "continue"
+          Iterator.single(SprtOut(key, n, s, decision,
+            if (dN > 0L) Some(dN) else None,
+            if (dN > 0L) Some(dLlr.toDouble / (1L << 20)) else None,
+            llr.toDouble / (1L << 20)))
+      }
+  }
+
   /** Rate-capped incremental file ingest — the scraper-pacing analog
     * (semaphore/backoff → maxFilesPerTrigger + checkpointed progress).
     */

@@ -489,6 +489,85 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sprtMonitor: last update per key == q288's batch verdicts, shuffled arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{SprtEv, SprtOut}
+    import graft.operators.Journey
+    // EXACTLY q288's frame: H0 p=0.20 vs H1 p=0.30 at α=β=0.05, per
+    // event_type, success = value-cents over the per-type bar
+    val (l1, l0, bound) = Journey.sprtConstants(0.20, 0.30, 0.05, 0.05)
+    val batchEvents = eventsBatch.filter(col("value").isNotNull)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val cut = when(col("event_type").isin("purchase", "signup"), 5000L)
+      .otherwise(9000L)
+    val asSprt = batchEvents
+      .select(col("event_type"), expr("unix_micros(ts)").as("tsMicros"),
+        col("event_id"), (cents >= cut).cast("long").as("success"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, t, tb, s) => SprtEv(k, t, tb, s) }.toSeq
+    val shuffled = new scala.util.Random(29).shuffle(asSprt)
+    val stream = MemoryStream[SprtEv]
+    val q = graft.streaming.StreamingOps
+      .sprtMonitor(stream.toDS(), l1, l0, bound)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sprt_stream_test").start()
+    try {
+      val third = shuffled.length / 3
+      stream.addData(shuffled.take(third)); q.processAllAvailable()
+      stream.addData(shuffled.slice(third, 2 * third)); q.processAllAvailable()
+      stream.addData(shuffled.drop(2 * third)); q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sprt_stream_test")
+        .as[SprtOut].collect()
+        .zipWithIndex.groupBy(_._1.key)
+        .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+      val batch = Journey.sprt(batchEvents, Seq(col("event_type")),
+          col("ts"), col("event_id"), cents >= cut, l1, l0, bound)
+        .collect().map { r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+            Option(r.get(4)).map(_.asInstanceOf[Number].longValue),
+            Option(r.get(5)).map(_.asInstanceOf[Double]),
+            r.getDouble(6)))
+        }.toMap
+      assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+      // the fixture must exercise BOTH verdicts, not just one arm
+      assert(batch.values.map(_._3).toSet == Set("accept_h1", "accept_h0"))
+      streamed.foreach { case (k, o) =>
+        assert((o.n_events, o.n_success, o.decision, o.n_at_decision,
+          o.llr_at_decision_bits, o.llr_final_bits) == batch(k), s"key $k")
+      }
+    } finally q.stop()
+  }
+
+  test("advanceSprt: finite lateness commits the prefix, verdict unchanged") {
+    import graft.streaming.StreamingOps
+    import graft.operators.Journey
+    val (l1, l0, bound) = Journey.sprtConstants(0.20, 0.30, 0.05, 0.05)
+    val rnd = new scala.util.Random(41)
+    // 400 events, ~27% success: crosses the lower bound somewhere inside
+    val evs = (1L to 400L).map(t =>
+      (t * 1000000L, t, if (rnd.nextInt(100) < 27) 1L else 0L))
+    def run(lateness: Long, batches: Seq[Seq[(Long, Long, Long)]]) = {
+      var st = StreamingOps.SprtSt(0L, 0L, 0L, 0L, 0L, Long.MinValue, Nil)
+      var last: (Long, Long, Long, Long, Long) = null
+      batches.foreach { b =>
+        val (st1, cur) = StreamingOps.advanceSprt(st, b, l1, l0, bound,
+          lateness)
+        st = st1; last = cur
+      }
+      (st, last)
+    }
+    // mildly disordered batches, within a 20-event lateness window
+    val disordered = evs.grouped(50).toSeq.map(g =>
+      new scala.util.Random(g.head._2).shuffle(g))
+    val (stInf, exact) = run(Long.MaxValue, disordered)
+    val (stFin, bounded) = run(20L * 1000000L, disordered)
+    assert(bounded == exact, "finite-lateness fold diverged")
+    // and the finite run actually COMMITTED: state holds only the tail
+    assert(stFin.raw.size < stInf.raw.size && stFin.nC > 0L)
+    assert(stInf.raw.size == evs.size)
+  }
+
   test("schema validation: stream == batch (narrow projection, no state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
