@@ -2167,6 +2167,279 @@ object Stress {
       fpStats._1.toDouble / grams < 0.30, "density off the winnowing bar")
   }
 
+  /** Composed §3.3 retrieval-pipeline receipt (r11 verdict #7) — the q50
+    * flagship chain (ranked recall → RRF fusion → lexical rerank → task
+    * distribution → metadata enrichment → nested assembly) over an
+    * n-chunk store × 100 queries, per-stage wall/rows/shuffle. The scale
+    * claim this receipt pins: the ONLY data-sized stage is the recall
+    * scan (one pass over the chunk store + a per-query WindowGroupLimit
+    * top-k); every downstream stage is candidate-bounded
+    * (queries × depth), so the composed tail's cost is INDEPENDENT of
+    * corpus size — exactly the property that makes the chain safe at
+    * 100 TB. Needs n ≥ 1M so each query's recall bucket carries enough
+    * planted rerank targets (~depth/7).
+    */
+  private def retrievalReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.{Ranking, Rrf}
+    import graft.retrieval.Retrieval
+    val sc = spark.sparkContext
+    val mLabel = if (n >= 1000000) s"${n / 1000000}M" else s"${n / 1000}k"
+    val nQ = 100
+    val depth = 1000
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stress_retr").toString
+    try {
+      // ---- chunk store (untimed, materialized like a real index):
+      // 10 databases, 50-chunk documents, ~12-token hashed-vocab text;
+      // chunks in query-bucket q with id % 7 == 0 carry the rare planted
+      // term qt<q> the rerank stage must surface
+      val bucket = pmod(xxhash64(col("id")), lit(nQ.toLong))
+      spark.range(0, n, 1, 32).select(
+          col("id").as("chunk_id"),
+          concat(lit("db"), pmod(col("id"), lit(10))).as("database_id"),
+          concat(lit("doc"), floor(col("id") / 50).cast("long"))
+            .as("document_id"),
+          col("id").as("position"),
+          concat(
+            when(pmod(col("id"), lit(7)) === 0,
+              concat(lit("qt"), bucket, lit(" "))).otherwise(lit("")),
+            array_join(transform(sequence(lit(0), lit(11)),
+              j => concat(lit("w"),
+                pmod(xxhash64(col("id"), j), lit(5000L)))), " "))
+            .as("text"))
+        .write.mode("overwrite").parquet(dir)
+      val chunks = spark.read.parquet(dir)
+
+      val stages = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Double, Long)]
+      def stage(name: String)(body: => org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        var out: org.apache.spark.sql.DataFrame = null
+        var rows = -1L
+        val t0 = System.nanoTime()
+        val (_, bytes) = shuffleBytes(sc) {
+          out = body.localCheckpoint()
+          rows = out.count()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        stages += ((name, rows, wall, bytes))
+        println(f"[stress] retrieval_${mLabel}_$name%-13s rows=$rows%9d " +
+          f"wall=$wall%8.2f s shuffle=${bytes / 1e9}%7.3f GB")
+        out
+      }
+
+      // ---- s0: ranked recall — the one data-sized pass. Each query's
+      // candidate set is its hash bucket (~n/100 chunks); per-query
+      // top-`depth` by a hash score rides WindowGroupLimit (k rows per
+      // group per map partition cross the exchange, never the bucket).
+      val recall = stage("s0_recall") {
+        Ranking.topKPerGroup(
+          chunks.select(col("chunk_id"), col("database_id"),
+            col("document_id"), col("position"),
+            bucket.as("query_id"),
+            pmod(xxhash64(col("chunk_id"), lit(7L)), lit(1000000L))
+              .as("score")),
+          Seq(col("query_id")),
+          Seq(col("score").desc, col("chunk_id").asc), depth,
+          rankCol = Some("rec_rank")).drop("rec_rank")
+      }
+      require(recall.count() == nQ.toLong * depth,
+        s"recall must return $nQ x $depth rows")
+
+      // ---- s1: RRF fusion + deterministic chunk representative (the
+      // exact Retrieval.pipeline head)
+      val scored = stage("s1_rrf") {
+        val fused = Rrf.fuse(recall, col("query_id"), col("chunk_id"),
+            col("score"), Rrf.DefaultK, col("chunk_id"))
+          .withColumnRenamed("item", "chunk_id")
+        Ranking.keepFirst(recall, Seq(col("chunk_id")),
+            Seq(col("query_id").asc))
+          .drop("score", "query_id")
+          .join(fused, Seq("chunk_id"))
+          .withColumnRenamed("rrf_score", "score")
+      }
+
+      // ---- s2: lexical rerank over the candidate texts (inverted-index
+      // join, query-term postings only — the X8 deterministic half).
+      // Candidate-bounded: the doc side is the fused set, never the store.
+      val reranked = stage("s2_rerank") {
+        val candTexts = chunks
+          .join(scored.select(col("chunk_id")), Seq("chunk_id"),
+            "left_semi")
+          .select(col("chunk_id"), col("text"))
+        val queriesDf = spark.range(0, nQ).select(
+          col("id").as("query_id"),
+          concat(lit("qt"), col("id")).as("query_text"))
+        Retrieval.rerankLexical(candTexts, "chunk_id", "text",
+          queriesDf, "query_id", "query_text", k = 10)
+      }
+      require(reranked.count() == nQ * 10L,
+        "rerank must fill k=10 for every query")
+      // every hit must be a PLANTED chunk (carries qt<q> for its query)
+      val notPlanted = reranked
+        .filter(!(pmod(xxhash64(col("doc_id")), lit(nQ.toLong))
+          === col("query_id") && pmod(col("doc_id"), lit(7)) === 0))
+        .count()
+      require(notPlanted == 0L, s"$notPlanted rerank hits not planted")
+
+      // ---- s3: task distribution (J4/J5/W2 — earliest task owns the
+      // chunk, per-task top-k): 10 full-DB tasks + 50 segment tasks
+      val distributed = stage("s3_distribute") {
+        val segTasks = spark.range(0, 50).select(
+          concat(lit("seg:doc"), col("id")).as("task_id"),
+          concat(lit("db"), pmod(col("id"), lit(10))).as("database_id"),
+          concat(lit("doc"), col("id")).as("document_id"),
+          lit("segment_retrieval").as("retrieval_mode"),
+          (col("id") + 1).as("task_order"), lit(5).as("top_k"))
+        val fullTasks = spark.range(0, 10).select(
+          concat(lit("full:db"), col("id")).as("task_id"),
+          concat(lit("db"), col("id")).as("database_id"),
+          lit(null).cast("string").as("document_id"),
+          lit("full_database_retrieval").as("retrieval_mode"),
+          (col("id") + 101).as("task_order"), lit(20).as("top_k"))
+        Retrieval.distribute(scored, segTasks.unionByName(fullTasks), 20)
+      }
+      require(distributed.filter(col("rnk") > col("top_k")).count() == 0L,
+        "distribute must respect per-task top_k")
+      require(distributed.select(col("chunk_id")).distinct().count() ==
+        distributed.count(), "earliest-task dedup must hold")
+
+      // ---- s4: metadata enrichment — api_detail beats retrieve_snapshot
+      // per (db, doc); the registry is RESULT-bounded (the reference
+      // fetches detail per result doc), so this stays O(results) at any n
+      val enriched = stage("s4_enrich") {
+        val resultDocs = distributed
+          .select(col("database_id"), col("document_id")).distinct()
+        val meta = resultDocs.select(col("database_id"),
+            col("document_id"), lit("api_detail").as("meta_source"),
+            concat(lit("T:"), col("database_id"), lit("/"),
+              col("document_id")).as("title"))
+          .unionByName(resultDocs.select(col("database_id"),
+            col("document_id"), lit("retrieve_snapshot").as("meta_source"),
+            concat(lit("S:"), col("database_id"), lit("/"),
+              col("document_id")).as("title")))
+        Retrieval.enrich(distributed, meta)
+      }
+      require(enriched.filter(col("meta_source") =!= "api_detail")
+        .count() == 0L, "api_detail precedence must win every doc")
+
+      // ---- s5: nested assembly (A3: db → [doc → ordered blocks])
+      val assembled = stage("s5_assemble") {
+        Retrieval.assembleNested(enriched)
+      }
+      val nChunks = assembled.agg(sum(col("n_chunks"))).head().getLong(0)
+      require(nChunks == enriched.count(),
+        "assembly must conserve every enriched chunk")
+
+      val total = stages.map(_._3).sum
+      println(f"[stress] retrieval_${mLabel}_total wall=$total%.2f s " +
+        s"(stages: ${stages.map(s => f"${s._1}=${s._3}%.1f").mkString(", ")})")
+    } finally rmrf(dir)
+  }
+
+  /** Join-skew receipt (r11 verdict #8): the same skewed fact⋈dim join
+    * priced three ways at volume — (a) plain sort-merge with AQE skew
+    * handling OFF (the trap: one straggler task carries the hot key),
+    * (b) AQE skew-join ON with receipt-scaled thresholds (runtime
+    * partition split — the zero-code path), (c) explicit salting
+    * (deterministic hash salt on the fact side × dim replication — the
+    * engine-controlled path SCALE.md's region-join posture names).
+    * Fact: n rows, 30% on ONE hot key, the rest uniform over 100k keys;
+    * dim: 100k keys, sort-merge pinned via hint (the dim would
+    * broadcast at this receipt's size — real dims that skew-join are
+    * the ones too big to broadcast). Reports wall, shuffle bytes and
+    * MAX single-task wall — the straggler number the other two columns
+    * exist to kill.
+    */
+  private def skewJoinReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val sc = spark.sparkContext
+    val mLabel = if (n >= 1000000) s"${n / 1000000}M" else s"${n / 1000}k"
+    val nKeys = 100000L
+    val nSalt = 16
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stress_skew").toString
+    def maxTaskMs[A](body: => A): (A, Long, Long) = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val maxMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          if (te.taskInfo != null)
+            maxMs.getAndUpdate(x => math.max(x, te.taskInfo.duration)): Unit
+        }
+      }
+      sc.addSparkListener(listener)
+      try {
+        val r = body
+        var last = -1L; var waited = 0
+        while (last != bytes.get() && waited < 25) {
+          last = bytes.get(); Thread.sleep(200); waited += 1
+        }
+        (r, bytes.get(), maxMs.get())
+      } finally sc.removeSparkListener(listener)
+    }
+    try {
+      // fact: 30% of rows on key 0 (with a ~100-byte payload so the hot
+      // partition is byte-heavy, not just row-heavy); dim: payload per key
+      spark.range(0, n, 1, 32).select(
+          when(pmod(col("id"), lit(10)) < 3, lit(0L))
+            .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("k"),
+          col("id").as("fact_id"),
+          lpad(hex(xxhash64(col("id"), lit(1L))), 96, "x").as("payload"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      spark.range(0, nKeys).select(col("id").as("k"),
+          hex(xxhash64(col("id"))).as("dim_val"))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      def run(name: String, conf: Map[String, String])(body: => DataFrame)
+          : Unit = {
+        val prev = conf.keys.map(k => k -> spark.conf.get(k)).toMap
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val t0 = System.nanoTime()
+          val (rows, bytes, maxMs) = maxTaskMs {
+            body.agg(count(lit(1)), sum(length(col("dim_val"))))
+              .collect()(0).getLong(0)
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"[stress] skewjoin_${mLabel}_$name%-12s rows=$rows%9d " +
+            f"wall=$wall%7.2f s shuffle=${bytes / 1e9}%6.3f GB " +
+            f"max_task=${maxMs / 1000.0}%6.2f s")
+        } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      }
+      val aqeScaled = Map(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        // receipt-scaled thresholds: the defaults (256 MB) are sized for
+        // executor-memory protection, not a 32-thread local box — scale
+        // them to the receipt so the optimizer faces the same RELATIVE
+        // skew a 100 TB shuffle shows at defaults
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+          -> "16MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB")
+      run("a_smj_noaqe", Map("spark.sql.adaptive.enabled" -> "false")) {
+        fact.hint("merge").join(dim, Seq("k"))
+      }
+      run("b_aqe_skew", aqeScaled) {
+        fact.hint("merge").join(dim, Seq("k"))
+      }
+      run("c_salted", Map("spark.sql.adaptive.enabled" -> "false")) {
+        val sf = fact.withColumn("salt",
+          pmod(xxhash64(col("fact_id")), lit(nSalt.toLong)))
+        val sd = dim.withColumn("salt",
+          explode(sequence(lit(0L), lit(nSalt - 1L))))
+        sf.hint("merge").join(sd, Seq("k", "salt"))
+      }
+    } finally rmrf(dir)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val section = args.drop(1).headOption.getOrElse("all")
@@ -2184,6 +2457,18 @@ object Stress {
 
     if (section == "pipeline") {
       pipelineReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "retrieval") {
+      retrievalReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "skewjoin") {
+      skewJoinReceipt(spark, n)
       spark.stop()
       return
     }

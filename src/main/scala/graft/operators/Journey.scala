@@ -1175,6 +1175,128 @@ object Journey {
     * @return (customer, recency_days, frequency, monetary, r_score,
     *   f_score, m_score, segment)
     */
+  /** U-shaped (position-based) multi-touch attribution — the standard
+    * 40/20/40 credit model next to [[graft.plans]] q199's last-touch:
+    * for every user who CONVERTS, the touches strictly before their
+    * FIRST conversion share one credit unit — 40% to the first touch,
+    * 40% to the last, 20% split evenly across the middles. All credit
+    * is EXACT micro-integers summing to 1,000,000 per converted user
+    * by construction: m = 1 → 1,000,000; m = 2 → 500,000 each; m ≥ 3 →
+    * first/last 400,000 and each middle 200000 div (m−2), with the
+    * division remainder assigned to the EARLIEST middle (deterministic,
+    * the Hamilton-remainder convention of [[Mixture]]).
+    *
+    * "Strictly before" is lexicographic on (ts, tiebreak) — a touch
+    * sharing the conversion's timestamp attributes only if its tiebreak
+    * sorts earlier. Users without a conversion contribute nothing.
+    *
+    * Scale posture: ONE user-keyed exchange (the ordered window that
+    * finds the first conversion, positions the touches and counts m),
+    * then one channel aggregation over per-touch credit rows — no
+    * joins, no per-step shuffles.
+    *
+    * @return (channel, credit_micro, n_touches, n_first, n_last)
+    */
+  def attributionUShaped(events: DataFrame, user: Column, ts: Column,
+      tiebreak: Column, channel: Column, isConversion: Column): DataFrame = {
+    val base = events
+      .filter(ts.isNotNull)
+      .select(user.as("__u"), unix_micros(ts).as("__t"),
+        tiebreak.as("__tb"), channel.as("__ch"),
+        isConversion.cast("boolean").as("__cv"))
+    val wu = Window.partitionBy(col("__u"))
+    val wOrd = wu.orderBy(col("__t"), col("__tb"))
+    val conv = min(when(col("__cv"), struct(col("__t"), col("__tb"))))
+      .over(wu)
+    val touches = base
+      .withColumn("__conv", conv)
+      .filter(col("__conv").isNotNull && !col("__cv") &&
+        struct(col("__t"), col("__tb")) < col("__conv"))
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__m", count(lit(1)).over(wu))
+    val m = col("__m")
+    val mid = m - 2
+    val credit = when(m === 1, 1000000L)
+      .when(m === 2, 500000L)
+      .when(col("__i") === 1 || col("__i") === m, 400000L)
+      .when(col("__i") === 2, // earliest middle carries the remainder
+        expr("200000 div (__m - 2)") + lit(200000L) % mid)
+      .otherwise(expr("200000 div (__m - 2)"))
+    touches
+      .groupBy(col("__ch").as("channel"))
+      .agg(sum(credit).as("credit_micro"),
+        count(lit(1)).as("n_touches"),
+        sum(when(col("__i") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("__i") === col("__m"), 1L).otherwise(0L))
+          .as("n_last"))
+  }
+
+  /** Kaplan–Meier survival estimator per group — the retention/churn
+    * curve over right-censored lifetimes (Kaplan & Meier 1958): one row
+    * per subject with an observed `duration` and an `event` flag
+    * (1 = the terminal event happened, 0 = censored at that duration).
+    * At each distinct duration t with d_t events out of n_t at risk
+    * (everyone whose duration ≥ t, censored included — the standard
+    * at-risk definition), S(t) = Π_{u ≤ t} (n_u − d_u)/n_u.
+    *
+    * The product is carried EXACTLY in the log domain: each factor
+    * contributes lg2fp(n−d) − lg2fp(n) in 2²⁰ fixed point
+    * ([[graft.functions.Log2Fixed]] — the q278/q280 convention, LUT
+    * replayed verbatim by the oracle), so `survival_bits` (= log2 S)
+    * replays bit-for-bit cross-engine; no floating product, no
+    * engine-dependent rounding. A step where every at-risk subject
+    * events (n == d) drives S to exactly 0 — from that t on the row
+    * reports `extinct` = 1 and null bits (log of zero), the fail-loud
+    * convention rather than a fake −∞. Censor-only times (d = 0) emit
+    * a row with the running bits unchanged — the censor ticks of a
+    * standard KM table.
+    *
+    * Scale posture: ONE exchange — the (group, duration) cell
+    * aggregation (map-side combined); at-risk counts, the extinction
+    * flag and the cumulative bits all ride ONE group-keyed ordered
+    * window pass over the duration-bounded cell frame (suffix frame
+    * for n_t, prefix frames for the rest — same partition+order, one
+    * sort). Output is O(distinct durations) per group.
+    *
+    * @return (g…, t, n_risk, d_events, c_censored, extinct,
+    *         survival_bits)
+    */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[Column],
+      durationCol: Column, eventCol: Column): DataFrame = {
+    import graft.functions.Log2Fixed
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++ Seq(
+        durationCol.cast("long").as("__t"),
+        eventCol.cast("long").as("__e")): _*)
+      .filter(col("__t").isNotNull && col("__e").isNotNull)
+    val cell = base
+      .groupBy(gNames.map(col) :+ col("__t"): _*)
+      .agg(sum(col("__e")).as("__d"), sum(lit(1L) - col("__e")).as("__c"))
+    val wOrd = Window.partitionBy(gNames.map(col): _*).orderBy(col("__t"))
+    val wSuffix = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrefix = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the GREATEST guard keeps the log total even on the extinct row the
+    // when() discards (the oracle's staged stages compute unconditionally)
+    val step = when(col("__d") > 0 && col("__n") > col("__d"),
+      Log2Fixed.expr(greatest(col("__n") - col("__d"), lit(1L))) -
+        Log2Fixed.expr(col("__n"))).otherwise(lit(0L))
+    cell
+      .withColumn("__n", sum(col("__d") + col("__c")).over(wSuffix))
+      .withColumn("__bits", sum(step).over(wPrefix))
+      .withColumn("__ext", max(
+        when(col("__d") > 0 && col("__d") === col("__n"), 1).otherwise(0))
+        .over(wPrefix))
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++ Seq(
+        col("__t").as("t"), col("__n").as("n_risk"),
+        col("__d").as("d_events"), col("__c").as("c_censored"),
+        col("__ext").as("extinct"),
+        when(col("__ext") === 0,
+          col("__bits").cast("double") / Log2Fixed.One)
+          .as("survival_bits")): _*)
+  }
+
   def rfmScores(
       df: DataFrame, custCol: Column, dateCol: Column,
       amount: Column): DataFrame = {

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{Ranking, Sessionize}
+import graft.functions.Log2Fixed
+import graft.operators.{Journey, Ranking, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -96,6 +97,46 @@ object EventQueries {
           tstr(col("effective_from")).as("effective_from"),
           coalesce(tstr(col("effective_to")), lit("")).as("effective_to"),
           col("is_current").cast("int").as("is_current"))
+    }),
+
+    // Kaplan–Meier retention curve per first-touch cohort: subject =
+    // user, lifetime = days between first and last activity, churned =
+    // last activity > 14 days before the corpus horizon (else right-
+    // censored). The survival product is carried EXACTLY in log2 fixed
+    // point (the q278/q280 staged-LUT convention), so the curve replays
+    // bit-for-bit in the oracle.
+    "q290_kaplan_meier" -> ((s, dir) => {
+      val e = t(s, dir).filter(col("ts").isNotNull)
+      val day = datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val perUser = e.groupBy(col("user_id"))
+        .agg(min(day).as("__fd"), max(day).as("__ld"))
+      val horizon = e.agg(max(day).as("__md"))
+      val cohort = Ranking.keepFirst(
+          e.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+          Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_type").as("__cohort"))
+      val subjects = perUser.join(cohort, Seq("user_id"))
+        .crossJoin(broadcast(horizon))
+        .select(col("__cohort"), (col("__ld") - col("__fd")).as("__life"),
+          when(col("__ld") < col("__md") - 14, 1L).otherwise(0L)
+            .as("__churn"))
+      Journey.kaplanMeier(subjects, Seq(col("__cohort")), col("__life"),
+          col("__churn"))
+        .select(col("g0").as("cohort"), col("t"), col("n_risk"),
+          col("d_events"), col("c_censored"), col("extinct"),
+          col("survival_bits"))
+    }),
+
+    // U-shaped multi-touch attribution: purchases convert; each
+    // converted user's pre-conversion touches share 1,000,000 micro
+    // credits 40/20/40 (first/middles/last), remainders to the earliest
+    // middle — exact integers, Σ per user = 1e6 by construction.
+    "q291_attribution_u" -> ((s, dir) => {
+      Journey.attributionUShaped(t(s, dir), col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        col("event_type") === "purchase")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -161,5 +202,74 @@ object EventQueries {
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            COUNT(*) AS n,
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-         FROM events GROUP BY event_type""")
+         FROM events GROUP BY event_type""",
+    "q290_kaplan_meier" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id, ts,
+             CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS day
+           FROM events WHERE ts IS NOT NULL),
+         pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld
+           FROM e GROUP BY 1),
+         mx AS (SELECT MAX(day) AS md FROM e),
+         ft AS (SELECT user_id, event_type AS cohort FROM (
+             SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM e) WHERE rn = 1),
+         subj AS (SELECT ft.cohort, pu.ld - pu.fd AS t,
+             CASE WHEN pu.ld < mx.md - 14 THEN 1 ELSE 0 END AS ev
+           FROM pu JOIN ft USING (user_id), mx),
+         cell AS (SELECT cohort, t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c FROM subj GROUP BY 1, 2),
+         st AS (SELECT cohort, t, d, c,
+             CAST(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n
+           FROM cell),
+         ${Log2Fixed.lutCteSql},
+         ${CurationQueries.log2fpStages("st", "cohort, t, d, c, n",
+          "GREATEST(n - d, 1)", "lgnd", "p1")},
+         ${CurationQueries.log2fpStages("p1l", "cohort, t, d, c, n, lgnd",
+          "n", "lgn", "p2")},
+         fin AS (SELECT cohort, t, n, d, c,
+             CAST(SUM(CASE WHEN d > 0 AND n > d THEN lgnd - lgn ELSE 0 END)
+               OVER (PARTITION BY cohort ORDER BY t ROWS UNBOUNDED
+                 PRECEDING) AS BIGINT) AS bits,
+             MAX(CASE WHEN d > 0 AND d = n THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cohort ORDER BY t ROWS UNBOUNDED
+                 PRECEDING) AS ext
+           FROM p2l)
+         SELECT cohort, t, n AS n_risk, d AS d_events, c AS c_censored,
+           CAST(ext AS INT) AS extinct,
+           CASE WHEN ext = 0 THEN CAST(bits AS DOUBLE) / 1048576 END
+             AS survival_bits
+         FROM fin""",
+    "q291_attribution_u" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts
+           FROM events WHERE ts IS NOT NULL),
+         cv AS (SELECT user_id, ts AS cts, event_id AS cid FROM (
+             SELECT user_id, ts, event_id, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+         tc AS (SELECT e.user_id, e.event_type AS channel,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.ts, e.event_id) AS i,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS m
+           FROM e JOIN cv USING (user_id)
+           WHERE e.event_type <> 'purchase'
+             AND (e.ts < cv.cts
+               OR (e.ts = cv.cts AND e.event_id < cv.cid))),
+         cr AS (SELECT channel, i, m,
+             CASE WHEN m = 1 THEN 1000000
+                  WHEN m = 2 THEN 500000
+                  WHEN i = 1 OR i = m THEN 400000
+                  WHEN i = 2 THEN 200000 // (m - 2) + 200000 % (m - 2)
+                  ELSE 200000 // (m - 2) END AS credit
+           FROM tc)
+         SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_micro,
+           COUNT(*) AS n_touches,
+           CAST(SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first,
+           CAST(SUM(CASE WHEN i = m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_last
+         FROM cr GROUP BY 1""")
 }

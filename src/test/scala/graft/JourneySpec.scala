@@ -357,4 +357,65 @@ class JourneySpec extends AnyFunSuite {
     assert(l1 == (1L << 20)) // log2(0.5/0.25) = 1 exactly
     assert(l0 < 0 && bound > 0)
   }
+
+  test("kaplanMeier: hand-computed curve, censor ticks, extinction") {
+    import graft.functions.Log2Fixed
+    // group A: durations 1(ev) 2(cen) 3(ev) 3(ev) 5(cen)
+    //   t=1: n=5 d=1 -> x 4/5; t=2: n=4 c=1 (tick); t=3: n=3 d=2 -> x 1/3;
+    //   t=5: n=1 c=1 (tick)
+    // group B: 1(ev) 1(ev) -> n=2 d=2 -> extinct at t=1
+    val rows = Seq(("A", 1L, 1L), ("A", 2L, 0L), ("A", 3L, 1L),
+      ("A", 3L, 1L), ("A", 5L, 0L), ("B", 1L, 1L), ("B", 1L, 1L))
+    val out = Journey.kaplanMeier(rows.toDF("g", "dur", "ev"),
+        Seq(col("g")), col("dur"), col("ev"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5),
+          Option(r.getAs[Any]("survival_bits"))
+            .map(_.asInstanceOf[Double])))).toMap
+    def lg(x: Long) = Log2Fixed(x)
+    val s1 = (lg(4) - lg(5)).toDouble / Log2Fixed.One
+    val s3 = (lg(4) - lg(5) + lg(1) - lg(3)).toDouble / Log2Fixed.One
+    assert(out(("A", 1L)) == ((5L, 1L, 0L, 0, Some(s1))))
+    assert(out(("A", 2L)) == ((4L, 0L, 1L, 0, Some(s1)))) // censor tick
+    assert(out(("A", 3L)) == ((3L, 2L, 0L, 0, Some(s3))))
+    assert(out(("A", 5L)) == ((1L, 0L, 1L, 0, Some(s3))))
+    assert(out(("B", 1L)) == ((2L, 2L, 0L, 1, None))) // S hits exact 0
+    // sanity: bits really are log2 of the product
+    assert(math.abs(math.pow(2, s3) - 0.8 / 3) < 1e-5)
+  }
+
+  test("attributionUShaped: exact 40/20/40 micro credit, sum = 1e6 per user") {
+    def t(i: Int) = ts(f"2024-01-01 00:00:${i}%02d")
+    // u1: a b c d P   -> a 400k, b 100k, c 100k, d 400k
+    // u2: a P         -> a 1,000,000
+    // u3: a b P       -> 500k each
+    // u4: a b c P     -> a 400k, b 200k, c 400k
+    // u5: a b c d e P -> middles 200000 div 3 = 66666, rem 2 to b
+    // u6: a (no conversion) -> nothing
+    // u7: P a         -> converts, zero prior touches -> nothing
+    val rows = Seq(
+      (1L, 1, "a"), (1L, 2, "b"), (1L, 3, "c"), (1L, 4, "d"), (1L, 5, "P"),
+      (2L, 1, "a"), (2L, 2, "P"),
+      (3L, 1, "a"), (3L, 2, "b"), (3L, 3, "P"),
+      (4L, 1, "a"), (4L, 2, "b"), (4L, 3, "c"), (4L, 4, "P"),
+      (5L, 1, "a"), (5L, 2, "b"), (5L, 3, "c"), (5L, 4, "d"),
+      (5L, 5, "e"), (5L, 6, "P"),
+      (6L, 1, "a"),
+      (7L, 1, "P"), (7L, 2, "a"))
+    val df = rows.map { case (u, i, ch) => (u, t(i), i.toLong, ch) }
+      .toDF("u", "ts", "eid", "ch")
+    val out = Journey.attributionUShaped(df, col("u"), col("ts"),
+        col("eid"), col("ch"), col("ch") === "P")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((400000L + 1000000L + 500000L + 400000L + 400000L,
+      5L, 5L, 1L))) // last only for u2 (single touch is both first+last)
+    assert(out("b") == ((100000L + 500000L + 200000L + 66668L, 4L, 0L, 1L)))
+    assert(out("c") == ((100000L + 400000L + 66666L, 3L, 0L, 1L)))
+    assert(out("d") == ((400000L + 66666L, 2L, 0L, 1L)))
+    assert(out("e") == ((400000L, 1L, 0L, 1L)))
+    // per-user conservation: every converted-with-touches user sums to 1e6
+    val total = out.values.map(_._1).sum
+    assert(total == 5L * 1000000L, s"credit total $total")
+  }
 }
