@@ -2194,7 +2194,9 @@ object Stress {
       // 10 databases, 50-chunk documents, ~12-token hashed-vocab text;
       // chunks in query-bucket q with id % 7 == 0 carry the rare planted
       // term qt<q> the rerank stage must surface
-      val bucket = pmod(xxhash64(col("id")), lit(nQ.toLong))
+      def bucketOf(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(c), lit(nQ.toLong))
+      val bucket = bucketOf(col("id"))
       spark.range(0, n, 1, 32).select(
           col("id").as("chunk_id"),
           concat(lit("db"), pmod(col("id"), lit(10))).as("database_id"),
@@ -2237,7 +2239,7 @@ object Stress {
         Ranking.topKPerGroup(
           chunks.select(col("chunk_id"), col("database_id"),
             col("document_id"), col("position"),
-            bucket.as("query_id"),
+            bucketOf(col("chunk_id")).as("query_id"),
             pmod(xxhash64(col("chunk_id"), lit(7L)), lit(1000000L))
               .as("score")),
           Seq(col("query_id")),
@@ -2264,10 +2266,18 @@ object Stress {
       // join, query-term postings only — the X8 deterministic half).
       // Candidate-bounded: the doc side is the fused set, never the store.
       val reranked = stage("s2_rerank") {
+        // the candidate-id set is queries × depth — ALWAYS broadcast-size
+        // by construction, so pin it: without the hint the optimizer saw
+        // an over-threshold checkpoint frame and sort-merge-joined the
+        // full text scan (0.6 GB text shuffle for a 100k-id probe)
+        // … and checkpoint the candidate texts: rerankLexical references
+        // its doc frame twice (token scan + n_docs), which re-ran the
+        // 10M probe per reference (the q152 double-execution lesson)
         val candTexts = chunks
-          .join(scored.select(col("chunk_id")), Seq("chunk_id"),
+          .join(broadcast(scored.select(col("chunk_id"))), Seq("chunk_id"),
             "left_semi")
           .select(col("chunk_id"), col("text"))
+          .localCheckpoint()
         val queriesDf = spark.range(0, nQ).select(
           col("id").as("query_id"),
           concat(lit("qt"), col("id")).as("query_text"))
@@ -2326,7 +2336,10 @@ object Stress {
 
       // ---- s5: nested assembly (A3: db → [doc → ordered blocks])
       val assembled = stage("s5_assemble") {
-        Retrieval.assembleNested(enriched)
+        // position == chunk_id in this store (the q51 convention);
+        // distribute's contract drops the carried position column
+        Retrieval.assembleNested(
+          enriched.withColumn("position", col("chunk_id")))
       }
       val nChunks = assembled.agg(sum(col("n_chunks"))).head().getLong(0)
       require(nChunks == enriched.count(),
@@ -2358,7 +2371,11 @@ object Stress {
     val sc = spark.sparkContext
     val mLabel = if (n >= 1000000) s"${n / 1000000}M" else s"${n / 1000}k"
     val nKeys = 100000L
-    val nSalt = 16
+    // salt count must be a few × shuffle partitions: 16 salts over 32
+    // partitions birthday-collide (measured: one task re-accumulated
+    // ~5 salt buckets of the hot key and the straggler came BACK,
+    // 4.9 s max-task) — 64 spreads within ±6%
+    val nSalt = 64
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stress_skew").toString
     def maxTaskMs[A](body: => A): (A, Long, Long) = {
@@ -2368,10 +2385,15 @@ object Stress {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null)
+          if (m != null) {
             bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
-          if (te.taskInfo != null)
-            maxMs.getAndUpdate(x => math.max(x, te.taskInfo.duration)): Unit
+            // straggler metric = max wall among shuffle-READING tasks
+            // (the join stage) — map/scan tasks would drown the signal
+            if (te.taskInfo != null &&
+                m.shuffleReadMetrics.totalBytesRead > 0)
+              maxMs.getAndUpdate(x =>
+                math.max(x, te.taskInfo.duration)): Unit
+          }
         }
       }
       sc.addSparkListener(listener)
@@ -2405,14 +2427,24 @@ object Stress {
         try {
           val t0 = System.nanoTime()
           val (rows, bytes, maxMs) = maxTaskMs {
-            body.agg(count(lit(1)), sum(length(col("dim_val"))))
+            // touch BOTH payloads downstream of the join, or column
+            // pruning strips the 96-byte fact payload at the scan and the
+            // "skewed" shuffle carries 8-byte keys only
+            body.agg(count(lit(1)),
+                sum(length(col("payload")) + length(col("dim_val"))))
               .collect()(0).getLong(0)
           }
           val wall = (System.nanoTime() - t0) / 1e9
           println(f"[stress] skewjoin_${mLabel}_$name%-12s rows=$rows%9d " +
             f"wall=$wall%7.2f s shuffle=${bytes / 1e9}%6.3f GB " +
-            f"max_task=${maxMs / 1000.0}%6.2f s")
-        } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+            f"max_join_task=${maxMs / 1000.0}%6.2f s")
+        } finally {
+          prev.foreach { case (k, v) => spark.conf.set(k, v) }
+          // each variant starts clean: the first in-suite run showed the
+          // salted form paying 2.7x for the PREVIOUS variants' shuffle
+          // debris (26.2 s in-suite vs 6.3 s alone)
+          graft.core.SessionHygiene.drain(spark): Unit
+        }
       }
       val aqeScaled = Map(
         "spark.sql.adaptive.enabled" -> "true",

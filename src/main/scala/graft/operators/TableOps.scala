@@ -1024,4 +1024,157 @@ object TableOps {
             <= tMicro, 1).otherwise(0))
           .otherwise(1).as("within_t"))): _*)
   }
+  /** Wilson score lower/upper bound per group — the CONSERVATIVE rate
+    * ranking next to [[ebShrinkRates]] (EB pulls small groups toward
+    * the population mean; Wilson bounds a single group's rate with no
+    * prior — the "sort by lower bound" rule every keep-rate/rating
+    * ranker uses). z² is baked at the chi-square(1) 95% value 3.841459
+    * (micro 3841459 — the mannWhitneyU/cochranQ constant), and the
+    * closed form clears both square roots into ONE integer sqrt:
+    *
+    *   LB,UB = (2s + z² ∓ z·√(4s(n−s)/n + z²)) / (2(n + z²))
+    *
+    * Exact quantization chain, every floor replicated by the oracle:
+    *   R  = (4·s·(n−s)·10⁶) div n            (micro inner ratio)
+    *   T  = Z2·(R + Z2)                      (= 10¹²·z²·(4s(n−s)/n+z²))
+    *   rt = isqrt(T)                         (float seed ± 2 exact
+    *                                          correction — the q276
+    *                                          temperature-mix pattern)
+    *   lb = microRound6(2·10⁶·s + Z2 − rt, 2·(10⁶·n + Z2))
+    *
+    * Scale posture: ONE group aggregation, everything after is a
+    * per-group integer projection. Envelope: T ≈ 3.84·10¹²·n holds a
+    * DECIMAL comfortably past any group size; the float sqrt seed is
+    * within ±2 of the true root for T < 2⁵³·2¹⁰ (the correction window
+    * covers it loudly — require fails if the seed is further off).
+    *
+    * @return (g…, n, s, rate, wilson_lb, wilson_ub)
+    */
+  def wilsonLowerBound(df: DataFrame, groupCols: Seq[Column],
+      successCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val reserved = Seq("n", "s", "rate", "wilson_lb", "wilson_ub")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    import graft.operators.EvalMetrics.{idivPos, microRound6}
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val Z2 = 3841459L
+    val g = df.filter(successCol.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"), sum(successCol.cast("long")).as("s"))
+    val bigR = idivPos(
+      dec(col("s")) * (dec(col("n")) - dec(col("s"))) * 4000000L,
+      dec(col("n")))
+    val t = dec(lit(Z2)) * (dec(bigR) + Z2)
+    val s0 = floor(sqrt(t.cast("double"))).cast("long")
+    def sq(c: Column) = dec(c) * dec(c)
+    val rt = when(sq(col("__s0") + 2) <= col("__t"), col("__s0") + 2)
+      .when(sq(col("__s0") + 1) <= col("__t"), col("__s0") + 1)
+      .when(sq(col("__s0")) <= col("__t"), col("__s0"))
+      .when(sq(col("__s0") - 1) <= col("__t"), col("__s0") - 1)
+      .otherwise(col("__s0") - 2)
+    val den = (dec(col("n")) * 1000000L + Z2) * 2L
+    g.withColumn("__t", t).withColumn("__s0", s0)
+      .withColumn("__rt", rt)
+      .withColumn("__chk", // fail loud if the seed window ever misses
+        when(sq(col("__rt")) <= col("__t") &&
+          sq(col("__rt") + 1) > col("__t"), lit(true))
+          .otherwise(raise_error(concat(lit("wilson isqrt seed off: "),
+            col("__s0").cast("string"))).cast("boolean")))
+      .filter(col("__chk"))
+      .select((groupCols.indices.map(i => col(g.columns(i))) ++ Seq(
+        col("n"), col("s"),
+        microRound6(col("s"), col("n")).cast("double").divide(lit(1e6))
+          .as("rate"),
+        microRound6(
+          dec(col("s")) * 2000000L + Z2 - col("__rt"), den)
+          .cast("double").divide(lit(1e6)).as("wilson_lb"),
+        microRound6(
+          dec(col("s")) * 2000000L + Z2 + col("__rt"), den)
+          .cast("double").divide(lit(1e6)).as("wilson_ub"))): _*)
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — the experimentation
+    * platform's standard pre-period adjustment: with covariate x (the
+    * PRE-period metric) and outcome y, θ = Cov(x,y)/Var(x) pooled over
+    * all arms, and each arm's adjusted mean is ȳ_a − θ·(x̄_a − x̄).
+    * Randomization makes E[x̄_a − x̄] = 0, so the adjustment is unbiased
+    * while removing the covariate-explained variance — the experiment
+    * reads significance at ρ² less sample.
+    *
+    * Exact quantization chain: Sxx = N·Σx² − (Σx)², Sxy = N·Σxy − Σx·Σy
+    * (DECIMAL exact), θ = Sxy/Sxx micro-quantized ONCE (microRound6,
+    * sign-preserving), ρ² as the ÷1e6-floored product of the two
+    * quantized slopes (Sxy/Sxx)·(Sxy/Syy) — squaring Sxy directly needs
+    * ~Sxy²·2e6 headroom, which bursts DECIMAL(38) at corpus scale —
+    * and each arm's adjusted mean is one exact rational over the
+    * quantized θ:
+    *
+    *   mean_adj = microRound6(10⁶·N·Σy_a − θµ·(N·Σx_a − Σx·n_a),
+    *              10⁶·n_a·N)
+    *
+    * Scale posture: one pooled aggregation (1-row broadcast) + one arm
+    * aggregation — two map-side-combined passes over the same frame,
+    * nothing data-sized after. Zero pooled variance (constant x) →
+    * null theta and mean_adj = mean_y (no adjustment), fail-soft and
+    * documented.
+    *
+    * @return (g…, n, mean_x, mean_y, theta, mean_y_adj, rho2)
+    */
+  def cuped(df: DataFrame, groupCols: Seq[Column], xCol: Column,
+      yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val reserved = Seq("n", "mean_x", "mean_y", "theta", "mean_y_adj",
+      "rho2")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    import graft.operators.EvalMetrics.microRound6
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select((groupCols :+ xCol.cast("long").as("__x") :+
+        yCol.cast("long").as("__y")): _*)
+      .localCheckpoint() // feeds the pooled AND the per-arm aggregation
+    val pooled = base.agg(count(lit(1)).as("__N"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+      sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+      sum(dec(col("__y")) * dec(col("__y"))).as("__syy"))
+    val gNames = base.columns.dropRight(2).toSeq
+    val arms = base.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sxa"),
+        sum(col("__y")).as("__sya"))
+    val sxx = dec(col("__N")) * col("__sxx") - dec(col("__sx")) * dec(col("__sx"))
+    val sxy = dec(col("__N")) * col("__sxy") - dec(col("__sx")) * dec(col("__sy"))
+    val syy = dec(col("__N")) * col("__syy") - dec(col("__sy")) * dec(col("__sy"))
+    val thetaMicro = when(sxx > 0, microRound6(sxy, sxx))
+    // ρ² = (Sxy/Sxx)·(Sxy/Syy) as the PRODUCT of the two micro-quantized
+    // slopes (÷1e6 floor) — squaring Sxy directly would need ~vxy²·2e6
+    // headroom, which bursts DECIMAL(38)/HUGEINT at corpus scale while
+    // the quantized product never leaves micro range
+    val theta2Micro = when(syy > 0, microRound6(sxy, syy))
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("__th", thetaMicro)
+      .withColumn("__th2", theta2Micro)
+      .select((gNames.map(col) ++ Seq(
+        col("n"),
+        microRound6(col("__sxa"), col("n")).cast("double")
+          .divide(lit(1e6)).as("mean_x"),
+        microRound6(col("__sya"), col("n")).cast("double")
+          .divide(lit(1e6)).as("mean_y"),
+        col("__th").cast("double").divide(lit(1e6)).as("theta"),
+        coalesce(
+          when(col("__th").isNotNull, microRound6(
+            dec(col("__sya")) * dec(col("__N")) * 1000000L -
+              dec(col("__th")) * (dec(col("__N")) * dec(col("__sxa")) -
+                dec(col("__sx")) * dec(col("n"))),
+            dec(col("n")) * dec(col("__N")) * 1000000L)),
+          microRound6(col("__sya"), col("n")))
+          .cast("double").divide(lit(1e6)).as("mean_y_adj"),
+        when(col("__th").isNotNull && col("__th2").isNotNull,
+          EvalMetrics.idivPos(dec(col("__th")) * dec(col("__th2")),
+            lit(1000000L)))
+          .cast("double").divide(lit(1e6)).as("rho2"))): _*)
+  }
 }

@@ -557,6 +557,41 @@ object WarehouseQueries {
         Seq(col("user_id")),
         (col("event_type") === "purchase").cast("long"))),
 
+    // Wilson score bounds per event type: the CONSERVATIVE high-value
+    // rate ranking (sort by lower bound) next to q289's EB shrinkage —
+    // one integer sqrt (float seed ± 2 exact correction, the q276
+    // pattern), every floor replicated in the oracle.
+    "q292_wilson_rates" -> ((s, dir) => {
+      val cents = (dec(col("value")) * 100).cast("long")
+      TableOps.wilsonLowerBound(
+        ev(s, dir).filter(col("value").isNotNull),
+        Seq(col("event_type")), (cents >= 5000L).cast("long"))
+    }),
+
+    // CUPED variance reduction over a stride A/B split: covariate x =
+    // each user's FIRST-half spend (by the corpus day midpoint), outcome
+    // y = second-half spend; theta pooled, micro-quantized once, each
+    // arm's adjusted mean one exact rational. Arms ride the stride
+    // quotient (user_id div 20) % 2 — never a raw modulus (the testdata
+    // round-robin trap).
+    "q293_cuped" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+      val day = datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val cents = (dec(col("value")) * 100).cast("long")
+      val rng = e.agg(min(day).as("__mn"), max(day).as("__mx"))
+        .select(expr("(__mn + __mx + 1) div 2").as("__mid"))
+      val u = e.crossJoin(broadcast(rng))
+        .groupBy(col("user_id"))
+        .agg(sum(when(day < col("__mid"), cents).otherwise(0L)).as("x"),
+          sum(when(day >= col("__mid"), cents).otherwise(0L)).as("y"))
+      TableOps.cuped(
+        u.select(pmod(expr("user_id div 20"), lit(2)).as("arm"),
+          col("x"), col("y")),
+        Seq(col("arm")), col("x"), col("y"))
+    }),
+
     // Kaplan–Meier life table (integer-exact): time-to-conversion with
     // right-censoring — duration = days from a user's first event to
     // their first HIGH-VALUE purchase ("event"), or to their last event
@@ -1480,5 +1515,98 @@ object WarehouseQueries {
          dd AS $cmDdSql
          SELECT dd.d AS d, ((hx.h * dd.m + dd.d) % 1000000007) % 512 AS idx,
            COUNT(*) AS cnt
-         FROM hx CROSS JOIN dd GROUP BY 1, 2""")
+         FROM hx CROSS JOIN dd GROUP BY 1, 2""",
+
+    "q292_wilson_rates" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN CAST(value AS DECIMAL(18,2)) * 100 >= 5000
+               THEN 1 ELSE 0 END) AS BIGINT) AS s
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         w0 AS (SELECT event_type, n, s,
+             CAST(3841459 AS HUGEINT) *
+               ((4000000 * CAST(s AS HUGEINT) * (n - s)) // n + 3841459)
+               AS t
+           FROM g),
+         w1 AS (SELECT *, CAST(FLOOR(SQRT(CAST(t AS DOUBLE))) AS BIGINT)
+             AS s0 FROM w0),
+         w2 AS (SELECT event_type, n, s, t,
+             CASE WHEN CAST(s0 + 2 AS HUGEINT) * (s0 + 2) <= t THEN s0 + 2
+                  WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= t THEN s0 + 1
+                  WHEN CAST(s0 AS HUGEINT) * s0 <= t THEN s0
+                  WHEN CAST(s0 - 1 AS HUGEINT) * (s0 - 1) <= t THEN s0 - 1
+                  ELSE s0 - 2 END AS rt
+           FROM w1),
+         w3 AS (SELECT event_type, n, s, rt,
+             (2000000 * CAST(s AS HUGEINT) + 3841459 - rt) * 1000000
+               AS lbnum,
+             (2000000 * CAST(s AS HUGEINT) + 3841459 + rt) * 1000000
+               AS ubnum,
+             (1000000 * CAST(n AS HUGEINT) + 3841459) * 2 AS den
+           FROM w2)
+         SELECT event_type, n, s,
+           CAST((2 * CAST(s AS HUGEINT) * 1000000 + n) // (2 * n)
+             AS BIGINT) / 1000000.0 AS rate,
+           CAST((2 * lbnum + den) // (2 * den) AS BIGINT) / 1000000.0
+             AS wilson_lb,
+           CAST((2 * ubnum + den) // (2 * den) AS BIGINT) / 1000000.0
+             AS wilson_ub
+         FROM w3""",
+
+    "q293_cuped" ->
+      """WITH e AS (SELECT user_id,
+             CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         m AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+         u AS (SELECT user_id,
+             SUM(CASE WHEN day < mid THEN cents ELSE 0 END) AS x,
+             SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS y
+           FROM e, m GROUP BY 1),
+         a AS (SELECT (user_id // 20) % 2 AS arm, x, y FROM u),
+         p AS (SELECT COUNT(*) AS nn, CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+           FROM a),
+         ar AS (SELECT arm, COUNT(*) AS n, CAST(SUM(x) AS HUGEINT) AS sxa,
+             CAST(SUM(y) AS HUGEINT) AS sya
+           FROM a GROUP BY 1),
+         st AS (SELECT arm, n, sxa, sya, nn, sx,
+             nn * sxx - sx * sx AS vxx, nn * sxy - sx * sy AS vxy,
+             nn * syy - sy * sy AS vyy
+           FROM ar, p),
+         th AS (SELECT *, CASE WHEN vxx > 0 THEN
+               CAST((CASE WHEN vxy < 0 THEN -1 ELSE 1 END) *
+                 ((2 * ABS(vxy) * 1000000 + vxx) // (2 * vxx)) AS BIGINT)
+             END AS thm,
+             CASE WHEN vyy > 0 THEN
+               CAST((CASE WHEN vxy < 0 THEN -1 ELSE 1 END) *
+                 ((2 * ABS(vxy) * 1000000 + vyy) // (2 * vyy)) AS BIGINT)
+             END AS th2m
+           FROM st),
+         fin AS (SELECT arm, n, sxa, sya, nn, sx, vxx, vxy, vyy, thm,
+             th2m,
+             sya * nn * 1000000 - thm * (nn * sxa - sx * n) AS adjnum,
+             CAST(n AS HUGEINT) * nn * 1000000 AS adjden
+           FROM th)
+         SELECT arm, n,
+           CAST((2 * sxa * 1000000 + n) // (2 * n) AS BIGINT) / 1000000.0
+             AS mean_x,
+           CAST((2 * sya * 1000000 + n) // (2 * n) AS BIGINT) / 1000000.0
+             AS mean_y,
+           CAST(thm AS BIGINT) / 1000000.0 AS theta,
+           CASE WHEN thm IS NOT NULL THEN
+               CAST((CASE WHEN adjnum < 0 THEN -1 ELSE 1 END) *
+                 ((2 * ABS(adjnum) * 1000000 + adjden) // (2 * adjden))
+                 AS BIGINT) / 1000000.0
+             ELSE CAST((2 * sya * 1000000 + n) // (2 * n) AS BIGINT)
+               / 1000000.0 END AS mean_y_adj,
+           CASE WHEN thm IS NOT NULL AND th2m IS NOT NULL THEN
+               CAST((CAST(thm AS HUGEINT) * th2m -
+                 ((CAST(thm AS HUGEINT) * th2m) % 1000000)) // 1000000
+                 AS BIGINT) / 1000000.0
+             END AS rho2
+         FROM fin""")
 }

@@ -204,4 +204,97 @@ class TableOpsSpec extends AnyFunSuite {
     assert(TableOps.ebShrinkRates(one, Seq(col("g")), col("y"))
       .collect().head.getAs[Any]("shrunk_rate") == null)
   }
+
+  test("wilsonLowerBound: BigInt replica of the quantization chain; " +
+      "edge rates; ordering beats the raw rate") {
+    import graft.operators.TableOps
+    def rows(g: String, s: Int, n: Int) =
+      (1 to n).map(i => (g, if (i <= s) 1 else 0))
+    // the classic case: 2-for-3 raw-beats 180-for-400, Wilson must flip
+    val df = (rows("A", 2, 3) ++ rows("B", 180, 400) ++
+      rows("Z", 0, 5) ++ rows("F", 5, 5)).toDF("g", "y")
+    val out = TableOps.wilsonLowerBound(df, Seq(col("g")), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def replica(s: Long, n: Long): (Double, Double) = {
+      val z2 = BigInt(3841459)
+      val r = (BigInt(4000000) * s * (n - s)) / BigInt(n)
+      val t = z2 * (r + z2)
+      var rt = BigInt(math.sqrt(t.toDouble).toLong)
+      while ((rt + 1) * (rt + 1) <= t) rt += 1
+      while (rt * rt > t) rt -= 1
+      val den = (BigInt(1000000) * n + z2) * 2
+      def half(num: BigInt) = ((num * 2000000 + den) / (den * 2)).toDouble / 1e6
+      (half(BigInt(2000000) * s + z2 - rt), half(BigInt(2000000) * s + z2 + rt))
+    }
+    for ((g, s, n) <- Seq(("A", 2L, 3L), ("B", 180L, 400L), ("Z", 0L, 5L),
+        ("F", 5L, 5L))) {
+      val (lb, ub) = replica(s, n)
+      assert(out(g).getAs[Double]("wilson_lb") == lb, s"$g lb")
+      assert(out(g).getAs[Double]("wilson_ub") == ub, s"$g ub")
+    }
+    // the flip: raw 0.667 > 0.45 but the conservative bound reverses
+    assert(out("A").getAs[Double]("rate") > out("B").getAs[Double]("rate"))
+    assert(out("A").getAs[Double]("wilson_lb") <
+      out("B").getAs[Double]("wilson_lb"))
+    // bounds bracket the rate and stay in [0, 1]
+    out.values.foreach { r =>
+      val (lb, ub, p) = (r.getAs[Double]("wilson_lb"),
+        r.getAs[Double]("wilson_ub"), r.getAs[Double]("rate"))
+      assert(lb >= 0 && ub <= 1 && lb <= p && p <= ub)
+    }
+  }
+
+  test("cuped: BigInt replica; perfect covariate zeroes variance; " +
+      "constant covariate falls back to the raw mean") {
+    import graft.operators.TableOps
+    // y = 2x + arm effect + noise: theta ~ 2, adjustment removes the
+    // pre-period imbalance the deterministic x-assignment plants
+    val rows = for (u <- 1 to 40) yield {
+      val arm = u % 2
+      val x = 100L + (u % 7) * 50L
+      val y = 2 * x + arm * 30L + (u % 3) * 10L
+      (arm.toLong, x, y)
+    }
+    val df = rows.toDF("arm", "x", "y")
+    val out = TableOps.cuped(df, Seq(col("arm")), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // BigInt replica of the full chain
+    val n = rows.size
+    val (sx, sy) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    val sxx = rows.map(r => BigInt(r._2) * r._2).sum
+    val sxy = rows.map(r => BigInt(r._2) * r._3).sum
+    val syy = rows.map(r => BigInt(r._3) * r._3).sum
+    val vxx = BigInt(n) * sxx - BigInt(sx) * sx
+    val vxy = BigInt(n) * sxy - BigInt(sx) * sy
+    val vyy = BigInt(n) * syy - BigInt(sy) * sy
+    def half(num: BigInt, den: BigInt): BigInt = {
+      val q = (num.abs * 2000000 + den) / (den * 2)
+      if (num < 0) -q else q
+    }
+    val thm = half(vxy, vxx)
+    assert(out(0L).getAs[Double]("theta") == thm.toDouble / 1e6)
+    for (arm <- Seq(0L, 1L)) {
+      val armRows = rows.filter(_._1 == arm)
+      val (na, sxa, sya) = (armRows.size, armRows.map(_._2).sum,
+        armRows.map(_._3).sum)
+      val adj = half(BigInt(sya) * n * 1000000 -
+        thm * (BigInt(n) * sxa - BigInt(sx) * na),
+        BigInt(na) * n * 1000000).toDouble / 1e6
+      assert(out(arm).getAs[Double]("mean_y_adj") == adj, s"arm $arm")
+    }
+    val rho2 = ((thm * half(vxy, vyy)) / 1000000).toDouble / 1e6
+    assert(out(0L).getAs[Double]("rho2") == rho2)
+    assert(rho2 > 0.9, s"strong covariate must explain most variance: $rho2")
+    // adjusted gap ~ the planted effect; raw gap is polluted by the
+    // x-imbalance between arms
+    val adjGap = out(1L).getAs[Double]("mean_y_adj") -
+      out(0L).getAs[Double]("mean_y_adj")
+    assert(math.abs(adjGap - 30.0) < 6.0, s"adjusted gap $adjGap")
+    // constant covariate: vxx = 0 -> null theta, mean_y_adj = mean_y
+    val const = rows.map { case (a, _, y) => (a, 5L, y) }.toDF("arm", "x", "y")
+    val c = TableOps.cuped(const, Seq(col("arm")), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(c(0L).getAs[Any]("theta") == null)
+    assert(c(0L).getAs[Double]("mean_y_adj") == c(0L).getAs[Double]("mean_y"))
+  }
 }
