@@ -1297,6 +1297,91 @@ object Journey {
           .as("survival_bits")): _*)
   }
 
+  /** Log-rank test per group — [[kaplanMeier]]'s paired significance
+    * gate (the curve answers "what does retention look like?", this
+    * answers "are the two cohorts' curves DIFFERENT?" — the two ship
+    * together in every survival kit, the q253/q262 pairing again). Two
+    * arms (A = `armCol` true); at each event time t with d events out
+    * of n at risk (n_a in arm A):
+    *
+    *   O_A = d_a,   E_A = n_a·d/n,   V = d(n−d)·n_a·n_b / (n²(n−1))
+    *   χ² = (Σ(O_A − E_A))² / ΣV   vs chi-square(1) 95%
+    *
+    * Exact quantization chain (the house convention — each E and V term
+    * micro-rounded ONCE, sums in plain longs, every floor replicated by
+    * the oracle): e_a = microRound6(n_a·d, n), v = microRound6(
+    * d(n−d)n_a·n_b, n²(n−1)) for n > 1, u = Σ(10⁶·d_a − e_a),
+    * chi2_micro = microRound6(u², 10⁶·v); `significant` compares
+    * u² > v·Z2 in cross-multiplied DECIMAL integers (unrounded).
+    *
+    * Scale posture: ONE (group, duration) cell aggregation, then the
+    * same single ordered window pass as [[kaplanMeier]] (suffix frames
+    * for both arms' at-risk counts) and a group-bounded rollup.
+    * Envelope: the V-term numerator ~n⁴/16 meets microRound6's ×2·10⁶
+    * internal at ~5·10⁷ subjects per group — loud past (ANSI), the
+    * wilcoxon subsample-beyond convention. A group with NO event times
+    * (everyone censored) emits no row at all — there is nothing to
+    * test; callers wanting a placeholder row outer-join the group
+    * frame.
+    *
+    * @return (g…, n_times, o_a, e_a, o_b, e_b, chi2, significant)
+    */
+  def logRank(df: DataFrame, groupCols: Seq[Column], armCol: Column,
+      durationCol: Column, eventCol: Column): DataFrame = {
+    import graft.operators.EvalMetrics.microRound6
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++ Seq(
+        durationCol.cast("long").as("__t"),
+        eventCol.cast("long").as("__e"),
+        armCol.cast("boolean").cast("long").as("__a")): _*)
+      .filter(col("__t").isNotNull && col("__e").isNotNull &&
+        col("__a").isNotNull)
+    val cell = base
+      .groupBy(gNames.map(col) :+ col("__t"): _*)
+      .agg(sum(col("__e") * col("__a")).as("__da"),
+        sum(col("__e") * (lit(1L) - col("__a"))).as("__db"),
+        sum(col("__a")).as("__ca"),
+        sum(lit(1L) - col("__a")).as("__cb"))
+    val wSuffix = Window.partitionBy(gNames.map(col): _*)
+      .orderBy(col("__t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val stepped = cell
+      .withColumn("__na", sum(col("__ca")).over(wSuffix))
+      .withColumn("__nb", sum(col("__cb")).over(wSuffix))
+      .withColumn("__d", col("__da") + col("__db"))
+      .withColumn("__n", col("__na") + col("__nb"))
+      .filter(col("__d") > 0)
+      .withColumn("__ea", microRound6(dec(col("__na")) * col("__d"),
+        col("__n")))
+      .withColumn("__eb", microRound6(dec(col("__nb")) * col("__d"),
+        col("__n")))
+      .withColumn("__v", when(col("__n") > 1, microRound6(
+        dec(col("__d")) * (col("__n") - col("__d")) * dec(col("__na")) *
+          dec(col("__nb")),
+        dec(col("__n")) * dec(col("__n")) * (col("__n") - 1)))
+        .otherwise(0L))
+    val u = col("__u")
+    stepped.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n_times"),
+        sum(col("__da")).as("o_a"), sum(col("__db")).as("o_b"),
+        sum(col("__ea")).as("__sea"), sum(col("__eb")).as("__seb"),
+        sum(col("__da") * 1000000L - col("__ea")).as("__u"),
+        sum(col("__v")).as("__sv"))
+      .select(gNames.zip(groupCols.indices).map { case (n, i) =>
+          col(n).as(s"g$i") } ++ Seq(
+        col("n_times"), col("o_a"),
+        (col("__sea").cast("double") / 1e6).as("e_a"),
+        col("o_b"), (col("__seb").cast("double") / 1e6).as("e_b"),
+        when(col("__sv") > 0,
+          microRound6(dec(u) * dec(u), dec(col("__sv")) * 1000000L)
+            .cast("double") / 1e6).as("chi2"),
+        when(col("__sv") > 0,
+          when(dec(u) * dec(u) > dec(col("__sv")) * 3841459L, 1)
+            .otherwise(0)).as("significant")): _*)
+  }
+
   def rfmScores(
       df: DataFrame, custCol: Column, dateCol: Column,
       amount: Column): DataFrame = {

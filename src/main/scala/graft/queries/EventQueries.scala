@@ -21,6 +21,33 @@ object EventQueries {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** The q290/q294 shared subject frame: one row per user with
+    * first-touch cohort, duration = days from first activity to the
+    * FIRST high-value purchase (value-cents ≥ 5000, the q288 bar) —
+    * the conversion event — or to last activity when the user never
+    * converts (right-censored). The q200 life-table shape; q290 puts
+    * the estimator itself on the hash surface.
+    */
+  private def kmSubjects(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).filter(col("ts").isNotNull)
+    val day = datediff(col("ts").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val perUser = e.groupBy(col("user_id"))
+      .agg(min(day).as("__fd"), max(day).as("__ld"),
+        min(when(col("event_type") === "purchase" && cents >= 5000L,
+          day)).as("__cd"))
+    val cohort = Ranking.keepFirst(
+        e.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+        Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
+      .select(col("user_id"), col("event_type").as("__cohort"))
+    perUser.join(cohort, Seq("user_id"))
+      .select(col("__cohort"),
+        (coalesce(col("__cd"), col("__ld")) - col("__fd")).as("__life"),
+        when(col("__cd").isNotNull, 1L).otherwise(0L).as("__churn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Gap-based sessionization (30 min), per-session rollup.
@@ -99,34 +126,29 @@ object EventQueries {
           col("is_current").cast("int").as("is_current"))
     }),
 
-    // Kaplan–Meier retention curve per first-touch cohort: subject =
-    // user, lifetime = days between first and last activity, churned =
-    // last activity > 14 days before the corpus horizon (else right-
-    // censored). The survival product is carried EXACTLY in log2 fixed
-    // point (the q278/q280 staged-LUT convention), so the curve replays
-    // bit-for-bit in the oracle.
+    // Kaplan–Meier time-to-conversion curve per first-touch cohort:
+    // subject = user, duration = days to the first HIGH-VALUE purchase
+    // (censored at last activity when none — the q200 life-table
+    // shape, estimator now ON the hash surface). The survival product
+    // is carried EXACTLY in log2 fixed point (the q278/q280 staged-LUT
+    // convention), so the curve replays bit-for-bit in the oracle.
     "q290_kaplan_meier" -> ((s, dir) => {
-      val e = t(s, dir).filter(col("ts").isNotNull)
-      val day = datediff(col("ts").cast("date"),
-        lit("1970-01-01").cast("date")).cast("long")
-      val perUser = e.groupBy(col("user_id"))
-        .agg(min(day).as("__fd"), max(day).as("__ld"))
-      val horizon = e.agg(max(day).as("__md"))
-      val cohort = Ranking.keepFirst(
-          e.select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type")),
-          Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
-        .select(col("user_id"), col("event_type").as("__cohort"))
-      val subjects = perUser.join(cohort, Seq("user_id"))
-        .crossJoin(broadcast(horizon))
-        .select(col("__cohort"), (col("__ld") - col("__fd")).as("__life"),
-          when(col("__ld") < col("__md") - 14, 1L).otherwise(0L)
-            .as("__churn"))
-      Journey.kaplanMeier(subjects, Seq(col("__cohort")), col("__life"),
-          col("__churn"))
+      Journey.kaplanMeier(kmSubjects(s, dir), Seq(col("__cohort")),
+          col("__life"), col("__churn"))
         .select(col("g0").as("cohort"), col("t"), col("n_risk"),
           col("d_events"), col("c_censored"), col("extinct"),
           col("survival_bits"))
+    }),
+
+    // Log-rank test — q290's paired significance gate: does the
+    // purchase-first-touch cohort churn on a DIFFERENT clock than
+    // everyone else? Same subjects, arm A = first touch is a purchase;
+    // every E/V term micro-rounded once, chi² vs the baked chi²(1)
+    // critical in cross-multiplied integers.
+    "q294_logrank" -> ((s, dir) => {
+      Journey.logRank(kmSubjects(s, dir), Seq(lit(1L)),
+          col("__cohort") === "purchase", col("__life"), col("__churn"))
+        .drop("g0")
     }),
 
     // U-shaped multi-touch attribution: purchases convert; each
@@ -204,20 +226,22 @@ object EventQueries {
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
          FROM events GROUP BY event_type""",
     "q290_kaplan_meier" ->
-      s"""WITH e AS (SELECT user_id, event_type, event_id, ts,
+      s"""WITH e AS (SELECT user_id, event_type, event_id, ts, value,
              CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
                AS BIGINT) AS day
            FROM events WHERE ts IS NOT NULL),
-         pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld
+         pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' AND
+               CAST(value AS DECIMAL(18,2)) * 100 >= 5000
+               THEN day END) AS cd
            FROM e GROUP BY 1),
-         mx AS (SELECT MAX(day) AS md FROM e),
          ft AS (SELECT user_id, event_type AS cohort FROM (
              SELECT user_id, event_type, ROW_NUMBER() OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS rn
              FROM e) WHERE rn = 1),
-         subj AS (SELECT ft.cohort, pu.ld - pu.fd AS t,
-             CASE WHEN pu.ld < mx.md - 14 THEN 1 ELSE 0 END AS ev
-           FROM pu JOIN ft USING (user_id), mx),
+         subj AS (SELECT ft.cohort, COALESCE(pu.cd, pu.ld) - pu.fd AS t,
+             CASE WHEN pu.cd IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM pu JOIN ft USING (user_id)),
          cell AS (SELECT cohort, t, CAST(SUM(ev) AS BIGINT) AS d,
              CAST(SUM(1 - ev) AS BIGINT) AS c FROM subj GROUP BY 1, 2),
          st AS (SELECT cohort, t, d, c,
@@ -243,6 +267,70 @@ object EventQueries {
            CASE WHEN ext = 0 THEN CAST(bits AS DOUBLE) / 1048576 END
              AS survival_bits
          FROM fin""",
+    "q294_logrank" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, ts, value,
+             CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS day
+           FROM events WHERE ts IS NOT NULL),
+         pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' AND
+               CAST(value AS DECIMAL(18,2)) * 100 >= 5000
+               THEN day END) AS cd
+           FROM e GROUP BY 1),
+         ft AS (SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm
+           FROM (SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM e) WHERE rn = 1),
+         subj AS (SELECT ft.arm, COALESCE(pu.cd, pu.ld) - pu.fd AS t,
+             CASE WHEN pu.cd IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM pu JOIN ft USING (user_id)),
+         cell AS (SELECT t,
+             CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
+               AS da,
+             CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT)
+               AS db,
+             CAST(SUM(arm) AS BIGINT) AS ca,
+             CAST(SUM(1 - arm) AS BIGINT) AS cb
+           FROM subj GROUP BY 1),
+         st AS (SELECT t, da, db,
+             CAST(SUM(ca) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+               UNBOUNDED FOLLOWING) AS BIGINT) AS na,
+             CAST(SUM(cb) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+               UNBOUNDED FOLLOWING) AS BIGINT) AS nb
+           FROM cell),
+         tm AS (SELECT t, da, db, na, nb, da + db AS d, na + nb AS n
+           FROM st WHERE da + db > 0),
+         mr AS (SELECT t, da, db,
+             CAST((2 * CAST(na AS HUGEINT) * d * 1000000 + n) // (2 * n)
+               AS BIGINT) AS ea,
+             CAST((2 * CAST(nb AS HUGEINT) * d * 1000000 + n) // (2 * n)
+               AS BIGINT) AS eb,
+             CASE WHEN n > 1 THEN CAST(
+                 (2 * CAST(d AS HUGEINT) * (n - d) * na * nb * 1000000 +
+                   CAST(n AS HUGEINT) * n * (n - 1)) //
+                 (2 * CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+               ELSE 0 END AS v
+           FROM tm),
+         ag AS (SELECT COUNT(*) AS n_times,
+             CAST(SUM(da) AS BIGINT) AS o_a,
+             CAST(SUM(db) AS BIGINT) AS o_b,
+             CAST(SUM(ea) AS HUGEINT) AS sea,
+             CAST(SUM(eb) AS HUGEINT) AS seb,
+             CAST(SUM(da * 1000000 - ea) AS HUGEINT) AS u,
+             CAST(SUM(v) AS HUGEINT) AS sv
+           FROM mr)
+         SELECT n_times, o_a, CAST(sea AS BIGINT) / 1000000.0 AS e_a,
+           o_b, CAST(seb AS BIGINT) / 1000000.0 AS e_b,
+           CASE WHEN sv > 0 THEN
+               CAST((2 * u * u * 1000000 + sv * 1000000) //
+                 (2 * sv * 1000000) AS BIGINT) / 1000000.0
+             END AS chi2,
+           CASE WHEN sv > 0 THEN
+               CAST(CASE WHEN u * u > sv * 3841459 THEN 1 ELSE 0 END
+                 AS INT)
+             END AS significant
+         FROM ag WHERE n_times > 0""",
     "q291_attribution_u" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts
            FROM events WHERE ts IS NOT NULL),

@@ -384,6 +384,35 @@ class JourneySpec extends AnyFunSuite {
     assert(math.abs(math.pow(2, s3) - 0.8 / 3) < 1e-5)
   }
 
+  test("logRank: hand-computed E/V chain; one-arm null; strong split flags") {
+    // A: 1(ev) 3(ev) 5(cen); B: 2(ev) 3(cen) 4(ev)
+    // t=1: na=3 nb=3 d=1(da) -> ea .5, v .25 | t=2: na=2 nb=3 d=1(db) ->
+    // ea .4, v .24 | t=3: na=2 nb=2 d=1(da) -> ea .5, v .25 | t=4:
+    // na=1 nb=1 d=1(db) -> ea .5, v .25 ; u = .1e6, sv = .99e6
+    val rows = Seq((1L, 1L, 1L), (1L, 3L, 1L), (1L, 5L, 0L),
+      (0L, 2L, 1L), (0L, 3L, 0L), (0L, 4L, 1L))
+    val out = Journey.logRank(rows.toDF("a", "dur", "ev"), Seq(lit(1)),
+        col("a") === 1, col("dur"), col("ev"))
+      .collect().head
+    assert(out.getAs[Long]("n_times") == 4L)
+    assert(out.getAs[Long]("o_a") == 2L && out.getAs[Long]("o_b") == 2L)
+    assert(out.getAs[Double]("e_a") == 1.9 && out.getAs[Double]("e_b") == 2.1)
+    assert(out.getAs[Double]("chi2") == 0.010101) // round(1e10/990000)/1e6
+    assert(out.getAs[Int]("significant") == 0)
+    // one-arm input: every V term 0 -> null chi2, null significant
+    val one = Journey.logRank(rows.filter(_._1 == 1L).toDF("a", "dur", "ev"),
+        Seq(lit(1)), col("a") === 1, col("dur"), col("ev"))
+      .collect().head
+    assert(one.getAs[Any]("chi2") == null &&
+      one.getAs[Any]("significant") == null)
+    // strong separation: A churns day 1, B churns day 100, 30 each
+    val split = ((1 to 30).map(_ => (1L, 1L, 1L)) ++
+      (1 to 30).map(_ => (0L, 100L, 1L))).toDF("a", "dur", "ev")
+    val sp = Journey.logRank(split, Seq(lit(1)), col("a") === 1,
+      col("dur"), col("ev")).collect().head
+    assert(sp.getAs[Int]("significant") == 1, s"chi2=${sp.getAs[Double]("chi2")}")
+  }
+
   test("attributionUShaped: exact 40/20/40 micro credit, sum = 1e6 per user") {
     def t(i: Int) = ts(f"2024-01-01 00:00:${i}%02d")
     // u1: a b c d P   -> a 400k, b 100k, c 100k, d 400k
