@@ -140,15 +140,23 @@ object EventQueries {
           col("survival_bits"))
     }),
 
-    // Log-rank test — q290's paired significance gate: does the
-    // purchase-first-touch cohort churn on a DIFFERENT clock than
-    // everyone else? Same subjects, arm A = first touch is a purchase;
-    // every E/V term micro-rounded once, chi² vs the baked chi²(1)
-    // critical in cross-multiplied integers.
+    // Log-rank battery — q290's paired significance gate, one-vs-rest
+    // per first-touch cohort: does cohort X convert on a DIFFERENT
+    // clock than everyone else? Subjects replicate across the (≤5)
+    // cohort labels (broadcast), arm A = "is this cohort"; every E/V
+    // term micro-rounded once, chi² vs the baked chi²(1) critical in
+    // cross-multiplied integers.
     "q294_logrank" -> ((s, dir) => {
-      Journey.logRank(kmSubjects(s, dir), Seq(lit(1L)),
-          col("__cohort") === "purchase", col("__life"), col("__churn"))
-        .drop("g0")
+      // checkpointed: referenced by the label dim AND the battery (the
+      // q152 double-execution rule)
+      val subj = kmSubjects(s, dir).localCheckpoint()
+      val labels = subj.select(col("__cohort").as("__lab")).distinct()
+      Journey.logRank(subj.crossJoin(broadcast(labels)),
+          Seq(col("__lab")), col("__cohort") === col("__lab"),
+          col("__life"), col("__churn"))
+        .select(col("g0").as("cohort"), col("n_times"), col("o_a"),
+          col("e_a"), col("o_b"), col("e_b"), col("chi2"),
+          col("significant"))
     }),
 
     // U-shaped multi-touch attribution: purchases convert; each
@@ -277,31 +285,36 @@ object EventQueries {
                CAST(value AS DECIMAL(18,2)) * 100 >= 5000
                THEN day END) AS cd
            FROM e GROUP BY 1),
-         ft AS (SELECT user_id,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm
-           FROM (SELECT user_id, event_type, ROW_NUMBER() OVER (
+         ft AS (SELECT user_id, event_type AS cohort FROM (
+             SELECT user_id, event_type, ROW_NUMBER() OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS rn
              FROM e) WHERE rn = 1),
-         subj AS (SELECT ft.arm, COALESCE(pu.cd, pu.ld) - pu.fd AS t,
+         subj0 AS (SELECT ft.cohort, COALESCE(pu.cd, pu.ld) - pu.fd AS t,
              CASE WHEN pu.cd IS NOT NULL THEN 1 ELSE 0 END AS ev
            FROM pu JOIN ft USING (user_id)),
-         cell AS (SELECT t,
+         labs AS (SELECT DISTINCT cohort AS lab FROM subj0),
+         subj AS (SELECT lab,
+             CASE WHEN cohort = lab THEN 1 ELSE 0 END AS arm, t, ev
+           FROM subj0, labs),
+         cell AS (SELECT lab, t,
              CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
                AS da,
              CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT)
                AS db,
              CAST(SUM(arm) AS BIGINT) AS ca,
              CAST(SUM(1 - arm) AS BIGINT) AS cb
-           FROM subj GROUP BY 1),
-         st AS (SELECT t, da, db,
-             CAST(SUM(ca) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+           FROM subj GROUP BY 1, 2),
+         st AS (SELECT lab, t, da, db,
+             CAST(SUM(ca) OVER (PARTITION BY lab ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND
                UNBOUNDED FOLLOWING) AS BIGINT) AS na,
-             CAST(SUM(cb) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+             CAST(SUM(cb) OVER (PARTITION BY lab ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND
                UNBOUNDED FOLLOWING) AS BIGINT) AS nb
            FROM cell),
-         tm AS (SELECT t, da, db, na, nb, da + db AS d, na + nb AS n
+         tm AS (SELECT lab, t, da, db, na, nb, da + db AS d, na + nb AS n
            FROM st WHERE da + db > 0),
-         mr AS (SELECT t, da, db,
+         mr AS (SELECT lab, t, da, db,
              CAST((2 * CAST(na AS HUGEINT) * d * 1000000 + n) // (2 * n)
                AS BIGINT) AS ea,
              CAST((2 * CAST(nb AS HUGEINT) * d * 1000000 + n) // (2 * n)
@@ -312,15 +325,16 @@ object EventQueries {
                  (2 * CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
                ELSE 0 END AS v
            FROM tm),
-         ag AS (SELECT COUNT(*) AS n_times,
+         ag AS (SELECT lab, COUNT(*) AS n_times,
              CAST(SUM(da) AS BIGINT) AS o_a,
              CAST(SUM(db) AS BIGINT) AS o_b,
              CAST(SUM(ea) AS HUGEINT) AS sea,
              CAST(SUM(eb) AS HUGEINT) AS seb,
              CAST(SUM(da * 1000000 - ea) AS HUGEINT) AS u,
              CAST(SUM(v) AS HUGEINT) AS sv
-           FROM mr)
-         SELECT n_times, o_a, CAST(sea AS BIGINT) / 1000000.0 AS e_a,
+           FROM mr GROUP BY 1)
+         SELECT lab AS cohort, n_times, o_a,
+           CAST(sea AS BIGINT) / 1000000.0 AS e_a,
            o_b, CAST(seb AS BIGINT) / 1000000.0 AS e_b,
            CASE WHEN sv > 0 THEN
                CAST((2 * u * u * 1000000 + sv * 1000000) //
