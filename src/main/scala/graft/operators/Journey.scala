@@ -1322,7 +1322,10 @@ object Journey {
     * wilcoxon subsample-beyond convention. A group with NO event times
     * (everyone censored) emits no row at all — there is nothing to
     * test; callers wanting a placeholder row outer-join the group
-    * frame.
+    * frame. Subjects whose `armCol` evaluates null are EXCLUDED (the
+    * mcnemar/cochranQ null-row convention) — an oracle that CASEs a
+    * null comparison into arm B would diverge; bucket nulls explicitly
+    * upstream if they belong to an arm.
     *
     * @return (g…, n_times, o_a, e_a, o_b, e_b, chi2, significant)
     */

@@ -150,12 +150,16 @@ object AnalyticsQueries {
       // The planted-copy ids ride a baked +200000 offset and the oracle
       // splits eval/train on doc_id < 200000 — if the corpus ever grows
       // into that range the plant would collide SILENTLY on both
-      // engines, so fail loud here instead (one max() scalar, stats-
-      // prunable parquet agg).
-      val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
-      require(maxId < 200000L,
+      // engines, so fail loud here instead. Cost: one narrow doc_id
+      // column scan at construction time — the guard IS work, priced
+      // into this query's bench entry deliberately. Null-safe: an
+      // empty corpus has no ids and therefore no collision.
+      val maxId = Option(d.agg(max(col("doc_id"))).head.get(0))
+        .map(_.asInstanceOf[Long])
+      require(maxId.forall(_ < 200000L),
         s"q287 planted-leak offset 200000 collides with corpus ids: " +
-          s"max doc_id = $maxId — re-derive the offset in query AND oracle")
+          s"max doc_id = ${maxId.get} — re-derive the offset in query " +
+          "AND oracle")
       val isEval = pmod(expr("doc_id div 20"), lit(10)) === 0
       val train = d.filter(!isEval)
         .unionByName(d.filter(pmod(expr("doc_id div 20"), lit(30)) === 0)
@@ -194,11 +198,14 @@ object AnalyticsQueries {
     "q284_winnow_neardup" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
       // Same collision hazard as q287's guard: the twin ids bake +100000
-      // and the oracle mirrors it — collide loud, not silent.
-      val maxId = d.agg(max(col("id"))).head.getLong(0)
-      require(maxId < 100000L,
+      // and the oracle mirrors it — collide loud, not silent (null-safe
+      // on an empty corpus; one narrow column scan, priced in).
+      val maxId = Option(d.agg(max(col("id"))).head.get(0))
+        .map(_.asInstanceOf[Long])
+      require(maxId.forall(_ < 100000L),
         s"q284 twin-id offset 100000 collides with corpus ids: " +
-          s"max doc_id = $maxId — re-derive the offset in query AND oracle")
+          s"max doc_id = ${maxId.get} — re-derive the offset in query " +
+          "AND oracle")
       val twins = d.select((col("id") + 100000L).as("id"),
         concat(lit("BANNER NOISE HEADER INJECTED "), col("text"))
           .as("text"))

@@ -42,7 +42,10 @@ object EventQueries {
           col("event_type")),
         Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc))
       .select(col("user_id"), col("event_type").as("__cohort"))
+    // null-cohort subjects (first touch has a null event_type) are
+    // excluded on BOTH engines — see kmSubjectsSql's contract note
     perUser.join(cohort, Seq("user_id"))
+      .filter(col("__cohort").isNotNull)
       .select(col("__cohort"),
         (coalesce(col("__cd"), col("__ld")) - col("__fd")).as("__life"),
         when(col("__cd").isNotNull, 1L).otherwise(0L).as("__churn"))
@@ -169,6 +172,33 @@ object EventQueries {
         col("event_type") === "purchase")
     }))
 
+  /** The q290/q294 subject chain as ONE shared oracle fragment (the
+    * log2fpStages/cmDdSql extraction convention): produces `kmsubj`
+    * with (cohort, t, ev). Null-cohort subjects (first touch has a
+    * null event_type) are EXCLUDED — mirrors kmSubjects' filter; a
+    * null arm in the log-rank battery would otherwise diverge between
+    * the engines (Spark's null comparison drops the subject, SQL's
+    * CASE would bucket it into arm B).
+    */
+  private val kmSubjectsSql: String =
+    """e AS (SELECT user_id, event_type, event_id, ts, value,
+             CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS day
+           FROM events WHERE ts IS NOT NULL),
+         pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' AND
+               CAST(value AS DECIMAL(18,2)) * 100 >= 5000
+               THEN day END) AS cd
+           FROM e GROUP BY 1),
+         ft AS (SELECT user_id, event_type AS cohort FROM (
+             SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM e) WHERE rn = 1),
+         kmsubj AS (SELECT ft.cohort, COALESCE(pu.cd, pu.ld) - pu.fd AS t,
+             CASE WHEN pu.cd IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM pu JOIN ft USING (user_id)
+           WHERE ft.cohort IS NOT NULL)"""
+
   val oracles: Map[String, String] = Map(
     "q143_scd2_history" ->
       """WITH v AS (
@@ -234,24 +264,9 @@ object EventQueries {
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
          FROM events GROUP BY event_type""",
     "q290_kaplan_meier" ->
-      s"""WITH e AS (SELECT user_id, event_type, event_id, ts, value,
-             CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
-               AS BIGINT) AS day
-           FROM events WHERE ts IS NOT NULL),
-         pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld,
-             MIN(CASE WHEN event_type = 'purchase' AND
-               CAST(value AS DECIMAL(18,2)) * 100 >= 5000
-               THEN day END) AS cd
-           FROM e GROUP BY 1),
-         ft AS (SELECT user_id, event_type AS cohort FROM (
-             SELECT user_id, event_type, ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS rn
-             FROM e) WHERE rn = 1),
-         subj AS (SELECT ft.cohort, COALESCE(pu.cd, pu.ld) - pu.fd AS t,
-             CASE WHEN pu.cd IS NOT NULL THEN 1 ELSE 0 END AS ev
-           FROM pu JOIN ft USING (user_id)),
+      s"""WITH $kmSubjectsSql,
          cell AS (SELECT cohort, t, CAST(SUM(ev) AS BIGINT) AS d,
-             CAST(SUM(1 - ev) AS BIGINT) AS c FROM subj GROUP BY 1, 2),
+             CAST(SUM(1 - ev) AS BIGINT) AS c FROM kmsubj GROUP BY 1, 2),
          st AS (SELECT cohort, t, d, c,
              CAST(SUM(d + c) OVER (PARTITION BY cohort ORDER BY t
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
@@ -276,26 +291,11 @@ object EventQueries {
              AS survival_bits
          FROM fin""",
     "q294_logrank" ->
-      """WITH e AS (SELECT user_id, event_type, event_id, ts, value,
-             CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
-               AS BIGINT) AS day
-           FROM events WHERE ts IS NOT NULL),
-         pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld,
-             MIN(CASE WHEN event_type = 'purchase' AND
-               CAST(value AS DECIMAL(18,2)) * 100 >= 5000
-               THEN day END) AS cd
-           FROM e GROUP BY 1),
-         ft AS (SELECT user_id, event_type AS cohort FROM (
-             SELECT user_id, event_type, ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS rn
-             FROM e) WHERE rn = 1),
-         subj0 AS (SELECT ft.cohort, COALESCE(pu.cd, pu.ld) - pu.fd AS t,
-             CASE WHEN pu.cd IS NOT NULL THEN 1 ELSE 0 END AS ev
-           FROM pu JOIN ft USING (user_id)),
-         labs AS (SELECT DISTINCT cohort AS lab FROM subj0),
+      s"""WITH $kmSubjectsSql,
+         labs AS (SELECT DISTINCT cohort AS lab FROM kmsubj),
          subj AS (SELECT lab,
              CASE WHEN cohort = lab THEN 1 ELSE 0 END AS arm, t, ev
-           FROM subj0, labs),
+           FROM kmsubj, labs),
          cell AS (SELECT lab, t,
              CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
                AS da,

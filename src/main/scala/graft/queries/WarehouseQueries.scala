@@ -1592,16 +1592,19 @@ object WarehouseQueries {
              CAST(n AS HUGEINT) * nn * 1000000 AS adjden
            FROM th)
          SELECT arm, n,
-           CAST((2 * sxa * 1000000 + n) // (2 * n) AS BIGINT) / 1000000.0
-             AS mean_x,
-           CAST((2 * sya * 1000000 + n) // (2 * n) AS BIGINT) / 1000000.0
-             AS mean_y,
+           CAST((CASE WHEN sxa < 0 THEN -1 ELSE 1 END) *
+             ((2 * ABS(sxa) * 1000000 + n) // (2 * n)) AS BIGINT)
+             / 1000000.0 AS mean_x,
+           CAST((CASE WHEN sya < 0 THEN -1 ELSE 1 END) *
+             ((2 * ABS(sya) * 1000000 + n) // (2 * n)) AS BIGINT)
+             / 1000000.0 AS mean_y,
            CAST(thm AS BIGINT) / 1000000.0 AS theta,
            CASE WHEN thm IS NOT NULL THEN
                CAST((CASE WHEN adjnum < 0 THEN -1 ELSE 1 END) *
                  ((2 * ABS(adjnum) * 1000000 + adjden) // (2 * adjden))
                  AS BIGINT) / 1000000.0
-             ELSE CAST((2 * sya * 1000000 + n) // (2 * n) AS BIGINT)
+             ELSE CAST((CASE WHEN sya < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(sya) * 1000000 + n) // (2 * n)) AS BIGINT)
                / 1000000.0 END AS mean_y_adj,
            CASE WHEN thm IS NOT NULL AND th2m IS NOT NULL THEN
                CAST((CAST(thm AS HUGEINT) * th2m -
