@@ -393,6 +393,89 @@ object StreamingOps {
       }
   }
 
+  // ---- drift monitoring: CUSUM as a live stream monitor ------------------
+
+  case class CusumEv(key: Long, tsMicros: Long, tiebreak: Long, x: Long)
+
+  /** Committed CUSUM fold prefix + raw tail — [[SprtSt]]'s scheme for
+    * the alarm-restart statistic. */
+  case class CusumSt(nC: Long, alarmsC: Long, sC: Long,
+      maxSeenMicros: Long, raw: List[(Long, Long, Long)])
+
+  case class CusumOut(key: Long, n: Long, n_alarms: Long, final_s: Long)
+
+  /** The CUSUM fold, verbatim [[graft.operators.Journey.cusum]]
+    * semantics: (ts, tiebreak)-ordered walk, s' = max(0, s + x −
+    * target); s' > threshold raises an alarm and restarts at 0.
+    */
+  private def foldCusum(n0: Long, a0: Long, s0: Long,
+      evs: Iterator[(Long, Long, Long)], target: Long,
+      threshold: Long): (Long, Long, Long) = {
+    var n = n0; var a = a0; var s = s0
+    evs.foreach { case (_, _, x) =>
+      n += 1
+      val s1 = math.max(0L, s + x - target)
+      if (s1 > threshold) { a += 1; s = 0L } else s = s1
+    }
+    (n, a, s)
+  }
+
+  /** Pure per-batch transition for [[cusumMonitor]] — the
+    * [[advanceSprt]] commit/retention scheme on the CUSUM fold (same
+    * lateness contract, same deliberate NO-dedup: the batch fold
+    * counts every row).
+    */
+  private[graft] def advanceCusum(
+      st: CusumSt, incoming: Seq[(Long, Long, Long)], target: Long,
+      threshold: Long, allowedLatenessMicros: Long)
+      : (CusumSt, (Long, Long, Long)) = {
+    val maxSeen = (st.maxSeenMicros +: incoming.map(_._1)).max
+    val raw = st.raw ++ incoming
+    val horizon =
+      if (allowedLatenessMicros == Long.MaxValue) Long.MinValue
+      else {
+        val h = maxSeen - allowedLatenessMicros
+        if (h > maxSeen) Long.MinValue else h // saturate on underflow
+      }
+    val (toCommit, tail) = raw.partition(_._1 < horizon)
+    val (nC, aC, sC) = foldCusum(st.nC, st.alarmsC, st.sC,
+      toCommit.sortBy(e => (e._1, e._2)).iterator, target, threshold)
+    val st1 = CusumSt(nC, aC, sC, maxSeen, tail)
+    val cur = foldCusum(nC, aC, sC,
+      tail.sortBy(e => (e._1, e._2)).iterator, target, threshold)
+    (st1, cur)
+  }
+
+  /** [[graft.operators.Journey.cusum]] as a live stream monitor — the
+    * per-source drift alarm a training-data ingest actually runs as a
+    * stream: each micro-batch that touches a key emits that key's
+    * CURRENT (n, n_alarms, final_s) (Update mode), and the LAST
+    * emission per key equals the batch operator's row on the same
+    * events — StreamingSpec pins it against q198's exact frame under
+    * shuffled 3-batch arrival. State and lateness semantics are
+    * [[sprtMonitor]]'s (raw events inside the window + an O(1)
+    * committed fold; no dedup).
+    */
+  def cusumMonitor(
+      events: Dataset[CusumEv], target: Long, threshold: Long,
+      allowedLatenessMicros: Long = Long.MaxValue): Dataset[CusumOut] = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumSt, CusumOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[CusumEv], state: GroupState[CusumSt]) =>
+          val st0 = state.getOption.getOrElse(
+            CusumSt(0L, 0L, 0L, Long.MinValue, Nil))
+          val (st1, (n, a, s)) = advanceCusum(
+            st0, evs.map(e => (e.tsMicros, e.tiebreak, e.x)).toSeq,
+            target, threshold, allowedLatenessMicros)
+          state.update(st1)
+          Iterator.single(CusumOut(key, n, a, s))
+      }
+  }
+
   /** Rate-capped incremental file ingest — the scraper-pacing analog
     * (semaphore/backoff → maxFilesPerTrigger + checkpointed progress).
     */

@@ -539,6 +539,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusumMonitor: last update per key == q198's batch fold, shuffled arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{CusumEv, CusumOut}
+    import graft.operators.Journey
+    // EXACTLY q198's frame: value cents vs target 6000, threshold 30000
+    val batchEvents = eventsBatch
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val asCusum = batchEvents
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsMicros"),
+        col("event_id"), cents.as("x"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, t, tb, x) => CusumEv(u, t, tb, x) }.toSeq
+    val shuffled = new scala.util.Random(31).shuffle(asCusum)
+    val stream = MemoryStream[CusumEv]
+    val q = graft.streaming.StreamingOps
+      .cusumMonitor(stream.toDS(), target = 6000L, threshold = 30000L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cusum_stream_test").start()
+    try {
+      val third = shuffled.length / 3
+      stream.addData(shuffled.take(third)); q.processAllAvailable()
+      stream.addData(shuffled.slice(third, 2 * third)); q.processAllAvailable()
+      stream.addData(shuffled.drop(2 * third)); q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM cusum_stream_test")
+        .as[CusumOut].collect()
+        .zipWithIndex.groupBy(_._1.key)
+        .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+      val batch = Journey.cusum(batchEvents, col("user_id"), col("ts"),
+          col("event_id"), cents, target = 6000L, threshold = 30000L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+      // the fixture must actually alarm somewhere
+      assert(batch.values.exists(_._2 > 0), "no alarms in the fixture")
+      streamed.foreach { case (k, o) =>
+        assert((o.n, o.n_alarms, o.final_s) == batch(k), s"key $k")
+      }
+    } finally q.stop()
+  }
+
   test("advanceSprt: finite lateness commits the prefix, verdict unchanged") {
     import graft.streaming.StreamingOps
     import graft.operators.Journey
