@@ -158,18 +158,32 @@ object Bench {
     * spanning them. The diagnostic reads themselves are microseconds of
     * proc-file parsing — outside the timed windows, and the disk-walk
     * runs only after the last rep.
+    *
+    * Tail entries get EXTRA reps (r12 verdict task 1): same-HEAD driver
+    * runs bounce single heavy entries ±40-70% (q275 read 2.85-5.08 s
+    * across four runs) while totals move ±5%, so a min-of-2 on a >1 s
+    * entry is one unlucky page-cache stall away from a phantom
+    * regression. Any query whose min-so-far is >= `tailSec` after the
+    * base reps keeps running up to `tailRuns` total reps — min-of-N on
+    * exactly the entries where the 3.5 s bar is adjudicated, bounded
+    * cost on the ~2-second tail (~15-20 entries x 1 extra rep).
     */
   private def timedWithDiag(
-      spark: SparkSession, runs: Int)(body: => Unit): Diag = {
+      spark: SparkSession, runs: Int, tailRuns: Int = 0,
+      tailSec: Double = Double.MaxValue)(body: => Unit): Diag = {
     val (gc0, gn0) = gcStats()
     val heap0 = heapUsedMb()
     val (rd0, _) = procIo()
     val mf0 = majFaults()
-    val times = (1 to runs).map { _ =>
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def rep(): Unit = {
       val t0 = System.nanoTime()
       body
-      (System.nanoTime() - t0) / 1e9
+      buf += (System.nanoTime() - t0) / 1e9
     }
+    (1 to runs).foreach(_ => rep())
+    while (buf.size < tailRuns && buf.min >= tailSec) rep()
+    val times = buf.toSeq
     val (gc1, gn1) = gcStats()
     val (rd1, _) = procIo()
     val (sf, smb) = shuffleDiskUsage()
@@ -197,6 +211,11 @@ object Bench {
     // first execution of a plan shape carries codegen/JIT warmup that
     // measured 3-10x steady state; min-of-N reports reproducible cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Tail entries (min-so-far >= SPARK_GRAFT_BENCH_TAIL_SEC seconds
+    // after the base reps) run to SPARK_GRAFT_BENCH_TAIL_RUNS total reps
+    // — min-of-3 where the 3.5 s bar is adjudicated (see timedWithDiag).
+    val tailRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_RUNS", "3").toInt
+    val tailSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_SEC", "1.2").toDouble
     // SPARK_GRAFT_BENCH_ONLY=q87,q41 → time just those prefixes (and skip
     // the corpus pipeline) — for targeted min-of-N regression confirmation.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -240,7 +259,9 @@ object Bench {
         : Seq[(String, Double)] =
       group.map { case (name, fn) =>
         try {
-          val d = timedWithDiag(spark, runs) { fn(spark, sfDir).count(): Unit }
+          val d = timedWithDiag(spark, runs, tailRuns, tailSec) {
+            fn(spark, sfDir).count(): Unit
+          }
           diags(name) = d.copy(drain = interQueryCleanup())
           name -> d.times.min
         } catch {
@@ -310,7 +331,7 @@ object Bench {
         warm, col("block"), Seq("province_code"), warmOut,
         coalescePartitions = false)
     }
-    val corpusDiag = timedWithDiag(spark, runs) {
+    val corpusDiag = timedWithDiag(spark, runs, tailRuns, tailSec) {
       val corpusOut = java.nio.file.Files.createTempDirectory("graft_corpus").toString
       corpusPipeline(spark, corpusOut): Unit
     }

@@ -112,16 +112,16 @@ object Ranking {
     * argmax tiebreak negates it through a struct max).
     *
     * Scale posture: the greedy loop is inherently sequential in k, but
-    * every step runs distributed over the QUERY axis — thousands of
-    * queries advance one pick per round together, each step one
-    * broadcast-sized join + one struct-max aggregation over candidate
-    * frames bounded by queries×candidates. Candidates and sims are
-    * localCheckpoint-materialized once and each step's pick checkpoints
-    * (later steps re-consume every earlier pick); survivors re-derive
-    * from the checkpointed base with ONE anti-join per step, so plans
-    * stay two joins deep across the k unrolled steps. k and the
-    * per-query candidate count are small by contract (re-rank the
-    * retrieved page, not the corpus).
+    * the QUERY axis distributes — each query's candidates and sim pairs
+    * gather into two arrays (one partial+final aggregate per side, both
+    * exchanges on query_id so the join is co-partitioned) and the whole
+    * k-step selection runs inside ONE compiled kernel call per query
+    * ([[graft.functions.MmrScan]]). No checkpoints, no per-step jobs:
+    * the step-unrolled predecessor paid 2 + k localCheckpoint barriers
+    * plus per-step anti-join/aggregate jobs — q275's profile showed the
+    * wall was that job count, not compute. k and the per-query candidate
+    * count are small by contract (re-rank the retrieved page, not the
+    * corpus; the kernel fails loud at 16384 candidates in one query).
     *
     * @return (query_id, sel_rank, doc_id, rel_norm, max_sim, mmr)
     */
@@ -130,60 +130,21 @@ object Ranking {
     require(k >= 1 && k <= 64, s"k must be in 1..64, got $k")
     require(lambdaTenths >= 0 && lambdaTenths <= 10,
       s"lambdaTenths must be in 0..10, got $lambdaTenths")
-    val l = lambdaTenths.toLong
-    val maxRel = cands.groupBy(col("query_id"))
-      .agg(max(col("rel").cast("long")).as("__mx"))
-    val base = cands.join(maxRel, Seq("query_id"))
-      .select(col("query_id"), col("doc_id").cast("long").as("doc_id"),
-        when(col("__mx") > 0,
-          EvalMetrics.microRound6(col("rel").cast("long"), col("__mx")))
-          .otherwise(0L).as("__rn"))
-      .localCheckpoint()
-    val simsM = sims.select(col("query_id"), col("doc_a"), col("doc_b"),
-      col("sim").cast("long").as("__sim")).localCheckpoint()
-    var selected: DataFrame = null // query_id, sel_rank, doc_id, __rn, __ms, __sc
-    for (step <- 1 to k) {
-      // survivors re-derive from the checkpointed base each step (ONE
-      // anti-join against the ≤ step-1 checkpointed picks) instead of an
-      // iteratively-checkpointed frame — k fewer materialization jobs,
-      // and the plan stays two joins deep at every step
-      val remaining =
-        if (selected == null) base
-        else base.join(selected.select(col("query_id"), col("doc_id")),
-          Seq("query_id", "doc_id"), "left_anti")
-      val scored =
-        if (step == 1)
-          remaining.select(col("query_id"), col("doc_id"), col("__rn"),
-            lit(null).cast("long").as("__ms"),
-            (col("__rn") * l).as("__sc"))
-        else {
-          val selDocs = selected.select(col("query_id"),
-            col("doc_id").as("__sel"))
-          val simsJ = simsM.select(col("query_id").as("__qs"),
-            col("doc_a"), col("doc_b"), col("__sim"))
-          remaining.join(selDocs, Seq("query_id"))
-            .join(simsJ,
-              col("query_id") === col("__qs") &&
-                col("doc_id") === col("doc_a") && col("__sel") === col("doc_b"),
-              "left")
-            .groupBy(col("query_id"), col("doc_id"), col("__rn"))
-            .agg(max(coalesce(col("__sim"), lit(0L))).as("__ms"))
-            .select(col("query_id"), col("doc_id"), col("__rn"), col("__ms"),
-              (col("__rn") * l - col("__ms") * (10L - l)).as("__sc"))
-        }
-      val pick = scored.groupBy(col("query_id"))
-        .agg(max(struct(col("__sc"), (-col("doc_id")).as("__nd")))
-          .as("__best"))
-        .select(col("query_id"), (-col("__best.__nd")).as("doc_id"))
-        .join(scored, Seq("query_id", "doc_id"))
-        .select(col("query_id"), lit(step).as("sel_rank"), col("doc_id"),
-          col("__rn"), col("__ms"), col("__sc"))
-        .localCheckpoint()
-      selected = if (selected == null) pick else selected.union(pick)
-    }
-    selected.select(col("query_id"), col("sel_rank"), col("doc_id"),
-      (col("__rn").cast("double") / 1e6).as("rel_norm"),
-      (col("__ms").cast("double") / 1e6).as("max_sim"),
-      (col("__sc").cast("double") / 1e7).as("mmr"))
+    val cArr = cands.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("doc_id").cast("long").as("d"),
+        col("rel").cast("long").as("r"))).as("__c"))
+    val sArr = sims.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b"),
+        col("sim").cast("long").as("s"))).as("__s"))
+    cArr.join(sArr, Seq("query_id"), "left")
+      .select(col("query_id"),
+        explode(graft.functions.MmrScan.expr(col("__c"), col("__s"),
+          k, lambdaTenths)).as("__p"))
+      .select(col("query_id"), col("__p.sel_rank").as("sel_rank"),
+        col("__p.doc_id").as("doc_id"),
+        (col("__p.rn").cast("double") / 1e6).as("rel_norm"),
+        (col("__p.ms").cast("double") / 1e6).as("max_sim"),
+        (col("__p.sc").cast("double") / 1e7).as("mmr"))
   }
 }
