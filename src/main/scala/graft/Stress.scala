@@ -2064,6 +2064,71 @@ object Stress {
       s"planted trend not detected: ${mk.mkString(", ")}")
   }
 
+  /** Survival family at scale (the q290/q294 operators): n subjects
+    * across 100 cohorts, durations 0..364 — pins the "ONE
+    * (group, duration) cell exchange + one ordered window pass" claim:
+    * the exchange carries map-side-combined CELLS (groups × distinct
+    * durations ≈ 36.5k here), so shuffle bytes must stay flat as the
+    * subject count grows 10×. Runs both operators at n/10 and n and
+    * fails loud if either one's shuffle moves with the subjects.
+    */
+  private def survivalReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Journey
+    val groups = 100L
+    def subjects(m: Long) = spark.range(0, m, 1, 32).select(
+      pmod(col("id"), lit(groups)).as("cohort"),
+      pmod(xxhash64(col("id")), lit(365L)).as("dur"),
+      (pmod(xxhash64(col("id") + 7L), lit(100L)) < 60L)
+        .cast("long").as("ev"))
+      .localCheckpoint()
+    def runOne(m: Long): (Long, Long) = {
+      val subj = subjects(m)
+      val tag = if (m >= 1000000L) s"${m / 1000000}M" else s"${m / 1000}k"
+      // warm untimed (the theilsen receipt convention: task shapes, not
+      // JIT), then one measured run inside the shuffle listener
+      def km = Journey.kaplanMeier(subj, Seq(col("cohort")),
+        col("dur"), col("ev"))
+      km.collect(): Unit
+      var kmRows: Array[org.apache.spark.sql.Row] = null
+      val (_, kmBytes) = shuffleBytes(spark.sparkContext) {
+        time(s"km_${tag}_subjects", runs = 1) { kmRows = km.collect() }
+      }
+      println(f"[stress] km_$tag: shuffle ${kmBytes / 1048576.0}%.2f MB, " +
+        s"${kmRows.length} curve rows")
+      // the curve is O(cells): every cohort × every duration it saw
+      require(kmRows.length <= groups * 365,
+        s"KM emitted ${kmRows.length} rows > cell bound")
+      require(kmRows.forall(r => r.getLong(r.fieldIndex("n_risk")) > 0L),
+        "KM at-risk count must be positive at every step")
+      // log-rank, arm split by subject hash (~50/50 inside each cohort)
+      def lr = Journey.logRank(
+        subj.withColumn("__arm", pmod(xxhash64(col("dur") * 31L +
+          col("cohort")), lit(2L)) === 0L),
+        Seq(col("cohort")), col("__arm"), col("dur"), col("ev"))
+      lr.collect(): Unit
+      var lrRows: Array[org.apache.spark.sql.Row] = null
+      val (_, lrBytes) = shuffleBytes(spark.sparkContext) {
+        time(s"logrank_${tag}_subjects", runs = 1) { lrRows = lr.collect() }
+      }
+      println(f"[stress] logrank_$tag: shuffle ${lrBytes / 1048576.0}%.2f MB, " +
+        s"${lrRows.length} test rows")
+      require(lrRows.length == groups,
+        s"log-rank must emit one row per cohort: ${lrRows.length}")
+      (kmBytes, lrBytes)
+    }
+    val (kmSmall, lrSmall) = runOne(math.max(groups * 365, n / 10))
+    val (kmBig, lrBig) = runOne(n)
+    // the pin: 10× the subjects, ~1× the shuffle (cells don't grow).
+    // 3× headroom covers partial-aggregate partials and listener noise.
+    require(kmBig < kmSmall * 3 + (1L << 20),
+      s"KM shuffle moved with subjects: $kmSmall -> $kmBig bytes")
+    require(lrBig < lrSmall * 3 + (1L << 20),
+      s"log-rank shuffle moved with subjects: $lrSmall -> $lrBig bytes")
+    println(s"[stress] survival pin held: km $kmSmall -> $kmBig B, " +
+      s"logrank $lrSmall -> $lrBig B at 10x subjects")
+  }
+
   /** Weighted PageRank at scale (the q250 recurrence): n weighted edges
     * on n/5 nodes, 5 rounds — the edge list with its Σw outdegrees is
     * the only cached state, every exchange keyed on node ids.
@@ -2574,6 +2639,12 @@ object Stress {
 
     if (section == "theilsen") {
       theilSenBlockedReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "survival") {
+      survivalReceipt(spark, n)
       spark.stop()
       return
     }

@@ -858,6 +858,17 @@ object Journey {
     * inside a plan you expect to stay lazy; treat the call itself as an
     * action.
     *
+    * SINGLE-THREADED SESSION REQUIRED for the duration of the call: the
+    * internal eager stages run with `spark.sql.adaptive.enabled` set to
+    * false session-wide (restored in a finally) because AQE's per-stage
+    * re-planning costs more driver wall than it can save on these tiny
+    * bounded frames. A query submitted CONCURRENTLY on the same
+    * SparkSession while this call is in flight would silently execute
+    * non-adaptive, and two overlapping blocked calls race the restore
+    * (last writer wins). Run blocked operators from one driver thread
+    * per session, or give concurrent workloads their own
+    * `spark.newSession()`.
+    *
     * @return (g…, n_points, n_pairs, slope) — bit-identical to
     *   [[theilSen]] on the same input.
     */
@@ -973,7 +984,11 @@ object Journey {
     * (the theilSen contract): dx = 0 pairs are excluded from S, but
     * Var(S) assumes distinct times.
     *
-    * EAGER like [[theilSenBlocked]] (block checkpoint + group map).
+    * EAGER like [[theilSenBlocked]] (block checkpoint + group map),
+    * and carries the same SINGLE-THREADED SESSION requirement: the
+    * internal eager stages toggle `spark.sql.adaptive.enabled` off
+    * session-wide for their duration — see [[theilSenBlocked]]'s
+    * contract paragraph.
     * Envelope: the BINDING term is the displayed `var18` long —
     * ~2n³ > 2⁶³ at n ≈ 1.66·10⁶ points per group (the decimal
     * internals hold much further: n(n−1)(2n+5) to ~10¹², (|S|−1)² to
@@ -1189,6 +1204,14 @@ object Journey {
     * "Strictly before" is lexicographic on (ts, tiebreak) — a touch
     * sharing the conversion's timestamp attributes only if its tiebreak
     * sorts earlier. Users without a conversion contribute nothing.
+    *
+    * Null contract: rows where `isConversion` evaluates NULL are
+    * DROPPED — a null is neither a conversion (the `min(when(...))`
+    * skips it) nor a touch (`!null` filters it out), mirroring
+    * [[logRank]]'s null-arm convention. An oracle that CASEs nulls
+    * into touches would diverge; bucket nulls explicitly upstream
+    * (`coalesce(isConversion, lit(false))`) if "null means touch" is
+    * the intended reading.
     *
     * Scale posture: ONE user-keyed exchange (the ordered window that
     * finds the first conversion, positions the touches and counts m),

@@ -1053,9 +1053,13 @@ object TableOps {
   def wilsonLowerBound(df: DataFrame, groupCols: Seq[Column],
       successCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val reserved = Seq("n", "s", "rate", "wilson_lb", "wilson_ub")
+    // outputs AND internal working names: a group column named __t /
+    // __s0 / __rt / __chk would be silently clobbered by the internal
+    // withColumn chain (wrong bounds, not an error) — fail loud instead
+    val reserved = Seq("n", "s", "rate", "wilson_lb", "wilson_ub",
+      "__t", "__s0", "__rt", "__chk")
     require(!df.columns.exists(reserved.contains),
-      s"input carries a reserved output column: " +
+      s"input carries a reserved output/working column: " +
         df.columns.filter(reserved.contains).mkString(", "))
     import graft.operators.EvalMetrics.{idivPos, microRound6}
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -1125,10 +1129,16 @@ object TableOps {
   def cuped(df: DataFrame, groupCols: Seq[Column], xCol: Column,
       yCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
+    // outputs AND internal working names (the wilsonLowerBound
+    // convention): a group column named __x/__y collides in the base
+    // projection, and one named like the pooled/arm aggregates (__N,
+    // __sx, …) turns the crossJoin into ambiguous-reference soup —
+    // fail loud up front instead
     val reserved = Seq("n", "mean_x", "mean_y", "theta", "mean_y_adj",
-      "rho2")
+      "rho2", "__x", "__y", "__N", "__sx", "__sy", "__sxx", "__sxy",
+      "__syy", "__sxa", "__sya", "__th", "__th2")
     require(!df.columns.exists(reserved.contains),
-      s"input carries a reserved output column: " +
+      s"input carries a reserved output/working column: " +
         df.columns.filter(reserved.contains).mkString(", "))
     import graft.operators.EvalMetrics.microRound6
     def dec(c: Column) = c.cast("decimal(38,0)")

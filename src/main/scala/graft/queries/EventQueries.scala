@@ -154,6 +154,16 @@ object EventQueries {
       // q152 double-execution rule)
       val subj = kmSubjects(s, dir).localCheckpoint()
       val labels = subj.select(col("__cohort").as("__lab")).distinct()
+      // fail-loud cardinality cap (the blockedUnits maxGroups
+      // convention): the battery replicates EVERY subject across all
+      // labels, so a cohort-column regression to high cardinality must
+      // surface as an error, not a subjects x labels blowup
+      val maxLabels = 64
+      val nLabels = labels.take(maxLabels + 1).length
+      require(nLabels <= maxLabels,
+        s"q294_logrank one-vs-rest battery caps cohort labels at " +
+          s"$maxLabels (subjects replicate across labels); got > " +
+          s"$maxLabels distinct values")
       Journey.logRank(subj.crossJoin(broadcast(labels)),
           Seq(col("__lab")), col("__cohort") === col("__lab"),
           col("__life"), col("__churn"))

@@ -16,6 +16,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One loud line when a monitor is left on the exact-but-unbounded
+    * lateness default — the state-growth contract belongs in the logs,
+    * not only the scaladoc (monitors run for weeks; the operator who
+    * inherits one should see the warning at start, not at OOM). */
+  private def warnIfUnbounded(who: String, latenessMicros: Long): Unit =
+    if (latenessMicros == Long.MaxValue)
+      log.warn(s"$who: allowedLatenessMicros is unbounded (the exact " +
+        "default) - every event per key is retained in GroupState and " +
+        "re-folded each micro-batch. Pass a finite lateness bound for " +
+        "long-running streams.")
+
   /** Watermarked tumbling counts: one row per (window, event_type). */
   def tumblingCounts(
       events: DataFrame, width: String, watermark: String = "10 minutes"): DataFrame =
@@ -361,6 +375,16 @@ object StreamingOps {
     * unbounded disorder; pass a finite bound for long-running streams
     * with a watermark-style contract.
     *
+    * STATE-SIZE WARNING (the unbounded default is deliberate but
+    * expensive): with `allowedLatenessMicros = Long.MaxValue` EVERY
+    * event per key stays in GroupState as a list that is re-sorted and
+    * re-folded each micro-batch — unbounded growth and O(n log n) per
+    * batch on exactly the long-running streams a monitor is for. The
+    * default buys exactness under arbitrary disorder; any production
+    * deployment should pass a finite lateness bound (events older than
+    * `maxTs − bound` fold into the O(1) committed prefix and leave
+    * state). The call logs one warning per monitor when left unbounded.
+    *
     * Constants come from [[graft.operators.Journey.sprtConstants]] —
     * one definition feeds the batch operator, the oracle, and this
     * monitor.
@@ -370,6 +394,7 @@ object StreamingOps {
       allowedLatenessMicros: Long = Long.MaxValue): Dataset[SprtOut] = {
     require(l1Fp > 0 && l0Fp < 0 && boundFp > 0,
       s"need l1 > 0, l0 < 0, bound > 0: $l1Fp, $l0Fp, $boundFp")
+    warnIfUnbounded("sprtMonitor", allowedLatenessMicros)
     import events.sparkSession.implicits._
     events
       .groupByKey(_.key)
@@ -454,12 +479,15 @@ object StreamingOps {
     * events — StreamingSpec pins it against q198's exact frame under
     * shuffled 3-batch arrival. State and lateness semantics are
     * [[sprtMonitor]]'s (raw events inside the window + an O(1)
-    * committed fold; no dedup).
+    * committed fold; no dedup), INCLUDING its state-size warning: the
+    * `Long.MaxValue` default keeps every event per key in GroupState —
+    * pass a finite lateness bound for long-running streams.
     */
   def cusumMonitor(
       events: Dataset[CusumEv], target: Long, threshold: Long,
       allowedLatenessMicros: Long = Long.MaxValue): Dataset[CusumOut] = {
     require(threshold > 0, s"threshold must be positive: $threshold")
+    warnIfUnbounded("cusumMonitor", allowedLatenessMicros)
     import events.sparkSession.implicits._
     events
       .groupByKey(_.key)
@@ -473,6 +501,105 @@ object StreamingOps {
             target, threshold, allowedLatenessMicros)
           state.update(st1)
           Iterator.single(CusumOut(key, n, a, s))
+      }
+  }
+
+  // ---- drift monitoring: EWMA level as a live stream monitor -------------
+
+  case class EwmaEv(key: Long, tsMicros: Long, tiebreak: Long, x: Long)
+
+  /** Committed EWMA fold prefix + raw tail — [[SprtSt]]'s scheme for
+    * the level statistic. `seededC` is the explicit seeded flag (the
+    * [[graft.operators.Journey.ewmaFixed]] rationale: a sentinel value
+    * could collide with a real first observation). */
+  case class EwmaSt(nC: Long, vC: Long, seededC: Boolean,
+      maxSeenMicros: Long, raw: List[(Long, Long, Long)])
+
+  case class EwmaOut(key: Long, n: Long, ewma_fp: Long)
+
+  /** The EWMA fold, verbatim [[graft.operators.Journey.ewmaFixed]]
+    * semantics: (ts, tiebreak)-ordered walk, seeded with the first
+    * value, then `v' = (x·2²⁰ + (d−1)·v) div d` — truncating division
+    * toward zero, exactly the batch operator's `expr_div`. Exact-math
+    * ops: an overflow fails loud (the batch side's ANSI convention),
+    * never wraps silently.
+    */
+  private def foldEwma(n0: Long, v0: Long, seeded0: Boolean,
+      evs: Iterator[(Long, Long, Long)], d: Int): (Long, Long, Boolean) = {
+    var n = n0; var v = v0; var seeded = seeded0
+    evs.foreach { case (_, _, x) =>
+      n += 1
+      val xq = math.multiplyExact(x, 1L << 20)
+      v = if (!seeded) { seeded = true; xq }
+      else math.addExact(xq, math.multiplyExact(v, (d - 1).toLong)) / d
+    }
+    (n, v, seeded)
+  }
+
+  /** Pure per-batch transition for [[ewmaMonitor]] — the
+    * [[advanceSprt]] commit/retention scheme on the EWMA fold (same
+    * lateness contract, same deliberate NO-dedup).
+    */
+  private[graft] def advanceEwma(
+      st: EwmaSt, incoming: Seq[(Long, Long, Long)], d: Int,
+      allowedLatenessMicros: Long)
+      : (EwmaSt, (Long, Long, Boolean)) = {
+    val maxSeen = (st.maxSeenMicros +: incoming.map(_._1)).max
+    val raw = st.raw ++ incoming
+    val horizon =
+      if (allowedLatenessMicros == Long.MaxValue) Long.MinValue
+      else {
+        val h = maxSeen - allowedLatenessMicros
+        if (h > maxSeen) Long.MinValue else h // saturate on underflow
+      }
+    val (toCommit, tail) = raw.partition(_._1 < horizon)
+    val (nC, vC, seededC) = foldEwma(st.nC, st.vC, st.seededC,
+      toCommit.sortBy(e => (e._1, e._2)).iterator, d)
+    val st1 = EwmaSt(nC, vC, seededC, maxSeen, tail)
+    val cur = foldEwma(nC, vC, seededC,
+      tail.sortBy(e => (e._1, e._2)).iterator, d)
+    (st1, cur)
+  }
+
+  /** [[graft.operators.Journey.ewmaFixed]] as a live stream monitor —
+    * the LEVEL face of the drift family ([[sprtMonitor]] answers
+    * "which hypothesis", [[cusumMonitor]] "has the level shifted past
+    * a threshold", this one "what IS the smoothed level right now" —
+    * the statistic a dashboard reads and an alerting rule thresholds
+    * downstream): each micro-batch that touches a key emits that key's
+    * CURRENT (n, ewma_fp) (Update mode, 2²⁰ fixed point), and the LAST
+    * emission per key equals the batch operator's row on the same
+    * events — StreamingSpec pins it against q190's exact frame under
+    * shuffled 3-batch arrival. State and lateness semantics are
+    * [[sprtMonitor]]'s (raw events inside the window + an O(1)
+    * committed fold; no dedup), INCLUDING its state-size warning: the
+    * `Long.MaxValue` default keeps every event per key in GroupState —
+    * pass a finite lateness bound for long-running streams.
+    *
+    * @param d smoothing denominator (α = 1/d), the batch operator's
+    *          parameter — q190 runs d = 4
+    */
+  def ewmaMonitor(
+      events: Dataset[EwmaEv], d: Int,
+      allowedLatenessMicros: Long = Long.MaxValue): Dataset[EwmaOut] = {
+    require(d >= 2, s"smoothing denominator must be >= 2: $d")
+    warnIfUnbounded("ewmaMonitor", allowedLatenessMicros)
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaSt, EwmaOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[EwmaEv], state: GroupState[EwmaSt]) =>
+          val st0 = state.getOption.getOrElse(
+            EwmaSt(0L, 0L, seededC = false, Long.MinValue, Nil))
+          val (st1, (n, v, seeded)) = advanceEwma(
+            st0, evs.map(e => (e.tsMicros, e.tiebreak, e.x)).toSeq,
+            d, allowedLatenessMicros)
+          state.update(st1)
+          // a key only reaches here with ≥1 event, so seeded always
+          // holds — kept as a loud invariant rather than an Option
+          assert(seeded, s"ewmaMonitor: unseeded emission for key $key")
+          Iterator.single(EwmaOut(key, n, v))
       }
   }
 

@@ -528,6 +528,50 @@ class MiningOpsSpec extends AnyFunSuite {
       "selection no longer runs through the compiled pair kernel")
   }
 
+  test("theilSenBlocked: scheduled-job count stays at the shaved floor") {
+    // The q253 job-count shave (19 -> 10 scheduled jobs, -22% cold wall)
+    // is load-bearing for the small-scale floor, but nothing guarded the
+    // COUNT: an innocently re-introduced eager broadcast/collect would
+    // regress wall without failing any correctness spec. PlanGuardSpec's
+    // idea applied to the scheduler: count SparkListenerJobStart events
+    // across one steady-state execution and pin the ceiling.
+    val rows = for { g <- Seq("a", "b"); t <- 1L to 600L }
+      yield (g, t, 3 * t + t % 7)
+    // localCheckpoint BEFORE counting: input materialization jobs are
+    // the caller's, not the operator's
+    val df = rows.toDF("k", "t", "y").localCheckpoint()
+    def run(): Unit = Journey.theilSenBlocked(df, Seq(col("k")),
+      col("t"), col("y"), blockSize = 128).collect(): Unit
+    run() // warm: codegen + JIT, not the steady-state count
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      run()
+      // listener bus is async — settle until no event lands for 200 ms
+      var last = -1
+      var waited = 0
+      while (last != jobs.get() && waited < 25) {
+        last = jobs.get(); Thread.sleep(200); waited += 1
+      }
+      // steady state at this shape measures 14: the internal eager
+      // stages (block checkpoint, group-map take, unit checkpoint,
+      // histogram + per-group selection passes, AQE off) plus the final
+      // collect executing the RETURNED plan under caller conf (AQE on,
+      // so its query stages submit as separate jobs). Pinned at the
+      // measured count: the pre-shave form scheduled ~1.9x this (an
+      // eager broadcast job per selection stage), which is exactly the
+      // regression this guard exists to catch.
+      assert(jobs.get() <= 14,
+        s"theilSenBlocked scheduled ${jobs.get()} jobs (measured shaved " +
+          "floor at this shape is 14); an eager stage crept back in")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   // --------------------------------------------- TheilPairScan kernel
 
   /** Brute-force reference: exact micro-slopes of every valid pair. */

@@ -581,6 +581,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ewmaMonitor: last update per key == q190's batch fold, shuffled arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{EwmaEv, EwmaOut}
+    import graft.operators.Journey
+    // EXACTLY q190's frame: value cents per user, alpha = 1/4
+    val batchEvents = eventsBatch
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val asEwma = batchEvents
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsMicros"),
+        col("event_id"), cents.as("x"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, t, tb, x) => EwmaEv(u, t, tb, x) }.toSeq
+    val shuffled = new scala.util.Random(37).shuffle(asEwma)
+    val stream = MemoryStream[EwmaEv]
+    val q = graft.streaming.StreamingOps
+      .ewmaMonitor(stream.toDS(), d = 4)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ewma_stream_test").start()
+    try {
+      val third = shuffled.length / 3
+      stream.addData(shuffled.take(third)); q.processAllAvailable()
+      stream.addData(shuffled.slice(third, 2 * third)); q.processAllAvailable()
+      stream.addData(shuffled.drop(2 * third)); q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM ewma_stream_test")
+        .as[EwmaOut].collect()
+        .zipWithIndex.groupBy(_._1.key)
+        .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+      val batch = Journey.ewmaFixed(batchEvents, col("user_id"),
+          col("ts"), col("event_id"), cents, d = 4)
+        .select(col("key"), col("n"), col("ewma_fp"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+      // the recursion must actually recurse: some key needs n >= 3
+      assert(batch.values.exists(_._1 >= 3), "fixture series too short")
+      streamed.foreach { case (k, o) =>
+        assert((o.n, o.ewma_fp) == batch(k), s"key $k")
+      }
+    } finally q.stop()
+  }
+
+  test("advanceEwma: finite lateness commits the prefix, level unchanged") {
+    import graft.streaming.StreamingOps
+    val rnd = new scala.util.Random(43)
+    // 400 events, values in cents with a level shift halfway
+    val evs = (1L to 400L).map(t =>
+      (t * 1000000L, t, (if (t <= 200) 5000L else 9000L) + rnd.nextInt(500)))
+    def run(lateness: Long, batches: Seq[Seq[(Long, Long, Long)]]) = {
+      var st = StreamingOps.EwmaSt(0L, 0L, seededC = false,
+        Long.MinValue, Nil)
+      var last: (Long, Long, Boolean) = null
+      batches.foreach { b =>
+        val (st1, cur) = StreamingOps.advanceEwma(st, b, 4, lateness)
+        st = st1; last = cur
+      }
+      (st, last)
+    }
+    // mildly disordered batches, within a 20-event lateness window
+    val disordered = evs.grouped(50).toSeq.map(g =>
+      new scala.util.Random(g.head._2).shuffle(g))
+    val (stInf, exact) = run(Long.MaxValue, disordered)
+    val (stFin, bounded) = run(20L * 1000000L, disordered)
+    assert(bounded == exact, "finite-lateness fold diverged")
+    assert(stInf.raw.length == 400 && stFin.raw.length < 400,
+      "finite lateness did not shrink retained state")
+  }
+
   test("advanceSprt: finite lateness commits the prefix, verdict unchanged") {
     import graft.streaming.StreamingOps
     import graft.operators.Journey
