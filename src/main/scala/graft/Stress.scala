@@ -73,69 +73,63 @@ object Stress {
     * its own timing block — the between-phase barrier a production run
     * writes — so a stage's wall includes exactly its own work.
     */
-  private def pipelineReceipt(
-      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+  /** Writes the curation-pipeline corpus to `dir` (untimed, materialized
+    * to parquet like a real crawl) and returns the reader. Shape shared by
+    * the staged and fused pipeline receipts — see [[pipelineReceipt]].
+    */
+  private def pipelineCorpus(
+      spark: org.apache.spark.sql.SparkSession, n: Long,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    val bpGroups = math.max(1L, n / 5000L) // ~5000 docs share a head line
+    val clusters = n / 15                  // 20% of ids in 3-doc clusters
+    val dupCount = clusters * 3
+    val langs = array(Seq("en", "zh", "es", "fr", "de").map(lit): _*)
+    val junk = pmod(col("id"), lit(17)) === 3 // < 50 tokens -> Gopher drop
+    val nToks = when(junk, lit(20)).otherwise(lit(55))
+    val token = (j: Column) => {
+      val cluster = floor(col("id") / 3)
+      val mixed = when(col("id") < dupCount,
+        when(j === pmod(col("id"), lit(3)),
+          concat(lit("m"), pmod(col("id"), lit(3)), lit("c"), cluster))
+          .otherwise(concat(lit("c"),
+            pmod(xxhash64(cluster, j), lit(9999L)), lit("t"), j)))
+        .otherwise(concat(lit("u"),
+          pmod(xxhash64(col("id"), j), lit(9999L)), lit("t"), j))
+      // shared 3-token boilerplate head per group; stopwords keep the
+      // Gopher gate honest (minStopwords = 1)
+      when(j < 3, concat(lit("bp"), pmod(col("id"), lit(bpGroups)),
+          lit("w"), j))
+        .when(j === 4, lit("the")).when(j === 30, lit("and"))
+        .otherwise(mixed)
+    }
+    spark.range(0, n, 1, 32).select(
+        col("id").as("doc_id"),
+        element_at(langs, (pmod(col("id"), lit(5)) + 1).cast("int"))
+          .as("lang"),
+        array_join(transform(sequence(lit(0), nToks - 1), token), " ")
+          .as("text"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  /** The q134 stage chain as composable (name, input => output) transforms
+    * over the [[pipelineCorpus]] shape — the staged receipt materializes
+    * every boundary, the fused receipt composes them into one program.
+    */
+  private def pipelineStageFns(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Long): Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)] = {
     import graft.functions.TextFunctions
     import graft.operators.{Dedup, Mixture, QualityRules, Sampling}
     import graft.queries.CurationQueries
     import graft.sources.{Robots, Warc}
-    import org.apache.spark.sql.{Column, DataFrame}
-    val sc = spark.sparkContext
-    val mLabel = if (n >= 1000000) s"${n / 1000000}M" else s"${n / 1000}k"
+    import org.apache.spark.sql.DataFrame
     val nDomains = math.max(20L, n / 20L)
-    val bpGroups = math.max(1L, n / 5000L) // ~5000 docs share a head line
-    val clusters = n / 15                  // 20% of ids in 3-doc clusters
-    val dupCount = clusters * 3
-    val dir = java.nio.file.Files.createTempDirectory("graft_stress_pipe").toString
-    try {
-      // ---- corpus (untimed, materialized to parquet like a real crawl)
-      val langs = array(Seq("en", "zh", "es", "fr", "de").map(lit): _*)
-      val junk = pmod(col("id"), lit(17)) === 3 // < 50 tokens -> Gopher drop
-      val nToks = when(junk, lit(20)).otherwise(lit(55))
-      val token = (j: Column) => {
-        val cluster = floor(col("id") / 3)
-        val mixed = when(col("id") < dupCount,
-          when(j === pmod(col("id"), lit(3)),
-            concat(lit("m"), pmod(col("id"), lit(3)), lit("c"), cluster))
-            .otherwise(concat(lit("c"),
-              pmod(xxhash64(cluster, j), lit(9999L)), lit("t"), j)))
-          .otherwise(concat(lit("u"),
-            pmod(xxhash64(col("id"), j), lit(9999L)), lit("t"), j))
-        // shared 3-token boilerplate head per group; stopwords keep the
-        // Gopher gate honest (minStopwords = 1)
-        when(j < 3, concat(lit("bp"), pmod(col("id"), lit(bpGroups)),
-            lit("w"), j))
-          .when(j === 4, lit("the")).when(j === 30, lit("and"))
-          .otherwise(mixed)
-      }
-      spark.range(0, n, 1, 32).select(
-          col("id").as("doc_id"),
-          element_at(langs, (pmod(col("id"), lit(5)) + 1).cast("int"))
-            .as("lang"),
-          array_join(transform(sequence(lit(0), nToks - 1), token), " ")
-            .as("text"))
-        .write.mode("overwrite").parquet(dir)
-      val corpus = spark.read.parquet(dir)
-
-      val stages = scala.collection.mutable.ArrayBuffer
-        .empty[(String, Long, Double, Long)]
-      def stage(name: String)(body: => DataFrame): DataFrame = {
-        var out: DataFrame = null
-        var rows = -1L
-        val t0 = System.nanoTime()
-        val (_, bytes) = shuffleBytes(sc) {
-          out = body.localCheckpoint()
-          rows = out.count()
-        }
-        val wall = (System.nanoTime() - t0) / 1e9
-        stages += ((name, rows, wall, bytes))
-        println(f"[stress] pipeline_${mLabel}_$name%-12s rows=$rows%10d " +
-          f"wall=$wall%8.2f s shuffle=${bytes / 1e9}%7.3f GB")
-        out
-      }
-
+    Seq(
       // ---- stage 0: WARC encode+parse + status gate (q134 stage 0 shape)
-      val s0 = stage("s0_warc") {
+      "s0_warc" -> { (corpus: DataFrame) =>
         val sub = pmod(col("doc_id"), lit(5))
         val m = pmod(col("doc_id"), lit(nDomains))
         val path = concat(lit("/"), col("lang"),
@@ -161,10 +155,10 @@ object Stress {
             regexp_extract(col("target_uri"), "^http://[^/]+(/.*)$", 1).as("path"),
             regexp_extract(col("target_uri"), "^http://[^/]+/([^/]+)/", 1).as("lang"),
             col("body_text").as("text"))
-      }
+      },
 
       // ---- stage 1: robots gate (RFC 9309 group selection, q134 policy)
-      val s1 = stage("s1_robots") {
+      "s1_robots" -> { (s0: DataFrame) =>
         val dcol = col("id")
         val robotsTxt = spark.range(0, nDomains).toDF("id")
           .select(concat(lit("site"), dcol, lit(".com")).as("domain"),
@@ -178,52 +172,232 @@ object Stress {
             col("path"), Robots.parseRobots(robotsTxt), agent = "graftbot")
           .filter(col("allowed") === 1)
           .drop("agent_group", "allowed")
-      }
+      },
 
       // ---- stage 2: per-registrable-domain quota
-      val s2 = stage("s2_quota") {
+      "s2_quota" -> { (s1: DataFrame) =>
         Sampling.kPerGroup(
           s1.withColumn("domain",
             TextFunctions.registrableDomain(col("host"))),
           Seq(col("domain")), col("doc_id"), 10)
-      }
+      },
 
       // ---- stage 3: Gopher gate (narrow per-row predicate)
-      val s3 = stage("s3_gopher") {
+      "s3_gopher" -> { (s2: DataFrame) =>
         s2.filter(QualityRules.keepFlag(col("text"), minStopwords = 1))
-      }
+      },
 
       // ---- stage 4: corpus-level boilerplate-line removal
-      val s4 = stage("s4_linededup") {
+      "s4_linededup" -> { (s3: DataFrame) =>
         Dedup.removeBoilerplateLines(
             s3, col("doc_id"),
             CurationQueries.tokenChunkLines(col("text"), 3),
             minDocs = 5, carry = Seq("lang" -> col("lang")))
           .select(col("id").as("doc_id"), col("lang"),
             col("text_clean").as("text"))
-      }
+      },
 
       // ---- stage 5: MinHash-LSH near-dup removal (q86 knobs)
-      val s5 = stage("s5_neardup") {
+      "s5_neardup" -> { (s4: DataFrame) =>
         Dedup.removeNearDuplicates(s4, col("doc_id"),
           col("text"), shingleSize = 3, numHashes = 32, bands = 8,
           threshold = 0.3)
-      }
+      },
 
       // ---- stage 6: temperature mixture (5 output rows)
-      val s6 = stage("s6_mixture") {
+      "s6_mixture" -> { (s5: DataFrame) =>
         Mixture.temperatureWeights(s5, Seq(col("lang")),
           alpha = 0.5, budget = 1000)
+      })
+  }
+
+  /** Counts MemoryStore "Not enough space to cache" evictions logged while
+    * `body` runs — the signal the 50M staged receipt attributed its
+    * super-linear stages to. log4j2 appender on the root logger, so it
+    * observes the real WARNs, not a heuristic.
+    */
+  private def countingEvictions[A](body: => A): (A, Long) = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val hits = new java.util.concurrent.atomic.AtomicLong(0L)
+    val app = new AbstractAppender(
+        "graftEvictCounter", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getMessage.getFormattedMessage
+            .contains("Not enough space to cache")) {
+          hits.incrementAndGet(): Unit
+        }
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
+    try (body, hits.get()) finally {
+      cfg.getRootLogger.removeAppender("graftEvictCounter")
+      ctx.updateLoggers()
+      app.stop()
+    }
+  }
+
+  /** AQE coalesce-shuffle-partitions receipt (r12 verdict #8b) — the one
+    * AQE feature without a dedicated receipt. A 100 TB job sizes
+    * `initialPartitionNum` for its BIGGEST shuffle; every smaller shuffle
+    * in the same job then over-partitions, and the post-shuffle stage pays
+    * one task per (mostly empty) partition. AQE's runtime coalesce folds
+    * them back to `advisoryPartitionSizeInBytes`-sized reads. Receipt: the
+    * same group-by at initialPartitionNum=2048, coalesce ON vs OFF —
+    * post-shuffle task count, wall, and the executed plan's
+    * `AQEShuffleRead coalesced` marker.
+    */
+  private def aqeCoalesceReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    val sc = spark.sparkContext
+    val mLabel = if (n >= 1000000) s"${n / 1000000}M" else s"${n / 1000}k"
+    val keys = math.max(1000L, n / 1000L)
+    def run(name: String, coalesce: Boolean): Unit = {
+      val confs = Map(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> coalesce.toString,
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "2048",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
+      val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            tasks.incrementAndGet(): Unit
+        }
+        val agg = spark.range(0, n, 1, 32).select(
+            pmod(xxhash64(col("id")), lit(keys)).as("k"), col("id").as("v"))
+          .groupBy(col("k"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        agg.count(): Unit // warm (codegen + file-less fixture)
+        sc.addSparkListener(listener)
+        var out = 0L
+        val t0 = System.nanoTime()
+        val (_, bytes) = shuffleBytes(sc) { out = agg.count() }
+        val wall = (System.nanoTime() - t0) / 1e9
+        sc.removeSparkListener(listener)
+        val plan = agg.queryExecution.executedPlan.toString
+        val coalesced = plan.contains("coalesced")
+        println(f"[stress] aqecoalesce_${mLabel}_$name%-10s wall=$wall%6.2f s " +
+          f"tasks=${tasks.get()}%5d shuffle=${bytes / 1e9}%6.3f GB " +
+          s"groups=$out plan_coalesced=$coalesced")
+        require(out == keys, s"group count drifted: $out != $keys")
+        if (coalesce) {
+          require(coalesced, "AQE must report a coalesced shuffle read")
+          // 2048 post-shuffle partitions must fold to a handful of
+          // advisory-sized reads: the task count collapses
+          require(tasks.get() < 32 + 256,
+            s"coalesce did not engage: ${tasks.get()} tasks")
+        } else {
+          require(tasks.get() > 2048,
+            s"expected ~2048 post-shuffle tasks, saw ${tasks.get()}")
+        }
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
+    }
+    run("off", coalesce = false)
+    run("on", coalesce = true)
+  }
+
+  private def pipelineReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val sc = spark.sparkContext
+    val mLabel = if (n >= 1000000) s"${n / 1000000}M" else s"${n / 1000}k"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_pipe").toString
+    try {
+      val corpus = pipelineCorpus(spark, n, dir)
+
+      val stages = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Double, Long)]
+      def stage(name: String)(body: => DataFrame): DataFrame = {
+        var out: DataFrame = null
+        var rows = -1L
+        val t0 = System.nanoTime()
+        val (_, bytes) = shuffleBytes(sc) {
+          out = body.localCheckpoint()
+          rows = out.count()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        stages += ((name, rows, wall, bytes))
+        println(f"[stress] pipeline_${mLabel}_$name%-12s rows=$rows%10d " +
+          f"wall=$wall%8.2f s shuffle=${bytes / 1e9}%7.3f GB")
+        out
+      }
+
+      var cur = corpus
+      var evictions = 0L
+      for ((name, fn) <- pipelineStageFns(spark, n)) {
+        val (out, ev) = countingEvictions { stage(name)(fn(cur)) }
+        evictions += ev
+        cur = out
+      }
+      val s6 = cur
 
       val total = stages.map(_._3).sum
       println(f"[stress] pipeline_${mLabel}_total wall=$total%.2f s " +
+        s"evictions=$evictions " +
         s"(stages: ${stages.map(s => f"${s._1}=${s._3}%.1f").mkString(", ")})")
       // sanity: every gate did real work and the pipe ends at 5 langs
       require(s6.count() == 5, "mixture must end at 5 language rows")
       val rows = stages.map(_._2)
       require(rows.sliding(2).forall(w => w(1) <= w(0)),
         s"stages must be monotonically narrowing: $rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  /** Fused composed-form receipt (r12 verdict #3): the SAME corpus and
+    * stage chain as [[pipelineReceipt]], but run as q134's composed form —
+    * ONE program with the single stage-owned localCheckpoint after
+    * line-dedup (whose near-dup consumer reads it from four subtrees) and
+    * NO other stage-boundary barrier. The narrow gates (status, robots
+    * broadcast join, Gopher predicate) fuse into their neighbors' scans;
+    * identical exchanges across subtrees dedup via ReusedExchange. The
+    * staged 50M receipt attributed its s1/s3 super-linearity to 15
+    * MemoryStore evictions of ~15 GB stage-boundary checkpoints; this run
+    * measures whether the composed form actually dodges that toll:
+    * composed wall vs the staged Σ-stages wall, total shuffle, and the
+    * eviction count observed by [[countingEvictions]].
+    */
+  private def fusedPipelineReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    val sc = spark.sparkContext
+    val mLabel = if (n >= 1000000) s"${n / 1000000}M" else s"${n / 1000}k"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_fuse").toString
+    try {
+      val corpus = pipelineCorpus(spark, n, dir)
+      val t0 = System.nanoTime()
+      var mixture: Array[org.apache.spark.sql.Row] = null
+      val ((_, bytes), evictions) = countingEvictions {
+        shuffleBytes(sc) {
+          var cur = corpus
+          for ((name, fn) <- pipelineStageFns(spark, n)) {
+            cur = fn(cur)
+            // the ONE stage-owned barrier q134's composed form writes:
+            // near-dup consumes the cleaned text from four subtrees
+            if (name == "s4_linededup") cur = cur.localCheckpoint()
+          }
+          mixture = cur.collect()
+        }
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      require(mixture.length == 5, "mixture must end at 5 language rows")
+      val survivors = mixture
+        .map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+      println(f"[stress] pipeline_fused_${mLabel} wall=$wall%.2f s " +
+        f"shuffle=${bytes / 1e9}%.3f GB evictions=$evictions " +
+        s"survivors=$survivors")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
@@ -2554,6 +2728,18 @@ object Stress {
 
     if (section == "pipeline") {
       pipelineReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "pipelinefused") {
+      fusedPipelineReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "aqecoalesce") {
+      aqeCoalesceReceipt(spark, n)
       spark.stop()
       return
     }

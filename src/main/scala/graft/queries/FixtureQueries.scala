@@ -345,6 +345,24 @@ object FixtureQueries {
           col("institution_type"), col("region_code"))
     }),
 
+    // S7 aggregate pushdown (r12 verdict #8a): COUNT / MIN(page) /
+    // MAX(page) over a 1M-page × 50-record registry answered ENTIRELY
+    // from source metadata — PagedScanBuilder pushes the page-window
+    // filter, then SupportsPushDownAggregates swaps the 45M-row scan for
+    // a one-row PagedAggScan (the REST "total-count endpoint" pattern);
+    // Spark plans the Aggregate node away. PagedSourceSpec pins the
+    // engine half: zero PageFetcher calls, no HashAggregate in the
+    // executed plan, values equal to the unpushed form.
+    "q295_paged_agg_pushdown" -> ((s, dir) => {
+      s.read.format("graft-paged")
+        .option("pages", "1000000").option("pagesize", "50")
+        .load()
+        .filter(col("page") >= 100 && col("page") <= 899999)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("page")).as("min_page"),
+          max(col("page")).as("max_page"))
+    }),
+
     // A5's regroup shape, oracle-checked directly (r6 verdict #9): paged
     // records render to KV blocks (S8's inverse) and regroup by region
     // prefix — count, char mass, and an order-insensitive poly31 content
@@ -1035,6 +1053,9 @@ object FixtureQueries {
            lpad(CAST(140000 + id % 1000 AS VARCHAR), 6, '0') || '000000'
              AS region_code
          FROM ids""",
+    "q295_paged_agg_pushdown" ->
+      """SELECT CAST(899900 * 50 AS BIGINT) AS n_rows,
+         CAST(100 AS INT) AS min_page, CAST(899999 AS INT) AS max_page""",
     "q157_province_regroup" ->
       s"""WITH ids AS (SELECT UNNEST(range(0, 1000)) AS id),
          r AS (SELECT id,

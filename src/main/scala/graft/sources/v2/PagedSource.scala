@@ -65,12 +65,15 @@ class PagedTable(pages: Int, pageSize: Int, pagesPerPartition: Int)
 
 class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
     pagesPerTrigger: Int = 1)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var minPage = 0
   private var maxPage = pages - 1
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var aggSchema: Option[StructType] = None
+  private var aggDesc: String = ""
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -102,16 +105,115 @@ class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
     false
   }
 
-  override def build(): Scan = {
-    val cappedMax = limit match {
-      case Some(l) =>
-        val neededPages = (l + pageSize - 1) / pageSize
-        math.min(maxPage, minPage + neededPages - 1)
-      case None => maxPage
+  /** Aggregate pushdown — the registry API's "total-count endpoint"
+    * pattern: a paginated REST source knows its record count and page
+    * window from page-1 metadata, so COUNT / MIN(page) / MAX(page) over
+    * the (filter-narrowed) window are answered WITHOUT fetching a single
+    * page. Complete pushdown only (Spark plans the Aggregate node away
+    * entirely); COUNT(col) qualifies because every schema column is
+    * non-nullable, and group-bys or any other function fall back to a
+    * normal scan. At a 1M-page × 50-record registry this turns a 50M-row
+    * ingest-and-count into one metadata row.
+    */
+  private def translateAgg(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[(StructType, String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions().nonEmpty) return None
+    def simpleCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
     }
-    new PagedScan(minPage, cappedMax, pageSize, pagesPerPartition, pagesPerTrigger)
+    val fields = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("COUNT(*)", LongType: DataType))
+      case c: Count if !c.isDistinct && simpleCol(c.column()).isDefined =>
+        // every column is nullable = false, so COUNT(col) == COUNT(*)
+        Some((s"COUNT(${simpleCol(c.column()).get})", LongType: DataType))
+      case m: Min if simpleCol(m.column()).contains("page") =>
+        Some(("MIN(page)", IntegerType: DataType))
+      case m: Max if simpleCol(m.column()).contains("page") =>
+        Some(("MAX(page)", IntegerType: DataType))
+      case _ => None
+    }
+    if (fields.isEmpty || fields.exists(_.isEmpty)) None
+    else Some((
+      StructType(fields.map(_.get).zipWithIndex.map { case ((n, t), i) =>
+        StructField(s"agg_$i", t, nullable = true)
+      }),
+      fields.map(_.get._1).mkString(", ")))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    translateAgg(agg) match {
+      case Some((schema, desc)) =>
+        aggSchema = Some(schema); aggDesc = desc; true
+      case None => false
+    }
+
+  override def build(): Scan = aggSchema match {
+    case Some(schema) =>
+      new PagedAggScan(minPage, maxPage, pageSize, schema, aggDesc)
+    case None =>
+      val cappedMax = limit match {
+        case Some(l) =>
+          val neededPages = (l + pageSize - 1) / pageSize
+          math.min(maxPage, minPage + neededPages - 1)
+        case None => maxPage
+      }
+      new PagedScan(minPage, cappedMax, pageSize, pagesPerPartition, pagesPerTrigger)
   }
 }
+
+/** Metadata-only scan for a completely-pushed aggregation: one partition,
+  * one row, ZERO [[PageFetcher]] calls (PagedSourceSpec pins the fetch
+  * counter across the query).
+  */
+class PagedAggScan(minPage: Int, maxPage: Int, pageSize: Int,
+    aggSchema: StructType, aggDesc: String) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"PagedAggScan(pages=[$minPage..$maxPage], pageSize=$pageSize, " +
+      s"PushedAggregation: [$aggDesc])"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagedAggPartition(minPage, maxPage, pageSize,
+      aggDesc.split(", ").toSeq))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val a = p.asInstanceOf[PagedAggPartition]
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = {
+            val empty = a.maxPage < a.minPage
+            val nRows =
+              if (empty) 0L
+              else (a.maxPage - a.minPage + 1).toLong * a.pageSize
+            // field order mirrors the pushed aggregate list
+            InternalRow.fromSeq(a.descs.map { desc =>
+              if (desc.startsWith("COUNT")) nRows
+              else if (empty) null
+              else if (desc == "MIN(page)") a.minPage
+              else a.maxPage
+            })
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class PagedAggPartition(minPage: Int, maxPage: Int, pageSize: Int,
+    descs: Seq[String]) extends InputPartition
 
 /** Page batching: one task per page mirrors the reference's page fan-out
   * but at millions of small pages the per-task overhead dominates —
@@ -205,7 +307,14 @@ class PagedReaderFactory extends PartitionReaderFactory {
   */
 object PageFetcher {
   val MaxRetries = 3
+
+  /** Pages actually fetched in this JVM — the aggregate-pushdown receipt's
+    * "zero pages read" pin (local mode: executor threads share the JVM).
+    */
+  val fetchCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def fetch(page: Int, pageSize: Int): Seq[(Int, String, String, String, String)] = {
+    fetchCount.incrementAndGet(): Unit
     var attempt = 0
     while (true) {
       try {

@@ -68,6 +68,46 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getAs[Int]("page")).toSet == Set(50, 51))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from metadata, zero fetches") {
+    import graft.sources.v2.PageFetcher
+    val agg = read(pages = 100000, pageSize = 50)
+      .filter(col("page") >= 10 && col("page") <= 5009)
+      .agg(count(lit(1)).as("n"), min(col("page")).as("lo"),
+        max(col("page")).as("hi"))
+    val before = PageFetcher.fetchCount.get()
+    val row = agg.head()
+    assert(PageFetcher.fetchCount.get() == before,
+      "pushed aggregate must fetch zero pages")
+    assert(row.getLong(0) == 5000L * 50)
+    assert(row.getInt(1) == 10 && row.getInt(2) == 5009)
+    // the Aggregate node is planned away entirely (complete pushdown)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"))
+    assert(scanOf(agg).scan.description().contains("PushedAggregation"))
+    // value parity with the unpushed path on a registry small enough to scan
+    val small = read(pages = 40, pageSize = 10)
+      .filter(col("page") >= 3 && col("page") <= 17)
+    val pushed = small.agg(count(lit(1)), min(col("page")), max(col("page"))).head()
+    val scanned = small.collect()
+    assert(pushed.getLong(0) == scanned.length)
+    assert(pushed.getInt(1) == scanned.map(_.getAs[Int]("page")).min)
+    assert(pushed.getInt(2) == scanned.map(_.getAs[Int]("page")).max)
+  }
+
+  test("aggregate pushdown declines group-bys and non-page min/max") {
+    // group-by: the source refuses, Spark aggregates normally — and the
+    // scan beneath is the ordinary paged scan (fetches happen)
+    val grouped = read(pages = 6, pageSize = 10)
+      .groupBy(col("institution_type")).agg(count(lit(1)).as("n"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(grouped.collect().map(_.getAs[Long]("n")).sum == 60L)
+    // min over a string column: not translatable, normal scan
+    val strAgg = read(pages = 6, pageSize = 10).agg(min(col("name")).as("m"))
+    assert(strAgg.queryExecution.executedPlan.toString.contains("Aggregate"))
+    assert(strAgg.head().getString(0) == "托育机构_0")
+  }
+
   test("streaming micro-batches: rate-capped paginated ingest (S7 streaming analog)") {
     val dir = java.nio.file.Files.createTempDirectory("paged_ckpt").toString
     val q = spark.readStream.format("graft-paged")
