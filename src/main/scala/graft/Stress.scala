@@ -256,12 +256,16 @@ object Stress {
       spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
     val sc = spark.sparkContext
     val mLabel = if (n >= 1000000) s"${n / 1000000}M" else s"${n / 1000}k"
-    val keys = math.max(1000L, n / 1000L)
+    // n/100 keys → a shuffle in the GBs at 100M+ rows: big enough that
+    // the advisory size yields tens of coalesced reads, not one
+    val keys = math.max(1000L, n / 100L)
     def run(name: String, coalesce: Boolean): Unit = {
       val confs = Map(
         "spark.sql.adaptive.enabled" -> "true",
         "spark.sql.adaptive.coalescePartitions.enabled" -> coalesce.toString,
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "2048",
+        // shuffle.partitions (not initialPartitionNum, which only applies
+        // WITH coalesce on) so both arms start from 2048 reduce partitions
+        "spark.sql.shuffle.partitions" -> "2048",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
       val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -280,7 +284,12 @@ object Stress {
         sc.addSparkListener(listener)
         var out = 0L
         val t0 = System.nanoTime()
-        val (_, bytes) = shuffleBytes(sc) { out = agg.count() }
+        // execute agg's OWN adaptive plan (count() would execute a clone
+        // and leave agg's final plan — the AQEShuffleRead evidence —
+        // unresolved)
+        val (_, bytes) = shuffleBytes(sc) {
+          out = agg.queryExecution.executedPlan.execute().count()
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         sc.removeSparkListener(listener)
         val plan = agg.queryExecution.executedPlan.toString
@@ -291,12 +300,12 @@ object Stress {
         require(out == keys, s"group count drifted: $out != $keys")
         if (coalesce) {
           require(coalesced, "AQE must report a coalesced shuffle read")
-          // 2048 post-shuffle partitions must fold to a handful of
-          // advisory-sized reads: the task count collapses
-          require(tasks.get() < 32 + 256,
+          // 2048 post-shuffle partitions must fold to advisory-sized
+          // reads: the task count collapses (32 map + a few hundred max)
+          require(tasks.get() < 512,
             s"coalesce did not engage: ${tasks.get()} tasks")
         } else {
-          require(tasks.get() > 2048,
+          require(tasks.get() > 1500,
             s"expected ~2048 post-shuffle tasks, saw ${tasks.get()}")
         }
       } finally prev.foreach {

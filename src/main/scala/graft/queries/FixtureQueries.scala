@@ -363,6 +363,23 @@ object FixtureQueries {
           max(col("page")).as("max_page"))
     }),
 
+    // S7 runtime filtering (DPP for a REST registry): the paged scan sits
+    // on the probe side of a broadcast join keyed on page; Spark's
+    // dynamic-pruning subquery hands the build side's 15 page values to
+    // PagedScan.filter at runtime and the 100k-page fan-out collapses to
+    // 15 fetches (PagedSourceSpec pins the fetch count; the selective
+    // build-side predicate is what makes the planner insert the pruning
+    // subquery). Values are oracle-replayed from the nation keys.
+    "q296_paged_runtime_prune" -> ((s, dir) => {
+      val pages = Tables.load(s, dir, "nation")
+        .filter(col("n_regionkey") < 3)
+        .select((col("n_nationkey") * 40 + 7).cast("int").as("page"))
+      s.read.format("graft-paged")
+        .option("pages", "100000").option("pagesize", "20").load()
+        .join(broadcast(pages), Seq("page"))
+        .select(col("page"), col("idx"), col("name"), col("credit_code"))
+    }),
+
     // A5's regroup shape, oracle-checked directly (r6 verdict #9): paged
     // records render to KV blocks (S8's inverse) and regroup by region
     // prefix — count, char mass, and an order-insensitive poly31 content
@@ -1056,6 +1073,15 @@ object FixtureQueries {
     "q295_paged_agg_pushdown" ->
       """SELECT CAST(899900 * 50 AS BIGINT) AS n_rows,
          CAST(100 AS INT) AS min_page, CAST(899999 AS INT) AS max_page""",
+    "q296_paged_runtime_prune" ->
+      """WITH p AS (SELECT CAST(n_nationkey * 40 + 7 AS INT) AS page
+           FROM nation WHERE n_regionkey < 3),
+         ids AS (SELECT page, UNNEST(range(0, 20)) AS idx FROM p)
+         SELECT page, CAST(idx AS INT) AS idx,
+           '托育机构_' || (page * 20 + idx) AS name,
+           '91' || lpad(CAST(page * 20 + idx AS VARCHAR), 16, '0')
+             AS credit_code
+         FROM ids""",
     "q157_province_regroup" ->
       s"""WITH ids AS (SELECT UNNEST(range(0, 1000)) AS id),
          r AS (SELECT id,

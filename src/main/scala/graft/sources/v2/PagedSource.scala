@@ -219,16 +219,46 @@ case class PagedAggPartition(minPage: Int, maxPage: Int, pageSize: Int,
   * but at millions of small pages the per-task overhead dominates —
   * `pagesperpartition` groups contiguous pages into one task (the
   * `maxPartitionBytes` analog for a record-count-paged API).
+  *
+  * [[SupportsRuntimeFiltering]] on `page` is dynamic partition pruning
+  * for a REST registry: when this scan sits on the probe side of a
+  * broadcast join keyed on `page`, Spark re-plans the fan-out at runtime
+  * with the build side's page values — only the JOINED pages are ever
+  * fetched. Filters the source can't narrow by are ignored (the join
+  * re-applies them; pruning is an optimization, never a correctness
+  * gate).
   */
 class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: Int,
     pagesPerTrigger: Int = 1)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  private var pageSet: Option[Set[Int]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("page"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("page", vs) =>
+      val pages = vs.collect { case i: Integer => i.toInt }
+      // translated values can be fewer than vs on odd types; only narrow
+      // when every value translated (conservative, never over-prunes)
+      if (pages.length == vs.length) pageSet = Some(pages.toSet)
+    case EqualTo("page", v: Integer) => pageSet = Some(Set(v.toInt))
+    case _ => ()
+  }
+
   override def readSchema(): StructType = PagedSource.schema
   override def description(): String =
     s"PagedScan(pages=[$minPage..$maxPage], pageSize=$pageSize, batch=$pagesPerPartition)"
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    PagedScan.partitionRange(minPage, maxPage, pageSize, pagesPerPartition)
+  override def planInputPartitions(): Array[InputPartition] = pageSet match {
+    case Some(set) =>
+      set.toArray.sorted.filter(p => p >= minPage && p <= maxPage)
+        .map(p => PagePartition(p, p, pageSize): InputPartition)
+    case None =>
+      PagedScan.partitionRange(minPage, maxPage, pageSize, pagesPerPartition)
+  }
   override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
 
   /** Streaming form: offsets are page numbers; each trigger ingests at most

@@ -108,6 +108,25 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(strAgg.head().getString(0) == "托育机构_0")
   }
 
+  test("runtime filtering: broadcast join prunes the page fan-out to the joined pages") {
+    import graft.sources.v2.PageFetcher
+    // 13 wanted pages out of a 100k-page registry; the selective filter on
+    // the build side is what makes Spark insert the pruning subquery
+    val dim = spark.range(0, 25)
+      .filter(pmod(col("id"), lit(2)) === 0)
+      .select((col("id") * 40 + 7).cast("int").as("page"))
+    val fact = read(pages = 100000, pageSize = 20)
+    val j = fact.join(broadcast(dim), Seq("page"))
+    val before = PageFetcher.fetchCount.get()
+    val rows = j.collect()
+    val fetched = PageFetcher.fetchCount.get() - before
+    assert(rows.length == 13 * 20)
+    assert(fetched == 13,
+      s"runtime filter should prune the fetch to 13 pages, fetched $fetched")
+    // and the non-joined form of the same scan is untouched (no leaked state)
+    assert(read(pages = 30, pageSize = 2).count() == 60)
+  }
+
   test("streaming micro-batches: rate-capped paginated ingest (S7 streaming analog)") {
     val dir = java.nio.file.Files.createTempDirectory("paged_ckpt").toString
     val q = spark.readStream.format("graft-paged")
