@@ -107,28 +107,37 @@ object Bench {
   private def cleanerQueueDepth(spark: SparkSession): Long =
     graft.core.SessionHygiene.cleanerQueueDepth(spark)
 
-  /** (file count, total MB) under every blockmgr-* dir in the local dirs —
-    * shuffle/spill debris on disk. Diagnostics only; never on a timed path.
+  /** (file count, total MB) under THIS app's blockmgr dirs — shuffle/
+    * spill debris on disk. Diagnostics only; never on a timed path.
+    *
+    * Scoped to the current SparkContext's own DiskBlockManager dirs
+    * (reflection — `localDirs` is private[spark], which is public in
+    * bytecode), NOT every blockmgr-* under /tmp: this walk runs after
+    * every query, and a DEAD sibling JVM's undeleted blockmgr dir (a
+    * killed test run left 1.7M files once) turns each diagnostic into a
+    * million-lstat storm whose page-cache eviction bleeds into the NEXT
+    * query's timed reps — foreign debris must never tax the bench.
+    * A 200k-file cap bounds the walk even against our own worst case;
+    * a capped count reports the cap (read it as ">= cap").
     */
   private def shuffleDiskUsage(): (Long, Long) = {
     import java.nio.file._
+    val cap = 200000L
     try {
-      val roots = (sys.env.get("SPARK_LOCAL_DIRS").toSeq
-        .flatMap(_.split(",")) :+ System.getProperty("java.io.tmpdir", "/tmp"))
-        .map(Paths.get(_)).filter(Files.isDirectory(_))
+      val roots: Seq[Path] = {
+        val bm = org.apache.spark.SparkEnv.get.blockManager
+        val dbm = bm.getClass.getMethod("diskBlockManager").invoke(bm)
+        dbm.getClass.getMethod("localDirs").invoke(dbm)
+          .asInstanceOf[Array[java.io.File]].toSeq.map(_.toPath)
+      }
       var files = 0L; var bytes = 0L
-      roots.distinct.foreach { root =>
-        // close the directory streams — this runs after every query, and
-        // each unclosed list/walk holds an open directory fd until GC
-        scala.util.Using.resource(Files.list(root)) { ls =>
-          ls.iterator().forEachRemaining { d =>
-            if (d.getFileName.toString.startsWith("blockmgr-")) {
-              scala.util.Using.resource(Files.walk(d)) { w =>
-                w.iterator().forEachRemaining { p =>
-                  if (Files.isRegularFile(p)) { files += 1; bytes += Files.size(p) }
-                }
-              }
-            }
+      roots.distinct.filter(Files.isDirectory(_)).foreach { root =>
+        // close the walk stream — an unclosed walk holds an open fd
+        scala.util.Using.resource(Files.walk(root)) { w =>
+          val it = w.iterator()
+          while (it.hasNext && files < cap) {
+            val p = it.next()
+            if (Files.isRegularFile(p)) { files += 1; bytes += Files.size(p) }
           }
         }
       }

@@ -1187,4 +1187,190 @@ object TableOps {
             lit(1000000L)))
           .cast("double").divide(lit(1e6)).as("rho2"))): _*)
   }
+
+  /** Baked upper-tail inverse chi²(1) critical values for the
+    * Benjamini–Hochberg step-up at FDR α = 0.05: row (m, k, c) carries
+    * c = round(1e6 · F⁻¹(1 − 0.05·k/m)) for a battery of m tests,
+    * 1 ≤ k ≤ m ≤ 16 — (1,1) and every (m,m) reproduce the house
+    * chi²(1) 95% constant 3841459 (wilson/mannWhitneyU/logRank), the
+    * α = 0.05 single-test case BH degenerates to. ONE definition feeds
+    * the operator's literal relation AND the generated oracle VALUES
+    * CTE (the schema-validation twin convention).
+    */
+  private[graft] val bhCriticalMicro: Seq[(Int, Int, Long)] = Seq(
+    (1,1,3841459L), (2,1,5023886L), (2,2,3841459L), (3,1,5731139L), (3,2,4528577L),
+    (3,3,3841459L), (4,1,6238533L), (4,2,5023886L), (4,3,4327558L), (4,4,3841459L),
+    (5,1,6634897L), (5,2,5411894L), (5,3,4709292L), (5,4,4217885L), (5,5,3841459L),
+    (6,1,6960401L), (6,2,5731139L), (6,3,5023886L), (6,4,4528577L), (6,5,4148693L),
+    (6,6,3841459L), (7,1,7236689L), (7,2,6002489L), (7,3,5291596L), (7,4,4793252L),
+    (7,5,4410695L), (7,6,4101028L), (7,7,3841459L), (8,1,7476773L), (8,2,6238533L),
+    (8,3,5524683L), (8,4,5023886L), (8,5,4639176L), (8,6,4327558L), (8,7,4066184L),
+    (8,8,3841459L), (9,1,7689093L), (9,2,6447460L), (9,3,5731139L), (9,4,5228302L),
+    (9,5,4841807L), (9,6,4528577L), (9,7,4265715L), (9,8,4039597L), (9,9,3841459L),
+    (10,1,7879439L), (10,2,6634897L), (10,3,5916468L), (10,4,5411894L), (10,5,5023886L),
+    (10,6,4709292L), (10,7,4445175L), (10,8,4217885L), (10,9,4018640L), (10,10,3841459L),
+    (11,1,8051956L), (11,2,6804879L), (11,3,6084621L), (11,4,5578545L), (11,5,5189231L),
+    (11,6,4873462L), (11,7,4608267L), (11,8,4379970L), (11,9,4179777L), (11,10,4001694L),
+    (11,11,3841459L), (12,1,8209716L), (12,2,6960401L), (12,3,6238533L), (12,4,5731139L),
+    (12,5,5340681L), (12,6,5023886L), (12,7,4757749L), (12,8,4528577L), (12,9,4327558L),
+    (12,10,4148693L), (12,11,3987709L), (12,12,3841459L), (13,1,8355057L), (13,2,7103745L),
+    (13,3,6380443L), (13,4,5871880L), (13,5,5480408L), (13,6,5162705L), (13,7,4895737L),
+    (13,8,4665792L), (13,9,4464047L), (13,10,4284494L), (13,11,4122852L), (13,12,3975971L),
+    (13,13,3841459L), (14,1,8489801L), (14,2,7236689L), (14,3,6512101L), (14,4,6002489L),
+    (14,5,5610110L), (14,6,5291596L), (14,7,5023886L), (14,8,4793252L), (14,9,4590861L),
+    (14,10,4410695L), (14,11,4248470L), (14,12,4101028L), (14,13,3965977L), (14,14,3841459L),
+    (15,1,8615396L), (15,2,7360651L), (15,3,6634897L), (15,4,6124336L), (15,5,5731139L),
+    (15,6,5411894L), (15,7,5143517L), (15,8,4912264L), (15,9,4709292L), (15,10,4528577L),
+    (15,11,4365828L), (15,12,4217885L), (15,13,4082351L), (15,14,3957366L), (15,15,3841459L),
+    (16,1,8733011L), (16,2,7476773L), (16,3,6749956L), (16,4,6238533L), (16,5,5844592L),
+    (16,6,5524683L), (16,7,5255700L), (16,8,5023886L), (16,9,4820389L), (16,10,4639176L),
+    (16,11,4475954L), (16,12,4327558L), (16,13,4191589L), (16,14,4066184L), (16,15,3949870L),
+    (16,16,3841459L))
+
+  /** [[bhCriticalMicro]] rendered as the oracle's VALUES rows — splice
+    * into a `crit(cm, ck, cc) AS (VALUES …)` CTE so both engines read
+    * the SAME baked grid. */
+  private[graft] def bhCriticalSql: String =
+    bhCriticalMicro.map { case (m, k, c) => s"($m, $k, $c)" }
+      .mkString(", ")
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg 1995)
+    * over a battery of chi²(1) statistics — the multiple-testing gate a
+    * one-vs-rest battery like [[graft.operators.Journey.logRank]]'s
+    * q294 form needs before anyone reads its `significant` flags: m
+    * tests at per-test α = 0.05 expect m·0.05 false alarms, BH caps the
+    * FALSE DISCOVERY RATE at 0.05 instead. Working on the chi² scale
+    * avoids p-values entirely: p ascending ⇔ chi² descending, and
+    * "p_k ≤ 0.05·k/m" ⇔ "chi2 ≥ F⁻¹(1 − 0.05·k/m)" with the inverse CDF
+    * baked per (m, k) in [[bhCriticalMicro]] — reject ranks 1..k* where
+    * k* = max{k : chi2_(k) ≥ crit(m, k)}.
+    *
+    * Pinned contract: the decision compares the MICRO-ROUNDED statistic
+    * (the exact integer both engines already agree on) against the
+    * micro-rounded critical; ranks order by (chi2_micro DESC, id ASC) —
+    * a deterministic total order as long as the id columns are unique
+    * per test, which a battery's group keys are. Null statistics must
+    * be filtered upstream (they carry no evidence to rank).
+    *
+    * Scale posture: the battery frame is m-bounded (m ≤ 16, fail-loud —
+    * the baked-grid envelope), so everything here is constant-size
+    * work: rank via the broadcast triangular self-join (the q244
+    * convention — the guard-banned global rank window never appears),
+    * m and k* as 1-row broadcasts, the critical grid a 136-row literal
+    * relation. Zero eager actions, composes lazily downstream of any
+    * battery.
+    *
+    * @param chi2MicroCol micro-scaled chi²(1) statistic (long, = the
+    *   operator's `chi2 · 1e6` — reconstruct with round(chi2·1e6))
+    * @return (g…, chi2, m, rank, critical, rejected)
+    */
+  def bhFdr(df: DataFrame, idCols: Seq[Column],
+      chi2MicroCol: Column): DataFrame = {
+    require(idCols.nonEmpty, "need at least one id column")
+    val reserved = Seq("chi2", "m", "rank", "critical", "rejected",
+      "__c", "__k", "__c2", "__k2", "__m", "__r", "__cm", "__ck",
+      "__cc", "__kstar", "__chk")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved output/working column: " +
+        df.columns.filter(reserved.contains).mkString(", "))
+    val gNames = idCols.indices.map(i => s"g$i")
+    val base = df.filter(chi2MicroCol.isNotNull)
+      .select((idCols.zip(gNames).map { case (c, n) => c.as(n) } :+
+        chi2MicroCol.cast("long").as("__c")): _*)
+      .withColumn("__k",
+        concat_ws("\u0001", gNames.map(n => col(n).cast("string")): _*))
+      .localCheckpoint() // feeds rank join, m count, k* — 3 consumers
+    val mF = base.agg(count(lit(1)).cast("int").as("__m"))
+    // rank by (chi2 DESC, key ASC) via the broadcast triangular
+    // self-join — rank_i = 1 + |{j : c_j > c_i ∨ (c_j = c_i ∧ k_j < k_i)}|
+    val rhs = broadcast(base.select(col("__c").as("__c2"),
+      col("__k").as("__k2")))
+    val ranked = base.join(rhs,
+        col("__c2") > col("__c") ||
+          (col("__c2") === col("__c") && col("__k2") < col("__k")),
+        "left")
+      .groupBy((gNames.map(col) :+ col("__c") :+ col("__k")): _*)
+      .agg((count(col("__c2")) + 1L).cast("int").as("__r"))
+    val session = df.sparkSession
+    import session.implicits._
+    val crit = broadcast(bhCriticalMicro.toDF("__cm", "__ck", "__cc"))
+    val joined = ranked.crossJoin(broadcast(mF))
+      .withColumn("__chk", // fail loud beyond the baked-grid envelope
+        when(col("__m") <= 16, lit(true))
+          .otherwise(raise_error(concat(
+            lit("bhFdr battery exceeds the baked critical grid (m = "),
+            col("__m").cast("string"), lit(" > 16)"))).cast("boolean")))
+      .filter(col("__chk"))
+      .join(crit, col("__cm") === col("__m") && col("__ck") === col("__r"))
+      .localCheckpoint() // feeds k* and the verdict — 2 consumers
+    val kStar = joined
+      .agg(max(when(col("__c") >= col("__cc"), col("__r"))).as("__kstar"))
+    joined.crossJoin(broadcast(kStar))
+      .select((gNames.map(col) ++ Seq(
+        col("__c").cast("double").divide(lit(1e6)).as("chi2"),
+        col("__m").as("m"),
+        col("__r").as("rank"),
+        col("__cc").cast("double").divide(lit(1e6)).as("critical"),
+        (col("__r") <= coalesce(col("__kstar"), lit(0)))
+          .cast("int").as("rejected"))): _*)
+  }
+
+  /** Difference-in-differences — the quasi-experimental companion to
+    * [[cuped]]: with a treated and a control arm each observed in a
+    * pre and a post period, DID = (ȳ_T,post − ȳ_T,pre) −
+    * (ȳ_C,post − ȳ_C,pre) removes both the arms' level difference and
+    * the common time trend (parallel-trends assumption); what remains
+    * is the treatment effect.
+    *
+    * Exact chain: per-unit pre/post sums (longs), per-arm means
+    * micro-rounded ONCE each (microRound6 — sign-preserving, the q293
+    * lesson), DID as exact arithmetic on the four micro integers.
+    * An absent arm (or an arm with no units) yields null DID rather
+    * than an error — fail-soft like cuped's constant-covariate branch.
+    *
+    * Scale posture: ONE unit-keyed exchange (map-side combined), then
+    * a 2-row arm aggregate collapsed to a single output row — nothing
+    * data-sized after the unit agg.
+    *
+    * @param armCol 1 = treated, 0 = control (must be unit-constant;
+    *   units are grouped by (unit, arm) so a drifting arm shows up as
+    *   duplicate units, not silent misattribution)
+    * @param postCol true/1 = post period
+    * @return one row: (n_t, n_c, mean_pre_t, mean_post_t, mean_pre_c,
+    *         mean_post_c, did)
+    */
+  def diffInDiff(df: DataFrame, unitCol: Column, armCol: Column,
+      postCol: Column, valueCol: Column): DataFrame = {
+    import graft.operators.EvalMetrics.microRound6
+    val units = df
+      .filter(armCol.isNotNull && postCol.isNotNull && valueCol.isNotNull)
+      .groupBy(unitCol.as("__u"), armCol.cast("int").as("__a"))
+      .agg(
+        sum(when(!postCol.cast("boolean"), valueCol.cast("long"))
+          .otherwise(0L)).as("__pre"),
+        sum(when(postCol.cast("boolean"), valueCol.cast("long"))
+          .otherwise(0L)).as("__post"))
+    val arms = units.groupBy(col("__a"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__pre")).as("__sp"), sum(col("__post")).as("__so"))
+      .select(col("__a"), col("__n"),
+        microRound6(col("__sp"), col("__n")).as("__mp"),
+        microRound6(col("__so"), col("__n")).as("__mo"))
+    arms.agg(
+        max(when(col("__a") === 1, col("__n"))).as("__nt"),
+        max(when(col("__a") === 0, col("__n"))).as("__nc"),
+        max(when(col("__a") === 1, col("__mp"))).as("__mpt"),
+        max(when(col("__a") === 1, col("__mo"))).as("__mot"),
+        max(when(col("__a") === 0, col("__mp"))).as("__mpc"),
+        max(when(col("__a") === 0, col("__mo"))).as("__moc"))
+      .select(
+        coalesce(col("__nt"), lit(0L)).as("n_t"),
+        coalesce(col("__nc"), lit(0L)).as("n_c"),
+        col("__mpt").cast("double").divide(lit(1e6)).as("mean_pre_t"),
+        col("__mot").cast("double").divide(lit(1e6)).as("mean_post_t"),
+        col("__mpc").cast("double").divide(lit(1e6)).as("mean_pre_c"),
+        col("__moc").cast("double").divide(lit(1e6)).as("mean_post_c"),
+        ((col("__mot") - col("__mpt")) - (col("__moc") - col("__mpc")))
+          .cast("double").divide(lit(1e6)).as("did"))
+  }
 }

@@ -172,6 +172,54 @@ object EventQueries {
           col("significant"))
     }),
 
+    // Benjamini–Hochberg FDR over the q294 battery: m one-vs-rest
+    // tests at per-test α = 0.05 expect m·0.05 false alarms — BH caps
+    // the false discovery rate at 0.05 instead. Rank the cohorts'
+    // chi² statistics descending (p ascending) and reject ranks 1..k*,
+    // k* = max{k : chi2_(k) ≥ baked F⁻¹(1 − 0.05·k/m)} — the
+    // p-value-free chi²-scale step-up; grid + pinned contract in
+    // TableOps.bhFdr (both engines read the SAME generated VALUES).
+    "q297_logrank_bh" -> ((s, dir) => {
+      val subj = kmSubjects(s, dir).localCheckpoint()
+      val labels = subj.select(col("__cohort").as("__lab")).distinct()
+      val maxLabels = 16 // the bhFdr baked-grid envelope
+      val nLabels = labels.take(maxLabels + 1).length
+      require(nLabels <= maxLabels,
+        s"q297_logrank_bh battery caps cohort labels at $maxLabels " +
+          s"(the baked BH critical grid); got > $maxLabels")
+      val bat = Journey.logRank(subj.crossJoin(broadcast(labels)),
+          Seq(col("__lab")), col("__cohort") === col("__lab"),
+          col("__life"), col("__churn"))
+        .filter(col("chi2").isNotNull)
+        // micro statistic reconstructed exactly: chi2 is micro/1e6, the
+        // same IEEE double both engines, within ~1e-9 of the integer
+        .select(col("g0"), round(col("chi2") * 1e6).cast("long").as("__stat"))
+      graft.operators.TableOps.bhFdr(bat, Seq(col("g0")), col("__stat"))
+        .withColumnRenamed("g0", "cohort")
+    }),
+
+    // Interval-join attribution (the batch form of StreamingOps
+    // .intervalJoin — StreamingSpec pins the SAME plan stream ≡ batch):
+    // every (click, purchase) pair of the same user with the purchase
+    // inside [click, click + 30 min], both bounds inclusive — ALL pairs
+    // in the horizon, where q199's as-of join keeps only the latest
+    // click. Rolled up per user to keep the surface bounded.
+    "q299_interval_join" -> ((s, dir) => {
+      val e = t(s, dir).filter(col("ts").isNotNull)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      graft.streaming.StreamingOps.intervalJoin(clicks, purchases,
+          "c_user", "p_user", "c_ts", "p_ts", "30 minutes")
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          countDistinct(col("c_id")).as("n_clicks"))
+    }),
+
     // U-shaped multi-touch attribution: purchases convert; each
     // converted user's pre-conversion touches share 1,000,000 micro
     // credits 40/20/40 (first/middles/last), remainders to the earliest
@@ -208,6 +256,54 @@ object EventQueries {
              CASE WHEN pu.cd IS NOT NULL THEN 1 ELSE 0 END AS ev
            FROM pu JOIN ft USING (user_id)
            WHERE ft.cohort IS NOT NULL)"""
+
+  /** The q294/q297 one-vs-rest log-rank battery through its `ag`
+    * rollup (per-label O/E/V micro sums) — ONE definition feeds the
+    * battery's verdict query AND the BH step-up on top of it (the
+    * kmSubjectsSql extraction convention). */
+  private val logRankBatterySql: String =
+    s"""$kmSubjectsSql,
+         labs AS (SELECT DISTINCT cohort AS lab FROM kmsubj),
+         subj AS (SELECT lab,
+             CASE WHEN cohort = lab THEN 1 ELSE 0 END AS arm, t, ev
+           FROM kmsubj, labs),
+         cell AS (SELECT lab, t,
+             CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
+               AS da,
+             CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT)
+               AS db,
+             CAST(SUM(arm) AS BIGINT) AS ca,
+             CAST(SUM(1 - arm) AS BIGINT) AS cb
+           FROM subj GROUP BY 1, 2),
+         st AS (SELECT lab, t, da, db,
+             CAST(SUM(ca) OVER (PARTITION BY lab ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND
+               UNBOUNDED FOLLOWING) AS BIGINT) AS na,
+             CAST(SUM(cb) OVER (PARTITION BY lab ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND
+               UNBOUNDED FOLLOWING) AS BIGINT) AS nb
+           FROM cell),
+         tm AS (SELECT lab, t, da, db, na, nb, da + db AS d, na + nb AS n
+           FROM st WHERE da + db > 0),
+         mr AS (SELECT lab, t, da, db,
+             CAST((2 * CAST(na AS HUGEINT) * d * 1000000 + n) // (2 * n)
+               AS BIGINT) AS ea,
+             CAST((2 * CAST(nb AS HUGEINT) * d * 1000000 + n) // (2 * n)
+               AS BIGINT) AS eb,
+             CASE WHEN n > 1 THEN CAST(
+                 (2 * CAST(d AS HUGEINT) * (n - d) * na * nb * 1000000 +
+                   CAST(n AS HUGEINT) * n * (n - 1)) //
+                 (2 * CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+               ELSE 0 END AS v
+           FROM tm),
+         ag AS (SELECT lab, COUNT(*) AS n_times,
+             CAST(SUM(da) AS BIGINT) AS o_a,
+             CAST(SUM(db) AS BIGINT) AS o_b,
+             CAST(SUM(ea) AS HUGEINT) AS sea,
+             CAST(SUM(eb) AS HUGEINT) AS seb,
+             CAST(SUM(da * 1000000 - ea) AS HUGEINT) AS u,
+             CAST(SUM(v) AS HUGEINT) AS sv
+           FROM mr GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
     "q143_scd2_history" ->
@@ -301,48 +397,7 @@ object EventQueries {
              AS survival_bits
          FROM fin""",
     "q294_logrank" ->
-      s"""WITH $kmSubjectsSql,
-         labs AS (SELECT DISTINCT cohort AS lab FROM kmsubj),
-         subj AS (SELECT lab,
-             CASE WHEN cohort = lab THEN 1 ELSE 0 END AS arm, t, ev
-           FROM kmsubj, labs),
-         cell AS (SELECT lab, t,
-             CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
-               AS da,
-             CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT)
-               AS db,
-             CAST(SUM(arm) AS BIGINT) AS ca,
-             CAST(SUM(1 - arm) AS BIGINT) AS cb
-           FROM subj GROUP BY 1, 2),
-         st AS (SELECT lab, t, da, db,
-             CAST(SUM(ca) OVER (PARTITION BY lab ORDER BY t
-               ROWS BETWEEN CURRENT ROW AND
-               UNBOUNDED FOLLOWING) AS BIGINT) AS na,
-             CAST(SUM(cb) OVER (PARTITION BY lab ORDER BY t
-               ROWS BETWEEN CURRENT ROW AND
-               UNBOUNDED FOLLOWING) AS BIGINT) AS nb
-           FROM cell),
-         tm AS (SELECT lab, t, da, db, na, nb, da + db AS d, na + nb AS n
-           FROM st WHERE da + db > 0),
-         mr AS (SELECT lab, t, da, db,
-             CAST((2 * CAST(na AS HUGEINT) * d * 1000000 + n) // (2 * n)
-               AS BIGINT) AS ea,
-             CAST((2 * CAST(nb AS HUGEINT) * d * 1000000 + n) // (2 * n)
-               AS BIGINT) AS eb,
-             CASE WHEN n > 1 THEN CAST(
-                 (2 * CAST(d AS HUGEINT) * (n - d) * na * nb * 1000000 +
-                   CAST(n AS HUGEINT) * n * (n - 1)) //
-                 (2 * CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
-               ELSE 0 END AS v
-           FROM tm),
-         ag AS (SELECT lab, COUNT(*) AS n_times,
-             CAST(SUM(da) AS BIGINT) AS o_a,
-             CAST(SUM(db) AS BIGINT) AS o_b,
-             CAST(SUM(ea) AS HUGEINT) AS sea,
-             CAST(SUM(eb) AS HUGEINT) AS seb,
-             CAST(SUM(da * 1000000 - ea) AS HUGEINT) AS u,
-             CAST(SUM(v) AS HUGEINT) AS sv
-           FROM mr GROUP BY 1)
+      s"""WITH $logRankBatterySql
          SELECT lab AS cohort, n_times, o_a,
            CAST(sea AS BIGINT) / 1000000.0 AS e_a,
            o_b, CAST(seb AS BIGINT) / 1000000.0 AS e_b,
@@ -355,6 +410,38 @@ object EventQueries {
                  AS INT)
              END AS significant
          FROM ag WHERE n_times > 0""",
+    "q297_logrank_bh" ->
+      s"""WITH $logRankBatterySql,
+         chi AS (SELECT lab, CAST((2 * u * u * 1000000 + sv * 1000000)
+               // (2 * sv * 1000000) AS BIGINT) AS cmu
+           FROM ag WHERE n_times > 0 AND sv > 0),
+         mm AS (SELECT CAST(COUNT(*) AS INT) AS m FROM chi),
+         rk AS (SELECT lab, cmu, CAST(ROW_NUMBER() OVER (
+             ORDER BY cmu DESC, lab) AS INT) AS r FROM chi),
+         crit(cm, ck, cc) AS (VALUES ${
+             graft.operators.TableOps.bhCriticalSql}),
+         j AS (SELECT rk.lab, rk.cmu, mm.m, rk.r, crit.cc
+           FROM rk CROSS JOIN mm
+           JOIN crit ON crit.cm = mm.m AND crit.ck = rk.r),
+         ks AS (SELECT MAX(CASE WHEN cmu >= cc THEN r END) AS kstar
+           FROM j)
+         SELECT lab AS cohort, cmu / 1000000.0 AS chi2, m, r AS rank,
+           cc / 1000000.0 AS critical,
+           CAST(CASE WHEN r <= COALESCE(kstar, 0) THEN 1 ELSE 0 END
+             AS INT) AS rejected
+         FROM j CROSS JOIN ks""",
+    "q299_interval_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL),
+         p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase' AND ts IS NOT NULL),
+         j AS (SELECT c.user_id, c.event_id AS cid, p.event_id AS pid
+           FROM c JOIN p ON p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+         SELECT user_id, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT pid) AS n_purchases,
+           COUNT(DISTINCT cid) AS n_clicks
+         FROM j GROUP BY 1""",
     "q291_attribution_u" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts
            FROM events WHERE ts IS NOT NULL),

@@ -592,6 +592,30 @@ object WarehouseQueries {
         Seq(col("arm")), col("x"), col("y"))
     }),
 
+    // Difference-in-differences over q293's exact layout (stride-
+    // quotient arms, corpus-day-midpoint period split): DID =
+    // (post_T − pre_T) − (post_C − pre_C) of the per-user mean spends —
+    // the quasi-experimental companion to CUPED (CUPED shrinks variance
+    // inside a randomized split; DID removes arm level + common time
+    // trend when the split was NOT randomized, under parallel trends).
+    // Means micro-rounded once each (signed), DID exact on the four
+    // micro integers.
+    "q298_diff_in_diff" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+      val day = datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val cents = (dec(col("value")) * 100).cast("long")
+      val rng = e.agg(min(day).as("__mn"), max(day).as("__mx"))
+        .select(expr("(__mn + __mx + 1) div 2").as("__mid"))
+      TableOps.diffInDiff(
+        e.crossJoin(broadcast(rng)),
+        col("user_id"),
+        pmod(expr("user_id div 20"), lit(2)),
+        day >= col("__mid"),
+        cents)
+    }),
+
     // Kaplan–Meier life table (integer-exact): time-to-conversion with
     // right-censoring — duration = days from a user's first event to
     // their first HIGH-VALUE purchase ("event"), or to their last event
@@ -1611,5 +1635,43 @@ object WarehouseQueries {
                  ((CAST(thm AS HUGEINT) * th2m) % 1000000)) // 1000000
                  AS BIGINT) / 1000000.0
              END AS rho2
-         FROM fin""")
+         FROM fin""",
+
+    "q298_diff_in_diff" ->
+      """WITH e AS (SELECT user_id,
+             CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         md AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+         u AS (SELECT user_id, (user_id // 20) % 2 AS arm,
+             CAST(SUM(CASE WHEN day < mid THEN cents ELSE 0 END)
+               AS HUGEINT) AS pre,
+             CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END)
+               AS HUGEINT) AS post
+           FROM e, md GROUP BY 1, 2),
+         a AS (SELECT arm, COUNT(*) AS n, SUM(pre) AS sp,
+             SUM(post) AS so
+           FROM u GROUP BY 1),
+         m AS (SELECT arm, n,
+             CAST((CASE WHEN sp < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(sp) * 1000000 + n) // (2 * n)) AS BIGINT) AS mp,
+             CAST((CASE WHEN so < 0 THEN -1 ELSE 1 END) *
+               ((2 * ABS(so) * 1000000 + n) // (2 * n)) AS BIGINT) AS mo
+           FROM a),
+         p AS (SELECT
+             MAX(CASE WHEN arm = 1 THEN n END) AS nt,
+             MAX(CASE WHEN arm = 0 THEN n END) AS nc,
+             MAX(CASE WHEN arm = 1 THEN mp END) AS mpt,
+             MAX(CASE WHEN arm = 1 THEN mo END) AS mot,
+             MAX(CASE WHEN arm = 0 THEN mp END) AS mpc,
+             MAX(CASE WHEN arm = 0 THEN mo END) AS moc
+           FROM m)
+         SELECT COALESCE(nt, 0) AS n_t, COALESCE(nc, 0) AS n_c,
+           mpt / 1000000.0 AS mean_pre_t,
+           mot / 1000000.0 AS mean_post_t,
+           mpc / 1000000.0 AS mean_pre_c,
+           moc / 1000000.0 AS mean_post_c,
+           ((mot - mpt) - (moc - mpc)) / 1000000.0 AS did
+         FROM p""")
 }

@@ -231,8 +231,34 @@ case class PagedAggPartition(minPage: Int, maxPage: Int, pageSize: Int,
 class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: Int,
     pagesPerTrigger: Int = 1)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private var pageSet: Option[Set[Int]] = None
+
+  /** Registry-metadata statistics (SupportsReportStatistics): row count
+    * = the filter-narrowed page window × pageSize (the same total-count
+    * metadata the aggregate pushdown answers from), bytes at the
+    * schema's per-row default width. Without this, a DSv2 relation
+    * reports `spark.sql.defaultSizeInBytes` (Long.MaxValue) and a small
+    * registry NEVER auto-broadcasts — every paged join would need a
+    * hand-placed hint. With it, the planner picks BroadcastHashJoin for
+    * small page windows and falls back to shuffle joins past the
+    * threshold, exactly like a parquet scan with file statistics.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = pageSet match {
+      case Some(set) =>
+        set.count(p => p >= minPage && p <= maxPage).toLong * pageSize
+      case None => (maxPage - minPage + 1).toLong * pageSize
+    }
+    val rowBytes = PagedSource.schema.defaultSize.toLong
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(math.max(1L, rows * rowBytes))
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    }
+  }
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =

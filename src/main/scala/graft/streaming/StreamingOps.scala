@@ -603,6 +603,41 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked interval join — the ad-attribution / sensor-correlation
+    * shape: every right event matched to the left events of the same key
+    * whose timestamp it follows within `horizon` (rightTs ∈ [leftTs,
+    * leftTs + horizon], both bounds inclusive). On STREAMING inputs this
+    * is Spark's stream-stream symmetric hash join: both sides are
+    * watermarked and the time-range condition lets the state store evict
+    * left rows older than (watermark − horizon) — bounded state on an
+    * unbounded stream. On BATCH frames the watermark node is eliminated
+    * and the SAME plan runs as an ordinary equi+range join — which is
+    * exactly how StreamingSpec pins stream ≡ batch and how q299 puts the
+    * batch form on the oracle surface.
+    *
+    * Inner join: matches emit as soon as both rows have arrived (the
+    * watermark bounds EVICTION, not emission). A right row arriving
+    * later than `watermark` after its left partner can be dropped by
+    * state cleanup — size the watermark to the pipeline's real lateness,
+    * the standard stream-stream lateness contract.
+    *
+    * Column names must be disjoint across the two sides (the join
+    * condition references both frames by name).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      horizon: String, watermark: String = "10 minutes"): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin sides share column names: ${overlap.mkString(", ")}")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+  }
+
   /** Rate-capped incremental file ingest — the scraper-pacing analog
     * (semaphore/backoff → maxFilesPerTrigger + checkpointed progress).
     */

@@ -127,6 +127,26 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(read(pages = 30, pageSize = 2).count() == 60)
   }
 
+  test("reported statistics: a small page window auto-broadcasts without " +
+      "a hint; a huge registry does not") {
+    // both joins are PLANNED only (never executed) — the assertion is on
+    // the join strategy the reported stats buy. The fact side is sized
+    // well past the 10 MB autoBroadcast threshold so only the paged
+    // side's statistics decide.
+    val fact = spark.range(0, 10000000L)
+      .select(pmod(col("id"), lit(40)).cast("int").as("page"), col("id"))
+    val small = read(pages = 40, pageSize = 25) // 1k rows ~ 88 KB reported
+    val j = fact.join(small, Seq("page")) // NO broadcast() hint
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small paged side should auto-broadcast:\n${plan.take(800)}")
+    val huge = read(pages = 200000, pageSize = 50) // 10M rows ~ 880 MB
+    val j2 = fact.join(huge, Seq("page"))
+    val plan2 = j2.queryExecution.executedPlan.toString
+    assert(!plan2.contains("BroadcastHashJoin"),
+      s"huge paged side must not broadcast:\n${plan2.take(800)}")
+  }
+
   test("streaming micro-batches: rate-capped paginated ingest (S7 streaming analog)") {
     val dir = java.nio.file.Files.createTempDirectory("paged_ckpt").toString
     val q = spark.readStream.format("graft-paged")

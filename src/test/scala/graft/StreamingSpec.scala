@@ -873,4 +873,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch && batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("intervalJoin: stream-stream symmetric hash join == the SAME " +
+      "plan on batch frames, shuffled 3-batch arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // based a day after epoch 0: a row whose event time EQUALS the
+    // initial watermark (epoch 0) is dropped at ingestion by the
+    // stream-stream join's late-row filter — a boundary artifact of
+    // the fixture, not a semantic to pin
+    def ts(min: Int) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // 7 users x impressions every few minutes; clicks land inside AND
+    // outside the 10-minute horizon, plus clicks for users with no
+    // impression at all
+    val imps = (0 until 40).map(i => (i.toLong % 7, ts(i), s"imp$i"))
+    val clks = (0 until 60).map(i => (i.toLong % 9, ts(i / 2 + 3), s"clk$i"))
+    def run(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) =
+      StreamingOps.intervalJoin(l, r, "i_user", "c_user", "i_ts", "c_ts",
+        horizon = "10 minutes", watermark = "2 hours")
+    val batch = run(imps.toDF("i_user", "i_ts", "imp_id"),
+        clks.toDF("c_user", "c_ts", "clk_id"))
+      .select("imp_id", "clk_id")
+      .as[(String, String)].collect().toSet
+    assert(batch.nonEmpty)
+    // the horizon must actually exclude some same-key pairs (otherwise
+    // this tests an equi join, not an interval join)
+    val allPairs = imps.toDF("i_user", "i_ts", "imp_id")
+      .join(clks.toDF("c_user", "c_ts", "clk_id"),
+        col("i_user") === col("c_user")).count()
+    assert(allPairs > batch.size, "horizon excluded nothing")
+    val si = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sc = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = run(si.toDF.toDF("i_user", "i_ts", "imp_id"),
+        sc.toDF.toDF("c_user", "c_ts", "clk_id"))
+      .select("imp_id", "clk_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("interval_join_test").start()
+    try {
+      // shuffled arrival across 3 micro-batches; the 2-hour watermark
+      // exceeds the fixture's whole span so no state is evicted before
+      // its partner can arrive — inner matches emit as they pair up
+      val ri = new scala.util.Random(41).shuffle(imps)
+      val rc = new scala.util.Random(43).shuffle(clks)
+      si.addData(ri.take(13)); sc.addData(rc.take(20))
+      q.processAllAvailable()
+      si.addData(ri.slice(13, 26)); sc.addData(rc.slice(20, 40))
+      q.processAllAvailable()
+      si.addData(ri.drop(26)); sc.addData(rc.drop(40))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM interval_join_test")
+        .as[(String, String)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }

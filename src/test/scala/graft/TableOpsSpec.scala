@@ -297,4 +297,80 @@ class TableOpsSpec extends AnyFunSuite {
     assert(c(0L).getAs[Any]("theta") == null)
     assert(c(0L).getAs[Double]("mean_y_adj") == c(0L).getAs[Double]("mean_y"))
   }
+
+  test("bhFdr: hand grid check; the step-up rescues an individually-" +
+      "failing rank; all-fail rejects nothing; ties rank by id; " +
+      "grid cap fails loud") {
+    def run(vals: Seq[(String, Long)]) =
+      TableOps.bhFdr(vals.toDF("id", "c"), Seq(col("id")), col("c"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Int]("rank"), r.getAs[Int]("rejected"),
+            r.getAs[Double]("critical"))).toMap
+    // m=4: crits 6238533 / 5023886 / 4327558 / 3841459 — ranks 1..3
+    // clear, rank 4 misses -> k* = 3
+    val a = run(Seq(("w", 8000000L), ("x", 5500000L), ("y", 4500000L),
+      ("z", 1000000L)))
+    assert(a("w") == ((1, 1, 6.238533)) && a("x") == ((2, 1, 5.023886)))
+    assert(a("y") == ((3, 1, 4.327558)) && a("z") == ((4, 0, 3.841459)))
+    // the step-up property: rank 2 fails ITS critical (4.45 < 4.528577)
+    // but rank 3 passes (4.0 >= 3.841459), so k* = 3 rescues rank 2 —
+    // the defining difference from per-test thresholds
+    val b = run(Seq(("p", 5800000L), ("q", 4450000L), ("r", 4000000L)))
+    assert(b.values.forall(_._2 == 1), s"step-up rescue: $b")
+    // nothing clears -> k* absent -> zero rejections
+    val c2 = run(Seq(("u", 2000000L), ("v", 1000000L)))
+    assert(c2.values.forall(_._2 == 0))
+    // single test degenerates to chi2 >= 3.841459 (BH at m=1 IS the
+    // per-test alpha=0.05 gate, >= because p <= alpha)
+    assert(run(Seq(("s", 3841459L)))("s")._2 == 1)
+    assert(run(Seq(("s", 3841458L)))("s")._2 == 0)
+    // ties order by id ascending
+    val t = run(Seq(("b", 5000000L), ("a", 5000000L)))
+    assert(t("a")._1 == 1 && t("b")._1 == 2)
+    // beyond the baked grid (m = 17) must raise, not truncate
+    val big = (1 to 17).map(i => (s"t$i", 5000000L))
+    intercept[Exception] {
+      TableOps.bhFdr(big.toDF("id", "c"), Seq(col("id")), col("c"))
+        .collect()
+    }
+  }
+
+  test("diffInDiff: hand means; signed micro rounding replica; " +
+      "missing arm yields null DID") {
+    // rows: (unit, arm, post, cents)
+    val df = Seq(
+      (1L, 1, 0, 10L), (1L, 1, 1, 20L),
+      (2L, 1, 0, 0L), (2L, 1, 1, 30L),
+      (3L, 0, 0, 5L), (3L, 0, 1, 10L),
+      (4L, 0, 0, 5L), (4L, 0, 1, 10L)
+    ).toDF("u", "arm", "post", "v")
+    val r = TableOps.diffInDiff(df, col("u"), col("arm"),
+      col("post") === 1, col("v")).collect().head
+    assert(r.getAs[Long]("n_t") == 2 && r.getAs[Long]("n_c") == 2)
+    assert(r.getAs[Double]("mean_pre_t") == 5.0)
+    assert(r.getAs[Double]("mean_post_t") == 25.0)
+    assert(r.getAs[Double]("did") == 15.0)
+    // signed rounding: treated post sums negative (refund period) —
+    // replicate the half-away-from-zero micro chain with BigInt
+    val neg = Seq(
+      (1L, 1, 0, 7L), (1L, 1, 1, -8L),
+      (2L, 1, 0, 0L), (2L, 1, 1, -3L),
+      (3L, 0, 0, 2L), (3L, 0, 1, 1L)
+    ).toDF("u", "arm", "post", "v")
+    def micro(num: Long, den: Long): Long = {
+      val q = ((BigInt(num).abs * 2000000 + den) / (BigInt(den) * 2)).toLong
+      if (num < 0) -q else q
+    }
+    val n = TableOps.diffInDiff(neg, col("u"), col("arm"),
+      col("post") === 1, col("v")).collect().head
+    val (mpt, mot) = (micro(7, 2), micro(-11, 2))
+    val (mpc, moc) = (micro(2, 1), micro(1, 1))
+    assert(n.getAs[Double]("mean_post_t") == mot / 1e6)
+    assert(n.getAs[Double]("did") == ((mot - mpt) - (moc - mpc)) / 1e6)
+    // a missing arm is fail-soft: null DID, zero count
+    val solo = Seq((1L, 1, 0, 5L), (1L, 1, 1, 9L)).toDF("u", "arm", "post", "v")
+    val s = TableOps.diffInDiff(solo, col("u"), col("arm"),
+      col("post") === 1, col("v")).collect().head
+    assert(s.getAs[Long]("n_c") == 0 && s.getAs[Any]("did") == null)
+  }
 }
