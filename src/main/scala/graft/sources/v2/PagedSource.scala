@@ -34,11 +34,17 @@ class PagedSource extends TableProvider with org.apache.spark.sql.sources.DataSo
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedSource.schema
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new PagedTable(
-      properties.getOrDefault("pages", "10").toInt,
-      properties.getOrDefault("pagesize", "10").toInt,
-      properties.getOrDefault("pagesperpartition", "1").toInt)
+      properties: util.Map[String, String]): Table = {
+    val pages = properties.getOrDefault("pages", "10").toInt
+    // Bounded fan-out: one task per page is the right shape up to
+    // MaxFanOut partitions, but a 1M-page registry must NOT plan 1M
+    // tasks — driver scheduling is O(tasks) (~0.4 ms each, 6+ minutes
+    // at 1M) and dwarfs the work. Past the cap, contiguous pages batch
+    // into one task; an explicit `pagesperpartition` always wins.
+    val ppp = Option(properties.get("pagesperpartition")).map(_.toInt)
+      .getOrElse(math.max(1, (pages + PagedScan.MaxFanOut - 1) / PagedScan.MaxFanOut))
+    new PagedTable(pages, properties.getOrDefault("pagesize", "10").toInt, ppp)
+  }
 }
 
 object PagedSource {
@@ -66,7 +72,7 @@ class PagedTable(pages: Int, pageSize: Int, pagesPerPartition: Int)
 class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
     pagesPerTrigger: Int = 1)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownRequiredColumns {
 
   private var minPage = 0
   private var maxPage = pages - 1
@@ -74,6 +80,22 @@ class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
   private var limit: Option[Int] = None
   private var aggSchema: Option[StructType] = None
   private var aggDesc: String = ""
+  private var required: StructType = PagedSource.schema
+
+  /** Column pruning — a REST client's field selection. Keys-only and
+    * empty projections matter most: `page`/`idx` (and the row count) are
+    * pure registry metadata, so a pruned scan that needs no payload
+    * column never touches the transport at all (see [[PagedReader]]) —
+    * the COUNT-shaped plans an optimizer builds (where column pruning
+    * runs BEFORE aggregate pushdown can see a pruned-empty Aggregate)
+    * cost zero fetches instead of a full-registry ingest.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // defensive: honor only fields of the source schema, in the order
+    // Spark asked for them (metadata columns never reach this source)
+    required = StructType(requiredSchema.fields.filter(f =>
+      PagedSource.schema.fieldNames.contains(f.name)))
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -168,7 +190,8 @@ class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
           math.min(maxPage, minPage + neededPages - 1)
         case None => maxPage
       }
-      new PagedScan(minPage, cappedMax, pageSize, pagesPerPartition, pagesPerTrigger)
+      new PagedScan(minPage, cappedMax, pageSize, pagesPerPartition,
+        pagesPerTrigger, required)
   }
 }
 
@@ -229,10 +252,11 @@ case class PagedAggPartition(minPage: Int, maxPage: Int, pageSize: Int,
   * gate).
   */
 class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: Int,
-    pagesPerTrigger: Int = 1)
+    pagesPerTrigger: Int = 1, prunedSchema: StructType = PagedSource.schema)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private var pageSet: Option[Set[Int]] = None
 
   /** Registry-metadata statistics (SupportsReportStatistics): row count
@@ -252,7 +276,7 @@ class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: In
         set.count(p => p >= minPage && p <= maxPage).toLong * pageSize
       case None => (maxPage - minPage + 1).toLong * pageSize
     }
-    val rowBytes = PagedSource.schema.defaultSize.toLong
+    val rowBytes = math.max(1L, prunedSchema.defaultSize.toLong)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): util.OptionalLong =
         util.OptionalLong.of(math.max(1L, rows * rowBytes))
@@ -264,7 +288,8 @@ class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: In
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("page"))
 
-  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+  override def filter(filters: Array[Filter]): Unit = {
+    filters.foreach {
     case org.apache.spark.sql.sources.In("page", vs) =>
       val pages = vs.collect { case i: Integer => i.toInt }
       // translated values can be fewer than vs on odd types; only narrow
@@ -272,20 +297,61 @@ class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: In
       if (pages.length == vs.length) pageSet = Some(pages.toSet)
     case EqualTo("page", v: Integer) => pageSet = Some(Set(v.toInt))
     case _ => ()
+  } }
+
+  override def readSchema(): StructType = prunedSchema
+  override def description(): String =
+    s"PagedScan(pages=[$minPage..$maxPage], pageSize=$pageSize, " +
+      s"batch=$pagesPerPartition, cols=[${prunedSchema.fieldNames.mkString(",")}])"
+  override def toBatch: Batch = this
+
+  /** The single-page partition list when every planned partition holds
+    * exactly ONE page value — the precondition for reporting
+    * KeyGroupedPartitioning (each partition must map to one partition
+    * key). Shared by planInputPartitions and outputPartitioning so the
+    * reported numPartitions always matches the plan. */
+  private def singlePages: Option[Seq[Int]] = pageSet match {
+    case Some(set) =>
+      Some(set.toSeq.sorted.filter(p => p >= minPage && p <= maxPage))
+    case None if pagesPerPartition == 1 => Some(minPage to maxPage)
+    case None => None
   }
 
-  override def readSchema(): StructType = PagedSource.schema
-  override def description(): String =
-    s"PagedScan(pages=[$minPage..$maxPage], pageSize=$pageSize, batch=$pagesPerPartition)"
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = pageSet match {
-    case Some(set) =>
-      set.toArray.sorted.filter(p => p >= minPage && p <= maxPage)
-        .map(p => PagePartition(p, p, pageSize): InputPartition)
-    case None =>
-      PagedScan.partitionRange(minPage, maxPage, pageSize, pagesPerPartition)
-  }
-  override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
+  override def planInputPartitions(): Array[InputPartition] =
+    singlePages match {
+      case Some(pages) =>
+        pages.map(p => SinglePagePartition(p, pageSize): InputPartition)
+          .toArray
+      case None =>
+        PagedScan.partitionRange(minPage, maxPage, pageSize, pagesPerPartition)
+    }
+
+  /** Storage-partitioned joins (SupportsReportPartitioning): with one
+    * page per input partition the scan IS hash-distributed by `page`,
+    * and reporting KeyGroupedPartitioning lets two paged scans (or any
+    * co-partitioned V2 source) join on page with ZERO exchanges under
+    * `spark.sql.sources.v2.bucketing.enabled` — the DSv2 bucketed-join
+    * path, the REST analog of a pre-partitioned warehouse table. Multi-
+    * page batches fall back to unknown partitioning (a partition with
+    * two page values has no single partition key).
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    singlePages match {
+      case Some(pages) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity("page")), pages.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(
+            PagedScan.partitionRange(minPage, maxPage, pageSize,
+              pagesPerPartition).length)
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(prunedSchema)
 
   /** Streaming form: offsets are page numbers; each trigger ingests at most
     * `pagespertrigger` pages — the reference's semaphore/rate cap as a
@@ -293,10 +359,20 @@ class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: In
     */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new PagedMicroBatchStream(minPage, maxPage, pageSize, pagesPerTrigger)
+    new PagedMicroBatchStream(minPage, maxPage, pageSize, pagesPerTrigger,
+      prunedSchema)
 }
 
 object PagedScan {
+  /** Max input partitions an unbatched scan may plan (explicit
+    * `pagesperpartition` overrides). 1024 tasks keep a 1000-executor
+    * cluster busy while bounding driver scheduling at O(1k), not
+    * O(pages); a REST registry's real ceiling is API throughput, not
+    * cores. Deterministic (not parallelism-derived) so plans, specs
+    * and bench numbers agree across boxes.
+    */
+  val MaxFanOut = 1024
+
   def partitionRange(minPage: Int, maxPage: Int, pageSize: Int,
       pagesPerPartition: Int): Array[InputPartition] =
     (minPage to maxPage by pagesPerPartition).map { p =>
@@ -310,7 +386,8 @@ case class PageOffset(page: Int)
   override def json(): String = s"""{"page":$page}"""
 }
 
-class PagedMicroBatchStream(minPage: Int, maxPage: Int, pageSize: Int, pagesPerTrigger: Int)
+class PagedMicroBatchStream(minPage: Int, maxPage: Int, pageSize: Int,
+    pagesPerTrigger: Int, prunedSchema: StructType = PagedSource.schema)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -346,15 +423,29 @@ class PagedMicroBatchStream(minPage: Int, maxPage: Int, pageSize: Int, pagesPerT
     val e = end.asInstanceOf[PageOffset].page - 1
     if (e < s) Array.empty else PagedScan.partitionRange(s, e, pageSize, 1)
   }
-  override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(prunedSchema)
 }
 
 case class PagePartition(firstPage: Int, lastPage: Int, pageSize: Int) extends InputPartition
 
-class PagedReaderFactory extends PartitionReaderFactory {
+/** One page per partition, with the page value exposed as the partition
+  * key (HasPartitionKey) — what lets the scan report
+  * KeyGroupedPartitioning for storage-partitioned joins. */
+case class SinglePagePartition(page: Int, pageSize: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(page)
+}
+
+class PagedReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[PagePartition]
-    new PagedReader(p.firstPage, p.lastPage, p.pageSize)
+    partition match {
+      case s: SinglePagePartition =>
+        new PagedReader(s.page, s.page, s.pageSize, schema)
+      case p: PagePartition =>
+        new PagedReader(p.firstPage, p.lastPage, p.pageSize, schema)
+    }
   }
 }
 
@@ -393,18 +484,60 @@ object PageFetcher {
   }
 }
 
-class PagedReader(firstPage: Int, lastPage: Int, pageSize: Int)
-    extends PartitionReader[InternalRow] {
-  private val rows = (firstPage to lastPage).iterator.flatMap { p =>
-    PageFetcher.fetch(p, pageSize).iterator.map(r => (p, r))
-  }
-  private var current: (Int, (Int, String, String, String, String)) = _
+/** Projection-aware page reader. The pruned schema decides what the
+  * transport owes us:
+  *
+  *  - any payload column required → one [[PageFetcher.fetch]] per page,
+  *    rows projected to the required fields in the required order;
+  *  - keys-only (`page`/`idx`) or EMPTY projection → ZERO fetches: the
+  *    row count per page and the (page, idx) keys are registry metadata
+  *    (the same total-count metadata the aggregate pushdown answers
+  *    from), so COUNT-shaped plans — where the optimizer prunes every
+  *    column before aggregate pushdown can fire — never touch the
+  *    transport at all.
+  */
+class PagedReader(firstPage: Int, lastPage: Int, pageSize: Int,
+    schema: StructType) extends PartitionReader[InternalRow] {
+  private val names: Array[String] = schema.fieldNames
+  private val needsFetch = names.exists(n => n != "page" && n != "idx")
+  private val emptyRow: InternalRow = InternalRow.empty
+
+  private val rows: Iterator[InternalRow] =
+    if (names.isEmpty) {
+      val n = (lastPage - firstPage + 1).toLong * pageSize
+      // one shared zero-field row: COUNT only observes cardinality
+      new Iterator[InternalRow] {
+        private var i = 0L
+        override def hasNext: Boolean = i < n
+        override def next(): InternalRow = { i += 1; emptyRow }
+      }
+    } else if (!needsFetch) {
+      (firstPage to lastPage).iterator.flatMap { p =>
+        (0 until pageSize).iterator.map { i =>
+          InternalRow.fromSeq(names.toSeq.map {
+            case "page" => p
+            case _ => i
+          })
+        }
+      }
+    } else {
+      (firstPage to lastPage).iterator.flatMap { p =>
+        PageFetcher.fetch(p, pageSize).iterator.map {
+          case (i, name, code, typ, region) =>
+            InternalRow.fromSeq(names.toSeq.map {
+              case "page" => p
+              case "idx" => i
+              case "name" => UTF8String.fromString(name)
+              case "credit_code" => UTF8String.fromString(code)
+              case "institution_type" => UTF8String.fromString(typ)
+              case "region_code" => UTF8String.fromString(region)
+            })
+        }
+      }
+    }
+
+  private var current: InternalRow = _
   override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
-  override def get(): InternalRow = {
-    val (page, (i, name, code, typ, region)) = current
-    InternalRow(page, i,
-      UTF8String.fromString(name), UTF8String.fromString(code),
-      UTF8String.fromString(typ), UTF8String.fromString(region))
-  }
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 }

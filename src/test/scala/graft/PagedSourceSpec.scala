@@ -147,6 +147,88 @@ class PagedSourceSpec extends AnyFunSuite {
       s"huge paged side must not broadcast:\n${plan2.take(800)}")
   }
 
+  test("storage-partitioned join: two paged scans co-partitioned on page " +
+      "join with ZERO exchanges (DSv2 KeyGroupedPartitioning)") {
+    val conf = spark.conf
+    val bucketing = "spark.sql.sources.v2.bucketing.enabled"
+    val thresh = "spark.sql.autoBroadcastJoinThreshold"
+    val b0 = conf.get(bucketing, "false")
+    val t0 = conf.get(thresh)
+    conf.set(bucketing, "true")
+    conf.set(thresh, "-1") // keep it a shuffle-class join: SPJ or exchange
+    try {
+      val a = read(pages = 40, pageSize = 25)
+        .select(col("page"), col("name").as("a_name"))
+      val b = spark.read.format("graft-paged")
+        .option("pages", "40").option("pagesize", "10").load()
+        .select(col("page"), col("credit_code").as("b_code"))
+      val j = a.join(b, Seq("page"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-partitioned paged join must not shuffle:\n${plan.take(1000)}")
+      assert(j.count() == 40L * 25 * 10) // every page: 25 x 10 pairs
+      // batched scans (pagesPerPartition > 1) hold >1 page per partition
+      // and must NOT claim key-grouped distribution — the join keeps its
+      // exchanges rather than mis-clustering
+      val c = spark.read.format("graft-paged")
+        .option("pages", "40").option("pagesize", "10")
+        .option("pagesperpartition", "4").load()
+        .select(col("page"), col("credit_code").as("c_code"))
+      val j2 = a.join(c, Seq("page"))
+      assert(j2.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      assert(j2.count() == 40L * 25 * 10)
+    } finally { conf.set(bucketing, b0); conf.set(thresh, t0) }
+  }
+
+  test("column pruning: keys-only and empty projections cost ZERO fetches; " +
+      "payload projections fetch and project correctly") {
+    import graft.sources.v2.PageFetcher
+    // payload projection: fetches once per page, values projected
+    val payload = read(pages = 8, pageSize = 5).select("page", "credit_code")
+    var before = PageFetcher.fetchCount.get()
+    val rows = payload.collect()
+    assert(PageFetcher.fetchCount.get() - before == 8)
+    assert(rows.length == 40)
+    assert(rows.find(r => r.getInt(0) == 3 && r.getString(1).endsWith("15"))
+      .isDefined)
+    // keys-only projection: (page, idx) are registry metadata — no fetch
+    val keys = read(pages = 8, pageSize = 5).select("idx", "page")
+    before = PageFetcher.fetchCount.get()
+    val keyRows = keys.collect()
+    assert(PageFetcher.fetchCount.get() - before == 0,
+      "keys-only projection must not touch the transport")
+    assert(keyRows.length == 40 && keyRows.count(_.getInt(0) == 0) == 8)
+    // empty projection (the COUNT-shaped plan Bench builds): zero fetches
+    val full = read(pages = 8, pageSize = 5)
+    before = PageFetcher.fetchCount.get()
+    assert(full.count() == 40)
+    assert(PageFetcher.fetchCount.get() - before == 0,
+      "count() must be answered from registry metadata, not page fetches")
+    // the pruned read schema reaches the scan
+    assert(scanOf(payload).scan.readSchema().fieldNames.toSeq ==
+      Seq("page", "credit_code"))
+  }
+
+  test("bounded fan-out: a huge registry auto-batches to <= MaxFanOut tasks; " +
+      "explicit pagesperpartition still wins") {
+    import graft.sources.v2.PagedScan
+    // 100k pages must NOT plan 100k tasks (driver scheduling is O(tasks))
+    val big = read(pages = 100000, pageSize = 3)
+    val n = scanOf(big).inputRDD.getNumPartitions
+    assert(n <= PagedScan.MaxFanOut && n >= PagedScan.MaxFanOut / 2,
+      s"expected ~${PagedScan.MaxFanOut} partitions, got $n")
+    // row math survives batching (count = empty projection, zero fetch)
+    assert(big.count() == 300000L)
+    // explicit single-page override is honored (the SPJ precondition)
+    val explicit = spark.read.format("graft-paged")
+      .option("pages", "2000").option("pagesize", "2")
+      .option("pagesperpartition", "1").load()
+    assert(scanOf(explicit).inputRDD.getNumPartitions == 2000)
+    // small scans keep one task per page without any option
+    assert(scanOf(read(pages = 40, pageSize = 2)).inputRDD.getNumPartitions == 40)
+  }
+
   test("streaming micro-batches: rate-capped paginated ingest (S7 streaming analog)") {
     val dir = java.nio.file.Files.createTempDirectory("paged_ckpt").toString
     val q = spark.readStream.format("graft-paged")
