@@ -380,6 +380,35 @@ object FixtureQueries {
         .select(col("page"), col("idx"), col("name"), col("credit_code"))
     }),
 
+    // S7 storage-partitioned join (DSv2 KeyGroupedPartitioning, on by
+    // default in Spark 4): two registries fan out one page per input
+    // partition, each partition carries its page as the partition key
+    // (HasPartitionKey), so the page-equi join needs ZERO exchanges —
+    // and the per-page aggregate reuses the same clustering, so the
+    // whole query runs shuffle-free (PagedSourceSpec pins the plan; the
+    // oracle replays both deterministic registries and the join+agg).
+    "q300_paged_spj" -> ((s, dir) => {
+      def reg(pages: Int, pageSize: Int) = s.read.format("graft-paged")
+        .option("pages", pages.toString).option("pagesize", pageSize.toString)
+        .load()
+      val a = reg(60, 8).select(col("page"),
+        (col("page") * 8 + col("idx")).as("ida"),
+        col("institution_type").as("ta"))
+      val b = reg(60, 3).select(col("page"),
+        (col("page") * 3 + col("idx")).as("idb"),
+        col("institution_type").as("tb"))
+      // the merge hint keeps the stats-driven auto-broadcast from
+      // swallowing the demo: with both sides KeyGrouped on page the SMJ
+      // needs NO exchange (SPJ) and NO sort (reported ordering) — at
+      // real registry sizes neither side fits a broadcast anyway
+      a.join(b.hint("merge"), Seq("page"))
+        .groupBy(col("page"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("ida") + col("idb")).as("sum_ids"),
+          sum(when(col("ta") === col("tb"), 1L).otherwise(0L))
+            .as("n_type_match"))
+    }),
+
     // A5's regroup shape, oracle-checked directly (r6 verdict #9): paged
     // records render to KV blocks (S8's inverse) and regroup by region
     // prefix — count, char mass, and an order-insensitive poly31 content
@@ -1082,6 +1111,19 @@ object FixtureQueries {
            '91' || lpad(CAST(page * 20 + idx AS VARCHAR), 16, '0')
              AS credit_code
          FROM ids""",
+    "q300_paged_spj" ->
+      """WITH a AS (SELECT CAST(id // 8 AS INT) AS page, id AS ida,
+           CASE WHEN id % 3 = 0 THEN '营利性' ELSE '非营利性' END AS ta
+           FROM (SELECT UNNEST(range(0, 480)) AS id)),
+         b AS (SELECT CAST(id // 3 AS INT) AS page, id AS idb,
+           CASE WHEN id % 3 = 0 THEN '营利性' ELSE '非营利性' END AS tb
+           FROM (SELECT UNNEST(range(0, 180)) AS id))
+         SELECT a.page, COUNT(*) AS n_pairs,
+           CAST(SUM(ida + idb) AS BIGINT) AS sum_ids,
+           CAST(SUM(CASE WHEN ta = tb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_type_match
+         FROM a JOIN b ON a.page = b.page
+         GROUP BY a.page""",
     "q157_province_regroup" ->
       s"""WITH ids AS (SELECT UNNEST(range(0, 1000)) AS id),
          r AS (SELECT id,

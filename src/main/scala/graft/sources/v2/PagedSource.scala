@@ -72,7 +72,8 @@ class PagedTable(pages: Int, pageSize: Int, pagesPerPartition: Int)
 class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
     pagesPerTrigger: Int = 1)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates with SupportsPushDownRequiredColumns {
+    with SupportsPushDownAggregates with SupportsPushDownRequiredColumns
+    with SupportsPushDownTopN with SupportsPushDownOffset {
 
   private var minPage = 0
   private var maxPage = pages - 1
@@ -81,6 +82,7 @@ class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
   private var aggSchema: Option[StructType] = None
   private var aggDesc: String = ""
   private var required: StructType = PagedSource.schema
+  private var hadRejectedFilters = false
 
   /** Column pruning — a REST client's field selection. Keys-only and
     * empty projections matter most: `page`/`idx` (and the row count) are
@@ -116,6 +118,7 @@ class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
       case _ =>
     }
     pushed = accepted
+    hadRejectedFilters = rejected.nonEmpty
     rejected   // Spark re-applies what the source can't guarantee
   }
 
@@ -126,6 +129,67 @@ class PagedScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
     // partial pushdown: we cap pages, Spark still applies the exact limit
     false
   }
+
+  /** Top-N pushdown — ORDER BY page [ASC|DESC] LIMIT n narrows the page
+    * window from the matching END: the reader walks pages in ascending
+    * order, so the first ceil(n/pageSize) pages (ASC) or the last
+    * (DESC) are guaranteed to contain the top n rows. Partial pushdown
+    * (isPartiallyPushed stays true): Spark keeps the Sort+Limit, the
+    * source just stops fanning out pages that cannot contribute — the
+    * REST analog of "read only the first/last API pages of a sorted
+    * listing". Orderings on anything but the page key decline (row
+    * order within a page is not a registry guarantee).
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    // only the PRIMARY sort key matters for the page-window bound: the
+    // top-l rows under (page, <any tiebreaks>) still live in the first/
+    // last ceil(l/pageSize) pages — secondary keys only permute rows
+    // within a page, and the full Sort stays above us (partial push)
+    val pageOrder = orders.headOption.flatMap { o =>
+      o.expression() match {
+        case f: NamedReference if f.fieldNames().sameElements(Array("page")) =>
+          Some(o.direction())
+        case _ => None
+      }
+    }
+    pageOrder match {
+      case Some(dir) =>
+        val neededPages = math.max(1, (l + pageSize - 1) / pageSize)
+        if (dir == SortDirection.ASCENDING) {
+          maxPage = math.min(maxPage, minPage + neededPages - 1)
+        } else {
+          minPage = math.max(minPage, maxPage - neededPages + 1)
+        }
+        limit = Some(l)
+        true
+      case None => false
+    }
+  }
+
+  /** OFFSET pushdown — the REST paging operation itself: skipping
+    * offset rows is skipping offset/pageSize whole pages. COMPLETE
+    * pushdown only (Spark deletes the Offset node), so accept only when
+    * the skip is exact: a whole-page multiple, no post-scan filters in
+    * between (a rejected filter means Spark still owes a Filter above
+    * the scan, and offset-after-filter is not ours to answer), and no
+    * limit already applied (LIMIT-then-OFFSET skips rows of the LIMITED
+    * result, not of the window).
+    */
+  override def pushOffset(offset: Int): Boolean = {
+    if (offset > 0 && offset % pageSize == 0 && !hadRejectedFilters &&
+        limit.isEmpty && minPage + offset / pageSize <= maxPage + 1) {
+      minPage += offset / pageSize
+      true
+    } else false
+  }
+
+  // both SupportsPushDownLimit and SupportsPushDownTopN default this;
+  // Scala requires an explicit tiebreak. Both our pushes are partial
+  // (the source caps pages, Spark still applies the exact limit/sort).
+  override def isPartiallyPushed(): Boolean = true
 
   /** Aggregate pushdown — the registry API's "total-count endpoint"
     * pattern: a paginated REST source knows its record count and page
@@ -256,7 +320,8 @@ class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: In
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private var pageSet: Option[Set[Int]] = None
 
   /** Registry-metadata statistics (SupportsReportStatistics): row count
@@ -349,6 +414,29 @@ class PagedScan(minPage: Int, maxPage: Int, pageSize: Int, pagesPerPartition: In
             PagedScan.partitionRange(minPage, maxPage, pageSize,
               pagesPerPartition).length)
     }
+
+  /** Reported ordering (SupportsReportOrdering): every partition walks
+    * contiguous pages ascending and each page's rows ascending by idx,
+    * so rows within a partition are ALWAYS sorted by (page, idx) — the
+    * registry's natural listing order. Reporting it lets the planner
+    * drop per-partition SortExecs (e.g. the sort under a merge join
+    * whose other requirements are already met, or an explicit
+    * sortWithinPartitions). Only the prefix of (page, idx) that
+    * survives column pruning is reported; idx alone is NOT sorted
+    * across a multi-page partition, so it is only reported behind page.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val names = prunedSchema.fieldNames
+    if (!names.contains("page")) Array.empty
+    else {
+      val cols = if (names.contains("idx")) Seq("page", "idx") else Seq("page")
+      cols.map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        .toArray
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(prunedSchema)

@@ -152,8 +152,12 @@ class PagedSourceSpec extends AnyFunSuite {
     val conf = spark.conf
     val bucketing = "spark.sql.sources.v2.bucketing.enabled"
     val thresh = "spark.sql.autoBroadcastJoinThreshold"
-    val b0 = conf.get(bucketing, "false")
-    val t0 = conf.get(thresh)
+    // capture SET-vs-UNSET, not the resolved value: restoring an
+    // entry's built-in default as an explicit set would leak state
+    // (v2 bucketing defaults TRUE; pinning it false here broke the
+    // q300 SPJ plan for the rest of the suite)
+    val b0 = conf.getOption(bucketing)
+    val t0 = conf.getOption(thresh)
     conf.set(bucketing, "true")
     conf.set(thresh, "-1") // keep it a shuffle-class join: SPJ or exchange
     try {
@@ -178,7 +182,72 @@ class PagedSourceSpec extends AnyFunSuite {
       assert(j2.queryExecution.executedPlan.toString
         .contains("Exchange hashpartitioning"))
       assert(j2.count() == 40L * 25 * 10)
-    } finally { conf.set(bucketing, b0); conf.set(thresh, t0) }
+    } finally {
+      b0.fold(conf.unset(bucketing))(conf.set(bucketing, _))
+      t0.fold(conf.unset(thresh))(conf.set(thresh, _))
+    }
+  }
+
+  test("top-N pushdown: ORDER BY page LIMIT narrows the window from the " +
+      "matching end; non-page orderings decline") {
+    import graft.sources.v2.PageFetcher
+    // DESC: only the LAST ceil(25/10)=3 pages can contribute
+    val desc = read(pages = 50, pageSize = 10)
+      .orderBy(col("page").desc, col("idx")).limit(25)
+    var before = PageFetcher.fetchCount.get()
+    val rows = desc.collect()
+    assert(PageFetcher.fetchCount.get() - before == 3,
+      "DESC top-25 over 10-row pages must fetch exactly the last 3 pages")
+    assert(rows.length == 25 && rows.head.getAs[Int]("page") == 49)
+    assert(rows.map(_.getAs[Int]("page")).distinct.toSeq == Seq(49, 48, 47))
+    // ASC: the FIRST 2 pages
+    val asc = read(pages = 50, pageSize = 10).orderBy(col("page")).limit(12)
+    before = PageFetcher.fetchCount.get()
+    assert(asc.collect().length == 12)
+    assert(PageFetcher.fetchCount.get() - before == 2)
+    // ordering on a non-page column cannot be narrowed: all pages fetched
+    val declined = read(pages = 6, pageSize = 4)
+      .orderBy(col("credit_code").desc).limit(3)
+    before = PageFetcher.fetchCount.get()
+    assert(declined.collect().length == 3)
+    assert(PageFetcher.fetchCount.get() - before == 6)
+  }
+
+  test("offset pushdown: whole-page offsets skip pages at the source; " +
+      "ragged offsets stay in Spark") {
+    import graft.sources.v2.PageFetcher
+    // 100 rows / 10 per page: OFFSET 30 = skip pages 0-2 entirely
+    val exact = read(pages = 10, pageSize = 10).offset(30)
+    var before = PageFetcher.fetchCount.get()
+    val rows = exact.collect()
+    assert(rows.length == 70 && rows.map(_.getAs[Int]("page")).min == 3)
+    assert(PageFetcher.fetchCount.get() - before == 7,
+      "whole-page offset must be answered by the page window, not row skips")
+    // ragged offset (not a page multiple) declines: full fan-out, Spark skips
+    val ragged = read(pages = 10, pageSize = 10).offset(35)
+    before = PageFetcher.fetchCount.get()
+    assert(ragged.collect().length == 65)
+    assert(PageFetcher.fetchCount.get() - before == 10)
+    // offset past the window yields empty, not negative pages
+    assert(read(pages = 4, pageSize = 5).offset(20).collect().isEmpty)
+  }
+
+  test("reported ordering: rows arrive (page, idx)-sorted per partition, " +
+      "so sortWithinPartitions plans no Sort") {
+    val df = read(pages = 12, pageSize = 5)
+      .sortWithinPartitions("page", "idx")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ["),
+      s"reported (page, idx) ordering should eliminate the partition sort:\n" +
+        plan.take(600))
+    assert(df.count() == 60)
+    // pruning page away also drops the ordering claim: idx alone is not
+    // sorted across a multi-page partition — the sort must survive
+    val pruned = spark.read.format("graft-paged")
+      .option("pages", "12").option("pagesize", "5")
+      .option("pagesperpartition", "4").load()
+      .select("idx", "name").sortWithinPartitions("idx")
+    assert(pruned.queryExecution.executedPlan.toString.contains("Sort ["))
   }
 
   test("column pruning: keys-only and empty projections cost ZERO fetches; " +
@@ -227,6 +296,22 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(scanOf(explicit).inputRDD.getNumPartitions == 2000)
     // small scans keep one task per page without any option
     assert(scanOf(read(pages = 40, pageSize = 2)).inputRDD.getNumPartitions == 40)
+  }
+
+  test("q300: SPJ join + per-page aggregate runs with ZERO shuffle exchanges " +
+      "(the aggregate reuses the scan's key-grouped clustering)") {
+    val df = SparkEntry.queries("q300_paged_spj")(spark, "/unused")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"q300 must be exchange-free end to end:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin"),
+      "the merge hint must hold off the auto-broadcast (SPJ demo)")
+    assert(!plan.contains("Sort ["),
+      "reported (page, idx) ordering must satisfy the merge join's sort")
+    val rows = df.collect()
+    assert(rows.length == 60)
+    // every page joins 8 x 3 = 24 pairs
+    assert(rows.forall(_.getAs[Long]("n_pairs") == 24L))
   }
 
   test("streaming micro-batches: rate-capped paginated ingest (S7 streaming analog)") {
