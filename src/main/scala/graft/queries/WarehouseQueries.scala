@@ -421,10 +421,7 @@ object WarehouseQueries {
     // partners per item — WindowGroupLimit-compiled.
     "q193_copurchase" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = basketPairs(Tables.load(s, dir, "lineitem"))
-      val sym = pairs.select(col("p1").as("item"), col("p2").as("partner"), col("c_ab"))
-        .unionAll(pairs.select(col("p2").as("item"), col("p1").as("partner"), col("c_ab")))
-      sym
+      basketOrderedPairs(Tables.load(s, dir, "lineitem"))
         .withColumn("rnk", row_number().over(Window.partitionBy(col("item"))
           .orderBy(col("c_ab").desc, col("partner").asc)))
         .filter(col("rnk") <= 3)
@@ -677,18 +674,55 @@ object WarehouseQueries {
     lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
 
+  /** One sorted item array per order — the shared scan for the basket
+    * queries. collect_set dedups (ok,pk) with map-side partial merge, so
+    * the one order-keyed exchange carries each membership once (the same
+    * bytes the old distinct() moved, minus the second pass).
+    */
+  private def basketArrays(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+
   /** Within-basket co-occurrence pairs — quadratic ONLY in basket size.
     * ONE definition for both market-basket queries (and the SQL CTE
     * constant below must stay its textual twin).
+    *
+    * r13: the li-self-join form re-scanned lineitem twice and paid two
+    * distinct exchanges + a join per use (and q193's symmetric union
+    * DUPLICATED the whole subtree: 4 scans / 7 exchanges). Pair expansion
+    * is now a codegen HOF over the per-order sorted array (ascending, so
+    * p1 < p2 by construction — the join's `a.pk < b.pk`), and the pair
+    * aggregation collapses map-side before its exchange: 1 scan,
+    * 2 data-sized exchanges. Bit-identical counts; same oracle CTE.
     */
-  private def basketPairs(lineitem: DataFrame): DataFrame = {
-    val li = baskets(lineitem)
-    li.as("a")
-      .join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+  private def basketPairs(lineitem: DataFrame): DataFrame =
+    basketArrays(lineitem)
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("c_ab"))
-  }
+
+  /** q193's symmetric (item, partner) pairs generated DIRECTLY (k·(k-1)
+    * structs per basket) instead of unionAll over [[basketPairs]] — the
+    * union re-executed the entire pair subtree per arm. Pairs here are
+    * ~all-distinct (1.196M of 1.2M at sf0.1), so map-side partial agg
+    * collapses nothing; the explicit repartition on `item` makes the pair
+    * aggregation AND q193's rank window share ONE exchange
+    * (HashPartitioning(item) satisfies ClusteredDistribution(item,
+    * partner), and the agg preserves it for the window). No sort_array:
+    * pair order is irrelevant under the terminal aggregation.
+    */
+  private def basketOrderedPairs(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y =!= x),
+          y => struct(x.as("item"), y.as("partner")))))).as("pr"))
+      .select(col("pr.item").as("item"), col("pr.partner").as("partner"))
+      .repartition(col("item"))
+      .groupBy(col("item"), col("partner")).agg(count(lit(1)).as("c_ab"))
 
   /** Oracle twin of [[baskets]]/[[basketPairs]]: CTEs `li`, `pairs`. */
   private val basketPairsCtesSql =
