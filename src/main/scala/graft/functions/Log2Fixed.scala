@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Fixed-point base-2 logarithm of a positive BIGINT, exact and
   * bit-portable across engines — the log kernel behind the perplexity
@@ -40,23 +42,26 @@ object Log2Fixed {
   /** The LUT as a DuckDB list literal — the oracle's copy of the table. */
   def lutSqlList: String = Lut.mkString("[", ",", "]")
 
-  /** Fixed-point log2 of a positive long column. Every intermediate stays
-    * in exact-integer range: `t < 2^20`, interp product `< 2^21`, so the
-    * double-backed `/` casts are exact; the only wide value is the shift
-    * normalization, done with true bit shifts (column-shift form of
-    * shiftright/shiftleft via call_function — the functions API overload
-    * only takes literal shifts).
+  /** Fixed-point log2 of a positive long column — the compiled
+    * [[Log2FixedExpr]] kernel (r13): the original composable form built
+    * `element_at(<1025-entry literal array>, …)` TWICE per call site, and
+    * Catalyst inlines that literal as constructed code — a projection with
+    * a handful of log2fp terms (corpusBleu2's tail has 8) blows Janino's
+    * 64 KB method limit and silently drops the whole stage out of
+    * WholeStageCodegen (observed: q278/q279/q289 interpreted fallbacks).
+    * The kernel reads the LUT as one referenced object and replaces the
+    * `bin()` string formatting with `numberOfLeadingZeros`. Bit parity
+    * with the old form is the existing spec ("scalar == Column"): this IS
+    * the scalar. Non-positive input now yields NULL (the old form
+    * produced an arithmetic accident off `bin`'s two's-complement string;
+    * no oracle-checked path ever consumed one — callers guard the
+    * domain) — nulls surface bad domains instead of junk.
     */
   def expr(m: Column): Column = {
-    val e = (length(bin(m)) - 1).cast("int")
-    val t = when(e >= Scale, call_function("shiftright", m, e - Scale))
-      .otherwise(call_function("shiftleft", m, lit(Scale) - e)) - One
-    val idx = (t / 1024).cast("long")
-    val r = t - idx * lit(1024L)
-    val lut = typedLit(Lut.toSeq)
-    val lo = element_at(lut, (idx + 1).cast("int"))
-    val hi = element_at(lut, (idx + 2).cast("int"))
-    e.cast("long") * One + lo + ((hi - lo) * r / 1024).cast("long")
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_log2_fixed", exprs => Log2FixedExpr(exprs.head), "built-in")
+    call_function("graft_log2_fixed", m.cast("long"))
   }
 
   /** CTE fragment producing `i, v, vn` (LUT entry + next) for oracle SQL —
@@ -67,7 +72,9 @@ object Log2Fixed {
     s"""lut AS (SELECT unnest(range(0, 1025)) AS i, unnest($lutSqlList) AS v),
        l2 AS (SELECT i, v, LEAD(v) OVER (ORDER BY i) AS vn FROM lut)"""
 
-  /** Scalar twin for specs: the same integer algorithm in plain Scala. */
+  /** Scalar twin for specs — and since r13 the engine kernel itself
+    * ([[Log2FixedExpr]] delegates here).
+    */
   def apply(m: Long): Long = {
     require(m > 0, s"log2fp domain: $m")
     val e = 63 - java.lang.Long.numberOfLeadingZeros(m)
@@ -75,5 +82,25 @@ object Log2Fixed {
     val idx = (t / 1024).toInt
     val r = t - idx * 1024L
     e.toLong * One + Lut(idx) + (Lut(idx + 1) - Lut(idx)) * r / 1024
+  }
+}
+
+/** Compiled fixed-point log2 kernel — see [[Log2Fixed.expr]]. NULL on
+  * null or non-positive input; the LUT rides as expression-referenced
+  * state (never inlined into generated code).
+  */
+case class Log2FixedExpr(child: Expression)
+    extends UnaryExpression with RefKernelCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "log2_fixed"
+
+  override protected def withNewChildInternal(newChild: Expression): Log2FixedExpr =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = input.asInstanceOf[Long]
+    if (m <= 0L) null else java.lang.Long.valueOf(Log2Fixed(m))
   }
 }

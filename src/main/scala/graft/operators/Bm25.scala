@@ -66,13 +66,40 @@ object Bm25 {
       .select(qidCol.as("query_id"), explode(TextFunctions.tokens(qtextCol)).as("term"))
       .distinct()
 
-  /** [[topK]] over an explicit (query_id, term) frame. */
+  /** (doc_id, __toks) with the tokenize done exactly ONCE per row: the
+    * `explode(array(tokens))` Generate pins `__toks` to an ATTRIBUTE, so
+    * the `size(__toks) > 0` filter InferFiltersFromGenerate later infers
+    * for the postings explode evaluates the attribute instead of
+    * re-tokenizing (the un-barriered form paid tokenize ×3 per row:
+    * projection + two inferred-filter copies pushed below it). spread()
+    * below the tokenize repairs under-split inputs (single-row-group
+    * fixture = ONE scan task).
+    */
+  private def tokArrays(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    graft.core.Parallelism.spread(
+        docs.select(idCol.as("doc_id"), textCol.as("__text")))
+      .select(col("doc_id"),
+        explode(array(TextFunctions.tokens(col("__text")))).as("__toks"))
+
+  /** 1-row corpus stats (n_corpus = #docs, s_corpus = Σ dl) — exposed so
+    * multi-pass callers ([[topKExpanded]]) compute the corpus-wide pass
+    * once and hand it to every [[topKFromTerms]] invocation.
+    */
+  def corpusStats(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    tokArrays(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(size(col("__toks"))).cast("long").as("s_corpus"))
+
+  /** [[topK]] over an explicit (query_id, term) frame.
+    *
+    * @param stats optional precomputed [[corpusStats]] frame (1 row);
+    *   when absent it is computed here — its own corpus pass.
+    */
   def topKFromTerms(
       docs: DataFrame, idCol: Column, textCol: Column,
-      qterms: DataFrame, k: Int): DataFrame = {
+      qterms: DataFrame, k: Int, stats: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val toks = docs.select(idCol.as("doc_id"),
-      TextFunctions.tokens(textCol).as("__toks"))
+    val toks = tokArrays(docs, idCol, textCol)
     val termSet = qterms.select(col("term")).distinct()
     // The broadcast query-term semi-restrict runs BEFORE the tf
     // aggregation (the q88 lesson applied corpus-side): tf(t,d) and
@@ -85,21 +112,23 @@ object Bm25 {
     val tf = d.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     // 1-row corpus stats, cross-broadcast onto every scored row.
-    val stats = toks.agg(count(lit(1)).as("n_corpus"),
-      sum(size(col("__toks"))).cast("long").as("s_corpus"))
-    // df over the (already query-term-restricted) tf frame. The
-    // fixed-point log2s run HERE — once per term and once per corpus,
-    // never per scored row (the q102 lesson: log2fp is integer-cheap but
-    // not free; keep it on the vocabulary-bounded side).
-    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats.select(
-        Log2Fixed.expr(col("n_corpus")).as("__lgn"))))
-      .select(col("term"),
-        (col("__lgn") - Log2Fixed.expr(col("df"))).as("__idf"))
+    val st = stats.getOrElse(corpusStats(docs, idCol, textCol))
+    // df as a term-keyed WINDOW over the tf frame (r13): the groupBy +
+    // broadcast-join form consumed tf TWICE, re-executing the whole
+    // corpus scan + tokenize + explode + agg subtree per consumer; the
+    // window keeps tf single-consumer with no materialization barrier.
+    // log2fp(df) now runs per POSTING row instead of per term — it is
+    // the compiled Log2FixedExpr kernel (r13), ~an integer fold, so the
+    // q102 "keep logs vocabulary-bounded" costing no longer binds. The
+    // postings frame is query-vocabulary-restricted throughout, never
+    // corpus-sized.
     val scored = tf
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfs), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(st))
+      .withColumn("__idf",
+        Log2Fixed.expr(col("n_corpus")) - Log2Fixed.expr(col("__df")))
       .withColumn("__contrib", expr(
         "__idf * (44L * tf * s_corpus) div " +
           "(20L * tf * s_corpus + 6L * s_corpus + 18L * dl * n_corpus)"))
@@ -135,8 +164,9 @@ object Bm25 {
     * 10⁴ (the BM25 bound class); per-shard corpora beyond.
     *
     * Scale posture: [[topK]]'s exactly — term-set broadcast BEFORE the
-    * tf aggregation, 1-row stats broadcast, vocab-bounded cf/log
-    * frames broadcast, score groupBy keyed (query, doc), WindowGroupLimit
+    * tf aggregation, 1-row stats broadcast, cf and n_q as term-/query-
+    * keyed windows on the single postings chain (no re-executed corpus
+    * subtrees), score groupBy keyed (query, doc), WindowGroupLimit
     * top-k.
     *
     * @return (query_id, doc_id, rnk, score_fp); only docs sharing ≥ 1
@@ -149,8 +179,7 @@ object Bm25 {
     require(k >= 1, "k must be >= 1")
     require(mu >= 1L, s"mu must be >= 1, got $mu")
     val qterms = queryTerms(queries, qidCol, qtextCol)
-    val toks = docs.select(idCol.as("doc_id"),
-      TextFunctions.tokens(textCol).as("__toks"))
+    val toks = tokArrays(docs, idCol, textCol)
     val termSet = qterms.select(col("term")).distinct()
     // S is a CORPUS stat — computed before the query-term restriction
     val stats = toks.agg(sum(size(col("__toks"))).cast("long").as("s_corpus"))
@@ -160,24 +189,30 @@ object Bm25 {
       .join(broadcast(termSet), Seq("term"), "left_semi")
     val tf = d.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    // cf over the restricted postings == corpus cf for those terms (the
-    // BM25 df argument); log2fp(μ·cf) once per term, vocab-bounded
-    val cfs = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
-      .select(col("term"), col("cf"),
-        Log2Fixed.expr(lit(mu) * col("cf")).as("__lgmc"))
-    // n_q = distinct query terms present in the corpus vocabulary
-    val nq = qterms.join(cfs.select(col("term")), Seq("term"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("__nq"))
+    // cf as a term-keyed WINDOW (the topKFromTerms r13 shape): the
+    // cfs-frame form consumed tf twice, re-running the corpus subtree per
+    // consumer; log2fp is the compiled kernel now, fine per posting row.
+    // n_q (distinct query terms present in the corpus vocabulary) rides
+    // two more windows on the SAME single-consumer chain: first-occurrence
+    // flag per (query, term), summed over the query partition — the
+    // separate semi-join frame would re-run the corpus subtree again.
+    import org.apache.spark.sql.expressions.Window
     val matched = tf
+      .withColumn("cf", sum(col("tf")).over(Window.partitionBy(col("term"))))
       .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(cfs), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__c",
         Log2Fixed.expr(lit(mu) * col("cf") + col("tf") * col("s_corpus")) -
-          col("__lgmc"))
+          Log2Fixed.expr(lit(mu) * col("cf")))
+      .withColumn("__first", when(row_number().over(
+        Window.partitionBy(col("query_id"), col("term"))
+          .orderBy(col("doc_id"))) === 1, 1L).otherwise(0L))
+      .withColumn("__nq", sum(col("__first")).over(
+        Window.partitionBy(col("query_id"))))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("__c")).as("__m"), first(col("dl")).as("dl"))
-    val scored = matched.join(broadcast(nq), Seq("query_id"))
+      .agg(sum(col("__c")).as("__m"), first(col("dl")).as("dl"),
+        first(col("__nq")).as("__nq"))
+    val scored = matched
       .select(col("query_id"), col("doc_id"),
         (col("__m") + col("__nq") *
           (Log2Fixed.expr(lit(mu)) - Log2Fixed.expr(col("dl") + mu)))
@@ -207,10 +242,14 @@ object Bm25 {
     require(feedbackN >= 1 && expandTerms >= 0,
       "feedbackN must be >= 1 and expandTerms >= 0")
     val qterms = queryTerms(queries, qidCol, qtextCol)
+    // ONE corpus-stats pass shared by both retrieval passes (N and S are
+    // corpus constants — the second pass recomputing them paid a full
+    // tokenize); 1-row frame, eagerly pinned
+    val stats = Some(corpusStats(docs, idCol, textCol).localCheckpoint())
     // eager checkpoint: the feedback frame (|queries|·feedbackN rows) is
     // consumed twice (doc semi-restrict + per-query frequency join) — an
     // unmaterialized plan would run the whole first-pass BM25 twice
-    val feedback = topKFromTerms(docs, idCol, textCol, qterms, feedbackN)
+    val feedback = topKFromTerms(docs, idCol, textCol, qterms, feedbackN, stats)
       .select(col("query_id"), col("doc_id"))
       .localCheckpoint()
     // semi-restrict to the |queries|·feedbackN feedback docs BEFORE
@@ -234,7 +273,7 @@ object Bm25 {
     // join), and an unmaterialized expansion plan would re-run the entire
     // first pass + feedback aggregation for each reference
     val expandedTerms = qterms.unionByName(expansion).localCheckpoint()
-    topKFromTerms(docs, idCol, textCol, expandedTerms, k)
+    topKFromTerms(docs, idCol, textCol, expandedTerms, k, stats)
   }
 
   /** Exact phrase retrieval over a POSITIONAL inverted index — the "quoted

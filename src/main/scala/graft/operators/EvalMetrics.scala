@@ -992,11 +992,18 @@ object EvalMetrics {
     * zero denominator. Grams ride the compiled 61-bit poly fold (the
     * q271 sizing) — no gram strings.
     *
-    * Scale posture: four (id, gram-hash) count aggregations + one
-    * id-keyed join per order (map-side combined, 8-byte keys), then
-    * group-bounded sums; the input is consumed by five subtrees, so it
-    * is localCheckpoint-materialized once. Envelope: corpus token
-    * counts ≤ 2⁶³ long sums — unreachable.
+    * Scale posture (r13 rewrite): clipping is a PER-DOCUMENT operation,
+    * so the sufficient statistics (m1, t1, m2, t2, cl, rl) compute in ONE
+    * compiled pass per row ([[graft.functions.BleuDocStats]]) — the prior
+    * shape's four (id, gram-hash) count aggregations, six joins and the
+    * five-consumer localCheckpoint are gone; the only exchange left is
+    * the group-keyed final sum. Rows are independent (candidate,
+    * reference) pairs: `idCol` must identify a pair uniquely (a repeated
+    * id no longer merges gram counts across rows — corpusBleu over
+    * duplicate document ids was never meaningful); rows with a NULL id
+    * keep the historical contract (lengths counted, zero match/total
+    * contribution). Envelope: corpus token counts ≤ 2⁶³ long sums —
+    * unreachable.
     *
     * @return (g…, n_docs, c_len, r_len, match1, tot1, match2, tot2,
     *         bp_fp, bleu_fp, bleu_bits)
@@ -1005,42 +1012,39 @@ object EvalMetrics {
       candCol: Column, refCol: Column): DataFrame = {
     require(groupCols.nonEmpty,
       "corpusBleu2 needs >= 1 group column (see mannWhitneyU)")
-    import graft.functions.PolyHash
     val spark = df.sparkSession
-    val base = df.filter(candCol.isNotNull && refCol.isNotNull)
+    // under-split inputs (single-row-group fixture = ONE scan task) would
+    // run the whole kernel pass on one core; no-op on real splits
+    val base = graft.core.Parallelism.spread(df)
       .select((groupCols ++ Seq(idCol.as("__id"), candCol.as("__cand"),
         refCol.as("__ref"))): _*)
-      .localCheckpoint()
     val gNames = base.columns.dropRight(3).toSeq
-    def gramCounts(textCol: String, n: Int, out: String): DataFrame =
-      base.select(col("__id"),
-          explode(PolyHash.polyGramHashes61(spark, col(textCol), n))
-            .as("__h"))
-        .groupBy(col("__id"), col("__h"))
-        .agg(count(lit(1)).as(out))
-    def orderStats(n: Int): DataFrame = {
-      val c = gramCounts("__cand", n, "__cc")
-      val r = gramCounts("__ref", n, "__cr")
-      c.join(r, Seq("__id", "__h"), "left")
-        .groupBy(col("__id"))
-        .agg(sum(least(col("__cc"), coalesce(col("__cr"), lit(0L))))
-          .as(s"__m$n"),
-          sum(col("__cc")).as(s"__t$n"))
-    }
-    val toks = graft.functions.TextFunctions.tokens _
-    val lens = base.select((gNames.map(col) ++ Seq(col("__id"),
-      size(toks(col("__cand"))).cast("long").as("__cl"),
-      size(toks(col("__ref"))).cast("long").as("__rl"))): _*)
-    val perDoc = lens
-      .join(orderStats(1), Seq("__id"), "left")
-      .join(orderStats(2), Seq("__id"), "left")
+    // NULL-id rows: the join form left-joined per-id gram stats, so a
+    // null id contributed lengths but zero matches/totals — preserved.
+    // explode(array(…)) is a Generate BARRIER (the corrMatrix idiom): the
+    // kernel lands in an attribute evaluated ONCE per row — without it the
+    // aggregate inlines one kernel copy (plus the caller's whole candidate
+    // construction) per extracted field, and the generated update method
+    // blows the JVM's 64 KB limit straight into interpreted fallback.
+    // The null-pair drop happens on __st (null iff cand or ref is null) —
+    // a pre-kernel `candCol.isNotNull` filter would be PUSHED below the
+    // caller's projection, duplicating an expensive candidate expression
+    // into the starved scan stage (measured: most of q278's wall)
+    val statRow = base.select((gNames.map(col) ++ Seq(col("__id"),
+      explode(array(graft.functions.BleuDocStats.expr(spark,
+        col("__cand"), col("__ref")))).as("__st"))): _*)
+      .filter(col("__st").isNotNull)
+    def idGated(f: String): Column =
+      when(col("__id").isNotNull, col(s"__st.$f")).otherwise(lit(0L))
+    val perDoc = statRow.select((gNames.map(col) ++ Seq(
+      col("__st.cl").as("__cl"), col("__st.rl").as("__rl"),
+      idGated("m1").as("__m1"), idGated("t1").as("__t1"),
+      idGated("m2").as("__m2"), idGated("t2").as("__t2"))): _*)
     val g = perDoc.groupBy(gNames.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__cl")).as("c_len"), sum(col("__rl")).as("r_len"),
-        sum(coalesce(col("__m1"), lit(0L))).as("match1"),
-        sum(coalesce(col("__t1"), lit(0L))).as("tot1"),
-        sum(coalesce(col("__m2"), lit(0L))).as("match2"),
-        sum(coalesce(col("__t2"), lit(0L))).as("tot2"))
+        sum(col("__m1")).as("match1"), sum(col("__t1")).as("tot1"),
+        sum(col("__m2")).as("match2"), sum(col("__t2")).as("tot2"))
     // floor(2^20 * log2 e) — the one transcendental, baked as the same
     // integer constant both engines multiply by
     val log2eFp = 1512775L

@@ -208,10 +208,17 @@ object Graph {
     * dictionary maps back to strings; a 60-bit collision merges two
     * tokens identically in both engines).
     *
-    * Scale posture: one doc-keyed sort feeds both lead() columns; edges
-    * collapse map-side only in pageRank's degree agg; the vocabulary-
-    * bounded rank frame joins the dictionary once and the final top-k is
-    * a TakeOrdered (never a global window).
+    * Scale posture (r13 rewrite): co-occurrence pairs expand per-document
+    * from the token-hash ARRAY with codegen HOFs — the prior shape
+    * posexplode'd the corpus, localCheckpoint-materialized the
+    * token-position frame, paid a doc-keyed sort for the lead() windows,
+    * and md5-hashed BOTH sides of every exploded pair cell (2·2·window
+    * hashes per token vs exactly one now). Edges still collapse map-side
+    * to the vocabulary²-bounded weighted list BEFORE iteration; the
+    * vocabulary-bounded rank frame joins the dictionary once and the
+    * final top-k is a TakeOrdered (never a global window). Rows are
+    * independent documents (a duplicated doc id no longer interleaves
+    * positions across rows — it never meaningfully did).
     *
     * @return (token, rank_fp) — the `topK` highest-ranked tokens,
     *   ties broken by token ascending.
@@ -221,40 +228,41 @@ object Graph {
       iterations: Int = 3, topK: Int = 20): DataFrame = {
     require(window >= 1 && window <= 8, s"bad window: $window")
     require(topK >= 1, s"bad topK: $topK")
-    import org.apache.spark.sql.expressions.Window
     // checkpointed: tokenization feeds BOTH the edge build and the
-    // dictionary — without the barrier the corpus re-tokenizes per path
-    val toks = df
-      .select(docIdCol.as("__doc"),
-        posexplode(graft.functions.TextFunctions.tokens(textCol))
-          .as(Seq("__pos", "__w")))
+    // dictionary — without the barrier the corpus re-tokenizes per path.
+    // spread() BELOW the tokenize so the HOF pair pass isn't pinned to a
+    // starved single-split scan stage; token ARRAYS (not positions)
+    // materialize — strictly smaller than the old exploded frame
+    val toks = graft.core.Parallelism.spread(
+        df.select(docIdCol.as("__doc"), textCol.as("__text")))
+      .select(graft.functions.TextFunctions.tokens(col("__text")).as("__ts"))
       .localCheckpoint()
-    val byDoc = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
-    val withNext = toks.select(col("__w") +:
-      (1 to window).map(d => lead(col("__w"), d).over(byDoc)
-        .as(s"__n$d")): _*)
     val h = graft.functions.TextFunctions.md5Long _
-    // ONE pass over the windowed frame: every (distance, direction)
-    // pair explodes from the same row — no unions re-executing the
-    // doc-keyed sort; then the multigraph collapses to (src, dst,
-    // weight) BEFORE iteration (vocabulary²-bounded, never token-sized)
+    // hash once per token occurrence; pairs expand from the hash array
+    val hashed = toks.select(transform(col("__ts"), w => h(w)).as("__hs"))
+    // (distance, direction) cells as HOFs over the array: element i pairs
+    // with element i+d (try_element_at nulls past the end exactly where
+    // lead() was null); the a≠b and null filters are verbatim the old ones
     val pairCells = (1 to window).flatMap { d =>
-      Seq(struct(col("__w").as("a"), col(s"__n$d").as("b")),
-        struct(col(s"__n$d").as("a"), col("__w").as("b")))
+      Seq(
+        transform(col("__hs"), (x, i) => struct(x.as("a"),
+          try_element_at(col("__hs"), i + lit(d + 1)).as("b"))),
+        transform(col("__hs"), (x, i) => struct(
+          try_element_at(col("__hs"), i + lit(d + 1)).as("a"), x.as("b"))))
     }
     // checkpointed: the edge frame is vocabulary²-bounded (collapsed
     // BEFORE iteration) but its upstream is the corpus-sized tokenize +
-    // doc-keyed windows — pageRankWeighted consumes edges twice (the
+    // pair expansion — pageRankWeighted consumes edges twice (the
     // compact-gate probe + the degree/collect pass), and without the
     // barrier each consumer re-runs the whole co-occurrence build
-    val edges = withNext
-      .select(explode(array(pairCells: _*)).as("__p"))
+    val edges = hashed
+      .select(explode(flatten(array(pairCells: _*))).as("__p"))
       .filter(col("__p.a").isNotNull && col("__p.b").isNotNull &&
         col("__p.a") =!= col("__p.b"))
-      .select(h(col("__p.a")).as("src"), h(col("__p.b")).as("dst"))
+      .select(col("__p.a").as("src"), col("__p.b").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       .localCheckpoint()
-    val dict = toks.select(col("__w").as("token")).distinct()
+    val dict = toks.select(explode(col("__ts")).as("token")).distinct()
       .select(col("token"), h(col("token")).as("id"))
       .localCheckpoint() // nodes, edge build upstream, and the final join
     // node list distinct on the HASH: a (vanishingly rare) 60-bit token

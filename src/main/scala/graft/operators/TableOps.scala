@@ -469,20 +469,42 @@ object TableOps {
     // the narrow long projection is read twice (means, then centered
     // sums) — deliberately NOT cached: both passes are column-pruned
     // scans, and at corpus scale re-reading pruned parquet beats
-    // materializing an 8·m-bytes/row copy
+    // materializing an 8·m-bytes/row copy. The explode(array(struct(…)))
+    // Generate BARRIER makes each caller expression evaluate ONCE per
+    // row per pass: the listwise-deletion filter otherwise pushes below
+    // the projection and re-evaluates every column expression a second
+    // time (ROUND on a double is a per-value BigDecimal round-trip —
+    // measured at half the pass cost for q238's column set)
     val base = df
-      .select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
+      .select(explode(array(struct(
+        cols.map { case (n, c) => c.cast("long").as(n) }: _*))).as("__r"))
+      .select(names.map(n => col(s"__r.$n").as(n)): _*)
       .filter(names.map(col(_).isNotNull).reduce(_ && _))
-    val means = base.agg(
-      count(lit(1)).as("__n"),
-      names.map(n => expr(s"CAST(SUM(CAST($n AS DECIMAL(38,0))) div " +
-        s"COUNT(1) AS BIGINT)").as(s"__mu_$n")): _*)
-    val centered = base.crossJoin(broadcast(means))
-      .select(col("__n") +:
-        names.map(n => (col(n) - col(s"__mu_$n")).as(n)): _*)
     val pairs = for {
       i <- names.indices; j <- i until names.size
     } yield (names(i), names(j))
+    // min/max ride the means pass so each pair can be GATED onto a plain
+    // long multiply when |x̃|·|ỹ| provably fits: |x − μ| ≤ max − min, so
+    // (max_a−min_a)·(max_b−min_b) < 2⁶² ⇒ the per-row product is
+    // overflow-free in long and only the SUM runs in decimal — the
+    // decimal×decimal per-row multiply was the pass's hot cost. Gates
+    // are 1-row broadcast booleans; a column wild enough to fail gates
+    // keeps the exact decimal path (bit-identical either way)
+    val means = base.agg(
+      count(lit(1)).as("__n"),
+      names.map(n => expr(s"CAST(SUM(CAST($n AS DECIMAL(38,0))) div " +
+        s"COUNT(1) AS BIGINT)").as(s"__mu_$n")) ++
+        names.flatMap(n => Seq(min(col(n)).as(s"__lo_$n"),
+          max(col(n)).as(s"__hi_$n"))): _*)
+    val meansG = means.select(col("*") +:
+      pairs.map { case (a, b) =>
+        ((dec(col(s"__hi_$a")) - dec(col(s"__lo_$a"))) *
+          (dec(col(s"__hi_$b")) - dec(col(s"__lo_$b"))) <
+          lit(4611686018427387904L)).as(s"__g_${a}__$b") }: _*)
+    val centered = base.crossJoin(broadcast(meansG))
+      .select(col("__n") +:
+        (names.map(n => (col(n) - col(s"__mu_$n")).as(n)) ++
+          pairs.map { case (a, b) => col(s"__g_${a}__$b") }): _*)
     // the integer-mean shift leaves residual sums T_x = Σx − n·(Σx div n)
     // in (−n, n): both engines' integer division TRUNCATES toward zero
     // (Spark div; DuckDB // — verified −7//2 = −3 incl. HUGEINT), so a
@@ -496,7 +518,8 @@ object TableOps {
       sum(dec(col(names.head))).as(s"__t_${names.head}"),
       names.tail.map(n => sum(dec(col(n))).as(s"__t_$n")) ++
         pairs.map { case (a, b) =>
-          sum(dec(col(a)) * dec(col(b))).as(s"__s_${a}__$b") }: _*)
+          sum(when(col(s"__g_${a}__$b"), dec(col(a) * col(b)))
+            .otherwise(dec(col(a)) * dec(col(b)))).as(s"__s_${a}__$b") }: _*)
     def s(a: String, b: String) = col(s"__s_${a}__$b")
     def t(a: String) = col(s"__t_$a")
     val cells = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>

@@ -130,7 +130,9 @@ object EvalQueries {
       val qterms = Bm25.queryTerms(qs, col("query_id"), col("qtext"))
       val qsize = qterms.groupBy(col("query_id"))
         .agg(count(lit(1)).as("__nt"))
-      val docTerms = d.select(col("doc_id"),
+      val docTerms = graft.core.Parallelism.spread(
+          d.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
           explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
         .join(broadcast(qterms.select(col("term")).distinct()),
           Seq("term"), "left_semi")
@@ -453,9 +455,12 @@ object EvalQueries {
       // tokens materialize in their OWN projection: element_at(tk, i)
       // inside the transform lambda cannot CSE with the outer tokenize,
       // so an inline tokens(text) re-runs per ELEMENT — measured 6.1 s
-      // of the query's 6.8 s before this split (O(tokens²) tokenize)
-      val d = docs(s, dir).select(col("source"), col("doc_id"),
-        col("text"), TextFunctions.tokens(col("text")).as("__tk"))
+      // of the query's 6.8 s before this split (O(tokens²) tokenize).
+      // spread() BELOW the projection: the construction + BLEU kernel
+      // run on every core, not in the 1-task fixture scan stage
+      val d = graft.core.Parallelism.spread(docs(s, dir))
+        .select(col("source"), col("doc_id"),
+          col("text"), TextFunctions.tokens(col("text")).as("__tk"))
       val tk = col("__tk")
       val cand = when(size(tk) > 0,
         array_join(concat(

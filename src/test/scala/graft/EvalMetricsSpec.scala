@@ -690,6 +690,45 @@ class EvalMetricsSpec extends AnyFunSuite {
       out("g4").getAs[Any]("bleu_bits") == null)
   }
 
+  test("BleuDocStats kernel == string-gram driver replica on random token " +
+      "streams (clip, totals, lengths; empty and single-token edges)") {
+    // expected from STRING n-grams (no hashes): any divergence in the
+    // kernel's fold/sort/merge path shows up against this
+    def grams(toks: Seq[String], n: Int): Seq[String] =
+      if (toks.size < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+    def clip(cand: Seq[String], ref: Seq[String]): Long = {
+      val rc = ref.groupBy(identity).view.mapValues(_.size).toMap
+      cand.groupBy(identity).map { case (g, occ) =>
+        math.min(occ.size, rc.getOrElse(g, 0)).toLong }.sum
+    }
+    val rnd = new scala.util.Random(278)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ffff")
+    val cases = (Seq(("", "x y"), ("x", "x"), ("a", "b")) ++
+      Seq.fill(40) {
+        def s() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+        (s(), s())
+      }).zipWithIndex.map { case ((c, r), i) => (i.toLong, c, r) }
+    val out = cases.toDF("id", "cand", "ref")
+      .select(col("id"), graft.functions.BleuDocStats.expr(
+        spark, col("cand"), col("ref")).as("st"))
+      .select(col("id"), col("st.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    cases.foreach { case (id, c, r) =>
+      val (ct, rt) = (c.split("\\s+").filter(_.nonEmpty).toSeq,
+        r.split("\\s+").filter(_.nonEmpty).toSeq)
+      val row = out(id)
+      assert(row.getLong(1) == ct.size && row.getLong(2) == rt.size,
+        s"lengths for case $id")
+      assert(row.getLong(3) == clip(grams(ct, 1), grams(rt, 1)),
+        s"m1 for case $id")
+      assert(row.getLong(4) == grams(ct, 1).size.toLong, s"t1 for case $id")
+      assert(row.getLong(5) == clip(grams(ct, 2), grams(rt, 2)),
+        s"m2 for case $id")
+      assert(row.getLong(6) == grams(ct, 2).size.toLong, s"t2 for case $id")
+    }
+  }
+
   /** Driver replica of the Wilcoxon z² rational. */
   private def refWilcoxon(ds: Seq[Long]): (Long, Long, Option[Double]) = {
     val nz = ds.filter(_ != 0)
