@@ -367,13 +367,27 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // The ONE stdout JSON line, kept well under the tail buffer: keys are
-    // the stable qNN prefixes (qNN -> full name is 1:1, see SparkEntry),
-    // values rounded to ms.
+    // the stable qNN prefixes (qNN -> full name is 1:1, see SparkEntry).
+    // r12's line was truncated in the driver's captured tail (152/301
+    // entries survived; PERF_r13 lost its whole prev-comparison), so the
+    // per-query values are now centisecond-rounded with trailing zeros
+    // stripped — 3897 -> ~3650 bytes for 301 entries, comfortably inside
+    // the ~4 KB capture window. Sub-0.1 s entries keep 3 dp so the
+    // quantization error stays <= 5% everywhere (PERF's regression bar is
+    // 10%); full 9-dp values remain in BENCH_DETAIL.json.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def rShort(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val dp = if (v < 0.1) 3 else 2
+        val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.stripTrailingZeros.toPlainString
+        if (s.isEmpty || s == "-0") "0" else s
+      }
     def shortKey(name: String): String =
       if (name.startsWith("q") && name.contains("_")) name.takeWhile(_ != '_') else name
-    val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + r3(v) }
+    val qs = all.map { case (k, v) => "\"" + shortKey(k) + "\":" + rShort(v) }
       .mkString("{", ",", "}")
     // strict number: "[0-9.]+" would capture a trailing dot from paths
     // like .../sf0.1.bak and emit invalid JSON on the one parsed line

@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, RepartitionOperation, Sort, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, Expand, GlobalLimit, Join, RepartitionOperation, Sort, Window}
 
 /** Parallelism repair for CPU-heavy per-row passes over UNDER-SPLIT
   * inputs (guide §2.5 "input skew": one unsplittable file — or here, a
@@ -31,9 +31,15 @@ object Parallelism {
     * exchange by construction.
     */
   def spread(df: DataFrame): DataFrame = {
+    // Deduplicate (Dataset.dropDuplicates/distinct), GlobalLimit and
+    // Expand are width-establishing too (r14, ADVICE fix): missing them
+    // meant the df.rdd probe on such a frame eagerly executed the
+    // upstream plan under AQE — the exact double-run this guard exists
+    // to prevent.
     val alreadyWide = df.queryExecution.logical.exists {
       case _: RepartitionOperation | _: Aggregate | _: Join | _: Window |
-           _: Sort | _: Distinct => true
+           _: Sort | _: Distinct | _: Deduplicate | _: GlobalLimit |
+           _: Expand => true
       case _ => false
     }
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -57,12 +57,14 @@ object Log2Fixed {
     * no oracle-checked path ever consumed one — callers guard the
     * domain) — nulls surface bad domains instead of junk.
     */
-  def expr(m: Column): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_log2_fixed", exprs => Log2FixedExpr(exprs.head), "built-in")
-    call_function("graft_log2_fixed", m.cast("long"))
-  }
+  def expr(m: Column): Column =
+    // direct expression construction via the classic-package bridge
+    // (r14, ADVICE fix): the previous SparkSession.active + temp-function
+    // registration failed analysis under a different/absent thread-active
+    // session and paid a registry round trip per call site
+    org.apache.spark.sql.classic.GraftColumnBridge.column(Log2FixedExpr(
+      org.apache.spark.sql.classic.GraftColumnBridge.expression(
+        m.cast("long"))))
 
   /** CTE fragment producing `i, v, vn` (LUT entry + next) for oracle SQL —
     * a log2fp in SQL is then `E·1048576 + v + (vn − v)·r // 1024` after

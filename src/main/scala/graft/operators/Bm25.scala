@@ -99,6 +99,35 @@ object Bm25 {
       docs: DataFrame, idCol: Column, textCol: Column,
       qterms: DataFrame, k: Int, stats: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val scored = scoredCore(docs, idCol, textCol, qterms, stats,
+      withMatches = false)
+    Ranking.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("score_fp").desc, col("doc_id").asc), k, rankCol = Some("rnk"))
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score_fp"))
+  }
+
+  /** The FULL scored frame (query_id, doc_id, score_fp, n_matched) —
+    * every doc sharing >= 1 term with the query, scored exactly as
+    * [[topKFromTerms]], plus the count of DISTINCT query terms the doc
+    * contains. One corpus pass serves both the top-k ranking AND any
+    * all-terms-matched ("gold") derivation: n_matched equals the number
+    * of (term ∈ query) ∩ (term ∈ doc) pairs, so a caller needing "docs
+    * containing ALL query terms" filters n_matched == |query terms|
+    * instead of re-tokenizing the corpus a second time (q220 paid a
+    * second full tokenize + three joins for exactly that set).
+    * Callers consuming the frame more than once should materialize it
+    * (bounded by queries × their term-matching docs — one row per
+    * (query, matching doc), the same frame topK ranks).
+    */
+  def scoredWithMatches(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      qterms: DataFrame, stats: Option[DataFrame] = None): DataFrame =
+    scoredCore(docs, idCol, textCol, qterms, stats, withMatches = true)
+
+  private def scoredCore(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      qterms: DataFrame, stats: Option[DataFrame],
+      withMatches: Boolean): DataFrame = {
     val toks = tokArrays(docs, idCol, textCol)
     val termSet = qterms.select(col("term")).distinct()
     // The broadcast query-term semi-restrict runs BEFORE the tf
@@ -122,7 +151,7 @@ object Bm25 {
     // q102 "keep logs vocabulary-bounded" costing no longer binds. The
     // postings frame is query-vocabulary-restricted throughout, never
     // corpus-sized.
-    val scored = tf
+    val contrib = tf
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .join(broadcast(qterms), Seq("term"))
@@ -133,10 +162,13 @@ object Bm25 {
         "__idf * (44L * tf * s_corpus) div " +
           "(20L * tf * s_corpus + 6L * s_corpus + 18L * dl * n_corpus)"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("__contrib")).as("score_fp"))
-    Ranking.topKPerGroup(scored, Seq(col("query_id")),
-        Seq(col("score_fp").desc, col("doc_id").asc), k, rankCol = Some("rnk"))
-      .select(col("query_id"), col("doc_id"), col("rnk"), col("score_fp"))
+    if (withMatches)
+      // tf is distinct on (doc, term), so the group's row count IS the
+      // number of distinct query terms the doc contains
+      contrib.agg(sum(col("__contrib")).as("score_fp"),
+        count(lit(1)).as("n_matched"))
+    else
+      contrib.agg(sum(col("__contrib")).as("score_fp"))
   }
 
   /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001)

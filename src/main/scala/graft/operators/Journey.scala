@@ -608,29 +608,43 @@ object Journey {
       groupCols.zip(gNames).map { case (c, n) => c.as(n) } ++
         Seq(tCol.cast("long").as("__t"), yCol.cast("long").as("__y")): _*)
       .filter(col("__t").isNotNull && col("__y").isNotNull)
-    val a = base.toDF(gNames ++ Seq("__t1", "__y1"): _*)
-    val b = base.toDF(gNames ++ Seq("__t2", "__y2"): _*)
-    val dy = col("__y2") - col("__y1")
-    val dx = col("__t2") - col("__t1")
+    // r14 (§2.4): the pair fan-out is a per-group ARRAY expansion in one
+    // codegen projection, not a keyed self-join — the old shape ran the
+    // upstream subtree twice (both join inputs), shuffled the O(m²) pair
+    // frame through a group-keyed window sort, and joined the median back
+    // to the point counts (3 exchanges + 2 joins on the pair path). Here
+    // the only exchange is the one point-collect groupBy; the slope
+    // multiset, its sort, and the lower-median pick all happen inside the
+    // group's row. Same bounded-series contract as before (the per-group
+    // O(m²) work was ALREADY single-task — the window sort ran per group);
+    // use [[theilSenBlocked]] for long per-entity series.
+    val pts = col("__pts")
     // |dy| widens BEFORE the micro multiply: a long |dy|·10⁶ wraps at
     // |dy| ≈ 9.2·10¹² while the decimal stays exact (the oracle's
-    // HUGEINT twin); the micro-slope itself must fit a long — contract
-    val slope = signum(dy).cast("long") *
-      EvalMetrics.idivPos(dec(abs(dy)) * 1000000L, dx)
-    val pairs = a.join(b, gNames).filter(col("__t1") < col("__t2"))
-      .select(gNames.map(col) :+ slope.as("__s"): _*)
-    val w = Window.partitionBy(gNames.map(col): _*)
-    val ranked = pairs
-      .withColumn("__rn", row_number().over(w.orderBy(col("__s"))))
-      .withColumn("__cnt", count(lit(1)).over(w))
-    val med = ranked.filter(col("__rn") === expr("(__cnt + 1) div 2"))
-      .select(gNames.map(col) ++ Seq(col("__cnt").as("n_pairs"),
-        (col("__s").cast("double") / 1e6).as("slope")): _*)
-    base.groupBy(gNames.map(col): _*).agg(count(lit(1)).as("n_points"))
-      .join(med, gNames, "left")
+    // HUGEINT twin); the micro-slope itself must fit a long — contract.
+    // dx = 0 pairs (duplicate t, contract-excluded upstream) drop, exactly
+    // as the old __t1 < __t2 join condition dropped them.
+    def slopeOf(p: Column, q: Column): Column = {
+      val dy = q.getField("__y") - p.getField("__y")
+      val dx = q.getField("__t") - p.getField("__t")
+      when(dx > 0, signum(dy).cast("long") *
+        EvalMetrics.idivPos(dec(abs(dy)) * 1000000L, dx))
+    }
+    base.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n_points"),
+        sort_array(collect_list(struct(col("__t"), col("__y")))).as("__pts"))
+      .withColumn("__slopes", array_sort(flatten(transform(pts,
+        (p, i) => filter(
+          transform(slice(pts, i + lit(2), size(pts)), q => slopeOf(p, q)),
+          s => s.isNotNull)))))
+      .withColumn("__np", size(col("__slopes")))
       .select(gNames.zip(groupCols.indices).map { case (n, i) =>
           col(n).as(s"g$i") } ++ Seq(col("n_points"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope")): _*)
+        col("__np").cast("long").as("n_pairs"),
+        // lower median: the ceil(p/2)-th smallest — rank (np+1) div 2
+        when(col("__np") > 0, element_at(col("__slopes"),
+            ((col("__np") + 1) / 2).cast("int")).cast("double") / 1e6)
+          .as("slope")): _*)
   }
 
   /** Shared machinery for the blocked pair kernels ([[theilSenBlocked]],

@@ -54,14 +54,16 @@ object QualityClassifier {
     aggregate(toks, lit(0L), (acc, t) => acc + w(bucket(spark, t, dim)))
   }
 
-  /** Score documents: (id, n_tokens, logit, keep) — logit is the mean
-    * per-token weight in [-1, 1] (6 dp), keep = logit > threshold.
-    * Empty/whitespace-only docs score null logit and keep = 0.
+  /** The [[score]] output as ONE struct COLUMN (n_tokens, logit, keep)
+    * over `textCol` — a pure per-row expression, so a caller combining
+    * the classifier with other per-row signals (the Gopher keep flag,
+    * dimension columns) can evaluate everything in a single projection
+    * instead of joining [[score]]'s frame back on id (the r14
+    * scoredLabeled fix: two corpus-wide joins became zero).
     */
-  def score(df: DataFrame, idCol: Column, textCol: Column,
+  def scoreStruct(spark: SparkSession, textCol: Column,
       dim: Int = 4096, threshold: Double = 0.0,
-      weightsPerMille: Option[Array[Int]] = None): DataFrame = {
-    val spark = df.sparkSession
+      weightsPerMille: Option[Array[Int]] = None): Column = {
     val n = TextFunctions.tokenCount(textCol)
     val sums = weightSum(spark, textCol, dim, weightsPerMille)
     // 6-dp rounding in EXACT integer micro-units, half away from zero:
@@ -78,7 +80,7 @@ object QualityClassifier {
     // column referencing it, plus once more per pushed-down filter
     // conjunct in callers (the q216 lesson applied to the classifier;
     // measured 4x on the q224 calibration chain)
-    val out = TextFunctions.bindOnce(
+    TextFunctions.bindOnce(
         struct(n.as("n"), sums.as("s"))) { st =>
       val nb = st.getField("n")
       val sb = st.getField("s")
@@ -91,6 +93,17 @@ object QualityClassifier {
         when(nb > 0, micro.cast("double") / 1000000.0).as("logit"),
         when(nb > 0 && logitRaw > threshold, 1).otherwise(0).as("keep"))
     }
+  }
+
+  /** Score documents: (id, n_tokens, logit, keep) — logit is the mean
+    * per-token weight in [-1, 1] (6 dp), keep = logit > threshold.
+    * Empty/whitespace-only docs score null logit and keep = 0.
+    */
+  def score(df: DataFrame, idCol: Column, textCol: Column,
+      dim: Int = 4096, threshold: Double = 0.0,
+      weightsPerMille: Option[Array[Int]] = None): DataFrame = {
+    val out = scoreStruct(df.sparkSession, textCol, dim, threshold,
+      weightsPerMille)
     df.select(idCol.as("id"), out.as("__qc"))
       .select(col("id"), col("__qc.n_tokens").as("n_tokens"),
         col("__qc.logit").as("logit"), col("__qc.keep").as("keep"))

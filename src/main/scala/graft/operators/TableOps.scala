@@ -575,29 +575,32 @@ object TableOps {
       df: DataFrame, groupCols: Seq[Column], value: Column,
       kPermille: Long = 4448L): DataFrame = {
     require(kPermille >= 1, s"bad kPermille: $kPermille")
-    import org.apache.spark.sql.expressions.Window
     val gNames = groupCols.indices.map(i => s"__g$i")
     val base = df.select(
       groupCols.zip(gNames).map { case (c, n) => c.as(n) } :+
         value.cast("long").as("__x"): _*)
       .filter(col("__x").isNotNull)
-    val w = Window.partitionBy(gNames.map(col): _*)
-    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame =
-      in.withColumn("__rn", row_number().over(w.orderBy(col(c))))
-        .withColumn("__cnt", count(lit(1)).over(w))
-        .filter(col("__rn") === expr("(__cnt + 1) div 2"))
-        .select(gNames.map(col) :+ col(c).as(out): _*)
-    val med = lowerMedian(base, "__x", "median")
-    val withDev = base.join(med, gNames)
-      .withColumn("__dev", abs(col("__x") - col("median")))
-    val mad = lowerMedian(withDev.select(gNames.map(col) :+
-      col("__dev"): _*), "__dev", "mad")
-    withDev.join(mad, gNames)
-      .groupBy(gNames.map(col): _*)
-      .agg(count(lit(1)).as("n"), max(col("median")).as("median"),
-        max(col("mad")).as("mad"),
-        sum(when(col("__dev") * 1000L > lit(kPermille) * col("mad"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+    // r14 (§2.4, the theilSen idiom): median, MAD and the outlier count
+    // all derive from the group's sorted value array in ONE groupBy —
+    // the old shape ran TWO group-keyed window sorts (median, then MAD
+    // over a re-join of base with the medians) and re-executed the
+    // base subtree for every join input (4 upstream executions, 2
+    // corpus-sized window sorts, 2 joins). The per-group array is the
+    // same boundedness the window form already had: a window partition
+    // is one task per group either way.
+    val xs = col("__xs")
+    def lowerMedian(arr: Column): Column =
+      element_at(arr, ((size(arr) + 1) / 2).cast("int"))
+    base.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("__x"))).as("__xs"))
+      .withColumn("median", lowerMedian(xs))
+      .withColumn("__devs",
+        array_sort(transform(xs, x => abs(x - col("median")))))
+      .withColumn("mad", lowerMedian(col("__devs")))
+      .withColumn("n_outliers",
+        size(filter(col("__devs"),
+          d => d * 1000L > lit(kPermille) * col("mad"))).cast("long"))
       .select(gNames.zip(groupCols.indices).map { case (n, i) =>
           col(n).as(s"g$i") } ++
         Seq(col("n"), col("median"), col("mad"), col("n_outliers")): _*)

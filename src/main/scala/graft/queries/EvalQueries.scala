@@ -96,14 +96,24 @@ object EvalQueries {
     * value (the product sits within 1e-9 of it — never near a .5).
     */
   private def scoredLabeled(s: SparkSession, dir: String): DataFrame = {
+    // ONE projection (r14): the classifier score, the Gopher keep label
+    // and lang are all pure per-row expressions over the same doc row —
+    // the old shape computed them as three frames and re-joined them on
+    // id (two corpus-wide joins), then re-ran the gopher side + joins
+    // per downstream reference because only the classifier leg was
+    // checkpointed. Checkpointing the joined row once serves all six
+    // consumer queries' multi-reference shapes.
     val d = docs(s, dir)
-    val scored = QualityClassifier.score(d, col("doc_id"), col("text"))
-      .filter(col("logit").isNotNull).localCheckpoint()
-    val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
-        minStopwords = 1)
-      .select(col("id"), col("keep_doc"))
-    scored.join(labels, Seq("id"))
-      .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    d.select(col("doc_id").as("id"),
+        QualityClassifier.scoreStruct(s, col("text")).as("__qc"),
+        QualityRules.keepFlag(col("text"), minStopwords = 1)
+          .cast("int").as("keep_doc"),
+        col("lang"))
+      .select(col("id"), col("__qc.n_tokens").as("n_tokens"),
+        col("__qc.logit").as("logit"), col("__qc.keep").as("keep"),
+        col("keep_doc"), col("lang"))
+      .filter(col("logit").isNotNull)
+      .localCheckpoint()
   }
 
   private def confMicro: Column =
@@ -125,22 +135,24 @@ object EvalQueries {
         (3L, "customer value filter"),
         (4L, "spark zzznope")).toDF("query_id", "qtext")
       val d = docs(s, dir)
-      val ranked = Bm25.topK(d, col("doc_id"), col("text"),
-        qs, col("query_id"), col("qtext"), k = 10)
       val qterms = Bm25.queryTerms(qs, col("query_id"), col("qtext"))
       val qsize = qterms.groupBy(col("query_id"))
         .agg(count(lit(1)).as("__nt"))
-      val docTerms = graft.core.Parallelism.spread(
-          d.select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
-        .join(broadcast(qterms.select(col("term")).distinct()),
-          Seq("term"), "left_semi")
-      val gold = docTerms.join(broadcast(qterms), Seq("term"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).as("__m"))
-        .join(broadcast(qsize), Seq("query_id"))
-        .filter(col("__m") === col("__nt"))
+      // ONE corpus pass serves ranking AND gold (r14): the scored frame
+      // already counts each (query, doc)'s distinct matched terms, and
+      // "doc contains ALL query terms" is n_matched == n_terms — the old
+      // shape re-tokenized the whole corpus a second time and rebuilt
+      // the same match counts through three more joins. Materialized
+      // once (|queries| × matching docs rows) for its two consumers.
+      val scored = Bm25.scoredWithMatches(d, col("doc_id"), col("text"),
+        qterms).localCheckpoint()
+      val ranked = graft.operators.Ranking.topKPerGroup(scored,
+          Seq(col("query_id")),
+          Seq(col("score_fp").desc, col("doc_id").asc), 10,
+          rankCol = Some("rnk"))
+        .select(col("query_id"), col("doc_id"), col("rnk"), col("score_fp"))
+      val gold = scored.join(broadcast(qsize), Seq("query_id"))
+        .filter(col("n_matched") === col("__nt"))
         .select(col("query_id"), col("doc_id"))
       EvalMetrics.rankingMetrics(ranked, gold, k = 10)
     }),
@@ -150,13 +162,15 @@ object EvalQueries {
     // exact confusion counts: does the learned filter add information
     // over the rules, or rubber-stamp them?
     "q221_filter_kappa" -> ((s, dir) => {
+      // both raters are per-row expressions — one projection, no join
+      // (the scoredLabeled r14 shape)
       val d = docs(s, dir)
-      val a = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
-          minStopwords = 1)
-        .select(col("id"), col("keep_doc"))
-      val b = QualityClassifier.score(d, col("doc_id"), col("text"))
-        .select(col("id"), col("keep"))
-      EvalMetrics.cohenKappa(a.join(b, Seq("id")),
+      EvalMetrics.cohenKappa(
+        d.select(
+          QualityRules.keepFlag(col("text"), minStopwords = 1)
+            .cast("int").as("keep_doc"),
+          QualityClassifier.scoreStruct(s, col("text"))
+            .getField("keep").as("keep")),
         col("keep_doc"), col("keep"))
     }),
 
@@ -285,12 +299,13 @@ object EvalQueries {
     // lang carry signal about the keep decision? Pure rational, no
     // entropy logs.
     "q269_gini_gain" -> ((s, dir) => {
+      // keep label and lang in one per-row projection — the id re-join
+      // shuffled the corpus twice for columns of the same row (r14)
       val d = docs(s, dir)
-      val labels = QualityRules.gopherQuality(d, col("doc_id"), col("text"),
-          minStopwords = 1)
-        .select(col("id"), col("keep_doc"))
       EvalMetrics.giniGain(
-        d.select(col("doc_id").as("id"), col("lang")).join(labels, Seq("id")),
+        d.select(col("lang"),
+          QualityRules.keepFlag(col("text"), minStopwords = 1)
+            .cast("int").as("keep_doc")),
         col("lang"), col("keep_doc"))
     }),
 
@@ -359,32 +374,31 @@ object EvalQueries {
       val ranked = Bm25.topK(d, col("doc_id"), col("text"),
         qs, col("query_id"), col("qtext"), k = 10).localCheckpoint()
       val cdocs = ranked.select(col("doc_id")).distinct()
-      // candidate-doc distinct token sets: the pairwise-Jaccard base —
-      // bounded by queries × k docs, never the corpus
-      val dt = d.join(broadcast(cdocs), Seq("doc_id"), "left_semi")
+      // candidate-doc distinct token SETS as per-doc arrays (r14): the
+      // pairwise intersection is size(array_intersect) on the (queries ×
+      // k²)-bounded pair frame — the old shape exploded the sets to a
+      // (doc, term) frame, checkpointed it, self-joined it on term, and
+      // re-attached sizes through two more joins (4 extra exchanges + an
+      // eager job, all to intersect ~40 token sets). Materialized once
+      // for its two broadcast consumers.
+      val dta = d.join(broadcast(cdocs), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
-          explode(array_distinct(TextFunctions.tokens(col("text"))))
-            .as("term"))
+          array_distinct(TextFunctions.tokens(col("text"))).as("__tset"))
         .localCheckpoint()
-      val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("__nt"))
       val pairs = ranked.select(col("query_id"), col("doc_id").as("doc_a"))
         .join(ranked.select(col("query_id"), col("doc_id").as("doc_b")),
           Seq("query_id"))
         .filter(col("doc_a") =!= col("doc_b"))
-      val inter = dt.select(col("doc_id").as("doc_a"), col("term"))
-        .join(dt.select(col("doc_id").as("doc_b"), col("term")), Seq("term"))
-        .filter(col("doc_a") =!= col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__ic"))
-      val ic = coalesce(col("__ic"), lit(0L))
+      val ic = size(array_intersect(col("__ta"), col("__tb"))).cast("long")
       val sims = pairs
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sz.select(col("doc_id").as("doc_a"), col("__nt").as("__na")),
-          Seq("doc_a"))
-        .join(sz.select(col("doc_id").as("doc_b"), col("__nt").as("__nb")),
-          Seq("doc_b"))
+        .join(broadcast(dta.select(col("doc_id").as("doc_a"),
+          col("__tset").as("__ta"))), Seq("doc_a"))
+        .join(broadcast(dta.select(col("doc_id").as("doc_b"),
+          col("__tset").as("__tb"))), Seq("doc_b"))
         .select(col("query_id"), col("doc_a"), col("doc_b"),
           EvalMetrics.microRound6(ic,
-            col("__na") + col("__nb") - ic).as("sim"))
+            size(col("__ta")).cast("long") + size(col("__tb")) - ic)
+            .as("sim"))
       Ranking.mmrSelect(
         ranked.select(col("query_id"), col("doc_id"),
           col("score_fp").as("rel")),

@@ -102,9 +102,16 @@ object PipelineQueries {
           TextFunctions.registrableDomain(col("host"))),
         Seq(col("domain")), col("doc_id"), DomainCap)
 
-      // ---- stage 3: Gopher quality gate — per-row predicate, no join
+      // ---- stage 3: Gopher quality gate — per-row predicate, no join.
+      // MATERIALIZED (r14): removeBoilerplateLines consumes its input
+      // three times (line-frequency pass, kept-line reassembly pass, and
+      // the per-doc n_lines base), and unmaterialized each consumer
+      // re-executed the whole WARC→robots→quota chain (measured ~0.9 s
+      // of q134) — the same between-phase checkpoint posture as
+      // `cleaned` below.
       val quality = quota.filter(
         QualityRules.keepFlag(col("text"), minStopwords = 1))
+        .localCheckpoint()
 
       // ---- stage 4: corpus-level boilerplate-line removal (q121's
       // 3-token chunk lines); lang rides the carry seam. The stage

@@ -131,6 +131,29 @@ class CurationSpec extends AnyFunSuite {
     assert(contrib(2, 3) > contrib(1, 2)) // higher tf ranks first here
   }
 
+  test("Bm25.scoredWithMatches: scores equal topK's and n_matched counts " +
+      "distinct query terms present in the doc") {
+    val docs = Seq(
+      (10L, "apple cherry apple"),        // apple only → 1 of 2 terms
+      (11L, "apple banana cherry"),       // both terms → gold
+      (12L, "banana banana"),             // banana only
+      (13L, "durian elderberry fig")      // no query terms → absent
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana")).toDF("query_id", "qtext")
+    val qterms = Bm25.queryTerms(qs, col("query_id"), col("qtext"))
+    val sm = Bm25.scoredWithMatches(docs, col("doc_id"), col("text"), qterms)
+      .orderBy("doc_id").collect()
+    assert(sm.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_matched")))
+      .toSeq == Seq((10L, 1L), (11L, 2L), (12L, 1L)))
+    // the scored surface is bit-identical to what topK ranks
+    val viaTopK = Bm25.topK(docs, col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), k = 10)
+      .select("doc_id", "score_fp").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sm.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_fp")))
+      .toSeq == viaTopK)
+  }
+
   test("Bm25.dirichletTopK matches a hand-computed fixed-point QLM " +
       "score; OOV query terms drop from n_q") {
     val docs = Seq(
