@@ -242,6 +242,48 @@ object Stress {
     }
   }
 
+  /** spread() probe-cost receipt (r13 verdict #10): `Parallelism.spread`
+    * reads `df.rdd.getNumPartitions` during QUERY CONSTRUCTION, which
+    * plans an RDD per call site even when nothing executes — the receipt
+    * pins that on a properly-split (1000-partition) input the probe
+    * stays plan-time-only (zero jobs started) and construction wall is
+    * negligible, while a 1-partition input still triggers the repair.
+    */
+  private def spreadProbeReceipt(
+      spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    val wide = spark.range(0, n, 1, 1000).toDF("id")
+      .withColumn("text", concat(lit("tok "), col("id")))
+    val t0 = System.nanoTime()
+    var df = wide
+    (1 to 8).foreach { _ =>
+      df = graft.core.Parallelism.spread(df)
+        .select(col("id"), col("text"))
+    }
+    df.queryExecution.executedPlan // force full planning of the chain
+    val constructMs = (System.nanoTime() - t0) / 1e6
+    Thread.sleep(1000) // listener bus is async — let events settle
+    spark.sparkContext.removeSparkListener(l)
+    val narrow = graft.core.Parallelism
+      .spread(spark.range(0, 1000, 1, 1).toDF("id"))
+      .rdd.getNumPartitions
+    println(f"[stress] spreadprobe: 8 spread() call sites over a " +
+      f"1000-split input planned in $constructMs%.1f ms, jobs started = " +
+      f"${jobs.get}; 1-split input repaired to $narrow partitions")
+    require(jobs.get == 0,
+      s"spread() probe executed ${jobs.get} job(s) during construction")
+    require(constructMs < 5000.0,
+      f"spread() construction cost $constructMs%.1f ms — probe too heavy")
+    require(narrow == spark.sparkContext.defaultParallelism,
+      s"narrow input not repaired: $narrow")
+  }
+
   /** AQE coalesce-shuffle-partitions receipt (r12 verdict #8b) — the one
     * AQE feature without a dedicated receipt. A 100 TB job sizes
     * `initialPartitionNum` for its BIGGEST shuffle; every smaller shuffle
@@ -2749,6 +2791,12 @@ object Stress {
 
     if (section == "aqecoalesce") {
       aqeCoalesceReceipt(spark, n)
+      spark.stop()
+      return
+    }
+
+    if (section == "spreadprobe") {
+      spreadProbeReceipt(spark, n)
       spark.stop()
       return
     }

@@ -903,6 +903,32 @@ object Dedup {
       k: Int = 5, w: Int = 8): DataFrame = {
     require(k >= 1 && k <= 16, s"k must be in 1..16, got $k")
     require(w >= 2 && w <= 64, s"w must be in 2..64, got $w")
+    // compiled monotonic-deque window scan (r14) — the composable form
+    // exploded one row per window and paid slice + array_min + reverse +
+    // array_position per window (three array copies, O(n·w));
+    // [[graft.functions.WinnowSelect]] is O(n) with the identical
+    // rightmost-min tiebreak (spec-pinned equivalence in
+    // DedupSimilaritySpec). The per-doc (pos, h) set is already distinct
+    // (a position repeats only across consecutive windows, which the
+    // kernel collapses), so the frame-level distinct is gone too.
+    val grams = graft.functions.PolyHash.polyGramHashes61(
+      df.sparkSession, textCol, k)
+    df.select(idCol.as("id"),
+        explode(org.apache.spark.sql.classic.GraftColumnBridge.column(
+          graft.functions.WinnowSelect(
+            org.apache.spark.sql.classic.GraftColumnBridge.expression(grams),
+            w))).as("__fp"))
+      .select(col("id"), col("__fp.pos").as("pos"), col("__fp.h").as("h"))
+  }
+
+  /** The composable SPEC form of [[winnowedFingerprints]] — kept as the
+    * readable definition; the equivalence spec asserts the kernel
+    * matches it row-for-row.
+    */
+  def winnowedFingerprintsComposable(df: DataFrame, idCol: Column,
+      textCol: Column, k: Int = 5, w: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in 1..16, got $k")
+    require(w >= 2 && w <= 64, s"w must be in 2..64, got $w")
     val grams = graft.functions.PolyHash.polyGramHashes61(
       df.sparkSession, textCol, k)
     df.select(idCol.as("id"), grams.as("__g"))

@@ -43,7 +43,11 @@ object Similarity {
       candidates: DataFrame, candId: String, candVec: String,
       k: Int, excludeSelf: Boolean = true,
       rankCol: Option[String] = None): DataFrame = {
-    val crossed = candidates
+    // spread() the candidate side (r14): the embeddings fixture is one
+    // parquet row group = ONE scan task, so the |q|·|cand| cosine loop ran
+    // on one core (q171's 8v32 scaling ratio was 0.9 — pure serial);
+    // pass-through on properly split inputs (data-adaptive, guide §2.5)
+    val crossed = graft.core.Parallelism.spread(candidates)
       .join(broadcast(queries), if (excludeSelf) queries(queryId) =!= candidates(candId) else lit(true))
       .select(
         queries(queryId).as("query_id"),
@@ -316,10 +320,14 @@ object Similarity {
     val qcs: Seq[Seq[Long]] =
       seedCentroids(df, idCol, vecCol, nCentroids)
         .map(_.map(graft.functions.PqOps.quantize))
-    val base = df
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol).as("id"),
-        graft.functions.PqOps.quantizeCol(col(vecCol)).as("__qv"))
+    // spread() below the quantize (r14): the single-row-group embeddings
+    // fixture plans ONE scan task, serializing the per-row nCentroids
+    // dot-product folds; pass-through on properly split inputs
+    val base = graft.core.Parallelism.spread(df
+        .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+        .select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .select(col("id"),
+        graft.functions.PqOps.quantizeCol(col("__v")).as("__qv"))
     val dots: Seq[Column] = qcs.map { qc =>
       aggregate(
         zip_with(col("__qv"), typedLit(qc), (a, b) => a * b),

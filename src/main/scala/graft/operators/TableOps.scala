@@ -740,21 +740,29 @@ object TableOps {
   def skewProfile(
       df: DataFrame, keys: Seq[(String, Column)]): DataFrame = {
     require(keys.nonEmpty && keys.size <= 16, s"1..16 keys: ${keys.size}")
-    keys.map { case (name, c) =>
-      val cnts = df.select(c.as("__k")).filter(col("__k").isNotNull)
-        .groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
-        .withColumn("__col", lit(name))
-        .localCheckpoint() // key-bounded; feeds concentration + the max
-      val conc = concentration(cnts, Seq(col("__col")), col("__cnt"))
-      val mx = cnts.agg(count(lit(1)).as("n_keys"),
-        max(col("__cnt")).as("max_cnt"))
-      conc.crossJoin(broadcast(mx))
-        .select(col("g0").as("key_col"), col("n_keys"),
-          col("total").as("n_rows"), col("max_cnt"),
-          (EvalMetrics.microRound6(col("max_cnt"), col("total"))
-            .cast("double") / 1e6).as("max_share"),
-          col("gini"), col("top_decile_share"))
-    }.reduce(_ unionByName _)
+    // ONE corpus pass for ALL keys (r14): each row explodes into
+    // (key-name, key-value-as-string) pairs, so a single (col, key)
+    // count aggregation + one checkpoint replaces a corpus scan + eager
+    // checkpoint job PER key (the old shape ran |keys| sequential
+    // full-table jobs). The string cast only keys the count groupBy —
+    // injective per column (one source type each), and no key value
+    // reaches the output.
+    val cnts = df
+      .select(explode(array(keys.map { case (name, c) =>
+        struct(lit(name).as("c"), c.cast("string").as("k")) }: _*)).as("__e"))
+      .select(col("__e.c").as("__col"), col("__e.k").as("__k"))
+      .filter(col("__k").isNotNull)
+      .groupBy(col("__col"), col("__k")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint() // key-bounded; feeds concentration + the maxes
+    val conc = concentration(cnts, Seq(col("__col")), col("__cnt"))
+    val mx = cnts.groupBy(col("__col")).agg(
+      count(lit(1)).as("n_keys"), max(col("__cnt")).as("max_cnt"))
+    conc.join(broadcast(mx), col("g0") === col("__col"))
+      .select(col("g0").as("key_col"), col("n_keys"),
+        col("total").as("n_rows"), col("max_cnt"),
+        (EvalMetrics.microRound6(col("max_cnt"), col("total"))
+          .cast("double") / 1e6).as("max_share"),
+        col("gini"), col("top_decile_share"))
   }
 
   /** Top-N + "other" rollup: the n heaviest keys by summed weight (ties

@@ -239,13 +239,16 @@ object EvalQueries {
         broadcast(days.select(date_add(col("day"), 1).as("day"))),
         Seq("day"), "left_semi")
         .select(date_format(col("day"), "yyyy-MM-dd").as("pair_day"))
-      val refSide = ev.select(
-        date_format(date_add(col("day"), 1), "yyyy-MM-dd").as("pair_day"),
-        col("event_type"), lit(0).as("cur"))
-      val curSide = ev.select(
-        date_format(col("day"), "yyyy-MM-dd").as("pair_day"),
-        col("event_type"), lit(1).as("cur"))
-      val un = refSide.unionByName(curSide)
+      // each event plays BOTH roles (yesterday's ref, today's cur) — one
+      // explode instead of a union of two event scans (r14)
+      val un = ev.select(explode(array(
+          struct(date_format(date_add(col("day"), 1), "yyyy-MM-dd")
+            .as("pair_day"), col("event_type"), lit(0).as("cur")),
+          struct(date_format(col("day"), "yyyy-MM-dd")
+            .as("pair_day"), col("event_type"), lit(1).as("cur"))))
+          .as("__e"))
+        .select(col("__e.pair_day").as("pair_day"),
+          col("__e.event_type").as("event_type"), col("__e.cur").as("cur"))
         .join(broadcast(pairs), Seq("pair_day"), "left_semi")
       Drift.psiDrift(un, Seq(col("pair_day")), col("event_type"),
         col("cur") === 1)

@@ -282,8 +282,13 @@ object MiningQueries {
     // mergeable sketch (min-k) next to count-min (sums) and HLL (maxes);
     // fully deterministic registers, every row on the oracle surface.
     "q239_kmv_registers" -> ((s, dir) => {
+      // per-doc array_distinct before the explode (r14): the sketch
+      // distincts (lang, hash) anyway, so hashing each repeated token
+      // once per DOC instead of once per occurrence drops ~2/3 of the
+      // per-row md5 folds without touching the register set
       val d = docs(s, dir).select(col("lang"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("text")))).as("w"))
       graft.operators.Sketches.kmvRegisters(d, Seq(col("lang")), col("w"),
         k = 64)
     }),
@@ -292,8 +297,11 @@ object MiningQueries {
     // the exchange carries k-bounded buffers instead of the distinct
     // (lang, hash) set, and the build streams; one oracle serves both.
     "q242_kmv_agg" -> ((s, dir) => {
+      // same per-doc dedup as q239 — the bottom-k buffer keeps distinct
+      // hashes, so per-occurrence repeats only cost md5 folds
       val d = docs(s, dir).select(col("lang"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("text")))).as("w"))
       graft.operators.Sketches.kmvRegistersAgg(d, Seq(col("lang")),
         col("w"), k = 64)
     }),
@@ -475,8 +483,10 @@ object MiningQueries {
     // sketches + k-bounded merge, never a raw-value re-shuffle).
     "q240_kmv_estimate" -> ((s, dir) => {
       import graft.operators.Sketches
+      // same per-doc dedup as q239/q242 — registers distinct hashes
       val d = docs(s, dir).select(col("lang"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("text")))).as("w"))
       val perLang = Sketches.kmvRegisters(d, Seq(col("lang")), col("w"),
         k = 64)
       val merged = Sketches.kmvMerge(perLang.withColumn("g", lit(1)),

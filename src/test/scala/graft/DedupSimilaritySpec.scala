@@ -695,6 +695,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("winnowedFingerprints kernel == composable form row-for-row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 30L).map { i =>
+      val n = rnd.nextInt(120)
+      // small vocab forces hash ties so the rightmost tiebreak is hit
+      (i, (1 to n).map(_ => "t" + rnd.nextInt(7)).mkString(" "))
+    } :+ (98L, "") :+ (99L, "one two")
+    val df = docs.toDF("id", "text")
+    for ((k, w) <- Seq((5, 8), (2, 3), (1, 2))) {
+      val kern = Dedup.winnowedFingerprints(df, col("id"), col("text"), k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val comp = Dedup.winnowedFingerprintsComposable(
+          df, col("id"), col("text"), k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(kern == comp, s"k=$k w=$w")
+      // kernel output is per-doc distinct WITHOUT a distinct() stage
+      val n = Dedup.winnowedFingerprints(df, col("id"), col("text"), k, w)
+        .count()
+      assert(n == kern.size, s"kernel emitted duplicates at k=$k w=$w")
+    }
+  }
+
   test("assignmentMargin: margins nonnegative, boundary vector reads " +
       "the cluster's min margin, counts conserve, mis-dim excluded") {
     import spark.implicits._
